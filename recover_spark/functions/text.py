@@ -1,0 +1,89 @@
+"""Text-analysis column expressions for training-data pipelines.
+
+All pure Catalyst expressions (split/regexp/aggregate) — no UDFs, so the
+100 TB path stays in whole-stage codegen and is trivially parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small English/function-word list for the n-gram-free language heuristic.
+_EN_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"]
+
+_TOKEN_RE = r"[A-Za-z0-9']+"
+# BPE-ish token estimate: word pieces + digits + non-space punctuation.
+_BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace/punctuation tokenization -> array<string> (lowercased)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(
+        F.split(F.lower(c), r"[^a-z0-9']+"), lambda t: F.length(t) > 0
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace-ish token count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(_TOKEN_RE))
+
+
+def bpe_token_estimate(col: Column | str) -> Column:
+    """BPE-flavored token-count estimate via a piece regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(_BPE_RE))
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles -> array<string> ('a b c' joined)."""
+    toks = tokens(col)
+    if n == 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+    )
+    return F.array_distinct(grams)
+
+
+def char_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Distinct character n-gram shingles -> array<string>."""
+    c = F.col(col) if isinstance(col, str) else col
+    s = F.lower(c)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(0)))
+    grams = F.transform(idx, lambda i: F.substring(s, i, n))
+    return F.array_distinct(grams)
+
+
+def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
+    """Fraction of tokens that are common English function words."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in (stopwords or _EN_STOPWORDS)])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, n_sw / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_features(col: Column | str) -> Column:
+    """Quality-scoring feature struct: lengths, punctuation/digit/space
+    ratios, mean word length, stopword ratio."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    n_punct = F.regexp_count(c, F.lit(r"[^\w\s]"))
+    n_digit = F.regexp_count(c, F.lit(r"[0-9]"))
+    n_space = F.regexp_count(c, F.lit(r"\s"))
+    safe = F.greatest(n_chars, F.lit(1))
+    return F.struct(
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_punct / safe).alias("punct_ratio"),
+        (n_digit / safe).alias("digit_ratio"),
+        (n_space / safe).alias("space_ratio"),
+        F.when(n_tokens > 0, (n_chars - n_space) / n_tokens)
+        .otherwise(F.lit(0.0))
+        .alias("mean_word_len"),
+        stopword_ratio(c).alias("stopword_ratio"),
+    )

@@ -1,0 +1,165 @@
+"""P1-P11 — curation transforms as native column expressions.
+
+The reference's S3->JSON layer (src/glue/jobs/s3_to_json.py:171-412) is
+per-record Python; here each transform is a Catalyst expression that
+stays inside whole-stage codegen — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# P6 — filename grammar: {Type}_[{Subtype}_][Deleted_]{YYYYMMDD}[-{YYYYMMDD}]
+# (s3_to_json.py:788-822; also parsed at compare_parquet_datasets.py:229-312,
+# raw/app.py:52-86, raw_sync/app.py:469-510 — one regex replaces all four.)
+_FILENAME_RE = (
+    r"^([A-Za-z0-9]+?)"          # type
+    r"(?:_([A-Za-z0-9]+?))??"     # optional subtype (non-greedy)
+    r"(_Deleted)?"                # optional Deleted marker
+    r"_(\d{8})(?:-(\d{8}))?"      # end date, optional second date
+    r"\.json$"
+)
+
+
+def filename_metadata(filename: Column) -> Column:
+    """P6 — parse export filename into a metadata struct.
+
+    Returns struct<type,subtype,is_deleted,start_date,end_date>.  When two
+    dates are present the first is the start; ``HealthKitV2*_Deleted``
+    types get ``type`` suffixed with ``_Deleted`` like the reference's
+    renaming (s3_to_json.py:798-804).
+    """
+    base = F.element_at(F.split(filename, "/"), -1)
+    typ = F.regexp_extract(base, _FILENAME_RE, 1)
+    subtype = F.nullif(F.regexp_extract(base, _FILENAME_RE, 2), F.lit(""))
+    deleted = F.regexp_extract(base, _FILENAME_RE, 3) != ""
+    d1 = F.nullif(F.regexp_extract(base, _FILENAME_RE, 4), F.lit(""))
+    d2 = F.nullif(F.regexp_extract(base, _FILENAME_RE, 5), F.lit(""))
+    start = F.when(d2.isNotNull(), F.to_date(d1, "yyyyMMdd"))
+    end = F.coalesce(F.to_date(d2, "yyyyMMdd"), F.to_date(d1, "yyyyMMdd"))
+    return F.struct(
+        F.when(deleted, F.concat(typ, F.lit("_Deleted"))).otherwise(typ).alias("type"),
+        subtype.alias("subtype"),
+        deleted.alias("is_deleted"),
+        start.alias("start_date"),
+        end.alias("end_date"),
+    )
+
+
+def add_universal_properties(
+    df: DataFrame,
+    cohort: str,
+    export_start_date: str | None = None,
+    export_end_date: str | None = None,
+) -> DataFrame:
+    """P1 — stamp export_start_date / export_end_date / cohort on every row
+    (s3_to_json.py:261-288)."""
+    return (
+        df.withColumn("export_start_date", F.lit(export_start_date).cast("string"))
+        .withColumn("export_end_date", F.lit(export_end_date).cast("string"))
+        .withColumn("cohort", F.lit(cohort))
+    )
+
+
+def json_string_to_struct(col: Column, schema: T.DataType) -> Column:
+    """P3 — parse a JSON-string column into a typed struct
+    (SymptomLog.Value, s3_to_json.py:206-208)."""
+    return F.from_json(col, schema)
+
+
+def defensive_json_array(col: Column, element_schema: T.ArrayType) -> Column:
+    """P4 — parse JSON-string arrays; empty/malformed -> [] not null
+    (CustomFields.Symptoms/Treatments, s3_to_json.py:291-348).
+
+    ``from_json`` yields null on malformed input; coalescing with an
+    empty typed array reproduces the reference's logged-empty fallback.
+    """
+    return F.coalesce(F.from_json(col, element_schema), F.array().cast(element_schema))
+
+
+def map_to_offset_array(
+    col: Column,
+    key_name: str = "OffsetInSeconds",
+    key_type: str = "int",
+    value_name: str = "Metric",
+    value_type: str = "double",
+) -> Column:
+    """P5 — Garmin offset-object normalize: ``{"0": 62, "1": 63}`` ->
+    ``[{OffsetInSeconds:0, Metric:62.0}, ...]`` (s3_to_json.py:40-116).
+
+    Input column must be MapType(string, string-castable).  Per-entry
+    casts that fail become null (``try_cast``), matching the reference's
+    cast guards — under Spark 4 ANSI mode a plain cast would throw.
+    Entries sort by numeric offset for deterministic array order.
+    """
+    entries = F.map_entries(col)
+    transformed = F.transform(
+        entries,
+        lambda e: F.struct(
+            e["key"].try_cast(key_type).alias(key_name),
+            e["value"].try_cast(value_type).alias(value_name),
+        ),
+    )
+    return F.array_sort(transformed)
+
+
+def map_to_offset_array_2level(
+    col: Column,
+    inner_fields: Mapping[str, str],
+    key_name: str = "OffsetInSeconds",
+    key_type: str = "int",
+) -> Column:
+    """P5 (2-level) — ``{"0": {"x": 1}}`` -> array<struct<Offset, x...>>
+    (s3_to_json.py:351-412 two-level path)."""
+    entries = F.map_entries(col)
+    transformed = F.transform(
+        entries,
+        lambda e: F.struct(
+            e["key"].try_cast(key_type).alias(key_name),
+            *[
+                e["value"][name].try_cast(t).alias(name)
+                for name, t in inner_fields.items()
+            ],
+        ),
+    )
+    return F.array_sort(transformed)
+
+
+def cast_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """S2 — resolveChoice(match_catalog): project to the declared schema,
+    casting observed types; missing columns become typed nulls
+    (json_to_parquet.py:157-159)."""
+    cols = []
+    existing = {c.lower(): c for c in df.columns}
+    for f in schema.fields:
+        src = existing.get(f.name.lower())
+        if src is None:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.col(f"`{src}`").try_cast(f.dataType).alias(f.name))
+    return df.select(*cols)
+
+
+def derive_cohort(key: Column) -> Column:
+    """P10 — substring match on object key -> cohort
+    (s3_to_json.py:964-986)."""
+    return (
+        F.when(key.contains("adults_v1"), F.lit("adults_v1"))
+        .when(key.contains("pediatric_v1"), F.lit("pediatric_v1"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def drop_synthetic_partitions(df: DataFrame, prefix: str = "partition_") -> DataFrame:
+    """S3 — drop Glue-injected partition_* columns
+    (json_to_parquet.py:160-165)."""
+    return df.drop(*[c for c in df.columns if c.startswith(prefix)])
+
+
+def normalize_dataset_name(name: Column) -> Column:
+    """P8 — lowercase, dots -> underscores (json_to_parquet.py:697)."""
+    return F.lower(F.regexp_replace(name, r"\.", "_"))

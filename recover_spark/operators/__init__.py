@@ -1,0 +1,24 @@
+from recover_spark.operators.dedup import dedup_latest
+from recover_spark.operators.deletes import drop_deleted
+from recover_spark.operators.index import add_index_to_child
+from recover_spark.operators.relationalize import has_nested_fields, relationalize
+from recover_spark.operators.diff import compare_datasets
+from recover_spark.operators.audit import (
+    CountStage,
+    duplicate_keys,
+    stage_counts,
+    union_ledgers,
+)
+
+__all__ = [
+    "dedup_latest",
+    "drop_deleted",
+    "add_index_to_child",
+    "has_nested_fields",
+    "relationalize",
+    "compare_datasets",
+    "CountStage",
+    "duplicate_keys",
+    "stage_counts",
+    "union_ledgers",
+]

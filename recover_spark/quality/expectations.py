@@ -1,0 +1,137 @@
+"""V1-V3 — expectation suites compiled to Spark predicates.
+
+Reference: Great Expectations checkpoints over the parquet output
+(src/glue/jobs/run_great_expectations_on_parquet.py:179-277) driven by a
+JSON spec (src/glue/resources/data_values_expectations.json) using two
+expectation types: ``expect_column_values_to_be_between`` (13 numeric
+range checks) and ``expect_column_to_exist``.
+
+This module accepts the SAME JSON spec shape and compiles each
+expectation to a single filter+aggregate pass — all expectations for a
+table evaluate in ONE job (one scan of the data), not one job per
+expectation; at 100 TB that is the difference between 1 and 13 scans.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Expectation:
+    expectation_type: str
+    kwargs: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class ExpectationResult:
+    expectation_type: str
+    column: str | None
+    success: bool
+    element_count: int = 0
+    unexpected_count: int = 0
+    details: dict[str, Any] = field(default_factory=dict)
+
+
+def parse_suite(spec: str | dict) -> list[Expectation]:
+    """Parse the reference's data_values_expectations.json shape:
+    ``{table: {"expectations": [{"expectation_type": ..., "kwargs": {...}}]}}``
+    or a bare list of expectation dicts."""
+    if isinstance(spec, str):
+        spec = json.loads(spec)
+    if isinstance(spec, dict) and "expectations" in spec:
+        items = spec["expectations"]
+    elif isinstance(spec, list):
+        items = spec
+    else:
+        raise ValueError("unrecognized expectation suite shape")
+    return [
+        Expectation(e["expectation_type"], dict(e.get("kwargs", {}))) for e in items
+    ]
+
+
+def _between_condition(kwargs: dict[str, Any]):
+    col = F.col(kwargs["column"]).cast("double")
+    lo, hi = kwargs.get("min_value"), kwargs.get("max_value")
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (col >= F.lit(float(lo)))
+    if hi is not None:
+        cond = cond & (col <= F.lit(float(hi)))
+    if kwargs.get("mostly") is None:
+        # nulls are not counted as unexpected (GE default)
+        cond = cond | col.isNull()
+    return cond
+
+
+def run_suite(df: DataFrame, suite: list[Expectation] | str | dict) -> list[ExpectationResult]:
+    """V3 — evaluate a suite in one aggregate pass over ``df``."""
+    if not isinstance(suite, list) or (suite and not isinstance(suite[0], Expectation)):
+        suite = parse_suite(suite)  # type: ignore[arg-type]
+
+    results: list[ExpectationResult] = []
+    aggs = []
+    agg_slots: list[tuple[int, Expectation]] = []
+    for i, exp in enumerate(suite):
+        col = exp.kwargs.get("column")
+        if exp.expectation_type == "expect_column_to_exist":
+            results.append(
+                ExpectationResult(exp.expectation_type, col, success=col in df.columns)
+            )
+        elif exp.expectation_type == "expect_column_values_to_be_between":
+            if col not in df.columns:
+                results.append(
+                    ExpectationResult(
+                        exp.expectation_type, col, False, details={"error": "missing column"}
+                    )
+                )
+                continue
+            ok = _between_condition(exp.kwargs)
+            aggs.append(F.count(F.lit(1)).alias(f"n_{i}"))
+            aggs.append(F.sum((~ok).cast("long")).alias(f"bad_{i}"))
+            agg_slots.append((i, exp))
+        elif exp.expectation_type == "expect_column_values_to_not_be_null":
+            aggs.append(F.count(F.lit(1)).alias(f"n_{i}"))
+            aggs.append(F.sum(F.col(col).isNull().cast("long")).alias(f"bad_{i}"))
+            agg_slots.append((i, exp))
+        else:
+            results.append(
+                ExpectationResult(
+                    exp.expectation_type, col, False, details={"error": "unsupported"}
+                )
+            )
+
+    if agg_slots:
+        row = df.agg(*aggs).collect()[0].asDict()
+        for i, exp in agg_slots:
+            n = row[f"n_{i}"] or 0
+            bad = row[f"bad_{i}"] or 0
+            mostly = float(exp.kwargs.get("mostly", 1.0))
+            success = (n == 0) or ((n - bad) / n >= mostly)
+            results.append(
+                ExpectationResult(
+                    exp.expectation_type,
+                    exp.kwargs.get("column"),
+                    success,
+                    element_count=n,
+                    unexpected_count=bad,
+                )
+            )
+    return results
+
+
+def validity_gates(df: DataFrame) -> dict[str, Any]:
+    """V4 — dataset validity: non-empty, no duplicated column names
+    (compare_parquet_datasets.py:619-642)."""
+    cols = df.columns
+    dupes = sorted({c for c in cols if cols.count(c) > 1})
+    return {
+        "empty": df.isEmpty(),
+        "duplicate_columns": dupes,
+        "valid": (not df.isEmpty()) and not dupes,
+    }

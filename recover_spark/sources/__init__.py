@@ -1,0 +1,4 @@
+from recover_spark.sources.readers import read_ndjson, read_parquet_dataset
+from recover_spark.sources.writers import write_partitioned_parquet
+
+__all__ = ["read_ndjson", "read_parquet_dataset", "write_partitioned_parquet"]

@@ -1,0 +1,54 @@
+"""S1/S4/S5/S8 — dataset readers.
+
+Reference S1 (json_to_parquet.py:152-156) reads a Glue-cataloged,
+hive-partitioned gzip-NDJSON dataset with a declared schema and
+small-file grouping.  Spark's JSON source with an explicit schema is the
+exact analog: partition discovery surfaces ``dataset=``/``cohort=``
+columns, gzip is transparent, and ``spark.sql.files.openCostInBytes``
+packs small files into input splits (the groupFiles equivalent).
+
+Reading WITH a declared schema (never inferSchema) is both the
+resolveChoice(match_catalog) semantics (S2) and the scale play: schema
+inference is a full extra pass over 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_ndjson(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    with_filename_meta: bool = False,
+) -> DataFrame:
+    """Read (optionally gzipped, hive-partitioned) NDJSON with a declared
+    schema.  Malformed values -> null columns (PERMISSIVE), matching the
+    reference's tolerance (S8, s3_to_json.py:456-492)."""
+    df = spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+    if with_filename_meta:
+        df = df.withColumn("_source_file", F.input_file_name())
+    return df
+
+
+def read_parquet_dataset(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    predicate: str | None = None,
+) -> DataFrame:
+    """S4/S5 — parquet scan with pushdown.
+
+    Column pruning + predicate/partition pushdown are Catalyst built-ins;
+    passing ``columns``/``predicate`` here just declares them early so
+    the scan node shows PushedFilters/ReadSchema accordingly.
+    """
+    df = spark.read.parquet(path)
+    if predicate:
+        df = df.filter(predicate)
+    if columns:
+        df = df.select(*columns)
+    return df

@@ -1,0 +1,76 @@
+"""K1-K6 — partitioned sinks with archive-then-replace.
+
+Reference K1/K2: parquet write partitioned by cohort, coalesced to ~1e6
+rows per file (json_to_parquet.py:377,396-416).  K5: copy existing output
+to ``archive/{date}_{run_id}/`` before overwrite (:304-367).
+
+Spark-first: ``maxRecordsPerFile`` replaces the coalesce arithmetic — it
+sizes files without collapsing parallelism (a plain ``coalesce(n)``
+would serialize the write through n tasks; at 100 TB that matters).
+"""
+
+from __future__ import annotations
+
+import shutil
+import time
+from pathlib import Path
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+DEFAULT_RECORDS_PER_FILE = 1_000_000  # json_to_parquet.py:377
+
+
+def archive_existing(path: str, archive_root: str | None = None, run_id: str = "run") -> str | None:
+    """K5 — move current dataset to archive/{date}_{run_id}/ before replace.
+
+    Local-filesystem implementation; on object stores this is a prefix
+    copy.  Returns the archive path, or None when nothing existed.
+    """
+    src = Path(path)
+    if not src.exists():
+        return None
+    date = time.strftime("%Y-%m-%d")
+    dest_root = Path(archive_root) if archive_root else src.parent / "archive"
+    dest = dest_root / f"{date}_{run_id}" / src.name
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    shutil.move(str(src), str(dest))
+    return str(dest)
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = ("cohort",),
+    records_per_file: int = DEFAULT_RECORDS_PER_FILE,
+    mode: str = "overwrite",
+    archive_first: bool = False,
+    run_id: str = "run",
+) -> None:
+    """K1/K2 (+K5) — hive-partitioned parquet sink with file sizing."""
+    if archive_first:
+        archive_existing(path, run_id=run_id)
+    writer = df.write.mode(mode).option("maxRecordsPerFile", records_per_file)
+    parts = [p for p in partition_by if p in df.columns]
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(path)
+
+
+def write_ndjson_parts(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    compression: str | None = "gzip",
+    records_per_file: int = 500_000,
+    mode: str = "overwrite",
+) -> None:
+    """K3/K4 — NDJSON part-file sink (size-rotated in the reference,
+    record-rotated here; s3_to_json.py:495-614, raw/app.py:186-248)."""
+    writer = df.write.mode(mode).option("maxRecordsPerFile", records_per_file)
+    if compression:
+        writer = writer.option("compression", compression)
+    parts = [p for p in partition_by if p in df.columns]
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.json(path)
