@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every ``queries()`` entry exercises a real recover_spark operator
+(SURVEY.md §2 ids in the key names); ``oracle_sql()`` gives the
+independent DuckDB formulation over the same parquet tables.
+
+Conventions keeping the Spark/DuckDB value-hash comparable:
+- timestamps/dates are formatted to strings on both sides;
+- aggregate doubles are rounded identically on both sides (filters
+  always apply to the UNrounded value on both sides);
+- count-like columns are BIGINT on both sides (DuckDB sums are cast);
+- hash-derived integers use the engine-portable md5 scheme
+  (recover_spark.functions.hashing — identical in Spark and DuckDB).
 """
 
 from __future__ import annotations
@@ -12,27 +18,759 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
+        # default; read it as long nanoseconds and convert to a timestamp
+        # (microsecond truncation — comparisons are at second granularity).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ts(col, alias):
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Reference-surface queries (SURVEY.md §2)
+# ---------------------------------------------------------------------------
+
+def q_w1_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — keyed latest-record dedup (json_to_parquet.py:175-221)."""
+    from recover_spark.operators import dedup_latest
+
+    events = _load(spark, sf_dir, "events")
+    latest = dedup_latest(
+        events,
+        index_fields=["user_id", "event_type"],
+        order_fields=["ts"],
+        tiebreakers=["event_id"],
+    )
+    return latest.select(
+        "user_id", "event_type", "event_id", _ts(F.col("ts"), "ts"), "value"
+    )
+
+
+def q_j1_anti_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — left-anti delete application (json_to_parquet.py:224-301)."""
+    from recover_spark.operators import drop_deleted
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    deleted = (
+        _load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    kept = drop_deleted(
+        lineitem, deleted, index_fields=["l_orderkey"], dedup_deleted=False
+    )
+    return kept.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+def q_j2_child_rekey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — child re-key via broadcast join on parent index
+    (json_to_parquet.py:539-626)."""
+    from recover_spark.operators import add_index_to_child
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    rekeyed = add_index_to_child(
+        lineitem,
+        orders,
+        index_fields=["o_custkey", "o_orderpriority"],
+        fk_col="o_orderkey",
+        id_col="l_orderkey",
+        extra_cols=(),
+    )
+    return rekeyed.select(
+        "l_orderkey", "l_linenumber", "o_custkey", "o_orderpriority"
+    )
+
+
+def q_j3_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — native dataset diff (the SparkCompare the reference wished
+    for, compare_parquet_datasets.py:554-587)."""
+    from recover_spark.operators import compare_datasets
+
+    main = _load(spark, sf_dir, "customer")
+    staging = main.filter(F.col("c_custkey") % 97 != 0).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 13 == 0, F.lit("MODIFIED"))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 10)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    res = compare_datasets(staging, main, ["c_custkey"])
+    return (
+        res.left_only.select("c_custkey", F.lit("left_only").alias("diff_type"))
+        .unionAll(
+            res.right_only.select("c_custkey", F.lit("right_only").alias("diff_type"))
+        )
+        .unionAll(
+            res.mismatched.select("c_custkey", F.lit("mismatch").alias("diff_type"))
+        )
+    )
+
+
+def q_a1_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — per-group record accounting (json_to_parquet.py:481-489)."""
+    from recover_spark.operators import stage_counts
+
+    events = _load(spark, sf_dir, "events").withColumn(
+        "event_date", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return stage_counts(
+        events, "READ", group_cols=("event_date", "event_type")
+    ).select("event_date", "event_type", "record_count", "stage")
+
+
+def q_a4_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — duplicate-key detection (compare_parquet_datasets.py:488-507)."""
+    from recover_spark.operators import duplicate_keys
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    return duplicate_keys(lineitem, ["l_orderkey"])
+
+
+def q_n2_relationalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2/N3 — relationalize: nested array -> child table with carried
+    parent keys + element index (json_to_parquet.py:682-695)."""
+    from recover_spark.operators import relationalize
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    nested = (
+        lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("l_linenumber", "l_partkey", "l_quantity"))
+            ).alias("items")
+        )
+    )
+    frames = relationalize(nested, "orders_nested", carry_cols=["o_orderkey"])
+    return frames["orders_nested_items"].select(
+        "o_orderkey", "index", "l_linenumber", "l_partkey", "l_quantity"
+    )
+
+
+def q_p3_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — JSON-string -> typed struct (s3_to_json.py:206-208)."""
+    from recover_spark.functions.transforms import json_string_to_struct
+
+    events = _load(spark, sf_dir, "events")
+    parsed = events.select(
+        "event_id",
+        json_string_to_struct(F.col("props"), "k int").alias("p"),
+    )
+    return parsed.select("event_id", F.col("p.k").alias("k"))
+
+
+def q_p5_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — offset-object -> array-of-structs normalize
+    (s3_to_json.py:40-116), flattened for comparison."""
+    from recover_spark.functions.transforms import map_to_offset_array
+
+    events = _load(spark, sf_dir, "events")
+    with_map = events.select(
+        "event_id",
+        F.create_map(
+            F.lit("0"), F.col("value"), F.lit("1"), F.col("value") * 2
+        ).alias("m"),
+    )
+    normalized = with_map.select(
+        "event_id",
+        F.explode(
+            map_to_offset_array(
+                F.col("m"), value_name="metric", value_type="double"
+            )
+        ).alias("e"),
+    )
+    return normalized.select(
+        "event_id",
+        F.col("e.OffsetInSeconds").alias("offset_s"),
+        F.col("e.metric").alias("metric"),
+    )
+
+
+def q_p6_filename_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — export-filename metadata extraction (s3_to_json.py:788-822)."""
+    from recover_spark.functions.transforms import filename_metadata
+
+    events = _load(spark, sf_dir, "events")
+    named = events.select(
+        "event_id",
+        F.concat(
+            F.col("event_type"),
+            F.lit("_2023011"),
+            (F.col("event_id") % 10).cast("string"),
+            F.lit(".json"),
+        ).alias("fname"),
+    )
+    meta = named.select("event_id", filename_metadata(F.col("fname")).alias("m"))
+    return meta.select(
+        "event_id",
+        F.col("m.type").alias("type"),
+        F.date_format("m.end_date", "yyyy-MM-dd").alias("end_date"),
+    )
+
+
+def q_v1_range_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1/V3 — expectation suite compiled to one aggregate pass
+    (run_great_expectations_on_parquet.py:223-277)."""
+    from recover_spark.quality.expectations import run_suite
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    suite = [
+        {
+            "expectation_type": "expect_column_values_to_be_between",
+            "kwargs": {"column": "l_quantity", "min_value": 1, "max_value": 30},
+        },
+        {
+            "expectation_type": "expect_column_values_to_be_between",
+            "kwargs": {"column": "l_discount", "min_value": 0.0, "max_value": 0.05},
+        },
+    ]
+    results = run_suite(lineitem, suite)
+    return spark.createDataFrame(
+        [
+            (r.column, r.element_count, r.unexpected_count, r.success)
+            for r in results
+        ],
+        schema="column string, element_count long, unexpected_count long, success boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational showcase queries (agg/join coverage + bench headliners)
+# ---------------------------------------------------------------------------
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the A-class aggregate headliner."""
+    lineitem = _load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_join_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join + agg + deterministic top-10."""
+    customer = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    lineitem = _load(spark, sf_dir, "lineitem")
+    seg = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    joined = (
+        orders.join(F.broadcast(seg), orders.o_custkey == seg.c_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+    )
+    revenue = (
+        joined.groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+        )
+        .orderBy(F.col("rev").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+    return revenue.select(
+        "o_orderkey", "o_orderpriority", F.round("rev", 2).alias("revenue")
+    )
+
+
+def q_join_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 5-way join with broadcast dims, revenue by nation."""
+    nation = _load(spark, sf_dir, "nation")
+    customer = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    lineitem = _load(spark, sf_dir, "lineitem")
+    supplier = _load(spark, sf_dir, "supplier")
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data-scale operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup over documents."""
+    from recover_spark.ops import exact_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 portable hash seeds, word 3-gram shingles)."""
+    from recover_spark.ops import minhash_signatures
+
+    docs = _load(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, num_hashes=4, shingle_size=3)
+    return sig.select(
+        "doc_id", *[F.col("minhash")[i].alias(f"mh_{i}") for i in range(4)]
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 16-bit signatures over documents."""
+    from recover_spark.ops import simhash_signatures
+
+    docs = _load(spark, sf_dir, "documents")
+    return simhash_signatures(docs, bits=16)
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-duplicate pairs via inverted shingle index."""
+    from recover_spark.ops import ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, shingle_size=3, min_jaccard=0.2)
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs."""
+    from recover_spark.ops import embedding_near_duplicates
+
+    emb = _load(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(emb, threshold=0.45)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id < 3)."""
+    from recover_spark.ops import brute_force_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    topk = brute_force_topk(emb, queries, k=5)
+    return topk.select(
+        "query_vec_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality features per document."""
+    from recover_spark.functions.text import (
+        bpe_token_estimate,
+        quality_features,
+        token_count,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    q = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_estimate(F.col("text")).alias("n_bpe_tokens"),
+        F.round(q["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(q["space_ratio"], 6).alias("space_ratio"),
+        F.round(q["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(q["stopword_ratio"], 6).alias("stopword_ratio"),
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID per document."""
+    from recover_spark.ops.text_analysis import language_id
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id(F.col("text")).alias("lang_guess"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash document fingerprint."""
+    from recover_spark.ops.text_analysis import document_fingerprint
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", document_fingerprint(F.col("text"), window=8).alias("fingerprint")
+    )
+
+
+def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension — tumbling-window event counts (batch mode of the
+    streaming helper)."""
+    from recover_spark.streaming.incremental import windowed_event_counts
+
+    events = _load(spark, sf_dir, "events")
+    counts = windowed_event_counts(events, window_duration="1 hour")
+    return counts.select(
+        _ts(F.col("window_start"), "window_start"),
+        _ts(F.col("window_end"), "window_end"),
+        "event_type",
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract functions
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: W1 keyed-latest dedup over the events stream."""
+    return q_w1_dedup_latest(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "w1_dedup_latest": q_w1_dedup_latest,
+        "j1_anti_delete": q_j1_anti_delete,
+        "j2_child_rekey": q_j2_child_rekey,
+        "j3_diff": q_j3_diff,
+        "a1_stage_counts": q_a1_stage_counts,
+        "a4_duplicate_keys": q_a4_duplicate_keys,
+        "n2_relationalize": q_n2_relationalize,
+        "p3_json_struct": q_p3_json_struct,
+        "p5_map_normalize": q_p5_map_normalize,
+        "p6_filename_meta": q_p6_filename_meta,
+        "v1_range_check": q_v1_range_check,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "join_top_orders": q_join_top_orders,
+        "join_nation_revenue": q_join_nation_revenue,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "ann_topk": q_ann_topk,
+        "text_stats": q_text_stats,
+        "text_langid": q_text_langid,
+        "doc_fingerprint": q_doc_fingerprint,
+        "stream_window_counts": q_stream_window_counts,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# -- oracle SQL builders ----------------------------------------------------
+
+_TOKS_CTE = (
+    "toks AS (SELECT doc_id, list_filter("
+    "string_split_regex(lower(text), '[^a-z0-9'']+'), t -> len(t) > 0) AS t "
+    "FROM documents)"
+)
+
+_GRAMS3_CTE = (
+    "grams AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle "
+    "FROM toks, UNNEST(CASE WHEN len(t) >= 3 THEN range(1, len(t)-1) "
+    "ELSE []::BIGINT[] END) AS u(i))"
+)
+
+
+def _h64(expr: str) -> str:
+    """DuckDB equivalent of recover_spark portable_hash64."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _cos(a: str, b: str, dim: int = 64) -> str:
+    def _dot(x, y):
+        return (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> {x}[i]::DOUBLE * {y}[i]::DOUBLE))"
+        )
+
+    return f"({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})))"
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    h = _h64("concat('simhash', '|', tok)")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b_{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN b_{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(bits)
+    )
+    return (
+        f"WITH {_TOKS_CTE}, "
+        f"tok AS (SELECT doc_id, unnest(t) AS tok FROM toks), "
+        f"hashed AS (SELECT doc_id, {h} AS h FROM tok), "
+        f"sums AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id) "
+        f"SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM sums"
+    )
+
+
+def _minhash_sql(num_hashes: int = 4) -> str:
+    mins = ", ".join(
+        "MIN({h}) AS mh_{i}".format(
+            h=_h64("concat('mh{i}', '|', shingle)".format(i=i)), i=i
+        )
+        for i in range(num_hashes)
+    )
+    return (
+        f"WITH {_TOKS_CTE}, {_GRAMS3_CTE} "
+        f"SELECT doc_id, {mins} FROM grams GROUP BY doc_id"
+    )
+
+
+def _langid_sql() -> str:
+    from recover_spark.ops.text_analysis import _LANG_MARKERS
+
+    hit_cols = []
+    for lang, markers in _LANG_MARKERS.items():
+        lst = ", ".join(f"'{m}'" for m in markers)
+        hit_cols.append(
+            f"len(list_filter(t, x -> list_contains([{lst}], x))) AS h_{lang}"
+        )
+    langs_desc = sorted(_LANG_MARKERS, reverse=True)  # tie -> later alphabet wins
+    pick = "CASE "
+    for lang in langs_desc[:-1]:
+        others = [f"h_{lang} >= h_{o}" for o in _LANG_MARKERS if o != lang]
+        pick += f"WHEN {' AND '.join(others)} THEN '{lang}' "
+    pick += f"ELSE '{langs_desc[-1]}' END"
+    greatest = ", ".join(f"h_{l}" for l in _LANG_MARKERS)
+    return (
+        f"WITH {_TOKS_CTE}, "
+        f"hits AS (SELECT doc_id, {', '.join(hit_cols)} FROM toks) "
+        f"SELECT doc_id, CASE WHEN greatest({greatest}) = 0 THEN 'unknown' "
+        f"ELSE {pick} END AS lang_guess FROM hits"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "w1_dedup_latest": """
+            SELECT user_id, event_type, event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id, event_type
+                ORDER BY ts DESC, event_id ASC) = 1
+        """,
+        "j1_anti_delete": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+            FROM lineitem
+            WHERE l_orderkey NOT IN (
+                SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        """,
+        "j2_child_rekey": """
+            SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderpriority
+            FROM lineitem l
+            JOIN (SELECT DISTINCT o_orderkey, o_custkey, o_orderpriority
+                  FROM orders) o
+              ON l.l_orderkey = o.o_orderkey
+        """,
+        "j3_diff": """
+            SELECT c_custkey, 'right_only' AS diff_type
+            FROM customer WHERE c_custkey % 97 = 0
+            UNION ALL
+            SELECT c_custkey, 'mismatch' AS diff_type
+            FROM customer
+            WHERE c_custkey % 97 != 0
+              AND (c_custkey % 10 = 0 OR c_custkey % 13 = 0)
+        """,
+        "a1_stage_counts": """
+            SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
+                   count(*) AS record_count, 'READ' AS stage
+            FROM events GROUP BY 1, 2
+        """,
+        "a4_duplicate_keys": """
+            SELECT l_orderkey, count(*) AS n_rows
+            FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+        """,
+        "n2_relationalize": """
+            SELECT l_orderkey AS o_orderkey,
+                   CAST(row_number() OVER (
+                       PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_partkey, l_quantity) - 1
+                     AS INTEGER) AS "index",
+                   l_linenumber, l_partkey, l_quantity
+            FROM lineitem
+        """,
+        "p3_json_struct": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+        """,
+        "p5_map_normalize": """
+            SELECT event_id, 0 AS offset_s, value AS metric FROM events
+            UNION ALL
+            SELECT event_id, 1 AS offset_s, value * 2 AS metric FROM events
+        """,
+        "p6_filename_meta": """
+            SELECT event_id, event_type AS type,
+                   strftime(make_date(2023, 1, 10 + CAST(event_id % 10 AS INT)),
+                            '%Y-%m-%d') AS end_date
+            FROM events
+        """,
+        "v1_range_check": """
+            SELECT 'l_quantity' AS "column",
+                   count(*) AS element_count,
+                   CAST(count(*) FILTER (WHERE l_quantity IS NOT NULL
+                       AND NOT (l_quantity >= 1 AND l_quantity <= 30))
+                     AS BIGINT) AS unexpected_count,
+                   count(*) FILTER (WHERE l_quantity IS NOT NULL
+                       AND NOT (l_quantity >= 1 AND l_quantity <= 30)) = 0
+                     AS success
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount',
+                   count(*),
+                   CAST(count(*) FILTER (WHERE l_discount IS NOT NULL
+                       AND NOT (l_discount >= 0.0 AND l_discount <= 0.05))
+                     AS BIGINT),
+                   count(*) FILTER (WHERE l_discount IS NOT NULL
+                       AND NOT (l_discount >= 0.0 AND l_discount <= 0.05)) = 0
+            FROM lineitem
+        """,
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_top_orders": """
+            SELECT o_orderkey, o_orderpriority, round(rev, 2) AS revenue
+            FROM (
+                SELECT o.o_orderkey, o.o_orderpriority,
+                       sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+                FROM orders o
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                WHERE c.c_mktsegment = 'BUILDING'
+                GROUP BY o.o_orderkey, o.o_orderpriority
+                ORDER BY rev DESC, o.o_orderkey ASC
+                LIMIT 10)
+        """,
+        "join_nation_revenue": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE c.c_nationkey = s.s_nationkey
+            GROUP BY n.n_name
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS content_hash,
+                   count(*) AS n_duplicates
+            FROM documents GROUP BY md5(lower(trim(text)))
+        """,
+        "dedup_minhash": _minhash_sql(4),
+        "dedup_simhash": _simhash_sql(16),
+        "dedup_jaccard": f"""
+            WITH {_TOKS_CTE}, {_GRAMS3_CTE},
+            sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                FROM grams a JOIN grams b ON a.shingle = b.shingle
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   n_common / (sa.set_size + sb.set_size - n_common) AS jaccard
+            FROM inter
+            JOIN sizes sa ON inter.id_a = sa.doc_id
+            JOIN sizes sb ON inter.id_b = sb.doc_id
+            WHERE n_common / (sa.set_size + sb.set_size - n_common) >= 0.2
+        """,
+        "dedup_embedding": f"""
+            SELECT id_a, id_b, round(c, 6) AS cosine FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       {_cos('a.embedding', 'b.embedding')} AS c
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            WHERE c >= 0.45
+        """,
+        "ann_topk": f"""
+            SELECT query_vec_id, vec_id, round(c, 6) AS cosine,
+                   CAST(rank AS INTEGER) AS rank
+            FROM (
+                SELECT q.vec_id AS query_vec_id, e.vec_id,
+                       {_cos('e.embedding', 'q.embedding')} AS c,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_cos('e.embedding', 'q.embedding')} DESC,
+                                    e.vec_id ASC) AS rank
+                FROM embeddings e
+                JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+                  ON e.vec_id != q.vec_id)
+            WHERE rank <= 5
+        """,
+        "text_stats": r"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9'']+'),
+                                   t -> len(t) > 0) AS toks,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z0-9'']+')) AS INT)
+                           AS n_tokens,
+                       CAST(len(regexp_extract_all(text,
+                           '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens,
+                       len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                       len(regexp_extract_all(text, '\s')) AS n_space,
+                       length(text) AS n_chars
+                FROM documents)
+            SELECT doc_id, n_tokens, n_bpe_tokens,
+                   round(n_punct / greatest(n_chars, 1), 6) AS punct_ratio,
+                   round(n_space / greatest(n_chars, 1), 6) AS space_ratio,
+                   round(CASE WHEN n_tokens > 0
+                         THEN (n_chars - n_space) / n_tokens
+                         ELSE 0.0 END, 6) AS mean_word_len,
+                   round(CASE WHEN len(toks) > 0
+                         THEN len(list_filter(toks, t -> list_contains(
+                             ['the','a','and','of','to','in','is','it','that','for'],
+                             t))) / len(toks)
+                         ELSE 0.0 END, 6) AS stopword_ratio
+            FROM base
+        """,
+        "text_langid": _langid_sql(),
+        "doc_fingerprint": f"""
+            WITH {_TOKS_CTE}
+            SELECT doc_id, coalesce(
+                list_min(list_transform(
+                    CASE WHEN len(t) >= 8 THEN range(1, len(t)-6)
+                         ELSE []::BIGINT[] END,
+                    i -> {_h64("array_to_string(t[i:i+7], ' ')")})),
+                {_h64("array_to_string(t, ' ')")}) AS fingerprint
+            FROM toks
+        """,
+        "stream_window_counts": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS window_start,
+                   strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR,
+                            '%Y-%m-%d %H:%M:%S') AS window_end,
+                   event_type, count(*) AS n_events
+            FROM events GROUP BY 1, 2, 3
+        """,
+    }

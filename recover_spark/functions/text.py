@@ -37,14 +37,22 @@ def bpe_token_estimate(col: Column | str) -> Column:
     return F.regexp_count(c, F.lit(_BPE_RE))
 
 
+def _window_starts(n_items: Column, width: int) -> Column:
+    """1..(n_items-width+1), or an empty array when the input is shorter
+    than one window (a bare ``sequence(1, 0)`` would yield [1, 0])."""
+    last = n_items - (width - 1)
+    return F.when(last >= 1, F.sequence(F.lit(1), last)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles -> array<string> ('a b c' joined)."""
     toks = tokens(col)
     if n == 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+        _window_starts(F.size(toks), n), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
     )
     return F.array_distinct(grams)
 
@@ -53,8 +61,9 @@ def char_ngrams(col: Column | str, n: int = 5) -> Column:
     """Distinct character n-gram shingles -> array<string>."""
     c = F.col(col) if isinstance(col, str) else col
     s = F.lower(c)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - (n - 1), F.lit(0)))
-    grams = F.transform(idx, lambda i: F.substring(s, i, n))
+    grams = F.transform(
+        _window_starts(F.length(s), n), lambda i: F.substring(s, i, n)
+    )
     return F.array_distinct(grams)
 
 

@@ -1,0 +1,31 @@
+from recover_spark.ops.dedup_text import (
+    exact_dedup,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from recover_spark.ops.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_bucketed_topk,
+)
+from recover_spark.ops.text_analysis import (
+    document_fingerprint,
+    language_id,
+    text_profile,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_near_duplicates",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash_signatures",
+    "brute_force_topk",
+    "embedding_near_duplicates",
+    "lsh_bucketed_topk",
+    "document_fingerprint",
+    "language_id",
+    "text_profile",
+]

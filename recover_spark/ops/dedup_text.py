@@ -1,0 +1,235 @@
+"""Large-scale text deduplication operators (training-data pipeline).
+
+Beyond the reference's keyed dedup (W1) these cover the standard
+pretraining-corpus techniques: exact content dedup, MinHash+LSH near-dup,
+SimHash, and n-gram Jaccard.  All are pure DataFrame ops using the
+engine-portable md5-based hashes (functions/hashing.py) so results are
+verifiable by an external SQL oracle.
+
+Scale notes (100 TB corpus):
+- exact_dedup: one shuffle on a 128-bit digest — uniform keys, no skew.
+- minhash: signature computation is a per-doc map (explode -> groupBy
+  doc).  The explode multiplies rows by shingle count, but partial
+  aggregation (min per seed) collapses them map-side before the shuffle.
+  Banding turns candidate generation into an equi-join on (band,
+  band_hash) buckets — never an O(n^2) cross join; only same-bucket
+  pairs are verified.
+- ngram_jaccard_pairs: candidate pairs come from a shared-shingle
+  equi-join (inverted index), again never O(n^2); hot shingles are
+  capped (``max_shingle_freq``) exactly like production LSH pipelines
+  drop stop-shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from recover_spark.functions.hashing import portable_hash64
+from recover_spark.functions.text import tokens, word_ngrams
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact-content dedup: keep the lowest id per content digest.
+
+    Returns (kept id, content hash, group size).  One groupBy on md5 —
+    uniformly distributed, broadcast-free, skew-free.
+    """
+    content = F.col(text_col)
+    if normalize:
+        content = F.lower(F.trim(content))
+    return (
+        df.select(F.col(id_col), F.md5(content).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_duplicates"),
+        )
+        .select(id_col, "content_hash", "n_duplicates")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for seed i, min over shingles of
+    hash(seed_i | shingle).  Output: (id, minhash array of length
+    ``num_hashes``).
+
+    Plan: explode(shingles) -> groupBy(id).agg(min per seed).  The min
+    aggregates combine map-side, so the shuffle carries one row per doc.
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, shingle_size)).alias("shingle")
+    )
+    aggs = [
+        F.min(portable_hash64(F.col("shingle"), salt=f"mh{i}")).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    sig = shingled.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("minhash")
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    min_signature_agreement: float | None = None,
+) -> DataFrame:
+    """MinHash+LSH candidate near-duplicate pairs.
+
+    Signature -> ``bands`` bands of ``num_hashes/bands`` rows; docs
+    sharing any band bucket become a candidate pair (equi-join on the
+    band digest — the LSH trick that avoids O(n^2)).  Pairs are then
+    scored by full-signature agreement (estimated Jaccard) and
+    optionally filtered.
+
+    Returns (id_a, id_b, signature_agreement) with id_a < id_b.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+
+    band_entries = sig.select(
+        F.col(id_col),
+        F.col("minhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("minhash")[b * rows + r].cast("string")
+                                for r in range(rows)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+
+    a = band_entries.select(
+        F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"), "band", "band_hash"
+    )
+    b = band_entries.select(
+        F.col(id_col).alias("id_b"), F.col("minhash").alias("mh_b"), "band", "band_hash"
+    )
+    pairs = (
+        a.join(b, on=["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "mh_a", "mh_b")
+        .distinct()
+    )
+    agreement = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(num_hashes)
+    ).alias("signature_agreement")
+    out = pairs.select("id_a", "id_b", agreement)
+    if min_signature_agreement is not None:
+        out = out.filter(F.col("signature_agreement") >= min_signature_agreement)
+    return out
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """SimHash: sign-sum of per-token hash bits -> one integer signature.
+
+    Pure Catalyst: explode tokens, per-bit +-1 contributions via
+    ``shiftright & 1``, one groupBy(id) with map-side partial sums.
+    Near-dups are docs whose signatures differ in few bits (Hamming).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = portable_hash64(F.col("tok"), salt="simhash")
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b_{i}")
+        for i in range(bits)
+    ]
+    sums = tok.groupBy(id_col).agg(*bit_aggs)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"b_{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        sig = term if sig is None else (sig + term)
+    return sums.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    min_jaccard: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via an inverted index.
+
+    |A ∩ B| from a self-join on shared shingles; |A ∪ B| = |A|+|B|-∩.
+    ``max_shingle_freq`` drops stop-shingles (appearing in more than N
+    docs) before the join — the standard skew guard: a shingle in k docs
+    produces k^2 join rows.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, shingle_size)).alias("shingle")
+    )
+    if max_shingle_freq is not None:
+        rare = (
+            shingled.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_freq"))
+            .filter(F.col("df_freq") <= max_shingle_freq)
+            .select("shingle")
+        )
+        shingled = shingled.join(rare, on="shingle")
+
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+
+    a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

@@ -1,0 +1,87 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure Catalyst expressions over the ``documents`` table shape
+(doc_id, text, lang, source, n_chars) — no UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from recover_spark.functions.hashing import portable_hash64
+from recover_spark.functions.text import (
+    bpe_token_estimate,
+    quality_features,
+    token_count,
+    tokens,
+)
+
+# Tiny per-language function-word profiles for the n-gram-free heuristic.
+# (A real deployment swaps in fastText/CLD3 behind the same signature —
+# see ops/multimodal.py for the stub pattern.)
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "it", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "es": ["el", "la", "que", "de", "los", "una", "por", "con"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
+}
+
+
+def language_scores(text_col: Column | str) -> Column:
+    """Struct of per-language marker-hit ratios."""
+    toks = tokens(text_col)
+    n = F.greatest(F.size(toks), F.lit(1))
+    fields = []
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        fields.append((hits / n).alias(lang))
+    return F.struct(*fields)
+
+
+def language_id(text_col: Column | str, default: str = "unknown") -> Column:
+    """Pick the language with the highest marker ratio; 'unknown' if none
+    hit.  Deterministic tie-break: language name ascending."""
+    scores = language_scores(text_col)
+    langs = sorted(_LANG_MARKERS)
+    pairs = F.array(
+        *[F.struct(scores[l].alias("score"), F.lit(l).alias("lang")) for l in langs]
+    )
+    best = F.array_max(F.filter(pairs, lambda p: p["score"] > 0))
+    return F.coalesce(best["lang"], F.lit(default))
+
+
+def text_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document analysis record: token counts, quality features,
+    heuristic language."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        bpe_token_estimate(text_col).alias("n_bpe_tokens"),
+        quality_features(text_col).alias("quality"),
+        language_id(text_col).alias("lang_guess"),
+    )
+
+
+def document_fingerprint(
+    text_col: Column | str, window: int = 8
+) -> Column:
+    """Winnowing-style fingerprint: min rolling-hash over token windows.
+
+    A single 64-bit content fingerprint robust to leading/trailing
+    whitespace; equal fingerprints => near-certain duplicate prefix
+    structure.  Pure Catalyst (transform + array_min).
+    """
+    from recover_spark.functions.text import _window_starts
+
+    toks = tokens(text_col)
+    window_hashes = F.transform(
+        _window_starts(F.size(toks), window),
+        lambda i: portable_hash64(F.concat_ws(" ", F.slice(toks, i, window))),
+    )
+    whole = portable_hash64(F.concat_ws(" ", toks))
+    return F.coalesce(F.array_min(window_hashes), whole)

@@ -1,0 +1,91 @@
+"""Per-datatype pipeline composition — json_to_parquet.main re-expressed
+as one DataFrame chain.
+
+Reference flow (src/glue/jobs/json_to_parquet.py:629-745), per data type:
+
+    scan -> resolve schema -> drop synthetic partitions
+         -> [audit READ]
+         -> W1 dedup -> [audit DROP_DUPLICATES]
+         -> J1 anti-join deleted  (HealthKit types) -> [audit ...]
+         -> if nested: relationalize -> child re-key
+         -> partitioned parquet write -> [audit WRITE] -> ledgers
+
+Here the same flow is a composition of the engine's operators.  The
+whole chain is lazy: audits use ``df.observe`` — counts ride the SAME
+job as the write instead of forcing four extra scans like the
+reference's ``.count()`` calls (a 4x scan saving at 100 TB).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.observation import Observation
+
+from recover_spark.operators.dedup import dedup_latest
+from recover_spark.operators.deletes import drop_deleted
+from recover_spark.operators.relationalize import has_nested_fields, relationalize
+from recover_spark.schemas.registry import TableSpec
+from recover_spark.sources.writers import write_partitioned_parquet
+
+
+@dataclass
+class PipelineResult:
+    tables: dict[str, DataFrame]
+    counts: dict[str, int] = field(default_factory=dict)
+
+
+class DatasetPipeline:
+    """Compose dedup/delete/relationalize per a TableSpec and run it."""
+
+    def __init__(self, spec: TableSpec, observe_counts: bool = True) -> None:
+        self.spec = spec
+        self.observe_counts = observe_counts
+        self._observations: dict[str, Observation] = {}
+
+    def _observe(self, df: DataFrame, stage: str) -> DataFrame:
+        if not self.observe_counts:
+            return df
+        obs = Observation(stage)
+        self._observations[stage] = obs
+        return df.observe(obs, F.count(F.lit(1)).alias("n"))
+
+    def build(
+        self,
+        df: DataFrame,
+        deleted: DataFrame | None = None,
+    ) -> dict[str, DataFrame]:
+        """Build the lazy plan; returns {table_name: DataFrame}."""
+        spec = self.spec
+        df = self._observe(df, "READ")
+        if spec.index_fields:
+            df = dedup_latest(df, spec.index_fields)
+            df = self._observe(df, "DROP_DUPLICATES")
+        if deleted is not None:
+            df = drop_deleted(df, deleted, spec.index_fields)
+            df = self._observe(df, "DROP_DELETED_SAMPLES")
+        if has_nested_fields(df.schema):
+            carry = list(spec.index_fields) + [
+                c for c in ("cohort", "ParticipantID") if c in df.columns
+            ]
+            return relationalize(df, spec.name, carry_cols=carry)
+        return {spec.name: df}
+
+    def run(
+        self,
+        df: DataFrame,
+        output_root: str,
+        deleted: DataFrame | None = None,
+    ) -> PipelineResult:
+        """Build and write every output table; collect observed counts."""
+        tables = self.build(df, deleted=deleted)
+        for name, frame in tables.items():
+            write_partitioned_parquet(
+                frame, f"{output_root}/dataset={name}", partition_by=("cohort",)
+            )
+        counts = {
+            stage: obs.get["n"] for stage, obs in self._observations.items()
+        }
+        return PipelineResult(tables=tables, counts=counts)
