@@ -421,9 +421,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from recover_spark.ops.text_analysis import document_fingerprint
 
     docs = _load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", document_fingerprint(F.col("text"), window=8).alias("fingerprint")
-    )
+    return document_fingerprint(docs, window=8)
 
 
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line:  {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Each query executes via count()-style full materialization (collect for
+small results) after a warm-up of the input scans, so timings reflect
+execution, not JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "w1_dedup_latest",
+    "j1_anti_delete",
+    "j3_diff",
+    "n2_relationalize",
+    "agg_pricing_summary",
+    "join_top_orders",
+    "join_nation_revenue",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_jaccard",
+    "dedup_embedding",
+    "ann_topk",
+    "text_stats",
+    "doc_fingerprint",
+    "stream_window_counts",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from recover_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    # Warm-up: touch every input file once so OS cache / JVM are hot.
+    for t in entrymod._TABLES:
+        try:
+            entrymod._load(spark, sf_dir, t).count()
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -46,15 +46,34 @@ def _window_starts(n_items: Column, width: int) -> Column:
     )
 
 
-def word_ngrams(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles -> array<string> ('a b c' joined)."""
-    toks = tokens(col)
+def word_ngrams_of(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-grams from a MATERIALIZED token-array column.
+
+    ``toks`` must be a plain column reference, not an inline
+    ``tokens(...)`` expression: higher-order lambdas are interpreted
+    without common-subexpression elimination, so an inline expression is
+    re-evaluated on every ``element_at`` access (measured 60x slower).
+    Windows use O(1) ``element_at`` lookups, not ``slice`` copies.
+    """
     if n == 1:
         return F.array_distinct(toks)
     grams = F.transform(
-        _window_starts(F.size(toks), n), lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+        _window_starts(F.size(toks), n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
     )
     return F.array_distinct(grams)
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles -> array<string> ('a b c' joined).
+
+    Convenience single-expression form; for hot paths materialize
+    ``tokens(col)`` into its own projection and use ``word_ngrams_of``
+    (see that docstring for why).
+    """
+    return word_ngrams_of(tokens(col), n)
 
 
 def char_ngrams(col: Column | str, n: int = 5) -> Column:

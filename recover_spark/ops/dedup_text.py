@@ -26,7 +26,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from recover_spark.functions.hashing import portable_hash64
-from recover_spark.functions.text import tokens, word_ngrams
+from recover_spark.functions.text import tokens, word_ngrams_of
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition compute-heavy small scans up to cluster parallelism.
+
+    A few thousand documents arrive as ONE parquet split, but shingling/
+    hashing is CPU-bound per row — without this the whole stage runs on
+    one core.  At real scale (inputs already wider than the cluster) the
+    repartition is skipped, so no extra shuffle on the 100 TB path.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def exact_dedup(
@@ -68,8 +82,10 @@ def minhash_signatures(
     Plan: explode(shingles) -> groupBy(id).agg(min per seed).  The min
     aggregates combine map-side, so the shuffle carries one row per doc.
     """
-    shingled = df.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, shingle_size)).alias("shingle")
+    toked = _fan_out(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
+    shingled = toked.select(
+        F.col(id_col),
+        F.explode(word_ngrams_of(F.col("__toks"), shingle_size)).alias("shingle"),
     )
     aggs = [
         F.min(portable_hash64(F.col("shingle"), salt=f"mh{i}")).alias(f"mh_{i}")
@@ -163,7 +179,7 @@ def simhash_signatures(
     ``shiftright & 1``, one groupBy(id) with map-side partial sums.
     Near-dups are docs whose signatures differ in few bits (Hamming).
     """
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    tok = _fan_out(df).select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     h = portable_hash64(F.col("tok"), salt="simhash")
     bit_aggs = [
         F.sum(
@@ -196,8 +212,10 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
-    shingled = df.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, shingle_size)).alias("shingle")
+    toked = _fan_out(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
+    shingled = toked.select(
+        F.col(id_col),
+        F.explode(word_ngrams_of(F.col("__toks"), shingle_size)).alias("shingle"),
     )
     if max_shingle_freq is not None:
         rare = (
@@ -208,6 +226,9 @@ def ngram_jaccard_pairs(
         )
         shingled = shingled.join(rare, on="shingle")
 
+    # The inverted index feeds three consumers (sizes + both join sides);
+    # persist it so the shingling pass runs once, not three times.
+    shingled = shingled.persist()
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
     a = shingled.select(F.col(id_col).alias("id_a"), "shingle")

@@ -128,29 +128,63 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
 
-    Without ``block_col`` this is an all-pairs self-join — exact but
-    quadratic; use it per-partition/batch.  With ``block_col`` (e.g. an
-    LSH bucket from ``lsh_bucket_signature``) pairs are restricted to
-    equal blocks: the scalable path.
+    Without ``block_col``: all-pairs against a broadcast of the (small)
+    right side, computed as a numpy GEMM inside Arrow-batched
+    ``mapInPandas`` — higher-order-function folds are interpreted row
+    expressions in Spark, ~100x slower than a blocked matrix multiply.
+    The left side stays fully distributed; each task multiplies its
+    Arrow batch (k x d) against the broadcast (n x d) matrix.
+
+    With ``block_col`` (e.g. an LSH bucket from
+    ``lsh_bucket_signature``): same-block equi-join + expression-based
+    cosine — the 100 TB path where no side is broadcastable.
     """
-    a = df.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
-        *( [F.col(block_col)] if block_col else [] ),
-    )
-    b = df.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
-        *( [F.col(block_col)] if block_col else [] ),
-    )
-    joined = (
-        a.join(b, on=block_col) if block_col else a.crossJoin(b)
-    ).filter(F.col("id_a") < F.col("id_b"))
-    return (
-        joined.select(
-            "id_a",
-            "id_b",
-            cosine_similarity(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+    if block_col is not None:
+        a = df.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), F.col(block_col)
         )
-        .filter(F.col("cosine") >= threshold)
-    )
+        b = df.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), F.col(block_col)
+        )
+        return (
+            a.join(b, on=block_col)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                cosine_similarity(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    side = df.select(F.col(id_col), F.col(vec_col)).toPandas()
+    ids_b = side[id_col].to_numpy()
+    mat_b = np.stack(side[vec_col].to_numpy()).astype("float64")
+    mat_b /= np.linalg.norm(mat_b, axis=1, keepdims=True)
+    bcast = spark.sparkContext.broadcast((ids_b, mat_b))
+
+    out_schema = f"id_a long, id_b long, cosine double"
+
+    def block_gemm(batches):
+        ids_r, nb = bcast.value
+        for batch in batches:
+            if len(batch) == 0:
+                continue
+            ids_a = batch[id_col].to_numpy()
+            ma = np.stack(batch[vec_col].to_numpy()).astype("float64")
+            ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+            sims = ma @ nb.T
+            ii, jj = np.nonzero((sims >= threshold) & (ids_a[:, None] < ids_r[None, :]))
+            yield pd.DataFrame(
+                {"id_a": ids_a[ii], "id_b": ids_r[jj], "cosine": sims[ii, jj]}
+            )
+
+    left = df.select(F.col(id_col), F.col(vec_col))
+    target = spark.sparkContext.defaultParallelism
+    if left.rdd.getNumPartitions() < target:
+        left = left.repartition(target)
+    return left.mapInPandas(block_gemm, out_schema)

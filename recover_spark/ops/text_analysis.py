@@ -67,21 +67,34 @@ def text_profile(
     )
 
 
-def document_fingerprint(
-    text_col: Column | str, window: int = 8
-) -> Column:
-    """Winnowing-style fingerprint: min rolling-hash over token windows.
+def fingerprint_of(toks: Column, window: int = 8) -> Column:
+    """Winnowing-style fingerprint from a MATERIALIZED token-array
+    column: min rolling-hash over token windows (whole-doc hash for
+    short docs).  Equal fingerprints => near-certain duplicates.
 
-    A single 64-bit content fingerprint robust to leading/trailing
-    whitespace; equal fingerprints => near-certain duplicate prefix
-    structure.  Pure Catalyst (transform + array_min).
+    ``toks`` must be a column reference (see word_ngrams_of for why —
+    inline expressions re-evaluate per element_at access).
     """
     from recover_spark.functions.text import _window_starts
 
-    toks = tokens(text_col)
     window_hashes = F.transform(
         _window_starts(F.size(toks), window),
-        lambda i: portable_hash64(F.concat_ws(" ", F.slice(toks, i, window))),
+        lambda i: portable_hash64(
+            F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(window)])
+        ),
     )
     whole = portable_hash64(F.concat_ws(" ", toks))
     return F.coalesce(F.array_min(window_hashes), whole)
+
+
+def document_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+) -> DataFrame:
+    """Per-document winnowing fingerprint: (id, fingerprint)."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    return toked.select(
+        F.col(id_col), fingerprint_of(F.col("__toks"), window).alias("fingerprint")
+    )
