@@ -1,0 +1,135 @@
+"""Training-data-scale operator tests: dedup family, similarity, text."""
+
+import pyspark.sql.functions as F
+
+from recover_spark.ops import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    exact_dedup,
+    lsh_bucketed_topk,
+    minhash_near_duplicates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from recover_spark.ops.text_analysis import document_fingerprint, language_id
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy dog"),  # near dup
+        (4, "completely different content about spark engines"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark)).collect()
+    by_id = {r.doc_id: r.n_duplicates for r in out}
+    assert by_id[1] == 2  # docs 1+2 collapse, min id kept
+    assert 2 not in by_id
+    assert by_id[3] == 1 and by_id[4] == 1
+
+
+def test_minhash_signature_properties(spark):
+    sig = {r.doc_id: r.minhash for r in minhash_signatures(_docs(spark)).collect()}
+    assert sig[1] == sig[2]  # identical docs -> identical signatures
+    agree13 = sum(1 for a, b in zip(sig[1], sig[3]) if a == b)
+    agree14 = sum(1 for a, b in zip(sig[1], sig[4]) if a == b)
+    assert agree13 > agree14  # near dup agrees more than unrelated
+
+
+def test_minhash_lsh_pairs(spark):
+    pairs = minhash_near_duplicates(
+        _docs(spark), num_hashes=16, bands=8, min_signature_agreement=0.5
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 4) not in got and (2, 4) not in got
+
+
+def test_simhash_hamming(spark):
+    sig = {r.doc_id: r.simhash for r in simhash_signatures(_docs(spark)).collect()}
+    assert sig[1] == sig[2]
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(sig[1], sig[3]) < ham(sig[1], sig[4])
+
+
+def test_ngram_jaccard(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(_docs(spark), min_jaccard=0.3).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+
+
+def test_jaccard_stop_shingle_cap(spark):
+    # with a freq cap of 1, shared shingles are dropped -> no pairs
+    out = ngram_jaccard_pairs(_docs(spark), min_jaccard=0.1, max_shingle_freq=1)
+    assert out.count() == 0
+
+
+def _vecs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_embedding_near_duplicates_gemm(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_duplicates(_vecs(spark), threshold=0.9).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] > 0.99
+
+
+def test_brute_force_topk(spark):
+    vecs = _vecs(spark)
+    out = brute_force_topk(vecs, vecs.filter(F.col("vec_id") == 1), k=2).collect()
+    assert [r.vec_id for r in sorted(out, key=lambda r: r.rank)] == [2, 3]
+
+
+def test_lsh_bucketed_topk_finds_close_neighbor(spark):
+    vecs = _vecs(spark)
+    out = lsh_bucketed_topk(
+        vecs, vecs.filter(F.col("vec_id") == 1), dim=4, k=2, num_planes=2
+    ).collect()
+    found = {r.vec_id for r in out}
+    assert 2 in found  # nearly-identical vector must share all buckets
+
+
+def test_language_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is in that it for"),
+            (2, "der hund und die katze ist nicht das ein zu"),
+            (3, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.lang for r in df.select(
+        "doc_id", language_id(F.col("text")).alias("lang")
+    ).collect()}
+    assert out[1] == "en"
+    assert out[2] == "de"
+    assert out[3] == "unknown"
+
+
+def test_document_fingerprint_dups_and_short_docs(spark):
+    docs = _docs(spark)
+    fp = {r.doc_id: r.fingerprint for r in document_fingerprint(docs).collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[4]
+    short = spark.createDataFrame([(9, "two words")], "doc_id long, text string")
+    assert document_fingerprint(short).collect()[0].fingerprint is not None

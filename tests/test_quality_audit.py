@@ -1,0 +1,79 @@
+"""V1-V4 expectation-suite and A1/A6 audit tests."""
+
+from recover_spark.operators import CountStage, stage_counts, union_ledgers
+from recover_spark.quality.expectations import parse_suite, run_suite, validity_gates
+
+
+def test_between_expectation_pass_fail(spark):
+    df = spark.createDataFrame(
+        [(500,), (100,), (26000,), (None,)], "Calories int"
+    )
+    res = run_suite(
+        df,
+        [
+            {
+                "expectation_type": "expect_column_values_to_be_between",
+                "kwargs": {"column": "Calories", "min_value": 300, "max_value": 25000},
+            }
+        ],
+    )[0]
+    assert not res.success
+    assert res.element_count == 4
+    assert res.unexpected_count == 2  # 100 and 26000; null not unexpected
+
+
+def test_mostly_threshold(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,), (100,)], "x int")
+    res = run_suite(
+        df,
+        [
+            {
+                "expectation_type": "expect_column_values_to_be_between",
+                "kwargs": {"column": "x", "min_value": 0, "max_value": 10, "mostly": 0.7},
+            }
+        ],
+    )[0]
+    assert res.success  # 3/4 = 0.75 >= 0.7
+
+
+def test_column_exists(spark):
+    df = spark.createDataFrame([(1,)], "HealthKitWorkoutKey int")
+    suite = [
+        {"expectation_type": "expect_column_to_exist", "kwargs": {"column": "HealthKitWorkoutKey"}},
+        {"expectation_type": "expect_column_to_exist", "kwargs": {"column": "Nope"}},
+    ]
+    res = run_suite(df, suite)
+    assert [r.success for r in res] == [True, False]
+
+
+def test_parse_reference_suite_shape():
+    spec = {
+        "expectations": [
+            {
+                "expectation_type": "expect_column_values_to_be_between",
+                "kwargs": {"column": "Calories", "min_value": 300, "max_value": 25000},
+            }
+        ]
+    }
+    suite = parse_suite(spec)
+    assert suite[0].kwargs["column"] == "Calories"
+
+
+def test_validity_gates(spark):
+    ok = spark.createDataFrame([(1,)], "x int")
+    g = validity_gates(ok)
+    assert g["valid"] and not g["duplicate_columns"]
+    empty = spark.createDataFrame([], "x int")
+    assert not validity_gates(empty)["valid"]
+
+
+def test_stage_counts_and_union(spark):
+    df = spark.createDataFrame(
+        [("2023-01-01",), ("2023-01-01",), ("2023-01-02",)], "export_end_date string"
+    )
+    read = stage_counts(df, CountStage.READ, data_type="fitbit")
+    write = stage_counts(df.limit(2), CountStage.WRITE, data_type="fitbit")
+    ledger = union_ledgers([read, write])
+    rows = {(r.export_end_date, r.stage): r.record_count for r in ledger.collect()}
+    assert rows[("2023-01-01", "READ")] == 2
+    assert sum(v for (_, s), v in rows.items() if s == "WRITE") == 2
