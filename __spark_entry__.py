@@ -143,6 +143,56 @@ def q_a1_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_date", "event_type", "record_count", "stage")
 
 
+def q_j4_audit_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — read-vs-write count reconciliation (consume_logs.py:321-330)."""
+    from recover_spark.operators.audit import count_reconciliation
+
+    events = _load(spark, sf_dir, "events")
+    access = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("access_count")
+    )
+    creation = (
+        events.filter(F.col("value") > 10)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("creation_count"))
+    )
+    return count_reconciliation(access, creation, keys=("event_type",))
+
+
+def q_a5_group_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — grouped collect (consume_logs.py:153-178), array rendered as
+    a joined string for cross-engine comparison."""
+    from recover_spark.operators.audit import group_collect
+
+    nation = _load(spark, sf_dir, "nation")
+    grouped = group_collect(nation, ["n_regionkey"], "n_name")
+    return grouped.select(
+        "n_regionkey", F.concat_ws(",", F.col("n_name_list")).alias("n_names")
+    )
+
+
+def q_p4_defensive_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — defensive JSON-string array parse: malformed -> [] not null
+    (s3_to_json.py:291-348)."""
+    from pyspark.sql import types as T
+
+    from recover_spark.functions.transforms import defensive_json_array
+
+    docs = _load(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.lit("not valid json"))
+        .when(F.col("doc_id") % 3 == 1, F.lit('[{"id":"a"},{"id":"b"}]'))
+        .otherwise(F.lit(""))
+        .alias("s"),
+    )
+    arr_t = T.ArrayType(T.StructType([T.StructField("id", T.StringType())]))
+    parsed = raw.select(
+        "doc_id", defensive_json_array(F.col("s"), arr_t).alias("a")
+    )
+    return parsed.select("doc_id", F.size("a").alias("n_items"))
+
+
 def q_a4_duplicate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 — duplicate-key detection (compare_parquet_datasets.py:488-507)."""
     from recover_spark.operators import duplicate_keys
@@ -454,8 +504,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_anti_delete": q_j1_anti_delete,
         "j2_child_rekey": q_j2_child_rekey,
         "j3_diff": q_j3_diff,
+        "j4_audit_merge": q_j4_audit_merge,
         "a1_stage_counts": q_a1_stage_counts,
         "a4_duplicate_keys": q_a4_duplicate_keys,
+        "a5_group_collect": q_a5_group_collect,
+        "p4_defensive_json": q_p4_defensive_json,
         "n2_relationalize": q_n2_relationalize,
         "p3_json_struct": q_p3_json_struct,
         "p5_map_normalize": q_p5_map_normalize,
@@ -594,10 +647,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey % 97 != 0
               AND (c_custkey % 10 = 0 OR c_custkey % 13 = 0)
         """,
+        "j4_audit_merge": """
+            WITH access AS (
+                SELECT event_type, count(*) AS access_count
+                FROM events GROUP BY event_type),
+            creation AS (
+                SELECT event_type, count(*) AS creation_count
+                FROM events WHERE value > 10 GROUP BY event_type)
+            SELECT a.event_type, a.access_count, c.creation_count,
+                   a.access_count - coalesce(c.creation_count, 0) AS difference
+            FROM access a LEFT JOIN creation c USING (event_type)
+        """,
         "a1_stage_counts": """
             SELECT strftime(ts, '%Y-%m-%d') AS event_date, event_type,
                    count(*) AS record_count, 'READ' AS stage
             FROM events GROUP BY 1, 2
+        """,
+        "a5_group_collect": """
+            SELECT n_regionkey,
+                   string_agg(n_name, ',' ORDER BY n_name) AS n_names
+            FROM nation GROUP BY n_regionkey
+        """,
+        "p4_defensive_json": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 0 END AS n_items
+            FROM documents
         """,
         "a4_duplicate_keys": """
             SELECT l_orderkey, count(*) AS n_rows

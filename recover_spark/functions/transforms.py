@@ -144,6 +144,26 @@ def cast_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     return df.select(*cols)
 
 
+def reinject_subtype(df: DataFrame, subtype: str, col_name: str = "Type") -> DataFrame:
+    """P2 — set the ``Type`` column from the filename subtype for the
+    four HealthKit types that carry it (s3_to_json.py:25-30,203-205)."""
+    return df.withColumn(col_name, F.lit(subtype))
+
+
+def ingest_object_filter(key: Column, size: Column | None = None) -> Column:
+    """P9 — ingest predicate: reject owner.txt, folder keys, empty
+    objects, test events (s3_to_glue/app.py:18-56, dispatch/app.py:22-63)."""
+    cond = (
+        key.isNotNull()
+        & ~key.endswith("/")
+        & ~key.contains("owner.txt")
+        & (F.element_at(F.split(key, "/"), -1) != "")
+    )
+    if size is not None:
+        cond = cond & (size > 0)
+    return cond
+
+
 def derive_cohort(key: Column) -> Column:
     """P10 — substring match on object key -> cohort
     (s3_to_json.py:964-986)."""

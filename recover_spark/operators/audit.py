@@ -65,6 +65,41 @@ def duplicate_keys(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     )
 
 
+def count_reconciliation(
+    access_counts: DataFrame,
+    creation_counts: DataFrame,
+    keys: Sequence[str] = ("cohort", "file_name"),
+    access_col: str = "access_count",
+    creation_col: str = "creation_count",
+) -> DataFrame:
+    """J4 — read-vs-write count reconciliation
+    (consume_logs.py:321-330): left join on the audit key, difference
+    column; nonzero difference = lost/duplicated records."""
+    right = F.broadcast(creation_counts)  # ledger frames are tiny
+    return access_counts.join(right, on=list(keys), how="left").withColumn(
+        "difference",
+        F.col(access_col) - F.coalesce(F.col(creation_col), F.lit(0)),
+    )
+
+
+def group_collect(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    collect_col: str,
+    sort: bool = True,
+) -> DataFrame:
+    """A5 — group records and collect values per group
+    (consume_logs.py:153-178 groups log lines by workflow_run_id).
+
+    ``sort=True`` sorts each collected array for determinism (the
+    reference iterates dict groups, order-insensitive).
+    """
+    agg = F.collect_list(collect_col)
+    if sort:
+        agg = F.sort_array(agg)
+    return df.groupBy(*group_cols).agg(agg.alias(f"{collect_col}_list"))
+
+
 def column_set_diff(left: DataFrame, right: DataFrame) -> dict[str, list[str]]:
     """A7 — column-name set operations (driver-side metadata, no job)."""
     l, r = set(left.columns), set(right.columns)

@@ -57,6 +57,42 @@ def write_partitioned_parquet(
     writer.parquet(path)
 
 
+def write_csv_ledger(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """K6 — record-count ledger CSV sink (json_to_parquet.py:492-536).
+
+    Ledgers are tiny (export-date cardinality); coalesce(1) gives the
+    single CSV file the reference's downstream tooling expects.
+    """
+    df.coalesce(1).write.mode(mode).option("header", True).csv(path)
+
+
+def copy_into_table(
+    df: DataFrame,
+    table_name: str,
+    mode: str = "append",
+) -> None:
+    """K7 — warehouse load with by-name column matching.
+
+    Snowflake ``COPY INTO ... MATCH_BY_COLUMN_NAME=CASE_SENSITIVE``
+    (snowflake/.../copy_into_table_from_stage.sql:17-35): columns align
+    by NAME against the target table, missing target columns -> null,
+    extra source columns dropped.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    if spark.catalog.tableExists(table_name):
+        target = spark.table(table_name).schema
+        src = {c: c for c in df.columns}
+        aligned = [
+            (F.col(src[f.name]).cast(f.dataType) if f.name in src
+             else F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in target.fields
+        ]
+        df = df.select(*aligned)
+    df.write.mode(mode).saveAsTable(table_name)
+
+
 def write_ndjson_parts(
     df: DataFrame,
     path: str,

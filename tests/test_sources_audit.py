@@ -1,0 +1,109 @@
+"""S6/S7 archive source, K6/K7 sinks, J4/A5 audit, P2/P9 transforms."""
+
+import json
+import zipfile
+
+import pyspark.sql.functions as F
+
+from recover_spark.functions import transforms as X
+from recover_spark.operators.audit import count_reconciliation, group_collect
+from recover_spark.schemas import parse_type
+from recover_spark.sources.archive import (
+    eligible_member,
+    list_archive_members,
+    read_archive_ndjson,
+)
+from recover_spark.sources.writers import copy_into_table, write_csv_ledger
+
+
+def _make_zip(path):
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            "FitbitDevices_20230114.json",
+            json.dumps({"Device": "Versa"}) + "\n" + json.dumps({"Device": "Sense"}) + "\n",
+        )
+        zf.writestr("Manifest.csv", "a,b\n")
+        zf.writestr("empty.json", "")
+        zf.writestr("dir/", "")
+
+
+def test_eligible_member_filter():
+    assert eligible_member("FitbitDevices_20230114.json", 10)
+    assert not eligible_member("Manifest.csv", 10)
+    assert not eligible_member("dir/", 0)
+    assert not eligible_member("x.json", 0)
+    assert not eligible_member("nested/x.json", 5)
+
+
+def test_list_archive_members(spark, tmp_path):
+    zp = str(tmp_path / "export.zip")
+    _make_zip(zp)
+    rows = {r.member_name: r for r in list_archive_members(spark, zp).collect()}
+    assert rows["FitbitDevices_20230114.json"].eligible
+    assert not rows["Manifest.csv"].eligible
+    assert rows["FitbitDevices_20230114.json"].file_size > 0
+
+
+def test_read_archive_ndjson(spark, tmp_path):
+    zp = str(tmp_path / "export.zip")
+    _make_zip(zp)
+    schema = parse_type("struct<Device:string>")
+    df = read_archive_ndjson(spark, zp, schema, str(tmp_path / "scratch"))
+    assert sorted(r.Device for r in df.collect()) == ["Sense", "Versa"]
+
+
+def test_write_csv_ledger(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("2023-01-01", 5, "READ")], "export_end_date string, n long, stage string"
+    )
+    out = str(tmp_path / "ledger")
+    write_csv_ledger(df, out)
+    back = spark.read.option("header", True).csv(out)
+    assert back.collect()[0].stage == "READ"
+
+
+def test_copy_into_table_by_name(spark):
+    spark.sql("DROP TABLE IF EXISTS t_copy_target")
+    spark.createDataFrame(
+        [("a", 1, 9.0)], "name string, n int, extra_target double"
+    ).write.saveAsTable("t_copy_target")
+    # source has extra column, different order, missing 'extra_target'
+    src = spark.createDataFrame([(2, "b", "drop-me")], "n int, name string, junk string")
+    copy_into_table(src, "t_copy_target")
+    rows = {r.name: r for r in spark.table("t_copy_target").collect()}
+    assert rows["b"].n == 2
+    assert rows["b"].extra_target is None
+    assert "junk" not in spark.table("t_copy_target").columns
+    spark.sql("DROP TABLE t_copy_target")
+
+
+def test_count_reconciliation(spark):
+    access = spark.createDataFrame(
+        [("c1", "f1", 10), ("c1", "f2", 5)],
+        "cohort string, file_name string, access_count long",
+    )
+    creation = spark.createDataFrame(
+        [("c1", "f1", 10)], "cohort string, file_name string, creation_count long"
+    )
+    out = {r.file_name: r.difference for r in count_reconciliation(access, creation).collect()}
+    assert out == {"f1": 0, "f2": 5}
+
+
+def test_group_collect_sorted(spark):
+    df = spark.createDataFrame(
+        [("w1", "z"), ("w1", "a"), ("w2", "m")], "run_id string, msg string"
+    )
+    out = {r.run_id: r.msg_list for r in group_collect(df, ["run_id"], "msg").collect()}
+    assert out == {"w1": ["a", "z"], "w2": ["m"]}
+
+
+def test_reinject_subtype_and_object_filter(spark):
+    df = spark.createDataFrame([("x",)], "a string")
+    assert X.reinject_subtype(df, "BloodGlucose").collect()[0].Type == "BloodGlucose"
+
+    keys = spark.createDataFrame(
+        [("data/adults/file.zip", 10), ("data/owner.txt", 5), ("folder/", 0), ("ok.zip", 0)],
+        "key string, size long",
+    )
+    kept = keys.filter(X.ingest_object_filter(F.col("key"), F.col("size"))).collect()
+    assert [r.key for r in kept] == ["data/adults/file.zip"]
