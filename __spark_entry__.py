@@ -474,6 +474,22 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return document_fingerprint(docs, window=8)
 
 
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming extension — gap-based sessionization (batch
+    formulation; streaming twin is applyInPandasWithState)."""
+    from recover_spark.streaming.stateful import sessionize_batch
+
+    events = _load(spark, sf_dir, "events")
+    sessions = sessionize_batch(events, gap_seconds=1800)
+    return sessions.select(
+        "user_id",
+        _ts(F.col("session_start"), "session_start"),
+        _ts(F.col("session_end"), "session_end"),
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
 def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 extension — tumbling-window event counts (batch mode of the
     streaming helper)."""
@@ -526,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
         "doc_fingerprint": q_doc_fingerprint,
+        "stream_sessionize": q_stream_sessionize,
         "stream_window_counts": q_stream_window_counts,
     }
 
@@ -836,6 +853,28 @@ def oracle_sql() -> dict[str, str]:
                     i -> {_h64("array_to_string(t[i:i+7], ' ')")})),
                 {_h64("array_to_string(t, ' ')")}) AS fingerprint
             FROM toks
+        """,
+        "stream_sessionize": """
+            WITH g AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR CAST(floor(epoch(ts)) AS BIGINT)
+                                    - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                                    > 1800
+                            THEN 1 ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+                SELECT user_id, ts, value,
+                       sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g)
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS total_value
+            FROM s GROUP BY user_id, sid
         """,
         "stream_window_counts": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
