@@ -32,7 +32,11 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
         # default; read it as long nanoseconds and convert to a timestamp
         # (microsecond truncation — comparisons are at second granularity).
+        # timestamp_micros yields an LTZ timestamp, so pin the session to
+        # UTC — the driver's own session may run in any timezone and
+        # date_format would otherwise shift vs the tz-naive oracle.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(

@@ -160,3 +160,33 @@ def compare_datasets(
         left_only_columns=left_only_cols,
         right_only_columns=right_only_cols,
     )
+
+
+def comparison_report(result: CompareResult, max_sample_rows: int = 20) -> str:
+    """K8 — human-readable diff report (the reference writes datacompy's
+    text report to S3, compare_parquet_datasets.py:763-791)."""
+    lines = ["Dataset comparison report", "=" * 32]
+    lines.append(f"common columns:      {len(result.common_columns)}")
+    if result.left_only_columns:
+        lines.append(f"columns only left:   {result.left_only_columns}")
+    if result.right_only_columns:
+        lines.append(f"columns only right:  {result.right_only_columns}")
+    n_lo = result.left_only.count()
+    n_ro = result.right_only.count()
+    n_mm = result.mismatched.count()
+    lines.append(f"rows only in left:   {n_lo}")
+    lines.append(f"rows only in right:  {n_ro}")
+    lines.append(f"rows with mismatch:  {n_mm}")
+    lines.append("")
+    lines.append("per-column match stats:")
+    for r in result.column_stats.collect():
+        lines.append(
+            f"  {r.column}: compared={r.rows_compared} "
+            f"equal={r.rows_equal} unequal={r.rows_unequal}"
+        )
+    if n_mm:
+        lines.append("")
+        lines.append(f"mismatch sample (up to {max_sample_rows}):")
+        for r in result.mismatched.limit(max_sample_rows).collect():
+            lines.append(f"  {r.asDict()}")
+    return "\n".join(lines)

@@ -80,6 +80,10 @@ class DatasetPipeline:
         deleted: DataFrame | None = None,
     ) -> PipelineResult:
         """Build and write every output table; collect observed counts."""
+        # A2 — empty-input short-circuit (json_to_parquet.py:658-659);
+        # isEmpty reads at most one partition, not a full count.
+        if df.isEmpty():
+            return PipelineResult(tables={}, counts={})
         tables = self.build(df, deleted=deleted)
         for name, frame in tables.items():
             write_partitioned_parquet(

@@ -125,6 +125,32 @@ def run_suite(df: DataFrame, suite: list[Expectation] | str | dict) -> list[Expe
     return results
 
 
+def results_to_json(results: list[ExpectationResult]) -> str:
+    """V3 — persistable run summary (the reference stores GE checkpoint
+    results + data docs, run_great_expectations_on_parquet.py:223-277)."""
+    return json.dumps(
+        {
+            "success": all(r.success for r in results),
+            "statistics": {
+                "evaluated_expectations": len(results),
+                "successful_expectations": sum(r.success for r in results),
+            },
+            "results": [
+                {
+                    "expectation_type": r.expectation_type,
+                    "column": r.column,
+                    "success": r.success,
+                    "element_count": r.element_count,
+                    "unexpected_count": r.unexpected_count,
+                    **({"details": r.details} if r.details else {}),
+                }
+                for r in results
+            ],
+        },
+        indent=2,
+    )
+
+
 def validity_gates(df: DataFrame) -> dict[str, Any]:
     """V4 — dataset validity: non-empty, no duplicated column names
     (compare_parquet_datasets.py:619-642)."""
