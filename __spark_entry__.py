@@ -509,6 +509,181 @@ def q_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (scale path): 8 deterministic inverted lists, probe 2,
+    exact rescoring within probed lists."""
+    from recover_spark.ops.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    topk = ivf_topk(emb, queries, n_centroids=8, nprobe=2, k=5)
+    return topk.select(
+        "query_vec_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_v3_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 — expectation-suite runner (one aggregate pass), results as a
+    DataFrame (run_great_expectations_on_parquet.py:223-277)."""
+    from recover_spark.quality.expectations import run_suite
+
+    events = _load(spark, sf_dir, "events")
+    suite = {
+        "expectations": [
+            {"expectation_type": "expect_column_to_exist",
+             "kwargs": {"column": "props"}},
+            {"expectation_type": "expect_column_to_exist",
+             "kwargs": {"column": "bogus"}},
+            {"expectation_type": "expect_column_values_to_be_between",
+             "kwargs": {"column": "value", "min_value": 0, "max_value": 95}},
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "ts"}},
+        ]
+    }
+    rows = [
+        (r.expectation_type, r.column, bool(r.success),
+         int(r.element_count), int(r.unexpected_count))
+        for r in run_suite(events, suite)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "expectation_type string, column_name string, success boolean, "
+        "element_count long, unexpected_count long",
+    )
+
+
+def q_p10_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9/P10 — ingest object filter + cohort derivation from object keys
+    (s3_to_json.py:964-986, s3_to_glue/app.py:18-56)."""
+    from recover_spark.functions.transforms import derive_cohort, ingest_object_filter
+
+    docs = _load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("export/"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("adults_v1"))
+            .when(F.col("doc_id") % 4 == 1, F.lit("pediatric_v1"))
+            .when(F.col("doc_id") % 4 == 2, F.lit("misc"))
+            .otherwise(F.lit("owner.txt")),
+            F.lit("/f_"),
+            F.col("doc_id").cast("string"),
+        ).alias("key"),
+    )
+    return keyed.filter(ingest_object_filter(F.col("key"))).select(
+        "doc_id", "key", derive_cohort(F.col("key")).alias("cohort")
+    )
+
+
+def q_a6_union_ledgers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — union-by-name ledger concatenation with missing columns
+    (json_to_parquet.py:531, consume_logs.py:256-258)."""
+    from recover_spark.operators.audit import stage_counts, union_ledgers
+
+    events = _load(spark, sf_dir, "events")
+    read_ledger = stage_counts(events, "READ", group_cols=("event_type",))
+    # WRITE-side ledger carries an extra data_type col; READ-side lacks it.
+    write_ledger = stage_counts(
+        events.filter(F.col("value") > 5),
+        "WRITE",
+        group_cols=("event_type",),
+        data_type="events",
+    )
+    return union_ledgers([read_ledger, write_ledger]).select(
+        "event_type", "record_count", "stage", "data_type"
+    )
+
+
+def q_p7_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — nested-struct flattening to Parent_Child columns
+    (json_to_parquet.py:579-583; relationalize struct path)."""
+    from recover_spark.operators.relationalize import _flatten_structs
+
+    cust = _load(spark, sf_dir, "customer")
+    nested = cust.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.struct(F.col("c_acctbal").alias("bal")).alias("acct"),
+        ).alias("info"),
+        "c_mktsegment",
+    )
+    flat = _flatten_structs(nested)
+    return flat.select(
+        "c_custkey", "info_name",
+        F.round("info_acct_bal", 2).alias("info_acct_bal"), "c_mktsegment"
+    )
+
+
+def q_s2_resolve_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — resolveChoice(match_catalog): cast observed types to the
+    declared schema; unparseable -> null, missing -> typed null
+    (json_to_parquet.py:157-159)."""
+    from pyspark.sql import types as T
+
+    from recover_spark.functions.transforms import cast_to_schema
+
+    docs = _load(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("string").alias("n_chars"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("12.5"))
+        .otherwise(F.lit("not-a-number"))
+        .alias("reading"),
+    )
+    declared = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("reading", T.DoubleType()),
+            T.StructField("missing_col", T.StringType()),
+        ]
+    )
+    return cast_to_schema(raw, declared)
+
+
+def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal — binary-column decode/feature plumbing over
+    Arrow-batched mapInPandas (stub kernel, real distribution shape)."""
+    from recover_spark.ops.multimodal import extract_image_features
+
+    docs = _load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    feats = extract_image_features(media, feature_dim=4, digest_algo="md5")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.col("sha1").alias("digest"),
+        *[
+            F.round(F.col("feature")[i].cast("double"), 4).alias(f"f_{i}")
+            for i in range(4)
+        ],
+    )
+
+
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal — video frame-sampling plumbing (stub kernel): one row
+    per sampled frame timestamp from typed media metadata."""
+    from recover_spark.ops.multimodal import sample_video_frames
+
+    docs = _load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.lit("video/mp4").alias("mime_type"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            ((F.col("doc_id") % 7) * 1500 + 500).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    frames = sample_video_frames(media, every_ms=1000)
+    return frames.select("media_id", "frame_ts_ms")
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -548,6 +723,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "stream_sessionize": q_stream_sessionize,
         "stream_window_counts": q_stream_window_counts,
+        "ann_ivf": q_ann_ivf,
+        "v3_suite": q_v3_suite,
+        "p10_cohort": q_p10_cohort,
+        "a6_union_ledgers": q_a6_union_ledgers,
+        "p7_flatten": q_p7_flatten,
+        "s2_resolve_choice": q_s2_resolve_choice,
+        "mm_features": q_mm_features,
+        "mm_frames": q_mm_frames,
     }
 
 
@@ -569,6 +752,13 @@ _GRAMS3_CTE = (
 def _h64(expr: str) -> str:
     """DuckDB equivalent of recover_spark portable_hash64."""
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _dotsql(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
 
 
 def _cos(a: str, b: str, dim: int = 64) -> str:
@@ -887,5 +1077,114 @@ def oracle_sql() -> dict[str, str]:
                             '%Y-%m-%d %H:%M:%S') AS window_end,
                    event_type, count(*) AS n_events
             FROM events GROUP BY 1, 2, 3
+        """,
+        "ann_ivf": f"""
+            WITH cent AS (
+                SELECT vec_id AS cid, embedding AS cvec,
+                       sqrt({_dotsql('embedding', 'embedding')}) AS cnorm
+                FROM embeddings WHERE vec_id < 8),
+            assign AS (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_dotsql('e.embedding', 'c.cvec')} / c.cnorm
+                                    DESC, c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN cent c),
+            lists AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+            probed AS (
+                SELECT qid, qvec, cid FROM (
+                    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cid,
+                           row_number() OVER (PARTITION BY q.vec_id
+                               ORDER BY {_dotsql('q.embedding', 'c.cvec')} / c.cnorm
+                                        DESC, c.cid ASC) AS rn
+                    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 3)
+                WHERE rn <= 2),
+            cand AS (
+                SELECT p.qid AS query_vec_id, l.vec_id,
+                       {_cos('l.embedding', 'p.qvec')} AS c
+                FROM probed p
+                JOIN lists l ON p.cid = l.cid AND l.vec_id != p.qid)
+            SELECT query_vec_id, vec_id, cosine, rank FROM (
+                SELECT query_vec_id, vec_id, round(c, 6) AS cosine,
+                       CAST(row_number() OVER (PARTITION BY query_vec_id
+                           ORDER BY c DESC, vec_id ASC) AS INTEGER) AS rank
+                FROM cand)
+            WHERE rank <= 5
+        """,
+        "v3_suite": """
+            WITH agg AS (
+                SELECT count(*) AS n,
+                       CAST(count(*) FILTER (WHERE NOT ((value >= 0 AND value <= 95)
+                           OR value IS NULL)) AS BIGINT) AS bad_value,
+                       CAST(count(*) FILTER (WHERE ts IS NULL) AS BIGINT) AS bad_ts
+                FROM events)
+            SELECT 'expect_column_to_exist' AS expectation_type,
+                   'props' AS column_name, TRUE AS success,
+                   CAST(0 AS BIGINT) AS element_count,
+                   CAST(0 AS BIGINT) AS unexpected_count
+            UNION ALL
+            SELECT 'expect_column_to_exist', 'bogus', FALSE, 0, 0
+            UNION ALL
+            SELECT 'expect_column_values_to_be_between', 'value',
+                   bad_value = 0, n, bad_value FROM agg
+            UNION ALL
+            SELECT 'expect_column_values_to_not_be_null', 'ts',
+                   bad_ts = 0, n, bad_ts FROM agg
+        """,
+        "p10_cohort": """
+            WITH keyed AS (
+                SELECT doc_id,
+                       'export/' || CASE
+                           WHEN doc_id % 4 = 0 THEN 'adults_v1'
+                           WHEN doc_id % 4 = 1 THEN 'pediatric_v1'
+                           WHEN doc_id % 4 = 2 THEN 'misc'
+                           ELSE 'owner.txt' END
+                       || '/f_' || CAST(doc_id AS VARCHAR) AS key
+                FROM documents)
+            SELECT doc_id, key,
+                   CASE WHEN contains(key, 'adults_v1') THEN 'adults_v1'
+                        WHEN contains(key, 'pediatric_v1') THEN 'pediatric_v1'
+                        ELSE NULL END AS cohort
+            FROM keyed WHERE NOT contains(key, 'owner.txt')
+        """,
+        "a6_union_ledgers": """
+            SELECT event_type, count(*) AS record_count, 'READ' AS stage,
+                   CAST(NULL AS VARCHAR) AS data_type
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, count(*), 'WRITE', 'events'
+            FROM events WHERE value > 5 GROUP BY event_type
+        """,
+        "p7_flatten": """
+            SELECT c_custkey, c_name AS info_name,
+                   round(c_acctbal, 2) AS info_acct_bal, c_mktsegment
+            FROM customer
+        """,
+        "s2_resolve_choice": """
+            SELECT doc_id,
+                   TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT) AS n_chars,
+                   TRY_CAST(CASE WHEN doc_id % 2 = 0 THEN '12.5'
+                            ELSE 'not-a-number' END AS DOUBLE) AS reading,
+                   CAST(NULL AS VARCHAR) AS missing_col
+            FROM documents
+        """,
+        "mm_features": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   md5(text) AS digest,
+                   round(CAST(concat('0x', substr(md5(text), 1, 2)) AS INT)
+                         / 127.5 - 1.0, 4) AS f_0,
+                   round(CAST(concat('0x', substr(md5(text), 3, 2)) AS INT)
+                         / 127.5 - 1.0, 4) AS f_1,
+                   round(CAST(concat('0x', substr(md5(text), 5, 2)) AS INT)
+                         / 127.5 - 1.0, 4) AS f_2,
+                   round(CAST(concat('0x', substr(md5(text), 7, 2)) AS INT)
+                         / 127.5 - 1.0, 4) AS f_3
+            FROM documents
+        """,
+        "mm_frames": """
+            SELECT doc_id AS media_id,
+                   unnest(range(0, (doc_id % 7) * 1500 + 500, 1000))
+                       AS frame_ts_ms
+            FROM documents
         """,
     }

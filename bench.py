@@ -30,6 +30,8 @@ HEADLINE = [
     "dedup_jaccard",
     "dedup_embedding",
     "ann_topk",
+    "ann_ivf",
+    "mm_features",
     "text_stats",
     "doc_fingerprint",
     "stream_window_counts",

@@ -52,7 +52,9 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _decode_image_batch(batch: pd.DataFrame, feature_dim: int, stub: bool) -> pd.DataFrame:
+def _decode_image_batch(
+    batch: pd.DataFrame, feature_dim: int, stub: bool, digest_algo: str = "sha1"
+) -> pd.DataFrame:
     """Decode one Arrow batch of image blobs into feature vectors.
 
     STUB: real decoding needs PIL/torchvision (not in this container).
@@ -67,7 +69,7 @@ def _decode_image_batch(batch: pd.DataFrame, feature_dim: int, stub: bool) -> pd
     out = {"media_id": [], "n_bytes": [], "sha1": [], "feature": []}
     for mid, content in zip(batch["media_id"], batch["content"]):
         blob = bytes(content) if content is not None else b""
-        digest = hashlib.sha1(blob).digest()
+        digest = hashlib.new(digest_algo, blob).digest()
         out["media_id"].append(mid)
         out["n_bytes"].append(len(blob))
         out["sha1"].append(digest.hex())
@@ -83,16 +85,18 @@ def extract_image_features(
     df: DataFrame,
     feature_dim: int = 16,
     decode_stub: bool = True,
+    digest_algo: str = "sha1",
 ) -> DataFrame:
     """Image decode + feature extraction over mapInPandas.
 
     Input must carry ``media_id`` and binary ``content`` columns
-    (MEDIA_SCHEMA shape).  Output: IMAGE_FEATURE_SCHEMA.
+    (MEDIA_SCHEMA shape).  Output: IMAGE_FEATURE_SCHEMA (the ``sha1``
+    column carries whichever ``digest_algo`` was selected).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            yield _decode_image_batch(batch, feature_dim, decode_stub)
+            yield _decode_image_batch(batch, feature_dim, decode_stub, digest_algo)
 
     return df.select("media_id", "content").mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 

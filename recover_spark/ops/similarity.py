@@ -119,6 +119,88 @@ def lsh_bucketed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k — the 100 TB scale path for ANN.
+
+    Coarse-quantize the corpus into ``n_centroids`` inverted lists
+    (nearest-centroid assignment), probe the ``nprobe`` nearest lists per
+    query, then exact cosine re-scoring within the probed lists only.
+
+    Centroid seeding is deterministic (the corpus rows with
+    ``id < n_centroids``) so results are reproducible and
+    oracle-checkable; a sampled k-means trainer can replace the seeds
+    without touching the plan shape.
+
+    Scale design: centroids are collected to the driver (tiny: K rows)
+    and compiled into literal Catalyst expressions, so list assignment is
+    a map-side projection — the corpus is NEVER shuffled for assignment.
+    Queries (small) are broadcast; the candidate join is an equi-join on
+    list id against the broadcast, and the only shuffle keys on query id
+    over candidate rows (a ``nprobe/n_centroids`` fraction of the
+    corpus), not the corpus itself.  Per-query work drops by
+    ``~n_centroids/nprobe`` vs brute force.
+    """
+    import math
+
+    qid = f"query_{id_col}"
+    seeds = sorted(
+        (r[0], [float(x) for x in r[1]])
+        for r in corpus.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+
+    if not seeds:
+        raise ValueError(
+            f"no centroid seeds: corpus has no rows with {id_col} < {n_centroids}"
+        )
+
+    def nearest_lists(vec, n: int):
+        # Per-centroid score = dot(v, c)/|c|; argmax equals the cosine
+        # argmax (|v| is a common positive factor), one sqrt cheaper.
+        n = min(n, len(seeds))  # over-probing beyond the list count is a no-op
+        packed = []
+        for cid, cvec in seeds:
+            cnorm = math.sqrt(sum(x * x for x in cvec))
+            carr = F.array(*[F.lit(x) for x in cvec])
+            score = F.aggregate(
+                F.zip_with(vec, carr, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ) / F.lit(cnorm)
+            packed.append(
+                F.struct(score.alias("s"), F.lit(-cid).alias("nc"))
+            )
+        # struct sort: score desc, then -cid desc == cid asc (stable tiebreak)
+        ordered = F.sort_array(F.array(*packed), asc=False)
+        return [(-ordered[i]["nc"]).cast("long") for i in range(n)]
+
+    c = corpus.withColumn("__list", nearest_lists(F.col(vec_col), 1)[0])
+    q = queries.select(
+        F.col(id_col).alias(qid), F.col(vec_col).alias("__qvec")
+    )
+    q = q.select(
+        "*",
+        F.explode(F.array(*nearest_lists(F.col("__qvec"), nprobe))).alias("__list"),
+    )
+    cand = c.join(F.broadcast(q), on="__list").filter(F.col(id_col) != F.col(qid))
+    scored = cand.select(
+        qid,
+        id_col,
+        cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,

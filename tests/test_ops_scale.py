@@ -133,3 +133,33 @@ def test_document_fingerprint_dups_and_short_docs(spark):
     assert fp[1] != fp[4]
     short = spark.createDataFrame([(9, "two words")], "doc_id long, text string")
     assert document_fingerprint(short).collect()[0].fingerprint is not None
+
+
+def test_ivf_topk_full_probe_matches_brute_force(spark):
+    from recover_spark.ops.similarity import ivf_topk
+
+    vecs = _vecs(spark)
+    q = vecs.filter(F.col("vec_id") == 1)
+    exact = brute_force_topk(vecs, q, k=2).collect()
+    approx = ivf_topk(vecs, q, n_centroids=3, nprobe=2, k=2).collect()
+
+    def key(rows):
+        return [
+            (r.query_vec_id, r.vec_id, r.rank, round(r.cosine, 9))
+            for r in sorted(rows, key=lambda r: r.rank)
+        ]
+
+    # probing every list makes IVF exact == brute force
+    assert key(approx) == key(exact)
+
+
+def test_ivf_topk_probe_restricts_candidates(spark):
+    from recover_spark.ops.similarity import ivf_topk
+
+    vecs = _vecs(spark)
+    q = vecs.filter(F.col("vec_id") == 1)
+    out = ivf_topk(vecs, q, n_centroids=3, nprobe=1, k=4).collect()
+    assert out  # the query's own list always yields its near-twin
+    assert all(r.query_vec_id == 1 for r in out)
+    ranks = sorted(r.rank for r in out)
+    assert ranks == list(range(1, len(ranks) + 1))

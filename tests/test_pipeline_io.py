@@ -174,3 +174,21 @@ def test_real_decode_raises(spark):
     )
     with pytest.raises(Exception):
         extract_image_features(df, decode_stub=False).collect()
+
+
+def test_multimodal_digest_algo(spark):
+    import hashlib
+
+    from recover_spark.ops.multimodal import extract_image_features
+
+    df = spark.createDataFrame(
+        [(1, b"hello"), (2, None)], "media_id long, content binary"
+    )
+    out = {
+        r.media_id: r
+        for r in extract_image_features(df, feature_dim=2, digest_algo="md5").collect()
+    }
+    assert out[1].sha1 == hashlib.md5(b"hello").hexdigest()
+    assert out[1].n_bytes == 5
+    assert out[2].sha1 == hashlib.md5(b"").hexdigest()
+    assert out[2].n_bytes == 0
