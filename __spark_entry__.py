@@ -684,6 +684,19 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("media_id", "frame_ts_ms")
 
 
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted dimension join: row-identical to the plain equi-join,
+    but hot keys spread over salt buckets (scale lever beyond AQE)."""
+    from recover_spark.operators.joins import salted_join
+
+    events = _load(spark, sf_dir, "events")
+    dim = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("type_total")
+    )
+    joined = salted_join(events, dim, on=["event_type"], buckets=8)
+    return joined.select("event_id", "event_type", "type_total")
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -731,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_resolve_choice": q_s2_resolve_choice,
         "mm_features": q_mm_features,
         "mm_frames": q_mm_frames,
+        "join_salted_skew": q_join_salted_skew,
     }
 
 
@@ -1186,5 +1200,12 @@ def oracle_sql() -> dict[str, str]:
                    unnest(range(0, (doc_id % 7) * 1500 + 500, 1000))
                        AS frame_ts_ms
             FROM documents
+        """,
+        "join_salted_skew": """
+            SELECT e.event_id, e.event_type, d.type_total
+            FROM events e
+            JOIN (SELECT event_type, count(*) AS type_total
+                  FROM events GROUP BY event_type) d
+              ON e.event_type = d.event_type
         """,
     }
