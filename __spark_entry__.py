@@ -697,6 +697,125 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "event_type", "type_total")
 
 
+def _markers(spark, sf_dir):
+    """Sparse per-user marker stream derived from events (every 19th
+    event id), unique per (user_id, ts)."""
+    events = _load(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_id") % 19 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("marker_value"))
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (temporal extension): each event picks the most recent
+    marker of the same user with marker.ts <= event.ts — union+window
+    formulation, one shuffle on the key (operators/temporal.py)."""
+    from recover_spark.operators import asof_join
+
+    events = _load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    joined = asof_join(
+        events, _markers(spark, sf_dir), on=["user_id"],
+        left_ts="ts", right_ts="ts", right_cols=["marker_value"],
+    )
+    return joined.select(
+        "event_id", "user_id", _ts(F.col("ts"), "ts"),
+        F.round("marker_value", 6).alias("marker_value"),
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: events to the 30-minute windows opened by
+    each marker — bucketed-expansion equi-join, no nested loop
+    (operators/temporal.py)."""
+    from recover_spark.operators import range_join
+
+    events = _load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    intervals = _markers(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    joined = range_join(
+        events, intervals, on=["user_id"], point_ts="ts",
+        bucket_seconds=1800,
+    )
+    return joined.select(
+        "event_id", "user_id", _ts(F.col("start"), "interval_start")
+    )
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate with grouping_id (single Expand + one hash agg;
+    operators/analytics.py)."""
+    from recover_spark.operators import rollup_aggregate
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    out = rollup_aggregate(
+        lineitem,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": F.round(F.sum("l_quantity"), 2),
+            "n_rows": F.count(F.lit(1)),
+        },
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "n_rows",
+        F.col("grouping_id").cast("long").alias("grouping_id"),
+    )
+
+
+def q_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window analytics: per-user lag + trailing 3-row moving average
+    (operators/analytics.py)."""
+    from recover_spark.operators import moving_stats
+
+    events = _load(spark, sf_dir, "events")
+    out = moving_stats(
+        events, ["user_id"], ["ts", "event_id"], "value", frame_rows=3
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.round("value", 6).alias("value"),
+        F.round("prev_value", 6).alias("prev_value"),
+        F.round("moving_avg", 6).alias("moving_avg"),
+    )
+
+
+def q_win_topk_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: 3 highest-value orders per priority class
+    (operators/analytics.py)."""
+    from recover_spark.operators import top_k_per_group
+
+    orders = _load(spark, sf_dir, "orders")
+    out = top_k_per_group(
+        orders,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        k=3,
+    )
+    return out.select(
+        "o_orderpriority", "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"), "rank",
+    )
+
+
+def q_agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count + exact interpolated median per group
+    (operators/analytics.py)."""
+    from recover_spark.operators import distinct_stats
+
+    events = _load(spark, sf_dir, "events")
+    out = distinct_stats(
+        events, ["event_type"], distinct_col="user_id", value_col="value"
+    )
+    return out.select(
+        "event_type", "n_user_id", "n_rows",
+        F.round("p50_value", 6).alias("p50_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -745,6 +864,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": q_mm_features,
         "mm_frames": q_mm_frames,
         "join_salted_skew": q_join_salted_skew,
+        "join_asof": q_asof_join,
+        "join_range": q_range_join,
+        "agg_rollup": q_agg_rollup,
+        "win_moving_avg": q_win_moving_avg,
+        "win_topk_priority": q_win_topk_priority,
+        "agg_distinct_stats": q_agg_distinct_stats,
     }
 
 
@@ -1207,5 +1332,63 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT event_type, count(*) AS type_total
                   FROM events GROUP BY event_type) d
               ON e.event_type = d.event_type
+        """,
+        "join_asof": """
+            WITH m AS (
+                SELECT user_id, ts, max(value) AS marker_value
+                FROM events WHERE event_id % 19 = 0 GROUP BY user_id, ts)
+            SELECT e.event_id, e.user_id,
+                   strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   round(m.marker_value, 6) AS marker_value
+            FROM events e
+            ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts >= m.ts
+        """,
+        "join_range": """
+            WITH m AS (
+                SELECT user_id, ts AS start_ts,
+                       ts + INTERVAL 30 MINUTE AS end_ts
+                FROM (SELECT user_id, ts, max(value) FROM events
+                      WHERE event_id % 19 = 0 GROUP BY user_id, ts))
+            SELECT e.event_id, e.user_id,
+                   strftime(m.start_ts, '%Y-%m-%d %H:%M:%S') AS interval_start
+            FROM events e
+            JOIN m ON e.user_id = m.user_id
+                  AND e.ts >= m.start_ts AND e.ts < m.end_ts
+        """,
+        "agg_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n_rows,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+                       AS grouping_id
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "win_moving_avg": """
+            SELECT user_id, event_id, round(value, 6) AS value,
+                   round(lag(value, 1) OVER w, 6) AS prev_value,
+                   round(avg(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+                       AS moving_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "win_topk_priority": """
+            SELECT o_orderpriority, o_orderkey,
+                   round(o_totalprice, 2) AS o_totalprice,
+                   CAST(row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey ASC)
+                     AS INTEGER) AS rank
+            FROM orders
+            QUALIFY rank <= 3
+        """,
+        "agg_distinct_stats": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_user_id,
+                   count(*) AS n_rows,
+                   round(quantile_cont(value, 0.5), 6) AS p50_value
+            FROM events GROUP BY event_type
         """,
     }

@@ -9,8 +9,21 @@ from recover_spark.operators.audit import (
     stage_counts,
     union_ledgers,
 )
+from recover_spark.operators.temporal import asof_join, range_join
+from recover_spark.operators.analytics import (
+    distinct_stats,
+    moving_stats,
+    rollup_aggregate,
+    top_k_per_group,
+)
 
 __all__ = [
+    "asof_join",
+    "range_join",
+    "distinct_stats",
+    "moving_stats",
+    "rollup_aggregate",
+    "top_k_per_group",
     "dedup_latest",
     "drop_deleted",
     "add_index_to_child",

@@ -1,0 +1,114 @@
+"""Analytic aggregation operators beyond the reference surface.
+
+The reference's aggregate inventory stops at group-by counts (SURVEY.md
+§2.4 — "no grouping sets / cube / rollup, no distinct-agg"); these add
+the standard analytic layer a warehouse user expects, each as a thin
+composition over Catalyst primitives so partial (map-side) aggregation
+and whole-stage codegen apply untouched:
+
+- rollup / cube: Spark plans these as a single Expand + one hash
+  aggregate — NOT one pass per grouping set — so the scan cost is paid
+  once no matter how many levels the rollup adds.
+- top-k per group: window rank + filter; shuffle keyed on the group
+  columns only, frame-free ordering so the sort is the only cost.
+- moving stats: lag/lead + bounded rows frame, one window pass.
+- distinct/percentile stats: exact distinct-count and exact
+  interpolated percentile in one aggregate (percentile is
+  memory-bounded per group; at extreme cardinality swap in
+  approx_percentile — same call shape, sketch-mergeable).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rollup_aggregate(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    aggs: dict[str, F.Column],
+) -> DataFrame:
+    """ROLLUP over ``group_cols`` with a ``grouping_id`` level marker.
+
+    Output has one row per rollup grouping set; grouped-out columns are
+    null (as in SQL), and ``grouping_id`` disambiguates a null produced
+    by the rollup from a null in the data.
+    """
+    return df.rollup(*group_cols).agg(
+        *[v.alias(k) for k, v in aggs.items()],
+        F.grouping_id().alias("grouping_id"),
+    )
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[F.Column],
+    k: int,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Keep the top ``k`` rows per group under ``order_cols``.
+
+    Uses ``row_number`` so ties are broken by the caller-supplied order
+    (make it total for determinism).  The shuffle keys on ``group_cols``
+    only; no global sort.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def moving_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    frame_rows: int = 3,
+) -> DataFrame:
+    """Per-group ordered analytics: previous value (lag) and a trailing
+    ``frame_rows``-row moving average, in one window pass.
+
+    ``order_cols`` must be a total order within each group or the lag is
+    nondeterministic.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*[F.col(c) for c in order_cols])
+    wf = w.rowsBetween(-(frame_rows - 1), Window.currentRow)
+    return df.select(
+        *group_cols,
+        *order_cols,
+        F.col(value_col),
+        F.lag(value_col, 1).over(w).alias("prev_value"),
+        F.avg(value_col).over(wf).alias("moving_avg"),
+    )
+
+
+def distinct_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    distinct_col: str,
+    value_col: str,
+    percentiles: Sequence[float] = (0.5,),
+) -> DataFrame:
+    """Exact distinct count + exact interpolated percentile(s) per group.
+
+    ``percentile`` here is the exact continuous (linear-interpolation)
+    quantile — matches ANSI ``percentile_cont`` / DuckDB
+    ``quantile_cont``.  For ungroupable cardinalities substitute
+    ``approx_percentile`` (t-digest sketch, mergeable map-side).
+    """
+    aggs = [
+        F.count_distinct(F.col(distinct_col)).alias(f"n_{distinct_col}"),
+        F.count(F.lit(1)).alias("n_rows"),
+    ]
+    for p in percentiles:
+        aggs.append(
+            F.percentile(F.col(value_col), F.lit(p)).alias(
+                f"p{int(p * 100)}_{value_col}"
+            )
+        )
+    return df.groupBy(*group_cols).agg(*aggs)

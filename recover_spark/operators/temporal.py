@@ -1,0 +1,158 @@
+"""Temporal join operators: as-of join and range (interval) join.
+
+The reference has no temporal joins (SURVEY.md §2.3 — equi-keys only);
+these are scale-path extensions every time-series / training-data
+pipeline needs, expressed so the physical plan stays shuffle-lean:
+
+- **As-of join** via the union+window formulation: instead of a
+  per-row range probe (which Spark would plan as a broadcast
+  nested-loop or an exploded theta join), both sides are unioned and a
+  single window pass per key carries the most recent right-side row
+  forward.  ONE shuffle, keyed on the join key — the same cost as a
+  plain equi-join, regardless of how many right rows precede each left
+  row.  This is the standard distributed as-of strategy (a sort-merge
+  over (key, ts)); at 100 TB the shuffle is on the join key so AQE skew
+  handling applies as usual.
+
+- **Range join** via bucketed expansion: intervals are exploded into
+  fixed-width time buckets and points joined on (key, bucket) — an
+  equi-join Catalyst can hash/sort-merge — then the exact containment
+  predicate filters within the bucket.  The alternative (inequality-
+  only join) degenerates to BroadcastNestedLoopJoin, which is O(n*m)
+  and unusable at scale.  Bucket width trades shuffle fan-out
+  (intervals spanning many buckets duplicate) against candidate
+  filtering; callers size it near the typical interval length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] | None = None,
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join (most recent right row with
+    ``right.ts <= left.ts`` per key), left-outer semantics.
+
+    ``right_cols`` are the right-side payload columns to carry (default:
+    everything except the keys and ``right_ts``).  With
+    ``tolerance_seconds`` set, matches older than the tolerance are
+    nulled out (pandas ``merge_asof(tolerance=...)`` semantics).
+
+    Right rows must be unique per (key, right_ts) — ambiguous same-
+    timestamp rows would make the result nondeterministic; pre-aggregate
+    the right side if needed.
+
+    Plan shape: union -> single Exchange on ``on`` -> window sort by
+    (ts, side) -> filter.  No nested-loop, no interval explosion.
+    """
+    on = list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (*on, right_ts)]
+    right_cols = list(right_cols)
+
+    l_tagged = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.col(c) for c in left.columns if c not in on],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[
+            F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+            for c in left.columns
+            if c not in on
+        ],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    # Right rows sort before left rows at equal __ts -> inclusive match.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__c_{c}")
+            for c in right_cols
+        ],
+        F.last(
+            F.when(F.col("__is_left") == 0, F.col("__ts")), ignorenulls=True
+        ).over(w).alias("__match_ts"),
+    )
+
+    out = carried.filter(F.col("__is_left") == 1)
+    stale: Column = F.lit(False)
+    if tolerance_seconds is not None:
+        stale = (
+            F.col("__match_ts").isNull()
+            | (
+                F.unix_timestamp("__ts") - F.unix_timestamp("__match_ts")
+                > F.lit(tolerance_seconds)
+            )
+        )
+    keep = [*on, F.col("__ts").alias(left_ts)]
+    keep += [F.col(c) for c in left.columns if c not in (*on, left_ts)]
+    keep += [
+        F.when(stale, F.lit(None)).otherwise(F.col(f"__c_{c}")).alias(c)
+        for c in right_cols
+    ]
+    return out.select(*keep)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str],
+    point_ts: str = "ts",
+    interval_start: str = "start",
+    interval_end: str = "end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Inner join points to intervals containing them:
+    ``start <= point_ts < end`` within matching keys.
+
+    Physical strategy: explode each interval into the epoch-time buckets
+    it overlaps (``sequence(floor(start/w), floor((end-eps)/w))``), give
+    each point its bucket, equi-join on (keys..., bucket), then apply
+    the exact predicate and drop the bucket.  Intervals spanning B
+    buckets appear B times pre-filter — size ``bucket_seconds`` near the
+    typical interval length so B stays O(1).  A point falls in exactly
+    one bucket, so no post-join dedup is needed.
+    """
+    on = list(on)
+    w = F.lit(int(bucket_seconds))
+    ivals = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(interval_start) / w),
+                # end is exclusive: an interval ending exactly on a bucket
+                # boundary does not reach into the next bucket
+                F.floor((F.unix_timestamp(interval_end) - 1) / w),
+            )
+        ),
+    )
+    pts = points.withColumn("__bucket", F.floor(F.unix_timestamp(point_ts) / w))
+    joined = pts.join(ivals, on=on + ["__bucket"]).filter(
+        (F.col(point_ts) >= F.col(interval_start))
+        & (F.col(point_ts) < F.col(interval_end))
+    )
+    return joined.drop("__bucket")

@@ -1,0 +1,152 @@
+"""Golden-output tests for temporal joins (as-of, range) and analytic
+aggregates (rollup, top-k, moving stats, distinct/percentile)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from recover_spark.operators import (
+    asof_join,
+    distinct_stats,
+    moving_stats,
+    range_join,
+    rollup_aggregate,
+    top_k_per_group,
+)
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def _events(spark):
+    return spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01 10:00:00"), 1.0),
+            (2, "u1", _ts("2024-01-01 10:05:00"), 2.0),
+            (3, "u1", _ts("2024-01-01 11:30:00"), 3.0),
+            (4, "u2", _ts("2024-01-01 09:00:00"), 4.0),
+        ],
+        "event_id long, user_id string, ts timestamp, value double",
+    )
+
+
+def _markers(spark):
+    return spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 10:00:00"), 100.0),
+            ("u1", _ts("2024-01-01 10:04:00"), 200.0),
+            ("u2", _ts("2024-01-01 12:00:00"), 300.0),
+        ],
+        "user_id string, ts timestamp, marker double",
+    )
+
+
+class TestAsofJoin:
+    def test_backward_inclusive_match(self, spark):
+        out = asof_join(
+            _events(spark), _markers(spark), on=["user_id"],
+            right_cols=["marker"],
+        )
+        got = {r["event_id"]: r["marker"] for r in out.collect()}
+        # event 1 ties the 10:00 marker exactly -> inclusive match;
+        # event 2 takes the later 10:04 marker; event 3 still 10:04;
+        # event 4 precedes every u2 marker -> null (left outer).
+        assert got == {1: 100.0, 2: 200.0, 3: 200.0, 4: None}
+
+    def test_tolerance_nulls_stale_matches(self, spark):
+        out = asof_join(
+            _events(spark), _markers(spark), on=["user_id"],
+            right_cols=["marker"], tolerance_seconds=600,
+        )
+        got = {r["event_id"]: r["marker"] for r in out.collect()}
+        # event 3 is 86 min after the 10:04 marker -> stale -> null
+        assert got == {1: 100.0, 2: 200.0, 3: None, 4: None}
+
+    def test_left_columns_and_count_preserved(self, spark):
+        left = _events(spark)
+        out = asof_join(left, _markers(spark), on=["user_id"], right_cols=["marker"])
+        assert out.count() == left.count()
+        assert set(out.columns) == {"event_id", "user_id", "ts", "value", "marker"}
+
+
+class TestRangeJoin:
+    def test_containment_and_boundaries(self, spark):
+        points = _events(spark)
+        intervals = spark.createDataFrame(
+            [
+                # [10:00, 10:05): catches event 1, NOT event 2 (end excl.)
+                ("u1", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 10:05:00"), "a"),
+                # [10:05, 12:00): catches events 2 and 3 (start incl.)
+                ("u1", _ts("2024-01-01 10:05:00"), _ts("2024-01-01 12:00:00"), "b"),
+                # u2 interval not covering 09:00
+                ("u2", _ts("2024-01-01 10:00:00"), _ts("2024-01-01 11:00:00"), "c"),
+            ],
+            "user_id string, start timestamp, end timestamp, tag string",
+        )
+        out = range_join(points, intervals, on=["user_id"], bucket_seconds=3600)
+        got = sorted((r["event_id"], r["tag"]) for r in out.collect())
+        assert got == [(1, "a"), (2, "b"), (3, "b")]
+
+    def test_interval_spanning_many_buckets_no_duplicates(self, spark):
+        points = _events(spark)
+        intervals = spark.createDataFrame(
+            [("u1", _ts("2024-01-01 09:00:00"), _ts("2024-01-01 12:00:00"), "wide")],
+            "user_id string, start timestamp, end timestamp, tag string",
+        )
+        # tiny buckets: the interval spans ~36 buckets; each point still
+        # matches exactly once (point lives in one bucket)
+        out = range_join(points, intervals, on=["user_id"], bucket_seconds=300)
+        got = sorted(r["event_id"] for r in out.collect())
+        assert got == [1, 2, 3]
+
+
+class TestAnalytics:
+    def test_rollup_levels(self, spark):
+        df = spark.createDataFrame(
+            [("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 3.0)],
+            "g1 string, g2 string, v double",
+        )
+        out = rollup_aggregate(df, ["g1", "g2"], {"s": F.sum("v")})
+        rows = {
+            (r["g1"], r["g2"], r["grouping_id"]): r["s"] for r in out.collect()
+        }
+        assert rows[("A", "x", 0)] == 1.0
+        assert rows[("A", None, 1)] == 3.0  # subtotal over g2
+        assert rows[(None, None, 3)] == 6.0  # grand total
+        assert len(rows) == 6  # 3 leaves + 2 subtotals + 1 total
+
+    def test_top_k_per_group(self, spark):
+        df = spark.createDataFrame(
+            [("g", i, float(i % 5)) for i in range(10)],
+            "g string, id int, v double",
+        )
+        out = top_k_per_group(
+            df, ["g"], [F.col("v").desc(), F.col("id").asc()], k=3
+        )
+        got = [(r["id"], r["rank"]) for r in out.orderBy("rank").collect()]
+        assert got == [(4, 1), (9, 2), (3, 3)]
+
+    def test_moving_stats(self, spark):
+        df = spark.createDataFrame(
+            [("g", i, float(i)) for i in range(1, 5)],
+            "g string, i int, v double",
+        )
+        out = moving_stats(df, ["g"], ["i"], "v", frame_rows=3)
+        rows = {r["i"]: (r["prev_value"], r["moving_avg"]) for r in out.collect()}
+        assert rows[1] == (None, 1.0)
+        assert rows[2] == (1.0, 1.5)
+        assert rows[4] == (3.0, 3.0)  # avg(2,3,4)
+
+    def test_distinct_stats_exact_median(self, spark):
+        df = spark.createDataFrame(
+            [("g", "u1", 1.0), ("g", "u1", 2.0), ("g", "u2", 10.0), ("g", "u3", 4.0)],
+            "g string, u string, v double",
+        )
+        out = distinct_stats(df, ["g"], distinct_col="u", value_col="v")
+        r = out.collect()[0]
+        assert r["n_u"] == 3
+        assert r["n_rows"] == 4
+        assert r["p50_v"] == 3.0  # interpolated between 2 and 4
