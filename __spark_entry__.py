@@ -697,6 +697,65 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "event_type", "type_total")
 
 
+def q_join_semi_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS: orders with at least one high-quantity
+    line, counted per priority — left-semi join (no row duplication,
+    probe side streamed)."""
+    orders = _load(spark, sf_dir, "orders")
+    big_lines = (
+        _load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            big_lines, orders.o_orderkey == big_lines.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style conditional aggregation: ECONOMY-part revenue
+    share per linestatus over a broadcast fact-dim join."""
+    lineitem = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = lineitem.join(
+        F.broadcast(part), lineitem.l_partkey == part.p_partkey
+    )
+    return joined.groupBy("l_linestatus").agg(
+        F.round(
+            F.sum(F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0.0)))
+            * 100.0
+            / F.sum(rev),
+            6,
+        ).alias("economy_revenue_pct")
+    )
+
+
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: large orders (sum qty > 150) joined back to
+    customer — aggregate-then-filter (HAVING), then broadcast re-join."""
+    lineitem = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    customer = _load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    joined = orders.join(big, orders.o_orderkey == big.l_orderkey).join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    )
+    return joined.select(
+        "c_custkey", "c_name", "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.round("total_qty", 2).alias("total_qty"),
+    )
+
+
 def _markers(spark, sf_dir):
     """Sparse per-user marker stream derived from events (every 19th
     event id), unique per (user_id, ts)."""
@@ -870,6 +929,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_moving_avg": q_win_moving_avg,
         "win_topk_priority": q_win_topk_priority,
         "agg_distinct_stats": q_agg_distinct_stats,
+        "join_semi_exists": q_join_semi_exists,
+        "agg_conditional": q_agg_conditional,
+        "agg_having": q_agg_having,
     }
 
 
@@ -1390,5 +1452,34 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows,
                    round(quantile_cont(value, 0.5), 6) AS p50_value
             FROM events GROUP BY event_type
+        """,
+        "join_semi_exists": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_quantity > 45)
+            GROUP BY o_orderpriority
+        """,
+        "agg_conditional": """
+            SELECT l_linestatus,
+                   round(sum(CASE WHEN p.p_type = 'ECONOMY'
+                             THEN l.l_extendedprice * (1 - l.l_discount)
+                             ELSE 0.0 END) * 100.0
+                         / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                       AS economy_revenue_pct
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY l_linestatus
+        """,
+        "agg_having": """
+            SELECT c.c_custkey, c.c_name, o.o_orderkey,
+                   round(o.o_totalprice, 2) AS o_totalprice,
+                   round(b.total_qty, 2) AS total_qty
+            FROM orders o
+            JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(l_quantity) > 150) b
+              ON o.o_orderkey = b.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
         """,
     }

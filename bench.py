@@ -35,6 +35,10 @@ HEADLINE = [
     "text_stats",
     "doc_fingerprint",
     "stream_window_counts",
+    "join_asof",
+    "join_range",
+    "win_moving_avg",
+    "agg_rollup",
 ]
 
 
