@@ -404,6 +404,23 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH end-to-end: shingle -> 16-hash signature -> 4 band
+    digests -> bucket equi-join -> signature-agreement scoring (the
+    O(n^2)-free near-dup scale path, ops/dedup_text.py)."""
+    from recover_spark.ops import minhash_near_duplicates
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, num_hashes=16, bands=4, shingle_size=3,
+        min_signature_agreement=0.5,
+    )
+    return pairs.select(
+        "id_a", "id_b",
+        F.round("signature_agreement", 6).alias("signature_agreement"),
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 16-bit signatures over documents."""
     from recover_spark.ops import simhash_signatures
@@ -905,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_nation_revenue": q_join_nation_revenue,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_embedding": q_dedup_embedding,
@@ -1000,6 +1018,46 @@ def _minhash_sql(num_hashes: int = 4) -> str:
     return (
         f"WITH {_TOKS_CTE}, {_GRAMS3_CTE} "
         f"SELECT doc_id, {mins} FROM grams GROUP BY doc_id"
+    )
+
+
+def _minhash_lsh_sql(
+    num_hashes: int = 16, bands: int = 4, min_agreement: float = 0.5
+) -> str:
+    rows = num_hashes // bands
+    mins = ", ".join(
+        "MIN({h}) AS mh_{i}".format(
+            h=_h64("concat('mh{i}', '|', shingle)".format(i=i)), i=i
+        )
+        for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_hash "
+        "FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return (
+        f"WITH {_TOKS_CTE}, {_GRAMS3_CTE}, "
+        f"sigs AS (SELECT doc_id, {mins} FROM grams GROUP BY doc_id), "
+        f"bands AS ({band_selects}), "
+        f"pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        f"FROM bands a JOIN bands b "
+        f"ON a.band = b.band AND a.band_hash = b.band_hash "
+        f"WHERE a.doc_id < b.doc_id) "
+        f"SELECT id_a, id_b, round(agreement, 6) AS signature_agreement "
+        f"FROM (SELECT p.id_a, p.id_b, ({agree}) / {num_hashes}.0 AS agreement "
+        f"FROM pairs p JOIN sigs sa ON p.id_a = sa.doc_id "
+        f"JOIN sigs sb ON p.id_b = sb.doc_id) "
+        f"WHERE agreement >= {min_agreement}"
     )
 
 
@@ -1174,6 +1232,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY md5(lower(trim(text)))
         """,
         "dedup_minhash": _minhash_sql(4),
+        "dedup_minhash_lsh": _minhash_lsh_sql(16, 4, 0.5),
         "dedup_simhash": _simhash_sql(16),
         "dedup_jaccard": f"""
             WITH {_TOKS_CTE}, {_GRAMS3_CTE},
