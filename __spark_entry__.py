@@ -487,6 +487,15 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", language_id(F.col("text")).alias("lang_guess"))
 
 
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style composite quality gate: pass/fail + first-failed-rule
+    reason per document (ops/text_analysis.py, map-only pass)."""
+    from recover_spark.ops.text_analysis import quality_filter
+
+    docs = _load(spark, sf_dir, "documents")
+    return quality_filter(docs)
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash document fingerprint."""
     from recover_spark.ops.text_analysis import document_fingerprint
@@ -929,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
+        "text_quality_filter": q_text_quality_filter,
         "doc_fingerprint": q_doc_fingerprint,
         "stream_sessionize": q_stream_sessionize,
         "stream_window_counts": q_stream_window_counts,
@@ -1298,6 +1308,43 @@ def oracle_sql() -> dict[str, str]:
             FROM base
         """,
         "text_langid": _langid_sql(),
+        "text_quality_filter": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                                   '[^a-z0-9'']+'), t -> len(t) > 0) AS toks,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z0-9'']+'))
+                           AS INT) AS n_tokens,
+                       len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                       len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+                       len(regexp_extract_all(text, '\s')) AS n_space,
+                       length(text) AS n_chars
+                FROM documents),
+            feat AS (
+                SELECT doc_id, n_tokens,
+                       n_punct / greatest(n_chars, 1) AS punct_ratio,
+                       n_digit / greatest(n_chars, 1) AS digit_ratio,
+                       CASE WHEN n_tokens > 0
+                            THEN (n_chars - n_space) / n_tokens
+                            ELSE 0.0 END AS mean_word_len,
+                       CASE WHEN len(toks) > 0
+                            THEN len(list_filter(toks, t -> list_contains(
+                                ['the','a','and','of','to','in','is','it',
+                                 'that','for'], t))) / len(toks)
+                            ELSE 0.0 END AS stopword_ratio
+                FROM base),
+            verdict AS (
+                SELECT doc_id,
+                       CASE WHEN n_tokens < 20 THEN 'too_few_tokens'
+                            WHEN punct_ratio > 0.25 THEN 'high_punct_ratio'
+                            WHEN digit_ratio > 0.30 THEN 'high_digit_ratio'
+                            WHEN mean_word_len > 12.0 THEN 'long_words'
+                            WHEN stopword_ratio < 0.05 THEN 'low_stopword_ratio'
+                            ELSE NULL END AS fail_reason
+                FROM feat)
+            SELECT doc_id, fail_reason IS NULL AS passed, fail_reason
+            FROM verdict
+        """,
         "doc_fingerprint": f"""
             WITH {_TOKS_CTE}
             SELECT doc_id, coalesce(

@@ -98,3 +98,41 @@ def document_fingerprint(
     return toked.select(
         F.col(id_col), fingerprint_of(F.col("__toks"), window).alias("fingerprint")
     )
+
+
+# C4-style heuristic rules: (name, predicate-on-features builder).
+# Order matters — the FIRST failing rule names the fail_reason.
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_punct_ratio: float = 0.25,
+    max_digit_ratio: float = 0.30,
+    max_mean_word_len: float = 12.0,
+    min_stopword_ratio: float = 0.05,
+) -> DataFrame:
+    """C4-style document quality gate: composite heuristic filter with a
+    named first-failed-rule verdict per document.
+
+    Pure Catalyst expressions (one projection, no shuffle, no UDF) —
+    at 100 TB this is a map-only pass that fuses into the scan via
+    whole-stage codegen; thresholds apply to the UNrounded features so
+    downstream consumers can re-derive the verdict.
+
+    Returns (id, passed, fail_reason); ``fail_reason`` is null iff
+    ``passed``.
+    """
+    q = quality_features(F.col(text_col))
+    reason = (
+        F.when(q["n_tokens"] < min_tokens, F.lit("too_few_tokens"))
+        .when(q["punct_ratio"] > max_punct_ratio, F.lit("high_punct_ratio"))
+        .when(q["digit_ratio"] > max_digit_ratio, F.lit("high_digit_ratio"))
+        .when(q["mean_word_len"] > max_mean_word_len, F.lit("long_words"))
+        .when(q["stopword_ratio"] < min_stopword_ratio, F.lit("low_stopword_ratio"))
+    )
+    return df.select(
+        F.col(id_col),
+        reason.isNull().alias("passed"),
+        reason.alias("fail_reason"),
+    )

@@ -163,3 +163,36 @@ def test_ivf_topk_probe_restricts_candidates(spark):
     assert all(r.query_vec_id == 1 for r in out)
     ranks = sorted(r.rank for r in out)
     assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_quality_filter_rules(spark):
+    from recover_spark.ops.text_analysis import quality_filter
+
+    good = (
+        "the cat and the dog ran to the park in a storm and it was wet "
+        "so that they hid for a while under the old oak tree by the gate"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "short text"),  # too few tokens
+            (3, "w " * 30 + "!!! ??? ;;; ::: ... !!! ??? ;;; ::: ..."),
+            (4, good + " 123456789 " * 40),  # digit-heavy
+            (5, "pneumonoultramicroscopicsilicovolcanoconiosis " * 25),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["passed"], r["fail_reason"]) for r in quality_filter(docs).collect()}
+    assert out[1] == (True, None)
+    assert out[2] == (False, "too_few_tokens")
+    assert out[3][1] in ("high_punct_ratio", "low_stopword_ratio")
+    assert out[4] == (False, "high_digit_ratio")
+    assert out[5] == (False, "long_words")
+
+
+def test_quality_filter_empty_text(spark):
+    from recover_spark.ops.text_analysis import quality_filter
+
+    docs = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    r = quality_filter(docs).collect()[0]
+    assert r["passed"] is False and r["fail_reason"] == "too_few_tokens"
