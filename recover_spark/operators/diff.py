@@ -120,7 +120,9 @@ def compare_datasets(
     else:
         mismatched = both.limit(0)
 
-    # Per-column stats in ONE aggregation (map-side partial -> tiny result).
+    # Per-column stats in ONE aggregation (map-side partial -> tiny
+    # result), kept LAZY: the single agg row is unpivoted with explode,
+    # so callers that never read column_stats pay nothing.
     if common:
         aggs = []
         for c in common:
@@ -128,19 +130,27 @@ def compare_datasets(
             aggs.append(
                 F.sum(F.col(f"{c}__match").cast("long")).alias(f"{c}__eq")
             )
-        stats_row = both.agg(*aggs).collect()[0].asDict()
-        spark = left.sparkSession
-        column_stats = spark.createDataFrame(
-            [
-                (
-                    c,
-                    stats_row[f"{c}__n"] or 0,
-                    stats_row[f"{c}__eq"] or 0,
-                    (stats_row[f"{c}__n"] or 0) - (stats_row[f"{c}__eq"] or 0),
+        per_col = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col(f"{c}__n").alias("rows_compared"),
+                    F.coalesce(F.col(f"{c}__eq"), F.lit(0)).alias("rows_equal"),
                 )
                 for c in common
-            ],
-            schema="column string, rows_compared long, rows_equal long, rows_unequal long",
+            ]
+        )
+        column_stats = (
+            both.agg(*aggs)
+            .select(F.explode(per_col).alias("s"))
+            .select(
+                F.col("s.column").alias("column"),
+                F.col("s.rows_compared").cast("long").alias("rows_compared"),
+                F.col("s.rows_equal").cast("long").alias("rows_equal"),
+                (F.col("s.rows_compared") - F.col("s.rows_equal"))
+                .cast("long")
+                .alias("rows_unequal"),
+            )
         )
     else:
         column_stats = left.sparkSession.createDataFrame(
