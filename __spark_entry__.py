@@ -901,6 +901,28 @@ def q_agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One SQL text, two engines: Spark executes it via recover_spark.sql
+# (temp views over the same parquet), DuckDB runs it as the oracle.
+_SQL_INTERFACE_QUERY = """
+    SELECT n.n_name,
+           count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal,
+           count(CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 END)
+               AS n_building
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+
+def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end parity: the identical ANSI text runs on Spark (via
+    recover_spark.sql.run_sql) and on the DuckDB oracle — same logical
+    plan as the DataFrame API, second front-end only."""
+    from recover_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _SQL_INTERFACE_QUERY)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -960,6 +982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_semi_exists": q_join_semi_exists,
         "agg_conditional": q_agg_conditional,
         "agg_having": q_agg_having,
+        "sql_interface": q_sql_interface,
     }
 
 
@@ -1588,4 +1611,5 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_orderkey = b.l_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
         """,
+        "sql_interface": _SQL_INTERFACE_QUERY,
     }

@@ -192,3 +192,18 @@ def test_multimodal_digest_algo(spark):
     assert out[1].n_bytes == 5
     assert out[2].sha1 == hashlib.md5(b"").hexdigest()
     assert out[2].n_bytes == 0
+
+
+def test_sql_interface_views(spark):
+    from recover_spark.sql import register_views, run_sql
+
+    register_views(spark, "/root/testdata/sf0.001", tables=["nation", "region"])
+    assert spark.sql("SELECT count(*) AS n FROM nation").collect()[0]["n"] == 25
+    out = run_sql(
+        spark,
+        "/root/testdata/sf0.001",
+        """SELECT r.r_name, count(*) AS n
+           FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+           GROUP BY r.r_name""",
+    )
+    assert sum(r["n"] for r in out.collect()) == 25
