@@ -266,7 +266,13 @@ def embedding_near_duplicates(
             )
 
     left = df.select(F.col(id_col), F.col(vec_col))
-    target = spark.sparkContext.defaultParallelism
+    # Fan-out sized by the actual row count (known — the side matrix was
+    # just collected): ~5k rows per task keeps each GEMM block efficient
+    # without paying Python-worker startup for near-empty partitions.
+    n = len(ids_b)
+    target = min(
+        max(1, -(-n // 5000)), spark.sparkContext.defaultParallelism
+    )
     if left.rdd.getNumPartitions() < target:
         left = left.repartition(target)
     return left.mapInPandas(block_gemm, out_schema)
