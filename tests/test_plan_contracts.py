@@ -1,0 +1,113 @@
+"""Physical-plan contracts: assert the optimizer artifacts the scale
+design depends on (pushdown, join strategy, shuffle shape) — not just
+row-level results.  A regression that silently degrades a plan (e.g. a
+range join falling back to BroadcastNestedLoopJoin) fails here even
+though outputs stay correct."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def parquet_dir(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "t.parquet")
+    spark.range(0, 10_000).select(
+        F.col("id"),
+        (F.col("id") % 100).alias("k"),
+        (F.col("id") * 2.0).alias("v"),
+    ).write.parquet(p)
+    return p
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, parquet_dir):
+    from recover_spark.sources.readers import read_parquet_dataset
+
+    df = read_parquet_dataset(
+        spark, parquet_dir, columns=["id", "k"], predicate="k = 7"
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "EqualTo(k,7)" in plan
+    # column pruning: v must not be read
+    assert "v" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_asof_join_plan_has_no_join_operator(spark):
+    from recover_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 10), 1.0)], "k string, ts timestamp, x double"
+    )
+    right = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 9), 2.0)], "k string, ts timestamp, m double"
+    )
+    plan = _plan(asof_join(left, right, on=["k"], right_cols=["m"]))
+    assert "Join" not in plan  # union + window only
+    assert "Window" in plan
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    from recover_spark.operators import range_join
+
+    points = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 10), 1)], "k string, ts timestamp, pid int"
+    )
+    ivals = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 9), datetime(2024, 1, 1, 11), 1)],
+        "k string, start timestamp, end timestamp, iid int",
+    )
+    plan = _plan(range_join(points, ivals, on=["k"]))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_broadcast_hint_respected_in_dim_join(spark, parquet_dir):
+    fact = spark.read.parquet(parquet_dir)
+    dim = spark.createDataFrame([(7, "seven")], "k long, name string")
+    plan = _plan(fact.join(F.broadcast(dim), on="k"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_latest_single_shuffle(spark, parquet_dir):
+    from recover_spark.operators import dedup_latest
+
+    df = spark.read.parquet(parquet_dir)
+    out = dedup_latest(
+        df, index_fields=["k"], order_fields=["v"], tiebreakers=["id"]
+    )
+    plan = _plan(out)
+    # exactly one Exchange: the window partitioning on the index key
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_rollup_is_single_expand_aggregate(spark, parquet_dir):
+    from recover_spark.operators import rollup_aggregate
+
+    df = spark.read.parquet(parquet_dir)
+    out = rollup_aggregate(df, ["k"], {"s": F.sum("v")})
+    plan = _plan(out)
+    assert "Expand" in plan
+    # one scan feeds the rollup — not one scan per grouping set
+    assert plan.count("Scan parquet") == 1
+
+
+def test_exact_dedup_no_broadcast_no_second_scan(spark, parquet_dir):
+    from recover_spark.ops import exact_dedup
+
+    df = spark.read.parquet(parquet_dir).select(
+        "id", F.col("k").cast("string").alias("text")
+    )
+    plan = _plan(exact_dedup(df, text_col="text", id_col="id"))
+    assert plan.count("Scan parquet") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
