@@ -901,6 +901,24 @@ def q_agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — row-wise INTERSECT (distinct): users seen in both the
+    high-value and the low-value halves of the event stream."""
+    events = _load(spark, sf_dir, "events")
+    hi = events.filter(F.col("value") > 50).select("user_id")
+    lo = events.filter(F.col("value") <= 50).select("user_id")
+    return hi.intersect(lo)
+
+
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — multiset EXCEPT ALL: per-occurrence difference of order
+    keys between two lineitem slices (bag semantics, not distinct)."""
+    lineitem = _load(spark, sf_dir, "lineitem")
+    a = lineitem.filter(F.col("l_linenumber") <= 2).select("l_orderkey")
+    b = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return a.exceptAll(b)
+
+
 # One SQL text, two engines: Spark executes it via recover_spark.sql
 # (temp views over the same parquet), DuckDB runs it as the oracle.
 _SQL_INTERFACE_QUERY = """
@@ -983,6 +1001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_conditional": q_agg_conditional,
         "agg_having": q_agg_having,
         "sql_interface": q_sql_interface,
+        "set_intersect": q_set_intersect,
+        "set_except_all": q_set_except_all,
     }
 
 
@@ -1612,4 +1632,14 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
         """,
         "sql_interface": _SQL_INTERFACE_QUERY,
+        "set_intersect": """
+            SELECT user_id FROM events WHERE value > 50
+            INTERSECT
+            SELECT user_id FROM events WHERE value <= 50
+        """,
+        "set_except_all": """
+            SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 2
+            EXCEPT ALL
+            SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+        """,
     }
