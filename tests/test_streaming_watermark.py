@@ -1,0 +1,88 @@
+"""Streaming watermark semantics: append-mode windows finalize exactly
+once, and late rows arriving after state eviction are dropped (no
+duplicate emission).
+
+Note what Spark does and does not guarantee: rows below the watermark
+whose window state is STILL LIVE may legally be aggregated
+("too-late" dropping is best-effort until eviction); the hard guarantee
+is single emission per window and no resurrection after eviction.  The
+engine's replay model (SURVEY.md §2.9) relies on exactly this plus W1
+dedup downstream.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def _write_batch(path: str, rows: list[dict], mtime_offset_s: float) -> None:
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    t = time.time() + mtime_offset_s
+    os.utime(path, (t, t))
+
+
+def test_append_mode_single_emission_and_post_eviction_drop(spark, tmp_path):
+    from recover_spark.streaming.incremental import windowed_event_counts
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: two events in the 10:00 window + one at 14:00 that will
+    # advance the watermark to 13:00 for the next batch
+    _write_batch(
+        str(src / "b1.json"),
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "event_type": "A"},
+            {"event_id": 2, "ts": "2024-01-01 10:10:00", "event_type": "A"},
+            {"event_id": 3, "ts": "2024-01-01 14:00:00", "event_type": "A"},
+        ],
+        mtime_offset_s=-60,
+    )
+    # batch 2: watermark is now 13:00 > the 10:00 window's end, so the
+    # window is emitted and its state evicted at the end of this batch
+    _write_batch(
+        str(src / "b2.json"),
+        [{"event_id": 5, "ts": "2024-01-01 15:00:00", "event_type": "A"}],
+        mtime_offset_s=-30,
+    )
+    # batch 3: a late event for the ALREADY-EVICTED 10:00 window — must
+    # be dropped, not resurrect the window as a duplicate emission
+    _write_batch(
+        str(src / "b3.json"),
+        [{"event_id": 4, "ts": "2024-01-01 10:30:00", "event_type": "A"}],
+        mtime_offset_s=0,
+    )
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    counts = windowed_event_counts(
+        stream, window_duration="1 hour", watermark="1 hour"
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("wm_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = [
+        (str(r["window_start"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM wm_counts").collect()
+    ]
+    ten_oclock = [n for s, n in rows if s == "2024-01-01 10:00:00"]
+    # exactly ONE emission for the 10:00 window, with only the two
+    # on-time events; the post-eviction late event did not create a
+    # duplicate window or bump the count
+    assert ten_oclock == [2]
+    # unfinalized windows (14:00, 15:00 — watermark never passed their
+    # ends) were not emitted
+    assert not any(s >= "2024-01-01 14" for s, _ in rows)
