@@ -901,6 +901,20 @@ def q_agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based approximate aggregates — the 100 TB substitutes for
+    exact distinct/percentile: HyperLogLog++ count-distinct and t-digest
+    percentile, both mergeable map-side (no oracle: sketch outputs are
+    engine-specific, so the driver applies its rows-only check)."""
+    events = _load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.round(
+            F.percentile_approx("value", 0.5, 10_000).cast("double"), 6
+        ).alias("approx_p50_value"),
+    )
+
+
 def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 — row-wise INTERSECT (distinct): users seen in both the
     high-value and the low-value halves of the event stream."""
@@ -1003,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_interface": q_sql_interface,
         "set_intersect": q_set_intersect,
         "set_except_all": q_set_except_all,
+        "agg_approx_stats": q_agg_approx_stats,
     }
 
 
