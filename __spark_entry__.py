@@ -901,6 +901,63 @@ def q_agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/val/test split by portable key hash — map-only,
+    replay-safe, engine-reproducible (ops/sampling.py)."""
+    from recover_spark.ops import stable_split
+
+    docs = _load(spark, sf_dir, "documents")
+    out = stable_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select("doc_id", "split")
+
+
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per group — bins derived map-side so the
+    single aggregate combines partially (ops/sampling.py)."""
+    from recover_spark.ops import histogram
+
+    events = _load(spark, sf_dir, "events")
+    out = histogram(events, "value", bin_width=10.0, group_cols=("event_type",))
+    return out.select(
+        "event_type", "bin", F.round("bin_start", 2).alias("bin_start"), "n"
+    )
+
+
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide): order counts per priority x status — Spark
+    plans a fixed-values pivot as ONE conditional aggregate pass."""
+    orders = _load(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+def q_transform_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide -> long): per-line measures to (metric, value)
+    rows — Spark's Expand node, one scan regardless of measure count."""
+    lineitem = _load(spark, sf_dir, "lineitem")
+    out = lineitem.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "metric",
+        F.round("value", 6).alias("value"),
+    )
+
+
 def q_agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximate aggregates — the 100 TB substitutes for
     exact distinct/percentile: HyperLogLog++ count-distinct and t-digest
@@ -1018,6 +1075,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_intersect": q_set_intersect,
         "set_except_all": q_set_except_all,
         "agg_approx_stats": q_agg_approx_stats,
+        "sample_split": q_sample_split,
+        "agg_histogram": q_agg_histogram,
+        "agg_pivot": q_agg_pivot,
+        "transform_unpivot": q_transform_unpivot,
     }
 
 
@@ -1656,5 +1717,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey FROM lineitem WHERE l_linenumber <= 2
             EXCEPT ALL
             SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+        """,
+        "sample_split": f"""
+            WITH b AS (
+                SELECT doc_id,
+                       {_h64("concat('split', '|', CAST(doc_id AS VARCHAR))")}
+                           % 10000 AS bucket
+                FROM documents)
+            SELECT doc_id,
+                   CASE WHEN bucket < 8000 THEN 'train'
+                        WHEN bucket < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+        """,
+        "agg_histogram": """
+            SELECT event_type,
+                   CAST(floor(value / 10.0) AS BIGINT) AS bin,
+                   round(floor(value / 10.0) * 10.0, 2) AS bin_start,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "agg_pivot": """
+            SELECT o_orderpriority,
+                   count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+                   count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+                   count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "transform_unpivot": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                   round(l_quantity, 6) AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount',
+                   round(l_discount, 6) FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax',
+                   round(l_tax, 6) FROM lineitem
         """,
     }

@@ -13,10 +13,20 @@ from recover_spark.ops.similarity import (
 from recover_spark.ops.text_analysis import (
     document_fingerprint,
     language_id,
+    quality_filter,
     text_profile,
+)
+from recover_spark.ops.sampling import (
+    histogram,
+    stable_sample,
+    stable_split,
 )
 
 __all__ = [
+    "quality_filter",
+    "histogram",
+    "stable_sample",
+    "stable_split",
     "exact_dedup",
     "minhash_near_duplicates",
     "minhash_signatures",

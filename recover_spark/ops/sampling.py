@@ -1,0 +1,100 @@
+"""Deterministic sampling / split assignment for training-data
+pipelines.
+
+Random sampling (``df.sample``) is not reproducible across engines,
+runs, or replays — a training pipeline needs *stable* membership: the
+same record lands in the same split forever, regardless of partitioning,
+cluster size, or re-ingestion (the same replay-safety argument as the
+reference's W1 dedup, SURVEY.md §2.9).
+
+``stable_split`` hashes the key with the engine-portable md5 scheme
+(functions/hashing.py) and buckets the hash modulo a granularity, so:
+- assignment is a pure map-side projection (no shuffle, no RNG state);
+- split fractions are exact in expectation and independent of data
+  order;
+- the DuckDB oracle reproduces assignments bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from recover_spark.functions.hashing import portable_hash64
+
+_GRANULARITY = 10_000
+
+
+def split_assignment(
+    key_col: Column | str,
+    weights: dict[str, float],
+    salt: str = "split",
+) -> Column:
+    """Column expression assigning each key a split name by hash bucket.
+
+    ``weights`` maps split name -> fraction (must sum to <= 1; any
+    remainder falls into the LAST split).  Assignment is stable under
+    replay and identical for duplicate keys.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total = sum(weights.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"weights sum to {total} > 1")
+    bucket = F.pmod(portable_hash64(key_col, salt=salt), F.lit(_GRANULARITY))
+    expr = None
+    upper = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        upper += weights[name]
+        cond = bucket < F.lit(int(round(upper * _GRANULARITY)))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def stable_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float],
+    split_col: str = "split",
+    salt: str = "split",
+) -> DataFrame:
+    """Attach a deterministic split column (map-only, shuffle-free)."""
+    return df.withColumn(
+        split_col, split_assignment(F.col(key_col), weights, salt=salt)
+    )
+
+
+def stable_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a stable ``fraction`` of keys (systematic hash sampling)."""
+    bucket = F.pmod(portable_hash64(F.col(key_col), salt=salt), F.lit(_GRANULARITY))
+    return df.filter(bucket < F.lit(int(round(fraction * _GRANULARITY))))
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    bin_width: float,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Fixed-width histogram: one aggregate pass, bins derived map-side
+    (``floor(value / width)``) so partial aggregation applies."""
+    bin_idx = F.floor(F.col(value_col) / F.lit(bin_width)).cast("long")
+    return (
+        df.withColumn("bin", bin_idx)
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("bin_start", (F.col("bin") * F.lit(bin_width)).cast("double"))
+    )

@@ -150,3 +150,77 @@ class TestAnalytics:
         assert r["n_u"] == 3
         assert r["n_rows"] == 4
         assert r["p50_v"] == 3.0  # interpolated between 2 and 4
+
+
+class TestTemporalEdgeCases:
+    def test_asof_empty_right_side(self, spark):
+        right = spark.createDataFrame(
+            [], "user_id string, ts timestamp, marker double"
+        )
+        out = asof_join(
+            _events(spark).withColumnRenamed("user_id", "user_id"),
+            right.withColumnRenamed("user_id", "user_id"),
+            on=["user_id"], right_cols=["marker"],
+        )
+        rows = out.collect()
+        assert len(rows) == 4 and all(r["marker"] is None for r in rows)
+
+    def test_range_join_empty_intervals(self, spark):
+        ivals = spark.createDataFrame(
+            [], "user_id string, start timestamp, end timestamp"
+        )
+        out = range_join(_events(spark), ivals, on=["user_id"])
+        assert out.count() == 0
+
+
+class TestSampling:
+    def test_stable_split_fractions_and_determinism(self, spark):
+        from recover_spark.ops import stable_split
+
+        df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+        w = {"train": 0.8, "val": 0.1, "test": 0.1}
+        a = {r["k"]: r["split"] for r in stable_split(df, "k", w).collect()}
+        b = {r["k"]: r["split"] for r in stable_split(df, "k", w).collect()}
+        assert a == b  # deterministic under re-execution
+        from collections import Counter
+        frac = Counter(a.values())
+        assert abs(frac["train"] / 10_000 - 0.8) < 0.02
+        assert abs(frac["val"] / 10_000 - 0.1) < 0.02
+        assert abs(frac["test"] / 10_000 - 0.1) < 0.02
+
+    def test_stable_split_duplicate_keys_agree(self, spark):
+        from recover_spark.ops import stable_split
+
+        df = spark.createDataFrame([(7,), (7,), (7,)], "k long")
+        splits = {
+            r["split"]
+            for r in stable_split(df, "k", {"a": 0.5, "b": 0.5}).collect()
+        }
+        assert len(splits) == 1
+
+    def test_stable_sample_subset_of_larger_fraction(self, spark):
+        from recover_spark.ops import stable_sample
+
+        df = spark.range(0, 2_000).withColumnRenamed("id", "k")
+        small = {r["k"] for r in stable_sample(df, "k", 0.1).collect()}
+        big = {r["k"] for r in stable_sample(df, "k", 0.3).collect()}
+        assert small <= big  # nested samples: growing fraction only adds
+        assert 100 < len(small) < 300
+
+    def test_split_weights_validation(self, spark):
+        from recover_spark.ops.sampling import split_assignment
+
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            split_assignment("k", {})
+        with _pytest.raises(ValueError):
+            split_assignment("k", {"a": 0.8, "b": 0.4})
+
+    def test_histogram_bins(self, spark):
+        from recover_spark.ops import histogram
+
+        df = spark.createDataFrame(
+            [(1.0,), (9.9,), (10.0,), (25.0,)], "v double"
+        )
+        rows = {r["bin"]: r["n"] for r in histogram(df, "v", 10.0).collect()}
+        assert rows == {0: 2, 1: 1, 2: 1}
