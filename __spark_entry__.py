@@ -1012,6 +1012,51 @@ def q_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, _SQL_INTERFACE_QUERY)
 
 
+# Correlated scalar subquery — Catalyst decorrelates it into an
+# aggregate + join; the identical text is the DuckDB oracle (TPC-H
+# Q17 shape).  Quantities are integer-valued doubles, so the avg is
+# exact and the boundary comparison is engine-stable.
+_SQL_CORRELATED_QUERY = """
+    SELECT l1.l_partkey,
+           round(sum(l1.l_extendedprice), 2) AS total_price,
+           count(*) AS n_lines
+    FROM lineitem l1
+    WHERE l1.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                           FROM lineitem l2
+                           WHERE l2.l_partkey = l1.l_partkey)
+    GROUP BY l1.l_partkey
+"""
+
+
+def q_sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (decorrelated by Catalyst into a
+    per-key aggregate + join) via the SQL front-end."""
+    from recover_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _SQL_CORRELATED_QUERY)
+
+
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame: per-user trailing-1-hour sum/count —
+    RANGE frame over integer microseconds (deterministic across
+    engines, unlike second-truncated epoch)."""
+    from pyspark.sql import Window
+
+    events = _load(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-hour_us, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 6).alias("trailing_1h_value"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -1079,6 +1124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_histogram": q_agg_histogram,
         "agg_pivot": q_agg_pivot,
         "transform_unpivot": q_transform_unpivot,
+        "sql_correlated": q_sql_correlated,
+        "win_range_frame": q_win_range_frame,
     }
 
 
@@ -1753,5 +1800,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT l_orderkey, l_linenumber, 'l_tax',
                    round(l_tax, 6) FROM lineitem
+        """,
+        "sql_correlated": _SQL_CORRELATED_QUERY,
+        "win_range_frame": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER w, 6) AS trailing_1h_value,
+                   count(*) OVER w AS trailing_1h_events
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING
+                                   AND CURRENT ROW)
         """,
     }
