@@ -421,6 +421,17 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over Jaccard pairs via
+    iterative min-label propagation (ops/dedup_text.py); keep-one rule
+    is doc_id == cluster."""
+    from recover_spark.ops import duplicate_clusters, ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_size=3, min_jaccard=0.2)
+    return duplicate_clusters(pairs, docs)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash 16-bit signatures over documents."""
     from recover_spark.ops import simhash_signatures
@@ -1088,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_embedding": q_dedup_embedding,
@@ -1409,6 +1421,36 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash": _minhash_sql(4),
         "dedup_minhash_lsh": _minhash_lsh_sql(16, 4, 0.5),
+        "dedup_clusters": f"""
+            WITH RECURSIVE {_TOKS_CTE}, {_GRAMS3_CTE},
+            sizes AS (SELECT doc_id, count(*) AS set_size
+                      FROM grams GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_common
+                FROM grams a JOIN grams b ON a.shingle = b.shingle
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id),
+            pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON inter.id_a = sa.doc_id
+                JOIN sizes sb ON inter.id_b = sb.doc_id
+                WHERE n_common / (sa.set_size + sb.set_size - n_common)
+                      >= 0.2),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs),
+            reach AS (
+                SELECT doc_id AS node, doc_id AS label FROM documents
+                UNION
+                SELECT e.src AS node, r.label
+                FROM reach r JOIN edges e ON e.dst = r.node),
+            clusters AS (
+                SELECT node, min(label) AS cluster
+                FROM reach GROUP BY node)
+            SELECT node AS doc_id, cluster FROM clusters
+        """,
         "dedup_simhash": _simhash_sql(16),
         "dedup_jaccard": f"""
             WITH {_TOKS_CTE}, {_GRAMS3_CTE},

@@ -1,4 +1,5 @@
 from recover_spark.ops.dedup_text import (
+    duplicate_clusters,
     exact_dedup,
     minhash_near_duplicates,
     minhash_signatures,
@@ -23,6 +24,7 @@ from recover_spark.ops.sampling import (
 )
 
 __all__ = [
+    "duplicate_clusters",
     "quality_filter",
     "histogram",
     "stable_sample",

@@ -254,3 +254,63 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    node_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document
+    gets ``cluster`` = the minimum doc id reachable through the pair
+    graph (singletons cluster to themselves).  This is the step that
+    turns pairwise near-dup output (minhash/jaccard/embedding) into a
+    keep-one-per-cluster decision — keep ``doc_id == cluster``.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes the min of its own label and its neighbors' labels, until a
+    fixpoint (<= graph diameter rounds, typically 2-4 for dedup graphs
+    whose components are near-cliques).  Each round is one equi-join +
+    one min-aggregate, both map-side combinable; ``localCheckpoint``
+    truncates the growing lineage so round N's plan does not replay
+    rounds 1..N-1 (the standard Spark idiom for iterative algorithms).
+
+    At 100 TB: rounds shuffle on the node id; components are tiny
+    (near-dup clusters), so no label ever fans out meaningfully and AQE
+    handles the (rare) giant-component skew.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    )
+    edges_bi = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("label")
+    )
+    for _ in range(max_iterations):
+        neigh = edges_bi.join(
+            labels, edges_bi.dst == labels.node
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            labels.unionAll(neigh)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(node_col), F.col("label").alias("cluster")
+    )

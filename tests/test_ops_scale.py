@@ -196,3 +196,31 @@ def test_quality_filter_empty_text(spark):
     docs = spark.createDataFrame([(1, "")], "doc_id long, text string")
     r = quality_filter(docs).collect()[0]
     assert r["passed"] is False and r["fail_reason"] == "too_few_tokens"
+
+
+def test_duplicate_clusters_chain_and_singleton(spark):
+    from recover_spark.ops import duplicate_clusters
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    # chain 1-2-3-4 (diameter 3: needs multiple propagation rounds),
+    # pair 5-6, singleton 7
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in duplicate_clusters(pairs, nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_duplicate_clusters_no_pairs(spark):
+    from recover_spark.ops import duplicate_clusters
+
+    nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in duplicate_clusters(pairs, nodes).collect()
+    }
+    assert got == {1: 1, 2: 2}
