@@ -721,6 +721,30 @@ def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select("media_id", "frame_ts_ms")
 
 
+def q_mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal — audio chunking plumbing (stub kernel): fixed-
+    duration chunks with constant-bitrate byte ranges from typed
+    metadata (ops/multimodal.py)."""
+    from recover_spark.ops.multimodal import chunk_audio
+
+    docs = _load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.lit("audio/wav").alias("mime_type"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            ((F.col("doc_id") % 5) * 1300 + 900).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    chunks = chunk_audio(media, chunk_ms=2000)
+    return chunks.select(
+        "media_id", "chunk_idx", "chunk_start_ms", "chunk_end_ms",
+        "byte_start", "byte_end",
+    )
+
+
 def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted dimension join: row-identical to the plain equi-join,
     but hot keys spread over salt buckets (scale lever beyond AQE)."""
@@ -1118,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_resolve_choice": q_s2_resolve_choice,
         "mm_features": q_mm_features,
         "mm_frames": q_mm_frames,
+        "mm_audio_chunks": q_mm_audio_chunks,
         "join_salted_skew": q_join_salted_skew,
         "join_asof": q_asof_join,
         "join_range": q_range_join,
@@ -1701,6 +1726,21 @@ def oracle_sql() -> dict[str, str]:
                    unnest(range(0, (doc_id % 7) * 1500 + 500, 1000))
                        AS frame_ts_ms
             FROM documents
+        """,
+        "mm_audio_chunks": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                       CAST((doc_id % 5) * 1300 + 900 AS BIGINT) AS dur
+                FROM documents)
+            SELECT media_id,
+                   CAST(s / 2000 AS INT) AS chunk_idx,
+                   s AS chunk_start_ms,
+                   least(s + 2000, dur) AS chunk_end_ms,
+                   CAST(floor(n_bytes * s / dur) AS BIGINT) AS byte_start,
+                   CAST(floor(n_bytes * least(s + 2000, dur) / dur)
+                     AS BIGINT) AS byte_end
+            FROM m, UNNEST(range(0, dur, 2000)) AS u(s)
         """,
         "join_salted_skew": """
             SELECT e.event_id, e.event_type, d.type_total

@@ -123,3 +123,46 @@ def sample_video_frames(
         F.explode(frames).alias("frame_ts_ms"),
         F.sha1(F.col("content")).alias("content_sha1"),
     )
+
+
+def chunk_audio(
+    df: DataFrame,
+    chunk_ms: int = 2000,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Audio chunking plumbing: one row per fixed-duration chunk with
+    the byte range to fetch, assuming constant bitrate
+    (``n_bytes * [start,end)/duration``).
+
+    STUB kernel (real resample/decode needs ffmpeg/librosa); the
+    chunk-boundary math, explode shape, and byte-range arithmetic are
+    real — a range request per chunk is exactly how a 100 TB audio
+    corpus is fetched without shipping whole blobs between stages.
+    """
+    if not decode_stub:
+        raise NotImplementedError("real audio decode requires ffmpeg/librosa")
+    dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+    n_bytes = F.length(F.col("content")).cast("long")
+    starts = F.sequence(
+        F.lit(0), F.greatest(dur - 1, F.lit(0)), F.lit(chunk_ms)
+    )
+    out = df.select(
+        "media_id",
+        dur.alias("__dur"),
+        n_bytes.alias("__n_bytes"),
+        F.posexplode(starts).alias("chunk_idx", "chunk_start_ms"),
+    )
+    safe_dur = F.greatest(F.col("__dur"), F.lit(1))
+    end_ms = F.least(F.col("chunk_start_ms") + F.lit(chunk_ms), F.col("__dur"))
+    return out.select(
+        "media_id",
+        "chunk_idx",
+        "chunk_start_ms",
+        end_ms.alias("chunk_end_ms"),
+        F.floor(F.col("__n_bytes") * F.col("chunk_start_ms") / safe_dur)
+        .cast("long")
+        .alias("byte_start"),
+        F.floor(F.col("__n_bytes") * end_ms / safe_dur)
+        .cast("long")
+        .alias("byte_end"),
+    )

@@ -207,3 +207,26 @@ def test_sql_interface_views(spark):
            GROUP BY r.r_name""",
     )
     assert sum(r["n"] for r in out.collect()) == 25
+
+
+def test_audio_chunking_byte_ranges(spark):
+    from recover_spark.ops.multimodal import chunk_audio
+
+    media = spark.createDataFrame(
+        [(1, b"x" * 1000, ("audio/wav", None, None, 5000))],
+        "media_id long, content binary, "
+        "meta struct<mime_type string, width int, height int, duration_ms long>",
+    )
+    rows = sorted(
+        (r["chunk_idx"], r["chunk_start_ms"], r["chunk_end_ms"],
+         r["byte_start"], r["byte_end"])
+        for r in chunk_audio(media, chunk_ms=2000).collect()
+    )
+    # 5000 ms / 2000 ms chunks -> [0,2000) [2000,4000) [4000,5000)
+    assert rows == [
+        (0, 0, 2000, 0, 400),
+        (1, 2000, 4000, 400, 800),
+        (2, 4000, 5000, 800, 1000),
+    ]
+    # chunks tile the blob exactly: last byte_end == n_bytes
+    assert rows[-1][4] == 1000
