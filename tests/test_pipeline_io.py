@@ -230,3 +230,38 @@ def test_audio_chunking_byte_ranges(spark):
     ]
     # chunks tile the blob exactly: last byte_end == n_bytes
     assert rows[-1][4] == 1000
+
+
+def test_range_clustered_layout_has_disjoint_file_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from recover_spark.sources.writers import write_range_clustered_parquet
+
+    df = spark.range(0, 50_000).select(
+        F.col("id"), (F.col("id") % 977).alias("k")
+    )
+    clustered = str(tmp_path / "clustered")
+    plain = str(tmp_path / "plain")
+    write_range_clustered_parquet(df, clustered, ["k"], num_files=8)
+    df.repartition(8).write.parquet(plain)
+
+    def file_ranges(root):
+        out = []
+        for f in Path(root).glob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            ks = [
+                md.row_group(i).column(1).statistics
+                for i in range(md.num_row_groups)
+            ]
+            out.append(
+                (min(s.min for s in ks), max(s.max for s in ks))
+            )
+        return sorted(out)
+
+    ranges = file_ranges(clustered)
+    # disjoint: every file's max < next file's min (no overlap)
+    assert all(a[1] <= b[0] for a, b in zip(ranges, ranges[1:]))
+    # the unsorted layout overlaps (each file spans ~the full domain)
+    plain_ranges = file_ranges(plain)
+    assert any(a[1] > b[0] for a, b in zip(plain_ranges, plain_ranges[1:]))
