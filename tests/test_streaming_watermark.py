@@ -86,3 +86,55 @@ def test_append_mode_single_emission_and_post_eviction_drop(spark, tmp_path):
     # unfinalized windows (14:00, 15:00 — watermark never passed their
     # ends) were not emitted
     assert not any(s >= "2024-01-01 14" for s, _ in rows)
+
+
+def test_incremental_matview_equals_full_recompute(spark, tmp_path):
+    from recover_spark.streaming.matview import maintain_count_matview
+
+    src = tmp_path / "mv_src"
+    src.mkdir()
+    state = str(tmp_path / "mv_state")
+    ckpt = str(tmp_path / "mv_ckpt")
+    schema = "event_id long, event_type string, value double"
+
+    def run_increment():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = maintain_count_matview(
+            stream, state, ckpt, ["event_type"], value_col="value"
+        )
+        q.awaitTermination(120)
+
+    _write_batch(
+        str(src / "f1.json"),
+        [
+            {"event_id": 1, "event_type": "a", "value": 1.0},
+            {"event_id": 2, "event_type": "a", "value": 2.0},
+            {"event_id": 3, "event_type": "b", "value": 5.0},
+        ],
+        mtime_offset_s=-60,
+    )
+    run_increment()
+    # second increment: only the NEW file is processed (checkpoint)
+    _write_batch(
+        str(src / "f2.json"),
+        [
+            {"event_id": 4, "event_type": "a", "value": 10.0},
+            {"event_id": 5, "event_type": "c", "value": 7.0},
+        ],
+        mtime_offset_s=0,
+    )
+    run_increment()
+
+    got = {
+        r["event_type"]: (r["n_rows"], r["sum_value"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got == {"a": (3, 13.0), "b": (1, 5.0), "c": (1, 7.0)}
+
+    # a third increment with no new files is a no-op
+    run_increment()
+    again = {
+        r["event_type"]: (r["n_rows"], r["sum_value"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert again == got
