@@ -936,6 +936,63 @@ def q_agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style forecast-revenue filter aggregate: the date +
+    numeric range predicates push into the parquet scan (one row out)."""
+    lineitem = _load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_agg_shipping_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style volume by ship year x return flag (date-part
+    extraction + aggregate)."""
+    lineitem = _load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy(
+            F.year("l_shipdate").alias("ship_year"), "l_returnflag"
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_transform_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function battery over customer names (portable
+    subset: upper/substr/replace/length/lpad/reverse/trim/concat)."""
+    customer = _load(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return customer.select(
+        "c_custkey",
+        F.upper(name).alias("upper_name"),
+        F.substring(name, 1, 8).alias("prefix8"),
+        F.regexp_replace(name, "#", "-").alias("dashed"),
+        F.length(name).alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.reverse(name).alias("reversed"),
+        F.concat(F.trim(F.col("c_mktsegment")), F.lit(":"), name).alias(
+            "segment_name"
+        ),
+    )
+
+
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable train/val/test split by portable key hash — map-only,
     replay-safe, engine-reproducible (ops/sampling.py)."""
@@ -1163,6 +1220,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_unpivot": q_transform_unpivot,
         "sql_correlated": q_sql_correlated,
         "win_range_frame": q_win_range_frame,
+        "agg_revenue_filter": q_agg_revenue_filter,
+        "agg_shipping_volume": q_agg_shipping_volume,
+        "transform_strings": q_transform_strings,
     }
 
 
@@ -1884,6 +1944,33 @@ def oracle_sql() -> dict[str, str]:
                    round(l_tax, 6) FROM lineitem
         """,
         "sql_correlated": _SQL_CORRELATED_QUERY,
+        "agg_revenue_filter": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.02 AND l_discount <= 0.04
+              AND l_quantity < 24
+        """,
+        "agg_shipping_volume": """
+            SELECT CAST(year(l_shipdate) AS INT) AS ship_year, l_returnflag,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "transform_strings": """
+            SELECT c_custkey,
+                   upper(c_name) AS upper_name,
+                   substr(c_name, 1, 8) AS prefix8,
+                   replace(c_name, '#', '-') AS dashed,
+                   CAST(length(c_name) AS INT) AS name_len,
+                   lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+                   reverse(c_name) AS reversed,
+                   concat(trim(c_mktsegment), ':', c_name) AS segment_name
+            FROM customer
+        """,
         "win_range_frame": """
             SELECT user_id, event_id,
                    round(sum(value) OVER w, 6) AS trailing_1h_value,
