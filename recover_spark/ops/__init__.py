@@ -8,7 +8,10 @@ from recover_spark.ops.dedup_text import (
 )
 from recover_spark.ops.similarity import (
     brute_force_topk,
+    build_ivf_index,
     embedding_near_duplicates,
+    ivf_topk,
+    ivf_topk_indexed,
     lsh_bucketed_topk,
 )
 from recover_spark.ops.text_analysis import (
@@ -35,7 +38,10 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_signatures",
     "brute_force_topk",
+    "build_ivf_index",
     "embedding_near_duplicates",
+    "ivf_topk",
+    "ivf_topk_indexed",
     "lsh_bucketed_topk",
     "document_fingerprint",
     "language_id",

@@ -119,6 +119,48 @@ def lsh_bucketed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _collect_seeds(
+    corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> list[tuple[int, list[float]]]:
+    """Deterministic centroid seeds: the corpus rows with id < K."""
+    seeds = sorted(
+        (r[0], [float(x) for x in r[1]])
+        for r in corpus.filter(F.col(id_col) < n_centroids)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError(
+            f"no centroid seeds: corpus has no rows with {id_col} < {n_centroids}"
+        )
+    return seeds
+
+
+def _nearest_lists(seeds, vec, n: int):
+    """Columns for the n nearest centroid ids of ``vec`` (score desc,
+    cid asc tiebreak), compiled from literal centroids — map-side only.
+
+    Per-centroid score = dot(v, c)/|c|: the argmax equals the cosine
+    argmax (|v| is a common positive factor), one sqrt cheaper.
+    """
+    import math
+
+    n = min(n, len(seeds))  # over-probing beyond the list count is a no-op
+    packed = []
+    for cid, cvec in seeds:
+        cnorm = math.sqrt(sum(x * x for x in cvec))
+        carr = F.array(*[F.lit(x) for x in cvec])
+        score = F.aggregate(
+            F.zip_with(vec, carr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ) / F.lit(cnorm)
+        packed.append(F.struct(score.alias("s"), F.lit(-cid).alias("nc")))
+    # struct sort: score desc, then -cid desc == cid asc (stable tiebreak)
+    ordered = F.sort_array(F.array(*packed), asc=False)
+    return [(-ordered[i]["nc"]).cast("long") for i in range(n)]
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -148,40 +190,9 @@ def ivf_topk(
     corpus), not the corpus itself.  Per-query work drops by
     ``~n_centroids/nprobe`` vs brute force.
     """
-    import math
-
     qid = f"query_{id_col}"
-    seeds = sorted(
-        (r[0], [float(x) for x in r[1]])
-        for r in corpus.filter(F.col(id_col) < n_centroids)
-        .select(id_col, vec_col)
-        .collect()
-    )
-
-    if not seeds:
-        raise ValueError(
-            f"no centroid seeds: corpus has no rows with {id_col} < {n_centroids}"
-        )
-
-    def nearest_lists(vec, n: int):
-        # Per-centroid score = dot(v, c)/|c|; argmax equals the cosine
-        # argmax (|v| is a common positive factor), one sqrt cheaper.
-        n = min(n, len(seeds))  # over-probing beyond the list count is a no-op
-        packed = []
-        for cid, cvec in seeds:
-            cnorm = math.sqrt(sum(x * x for x in cvec))
-            carr = F.array(*[F.lit(x) for x in cvec])
-            score = F.aggregate(
-                F.zip_with(vec, carr, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ) / F.lit(cnorm)
-            packed.append(
-                F.struct(score.alias("s"), F.lit(-cid).alias("nc"))
-            )
-        # struct sort: score desc, then -cid desc == cid asc (stable tiebreak)
-        ordered = F.sort_array(F.array(*packed), asc=False)
-        return [(-ordered[i]["nc"]).cast("long") for i in range(n)]
+    seeds = _collect_seeds(corpus, n_centroids, id_col, vec_col)
+    nearest_lists = lambda vec, n: _nearest_lists(seeds, vec, n)  # noqa: E731
 
     c = corpus.withColumn("__list", nearest_lists(F.col(vec_col), 1)[0])
     q = queries.select(
@@ -276,3 +287,76 @@ def embedding_near_duplicates(
     if left.rdd.getNumPartitions() < target:
         left = left.repartition(target)
     return left.mapInPandas(block_gemm, out_schema)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    index_path: str,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist an IVF index: corpus rows partitioned by inverted list.
+
+    The build-once half of the production ANN path — assignment is a
+    map-side projection (literal centroids), and the hive layout
+    ``list=<cid>/`` makes every later probe a PARTITION-PRUNED scan:
+    a query touching ``nprobe`` of ``K`` lists reads ``nprobe/K`` of the
+    bytes, enforced by the storage layout rather than a runtime filter.
+    Centroids are stored alongside (``_centroids`` subdir) so queries
+    need no access to the original corpus.
+    """
+    seeds = _collect_seeds(corpus, n_centroids, id_col, vec_col)
+    assigned = corpus.withColumn(
+        "list", _nearest_lists(seeds, F.col(vec_col), 1)[0]
+    )
+    assigned.write.mode("overwrite").partitionBy("list").parquet(index_path)
+    spark = corpus.sparkSession
+    cent_rows = [(cid, cvec) for cid, cvec in seeds]
+    spark.createDataFrame(
+        cent_rows, f"{id_col} long, {vec_col} array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/_centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index (query-many half of build_ivf_index).
+
+    Probed list ids are computed from the stored centroids and pushed
+    into the scan as an ``IN`` predicate on the partition column — the
+    physical plan shows PartitionFilters, so unprobed lists are never
+    read from storage.  Output matches ``ivf_topk`` on the same corpus/
+    centroids.
+    """
+    qid = f"query_{id_col}"
+    seeds = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in spark.read.parquet(f"{index_path}/_centroids").collect()
+    )
+    q = queries.select(
+        F.col(id_col).alias(qid), F.col(vec_col).alias("__qvec")
+    ).select(
+        "*",
+        F.explode(
+            F.array(*_nearest_lists(seeds, F.col("__qvec"), nprobe))
+        ).alias("list"),
+    )
+    probed = sorted({r["list"] for r in q.select("list").distinct().collect()})
+    corpus = spark.read.parquet(index_path).filter(F.col("list").isin(probed))
+    cand = corpus.join(F.broadcast(q), on="list").filter(
+        F.col(id_col) != F.col(qid)
+    )
+    scored = cand.select(
+        qid,
+        id_col,
+        cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+    )
+    w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -224,3 +224,27 @@ def test_duplicate_clusters_no_pairs(spark):
         for r in duplicate_clusters(pairs, nodes).collect()
     }
     assert got == {1: 1, 2: 2}
+
+
+def test_ivf_index_roundtrip_and_partition_pruning(spark, tmp_path):
+    from recover_spark.ops import ivf_topk
+    from recover_spark.ops.similarity import build_ivf_index, ivf_topk_indexed
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 3")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_centroids=8)
+
+    direct = {
+        (r["query_vec_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk(emb, queries, n_centroids=8, nprobe=2, k=5).collect()
+    }
+    indexed_df = ivf_topk_indexed(spark, idx, queries, nprobe=2, k=5)
+    indexed = {
+        (r["query_vec_id"], r["vec_id"], r["rank"]) for r in indexed_df.collect()
+    }
+    assert indexed == direct
+
+    # the probe is enforced as partition pruning, not a post-scan filter
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list" in plan.split("PartitionFilters")[1][:120]
