@@ -559,6 +559,26 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF ANN: build the hive-partitioned inverted-list index
+    once, then answer from it with partition-pruned scans (probes never
+    read unprobed lists).  Same centroids/probe params as ``ann_ivf``,
+    so the same oracle applies."""
+    import os as _os
+
+    from recover_spark.ops.similarity import build_ivf_index, ivf_topk_indexed
+
+    emb = _load(spark, sf_dir, "embeddings")
+    sf_tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    idx = _os.path.join("spark-warehouse", f"ivf_index_{sf_tag}")
+    build_ivf_index(emb, idx, n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 3)
+    topk = ivf_topk_indexed(spark, idx, queries, nprobe=2, k=5)
+    return topk.select(
+        "query_vec_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def q_v3_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3 — expectation-suite runner (one aggregate pass), results as a
     DataFrame (run_great_expectations_on_parquet.py:223-277)."""
@@ -575,6 +595,15 @@ def q_v3_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              "kwargs": {"column": "value", "min_value": 0, "max_value": 95}},
             {"expectation_type": "expect_column_values_to_not_be_null",
              "kwargs": {"column": "ts"}},
+            {"expectation_type": "expect_column_values_to_be_in_set",
+             "kwargs": {"column": "event_type",
+                        "value_set": ["click", "view", "purchase", "signup"]}},
+            {"expectation_type": "expect_column_value_lengths_to_be_between",
+             "kwargs": {"column": "event_type", "min_value": 4, "max_value": 7}},
+            {"expectation_type": "expect_column_values_to_be_unique",
+             "kwargs": {"column": "event_id"}},
+            {"expectation_type": "expect_table_row_count_to_be_between",
+             "kwargs": {"min_value": 1, "max_value": 100000000}},
         ]
     }
     rows = [
@@ -1192,6 +1221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "stream_window_counts": q_stream_window_counts,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_indexed": q_ann_ivf_indexed,
         "v3_suite": q_v3_suite,
         "p10_cohort": q_p10_cohort,
         "a6_union_ledgers": q_a6_union_ledgers,
@@ -1359,6 +1389,13 @@ def _langid_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    out = _oracle_sql_literal()
+    # the persisted-index path answers the same query as in-memory IVF
+    out["ann_ivf_indexed"] = out["ann_ivf"]
+    return out
+
+
+def _oracle_sql_literal() -> dict[str, str]:
     return {
         "w1_dedup_latest": """
             SELECT user_id, event_type, event_id,
@@ -1715,7 +1752,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT count(*) AS n,
                        CAST(count(*) FILTER (WHERE NOT ((value >= 0 AND value <= 95)
                            OR value IS NULL)) AS BIGINT) AS bad_value,
-                       CAST(count(*) FILTER (WHERE ts IS NULL) AS BIGINT) AS bad_ts
+                       CAST(count(*) FILTER (WHERE ts IS NULL) AS BIGINT) AS bad_ts,
+                       CAST(count(*) FILTER (WHERE NOT (
+                           event_type IN ('click','view','purchase','signup')
+                           OR event_type IS NULL)) AS BIGINT) AS bad_set,
+                       CAST(count(*) FILTER (WHERE NOT (
+                           (length(event_type) >= 4 AND length(event_type) <= 7)
+                           OR event_type IS NULL)) AS BIGINT) AS bad_len,
+                       CAST(count(event_id) AS BIGINT) AS n_eid,
+                       CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT)
+                           AS bad_eid
                 FROM events)
             SELECT 'expect_column_to_exist' AS expectation_type,
                    'props' AS column_name, TRUE AS success,
@@ -1729,6 +1775,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'expect_column_values_to_not_be_null', 'ts',
                    bad_ts = 0, n, bad_ts FROM agg
+            UNION ALL
+            SELECT 'expect_column_values_to_be_in_set', 'event_type',
+                   bad_set = 0, n, bad_set FROM agg
+            UNION ALL
+            SELECT 'expect_column_value_lengths_to_be_between', 'event_type',
+                   bad_len = 0, n, bad_len FROM agg
+            UNION ALL
+            SELECT 'expect_column_values_to_be_unique', 'event_id',
+                   bad_eid = 0, n_eid, bad_eid FROM agg
+            UNION ALL
+            SELECT 'expect_table_row_count_to_be_between', NULL,
+                   n >= 1 AND n <= 100000000, n, 0 FROM agg
         """,
         "p10_cohort": """
             WITH keyed AS (

@@ -59,6 +59,19 @@ def main() -> None:
             entrymod._load(spark, sf_dir, t).count()
         except Exception:
             pass
+    # Warm-up 2: run every headline query once at the smallest SF so
+    # one-time costs (whole-stage-codegen compilation, Python/Arrow
+    # worker startup, broadcast machinery) are paid before timing —
+    # the numbers below measure steady-state execution at the target
+    # SF, not first-query JVM warm-up.
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        try:
+            qs[name](spark, warm_dir).count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

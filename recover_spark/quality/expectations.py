@@ -99,6 +99,58 @@ def run_suite(df: DataFrame, suite: list[Expectation] | str | dict) -> list[Expe
             aggs.append(F.count(F.lit(1)).alias(f"n_{i}"))
             aggs.append(F.sum(F.col(col).isNull().cast("long")).alias(f"bad_{i}"))
             agg_slots.append((i, exp))
+        elif exp.expectation_type == "expect_column_values_to_be_in_set":
+            if col not in df.columns:
+                results.append(
+                    ExpectationResult(
+                        exp.expectation_type, col, False, details={"error": "missing column"}
+                    )
+                )
+                continue
+            vals = list(exp.kwargs.get("value_set", []))
+            # GE default: nulls are skipped, not unexpected
+            ok = F.col(col).isin(vals) | F.col(col).isNull()
+            aggs.append(F.count(F.lit(1)).alias(f"n_{i}"))
+            aggs.append(F.sum((~ok).cast("long")).alias(f"bad_{i}"))
+            agg_slots.append((i, exp))
+        elif exp.expectation_type == "expect_column_value_lengths_to_be_between":
+            if col not in df.columns:
+                results.append(
+                    ExpectationResult(
+                        exp.expectation_type, col, False, details={"error": "missing column"}
+                    )
+                )
+                continue
+            ln = F.length(F.col(col))
+            lo, hi = exp.kwargs.get("min_value"), exp.kwargs.get("max_value")
+            ok = F.lit(True)
+            if lo is not None:
+                ok = ok & (ln >= F.lit(int(lo)))
+            if hi is not None:
+                ok = ok & (ln <= F.lit(int(hi)))
+            ok = ok | F.col(col).isNull()
+            aggs.append(F.count(F.lit(1)).alias(f"n_{i}"))
+            aggs.append(F.sum((~ok).cast("long")).alias(f"bad_{i}"))
+            agg_slots.append((i, exp))
+        elif exp.expectation_type == "expect_column_values_to_be_unique":
+            if col not in df.columns:
+                results.append(
+                    ExpectationResult(
+                        exp.expectation_type, col, False, details={"error": "missing column"}
+                    )
+                )
+                continue
+            # unexpected = surplus copies beyond one per distinct value;
+            # count/count_distinct stay inside the one aggregate pass
+            aggs.append(F.count(F.col(col)).alias(f"n_{i}"))
+            aggs.append(
+                (F.count(F.col(col)) - F.countDistinct(F.col(col))).alias(f"bad_{i}")
+            )
+            agg_slots.append((i, exp))
+        elif exp.expectation_type == "expect_table_row_count_to_be_between":
+            aggs.append(F.count(F.lit(1)).alias(f"n_{i}"))
+            aggs.append(F.lit(0).cast("long").alias(f"bad_{i}"))
+            agg_slots.append((i, exp))
         else:
             results.append(
                 ExpectationResult(
@@ -111,8 +163,13 @@ def run_suite(df: DataFrame, suite: list[Expectation] | str | dict) -> list[Expe
         for i, exp in agg_slots:
             n = row[f"n_{i}"] or 0
             bad = row[f"bad_{i}"] or 0
-            mostly = float(exp.kwargs.get("mostly", 1.0))
-            success = (n == 0) or ((n - bad) / n >= mostly)
+            if exp.expectation_type == "expect_table_row_count_to_be_between":
+                lo = exp.kwargs.get("min_value")
+                hi = exp.kwargs.get("max_value")
+                success = (lo is None or n >= lo) and (hi is None or n <= hi)
+            else:
+                mostly = float(exp.kwargs.get("mostly", 1.0))
+                success = (n == 0) or ((n - bad) / n >= mostly)
             results.append(
                 ExpectationResult(
                     exp.expectation_type,

@@ -97,3 +97,30 @@ def reconcile_manifests(
     return source_manifest.join(
         F.broadcast(sink_manifest.select(*key_cols)), on=list(key_cols), how="left_anti"
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """True-streaming replay-safe dedup: ``dropDuplicatesWithinWatermark``.
+
+    The streaming twin of W1 keyed dedup — at-least-once file replay
+    (raw_sync re-publication) becomes exactly-once output, with state
+    BOUNDED by the watermark instead of growing with the key universe:
+    a key's state is evicted once the event-time watermark passes it,
+    so 100 TB of history costs nothing; only the in-flight horizon
+    (one replay window) is held.  Replays later than the watermark are
+    instead absorbed by the batch W1 dedup downstream, the same
+    two-layer argument the reference relies on.
+
+    Works on batch DataFrames too (plain dropDuplicates on the keys)
+    so the contract is testable in both modes.
+    """
+    if not events.isStreaming:
+        return events.dropDuplicates(list(key_cols))
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -77,3 +77,49 @@ def test_stage_counts_and_union(spark):
     rows = {(r.export_end_date, r.stage): r.record_count for r in ledger.collect()}
     assert rows[("2023-01-01", "READ")] == 2
     assert sum(v for (_, s), v in rows.items() if s == "WRITE") == 2
+
+
+def test_in_set_lengths_unique_rowcount(spark):
+    df = spark.createDataFrame(
+        [(1, "click"), (2, "view"), (3, "zap"), (3, None)],
+        "event_id int, event_type string",
+    )
+    suite = [
+        {"expectation_type": "expect_column_values_to_be_in_set",
+         "kwargs": {"column": "event_type", "value_set": ["click", "view"]}},
+        {"expectation_type": "expect_column_value_lengths_to_be_between",
+         "kwargs": {"column": "event_type", "min_value": 4, "max_value": 5}},
+        {"expectation_type": "expect_column_values_to_be_unique",
+         "kwargs": {"column": "event_id"}},
+        {"expectation_type": "expect_table_row_count_to_be_between",
+         "kwargs": {"min_value": 1, "max_value": 3}},
+    ]
+    by_type = {r.expectation_type: r for r in run_suite(df, suite)}
+
+    r = by_type["expect_column_values_to_be_in_set"]
+    assert not r.success and r.unexpected_count == 1  # 'zap'; null skipped
+
+    r = by_type["expect_column_value_lengths_to_be_between"]
+    assert not r.success and r.unexpected_count == 1  # len('zap')=3
+
+    r = by_type["expect_column_values_to_be_unique"]
+    assert not r.success
+    assert r.element_count == 4 and r.unexpected_count == 1  # one surplus 3
+
+    r = by_type["expect_table_row_count_to_be_between"]
+    assert not r.success and r.element_count == 4  # 4 rows > max 3
+
+
+def test_in_set_missing_column_and_mostly(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("b",), ("c",)], "v string")
+    res = run_suite(
+        df,
+        [
+            {"expectation_type": "expect_column_values_to_be_in_set",
+             "kwargs": {"column": "nope", "value_set": ["a"]}},
+            {"expectation_type": "expect_column_values_to_be_in_set",
+             "kwargs": {"column": "v", "value_set": ["a", "b"], "mostly": 0.7}},
+        ],
+    )
+    assert not res[0].success and res[0].details == {"error": "missing column"}
+    assert res[1].success  # 3/4 = 0.75 >= 0.7

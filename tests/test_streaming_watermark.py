@@ -138,3 +138,78 @@ def test_incremental_matview_equals_full_recompute(spark, tmp_path):
         for r in spark.read.parquet(state).collect()
     }
     assert again == got
+
+
+def test_dedup_stream_replay_exactly_once(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside a run collapse,
+    and a key replayed in a LATER availableNow run (same checkpoint)
+    is still suppressed by state restored from the checkpoint."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from recover_spark.streaming import dedup_stream
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("v", T.StringType()),
+        ]
+    )
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .json(str(src))
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        q = (
+            dedup_stream(stream, key_cols=("event_id",), watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("checkpointLocation", str(ckpt))
+            .option("path", str(out))
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_batch(
+        str(src / "a.json"),
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:00:00", "v": "first"},
+            {"event_id": 1, "ts": "2024-01-01 10:00:05", "v": "intra-dup"},
+            {"event_id": 2, "ts": "2024-01-01 10:01:00", "v": "first"},
+        ],
+        mtime_offset_s=-60,
+    )
+    run_once()
+
+    # replayed delivery of event 2 plus a genuinely new event 3,
+    # inside the 1 h watermark horizon
+    _write_batch(
+        str(src / "b.json"),
+        [
+            {"event_id": 2, "ts": "2024-01-01 10:20:00", "v": "replay"},
+            {"event_id": 3, "ts": "2024-01-01 10:21:00", "v": "first"},
+        ],
+        mtime_offset_s=-30,
+    )
+    run_once()
+
+    got = {
+        (r["event_id"], r["v"]) for r in spark.read.parquet(str(out)).collect()
+    }
+    assert {eid for eid, _ in got} == {1, 2, 3}
+    assert len(got) == 3  # one row per key
+    assert ("2", "replay") not in got and (2, "replay") not in got
+
+    # batch mode: same call is a plain keyed dropDuplicates
+    batch = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "event_id long, v string"
+    )
+    assert dedup_stream(batch, key_cols=("event_id",)).count() == 2
