@@ -1182,6 +1182,98 @@ def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Contract functions
 # ---------------------------------------------------------------------------
 
+def q_agg_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: two-level aggregation — orders per customer
+    (left join keeps zero-order customers), then the distribution of
+    those counts.  Both shuffles operate on shrinking data (fact ->
+    per-customer -> per-count)."""
+    customer = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q_join_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (argmin join) done Spark-first: per-nation
+    cheapest supplier via ORDERED-STRUCT MIN — one partial-aggregated
+    shuffle, no join-back and no window sort.  min(struct(bal, key,
+    name)) compares lexicographically, so the struct IS the argmin with
+    a deterministic suppkey tiebreak."""
+    supplier = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    best = (
+        supplier.groupBy("s_nationkey")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("s_acctbal"), F.col("s_suppkey"), F.col("s_name")
+                )
+            ).alias("b")
+        )
+        .select(
+            "s_nationkey",
+            F.col("b.s_suppkey").alias("s_suppkey"),
+            F.col("b.s_name").alias("s_name"),
+            F.round("b.s_acctbal", 2).alias("min_acctbal"),
+        )
+    )
+    return best.join(
+        F.broadcast(nation),
+        best.s_nationkey == nation.n_nationkey,
+    ).select("s_nationkey", "n_name", "s_suppkey", "s_name", "min_acctbal")
+
+
+def q_join_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds a
+    threshold — the IN-(grouped HAVING) subquery becomes an aggregate +
+    equi-join; the HAVING filter shrinks the build side BEFORE the join
+    so only qualifying keys shuffle."""
+    orders = _load(spark, sf_dir, "orders")
+    lineitem = _load(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    return orders.join(
+        big, orders.o_orderkey == big.l_orderkey
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.round("total_qty", 2).alias("total_qty"),
+    )
+
+
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic lag/lead: per-user event-to-event value delta and the
+    next event's type — one hash shuffle on user_id, one in-partition
+    sort, both window functions share the frame."""
+    from pyspark.sql import Window
+
+    events = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.col("value") - F.lag("value").over(w), 6
+        ).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -1253,6 +1345,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_revenue_filter": q_agg_revenue_filter,
         "agg_shipping_volume": q_agg_shipping_volume,
         "transform_strings": q_transform_strings,
+        "agg_custdist": q_agg_custdist,
+        "join_argmin": q_join_argmin,
+        "join_large_orders": q_join_large_orders,
+        "win_lag_lead": q_win_lag_lead,
     }
 
 
@@ -2037,5 +2133,47 @@ def _oracle_sql_literal() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                          RANGE BETWEEN 3600000000 PRECEDING
                                    AND CURRENT ROW)
+        """,
+        "agg_custdist": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c.c_custkey,
+                       CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+                FROM customer c
+                LEFT OUTER JOIN (
+                    SELECT * FROM orders
+                    WHERE o_orderpriority <> '1-URGENT') o
+                  ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey)
+            GROUP BY c_count
+        """,
+        "join_argmin": """
+            WITH ranked AS (
+                SELECT s_nationkey, s_suppkey, s_name, s_acctbal,
+                       row_number() OVER (PARTITION BY s_nationkey
+                           ORDER BY s_acctbal ASC, s_suppkey ASC) AS rn
+                FROM supplier)
+            SELECT r.s_nationkey, n.n_name, r.s_suppkey, r.s_name,
+                   round(r.s_acctbal, 2) AS min_acctbal
+            FROM ranked r JOIN nation n ON r.s_nationkey = n.n_nationkey
+            WHERE r.rn = 1
+        """,
+        "join_large_orders": """
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   round(o.o_totalprice, 2) AS o_totalprice,
+                   round(b.total_qty, 2) AS total_qty
+            FROM orders o
+            JOIN (
+                SELECT l_orderkey, sum(l_quantity) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > 200) b
+              ON o.o_orderkey = b.l_orderkey
+        """,
+        "win_lag_lead": """
+            SELECT user_id, event_id,
+                   round(value - lag(value) OVER w, 6) AS delta_prev,
+                   lead(event_type) OVER w AS next_type
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
     }
