@@ -39,6 +39,12 @@ HEADLINE = [
     "join_range",
     "win_moving_avg",
     "agg_rollup",
+    "ann_ivf_indexed",
+    "ann_quantized",
+    "agg_custdist",
+    "join_large_orders",
+    "win_lag_lead",
+    "skew_hitters",
 ]
 
 

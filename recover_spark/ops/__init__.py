@@ -13,6 +13,8 @@ from recover_spark.ops.similarity import (
     ivf_topk,
     ivf_topk_indexed,
     lsh_bucketed_topk,
+    quantize_embeddings,
+    quantized_cosine_topk,
 )
 from recover_spark.ops.text_analysis import (
     document_fingerprint,
@@ -21,6 +23,7 @@ from recover_spark.ops.text_analysis import (
     text_profile,
 )
 from recover_spark.ops.sampling import (
+    heavy_hitters,
     histogram,
     stable_sample,
     stable_split,
@@ -29,6 +32,7 @@ from recover_spark.ops.sampling import (
 __all__ = [
     "duplicate_clusters",
     "quality_filter",
+    "heavy_hitters",
     "histogram",
     "stable_sample",
     "stable_split",
@@ -43,6 +47,8 @@ __all__ = [
     "ivf_topk",
     "ivf_topk_indexed",
     "lsh_bucketed_topk",
+    "quantize_embeddings",
+    "quantized_cosine_topk",
     "document_fingerprint",
     "language_id",
     "text_profile",

@@ -98,3 +98,36 @@ def histogram(
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("bin_start", (F.col("bin") * F.lit(bin_width)).cast("double"))
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Skew diagnosis: the top-N most frequent key combinations with
+    their share of all rows — the pass run before choosing a join
+    strategy (broadcast? salt? AQE skew split?).
+
+    Scale shape: one partial-aggregated groupBy shuffle, then
+    ``orderBy(...).limit(n)`` which Spark executes as TakeOrderedAndProject
+    (per-partition top-N heaps, no global sort), then the scalar total
+    attached by broadcasting a one-row frame.  Nothing after the groupBy
+    touches more than key-cardinality rows.
+    """
+    from pyspark.sql import Window
+
+    keys = [F.col(c) for c in key_cols]
+    grouped = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    top = grouped.orderBy(F.col("n_rows").desc(), *keys).limit(top_n)
+    total = df.groupBy().agg(F.count(F.lit(1)).alias("__total"))
+    w = Window.orderBy(F.col("n_rows").desc(), *keys)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+    )

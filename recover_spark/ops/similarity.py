@@ -360,3 +360,80 @@ def ivf_topk_indexed(
     )
     w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 quantization: per-vector max-abs scale.
+
+    The memory half of the production ANN path — an int8 corpus is 4x
+    smaller than float32 (8x vs float64), which at 100 TB of vectors is
+    the difference between spilling and an in-memory broadcast of each
+    IVF list.  ``q[i] = floor(v[i] / scale * 127 + 0.5)`` with
+    ``scale = max(|v|)`` (``floor(x+0.5)`` rather than round() so the
+    halfway rule is engine-portable); zero vectors quantize to zeros
+    with scale 0.  Reconstruction is ``q[i]/127*scale``; dot products
+    run on integers and rescale once per pair.
+
+    Pure column expressions (no UDF): one map-side pass, no shuffle.
+    """
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    safe = F.when(scale > 0, scale).otherwise(F.lit(1.0))
+    quant = F.transform(
+        v,
+        lambda x: F.floor(x.cast("double") / safe * 127 + F.lit(0.5)).cast("int"),
+    )
+    return df.select(
+        F.col(id_col),
+        quant.alias("q_embedding"),
+        F.round(scale, 6).alias("q_scale"),
+    )
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k over int8-quantized vectors.
+
+    Shows the quantized scale path end-to-end: integer dot products on
+    the 4x-smaller representation, one rescale per pair.  Cosine is
+    scale-invariant, so the per-vector scales cancel — scores differ
+    from float cosine only by quantization noise (|err| <~ 1/127 per
+    component).
+    """
+    cq = quantize_embeddings(corpus, vec_col, id_col)
+    qq = quantize_embeddings(queries, vec_col, id_col).select(
+        F.col(id_col).alias(f"query_{id_col}"),
+        F.col("q_embedding").alias("__qq"),
+    )
+    qid = f"query_{id_col}"
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    pairs = cq.join(F.broadcast(qq), F.col(id_col) != F.col(qid))
+    scored = pairs.select(
+        qid,
+        id_col,
+        (
+            idot(F.col("q_embedding"), F.col("__qq")).cast("double")
+            / (
+                F.sqrt(idot(F.col("q_embedding"), F.col("q_embedding")).cast("double"))
+                * F.sqrt(idot(F.col("__qq"), F.col("__qq")).cast("double"))
+            )
+        ).alias("qcosine"),
+    )
+    w = Window.partitionBy(qid).orderBy(F.col("qcosine").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

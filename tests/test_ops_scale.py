@@ -248,3 +248,49 @@ def test_ivf_index_roundtrip_and_partition_pruning(spark, tmp_path):
     # the probe is enforced as partition pruning, not a post-scan filter
     plan = indexed_df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "list" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from recover_spark.ops import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert rows[1]["q_scale"] == 1.0
+    assert rows[1]["q_embedding"] == [127, -63, 32]  # floor(x+0.5) halfway rule
+    assert rows[2]["q_embedding"] == [0, 0, 0] and rows[2]["q_scale"] == 0.0
+
+
+def test_quantized_cosine_close_to_float(spark):
+    from recover_spark.ops import brute_force_topk, quantized_cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter("vec_id < 2")
+    fl = {
+        (r["query_vec_id"], r["vec_id"]): r["cosine"]
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    qz = {
+        (r["query_vec_id"], r["vec_id"]): r["qcosine"]
+        for r in quantized_cosine_topk(emb, queries, k=5).collect()
+    }
+    # int8 noise is bounded: shared pairs agree to ~2 decimal places
+    shared = set(fl) & set(qz)
+    assert len(shared) >= 6
+    assert all(abs(fl[p] - qz[p]) < 0.02 for p in shared)
+
+
+def test_heavy_hitters_counts_and_plan(spark):
+    from recover_spark.ops import heavy_hitters
+
+    df = spark.createDataFrame(
+        [(k,) for k in ["a"] * 5 + ["b"] * 3 + ["c"] * 2], "k string"
+    )
+    hh = heavy_hitters(df, ["k"], top_n=2)
+    got = [(r["k"], r["n_rows"], r["share"], r["rank"]) for r in hh.collect()]
+    assert got == [("a", 5, 0.5, 1), ("b", 3, 0.3, 2)]
+    # top-N must be TakeOrdered (per-partition heaps), not a global sort
+    plan = hh._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
