@@ -1319,6 +1319,54 @@ def q_skew_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(events, ["user_id"], top_n=10)
 
 
+def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resampling with forward fill over the event
+    stream (operators/temporal.py): dense grid from first to last
+    observation per user, latest-in-bucket value, gaps forward-filled."""
+    from recover_spark.operators import resample_forward_fill
+
+    events = _load(spark, sf_dir, "events")
+    out = resample_forward_fill(
+        events, key_col="user_id", ts_col="ts", value_col="value",
+        interval_s=3600,
+    )
+    return out.select(
+        "user_id", "bucket_start", F.round("value", 6).alias("value"), "filled"
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert (operators/merge.py): customers with
+    acctbal < 0 get a derived update batch (segment rewrite), key
+    5000..5499 inserts as new rows, BUILDING-segment negatives are
+    delete-marked.  One broadcast full-outer join."""
+    from recover_spark.operators import merge_upsert
+
+    customer = _load(spark, sf_dir, "customer")
+    target = customer.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    updates = customer.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey"),
+        F.col("c_name"),
+        F.round(-F.col("c_acctbal"), 2).alias("c_acctbal"),
+        F.lit("RECOVERED").alias("c_mktsegment"),
+        (F.col("c_mktsegment") == "BUILDING").alias("is_deleted"),
+    ).unionByName(
+        customer.filter(F.col("c_custkey") < 500).select(
+            (F.col("c_custkey") + 1_000_000).alias("c_custkey"),
+            F.concat(F.lit("NEW#"), F.col("c_name")).alias("c_name"),
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("STARTUP").alias("c_mktsegment"),
+            F.lit(False).alias("is_deleted"),
+        )
+    )
+    return merge_upsert(
+        target, updates, keys=["c_custkey"], delete_col="is_deleted"
+    ).withColumnRenamed("__merge_op", "merge_op")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -1397,6 +1445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": q_emb_quantize,
         "ann_quantized": q_ann_quantized,
         "skew_hitters": q_skew_hitters,
+        "ts_resample": q_ts_resample,
+        "merge_upsert": q_merge_upsert,
     }
 
 
@@ -2269,6 +2319,71 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY query_vec_id
                       ORDER BY qc DESC, vec_id ASC) AS rank FROM cand)
             WHERE rank <= 5
+        """,
+        "ts_resample": """
+            WITH b AS (
+                SELECT user_id,
+                       CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600
+                           AS bucket_start,
+                       ts, value
+                FROM events),
+            pb AS (
+                SELECT user_id, bucket_start, value AS observed
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY user_id, bucket_start
+                          ORDER BY ts DESC, value DESC) AS rn FROM b)
+                WHERE rn = 1),
+            bounds AS (
+                SELECT user_id, min(bucket_start) AS lo, max(bucket_start) AS hi
+                FROM b GROUP BY user_id),
+            grid AS (
+                SELECT user_id, unnest(range(lo, hi + 3600, 3600))
+                    AS bucket_start
+                FROM bounds),
+            j AS (
+                SELECT g.user_id, g.bucket_start, pb.observed
+                FROM grid g LEFT JOIN pb
+                  ON g.user_id = pb.user_id
+                 AND g.bucket_start = pb.bucket_start)
+            SELECT user_id, bucket_start,
+                   round(last_value(observed IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY bucket_start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                       AS value,
+                   observed IS NULL AS filled
+            FROM j
+        """,
+        "merge_upsert": """
+            WITH target AS (
+                SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal,
+                       c_mktsegment
+                FROM customer),
+            upd AS (
+                SELECT c_custkey, c_name, round(-c_acctbal, 2) AS c_acctbal,
+                       'RECOVERED' AS c_mktsegment,
+                       c_mktsegment = 'BUILDING' AS is_deleted
+                FROM customer WHERE c_acctbal < 0
+                UNION ALL
+                SELECT c_custkey + 1000000, 'NEW#' || c_name, 0.0, 'STARTUP',
+                       FALSE
+                FROM customer WHERE c_custkey < 500),
+            j AS (
+                SELECT coalesce(t.c_custkey, u.c_custkey) AS c_custkey,
+                       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name
+                            ELSE t.c_name END AS c_name,
+                       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+                            ELSE t.c_acctbal END AS c_acctbal,
+                       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment
+                            ELSE t.c_mktsegment END AS c_mktsegment,
+                       CASE WHEN u.c_custkey IS NOT NULL
+                                 AND t.c_custkey IS NOT NULL THEN 'update'
+                            WHEN u.c_custkey IS NOT NULL THEN 'insert'
+                            ELSE 'keep' END AS merge_op,
+                       coalesce(u.is_deleted, FALSE) AS del
+                FROM target t FULL OUTER JOIN upd u
+                  ON t.c_custkey = u.c_custkey)
+            SELECT c_custkey, c_name, c_acctbal, c_mktsegment, merge_op
+            FROM j WHERE NOT del
         """,
         "skew_hitters": """
             WITH g AS (

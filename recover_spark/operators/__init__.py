@@ -9,7 +9,8 @@ from recover_spark.operators.audit import (
     stage_counts,
     union_ledgers,
 )
-from recover_spark.operators.temporal import asof_join, range_join
+from recover_spark.operators.merge import merge_upsert
+from recover_spark.operators.temporal import asof_join, range_join, resample_forward_fill
 from recover_spark.operators.analytics import (
     distinct_stats,
     moving_stats,
@@ -20,6 +21,8 @@ from recover_spark.operators.analytics import (
 __all__ = [
     "asof_join",
     "range_join",
+    "resample_forward_fill",
+    "merge_upsert",
     "distinct_stats",
     "moving_stats",
     "rollup_aggregate",

@@ -156,3 +156,79 @@ def range_join(
         & (F.col(point_ts) < F.col(interval_end))
     )
     return joined.drop("__bucket")
+
+
+def resample_forward_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    interval_s: int = 3600,
+) -> DataFrame:
+    """Per-key fixed-interval resampling with forward fill.
+
+    The canonical wearable/time-series regularization the reference's
+    domain needs downstream (irregular device samples -> a dense,
+    equally-spaced grid): per key, buckets of ``interval_s`` seconds
+    from the key's first to last observation; each bucket takes its
+    LATEST observation (argmax by (ts, value) via ordered-struct max —
+    deterministic under ts ties, no window pass); empty buckets forward-fill the
+    previous value with ``last(..., ignorenulls)``.
+
+    Scale shape: one groupBy shuffle on (key, bucket) with map-side
+    partial argmax, a per-key bounds aggregate feeding a generated grid
+    (``sequence`` + ``explode`` — rows materialize distributed, never
+    on the driver), a key-bucket equi-join, and one window pass keyed
+    on ``key_col``.  Everything shuffles on the key, so AQE skew
+    handling applies; grid size is bounded by timespan/interval per
+    key, independent of observation count.
+
+    Output: (key, bucket_start epoch-seconds, value, filled flag).
+    """
+    us = F.lit(int(interval_s) * 1_000_000)
+    bucket = (
+        (F.unix_micros(F.col(ts_col)) / us).cast("long") * F.lit(int(interval_s))
+    ).alias("bucket_start")
+
+    per_bucket = (
+        df.select(F.col(key_col), bucket, F.col(ts_col), F.col(value_col))
+        .groupBy(key_col, "bucket_start")
+        .agg(
+            F.max(F.struct(F.col(ts_col), F.col(value_col))).alias("__best")
+        )
+        .select(
+            key_col,
+            "bucket_start",
+            F.col(f"__best.{value_col}").alias("__observed"),
+        )
+    )
+
+    grid = (
+        df.select(F.col(key_col), bucket)
+        .groupBy(key_col)
+        .agg(
+            F.min("bucket_start").alias("__lo"),
+            F.max("bucket_start").alias("__hi"),
+        )
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("__lo", "__hi", F.lit(int(interval_s)))
+            ).alias("bucket_start"),
+        )
+    )
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(per_bucket, [key_col, "bucket_start"], "left")
+        .select(
+            key_col,
+            "bucket_start",
+            F.last("__observed", ignorenulls=True).over(w).alias(value_col),
+            F.col("__observed").isNull().alias("filled"),
+        )
+    )

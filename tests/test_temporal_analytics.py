@@ -224,3 +224,66 @@ class TestSampling:
         )
         rows = {r["bin"]: r["n"] for r in histogram(df, "v", 10.0).collect()}
         assert rows == {0: 2, 1: 1, 2: 1}
+
+
+def test_resample_forward_fill_grid_and_fill(spark):
+    from recover_spark.operators import resample_forward_fill
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:10:00", 10.0),
+            (1, "2024-01-01 00:50:00", 20.0),  # same bucket, later ts wins
+            (1, "2024-01-01 03:05:00", 40.0),  # 2 empty buckets between
+            (2, "2024-01-01 05:00:00", 99.0),  # single-point key
+        ],
+        "user_id long, ts string, value double",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "value")
+    got = {
+        (r["user_id"], r["bucket_start"]): (r["value"], r["filled"])
+        for r in resample_forward_fill(df, "user_id").collect()
+    }
+    h = 3600
+    base = 1704067200  # 2024-01-01 00:00:00 UTC epoch seconds
+    assert got[(1, base)] == (20.0, False)       # latest-in-bucket
+    assert got[(1, base + h)] == (20.0, True)    # forward-filled
+    assert got[(1, base + 2 * h)] == (20.0, True)
+    assert got[(1, base + 3 * h)] == (40.0, False)
+    assert got[(2, base + 5 * h)] == (99.0, False)
+    assert len(got) == 5  # dense grid per key, nothing beyond bounds
+
+
+def test_merge_upsert_semantics(spark):
+    from recover_spark.operators import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    updates = spark.createDataFrame(
+        [
+            (2, "b2", None, False),   # update (intentionally nulls v)
+            (3, "c", 30.0, True),     # delete
+            (4, "d", 40.0, False),    # insert
+        ],
+        "k long, name string, v double, is_deleted boolean",
+    )
+    got = {
+        r["k"]: (r["name"], r["v"], r["__merge_op"])
+        for r in merge_upsert(target, updates, ["k"], "is_deleted").collect()
+    }
+    assert got == {
+        1: ("a", 10.0, "keep"),
+        2: ("b2", None, "update"),   # update wins even with null value
+        4: ("d", 40.0, "insert"),
+    }
+
+
+def test_merge_upsert_missing_value_col_raises(spark):
+    import pytest
+
+    from recover_spark.operators import merge_upsert
+
+    target = spark.createDataFrame([(1, "a")], "k long, name string")
+    updates = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ValueError, match="missing value columns"):
+        merge_upsert(target, updates, ["k"])
