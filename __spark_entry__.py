@@ -1367,6 +1367,16 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("__merge_op", "merge_op")
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal: 10-word spans occurring in >1
+    distinct document are dropped corpus-wide, texts reassembled
+    (ops/dedup_text.py)."""
+    from recover_spark.ops import remove_repeated_spans
+
+    docs = _load(spark, sf_dir, "documents")
+    return remove_repeated_spans(docs, span_words=10, max_docs=1)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -1447,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_hitters": q_skew_hitters,
         "ts_resample": q_ts_resample,
         "merge_upsert": q_merge_upsert,
+        "dedup_spans": q_dedup_spans,
     }
 
 
@@ -2352,6 +2363,26 @@ def _oracle_sql_literal() -> dict[str, str]:
                        AS value,
                    observed IS NULL AS filled
             FROM j
+        """,
+        "dedup_spans": r"""
+            WITH toks AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                FROM documents),
+            spans AS (
+                SELECT doc_id, i AS pos,
+                       array_to_string(t[i*10+1 : i*10+10], ' ') AS span
+                FROM toks, UNNEST(range(0, CAST(ceil(len(t)/10.0) AS BIGINT)))
+                     AS u(i)),
+            counts AS (
+                SELECT span, count(DISTINCT doc_id) AS nd
+                FROM spans GROUP BY span),
+            kept AS (
+                SELECT s.doc_id, s.pos, s.span
+                FROM spans s JOIN counts c ON s.span = c.span
+                WHERE c.nd <= 1)
+            SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text,
+                   CAST(count(*) AS BIGINT) AS n_spans_kept
+            FROM kept GROUP BY doc_id
         """,
         "merge_upsert": """
             WITH target AS (

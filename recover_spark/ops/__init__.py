@@ -4,6 +4,7 @@ from recover_spark.ops.dedup_text import (
     minhash_near_duplicates,
     minhash_signatures,
     ngram_jaccard_pairs,
+    remove_repeated_spans,
     simhash_signatures,
 )
 from recover_spark.ops.similarity import (
@@ -40,6 +41,7 @@ __all__ = [
     "minhash_near_duplicates",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "remove_repeated_spans",
     "simhash_signatures",
     "brute_force_topk",
     "build_ivf_index",

@@ -314,3 +314,59 @@ def duplicate_clusters(
     return labels.select(
         F.col("node").alias(node_col), F.col("label").alias("cluster")
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 10,
+    max_docs: int = 1,
+) -> DataFrame:
+    """C4-style boilerplate removal at span granularity: drop every
+    fixed-width word span whose exact content appears in more than
+    ``max_docs`` distinct documents, and reassemble the survivors in
+    order.  (C4 does this per line; the corpus here is unstructured
+    text, so the unit is a ``span_words``-word chunk.)
+
+    Scale shape: explode to spans (map-side), ONE groupBy on span
+    content counting distinct docs (partial aggregation collapses
+    within-doc repeats map-side), an equi-join back on span content,
+    then a per-doc reassembly aggregate — order restored via
+    ``array_sort`` over (position, span) structs, so reassembly is a
+    plain shuffle-agg, not a window sort.  Span content as join key is
+    fine at 10 words; at 100 TB swap in md5(span) to shrink shuffle
+    payloads (identical semantics, the hash only keys the count join).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_spans = F.ceil(F.size(toks) / F.lit(span_words)).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * span_words + 1, span_words), " "
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(spans).alias("pos", "span")
+    )
+    counts = exploded.groupBy("span").agg(
+        F.countDistinct(id_col).alias("__n_docs")
+    )
+    kept = exploded.join(counts, "span").filter(
+        F.col("__n_docs") <= max_docs
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "span"))
+                    ),
+                    lambda s: s["span"],
+                ),
+                " ",
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_spans_kept"),
+        )
+    )

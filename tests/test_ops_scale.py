@@ -294,3 +294,26 @@ def test_heavy_hitters_counts_and_plan(spark):
     # top-N must be TakeOrdered (per-partition heaps), not a global sort
     plan = hh._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_remove_repeated_spans(spark):
+    from recover_spark.ops import remove_repeated_spans
+
+    boiler = "the quick brown fox jumps over the lazy dog again"  # 10 words
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " unique alpha text one two three four five six seven"),
+            (2, boiler + " other beta words eight nine ten eleven twelve thirteen x"),
+            (3, "standalone gamma document with completely original content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_spans_kept"])
+        for r in remove_repeated_spans(docs, span_words=10, max_docs=1).collect()
+    }
+    # the shared 10-word prefix span is dropped from docs 1 and 2
+    assert got[1] == ("unique alpha text one two three four five six seven", 1)
+    assert got[2][0].startswith("other beta words")
+    assert got[3][1] == 1 and got[3][0].startswith("standalone gamma")
+    assert not any(boiler in t for t, _ in got.values())
