@@ -1,0 +1,61 @@
+"""Watermarked stream-stream join (§2.9 extension surface).
+
+The reference correlates two event flows only in batch (J4 audit
+merge: access counts vs creation counts).  The streaming-native
+version is a stream-stream equi-join with an event-time range bound:
+each side is watermarked, and the join condition's time range tells
+Spark exactly how long a row must be buffered before it can be
+dropped — state stays BOUNDED by (watermark + range), independent of
+stream length.  Without the time bound, stream-stream join state
+grows forever; with it, this runs indefinitely at any scale.
+
+Batch DataFrames take the same code path minus watermarks (the range
+predicate alone), so the join semantics are testable against a plain
+batch join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Join rows of ``right`` to ``left`` on ``key`` where the right
+    event happens within ``[left_ts, left_ts + max_delay]``.
+
+    Column names on the right side are suffixed ``_r`` (key excluded)
+    so both event times survive into the output.  On streaming inputs
+    both sides get ``withWatermark`` — required by Spark to bound join
+    state and emit in append mode.
+    """
+    lt = left
+    rt = right.select(
+        F.col(key),
+        *[
+            F.col(c).alias(f"{c}_r")
+            for c in right.columns
+            if c != key
+        ],
+    )
+    if lt.isStreaming:
+        lt = lt.withWatermark(left_ts, watermark)
+    if rt.isStreaming:
+        rt = rt.withWatermark(f"{right_ts}_r", watermark)
+    cond = (
+        (lt[key] == rt[key])
+        & (F.col(f"{right_ts}_r") >= F.col(left_ts))
+        & (
+            F.col(f"{right_ts}_r")
+            <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}")
+        )
+    )
+    return lt.join(rt, cond).drop(rt[key])

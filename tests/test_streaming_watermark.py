@@ -213,3 +213,80 @@ def test_dedup_stream_replay_exactly_once(spark, tmp_path):
         [(1, "a"), (1, "b"), (2, "c")], "event_id long, v string"
     )
     assert dedup_stream(batch, key_cols=("event_id",)).count() == 2
+
+
+def test_interval_join_stream_matches_batch_twin(spark, tmp_path):
+    """Watermarked stream-stream interval join: streaming append output
+    equals the batch join of the same data, and the streaming plan
+    carries watermarks on both sides (bounded state)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from recover_spark.streaming import interval_join_stream
+
+    lsrc, rsrc = tmp_path / "l", tmp_path / "r"
+    lsrc.mkdir(), rsrc.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("tag", T.StringType()),
+        ]
+    )
+    _write_batch(
+        str(lsrc / "l.json"),
+        [
+            {"user_id": 1, "ts": "2024-01-01 10:00:00", "tag": "L1"},
+            {"user_id": 2, "ts": "2024-01-01 11:00:00", "tag": "L2"},
+        ],
+        mtime_offset_s=-60,
+    )
+    _write_batch(
+        str(rsrc / "r.json"),
+        [
+            {"user_id": 1, "ts": "2024-01-01 10:30:00", "tag": "R-in"},
+            {"user_id": 1, "ts": "2024-01-01 12:30:00", "tag": "R-late"},
+            {"user_id": 2, "ts": "2024-01-01 10:59:00", "tag": "R-early"},
+            {"user_id": 2, "ts": "2024-01-01 11:45:00", "tag": "R-in2"},
+        ],
+        mtime_offset_s=-30,
+    )
+
+    def load(path, streaming):
+        if streaming:
+            df = spark.readStream.schema(schema).json(str(path))
+        else:
+            df = spark.read.schema(schema).json(str(path))
+        return df.withColumn("ts", F.to_timestamp("ts"))
+
+    out = tmp_path / "out"
+    q = (
+        interval_join_stream(
+            load(lsrc, True), load(rsrc, True), key="user_id",
+            max_delay="1 hour",
+        )
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("path", str(out))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r["user_id"], r["tag"], r["tag_r"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    batch = {
+        (r["user_id"], r["tag"], r["tag_r"])
+        for r in interval_join_stream(
+            load(lsrc, False), load(rsrc, False), key="user_id",
+            max_delay="1 hour",
+        ).collect()
+    }
+    assert streamed == batch == {
+        (1, "L1", "R-in"),       # within [ts, ts+1h]
+        (2, "L2", "R-in2"),
+        # R-late (2.5h after) and R-early (before left ts) excluded
+    }
