@@ -1377,6 +1377,34 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_spans(docs, span_words=10, max_docs=1)
 
 
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile decile assignment per event type (rank-class window
+    beyond row_number; deterministic via (value, event_id) ordering)."""
+    from pyspark.sql import Window
+
+    events = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return events.select(
+        "event_id", "event_type", F.ntile(10).over(w).alias("decile")
+    )
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping sets in one
+    Expand + single aggregate pass; grouping_id disambiguates subtotal
+    nulls from data nulls."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n_rows")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -1458,6 +1486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_resample": q_ts_resample,
         "merge_upsert": q_merge_upsert,
         "dedup_spans": q_dedup_spans,
+        "win_ntile": q_win_ntile,
+        "agg_cube": q_agg_cube,
     }
 
 
@@ -2363,6 +2393,21 @@ def _oracle_sql_literal() -> dict[str, str]:
                        AS value,
                    observed IS NULL AS filled
             FROM j
+        """,
+        "win_ntile": """
+            SELECT event_id, event_type,
+                   CAST(ntile(10) OVER (PARTITION BY event_type
+                       ORDER BY value, event_id) AS INT) AS decile
+            FROM events
+        """,
+        "agg_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+                       AS gid,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "dedup_spans": r"""
             WITH toks AS (
