@@ -32,3 +32,18 @@ def l2_norm(a: Column | str) -> Column:
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_from_norms(
+    a: Column | str, b: Column | str, norm_a: Column, norm_b: Column
+) -> Column:
+    """Cosine where the norms were precomputed (same value as
+    ``cosine_similarity`` — identical expressions, same association).
+
+    Norms are per-VECTOR quantities; under a pair-producing join the
+    naive form re-folds both arrays per PAIR.  Higher-order array
+    functions are interpreted (not codegen'd), so hoisting the norms to
+    a map-side projection before the join cuts the per-pair work to the
+    one irreducible cross dot product — ~3x on every ANN hot path.
+    """
+    return dot(a, b) / (norm_a * norm_b)

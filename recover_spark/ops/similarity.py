@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from recover_spark.functions.vectors import cosine_similarity
+from recover_spark.functions.vectors import cosine_from_norms, l2_norm
 
 
 def brute_force_topk(
@@ -41,14 +41,19 @@ def brute_force_topk(
     excluded when ids share a namespace.
     """
     qid = query_id_col or f"query_{id_col}"
+    c = corpus.withColumn("__cnorm", l2_norm(F.col(vec_col)))
     q = queries.select(
-        F.col(id_col).alias(qid), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias(qid),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qnorm"),
     )
-    scored = corpus.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col(qid))
+    scored = c.crossJoin(F.broadcast(q)).filter(F.col(id_col) != F.col(qid))
     scored = scored.select(
         qid,
         id_col,
-        cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+        cosine_from_norms(
+            F.col(vec_col), F.col("__qvec"), F.col("__cnorm"), F.col("__qnorm")
+        ).alias("cosine"),
     )
     w = Window.partitionBy(qid).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -104,16 +109,21 @@ def lsh_bucketed_topk(
     a cross join.
     """
     qid = f"query_{id_col}"
-    c = corpus.withColumn("__bucket", lsh_bucket_signature(F.col(vec_col), dim, num_planes))
+    c = corpus.withColumn(
+        "__bucket", lsh_bucket_signature(F.col(vec_col), dim, num_planes)
+    ).withColumn("__cnorm", l2_norm(F.col(vec_col)))
     q = queries.select(
         F.col(id_col).alias(qid),
         F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qnorm"),
     ).withColumn("__bucket", lsh_bucket_signature(F.col("__qvec"), dim, num_planes))
     cand = c.join(F.broadcast(q), on="__bucket").filter(F.col(id_col) != F.col(qid))
     scored = cand.select(
         qid,
         id_col,
-        cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+        cosine_from_norms(
+            F.col(vec_col), F.col("__qvec"), F.col("__cnorm"), F.col("__qnorm")
+        ).alias("cosine"),
     )
     w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -194,9 +204,13 @@ def ivf_topk(
     seeds = _collect_seeds(corpus, n_centroids, id_col, vec_col)
     nearest_lists = lambda vec, n: _nearest_lists(seeds, vec, n)  # noqa: E731
 
-    c = corpus.withColumn("__list", nearest_lists(F.col(vec_col), 1)[0])
+    c = corpus.withColumn("__list", nearest_lists(F.col(vec_col), 1)[0]).withColumn(
+        "__cnorm", l2_norm(F.col(vec_col))
+    )
     q = queries.select(
-        F.col(id_col).alias(qid), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias(qid),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qnorm"),
     )
     q = q.select(
         "*",
@@ -206,7 +220,9 @@ def ivf_topk(
     scored = cand.select(
         qid,
         id_col,
-        cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+        cosine_from_norms(
+            F.col(vec_col), F.col("__qvec"), F.col("__cnorm"), F.col("__qnorm")
+        ).alias("cosine"),
     )
     w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -233,11 +249,18 @@ def embedding_near_duplicates(
     cosine — the 100 TB path where no side is broadcastable.
     """
     if block_col is not None:
-        a = df.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), F.col(block_col)
+        normed = df.withColumn("__n", l2_norm(F.col(vec_col)))
+        a = normed.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("vec_a"),
+            F.col("__n").alias("__na"),
+            F.col(block_col),
         )
-        b = df.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), F.col(block_col)
+        b = normed.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("vec_b"),
+            F.col("__n").alias("__nb"),
+            F.col(block_col),
         )
         return (
             a.join(b, on=block_col)
@@ -245,7 +268,9 @@ def embedding_near_duplicates(
             .select(
                 "id_a",
                 "id_b",
-                cosine_similarity(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+                cosine_from_norms(
+                    F.col("vec_a"), F.col("vec_b"), F.col("__na"), F.col("__nb")
+                ).alias("cosine"),
             )
             .filter(F.col("cosine") >= threshold)
         )
@@ -341,7 +366,9 @@ def ivf_topk_indexed(
         for r in spark.read.parquet(f"{index_path}/_centroids").collect()
     )
     q = queries.select(
-        F.col(id_col).alias(qid), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias(qid),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qnorm"),
     ).select(
         "*",
         F.explode(
@@ -349,14 +376,20 @@ def ivf_topk_indexed(
         ).alias("list"),
     )
     probed = sorted({r["list"] for r in q.select("list").distinct().collect()})
-    corpus = spark.read.parquet(index_path).filter(F.col("list").isin(probed))
+    corpus = (
+        spark.read.parquet(index_path)
+        .filter(F.col("list").isin(probed))
+        .withColumn("__cnorm", l2_norm(F.col(vec_col)))
+    )
     cand = corpus.join(F.broadcast(q), on="list").filter(
         F.col(id_col) != F.col(qid)
     )
     scored = cand.select(
         qid,
         id_col,
-        cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+        cosine_from_norms(
+            F.col(vec_col), F.col("__qvec"), F.col("__cnorm"), F.col("__qnorm")
+        ).alias("cosine"),
     )
     w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -408,13 +441,12 @@ def quantized_cosine_topk(
     scale-invariant, so the per-vector scales cancel — scores differ
     from float cosine only by quantization noise (|err| <~ 1/127 per
     component).
+
+    Norms are per-vector quantities, so they are computed map-side
+    BEFORE the query cross-join; only the cross dot product runs per
+    pair.  (Higher-order array functions are interpreted, not codegen'd
+    — evaluating one per pair instead of three is ~3x on the hot path.)
     """
-    cq = quantize_embeddings(corpus, vec_col, id_col)
-    qq = quantize_embeddings(queries, vec_col, id_col).select(
-        F.col(id_col).alias(f"query_{id_col}"),
-        F.col("q_embedding").alias("__qq"),
-    )
-    qid = f"query_{id_col}"
 
     def idot(a, b):
         return F.aggregate(
@@ -423,16 +455,26 @@ def quantized_cosine_topk(
             lambda acc, v: acc + v,
         )
 
+    def inorm(a):
+        return F.sqrt(idot(a, a).cast("double"))
+
+    cq = quantize_embeddings(corpus, vec_col, id_col).withColumn(
+        "__cnorm", inorm(F.col("q_embedding"))
+    )
+    qq = quantize_embeddings(queries, vec_col, id_col).select(
+        F.col(id_col).alias(f"query_{id_col}"),
+        F.col("q_embedding").alias("__qq"),
+        inorm(F.col("q_embedding")).alias("__qnorm"),
+    )
+    qid = f"query_{id_col}"
+
     pairs = cq.join(F.broadcast(qq), F.col(id_col) != F.col(qid))
     scored = pairs.select(
         qid,
         id_col,
         (
             idot(F.col("q_embedding"), F.col("__qq")).cast("double")
-            / (
-                F.sqrt(idot(F.col("q_embedding"), F.col("q_embedding")).cast("double"))
-                * F.sqrt(idot(F.col("__qq"), F.col("__qq")).cast("double"))
-            )
+            / (F.col("__cnorm") * F.col("__qnorm"))
         ).alias("qcosine"),
     )
     w = Window.partitionBy(qid).orderBy(F.col("qcosine").desc(), F.col(id_col).asc())
