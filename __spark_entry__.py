@@ -1405,6 +1405,227 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: shipping volume between two nations by ship year.
+
+    The nation dimension joins TWICE (supplier side and customer side) —
+    both broadcast, so the only shuffles are the lineitem-orders join
+    and the final small aggregate.  The two-direction predicate is
+    applied after both nation names are in scope."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    customer = _load(spark, sf_dir, "customer")
+    supplier = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_join_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: NATION_1's share of SMALL-part volume sold into
+    EUROPE, by order year.  Share = conditional sum / total sum in ONE
+    aggregate pass (no second join back)."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    customer = _load(spark, sf_dir, "customer")
+    supplier = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    region = _load(spark, sf_dir, "region")
+    part = _load(spark, sf_dir, "part")
+    n_cust = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select(F.col("n_nationkey").alias("c_nkey"))
+    )
+    n_supp = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(
+            F.broadcast(part.filter(F.col("p_type") == "SMALL")),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("s_nkey"))
+    )
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", vol).otherwise(0.0))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q_join_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top-20 customers by revenue on returned items.
+
+    LIMIT is made deterministic by the (rounded revenue desc, custkey)
+    tiebreak; the top-k itself is a TakeOrdered, not a global sort."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    customer = _load(spark, sf_dir, "customer")
+    nation = _load(spark, sf_dir, "nation")
+    rev = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(20)
+
+
+def q_agg_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: PROMO parts' share of 1996 revenue — conditional
+    vs total sum in one pass over the date-pruned scan."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+            / F.sum(vol),
+            4,
+        ).alias("promo_share")
+    )
+
+
+def q_agg_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: revenue from small-quantity orders of Brand#1
+    parts (quantity < 20% of that part's average).  The per-part
+    threshold is an aggregate on the ALREADY part-filtered lineitem —
+    the brand filter semi-joins before any aggregation, and the
+    threshold join is a broadcast (one row per Brand#1 part)."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    brand_li = li.join(
+        F.broadcast(part.filter(F.col("p_brand") == "Brand#1")),
+        li.l_partkey == part.p_partkey,
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thresh = brand_li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    small = brand_li.join(
+        F.broadcast(thresh.withColumnRenamed("l_partkey", "t_partkey")),
+        F.col("l_partkey") == F.col("t_partkey"),
+    ).filter(F.col("l_quantity") < F.col("qty_thresh"))
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+    )
+
+
+def q_agg_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: revenue under three OR'd (brand, size-range,
+    quantity-range) predicates — one broadcast join, the disjunction
+    evaluated post-join in a single pass."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 30)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return joined.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+def q_agg_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style (adapted: nationkey for the missing phone
+    cntrycode): per-nation count and balance of rich-but-inactive
+    customers — above-average positive balance, no orders since
+    2000-01-01.  The global average is a one-row broadcast (no
+    collect); inactivity is an anti-join against the date-pruned
+    orders key set."""
+    customer = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    rich = customer.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("__avg_bal")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    ).select("o_custkey")
+    inactive = rich.join(
+        recent, rich.c_custkey == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        inactive.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -1488,6 +1709,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "win_ntile": q_win_ntile,
         "agg_cube": q_agg_cube,
+        "join_volume_shipping": q_join_volume_shipping,
+        "join_market_share": q_join_market_share,
+        "join_returned_items": q_join_returned_items,
+        "agg_promo_revenue": q_agg_promo_revenue,
+        "agg_small_qty_revenue": q_agg_small_qty_revenue,
+        "agg_disjunctive": q_agg_disjunctive,
+        "agg_sales_opportunity": q_agg_sales_opportunity,
     }
 
 
@@ -2408,6 +2636,106 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "join_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS INT) AS l_year,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY supp_nation, cust_nation, l_year
+        """,
+        "join_market_share": """
+            SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+                   round(
+                       sum(CASE WHEN n1.n_name = 'NATION_1'
+                                THEN l.l_extendedprice * (1 - l.l_discount)
+                                ELSE 0.0 END)
+                       / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+                       AS mkt_share
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'SMALL'
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            JOIN region r ON n2.n_regionkey = r.r_regionkey
+                         AND r.r_name = 'EUROPE'
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            GROUP BY o_year
+        """,
+        "join_returned_items": """
+            SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE l.l_returnflag = 'R'
+            GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+            ORDER BY revenue DESC, c.c_custkey ASC
+            LIMIT 20
+        """,
+        "agg_promo_revenue": """
+            SELECT round(
+                       100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                   THEN l.l_extendedprice * (1 - l.l_discount)
+                                   ELSE 0.0 END)
+                       / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                       AS promo_share
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        """,
+        "agg_small_qty_revenue": """
+            WITH brand_li AS (
+                SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+                FROM lineitem l
+                JOIN part p ON l.l_partkey = p.p_partkey
+                           AND p.p_brand = 'Brand#1'
+            ),
+            thresh AS (
+                SELECT l_partkey AS t_partkey,
+                       0.2 * avg(l_quantity) AS qty_thresh
+                FROM brand_li GROUP BY l_partkey
+            )
+            SELECT round(sum(b.l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM brand_li b
+            JOIN thresh t ON b.l_partkey = t.t_partkey
+            WHERE b.l_quantity < t.qty_thresh
+        """,
+        "agg_disjunctive": """
+            SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+                   AND l.l_quantity BETWEEN 1 AND 20)
+               OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
+                   AND l.l_quantity BETWEEN 10 AND 30)
+               OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30
+                   AND l.l_quantity BETWEEN 20 AND 40)
+        """,
+        "agg_sales_opportunity": """
+            SELECT c.c_nationkey,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   round(sum(c.c_acctbal), 2) AS totacctbal
+            FROM customer c
+            WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                                 WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+            GROUP BY c.c_nationkey
         """,
         "dedup_spans": r"""
             WITH toks AS (

@@ -45,6 +45,8 @@ HEADLINE = [
     "join_large_orders",
     "win_lag_lead",
     "skew_hitters",
+    "join_volume_shipping",
+    "join_market_share",
 ]
 
 
