@@ -1626,6 +1626,90 @@ def q_agg_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_win_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-distribution windows: percent_rank and cume_dist per event
+    type (exact rational formulas — identical doubles on any engine)."""
+    from pyspark.sql import Window
+
+    events = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cdist"),
+    )
+
+
+def q_agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregate battery per return flag: sample
+    stddev/variance, correlation and covariance of price vs quantity —
+    all mergeable map-side partials (count/sum/sum-of-products), the
+    same shape that scales them to 100 TB."""
+    li = _load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_extendedprice"), 4).alias("var_price"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias(
+            "cov_pq"
+        ),
+    )
+
+
+def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median (interpolated, even-count halves averaged) of order
+    totals per priority — the exact-percentile path; the approximate
+    t-digest twin is agg_approx_stats."""
+    orders = _load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.median("o_totalprice"), 4).alias("median_price")
+    )
+
+
+def q_text_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup screen: levenshtein over 40-char prefixes
+    of adjacent documents (JVM built-in, no UDF; the prefix bound keeps
+    the O(m*n) DP cell count constant per pair)."""
+    docs = _load(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.substring("text", 1, 40).alias("__ta"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.substring("text", 1, 40).alias("__tb"),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__ta", "__tb").alias("edit_dist"),
+        )
+    )
+
+
+def q_transform_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function battery over order dates: truncation, day-of-week,
+    day arithmetic, month-end — engine-portable forms only (Spark
+    dayofweek is 1=Sunday; the oracle shifts DuckDB's 0-based form)."""
+    orders = _load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.datediff(F.lit("2001-12-31"), F.col("o_orderdate")).alias(
+            "days_to_eoy"
+        ),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias(
+            "month_end"
+        ),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -1716,6 +1800,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_small_qty_revenue": q_agg_small_qty_revenue,
         "agg_disjunctive": q_agg_disjunctive,
         "agg_sales_opportunity": q_agg_sales_opportunity,
+        "win_rank_dist": q_win_rank_dist,
+        "agg_stats_moments": q_agg_stats_moments,
+        "agg_median": q_agg_median,
+        "text_levenshtein": q_text_levenshtein,
+        "transform_dates": q_transform_dates,
     }
 
 
@@ -2736,6 +2825,49 @@ def _oracle_sql_literal() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderdate >= TIMESTAMP '2000-01-01')
             GROUP BY c.c_nationkey
+        """,
+        "win_rank_dist": """
+            SELECT event_id, event_type,
+                   round(percent_rank() OVER (PARTITION BY event_type
+                       ORDER BY value, event_id), 9) AS pct_rank,
+                   round(cume_dist() OVER (PARTITION BY event_type
+                       ORDER BY value, event_id), 9) AS cdist
+            FROM events
+        """,
+        "agg_stats_moments": """
+            SELECT l_returnflag,
+                   round(stddev_samp(l_quantity), 6) AS sd_qty,
+                   round(var_samp(l_extendedprice), 4) AS var_price,
+                   round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+                   round(covar_samp(l_extendedprice, l_quantity), 4)
+                       AS cov_pq
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "agg_median": """
+            SELECT o_orderpriority,
+                   round(median(o_totalprice), 4) AS median_price
+            FROM orders
+            GROUP BY o_orderpriority
+        """,
+        "text_levenshtein": """
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(substr(a.text, 1, 40),
+                                    substr(b.text, 1, 40)) AS INT)
+                       AS edit_dist
+            FROM documents a
+            JOIN documents b ON b.doc_id = a.doc_id + 1
+        """,
+        "transform_dates": """
+            SELECT o_orderkey,
+                   strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+                       AS month_start,
+                   CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+                   CAST(datediff('day', o_orderdate, TIMESTAMP '2001-12-31')
+                       AS INT) AS days_to_eoy,
+                   strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+                       AS month_end
+            FROM orders
         """,
         "dedup_spans": r"""
             WITH toks AS (
