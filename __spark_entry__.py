@@ -1710,6 +1710,33 @@ def q_transform_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_win_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native session windows (F.session_window, 30-min gap) —
+    the built-in twin of the custom sessionizer (stream_sessionize):
+    same single shuffle on the grouping key, window end = last event +
+    gap per Spark's merge rule; the oracle reproduces it with
+    gaps-and-islands (new session when the exact-epoch diff >= gap)."""
+    events = _load(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -1805,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_median": q_agg_median,
         "text_levenshtein": q_text_levenshtein,
         "transform_dates": q_transform_dates,
+        "win_session_native": q_win_session_native,
     }
 
 
@@ -2868,6 +2896,28 @@ def _oracle_sql_literal() -> dict[str, str]:
                    strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
                        AS month_end
             FROM orders
+        """,
+        "win_session_native": """
+            WITH g AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER w)
+                                    >= 1800
+                            THEN 1 ELSE 0 END AS ns
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+                SELECT user_id, ts, value,
+                       sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+                FROM g)
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts) + INTERVAL 30 MINUTE,
+                            '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS total_value
+            FROM s GROUP BY user_id, sid
         """,
         "dedup_spans": r"""
             WITH toks AS (

@@ -111,3 +111,50 @@ def test_exact_dedup_no_broadcast_no_second_scan(spark, parquet_dir):
     plan = _plan(exact_dedup(df, text_col="text", id_col="id"))
     assert plan.count("Scan parquet") == 1
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_market_share_dims_all_broadcast(spark):
+    """Q8-style 7-table join: every dimension side (part, nation x2,
+    region, supplier) must arrive via BroadcastHashJoin; only the
+    fact-fact joins (lineitem-orders, orders-customer) may shuffle."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_join_market_share(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    # at most the two fact joins shuffle
+    assert plan.count("SortMergeJoin") <= 2
+
+
+def test_small_qty_threshold_join_is_broadcast(spark):
+    """Q17-style per-part threshold: the aggregate side (one row per
+    Brand#1 part) must broadcast back, never shuffle the fact."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_agg_small_qty_revenue(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sales_opportunity_scalar_is_broadcast_not_collect(spark):
+    """Q22-style global average: one-row broadcast join (the plan may
+    keep the single-row cross as a broadcast nested loop — what is
+    banned is a shuffled cartesian), anti-join stays a join."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_agg_sales_opportunity(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_session_window_single_shuffle(spark):
+    """Native session_window agg: one hash-partition exchange on the
+    session key — session merging happens within the partition."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_win_session_native(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
