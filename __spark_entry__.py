@@ -1737,6 +1737,42 @@ def q_win_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Explicit GROUPING SETS (neither a rollup nor a cube): two partial
+# groupings plus the grand total, one Expand + one aggregate pass.
+# Identical ANSI text runs on both engines.
+_SQL_GROUPING_SETS_QUERY = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL front-end (dual-engine text)."""
+    from recover_spark.sql import run_sql
+
+    return run_sql(spark, sf_dir, _SQL_GROUPING_SETS_QUERY)
+
+
+def q_transform_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function battery over tokenized documents: size, distinct
+    count, lexicographic min token, last token — all native array
+    expressions on one map-side pass (no explode, no shuffle)."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.element_at(F.array_sort(F.array_distinct(toks)), 1).alias(
+            "first_token"
+        ),
+        F.element_at(toks, -1).alias("last_token"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -1833,6 +1869,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_levenshtein": q_text_levenshtein,
         "transform_dates": q_transform_dates,
         "win_session_native": q_win_session_native,
+        "sql_grouping_sets": q_sql_grouping_sets,
+        "transform_arrays": q_transform_arrays,
     }
 
 
@@ -2918,6 +2956,19 @@ def _oracle_sql_literal() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 6) AS total_value
             FROM s GROUP BY user_id, sid
+        """,
+        "sql_grouping_sets": _SQL_GROUPING_SETS_QUERY,
+        "transform_arrays": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\s+') AS toks
+                FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS INT) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS INT) AS n_unique,
+                   list_sort(list_distinct(toks))[1] AS first_token,
+                   toks[-1] AS last_token
+            FROM t
         """,
         "dedup_spans": r"""
             WITH toks AS (
