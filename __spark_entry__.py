@@ -1773,6 +1773,53 @@ def q_transform_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transform_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp battery over part names: group extraction, pattern count,
+    and a guarded replace — all JVM-native regex (no UDF), identical
+    RE2-compatible patterns on both engines."""
+    part = _load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"(\d+)", 1).alias("first_num"),
+        F.size(F.split("p_name", r"[aeiou]")).alias("vowel_splits"),
+        F.regexp_replace("p_name", r"\s+", "_").alias("snake_name"),
+    )
+
+
+def q_agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation: per-nation sorted supplier-name
+    concatenation.  collect_set is order-nondeterministic by design —
+    array_sort before array_join restores a stable value (the oracle is
+    string_agg ... ORDER BY)."""
+    supplier = _load(spark, sf_dir, "supplier")
+    return supplier.groupBy("s_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_set("s_name")), ",").alias(
+            "supp_names"
+        ),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+
+
+def q_win_frame_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last value window frames per user: first event value ever
+    (unbounded preceding) and the running last over a full-partition
+    frame — frame-boundary semantics made deterministic by the
+    (ts, event_id) ordering."""
+    from pyspark.sql import Window
+
+    events = _load(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w_ord).alias("first_val"),
+        F.last("value").over(w_full).alias("last_val"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -1871,6 +1918,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_session_native": q_win_session_native,
         "sql_grouping_sets": q_sql_grouping_sets,
         "transform_arrays": q_transform_arrays,
+        "transform_regexp": q_transform_regexp,
+        "agg_string_concat": q_agg_string_concat,
+        "win_frame_edges": q_win_frame_edges,
     }
 
 
@@ -2969,6 +3019,32 @@ def _oracle_sql_literal() -> dict[str, str]:
                    list_sort(list_distinct(toks))[1] AS first_token,
                    toks[-1] AS last_token
             FROM t
+        """,
+        "transform_regexp": r"""
+            SELECT p_partkey,
+                   regexp_extract(p_name, '(\d+)', 1) AS first_num,
+                   CAST(len(string_split_regex(p_name, '[aeiou]')) AS INT)
+                       AS vowel_splits,
+                   regexp_replace(p_name, '\s+', '_', 'g') AS snake_name
+            FROM part
+        """,
+        "agg_string_concat": """
+            SELECT s_nationkey,
+                   string_agg(DISTINCT s_name, ',' ORDER BY s_name)
+                       AS supp_names,
+                   CAST(count(*) AS BIGINT) AS n_supp
+            FROM supplier
+            GROUP BY s_nationkey
+        """,
+        "win_frame_edges": """
+            SELECT event_id, user_id,
+                   first_value(value) OVER w AS first_val,
+                   last_value(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING) AS last_val
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "dedup_spans": r"""
             WITH toks AS (
