@@ -3,10 +3,11 @@ from recover_spark.streaming.incremental import (
     incremental_ingest,
     reconcile_manifests,
 )
-from recover_spark.streaming.joins import interval_join_stream
+from recover_spark.streaming.joins import enrich_stream, interval_join_stream
 
 __all__ = [
     "dedup_stream",
+    "enrich_stream",
     "incremental_ingest",
     "interval_join_stream",
     "reconcile_manifests",

@@ -59,3 +59,26 @@ def interval_join_stream(
         )
     )
     return lt.join(rt, cond).drop(rt[key])
+
+
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "left",
+    dim_cols: list[str] | None = None,
+) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    stream (the streaming twin of the reference's J2-style re-key —
+    src/glue/jobs/json_to_parquet.py joins parent index onto children).
+
+    The static side is broadcast into every micro-batch, so the stream
+    is NEVER shuffled and no join state accrues — unlike stream-stream,
+    a stream-static join is stateless by construction (each micro-batch
+    re-reads the dim snapshot; at 100 TB the dim is the small side or
+    it should be a stream).  Works identically on a batch left side,
+    which is the test twin.
+    """
+    cols = dim_cols or [c for c in dim.columns if c != key]
+    d = dim.select(key, *cols)
+    return stream.join(F.broadcast(d), on=key, how=how)

@@ -290,3 +290,69 @@ def test_interval_join_stream_matches_batch_twin(spark, tmp_path):
         (2, "L2", "R-in2"),
         # R-late (2.5h after) and R-early (before left ts) excluded
     }
+
+
+def test_enrich_stream_matches_batch_and_is_stateless(spark, tmp_path):
+    """Stream-static enrichment: streaming availableNow output equals
+    the batch join twin, and the physical plan keeps the static side
+    broadcast (no stream shuffle, no join state)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from recover_spark.streaming import enrich_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_batch(
+        str(src / "e.json"),
+        [
+            {"user_id": 1, "v": 10.0},
+            {"user_id": 2, "v": 20.0},
+            {"user_id": 9, "v": 90.0},  # no dim row -> left join null
+        ],
+        mtime_offset_s=-60,
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    )
+
+    out = tmp_path / "out"
+    q = (
+        enrich_stream(
+            spark.readStream.schema(schema).json(str(src)), dim, key="user_id"
+        )
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("path", str(out))
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        (r["user_id"], r["v"], r["tier"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    batch = {
+        (r["user_id"], r["v"], r["tier"])
+        for r in enrich_stream(
+            spark.read.schema(schema).json(str(src)), dim, key="user_id"
+        ).collect()
+    }
+    assert streamed == batch
+    assert (1, 10.0, "gold") in streamed and (9, 90.0, None) in streamed
+
+    plan = (
+        enrich_stream(spark.read.schema(schema).json(str(src)), dim, "user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
