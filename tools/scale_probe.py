@@ -1,0 +1,113 @@
+"""Scale probe: measure how headline operators behave at 10x the data.
+
+Replicates the sf0.1 FACT tables (lineitem/orders/events/documents/
+embeddings) 10x with key-shifted replicas — dimension tables stay fixed,
+so fact:dim ratios grow the way real data growth does — then times each
+probe query at 1x and 10x and reports the wall-clock ratio.  A ratio
+close to the data ratio (or below it, since fixed overhead amortizes)
+is evidence the plan scales linearly; a superlinear ratio flags an
+operator whose cost curve would break at 100 TB.
+
+Usage: python tools/scale_probe.py [replicas]   (default 10)
+Writes the scaled copy under spark-warehouse/scale_probe_data/ (reused
+if present) and prints one JSON line; SCALE.md documents results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+FACT_SHIFTS = {
+    # table -> columns shifted per replica (keeps keys disjoint while
+    # join relationships inside a replica stay intact)
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+SHIFT = 100_000_000
+
+PROBES = [
+    "w1_dedup_latest",      # window dedup over events
+    "agg_pricing_summary",  # full-scan aggregate over lineitem
+    "join_nation_revenue",  # 5-way join, broadcast dims
+    "join_large_orders",    # grouped-HAVING join
+    "dedup_exact",          # hash-groupBy dedup over documents
+    "dedup_minhash",        # shingle+minhash signatures
+    "ann_ivf",              # IVF ANN over embeddings
+    "win_session_native",   # session-window aggregation
+]
+
+
+def build_scaled(spark, out_dir: str, replicas: int) -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in DIMS:
+        shutil.copyfile(f"{SF_DIR}/{t}.parquet", f"{out_dir}/{t}.parquet")
+    for t, keys in FACT_SHIFTS.items():
+        base = entrymod._load(spark, SF_DIR, t)
+        parts = []
+        for i in range(replicas):
+            rep = base
+            for k in keys:
+                rep = rep.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+            parts.append(rep)
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        # one folder per table; _load reads folders and files alike
+        union.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+def time_query(entrymod, spark, name: str, sf_dir: str) -> float:
+    fn = entrymod.queries()[name]
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    n = df.count()
+    dt = time.time() - t0
+    print(f"  {name}@{os.path.basename(sf_dir)}: rows={n} {dt:.2f}s",
+          file=sys.stderr)
+    return dt
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from recover_spark.session import get_spark
+
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    scaled = os.path.join("spark-warehouse", "scale_probe_data")
+    if not os.path.exists(os.path.join(scaled, "lineitem.parquet")):
+        print(f"building {replicas}x copy under {scaled}", file=sys.stderr)
+        build_scaled(spark, scaled, replicas)
+
+    results = {}
+    for name in PROBES:
+        # warm-up then measure at 1x, then at Nx
+        time_query(entrymod, spark, name, SF_DIR)
+        t1 = time_query(entrymod, spark, name, SF_DIR)
+        tn = time_query(entrymod, spark, name, scaled)
+        results[name] = {
+            "t_1x_sec": round(t1, 3),
+            f"t_{replicas}x_sec": round(tn, 3),
+            "ratio": round(tn / t1, 2) if t1 > 0 else None,
+        }
+    print(json.dumps({"replicas": replicas, "probes": results}))
+
+
+if __name__ == "__main__":
+    main()
