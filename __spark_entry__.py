@@ -1820,6 +1820,41 @@ def q_win_frame_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transform_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function battery over token arrays: lambda
+    transform/filter/exists/aggregate with DuckDB list_* twins — the
+    declarative array path that avoids explode+reshuffle entirely."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 3)).alias(
+            "n_long_tokens"
+        ),
+        F.exists(toks, lambda t: t == F.lit("the")).alias("has_the"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+    )
+
+
+def q_set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) completing the set-op surface: nation keys of
+    high-balance customers vs suppliers — one hash-distinct after the
+    concat, no join."""
+    customer = _load(spark, sf_dir, "customer")
+    supplier = _load(spark, sf_dir, "supplier")
+    a = customer.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    b = supplier.filter(F.col("s_acctbal") > 5000).select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return a.union(b).distinct()
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -1921,6 +1956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_regexp": q_transform_regexp,
         "agg_string_concat": q_agg_string_concat,
         "win_frame_edges": q_win_frame_edges,
+        "transform_hof": q_transform_hof,
+        "set_union_distinct": q_set_union_distinct,
     }
 
 
@@ -3045,6 +3082,26 @@ def _oracle_sql_literal() -> dict[str, str]:
                        AND UNBOUNDED FOLLOWING) AS last_val
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "transform_hof": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\s+') AS toks
+                FROM documents)
+            SELECT doc_id,
+                   CAST(len(list_filter(toks, t -> len(t) > 3)) AS INT)
+                       AS n_long_tokens,
+                   len(list_filter(toks, t -> t = 'the')) > 0 AS has_the,
+                   CAST(list_sum(list_transform(toks, t -> len(t)))
+                       AS INT) AS total_chars
+            FROM t
+        """,
+        "set_union_distinct": """
+            SELECT c_nationkey AS nationkey FROM customer
+            WHERE c_acctbal > 5000
+            UNION
+            SELECT s_nationkey AS nationkey FROM supplier
+            WHERE s_acctbal > 5000
         """,
         "dedup_spans": r"""
             WITH toks AS (
