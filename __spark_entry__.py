@@ -448,6 +448,19 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, shingle_size=3, min_jaccard=0.2)
 
 
+def q_dedup_jaccard_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup with the stop-shingle skew guard: shingles
+    occurring >50 times are dropped BEFORE the inverted-index self-join
+    (a shingle in k docs makes k^2 pair rows — this is the knob that
+    keeps the join sub-quadratic at 100 TB)."""
+    from recover_spark.ops import ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, shingle_size=3, min_jaccard=0.2, max_shingle_freq=50
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs."""
     from recover_spark.ops import embedding_near_duplicates
@@ -1958,6 +1971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_frame_edges": q_win_frame_edges,
         "transform_hof": q_transform_hof,
         "set_union_distinct": q_set_union_distinct,
+        "dedup_jaccard_guarded": q_dedup_jaccard_guarded,
     }
 
 
@@ -2289,6 +2303,28 @@ def _oracle_sql_literal() -> dict[str, str]:
                 GROUP BY a.doc_id, b.doc_id)
             SELECT id_a, id_b,
                    n_common / (sa.set_size + sb.set_size - n_common) AS jaccard
+            FROM inter
+            JOIN sizes sa ON inter.id_a = sa.doc_id
+            JOIN sizes sb ON inter.id_b = sb.doc_id
+            WHERE n_common / (sa.set_size + sb.set_size - n_common) >= 0.2
+        """,
+        "dedup_jaccard_guarded": f"""
+            WITH {_TOKS_CTE}, {_GRAMS3_CTE},
+            rare AS (SELECT shingle FROM grams
+                     GROUP BY shingle HAVING count(*) <= 50),
+            g2 AS (SELECT g.doc_id, g.shingle FROM grams g
+                   JOIN rare r ON g.shingle = r.shingle),
+            sizes AS (SELECT doc_id, count(*) AS set_size
+                      FROM g2 GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_common
+                FROM g2 a JOIN g2 b ON a.shingle = b.shingle
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id)
+            SELECT id_a, id_b,
+                   n_common / (sa.set_size + sb.set_size - n_common)
+                       AS jaccard
             FROM inter
             JOIN sizes sa ON inter.id_a = sa.doc_id
             JOIN sizes sb ON inter.id_b = sb.doc_id
