@@ -1868,6 +1868,15 @@ def q_set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.union(b).distinct()
 
 
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, 16-token
+    overlap): the document -> model-input step, one map-side pass."""
+    from recover_spark.ops import chunk_documents
+
+    docs = _load(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=64, overlap=16)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -1972,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_hof": q_transform_hof,
         "set_union_distinct": q_set_union_distinct,
         "dedup_jaccard_guarded": q_dedup_jaccard_guarded,
+        "text_chunks": q_text_chunks,
     }
 
 
@@ -3138,6 +3148,19 @@ def _oracle_sql_literal() -> dict[str, str]:
             UNION
             SELECT s_nationkey AS nationkey FROM supplier
             WHERE s_acctbal > 5000
+        """,
+        "text_chunks": f"""
+            WITH {_TOKS_CTE},
+            d AS (SELECT doc_id, t, len(t) AS n FROM toks
+                  WHERE len(t) > 0),
+            s AS (SELECT doc_id, t, n,
+                         unnest(range(0, n, 48)) AS start
+                  FROM d)
+            SELECT doc_id,
+                   CAST(start // 48 AS INT) AS chunk_index,
+                   array_to_string(t[start+1:start+64], ' ') AS chunk_text,
+                   CAST(least(64, n - start) AS INT) AS chunk_tokens
+            FROM s
         """,
         "dedup_spans": r"""
             WITH toks AS (

@@ -18,6 +18,7 @@ from recover_spark.ops.similarity import (
     quantized_cosine_topk,
 )
 from recover_spark.ops.text_analysis import (
+    chunk_documents,
     document_fingerprint,
     language_id,
     quality_filter,
@@ -37,6 +38,7 @@ __all__ = [
     "histogram",
     "stable_sample",
     "stable_split",
+    "chunk_documents",
     "exact_dedup",
     "minhash_near_duplicates",
     "minhash_signatures",

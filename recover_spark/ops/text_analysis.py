@@ -136,3 +136,46 @@ def quality_filter(
         reason.isNull().alias("passed"),
         reason.alias("fail_reason"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    training-data step that turns variable-length documents into
+    fixed-budget model inputs.
+
+    Windows start every ``chunk_size - overlap`` tokens and carry up to
+    ``chunk_size`` tokens, so consecutive chunks share ``overlap``
+    tokens of context.  Empty documents yield no chunks; a final
+    partial window is kept (its real length is in ``chunk_tokens``).
+
+    Plan shape: tokenize -> sequence/explode of start offsets ->
+    slice + join, all native array expressions in ONE map-side pass —
+    no shuffle, no UDF, and the explode fan-out is rows x
+    ceil(n_tokens/step), which at 100 TB distributes with the scan
+    instead of concentrating anywhere.
+    """
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be smaller than chunk_size")
+    step = chunk_size - overlap
+    d = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    d = d.withColumn("__n", F.size("__toks")).filter(F.col("__n") > 0)
+    d = d.withColumn(
+        "__start",
+        F.explode(F.sequence(F.lit(0), F.col("__n") - 1, F.lit(step))),
+    )
+    return d.select(
+        F.col(id_col),
+        (F.col("__start") / step).cast("int").alias("chunk_index"),
+        F.array_join(
+            F.slice("__toks", F.col("__start") + 1, F.lit(chunk_size)), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(chunk_size), F.col("__n") - F.col("__start")).alias(
+            "chunk_tokens"
+        ),
+    )

@@ -317,3 +317,39 @@ def test_remove_repeated_spans(spark):
     assert got[2][0].startswith("other beta words")
     assert got[3][1] == 1 and got[3][0].startswith("standalone gamma")
     assert not any(boiler in t for t, _ in got.values())
+
+
+def test_chunk_documents_overlap_and_partial_tail(spark):
+    """64/16 chunking: starts every 48 tokens, consecutive chunks share
+    the overlap, the tail chunk is partial, empty docs yield nothing."""
+    from pyspark.sql import functions as F
+
+    from recover_spark.ops import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(100))  # 100 tokens
+    df = spark.createDataFrame(
+        [(1, words), (2, "a b c"), (3, "   ")], "doc_id long, text string"
+    )
+    out = chunk_documents(df, chunk_size=64, overlap=16).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_index"])
+    # starts at 0, 48, 96 -> 3 chunks of 64, 52, 4 tokens
+    assert [r["chunk_tokens"] for r in c1] == [64, 52, 4]
+    t0, t1 = c1[0]["chunk_text"].split(), c1[1]["chunk_text"].split()
+    assert t0[48:] == t1[:16]  # consecutive chunks share the overlap
+    assert t1[0] == "w48"
+
+    assert [r["chunk_tokens"] for r in by_doc[2]] == [3]
+    assert 3 not in by_doc  # blank doc -> no chunks
+
+    # map-only plan: no shuffle in the chunking pass
+    plan = (
+        chunk_documents(df, 64, 16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
