@@ -1877,6 +1877,28 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_size=64, overlap=16)
 
 
+def q_emb_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group embedding centroids (mean pooling) — the k-means /
+    IVF-retrain primitive.  Plan: 64 per-dimension avg aggregates
+    (map-side combinable partials; the vectors are NEVER exploded into
+    a 64x row shuffle), then stacked to (grp, dim, centroid) rows."""
+    emb = _load(spark, sf_dir, "embeddings")
+    dim = 64
+    aggs = [
+        F.avg(F.col("embedding")[i]).alias(f"d{i}") for i in range(dim)
+    ]
+    wide = emb.groupBy((F.col("vec_id") % 10).alias("grp")).agg(*aggs)
+    stack_args = ", ".join(f"{i + 1}, d{i}" for i in range(dim))
+    return wide.select(
+        "grp",
+        F.expr(f"stack({dim}, {stack_args}) AS (dim, centroid)"),
+    ).select(
+        "grp",
+        F.col("dim").cast("int").alias("dim"),
+        F.round("centroid", 6).alias("centroid"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -1982,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_union_distinct": q_set_union_distinct,
         "dedup_jaccard_guarded": q_dedup_jaccard_guarded,
         "text_chunks": q_text_chunks,
+        "emb_centroids": q_emb_centroids,
     }
 
 
@@ -3161,6 +3184,14 @@ def _oracle_sql_literal() -> dict[str, str]:
                    array_to_string(t[start+1:start+64], ' ') AS chunk_text,
                    CAST(least(64, n - start) AS INT) AS chunk_tokens
             FROM s
+        """,
+        "emb_centroids": """
+            SELECT e.vec_id % 10 AS grp,
+                   CAST(g.gs AS INT) AS dim,
+                   round(avg(e.embedding[g.gs]), 6) AS centroid
+            FROM embeddings e
+            CROSS JOIN (SELECT unnest(range(1, 65)) AS gs) g
+            GROUP BY grp, dim
         """,
         "dedup_spans": r"""
             WITH toks AS (
