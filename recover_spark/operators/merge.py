@@ -7,12 +7,14 @@ composition of those semantics — the ``MERGE INTO`` every warehouse
 load (the reference's Snowflake ELT, K7) performs: update matched
 keys, insert unmatched ones, optionally delete marked ones.
 
-Spark-first shape: ONE full-outer equi-join on the key (the change
-batch is usually small — Catalyst broadcasts it; a 100 TB target is
-never shuffled in that case), then per-row resolution with
-``coalesce``/``when`` column expressions.  No RDDs, no driver-side
-row handling; at scale this is the same plan Delta Lake generates for
-a MERGE without file pruning.
+Spark-first shape: ONE full-outer equi-join on the key, then per-row
+resolution with ``coalesce``/``when`` column expressions.  (Full-outer
+joins cannot broadcast — Spark plans a sort-merge/shuffled-hash join;
+AQE sizes it from the actual change-batch size, so a small batch costs
+one cheap shuffle of itself while the giant target shuffles once on
+the same key it would for any MERGE.)  No RDDs, no driver-side row
+handling; at scale this is the same plan Delta Lake generates for a
+MERGE without file pruning.
 """
 
 from __future__ import annotations
@@ -28,6 +30,7 @@ def merge_upsert(
     updates: DataFrame,
     keys: Sequence[str],
     delete_col: str | None = None,
+    broadcast_updates: bool | None = None,
 ) -> DataFrame:
     """Upsert ``updates`` into ``target`` on ``keys``.
 
@@ -40,6 +43,12 @@ def merge_upsert(
     excluded); output schema equals the target's, plus a ``__merge_op``
     audit column (``insert``/``update``/``keep``) so record accounting
     (A1) can ledger the merge.
+
+    ``broadcast_updates``: None (default) lets Catalyst/AQE pick the
+    join strategy from actual sizes instead of force-broadcasting an
+    arbitrarily large change batch.  True attaches the broadcast hint
+    (Spark ignores it for full-outer joins — kept for callers that
+    specialize to left joins); False pins a shuffled-hash join.
     """
     value_cols = [c for c in target.columns if c not in keys]
     upd_cols = set(updates.columns)
@@ -51,7 +60,11 @@ def merge_upsert(
     # value column is legitimately null
     t = target.withColumn("__t_present", F.lit(True)).alias("t")
     u = updates.withColumn("__u_present", F.lit(True)).alias("u")
-    joined = t.join(F.broadcast(u), on=list(keys), how="full_outer")
+    if broadcast_updates is True:
+        u = F.broadcast(u)
+    elif broadcast_updates is False:
+        u = u.hint("shuffle_hash")
+    joined = t.join(u, on=list(keys), how="full_outer")
 
     has_t = F.coalesce(F.col("t.__t_present"), F.lit(False))
     has_u = F.coalesce(F.col("u.__u_present"), F.lit(False))

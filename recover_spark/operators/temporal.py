@@ -101,11 +101,13 @@ def asof_join(
     out = carried.filter(F.col("__is_left") == 1)
     stale: Column = F.lit(False)
     if tolerance_seconds is not None:
+        # Compare at microsecond precision — unix_timestamp truncates to
+        # seconds, which mis-classifies sub-second staleness at the edge.
         stale = (
             F.col("__match_ts").isNull()
             | (
-                F.unix_timestamp("__ts") - F.unix_timestamp("__match_ts")
-                > F.lit(tolerance_seconds)
+                F.unix_micros("__ts") - F.unix_micros("__match_ts")
+                > F.lit(int(tolerance_seconds) * 1_000_000)
             )
         )
     keep = [*on, F.col("__ts").alias(left_ts)]
@@ -138,19 +140,24 @@ def range_join(
     one bucket, so no post-join dedup is needed.
     """
     on = list(on)
-    w = F.lit(int(bucket_seconds))
+    # Bucket on microseconds with exact integer division — second-truncated
+    # unix_timestamp drops the final partial bucket of sub-second intervals,
+    # silently missing points in it.  Positive epochs: div == floor.
+    w_us = int(bucket_seconds) * 1_000_000
     ivals = intervals.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                F.floor(F.unix_timestamp(interval_start) / w),
+                F.expr(f"unix_micros({interval_start}) div {w_us}"),
                 # end is exclusive: an interval ending exactly on a bucket
                 # boundary does not reach into the next bucket
-                F.floor((F.unix_timestamp(interval_end) - 1) / w),
+                F.expr(f"(unix_micros({interval_end}) - 1) div {w_us}"),
             )
         ),
     )
-    pts = points.withColumn("__bucket", F.floor(F.unix_timestamp(point_ts) / w))
+    pts = points.withColumn(
+        "__bucket", F.expr(f"unix_micros({point_ts}) div {w_us}")
+    )
     joined = pts.join(ivals, on=on + ["__bucket"]).filter(
         (F.col(point_ts) >= F.col(interval_start))
         & (F.col(point_ts) < F.col(interval_end))

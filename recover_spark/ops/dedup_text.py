@@ -311,6 +311,14 @@ def duplicate_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # A component with diameter > max_iterations would yield wrong
+        # cluster ids silently (the oracle computes the exact fixpoint).
+        raise RuntimeError(
+            "duplicate_clusters did not converge within "
+            f"{max_iterations} iterations; raise max_iterations "
+            "(components deeper than this are not near-dup-shaped)"
+        )
     return labels.select(
         F.col("node").alias(node_col), F.col("label").alias("cluster")
     )

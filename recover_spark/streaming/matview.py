@@ -8,11 +8,14 @@ micro-batch contributes a PARTIAL aggregate (mergeable: counts/sums),
 merged into a persisted state table inside ``foreachBatch``.
 
 Exactly-once composition: the file-source checkpoint guarantees each
-input file is processed once, the per-batch merge is idempotent-per-
-batch-id at the storage layer (state replaced atomically via
-write-to-temp + swap), and the aggregate functions are mergeable — so
-replays after a crash converge to the same state (same argument as the
-reference's replay + W1 dedup model, SURVEY.md §2.9).
+input file is assigned to exactly one batch id, and the merge is made
+idempotent-per-batch-id by persisting the last-applied batch id inside
+the state directory (a ``_applied_batch_id`` sidecar, invisible to the
+parquet reader like ``_SUCCESS``) in the same atomic write-to-temp +
+swap as the state itself.  foreachBatch is at-least-once: a crash after
+the swap but before the checkpoint commit replays the batch — the
+sidecar check then skips it instead of double-counting, so replays
+after a crash converge to the same state (SURVEY.md §2.9).
 
 Only mergeable aggregates are supported (count/sum/min/max); avg is
 derived (sum/count) at read time, never stored.
@@ -28,12 +31,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_BATCH_MARKER = "_applied_batch_id"
+
+
+def _applied_batch_id(state_path: str) -> int | None:
+    marker = Path(state_path) / _BATCH_MARKER
+    if marker.exists():
+        try:
+            return int(marker.read_text().strip())
+        except ValueError:
+            return None
+    return None
+
+
 def merge_counts(
     spark: SparkSession,
     batch: DataFrame,
     state_path: str,
     key_cols: Sequence[str],
     value_col: str | None = None,
+    batch_id: int | None = None,
 ) -> None:
     """Merge one batch's partial (count [, sum]) into the state table.
 
@@ -41,7 +58,15 @@ def merge_counts(
     re-aggregates — the union+sum of partials equals the aggregate over
     all rows seen (mergeability), so state size stays O(distinct keys)
     no matter how many batches have run.
+
+    When ``batch_id`` is given (foreachBatch), a batch whose id is <=
+    the persisted last-applied id is a crash replay and is skipped —
+    this is what upgrades at-least-once foreachBatch to effectively-once.
     """
+    if batch_id is not None:
+        applied = _applied_batch_id(state_path)
+        if applied is not None and batch_id <= applied:
+            return
     keys = list(key_cols)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     if value_col is not None:
@@ -62,6 +87,10 @@ def merge_counts(
 
     tmp = str(state) + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        # Marker travels inside the tmp dir so it swaps in atomically
+        # with the state it describes.
+        (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
     if state.exists():
         shutil.rmtree(state_path)
     shutil.move(tmp, state_path)
@@ -82,8 +111,8 @@ def maintain_count_matview(
     spark = stream.sparkSession
     keys = list(key_cols)
 
-    def _merge(batch: DataFrame, _batch_id: int) -> None:
-        merge_counts(spark, batch, state_path, keys, value_col)
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        merge_counts(spark, batch, state_path, keys, value_col, batch_id)
 
     return (
         stream.writeStream.foreachBatch(_merge)

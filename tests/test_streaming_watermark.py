@@ -140,6 +140,45 @@ def test_incremental_matview_equals_full_recompute(spark, tmp_path):
     assert again == got
 
 
+def test_matview_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash after the state swap but
+    before the checkpoint commit replays the batch.  The persisted
+    batch-id sidecar must make the replayed merge a no-op instead of
+    double-counting."""
+    from recover_spark.streaming.matview import merge_counts
+
+    state = str(tmp_path / "replay_state")
+    batch = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 2.0), (3, "b", 5.0)],
+        "event_id long, event_type string, value double",
+    )
+    merge_counts(spark, batch, state, ["event_type"], "value", batch_id=0)
+    first = {
+        r["event_type"]: (r["n_rows"], r["sum_value"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert first == {"a": (2, 3.0), "b": (1, 5.0)}
+
+    # crash-replay of the SAME batch id: must not double-count
+    merge_counts(spark, batch, state, ["event_type"], "value", batch_id=0)
+    replayed = {
+        r["event_type"]: (r["n_rows"], r["sum_value"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert replayed == first
+
+    # a genuinely new batch id still merges
+    nxt = spark.createDataFrame(
+        [(4, "b", 7.0)], "event_id long, event_type string, value double"
+    )
+    merge_counts(spark, nxt, state, ["event_type"], "value", batch_id=1)
+    merged = {
+        r["event_type"]: (r["n_rows"], r["sum_value"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert merged == {"a": (2, 3.0), "b": (2, 12.0)}
+
+
 def test_dedup_stream_replay_exactly_once(spark, tmp_path):
     """dropDuplicatesWithinWatermark: duplicates inside a run collapse,
     and a key replayed in a LATER availableNow run (same checkpoint)
