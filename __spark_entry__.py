@@ -441,24 +441,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard near-duplicate pairs via inverted shingle index."""
+    """n-gram Jaccard near-duplicate pairs via inverted shingle index,
+    with the stop-shingle skew guard ON (the operator default): shingles
+    in >50 docs are dropped BEFORE the self-join — a shingle in k docs
+    makes k^2 pair rows, so the guard is what keeps candidate
+    generation sub-quadratic at 100 TB.  The oracle mirrors the guard
+    exactly."""
     from recover_spark.ops import ngram_jaccard_pairs
 
     docs = _load(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, shingle_size=3, min_jaccard=0.2)
-
-
-def q_dedup_jaccard_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jaccard near-dup with the stop-shingle skew guard: shingles
-    occurring >50 times are dropped BEFORE the inverted-index self-join
-    (a shingle in k docs makes k^2 pair rows — this is the knob that
-    keeps the join sub-quadratic at 100 TB)."""
-    from recover_spark.ops import ngram_jaccard_pairs
-
-    docs = _load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(
-        docs, shingle_size=3, min_jaccard=0.2, max_shingle_freq=50
-    )
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2002,7 +1994,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_frame_edges": q_win_frame_edges,
         "transform_hof": q_transform_hof,
         "set_union_distinct": q_set_union_distinct,
-        "dedup_jaccard_guarded": q_dedup_jaccard_guarded,
         "text_chunks": q_text_chunks,
         "emb_centroids": q_emb_centroids,
     }
@@ -2297,12 +2288,16 @@ def _oracle_sql_literal() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_sql(16, 4, 0.5),
         "dedup_clusters": f"""
             WITH RECURSIVE {_TOKS_CTE}, {_GRAMS3_CTE},
+            rare AS (SELECT shingle FROM grams
+                     GROUP BY shingle HAVING count(*) <= 50),
+            g2 AS (SELECT g.doc_id, g.shingle FROM grams g
+                   JOIN rare r ON g.shingle = r.shingle),
             sizes AS (SELECT doc_id, count(*) AS set_size
-                      FROM grams GROUP BY doc_id),
+                      FROM g2 GROUP BY doc_id),
             inter AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                        count(*) AS n_common
-                FROM grams a JOIN grams b ON a.shingle = b.shingle
+                FROM g2 a JOIN g2 b ON a.shingle = b.shingle
                 WHERE a.doc_id < b.doc_id
                 GROUP BY a.doc_id, b.doc_id),
             pairs AS (
@@ -2327,21 +2322,6 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "dedup_simhash": _simhash_sql(16),
         "dedup_jaccard": f"""
-            WITH {_TOKS_CTE}, {_GRAMS3_CTE},
-            sizes AS (SELECT doc_id, count(*) AS set_size FROM grams GROUP BY doc_id),
-            inter AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-                FROM grams a JOIN grams b ON a.shingle = b.shingle
-                WHERE a.doc_id < b.doc_id
-                GROUP BY a.doc_id, b.doc_id)
-            SELECT id_a, id_b,
-                   n_common / (sa.set_size + sb.set_size - n_common) AS jaccard
-            FROM inter
-            JOIN sizes sa ON inter.id_a = sa.doc_id
-            JOIN sizes sb ON inter.id_b = sb.doc_id
-            WHERE n_common / (sa.set_size + sb.set_size - n_common) >= 0.2
-        """,
-        "dedup_jaccard_guarded": f"""
             WITH {_TOKS_CTE}, {_GRAMS3_CTE},
             rare AS (SELECT shingle FROM grams
                      GROUP BY shingle HAVING count(*) <= 50),

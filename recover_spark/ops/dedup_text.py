@@ -201,14 +201,21 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_size: int = 3,
     min_jaccard: float = 0.5,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 50,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-duplicate pairs via an inverted index.
+    """n-gram Jaccard near-duplicate pairs via an inverted index.
 
     |A ∩ B| from a self-join on shared shingles; |A ∪ B| = |A|+|B|-∩.
     ``max_shingle_freq`` drops stop-shingles (appearing in more than N
     docs) before the join — the standard skew guard: a shingle in k docs
-    produces k^2 join rows.
+    produces k^2 join rows, so one stop-shingle turns the candidate join
+    quadratic.  The guard is ON by default (scale-safe); pass ``None``
+    for unguarded exact Jaccard on corpora known to be stop-shingle
+    free.  Contract under the guard: set sizes and intersections are
+    computed over the rare-shingle universe, so the score is exact
+    Jaccard on that universe; a pair sharing ONLY stop-shingles is not
+    emitted (by construction such pairs are boilerplate matches, not
+    near-duplicates).
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
@@ -241,9 +248,11 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    # sizes is O(n_docs) — too big to force-broadcast at corpus scale;
+    # AQE broadcasts it when it is actually small.
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
