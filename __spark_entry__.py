@@ -454,11 +454,28 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs."""
+    """Embedding-cosine near-duplicate pairs, scale-safe default path:
+    4-plane hyperplane-LSH blocking + same-bucket equi-join — nothing is
+    collected to the driver or broadcast, so the identical plan runs on
+    a corpus that fits on no single machine.  Blocking is approximate
+    (cross-bucket pairs are not compared); the oracle mirrors the
+    bucket restriction exactly."""
     from recover_spark.ops import embedding_near_duplicates
 
     emb = _load(spark, sf_dir, "embeddings")
-    pairs = embedding_near_duplicates(emb, threshold=0.45)
+    pairs = embedding_near_duplicates(emb, threshold=0.45, dim=64, num_planes=2)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_dedup_embedding_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs embedding near-dup via the opt-in broadcast GEMM
+    path (numpy matmul over Arrow batches against a broadcast matrix) —
+    the small-corpus/batch-vs-corpus shape, guarded by a row-count cap
+    so it fails loudly rather than OOMing the driver at scale."""
+    from recover_spark.ops import embedding_near_duplicates
+
+    emb = _load(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(emb, threshold=0.45, method="broadcast")
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1922,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_gemm": q_dedup_embedding_gemm,
         "ann_topk": q_ann_topk,
         "text_stats": q_text_stats,
         "text_langid": q_text_langid,
@@ -2034,6 +2052,27 @@ def _cos(a: str, b: str, dim: int = 64) -> str:
         )
 
     return f"({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})))"
+
+
+def _lsh_bucket_sql(
+    col: str, dim: int = 64, num_planes: int = 4, seed: int = 42
+) -> str:
+    """DuckDB expression for the hyperplane-LSH bucket of ``col``,
+    mirroring recover_spark.ops.similarity.lsh_bucket_signature: bit p =
+    (dot(v, h_p) >= 0), hyperplanes inlined as full-precision literals
+    (repr roundtrips doubles exactly in both engines)."""
+    from recover_spark.ops.similarity import _hyperplane
+
+    bits = []
+    for p in range(num_planes):
+        plane = _hyperplane(dim, seed, p)
+        arr = "[" + ", ".join(repr(w) for w in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> {col}[i]::DOUBLE * ({arr})[i]))"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0 THEN {2 ** p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
 
 
 def _simhash_sql(bits: int = 16) -> str:
@@ -2344,6 +2383,18 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE n_common / (sa.set_size + sb.set_size - n_common) >= 0.2
         """,
         "dedup_embedding": f"""
+            WITH b AS (
+                SELECT vec_id, embedding,
+                       {_lsh_bucket_sql('embedding', num_planes=2)} AS bucket
+                FROM embeddings)
+            SELECT id_a, id_b, round(c, 6) AS cosine FROM (
+                SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                       {_cos('a.embedding', 'b2.embedding')} AS c
+                FROM b a JOIN b b2
+                  ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+            WHERE c >= 0.45
+        """,
+        "dedup_embedding_gemm": f"""
             SELECT id_a, id_b, round(c, 6) AS cosine FROM (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                        {_cos('a.embedding', 'b.embedding')} AS c

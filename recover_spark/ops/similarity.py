@@ -234,20 +234,52 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    method: str = "auto",
+    dim: int | None = None,
+    num_planes: int = 4,
+    seed: int = 42,
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
 
-    Without ``block_col``: all-pairs against a broadcast of the (small)
-    right side, computed as a numpy GEMM inside Arrow-batched
-    ``mapInPandas`` — higher-order-function folds are interpreted row
-    expressions in Spark, ~100x slower than a blocked matrix multiply.
-    The left side stays fully distributed; each task multiplies its
-    Arrow batch (k x d) against the broadcast (n x d) matrix.
+    The DEFAULT (``method="auto"``/``"lsh"``) is the 100 TB path: when
+    no ``block_col`` is supplied, a random-hyperplane LSH bucket
+    (``lsh_bucket_signature``, ``num_planes`` bits) is derived and
+    candidates come from a same-bucket equi-join — no side is ever
+    collected or broadcast, the shuffle keys on bucket ids.  Blocking is
+    approximate by construction (a pair split across buckets is not
+    compared); more planes = smaller buckets = cheaper and lower recall.
 
-    With ``block_col`` (e.g. an LSH bucket from
-    ``lsh_bucket_signature``): same-block equi-join + expression-based
-    cosine — the 100 TB path where no side is broadcastable.
+    With an explicit ``block_col`` (a precomputed LSH bucket, a language
+    id, a shard key), the same-block equi-join runs on that column.
+
+    ``method="broadcast"`` opts into the exact all-pairs GEMM: the full
+    table is collected and broadcast as a numpy matrix, and each Arrow
+    batch of the (distributed) left side multiplies against it.  Exact
+    and fast for corpora that fit on the driver — guarded by
+    ``max_broadcast_rows`` so a 100 TB table fails loudly instead of
+    OOMing the driver.
+
+    ``dim`` (vector width) is needed to compile the hyperplanes for the
+    default path; when omitted it is read from one row of ``df``.
     """
+    if method not in ("auto", "lsh", "broadcast"):
+        raise ValueError(f"unknown method {method!r}")
+    if method in ("auto", "lsh") and block_col is None:
+        if dim is None:
+            first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+            if first is None:
+                return df.sparkSession.createDataFrame(
+                    [], "id_a long, id_b long, cosine double"
+                )
+            dim = first["d"]
+        blocked = df.withColumn(
+            "__block",
+            lsh_bucket_signature(F.col(vec_col), dim, num_planes, seed),
+        )
+        return embedding_near_duplicates(
+            blocked, threshold, id_col, vec_col, block_col="__block"
+        )
     if block_col is not None:
         normed = df.withColumn("__n", l2_norm(F.col(vec_col)))
         a = normed.select(
@@ -279,6 +311,13 @@ def embedding_near_duplicates(
     import pandas as pd
 
     spark = df.sparkSession
+    n_rows = df.count()
+    if n_rows > max_broadcast_rows:
+        raise ValueError(
+            f"method='broadcast' would collect {n_rows} rows to the driver "
+            f"(max_broadcast_rows={max_broadcast_rows}); use the default "
+            "LSH-blocked method or pass a block_col for corpus-scale input"
+        )
     side = df.select(F.col(id_col), F.col(vec_col)).toPandas()
     ids_b = side[id_col].to_numpy()
     mat_b = np.stack(side[vec_col].to_numpy()).astype("float64")

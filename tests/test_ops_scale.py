@@ -85,10 +85,23 @@ def _vecs(spark):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
-def test_embedding_near_duplicates_gemm(spark):
+def test_embedding_near_duplicates_default_lsh_blocked(spark):
+    # default path: LSH blocking — near-identical vectors share every
+    # bucket, so the (1, 2) pair must survive the block restriction
     pairs = {
         (r.id_a, r.id_b): r.cosine
         for r in embedding_near_duplicates(_vecs(spark), threshold=0.9).collect()
+    }
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] > 0.99
+
+
+def test_embedding_near_duplicates_gemm(spark):
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_duplicates(
+            _vecs(spark), threshold=0.9, method="broadcast"
+        ).collect()
     }
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] > 0.99

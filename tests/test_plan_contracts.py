@@ -158,3 +158,29 @@ def test_session_window_single_shuffle(spark):
 
     plan = _plan(entrymod.q_win_session_native(spark, SF_SMOKE))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_embedding_near_dup_default_never_touches_driver_or_python(spark):
+    """The DEFAULT embedding near-dup path must be the scale-safe one:
+    an equi-join on the derived LSH bucket, with no Arrow/Python eval
+    node (the GEMM collect path) anywhere in the plan.  The exact GEMM
+    stays opt-in and must refuse to collect more than its row cap."""
+    from recover_spark.ops.similarity import embedding_near_duplicates
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.rand(seed=i) * 2 - 1) for i in range(8)]).alias(
+            "embedding"
+        ),
+    )
+    pairs = embedding_near_duplicates(df, threshold=0.8, dim=8)
+    plan = _plan(pairs)
+    assert "Join" in plan  # same-bucket equi-join, fully distributed
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        embedding_near_duplicates(
+            df, threshold=0.8, method="broadcast", max_broadcast_rows=100
+        )
