@@ -1331,6 +1331,21 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + int8 composed: coarse assignment on float vectors (literal
+    centroids, map-side), integer dot products on the 4x-smaller int8
+    representation WITHIN probed lists only — the quantized path
+    inherits IVF's pruning instead of brute-forcing all pairs."""
+    from recover_spark.ops import ivf_topk_quantized
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    topk = ivf_topk_quantized(emb, queries, n_centroids=8, nprobe=2, k=5)
+    return topk.select(
+        "query_vec_id", "vec_id", F.round("qcosine", 6).alias("qcosine"), "rank"
+    )
+
+
 def q_skew_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy-hitter skew diagnosis: top-10 users by event count with
     share of all rows (the pre-join pass that decides broadcast vs
@@ -1986,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_lag_lead": q_win_lag_lead,
         "emb_quantize": q_emb_quantize,
         "ann_quantized": q_ann_quantized,
+        "ann_ivf_quantized": q_ann_ivf_quantized,
         "skew_hitters": q_skew_hitters,
         "ts_resample": q_ts_resample,
         "merge_upsert": q_merge_upsert,
@@ -2902,6 +2918,60 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(list_sum(qv) AS BIGINT) AS q_sum,
                    qv[1] AS q_first
             FROM q
+        """,
+        "ann_ivf_quantized": f"""
+            WITH cent AS (
+                SELECT vec_id AS cid, embedding AS cvec,
+                       sqrt({_dotsql('embedding', 'embedding')}) AS cnorm
+                FROM embeddings WHERE vec_id < 8),
+            assign AS (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_dotsql('e.embedding', 'c.cvec')} / c.cnorm
+                                    DESC, c.cid ASC) AS rn
+                FROM embeddings e CROSS JOIN cent c),
+            lists AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+            probed AS (
+                SELECT qid, qvec, cid FROM (
+                    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cid,
+                           row_number() OVER (PARTITION BY q.vec_id
+                               ORDER BY {_dotsql('q.embedding', 'c.cvec')} / c.cnorm
+                                        DESC, c.cid ASC) AS rn
+                    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 3)
+                WHERE rn <= 2),
+            lsc AS (SELECT vec_id, cid,
+                           list_max(list_transform(embedding,
+                               x -> abs(x::DOUBLE))) AS s, embedding
+                    FROM lists),
+            lq AS (SELECT vec_id, cid,
+                          list_transform(embedding, x -> CAST(floor(
+                              x::DOUBLE / (CASE WHEN s > 0 THEN s ELSE 1 END)
+                              * 127 + 0.5) AS BIGINT)) AS qv
+                   FROM lsc),
+            psc AS (SELECT qid, cid,
+                           list_max(list_transform(qvec,
+                               x -> abs(x::DOUBLE))) AS s, qvec
+                    FROM probed),
+            pq AS (SELECT qid, cid,
+                          list_transform(qvec, x -> CAST(floor(
+                              x::DOUBLE / (CASE WHEN s > 0 THEN s ELSE 1 END)
+                              * 127 + 0.5) AS BIGINT)) AS qq
+                   FROM psc),
+            cand AS (
+                SELECT p.qid AS query_vec_id, l.vec_id,
+                       list_sum(list_transform(range(1, 65),
+                           i -> l.qv[i] * p.qq[i]))::DOUBLE
+                       / (sqrt(list_sum(list_transform(range(1, 65),
+                              i -> l.qv[i] * l.qv[i]))::DOUBLE)
+                          * sqrt(list_sum(list_transform(range(1, 65),
+                              i -> p.qq[i] * p.qq[i]))::DOUBLE)) AS qc
+                FROM pq p
+                JOIN lq l ON p.cid = l.cid AND l.vec_id != p.qid)
+            SELECT query_vec_id, vec_id, round(qc, 6) AS qcosine, rank
+            FROM (SELECT *, CAST(row_number() OVER (PARTITION BY query_vec_id
+                      ORDER BY qc DESC, vec_id ASC) AS INTEGER) AS rank
+                  FROM cand)
+            WHERE rank <= 5
         """,
         "ann_quantized": f"""
             WITH scaled AS (

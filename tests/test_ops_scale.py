@@ -366,3 +366,24 @@ def test_chunk_documents_overlap_and_partial_tail(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_ivf_quantized_matches_ivf_candidates(spark):
+    """IVF+int8 probes the same inverted lists as float IVF (assignment
+    runs on the float vectors), so per query the candidate id set must
+    match ivf_topk's; scores differ only by quantization noise."""
+    from recover_spark.ops import ivf_topk, ivf_topk_quantized
+
+    rows = [
+        (i, [float(((i * 7 + j * 13) % 19) - 9) / 9.0 for j in range(8)])
+        for i in range(40)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = vecs.filter(F.col("vec_id") < 2)
+    flt = ivf_topk(vecs, qs, n_centroids=4, nprobe=2, k=10)
+    qnt = ivf_topk_quantized(vecs, qs, n_centroids=4, nprobe=2, k=10)
+    f = {(r.query_vec_id, r.vec_id): r.cosine for r in flt.collect()}
+    q = {(r.query_vec_id, r.vec_id): r.qcosine for r in qnt.collect()}
+    assert set(f) == set(q)
+    for key in f:
+        assert abs(f[key] - q[key]) < 0.05  # quantization noise bound
