@@ -1331,6 +1331,21 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN: candidates restricted to the query's
+    bucket (equi-join on the 4-plane signature instead of a cross join),
+    then exact cosine re-scoring — the no-index scale path when neither
+    side broadcasts.  Oracle mirrors the bucket restriction."""
+    from recover_spark.ops import lsh_bucketed_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    topk = lsh_bucketed_topk(emb, queries, dim=64, k=5, num_planes=4)
+    return topk.select(
+        "query_vec_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def q_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + int8 composed: coarse assignment on float vectors (literal
     centroids, map-side), integer dot products on the 4x-smaller int8
@@ -2002,6 +2017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": q_emb_quantize,
         "ann_quantized": q_ann_quantized,
         "ann_ivf_quantized": q_ann_ivf_quantized,
+        "ann_lsh": q_ann_lsh,
         "skew_hitters": q_skew_hitters,
         "ts_resample": q_ts_resample,
         "merge_upsert": q_merge_upsert,
@@ -2918,6 +2934,23 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(list_sum(qv) AS BIGINT) AS q_sum,
                    qv[1] AS q_first
             FROM q
+        """,
+        "ann_lsh": f"""
+            WITH b AS (
+                SELECT vec_id, embedding,
+                       {_lsh_bucket_sql('embedding', num_planes=4)} AS bucket
+                FROM embeddings)
+            SELECT query_vec_id, vec_id, round(c, 6) AS cosine, rank FROM (
+                SELECT q.vec_id AS query_vec_id, e.vec_id,
+                       {_cos('e.embedding', 'q.embedding')} AS c,
+                       CAST(row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_cos('e.embedding', 'q.embedding')} DESC,
+                                    e.vec_id ASC) AS INTEGER) AS rank
+                FROM b e
+                JOIN (SELECT * FROM b WHERE vec_id < 3) q
+                  ON e.bucket = q.bucket AND e.vec_id != q.vec_id)
+            WHERE rank <= 5
         """,
         "ann_ivf_quantized": f"""
             WITH cent AS (
