@@ -1331,6 +1331,49 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stream-stream interval join, batch twin: clicks joined to
+    each purchase of the same user within [purchase_ts, +30 min].  The
+    streaming run adds watermarks on both sides (state bounded by
+    watermark + range); the join predicate — and thus this result — is
+    identical, which is exactly what test_streaming_watermark.py's
+    stream==batch twin asserts."""
+    from recover_spark.streaming.joins import interval_join_stream
+
+    events = _load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    joined = interval_join_stream(
+        purchases, clicks, key="user_id", max_delay="30 minutes"
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        _ts(F.col("ts"), "purchase_ts"),
+        "click_id_r",
+        _ts(F.col("ts_r"), "click_ts"),
+    )
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stream-static enrichment join, batch twin: events enriched
+    with customer dimension attributes via a broadcast join — the
+    stream side is never shuffled and no join state accrues (each
+    micro-batch re-reads the dim snapshot)."""
+    from recover_spark.streaming.joins import enrich_stream
+
+    events = _load(spark, sf_dir, "events")
+    dim = _load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    out = enrich_stream(events, dim, key="user_id")
+    return out.select("user_id", "event_id", "c_name", "c_mktsegment")
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucketed ANN: candidates restricted to the query's
     bucket (equi-join on the 4-plane signature instead of a cross join),
@@ -2018,6 +2061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized": q_ann_quantized,
         "ann_ivf_quantized": q_ann_ivf_quantized,
         "ann_lsh": q_ann_lsh,
+        "stream_interval_join": q_stream_interval_join,
+        "stream_enrich": q_stream_enrich,
         "skew_hitters": q_skew_hitters,
         "ts_resample": q_ts_resample,
         "merge_upsert": q_merge_upsert,
@@ -2934,6 +2979,19 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(list_sum(qv) AS BIGINT) AS q_sum,
                    qv[1] AS q_first
             FROM q
+        """,
+        "stream_interval_join": """
+            SELECT l.user_id, l.event_id,
+                   strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+                   r.event_id AS click_id_r,
+                   strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+            FROM events l JOIN events r ON l.user_id = r.user_id
+            WHERE l.event_type = 'purchase' AND r.event_type = 'click'
+              AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+        """,
+        "stream_enrich": """
+            SELECT e.user_id, e.event_id, c.c_name, c.c_mktsegment
+            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         """,
         "ann_lsh": f"""
             WITH b AS (
