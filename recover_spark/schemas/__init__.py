@@ -1,3 +1,7 @@
-from recover_spark.schemas.registry import SchemaRegistry, parse_type
+from recover_spark.schemas.registry import (
+    SchemaRegistry,
+    load_default_registry,
+    parse_type,
+)
 
-__all__ = ["SchemaRegistry", "parse_type"]
+__all__ = ["SchemaRegistry", "load_default_registry", "parse_type"]

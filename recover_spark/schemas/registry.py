@@ -91,3 +91,55 @@ class SchemaRegistry:
 
     def names(self) -> list[str]:
         return sorted(self._tables)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "SchemaRegistry":
+        """Load a registry from a YAML catalog file.
+
+        Accepts two layouts under a top-level ``tables:`` mapping:
+
+        - the engine's compact form (shipped as
+          ``recover_spark/schemas/table_schemas.yaml``)::
+
+            TableName:
+              columns: {ColA: string, ColB: "array<struct<x:int>>"}
+              partition_keys: [cohort]
+              index: [ParticipantIdentifier, LogId]
+
+        - the reference catalog's verbose form
+          (src/glue/resources/table_columns.yaml:1-1397), where
+          ``columns``/``partition_keys`` are lists of ``{Name, Type}``
+          dicts and index fields live in a separate map
+          (json_to_parquet.py:39-88) passed via ``index:`` when present.
+        """
+        import yaml
+
+        with open(path) as fh:
+            doc = yaml.safe_load(fh)
+        reg = cls()
+        for name, spec in (doc.get("tables") or {}).items():
+            cols = spec.get("columns") or {}
+            if isinstance(cols, list):  # verbose {Name, Type} form
+                cols = {c["Name"]: c["Type"] for c in cols}
+            pks = spec.get("partition_keys") or []
+            if pks and isinstance(pks[0], dict):
+                pks = [p["Name"] for p in pks]
+            reg.register(
+                name,
+                columns=cols,
+                index_fields=spec.get("index") or [],
+                partition_keys=pks,
+            )
+        return reg
+
+
+def load_default_registry() -> SchemaRegistry:
+    """The shipped wearable-study catalog: 38 tables / ~600 columns
+    mirroring the reference's full table inventory (table_columns.yaml
+    + INDEX_FIELD_MAP), including the deeply nested device-summary
+    schemas (GarminSleepSummary, HealthKitV2Electrocardiogram, ...)."""
+    from pathlib import Path
+
+    return SchemaRegistry.from_yaml(
+        str(Path(__file__).with_name("table_schemas.yaml"))
+    )
