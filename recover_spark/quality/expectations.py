@@ -208,6 +208,37 @@ def results_to_json(results: list[ExpectationResult]) -> str:
     )
 
 
+def persist_run(
+    results: list[ExpectationResult],
+    artifacts_dir: str,
+    suite_name: str,
+    run_id: str,
+) -> str:
+    """Persist one suite run as a checkpoint artifact, mirroring the
+    reference's per-run GE result store (run_great_expectations_on_
+    parquet.py:223-277: validation results keyed by checkpoint/run id).
+
+    Layout: ``<artifacts_dir>/<suite_name>/<run_id>.json`` plus a
+    ``latest.json`` pointer — append-only history per suite, newest run
+    addressable without listing.  Driver-side metadata writes only (one
+    small JSON per run); the aggregate itself came from the single-scan
+    suite evaluation, so persistence adds no Spark work at any scale.
+
+    Returns the artifact path.
+    """
+    from pathlib import Path
+
+    out_dir = Path(artifacts_dir) / suite_name
+    out_dir.mkdir(parents=True, exist_ok=True)
+    doc = results_to_json(results)
+    path = out_dir / f"{run_id}.json"
+    path.write_text(doc)
+    (out_dir / "latest.json").write_text(
+        json.dumps({"run_id": run_id, "artifact": path.name})
+    )
+    return str(path)
+
+
 def validity_gates(df: DataFrame) -> dict[str, Any]:
     """V4 — dataset validity: non-empty, no duplicated column names
     (compare_parquet_datasets.py:619-642)."""

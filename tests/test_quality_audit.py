@@ -123,3 +123,33 @@ def test_in_set_missing_column_and_mostly(spark):
     )
     assert not res[0].success and res[0].details == {"error": "missing column"}
     assert res[1].success  # 3/4 = 0.75 >= 0.7
+
+
+def test_persist_run_artifacts(spark, tmp_path):
+    """Suite runs persist as per-run checkpoint artifacts with a
+    latest-pointer (reference: GE validation store keyed by run id)."""
+    import json
+
+    from recover_spark.quality.expectations import persist_run, run_suite
+
+    df = spark.createDataFrame([(1,), (2,)], "x int")
+    suite = {
+        "expectations": [
+            {
+                "expectation_type": "expect_column_values_to_be_between",
+                "kwargs": {"column": "x", "min_value": 0, "max_value": 10},
+            }
+        ]
+    }
+    res = run_suite(df, suite)
+    p1 = persist_run(res, str(tmp_path / "ge"), "events_suite", "run-001")
+    persist_run(res, str(tmp_path / "ge"), "events_suite", "run-002")
+
+    doc = json.loads(open(p1).read())
+    assert doc["success"] is True
+    assert doc["statistics"]["evaluated_expectations"] == 1
+    latest = json.loads((tmp_path / "ge" / "events_suite" / "latest.json").read_text())
+    assert latest["run_id"] == "run-002"
+    # history is append-only: both runs remain addressable
+    assert (tmp_path / "ge" / "events_suite" / "run-001.json").exists()
+    assert (tmp_path / "ge" / "events_suite" / "run-002.json").exists()
