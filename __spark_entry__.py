@@ -1390,15 +1390,32 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF + int8 composed: coarse assignment on float vectors (literal
-    centroids, map-side), integer dot products on the 4x-smaller int8
-    representation WITHIN probed lists only — the quantized path
-    inherits IVF's pruning instead of brute-forcing all pairs."""
-    from recover_spark.ops import ivf_topk_quantized
+    """IVF + int8 composed over the persisted index: assignment AND
+    quantization are paid once at build time, so a probe is a
+    partition-pruned scan of nprobe/K list directories + integer dot
+    products on the 4x-smaller int8 column.  Results match the
+    in-memory ``ivf_topk_quantized`` (same centroids/params), so the
+    same oracle applies."""
+    import os as _os
+
+    from recover_spark.ops.similarity import (
+        build_ivf_index,
+        ivf_topk_quantized_indexed,
+    )
 
     emb = _load(spark, sf_dir, "embeddings")
+    sf_tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    idx = _os.path.join("spark-warehouse", f"ivf_index_{sf_tag}")
+    # build-once-query-many; also rebuild pre-round-2 indexes that
+    # predate the quantized column
+    needs_build = not _os.path.isdir(_os.path.join(idx, "_centroids"))
+    if not needs_build:
+        probe_schema = spark.read.parquet(idx).schema.fieldNames()
+        needs_build = "q_embedding" not in probe_schema
+    if needs_build:
+        build_ivf_index(emb, idx, n_centroids=8)
     queries = emb.filter(F.col("vec_id") < 3)
-    topk = ivf_topk_quantized(emb, queries, n_centroids=8, nprobe=2, k=5)
+    topk = ivf_topk_quantized_indexed(spark, idx, queries, nprobe=2, k=5)
     return topk.select(
         "query_vec_id", "vec_id", F.round("qcosine", 6).alias("qcosine"), "rank"
     )

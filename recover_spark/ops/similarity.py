@@ -239,6 +239,7 @@ def embedding_near_duplicates(
     num_planes: int = 4,
     seed: int = 42,
     max_broadcast_rows: int = 2_000_000,
+    scorer: str = "gemm",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >= t).
 
@@ -251,7 +252,16 @@ def embedding_near_duplicates(
     compared); more planes = smaller buckets = cheaper and lower recall.
 
     With an explicit ``block_col`` (a precomputed LSH bucket, a language
-    id, a shard key), the same-block equi-join runs on that column.
+    id, a shard key), the same-block comparison runs on that column.
+
+    Within each block, scoring is a vectorized numpy GEMM over the
+    block's Arrow batch (``applyInPandas`` per block — distributed by
+    bucket, nothing on the driver): interpreted higher-order-function
+    cosine costs ~µs per PAIR, a blocked matrix multiply costs ~ns, and
+    pair count grows quadratically in block size.  A block must fit in
+    one task's memory — ``num_planes`` is the knob (more planes =
+    smaller blocks); ``scorer="expr"`` falls back to the pure-Catalyst
+    equi-join + expression cosine for engines without Arrow.
 
     ``method="broadcast"`` opts into the exact all-pairs GEMM: the full
     table is collected and broadcast as a numpy matrix, and each Arrow
@@ -278,7 +288,30 @@ def embedding_near_duplicates(
             lsh_bucket_signature(F.col(vec_col), dim, num_planes, seed),
         )
         return embedding_near_duplicates(
-            blocked, threshold, id_col, vec_col, block_col="__block"
+            blocked, threshold, id_col, vec_col, block_col="__block",
+            scorer=scorer,
+        )
+    if block_col is not None and scorer == "gemm":
+        import numpy as np
+        import pandas as pd
+
+        def bucket_gemm(pdf):
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            np.divide(mat, norms, out=mat, where=norms > 0)
+            sims = mat @ mat.T
+            ii, jj = np.nonzero(
+                (sims >= threshold) & (ids[:, None] < ids[None, :])
+            )
+            return pd.DataFrame(
+                {"id_a": ids[ii], "id_b": ids[jj], "cosine": sims[ii, jj]}
+            )
+
+        return (
+            df.select(F.col(id_col), F.col(vec_col), F.col(block_col))
+            .groupBy(block_col)
+            .applyInPandas(bucket_gemm, "id_a long, id_b long, cosine double")
         )
     if block_col is not None:
         normed = df.withColumn("__n", l2_norm(F.col(vec_col)))
@@ -371,9 +404,12 @@ def build_ivf_index(
     need no access to the original corpus.
     """
     seeds = _collect_seeds(corpus, n_centroids, id_col, vec_col)
+    # Quantized columns are precomputed at BUILD time (the build-once
+    # half pays assignment + quantization; probes pay neither), so the
+    # quantized query path is a partition-pruned scan + integer dots.
     assigned = corpus.withColumn(
         "list", _nearest_lists(seeds, F.col(vec_col), 1)[0]
-    )
+    ).withColumn("q_embedding", _quantized_vec(F.col(vec_col)))
     assigned.write.mode("overwrite").partitionBy("list").parquet(index_path)
     spark = corpus.sparkSession
     cent_rows = [(cid, cvec) for cid, cvec in seeds]
@@ -431,6 +467,56 @@ def ivf_topk_indexed(
         ).alias("cosine"),
     )
     w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk_quantized_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF index with int8 scoring — the full
+    production composition: probes are PARTITION-PRUNED scans (only
+    ``nprobe`` of K list directories are read), corpus-side assignment
+    and quantization were paid once at build time, and per-candidate
+    work is an integer dot product on the 4x-smaller representation.
+    Output matches ``ivf_topk_quantized`` on the same corpus/centroids.
+    """
+    qid = f"query_{id_col}"
+    seeds = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in spark.read.parquet(f"{index_path}/_centroids").collect()
+    )
+    q = queries.select(
+        F.col(id_col).alias(qid),
+        _quantized_vec(F.col(vec_col)).alias("__qq"),
+        F.explode(
+            F.array(*_nearest_lists(seeds, F.col(vec_col), nprobe))
+        ).alias("list"),
+    ).withColumn("__qnorm", _int_norm(F.col("__qq")))
+    probed = sorted({r["list"] for r in q.select("list").distinct().collect()})
+    corpus = (
+        spark.read.parquet(index_path)
+        .select(id_col, "q_embedding", "list")
+        .filter(F.col("list").isin(probed))
+        .withColumn("__cnorm", _int_norm(F.col("q_embedding")))
+    )
+    cand = corpus.join(F.broadcast(q), on="list").filter(
+        F.col(id_col) != F.col(qid)
+    )
+    scored = cand.select(
+        qid,
+        id_col,
+        (
+            _int_dot(F.col("q_embedding"), F.col("__qq")).cast("double")
+            / (F.col("__cnorm") * F.col("__qnorm"))
+        ).alias("qcosine"),
+    )
+    w = Window.partitionBy(qid).orderBy(F.col("qcosine").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 

@@ -387,3 +387,34 @@ def test_ivf_quantized_matches_ivf_candidates(spark):
     assert set(f) == set(q)
     for key in f:
         assert abs(f[key] - q[key]) < 0.05  # quantization noise bound
+
+
+def test_ivf_quantized_indexed_matches_in_memory(spark, tmp_path):
+    """The persisted quantized index answers identically to the
+    in-memory IVF+int8 path (build pays assignment+quantization once;
+    probes are partition-pruned scans)."""
+    from recover_spark.ops import (
+        build_ivf_index,
+        ivf_topk_quantized,
+        ivf_topk_quantized_indexed,
+    )
+
+    rows = [
+        (i, [float(((i * 7 + j * 13) % 19) - 9) / 9.0 for j in range(8)])
+        for i in range(40)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = vecs.filter(F.col("vec_id") < 2)
+    idx = str(tmp_path / "qivf")
+    build_ivf_index(vecs, idx, n_centroids=4)
+
+    mem = ivf_topk_quantized(vecs, qs, n_centroids=4, nprobe=2, k=10)
+    ind = ivf_topk_quantized_indexed(spark, idx, qs, nprobe=2, k=10)
+
+    def key(df):
+        return sorted(
+            (r.query_vec_id, r.vec_id, r.rank, round(r.qcosine, 9))
+            for r in df.collect()
+        )
+
+    assert key(mem) == key(ind)

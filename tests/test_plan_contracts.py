@@ -160,11 +160,13 @@ def test_session_window_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_embedding_near_dup_default_never_touches_driver_or_python(spark):
+def test_embedding_near_dup_default_never_touches_driver(spark):
     """The DEFAULT embedding near-dup path must be the scale-safe one:
-    an equi-join on the derived LSH bucket, with no Arrow/Python eval
-    node (the GEMM collect path) anywhere in the plan.  The exact GEMM
-    stays opt-in and must refuse to collect more than its row cap."""
+    work distributed by LSH bucket — per-bucket vectorized GEMM
+    (FlatMapGroupsInPandas after ONE exchange on the bucket), never a
+    driver collect, corpus broadcast, or nested-loop/cartesian join.
+    The expression scorer is the same shape as a pure equi-join; the
+    exact GEMM stays opt-in and must refuse to exceed its row cap."""
     from recover_spark.ops.similarity import embedding_near_duplicates
 
     df = spark.range(0, 200).select(
@@ -175,10 +177,25 @@ def test_embedding_near_dup_default_never_touches_driver_or_python(spark):
     )
     pairs = embedding_near_duplicates(df, threshold=0.8, dim=8)
     plan = _plan(pairs)
-    assert "Join" in plan  # same-bucket equi-join, fully distributed
-    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "FlatMapGroupsInPandas" in plan  # per-bucket GEMM, distributed
+    assert plan.count("Exchange hashpartitioning") == 1  # keyed on bucket
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastExchange" not in plan  # corpus is never broadcast
+
+    expr_pairs = embedding_near_duplicates(
+        df, threshold=0.8, dim=8, scorer="expr"
+    )
+    expr_plan = _plan(expr_pairs)
+    assert "Join" in expr_plan  # same-bucket equi-join, fully distributed
+    assert "ArrowEvalPython" not in expr_plan
+    assert "FlatMapGroupsInPandas" not in expr_plan
+    assert "CartesianProduct" not in expr_plan
+
+    # both scorers agree on the pair set (GEMM == expression cosine)
+    got_g = {(r.id_a, r.id_b) for r in pairs.collect()}
+    got_e = {(r.id_a, r.id_b) for r in expr_pairs.collect()}
+    assert got_g == got_e
 
     with pytest.raises(ValueError, match="max_broadcast_rows"):
         embedding_near_duplicates(
