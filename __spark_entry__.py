@@ -1331,6 +1331,39 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipe_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end training-data pipeline, composed from the
+    engine's own operators: C4 quality gate -> language filter (en) ->
+    exact-content dedup (keep lowest id per digest) -> overlapping
+    token-window chunking.
+
+    Plan shape at 100 TB: the quality verdict and language id are bare
+    column expressions fused into the ONE scan (no self-join back to
+    the text); dedup is a single window shuffle on the content digest
+    (the W1 shape — map-side WindowGroupLimit cuts each task's
+    contribution to 1 row per digest); chunking is a map-side explode.
+    Total: one shuffle end-to-end."""
+    from pyspark.sql import Window
+
+    from recover_spark.ops import chunk_documents
+    from recover_spark.ops.text_analysis import language_id, quality_fail_reason
+
+    docs = _load(spark, sf_dir, "documents")
+    kept = docs.filter(
+        quality_fail_reason(F.col("text")).isNull()
+        & (language_id(F.col("text")) == "en")
+    )
+    w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy(
+        F.col("doc_id")
+    )
+    survivors = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return chunk_documents(survivors, chunk_size=64, overlap=16)
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 stream-stream interval join, batch twin: clicks joined to
     each purchase of the same user within [purchase_ts, +30 min].  The
@@ -2056,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "ann_ivf_quantized": q_ann_ivf_quantized,
         "ann_lsh": q_ann_lsh,
+        "pipe_training_data": q_pipe_training_data,
         "stream_interval_join": q_stream_interval_join,
         "stream_enrich": q_stream_enrich,
         "text_chunks": q_text_chunks,
@@ -2245,7 +2279,44 @@ def _minhash_lsh_sql(
     )
 
 
-def _langid_sql() -> str:
+_QUALITY_VERDICT_CTES = r"""base AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                                   '[^a-z0-9'']+'), t -> len(t) > 0) AS toks,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z0-9'']+'))
+                           AS INT) AS n_tokens,
+                       len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                       len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+                       len(regexp_extract_all(text, '\s')) AS n_space,
+                       length(text) AS n_chars
+                FROM documents),
+            feat AS (
+                SELECT doc_id, n_tokens,
+                       n_punct / greatest(n_chars, 1) AS punct_ratio,
+                       n_digit / greatest(n_chars, 1) AS digit_ratio,
+                       CASE WHEN n_tokens > 0
+                            THEN (n_chars - n_space) / n_tokens
+                            ELSE 0.0 END AS mean_word_len,
+                       CASE WHEN len(toks) > 0
+                            THEN len(list_filter(toks, t -> list_contains(
+                                ['the','a','and','of','to','in','is','it',
+                                 'that','for'], t))) / len(toks)
+                            ELSE 0.0 END AS stopword_ratio
+                FROM base),
+            verdict AS (
+                SELECT doc_id,
+                       CASE WHEN n_tokens < 20 THEN 'too_few_tokens'
+                            WHEN punct_ratio > 0.25 THEN 'high_punct_ratio'
+                            WHEN digit_ratio > 0.30 THEN 'high_digit_ratio'
+                            WHEN mean_word_len > 12.0 THEN 'long_words'
+                            WHEN stopword_ratio < 0.05 THEN 'low_stopword_ratio'
+                            ELSE NULL END AS fail_reason
+                FROM feat)"""
+
+
+def _langid_fragments() -> tuple[str, str]:
+    """(hits select-list, lang CASE expr) — shared by the standalone
+    langid oracle and pipeline compositions."""
     from recover_spark.ops.text_analysis import _LANG_MARKERS
 
     hit_cols = []
@@ -2261,11 +2332,19 @@ def _langid_sql() -> str:
         pick += f"WHEN {' AND '.join(others)} THEN '{lang}' "
     pick += f"ELSE '{langs_desc[-1]}' END"
     greatest = ", ".join(f"h_{l}" for l in _LANG_MARKERS)
+    case = (
+        f"CASE WHEN greatest({greatest}) = 0 THEN 'unknown' "
+        f"ELSE {pick} END"
+    )
+    return ", ".join(hit_cols), case
+
+
+def _langid_sql() -> str:
+    hits, case = _langid_fragments()
     return (
         f"WITH {_TOKS_CTE}, "
-        f"hits AS (SELECT doc_id, {', '.join(hit_cols)} FROM toks) "
-        f"SELECT doc_id, CASE WHEN greatest({greatest}) = 0 THEN 'unknown' "
-        f"ELSE {pick} END AS lang_guess FROM hits"
+        f"hits AS (SELECT doc_id, {hits} FROM toks) "
+        f"SELECT doc_id, {case} AS lang_guess FROM hits"
     )
 
 
@@ -2542,40 +2621,8 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM base
         """,
         "text_langid": _langid_sql(),
-        "text_quality_filter": r"""
-            WITH base AS (
-                SELECT doc_id,
-                       list_filter(string_split_regex(lower(text),
-                                   '[^a-z0-9'']+'), t -> len(t) > 0) AS toks,
-                       CAST(len(regexp_extract_all(text, '[A-Za-z0-9'']+'))
-                           AS INT) AS n_tokens,
-                       len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
-                       len(regexp_extract_all(text, '[0-9]')) AS n_digit,
-                       len(regexp_extract_all(text, '\s')) AS n_space,
-                       length(text) AS n_chars
-                FROM documents),
-            feat AS (
-                SELECT doc_id, n_tokens,
-                       n_punct / greatest(n_chars, 1) AS punct_ratio,
-                       n_digit / greatest(n_chars, 1) AS digit_ratio,
-                       CASE WHEN n_tokens > 0
-                            THEN (n_chars - n_space) / n_tokens
-                            ELSE 0.0 END AS mean_word_len,
-                       CASE WHEN len(toks) > 0
-                            THEN len(list_filter(toks, t -> list_contains(
-                                ['the','a','and','of','to','in','is','it',
-                                 'that','for'], t))) / len(toks)
-                            ELSE 0.0 END AS stopword_ratio
-                FROM base),
-            verdict AS (
-                SELECT doc_id,
-                       CASE WHEN n_tokens < 20 THEN 'too_few_tokens'
-                            WHEN punct_ratio > 0.25 THEN 'high_punct_ratio'
-                            WHEN digit_ratio > 0.30 THEN 'high_digit_ratio'
-                            WHEN mean_word_len > 12.0 THEN 'long_words'
-                            WHEN stopword_ratio < 0.05 THEN 'low_stopword_ratio'
-                            ELSE NULL END AS fail_reason
-                FROM feat)
+        "text_quality_filter": f"""
+            WITH {_QUALITY_VERDICT_CTES}
             SELECT doc_id, fail_reason IS NULL AS passed, fail_reason
             FROM verdict
         """,
@@ -3001,6 +3048,37 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(list_sum(qv) AS BIGINT) AS q_sum,
                    qv[1] AS q_first
             FROM q
+        """,
+        "pipe_training_data": f"""
+            WITH {_QUALITY_VERDICT_CTES},
+            {_TOKS_CTE},
+            hits AS (SELECT doc_id, {_langid_fragments()[0]} FROM toks),
+            lang AS (SELECT doc_id, {_langid_fragments()[1]} AS lang_guess
+                     FROM hits),
+            kept AS (
+                SELECT d.doc_id, d.text FROM documents d
+                JOIN verdict v ON d.doc_id = v.doc_id
+                 AND v.fail_reason IS NULL
+                JOIN lang l ON d.doc_id = l.doc_id
+                 AND l.lang_guess = 'en'),
+            ded AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text, row_number() OVER (
+                        PARTITION BY md5(lower(trim(text)))
+                        ORDER BY doc_id) AS rn
+                    FROM kept) WHERE rn = 1),
+            kt AS (SELECT doc_id, list_filter(
+                       string_split_regex(lower(text), '[^a-z0-9'']+'),
+                       t -> len(t) > 0) AS t
+                   FROM ded),
+            d2 AS (SELECT doc_id, t, len(t) AS n FROM kt WHERE len(t) > 0),
+            st AS (SELECT doc_id, t, n, unnest(range(0, n, 48)) AS start
+                   FROM d2)
+            SELECT doc_id,
+                   CAST(start // 48 AS INT) AS chunk_index,
+                   array_to_string(t[start+1:start+64], ' ') AS chunk_text,
+                   CAST(least(64, n - start) AS INT) AS chunk_tokens
+            FROM st
         """,
         "stream_interval_join": """
             SELECT l.user_id, l.event_id,

@@ -123,18 +123,40 @@ def quality_filter(
     Returns (id, passed, fail_reason); ``fail_reason`` is null iff
     ``passed``.
     """
-    q = quality_features(F.col(text_col))
-    reason = (
-        F.when(q["n_tokens"] < min_tokens, F.lit("too_few_tokens"))
-        .when(q["punct_ratio"] > max_punct_ratio, F.lit("high_punct_ratio"))
-        .when(q["digit_ratio"] > max_digit_ratio, F.lit("high_digit_ratio"))
-        .when(q["mean_word_len"] > max_mean_word_len, F.lit("long_words"))
-        .when(q["stopword_ratio"] < min_stopword_ratio, F.lit("low_stopword_ratio"))
+    reason = quality_fail_reason(
+        text_col,
+        min_tokens=min_tokens,
+        max_punct_ratio=max_punct_ratio,
+        max_digit_ratio=max_digit_ratio,
+        max_mean_word_len=max_mean_word_len,
+        min_stopword_ratio=min_stopword_ratio,
     )
     return df.select(
         F.col(id_col),
         reason.isNull().alias("passed"),
         reason.alias("fail_reason"),
+    )
+
+
+def quality_fail_reason(
+    text_col: Column | str,
+    min_tokens: int = 20,
+    max_punct_ratio: float = 0.25,
+    max_digit_ratio: float = 0.30,
+    max_mean_word_len: float = 12.0,
+    min_stopword_ratio: float = 0.05,
+) -> Column:
+    """First-failed-rule verdict as a bare column expression (null =
+    passed) — usable directly in a filter without a self-join back to
+    the text, which is what pipeline compositions need at scale."""
+    text_col = F.col(text_col) if isinstance(text_col, str) else text_col
+    q = quality_features(text_col)
+    return (
+        F.when(q["n_tokens"] < min_tokens, F.lit("too_few_tokens"))
+        .when(q["punct_ratio"] > max_punct_ratio, F.lit("high_punct_ratio"))
+        .when(q["digit_ratio"] > max_digit_ratio, F.lit("high_digit_ratio"))
+        .when(q["mean_word_len"] > max_mean_word_len, F.lit("long_words"))
+        .when(q["stopword_ratio"] < min_stopword_ratio, F.lit("low_stopword_ratio"))
     )
 
 

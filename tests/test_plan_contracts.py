@@ -201,3 +201,21 @@ def test_embedding_near_dup_default_never_touches_driver(spark):
         embedding_near_duplicates(
             df, threshold=0.8, method="broadcast", max_broadcast_rows=100
         )
+
+
+def test_training_pipeline_single_shuffle(spark):
+    """The composed training-data pipeline (quality gate -> lang filter
+    -> exact dedup -> chunking) must cost ONE shuffle end-to-end: the
+    verdict/lang filters are column expressions fused into the scan
+    (no self-join back to the text), dedup is a single window exchange
+    on the content digest, chunking is a map-side explode."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.q_pipe_training_data(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
+    # map-side pre-shuffle cut on the dedup window
+    assert "WindowGroupLimit" in plan
