@@ -2076,7 +2076,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_range": q_range_join,
         "ts_resample": q_ts_resample,
         "merge_upsert": q_merge_upsert,
-        "join_salted_skew": q_join_salted_skew,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2094,6 +2093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_enrich": q_stream_enrich,
         "text_chunks": q_text_chunks,
         "emb_centroids": q_emb_centroids,
+        "join_salted_skew": q_join_salted_skew,
         "a4_duplicate_keys": q_a4_duplicate_keys,
         "a5_group_collect": q_a5_group_collect,
         "p4_defensive_json": q_p4_defensive_json,

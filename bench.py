@@ -48,6 +48,7 @@ HEADLINE = [
     "skew_hitters",
     "join_volume_shipping",
     "join_market_share",
+    "pipe_training_data",
 ]
 
 
