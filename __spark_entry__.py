@@ -1364,6 +1364,35 @@ def q_pipe_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(survivors, chunk_size=64, overlap=16)
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (class rebalancing): keep 50%
+    of clicks, 25% of views, all purchases, drop the rest — map-only
+    hash thresholds compiled to a CASE, no shuffle, reproducible across
+    engines and partitionings."""
+    from recover_spark.ops import stratified_sample
+
+    events = _load(spark, sf_dir, "events")
+    out = stratified_sample(
+        events,
+        "event_id",
+        "event_type",
+        {"click": 0.5, "view": 0.25, "purchase": 1.0},
+    )
+    return out.select("event_id", "event_type")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (chunk -> training-batch row): greedy
+    streaming concatenation into 256-token sequences within 8 hash
+    shards — one shuffle keyed on the shard, a doc never splits across
+    shards, window running-sum assigns each chunk its sequence."""
+    from recover_spark.ops import chunk_documents, pack_sequences
+
+    docs = _load(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_size=64, overlap=16).drop("chunk_text")
+    return pack_sequences(chunks, budget=256, num_shards=8)
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 stream-stream interval join, batch twin: clicks joined to
     each purchase of the same user within [purchase_ts, +30 min].  The
@@ -2089,6 +2118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_quantized": q_ann_ivf_quantized,
         "ann_lsh": q_ann_lsh,
         "pipe_training_data": q_pipe_training_data,
+        "sample_stratified": q_sample_stratified,
+        "pack_sequences": q_pack_sequences,
         "stream_interval_join": q_stream_interval_join,
         "stream_enrich": q_stream_enrich,
         "text_chunks": q_text_chunks,
@@ -3079,6 +3110,45 @@ def _oracle_sql_literal() -> dict[str, str]:
                    array_to_string(t[start+1:start+64], ' ') AS chunk_text,
                    CAST(least(64, n - start) AS INT) AS chunk_tokens
             FROM st
+        """,
+        "sample_stratified": f"""
+            WITH b AS (
+                SELECT event_id, event_type,
+                       {_h64("concat('stratified', '|', CAST(event_id AS VARCHAR))")}
+                           % 10000 AS bucket
+                FROM events)
+            SELECT event_id, event_type FROM b
+            WHERE bucket < CASE WHEN event_type = 'click' THEN 5000
+                                WHEN event_type = 'view' THEN 2500
+                                WHEN event_type = 'purchase' THEN 10000
+                                ELSE 0 END
+        """,
+        "pack_sequences": f"""
+            WITH {_TOKS_CTE},
+            d AS (SELECT doc_id, t, len(t) AS n FROM toks
+                  WHERE len(t) > 0),
+            s AS (SELECT doc_id, t, n,
+                         unnest(range(0, n, 48)) AS start
+                  FROM d),
+            c AS (SELECT doc_id,
+                         CAST(start // 48 AS INT) AS chunk_index,
+                         CAST(least(64, n - start) AS INT) AS chunk_tokens
+                  FROM s),
+            sh AS (SELECT *,
+                          {_h64("concat('pack', '|', CAST(doc_id AS VARCHAR))")}
+                              % 8 AS shard
+                   FROM c),
+            p AS (SELECT shard, doc_id, chunk_index, chunk_tokens,
+                         sum(chunk_tokens) OVER (
+                             PARTITION BY shard
+                             ORDER BY doc_id, chunk_index
+                             ROWS UNBOUNDED PRECEDING) AS cum
+                  FROM sh)
+            SELECT shard,
+                   CAST(floor((cum - chunk_tokens) / 256) AS BIGINT) AS seq_id,
+                   doc_id, chunk_index, chunk_tokens,
+                   cum - chunk_tokens AS stream_offset
+            FROM p
         """,
         "stream_interval_join": """
             SELECT l.user_id, l.event_id,

@@ -83,6 +83,37 @@ def stable_sample(
     return df.filter(bucket < F.lit(int(round(fraction * _GRANULARITY))))
 
 
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 0.0,
+    salt: str = "stratified",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep ``fractions[stratum]``
+    of each stratum's keys (class rebalancing / downsampling the
+    dominant class — the standard training-mix step).
+
+    Map-only and shuffle-free like ``stable_sample``: the keep decision
+    is a hash threshold compiled to a CASE over the stratum column, so
+    the sample is reproducible across runs, engines, and partitionings,
+    and a key draws a CONSISTENT bucket across strata (sampling stays
+    coordinated for keys appearing in several strata).  Strata missing
+    from ``fractions`` keep ``default_fraction`` of rows (0 = drop).
+    """
+    bucket = F.pmod(portable_hash64(F.col(key_col), salt=salt), F.lit(_GRANULARITY))
+    thresh = None
+    for stratum, frac in fractions.items():
+        cut = F.lit(int(round(frac * _GRANULARITY)))
+        cond = F.col(strata_col) == stratum
+        thresh = F.when(cond, cut) if thresh is None else thresh.when(cond, cut)
+    thresh = thresh.otherwise(
+        F.lit(int(round(default_fraction * _GRANULARITY)))
+    )
+    return df.filter(bucket < thresh)
+
+
 def histogram(
     df: DataFrame,
     value_col: str,

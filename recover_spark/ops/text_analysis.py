@@ -201,3 +201,54 @@ def chunk_documents(
             "chunk_tokens"
         ),
     )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    budget: int = 512,
+    num_shards: int = 8,
+    id_col: str = "doc_id",
+    index_col: str = "chunk_index",
+    token_col: str = "chunk_tokens",
+    salt: str = "pack",
+) -> DataFrame:
+    """Pack chunks into fixed token-budget training sequences (the
+    chunk -> batch-row step after ``chunk_documents``).
+
+    Greedy sequential packing, sharded for parallelism: each document's
+    chunks hash to one of ``num_shards`` shards (a doc never splits
+    across shards), and within a shard — ordered by (doc, chunk) — a
+    chunk joins sequence ``floor(tokens_before_it / budget)``.  This is
+    the streaming-concatenation packing LLM pipelines use (sequences
+    fill to ~budget, a boundary-straddling chunk starts the next);
+    exact first-fit bin packing is inherently sequential and buys a few
+    percent fill at best.
+
+    One shuffle, keyed on the shard (``num_shards`` is the parallelism
+    knob — at 100 TB use O(cluster cores) shards); the window sum is a
+    single running aggregate per shard.  Deterministic and
+    engine-portable via the md5 shard hash.
+
+    Output: (shard, sequence id unique within shard, doc, chunk index,
+    chunk tokens, position of the chunk's first token in the packed
+    stream).
+    """
+    from pyspark.sql import Window
+
+    shard = F.pmod(
+        portable_hash64(F.col(id_col), salt=salt), F.lit(num_shards)
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col, index_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    return chunks.withColumn("shard", shard).select(
+        "shard",
+        F.floor((cum - F.col(token_col)) / F.lit(budget)).alias("seq_id"),
+        F.col(id_col),
+        F.col(index_col),
+        F.col(token_col),
+        (cum - F.col(token_col)).alias("stream_offset"),
+    )

@@ -418,3 +418,60 @@ def test_ivf_quantized_indexed_matches_in_memory(spark, tmp_path):
         )
 
     assert key(mem) == key(ind)
+
+
+def test_stratified_sample_rebalances_deterministically(spark):
+    from recover_spark.ops import stratified_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, cls string")
+    out = stratified_sample(df, "id", "cls", {"a": 1.0, "b": 0.3})
+    got = [(r.id, r.cls) for r in out.collect()]
+    # stratum a kept fully; b downsampled near its fraction
+    a = [r for r in got if r[1] == "a"]
+    b = [r for r in got if r[1] == "b"]
+    assert len(a) == 100
+    assert 10 <= len(b) <= 50
+    # deterministic: a second evaluation returns the same rows
+    again = [(r.id, r.cls) for r in out.collect()]
+    assert sorted(got) == sorted(again)
+    # unknown strata drop by default
+    df2 = spark.createDataFrame([(1, "zz")], "id long, cls string")
+    assert stratified_sample(df2, "id", "cls", {"a": 1.0}).count() == 0
+
+
+def test_pack_sequences_invariants(spark):
+    from recover_spark.ops import chunk_documents, pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}t{j}" for j in range(150))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    chunks = chunk_documents(docs, chunk_size=64, overlap=16)
+    packed = pack_sequences(chunks, budget=100, num_shards=4).collect()
+
+    # a document never splits across shards
+    doc_shards = {}
+    for r in packed:
+        doc_shards.setdefault(r.doc_id, set()).add(r.shard)
+    assert all(len(s) == 1 for s in doc_shards.values())
+
+    # stream_offset is the running token total and seq_id quantizes it
+    by_shard = {}
+    for r in sorted(packed, key=lambda r: (r.shard, r.doc_id, r.chunk_index)):
+        run = by_shard.get(r.shard, 0)
+        assert r.stream_offset == run
+        assert r.seq_id == run // 100
+        by_shard[r.shard] = run + r.chunk_tokens
+
+    # every sequence except a shard's last reaches the budget boundary
+    seq_tokens = {}
+    for r in packed:
+        seq_tokens[(r.shard, r.seq_id)] = (
+            seq_tokens.get((r.shard, r.seq_id), 0) + r.chunk_tokens
+        )
+    last = {s: max(q for (sh, q) in seq_tokens if sh == s)
+            for s in {sh for (sh, _) in seq_tokens}}
+    for (sh, q), tot in seq_tokens.items():
+        if q != last[sh]:
+            assert tot >= 100 - 63  # boundary chunk can straddle
