@@ -171,6 +171,45 @@ def _nearest_lists(seeds, vec, n: int):
     return [(-ordered[i]["nc"]).cast("long") for i in range(n)]
 
 
+def _assign_lists_gemm(
+    df: DataFrame, seeds, id_col: str, vec_col: str
+) -> DataFrame:
+    """Corpus-side list assignment + L2 norm as ONE numpy GEMM per
+    Arrow batch (``mapInPandas`` — map-side, no shuffle, centroid
+    matrix lives in the closure).  Replaces K x dim interpreted
+    expression nodes per row with a blocked matrix multiply; ties go to
+    the lowest centroid id (seeds are cid-ascending and ``argmax``
+    returns the first maximum), matching the expression path."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    cids = np.array([c for c, _ in seeds], dtype="int64")
+    cmat = np.stack([v for _, v in seeds]).astype("float64")
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("__list", T.LongType()),
+            T.StructField("__cnorm", T.DoubleType()),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            scores = m @ cmat.T  # score = dot(v, c)/|c| (cmat pre-normed)
+            pdf = pdf.copy()
+            pdf["__list"] = cids[np.argmax(scores, axis=1)]
+            pdf["__cnorm"] = np.linalg.norm(m, axis=1)
+            yield pdf
+
+    return df.mapInPandas(assign, schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -179,6 +218,7 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigner: str = "gemm",
 ) -> DataFrame:
     """IVF-Flat approximate top-k — the 100 TB scale path for ANN.
 
@@ -191,9 +231,12 @@ def ivf_topk(
     oracle-checkable; a sampled k-means trainer can replace the seeds
     without touching the plan shape.
 
-    Scale design: centroids are collected to the driver (tiny: K rows)
-    and compiled into literal Catalyst expressions, so list assignment is
-    a map-side projection — the corpus is NEVER shuffled for assignment.
+    Scale design: centroids are collected to the driver (tiny: K rows);
+    corpus list assignment is MAP-SIDE either way — by default one numpy
+    GEMM per Arrow batch against the in-closure centroid matrix
+    (``assigner="gemm"``; K x dim interpreted expression nodes per row
+    otherwise with ``assigner="expr"``) — the corpus is NEVER shuffled
+    for assignment.
     Queries (small) are broadcast; the candidate join is an equi-join on
     list id against the broadcast, and the only shuffle keys on query id
     over candidate rows (a ``nprobe/n_centroids`` fraction of the
@@ -204,9 +247,15 @@ def ivf_topk(
     seeds = _collect_seeds(corpus, n_centroids, id_col, vec_col)
     nearest_lists = lambda vec, n: _nearest_lists(seeds, vec, n)  # noqa: E731
 
-    c = corpus.withColumn("__list", nearest_lists(F.col(vec_col), 1)[0]).withColumn(
-        "__cnorm", l2_norm(F.col(vec_col))
-    )
+    if assigner == "gemm":
+        # corpus side: one vectorized GEMM per Arrow batch (map-side)
+        c = _assign_lists_gemm(
+            corpus.select(F.col(id_col), F.col(vec_col)), seeds, id_col, vec_col
+        )
+    else:
+        c = corpus.withColumn(
+            "__list", nearest_lists(F.col(vec_col), 1)[0]
+        ).withColumn("__cnorm", l2_norm(F.col(vec_col)))
     q = queries.select(
         F.col(id_col).alias(qid),
         F.col(vec_col).alias("__qvec"),
