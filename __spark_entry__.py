@@ -1451,6 +1451,23 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: each query also probes the 4 buckets at
+    Hamming distance 1 from its own signature — ~5x the candidates (and
+    recall) of single-bucket probing with the identical equi-join shape;
+    only the tiny query side fans out."""
+    from recover_spark.ops import lsh_bucketed_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    topk = lsh_bucketed_topk(
+        emb, queries, dim=64, k=5, num_planes=4, multi_probe=1
+    )
+    return topk.select(
+        "query_vec_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def q_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + int8 composed over the persisted index: assignment AND
     quantization are paid once at build time, so a probe is a
@@ -2117,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "ann_ivf_quantized": q_ann_ivf_quantized,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "pipe_training_data": q_pipe_training_data,
         "sample_stratified": q_sample_stratified,
         "pack_sequences": q_pack_sequences,
@@ -3178,6 +3196,23 @@ def _oracle_sql_literal() -> dict[str, str]:
                 FROM b e
                 JOIN (SELECT * FROM b WHERE vec_id < 3) q
                   ON e.bucket = q.bucket AND e.vec_id != q.vec_id)
+            WHERE rank <= 5
+        """,
+        "ann_lsh_multiprobe": f"""
+            WITH b AS (
+                SELECT vec_id, embedding,
+                       {_lsh_bucket_sql('embedding', num_planes=4)} AS bucket
+                FROM embeddings)
+            SELECT query_vec_id, vec_id, round(c, 6) AS cosine, rank FROM (
+                SELECT q.vec_id AS query_vec_id, e.vec_id,
+                       {_cos('e.embedding', 'q.embedding')} AS c,
+                       CAST(row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_cos('e.embedding', 'q.embedding')} DESC,
+                                    e.vec_id ASC) AS INTEGER) AS rank
+                FROM b e
+                JOIN (SELECT * FROM b WHERE vec_id < 3) q
+                  ON (e.bucket = q.bucket OR e.bucket = xor(q.bucket, 1) OR e.bucket = xor(q.bucket, 2) OR e.bucket = xor(q.bucket, 4) OR e.bucket = xor(q.bucket, 8)) AND e.vec_id != q.vec_id)
             WHERE rank <= 5
         """,
         "ann_ivf_quantized": f"""

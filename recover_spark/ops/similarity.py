@@ -100,14 +100,23 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_planes: int = 8,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: hyperplane-LSH bucket join then exact rescoring.
 
     Same output shape as brute_force_topk, restricted to same-bucket
-    candidates.  Recall improves with fewer planes (bigger buckets) or
-    multi-probe; at scale the join is an equi-join on (bucket) instead of
-    a cross join.
+    candidates.  Two recall knobs: fewer planes (bigger buckets), or
+    ``multi_probe=1`` — each query additionally probes the
+    ``num_planes`` buckets at Hamming distance 1 from its own (the
+    planes most likely to have flipped on a near neighbor), multiplying
+    candidates by ~(1 + num_planes) without growing buckets.  Probed
+    bucket ids are distinct and each corpus row lives in exactly one
+    bucket, so no candidate dedup is needed.  At scale the join stays
+    an equi-join on (bucket) — the query side fans out, the corpus
+    never does.
     """
+    if multi_probe not in (0, 1):
+        raise ValueError("multi_probe supports 0 (exact bucket) or 1")
     qid = f"query_{id_col}"
     c = corpus.withColumn(
         "__bucket", lsh_bucket_signature(F.col(vec_col), dim, num_planes)
@@ -117,6 +126,15 @@ def lsh_bucketed_topk(
         F.col(vec_col).alias("__qvec"),
         l2_norm(F.col(vec_col)).alias("__qnorm"),
     ).withColumn("__bucket", lsh_bucket_signature(F.col("__qvec"), dim, num_planes))
+    if multi_probe == 1:
+        probes = F.array(
+            F.col("__bucket"),
+            *[
+                F.col("__bucket").bitwiseXOR(F.lit(2 ** p))
+                for p in range(num_planes)
+            ],
+        )
+        q = q.withColumn("__bucket", F.explode(probes))
     cand = c.join(F.broadcast(q), on="__bucket").filter(F.col(id_col) != F.col(qid))
     scored = cand.select(
         qid,

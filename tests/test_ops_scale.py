@@ -475,3 +475,25 @@ def test_pack_sequences_invariants(spark):
     for (sh, q), tot in seq_tokens.items():
         if q != last[sh]:
             assert tot >= 100 - 63  # boundary chunk can straddle
+
+
+def test_lsh_multiprobe_recall_superset(spark):
+    """Hamming-1 multi-probe candidates strictly contain the exact
+    bucket's candidates (same planes), so recall can only improve."""
+    rows = [
+        (i, [float(((i * 11 + j * 5) % 17) - 8) / 8.0 for j in range(8)])
+        for i in range(60)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = vecs.filter(F.col("vec_id") < 2)
+    single = lsh_bucketed_topk(vecs, qs, dim=8, k=60, num_planes=4)
+    multi = lsh_bucketed_topk(
+        vecs, qs, dim=8, k=60, num_planes=4, multi_probe=1
+    )
+    s = {(r.query_vec_id, r.vec_id) for r in single.collect()}
+    m = {(r.query_vec_id, r.vec_id) for r in multi.collect()}
+    assert s <= m
+    assert len(m) > len(s)  # neighbor buckets contribute new candidates
+    # no duplicate candidates from probing multiple buckets
+    got = [(r.query_vec_id, r.vec_id) for r in multi.collect()]
+    assert len(got) == len(set(got))
