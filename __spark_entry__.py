@@ -1393,6 +1393,42 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(chunks, budget=256, num_shards=8)
 
 
+def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension maintenance: fold a new customer snapshot
+    (every 7th customer's balance shifted; every 13th unchanged — a
+    change-detection no-op) into a versioned history.  Changed keys get
+    their open row closed and a new open version inserted; one
+    full-outer shuffle, closed history passes through scan-only."""
+    from recover_spark.operators import scd2_apply
+
+    cust = _load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    history = cust.select(
+        "*",
+        F.lit("2024-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    updates = cust.filter(
+        (F.col("c_custkey") % 7 == 0) | (F.col("c_custkey") % 13 == 0)
+    ).withColumn(
+        "c_acctbal",
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.round(F.col("c_acctbal") + 100, 2)
+        ).otherwise(F.col("c_acctbal")),
+    )
+    out = scd2_apply(
+        history,
+        updates,
+        keys=["c_custkey"],
+        compare_cols=["c_acctbal"],
+        effective="2024-06-01",
+    )
+    return out.select(
+        "c_custkey", "c_name", "c_acctbal", "valid_from", "valid_to"
+    )
+
+
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 stream-stream interval join, batch twin: clicks joined to
     each purchase of the same user within [purchase_ts, +30 min].  The
@@ -2122,6 +2158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_range": q_range_join,
         "ts_resample": q_ts_resample,
         "merge_upsert": q_merge_upsert,
+        "merge_scd2": q_merge_scd2,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2134,14 +2171,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_indexed": q_ann_ivf_indexed,
         "ann_ivf_quantized": q_ann_ivf_quantized,
         "ann_lsh": q_ann_lsh,
-        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "pipe_training_data": q_pipe_training_data,
-        "sample_stratified": q_sample_stratified,
-        "pack_sequences": q_pack_sequences,
         "stream_interval_join": q_stream_interval_join,
-        "stream_enrich": q_stream_enrich,
         "text_chunks": q_text_chunks,
         "emb_centroids": q_emb_centroids,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "sample_stratified": q_sample_stratified,
+        "pack_sequences": q_pack_sequences,
+        "stream_enrich": q_stream_enrich,
         "join_salted_skew": q_join_salted_skew,
         "a4_duplicate_keys": q_a4_duplicate_keys,
         "a5_group_collect": q_a5_group_collect,
@@ -3167,6 +3204,31 @@ def _oracle_sql_literal() -> dict[str, str]:
                    doc_id, chunk_index, chunk_tokens,
                    cum - chunk_tokens AS stream_offset
             FROM p
+        """,
+        "merge_scd2": """
+            WITH cust AS (
+                SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+                FROM customer),
+            upd AS (
+                SELECT c_custkey, c_name,
+                       CASE WHEN c_custkey % 7 = 0
+                            THEN round(c_acctbal + 100, 2)
+                            ELSE c_acctbal END AS c_acctbal
+                FROM cust
+                WHERE c_custkey % 7 = 0 OR c_custkey % 13 = 0),
+            changed AS (
+                SELECT c.c_custkey FROM cust c
+                JOIN upd u ON c.c_custkey = u.c_custkey
+                WHERE c.c_acctbal IS DISTINCT FROM u.c_acctbal)
+            SELECT c.c_custkey, c.c_name, c.c_acctbal,
+                   '2024-01-01' AS valid_from,
+                   CASE WHEN ch.c_custkey IS NOT NULL
+                        THEN '2024-06-01' END AS valid_to
+            FROM cust c LEFT JOIN changed ch ON c.c_custkey = ch.c_custkey
+            UNION ALL
+            SELECT u.c_custkey, u.c_name, u.c_acctbal,
+                   '2024-06-01', NULL
+            FROM upd u JOIN changed ch ON u.c_custkey = ch.c_custkey
         """,
         "stream_interval_join": """
             SELECT l.user_id, l.event_id,

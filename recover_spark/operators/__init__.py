@@ -9,7 +9,7 @@ from recover_spark.operators.audit import (
     stage_counts,
     union_ledgers,
 )
-from recover_spark.operators.merge import merge_upsert
+from recover_spark.operators.merge import merge_upsert, scd2_apply
 from recover_spark.operators.temporal import asof_join, range_join, resample_forward_fill
 from recover_spark.operators.analytics import (
     distinct_stats,
@@ -23,6 +23,7 @@ __all__ = [
     "range_join",
     "resample_forward_fill",
     "merge_upsert",
+    "scd2_apply",
     "distinct_stats",
     "moving_stats",
     "rollup_aggregate",

@@ -86,3 +86,78 @@ def merge_upsert(
     return joined.filter(~deleted).select(
         *keys, *out_vals, op.alias("__merge_op")
     )
+
+
+def scd2_apply(
+    history: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str],
+    effective: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2: fold a new snapshot of
+    ``updates`` into a versioned ``history`` table.
+
+    ``history`` rows carry (keys, attrs, valid_from, valid_to) with
+    ``valid_to`` null on the current version.  For each key whose
+    ``compare_cols`` changed, the open row is CLOSED (valid_to =
+    ``effective``) and a new open row inserted; unchanged keys pass
+    through; brand-new keys insert as open rows; already-closed history
+    never moves.  This is the reference's replace-with-archive (K5)
+    upgraded to in-table versioning — the warehouse-dimension idiom the
+    Snowflake ELT side (K7) would maintain.
+
+    Plan shape: closed history is a pass-through scan union'd back; the
+    open slice full-outer-joins the updates on the key (ONE shuffle,
+    AQE-sized like merge_upsert) and every verdict (close / keep /
+    insert / new) is a column expression — no second join, no window.
+    Change detection is null-safe (``<=>``).
+    """
+    keys = list(keys)
+    compare_cols = list(compare_cols)
+    eff = F.lit(effective)
+
+    closed_history = history.filter(F.col(valid_to_col).isNotNull())
+    open_rows = history.filter(F.col(valid_to_col).isNull())
+
+    attr_cols = [c for c in history.columns if c not in (*keys, valid_from_col, valid_to_col)]
+    missing = [c for c in (*compare_cols, *attr_cols) if c not in updates.columns]
+    if missing:
+        raise ValueError(f"updates missing columns: {missing}")
+
+    t = open_rows.withColumn("__t", F.lit(True)).alias("t")
+    u = updates.withColumn("__u", F.lit(True)).alias("u")
+    j = t.join(u, on=keys, how="full_outer")
+    has_t = F.coalesce(F.col("t.__t"), F.lit(False))
+    has_u = F.coalesce(F.col("u.__u"), F.lit(False))
+    diff = F.lit(False)
+    for c in compare_cols:
+        diff = diff | ~F.col(f"t.{c}").eqNullSafe(F.col(f"u.{c}"))
+    changed = has_t & has_u & diff
+
+    # existing open rows: close if changed, keep open otherwise
+    survived = j.filter(has_t).select(
+        *keys,
+        *[F.col(f"t.{c}").alias(c) for c in attr_cols],
+        F.col(f"t.{valid_from_col}").alias(valid_from_col),
+        F.when(changed, eff).otherwise(F.lit(None)).alias(valid_to_col),
+    )
+    # new versions: changed keys + brand-new keys
+    fresh = j.filter((changed) | (has_u & ~has_t)).select(
+        *keys,
+        *[F.col(f"u.{c}").alias(c) for c in attr_cols],
+        eff.alias(valid_from_col),
+        F.lit(None).cast("string").alias(valid_to_col),
+    )
+    cast_to = dict(history.dtypes)
+    fresh = fresh.select(
+        *[F.col(c).cast(cast_to[c]).alias(c) for c in fresh.columns]
+    )
+    survived = survived.select(
+        *[F.col(c).cast(cast_to[c]).alias(c) for c in survived.columns]
+    )
+    return closed_history.select(*survived.columns).unionByName(
+        survived
+    ).unionByName(fresh)

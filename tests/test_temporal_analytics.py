@@ -287,3 +287,35 @@ def test_merge_upsert_missing_value_col_raises(spark):
     updates = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="missing value columns"):
         merge_upsert(target, updates, ["k"])
+
+
+def test_scd2_close_keep_insert_and_null_safety(spark):
+    from recover_spark.operators import scd2_apply
+
+    history = spark.createDataFrame(
+        [
+            # already-closed version must pass through untouched
+            (1, "v0", "2023-01-01", "2024-01-01"),
+            (1, "v1", "2024-01-01", None),   # open, will change
+            (2, "same", "2024-01-01", None), # open, unchanged
+            (3, None, "2024-01-01", None),   # open, null attr unchanged
+        ],
+        "k long, attr string, valid_from string, valid_to string",
+    )
+    updates = spark.createDataFrame(
+        [(1, "v2"), (2, "same"), (3, None), (9, "new")],
+        "k long, attr string",
+    )
+    out = scd2_apply(
+        history, updates, keys=["k"], compare_cols=["attr"],
+        effective="2024-06-01",
+    )
+    rows = {(r.k, r.attr, r.valid_from, r.valid_to) for r in out.collect()}
+    assert rows == {
+        (1, "v0", "2023-01-01", "2024-01-01"),  # closed history untouched
+        (1, "v1", "2024-01-01", "2024-06-01"),  # closed at effective
+        (1, "v2", "2024-06-01", None),          # new open version
+        (2, "same", "2024-01-01", None),        # unchanged stays open
+        (3, None, "2024-01-01", None),          # null == null: no churn
+        (9, "new", "2024-06-01", None),         # brand-new key inserts open
+    }
