@@ -513,11 +513,17 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language-ID per document."""
-    from recover_spark.ops.text_analysis import language_id
+    """Heuristic language-ID per document (tokens materialized once —
+    the inline form re-tokenizes per marker filter since HOFs get no
+    common-subexpression elimination)."""
+    from recover_spark.functions.text import tokens
+    from recover_spark.ops.text_analysis import language_id_from_tokens
 
     docs = _load(spark, sf_dir, "documents")
-    return docs.select("doc_id", language_id(F.col("text")).alias("lang_guess"))
+    toked = docs.select("doc_id", tokens("text").alias("__toks"))
+    return toked.select(
+        "doc_id", language_id_from_tokens(F.col("__toks")).alias("lang_guess")
+    )
 
 
 def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1345,13 +1351,21 @@ def q_pipe_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     Total: one shuffle end-to-end."""
     from pyspark.sql import Window
 
+    from recover_spark.functions.text import tokens
     from recover_spark.ops import chunk_documents
-    from recover_spark.ops.text_analysis import language_id, quality_fail_reason
+    from recover_spark.ops.text_analysis import (
+        language_id_from_tokens,
+        quality_fail_reason,
+    )
 
     docs = _load(spark, sf_dir, "documents")
-    kept = docs.filter(
-        quality_fail_reason(F.col("text")).isNull()
-        & (language_id(F.col("text")) == "en")
+    # tokenize ONCE: the materialized column feeds langid and chunking
+    # (higher-order functions are interpreted with no CSE — repeating
+    # tokens(text) per consumer would re-pay the dominant map cost)
+    toked = docs.select("doc_id", "text", tokens("text").alias("__toks"))
+    kept = toked.filter(
+        quality_fail_reason(F.col("text"), tokens_col=F.col("__toks")).isNull()
+        & (language_id_from_tokens(F.col("__toks")) == "en")
     )
     w = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy(
         F.col("doc_id")
@@ -1361,7 +1375,7 @@ def q_pipe_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    return chunk_documents(survivors, chunk_size=64, overlap=16)
+    return chunk_documents(survivors, tokens_col="__toks")
 
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:

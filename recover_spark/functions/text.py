@@ -86,17 +86,27 @@ def char_ngrams(col: Column | str, n: int = 5) -> Column:
     return F.array_distinct(grams)
 
 
-def stopword_ratio(col: Column | str, stopwords: list[str] | None = None) -> Column:
-    """Fraction of tokens that are common English function words."""
-    toks = tokens(col)
+def stopword_ratio(
+    col: Column | str,
+    stopwords: list[str] | None = None,
+    tokens_col: Column | None = None,
+) -> Column:
+    """Fraction of tokens that are common English function words.
+    Pass ``tokens_col`` (a materialized token array) from tokenize-once
+    pipelines — the inline form re-tokenizes per reference (HOFs get no
+    common-subexpression elimination)."""
+    toks = tokens(col) if tokens_col is None else tokens_col
     sw = F.array(*[F.lit(w) for w in (stopwords or _EN_STOPWORDS)])
     n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return F.when(F.size(toks) > 0, n_sw / F.size(toks)).otherwise(F.lit(0.0))
 
 
-def quality_features(col: Column | str) -> Column:
+def quality_features(
+    col: Column | str, tokens_col: Column | None = None
+) -> Column:
     """Quality-scoring feature struct: lengths, punctuation/digit/space
-    ratios, mean word length, stopword ratio."""
+    ratios, mean word length, stopword ratio.  ``tokens_col`` as in
+    ``stopword_ratio``."""
     c = F.col(col) if isinstance(col, str) else col
     n_chars = F.length(c)
     n_tokens = token_count(c)
@@ -113,5 +123,5 @@ def quality_features(col: Column | str) -> Column:
         F.when(n_tokens > 0, (n_chars - n_space) / n_tokens)
         .otherwise(F.lit(0.0))
         .alias("mean_word_len"),
-        stopword_ratio(c).alias("stopword_ratio"),
+        stopword_ratio(c, tokens_col=tokens_col).alias("stopword_ratio"),
     )

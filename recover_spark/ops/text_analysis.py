@@ -31,7 +31,15 @@ _LANG_MARKERS: dict[str, list[str]] = {
 
 def language_scores(text_col: Column | str) -> Column:
     """Struct of per-language marker-hit ratios."""
-    toks = tokens(text_col)
+    return language_scores_from_tokens(tokens(text_col))
+
+
+def language_scores_from_tokens(toks: Column) -> Column:
+    """``language_scores`` over a MATERIALIZED token array — pipelines
+    that tokenize once (the right shape at scale: tokenization is the
+    dominant map cost in a text pipeline, and higher-order functions
+    are interpreted with no common-subexpression elimination, so every
+    ``tokens(text)`` mention re-pays it) pass their token column here."""
     n = F.greatest(F.size(toks), F.lit(1))
     fields = []
     for lang, markers in _LANG_MARKERS.items():
@@ -44,7 +52,13 @@ def language_scores(text_col: Column | str) -> Column:
 def language_id(text_col: Column | str, default: str = "unknown") -> Column:
     """Pick the language with the highest marker ratio; 'unknown' if none
     hit.  Deterministic tie-break: language name ascending."""
-    scores = language_scores(text_col)
+    return language_id_from_tokens(tokens(text_col), default)
+
+
+def language_id_from_tokens(toks: Column, default: str = "unknown") -> Column:
+    """``language_id`` over a materialized token array (tokenize-once
+    pipelines)."""
+    scores = language_scores_from_tokens(toks)
     langs = sorted(_LANG_MARKERS)
     pairs = F.array(
         *[F.struct(scores[l].alias("score"), F.lit(l).alias("lang")) for l in langs]
@@ -145,12 +159,14 @@ def quality_fail_reason(
     max_digit_ratio: float = 0.30,
     max_mean_word_len: float = 12.0,
     min_stopword_ratio: float = 0.05,
+    tokens_col: Column | None = None,
 ) -> Column:
     """First-failed-rule verdict as a bare column expression (null =
     passed) — usable directly in a filter without a self-join back to
-    the text, which is what pipeline compositions need at scale."""
+    the text, which is what pipeline compositions need at scale.
+    ``tokens_col``: materialized token array for tokenize-once callers."""
     text_col = F.col(text_col) if isinstance(text_col, str) else text_col
-    q = quality_features(text_col)
+    q = quality_features(text_col, tokens_col=tokens_col)
     return (
         F.when(q["n_tokens"] < min_tokens, F.lit("too_few_tokens"))
         .when(q["punct_ratio"] > max_punct_ratio, F.lit("high_punct_ratio"))
@@ -166,6 +182,7 @@ def chunk_documents(
     overlap: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Split documents into overlapping token-window chunks — the
     training-data step that turns variable-length documents into
@@ -185,7 +202,11 @@ def chunk_documents(
     if overlap >= chunk_size:
         raise ValueError("overlap must be smaller than chunk_size")
     step = chunk_size - overlap
-    d = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    # tokenize-once pipelines pass their materialized token column
+    src = (
+        F.col(tokens_col) if tokens_col is not None else tokens(text_col)
+    )
+    d = df.select(F.col(id_col), src.alias("__toks"))
     d = d.withColumn("__n", F.size("__toks")).filter(F.col("__n") > 0)
     d = d.withColumn(
         "__start",
