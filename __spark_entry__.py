@@ -543,6 +543,26 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return document_fingerprint(docs, window=8)
 
 
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-keyed dedup: collapse documents sharing a winnowing
+    fingerprint to the lowest doc id — the cheap recall-oriented
+    near-dup pass (one groupBy on the 8-byte fingerprint, uniform and
+    skew-free) that runs BEFORE pairwise scoring in a layered dedup
+    stack."""
+    from recover_spark.ops.text_analysis import document_fingerprint
+
+    docs = _load(spark, sf_dir, "documents")
+    fp = document_fingerprint(docs, window=8)
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select("doc_id", "fingerprint", "n_docs")
+    )
+
+
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful-streaming extension — gap-based sessionization (batch
     formulation; streaming twin is applyInPandasWithState)."""
@@ -2206,6 +2226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_quality_filter": q_text_quality_filter,
         "doc_fingerprint": q_doc_fingerprint,
+        "dedup_fingerprint": q_dedup_fingerprint,
         "stream_sessionize": q_stream_sessionize,
         "stream_window_counts": q_stream_window_counts,
         "v3_suite": q_v3_suite,
@@ -2735,6 +2756,20 @@ def _oracle_sql_literal() -> dict[str, str]:
                     i -> {_h64("array_to_string(t[i:i+7], ' ')")})),
                 {_h64("array_to_string(t, ' ')")}) AS fingerprint
             FROM toks
+        """,
+        "dedup_fingerprint": f"""
+            WITH {_TOKS_CTE},
+            fp AS (
+                SELECT doc_id, coalesce(
+                    list_min(list_transform(
+                        CASE WHEN len(t) >= 8 THEN range(1, len(t)-6)
+                             ELSE []::BIGINT[] END,
+                        i -> {_h64("array_to_string(t[i:i+7], ' ')")})),
+                    {_h64("array_to_string(t, ' ')")}) AS fingerprint
+                FROM toks)
+            SELECT min(doc_id) AS doc_id, fingerprint,
+                   count(*) AS n_docs
+            FROM fp GROUP BY fingerprint
         """,
         "stream_sessionize": """
             WITH g AS (

@@ -124,3 +124,62 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def dedup_against_corpus(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    output_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Incremental corpus dedup: emit only documents whose content
+    digest has never been seen across ALL previous runs, and remember
+    the new digests — the streaming twin of ``ops.exact_dedup`` for a
+    corpus that grows batch by batch (the ingest shape of a training-
+    data pipeline: every crawl drop dedups against everything already
+    accepted, not just its own batch).
+
+    Per micro-batch (``foreachBatch``): W1-style within-batch dedup
+    (lowest id per digest), anti-join against the persisted digest
+    table, append survivors to ``output_path`` and their digests to
+    ``state_path``.  State is O(distinct digests) and append-only;
+    at-least-once replays are harmless because a replayed digest is
+    already in the state and anti-joins away — the idempotence comes
+    from the dedup semantics themselves, no batch-id bookkeeping
+    needed.  At 100 TB the anti-join shuffles on the digest (uniform,
+    skew-free) and the state table is a fraction of the corpus bytes
+    (digest + id only).
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    spark = stream.sparkSession
+
+    def _apply(batch: DataFrame, _batch_id: int) -> None:
+        digest = F.md5(F.lower(F.trim(F.col(text_col))))
+        w = Window.partitionBy("__digest").orderBy(F.col(id_col))
+        fresh = (
+            batch.withColumn("__digest", digest)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if os.path.isdir(state_path):
+            seen = spark.read.parquet(state_path).select("__digest")
+            fresh = fresh.join(seen, on="__digest", how="left_anti")
+        fresh = fresh.persist()
+        try:
+            fresh.drop("__digest").write.mode("append").parquet(output_path)
+            fresh.select("__digest").write.mode("append").parquet(state_path)
+        finally:
+            fresh.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

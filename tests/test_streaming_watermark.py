@@ -395,3 +395,47 @@ def test_enrich_stream_matches_batch_and_is_stateless(spark, tmp_path):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_against_corpus_across_runs(spark, tmp_path):
+    """Cross-run exact dedup: a digest accepted in run 1 must be
+    rejected in run 2 even from a different doc id; within-run dups
+    collapse to the lowest id; output accumulates only novel docs."""
+    from recover_spark.streaming.incremental import dedup_against_corpus
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    schema = "doc_id long, text string"
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = dedup_against_corpus(stream, state, ckpt, out)
+        q.awaitTermination(120)
+
+    _write_batch(
+        str(src / "b1.json"),
+        [
+            {"doc_id": 1, "text": "alpha beta"},
+            {"doc_id": 2, "text": "alpha beta"},   # within-batch dup of 1
+            {"doc_id": 3, "text": "gamma delta"},
+        ],
+        mtime_offset_s=-60,
+    )
+    run()
+    got1 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got1 == {1, 3}
+
+    _write_batch(
+        str(src / "b2.json"),
+        [
+            {"doc_id": 9, "text": "alpha beta"},    # cross-run dup
+            {"doc_id": 10, "text": "epsilon zeta"}, # novel
+        ],
+        mtime_offset_s=0,
+    )
+    run()
+    got2 = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got2 == {1, 3, 10}
