@@ -66,6 +66,21 @@ def word_ngrams_of(toks: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def word_ngrams_all_of(toks: Column, n: int = 2) -> Column:
+    """ALL word n-grams (duplicates kept, document order) from a
+    MATERIALIZED token-array column — the repetition-analysis input,
+    where multiplicity is the signal ``word_ngrams_of`` deliberately
+    discards.  Same O(1) ``element_at`` window walk."""
+    if n == 1:
+        return toks
+    return F.transform(
+        _window_starts(F.size(toks), n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+
+
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles -> array<string> ('a b c' joined).
 

@@ -273,3 +273,149 @@ def pack_sequences(
         F.col(token_col),
         (cum - F.col(token_col)).alias("stream_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition analysis (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+def dup_token_fraction(toks: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token —
+    1 - distinct/total.  Pure map-side column expression (no shuffle):
+    the Gopher 'duplicate word fraction' repetition gate."""
+    total = F.size(toks)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(toks)) / total,
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_fraction(toks: Column, n: int = 2) -> Column:
+    """Fraction of all word n-grams taken by the single most frequent
+    one (Gopher's 'top n-gram fraction') — computed WITHOUT a shuffle:
+    the per-document mode of the n-gram multiset equals the longest
+    equal-run of the SORTED n-gram array, found by one linear
+    ``aggregate`` pass.  The alternative (explode + groupBy(doc, gram))
+    shuffles ~tokens x rows for a document-local statistic; this stays
+    in the scan stage at any corpus size."""
+    from recover_spark.functions.text import word_ngrams_all_of
+
+    grams = word_ngrams_all_of(toks, n)
+    sorted_g = F.array_sort(grams)
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    best = F.aggregate(sorted_g, init, step, lambda acc: acc["best"])
+    return F.when(F.size(grams) > 0, best / F.size(grams)).otherwise(
+        F.lit(0.0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF / vocabulary (corpus-level term statistics)
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "__toks",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (smoothed sklearn-style idf:
+    ln((1+N)/(1+df)) + 1).
+
+    Plan shape (the canonical distributed TF-IDF): one shuffle on
+    (doc, term) builds term frequencies with map-side partial counts;
+    document frequency reuses THAT aggregate (exchange reuse — the raw
+    corpus is scanned once); N is a one-row broadcast, never a driver
+    collect.  The idf join key is ``term`` — left to Catalyst/AQE,
+    which broadcasts while the vocabulary is small and shuffles when it
+    is not (a forced broadcast would OOM on an open-vocab corpus).
+    Scores are ROUNDED before ranking so the (score desc, term asc)
+    order — and therefore top-k membership — is reproducible across
+    engines regardless of libm ulp differences in ``ln``.
+    """
+    from pyspark.sql import Window
+
+    exploded = docs.select(id_col, F.explode(tokens_col).alias("term"))
+    tf = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
+    idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        (F.log((1.0 + F.col("__n")) / (1.0 + F.col("df"))) + 1.0).alias(
+            "idf"
+        ),
+    )
+    scored = tf.join(idf, "term").select(
+        id_col,
+        "term",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", F.col("rnk").cast("int").alias("rnk"), "tfidf")
+    )
+
+
+def vocabulary_topk(
+    docs: DataFrame,
+    tokens_col: str = "__toks",
+    k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary: the k most frequent tokens with deterministic
+    (count desc, token asc) tie-breaking.  One shuffle with map-side
+    partial counts; the top-k is a TakeOrdered (no global sort)."""
+    return (
+        docs.select(F.explode(tokens_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (map-only, codegen-friendly)
+# ---------------------------------------------------------------------------
+
+# Portable across Java regex and RE2 (no lookaround, ASCII \b only).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ip": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+    "phone": r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}",
+}
+
+_PII_TAGS = {"email": "<EMAIL>", "ip": "<IP>", "phone": "<PHONE>"}
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Occurrence count of one PII pattern (bigint)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(PII_PATTERNS[kind])).cast("long")
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails, IPs, then phone numbers with typed tags.
+
+    Order matters (emails contain dots that the IP pattern could
+    otherwise chew on); each pass is a global regexp_replace — a single
+    projection in the scan stage, no UDF, no shuffle.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in ("email", "ip", "phone"):  # order is load-bearing
+        c = F.regexp_replace(c, PII_PATTERNS[kind], _PII_TAGS[kind])
+    return c
