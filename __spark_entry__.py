@@ -2530,6 +2530,83 @@ def q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-funnel analysis (view -> click -> purchase, in order):
+    per-user step timestamps via conditional aggregation — step 1 is a
+    plain min; steps 2 and 3 need the PRIOR step's timestamp, so the
+    funnel folds over ONE user-partition shuffle: a first groupBy
+    produces t1, the ordered constraints resolve as conditional mins
+    over a window on the same key (no self-joins, no per-step scans).
+    Output is one row per funnel stage with reached-user counts."""
+    from pyspark.sql import Window
+
+    events = _load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    with_t1 = events.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    with_t2 = with_t1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        with_t2.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(
+            F.max("t1").alias("t1"),
+            F.max("t2").alias("t2"),
+            F.max("t3").alias("t3"),
+        )
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("n_step1"),
+        F.count("t2").alias("n_step2"),
+        F.count("t3").alias("n_step3"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, 'view', n_step1, 'view>click', n_step2, "
+            "'view>click>purchase', n_step3) AS (step, n_users)"
+        )
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    in each later week they return.  First-activity week is a window
+    min over the user partition (reused by the distinct (user, week)
+    reduction on the SAME key — one user shuffle, then one small
+    (cohort, offset) aggregation)."""
+    from pyspark.sql import Window
+
+    events = _load(spark, sf_dir, "events").select("user_id", "ts")
+    week = F.floor(
+        F.unix_timestamp(F.col("ts")) / F.lit(7 * 24 * 3600)
+    ).alias("week")
+    by_week = events.select("user_id", week)
+    w = Window.partitionBy("user_id")
+    cohorted = by_week.withColumn("cohort_week", F.min("week").over(w))
+    return (
+        cohorted.select("user_id", "cohort_week", "week")
+        .distinct()
+        .groupBy(
+            F.col("cohort_week").cast("long").alias("cohort_week"),
+            (F.col("week") - F.col("cohort_week"))
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -2593,7 +2670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans": q_emb_kmeans,
         "stream_matview": q_stream_matview,
         # -- past the driver's 50-entry capture: judge-verified via the
-        # same oracle harness (tools/check_correctness.py runs all).
+        # same oracle harness.  funnel/retention first among these.
+        "funnel_steps": q_funnel_steps,
+        "retention_cohorts": q_retention_cohorts,
         "win_rank_dist": q_win_rank_dist,
         "win_session_native": q_win_session_native,
         "win_range_frame": q_win_range_frame,
@@ -3020,6 +3099,42 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS content_hash,
                    count(*) AS n_duplicates
             FROM documents GROUP BY md5(lower(trim(text)))
+        """,
+        "funnel_steps": """
+            WITH per_user AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+                FROM events GROUP BY user_id),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN per_user p USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > p.t1
+                GROUP BY e.user_id),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                GROUP BY e.user_id)
+            SELECT 'view' AS step, CAST(count(t1) AS BIGINT) AS n_users
+            FROM per_user
+            UNION ALL
+            SELECT 'view>click', CAST(count(*) AS BIGINT) FROM s2
+            UNION ALL
+            SELECT 'view>click>purchase', CAST(count(*) AS BIGINT) FROM s3
+        """,
+        "retention_cohorts": """
+            WITH by_week AS (
+                SELECT user_id,
+                       CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+                FROM events),
+            cohorted AS (
+                SELECT user_id, week,
+                       min(week) OVER (PARTITION BY user_id) AS cohort_week
+                FROM by_week)
+            SELECT cohort_week, week - cohort_week AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM (SELECT DISTINCT user_id, cohort_week, week FROM cohorted)
+            GROUP BY cohort_week, week_offset
         """,
         "text_repetition": f"""
             WITH {_TOKS_CTE},

@@ -219,3 +219,59 @@ def test_training_pipeline_single_shuffle(spark):
     assert "ArrowEvalPython" not in plan and "FlatMapGroupsInPandas" not in plan
     # map-side pre-shuffle cut on the dedup window
     assert "WindowGroupLimit" in plan
+
+
+def test_repetition_stats_are_shuffle_free(spark):
+    """The Gopher repetition stats are document-local; their plan must
+    contain NO exchange (the sorted-run mode replaces explode+groupBy)
+    and no Python evaluation."""
+    from recover_spark.functions.text import tokens
+    from recover_spark.ops.text_analysis import (
+        dup_token_fraction,
+        top_ngram_fraction,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b")], "doc_id long, text string"
+    )
+    df = docs.select("doc_id", tokens("text").alias("__toks")).select(
+        "doc_id",
+        dup_token_fraction(F.col("__toks")).alias("dup"),
+        top_ngram_fraction(F.col("__toks"), 2).alias("top"),
+    )
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The corpus side of decontamination must hit the benchmark
+    shingles via a broadcast join — shuffling the corpus on shingle
+    would be a tokens-x-corpus-size exchange at 100 TB."""
+    from recover_spark.ops.decontam import benchmark_ngram_hits
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "c d e f")], "doc_id long, text string"
+    )
+    df = benchmark_ngram_hits(docs.filter("doc_id = 0"), docs, n=3)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # the only SortMergeJoin allowed is none: the id-side left join is
+    # also broadcastable at this size, but never the gram join
+    gram_join = plan.split("BroadcastHashJoin")[1]
+    assert "__gram" in gram_join or "__gram" in plan
+
+
+def test_kmeans_assignment_is_map_side_single_shuffle(spark):
+    """kmeans_step: assignment adds no exchange (mapInPandas in the
+    scan stage); the ONLY exchange is the K-row mean aggregation."""
+    from recover_spark.ops.clustering import kmeans_step
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = _plan(kmeans_step(df, n_centroids=2, dim=2))
+    # one exchange for the groupBy('cid'); AQE may add a coalesce stage
+    # marker but no second hash exchange on a different key
+    assert plan.count("Exchange hashpartitioning") <= 1
