@@ -49,6 +49,12 @@ HEADLINE = [
     "join_volume_shipping",
     "join_market_share",
     "pipe_training_data",
+    "join_product_profit",
+    "join_waiting_suppliers",
+    "decontaminate",
+    "text_tfidf",
+    "emb_kmeans",
+    "funnel_steps",
 ]
 
 
