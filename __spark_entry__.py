@@ -28,15 +28,19 @@ _TABLES = (
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Timestamp normalization, robust to either physical encoding the
+    # generator has used across rounds:
+    #   * TIMESTAMP(NANOS): Spark rejects it by default — read as long
+    #     nanoseconds and truncate to microseconds exactly (bigint branch).
+    #   * naive TIMESTAMP(MICROS) (isAdjustedToUTC=false): Spark 4 infers
+    #     TIMESTAMP_NTZ, which unix_micros()/time-bucketing reject — turn
+    #     inference off so the column reads as a plain LTZ TIMESTAMP.
+    # Either way the session is pinned to UTC so wall-clock renderings and
+    # epoch arithmetic match the tz-naive DuckDB oracle bit-for-bit.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
-        # default; read it as long nanoseconds and convert to a timestamp
-        # (microsecond truncation — comparisons are at second granularity).
-        # timestamp_micros yields an LTZ timestamp, so pin the session to
-        # UTC — the driver's own session may run in any timezone and
-        # date_format would otherwise shift vs the tz-naive oracle.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             # Exact integer division (epoch nanos exceed 2^53; double `/ 1000`

@@ -49,6 +49,10 @@ def get_spark(
         # small; let Catalyst broadcast them (J1/J2 classes).
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
+        # Naive parquet TIMESTAMP(MICROS) reads as plain LTZ TIMESTAMP
+        # (not NTZ) so epoch arithmetic (unix_micros, time bucketing)
+        # works uniformly; with the UTC session this is value-identical.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

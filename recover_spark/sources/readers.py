@@ -58,16 +58,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic-benchmark table by name from a scale-factor
     directory, normalizing physical-type quirks.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects by default — it is read as long
-    nanoseconds and converted to a microsecond timestamp, with the
-    session pinned to UTC so renderings are engine-portable.
+    Timestamp columns are normalized to plain (LTZ) TIMESTAMP under a
+    UTC session regardless of the physical encoding: TIMESTAMP(NANOS)
+    (which Spark's vectorized reader rejects by default) is read as long
+    nanoseconds and truncated to microseconds; naive TIMESTAMP(MICROS)
+    (which Spark 4 would infer as TIMESTAMP_NTZ, breaking
+    ``unix_micros`` and time-bucketing) is read with NTZ inference off.
     """
     from pyspark.sql import functions as F
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             # Exact integer division: epoch nanos (~1.7e18) exceed 2^53, so
