@@ -2611,6 +2611,135 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_anti_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitset (Bloom-style) semi-join reduction composed into an EXACT
+    anti-delete (operators/bloom.py): the deleted-key set is aggregated
+    into a fixed-size bitmap, proven-absent rows bypass the join
+    map-side, only bitmap candidates enter the exact anti-join.  Result
+    is identical to J1 — the oracle is the plain anti-join."""
+    from recover_spark.operators.bloom import drop_deleted_filtered
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    deleted = (
+        _load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    kept = drop_deleted_filtered(
+        lineitem, deleted, index_fields=["l_orderkey"], bits=1 << 20
+    )
+    return kept.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup collapse end-to-end: Jaccard pairs -> connected
+    components -> ONE canonical doc per cluster (longest, then lowest
+    id) via a map-side-combinable ordered-struct argmax
+    (ops/dedup_text.py:canonical_corpus)."""
+    from recover_spark.ops import duplicate_clusters, ngram_jaccard_pairs
+    from recover_spark.ops.dedup_text import canonical_corpus
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_size=3, min_jaccard=0.2)
+    clusters = duplicate_clusters(pairs, docs)
+    return canonical_corpus(docs, clusters)
+
+
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear quality classifier sweep
+    (ops/text_analysis.py:quality_scores): tokenize once, hash tokens
+    into feature slots, apply per-slot coefficients, sigmoid — a single
+    map-only projection, no shuffle/UDF/model file."""
+    from recover_spark.ops.text_analysis import quality_scores
+
+    docs = _load(spark, sf_dir, "documents")
+    return quality_scores(docs)
+
+
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (ops/sampling.py:
+    temperature_mix): expected kept volume per source ∝ n^alpha,
+    smallest source kept whole; tiny source-count aggregate + broadcast
+    rates, corpus never shuffles."""
+    from recover_spark.ops.sampling import temperature_mix
+
+    docs = _load(spark, sf_dir, "documents")
+    mixed = temperature_mix(
+        docs, key_col="doc_id", source_col="source", alpha=0.5
+    )
+    return mixed.select("doc_id", "source", "lang")
+
+
+def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly detection per user
+    (operators/temporal.py:rolling_zscore_anomalies): one window
+    exchange; each point scored against its previous 20 observations,
+    |z| > 3 flagged; unique event_id tiebreaks the ROWS frame."""
+    from recover_spark.operators.temporal import rolling_zscore_anomalies
+
+    events = _load(spark, sf_dir, "events")
+    out = rolling_zscore_anomalies(
+        events,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        lookback=20,
+        min_points=5,
+        threshold=3.0,
+        tiebreakers=["event_id"],
+    )
+    return (
+        out.filter(F.col("is_anomaly"))
+        .select(
+            "user_id",
+            _ts(F.col("ts"), "ts"),
+            "event_id",
+            "value",
+            "baseline_mean",
+            "baseline_n",
+            "zscore",
+        )
+    )
+
+
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resampling with LINEAR interpolation
+    (operators/temporal.py:resample_interpolate): dense grid, gaps take
+    the line between surrounding observations, edges clamp; both
+    neighbor lookups ride one window exchange."""
+    from recover_spark.operators.temporal import resample_interpolate
+
+    events = _load(spark, sf_dir, "events")
+    # Thin to ~1/7 of points so real multi-bucket gaps exist to
+    # interpolate (the full stream has observations in nearly every
+    # bucket, which would only exercise the observed branch).
+    thinned = events.filter(F.col("event_id") % 7 == 0)
+    return resample_interpolate(
+        thinned, key_col="user_id", ts_col="ts", value_col="value",
+        interval_s=3600,
+    )
+
+
+def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distinct-user rollup via mergeable HLL sketches
+    (operators/analytics.py:approx_distinct_rollup): daily sketches
+    union upward to per-event-type estimates — the second level
+    aggregates sketch partials, never re-scanning the fact table.
+    Approximate by contract: rows-only check (like agg_approx_stats)."""
+    from recover_spark.operators.analytics import approx_distinct_rollup
+
+    events = _load(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    return approx_distinct_rollup(
+        events,
+        group_cols=["event_type"],
+        rollup_col="day",
+        distinct_col="user_id",
+        lg_k=12,
+    ).orderBy("event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -2668,6 +2797,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_centroids": q_emb_centroids,
         "decontaminate": q_decontaminate,
         "text_tfidf": q_text_tfidf,
+        "join_anti_bloom": q_join_anti_bloom,
+        "dedup_canonical": q_dedup_canonical,
+        "text_quality_score": q_text_quality_score,
+        "sample_temperature": q_sample_temperature,
+        "ts_anomaly": q_ts_anomaly,
         "text_repetition": q_text_repetition,
         "text_pii_redact": q_text_pii_redact,
         "text_vocab": q_text_vocab,
@@ -2681,6 +2815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_session_native": q_win_session_native,
         "win_range_frame": q_win_range_frame,
         "ts_resample": q_ts_resample,
+        "ts_interpolate": q_ts_interpolate,
+        "agg_hll_rollup": q_agg_hll_rollup,
         "merge_upsert": q_merge_upsert,
         "ann_topk": q_ann_topk,
         "dedup_minhash": q_dedup_minhash,
@@ -2969,6 +3105,14 @@ def _oracle_sql_literal() -> dict[str, str]:
                 ORDER BY ts DESC, event_id ASC) = 1
         """,
         "j1_anti_delete": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+            FROM lineitem
+            WHERE l_orderkey NOT IN (
+                SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        """,
+        # the bitset prefilter only routes rows; the result is the plain
+        # anti-join
+        "join_anti_bloom": """
             SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
             FROM lineitem
             WHERE l_orderkey NOT IN (
@@ -3289,6 +3433,51 @@ def _oracle_sql_literal() -> dict[str, str]:
                 SELECT node, min(label) AS cluster
                 FROM reach GROUP BY node)
             SELECT node AS doc_id, cluster FROM clusters
+        """,
+        # same component fixpoint, then one canonical doc per cluster:
+        # longest text, ties -> lowest doc id
+        "dedup_canonical": f"""
+            WITH RECURSIVE {_TOKS_CTE}, {_GRAMS3_CTE},
+            rare AS (SELECT shingle FROM grams
+                     GROUP BY shingle HAVING count(*) <= 50),
+            g2 AS (SELECT g.doc_id, g.shingle FROM grams g
+                   JOIN rare r ON g.shingle = r.shingle),
+            sizes AS (SELECT doc_id, count(*) AS set_size
+                      FROM g2 GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_common
+                FROM g2 a JOIN g2 b ON a.shingle = b.shingle
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id),
+            pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON inter.id_a = sa.doc_id
+                JOIN sizes sb ON inter.id_b = sb.doc_id
+                WHERE n_common / (sa.set_size + sb.set_size - n_common)
+                      >= 0.2),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs),
+            reach AS (
+                SELECT doc_id AS node, doc_id AS label FROM documents
+                UNION
+                SELECT e.src AS node, r.label
+                FROM reach r JOIN edges e ON e.dst = r.node),
+            clusters AS (
+                SELECT node, min(label) AS cluster
+                FROM reach GROUP BY node),
+            labeled AS (
+                SELECT d.doc_id, c.cluster, d.n_chars,
+                       count(*) OVER (PARTITION BY c.cluster)
+                           AS cluster_size,
+                       row_number() OVER (
+                           PARTITION BY c.cluster
+                           ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+                FROM clusters c JOIN documents d ON c.node = d.doc_id)
+            SELECT doc_id, cluster, n_chars, cluster_size
+            FROM labeled WHERE rn = 1
         """,
         "dedup_simhash": _simhash_sql(16),
         "dedup_jaccard": f"""
@@ -4039,6 +4228,103 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM (SELECT *, row_number() OVER (PARTITION BY query_vec_id
                       ORDER BY qc DESC, vec_id ASC) AS rank FROM cand)
             WHERE rank <= 5
+        """,
+        "text_quality_score": f"""
+            WITH {_TOKS_CTE}
+            SELECT doc_id,
+                   CAST(len(t) AS INT) AS n_tokens,
+                   round(1.0 / (1.0 + exp(-(
+                       list_reduce(
+                           list_prepend(0.0::DOUBLE, list_transform(t, tok ->
+                               (({_h64("concat('qweight', '|', CAST(" + _h64("concat('qfeat', '|', tok)") + " % 1024 AS VARCHAR))")} % 2001) - 1000) / 1000.0)),
+                           (acc, x) -> acc + x)
+                       / greatest(len(t), 1)))), 6) AS quality_score
+            FROM toks
+        """,
+        "sample_temperature": f"""
+            WITH c AS (SELECT source, count(*) AS n
+                       FROM documents GROUP BY source),
+            m AS (SELECT min(n) AS nmin FROM c),
+            r AS (SELECT source, round(pow(n / nmin, -0.5), 6) AS rate
+                  FROM c, m)
+            SELECT d.doc_id, d.source, d.lang
+            FROM documents d JOIN r USING (source)
+            WHERE {_h64("concat('mix', '|', CAST(d.doc_id AS VARCHAR))")}
+                      % 10000
+                  < CAST(round(r.rate * 10000, 0) AS BIGINT)
+        """,
+        "ts_anomaly": """
+            WITH w AS (
+                SELECT user_id, ts, event_id, value,
+                       avg(value) OVER fr AS m,
+                       stddev_samp(value) OVER fr AS sd,
+                       count(value) OVER fr AS n
+                FROM events
+                WINDOW fr AS (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+            SELECT user_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   event_id, value,
+                   round(m, 6) AS baseline_mean,
+                   n AS baseline_n,
+                   round((value - m) / sd, 6) AS zscore
+            FROM w
+            WHERE n >= 5 AND sd > 0
+              AND abs(round((value - m) / sd, 6)) > 3.0
+        """,
+        "ts_interpolate": """
+            WITH b AS (
+                SELECT user_id,
+                       CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) * 3600
+                           AS bucket_start,
+                       ts, value
+                FROM events WHERE event_id % 7 = 0),
+            pb AS (
+                SELECT user_id, bucket_start, value AS observed
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY user_id, bucket_start
+                          ORDER BY ts DESC, value DESC) AS rn FROM b)
+                WHERE rn = 1),
+            bounds AS (
+                SELECT user_id, min(bucket_start) AS lo, max(bucket_start) AS hi
+                FROM b GROUP BY user_id),
+            grid AS (
+                SELECT user_id, unnest(range(lo, hi + 3600, 3600))
+                    AS bucket_start
+                FROM bounds),
+            j AS (
+                SELECT g.user_id, g.bucket_start, pb.observed
+                FROM grid g LEFT JOIN pb
+                  ON g.user_id = pb.user_id
+                 AND g.bucket_start = pb.bucket_start),
+            n AS (
+                SELECT user_id, bucket_start, observed,
+                       last_value(observed IGNORE NULLS) OVER tr AS prev_v,
+                       last_value(CASE WHEN observed IS NOT NULL
+                                       THEN bucket_start END IGNORE NULLS)
+                           OVER tr AS prev_b,
+                       first_value(observed IGNORE NULLS) OVER ld AS next_v,
+                       first_value(CASE WHEN observed IS NOT NULL
+                                        THEN bucket_start END IGNORE NULLS)
+                           OVER ld AS next_b
+                FROM j
+                WINDOW tr AS (PARTITION BY user_id ORDER BY bucket_start
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW),
+                       ld AS (PARTITION BY user_id ORDER BY bucket_start
+                              ROWS BETWEEN CURRENT ROW
+                                       AND UNBOUNDED FOLLOWING))
+            SELECT user_id, bucket_start,
+                   round((CASE WHEN observed IS NOT NULL THEN observed
+                               WHEN prev_v IS NULL THEN next_v
+                               WHEN next_v IS NULL THEN prev_v
+                               ELSE prev_v + (next_v - prev_v)
+                                    * (bucket_start - prev_b)
+                                    / (next_b - prev_b) END) + 1e-9,
+                         6) AS value,
+                   observed IS NULL AS filled
+            FROM n
         """,
         "ts_resample": """
             WITH b AS (

@@ -112,3 +112,47 @@ def distinct_stats(
             )
         )
     return df.groupBy(*group_cols).agg(*aggs)
+
+
+def approx_distinct_rollup(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    rollup_col: str,
+    distinct_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Two-level distinct-count rollup via MERGEABLE HLL sketches
+    (Apache DataSketches, built into Spark): fine-grained sketches are
+    aggregated once, then UNIONED upward — the coarse level re-merges
+    the fine partials instead of re-scanning the fact table.
+
+    This is THE pattern for distinct-counting at 100 TB: exact
+    count-distinct at two granularities costs two full shuffles of the
+    raw keys (and count-distinct partials are not mergeable), while
+    sketch partials are small fixed-size binaries (2^lg_k bytes-ish)
+    that merge associatively, so the second level aggregates
+    |fine groups| rows, not |fact| rows.  The same mergeability is what
+    an incremental matview needs to maintain distinct counts under
+    appends (streaming/matview.py).
+
+    Estimates are rounded to bigint; accuracy ~1.6%/sqrt(2^lg_k).
+    Output: one row per coarse group with the sketch-estimated distinct
+    count — an approximate result by contract (no SQL oracle; the
+    driver records the weaker rows-only check, like agg_approx_stats).
+    """
+    fine = df.groupBy(*group_cols, rollup_col).agg(
+        F.hll_sketch_agg(distinct_col, F.lit(int(lg_k))).alias("__sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        fine.groupBy(*group_cols)
+        .agg(
+            F.round(
+                F.hll_sketch_estimate(F.hll_union_agg(F.col("__sk")))
+            )
+            .cast("bigint")
+            .alias("approx_distinct"),
+            F.sum("n_rows").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_fine_groups"),
+        )
+    )

@@ -1,0 +1,131 @@
+"""Bitset (Bloom-style) semi-join reduction, pure Catalyst.
+
+At reference scale the deleted-key set (J1, src/glue/jobs/
+json_to_parquet.py:224-301) is small enough to broadcast whole.  At
+100 TB a key set can be billions of rows — too big to broadcast as
+keys, while a *fixed-size* bit array summarizing it still fits in a few
+megabytes.  This module builds that bit array as a DataFrame (so the
+build is a distributed aggregate, never a driver collect) and uses it
+to pre-filter the probe side before the exact join:
+
+- build: ``pos = hash(key) mod M``; the M-bit array is represented as
+  ``M/64`` (word_idx, 64-bit mask) rows via ``bit_or(shiftleft(1,
+  pos%64))`` — one tiny groupBy, output size FIXED by M regardless of
+  key count.
+- probe: each row computes its (word_idx, bit) map-side and left-joins
+  the broadcast bitmap on word_idx (a broadcast hash join of bounded
+  size).  Bit clear → the key is DEFINITELY absent; bit set → candidate
+  (true match or false positive, rate ≈ n_keys/M for this single-probe
+  scheme).
+
+``drop_deleted_filtered`` composes it into an EXACT anti-join: rows
+proven absent bypass the join entirely (map-side branch, no shuffle);
+only candidates — a small fraction when deletes are sparse — flow into
+the exact anti-join.  This is manual semi-join reduction, the same idea
+as Spark's runtime bloom-filter injection but explicit, engine-portable
+(md5 hashing, functions/hashing.py), and usable where the optimizer
+won't inject one.  The cost is a second scan of the probe relation (one
+per branch); both branches are scan+filter map work with pushdown, so
+at scale this trades cheap re-scan I/O for eliminating the fact-side
+shuffle of a sort-merge anti-join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from recover_spark.functions.hashing import portable_hash64
+
+_WORD = 64
+
+
+def build_key_bitset(
+    keys_df: DataFrame,
+    key_cols: Sequence[str],
+    bits: int = 1 << 20,
+    salt: str = "bitset",
+) -> DataFrame:
+    """Aggregate a key set into an M-bit membership bitmap:
+    (word_idx BIGINT, mask BIGINT) rows, at most ``bits/64`` of them.
+
+    One groupBy on word_idx with map-side partial ``bit_or`` — the
+    shuffle carries at most M/64 rows per map task no matter how many
+    keys the build side has.
+    """
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    pos = F.pmod(portable_hash64(key, salt=salt), F.lit(int(bits)))
+    return (
+        keys_df.select(pos.alias("__pos"))
+        .select(
+            (F.col("__pos") / _WORD).cast("bigint").alias("word_idx"),
+            # the pyspark shiftleft wrapper only takes a literal shift;
+            # the SQL form accepts a column
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(__pos % {_WORD} AS INT))"
+            ).alias("__bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__bit").alias("mask"))
+    )
+
+
+def _candidate_flag(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    bitset: DataFrame,
+    bits: int,
+    salt: str,
+) -> DataFrame:
+    """Attach ``__maybe`` — true iff the row's key MAY be in the set."""
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
+    pos = F.pmod(portable_hash64(key, salt=salt), F.lit(int(bits)))
+    probe = (
+        df.withColumn("__pos", pos)
+        .withColumn("__word", (F.col("__pos") / _WORD).cast("bigint"))
+        .withColumn(
+            "__bit",
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(__pos % {_WORD} AS INT))"),
+        )
+        .drop("__pos")
+    )
+    return (
+        probe.join(F.broadcast(bitset), probe["__word"] == bitset["word_idx"], "left")
+        .withColumn(
+            "__maybe",
+            F.col("mask").isNotNull()
+            & (F.col("mask").bitwiseAND(F.col("__bit")) != 0),
+        )
+        .drop("word_idx", "mask", "__word", "__bit")
+    )
+
+
+def drop_deleted_filtered(
+    df: DataFrame,
+    deleted: DataFrame,
+    index_fields: Sequence[str],
+    bits: int = 1 << 20,
+    salt: str = "bitset",
+) -> DataFrame:
+    """EXACT left-anti delete application with bitset pre-filtering.
+
+    Result is identical to ``drop_deleted`` (J1): the bitmap only
+    routes rows.  Proven-absent rows (bit clear) are kept without ever
+    entering a join; candidate rows go through the exact anti-join.
+    False positives cost only a redundant probe of the exact join —
+    they are still removed/kept correctly.
+    """
+    keys = list(index_fields)
+    deleted_keys = deleted.select(*keys).dropDuplicates(keys)
+    bitset = build_key_bitset(deleted_keys, keys, bits=bits, salt=salt)
+
+    flagged = _candidate_flag(df, keys, bitset, bits, salt)
+    clean = flagged.filter(~F.col("__maybe")).drop("__maybe")
+    candidates = (
+        flagged.filter(F.col("__maybe"))
+        .drop("__maybe")
+        .join(deleted_keys, on=keys, how="left_anti")
+    )
+    return clean.unionByName(candidates)

@@ -239,3 +239,167 @@ def resample_forward_fill(
             F.col("__observed").isNull().alias("filled"),
         )
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    interval_s: int = 3600,
+) -> DataFrame:
+    """Per-key fixed-interval resampling with LINEAR interpolation.
+
+    Same dense grid as :func:`resample_forward_fill`, but empty buckets
+    take the straight line between the surrounding observed buckets
+    (sensor gap-filling where a step function distorts downstream
+    rates).  Grid edges clamp to the nearest observation.
+
+    Scale shape identical to forward fill: one (key, bucket) aggregate,
+    the generated grid, one equi-join, then TWO frame-bounded window
+    expressions over the SAME (key, bucket) window — previous observed
+    (value, bucket) carried by ``last(..., ignorenulls)`` over the
+    trailing frame and next observed by ``first(..., ignorenulls)``
+    over the leading frame.  Catalyst evaluates both in one window
+    exchange because partitioning/ordering match; nothing beyond the
+    key shuffle.
+
+    Output: (key, bucket_start, value — observed or interpolated and
+    rounded to 6 decimals for engine-portable comparison, filled flag).
+    """
+    us = F.lit(int(interval_s) * 1_000_000)
+    bucket = (
+        (F.unix_micros(F.col(ts_col)) / us).cast("long") * F.lit(int(interval_s))
+    ).alias("bucket_start")
+
+    per_bucket = (
+        df.select(F.col(key_col), bucket, F.col(ts_col), F.col(value_col))
+        .groupBy(key_col, "bucket_start")
+        .agg(F.max(F.struct(F.col(ts_col), F.col(value_col))).alias("__best"))
+        .select(
+            key_col,
+            "bucket_start",
+            F.col(f"__best.{value_col}").alias("__observed"),
+        )
+    )
+
+    grid = (
+        df.select(F.col(key_col), bucket)
+        .groupBy(key_col)
+        .agg(
+            F.min("bucket_start").alias("__lo"),
+            F.max("bucket_start").alias("__hi"),
+        )
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("__lo", "__hi", F.lit(int(interval_s)))
+            ).alias("bucket_start"),
+        )
+    )
+
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_struct = F.when(
+        F.col("__observed").isNotNull(),
+        F.struct(F.col("bucket_start").alias("b"), F.col("__observed").alias("v")),
+    )
+    joined = (
+        grid.join(per_bucket, [key_col, "bucket_start"], "left")
+        .withColumn("__prev", F.last(obs_struct, ignorenulls=True).over(w_prev))
+        .withColumn("__next", F.first(obs_struct, ignorenulls=True).over(w_next))
+    )
+    prev_v, prev_b = F.col("__prev.v"), F.col("__prev.b")
+    next_v, next_b = F.col("__next.v"), F.col("__next.b")
+    interp = (
+        F.when(F.col("__observed").isNotNull(), F.col("__observed"))
+        .when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(
+            prev_v
+            + (next_v - prev_v)
+            * (F.col("bucket_start") - prev_b)
+            / (next_b - prev_b)
+        )
+    )
+    # Lerp of fixed-decimal inputs over integer bucket spans yields exact
+    # rationals that can sit ON a 6-decimal rounding boundary (…5625 ->
+    # tie at digit 7); 1-ulp float differences between engines then flip
+    # the rounding direction.  The 1e-9 nudge moves every tie decisively
+    # above the boundary in both engines (realistic spans cannot produce
+    # a value within 1e-9 of a boundary without being on it).
+    return joined.select(
+        key_col,
+        "bucket_start",
+        F.round(interp + F.lit(1e-9), 6).alias(value_col),
+        F.col("__observed").isNull().alias("filled"),
+    )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lookback: int = 20,
+    min_points: int = 5,
+    threshold: float = 3.0,
+    tiebreakers: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key trailing-window z-score anomaly detection.
+
+    Each observation is scored against the mean/stddev of the previous
+    ``lookback`` observations of the SAME key (the point itself is
+    excluded from its own baseline, so a spike cannot mask itself);
+    points whose |z| exceeds ``threshold`` are flagged.  Rows with
+    fewer than ``min_points`` of history pass unflagged (cold start).
+
+    Scale shape: ONE window exchange keyed on ``key_col`` — mean,
+    stddev, and count over the identical frame are evaluated in the
+    same window pass (matching partitioning + ordering + frame), so the
+    cost equals a single per-key sort regardless of how many statistics
+    are read.  No joins, no second shuffle; AQE skew handling applies
+    to hot keys.
+
+    The z-score is rounded to 6 decimals BEFORE thresholding so the
+    flag is reproducible across engines (stddev accumulation order
+    differs between Spark and an external oracle in the last ulp).
+    Pass ``tiebreakers`` (e.g. a unique event id) when (key, ts) is not
+    unique — a ROWS frame under an ambiguous ordering is otherwise
+    nondeterministic.
+    """
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreakers]
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(-int(lookback), -1)
+    )
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    n = F.count(value_col).over(w)
+    z = F.round((F.col(value_col) - mean) / sd, 6)
+    return df.select(
+        key_col,
+        ts_col,
+        *tiebreakers,
+        value_col,
+        F.round(mean, 6).alias("baseline_mean"),
+        n.alias("baseline_n"),
+        F.when(
+            (n >= F.lit(int(min_points))) & (sd > F.lit(0.0)),
+            z,
+        ).alias("zscore"),
+        (
+            (n >= F.lit(int(min_points)))
+            & (sd > F.lit(0.0))
+            & (F.abs(z) > F.lit(float(threshold)))
+        ).alias("is_anomaly"),
+    )

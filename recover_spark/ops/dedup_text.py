@@ -387,3 +387,43 @@ def remove_repeated_spans(
             F.count(F.lit(1)).alias("n_spans_kept"),
         )
     )
+
+
+def canonical_corpus(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Collapse near-dup clusters to one canonical document each: per
+    cluster keep the LONGEST document (ties -> lowest id) — the
+    standard keep-best rewrite after pairwise dedup + clustering, and
+    the final step that actually shrinks the corpus.
+
+    Scale shape: one equi-join of docs to their cluster labels on the
+    doc id, then a single groupBy on the cluster whose argmax is an
+    ordered-struct ``max`` — fully map-side-combinable (each map task
+    forwards ONE candidate per cluster), cheaper than the equivalent
+    window/rank formulation which must sort whole partitions.  The
+    negated id inside the struct turns lexicographic max into
+    (longest, then lowest-id) without a second pass.
+
+    Output: (doc_id, cluster, n_chars, cluster_size) for kept docs.
+    """
+    labeled = docs.select(id_col, length_col).join(clusters, on=id_col)
+    best = F.max(
+        F.struct(
+            F.col(length_col).alias("len"),
+            (-F.col(id_col)).alias("neg_id"),
+        )
+    ).alias("__best")
+    return (
+        labeled.groupBy("cluster")
+        .agg(best, F.count(F.lit(1)).alias("cluster_size"))
+        .select(
+            (-F.col("__best.neg_id")).alias(id_col),
+            "cluster",
+            F.col("__best.len").alias(length_col),
+            "cluster_size",
+        )
+    )

@@ -114,6 +114,54 @@ def stratified_sample(
     return df.filter(bucket < thresh)
 
 
+def temperature_mix(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    alpha: float = 0.5,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-scaled source mixing: downsample each source so the
+    expected kept volume is proportional to ``n_source ** alpha``
+    (alpha=1 keeps natural proportions, alpha→0 equalizes sources) —
+    the standard multi-source/multilingual rebalancing step when
+    assembling a training mix from corpora of wildly different sizes.
+
+    The smallest source is kept whole; a source k× larger keeps
+    ``k**(alpha-1)`` of its rows, decided by the same engine-portable
+    hash threshold as :func:`stable_sample` (reproducible across runs,
+    engines, partitionings; coordinated per key).
+
+    Scale shape: one tiny groupBy on the source column (cardinality =
+    number of corpora, not rows), the global min attached via a one-row
+    broadcast, then the per-source rates broadcast-joined back — the
+    corpus itself never shuffles; the keep decision is a map-side
+    filter on the scan.  Rates are rounded to 6 decimals before
+    thresholding so ``pow`` last-ulp differences can't flip a bucket
+    across engines.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    floor_row = counts.groupBy().agg(F.min("__n").alias("__nmin"))
+    rates = (
+        counts.crossJoin(F.broadcast(floor_row))
+        .select(
+            source_col,
+            F.round(
+                F.pow(F.col("__n") / F.col("__nmin"), F.lit(alpha - 1.0)), 6
+            ).alias("__rate"),
+        )
+    )
+    bucket = F.pmod(portable_hash64(F.col(key_col), salt=salt), F.lit(_GRANULARITY))
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(
+            bucket
+            < F.round(F.col("__rate") * F.lit(_GRANULARITY), 0).cast("bigint")
+        )
+        .drop("__rate")
+    )
+
+
 def histogram(
     df: DataFrame,
     value_col: str,

@@ -419,3 +419,76 @@ def redact_pii(col: Column | str) -> Column:
     for kind in ("email", "ip", "phone"):  # order is load-bearing
         c = F.regexp_replace(c, PII_PATTERNS[kind], _PII_TAGS[kind])
     return c
+
+
+def hashed_feature_score(
+    toks: Column,
+    buckets: int = 1024,
+    feature_salt: str = "qfeat",
+    weight_salt: str = "qweight",
+) -> Column:
+    """Hashing-trick linear quality score over a MATERIALIZED token
+    array: each token hashes into one of ``buckets`` feature slots, the
+    slot's model coefficient is applied, and the mean contribution goes
+    through a sigmoid -> (0, 1).
+
+    This is the plumbing of a fastText-style linear quality classifier
+    expressed as pure Catalyst (hash -> coefficient -> aggregate ->
+    sigmoid): map-only, no shuffle, no UDF, no model file to ship to
+    executors.  The COEFFICIENTS are a deterministic stand-in — slot b
+    gets ``(hash(b) mod 2001 - 1000)/1000`` in [-1, 1] — standing where
+    a trained model's weight vector would be loaded; swapping in real
+    weights means replacing ``_slot_weight`` with a literal array
+    lookup (``F.element_at(weights_lit, slot+1)``), same plan shape.
+    Hashes are the engine-portable md5 scheme so an external oracle
+    reproduces scores bit-for-bit (after rounding to 6 decimals:
+    ``exp`` differs in the last ulp across libm implementations).
+    """
+
+    def _slot_weight(t: Column) -> Column:
+        slot = F.pmod(
+            portable_hash64(t, salt=feature_salt), F.lit(int(buckets))
+        )
+        raw = F.pmod(
+            portable_hash64(slot.cast("string"), salt=weight_salt),
+            F.lit(2001),
+        )
+        return (raw - F.lit(1000)) / F.lit(1000.0)
+
+    n = F.greatest(F.size(toks), F.lit(1))
+    mean_w = (
+        F.aggregate(
+            toks,
+            F.lit(0.0),
+            lambda acc, t: acc + _slot_weight(t),
+        )
+        / n
+    )
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean_w)), 6)
+
+
+def quality_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """Model-based quality scoring pass: (id, token count, score).
+
+    Tokenizes ONCE into a materialized column (higher-order lambdas are
+    interpreted with no common-subexpression elimination) and scores in
+    the same projection — a single map-only stage on the scan, the
+    shape a classifier sweep over a 100 TB corpus must have.
+    """
+    return (
+        df.select(
+            id_col, tokens(F.col(text_col)).alias("__toks")
+        )
+        .select(
+            id_col,
+            F.size("__toks").alias("n_tokens"),
+            hashed_feature_score(F.col("__toks"), buckets=buckets).alias(
+                "quality_score"
+            ),
+        )
+    )

@@ -1,0 +1,274 @@
+"""Round-4 operators: bitset semi-join reduction, canonical near-dup
+collapse, temperature mixing, hashed-feature quality scoring, rolling
+z-score anomalies, linear interpolation, HLL distinct rollup."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# -- bitset (bloom) semi-join reduction -------------------------------------
+
+
+class TestBitsetPrefilter:
+    def test_result_equals_plain_anti_join(self, spark):
+        from recover_spark.operators.bloom import drop_deleted_filtered
+
+        fact = spark.range(0, 5000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("payload")
+        )
+        deleted = spark.range(0, 5000, 7).select(F.col("id").alias("k"))
+        got = drop_deleted_filtered(fact, deleted, ["k"], bits=1 << 14)
+        want = fact.join(deleted, "k", "left_anti")
+        assert got.count() == want.count()
+        assert got.exceptAll(want.select("k", "payload")).count() == 0
+
+    def test_exact_under_heavy_false_positives(self, spark):
+        # bits << keys forces a mostly-set bitmap: every row becomes a
+        # candidate, result must STILL be exact (bitmap only routes).
+        from recover_spark.operators.bloom import drop_deleted_filtered
+
+        fact = spark.range(0, 2000).select(F.col("id").alias("k"))
+        deleted = spark.range(0, 2000, 2).select(F.col("id").alias("k"))
+        got = drop_deleted_filtered(fact, deleted, ["k"], bits=64)
+        assert sorted(r.k for r in got.collect()) == list(range(1, 2000, 2))
+
+    def test_bitmap_size_is_bounded_by_bits(self, spark):
+        from recover_spark.operators.bloom import build_key_bitset
+
+        keys = spark.range(0, 100_000).select(F.col("id").alias("k"))
+        bm = build_key_bitset(keys, ["k"], bits=1 << 12)
+        # fixed-size summary: at most bits/64 words no matter the key count
+        assert bm.count() <= (1 << 12) // 64
+
+    def test_composite_keys(self, spark):
+        from recover_spark.operators.bloom import drop_deleted_filtered
+
+        fact = spark.range(0, 300).select(
+            (F.col("id") % 10).alias("a"), (F.col("id") % 7).alias("b")
+        )
+        deleted = spark.createDataFrame([(1, 1), (2, 3)], "a long, b long")
+        got = drop_deleted_filtered(fact, deleted, ["a", "b"], bits=1 << 10)
+        want = fact.join(deleted, ["a", "b"], "left_anti")
+        assert got.count() == want.count()
+
+    def test_bitmap_join_is_broadcast(self, spark):
+        from recover_spark.operators.bloom import drop_deleted_filtered
+
+        fact = spark.range(0, 1000).select(F.col("id").alias("k"))
+        deleted = spark.range(0, 100).select(F.col("id").alias("k"))
+        plan = _plan(drop_deleted_filtered(fact, deleted, ["k"]))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+# -- canonical corpus collapse ----------------------------------------------
+
+
+class TestCanonicalCorpus:
+    def _clusters(self, spark):
+        return spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)],
+            "doc_id long, cluster long",
+        )
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(1, 50), (2, 90), (3, 90), (4, 10), (5, 30)],
+            "doc_id long, n_chars long",
+        )
+
+    def test_keeps_longest_then_lowest_id(self, spark):
+        from recover_spark.ops.dedup_text import canonical_corpus
+
+        kept = canonical_corpus(self._docs(spark), self._clusters(spark))
+        rows = {r.cluster: r for r in kept.collect()}
+        assert rows[1].doc_id == 2  # 90 ties between 2 and 3 -> lowest id
+        assert rows[1].cluster_size == 3
+        assert rows[4].doc_id == 4 and rows[4].cluster_size == 1
+        assert rows[5].doc_id == 5
+
+    def test_aggregate_not_window(self, spark):
+        from recover_spark.ops.dedup_text import canonical_corpus
+
+        plan = _plan(canonical_corpus(self._docs(spark), self._clusters(spark)))
+        assert "Window" not in plan  # argmax is a map-side-combinable agg
+        # struct-max falls back to SortAggregate; what matters at scale
+        # is the partial (map-side) phase before the exchange
+        assert "partial_max" in plan
+
+
+# -- temperature mixing -----------------------------------------------------
+
+
+class TestTemperatureMix:
+    def _corpus(self, spark):
+        big = spark.range(0, 8000).select(
+            F.col("id").alias("k"), F.lit("big").alias("src")
+        )
+        small = spark.range(100_000, 100_500).select(
+            F.col("id").alias("k"), F.lit("small").alias("src")
+        )
+        return big.unionByName(small)
+
+    def test_smallest_source_kept_whole(self, spark):
+        from recover_spark.ops.sampling import temperature_mix
+
+        out = temperature_mix(self._corpus(spark), "k", "src", alpha=0.5)
+        kept = {r.src: r.n for r in out.groupBy("src").count()
+                .withColumnRenamed("count", "n").collect()}
+        assert kept["small"] == 500
+        # big keeps ~ (8000/500)^-0.5 = 25% of rows; hash noise ~ +/- few %
+        assert 0.18 * 8000 < kept["big"] < 0.32 * 8000
+
+    def test_alpha_one_is_identity(self, spark):
+        from recover_spark.ops.sampling import temperature_mix
+
+        corpus = self._corpus(spark)
+        assert temperature_mix(corpus, "k", "src", alpha=1.0).count() == (
+            corpus.count()
+        )
+
+    def test_deterministic_and_no_corpus_shuffle_join(self, spark):
+        from recover_spark.ops.sampling import temperature_mix
+
+        corpus = self._corpus(spark)
+        a = sorted(r.k for r in temperature_mix(corpus, "k", "src").collect())
+        b = sorted(r.k for r in temperature_mix(corpus, "k", "src").collect())
+        assert a == b
+        plan = _plan(temperature_mix(corpus, "k", "src"))
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+# -- hashed-feature quality scoring -----------------------------------------
+
+
+class TestQualityScores:
+    def test_scores_in_unit_interval_and_deterministic(self, spark):
+        from recover_spark.ops.text_analysis import quality_scores
+
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox jumps"), (2, "lorem ipsum dolor"),
+             (3, "")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in quality_scores(docs).collect()}
+        assert all(0.0 < out[i].quality_score < 1.0 for i in (1, 2))
+        assert out[3].n_tokens == 0 and out[3].quality_score == 0.5
+        again = {r.doc_id: r.quality_score
+                 for r in quality_scores(docs).collect()}
+        assert {k: v.quality_score for k, v in out.items()} == again
+
+    def test_map_only_no_exchange(self, spark):
+        from recover_spark.ops.text_analysis import quality_scores
+
+        docs = spark.createDataFrame(
+            [(1, "alpha beta")], "doc_id long, text string"
+        )
+        assert "Exchange" not in _plan(quality_scores(docs))
+
+
+# -- rolling z-score anomalies ----------------------------------------------
+
+
+class TestRollingZscore:
+    def test_spike_flagged_cold_start_not(self, spark):
+        from recover_spark.operators.temporal import rolling_zscore_anomalies
+
+        t0 = datetime(2024, 1, 1)
+        rows = [("u", t0 + timedelta(minutes=i), i, 10.0 + (i % 3) * 0.1)
+                for i in range(30)]
+        rows.append(("u", t0 + timedelta(minutes=31), 31, 500.0))  # spike
+        df = spark.createDataFrame(
+            rows, "user_id string, ts timestamp, event_id long, value double"
+        )
+        out = rolling_zscore_anomalies(
+            df, "user_id", "ts", "value", lookback=20, min_points=5,
+            threshold=3.0, tiebreakers=["event_id"],
+        )
+        flagged = [r.event_id for r in out.filter("is_anomaly").collect()]
+        assert flagged == [31]
+        # first 5 rows: not enough history -> never flagged, zscore null
+        early = out.filter(F.col("event_id") < 5).collect()
+        assert all(not r.is_anomaly and r.zscore is None for r in early)
+
+    def test_single_window_exchange(self, spark):
+        from recover_spark.operators.temporal import rolling_zscore_anomalies
+
+        df = spark.createDataFrame(
+            [("u", datetime(2024, 1, 1), 1, 1.0)],
+            "user_id string, ts timestamp, event_id long, value double",
+        )
+        plan = _plan(
+            rolling_zscore_anomalies(df, "user_id", tiebreakers=["event_id"])
+        )
+        assert plan.count("Exchange") == 1
+        assert plan.count("Window") == 1  # all stats share one window pass
+
+
+# -- linear interpolation ---------------------------------------------------
+
+
+class TestResampleInterpolate:
+    def test_exact_linear_fill_and_edge_clamp(self, spark):
+        from recover_spark.operators.temporal import resample_interpolate
+
+        t0 = datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("u", t0, 10.0),
+             ("u", t0 + timedelta(hours=4), 30.0),
+             ("u", t0 + timedelta(hours=6), 50.0)],
+            "k string, ts timestamp, value double",
+        )
+        out = {r.bucket_start: r for r in resample_interpolate(
+            df, "k", "ts", "value", interval_s=3600).collect()}
+        base = int(t0.timestamp())
+        assert out[base].value == 10.0 and not out[base].filled
+        # linear between 10 @ h0 and 30 @ h4
+        assert out[base + 3600].value == 15.0 and out[base + 3600].filled
+        assert out[base + 2 * 3600].value == 20.0
+        assert out[base + 3 * 3600].value == 25.0
+        assert out[base + 4 * 3600].value == 30.0
+        assert out[base + 5 * 3600].value == 40.0  # between 30 and 50
+
+    def test_singleton_key_yields_its_observation(self, spark):
+        from recover_spark.operators.temporal import resample_interpolate
+
+        df = spark.createDataFrame(
+            [("s", datetime(2024, 1, 1, 5), 7.0)],
+            "k string, ts timestamp, value double",
+        )
+        rows = resample_interpolate(df, "k").collect()
+        assert len(rows) == 1 and rows[0].value == 7.0
+
+
+# -- HLL distinct rollup ----------------------------------------------------
+
+
+class TestApproxDistinctRollup:
+    def test_estimate_close_to_exact_and_mergeable_shape(self, spark):
+        from recover_spark.operators.analytics import approx_distinct_rollup
+
+        df = spark.range(0, 50_000).select(
+            (F.col("id") % 4).alias("g"),
+            (F.col("id") % 10).alias("fine"),
+            (F.col("id") % 3000).alias("u"),
+        )
+        out = {r.g: r for r in approx_distinct_rollup(
+            df, ["g"], "fine", "u", lg_k=12).collect()}
+        for g in range(4):
+            exact = df.filter(F.col("g") == g).select("u").distinct().count()
+            assert abs(out[g].approx_distinct - exact) / exact < 0.05
+            # id%4 and id%10 correlate: each g sees only same-parity
+            # fine buckets -> 5 fine groups
+            assert out[g].n_fine_groups == 5
+        assert sum(r.n_rows for r in out.values()) == 50_000
