@@ -55,6 +55,12 @@ HEADLINE = [
     "text_tfidf",
     "emb_kmeans",
     "funnel_steps",
+    "join_anti_bloom",
+    "text_quality_score",
+    "sample_temperature",
+    "ts_anomaly",
+    "ts_interpolate",
+    "agg_hll_rollup",
 ]
 
 

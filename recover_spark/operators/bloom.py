@@ -22,9 +22,8 @@ to pre-filter the probe side before the exact join:
 proven absent bypass the join entirely (map-side branch, no shuffle);
 only candidates — a small fraction when deletes are sparse — flow into
 the exact anti-join.  This is manual semi-join reduction, the same idea
-as Spark's runtime bloom-filter injection but explicit, engine-portable
-(md5 hashing, functions/hashing.py), and usable where the optimizer
-won't inject one.  The cost is a second scan of the probe relation (one
+as Spark's runtime bloom-filter injection but explicit and usable where
+the optimizer won't inject one.  The cost is a second scan of the probe relation (one
 per branch); both branches are scan+filter map work with pushdown, so
 at scale this trades cheap re-scan I/O for eliminating the fact-side
 shuffle of a sort-merge anti-join.
@@ -37,9 +36,16 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from recover_spark.functions.hashing import portable_hash64
-
 _WORD = 64
+
+
+def _bit_position(key_cols: Sequence[str], bits: int, salt: str) -> Column:
+    """Bit index of a composite key: xxhash64 (JVM intrinsic, ~20x
+    cheaper than the md5-derived portable hash) — the bitmap is
+    internal routing state, never compared against an external oracle,
+    so engine-portability is not required here."""
+    key = [F.lit(salt)] + [F.col(c).cast("string") for c in key_cols]
+    return F.pmod(F.xxhash64(*key), F.lit(int(bits)))
 
 
 def build_key_bitset(
@@ -55,8 +61,7 @@ def build_key_bitset(
     shuffle carries at most M/64 rows per map task no matter how many
     keys the build side has.
     """
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
-    pos = F.pmod(portable_hash64(key, salt=salt), F.lit(int(bits)))
+    pos = _bit_position(key_cols, bits, salt)
     return (
         keys_df.select(pos.alias("__pos"))
         .select(
@@ -80,8 +85,7 @@ def _candidate_flag(
     salt: str,
 ) -> DataFrame:
     """Attach ``__maybe`` — true iff the row's key MAY be in the set."""
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in key_cols])
-    pos = F.pmod(portable_hash64(key, salt=salt), F.lit(int(bits)))
+    pos = _bit_position(key_cols, bits, salt)
     probe = (
         df.withColumn("__pos", pos)
         .withColumn("__word", (F.col("__pos") / _WORD).cast("bigint"))
