@@ -2720,6 +2720,24 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key computation (functions/layout.py): events
+    keyed on (user_id, hour) get a bit-interleaved sort key so a
+    clustered layout prunes on BOTH dimensions; min/max bounds come
+    from one one-row broadcast, scaling is exact bigint arithmetic, the
+    interleave is 32 shift/mask terms inside codegen."""
+    from recover_spark.functions.layout import zorder_values
+
+    events = _load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(ts) div 3600000000").alias("h"),
+    )
+    return zorder_values(events, ["user_id", "h"], bits=16).select(
+        "event_id", "zvalue"
+    )
+
+
 def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level distinct-user rollup via mergeable HLL sketches
     (operators/analytics.py:approx_distinct_rollup): daily sketches
@@ -2816,6 +2834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_range_frame": q_win_range_frame,
         "ts_resample": q_ts_resample,
         "ts_interpolate": q_ts_interpolate,
+        "layout_zorder": q_layout_zorder,
         "agg_hll_rollup": q_agg_hll_rollup,
         "merge_upsert": q_merge_upsert,
         "ann_topk": q_ann_topk,
@@ -3051,6 +3070,39 @@ _QUALITY_VERDICT_CTES = r"""base AS (
                             WHEN stopword_ratio < 0.05 THEN 'low_stopword_ratio'
                             ELSE NULL END AS fail_reason
                 FROM feat)"""
+
+
+def _zorder_sql(bits: int = 16) -> str:
+    """DuckDB mirror of q_layout_zorder: exact-integer scaling + bit
+    interleave of (user_id, hour)."""
+    levels = (1 << bits) - 1
+
+    def scaled(col, lo, hi):
+        return (
+            f"CASE WHEN {hi} > {lo} THEN "
+            f"(({col} - {lo}) * {2 * levels} + ({hi} - {lo})) "
+            f"// (2 * ({hi} - {lo})) ELSE 0 END"
+        )
+
+    terms = []
+    for i, s in enumerate(["su", "sh"]):
+        for j in range(bits):
+            terms.append(f"((({s} >> {j}) & 1) << {j * 2 + i})")
+    interleave = " | ".join(terms)
+    return f"""
+        WITH src AS (
+            SELECT event_id, user_id,
+                   epoch_us(ts) // 3600000000 AS h
+            FROM events),
+        b AS (SELECT min(user_id) AS lo_u, max(user_id) AS hi_u,
+                     min(h) AS lo_h, max(h) AS hi_h FROM src),
+        scaled AS (
+            SELECT event_id,
+                   {scaled('user_id', 'lo_u', 'hi_u')} AS su,
+                   {scaled('h', 'lo_h', 'hi_h')} AS sh
+            FROM src, b)
+        SELECT event_id, CAST({interleave} AS BIGINT) AS zvalue FROM scaled
+    """
 
 
 def _langid_fragments() -> tuple[str, str]:
@@ -4229,6 +4281,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                       ORDER BY qc DESC, vec_id ASC) AS rank FROM cand)
             WHERE rank <= 5
         """,
+        "layout_zorder": _zorder_sql(16),
         "text_quality_score": f"""
             WITH {_TOKS_CTE}
             SELECT doc_id,

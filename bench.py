@@ -61,6 +61,7 @@ HEADLINE = [
     "ts_anomaly",
     "ts_interpolate",
     "agg_hll_rollup",
+    "layout_zorder",
 ]
 
 

@@ -272,3 +272,64 @@ class TestApproxDistinctRollup:
             # fine buckets -> 5 fine groups
             assert out[g].n_fine_groups == 5
         assert sum(r.n_rows for r in out.values()) == 50_000
+
+
+# -- Z-order layout ---------------------------------------------------------
+
+
+class TestZorderLayout:
+    def test_zvalue_bit_interleave_exact(self, spark):
+        from recover_spark.functions.layout import (
+            interleave_bits,
+            zorder_values,
+        )
+
+        # hand-checkable 2-bit interleave: x=0b10, y=0b01
+        df = spark.createDataFrame([(2, 1)], "x long, y long")
+        z = df.select(
+            interleave_bits([F.col("x"), F.col("y")], bits=2).alias("z")
+        ).first()[0]
+        # bit j of x -> position 2j; of y -> position 2j+1:
+        # x bits (0,1)->(pos0=0,pos2=1); y bits (1,0)->(pos1=1,pos3=0)
+        assert z == 0b0110
+        # bounds come from the data; corners map to 0 and max
+        grid = spark.createDataFrame(
+            [(0, 0), (0, 3), (3, 0), (3, 3)], "x long, y long"
+        )
+        zs = {(r.x, r.y): r.zvalue
+              for r in zorder_values(grid, ["x", "y"], bits=2).collect()}
+        assert zs[(0, 0)] == 0 and zs[(3, 3)] == 0b1111
+
+    def test_zorder_layout_bounds_both_dims(self, spark, tmp_path):
+        import pyarrow.parquet as pq
+        from pathlib import Path
+
+        from recover_spark.functions.layout import write_zordered_parquet
+        from recover_spark.sources.writers import (
+            write_range_clustered_parquet,
+        )
+
+        # two independent uniform dims
+        df = spark.range(0, 40_000).select(
+            (F.col("id") % 200).alias("x"),
+            ((F.col("id") * 7919) % 200).alias("y"),
+        )
+        zdir, rdir = str(tmp_path / "z"), str(tmp_path / "r")
+        write_zordered_parquet(df, zdir, ["x", "y"], bits=8, num_files=16)
+        write_range_clustered_parquet(df, rdir, ["x"], num_files=16)
+
+        def avg_span(root, col_idx):
+            spans = []
+            for f in Path(root).glob("*.parquet"):
+                md = pq.ParquetFile(str(f)).metadata
+                st = [md.row_group(i).column(col_idx).statistics
+                      for i in range(md.num_row_groups)]
+                spans.append(max(s.max for s in st) - min(s.min for s in st))
+            return sum(spans) / len(spans)
+
+        # z-layout: BOTH dims bounded well below the 0..199 domain
+        assert avg_span(zdir, 0) < 120
+        assert avg_span(zdir, 1) < 120
+        # range layout: clustered dim tight, other dim ~unbounded
+        assert avg_span(rdir, 0) < 40
+        assert avg_span(rdir, 1) > 150
