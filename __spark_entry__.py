@@ -2534,6 +2534,46 @@ def q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_hll_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained APPROX COUNT DISTINCT: per-event-type
+    HLL sketches folded across a four-file availableNow stream
+    (streaming/matview.py:maintain_distinct_matview).  Plain counters
+    cannot maintain distincts incrementally (distinct partials are not
+    summable); sketches merge associatively and idempotently.  Estimate
+    is approximate by contract — rows-only check; the pytest twin
+    asserts the streamed state agrees with the one-shot batch sketch to
+    estimator tolerance and with the exact distinct within 5%."""
+    import uuid
+
+    from recover_spark.streaming.matview import (
+        maintain_distinct_matview,
+        read_distinct_matview,
+    )
+
+    run_dir = f"spark-warehouse/matview_hll_q/{uuid.uuid4().hex}"
+    src = f"{run_dir}/src"
+    events = _load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_distinct_matview(
+        stream,
+        f"{run_dir}/state",
+        f"{run_dir}/ckpt",
+        ["event_type"],
+        distinct_col="user_id",
+    )
+    q.awaitTermination(300)
+    return read_distinct_matview(spark, f"{run_dir}/state").orderBy(
+        "event_type"
+    )
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-funnel analysis (view -> click -> purchase, in order):
     per-user step timestamps via conditional aggregation — step 1 is a
@@ -2720,6 +2760,22 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_win_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global row numbering WITHOUT a global sort
+    (operators/analytics.py:global_row_numbers): approx-quantile value
+    buckets, per-bucket rank + count on one window exchange, offsets
+    from a 64-row cumulative side frame — the single-partition
+    ORDER-BY-everything window never happens; the result is identical
+    to it (and that naive form is the oracle)."""
+    from recover_spark.operators.analytics import global_row_numbers
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    out = global_row_numbers(
+        lineitem, order_cols=["l_orderkey", "l_linenumber"], buckets=64
+    )
+    return out.select("l_orderkey", "l_linenumber", "row_id")
+
+
 def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) key computation (functions/layout.py): events
     keyed on (user_id, hour) get a bit-interleaved sort key so a
@@ -2835,7 +2891,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_resample": q_ts_resample,
         "ts_interpolate": q_ts_interpolate,
         "layout_zorder": q_layout_zorder,
+        "win_global_rownum": q_win_global_rownum,
         "agg_hll_rollup": q_agg_hll_rollup,
+        "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
         "ann_topk": q_ann_topk,
         "dedup_minhash": q_dedup_minhash,
@@ -4282,6 +4340,12 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE rank <= 5
         """,
         "layout_zorder": _zorder_sql(16),
+        "win_global_rownum": """
+            SELECT l_orderkey, l_linenumber,
+                   row_number() OVER (ORDER BY l_orderkey, l_linenumber)
+                       AS row_id
+            FROM lineitem
+        """,
         "text_quality_score": f"""
             WITH {_TOKS_CTE}
             SELECT doc_id,

@@ -156,3 +156,62 @@ def approx_distinct_rollup(
             F.count(F.lit(1)).alias("n_fine_groups"),
         )
     )
+
+
+def global_row_numbers(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    id_col: str = "row_id",
+    buckets: int = 64,
+) -> DataFrame:
+    """Global 1-based row numbering by ``order_cols`` WITHOUT a global
+    sort: the naive ``row_number() OVER (ORDER BY ...)`` collapses the
+    whole table into one partition — the canonical way to OOM a
+    1000-executor job.  Here the total order is decomposed:
+
+    1. bucket boundaries of the leading order column from
+       ``approxQuantile`` (a bounded driver-side list of ``buckets``
+       doubles — the only driver data, independent of table size);
+    2. rows map-side CASE into their bucket; per-bucket rank and
+       per-bucket count ride ONE window exchange keyed on the bucket;
+    3. bucket offsets are a cumulative sum over the ``buckets``-row
+       side frame (trivially single-partition at that size), broadcast
+       back.
+
+    ``row_id = offset + local rank``.  The RESULT is independent of the
+    bucketing (any boundaries yield the same total order), so the
+    approximate quantiles only affect balance, never correctness.
+    ``order_cols`` must be a total order (add a unique tiebreaker);
+    otherwise numbering within ties is nondeterministic.
+    """
+    from pyspark.sql import Window
+
+    lead = order_cols[0]
+    probs = [i / buckets for i in range(1, buckets)]
+    bounds = sorted(set(df.stat.approxQuantile(lead, probs, 0.001)))
+    bucket = F.lit(0)
+    for i, b in enumerate(bounds):
+        bucket = F.when(F.col(lead) > F.lit(b), F.lit(i + 1)).otherwise(bucket)
+    with_bucket = df.withColumn("__bucket", bucket)
+
+    w = Window.partitionBy("__bucket").orderBy(*[F.col(c) for c in order_cols])
+    w_all = Window.partitionBy("__bucket")
+    ranked = with_bucket.withColumn("__rank", F.row_number().over(w)).withColumn(
+        "__bucket_n", F.count(F.lit(1)).over(w_all)
+    )
+
+    w_off = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranked.select("__bucket", "__bucket_n")
+        .distinct()
+        .withColumn("__offset", F.coalesce(F.sum("__bucket_n").over(w_off), F.lit(0)))
+        .select("__bucket", "__offset")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__bucket")
+        .withColumn(id_col, (F.col("__offset") + F.col("__rank")).cast("bigint"))
+        .drop("__bucket", "__rank", "__bucket_n", "__offset")
+    )

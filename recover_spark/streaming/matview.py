@@ -120,3 +120,90 @@ def maintain_count_matview(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_distinct_sketches(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    key_cols: Sequence[str],
+    distinct_col: str,
+    lg_k: int = 12,
+    batch_id: int | None = None,
+) -> None:
+    """Merge one batch's per-key HLL sketches into the state table —
+    incremental APPROX COUNT DISTINCT, the aggregate plain counters
+    cannot maintain (distinct partials are not summable; sketches are).
+
+    State stores the binary sketch per key (fixed ~2^lg_k bytes), so
+    state size is O(keys), not O(distinct values).  HLL register merge
+    is associative AND idempotent (registers are maxima), so a crash
+    replay would converge even without the batch-id sidecar; the
+    sidecar still skips the wasted work.
+    """
+    if batch_id is not None:
+        applied = _applied_batch_id(state_path)
+        if applied is not None and batch_id <= applied:
+            return
+    keys = list(key_cols)
+    partial = batch.groupBy(*keys).agg(
+        F.hll_sketch_agg(distinct_col, F.lit(int(lg_k))).alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+    state = Path(state_path)
+    if state.exists():
+        prev = spark.read.parquet(state_path)
+        merged = (
+            prev.unionByName(partial)
+            .groupBy(*keys)
+            .agg(
+                F.hll_union_agg(F.col("sketch")).alias("sketch"),
+                F.sum("n_rows").alias("n_rows"),
+            )
+        )
+    else:
+        merged = partial
+
+    tmp = str(state) + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
+    if state.exists():
+        shutil.rmtree(state_path)
+    shutil.move(tmp, state_path)
+
+
+def maintain_distinct_matview(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    key_cols: Sequence[str],
+    distinct_col: str,
+    lg_k: int = 12,
+):
+    """availableNow increment of the approx-distinct materialized view."""
+    spark = stream.sparkSession
+    keys = list(key_cols)
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        merge_distinct_sketches(
+            spark, batch, state_path, keys, distinct_col, lg_k, batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_distinct_matview(spark: SparkSession, state_path: str) -> DataFrame:
+    """Materialize the estimates from the persisted sketch state."""
+    return spark.read.parquet(state_path).select(
+        "*",
+        F.round(F.hll_sketch_estimate(F.col("sketch")))
+        .cast("bigint")
+        .alias("approx_distinct"),
+    ).drop("sketch")

@@ -333,3 +333,114 @@ class TestZorderLayout:
         # range layout: clustered dim tight, other dim ~unbounded
         assert avg_span(rdir, 0) < 40
         assert avg_span(rdir, 1) > 150
+
+
+# -- global row numbering without a global sort -----------------------------
+
+
+class TestGlobalRowNumbers:
+    def test_matches_naive_global_window(self, spark):
+        from pyspark.sql import Window
+        from recover_spark.operators.analytics import global_row_numbers
+
+        df = spark.range(0, 20_000).select(
+            ((F.col("id") * 7919) % 5000).alias("a"), F.col("id").alias("uid")
+        )
+        got = global_row_numbers(df, ["a", "uid"], buckets=16)
+        naive = df.withColumn(
+            "row_id", F.row_number().over(Window.orderBy("a", "uid"))
+        )
+        assert got.count() == 20_000
+        assert got.join(
+            naive, ["a", "uid"]
+        ).filter(got["row_id"] != naive["row_id"]).count() == 0
+
+    def test_fact_window_is_bucket_partitioned(self, spark):
+        from recover_spark.operators.analytics import global_row_numbers
+
+        df = spark.range(0, 10_000).select(
+            F.col("id").alias("a"), F.col("id").alias("uid")
+        )
+        plan = _plan(global_row_numbers(df, ["a", "uid"], buckets=8))
+        # the big window rides a hash exchange on the bucket; the ONLY
+        # single-partition exchange is the <=buckets-row offsets frame
+        assert "hashpartitioning(__bucket" in plan
+        assert plan.count("Exchange SinglePartition") <= 1
+
+    def test_skewed_leading_column_still_correct(self, spark):
+        from pyspark.sql import Window
+        from recover_spark.operators.analytics import global_row_numbers
+
+        # 90% of rows share one leading value -> most land in one bucket
+        df = spark.range(0, 5000).select(
+            F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id")).alias("a"),
+            F.col("id").alias("uid"),
+        )
+        got = global_row_numbers(df, ["a", "uid"], buckets=8)
+        naive = df.withColumn(
+            "row_id", F.row_number().over(Window.orderBy("a", "uid"))
+        )
+        assert got.join(
+            naive, ["a", "uid"]
+        ).filter(got["row_id"] != naive["row_id"]).count() == 0
+
+
+# -- incremental HLL matview ------------------------------------------------
+
+
+class TestDistinctMatview:
+    def test_streamed_state_equals_batch_sketch(self, spark, tmp_path):
+        from recover_spark.streaming.matview import (
+            maintain_distinct_matview,
+            read_distinct_matview,
+        )
+
+        src = str(tmp_path / "src")
+        df = spark.range(0, 20_000).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") % 1700).alias("u"),
+        )
+        df.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("g string, u long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = maintain_distinct_matview(
+            stream, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+            ["g"], "u",
+        )
+        q.awaitTermination(120)
+        got = {r.g: r for r in
+               read_distinct_matview(spark, str(tmp_path / "state")).collect()}
+        # the incremental union tracks the one-shot batch sketch
+        # (DataSketches promotes sparse->dense during union, so the
+        # estimates agree to estimator tolerance, not bit-for-bit)
+        batch = {r.g: r.est for r in df.groupBy("g").agg(
+            F.round(F.hll_sketch_estimate(
+                F.hll_sketch_agg("u", F.lit(12)))).cast("bigint").alias("est")
+        ).collect()}
+        for g in batch:
+            assert abs(got[g].approx_distinct - batch[g]) / batch[g] < 0.02
+            exact = df.filter(F.col("g") == g).select("u").distinct().count()
+            assert abs(got[g].approx_distinct - exact) / exact < 0.05
+        assert sum(r.n_rows for r in got.values()) == 20_000
+
+    def test_replay_is_idempotent(self, spark, tmp_path):
+        from recover_spark.streaming.matview import (
+            merge_distinct_sketches,
+            read_distinct_matview,
+        )
+
+        batch = spark.range(0, 500).select(
+            F.lit("k").alias("g"), (F.col("id") % 97).alias("u")
+        )
+        state = str(tmp_path / "state")
+        merge_distinct_sketches(spark, batch, state, ["g"], "u", batch_id=0)
+        first = read_distinct_matview(spark, state).first()
+        # replay of the same batch id is skipped by the sidecar
+        merge_distinct_sketches(spark, batch, state, ["g"], "u", batch_id=0)
+        again = read_distinct_matview(spark, state).first()
+        assert (first.approx_distinct, first.n_rows) == (
+            again.approx_distinct, again.n_rows
+        )
