@@ -189,9 +189,12 @@ def global_row_numbers(
     lead = order_cols[0]
     probs = [i / buckets for i in range(1, buckets)]
     bounds = sorted(set(df.stat.approxQuantile(lead, probs, 0.001)))
+    # bucket = number of boundaries below the value — a FLAT sum of
+    # comparisons (codegen-friendly), equivalent to the nested-CASE
+    # range lookup because the boundaries are sorted
     bucket = F.lit(0)
-    for i, b in enumerate(bounds):
-        bucket = F.when(F.col(lead) > F.lit(b), F.lit(i + 1)).otherwise(bucket)
+    for b in bounds:
+        bucket = bucket + (F.col(lead) > F.lit(b)).cast("int")
     with_bucket = df.withColumn("__bucket", bucket)
 
     w = Window.partitionBy("__bucket").orderBy(*[F.col(c) for c in order_cols])

@@ -45,6 +45,11 @@ PROBES = [
     "dedup_minhash",        # shingle+minhash signatures
     "ann_ivf",              # IVF ANN over embeddings
     "win_session_native",   # session-window aggregation
+    "join_anti_bloom",      # bitset prefilter + exact anti-join
+    "win_global_rownum",    # bucketed global row numbering
+    "ts_anomaly",           # trailing-window z-score
+    "sample_temperature",   # broadcast-rate source mixing
+    "layout_zorder",        # bit-interleave projection
 ]
 
 
