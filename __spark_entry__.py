@@ -2760,6 +2760,26 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked record linkage (ops/linkage.py): customer names that
+    agree on all but the last two characters pair up within prefix
+    blocks; ONE equi-join on the block key (never a cartesian), hot
+    blocks dropped by the size guard, early-exit thresholded
+    levenshtein scores the survivors."""
+    from recover_spark.ops.linkage import blocked_link_pairs
+
+    customer = _load(spark, sf_dir, "customer")
+    block = F.expr("substring(c_name, 1, length(c_name) - 2)")
+    return blocked_link_pairs(
+        customer,
+        id_col="c_custkey",
+        name_col="c_name",
+        block=block,
+        max_distance=2,
+        max_block_size=1000,
+    )
+
+
 def q_win_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global row numbering WITHOUT a global sort
     (operators/analytics.py:global_row_numbers): approx-quantile value
@@ -2892,6 +2912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_interpolate": q_ts_interpolate,
         "layout_zorder": q_layout_zorder,
         "win_global_rownum": q_win_global_rownum,
+        "link_records": q_link_records,
         "agg_hll_rollup": q_agg_hll_rollup,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
@@ -4345,6 +4366,22 @@ def _oracle_sql_literal() -> dict[str, str]:
                    row_number() OVER (ORDER BY l_orderkey, l_linenumber)
                        AS row_id
             FROM lineitem
+        """,
+        "link_records": """
+            WITH keyed AS (
+                SELECT c_custkey AS id, c_name AS name,
+                       substring(c_name, 1, length(c_name) - 2) AS block
+                FROM customer),
+            sized AS (
+                SELECT k.* FROM keyed k
+                JOIN (SELECT block FROM keyed GROUP BY block
+                      HAVING count(*) <= 1000) ok USING (block))
+            SELECT a.id AS id_a, b.id AS id_b,
+                   a.name AS name_a, b.name AS name_b,
+                   levenshtein(a.name, b.name) AS distance
+            FROM sized a JOIN sized b
+              ON a.block = b.block AND a.id < b.id
+            WHERE levenshtein(a.name, b.name) <= 2
         """,
         "text_quality_score": f"""
             WITH {_TOKS_CTE}

@@ -1,0 +1,85 @@
+"""Blocked record linkage (entity resolution).
+
+Finding near-identical entity records (names, addresses, titles) is the
+metadata-side sibling of document dedup: the naive formulation is an
+O(n²) all-pairs edit-distance scan.  The standard scale decomposition:
+
+1. **Blocking** — records map-side derive a cheap block key (name
+   prefix, phone area code, soundex); only records sharing a block are
+   compared.  The self-join becomes an equi-join Catalyst hash/sort-
+   merge partitions by block — never a cartesian product.
+2. **Guarding** — a hot block (everyone named "UNKNOWN") reintroduces
+   the k² blowup inside one key; ``max_block_size`` drops oversized
+   blocks before the join (same design as the Jaccard stop-shingle cap
+   in ops/dedup_text.py — cap the quadratic term at the algorithm
+   level, then let AQE handle residual imbalance).
+3. **Scoring** — JVM-built-in ``levenshtein`` with the distance
+   threshold pushed into Spark's early-exit variant.
+
+Recall contract (documented, standard for blocking): pairs that differ
+inside the blocked prefix are not candidates and are missed; choose the
+block key so the expected edit region lies outside it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def blocked_link_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block: Column,
+    max_distance: int = 2,
+    max_block_size: int | None = 1000,
+) -> DataFrame:
+    """Within-block record pairs with edit distance <= ``max_distance``.
+
+    Output: (id_a, id_b, name_a, name_b, distance), id_a < id_b.
+
+    Scale shape: one projection derives the block key map-side; an
+    optional block-size aggregate (tiny: one row per block) drops
+    oversized blocks via broadcast anti-join; then ONE equi-join on the
+    block key with the distance predicate as the join condition —
+    Spark evaluates ``levenshtein(a, b, threshold)`` with early exit,
+    so a pair abandoned at distance > threshold costs O(threshold *
+    min(len)) not O(len²).
+    """
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(name_col).alias("__name"),
+        block.alias("__block"),
+    )
+    if max_block_size is not None:
+        oversized = (
+            keyed.groupBy("__block")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_block_size)
+            .select("__block")
+        )
+        keyed = keyed.join(F.broadcast(oversized), "__block", "left_anti")
+    a = keyed.select(
+        F.col("__block"),
+        F.col("__id").alias("id_a"),
+        F.col("__name").alias("name_a"),
+    )
+    b = keyed.select(
+        F.col("__block").alias("__block_b"),
+        F.col("__id").alias("id_b"),
+        F.col("__name").alias("name_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("__block") == F.col("__block_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    # thresholded levenshtein returns -1 when the bound is exceeded
+    # (early exit) — keep only non-negative distances
+    dist = F.levenshtein("name_a", "name_b", int(max_distance))
+    return (
+        pairs.withColumn("distance", dist)
+        .filter(F.col("distance") >= 0)
+        .select("id_a", "id_b", "name_a", "name_b", "distance")
+    )

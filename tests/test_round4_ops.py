@@ -444,3 +444,53 @@ class TestDistinctMatview:
         assert (first.approx_distinct, first.n_rows) == (
             again.approx_distinct, again.n_rows
         )
+
+
+# -- blocked record linkage -------------------------------------------------
+
+
+class TestBlockedLinkage:
+    def _records(self, spark):
+        return spark.createDataFrame(
+            [(1, "ACME CORP 01"), (2, "ACME CORP 02"), (3, "ACME CORP 99"),
+             (4, "ZETA LLC 001"), (5, "WHOLLY OTHER")],
+            "id long, name string",
+        )
+
+    def test_within_block_pairs_scored(self, spark):
+        from recover_spark.ops.linkage import blocked_link_pairs
+
+        block = F.expr("substring(name, 1, length(name) - 2)")
+        pairs = blocked_link_pairs(
+            self._records(spark), "id", "name", block, max_distance=2
+        )
+        got = {(r.id_a, r.id_b): r.distance for r in pairs.collect()}
+        # the three ACME records share a block and differ by <= 2 edits
+        assert got == {(1, 2): 1, (1, 3): 2, (2, 3): 2}
+
+    def test_hot_block_guard_drops_oversized(self, spark):
+        from recover_spark.ops.linkage import blocked_link_pairs
+
+        # 50 identical-prefix records = one hot block of 50
+        hot = spark.range(0, 50).select(
+            F.col("id"), F.concat(F.lit("SAME X"), F.col("id") % 10).alias("name")
+        )
+        block = F.lit("SAME")
+        guarded = blocked_link_pairs(
+            hot, "id", "name", block, max_distance=2, max_block_size=10
+        )
+        assert guarded.count() == 0  # block dropped, no k^2 blowup
+        unguarded = blocked_link_pairs(
+            hot, "id", "name", block, max_distance=2, max_block_size=None
+        )
+        assert unguarded.count() > 0
+
+    def test_no_cartesian_in_plan(self, spark):
+        from recover_spark.ops.linkage import blocked_link_pairs
+
+        block = F.expr("substring(name, 1, length(name) - 2)")
+        plan = _plan(
+            blocked_link_pairs(self._records(spark), "id", "name", block)
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
