@@ -16,7 +16,7 @@ import time
 from pathlib import Path
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DEFAULT_RECORDS_PER_FILE = 1_000_000  # json_to_parquet.py:377
@@ -140,4 +140,61 @@ def write_range_clustered_parquet(
         .sortWithinPartitions(*cols)
         .write.mode(mode)
         .parquet(path)
+    )
+
+
+def overwrite_partitions_dynamic(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    records_per_file: int = DEFAULT_RECORDS_PER_FILE,
+) -> None:
+    """Replace ONLY the hive partitions present in ``df``, leaving all
+    other partitions untouched (Spark dynamic partition overwrite).
+
+    This is the incremental-rerun sink shape at scale: a weekly job
+    that reprocesses one export must not truncate the other 51 weeks
+    (static overwrite mode would).  Pairing with the batch-id sidecar
+    idiom (streaming/matview.py) makes reruns idempotent per partition.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .option("maxRecordsPerFile", records_per_file)
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_by: Sequence[str],
+    target_records_per_file: int = DEFAULT_RECORDS_PER_FILE,
+    predicate: str | None = None,
+) -> None:
+    """Small-file compaction: rewrite (a subset of) a hive-partitioned
+    dataset into ~target-sized files, partition layout preserved.
+
+    Streaming/incremental sinks accrete many small files per partition;
+    at scale the scan cost becomes file-open-bound (the reference
+    groups small files at read time — SURVEY.md §2.1 groupFiles; this
+    is the write-side fix).  ``predicate`` (e.g. "week = '2024-01'")
+    limits the rewrite to hot partitions: partition pruning makes the
+    read touch only those, and dynamic overwrite replaces only them.
+    One range-free shuffle: ``repartition`` on the partition columns
+    co-locates each partition's rows so every output partition is
+    written by as few tasks as its size needs.
+    """
+    df = spark.read.parquet(path)
+    if predicate:
+        df = df.filter(predicate)
+    compacted = df.repartition(*[F.col(c) for c in partition_by])
+    overwrite_partitions_dynamic(
+        compacted, path, partition_by, records_per_file=target_records_per_file
     )

@@ -494,3 +494,72 @@ class TestBlockedLinkage:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+# -- partition maintenance (dynamic overwrite + compaction) -----------------
+
+
+class TestPartitionMaintenance:
+    def test_dynamic_overwrite_replaces_only_touched_partitions(
+        self, spark, tmp_path
+    ):
+        from recover_spark.sources.writers import (
+            overwrite_partitions_dynamic,
+            write_partitioned_parquet,
+        )
+
+        path = str(tmp_path / "t")
+        base = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 3), ("c", 4)], "p string, v int"
+        )
+        write_partitioned_parquet(base, path, partition_by=["p"])
+        # rerun touches only partition a with corrected values
+        fix = spark.createDataFrame([("a", 99)], "p string, v int")
+        overwrite_partitions_dynamic(fix, path, ["p"])
+        got = {(r.p, r.v) for r in spark.read.parquet(path).collect()}
+        assert got == {("a", 99), ("b", 3), ("c", 4)}
+        # static mode untouched after the call
+        assert spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode"
+        ) == "static"
+
+    def test_compaction_reduces_files_keeps_rows(self, spark, tmp_path):
+        from pathlib import Path
+
+        from recover_spark.sources.writers import compact_partitions
+
+        path = str(tmp_path / "t")
+        df = spark.range(0, 10_000).select(
+            (F.col("id") % 2).cast("string").alias("p"), F.col("id").alias("v")
+        )
+        # fragment: many small files per partition
+        df.repartition(20).write.partitionBy("p").parquet(path)
+        n_before = len(list(Path(path).glob("p=*/*.parquet")))
+        before = {r.v for r in spark.read.parquet(path).collect()}
+        compact_partitions(spark, path, ["p"], target_records_per_file=100_000)
+        n_after = len(list(Path(path).glob("p=*/*.parquet")))
+        after = {r.v for r in spark.read.parquet(path).collect()}
+        assert after == before
+        assert n_after < n_before / 4
+
+    def test_predicate_limits_compaction_scope(self, spark, tmp_path):
+        from pathlib import Path
+
+        from recover_spark.sources.writers import compact_partitions
+
+        path = str(tmp_path / "t")
+        df = spark.range(0, 2000).select(
+            (F.col("id") % 2).cast("string").alias("p"), F.col("id").alias("v")
+        )
+        df.repartition(10).write.partitionBy("p").parquet(path)
+        files_b_before = sorted(
+            str(f) for f in Path(path).glob("p=1/*.parquet")
+        )
+        compact_partitions(spark, path, ["p"], predicate="p = '0'")
+        files_b_after = sorted(
+            str(f) for f in Path(path).glob("p=1/*.parquet")
+        )
+        assert files_b_after == files_b_before  # untouched partition intact
+        assert len(list(Path(path).glob("p=0/*.parquet"))) <= 2
+        got = {r.v for r in spark.read.parquet(path).collect()}
+        assert got == set(range(2000))
