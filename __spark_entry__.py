@@ -2760,6 +2760,30 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: the split key is the
+    near-dup CLUSTER, not the document, so near-duplicates can never
+    straddle train and test (the standard contamination hole in naive
+    per-doc splits).  Composes Jaccard pairs -> connected components ->
+    hash-threshold assignment on the cluster id (ops/sampling.py) —
+    the assignment itself stays a map-side expression."""
+    from recover_spark.ops import duplicate_clusters, ngram_jaccard_pairs
+    from recover_spark.ops.sampling import split_assignment
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_size=3, min_jaccard=0.2)
+    clusters = duplicate_clusters(pairs, docs)
+    return clusters.select(
+        "doc_id",
+        "cluster",
+        split_assignment(
+            F.col("cluster").cast("string"),
+            {"train": 0.8, "valid": 0.1, "test": 0.1},
+            salt="splitg",
+        ).alias("split"),
+    )
+
+
 def q_link_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked record linkage (ops/linkage.py): customer names that
     agree on all but the last two characters pair up within prefix
@@ -2913,6 +2937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_zorder": q_layout_zorder,
         "win_global_rownum": q_win_global_rownum,
         "link_records": q_link_records,
+        "sample_split_grouped": q_sample_split_grouped,
         "agg_hll_rollup": q_agg_hll_rollup,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
@@ -4366,6 +4391,46 @@ def _oracle_sql_literal() -> dict[str, str]:
                    row_number() OVER (ORDER BY l_orderkey, l_linenumber)
                        AS row_id
             FROM lineitem
+        """,
+        "sample_split_grouped": f"""
+            WITH RECURSIVE {_TOKS_CTE}, {_GRAMS3_CTE},
+            rare AS (SELECT shingle FROM grams
+                     GROUP BY shingle HAVING count(*) <= 50),
+            g2 AS (SELECT g.doc_id, g.shingle FROM grams g
+                   JOIN rare r ON g.shingle = r.shingle),
+            sizes AS (SELECT doc_id, count(*) AS set_size
+                      FROM g2 GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_common
+                FROM g2 a JOIN g2 b ON a.shingle = b.shingle
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id),
+            pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON inter.id_a = sa.doc_id
+                JOIN sizes sb ON inter.id_b = sb.doc_id
+                WHERE n_common / (sa.set_size + sb.set_size - n_common)
+                      >= 0.2),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs),
+            reach AS (
+                SELECT doc_id AS node, doc_id AS label FROM documents
+                UNION
+                SELECT e.src AS node, r.label
+                FROM reach r JOIN edges e ON e.dst = r.node),
+            clusters AS (
+                SELECT node AS doc_id, min(label) AS cluster
+                FROM reach GROUP BY node)
+            SELECT doc_id, cluster,
+                   CASE WHEN {_h64("concat('splitg', '|', CAST(cluster AS VARCHAR))")}
+                             % 10000 < 8000 THEN 'train'
+                        WHEN {_h64("concat('splitg', '|', CAST(cluster AS VARCHAR))")}
+                             % 10000 < 9000 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM clusters
         """,
         "link_records": """
             WITH keyed AS (

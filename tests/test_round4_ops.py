@@ -563,3 +563,25 @@ class TestPartitionMaintenance:
         assert len(list(Path(path).glob("p=0/*.parquet"))) <= 2
         got = {r.v for r in spark.read.parquet(path).collect()}
         assert got == set(range(2000))
+
+
+# -- leakage-safe grouped split ---------------------------------------------
+
+
+class TestGroupedSplit:
+    def test_cluster_members_share_split(self, spark):
+        from recover_spark.ops.sampling import split_assignment
+
+        clusters = spark.createDataFrame(
+            [(i, i % 7) for i in range(200)], "doc_id long, cluster long"
+        )
+        out = clusters.select(
+            "cluster",
+            split_assignment(
+                F.col("cluster").cast("string"),
+                {"train": 0.8, "valid": 0.1, "test": 0.1},
+                salt="splitg",
+            ).alias("split"),
+        )
+        # every cluster maps to exactly one split -> no leakage path
+        assert out.select("cluster", "split").distinct().count() == 7
