@@ -2742,6 +2742,37 @@ def q_ts_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_anomaly_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-safe time-windowed z-score
+    (operators/temporal.py:rolling_zscore_time_anomalies): the key's
+    timeline splits into 6h chunks scored in parallel, with rows in the
+    last hour of each chunk carried into the next as context-only —
+    EXACT for the RANGE frame, so the oracle is the plain unchunked
+    window.  This is the shape that survives a 20%-hot-key stream where
+    the per-key window is one stuck task."""
+    from recover_spark.operators.temporal import rolling_zscore_time_anomalies
+
+    events = _load(spark, sf_dir, "events")
+    out = rolling_zscore_time_anomalies(
+        events,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        window_s=3600,
+        min_points=5,
+        threshold=3.0,
+        chunk_s=21600,
+    )
+    return out.filter(F.col("is_anomaly")).select(
+        "user_id",
+        _ts(F.col("ts"), "ts"),
+        "value",
+        "baseline_mean",
+        "baseline_n",
+        "zscore",
+    )
+
+
 def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user hourly resampling with LINEAR interpolation
     (operators/temporal.py:resample_interpolate): dense grid, gaps take
@@ -2934,6 +2965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_range_frame": q_win_range_frame,
         "ts_resample": q_ts_resample,
         "ts_interpolate": q_ts_interpolate,
+        "ts_anomaly_chunked": q_ts_anomaly_chunked,
         "layout_zorder": q_layout_zorder,
         "win_global_rownum": q_win_global_rownum,
         "link_records": q_link_records,
@@ -4485,6 +4517,27 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT user_id,
                    strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
                    event_id, value,
+                   round(m, 6) AS baseline_mean,
+                   n AS baseline_n,
+                   round((value - m) / sd, 6) AS zscore
+            FROM w
+            WHERE n >= 5 AND sd > 0
+              AND abs(round((value - m) / sd, 6)) > 3.0
+        """,
+        "ts_anomaly_chunked": """
+            WITH w AS (
+                SELECT user_id, ts, value,
+                       avg(value) OVER fr AS m,
+                       stddev_samp(value) OVER fr AS sd,
+                       count(value) OVER fr AS n
+                FROM events
+                WINDOW fr AS (PARTITION BY user_id
+                              ORDER BY epoch_us(ts)
+                              RANGE BETWEEN 3600000000 PRECEDING
+                                        AND 1 PRECEDING))
+            SELECT user_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   value,
                    round(m, 6) AS baseline_mean,
                    n AS baseline_n,
                    round((value - m) / sd, 6) AS zscore

@@ -403,3 +403,84 @@ def rolling_zscore_anomalies(
             & (F.abs(z) > F.lit(float(threshold)))
         ).alias("is_anomaly"),
     )
+
+
+def rolling_zscore_time_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_s: int = 3600,
+    min_points: int = 5,
+    threshold: float = 3.0,
+    chunk_s: int | None = None,
+) -> DataFrame:
+    """Time-windowed z-score anomalies: each point scored against the
+    strictly-earlier observations of its key within the trailing
+    ``window_s`` seconds (a RANGE frame — no tiebreakers needed, the
+    strict time bound makes it deterministic even with duplicate
+    timestamps).
+
+    ``chunk_s`` is the HOT-KEY scale path.  A window partition is one
+    sorted run: a key owning 20% of a 100 TB stream becomes one stuck
+    task, and AQE cannot split window partitions (the skew probe
+    measures the plain form at ~2x under a 20% hot key).  With
+    ``chunk_s`` (must be >= ``window_s``) the key's timeline splits
+    into chunks scored in parallel, and EXACTNESS is preserved by
+    overlap carry: rows in the last ``window_s`` of a chunk are
+    duplicated into the next chunk as context-only rows (they feed
+    frames, then drop from the output).  A RANGE frame makes the carry
+    exact — the context a chunk's earliest row needs is precisely the
+    rows within ``window_s`` behind it, which is what was carried;
+    a ROWS frame could not bound its context by time, which is why the
+    per-row variant (:func:`rolling_zscore_anomalies`) cannot chunk.
+
+    Cost: duplicated rows ~= window_s/chunk_s of the input (map-side
+    union of two scans); shuffle key gains the chunk id.
+    """
+    t_us = int(window_s) * 1_000_000
+    base = df.withColumn("__t", F.unix_micros(F.col(ts_col)))
+    if chunk_s is None:
+        part = [key_col]
+        frame = base.withColumn("__ctx", F.lit(False))
+    else:
+        if chunk_s < window_s:
+            raise ValueError("chunk_s must be >= window_s for exact carry")
+        c_us = int(chunk_s) * 1_000_000
+        chunked = base.withColumn("__chunk", F.expr(f"__t div {c_us}"))
+        ctx = (
+            chunked.filter(
+                F.col("__t") >= (F.col("__chunk") + 1) * c_us - t_us
+            )
+            .withColumn("__chunk", F.col("__chunk") + 1)
+            .withColumn("__ctx", F.lit(True))
+        )
+        frame = chunked.withColumn("__ctx", F.lit(False)).unionByName(ctx)
+        part = [key_col, "__chunk"]
+
+    w = (
+        Window.partitionBy(*part)
+        .orderBy("__t")
+        .rangeBetween(-t_us, -1)
+    )
+    mean = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    n = F.count(value_col).over(w)
+    z = F.round((F.col(value_col) - mean) / sd, 6)
+    out = frame.select(
+        key_col,
+        ts_col,
+        value_col,
+        F.col("__ctx"),
+        F.round(mean, 6).alias("baseline_mean"),
+        n.alias("baseline_n"),
+        F.when((n >= F.lit(int(min_points))) & (sd > F.lit(0.0)), z).alias(
+            "zscore"
+        ),
+        (
+            (n >= F.lit(int(min_points)))
+            & (sd > F.lit(0.0))
+            & (F.abs(z) > F.lit(float(threshold)))
+        ).alias("is_anomaly"),
+    )
+    return out.filter(~F.col("__ctx")).drop("__ctx")

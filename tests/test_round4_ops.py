@@ -585,3 +585,64 @@ class TestGroupedSplit:
         )
         # every cluster maps to exactly one split -> no leakage path
         assert out.select("cluster", "split").distinct().count() == 7
+
+
+# -- time-chunked z-score (hot-key scale path) ------------------------------
+
+
+class TestChunkedZscore:
+    def test_chunked_equals_unchunked_exactly(self, spark):
+        from recover_spark.operators.temporal import (
+            rolling_zscore_time_anomalies,
+        )
+
+        # irregular timestamps spanning many chunks, duplicates included
+        t0 = datetime(2024, 1, 1)
+        rows = []
+        for i in range(500):
+            ts = t0 + timedelta(seconds=(i * 733) % 90_000)
+            rows.append(("u%d" % (i % 3), ts, float((i * 37) % 100)))
+        rows.append(("u0", t0 + timedelta(seconds=50_000), 10_000.0))
+        df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+
+        kw = dict(key_col="k", ts_col="ts", value_col="value",
+                  window_s=3600, min_points=3, threshold=2.0)
+        plain = rolling_zscore_time_anomalies(df, **kw)
+        chunked = rolling_zscore_time_anomalies(df, **kw, chunk_s=7200)
+        cols = ["k", "ts", "value", "baseline_mean", "baseline_n",
+                "zscore", "is_anomaly"]
+        assert plain.select(cols).exceptAll(chunked.select(cols)).count() == 0
+        assert chunked.select(cols).exceptAll(plain.select(cols)).count() == 0
+        assert chunked.filter("is_anomaly").count() >= 1
+
+    def test_chunk_boundary_rows_keep_full_context(self, spark):
+        from recover_spark.operators.temporal import (
+            rolling_zscore_time_anomalies,
+        )
+
+        # five points just before a 2h chunk boundary, one just after:
+        # the post-boundary point's baseline must see all five
+        t0 = datetime(2024, 1, 1, 1, 30)
+        rows = [("u", t0 + timedelta(minutes=5 * i), 10.0 + i) for i in range(5)]
+        rows.append(("u", datetime(2024, 1, 1, 2, 10), 11.0))
+        df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+        out = rolling_zscore_time_anomalies(
+            df, "k", "ts", "value", window_s=3600, min_points=5,
+            threshold=3.0, chunk_s=7200,
+        )
+        last = out.orderBy(F.col("ts").desc()).first()
+        assert last.baseline_n == 5  # context carried across the boundary
+
+    def test_rejects_chunk_smaller_than_window(self, spark):
+        from recover_spark.operators.temporal import (
+            rolling_zscore_time_anomalies,
+        )
+
+        df = spark.createDataFrame(
+            [("u", datetime(2024, 1, 1), 1.0)],
+            "k string, ts timestamp, value double",
+        )
+        with pytest.raises(ValueError):
+            rolling_zscore_time_anomalies(
+                df, "k", window_s=3600, chunk_s=60
+            )

@@ -35,6 +35,9 @@ PROBES = [
     "win_session_native",   # session window keyed on user_id
     "join_large_orders",    # orders grouped by o_custkey then joined
     "stream_enrich",        # broadcast enrichment keyed on user_id
+    "ts_anomaly",           # trailing-window z-score keyed on user_id
+    "ts_anomaly_chunked",   # time-chunked variant: hot key parallelizes
+    "ts_interpolate",       # grid + window keyed on user_id
 ]
 
 
