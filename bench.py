@@ -62,6 +62,9 @@ HEADLINE = [
     "ts_interpolate",
     "agg_hll_rollup",
     "layout_zorder",
+    "ts_anomaly_chunked",
+    "link_records",
+    "win_global_rownum",
 ]
 
 
