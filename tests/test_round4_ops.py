@@ -646,3 +646,67 @@ class TestChunkedZscore:
             rolling_zscore_time_anomalies(
                 df, "k", window_s=3600, chunk_s=60
             )
+
+
+# -- edge inputs across the round-4 surface ---------------------------------
+
+
+class TestEdgeInputs:
+    def test_empty_inputs_yield_empty_not_errors(self, spark):
+        from recover_spark.functions.layout import zorder_values
+        from recover_spark.operators.bloom import drop_deleted_filtered
+        from recover_spark.operators.temporal import (
+            resample_interpolate,
+            rolling_zscore_time_anomalies,
+        )
+        from recover_spark.ops.dedup_text import canonical_corpus
+        from recover_spark.ops.linkage import blocked_link_pairs
+        from recover_spark.ops.sampling import temperature_mix
+
+        empty_kv = spark.createDataFrame([], "k long, v long")
+        empty_docs = spark.createDataFrame([], "doc_id long, n_chars long")
+        empty_ts = spark.createDataFrame(
+            [], "k string, ts timestamp, value double"
+        )
+        empty_src = spark.createDataFrame([], "k long, src string")
+        empty_named = spark.createDataFrame([], "id long, name string")
+
+        assert drop_deleted_filtered(empty_kv, empty_kv, ["k"]).count() == 0
+        assert canonical_corpus(
+            empty_docs, spark.createDataFrame([], "doc_id long, cluster long")
+        ).count() == 0
+        assert temperature_mix(empty_src, "k", "src").count() == 0
+        assert resample_interpolate(empty_ts, "k").count() == 0
+        assert rolling_zscore_time_anomalies(
+            empty_ts, "k", chunk_s=7200
+        ).count() == 0
+        assert zorder_values(empty_kv, ["k", "v"], bits=8).count() == 0
+        assert blocked_link_pairs(
+            empty_named, "id", "name", F.lit("b")
+        ).count() == 0
+
+    def test_deletes_superset_of_fact_empties_result(self, spark):
+        from recover_spark.operators.bloom import drop_deleted_filtered
+
+        fact = spark.range(0, 100).select(F.col("id").alias("k"))
+        deleted = spark.range(0, 200).select(F.col("id").alias("k"))
+        assert drop_deleted_filtered(fact, deleted, ["k"]).count() == 0
+
+    def test_single_source_mix_keeps_everything(self, spark):
+        from recover_spark.ops.sampling import temperature_mix
+
+        one = spark.range(0, 300).select(
+            F.col("id").alias("k"), F.lit("only").alias("src")
+        )
+        assert temperature_mix(one, "k", "src", alpha=0.3).count() == 300
+
+    def test_zorder_degenerate_constant_column(self, spark):
+        from recover_spark.functions.layout import zorder_values
+
+        df = spark.range(0, 100).select(
+            F.col("id").alias("x"), F.lit(7).alias("y")
+        )
+        out = zorder_values(df, ["x", "y"], bits=8)
+        # constant dim scales to 0; z reduces to x's spread, no nulls
+        assert out.filter(F.col("zvalue").isNull()).count() == 0
+        assert out.select("zvalue").distinct().count() == 100
