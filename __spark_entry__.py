@@ -2791,6 +2791,54 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join
+    (operators/temporal.py:interval_overlap_join): both sides bucket-
+    explode to an equi-join (never a theta/nested-loop), and each
+    overlapping pair is kept only in the first shared bucket — exact
+    single-count without a post-join distinct shuffle."""
+    from recover_spark.operators.temporal import interval_overlap_join
+
+    events = _load(spark, sf_dir, "events")
+    left = events.filter(F.col("event_id") % 23 == 0).select(
+        "user_id",
+        F.col("event_id").alias("l_id"),
+        F.col("ts").alias("l_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("l_end"),
+    )
+    right = events.filter(F.col("event_id") % 29 == 0).select(
+        "user_id",
+        F.col("event_id").alias("r_id"),
+        F.col("ts").alias("r_start"),
+        (F.col("ts") + F.expr("INTERVAL 45 MINUTES")).alias("r_end"),
+    )
+    out = interval_overlap_join(
+        left, right, on=["user_id"], bucket_seconds=3600
+    )
+    return out.select(
+        "user_id",
+        "l_id",
+        "r_id",
+        _ts(F.col("l_start"), "l_start"),
+        _ts(F.col("l_end"), "l_end"),
+        _ts(F.col("r_start"), "r_start"),
+        _ts(F.col("r_end"), "r_end"),
+    )
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the near-dup pair graph
+    (ops/graph.py:triangle_enumerate): degree-oriented wedges bound
+    hub blowup at O(|E|^1.5); the triangle set is orientation-
+    independent, so the oracle uses the naive x<y<z join."""
+    from recover_spark.ops import ngram_jaccard_pairs
+    from recover_spark.ops.graph import triangle_enumerate
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_size=3, min_jaccard=0.2)
+    return triangle_enumerate(pairs)
+
+
 def q_sample_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/valid/test split: the split key is the
     near-dup CLUSTER, not the document, so near-duplicates can never
@@ -2970,6 +3018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_global_rownum": q_win_global_rownum,
         "link_records": q_link_records,
         "sample_split_grouped": q_sample_split_grouped,
+        "join_interval_overlap": q_join_interval_overlap,
+        "graph_triangles": q_graph_triangles,
         "agg_hll_rollup": q_agg_hll_rollup,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
@@ -4423,6 +4473,48 @@ def _oracle_sql_literal() -> dict[str, str]:
                    row_number() OVER (ORDER BY l_orderkey, l_linenumber)
                        AS row_id
             FROM lineitem
+        """,
+        "join_interval_overlap": """
+            WITH l AS (
+                SELECT user_id, event_id AS l_id, ts AS ls,
+                       ts + INTERVAL 30 MINUTE AS le
+                FROM events WHERE event_id % 23 = 0),
+            r AS (
+                SELECT user_id, event_id AS r_id, ts AS rs,
+                       ts + INTERVAL 45 MINUTE AS re
+                FROM events WHERE event_id % 29 = 0)
+            SELECT l.user_id, l_id, r_id,
+                   strftime(ls, '%Y-%m-%d %H:%M:%S') AS l_start,
+                   strftime(le, '%Y-%m-%d %H:%M:%S') AS l_end,
+                   strftime(rs, '%Y-%m-%d %H:%M:%S') AS r_start,
+                   strftime(re, '%Y-%m-%d %H:%M:%S') AS r_end
+            FROM l JOIN r
+              ON l.user_id = r.user_id AND ls < re AND rs < le
+        """,
+        "graph_triangles": f"""
+            WITH {_TOKS_CTE}, {_GRAMS3_CTE},
+            rare AS (SELECT shingle FROM grams
+                     GROUP BY shingle HAVING count(*) <= 50),
+            g2 AS (SELECT g.doc_id, g.shingle FROM grams g
+                   JOIN rare r ON g.shingle = r.shingle),
+            sizes AS (SELECT doc_id, count(*) AS set_size
+                      FROM g2 GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_common
+                FROM g2 a JOIN g2 b ON a.shingle = b.shingle
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id),
+            pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON inter.id_a = sa.doc_id
+                JOIN sizes sb ON inter.id_b = sb.doc_id
+                WHERE n_common / (sa.set_size + sb.set_size - n_common)
+                      >= 0.2)
+            SELECT e1.id_a AS t1, e1.id_b AS t2, e2.id_b AS t3
+            FROM pairs e1
+            JOIN pairs e2 ON e1.id_b = e2.id_a
+            JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
         """,
         "sample_split_grouped": f"""
             WITH RECURSIVE {_TOKS_CTE}, {_GRAMS3_CTE},

@@ -484,3 +484,61 @@ def rolling_zscore_time_anomalies(
         ).alias("is_anomaly"),
     )
     return out.filter(~F.col("__ctx")).drop("__ctx")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_start: str = "l_start",
+    left_end: str = "l_end",
+    right_start: str = "r_start",
+    right_end: str = "r_end",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Inner join interval pairs that OVERLAP within matching keys:
+    ``l_start < r_end AND r_start < l_end`` (half-open intervals) —
+    the interval×interval sibling of :func:`range_join` (episode
+    alignment: device-wear sessions vs medication windows, etc.).
+
+    Physical strategy: both sides explode into the epoch buckets they
+    cover and equi-join on (keys..., bucket), same as range_join — but
+    an overlapping pair shares potentially MANY buckets, so instead of
+    a post-join distinct (a second shuffle over the whole result) the
+    join keeps a pair only in its FIRST shared bucket, which is always
+    ``floor(max(l_start, r_start) / w)``: one extra predicate, zero
+    extra shuffles, exact single-count output.
+
+    A nested-loop/theta formulation is O(n*m); this stays an equi-join
+    whose fan-out is interval_span/bucket_seconds per row.
+    """
+    on = list(on)
+    w_us = int(bucket_seconds) * 1_000_000
+
+    def exploded(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"unix_micros({start}) div {w_us}"),
+                    F.expr(f"(unix_micros({end}) - 1) div {w_us}"),
+                )
+            ),
+        )
+
+    l = exploded(left, left_start, left_end)
+    r = exploded(right, right_start, right_end)
+    joined = l.join(r, on=on + ["__bucket"]).filter(
+        (F.col(left_start) < F.col(right_end))
+        & (F.col(right_start) < F.col(left_end))
+        # count each overlapping pair exactly once: in the first bucket
+        # both intervals share, = the bucket of the later start
+        & (
+            F.expr(
+                f"greatest(unix_micros({left_start}), "
+                f"unix_micros({right_start})) div {w_us}"
+            )
+            == F.col("__bucket")
+        )
+    )
+    return joined.drop("__bucket")

@@ -710,3 +710,88 @@ class TestEdgeInputs:
         # constant dim scales to 0; z reduces to x's spread, no nulls
         assert out.filter(F.col("zvalue").isNull()).count() == 0
         assert out.select("zvalue").distinct().count() == 100
+
+
+# -- interval overlap join --------------------------------------------------
+
+
+class TestIntervalOverlapJoin:
+    def test_overlap_semantics_and_single_count(self, spark):
+        from recover_spark.operators.temporal import interval_overlap_join
+
+        t0 = datetime(2024, 1, 1)
+
+        def iv(key, iid, start_h, end_h):
+            return (key, iid,
+                    t0 + timedelta(hours=start_h), t0 + timedelta(hours=end_h))
+
+        left = spark.createDataFrame(
+            [iv("k", 1, 0, 10), iv("k", 2, 12, 13), iv("x", 3, 0, 10)],
+            "k string, l_id long, l_start timestamp, l_end timestamp",
+        )
+        right = spark.createDataFrame(
+            [iv("k", 7, 5, 6), iv("k", 8, 9.5, 11), iv("k", 9, 13, 14),
+             iv("y", 10, 0, 10)],
+            "k string, r_id long, r_start timestamp, r_end timestamp",
+        )
+        out = interval_overlap_join(left, right, on=["k"], bucket_seconds=3600)
+        got = sorted((r.l_id, r.r_id) for r in out.collect())
+        # (1,7) contained; (1,8) partial overlap; long interval 1 spans
+        # many shared buckets with 7 but appears ONCE; (2,9) touch only
+        # at the boundary (half-open -> no match); cross-key never joins
+        assert got == [(1, 7), (1, 8)]
+
+    def test_no_nested_loop(self, spark):
+        from recover_spark.operators.temporal import interval_overlap_join
+
+        t0 = datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [("k", 1, t0, t0 + timedelta(hours=1))],
+            "k string, l_id long, l_start timestamp, l_end timestamp",
+        )
+        df2 = df.select("k", F.col("l_id").alias("r_id"),
+                        F.col("l_start").alias("r_start"),
+                        F.col("l_end").alias("r_end"))
+        plan = _plan(interval_overlap_join(df, df2, on=["k"]))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+# -- triangle enumeration ---------------------------------------------------
+
+
+class TestTriangles:
+    def test_known_graph(self, spark):
+        from recover_spark.ops.graph import triangle_enumerate
+
+        # triangle 1-2-3, square 4-5-6-7 (no triangle), pendant 3-8,
+        # plus a duplicate and a reversed edge to test normalization
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 7), (7, 4),
+             (3, 8), (2, 1), (1, 2)],
+            "id_a long, id_b long",
+        )
+        got = sorted((r.t1, r.t2, r.t3)
+                     for r in triangle_enumerate(edges).collect())
+        assert got == [(1, 2, 3)]
+
+    def test_hub_star_has_no_triangles_and_no_blowup(self, spark):
+        from recover_spark.ops.graph import triangle_enumerate
+
+        # star: hub 0 connected to 1..500 — zero triangles; the oriented
+        # wedge count must be tiny (hub has out-degree <= 1)
+        star = spark.range(1, 501).select(
+            F.lit(0).alias("id_a"), F.col("id").alias("id_b")
+        )
+        assert triangle_enumerate(star).count() == 0
+
+    def test_clique_count(self, spark):
+        from recover_spark.ops.graph import triangle_enumerate
+
+        # K5 has C(5,3) = 10 triangles
+        nodes = list(range(5))
+        edges = spark.createDataFrame(
+            [(a, b) for a in nodes for b in nodes if a < b],
+            "id_a long, id_b long",
+        )
+        assert triangle_enumerate(edges).count() == 10
