@@ -2791,6 +2791,22 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend (operators/analytics.py:
+    trend_regression): regr_* built-ins with mergeable partials — six
+    numbers per group cross the shuffle; x is rescaled to days since
+    the stream epoch so the product sums stay well-conditioned."""
+    from recover_spark.operators.analytics import trend_regression
+
+    events = _load(spark, sf_dir, "events")
+    x = (F.unix_micros("ts") / F.lit(1e6) - F.lit(1704067200.0)) / F.lit(
+        86400.0
+    )
+    return trend_regression(
+        events.withColumn("x", x), ["event_type"], "value", "x"
+    ).orderBy("event_type")
+
+
 def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval×interval overlap join
     (operators/temporal.py:interval_overlap_join): both sides bucket-
@@ -3020,6 +3036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split_grouped": q_sample_split_grouped,
         "join_interval_overlap": q_join_interval_overlap,
         "graph_triangles": q_graph_triangles,
+        "agg_regression": q_agg_regression,
         "agg_hll_rollup": q_agg_hll_rollup,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
@@ -4473,6 +4490,17 @@ def _oracle_sql_literal() -> dict[str, str]:
                    row_number() OVER (ORDER BY l_orderkey, l_linenumber)
                        AS row_id
             FROM lineitem
+        """,
+        "agg_regression": """
+            SELECT event_type,
+                   round(regr_slope(value, x), 6) AS slope,
+                   round(regr_intercept(value, x), 6) AS intercept,
+                   round(regr_r2(value, x), 6) AS r2,
+                   regr_count(value, x) AS n_points
+            FROM (SELECT event_type, value,
+                         (epoch_us(ts) / 1e6 - 1704067200.0) / 86400.0 AS x
+                  FROM events)
+            GROUP BY event_type
         """,
         "join_interval_overlap": """
             WITH l AS (

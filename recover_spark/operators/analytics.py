@@ -218,3 +218,29 @@ def global_row_numbers(
         .withColumn(id_col, (F.col("__offset") + F.col("__rank")).cast("bigint"))
         .drop("__bucket", "__rank", "__bucket_n", "__offset")
     )
+
+
+def trend_regression(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    y_col: str,
+    x_col: str,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend: slope, intercept, R²,
+    and point count of y over x — drift detection over metric streams
+    (is this sensor/source trending?) as ONE partial-aggregated pass.
+
+    ``regr_*`` aggregates are JVM built-ins with mergeable
+    (sum/count/product-sum) partials, so the shuffle carries six
+    numbers per group regardless of input size — the same scale
+    contract as the second-moment battery.  Callers should center or
+    rescale x to a well-conditioned origin (e.g. days since epoch
+    start, not epoch micros) — the naive product sums lose precision
+    when |x| is huge relative to its spread.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.round(F.regr_slope(y_col, x_col), 6).alias("slope"),
+        F.round(F.regr_intercept(y_col, x_col), 6).alias("intercept"),
+        F.round(F.regr_r2(y_col, x_col), 6).alias("r2"),
+        F.regr_count(y_col, x_col).alias("n_points"),
+    )

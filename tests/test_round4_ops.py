@@ -795,3 +795,31 @@ class TestTriangles:
             "id_a long, id_b long",
         )
         assert triangle_enumerate(edges).count() == 10
+
+
+# -- trend regression -------------------------------------------------------
+
+
+class TestTrendRegression:
+    def test_recovers_known_line(self, spark):
+        from recover_spark.operators.analytics import trend_regression
+
+        df = spark.range(0, 1000).select(
+            F.lit("g").alias("g"),
+            F.col("id").cast("double").alias("x"),
+            (F.col("id") * 2.5 + 7.0).alias("y"),
+        )
+        row = trend_regression(df, ["g"], "y", "x").first()
+        assert row.slope == 2.5 and row.intercept == 7.0
+        assert row.r2 == 1.0 and row.n_points == 1000
+
+    def test_partials_merge_map_side(self, spark):
+        from recover_spark.operators.analytics import trend_regression
+
+        df = spark.range(0, 100).select(
+            (F.col("id") % 3).alias("g"),
+            F.col("id").cast("double").alias("x"),
+            F.col("id").cast("double").alias("y"),
+        )
+        plan = _plan(trend_regression(df, ["g"], "y", "x"))
+        assert "partial_regr_slope" in plan or "partial" in plan.lower()
