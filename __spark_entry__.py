@@ -2791,6 +2791,33 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-dup by perceptual-hash banding
+    (ops/multimodal.py:phash_near_duplicates): the 60-bit hash splits
+    into four 15-bit bands; candidates come from one equi-join on the
+    band key (pigeonhole-exact for Hamming distance <= 3), then
+    bit_count(xor) filters exactly.  The hash itself is the stub
+    digest-derived one (md5 of the blob), so the oracle reproduces the
+    whole pipeline."""
+    from recover_spark.ops.multimodal import phash_near_duplicates
+
+    docs = _load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.conv(
+            F.substring(F.md5(F.encode(F.col("text"), "UTF-8")), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("phash"),
+    )
+    return phash_near_duplicates(
+        media, id_col="media_id", hash_col="phash", bands=4,
+        bits_per_band=15, max_distance=3,
+    )
+
+
 def q_agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type OLS trend (operators/analytics.py:
     trend_regression): regr_* built-ins with mergeable partials — six
@@ -3037,6 +3064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_interval_overlap": q_join_interval_overlap,
         "graph_triangles": q_graph_triangles,
         "agg_regression": q_agg_regression,
+        "mm_phash_dedup": q_mm_phash_dedup,
         "agg_hll_rollup": q_agg_hll_rollup,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
@@ -4490,6 +4518,26 @@ def _oracle_sql_literal() -> dict[str, str]:
                    row_number() OVER (ORDER BY l_orderkey, l_linenumber)
                        AS row_id
             FROM lineitem
+        """,
+        "mm_phash_dedup": """
+            WITH h AS (
+                SELECT doc_id AS media_id,
+                       CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT)
+                           AS ph
+                FROM documents),
+            b AS (
+                SELECT media_id, ph, i AS band,
+                       (ph >> (i * 15)) & 32767 AS bv
+                FROM h, UNNEST([0, 1, 2, 3]) AS t(i)),
+            cand AS (
+                SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b,
+                       a.ph AS pa, c.ph AS pb
+                FROM b a JOIN b c
+                  ON a.band = c.band AND a.bv = c.bv
+                     AND a.media_id < c.media_id)
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(pa, pb)) AS INT) AS distance
+            FROM cand WHERE bit_count(xor(pa, pb)) <= 3
         """,
         "agg_regression": """
             SELECT event_type,

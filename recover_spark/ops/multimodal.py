@@ -166,3 +166,67 @@ def chunk_audio(
         .cast("long")
         .alias("byte_end"),
     )
+
+
+def phash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    bands: int = 4,
+    bits_per_band: int = 15,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash Hamming distance.
+
+    ``hash_col`` holds a (bands * bits_per_band)-bit integer hash per
+    item (a real pHash/aHash when decode libs are present; the stub
+    pipeline derives one from the content digest).  Pairing is EXACT
+    for the algorithm: the hash splits into ``bands`` segments and
+    candidates come from an equi-join on (band index, segment value) —
+    by pigeonhole, two hashes within Hamming distance < bands must
+    agree on at least one whole band, so no qualifying pair is missed
+    when ``max_distance <= bands - 1``.  The exact ``bit_count(xor)``
+    filter then rejects band-colliding pairs beyond the threshold.
+
+    Scale shape: band explode is a bounded map-side fan-out (``bands``
+    rows per item); candidates come from ONE equi-join on the band key
+    (never an all-pairs scan); the distance test is two integer ops.
+    This is the media sibling of MinHash-LSH banding — same candidate
+    topology, Hamming metric instead of Jaccard.
+    """
+    if max_distance > bands - 1:
+        raise ValueError(
+            f"banding guarantees recall only for distance <= {bands - 1}"
+        )
+    mask = (1 << bits_per_band) - 1
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__ph"),
+        F.explode(F.array(*[F.lit(i) for i in range(bands)])).alias("__band"),
+    ).withColumn(
+        # the pyspark shift wrappers only take literal shift amounts;
+        # the SQL form accepts a column
+        "__bv",
+        F.expr(
+            f"shiftrightunsigned(__ph, CAST(__band * {int(bits_per_band)} "
+            "AS INT))"
+        ).bitwiseAND(F.lit(mask)),
+    )
+    a = banded.select(
+        "__band", "__bv", F.col("__id").alias("id_a"), F.col("__ph").alias("__pa")
+    )
+    b = banded.select(
+        "__band", "__bv", F.col("__id").alias("id_b"), F.col("__ph").alias("__pb")
+    )
+    cand = (
+        a.join(b, ["__band", "__bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__pa", "__pb")
+        .distinct()
+    )
+    dist = F.bit_count(F.col("__pa").bitwiseXOR(F.col("__pb")))
+    return (
+        cand.withColumn("distance", dist)
+        .filter(F.col("distance") <= F.lit(int(max_distance)))
+        .select("id_a", "id_b", "distance")
+    )

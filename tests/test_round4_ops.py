@@ -823,3 +823,42 @@ class TestTrendRegression:
         )
         plan = _plan(trend_regression(df, ["g"], "y", "x"))
         assert "partial_regr_slope" in plan or "partial" in plan.lower()
+
+
+# -- perceptual-hash banding ------------------------------------------------
+
+
+class TestPhashPairs:
+    def test_near_pair_found_far_pair_rejected(self, spark):
+        from recover_spark.ops.multimodal import phash_near_duplicates
+
+        base = 0b101010101010101010101010101010101010101010101010101010101010
+        rows = [
+            (1, base),
+            (2, base ^ 0b1),            # distance 1 -> pair
+            (3, base ^ 0b10111),        # distance 4, 3 bands equal -> reject
+            (4, 0),                     # far from everything
+        ]
+        df = spark.createDataFrame(rows, "media_id long, phash long")
+        got = {(r.id_a, r.id_b): r.distance
+               for r in phash_near_duplicates(df).collect()}
+        # (1,3) is distance 4 -> rejected by the exact filter even
+        # though 3 bands collide; (2,3) = xor 0b10110 = distance 3
+        assert got == {(1, 2): 1, (2, 3): 3}
+
+    def test_identical_hashes_distance_zero(self, spark):
+        from recover_spark.ops.multimodal import phash_near_duplicates
+
+        df = spark.createDataFrame(
+            [(1, 777), (2, 777), (3, 777)], "media_id long, phash long"
+        )
+        got = sorted((r.id_a, r.id_b, r.distance)
+                     for r in phash_near_duplicates(df).collect())
+        assert got == [(1, 2, 0), (1, 3, 0), (2, 3, 0)]
+
+    def test_threshold_beyond_band_guarantee_raises(self, spark):
+        from recover_spark.ops.multimodal import phash_near_duplicates
+
+        df = spark.createDataFrame([(1, 7)], "media_id long, phash long")
+        with pytest.raises(ValueError):
+            phash_near_duplicates(df, bands=4, max_distance=4)
