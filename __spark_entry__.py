@@ -2791,6 +2791,33 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-path transition matrix: per user, each event pairs with
+    its predecessor (one lag over ONE user-keyed window exchange); the
+    (prev, next) counts aggregate with map-side partials, and the
+    transition share normalizes by a second window over the tiny
+    aggregated matrix (|event types|² rows), not the fact table."""
+    from pyspark.sql import Window
+
+    events = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = events.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = steps.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_prev = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_prev), 6).alias("share"),
+    )
+
+
 def q_mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Media near-dup by perceptual-hash banding
     (ops/multimodal.py:phash_near_duplicates): the 60-bit hash splits
@@ -3065,6 +3092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "agg_regression": q_agg_regression,
         "mm_phash_dedup": q_mm_phash_dedup,
+        "path_transitions": q_path_transitions,
         "agg_hll_rollup": q_agg_hll_rollup,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
@@ -4518,6 +4546,23 @@ def _oracle_sql_literal() -> dict[str, str]:
                    row_number() OVER (ORDER BY l_orderkey, l_linenumber)
                        AS row_id
             FROM lineitem
+        """,
+        "path_transitions": """
+            WITH steps AS (
+                SELECT user_id,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_type,
+                       event_type AS next_type
+                FROM events),
+            counts AS (
+                SELECT prev_type, next_type, count(*) AS n
+                FROM steps WHERE prev_type IS NOT NULL
+                GROUP BY prev_type, next_type)
+            SELECT prev_type, next_type, n,
+                   round(n / sum(n) OVER (PARTITION BY prev_type), 6)
+                       AS share
+            FROM counts
         """,
         "mm_phash_dedup": """
             WITH h AS (
