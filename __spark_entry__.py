@@ -2623,6 +2623,61 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: same ordered view -> click -> purchase
+    fold as `funnel_steps` (conditional window mins over ONE user
+    shuffle), but each step must land within 24h of the previous one —
+    the semantics product analytics actually uses (an unbounded funnel
+    credits conversions weeks apart).  The bound is one extra predicate
+    inside each conditional min; plan shape is unchanged."""
+    from pyspark.sql import Window
+
+    gap = F.expr("INTERVAL 24 HOURS")
+    events = _load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    with_t1 = events.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + gap),
+            F.col("ts"),
+        )
+    ).over(w)
+    with_t2 = with_t1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + gap),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        with_t2.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(
+            F.max("t1").alias("t1"),
+            F.max("t2").alias("t2"),
+            F.max("t3").alias("t3"),
+        )
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("n_step1"),
+        F.count("t2").alias("n_step2"),
+        F.count("t3").alias("n_step3"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(3, 'view', n_step1, 'view>click_24h', n_step2, "
+            "'view>click>purchase_24h', n_step3) AS (step, n_users)"
+        )
+    )
+
+
 def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-activity week, counted
     in each later week they return.  First-activity week is a window
@@ -3093,6 +3148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_regression": q_agg_regression,
         "mm_phash_dedup": q_mm_phash_dedup,
         "path_transitions": q_path_transitions,
+        "funnel_windowed": q_funnel_windowed,
         "agg_hll_rollup": q_agg_hll_rollup,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
@@ -3580,6 +3636,31 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT 'view>click', CAST(count(*) AS BIGINT) FROM s2
             UNION ALL
             SELECT 'view>click>purchase', CAST(count(*) AS BIGINT) FROM s3
+        """,
+        "funnel_windowed": """
+            WITH per_user AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+                FROM events GROUP BY user_id),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN per_user p USING (user_id)
+                WHERE e.event_type = 'click' AND e.ts > p.t1
+                      AND e.ts <= p.t1 + INTERVAL 24 HOUR
+                GROUP BY e.user_id),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN s2 USING (user_id)
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                      AND e.ts <= s2.t2 + INTERVAL 24 HOUR
+                GROUP BY e.user_id)
+            SELECT 'view' AS step, CAST(count(t1) AS BIGINT) AS n_users
+            FROM per_user
+            UNION ALL
+            SELECT 'view>click_24h', CAST(count(*) AS BIGINT) FROM s2
+            UNION ALL
+            SELECT 'view>click>purchase_24h', CAST(count(*) AS BIGINT)
+            FROM s3
         """,
         "retention_cohorts": """
             WITH by_week AS (

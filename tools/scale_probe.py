@@ -50,6 +50,10 @@ PROBES = [
     "ts_anomaly",           # trailing-window z-score
     "sample_temperature",   # broadcast-rate source mixing
     "layout_zorder",        # bit-interleave projection
+    # link_records probes the customer DIM (not replicated) — excluded
+    "mm_phash_dedup",       # phash band equi-join
+    "join_interval_overlap",  # bucketed interval-overlap equi-join
+    "path_transitions",     # lag window + partial-agg matrix
 ]
 
 
