@@ -862,3 +862,65 @@ class TestPhashPairs:
         df = spark.createDataFrame([(1, 7)], "media_id long, phash long")
         with pytest.raises(ValueError):
             phash_near_duplicates(df, bands=4, max_distance=4)
+
+
+# -- path transitions & windowed funnel (query-shape semantics) -------------
+
+
+class TestPathAndFunnelShapes:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string"
+        )
+
+    def test_windowed_funnel_rejects_late_steps(self, spark, tmp_path):
+        import __spark_entry__ as entry
+
+        t0 = datetime(2024, 1, 1)
+        rows = [
+            # user 1: full funnel inside 24h windows
+            (1, t0, 1, "view", 0.0, ""),
+            (2, t0 + timedelta(hours=2), 1, "click", 0.0, ""),
+            (3, t0 + timedelta(hours=3), 1, "purchase", 0.0, ""),
+            # user 2: click arrives 30h after view -> outside the window
+            (4, t0, 2, "view", 0.0, ""),
+            (5, t0 + timedelta(hours=30), 2, "click", 0.0, ""),
+            (6, t0 + timedelta(hours=31), 2, "purchase", 0.0, ""),
+        ]
+        sf = str(tmp_path)
+        self._events(spark, rows).write.parquet(f"{sf}/events.parquet")
+        got = {r.step: r.n_users
+               for r in entry.q_funnel_windowed(spark, sf).collect()}
+        assert got == {"view": 2, "view>click_24h": 1,
+                       "view>click>purchase_24h": 1}
+        # the unbounded funnel credits user 2
+        loose = {r.step: r.n_users
+                 for r in entry.q_funnel_steps(spark, sf).collect()}
+        assert loose["view>click>purchase"] == 2
+
+    def test_transition_shares_sum_to_one_per_source(self, spark, tmp_path):
+        import __spark_entry__ as entry
+
+        t0 = datetime(2024, 1, 1)
+        rows = [
+            (1, t0, 1, "view", 0.0, ""),
+            (2, t0 + timedelta(minutes=1), 1, "click", 0.0, ""),
+            (3, t0 + timedelta(minutes=2), 1, "view", 0.0, ""),
+            (4, t0 + timedelta(minutes=3), 1, "click", 0.0, ""),
+            (5, t0 + timedelta(minutes=4), 1, "purchase", 0.0, ""),
+            (6, t0, 2, "view", 0.0, ""),
+            (7, t0 + timedelta(minutes=1), 2, "view", 0.0, ""),
+        ]
+        sf = str(tmp_path)
+        self._events(spark, rows).write.parquet(f"{sf}/events.parquet")
+        out = entry.q_path_transitions(spark, sf).collect()
+        got = {(r.prev_type, r.next_type): (r.n, r.share) for r in out}
+        # view -> click twice, view -> view once
+        assert got[("view", "click")][0] == 2
+        assert got[("view", "view")][0] == 1
+        by_prev = {}
+        for (p, _), (_, share) in got.items():
+            by_prev.setdefault(p, 0.0)
+            by_prev[p] += share
+        assert all(abs(s - 1.0) < 1e-6 for s in by_prev.values())
