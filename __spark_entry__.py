@@ -2623,6 +2623,34 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stream-stream interval join, LEFT OUTER batch twin:
+    purchases keep a row even when no click follows within 30 min
+    (nulls on the right).  On a stream the unmatched row emits once
+    the watermark proves no partner can arrive; state stays bounded by
+    (watermark + range) exactly as in the inner case."""
+    from recover_spark.streaming.joins import interval_join_stream
+
+    events = _load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    joined = interval_join_stream(
+        purchases, clicks, key="user_id", max_delay="30 minutes",
+        how="left_outer",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        _ts(F.col("ts"), "purchase_ts"),
+        "click_id_r",
+        _ts(F.col("ts_r"), "click_ts"),
+    )
+
+
 def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion-window funnel: same ordered view -> click -> purchase
     fold as `funnel_steps` (conditional window mins over ONE user
@@ -3149,6 +3177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_phash_dedup": q_mm_phash_dedup,
         "path_transitions": q_path_transitions,
         "funnel_windowed": q_funnel_windowed,
+        "stream_interval_join_outer": q_stream_interval_join_outer,
         "agg_hll_rollup": q_agg_hll_rollup,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
@@ -4500,6 +4529,19 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM events l JOIN events r ON l.user_id = r.user_id
             WHERE l.event_type = 'purchase' AND r.event_type = 'click'
               AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+        """,
+        "stream_interval_join_outer": """
+            WITH l AS (SELECT user_id, event_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            r AS (SELECT user_id, event_id, ts FROM events
+                  WHERE event_type = 'click')
+            SELECT l.user_id, l.event_id,
+                   strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+                   r.event_id AS click_id_r,
+                   strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+            FROM l LEFT JOIN r
+              ON l.user_id = r.user_id
+                 AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
         """,
         "stream_enrich": """
             SELECT e.user_id, e.event_id, c.c_name, c.c_mktsegment

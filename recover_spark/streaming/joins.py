@@ -28,6 +28,7 @@ def interval_join_stream(
     right_ts: str = "ts",
     max_delay: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Join rows of ``right`` to ``left`` on ``key`` where the right
     event happens within ``[left_ts, left_ts + max_delay]``.
@@ -36,10 +37,20 @@ def interval_join_stream(
     so both event times survive into the output.  On streaming inputs
     both sides get ``withWatermark`` — required by Spark to bound join
     state and emit in append mode.
+
+    ``how="left_outer"`` keeps left rows with no in-window partner
+    (nulls on the right) — on a stream, Spark emits an unmatched left
+    row only once the watermark proves no partner can still arrive, so
+    outer results are delayed by (watermark + range) but state stays
+    bounded exactly as in the inner case.  Batch inputs take the same
+    code path minus watermarks and emit immediately.
     """
     lt = left
+    # the right key gets its own name so the post-join drop can never
+    # resolve to the LEFT key (drop(rt[key]) does exactly that under
+    # left_outer, nulling the key of unmatched rows)
     rt = right.select(
-        F.col(key),
+        F.col(key).alias("__rkey"),
         *[
             F.col(c).alias(f"{c}_r")
             for c in right.columns
@@ -51,14 +62,14 @@ def interval_join_stream(
     if rt.isStreaming:
         rt = rt.withWatermark(f"{right_ts}_r", watermark)
     cond = (
-        (lt[key] == rt[key])
+        (lt[key] == F.col("__rkey"))
         & (F.col(f"{right_ts}_r") >= F.col(left_ts))
         & (
             F.col(f"{right_ts}_r")
             <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}")
         )
     )
-    return lt.join(rt, cond).drop(rt[key])
+    return lt.join(rt, cond, how).drop("__rkey")
 
 
 def enrich_stream(
