@@ -2623,6 +2623,56 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM fluency scoring (ops/text_analysis.py:
+    unigram_logprob_scores): per-doc mean log-probability under the
+    corpus's own smoothed unigram model — frequency table shuffles at
+    vocabulary size, (N, V) ride a one-row broadcast, no UDFs."""
+    from recover_spark.ops.text_analysis import unigram_logprob_scores
+
+    docs = _load(spark, sf_dir, "documents")
+    return unigram_logprob_scores(docs)
+
+
+def q_agg_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / cumulative-share analysis: top-100 customers by
+    revenue with their running share of total.  The window runs over
+    the customer AGGREGATE (|customers| rows, not the fact table); the
+    cumulative sum's ordering is total (revenue desc, custkey asc) so
+    partial sums are engine-reproducible on the 2-decimal-rounded
+    revenues."""
+    from pyspark.sql import Window
+
+    orders = _load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+    total = per_cust.groupBy().agg(F.sum("revenue").alias("__total"))
+    ranked = (
+        per_cust.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "cum_revenue",
+            F.round(
+                F.sum("revenue").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                2,
+            ),
+        )
+        .filter(F.col("rank") <= 100)
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "rank",
+        "o_custkey",
+        "revenue",
+        "cum_revenue",
+        F.round(F.col("cum_revenue") / F.col("__total"), 6).alias(
+            "cum_share"
+        ),
+    )
+
+
 def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 stream-stream interval join, LEFT OUTER batch twin:
     purchases keep a row even when no click follows within 30 min
@@ -3178,6 +3228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_transitions": q_path_transitions,
         "funnel_windowed": q_funnel_windowed,
         "stream_interval_join_outer": q_stream_interval_join_outer,
+        "text_lm_score": q_text_lm_score,
+        "agg_pareto": q_agg_pareto,
         "agg_hll_rollup": q_agg_hll_rollup,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
@@ -4529,6 +4581,35 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM events l JOIN events r ON l.user_id = r.user_id
             WHERE l.event_type = 'purchase' AND r.event_type = 'click'
               AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+        """,
+        "text_lm_score": f"""
+            WITH {_TOKS_CTE},
+            tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+            freq AS (SELECT tok, count(*) AS tf FROM tok GROUP BY tok),
+            tot AS (SELECT sum(tf) AS N, count(*) AS V FROM freq)
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(ln((tf + 0.5) / (N + 0.5 * V))), 6)
+                       AS mean_logprob
+            FROM tok JOIN freq USING (tok), tot
+            GROUP BY doc_id
+        """,
+        "agg_pareto": """
+            WITH per_cust AS (
+                SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+                FROM orders GROUP BY o_custkey),
+            tot AS (SELECT sum(revenue) AS total FROM per_cust),
+            ranked AS (
+                SELECT o_custkey, revenue,
+                       row_number() OVER w AS rank,
+                       round(sum(revenue) OVER (
+                           ORDER BY revenue DESC, o_custkey ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW), 2) AS cum_revenue
+                FROM per_cust
+                WINDOW w AS (ORDER BY revenue DESC, o_custkey ASC))
+            SELECT rank, o_custkey, revenue, cum_revenue,
+                   round(cum_revenue / total, 6) AS cum_share
+            FROM ranked, tot WHERE rank <= 100
         """,
         "stream_interval_join_outer": """
             WITH l AS (SELECT user_id, event_id, ts FROM events

@@ -492,3 +492,52 @@ def quality_scores(
             ),
         )
     )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Corpus-LM fluency score: each document's mean log probability of
+    its tokens under the corpus's own (add-k smoothed) unigram model —
+    the cheap language-model quality signal (gibberish and boilerplate
+    sit in the tails; no external model needed because the corpus IS
+    the model).
+
+    Two aggregate passes over the exploded token stream, both
+    map-side-combinable: (1) global unigram counts (vocabulary-sized
+    output), (2) per-doc mean of ``log((count + k) / (N + k*V))`` via a
+    token->frequency equi-join and a doc-keyed re-aggregation.  The
+    frequency table shuffles at vocabulary size, not corpus size; the
+    scalar (N, V) pair rides a one-row broadcast.  Nothing here is a
+    UDF; log/round are JVM intrinsics.
+
+    Output: (id, n_tokens, mean_logprob rounded to 6 — the summation
+    order across engines differs in the last ulp).
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    totals = freq.groupBy().agg(
+        F.sum("tf").alias("N"), F.count(F.lit(1)).alias("V")
+    )
+    scored = (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            (
+                F.log(
+                    (F.col("tf") + F.lit(float(smoothing)))
+                    / (F.col("N") + F.lit(float(smoothing)) * F.col("V"))
+                )
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("__lp"), 6).alias("mean_logprob"),
+    )

@@ -924,3 +924,31 @@ class TestPathAndFunnelShapes:
             by_prev.setdefault(p, 0.0)
             by_prev[p] += share
         assert all(abs(s - 1.0) < 1e-6 for s in by_prev.values())
+
+
+# -- unigram LM scoring -----------------------------------------------------
+
+
+class TestUnigramLM:
+    def test_rare_tokens_score_lower(self, spark):
+        from recover_spark.ops.text_analysis import unigram_logprob_scores
+
+        docs = spark.createDataFrame(
+            [(1, "the the the the"), (2, "the the zzyzx qwfpgj")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in unigram_logprob_scores(docs).collect()}
+        assert out[1].n_tokens == 4 and out[2].n_tokens == 4
+        # doc 2 spends half its mass on hapaxes -> strictly lower
+        assert out[2].mean_logprob < out[1].mean_logprob
+
+    def test_smoothing_keeps_scores_finite(self, spark):
+        from recover_spark.ops.text_analysis import unigram_logprob_scores
+
+        docs = spark.createDataFrame(
+            [(1, "solo")], "doc_id long, text string"
+        )
+        row = unigram_logprob_scores(docs).first()
+        assert row.mean_logprob is not None
+        # single-token vocab: p = (1+k)/(1+k) = 1 -> log exactly 0
+        assert row.mean_logprob == 0.0
