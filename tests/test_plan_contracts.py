@@ -275,3 +275,43 @@ def test_kmeans_assignment_is_map_side_single_shuffle(spark):
     # one exchange for the groupBy('cid'); AQE may add a coalesce stage
     # marker but no second hash exchange on a different key
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_no_cartesian_product_across_query_surface(spark):
+    """Umbrella contract: no query on the lazy-constructible surface
+    may plan a CartesianProduct (the one O(n*m) shape with no scale
+    story).  Deliberate one-row broadcast scalars compile to
+    BroadcastNestedLoopJoin with IdentityBroadcast — bounded and
+    allowed; a true CartesianProduct is not.  Queries that execute
+    driver-side work during construction (iterative clustering,
+    approxQuantile, streaming runs) are covered by their own tests."""
+    import __spark_entry__ as entry
+
+    lazy_queries = [
+        "w1_dedup_latest", "j1_anti_delete", "j2_child_rekey",
+        "j3_diff", "j4_audit_merge", "a1_stage_counts",
+        "agg_pricing_summary", "join_top_orders", "join_nation_revenue",
+        "join_volume_shipping", "join_market_share", "join_returned_items",
+        "join_large_orders", "agg_custdist", "agg_promo_revenue",
+        "join_product_profit", "join_late_shipments", "join_top_supplier",
+        "join_waiting_suppliers", "join_asof", "join_range",
+        "join_interval_overlap", "join_anti_bloom", "join_semi_exists",
+        "join_salted_skew", "dedup_exact", "dedup_minhash",
+        "dedup_jaccard", "dedup_simhash", "dedup_fingerprint",
+        "mm_phash_dedup", "link_records", "graph_triangles",
+        "text_stats", "text_langid", "text_quality_score",
+        "text_lm_score", "text_tfidf", "sample_temperature",
+        "sample_stratified", "ts_anomaly", "ts_anomaly_chunked",
+        "ts_interpolate", "ts_resample", "layout_zorder",
+        "agg_regression", "agg_pareto", "path_transitions",
+        "funnel_steps", "funnel_windowed", "retention_cohorts",
+        "pipe_training_data",
+    ]
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.001"
+    bad = []
+    for name in lazy_queries:
+        plan = qs[name](spark, sf)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            bad.append(name)
+    assert bad == [], f"CartesianProduct in: {bad}"
