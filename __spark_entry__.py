@@ -4815,6 +4815,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                    strftime(re, '%Y-%m-%d %H:%M:%S') AS r_end
             FROM l JOIN r
               ON l.user_id = r.user_id AND ls < re AND rs < le
+                 AND ls < le AND rs < re
         """,
         "graph_triangles": f"""
             WITH {_TOKS_CTE}, {_GRAMS3_CTE},

@@ -516,7 +516,10 @@ def interval_overlap_join(
     w_us = int(bucket_seconds) * 1_000_000
 
     def exploded(df: DataFrame, start: str, end: str) -> DataFrame:
-        return df.withColumn(
+        # empty/inverted intervals are dropped: they overlap nothing,
+        # and (end-1) div w < start div w would otherwise make
+        # `sequence` generate a DESCENDING bucket range (phantom rows)
+        return df.filter(F.col(start) < F.col(end)).withColumn(
             "__bucket",
             F.explode(
                 F.sequence(

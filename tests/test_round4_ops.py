@@ -952,3 +952,21 @@ class TestUnigramLM:
         assert row.mean_logprob is not None
         # single-token vocab: p = (1+k)/(1+k) = 1 -> log exactly 0
         assert row.mean_logprob == 0.0
+
+
+class TestIntervalOverlapEmpty:
+    def test_empty_interval_overlaps_nothing(self, spark):
+        from recover_spark.operators.temporal import interval_overlap_join
+
+        t0 = datetime(2024, 1, 1)
+        # left [t0, t0): empty — must pair with nothing even though a
+        # right interval straddles t0
+        left = spark.createDataFrame(
+            [("k", 1, t0, t0)],
+            "k string, l_id long, l_start timestamp, l_end timestamp",
+        )
+        right = spark.createDataFrame(
+            [("k", 7, t0 - timedelta(hours=1), t0 + timedelta(hours=1))],
+            "k string, r_id long, r_start timestamp, r_end timestamp",
+        )
+        assert interval_overlap_join(left, right, on=["k"]).count() == 0
