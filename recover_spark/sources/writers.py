@@ -193,6 +193,21 @@ def compact_partitions(
     """
     df = spark.read.parquet(path)
     if predicate:
+        # the predicate must prune PARTITIONS, not rows: a row-level
+        # predicate (e.g. "v > 5") would overwrite each touched
+        # partition with only its matching rows — silent data loss.
+        # Resolving the predicate against a DETACHED frame holding only
+        # the partition columns rejects any data-column reference (a
+        # plain .select().filter() probe would not: the analyzer
+        # re-adds missing attributes from the projection's child).
+        probe = spark.createDataFrame([], df.select(*partition_by).schema)
+        try:
+            probe.filter(predicate).schema
+        except Exception as ex:
+            raise ValueError(
+                "compaction predicate may reference only partition "
+                f"columns {list(partition_by)}: {predicate!r}"
+            ) from ex
         df = df.filter(predicate)
     compacted = df.repartition(*[F.col(c) for c in partition_by])
     overwrite_partitions_dynamic(

@@ -970,3 +970,17 @@ class TestIntervalOverlapEmpty:
             "k string, r_id long, r_start timestamp, r_end timestamp",
         )
         assert interval_overlap_join(left, right, on=["k"]).count() == 0
+
+
+class TestCompactionPredicateGuard:
+    def test_row_level_predicate_rejected(self, spark, tmp_path):
+        from recover_spark.sources.writers import compact_partitions
+
+        path = str(tmp_path / "t")
+        spark.range(0, 100).select(
+            (F.col("id") % 2).cast("string").alias("p"), F.col("id").alias("v")
+        ).write.partitionBy("p").parquet(path)
+        with pytest.raises(ValueError, match="partition columns"):
+            compact_partitions(spark, path, ["p"], predicate="v > 5")
+        # nothing was rewritten
+        assert spark.read.parquet(path).count() == 100
