@@ -2623,6 +2623,40 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days.  Island key = day minus the per-user day rank (constant
+    within a consecutive run) — one distinct, one window, one groupBy,
+    all keyed on the user; the final argmax ranks the ISLAND aggregate
+    (|users x islands| rows), never the event stream."""
+    from pyspark.sql import Window
+
+    events = _load(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn(
+        "g", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("day").alias("start"),
+    )
+    w_best = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), F.col("start").asc()
+    )
+    return (
+        streaks.withColumn("__rn", F.row_number().over(w_best))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "streak_days",
+            F.date_format("start", "yyyy-MM-dd").alias("streak_start"),
+        )
+    )
+
+
 def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-LM fluency scoring (ops/text_analysis.py:
     unigram_logprob_scores): per-doc mean log-probability under the
@@ -3230,6 +3264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_interval_join_outer": q_stream_interval_join_outer,
         "text_lm_score": q_text_lm_score,
         "agg_pareto": q_agg_pareto,
+        "win_streaks": q_win_streaks,
         "agg_hll_rollup": q_agg_hll_rollup,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
@@ -4581,6 +4616,26 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM events l JOIN events r ON l.user_id = r.user_id
             WHERE l.event_type = 'purchase' AND r.event_type = 'click'
               AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+        """,
+        "win_streaks": """
+            WITH days AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                FROM events),
+            isl AS (
+                SELECT user_id, day,
+                       day - CAST(row_number() OVER (
+                           PARTITION BY user_id ORDER BY day) AS INT) AS g
+                FROM days),
+            streaks AS (
+                SELECT user_id, g, count(*) AS streak_days,
+                       min(day) AS start
+                FROM isl GROUP BY user_id, g)
+            SELECT user_id, streak_days,
+                   strftime(start, '%Y-%m-%d') AS streak_start
+            FROM streaks
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY streak_days DESC, start ASC) = 1
         """,
         "text_lm_score": f"""
             WITH {_TOKS_CTE},
