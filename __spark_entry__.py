@@ -2623,6 +2623,30 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: each user's most frequent event
+    type as an ordered-struct argmax over the (user, type) counts —
+    the built-in mode() is tie-nondeterministic in both engines, so
+    the tie rule (higher count, then later type) is explicit and the
+    argmax is map-side-combinable like canonical_corpus."""
+    events = _load(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    best = F.max(
+        F.struct(F.col("n"), F.col("event_type").alias("t"))
+    ).alias("__best")
+    return (
+        counts.groupBy("user_id")
+        .agg(best)
+        .select(
+            "user_id",
+            F.col("__best.t").alias("top_event_type"),
+            F.col("__best.n").alias("n_events"),
+        )
+    )
+
+
 def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands: each user's LONGEST run of consecutive active
     days.  Island key = day minus the per-user day rank (constant
@@ -3265,6 +3289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_score": q_text_lm_score,
         "agg_pareto": q_agg_pareto,
         "win_streaks": q_win_streaks,
+        "agg_mode": q_agg_mode,
         "agg_hll_rollup": q_agg_hll_rollup,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
@@ -4616,6 +4641,16 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM events l JOIN events r ON l.user_id = r.user_id
             WHERE l.event_type = 'purchase' AND r.event_type = 'click'
               AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+        """,
+        "agg_mode": """
+            WITH counts AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY user_id, event_type)
+            SELECT user_id, event_type AS top_event_type, n AS n_events
+            FROM counts
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY n DESC, event_type DESC) = 1
         """,
         "win_streaks": """
             WITH days AS (
