@@ -32,9 +32,20 @@ def scale_to_bits(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     span = (hi - lo).cast("bigint")
     num = (col - lo).cast("bigint") * F.lit(2 * levels) + span
     den = span * 2
-    # exact integer division: num - num%den is divisible by den and the
-    # magnitudes stay below 2**53, so the double division is exact
-    quot = ((num - F.pmod(num, den)) / den).cast("bigint")
+    # exact integer division for the full bigint range: floor(num/den)
+    # via double is only an estimate (doubles carry 53 mantissa bits, so
+    # a num past 2**53 — e.g. an epoch-micros span — can land one bucket
+    # off); the remainder check corrects the at-most-±1 rounding error
+    # in exact bigint arithmetic, restoring the cross-engine bit-for-bit
+    # guarantee up to the documented 2**63 overflow bound.
+    approx = F.floor(num / den).cast("bigint")
+    rem = num - approx * den
+    quot = (
+        approx
+        + F.when(rem >= den, F.lit(1))
+        .when(rem < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+    )
     return F.when(span > 0, quot).otherwise(F.lit(0))
 
 

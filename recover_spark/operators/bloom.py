@@ -84,25 +84,39 @@ def _candidate_flag(
     bits: int,
     salt: str,
 ) -> DataFrame:
-    """Attach ``__maybe`` — true iff the row's key MAY be in the set."""
+    """Attach ``__maybe`` — true iff the row's key MAY be in the set.
+
+    The fact table's schema is arbitrary, so every internal column uses
+    a ``__bloom_`` prefix and the bitset side is referenced through the
+    bitset DataFrame's own column objects — a user column named
+    ``mask`` or ``word_idx`` neither collides nor shadows.
+    """
     pos = _bit_position(key_cols, bits, salt)
     probe = (
-        df.withColumn("__pos", pos)
-        .withColumn("__word", (F.col("__pos") / _WORD).cast("bigint"))
+        df.withColumn("__bloom_pos", pos)
+        .withColumn("__bloom_word", (F.col("__bloom_pos") / _WORD).cast("bigint"))
         .withColumn(
-            "__bit",
-            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(__pos % {_WORD} AS INT))"),
+            "__bloom_bit",
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(__bloom_pos % {_WORD} AS INT))"
+            ),
         )
-        .drop("__pos")
+        .drop("__bloom_pos")
     )
     return (
-        probe.join(F.broadcast(bitset), probe["__word"] == bitset["word_idx"], "left")
+        probe.join(
+            F.broadcast(bitset),
+            probe["__bloom_word"] == bitset["word_idx"],
+            "left",
+        )
         .withColumn(
             "__maybe",
-            F.col("mask").isNotNull()
-            & (F.col("mask").bitwiseAND(F.col("__bit")) != 0),
+            bitset["mask"].isNotNull()
+            & (bitset["mask"].bitwiseAND(F.col("__bloom_bit")) != 0),
         )
-        .drop("word_idx", "mask", "__word", "__bit")
+        .drop(bitset["word_idx"])
+        .drop(bitset["mask"])
+        .drop("__bloom_word", "__bloom_bit")
     )
 
 

@@ -70,10 +70,19 @@ def blocked_link_pairs(
         F.col("__id").alias("id_b"),
         F.col("__name").alias("name_b"),
     )
+    # length band: |len(a) - len(b)| <= d is NECESSARY for edit
+    # distance <= d (each edit changes length by at most 1), so adding
+    # it to the join condition skips provably-over-threshold pairs
+    # before the scorer ever runs — the surviving pair set is
+    # provably identical to the unbanded join.
     pairs = a.join(
         b,
         (F.col("__block") == F.col("__block_b"))
-        & (F.col("id_a") < F.col("id_b")),
+        & (F.col("id_a") < F.col("id_b"))
+        & (
+            F.abs(F.length("name_a") - F.length("name_b"))
+            <= F.lit(int(max_distance))
+        ),
     )
     # thresholded levenshtein returns -1 when the bound is exceeded
     # (early exit) — keep only non-negative distances

@@ -202,12 +202,27 @@ def compact_partitions(
         # re-adds missing attributes from the projection's child).
         probe = spark.createDataFrame([], df.select(*partition_by).schema)
         try:
-            probe.filter(predicate).schema
+            filtered_probe = probe.filter(predicate)
+            filtered_probe.schema
         except Exception as ex:
             raise ValueError(
                 "compaction predicate may reference only partition "
                 f"columns {list(partition_by)}: {predicate!r}"
             ) from ex
+        # a non-deterministic predicate ("rand() < 0.5") references no
+        # data column yet still filters rows WITHIN touched partitions —
+        # the same silent data loss the column check exists to prevent.
+        # The analyzed Filter's condition is its only expression; ask
+        # Catalyst whether it is deterministic.
+        exprs = filtered_probe._jdf.queryExecution().analyzed().expressions()
+        for i in range(exprs.size()):
+            if not exprs.apply(i).deterministic():
+                raise ValueError(
+                    "compaction predicate must be deterministic (it "
+                    "selects whole partitions to rewrite, and a "
+                    "non-deterministic filter would drop rows inside "
+                    f"them): {predicate!r}"
+                )
         df = df.filter(predicate)
     compacted = df.repartition(*[F.col(c) for c in partition_by])
     overwrite_partitions_dynamic(

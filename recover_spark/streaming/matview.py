@@ -23,6 +23,7 @@ derived (sum/count) at read time, never stored.
 
 from __future__ import annotations
 
+import os
 import shutil
 from collections.abc import Sequence
 from pathlib import Path
@@ -32,6 +33,40 @@ from pyspark.sql import functions as F
 
 
 _BATCH_MARKER = "_applied_batch_id"
+
+
+def _recover_state(state_path: str) -> None:
+    """Heal a crash that struck mid-swap.
+
+    ``_swap_state`` renames the live state aside (``state.old``) before
+    promoting the new generation; a crash between the two renames
+    leaves no live state but an intact ``state.old``.  Restoring it
+    keeps every previously committed batch — the failed batch's marker
+    never landed, so its replay re-merges instead of silently starting
+    from an empty state (which would permanently undercount: the
+    checkpoint has already consumed the earlier input files).
+    """
+    old = state_path + ".old"
+    if os.path.exists(old) and not os.path.exists(state_path):
+        os.rename(old, state_path)
+
+
+def _swap_state(tmp: str, state_path: str) -> None:
+    """Crash-safe replace of the state dir with ``tmp``.
+
+    rmtree-then-move has a window where NO generation exists; two
+    renames (state -> state.old, tmp -> state) keep a complete
+    generation on disk at every instant, with ``_recover_state``
+    closing the between-renames window on the next run.
+    """
+    old = state_path + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(state_path):
+        os.rename(state_path, old)
+    os.rename(tmp, state_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def _applied_batch_id(state_path: str) -> int | None:
@@ -63,6 +98,7 @@ def merge_counts(
     the persisted last-applied id is a crash replay and is skipped —
     this is what upgrades at-least-once foreachBatch to effectively-once.
     """
+    _recover_state(state_path)
     if batch_id is not None:
         applied = _applied_batch_id(state_path)
         if applied is not None and batch_id <= applied:
@@ -91,9 +127,7 @@ def merge_counts(
         # Marker travels inside the tmp dir so it swaps in atomically
         # with the state it describes.
         (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
-    if state.exists():
-        shutil.rmtree(state_path)
-    shutil.move(tmp, state_path)
+    _swap_state(tmp, state_path)
 
 
 def maintain_count_matview(
@@ -141,6 +175,7 @@ def merge_distinct_sketches(
     replay would converge even without the batch-id sidecar; the
     sidecar still skips the wasted work.
     """
+    _recover_state(state_path)
     if batch_id is not None:
         applied = _applied_batch_id(state_path)
         if applied is not None and batch_id <= applied:
@@ -169,9 +204,7 @@ def merge_distinct_sketches(
     merged.write.mode("overwrite").parquet(tmp)
     if batch_id is not None:
         (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
-    if state.exists():
-        shutil.rmtree(state_path)
-    shutil.move(tmp, state_path)
+    _swap_state(tmp, state_path)
 
 
 def maintain_distinct_matview(
@@ -201,6 +234,7 @@ def maintain_distinct_matview(
 
 def read_distinct_matview(spark: SparkSession, state_path: str) -> DataFrame:
     """Materialize the estimates from the persisted sketch state."""
+    _recover_state(state_path)
     return spark.read.parquet(state_path).select(
         "*",
         F.round(F.hll_sketch_estimate(F.col("sketch")))
