@@ -1,0 +1,166 @@
+"""Atomic dataset replace — generation directories + pointer swap.
+
+The reference replaces a dataset by copying the old output to an
+archive prefix and then deleting/rewriting in place
+(json_to_parquet.py:348-366): a reader concurrent with the weekly rerun
+can observe a half-deleted or half-written dataset.  SURVEY.md §7's
+watch-list calls for write-to-temp-then-swap; this module goes one step
+stronger, because even a rename pair (dataset -> archive, staging ->
+dataset) has a window with NO live dataset.
+
+Layout under the dataset root::
+
+    root/
+      _CURRENT            <- one line: name of the live generation dir
+      gen-00000001/       <- complete parquet dataset (hive-partitioned)
+      gen-00000002/
+      .staging-<run_id>/  <- in-flight write, invisible to readers
+
+Protocol (every step crash-safe):
+
+1. write the new generation into ``.staging-<run_id>`` — readers never
+   resolve staging dirs, so a torn write is invisible;
+2. rename staging -> ``gen-<seq>`` — a complete but not-yet-live
+   generation; a crash here leaves it unreferenced (pruned later);
+3. promote by writing ``_CURRENT`` via write-temp + ``os.rename`` —
+   the POSIX atomic-rename guarantee means every reader sees either
+   the old pointer or the new pointer, never a partial dataset;
+4. prune generations beyond ``keep_generations`` (never the live one)
+   — the kept tail IS the archive (K5 parity: the previous generation
+   remains readable after a replace, addressable by name).
+
+On an object store the pointer file becomes a manifest object and the
+renames become manifest commits (the Iceberg/Delta pattern); the
+local-filesystem implementation keeps the same reader contract.
+
+Citations: reference copy-then-delete window at
+src/glue/jobs/json_to_parquet.py:348-366 (archive_existing_datasets →
+write), the defect this replaces rather than mirrors.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from collections.abc import Sequence
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+from recover_spark.sources.writers import DEFAULT_RECORDS_PER_FILE
+
+_POINTER = "_CURRENT"
+_GEN_PREFIX = "gen-"
+_STAGING_PREFIX = ".staging-"
+
+
+class CrashInjected(RuntimeError):
+    """Raised by the test-only fail-point hook."""
+
+
+def _check_fail(fail_point: str | None, here: str) -> None:
+    if fail_point == here:
+        raise CrashInjected(here)
+
+
+def current_generation(path: str) -> str | None:
+    """Resolve the live generation dir name, or None if no dataset."""
+    pointer = Path(path) / _POINTER
+    try:
+        name = pointer.read_text().strip()
+    except FileNotFoundError:
+        return None
+    return name or None
+
+
+def list_generations(path: str) -> list[str]:
+    """All complete generation dir names, oldest first."""
+    root = Path(path)
+    if not root.exists():
+        return []
+    return sorted(
+        p.name
+        for p in root.iterdir()
+        if p.is_dir() and p.name.startswith(_GEN_PREFIX)
+    )
+
+
+def read_dataset(
+    spark: SparkSession, path: str, generation: str | None = None
+) -> DataFrame:
+    """Read the live (or a named archived) generation.
+
+    Readers resolve the pointer once and then scan an immutable
+    directory — a replace running concurrently can at worst make this
+    reader one generation stale, never torn.
+    """
+    gen = generation or current_generation(path)
+    if gen is None:
+        raise FileNotFoundError(f"no live generation under {path!r}")
+    return spark.read.parquet(str(Path(path) / gen))
+
+
+def write_dataset_atomic(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    records_per_file: int = DEFAULT_RECORDS_PER_FILE,
+    run_id: str = "run",
+    keep_generations: int = 2,
+    _fail_point: str | None = None,
+) -> str:
+    """Replace the dataset with ``df`` atomically; returns the new
+    generation name.
+
+    ``keep_generations`` previous generations stay on disk as the
+    archive.  ``_fail_point`` is a TEST-ONLY hook naming a protocol
+    step ("after-stage" | "after-rename" | "after-promote") at which a
+    simulated crash is raised; production callers leave it None.
+
+    Scale shape: the data write itself is the ordinary distributed
+    partitioned-parquet write (staging dir is on the same filesystem,
+    so executors write in place); the commit adds two metadata renames
+    and one pointer write — O(1) driver-side work regardless of data
+    size.
+    """
+    root = Path(path)
+    root.mkdir(parents=True, exist_ok=True)
+
+    # clear leftovers from a previous crashed run of the same run_id so
+    # retries are idempotent
+    staging = root / f"{_STAGING_PREFIX}{run_id}"
+    if staging.exists():
+        shutil.rmtree(staging)
+
+    writer = df.write.mode("overwrite").option(
+        "maxRecordsPerFile", records_per_file
+    )
+    parts = [p for p in partition_by if p in df.columns]
+    if parts:
+        writer = writer.partitionBy(*parts)
+    writer.parquet(str(staging))
+    _check_fail(_fail_point, "after-stage")
+
+    gens = list_generations(path)
+    last = int(gens[-1][len(_GEN_PREFIX):]) if gens else 0
+    gen_name = f"{_GEN_PREFIX}{last + 1:08d}"
+    os.rename(staging, root / gen_name)
+    _check_fail(_fail_point, "after-rename")
+
+    # atomic promote: readers see the old pointer or the new pointer
+    tmp = root / (_POINTER + ".tmp")
+    tmp.write_text(gen_name + "\n")
+    os.rename(tmp, root / _POINTER)
+    _check_fail(_fail_point, "after-promote")
+
+    _prune_generations(path, keep_generations)
+    return gen_name
+
+
+def _prune_generations(path: str, keep: int) -> None:
+    """Delete generations older than the newest ``keep`` non-live ones;
+    the live generation is never deleted regardless of age."""
+    live = current_generation(path)
+    gens = [g for g in list_generations(path) if g != live]
+    for stale in gens[: max(0, len(gens) - keep)]:
+        shutil.rmtree(Path(path) / stale)

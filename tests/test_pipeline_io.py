@@ -13,13 +13,13 @@ from recover_spark.sources.readers import read_ndjson
 from recover_spark.sources.writers import archive_existing, write_partitioned_parquet
 
 
-def test_parse_type_grammar():
+def test_parse_type_grammar(spark):  # type parsing needs a live JVM
     t = parse_type("array<struct<MicroVolts:double,TimeSinceSampleStart:double>>")
     assert t.simpleString() == "array<struct<MicroVolts:double,TimeSinceSampleStart:double>>"
     assert parse_type("map<string,int>").simpleString() == "map<string,int>"
 
 
-def test_registry_struct_type():
+def test_registry_struct_type(spark):  # type parsing needs a live JVM
     reg = SchemaRegistry()
     spec = reg.register(
         "HealthKitV2Electrocardiogram",

@@ -210,3 +210,112 @@ class TestLinkageLengthBand:
                     if dist <= d:
                         want[(ia, ib)] = dist
         assert got == want
+
+
+# -- atomic dataset replace -------------------------------------------------
+
+
+class TestAtomicDatasetReplace:
+    """Crash injection at every protocol step: a reader must always
+    resolve a COMPLETE generation — the copy-then-delete window of the
+    reference (json_to_parquet.py:348-366) must not exist here."""
+
+    def _df(self, spark, tag: str, n: int):
+        return spark.range(0, n).select(
+            F.lit(tag).alias("tag"),
+            F.concat(F.lit("c"), F.col("id") % 3).alias("cohort"),
+            F.col("id").alias("v"),
+        )
+
+    def _snapshot(self, spark, path):
+        from recover_spark.sources.atomic import read_dataset
+
+        df = read_dataset(spark, path)
+        return {(r.tag, r.cohort, r.v) for r in df.collect()}
+
+    def test_crash_at_every_step_never_tears_a_reader(self, spark, tmp_path):
+        from recover_spark.sources.atomic import (
+            CrashInjected,
+            current_generation,
+            write_dataset_atomic,
+        )
+
+        path = str(tmp_path / "ds")
+        a = self._df(spark, "a", 30)
+        b = self._df(spark, "b", 40)
+        want_a = {(r.tag, r.cohort, r.v) for r in a.collect()}
+        want_b = {(r.tag, r.cohort, r.v) for r in b.collect()}
+
+        write_dataset_atomic(a, path, partition_by=["cohort"], run_id="r1")
+        assert self._snapshot(spark, path) == want_a
+
+        # crash after staging write: old generation still live + complete
+        with pytest.raises(CrashInjected):
+            write_dataset_atomic(
+                b, path, partition_by=["cohort"], run_id="r2",
+                _fail_point="after-stage",
+            )
+        assert self._snapshot(spark, path) == want_a
+
+        # crash after the gen rename, before promote: reader unaffected
+        with pytest.raises(CrashInjected):
+            write_dataset_atomic(
+                b, path, partition_by=["cohort"], run_id="r2",
+                _fail_point="after-rename",
+            )
+        assert self._snapshot(spark, path) == want_a
+
+        # retry of the crashed run converges (idempotent staging cleanup)
+        write_dataset_atomic(b, path, partition_by=["cohort"], run_id="r2")
+        assert self._snapshot(spark, path) == want_b
+        assert current_generation(path) is not None
+
+    def test_crash_after_promote_is_benign(self, spark, tmp_path):
+        from recover_spark.sources.atomic import (
+            CrashInjected,
+            write_dataset_atomic,
+        )
+
+        path = str(tmp_path / "ds")
+        write_dataset_atomic(self._df(spark, "a", 10), path, run_id="r1")
+        with pytest.raises(CrashInjected):
+            write_dataset_atomic(
+                self._df(spark, "b", 10), path, run_id="r2",
+                _fail_point="after-promote",
+            )
+        # pointer already swapped: the new generation is live and complete
+        got = self._snapshot(spark, path)
+        assert {t for (t, _, _) in got} == {"b"}
+
+    def test_previous_generation_stays_readable_as_archive(
+        self, spark, tmp_path
+    ):
+        from recover_spark.sources.atomic import (
+            list_generations,
+            read_dataset,
+            write_dataset_atomic,
+        )
+
+        path = str(tmp_path / "ds")
+        g1 = write_dataset_atomic(self._df(spark, "a", 10), path, run_id="r1")
+        write_dataset_atomic(self._df(spark, "b", 10), path, run_id="r2")
+        old = read_dataset(spark, path, generation=g1)
+        assert {r.tag for r in old.collect()} == {"a"}
+        assert g1 in list_generations(path)
+
+    def test_prune_keeps_live_plus_n(self, spark, tmp_path):
+        from recover_spark.sources.atomic import (
+            current_generation,
+            list_generations,
+            write_dataset_atomic,
+        )
+
+        path = str(tmp_path / "ds")
+        for i in range(5):
+            write_dataset_atomic(
+                self._df(spark, f"g{i}", 5), path,
+                run_id=f"r{i}", keep_generations=2,
+            )
+        gens = list_generations(path)
+        assert len(gens) == 3  # live + 2 archived
+        assert current_generation(path) == gens[-1]
