@@ -144,6 +144,99 @@ def cast_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
     return df.select(*cols)
 
 
+def schema_drift(
+    observed: T.StructType, declared: T.StructType
+) -> list[dict]:
+    """LOG half of the reference's LOG-and-coerce schema-change policy
+    (templates/glue-workflow.j2:147-166, SchemaChangePolicy LOG): a
+    metadata-only diff of an arriving export's schema against the
+    declared catalog schema.  Kinds:
+
+    - ``new_column``: observed but not declared — the coerce DROPS it,
+      so without this log a vendor's new field disappears silently;
+    - ``type_changed``: declared name arriving with a different type —
+      the coerce ``try_cast``s it (unconvertible values -> null);
+    - ``missing_column``: declared but absent — becomes a typed null.
+
+    Pure driver-side metadata (no Spark job); name matching is
+    case-insensitive, mirroring ``cast_to_schema``.
+    """
+    obs = {f.name.lower(): f for f in observed.fields}
+    dec = {f.name.lower(): f for f in declared.fields}
+    out: list[dict] = []
+    for key, f in obs.items():
+        if key not in dec:
+            out.append(
+                {
+                    "column": f.name,
+                    "kind": "new_column",
+                    "observed_type": f.dataType.simpleString(),
+                    "declared_type": None,
+                }
+            )
+        elif f.dataType.simpleString() != dec[key].dataType.simpleString():
+            out.append(
+                {
+                    "column": dec[key].name,
+                    "kind": "type_changed",
+                    "observed_type": f.dataType.simpleString(),
+                    "declared_type": dec[key].dataType.simpleString(),
+                }
+            )
+    for key, f in dec.items():
+        if key not in obs:
+            out.append(
+                {
+                    "column": f.name,
+                    "kind": "missing_column",
+                    "observed_type": None,
+                    "declared_type": f.dataType.simpleString(),
+                }
+            )
+    return out
+
+
+_DRIFT_SCHEMA = T.StructType(
+    [
+        T.StructField("dataset", T.StringType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("observed_type", T.StringType()),
+        T.StructField("declared_type", T.StringType()),
+    ]
+)
+
+
+def cast_to_schema_logged(
+    df: DataFrame, schema: T.StructType, dataset: str = ""
+) -> tuple[DataFrame, DataFrame]:
+    """S2 with the reference's LOG-and-coerce semantics: returns
+    ``(coerced, drift_ledger)``.
+
+    ``coerced`` is exactly ``cast_to_schema(df, schema)`` — output stays
+    on the declared schema no matter what arrives.  ``drift_ledger`` is
+    a tiny DataFrame (one row per drifted column, schema compatible
+    with the A6 ledger union) surfacing what the coerce changed, so a
+    re-ingest where the vendor added or retyped a field is visible in
+    the audit trail instead of silently normalized away.
+    """
+    drift = schema_drift(df.schema, schema)
+    ledger = df.sparkSession.createDataFrame(
+        [
+            (
+                dataset,
+                d["column"],
+                d["kind"],
+                d["observed_type"],
+                d["declared_type"],
+            )
+            for d in drift
+        ],
+        _DRIFT_SCHEMA,
+    )
+    return cast_to_schema(df, schema), ledger
+
+
 def reinject_subtype(df: DataFrame, subtype: str, col_name: str = "Type") -> DataFrame:
     """P2 — set the ``Type`` column from the filename subtype for the
     four HealthKit types that carry it (s3_to_json.py:25-30,203-205)."""

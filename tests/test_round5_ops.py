@@ -319,3 +319,93 @@ class TestAtomicDatasetReplace:
         gens = list_generations(path)
         assert len(gens) == 3  # live + 2 archived
         assert current_generation(path) == gens[-1]
+
+
+# -- schema evolution: LOG-and-coerce ---------------------------------------
+
+
+class TestSchemaEvolution:
+    """A later export adds a column and retypes another: the coerce must
+    keep the output on the declared schema (reference resolveChoice
+    match_catalog), and the drift must land in the audit ledger instead
+    of vanishing (reference SchemaChangePolicy LOG,
+    templates/glue-workflow.j2:147-166)."""
+
+    def _declared(self):
+        from pyspark.sql import types as T
+
+        return T.StructType(
+            [
+                T.StructField("RecordID", T.StringType()),
+                T.StructField("HeartRate", T.LongType()),
+                T.StructField("StartDate", T.StringType()),
+            ]
+        )
+
+    def test_drift_logged_and_output_on_declared_schema(self, spark):
+        from recover_spark.functions.transforms import (
+            cast_to_schema,
+            cast_to_schema_logged,
+        )
+
+        # later export: HeartRate arrives as string (type change),
+        # VendorNewField is brand new, StartDate stopped arriving
+        raw = spark.createDataFrame(
+            [("r1", "72", "extra"), ("r2", "bad", "extra2")],
+            "RecordID string, HeartRate string, VendorNewField string",
+        )
+        declared = self._declared()
+        out, ledger = cast_to_schema_logged(raw, declared, dataset="heartrate")
+
+        assert [f.name for f in out.schema.fields] == [
+            "RecordID", "HeartRate", "StartDate",
+        ]
+        assert dict(out.dtypes)["HeartRate"] == "bigint"
+        got = {r.RecordID: (r.HeartRate, r.StartDate) for r in out.collect()}
+        # coercible value casts, uncoercible -> null (try_cast), missing -> null
+        assert got == {"r1": (72, None), "r2": (None, None)}
+
+        drift = {
+            (r.kind, r.column): (r.observed_type, r.declared_type)
+            for r in ledger.collect()
+        }
+        assert drift == {
+            ("new_column", "VendorNewField"): ("string", None),
+            ("type_changed", "HeartRate"): ("string", "bigint"),
+            ("missing_column", "StartDate"): (None, "string"),
+        }
+        assert all(r.dataset == "heartrate" for r in ledger.collect())
+
+        # the coerced frame is exactly the un-logged S2 result
+        plain = cast_to_schema(raw, declared)
+        assert {tuple(r) for r in plain.collect()} == {
+            tuple(r) for r in out.collect()
+        }
+
+    def test_no_drift_yields_empty_ledger(self, spark):
+        from recover_spark.functions.transforms import cast_to_schema_logged
+
+        raw = spark.createDataFrame(
+            [("r1", 72, "2024-01-01")],
+            "RecordID string, HeartRate long, StartDate string",
+        )
+        out, ledger = cast_to_schema_logged(raw, self._declared())
+        assert ledger.count() == 0
+        assert out.count() == 1
+
+    def test_ledger_unions_into_audit_trail(self, spark):
+        """Drift rows ride the same A6 unionByName(allowMissing) channel
+        as the stage-count ledgers."""
+        from recover_spark.functions.transforms import cast_to_schema_logged
+        from recover_spark.operators.audit import union_ledgers
+
+        raw = spark.createDataFrame(
+            [("r1", "x")], "RecordID string, Extra string"
+        )
+        _, drift = cast_to_schema_logged(raw, self._declared(), "hr")
+        counts = spark.createDataFrame(
+            [("hr", "READ", 1)], "dataset string, stage string, n long"
+        )
+        merged = union_ledgers([counts, drift])
+        assert merged.count() == drift.count() + 1
+        assert "kind" in merged.columns and "stage" in merged.columns
