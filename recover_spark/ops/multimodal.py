@@ -6,23 +6,42 @@ each Python worker touches a whole batch of blobs at once (the only
 sane shape for per-item media work at 100 TB — per-row Python UDFs are
 10-100x slower).
 
-The decode kernels themselves need PIL/ffmpeg-class libraries that are
-NOT in this container, so they are stubbed: ``decode_stub=True`` (the
-default) produces deterministic fake features derived from the blob
-bytes, keeping the Spark-side contract — schema, batch iteration,
-partitioning — fully real and testable.  Swapping in a real decoder is a
-one-function change (``_decode_image_batch``).
+The decode kernels need PIL/ffmpeg-class libraries; availability is
+detected at call time (``pil_available`` / ``ffmpeg_available``), and
+each operator has BOTH paths behind one flag with one output schema:
+``decode_stub=True`` (the default) produces deterministic fake features
+derived from the blob bytes — the Spark-side contract (schema, batch
+iteration, partitioning) stays fully real and testable in environments
+without the libraries — while ``decode_stub=False`` runs the real
+kernel (PIL thumbnail features, ffprobe-measured durations) and raises
+``NotImplementedError`` when the library is genuinely absent.
 """
 
 from __future__ import annotations
 
 import hashlib
+import importlib.util
+import math
+import shutil as _shutil
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def pil_available() -> bool:
+    """True when a real image decoder (PIL) is importable.
+
+    Checked lazily (and again inside the executor kernel — the driver
+    and executors can have different environments)."""
+    return importlib.util.find_spec("PIL") is not None
+
+
+def ffmpeg_available() -> bool:
+    """True when the ffprobe binary (ffmpeg suite) is on PATH."""
+    return _shutil.which("ffprobe") is not None
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -52,19 +71,41 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
 )
 
 
+def _image_feature_real(blob: bytes, feature_dim: int) -> list[float]:
+    """Real decode kernel: PIL grayscale thumbnail intensities.
+
+    Decode -> grayscale -> resize to the smallest square covering
+    ``feature_dim`` pixels -> normalized intensities in [-1, 1).  The
+    cheapest genuinely content-derived feature (near-identical images
+    yield near-identical vectors, unlike the digest stub where one bit
+    flips everything); swap in a torchvision embedding here for model-
+    grade features.
+    """
+    import io
+
+    from PIL import Image
+
+    side = max(1, math.ceil(math.sqrt(feature_dim)))
+    img = Image.open(io.BytesIO(blob)).convert("L").resize((side, side))
+    px = list(img.getdata())
+    return [(px[i % len(px)] / 127.5) - 1.0 for i in range(feature_dim)]
+
+
 def _decode_image_batch(
     batch: pd.DataFrame, feature_dim: int, stub: bool, digest_algo: str = "sha1"
 ) -> pd.DataFrame:
     """Decode one Arrow batch of image blobs into feature vectors.
 
-    STUB: real decoding needs PIL/torchvision (not in this container).
-    The stub derives a deterministic pseudo-feature from the content
-    digest so the distributed plumbing is exercised end-to-end.
+    ``stub=True`` derives a deterministic pseudo-feature from the
+    content digest so the distributed plumbing is exercised end-to-end
+    without decode libraries.  ``stub=False`` uses the real PIL kernel
+    when PIL is importable IN THIS WORKER and raises otherwise — the
+    output schema is identical either way.
     """
-    if not stub:
+    if not stub and not pil_available():
         raise NotImplementedError(
-            "real image decode requires PIL/torchvision; install and "
-            "replace _decode_image_batch"
+            "real image decode requires PIL (pip install pillow); "
+            "not importable in this worker — use decode_stub=True"
         )
     out = {"media_id": [], "n_bytes": [], "sha1": [], "feature": []}
     for mid, content in zip(batch["media_id"], batch["content"]):
@@ -73,10 +114,14 @@ def _decode_image_batch(
         out["media_id"].append(mid)
         out["n_bytes"].append(len(blob))
         out["sha1"].append(digest.hex())
-        # deterministic fake embedding from digest bytes, [-1, 1)
-        feat = [
-            (digest[i % len(digest)] / 127.5) - 1.0 for i in range(feature_dim)
-        ]
+        if stub:
+            # deterministic fake embedding from digest bytes, [-1, 1)
+            feat = [
+                (digest[i % len(digest)] / 127.5) - 1.0
+                for i in range(feature_dim)
+            ]
+        else:
+            feat = _image_feature_real(blob, feature_dim)
         out["feature"].append(feat)
     return pd.DataFrame(out)
 
@@ -93,12 +138,47 @@ def extract_image_features(
     (MEDIA_SCHEMA shape).  Output: IMAGE_FEATURE_SCHEMA (the ``sha1``
     column carries whichever ``digest_algo`` was selected).
     """
+    if not decode_stub and not pil_available():
+        # fail on the driver before a job launches; the same check runs
+        # inside the kernel too, since executor environments can differ
+        raise NotImplementedError(
+            "real image decode requires PIL (pip install pillow); "
+            "not importable — use decode_stub=True"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             yield _decode_image_batch(batch, feature_dim, decode_stub, digest_algo)
 
     return df.select("media_id", "content").mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+def _probe_duration_ms(blob: bytes) -> int:
+    """Measure a media blob's real duration via ffprobe (ffmpeg suite).
+
+    Runs in the executor worker against a temp file (ffprobe reads
+    container headers, not the whole stream, so this is cheap even for
+    large blobs).  Raises if ffprobe is absent or the blob is not a
+    recognizable container.
+    """
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".bin") as f:
+        f.write(blob)
+        f.flush()
+        out = subprocess.run(
+            [
+                "ffprobe", "-v", "error",
+                "-show_entries", "format=duration",
+                "-of", "default=noprint_wrappers=1:nokey=1",
+                f.name,
+            ],
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+    return int(float(out.stdout.strip()) * 1000)
 
 
 def sample_video_frames(
@@ -108,11 +188,40 @@ def sample_video_frames(
 ) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled frame.
 
-    STUB kernel (needs ffmpeg): emits frame timestamps from metadata
-    duration without decoding; the explode/partition shape is real.
+    ``decode_stub=True`` emits frame timestamps from the declared
+    metadata duration as a pure-Catalyst explode; ``decode_stub=False``
+    measures the TRUE duration per blob with ffprobe in an Arrow
+    ``mapInPandas`` kernel (raising when the ffmpeg suite is absent) —
+    same output schema, so the two paths interchange freely.
     """
     if not decode_stub:
-        raise NotImplementedError("real frame sampling requires ffmpeg")
+        if not ffmpeg_available():
+            raise NotImplementedError(
+                "real frame sampling requires ffprobe (ffmpeg) on PATH; "
+                "use decode_stub=True"
+            )
+        schema = T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("frame_ts_ms", T.LongType()),
+                T.StructField("content_sha1", T.StringType()),
+            ]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for batch in batches:
+                rows = {"media_id": [], "frame_ts_ms": [], "content_sha1": []}
+                for mid, content in zip(batch["media_id"], batch["content"]):
+                    blob = bytes(content) if content is not None else b""
+                    dur = _probe_duration_ms(blob)
+                    sha = hashlib.sha1(blob).hexdigest()
+                    for ts in range(0, max(dur, 1), every_ms):
+                        rows["media_id"].append(mid)
+                        rows["frame_ts_ms"].append(ts)
+                        rows["content_sha1"].append(sha)
+                yield pd.DataFrame(rows)
+
+        return df.select("media_id", "content").mapInPandas(run, schema)
     frames = F.sequence(
         F.lit(0),
         F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)),
@@ -134,13 +243,56 @@ def chunk_audio(
     the byte range to fetch, assuming constant bitrate
     (``n_bytes * [start,end)/duration``).
 
-    STUB kernel (real resample/decode needs ffmpeg/librosa); the
-    chunk-boundary math, explode shape, and byte-range arithmetic are
-    real — a range request per chunk is exactly how a 100 TB audio
+    The chunk-boundary math, explode shape, and byte-range arithmetic
+    are real — a range request per chunk is exactly how a 100 TB audio
     corpus is fetched without shipping whole blobs between stages.
+    ``decode_stub=True`` trusts the declared metadata duration
+    (pure-Catalyst explode); ``decode_stub=False`` measures the true
+    duration per blob with ffprobe in a ``mapInPandas`` kernel —
+    identical output schema.
     """
     if not decode_stub:
-        raise NotImplementedError("real audio decode requires ffmpeg/librosa")
+        if not ffmpeg_available():
+            raise NotImplementedError(
+                "real audio probing requires ffprobe (ffmpeg) on PATH; "
+                "use decode_stub=True"
+            )
+        schema = T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("chunk_idx", T.IntegerType()),
+                T.StructField("chunk_start_ms", T.LongType()),
+                T.StructField("chunk_end_ms", T.LongType()),
+                T.StructField("byte_start", T.LongType()),
+                T.StructField("byte_end", T.LongType()),
+            ]
+        )
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            cols = (
+                "media_id", "chunk_idx", "chunk_start_ms",
+                "chunk_end_ms", "byte_start", "byte_end",
+            )
+            for batch in batches:
+                rows: dict[str, list] = {c: [] for c in cols}
+                for mid, content in zip(batch["media_id"], batch["content"]):
+                    blob = bytes(content) if content is not None else b""
+                    dur = _probe_duration_ms(blob)
+                    n = len(blob)
+                    safe = max(dur, 1)
+                    for idx, start in enumerate(
+                        range(0, max(dur, 1), chunk_ms)
+                    ):
+                        end = min(start + chunk_ms, dur)
+                        rows["media_id"].append(mid)
+                        rows["chunk_idx"].append(idx)
+                        rows["chunk_start_ms"].append(start)
+                        rows["chunk_end_ms"].append(end)
+                        rows["byte_start"].append(n * start // safe)
+                        rows["byte_end"].append(n * end // safe)
+                yield pd.DataFrame(rows)
+
+        return df.select("media_id", "content").mapInPandas(run, schema)
     dur = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
     n_bytes = F.length(F.col("content")).cast("long")
     starts = F.sequence(

@@ -409,3 +409,90 @@ class TestSchemaEvolution:
         merged = union_ledgers([counts, drift])
         assert merged.count() == drift.count() + 1
         assert "kind" in merged.columns and "stage" in merged.columns
+
+
+# -- optional real multimodal decode ----------------------------------------
+
+
+class TestMultimodalRealDecode:
+    """Real kernels activate when PIL/ffmpeg are importable, raise
+    cleanly otherwise; both paths share one output schema."""
+
+    def _media(self, spark, blob: bytes):
+        return spark.createDataFrame(
+            [(1, blob, ("image/png", 4, 4, None))],
+            "media_id long, content binary, "
+            "meta struct<mime_type:string,width:int,height:int,duration_ms:bigint>",
+        )
+
+    def test_real_image_path_when_pil_present(self, spark):
+        PIL = pytest.importorskip("PIL")  # noqa: F841
+        import io
+
+        from PIL import Image
+
+        from recover_spark.ops.multimodal import (
+            IMAGE_FEATURE_SCHEMA,
+            extract_image_features,
+        )
+
+        buf = io.BytesIO()
+        Image.new("L", (8, 8), color=200).save(buf, format="PNG")
+        df = self._media(spark, buf.getvalue())
+        out = extract_image_features(df, feature_dim=16, decode_stub=False)
+        assert out.schema == IMAGE_FEATURE_SCHEMA
+        row = out.first()
+        # a uniform gray image: every thumbnail pixel is 200 -> 200/127.5-1
+        assert all(abs(v - (200 / 127.5 - 1.0)) < 1e-6 for v in row.feature)
+
+    def test_real_paths_raise_cleanly_when_libs_absent(self, spark):
+        from recover_spark.ops import multimodal as mm
+
+        df = self._media(spark, b"\x89PNG fake")
+        if not mm.pil_available():
+            with pytest.raises(NotImplementedError, match="PIL"):
+                mm.extract_image_features(df, decode_stub=False)
+        if not mm.ffmpeg_available():
+            with pytest.raises(NotImplementedError, match="ffprobe"):
+                mm.sample_video_frames(df, decode_stub=False)
+            with pytest.raises(NotImplementedError, match="ffprobe"):
+                mm.chunk_audio(df, decode_stub=False)
+
+    def test_real_frame_sampling_when_ffmpeg_present(self, spark):
+        from recover_spark.ops import multimodal as mm
+
+        if not mm.ffmpeg_available():
+            pytest.skip("ffprobe not on PATH")
+        import subprocess
+        import tempfile
+
+        # generate a 2-second silent wav via ffmpeg itself
+        with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+            subprocess.run(
+                ["ffmpeg", "-y", "-f", "lavfi", "-i",
+                 "anullsrc=r=8000:cl=mono", "-t", "2", f.name],
+                capture_output=True, check=True,
+            )
+            blob = open(f.name, "rb").read()
+        df = self._media(spark, blob)
+        frames = mm.sample_video_frames(df, every_ms=500, decode_stub=False)
+        assert [c for c in frames.columns] == [
+            "media_id", "frame_ts_ms", "content_sha1",
+        ]
+        assert frames.count() == 4  # 2000ms / 500ms
+        chunks = mm.chunk_audio(df, chunk_ms=1000, decode_stub=False)
+        got = chunks.orderBy("chunk_idx").collect()
+        assert [r.chunk_idx for r in got] == [0, 1]
+        assert got[-1].byte_end == len(blob)
+
+    def test_stub_path_unchanged(self, spark):
+        from recover_spark.ops.multimodal import (
+            IMAGE_FEATURE_SCHEMA,
+            extract_image_features,
+        )
+
+        df = self._media(spark, b"some bytes")
+        out = extract_image_features(df, feature_dim=8)
+        assert out.schema == IMAGE_FEATURE_SCHEMA
+        row = out.first()
+        assert row.n_bytes == len(b"some bytes") and len(row.feature) == 8
