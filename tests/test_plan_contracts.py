@@ -315,3 +315,83 @@ def test_no_cartesian_product_across_query_surface(spark):
         if "CartesianProduct" in plan:
             bad.append(name)
     assert bad == [], f"CartesianProduct in: {bad}"
+
+
+def test_link_records_single_equi_join_no_quadratic_operator(spark):
+    """Blocked linkage: candidate generation must be an equi-join on
+    the derived block key — never a cartesian/nested-loop pairing —
+    with the hot-block guard riding broadcast joins and the length-band
+    + thresholded-levenshtein predicates evaluated inside the join."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_link_records(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # both sides of the self-join shuffle on the block key at most once
+    assert plan.count("Exchange hashpartitioning") == 2
+    # the length band is in the join condition, pre-scorer
+    assert "length" in plan and "levenshtein" in plan
+
+
+def test_win_streaks_two_user_keyed_exchanges_with_group_limit(spark):
+    """Gaps-and-islands: one distinct+window exchange keyed on the
+    user, one island-aggregate exchange — the final per-user argmax
+    must carry a map-side WindowGroupLimit so the rank-1 filter prunes
+    before the last shuffle, and the event scan happens once."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_win_streaks(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Exchange SinglePartition" not in plan
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_agg_mode_is_two_aggregates_no_window(spark):
+    """Deterministic mode: (user, type) counts then the per-user
+    ordered-struct argmax — two map-side-combinable aggregates, two
+    exchanges, NO window operator (a rank-based mode would sort every
+    group) and no single-partition collapse."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_agg_mode(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Window" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_text_lm_score_shuffles_at_vocab_size_only(spark):
+    """Corpus-LM scoring: token/frequency aggregates shuffle at
+    vocabulary size (hash exchanges), the (N, V) corpus constants ride
+    ONE one-row broadcast (the single BroadcastNestedLoopJoin is that
+    one-row cross join — it never touches two corpus-sized sides), and
+    nothing runs in Python."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_text_lm_score(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert plan.count("Exchange SinglePartition") == 1  # the (N,V) agg
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_agg_pareto_windows_over_aggregate_not_fact_table(spark):
+    """Cumulative-share: the global-order window and the grand-total
+    aggregate each collapse to a single partition ONLY at customer-
+    aggregate size (2 SinglePartition exchanges downstream of the
+    groupBy), the fact table itself shuffles once per aggregate, and
+    the total rides a one-row broadcast cross join."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_agg_pareto(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange SinglePartition") == 2
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # one-row total
+    assert "CartesianProduct" not in plan
+    # the SinglePartition exchanges sit ABOVE the per-customer
+    # aggregate, never on the raw orders scan
+    agg_pos = plan.find("Exchange hashpartitioning")
+    sp_pos = plan.find("Exchange SinglePartition")
+    assert agg_pos != -1 and sp_pos != -1 and sp_pos < agg_pos
