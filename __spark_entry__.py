@@ -763,6 +763,36 @@ def q_s2_resolve_choice(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cast_to_schema(raw, declared)
 
 
+def q_s2_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution drift ledger — the LOG half of the reference's
+    LOG-and-coerce schema-change policy (templates/glue-workflow.j2:
+    147-166): the documents export arrives against a catalog where
+    ``n_chars`` is declared string (type change), ``source`` was never
+    declared (new column), and ``review_status`` is declared but absent
+    (missing column).  The ledger derives from the REAL parquet schema
+    of the export — pure driver-side metadata, no job over the data —
+    and the coerced frame (not returned here) stays on the declared
+    schema exactly like s2_resolve_choice."""
+    from pyspark.sql import types as T
+
+    from recover_spark.functions.transforms import cast_to_schema_logged
+
+    docs = _load(spark, sf_dir, "documents")
+    declared = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.StringType()),
+            T.StructField("review_status", T.StringType()),
+        ]
+    )
+    _, ledger = cast_to_schema_logged(docs, declared, dataset="documents")
+    return ledger.select(
+        "dataset", "column", "kind", "observed_type", "declared_type"
+    )
+
+
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal — binary-column decode/feature plumbing over
     Arrow-batched mapInPandas (stub kernel, real distribution shape)."""
@@ -3210,6 +3240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # captured ones lead this round so the driver record covers
         # them; every entry runs through the same oracle harness
         # regardless of position — tools/check_correctness.py).
+        "s2_schema_drift": q_s2_schema_drift,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "win_rank_dist": q_win_rank_dist,
@@ -4255,6 +4286,15 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT c_custkey, c_name AS info_name,
                    round(c_acctbal, 2) AS info_acct_bal, c_mktsegment
             FROM customer
+        """,
+        "s2_schema_drift": """
+            SELECT * FROM (VALUES
+                ('documents', 'source', 'new_column', 'string',
+                 CAST(NULL AS VARCHAR)),
+                ('documents', 'n_chars', 'type_changed', 'bigint', 'string'),
+                ('documents', 'review_status', 'missing_column',
+                 CAST(NULL AS VARCHAR), 'string')
+            ) AS t(dataset, "column", kind, observed_type, declared_type)
         """,
         "s2_resolve_choice": """
             SELECT doc_id,
