@@ -30,6 +30,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str | None = None,
+    max_query_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact cosine top-k per query over the corpus.
 
@@ -37,9 +38,26 @@ def brute_force_topk(
     window over (query_id) — the shuffle is on query ids only AFTER the
     similarity map, and map-side the corpus never moves.
 
+    The broadcast-side contract is ENFORCED, not assumed:
+    ``max_query_rows`` counts the query side up front (a cheap scan of
+    the small relation) and raises before planning a corpus x queries
+    expansion that would OOM the broadcast at corpus-scale input —
+    the same loud-guard pattern as the exact-GEMM path.  Pass ``None``
+    only when the caller has already bounded the query side.
+
     Returns (query_id, vec_id, cosine, rank), rank 1..k, self-match
     excluded when ids share a namespace.
     """
+    if max_query_rows is not None:
+        n_q = queries.count()
+        if n_q > max_query_rows:
+            raise ValueError(
+                f"brute-force top-k query side has {n_q} rows "
+                f"(max_query_rows={max_query_rows}); this path broadcasts "
+                "the queries and scores corpus x queries pairs — use "
+                "ann_ivf/ann_lsh for large query sets, or raise the "
+                "bound explicitly"
+            )
     qid = query_id_col or f"query_{id_col}"
     c = corpus.withColumn("__cnorm", l2_norm(F.col(vec_col)))
     q = queries.select(

@@ -496,3 +496,23 @@ class TestMultimodalRealDecode:
         assert out.schema == IMAGE_FEATURE_SCHEMA
         row = out.first()
         assert row.n_bytes == len(b"some bytes") and len(row.feature) == 8
+
+
+# -- brute-force top-k query-side guard -------------------------------------
+
+
+class TestBruteForceQueryGuard:
+    def test_oversized_query_side_raises_before_planning(self, spark):
+        from recover_spark.ops.similarity import brute_force_topk
+
+        vecs = spark.range(0, 500).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[(F.col("id") % 7 + i).cast("float") for i in range(4)])
+            .alias("embedding"),
+        )
+        with pytest.raises(ValueError, match="max_query_rows"):
+            brute_force_topk(vecs, vecs, k=3, max_query_rows=100)
+        # within the bound (or explicitly waived) it still runs
+        small = vecs.filter(F.col("vec_id") < 5)
+        out = brute_force_topk(vecs, small, k=3, max_query_rows=100)
+        assert out.count() == 15
