@@ -60,15 +60,21 @@ def blocked_link_pairs(
             .select("__block")
         )
         keyed = keyed.join(F.broadcast(oversized), "__block", "left_anti")
+    # length computed ONCE per row (map-side) — the band predicate in
+    # the join condition then compares two ints per candidate pair
+    # instead of re-measuring both strings per pair
+    keyed = keyed.withColumn("__len", F.length("__name"))
     a = keyed.select(
         F.col("__block"),
         F.col("__id").alias("id_a"),
         F.col("__name").alias("name_a"),
+        F.col("__len").alias("__len_a"),
     )
     b = keyed.select(
         F.col("__block").alias("__block_b"),
         F.col("__id").alias("id_b"),
         F.col("__name").alias("name_b"),
+        F.col("__len").alias("__len_b"),
     )
     # length band: |len(a) - len(b)| <= d is NECESSARY for edit
     # distance <= d (each edit changes length by at most 1), so adding
@@ -80,7 +86,7 @@ def blocked_link_pairs(
         (F.col("__block") == F.col("__block_b"))
         & (F.col("id_a") < F.col("id_b"))
         & (
-            F.abs(F.length("name_a") - F.length("name_b"))
+            F.abs(F.col("__len_a") - F.col("__len_b"))
             <= F.lit(int(max_distance))
         ),
     )
