@@ -3208,6 +3208,60 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free big-big join over pre-bucketed layout
+    (sources/bucketed.py): orders and lineitem are written once as
+    bucketed tables hash-partitioned on the order key (bucket id =
+    pmod(murmur3(key), n) — the same hash a shuffle would use), so the
+    fact-fact join plans a SortMergeJoin with ZERO Exchange on either
+    side (plan contract in tests/test_bucketed.py).  At 100 TB this is
+    the recurring-join answer: pay the shuffle once when data lands,
+    every weekly rerun joins network-free.  The residual shuffle here
+    is the 5-row priority aggregate, not the fact tables."""
+    import hashlib
+    import os
+    import tempfile
+
+    from recover_spark.sources.bucketed import (
+        colocated_join,
+        write_bucketed_table,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders, t_lines = f"bk_orders_{tag}", f"bk_lineitem_{tag}"
+    root = os.path.join(tempfile.gettempdir(), f"recover_bucketed_{tag}")
+    if not spark.catalog.tableExists(t_orders):
+        write_bucketed_table(
+            _load(spark, sf_dir, "orders"),
+            t_orders,
+            ["o_orderkey"],
+            8,
+            path=os.path.join(root, "orders"),
+        )
+    if not spark.catalog.tableExists(t_lines):
+        write_bucketed_table(
+            _load(spark, sf_dir, "lineitem"),
+            t_lines,
+            ["l_orderkey"],
+            8,
+            path=os.path.join(root, "lineitem"),
+        )
+    joined = colocated_join(
+        spark, t_lines, t_orders, on=[("l_orderkey", "o_orderkey")]
+    )
+    return (
+        joined.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("line_cnt"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level distinct-user rollup via mergeable HLL sketches
     (operators/analytics.py:approx_distinct_rollup): daily sketches
@@ -3241,6 +3295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # them; every entry runs through the same oracle harness
         # regardless of position — tools/check_correctness.py).
         "s2_schema_drift": q_s2_schema_drift,
+        "join_bucketed": q_join_bucketed,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "win_rank_dist": q_win_rank_dist,
@@ -4295,6 +4350,17 @@ def _oracle_sql_literal() -> dict[str, str]:
                 ('documents', 'review_status', 'missing_column',
                  CAST(NULL AS VARCHAR), 'string')
             ) AS t(dataset, "column", kind, observed_type, declared_type)
+        """,
+        "join_bucketed": """
+            SELECT o.o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS line_cnt,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+            GROUP BY o.o_orderpriority
+            ORDER BY o.o_orderpriority
         """,
         "s2_resolve_choice": """
             SELECT doc_id,
