@@ -3262,6 +3262,41 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scan_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping (sources/zonemap.py): lineitem is laid
+    out range-clustered on l_orderkey, a footer-only metadata job
+    builds the per-file min/max manifest, and the key-range scan reads
+    ONLY files whose zone intersects the predicate — at 100 TB the
+    scheduler touches the 3 matching files, not all 100k (the manifest
+    is the engine's own Delta-style data skipping over plain parquet).
+    Pruning is a superset guarantee: the real filter still applies, so
+    results are identical to the full scan the oracle runs."""
+    import hashlib
+    import os
+    import tempfile
+
+    from recover_spark.sources.writers import write_range_clustered_parquet
+    from recover_spark.sources.zonemap import build_zonemap, read_pruned
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"recover_zonemap_{tag}")
+    ds = os.path.join(root, "lineitem_by_key")
+    if not os.path.exists(os.path.join(ds, "_zonemap.json")):
+        write_range_clustered_parquet(
+            _load(spark, sf_dir, "lineitem"), ds, ["l_orderkey"], num_files=16
+        )
+        build_zonemap(spark, ds, ["l_orderkey"])
+    pruned, _report = read_pruned(spark, ds, {"l_orderkey": (1000, 2999)})
+    return (
+        pruned.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("line_cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level distinct-user rollup via mergeable HLL sketches
     (operators/analytics.py:approx_distinct_rollup): daily sketches
@@ -3296,6 +3331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # regardless of position — tools/check_correctness.py).
         "s2_schema_drift": q_s2_schema_drift,
         "join_bucketed": q_join_bucketed,
+        "scan_zonemap": q_scan_zonemap,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "win_rank_dist": q_win_rank_dist,
@@ -4361,6 +4397,15 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE o.o_orderstatus = 'F'
             GROUP BY o.o_orderpriority
             ORDER BY o.o_orderpriority
+        """,
+        "scan_zonemap": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS line_cnt,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey BETWEEN 1000 AND 2999
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
         """,
         "s2_resolve_choice": """
             SELECT doc_id,

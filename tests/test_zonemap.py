@@ -1,0 +1,85 @@
+"""Zone-map file skipping: footer-stats manifest + pruning reader."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from recover_spark.sources.writers import write_range_clustered_parquet
+from recover_spark.sources.zonemap import build_zonemap, read_pruned
+
+
+def _clustered(spark, path, n=10_000, files=16):
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("long").alias("v"),
+        (F.col("id") % 5).cast("string").alias("tag"),
+    )
+    write_range_clustered_parquet(df, path, ["v"], num_files=files)
+    return df
+
+
+def test_prune_reads_fewer_files_same_answer(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    df = _clustered(spark, path)
+    manifest = build_zonemap(spark, path, ["v"])
+    assert len(manifest["files"]) > 4
+    pruned, report = read_pruned(spark, path, {"v": (100, 199)})
+    assert report["files_read"] < report["files_total"]
+    expect = sorted(
+        map(tuple, df.filter((F.col("v") >= 100) & (F.col("v") <= 199)).collect())
+    )
+    assert sorted(map(tuple, pruned.collect())) == expect
+
+
+def test_open_ended_bounds(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    df = _clustered(spark, path)
+    build_zonemap(spark, path, ["v"])
+    pruned, report = read_pruned(spark, path, {"v": (9_900, None)})
+    assert report["files_read"] < report["files_total"]
+    assert pruned.count() == 100
+
+
+def test_missing_manifest_falls_back_to_full_scan(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _clustered(spark, path)
+    pruned, report = read_pruned(spark, path, {"v": (0, 10)})
+    assert report["files_total"] is None
+    assert pruned.count() == 11
+
+
+def test_empty_result_pruning_preserves_schema(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    df = _clustered(spark, path)
+    build_zonemap(spark, path, ["v"])
+    pruned, report = read_pruned(spark, path, {"v": (1_000_000, 2_000_000)})
+    assert report["files_read"] == 0
+    assert pruned.count() == 0
+    assert pruned.columns == df.columns
+
+
+def test_all_null_file_pruned_nulls_in_kept_files_filtered(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    rows = [(i, i if i % 2 == 0 else None) for i in range(100)]
+    some_nulls = spark.createDataFrame(rows, "k long, v long")
+    all_nulls = spark.createDataFrame(
+        [(1000 + i, None) for i in range(50)], "k long, v long"
+    )
+    some_nulls.coalesce(1).write.parquet(path)
+    all_nulls.coalesce(1).write.mode("append").parquet(path)
+    build_zonemap(spark, path, ["v"])
+    pruned, report = read_pruned(spark, path, {"v": (0, 98)})
+    # the all-null file cannot satisfy a range predicate -> skipped
+    assert report["files_read"] < report["files_total"]
+    got = sorted(r["k"] for r in pruned.collect())
+    assert got == [i for i in range(100) if i % 2 == 0]
+
+
+def test_untracked_column_does_not_prune(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _clustered(spark, path)
+    build_zonemap(spark, path, ["v"])
+    pruned, report = read_pruned(spark, path, {"tag": ("0", "0")})
+    # no stats for tag -> every file kept, filter still applied
+    assert report["files_read"] == report["files_total"]
+    assert pruned.count() == 2000
