@@ -3297,6 +3297,28 @@ def q_scan_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (ops/text_analysis.py:bm25_topk): top-5
+    documents for three literal queries via the inverted-index join —
+    one (doc, term) shuffle builds tf, doclen and df REUSE that
+    aggregate, the tiny query-term set broadcasts into the postings so
+    non-query-term postings never leave the map side, and (N, avgdl)
+    ride a one-row broadcast.  Scores rounded to 6 before ranking for
+    cross-engine-stable top-k membership."""
+    from recover_spark.ops.text_analysis import bm25_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [
+            ("q_join", "hash join merge"),
+            ("q_scan", "fast table scan"),
+            ("q_stream", "stream batch window"),
+        ],
+        "query_id string, query_text string",
+    )
+    return bm25_topk(docs, queries, k=5)
+
+
 def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level distinct-user rollup via mergeable HLL sketches
     (operators/analytics.py:approx_distinct_rollup): daily sketches
@@ -3332,6 +3354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_schema_drift": q_s2_schema_drift,
         "join_bucketed": q_join_bucketed,
         "scan_zonemap": q_scan_zonemap,
+        "text_bm25": q_text_bm25,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "win_rank_dist": q_win_rank_dist,
@@ -4406,6 +4429,58 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE l_orderkey BETWEEN 1000 AND 2999
             GROUP BY l_returnflag
             ORDER BY l_returnflag
+        """,
+        "text_bm25": """
+            WITH toks AS (
+                SELECT doc_id, t.term
+                FROM documents,
+                     UNNEST(regexp_split_to_array(lower(text),
+                            '[^a-z0-9'']+')) AS t(term)
+                WHERE t.term <> ''
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM toks GROUP BY doc_id, term
+            ),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            q(query_id, query_text) AS (VALUES
+                ('q_join', 'hash join merge'),
+                ('q_scan', 'fast table scan'),
+                ('q_stream', 'stream batch window')),
+            qterms AS (
+                SELECT DISTINCT query_id, t.term
+                FROM q,
+                     UNNEST(regexp_split_to_array(lower(query_text),
+                            '[^a-z0-9'']+')) AS t(term)
+                WHERE t.term <> ''
+            ),
+            scored AS (
+                SELECT qt.query_id, tf.doc_id,
+                       round(sum(
+                           ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                           * (tf.tf * (1.2 + 1.0))
+                           / (tf.tf + 1.2 * (1 - 0.75
+                              + 0.75 * dl.dl / c.avgdl))
+                       ), 6) AS score
+                FROM tf
+                JOIN qterms qt USING (term)
+                JOIN dl USING (doc_id)
+                JOIN dfreq d USING (term)
+                CROSS JOIN corpus c
+                GROUP BY qt.query_id, tf.doc_id
+            )
+            SELECT query_id, rank, doc_id, score
+            FROM (
+                SELECT query_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+                       doc_id, score
+                FROM scored
+            )
+            WHERE rank <= 5
         """,
         "s2_resolve_choice": """
             SELECT doc_id,

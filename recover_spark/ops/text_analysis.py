@@ -541,3 +541,101 @@ def unigram_logprob_scores(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("__lp"), 6).alias("mean_logprob"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 5,
+    max_query_terms: int = 100_000,
+) -> DataFrame:
+    """Okapi BM25 retrieval: top-k documents per query with the
+    Lucene-style non-negative idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
+
+    The 100 TB shape is an inverted-index join, never a scan per query:
+    - ONE (doc, term) shuffle builds term frequencies with map-side
+      partial counts; document length REUSES that aggregate (sum of tf
+      per doc) and document frequency reuses it too (count per term) —
+      the raw corpus is tokenized and shuffled exactly once.
+    - the query side is exploded to distinct (query, term) pairs and
+      BROADCAST into the postings, so only postings of query terms ever
+      leave the map side; corpus-sized postings for non-query terms are
+      filtered before any further exchange.
+    - (N, avgdl) ride a one-row broadcast; scoring is pure JVM
+      arithmetic; the final per-query top-k is a query-keyed window
+      over the already-tiny (query x matched-doc) score table.
+
+    The broadcast contract is loud, not silent: more distinct query
+    terms than ``max_query_terms`` raises (batch huge query sets
+    through several calls) — same pattern as ops/similarity.py's exact
+    paths.  Scores are rounded to 6 before ranking so top-k membership
+    is reproducible across engines (ties break on doc id asc).
+    """
+    from pyspark.sql import Window
+
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(tokens(F.col(query_text_col))).alias("term"),
+    ).distinct()
+    n_qterms = qterms.count()
+    if n_qterms > max_query_terms:
+        raise ValueError(
+            f"bm25_topk: {n_qterms} distinct (query, term) pairs exceed "
+            f"max_query_terms={max_query_terms}; the query side is "
+            "broadcast by contract — batch the query set instead"
+        )
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doclen = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus = doclen.groupBy().agg(
+        F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl")
+    )
+
+    postings = tf.join(F.broadcast(qterms), "term")
+    scored = (
+        postings.join(doclen, id_col)
+        .join(dfreq.join(F.broadcast(qterms.select("term").distinct()), "term"), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            query_id_col,
+            id_col,
+            (
+                F.log(
+                    1.0
+                    + (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("__contrib"),
+        )
+    )
+    per_doc = scored.groupBy(query_id_col, id_col).agg(
+        F.round(F.sum("__contrib"), 6).alias("score")
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            F.col("rank").cast("int").alias("rank"),
+            id_col,
+            "score",
+        )
+    )

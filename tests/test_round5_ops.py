@@ -516,3 +516,75 @@ class TestBruteForceQueryGuard:
         small = vecs.filter(F.col("vec_id") < 5)
         out = brute_force_topk(vecs, small, k=3, max_query_rows=100)
         assert out.count() == 15
+
+
+# -- BM25 retrieval ---------------------------------------------------------
+
+
+class TestBM25:
+    def _docs(self, spark):
+        rows = [
+            (1, "spark shuffle join spark spark"),
+            (2, "join join join filter"),
+            (3, "window agg rollup"),
+            (4, "spark window"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_ranks_rarer_term_matches_higher(self, spark):
+        from recover_spark.ops.text_analysis import bm25_topk
+
+        queries = spark.createDataFrame(
+            [("q1", "rollup")], "query_id string, query_text string"
+        )
+        out = bm25_topk(self._docs(spark), queries, k=5).collect()
+        # only doc 3 contains 'rollup'
+        assert [(r["query_id"], r["doc_id"]) for r in out] == [("q1", 3)]
+
+    def test_unknown_query_term_contributes_nothing(self, spark):
+        from recover_spark.ops.text_analysis import bm25_topk
+
+        queries = spark.createDataFrame(
+            [("q1", "spark zzznotaterm")],
+            "query_id string, query_text string",
+        )
+        out = bm25_topk(self._docs(spark), queries, k=10)
+        ids = {r["doc_id"] for r in out.collect()}
+        assert ids == {1, 4}  # docs containing 'spark'; no crash, no nulls
+
+    def test_no_matching_terms_returns_empty(self, spark):
+        from recover_spark.ops.text_analysis import bm25_topk
+
+        queries = spark.createDataFrame(
+            [("q1", "zzz qqq")], "query_id string, query_text string"
+        )
+        assert bm25_topk(self._docs(spark), queries).count() == 0
+
+    def test_query_side_guard_raises(self, spark):
+        from recover_spark.ops.text_analysis import bm25_topk
+
+        queries = spark.createDataFrame(
+            [(f"q{i}", f"term{i} term{i+1}") for i in range(40)],
+            "query_id string, query_text string",
+        )
+        with pytest.raises(ValueError, match="max_query_terms"):
+            bm25_topk(
+                self._docs(spark), queries, max_query_terms=10
+            )
+
+    def test_tf_saturation_and_length_normalization(self, spark):
+        """Doc 1 has tf(spark)=3 but is long; doc 4 has tf=1 and is
+        short — BM25's length normalization must still rank doc 1
+        first here (tf dominates at these lengths), and scores must be
+        monotone in tf for equal lengths."""
+        from recover_spark.ops.text_analysis import bm25_topk
+
+        queries = spark.createDataFrame(
+            [("q1", "spark")], "query_id string, query_text string"
+        )
+        out = {
+            r["doc_id"]: r["score"]
+            for r in bm25_topk(self._docs(spark), queries, k=5).collect()
+        }
+        assert set(out) == {1, 4}
+        assert out[1] > out[4]
