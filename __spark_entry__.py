@@ -3319,6 +3319,23 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, queries, k=5)
 
 
+def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (ops/sampling.py:
+    importance_scores): score every document by log(p_target/p_raw) of
+    its bigram bag, target = the English slice — the published
+    importance-resampling recipe for shifting a raw crawl toward a
+    trusted domain.  Bigrams are built map-side from the token array
+    (no positional self-join), raw+target counts come out of ONE
+    vocabulary-size shuffle, the top-V vocab is a TakeOrdered whose
+    weights broadcast into the map-side scoring pass."""
+    from recover_spark.ops.sampling import importance_scores
+
+    docs = _load(spark, sf_dir, "documents")
+    return importance_scores(
+        docs, F.col("lang") == "en", vocab_size=500
+    )
+
+
 def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level distinct-user rollup via mergeable HLL sketches
     (operators/analytics.py:approx_distinct_rollup): daily sketches
@@ -3355,6 +3372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_bucketed": q_join_bucketed,
         "scan_zonemap": q_scan_zonemap,
         "text_bm25": q_text_bm25,
+        "sample_importance": q_sample_importance,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "win_rank_dist": q_win_rank_dist,
@@ -4481,6 +4499,41 @@ def _oracle_sql_literal() -> dict[str, str]:
                 FROM scored
             )
             WHERE rank <= 5
+        """,
+        "sample_importance": """
+            WITH toked AS (
+                SELECT doc_id, lang,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '[^a-z0-9'']+'), t -> t <> '') AS toks
+                FROM documents
+            ),
+            exploded AS (
+                SELECT doc_id, (lang = 'en') AS is_target,
+                       toks[i] || ' ' || toks[i + 1] AS feat
+                FROM toked,
+                     UNNEST(generate_series(1, len(toks) - 1)) AS s(i)
+                WHERE len(toks) >= 2
+            ),
+            counts AS (
+                SELECT feat, count(*) AS raw_n,
+                       sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tgt_n
+                FROM exploded GROUP BY feat
+            ),
+            vocab AS (
+                SELECT * FROM counts ORDER BY raw_n DESC, feat ASC LIMIT 500
+            ),
+            totals AS (SELECT sum(raw_n) AS r, sum(tgt_n) AS t FROM vocab),
+            weights AS (
+                SELECT feat,
+                       ln((tgt_n + 0.5) / (t + 0.5 * 500.0))
+                       - ln((raw_n + 0.5) / (r + 0.5 * 500.0)) AS w
+                FROM vocab CROSS JOIN totals
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_feats,
+                   round(avg(w), 6) AS importance
+            FROM exploded JOIN weights USING (feat)
+            GROUP BY doc_id
         """,
         "s2_resolve_choice": """
             SELECT doc_id,

@@ -210,3 +210,99 @@ def heavy_hitters(
         )
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+def importance_scores(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance weighting for pretraining-data selection
+    (Xie et al. 2023, "Data Selection for Language Models via
+    Importance Resampling"): score each raw document by how much more
+    likely its bigram bag is under the TARGET distribution (the rows
+    matching ``target_pred`` — e.g. a trusted high-quality slice) than
+    under the RAW corpus distribution.  High scores = target-like;
+    resampling by score shifts the corpus mixture toward the target
+    domain without hand-written rules.
+
+    Engine-portable variant: instead of DSIR's hashed feature buckets
+    (engine hash functions differ), the feature space is the top-V
+    corpus bigrams chosen with exact deterministic tie-breaking
+    (count desc, bigram asc) — same estimator family, reproducible
+    bit-for-bit in any SQL engine.
+
+    Plan shape at 100 TB (two corpus passes, like any DSIR fit+score):
+    - bigrams are built MAP-SIDE with a higher-order ``transform`` over
+      the token array (no positional self-join — that would shuffle the
+      corpus to pair adjacent tokens);
+    - ONE vocabulary-size shuffle computes raw and target counts
+      together (the target count is a conditional sum in the same
+      aggregate, not a second job);
+    - top-V selection is a TakeOrdered (no global sort), and V feature
+      weights broadcast back into the scoring pass, which is map-side
+      until the final doc-keyed mean;
+    - (R, T) normalizers ride a one-row broadcast.
+
+    Output: (id, n_feats, importance) for every document with at least
+    one in-vocabulary bigram, importance = mean over its in-vocab
+    bigrams of ``log(p_target / p_raw)`` (add-k smoothed), rounded to 6
+    for cross-engine-stable ordering.  Documents with no in-vocab
+    bigram (under 2 tokens, or fully out-of-domain) are absent — they
+    carry no evidence either way.
+    """
+    from recover_spark.functions.text import tokens
+
+    # tokenize once into __t, then derive bigrams from it map-side
+    featized = docs.select(
+        F.col(id_col),
+        tokens(F.col(text_col)).alias("__t"),
+        target_pred.cast("boolean").alias("__is_target"),
+    ).select(
+        id_col,
+        F.expr(
+            # greatest(0, ...) guards the empty token array: slice
+            # rejects negative lengths at runtime
+            "transform(slice(__t, 1, greatest(0, size(__t) - 1)),"
+            " (t, i) -> concat(t, ' ', __t[i + 1]))"
+        ).alias("__feats"),
+        "__is_target",
+    )
+    exploded = featized.select(
+        id_col, "__is_target", F.explode("__feats").alias("feat")
+    )
+    counts = exploded.groupBy("feat").agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("tgt_n"),
+    )
+    vocab = counts.orderBy(
+        F.desc("raw_n"), F.asc("feat")
+    ).limit(vocab_size)
+    totals = vocab.groupBy().agg(
+        F.sum("raw_n").alias("R"), F.sum("tgt_n").alias("T")
+    )
+    k = float(smoothing)
+    weights = vocab.crossJoin(F.broadcast(totals)).select(
+        "feat",
+        (
+            F.log(
+                (F.col("tgt_n") + F.lit(k))
+                / (F.col("T") + F.lit(k) * F.lit(float(vocab_size)))
+            )
+            - F.log(
+                (F.col("raw_n") + F.lit(k))
+                / (F.col("R") + F.lit(k) * F.lit(float(vocab_size)))
+            )
+        ).alias("__w"),
+    )
+    return (
+        exploded.join(F.broadcast(weights), "feat")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.avg("__w"), 6).alias("importance"),
+        )
+    )

@@ -588,3 +588,41 @@ class TestBM25:
         }
         assert set(out) == {1, 4}
         assert out[1] > out[4]
+
+
+# -- DSIR-style importance weighting ----------------------------------------
+
+
+class TestImportanceScores:
+    def test_target_like_docs_score_higher(self, spark):
+        from recover_spark.ops.sampling import importance_scores
+
+        rows = [
+            (1, "the quick brown fox jumps", "en"),
+            (2, "the quick brown dog runs", "en"),
+            (3, "foo bar baz foo bar", "xx"),
+            (4, "the quick brown cat sits", "en"),
+            (5, "foo bar qux", "xx"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = {
+            r["doc_id"]: r["importance"]
+            for r in importance_scores(
+                docs, F.col("lang") == "en", vocab_size=50
+            ).collect()
+        }
+        assert min(out[1], out[2], out[4]) > max(out[3], out[5])
+
+    def test_short_and_empty_docs_are_absent_not_fatal(self, spark):
+        from recover_spark.ops.sampling import importance_scores
+
+        rows = [
+            (1, "alpha beta gamma", "en"),
+            (2, "solo", "en"),          # 1 token -> no bigram
+            (3, "", "en"),              # empty -> empty token array
+            (4, "  \t ", "xx"),         # whitespace only
+            (5, "alpha beta delta", "xx"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        got = importance_scores(docs, F.col("lang") == "en").collect()
+        assert {r["doc_id"] for r in got} == {1, 5}
