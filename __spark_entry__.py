@@ -3336,6 +3336,22 @@ def q_sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (ops/bpe.py:train_bpe): the
+    corpus is scanned ONCE into a word-frequency table, then each of
+    the 12 merge iterations is a symbol-pair aggregate over that
+    |vocab|-sized table (map-side pair explode, deterministic argmax
+    with the weight-desc/pair-asc tie rule) plus a map-side fold
+    applying the merge — lineage truncated via localCheckpoint.  No
+    SQL twin (iterative, data-dependent argmax per step): rows-only
+    driver check; exact-parity pin vs an independent pure-Python
+    trainer lives in tests/test_bpe.py."""
+    from recover_spark.ops.bpe import train_bpe
+
+    docs = _load(spark, sf_dir, "documents")
+    return train_bpe(docs, num_merges=12).orderBy("iteration")
+
+
 def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level distinct-user rollup via mergeable HLL sketches
     (operators/analytics.py:approx_distinct_rollup): daily sketches
@@ -3373,6 +3389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_zonemap": q_scan_zonemap,
         "text_bm25": q_text_bm25,
         "sample_importance": q_sample_importance,
+        "text_bpe_train": q_text_bpe_train,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "win_rank_dist": q_win_rank_dist,

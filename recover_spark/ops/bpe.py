@@ -1,0 +1,168 @@
+"""Distributed BPE (byte-pair-encoding) tokenizer training.
+
+The training-data pipeline's missing tokenizer piece: learn the merge
+table FROM the corpus, on the cluster, instead of shipping text to a
+single-node trainer.  Same algorithm family as the standard BPE
+trainers (Sennrich et al. 2016; HuggingFace tokenizers): start from
+character sequences, repeatedly merge the most frequent adjacent
+symbol pair.
+
+The scale insight every real BPE trainer uses: after ONE corpus pass
+for word counts, training operates on the WORD-FREQUENCY table
+(|vocab| rows, each weighted by its count) — the 100 TB corpus is
+touched exactly once.  Per merge iteration:
+
+- adjacent-pair counts explode map-side from each word's symbol array
+  (weighted by the word count) into a symbol-pair-sized aggregate with
+  map-side partials;
+- the winning pair is a deterministic TakeOrdered(1) (weight desc,
+  pair asc — the tie rule is part of the contract so training is
+  reproducible across engines, partitionings, and replays);
+- the merge applies map-side as a left-to-right fold over each symbol
+  array (``F.aggregate`` — greedy single-pass semantics, exactly the
+  classic algorithm), no shuffle;
+- the word table is cached per iteration and localCheckpoint()ed every
+  ``checkpoint_every`` merges so lineage depth stays bounded over long
+  trainings.
+
+No oracle SQL twin: the training loop is iterative with a data-dependent
+argmax per step — the correctness pin is an exact-equality pytest
+against a pure-Python reference trainer (tests/test_bpe.py), including
+the tie rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from recover_spark.functions.text import tokens
+
+# end-of-word sentinel (not a lowercase letter/digit so it can never
+# collide with a real symbol produced by tokens())
+EOW = "</w>"
+
+
+def _merge_pair_expr(symbols: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right single-pass merge of adjacent (left, right)
+    into one symbol — the classic BPE apply step as a fold:
+    acc ++ [s], except when last(acc)==left and s==right, where the
+    last element is replaced by left||right.  After a merge the new
+    last element is the MERGED symbol, so overlapping occurrences
+    ("aaa" under (a,a)) merge non-overlapping left-to-right, exactly
+    like the reference implementations."""
+    l, r = F.lit(left), F.lit(right)
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == l)
+            & (s == r),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(l, r)),
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def word_frequency_table(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """ONE corpus pass: (word, weight) with each word as its initial
+    character-symbol array plus the end-of-word sentinel."""
+    words = docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("weight"))
+    return counts.select(
+        "word",
+        "weight",
+        F.concat(
+            F.split(F.col("word"), ""), F.array(F.lit(EOW))
+        ).alias("symbols"),
+    )
+
+
+def train_bpe(
+    docs: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    min_pair_weight: int = 2,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Learn ``num_merges`` BPE merges from the corpus.
+
+    Returns the merge table (iteration, left, right, merged, weight) in
+    learning order — the artifact a tokenizer ships.  Stops early when
+    no remaining pair reaches ``min_pair_weight``.
+    """
+    spark = docs.sparkSession
+    words = word_frequency_table(docs, text_col).cache()
+    words.count()  # materialize before the loop
+    merges: list[tuple[int, str, str, str, int]] = []
+    current = words
+    try:
+        for it in range(num_merges):
+            pairs = (
+                current.select(
+                    "weight",
+                    F.expr(
+                        "transform(slice(symbols, 1,"
+                        " greatest(0, size(symbols) - 1)),"
+                        " (s, i) -> named_struct('l', s, 'r', symbols[i + 1]))"
+                    ).alias("__pairs"),
+                )
+                .select("weight", F.explode("__pairs").alias("p"))
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("weight").alias("w"))
+            )
+            top = (
+                pairs.orderBy(F.desc("w"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["w"] < min_pair_weight:
+                break
+            left, right, weight = top[0]["l"], top[0]["r"], int(top[0]["w"])
+            merges.append((it, left, right, left + right, weight))
+            nxt = current.withColumn(
+                "symbols", _merge_pair_expr(F.col("symbols"), left, right)
+            ).cache()
+            if (it + 1) % checkpoint_every == 0:
+                # truncate lineage: K chained array-fold projections
+                # otherwise stack up in every subsequent job
+                nxt = nxt.localCheckpoint(eager=True)
+            else:
+                nxt.count()
+            current.unpersist()
+            current = nxt
+    finally:
+        current.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "iteration int, left string, right string, merged string, weight long",
+    )
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize ``text_col`` with a learned merge list (in order) —
+    map-side only: per word, the merge rules fold over the symbol
+    array one after another.  Intended for modest merge counts (the
+    expression nests one fold per rule); a production encoder would
+    compile the rules into a vectorized Pandas UDF once the table is
+    large."""
+    word_syms = F.expr(
+        "transform(__words, w -> concat(split(w, ''), array('" + EOW + "')))"
+    )
+    out = df.withColumn("__words", tokens(F.col(text_col))).withColumn(
+        "__syms", word_syms
+    )
+    col = F.col("__syms")
+    for left, right in merges:
+        col = F.transform(col, lambda s: _merge_pair_expr(s, left, right))
+    return out.withColumn(out_col, F.flatten(col)).drop("__words", "__syms")

@@ -1,0 +1,122 @@
+"""Distributed BPE training vs an independent pure-Python reference."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+
+from recover_spark.ops.bpe import EOW, apply_bpe, train_bpe
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest newest",
+    "newest newest newest widest widest",
+    "the new west is the widest west",
+]
+
+
+def _py_tokens(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9']+", text.lower()) if t]
+
+
+def _py_train(texts: list[str], num_merges: int, min_weight: int = 2):
+    """Independent reference trainer (classic dict-of-words BPE)."""
+    vocab = Counter()
+    for t in texts:
+        vocab.update(_py_tokens(t))
+    words = {w: list(w) + [EOW] for w in vocab}
+    merges = []
+    for it in range(num_merges):
+        pair_w = Counter()
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_w[(a, b)] += vocab[w]
+        if not pair_w:
+            break
+        # tie rule: weight desc, then (left, right) asc
+        (l, r), wgt = min(
+            pair_w.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if wgt < min_weight:
+            break
+        merges.append((it, l, r, l + r, wgt))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges, words
+
+
+def _py_encode(text: str, merges) -> list[str]:
+    toks = []
+    for w in _py_tokens(text):
+        syms = list(w) + [EOW]
+        for _, l, r, _, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        toks.extend(syms)
+    return toks
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id long, text string"
+    )
+
+
+def test_trained_merges_match_reference_exactly(spark, docs):
+    expected, _ = _py_train(CORPUS, 12)
+    got = [
+        (r["iteration"], r["left"], r["right"], r["merged"], r["weight"])
+        for r in train_bpe(docs, 12, checkpoint_every=4)
+        .orderBy("iteration")
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_early_stop_below_min_weight(spark, docs):
+    # absurdly high threshold: nothing merges
+    assert train_bpe(docs, 5, min_pair_weight=10_000).count() == 0
+
+
+def test_apply_bpe_matches_reference_encoder(spark, docs):
+    merges_rows = (
+        train_bpe(docs, 8, checkpoint_every=3).orderBy("iteration").collect()
+    )
+    merges = [(r["left"], r["right"]) for r in merges_rows]
+    full = [
+        (r["iteration"], r["left"], r["right"], r["merged"], r["weight"])
+        for r in merges_rows
+    ]
+    encoded = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in apply_bpe(docs, merges).collect()
+    }
+    for i, text in enumerate(CORPUS):
+        assert encoded[i] == _py_encode(text, full), text
+
+
+def test_greedy_overlap_semantics(spark):
+    # "aaaa" under merge (a,a): non-overlapping left-to-right -> [aa, aa]
+    df = spark.createDataFrame([(1, "aaaa aaaa aaaa")], "id long, text string")
+    merges = train_bpe(df, 1).collect()
+    assert [(m["left"], m["right"]) for m in merges] == [("a", "a")]
+    enc = apply_bpe(df, [("a", "a")]).collect()[0]["bpe_tokens"]
+    assert enc == ["aa", "aa", EOW] * 3
