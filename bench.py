@@ -65,6 +65,12 @@ HEADLINE = [
     "ts_anomaly_chunked",
     "link_records",
     "win_global_rownum",
+    # round 5: storage-layout and training-data additions
+    "join_bucketed",
+    "scan_zonemap",
+    "text_bm25",
+    "sample_importance",
+    "text_bpe_train",
 ]
 
 

@@ -107,9 +107,14 @@ def train_bpe(
                 current.select(
                     "weight",
                     F.expr(
-                        "transform(slice(symbols, 1,"
-                        " greatest(0, size(symbols) - 1)),"
-                        " (s, i) -> named_struct('l', s, 'r', symbols[i + 1]))"
+                        # adjacent pairs as a zip of the symbol array
+                        # with its own 1-shift — element-wise, unlike
+                        # an indexed transform re-entering the outer
+                        # array per element (~20x slower interpreted)
+                        "zip_with("
+                        " slice(symbols, 1, greatest(0, size(symbols) - 1)),"
+                        " slice(symbols, 2, greatest(0, size(symbols) - 1)),"
+                        " (a, b) -> named_struct('l', a, 'r', b))"
                     ).alias("__pairs"),
                 )
                 .select("weight", F.explode("__pairs").alias("p"))
