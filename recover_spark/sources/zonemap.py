@@ -187,8 +187,31 @@ def read_pruned(
     with open(target) as fh:
         manifest = json.load(fh)
     entries = manifest["files"]
-    kept = [e["file"] for e in entries if _file_may_match(e, bounds)]
-    report = {"files_total": len(entries), "files_read": len(kept)}
+    # Staleness reconciliation — the manifest is advisory, never
+    # authoritative over the directory:
+    # - a manifest entry whose file is GONE means the dataset was
+    #   rewritten under us; pruning against dead stats could skip live
+    #   data, so fall back to the full scan (performance cost only);
+    # - a directory file ABSENT from the manifest (appended since the
+    #   build) has no stats and is always scanned — skipping it would
+    #   silently drop rows, the exact hole the superset guarantee
+    #   forbids.
+    current = {
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    }
+    known = {e["file"] for e in entries}
+    if known - current:
+        df = spark.read.parquet(path)
+        return _apply_bounds(df, bounds), {
+            "files_total": len(current),
+            "files_read": len(current),
+            "stale_manifest": True,
+        }
+    unknown = sorted(current - known)
+    kept = [e["file"] for e in entries if _file_may_match(e, bounds)] + unknown
+    report = {"files_total": len(current), "files_read": len(kept)}
     if not kept:
         # empty-by-pruning: preserve the schema via a zero-file read of
         # the full directory's schema, filtered to nothing

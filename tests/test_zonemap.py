@@ -83,3 +83,41 @@ def test_untracked_column_does_not_prune(spark, tmp_path):
     # no stats for tag -> every file kept, filter still applied
     assert report["files_read"] == report["files_total"]
     assert pruned.count() == 2000
+
+
+def test_appended_files_without_stats_are_always_scanned(spark, tmp_path):
+    """Superset guarantee across manifest staleness: rows appended
+    AFTER the manifest build must still appear."""
+    path = str(tmp_path / "ds")
+    _clustered(spark, path, n=1000, files=4)
+    build_zonemap(spark, path, ["v"])
+    late = spark.createDataFrame([(50_000, 150, "9")], "k long, v long, tag string")
+    late.coalesce(1).write.mode("append").parquet(path)
+    pruned, report = read_pruned(spark, path, {"v": (100, 199)})
+    ks = {r["k"] for r in pruned.collect()}
+    assert 50_000 in ks
+    assert ks == set(range(100, 200)) | {50_000}
+    # the unknown file is read, but known out-of-range files still prune
+    assert report["files_read"] < report["files_total"]
+
+
+def test_rewritten_dataset_falls_back_to_full_scan(spark, tmp_path):
+    """A manifest entry whose file is gone (partial rewrite/compaction
+    under a live manifest) means the stats are dead — read_pruned must
+    refuse to prune and scan everything that exists now.  (A full
+    overwrite deletes the manifest sidecar too, which lands in the
+    simpler missing-manifest fallback.)"""
+    import glob
+    import os
+
+    path = str(tmp_path / "ds")
+    _clustered(spark, path, n=1000, files=4)
+    build_zonemap(spark, path, ["v"])
+    victim = sorted(glob.glob(path + "/*.parquet"))[0]
+    removed = (
+        spark.read.parquet(victim).count()
+    )
+    os.remove(victim)
+    pruned, report = read_pruned(spark, path, {"v": (0, 1_000_000)})
+    assert report.get("stale_manifest") is True
+    assert pruned.count() == 1000 - removed
