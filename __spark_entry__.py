@@ -3352,6 +3352,23 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_bpe(docs, num_merges=12).orderBy("iteration")
 
 
+def q_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination (ops/decontam.py:fuzzy_benchmark_overlap):
+    corpus documents that are MinHash near-duplicates of a held-out
+    benchmark slice (doc_id % 5 == 0) — catches paraphrased
+    contamination exact n-gram matching misses.  The benchmark's band
+    digests broadcast into the corpus band entries (LSH equi-join,
+    never all-pairs); the corpus is never self-joined or collected."""
+    from recover_spark.ops.decontam import fuzzy_benchmark_overlap
+
+    docs = _load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    bench = docs.filter(F.col("doc_id") % 5 == 0)
+    return fuzzy_benchmark_overlap(
+        corpus, bench, min_signature_agreement=0.25
+    )
+
+
 def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level distinct-user rollup via mergeable HLL sketches
     (operators/analytics.py:approx_distinct_rollup): daily sketches
@@ -3390,6 +3407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": q_text_bm25,
         "sample_importance": q_sample_importance,
         "text_bpe_train": q_text_bpe_train,
+        "decontam_fuzzy": q_decontam_fuzzy,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "win_rank_dist": q_win_rank_dist,
@@ -3629,6 +3647,51 @@ def _minhash_sql(num_hashes: int = 4) -> str:
     return (
         f"WITH {_TOKS_CTE}, {_GRAMS3_CTE} "
         f"SELECT doc_id, {mins} FROM grams GROUP BY doc_id"
+    )
+
+
+def _fuzzy_decontam_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_agreement: float = 0.25,
+    mod: int = 97,
+) -> str:
+    rows = num_hashes // bands
+    mins = ", ".join(
+        "MIN({h}) AS mh_{i}".format(
+            h=_h64("concat('mh{i}', '|', shingle)".format(i=i)), i=i
+        )
+        for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_hash "
+        "FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return (
+        f"WITH {_TOKS_CTE}, {_GRAMS3_CTE}, "
+        f"sigs AS (SELECT doc_id, {mins} FROM grams GROUP BY doc_id), "
+        f"bandsall AS ({band_selects}), "
+        f"pairs AS (SELECT DISTINCT c.doc_id AS doc_id, "
+        f"b.doc_id AS bench_id "
+        f"FROM bandsall c JOIN bandsall b "
+        f"ON c.band = b.band AND c.band_hash = b.band_hash "
+        f"WHERE c.doc_id % {mod} <> 0 AND b.doc_id % {mod} = 0) "
+        f"SELECT doc_id, bench_id, signature_agreement "
+        f"FROM (SELECT p.doc_id, p.bench_id, "
+        f"({agree}) / {num_hashes}.0 AS signature_agreement "
+        f"FROM pairs p JOIN sigs sa ON p.doc_id = sa.doc_id "
+        f"JOIN sigs sb ON p.bench_id = sb.doc_id) "
+        f"WHERE signature_agreement >= {min_agreement}"
     )
 
 
@@ -4112,6 +4175,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "dedup_minhash": _minhash_sql(4),
         "dedup_minhash_lsh": _minhash_lsh_sql(16, 4, 0.5),
+        "decontam_fuzzy": _fuzzy_decontam_sql(16, 4, 0.25, 5),
         "dedup_clusters": f"""
             WITH RECURSIVE {_TOKS_CTE}, {_GRAMS3_CTE},
             rare AS (SELECT shingle FROM grams

@@ -65,3 +65,69 @@ def benchmark_ngram_hits(
             .alias("contaminated"),
         )
     )
+
+
+def fuzzy_benchmark_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    min_signature_agreement: float = 0.5,
+) -> DataFrame:
+    """Fuzzy decontamination: corpus documents that are NEAR-duplicates
+    of benchmark documents (MinHash-estimated Jaccard), catching the
+    paraphrased / lightly-edited contamination that exact n-gram
+    matching (benchmark_ngram_hits) misses — the hygiene step current
+    LLM data pipelines layer on top of the GPT-3-style exact rule.
+
+    Same asymmetry as the exact path: the benchmark side is tiny, so
+    its (band, digest) entries BROADCAST into the corpus's band
+    entries — the corpus computes signatures map-side (one doc-keyed
+    shuffle for the min-aggregation), joins the broadcast bands
+    without moving, and is never self-joined or collected.  Candidate
+    generation is the standard LSH band equi-join (ops/dedup_text.py),
+    never all-pairs.
+
+    Returns (corpus id, bench_id, signature_agreement) for pairs at or
+    above ``min_signature_agreement`` — one row per contaminated
+    (corpus doc, benchmark doc) pair.
+    """
+    from recover_spark.ops.dedup_text import band_digests, minhash_signatures
+
+    bench_id = bench_id_col or id_col
+    sig_c = minhash_signatures(
+        corpus, text_col, id_col, num_hashes, shingle_size
+    )
+    sig_b = minhash_signatures(
+        benchmark, text_col, bench_id, num_hashes, shingle_size
+    )
+    bd_c = band_digests(sig_c, id_col, num_hashes, bands)
+    bd_b = band_digests(sig_b, bench_id, num_hashes, bands).select(
+        F.col(bench_id).alias("bench_id"),
+        F.col("minhash").alias("mh_b"),
+        "band",
+        "band_hash",
+    )
+    pairs = (
+        bd_c.join(F.broadcast(bd_b), on=["band", "band_hash"])
+        .select(id_col, "bench_id", "minhash", "mh_b")
+        .distinct()
+    )
+    agreement = (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.col("minhash"), F.col("mh_b"), lambda x, y: x == y
+                ),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(float(num_hashes))
+    ).alias("signature_agreement")
+    return pairs.select(id_col, "bench_id", agreement).filter(
+        F.col("signature_agreement") >= min_signature_agreement
+    )

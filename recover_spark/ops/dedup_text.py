@@ -97,29 +97,18 @@ def minhash_signatures(
     )
 
 
-def minhash_near_duplicates(
-    df: DataFrame,
-    text_col: str = "text",
+def band_digests(
+    sig: DataFrame,
     id_col: str = "doc_id",
     num_hashes: int = 16,
     bands: int = 4,
-    shingle_size: int = 3,
-    min_signature_agreement: float | None = None,
 ) -> DataFrame:
-    """MinHash+LSH candidate near-duplicate pairs.
-
-    Signature -> ``bands`` bands of ``num_hashes/bands`` rows; docs
-    sharing any band bucket become a candidate pair (equi-join on the
-    band digest — the LSH trick that avoids O(n^2)).  Pairs are then
-    scored by full-signature agreement (estimated Jaccard) and
-    optionally filtered.
-
-    Returns (id_a, id_b, signature_agreement) with id_a < id_b.
-    """
+    """LSH banding over a minhash signature table: one row per (doc,
+    band) with the band's digest — the equi-join key that replaces the
+    all-pairs comparison.  Map-side only (posexplode of ``bands``
+    digests per row)."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
-
-    band_entries = sig.select(
+    return sig.select(
         F.col(id_col),
         F.col("minhash"),
         F.posexplode(
@@ -139,6 +128,29 @@ def minhash_near_duplicates(
             )
         ).alias("band", "band_hash"),
     )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    min_signature_agreement: float | None = None,
+) -> DataFrame:
+    """MinHash+LSH candidate near-duplicate pairs.
+
+    Signature -> ``bands`` bands of ``num_hashes/bands`` rows; docs
+    sharing any band bucket become a candidate pair (equi-join on the
+    band digest — the LSH trick that avoids O(n^2)).  Pairs are then
+    scored by full-signature agreement (estimated Jaccard) and
+    optionally filtered.
+
+    Returns (id_a, id_b, signature_agreement) with id_a < id_b.
+    """
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    band_entries = band_digests(sig, id_col, num_hashes, bands)
 
     a = band_entries.select(
         F.col(id_col).alias("id_a"), F.col("minhash").alias("mh_a"), "band", "band_hash"

@@ -626,3 +626,35 @@ class TestImportanceScores:
         docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
         got = importance_scores(docs, F.col("lang") == "en").collect()
         assert {r["doc_id"] for r in got} == {1, 5}
+
+
+# -- fuzzy decontamination --------------------------------------------------
+
+
+class TestFuzzyDecontam:
+    def test_near_copy_flagged_unrelated_not(self, spark):
+        from recover_spark.ops.decontam import fuzzy_benchmark_overlap
+
+        base = (
+            "the quick brown fox jumps over the lazy dog while the "
+            "patient grey owl watches from the tall oak tree near the "
+            "quiet river bank in the early morning light"
+        )
+        bench = spark.createDataFrame(
+            [(100, base)], "doc_id long, text string"
+        )
+        corpus = spark.createDataFrame(
+            [
+                # near-copy: one appended word, ~94% shingle overlap --
+                # comfortably above the 4x4-band LSH threshold
+                (1, base + " today"),
+                # unrelated
+                (2, "completely different subject matter entirely here now"),
+            ],
+            "doc_id long, text string",
+        )
+        got = fuzzy_benchmark_overlap(
+            corpus, bench, min_signature_agreement=0.5
+        ).collect()
+        assert [(r["doc_id"], r["bench_id"]) for r in got] == [(1, 100)]
+        assert got[0]["signature_agreement"] >= 0.5
