@@ -70,22 +70,25 @@ def write_bucketed(
 ) -> None:
     """Persist ``df`` bucketed (and optionally sorted) by the join keys.
 
-    Joins between two tables bucketed with the SAME keys and bucket
-    count are planned without any Exchange — the shuffle is paid once at
-    write time and amortized over every later join/aggregate on those
-    keys.  (Parquet + metastore table; Spark's bucketing requires
-    ``saveAsTable``.)
-    """
-    writer = df.write.mode(mode).format("parquet").bucketBy(
-        num_buckets, *bucket_cols
+    Thin front for the canonical implementation in
+    ``sources/bucketed.py:write_bucketed_table`` (which also enforces
+    the one-file-per-bucket invariant that makes the written sort order
+    trustable)."""
+    from recover_spark.sources.bucketed import write_bucketed_table
+
+    write_bucketed_table(
+        df, table, bucket_cols, num_buckets, sort_cols=sort_cols, mode=mode
     )
-    if sort_cols:
-        writer = writer.sortBy(*sort_cols)
-    writer.saveAsTable(table)
 
 
 def bucketed_join(
     spark: SparkSession, left_table: str, right_table: str, on: Sequence[str], how: str = "inner"
 ) -> DataFrame:
-    """Join two bucketed tables on their bucket keys (shuffle-free)."""
-    return spark.table(left_table).join(spark.table(right_table), on=list(on), how=how)
+    """Join two bucketed tables on their bucket keys (shuffle-free).
+
+    Delegates to ``sources/bucketed.py:colocated_join`` — SortMergeJoin
+    pinned via merge hint, zero Exchange with matching bucket layouts.
+    """
+    from recover_spark.sources.bucketed import colocated_join
+
+    return colocated_join(spark, left_table, right_table, on=list(on), how=how)
