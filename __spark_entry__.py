@@ -3369,6 +3369,21 @@ def q_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM fluency with Stupid Backoff (ops/text_analysis.py:
+    bigram_logprob_scores): every document scored under a bigram model
+    FIT ON the English slice — unseen bigrams back off to the add-k
+    smoothed unigram (alpha=0.4), so out-of-domain text scores low but
+    finite.  Model tables shuffle at vocabulary size; scoring is
+    left-joins on term keys plus one doc-keyed re-aggregation."""
+    from recover_spark.ops.text_analysis import bigram_logprob_scores
+
+    docs = _load(spark, sf_dir, "documents")
+    return bigram_logprob_scores(
+        docs, model_docs=docs.filter(F.col("lang") == "en")
+    )
+
+
 def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level distinct-user rollup via mergeable HLL sketches
     (operators/analytics.py:approx_distinct_rollup): daily sketches
@@ -3408,6 +3423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_importance": q_sample_importance,
         "text_bpe_train": q_text_bpe_train,
         "decontam_fuzzy": q_decontam_fuzzy,
+        "text_lm_bigram": q_text_lm_bigram,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "win_rank_dist": q_win_rank_dist,
@@ -4614,6 +4630,52 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_feats,
                    round(avg(w), 6) AS importance
             FROM exploded JOIN weights USING (feat)
+            GROUP BY doc_id
+        """,
+        "text_lm_bigram": """
+            WITH toked AS (
+                SELECT doc_id, lang,
+                       list_filter(regexp_split_to_array(lower(text),
+                                   '[^a-z0-9'']+'), t -> t <> '') AS toks
+                FROM documents
+            ),
+            model_uni AS (
+                SELECT u.tok AS w, count(*) AS uc
+                FROM toked, UNNEST(toks) AS u(tok)
+                WHERE lang = 'en'
+                GROUP BY u.tok
+            ),
+            totals AS (SELECT sum(uc) AS n, count(*) AS v FROM model_uni),
+            model_bi AS (
+                SELECT toks[i] AS w1, toks[i + 1] AS w2, count(*) AS bc
+                FROM toked,
+                     UNNEST(generate_series(1, len(toks) - 1)) AS s(i)
+                WHERE lang = 'en' AND len(toks) >= 2
+                GROUP BY toks[i], toks[i + 1]
+            ),
+            doc_bi AS (
+                SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+                FROM toked,
+                     UNNEST(generate_series(1, len(toks) - 1)) AS s(i)
+                WHERE len(toks) >= 2
+            ),
+            scored AS (
+                SELECT d.doc_id,
+                       CASE WHEN mb.bc IS NOT NULL
+                            THEN ln(mb.bc * 1.0 / u1.uc)
+                            ELSE ln(0.4 * (coalesce(u2.uc, 0) + 0.5)
+                                    / (t.n + 0.5 * t.v))
+                       END AS lp
+                FROM doc_bi d
+                LEFT JOIN model_bi mb ON d.w1 = mb.w1 AND d.w2 = mb.w2
+                LEFT JOIN model_uni u1 ON d.w1 = u1.w
+                LEFT JOIN model_uni u2 ON d.w2 = u2.w
+                CROSS JOIN totals t
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(lp), 6) AS mean_logprob
+            FROM scored
             GROUP BY doc_id
         """,
         "s2_resolve_choice": """

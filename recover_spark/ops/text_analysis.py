@@ -639,3 +639,108 @@ def bm25_topk(
             "score",
         )
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    model_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-document mean log-probability under a bigram model with
+    Stupid Backoff (Brants et al. 2007, "Large Language Models in
+    Machine Translation"): score(w2|w1) = c(w1 w2)/c(w1) when the
+    model saw the bigram, else alpha * p_add-k(w2) — the web-scale
+    backoff that skips discount estimation entirely.  A sharper
+    fluency signal than the unigram score (unigram_logprob_scores):
+    scrambled word salad keeps its unigram score but collapses under
+    the bigram model.
+
+    ``model_docs`` is the corpus the model is FIT on (defaults to
+    ``df`` itself — self-scoring, where backoff never fires because
+    every scored bigram was counted).  Passing a held-out/trusted
+    slice gives the domain-shift scorer: bigrams the model corpus
+    never saw fall through to the add-k smoothed unigram backoff
+    (never -inf, even for fully out-of-vocabulary words).
+
+    Plan shape: bigrams build map-side (zip of the token array with
+    its own 1-shift); the model's bigram and unigram tables shuffle at
+    VOCABULARY size with map-side partials; scoring LEFT-joins the doc
+    bigram stream against those tables on term keys (Catalyst/AQE
+    broadcasts them while small) and re-aggregates per doc; the
+    (N, V) scalars ride a one-row broadcast.  No UDFs anywhere.
+
+    Output: (id, n_bigrams, mean_logprob rounded to 6).  Documents
+    with fewer than two tokens are absent (no bigram evidence).
+    """
+
+    def _doc_bigrams(frame: DataFrame, with_id: bool) -> DataFrame:
+        toked = frame.select(
+            *([F.col(id_col)] if with_id else []),
+            tokens(F.col(text_col)).alias("__t"),
+        )
+        return toked.select(
+            *([id_col] if with_id else []),
+            F.explode(
+                F.expr(
+                    "zip_with("
+                    " slice(__t, 1, greatest(0, size(__t) - 1)),"
+                    " slice(__t, 2, greatest(0, size(__t) - 1)),"
+                    " (a, b) -> named_struct('w1', a, 'w2', b))"
+                )
+            ).alias("bg"),
+        ).select(
+            *([id_col] if with_id else []),
+            F.col("bg.w1").alias("w1"),
+            F.col("bg.w2").alias("w2"),
+        )
+
+    model = model_docs if model_docs is not None else df
+    ucounts = (
+        model.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("uc"))
+    )
+    totals = ucounts.groupBy().agg(
+        F.sum("uc").alias("N"), F.count(F.lit(1)).alias("V")
+    )
+    bcounts = _doc_bigrams(model, with_id=False).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("bc")
+    )
+    k = float(smoothing)
+    scored = (
+        _doc_bigrams(df, with_id=True)
+        .join(bcounts, ["w1", "w2"], "left")
+        .join(
+            ucounts.select(F.col("w").alias("w1"), F.col("uc").alias("uc1")),
+            "w1",
+            "left",
+        )
+        .join(
+            ucounts.select(F.col("w").alias("w2"), F.col("uc").alias("uc2")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.when(
+                F.col("bc").isNotNull(),
+                F.log(F.col("bc") / F.col("uc1")),
+            )
+            .otherwise(
+                F.log(
+                    F.lit(float(alpha))
+                    * (F.coalesce(F.col("uc2"), F.lit(0)) + F.lit(k))
+                    / (F.col("N") + F.lit(k) * F.col("V"))
+                )
+            )
+            .alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("__lp"), 6).alias("mean_logprob"),
+    )

@@ -658,3 +658,59 @@ class TestFuzzyDecontam:
         ).collect()
         assert [(r["doc_id"], r["bench_id"]) for r in got] == [(1, 100)]
         assert got[0]["signature_agreement"] >= 0.5
+
+
+# -- bigram LM with Stupid Backoff ------------------------------------------
+
+
+class TestBigramLM:
+    def test_scrambled_text_scores_lower_than_fluent(self, spark):
+        """The signature property the unigram model cannot see: same
+        words, shuffled order -> same unigram score, lower bigram
+        score."""
+        from recover_spark.ops.text_analysis import bigram_logprob_scores
+
+        fluent = "the quick brown fox jumps over the lazy dog " * 4
+        scrambled = "dog the over quick lazy fox brown the jumps " * 4
+        model = spark.createDataFrame(
+            [(i, fluent) for i in range(20)], "doc_id long, text string"
+        )
+        scored_docs = spark.createDataFrame(
+            [(100, fluent), (200, scrambled)], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r["mean_logprob"]
+            for r in bigram_logprob_scores(
+                scored_docs, model_docs=model
+            ).collect()
+        }
+        assert out[100] > out[200]
+
+    def test_oov_backoff_is_finite(self, spark):
+        from recover_spark.ops.text_analysis import bigram_logprob_scores
+
+        model = spark.createDataFrame(
+            [(1, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        scored = spark.createDataFrame(
+            [(9, "zzz qqq www")], "doc_id long, text string"
+        )
+        rows = bigram_logprob_scores(scored, model_docs=model).collect()
+        assert len(rows) == 1
+        import math
+
+        assert math.isfinite(rows[0]["mean_logprob"])
+        assert rows[0]["n_bigrams"] == 2
+
+    def test_self_scoring_never_backs_off(self, spark):
+        """Self-fit model: every scored bigram was counted, so scores
+        are the pure conditional log-probs (all > backoff floor)."""
+        from recover_spark.ops.text_analysis import bigram_logprob_scores
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b a b"), (2, "a b c")], "doc_id long, text string"
+        )
+        out = {r["doc_id"]: r for r in bigram_logprob_scores(docs).collect()}
+        # doc 1: p(b|a)=1 except a<-b transitions: c(b,a)=2/c(b)=3
+        assert out[1]["n_bigrams"] == 5
+        assert out[2]["n_bigrams"] == 2
