@@ -306,6 +306,10 @@ def test_no_cartesian_product_across_query_surface(spark):
         "agg_regression", "agg_pareto", "path_transitions",
         "funnel_steps", "funnel_windowed", "retention_cohorts",
         "pipe_training_data",
+        # round 5 (text_bpe_train excluded: the training loop runs
+        # during construction; pinned by tests/test_bpe.py instead)
+        "join_bucketed", "scan_zonemap", "text_bm25",
+        "sample_importance", "text_lm_bigram", "decontam_fuzzy",
     ]
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"
