@@ -523,8 +523,12 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from recover_spark.functions.text import tokens
     from recover_spark.ops.text_analysis import language_id_from_tokens
 
+    from recover_spark.functions.transforms import materialize_columns
+
     docs = _load(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", tokens("text").alias("__toks"))
+    toked = materialize_columns(
+        docs.select("doc_id", "text"), {"__toks": tokens("text")}
+    )
     return toked.select(
         "doc_id", language_id_from_tokens(F.col("__toks")).alias("lang_guess")
     )
@@ -1413,10 +1417,15 @@ def q_pipe_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _load(spark, sf_dir, "documents")
-    # tokenize ONCE: the materialized column feeds langid and chunking
-    # (higher-order functions are interpreted with no CSE — repeating
-    # tokens(text) per consumer would re-pay the dominant map cost)
-    toked = docs.select("doc_id", "text", tokens("text").alias("__toks"))
+    # tokenize ONCE behind a Generate barrier: a plain aliased column
+    # is substituted back into every consumer (quality gate, langid,
+    # chunker) by CollapseProject/pushdown, re-paying the dominant map
+    # cost per reference — measured 4.6x wall-clock at sf1
+    from recover_spark.functions.transforms import materialize_columns
+
+    toked = materialize_columns(
+        docs.select("doc_id", "text"), {"__toks": tokens("text")}
+    )
     kept = toked.filter(
         quality_fail_reason(F.col("text"), tokens_col=F.col("__toks")).isNull()
         & (language_id_from_tokens(F.col("__toks")) == "en")
@@ -2437,8 +2446,12 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_ngram_fraction,
     )
 
+    from recover_spark.functions.transforms import materialize_columns
+
     docs = _load(spark, sf_dir, "documents")
-    toked = docs.select("doc_id", tokens("text").alias("__toks"))
+    toked = materialize_columns(
+        docs.select("doc_id", "text"), {"__toks": tokens("text")}
+    )
     return toked.select(
         "doc_id",
         F.round(dup_token_fraction(F.col("__toks")), 6).alias("dup_word_frac"),

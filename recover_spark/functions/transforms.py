@@ -276,3 +276,36 @@ def drop_synthetic_partitions(df: DataFrame, prefix: str = "partition_") -> Data
 def normalize_dataset_name(name: Column) -> Column:
     """P8 — lowercase, dots -> underscores (json_to_parquet.py:697)."""
     return F.lower(F.regexp_replace(name, r"\.", "_"))
+
+
+def materialize_columns(
+    df: DataFrame, exprs: Mapping[str, Column]
+) -> DataFrame:
+    """Evaluate expensive column expressions EXACTLY ONCE per row,
+    no matter how many downstream expressions reference them.
+
+    Catalyst substitutes projection aliases into their consumers
+    (CollapseProject / predicate pushdown), so a computed column like
+    ``tokens(text)`` referenced by several consumers — two ``slice``
+    arguments, a filter, a chunker — silently re-pays its full cost
+    per reference: measured 4-5x wall-clock on the bigram fan-out at
+    sf1.  Caching would fix it at the price of pinning a corpus-sized
+    dataset in memory — a non-starter at 100 TB.
+
+    This helper inserts a one-row Generate barrier instead:
+    ``explode(array(struct(<exprs>)))`` evaluates every expression
+    once and emits the results as GENERATOR OUTPUT attributes, which
+    the optimizer cannot substitute back into consumers.  Cardinality
+    and ordering are unchanged (the array always has exactly one
+    element); the added cost is one struct wrap per row.
+
+    Returns ``df`` with the named columns appended.
+    """
+    names = list(exprs)
+    packed = F.explode(
+        F.array(F.struct(*[exprs[n].alias(n) for n in names]))
+    ).alias("__mat")
+    out = df.select("*", packed)
+    for n in names:
+        out = out.withColumn(n, F.col("__mat")[n])
+    return out.drop("__mat")

@@ -255,12 +255,19 @@ def importance_scores(
     carry no evidence either way.
     """
     from recover_spark.functions.text import tokens
+    from recover_spark.functions.transforms import materialize_columns
 
-    # tokenize once into __t, then derive bigrams from it map-side
-    featized = docs.select(
-        F.col(id_col),
-        tokens(F.col(text_col)).alias("__t"),
-        target_pred.cast("boolean").alias("__is_target"),
+    # tokenize once into __t behind a Generate barrier (the zip below
+    # references __t four times; without the barrier Catalyst
+    # substitutes tokens(text) into every reference — measured 4x
+    # wall-clock on this exact fan-out), then derive bigrams map-side
+    featized = materialize_columns(
+        docs.select(
+            F.col(id_col),
+            F.col(text_col),
+            target_pred.cast("boolean").alias("__is_target"),
+        ),
+        {"__t": tokens(F.col(text_col))},
     ).select(
         id_col,
         F.expr(

@@ -677,9 +677,15 @@ def bigram_logprob_scores(
     """
 
     def _doc_bigrams(frame: DataFrame, with_id: bool) -> DataFrame:
-        toked = frame.select(
-            *([F.col(id_col)] if with_id else []),
-            tokens(F.col(text_col)).alias("__t"),
+        from recover_spark.functions.transforms import materialize_columns
+
+        # Generate barrier: the zip references __t four times; without
+        # it Catalyst substitutes tokens(text) into every reference
+        toked = materialize_columns(
+            frame.select(
+                *([F.col(id_col)] if with_id else []), F.col(text_col)
+            ),
+            {"__t": tokens(F.col(text_col))},
         )
         return toked.select(
             *([id_col] if with_id else []),

@@ -714,3 +714,34 @@ class TestBigramLM:
         # doc 1: p(b|a)=1 except a<-b transitions: c(b,a)=2/c(b)=3
         assert out[1]["n_bigrams"] == 5
         assert out[2]["n_bigrams"] == 2
+
+
+# -- materialize_columns CSE barrier ----------------------------------------
+
+
+class TestMaterializeColumns:
+    def test_values_and_cardinality_preserved(self, spark):
+        from recover_spark.functions.transforms import materialize_columns
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, ""), (3, "c d e")], "id long, text string"
+        )
+        from recover_spark.functions.text import tokens
+
+        out = materialize_columns(df, {"__t": tokens(F.col("text"))})
+        rows = {r["id"]: r["__t"] for r in out.collect()}
+        assert rows == {1: ["a", "b"], 2: [], 3: ["c", "d", "e"]}
+        assert out.columns == ["id", "text", "__t"]
+
+    def test_plan_has_generate_barrier(self, spark):
+        from recover_spark.functions.text import tokens
+        from recover_spark.functions.transforms import materialize_columns
+
+        df = spark.createDataFrame([(1, "a b c")], "id long, text string")
+        out = materialize_columns(df, {"__t": tokens(F.col("text"))}).select(
+            F.size("__t").alias("a"), F.size("__t").alias("b")
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the expensive expression lives in exactly ONE Generate node;
+        # consumers reference its output attribute
+        assert plan.count("filter(split(") == 1, plan
