@@ -235,16 +235,19 @@ def importance_scores(
     (count desc, bigram asc) — same estimator family, reproducible
     bit-for-bit in any SQL engine.
 
-    Plan shape at 100 TB (two corpus passes, like any DSIR fit+score):
-    - bigrams are built MAP-SIDE with a higher-order ``transform`` over
-      the token array (no positional self-join — that would shuffle the
+    Plan shape at 100 TB (ONE corpus pass for fit AND score):
+    - bigrams are built MAP-SIDE by zipping the token array with its
+      own 1-shift (no positional self-join — that would shuffle the
       corpus to pair adjacent tokens);
-    - ONE vocabulary-size shuffle computes raw and target counts
-      together (the target count is a conditional sum in the same
-      aggregate, not a second job);
+    - one corpus shuffle lands the doc-feature aggregate, which is
+      pinned (lazy localCheckpoint) and feeds both the vocabulary fit
+      (raw and target counts come out of the SAME aggregate as a
+      conditional sum) and the scoring pass — an unpinned diamond
+      would re-tokenize and re-shuffle the corpus twice, since Spark
+      does not reuse exchanges across differently-pruned branches;
     - top-V selection is a TakeOrdered (no global sort), and V feature
-      weights broadcast back into the scoring pass, which is map-side
-      until the final doc-keyed mean;
+      weights broadcast back into the scoring pass (occurrence-weighted
+      mean — identical to averaging over the exploded stream);
     - (R, T) normalizers ride a one-row broadcast.
 
     Output: (id, n_feats, importance) for every document with at least
@@ -287,9 +290,24 @@ def importance_scores(
     exploded = featized.select(
         id_col, "__is_target", F.explode("__feats").alias("feat")
     )
-    counts = exploded.groupBy("feat").agg(
-        F.count(F.lit(1)).alias("raw_n"),
-        F.sum(F.when(F.col("__is_target"), 1).otherwise(0)).alias("tgt_n"),
+    # ONE corpus shuffle into the doc-feature aggregate, then pin it:
+    # it feeds both the vocabulary fit and the scoring pass, and Spark
+    # does not reuse the exchange across the two pruned branches — an
+    # unpinned diamond re-tokenizes and re-shuffles the corpus twice.
+    # The aggregate is vocabulary-dense, far smaller than the corpus.
+    dtf = (
+        exploded.groupBy(id_col, "feat")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.max("__is_target").alias("__is_target"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    counts = dtf.groupBy("feat").agg(
+        F.sum("__c").alias("raw_n"),
+        F.sum(F.when(F.col("__is_target"), F.col("__c")).otherwise(0)).alias(
+            "tgt_n"
+        ),
     )
     vocab = counts.orderBy(
         F.desc("raw_n"), F.asc("feat")
@@ -312,10 +330,13 @@ def importance_scores(
         ).alias("__w"),
     )
     return (
-        exploded.join(F.broadcast(weights), "feat")
+        dtf.join(F.broadcast(weights), "feat")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.round(F.avg("__w"), 6).alias("importance"),
+            F.sum("__c").alias("n_feats"),
+            # occurrence-weighted mean == avg over the exploded stream
+            F.round(
+                F.sum(F.col("__c") * F.col("__w")) / F.sum("__c"), 6
+            ).alias("importance"),
         )
     )

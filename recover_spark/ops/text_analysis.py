@@ -329,25 +329,40 @@ def tfidf_top_terms(
     id_col: str = "doc_id",
     tokens_col: str = "__toks",
     k: int = 3,
+    materialize_tf: bool = True,
 ) -> DataFrame:
     """Top-k TF-IDF terms per document (smoothed sklearn-style idf:
     ln((1+N)/(1+df)) + 1).
 
     Plan shape (the canonical distributed TF-IDF): one shuffle on
     (doc, term) builds term frequencies with map-side partial counts;
-    document frequency reuses THAT aggregate (exchange reuse — the raw
-    corpus is scanned once); N is a one-row broadcast, never a driver
-    collect.  The idf join key is ``term`` — left to Catalyst/AQE,
-    which broadcasts while the vocabulary is small and shuffles when it
-    is not (a forced broadcast would OOM on an open-vocab corpus).
-    Scores are ROUNDED before ranking so the (score desc, term asc)
-    order — and therefore top-k membership — is reproducible across
-    engines regardless of libm ulp differences in ``ln``.
+    document frequency and the score probe both consume THAT aggregate.
+    The tf table is a DIAMOND (two consumers), and Spark will NOT reuse
+    the exchange between them — column pruning makes the two subtrees
+    canonically different, so without intervention the corpus is
+    tokenized, exploded, and shuffled twice (measured: both branches
+    re-scan).  ``materialize_tf`` (default) pins tf with a lazy
+    localCheckpoint: ONE corpus pass, both consumers read the
+    materialized partitions — the aggregated tf is vocabulary-dense and
+    far smaller than the raw corpus, which is exactly the artifact a
+    100 TB pipeline wants to pay for once.  Skew note: df comes from a
+    groupBy (map-side partials), NEVER a window over ``term`` — a
+    Zipfian hot term would make one window partition corpus-sized.
+
+    N is a one-row broadcast, never a driver collect.  The idf join key
+    is ``term`` — left to Catalyst/AQE, which broadcasts while the
+    vocabulary is small and shuffles when it is not (a forced broadcast
+    would OOM on an open-vocab corpus).  Scores are ROUNDED before
+    ranking so the (score desc, term asc) order — and therefore top-k
+    membership — is reproducible across engines regardless of libm ulp
+    differences in ``ln``.
     """
     from pyspark.sql import Window
 
     exploded = docs.select(id_col, F.explode(tokens_col).alias("term"))
     tf = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if materialize_tf:
+        tf = tf.localCheckpoint(eager=False)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("__n"))
     idf = dfreq.crossJoin(F.broadcast(n_docs)).select(
@@ -554,6 +569,7 @@ def bm25_topk(
     b: float = 0.75,
     k: int = 5,
     max_query_terms: int = 100_000,
+    materialize_tf: bool = True,
 ) -> DataFrame:
     """Okapi BM25 retrieval: top-k documents per query with the
     Lucene-style non-negative idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``.
@@ -595,6 +611,12 @@ def bm25_topk(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if materialize_tf:
+        # tf feeds THREE consumers (doclen, df, postings); exchange
+        # reuse does not fire across the pruned branches, so pin the
+        # vocabulary-dense aggregate once instead of re-shuffling the
+        # corpus three times (same diamond as tfidf_top_terms)
+        tf = tf.localCheckpoint(eager=False)
     doclen = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     corpus = doclen.groupBy().agg(
