@@ -535,15 +535,29 @@ def unigram_logprob_scores(
     toks = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    # ONE corpus shuffle into the doc-token aggregate, pinned: it
+    # feeds both the frequency fit and the scoring pass (Spark does
+    # not reuse exchanges across differently-pruned branches — an
+    # unpinned diamond re-tokenizes the corpus per consumer)
+    dtf = (
+        toks.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    freq = (
+        dtf.groupBy("tok")
+        .agg(F.sum("__c").alias("tf"))
+        .localCheckpoint(eager=False)  # vocab-sized, 2 consumers
+    )
     totals = freq.groupBy().agg(
         F.sum("tf").alias("N"), F.count(F.lit(1)).alias("V")
     )
     scored = (
-        toks.join(freq, "tok")
+        dtf.join(freq, "tok")
         .crossJoin(F.broadcast(totals))
         .select(
             id_col,
+            "__c",
             (
                 F.log(
                     (F.col("tf") + F.lit(float(smoothing)))
@@ -553,8 +567,11 @@ def unigram_logprob_scores(
         )
     )
     return scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.avg("__lp"), 6).alias("mean_logprob"),
+        F.sum("__c").alias("n_tokens"),
+        # occurrence-weighted mean == avg over the exploded stream
+        F.round(F.sum(F.col("__c") * F.col("__lp")) / F.sum("__c"), 6).alias(
+            "mean_logprob"
+        ),
     )
 
 
@@ -730,6 +747,9 @@ def bigram_logprob_scores(
         model.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("uc"))
+        # vocab-sized with THREE consumers (totals, u1, u2) — pinned so
+        # the model corpus is not re-tokenized per consumer
+        .localCheckpoint(eager=False)
     )
     totals = ucounts.groupBy().agg(
         F.sum("uc").alias("N"), F.count(F.lit(1)).alias("V")
