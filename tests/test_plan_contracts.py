@@ -377,7 +377,12 @@ def test_text_lm_score_shuffles_at_vocab_size_only(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert plan.count("Exchange SinglePartition") == 1  # the (N,V) agg
-    assert plan.count("Exchange hashpartitioning") == 3
+    # the doc-token and frequency aggregates sit behind localCheckpoint
+    # boundaries (diamond pinning — one corpus pass for fit AND score),
+    # so the visible plan has the scoring re-aggregation exchange plus
+    # the checkpointed RDD scans
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("ExistingRDD") >= 2
     assert "Python" not in plan and "BatchEval" not in plan
 
 
