@@ -71,6 +71,8 @@ HEADLINE = [
     "text_bm25",
     "sample_importance",
     "text_bpe_train",
+    "decontam_fuzzy",
+    "text_lm_bigram",
 ]
 
 

@@ -53,6 +53,11 @@ def get_spark(
         # (not NTZ) so epoch arithmetic (unix_micros, time bucketing)
         # works uniformly; with the UTC session this is value-identical.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # Write timestamps as TIMESTAMP(MICROS), not legacy INT96:
+        # INT96 columns get NO parquet min/max footer stats, which
+        # blinds every stats-driven layout (zone maps, row-group
+        # skipping on range-clustered/z-ordered writes).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

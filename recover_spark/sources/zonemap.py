@@ -51,7 +51,11 @@ MANIFEST_NAME = "_zonemap.json"
 def _json_safe(v):
     if v is None or isinstance(v, (int, float, str, bool)):
         return v
-    return str(v)
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()  # ISO order == value order
+    return None  # non-comparable (e.g. raw binary): no usable bound
 
 
 def _footer_stats(files: Sequence[str], columns: Sequence[str]) -> list[dict]:
@@ -84,9 +88,17 @@ def _footer_stats(files: Sequence[str], columns: Sequence[str]) -> list[dict]:
                     continue
                 mn = st.min if mn is None else min(mn, st.min)
                 mx = st.max if mx is None else max(mx, st.max)
+            jmn, jmx = _json_safe(mn), _json_safe(mx)
+            # stats existed but are not JSON-comparable (raw binary):
+            # mark unknowable rather than recording misleading nulls
+            if (mn is not None and jmn is None) or (
+                mx is not None and jmx is None
+            ):
+                unknown = True
+                jmn = jmx = None
             entry["columns"][c] = {
-                "min": _json_safe(mn),
-                "max": _json_safe(mx),
+                "min": jmn,
+                "max": jmx,
                 "null_count": nulls,
                 # complete + min/max None == provably all-null file
                 "complete": not unknown,
@@ -116,6 +128,17 @@ def build_zonemap(
         for f in os.listdir(path)
         if f.endswith(".parquet") and not f.startswith("_")
     )
+    if not files:
+        # a hive-partitioned dataset keeps its files in subdirectories;
+        # a silent empty manifest would later prune EVERYTHING, so
+        # refuse loudly — zone maps cover flat clustered layouts
+        # (write_range_clustered_parquet / write_zordered_parquet);
+        # hive partition pruning already covers partitioned ones.
+        raise FileNotFoundError(
+            f"build_zonemap: no top-level parquet files under {path!r} "
+            "(hive-partitioned dataset? zone maps apply to flat "
+            "clustered layouts)"
+        )
     cols = list(columns)
     files_df = spark.createDataFrame([(f,) for f in files], "file string")
 
@@ -159,10 +182,15 @@ def _file_may_match(
         mn, mx = st["min"], st["max"]
         if mn is None or mx is None:
             return False  # all-null file can't satisfy a range predicate
-        if lo is not None and mx < lo:
-            return False
-        if hi is not None and mn > hi:
-            return False
+        try:
+            if lo is not None and mx < lo:
+                return False
+            if hi is not None and mn > hi:
+                return False
+        except TypeError:
+            # bound/stat type mismatch (e.g. int bound on a string
+            # column): no usable information — keep (superset)
+            continue
     return True
 
 

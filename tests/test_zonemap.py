@@ -121,3 +121,48 @@ def test_rewritten_dataset_falls_back_to_full_scan(spark, tmp_path):
     pruned, report = read_pruned(spark, path, {"v": (0, 1_000_000)})
     assert report.get("stale_manifest") is True
     assert pruned.count() == 1000 - removed
+
+
+def test_hive_partitioned_dataset_rejected_loudly(spark, tmp_path):
+    """A partitioned dataset has no top-level files; a silent empty
+    manifest would later prune EVERYTHING — build must refuse."""
+    import pytest
+
+    path = str(tmp_path / "ds")
+    spark.range(0, 100).select(
+        (F.col("id") % 2).cast("string").alias("p"), F.col("id").alias("v")
+    ).write.partitionBy("p").parquet(path)
+    with pytest.raises(FileNotFoundError, match="hive-partitioned"):
+        build_zonemap(spark, path, ["v"])
+
+
+def test_timestamp_bounds_prune_via_iso_strings(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(1_700_000_000 + F.col("id") * 60).alias("ts"),
+    )
+    write_range_clustered_parquet(df, path, ["ts"], num_files=8)
+    build_zonemap(spark, path, ["ts"])
+    lo = "2023-11-14T22:30:00"
+    hi = "2023-11-14T23:30:00"
+    pruned, report = read_pruned(spark, path, {"ts": (lo, hi)})
+    assert report["files_read"] < report["files_total"]
+    # superset + reapplied filter -> exact result
+    expect = df.filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+    ).count()
+    assert pruned.count() == expect and expect > 0
+
+
+def test_mismatched_bound_type_keeps_files(spark, tmp_path):
+    path = str(tmp_path / "ds")
+    _clustered(spark, path, n=500, files=4)
+    build_zonemap(spark, path, ["v", "tag"])
+    # integer bound against the string column: no usable info -> no
+    # pruning on it, no crash; the v bound still prunes
+    pruned, report = read_pruned(spark, path, {"tag": (1, 2), "v": (0, 9)})
+    assert report["files_read"] < report["files_total"]
+    # v in [0,9] -> ids 0..9; Spark casts tag to int for the filter,
+    # so tag in {1,2} keeps ids with id%5 in {1,2}: 1, 2, 6, 7
+    assert sorted(r["k"] for r in pruned.collect()) == [1, 2, 6, 7]
