@@ -302,10 +302,13 @@ def materialize_columns(
     Returns ``df`` with the named columns appended.
     """
     names = list(exprs)
+    holder = "__materialize_barrier__"  # collision-resistant internal
+    if holder in df.columns:
+        raise ValueError(f"materialize_columns: column {holder!r} is reserved")
     packed = F.explode(
         F.array(F.struct(*[exprs[n].alias(n) for n in names]))
-    ).alias("__mat")
+    ).alias(holder)
     out = df.select("*", packed)
     for n in names:
-        out = out.withColumn(n, F.col("__mat")[n])
-    return out.drop("__mat")
+        out = out.withColumn(n, F.col(holder)[n])
+    return out.drop(holder)

@@ -161,13 +161,16 @@ def apply_bpe(
     expression nests one fold per rule); a production encoder would
     compile the rules into a vectorized Pandas UDF once the table is
     large."""
+    # collision-resistant internals (a user column named __words must
+    # survive; same contract as the bloom probe's __bloom_* names)
+    w_col, s_col = "__bpe_words__", "__bpe_syms__"
     word_syms = F.expr(
-        "transform(__words, w -> concat(split(w, ''), array('" + EOW + "')))"
+        f"transform({w_col}, w -> concat(split(w, ''), array('{EOW}')))"
     )
-    out = df.withColumn("__words", tokens(F.col(text_col))).withColumn(
-        "__syms", word_syms
+    out = df.withColumn(w_col, tokens(F.col(text_col))).withColumn(
+        s_col, word_syms
     )
-    col = F.col("__syms")
+    col = F.col(s_col)
     for left, right in merges:
         col = F.transform(col, lambda s: _merge_pair_expr(s, left, right))
-    return out.withColumn(out_col, F.flatten(col)).drop("__words", "__syms")
+    return out.withColumn(out_col, F.flatten(col)).drop(w_col, s_col)
