@@ -1623,6 +1623,23 @@ def q_skew_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(events, ["user_id"], top_n=10)
 
 
+def q_skew_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with BOUNDED shuffle (ops/sampling.py:
+    heavy_hitters_sketch): per-partition Misra-Gries summaries cap the
+    shuffle at capacity x partitions rows regardless of key
+    cardinality, then the candidate set broadcasts back for an EXACT
+    recount — identical to the exact pass whenever the true top-N all
+    clear the 1/(capacity+1) share floor, which holds here by a wide
+    margin (capacity 4096 exceeds the distinct-user count), making the
+    result provably equal to the plain groupBy oracle."""
+    from recover_spark.ops.sampling import heavy_hitters_sketch
+
+    events = _load(spark, sf_dir, "events")
+    return heavy_hitters_sketch(
+        events, ["user_id"], top_n=10, capacity=4096
+    )
+
+
 def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user hourly resampling with forward fill over the event
     stream (operators/temporal.py): dense grid from first to last
@@ -3437,6 +3454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_train": q_text_bpe_train,
         "decontam_fuzzy": q_decontam_fuzzy,
         "text_lm_bigram": q_text_lm_bigram,
+        "skew_hitters_sketch": q_skew_hitters_sketch,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "win_rank_dist": q_win_rank_dist,
@@ -5996,6 +6014,21 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM j WHERE NOT del
         """,
         "skew_hitters": """
+            WITH g AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+                FROM events GROUP BY user_id),
+            r AS (
+                SELECT user_id, n_rows,
+                       CAST(row_number() OVER (
+                           ORDER BY n_rows DESC, user_id ASC) AS INT) AS rank
+                FROM g)
+            SELECT user_id, n_rows,
+                   round(n_rows / (SELECT count(*)::DOUBLE FROM events), 6)
+                       AS share,
+                   rank
+            FROM r WHERE rank <= 10
+        """,
+        "skew_hitters_sketch": """
             WITH g AS (
                 SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
                 FROM events GROUP BY user_id),

@@ -340,3 +340,88 @@ def importance_scores(
             ).alias("importance"),
         )
     )
+
+
+def heavy_hitters_sketch(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    top_n: int = 10,
+    capacity: int = 1024,
+) -> DataFrame:
+    """Heavy hitters with BOUNDED shuffle via Misra-Gries mergeable
+    summaries (Agarwal et al., "Mergeable Summaries") — the answer when
+    ``heavy_hitters``'s exact groupBy would shuffle an unbounded
+    distinct-key set (URLs, user agents, raw strings at 100 TB).
+
+    Two phases:
+    1. **Candidates** — each partition streams through a Misra-Gries
+      summary of ``capacity`` counters (Arrow-batched ``mapInPandas``;
+      the summary spans all batches of the partition, memory is
+      O(capacity) regardless of partition size).  The shuffle then
+      carries at most ``capacity x partitions`` rows — independent of
+      key cardinality.  MG guarantee: every key with true count
+      > N_partition/(capacity+1) survives its partition, so any key
+      with GLOBAL share > 1/(capacity+1) is in the candidate set.
+    2. **Exact recount** — the candidate keys broadcast back as a
+      semi-join and ONLY they are counted exactly; ranking ties break
+      deterministically (count desc, keys asc).
+
+    Result contract: IDENTICAL to exact ``heavy_hitters`` whenever the
+    true top-``top_n`` all have share > 1/(capacity+1) — at the default
+    capacity, anything above 0.1% share.  Below that threshold a hitter
+    can be missed (approximate by nature); counts of reported keys are
+    always exact.
+    """
+    from pyspark.sql import Window
+
+    keys = list(key_cols)
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict[tuple, int] = {}
+        for b in batches:
+            for tup in zip(*[b[k] for k in keys]):
+                t = tuple(tup)
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < capacity:
+                    counters[t] = 1
+                else:
+                    # decrement-all: evict zeros (classic MG step)
+                    dead = []
+                    for kk in counters:
+                        counters[kk] -= 1
+                        if counters[kk] == 0:
+                            dead.append(kk)
+                    for kk in dead:
+                        del counters[kk]
+        if counters:
+            cols = list(zip(*counters.keys()))
+            yield pd.DataFrame({k: cols[i] for i, k in enumerate(keys)})
+        else:
+            yield pd.DataFrame({k: [] for k in keys})
+
+    schema = ", ".join(
+        f"{k} {dict(df.dtypes)[k]}" for k in keys
+    )
+    candidates = df.select(*keys).mapInPandas(mg_partition, schema).distinct()
+
+    counted = (
+        df.join(F.broadcast(candidates), on=keys, how="leftsemi")
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    total = df.groupBy().agg(F.count(F.lit(1)).alias("__total"))
+    order = [F.col("n_rows").desc()] + [F.col(k).asc() for k in keys]
+    top = counted.orderBy(*order).limit(top_n)
+    w = Window.orderBy(*order)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__total"), 6).alias("share"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+    )

@@ -745,3 +745,50 @@ class TestMaterializeColumns:
         # the expensive expression lives in exactly ONE Generate node;
         # consumers reference its output attribute
         assert plan.count("filter(split(") == 1, plan
+
+
+# -- Misra-Gries heavy hitters ----------------------------------------------
+
+
+class TestHeavyHittersSketch:
+    def test_exact_when_capacity_exceeds_cardinality(self, spark):
+        from recover_spark.ops.sampling import heavy_hitters, heavy_hitters_sketch
+
+        df = spark.range(0, 20_000).select(
+            (F.col("id") % 50).alias("k")
+        )
+        exact = heavy_hitters(df, ["k"], top_n=5).collect()
+        approx = heavy_hitters_sketch(df, ["k"], top_n=5, capacity=256).collect()
+        assert [tuple(r) for r in exact] == [tuple(r) for r in approx]
+
+    def test_skewed_hitters_survive_small_capacity(self, spark):
+        """Zipf-ish skew with capacity FAR below cardinality: every key
+        above the 1/(capacity+1) share floor must be reported with its
+        EXACT count (the recount phase)."""
+        from recover_spark.ops.sampling import heavy_hitters_sketch
+
+        # 3 hot keys (6000, 3000, 1500 rows) + 30k distinct cold keys
+        hot = (
+            spark.range(0, 6000).select(F.lit("A").alias("k"))
+            .union(spark.range(0, 3000).select(F.lit("B").alias("k")))
+            .union(spark.range(0, 1500).select(F.lit("C").alias("k")))
+        )
+        cold = spark.range(0, 30_000).select(
+            F.concat(F.lit("cold_"), F.col("id")).alias("k")
+        )
+        df = hot.union(cold).repartition(16)
+        out = heavy_hitters_sketch(df, ["k"], top_n=3, capacity=64)
+        got = {r["k"]: r["n_rows"] for r in out.collect()}
+        assert got == {"A": 6000, "B": 3000, "C": 1500}
+
+    def test_bounded_candidate_shuffle(self, spark):
+        """The phase-1 output is bounded by capacity x partitions,
+        regardless of distinct-key count."""
+        from recover_spark.ops.sampling import heavy_hitters_sketch
+
+        df = spark.range(0, 50_000).select(
+            F.concat(F.lit("u"), F.col("id")).alias("k")
+        ).repartition(8)
+        # capacity 32, 8 partitions -> at most 256 candidates
+        out = heavy_hitters_sketch(df, ["k"], top_n=5, capacity=32)
+        assert out.count() == 5  # still returns a ranked top-5
