@@ -2594,6 +2594,45 @@ def q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_topk_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained BOUNDED frequent-items view
+    (streaming/matview.py:maintain_topk_matview): per-batch exact
+    partials fold into a Misra-Gries summary capped at ``capacity``
+    counters (Agarwal et al. mergeable-summaries merge), so state stays
+    bounded even over an open key domain.  Capacity here exceeds the
+    distinct-user count, so no trim ever fires and the result equals
+    the exact per-user counts — hash-matched against the plain groupBy
+    oracle (same guarantee as skew_hitters_sketch)."""
+    import uuid
+
+    from recover_spark.streaming.matview import (
+        maintain_topk_matview,
+        read_topk_matview,
+    )
+
+    run_dir = f"spark-warehouse/matview_topk_q/{uuid.uuid4().hex}"
+    src = f"{run_dir}/src"
+    events = _load(spark, sf_dir, "events").select("event_id", "user_id")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_topk_matview(
+        stream,
+        f"{run_dir}/state",
+        f"{run_dir}/ckpt",
+        ["user_id"],
+        capacity=8192,
+    )
+    q.awaitTermination(300)
+    top = read_topk_matview(spark, f"{run_dir}/state", top_n=10)
+    return top.select(
+        "user_id", F.col("weight").cast("long").alias("n_rows")
+    )
+
+
 def q_stream_hll_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained APPROX COUNT DISTINCT: per-event-type
     HLL sketches folded across a four-file availableNow stream
@@ -3455,6 +3494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_fuzzy": q_decontam_fuzzy,
         "text_lm_bigram": q_text_lm_bigram,
         "skew_hitters_sketch": q_skew_hitters_sketch,
+        "stream_topk_matview": q_stream_topk_matview,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "win_rank_dist": q_win_rank_dist,
@@ -6027,6 +6067,17 @@ def _oracle_sql_literal() -> dict[str, str]:
                        AS share,
                    rank
             FROM r WHERE rank <= 10
+        """,
+        "stream_topk_matview": """
+            WITH g AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+                FROM events GROUP BY user_id)
+            SELECT user_id, n_rows
+            FROM (SELECT user_id, n_rows,
+                         row_number() OVER (
+                             ORDER BY n_rows DESC, user_id ASC) AS rn
+                  FROM g)
+            WHERE rn <= 10
         """,
         "skew_hitters_sketch": """
             WITH g AS (

@@ -241,3 +241,102 @@ def read_distinct_matview(spark: SparkSession, state_path: str) -> DataFrame:
         .cast("bigint")
         .alias("approx_distinct"),
     ).drop("sketch")
+
+
+def merge_topk_summary(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    key_cols: Sequence[str],
+    capacity: int = 4096,
+    batch_id: int | None = None,
+) -> None:
+    """Fold one batch into a BOUNDED frequent-items state (streaming
+    top-k over an open key domain).
+
+    ``merge_counts`` keeps one row per distinct key — unbounded when
+    the keys are URLs/user agents/raw strings.  This view instead keeps
+    a Misra-Gries summary of at most ``capacity`` counters, merged per
+    batch with the summary-merge rule from Agarwal et al., "Mergeable
+    Summaries": sum matching counters, and if more than ``capacity``
+    keys remain, subtract the (capacity+1)-th largest weight from all
+    and drop the non-positives.  Stored weights are LOWER bounds; the
+    total undercount across the whole stream is at most
+    N/(capacity+1), so every key with true share above 1/(capacity+1)
+    is guaranteed present with a near-exact weight.
+
+    Scale shape: the micro-batch aggregates exactly (bounded by batch
+    size, map-side partials), the state contributes <= capacity rows,
+    and the trim threshold is read from a ``capacity+1``-row bounded
+    TakeOrdered — never an unbounded collect.  Crash-safety is the same
+    rename-aside swap + batch-id sidecar as ``merge_counts``.
+    """
+    _recover_state(state_path)
+    if batch_id is not None:
+        applied = _applied_batch_id(state_path)
+        if applied is not None and batch_id <= applied:
+            return
+    keys = list(key_cols)
+    partial = batch.groupBy(*keys).agg(F.count(F.lit(1)).alias("weight"))
+
+    state = Path(state_path)
+    if state.exists():
+        prev = spark.read.parquet(state_path)
+        merged = (
+            prev.unionByName(partial)
+            .groupBy(*keys)
+            .agg(F.sum("weight").alias("weight"))
+        )
+    else:
+        merged = partial
+
+    order = [F.col("weight").desc()] + [F.col(k).asc() for k in keys]
+    head = merged.orderBy(*order).limit(capacity + 1).collect()
+    if len(head) > capacity:
+        # MG trim: subtract the smallest retained weight from everyone
+        threshold = head[-1]["weight"]
+        merged = merged.select(
+            *keys, (F.col("weight") - F.lit(threshold)).alias("weight")
+        ).filter(F.col("weight") > 0)
+
+    tmp = str(state) + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
+    _swap_state(tmp, state_path)
+
+
+def maintain_topk_matview(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    key_cols: Sequence[str],
+    capacity: int = 4096,
+):
+    """availableNow increment of the bounded frequent-items view."""
+    spark = stream.sparkSession
+    keys = list(key_cols)
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        merge_topk_summary(
+            spark, batch, state_path, keys, capacity, batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_topk_matview(
+    spark: SparkSession, state_path: str, top_n: int = 10
+) -> DataFrame:
+    """Current top-N from the bounded summary (weights = lower bounds,
+    deterministic tie-break weight desc / keys asc)."""
+    _recover_state(state_path)
+    state = spark.read.parquet(state_path)
+    keys = [c for c in state.columns if c != "weight"]
+    order = [F.col("weight").desc()] + [F.col(k).asc() for k in keys]
+    return state.orderBy(*order).limit(top_n)

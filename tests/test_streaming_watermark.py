@@ -439,3 +439,50 @@ def test_dedup_against_corpus_across_runs(spark, tmp_path):
     run()
     got2 = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got2 == {1, 3, 10}
+
+
+def test_topk_matview_bounded_state_and_hot_keys_exact(spark, tmp_path):
+    """Bounded frequent-items view: hot keys keep near-exact weights
+    across increments while the state never exceeds the capacity, and
+    a direct replay of an applied batch id is a no-op."""
+    from recover_spark.streaming.matview import (
+        maintain_topk_matview,
+        merge_topk_summary,
+        read_topk_matview,
+    )
+
+    src = tmp_path / "tk_src"
+    src.mkdir()
+    state = str(tmp_path / "tk_state")
+    ckpt = str(tmp_path / "tk_ckpt")
+    schema = "k string"
+
+    def run_increment():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = maintain_topk_matview(stream, state, ckpt, ["k"], capacity=8)
+        q.awaitTermination(120)
+
+    # batch 1: hot key A x20, 12 distinct cold keys (over capacity 8)
+    rows1 = [{"k": "A"}] * 20 + [{"k": f"c{i}"} for i in range(12)]
+    _write_batch(str(src / "f1.json"), rows1, mtime_offset_s=-60)
+    run_increment()
+    st1 = spark.read.parquet(state)
+    assert st1.count() <= 8
+    w1 = {r["k"]: r["weight"] for r in st1.collect()}
+    # undercount bound: N/(capacity+1) = 32/9 < 4
+    assert w1["A"] >= 20 - 4
+
+    # batch 2: hot key B x15 + more cold noise
+    rows2 = [{"k": "B"}] * 15 + [{"k": f"d{i}"} for i in range(10)]
+    _write_batch(str(src / "f2.json"), rows2, mtime_offset_s=0)
+    run_increment()
+    top = read_topk_matview(spark, state, top_n=2).collect()
+    assert [r["k"] for r in top] == ["A", "B"]
+    assert spark.read.parquet(state).count() <= 8
+
+    # direct replay of an already-applied batch id: no double counting
+    before = {r["k"]: r["weight"] for r in spark.read.parquet(state).collect()}
+    replay = spark.createDataFrame([("A",)] * 100, "k string")
+    merge_topk_summary(spark, replay, state, ["k"], capacity=8, batch_id=0)
+    after = {r["k"]: r["weight"] for r in spark.read.parquet(state).collect()}
+    assert after == before
