@@ -120,3 +120,37 @@ def test_greedy_overlap_semantics(spark):
     assert [(m["left"], m["right"]) for m in merges] == [("a", "a")]
     enc = apply_bpe(df, [("a", "a")]).collect()[0]["bpe_tokens"]
     assert enc == ["aa", "aa", EOW] * 3
+
+
+def test_vectorized_encoder_matches_expression_encoder(spark, docs):
+    from recover_spark.ops.bpe import apply_bpe_vectorized
+
+    merges_rows = (
+        train_bpe(docs, 10, checkpoint_every=4).orderBy("iteration").collect()
+    )
+    merges = [(r["left"], r["right"]) for r in merges_rows]
+    expr_enc = {
+        r["doc_id"]: r["bpe_tokens"] for r in apply_bpe(docs, merges).collect()
+    }
+    vec_enc = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in apply_bpe_vectorized(docs, merges).collect()
+    }
+    assert vec_enc == expr_enc
+    # pass-through columns preserved
+    out = apply_bpe_vectorized(docs, merges)
+    assert out.columns == ["doc_id", "text", "bpe_tokens"]
+
+
+def test_vectorized_encoder_handles_nulls_and_empties(spark):
+    from recover_spark.ops.bpe import apply_bpe_vectorized
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "low")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in apply_bpe_vectorized(df, [("l", "o")]).collect()
+    }
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["lo", "w", EOW]
