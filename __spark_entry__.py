@@ -1640,6 +1640,37 @@ def q_skew_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_a9_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiler (operators/audit.py:profile_columns,
+    Deequ-style): completeness, min/max, mean for every profiled column
+    out of ONE mergeable aggregate scan — at 100 TB the profile is one
+    job, not one job per column.  The HLL approx_distinct column is
+    dropped here (estimator has no SQL twin — pytest covers it with
+    tolerance); everything else matches the exact oracle."""
+    from recover_spark.operators.audit import profile_columns
+
+    customer = _load(spark, sf_dir, "customer")
+    return profile_columns(
+        customer, ["c_custkey", "c_name", "c_acctbal", "c_mktsegment"]
+    ).drop("approx_distinct")
+
+
+def q_agg_distinct_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate audience overlap (operators/analytics.py:
+    approx_distinct_overlap): distinct users who both clicked AND
+    purchased via HLL inclusion-exclusion — sketches union but never
+    intersect, so |A∩B| ≈ |A|+|B|-|A∪B| on three mergeable one-row
+    estimates out of a single scan.  Approximate by contract:
+    rows-only check (like agg_hll_rollup); the pytest twin pins the
+    estimates within tolerance of exact."""
+    from recover_spark.operators.analytics import approx_distinct_overlap
+
+    events = _load(spark, sf_dir, "events")
+    return approx_distinct_overlap(
+        events, "event_type", "click", "purchase", "user_id"
+    )
+
+
 def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user hourly resampling with forward fill over the event
     stream (operators/temporal.py): dense grid from first to last
@@ -3495,6 +3526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_bigram": q_text_lm_bigram,
         "skew_hitters_sketch": q_skew_hitters_sketch,
         "stream_topk_matview": q_stream_topk_matview,
+        "a9_profile": q_a9_profile,
+        "agg_distinct_overlap": q_agg_distinct_overlap,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "win_rank_dist": q_win_rank_dist,
@@ -6067,6 +6100,40 @@ def _oracle_sql_literal() -> dict[str, str]:
                        AS share,
                    rank
             FROM r WHERE rank <= 10
+        """,
+        "a9_profile": """
+            WITH n AS (SELECT count(*) AS n_rows FROM customer)
+            SELECT * FROM (
+              SELECT 'c_custkey' AS "column", 'bigint' AS data_type,
+                     (SELECT n_rows FROM n) AS n_rows,
+                     CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                     round(1.0 - sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) / count(*), 6) AS completeness,
+                     CAST(min(c_custkey) AS VARCHAR) AS min_value,
+                     CAST(max(c_custkey) AS VARCHAR) AS max_value,
+                     round(avg(c_custkey), 6) AS mean_value
+              FROM customer
+              UNION ALL
+              SELECT 'c_name', 'string', (SELECT n_rows FROM n),
+                     CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     round(1.0 - sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) / count(*), 6),
+                     CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR),
+                     CAST(NULL AS DOUBLE)
+              FROM customer
+              UNION ALL
+              SELECT 'c_acctbal', 'double', (SELECT n_rows FROM n),
+                     CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     round(1.0 - sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) / count(*), 6),
+                     CAST(min(c_acctbal) AS VARCHAR), CAST(max(c_acctbal) AS VARCHAR),
+                     round(avg(c_acctbal), 6)
+              FROM customer
+              UNION ALL
+              SELECT 'c_mktsegment', 'string', (SELECT n_rows FROM n),
+                     CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+                     round(1.0 - sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) / count(*), 6),
+                     CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR),
+                     CAST(NULL AS DOUBLE)
+              FROM customer
+            )
         """,
         "stream_topk_matview": """
             WITH g AS (

@@ -244,3 +244,60 @@ def trend_regression(
         F.round(F.regr_r2(y_col, x_col), 6).alias("r2"),
         F.regr_count(y_col, x_col).alias("n_points"),
     )
+
+
+def approx_distinct_overlap(
+    df: DataFrame,
+    segment_col: str,
+    segment_a: str,
+    segment_b: str,
+    distinct_col: str,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Approximate audience overlap between two segments via HLL
+    inclusion-exclusion: |A ∩ B| ≈ |A| + |B| - |A ∪ B|, where every
+    term is a mergeable sketch estimate — the distinct-intersection
+    question ("users who both clicked AND purchased") that exact
+    count-distinct can only answer with a full shuffle of the raw keys
+    per segment, and that HLL alone cannot answer directly (sketches
+    union, they do not intersect).
+
+    One scan, three sketch aggregates (A, B, and A∪B built from the
+    same pass by sketching the key under a segment filter); the
+    subtraction happens on the three one-row estimates.  Error grows
+    with the union size (inclusion-exclusion amplifies relative
+    error when the intersection is small) — lg_k defaults higher than
+    the rollup's for that reason; results are estimates by contract.
+
+    Output: one row (segment_a, segment_b, approx_a, approx_b,
+    approx_union, approx_intersection).
+    """
+    in_a = F.col(segment_col) == segment_a
+    in_b = F.col(segment_col) == segment_b
+    k = F.lit(int(lg_k))
+    key = F.col(distinct_col)
+    est = (
+        df.filter(in_a | in_b)
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.when(in_a, key), k)
+            ).alias("approx_a"),
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.when(in_b, key), k)
+            ).alias("approx_b"),
+            F.hll_sketch_estimate(F.hll_sketch_agg(key, k)).alias(
+                "approx_union"
+            ),
+        )
+    )
+    return est.select(
+        F.lit(segment_a).alias("segment_a"),
+        F.lit(segment_b).alias("segment_b"),
+        "approx_a",
+        "approx_b",
+        "approx_union",
+        F.greatest(
+            F.lit(0),
+            F.col("approx_a") + F.col("approx_b") - F.col("approx_union"),
+        ).alias("approx_intersection"),
+    )

@@ -792,3 +792,50 @@ class TestHeavyHittersSketch:
         # capacity 32, 8 partitions -> at most 256 candidates
         out = heavy_hitters_sketch(df, ["k"], top_n=5, capacity=32)
         assert out.count() == 5  # still returns a ranked top-5
+
+
+# -- one-pass profiler + HLL overlap ----------------------------------------
+
+
+class TestProfileColumns:
+    def test_profile_stats_and_approx_distinct_tolerance(self, spark):
+        from recover_spark.operators.audit import profile_columns
+
+        rows = [(i, f"v{i % 100}", float(i) if i % 10 else None) for i in range(1000)]
+        df = spark.createDataFrame(rows, "k long, s string, x double")
+        prof = {r["column"]: r for r in profile_columns(df).collect()}
+        assert prof["k"]["n_rows"] == 1000 and prof["k"]["n_nulls"] == 0
+        assert prof["x"]["n_nulls"] == 100
+        assert prof["x"]["completeness"] == 0.9
+        assert prof["s"]["min_value"] == "v0" and prof["s"]["max_value"] == "v99"
+        assert prof["s"]["mean_value"] is None
+        # HLL estimate within 10% of the exact distinct (rsd=0.05)
+        assert abs(prof["s"]["approx_distinct"] - 100) <= 10
+        assert abs(prof["k"]["approx_distinct"] - 1000) <= 100
+
+
+class TestApproxDistinctOverlap:
+    def test_overlap_close_to_exact(self, spark):
+        from recover_spark.operators.analytics import approx_distinct_overlap
+
+        # A = users 0..999, B = users 500..1499 -> intersection 500
+        rows = [("a", u) for u in range(1000)] + [
+            ("b", u) for u in range(500, 1500)
+        ]
+        df = spark.createDataFrame(rows, "seg string, user long")
+        got = approx_distinct_overlap(df, "seg", "a", "b", "user").collect()[0]
+        assert abs(got["approx_a"] - 1000) / 1000 < 0.05
+        assert abs(got["approx_b"] - 1000) / 1000 < 0.05
+        assert abs(got["approx_union"] - 1500) / 1500 < 0.05
+        assert abs(got["approx_intersection"] - 500) / 500 < 0.2
+
+    def test_disjoint_segments_clamp_to_zero_ish(self, spark):
+        from recover_spark.operators.analytics import approx_distinct_overlap
+
+        rows = [("a", u) for u in range(500)] + [
+            ("b", u) for u in range(10_000, 10_500)
+        ]
+        df = spark.createDataFrame(rows, "seg string, user long")
+        got = approx_distinct_overlap(df, "seg", "a", "b", "user").collect()[0]
+        # clamped at 0; estimator noise may leave a small positive value
+        assert got["approx_intersection"] <= 0.05 * 1000
