@@ -404,3 +404,75 @@ def test_agg_pareto_windows_over_aggregate_not_fact_table(spark):
     agg_pos = plan.find("Exchange hashpartitioning")
     sp_pos = plan.find("Exchange SinglePartition")
     assert agg_pos != -1 and sp_pos != -1 and sp_pos < agg_pos
+
+
+def test_text_bm25_inverted_index_shape(spark):
+    """BM25: the (doc, term) tf aggregate is pinned behind a checkpoint
+    boundary (diamond: postings, doclen, df all consume it — scan-once),
+    the query-term set arrives via broadcast joins, the corpus constants
+    ride ONE one-row broadcast nested loop, and nothing is Python."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_text_bm25(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("ExistingRDD") >= 3        # pinned tf, 3 consumers
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # (N, avgdl) row
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_sample_importance_single_corpus_pass(spark):
+    """DSIR importance: the doc-feature aggregate is pinned (ExistingRDD
+    on both the fit and scoring branches — corpus shuffled once), the
+    top-V vocabulary is a TakeOrdered (never a global sort), weights
+    return via broadcast, and the whole query stays JVM-side."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_sample_importance(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("ExistingRDD") >= 2
+    assert plan.count("TakeOrderedAndProject") >= 1
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_text_lm_bigram_vocab_sized_model_tables(spark):
+    """Bigram LM: the model's unigram table is pinned for its three
+    consumers, scoring joins are broadcasts at smoke scale, the (N, V)
+    scalars ride one nested-loop row, and bigram construction is the
+    map-side Generate zip (never a positional self-join)."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_text_lm_bigram(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_decontam_fuzzy_broadcast_band_join(spark):
+    """Fuzzy decontamination: exactly TWO corpus-side shuffles (the two
+    signature min-aggregations) and ONE broadcast hash join on the band
+    digests — the corpus is never self-joined, shuffled for the join,
+    or collected."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_decontam_fuzzy(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("BroadcastHashJoin") == 1
+    assert plan.count("SortMergeJoin") == 0
+    assert "Python" not in plan
+
+
+def test_skew_hitters_sketch_bounded_candidates(spark):
+    """MG heavy hitters: ONE MapInPandas (the per-partition summaries),
+    candidates return by broadcast for the exact semi-join recount, and
+    the only corpus-side exchanges are the candidate distinct and the
+    recount aggregate."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_skew_hitters_sketch(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("TakeOrderedAndProject") == 1  # top-N, no global sort
