@@ -1,0 +1,86 @@
+"""S6/S7 as a first-class Spark 4 Python DataSource.
+
+``sources/archive.py`` processes zip exports by extracting members on
+the DRIVER and handing a scratch directory to the JSON reader — correct,
+but the extraction is a single-machine bottleneck: a weekly export of
+hundreds of members decompresses serially before Spark sees a byte.
+
+Spark 4's Python DataSource API removes that: this source plans **one
+input partition per eligible zip member** from a driver-side central-
+directory read (the S7 metadata-only listing — zipfile never touches the
+compressed payloads when listing), and each EXECUTOR opens the archive
+and decompresses only its own member.  Parallelism = member count, the
+driver moves no data, and the dispatch eligibility rules
+(dispatch/app.py:85-118: non-dir, non-Manifest, non-empty, no dotfiles,
+no nested paths) are applied at planning time so ineligible members are
+never even scheduled.
+
+Usage::
+
+    spark.dataSource.register(ZipNdjsonDataSource)
+    raw = spark.read.format("zip_ndjson").load("/path/export.zip")
+    # raw: (member string, value string) — one row per NDJSON line
+    parsed = raw.select("member", F.from_json("value", schema).alias("r"))
+
+The source deliberately transports RAW LINES: parsing stays in Spark's
+``from_json`` with the catalog-declared schema, so the defensive-JSON
+semantics (P4) and schema resolution (S2) remain exactly the shared
+code paths every other reader uses.
+
+Requires the archive path to be reachable from executors (shared
+filesystem or object store) — the same contract as every other file
+source.
+"""
+
+from __future__ import annotations
+
+import zipfile
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from recover_spark.sources.archive import eligible_member
+
+
+class ZipMemberPartition(InputPartition):
+    def __init__(self, archive_path: str, member: str):
+        self.archive_path = archive_path
+        self.member = member
+
+
+class ZipNdjsonReader(DataSourceReader):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("zip_ndjson: .load(<archive path>) is required")
+        self.path = path
+
+    def partitions(self):
+        # S7: central-directory-only listing on the driver; payloads
+        # stay compressed and unread until an executor claims them
+        with zipfile.ZipFile(self.path) as zf:
+            return [
+                ZipMemberPartition(self.path, info.filename)
+                for info in zf.infolist()
+                if eligible_member(info.filename, info.file_size)
+            ]
+
+    def read(self, partition: ZipMemberPartition):
+        # runs on the executor: decompress ONLY this member
+        with zipfile.ZipFile(partition.archive_path) as zf:
+            with zf.open(partition.member) as fh:
+                for raw in fh:
+                    line = raw.decode("utf-8", errors="replace").rstrip("\r\n")
+                    if line:
+                        yield (partition.member, line)
+
+
+class ZipNdjsonDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "zip_ndjson"
+
+    def schema(self) -> str:
+        return "member string, value string"
+
+    def reader(self, schema) -> ZipNdjsonReader:
+        return ZipNdjsonReader(self.options)

@@ -107,3 +107,76 @@ def test_reinject_subtype_and_object_filter(spark):
     )
     kept = keys.filter(X.ingest_object_filter(F.col("key"), F.col("size"))).collect()
     assert [r.key for r in kept] == ["data/adults/file.zip"]
+
+
+class TestZipPythonDataSource:
+    """Spark 4 Python DataSource: one partition per eligible member,
+    executor-side decompression, raw-line transport."""
+
+    @staticmethod
+    def _fixture(tmp_path) -> str:
+        import json
+        import zipfile
+
+        p = str(tmp_path / "export.zip")
+        with zipfile.ZipFile(p, "w") as zf:
+            zf.writestr(
+                "part_a.ndjson",
+                "\n".join(json.dumps({"id": i, "v": f"a{i}"}) for i in range(3)),
+            )
+            zf.writestr(
+                "part_b.ndjson",
+                "\n".join(json.dumps({"id": i, "v": f"b{i}"}) for i in range(2)),
+            )
+            zf.writestr("Manifest.json", json.dumps({"files": 2}))
+            zf.writestr(".hidden", "x")
+            zf.writestr("dir/", "")
+            zf.writestr("dir/nested.ndjson", '{"id": 99}')
+        return p
+
+    def test_reads_eligible_members_in_parallel(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from recover_spark.sources.zip_datasource import ZipNdjsonDataSource
+
+        spark.dataSource.register(ZipNdjsonDataSource)
+        raw = spark.read.format("zip_ndjson").load(self._fixture(tmp_path))
+        assert raw.rdd.getNumPartitions() == 2  # one per eligible member
+        rows = raw.collect()
+        assert len(rows) == 5
+        assert {r["member"] for r in rows} == {"part_a.ndjson", "part_b.ndjson"}
+        parsed = raw.select(
+            "member", F.from_json("value", "id long, v string").alias("r")
+        ).select("member", "r.*")
+        got = {(r["member"], r["id"], r["v"]) for r in parsed.collect()}
+        assert ("part_a.ndjson", 2, "a2") in got
+        assert ("part_b.ndjson", 1, "b1") in got
+        # manifest / dotfile / nested members were never scheduled
+        assert not any("Manifest" in m or m.startswith(".") for m, *_ in got)
+
+    def test_matches_driver_extraction_path(self, spark, tmp_path):
+        """Same rows as the scratch-dir S6 reader (shared eligibility +
+        parsing code paths)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from recover_spark.sources.archive import read_archive_ndjson
+        from recover_spark.sources.zip_datasource import ZipNdjsonDataSource
+
+        archive = self._fixture(tmp_path)
+        schema = T.StructType(
+            [T.StructField("id", T.LongType()), T.StructField("v", T.StringType())]
+        )
+        via_scratch = read_archive_ndjson(
+            spark, archive, schema, str(tmp_path / "scratch")
+        )
+        spark.dataSource.register(ZipNdjsonDataSource)
+        via_source = (
+            spark.read.format("zip_ndjson")
+            .load(archive)
+            .select(F.from_json("value", schema).alias("r"))
+            .select("r.*")
+        )
+        assert sorted(map(tuple, via_source.collect())) == sorted(
+            map(tuple, via_scratch.select("id", "v").collect())
+        )
