@@ -58,6 +58,8 @@ def get_spark(
         # blinds every stats-driven layout (zone maps, row-group
         # skipping on range-clustered/z-ordered writes).
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # Python DataSource filter pushdown (zip_ndjson member pruning)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

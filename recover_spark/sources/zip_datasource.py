@@ -36,9 +36,18 @@ from __future__ import annotations
 
 import zipfile
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    In,
+    InputPartition,
+    StringStartsWith,
+)
 
 from recover_spark.sources.archive import eligible_member
+
+ARROW_BATCH_LINES = 8192
 
 
 class ZipMemberPartition(InputPartition):
@@ -53,6 +62,29 @@ class ZipNdjsonReader(DataSourceReader):
         if not path:
             raise ValueError("zip_ndjson: .load(<archive path>) is required")
         self.path = path
+        self._member_pred = None  # planning-time partition pruning
+
+    def pushFilters(self, filters):
+        """Partition pruning: equality / IN / prefix predicates on the
+        ``member`` column are applied at PLANNING time, so filtered-out
+        members are never scheduled, opened, or decompressed — the
+        Python-DataSource twin of parquet partition pruning.  Pushed
+        filters are exact (not a superset), so they are fully consumed;
+        everything else returns to Spark."""
+        remaining = []
+        preds = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("member",):
+                preds.append(lambda m, v=f.value: m == v)
+            elif isinstance(f, In) and f.attribute == ("member",):
+                preds.append(lambda m, vs=set(f.values): m in vs)
+            elif isinstance(f, StringStartsWith) and f.attribute == ("member",):
+                preds.append(lambda m, v=f.value: m.startswith(v))
+            else:
+                remaining.append(f)
+        if preds:
+            self._member_pred = lambda m: all(p(m) for p in preds)
+        return remaining
 
     def partitions(self):
         # S7: central-directory-only listing on the driver; payloads
@@ -62,16 +94,37 @@ class ZipNdjsonReader(DataSourceReader):
                 ZipMemberPartition(self.path, info.filename)
                 for info in zf.infolist()
                 if eligible_member(info.filename, info.file_size)
+                and (self._member_pred is None or self._member_pred(info.filename))
             ]
 
     def read(self, partition: ZipMemberPartition):
-        # runs on the executor: decompress ONLY this member
+        # runs on the executor: decompress ONLY this member, and ship
+        # rows as Arrow batches (one Python->JVM transfer per ~8k
+        # lines, not one per row)
+        import pyarrow as pa
+
         with zipfile.ZipFile(partition.archive_path) as zf:
             with zf.open(partition.member) as fh:
+                lines: list[str] = []
                 for raw in fh:
                     line = raw.decode("utf-8", errors="replace").rstrip("\r\n")
                     if line:
-                        yield (partition.member, line)
+                        lines.append(line)
+                    if len(lines) >= ARROW_BATCH_LINES:
+                        yield pa.record_batch(
+                            {
+                                "member": [partition.member] * len(lines),
+                                "value": lines,
+                            }
+                        )
+                        lines = []
+                if lines:
+                    yield pa.record_batch(
+                        {
+                            "member": [partition.member] * len(lines),
+                            "value": lines,
+                        }
+                    )
 
 
 class ZipNdjsonDataSource(DataSource):

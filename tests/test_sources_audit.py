@@ -180,3 +180,39 @@ class TestZipPythonDataSource:
         assert sorted(map(tuple, via_source.collect())) == sorted(
             map(tuple, via_scratch.select("id", "v").collect())
         )
+
+    def test_member_filter_pushdown_prunes_partitions(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from pyspark.sql.datasource import EqualTo, GreaterThan, StringStartsWith
+
+        from recover_spark.sources.zip_datasource import (
+            ZipNdjsonDataSource,
+            ZipNdjsonReader,
+        )
+
+        archive = self._fixture(tmp_path)
+        # unit level: planning-time pruning consumes member predicates
+        reader = ZipNdjsonReader({"path": archive})
+        leftover = list(
+            reader.pushFilters(
+                [EqualTo(("member",), "part_a.ndjson"), GreaterThan(("value",), "x")]
+            )
+        )
+        assert [type(f).__name__ for f in leftover] == ["GreaterThan"]
+        parts = reader.partitions()
+        assert [p.member for p in parts] == ["part_a.ndjson"]
+
+        reader2 = ZipNdjsonReader({"path": archive})
+        assert list(reader2.pushFilters([StringStartsWith(("member",), "part_")])) == []
+        assert len(reader2.partitions()) == 2
+
+        # end to end: filtered read returns exactly that member's rows
+        spark.dataSource.register(ZipNdjsonDataSource)
+        got = (
+            spark.read.format("zip_ndjson")
+            .load(archive)
+            .filter(F.col("member") == "part_a.ndjson")
+            .collect()
+        )
+        assert len(got) == 3
+        assert {r["member"] for r in got} == {"part_a.ndjson"}
