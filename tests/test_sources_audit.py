@@ -216,3 +216,72 @@ class TestZipPythonDataSource:
         )
         assert len(got) == 3
         assert {r["member"] for r in got} == {"part_a.ndjson"}
+
+
+class TestZipStreamingDataSource:
+    """Streaming arrival of zip exports: watermark offsets over archive
+    names, per-member executor partitions, checkpointed exactly-once."""
+
+    @staticmethod
+    def _write_archive(dirpath, name, payload: dict[str, list[dict]]):
+        import json
+        import zipfile
+
+        with zipfile.ZipFile(str(dirpath / name), "w") as zf:
+            for member, rows in payload.items():
+                zf.writestr(member, "\n".join(json.dumps(r) for r in rows))
+            zf.writestr("Manifest.json", "{}")
+
+    def test_incremental_archive_arrivals_exactly_once(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from recover_spark.sources.zip_datasource import (
+            ZipNdjsonStreamDataSource,
+        )
+
+        src = tmp_path / "arrivals"
+        src.mkdir()
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        spark.dataSource.register(ZipNdjsonStreamDataSource)
+
+        def run_once():
+            q = (
+                spark.readStream.format("zip_ndjson_stream")
+                .load(str(src))
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        self._write_archive(
+            src,
+            "export-2024-01-01.zip",
+            {"a.ndjson": [{"id": 1}, {"id": 2}], "b.ndjson": [{"id": 3}]},
+        )
+        run_once()
+        got1 = spark.read.parquet(sink)
+        assert got1.count() == 3
+        assert {r["archive"] for r in got1.collect()} == {"export-2024-01-01.zip"}
+
+        # second arrival: ONLY the new archive's members are planned
+        self._write_archive(
+            src, "export-2024-01-08.zip", {"c.ndjson": [{"id": 4}]}
+        )
+        run_once()
+        got2 = spark.read.parquet(sink)
+        assert got2.count() == 4
+        ids = sorted(
+            r["id"]
+            for r in got2.select(
+                F.from_json("value", "id long").alias("r")
+            ).select("r.id").collect()
+        )
+        assert ids == [1, 2, 3, 4]
+
+        # no new archives -> a further run appends nothing (no replays)
+        run_once()
+        assert spark.read.parquet(sink).count() == 4
