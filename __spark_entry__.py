@@ -1671,6 +1671,46 @@ def q_agg_distinct_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training (ops/classifier.py):
+    distill the C4 heuristic gate into a calibrated linear scorer —
+    every gradient iteration is ONE mergeable aggregate (map-side
+    partial sums, one-row shuffle, weights enter as plan literals), the
+    same shape as the Lloyd step.  Returns the trained model as a
+    coefficient table in raw-feature space.  Iterative and
+    FP-order-sensitive in the last ulp: rows-only check; the pytest
+    twin pins separability, loss descent, and raw-space equivalence."""
+    from recover_spark.functions.text import quality_features
+    from recover_spark.ops.classifier import (
+        model_as_dataframe,
+        train_logistic,
+    )
+    from recover_spark.ops.text_analysis import quality_fail_reason
+
+    docs = _load(spark, sf_dir, "documents")
+    q = quality_features(F.col("text"))
+    feats = docs.select(
+        q["n_tokens"].cast("double").alias("n_tokens"),
+        q["punct_ratio"].alias("punct_ratio"),
+        q["digit_ratio"].alias("digit_ratio"),
+        q["mean_word_len"].alias("mean_word_len"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        quality_fail_reason(F.col("text"))
+        .isNull()
+        .cast("int")
+        .alias("label"),
+    )
+    model = train_logistic(
+        feats,
+        "label",
+        ["n_tokens", "punct_ratio", "digit_ratio", "mean_word_len",
+         "stopword_ratio"],
+        iterations=15,
+        learning_rate=0.8,
+    )
+    return model_as_dataframe(spark.createDataFrame, model).orderBy("feature")
+
+
 def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user hourly resampling with forward fill over the event
     stream (operators/temporal.py): dense grid from first to last
@@ -3528,6 +3568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_topk_matview": q_stream_topk_matview,
         "a9_profile": q_a9_profile,
         "agg_distinct_overlap": q_agg_distinct_overlap,
+        "text_quality_train": q_text_quality_train,
         "funnel_steps": q_funnel_steps,
         "retention_cohorts": q_retention_cohorts,
         "win_rank_dist": q_win_rank_dist,

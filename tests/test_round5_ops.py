@@ -839,3 +839,73 @@ class TestApproxDistinctOverlap:
         got = approx_distinct_overlap(df, "seg", "a", "b", "user").collect()[0]
         # clamped at 0; estimator noise may leave a small positive value
         assert got["approx_intersection"] <= 0.05 * 1000
+
+
+# -- distributed logistic regression ----------------------------------------
+
+
+class TestLogisticTrainer:
+    def test_learns_separable_data(self, spark):
+        from recover_spark.ops.classifier import (
+            predict_logistic,
+            train_logistic,
+        )
+
+        # y = 1 iff 2*x1 - x2 > 0 (+ margin), deterministic grid
+        rows = []
+        for i in range(-20, 21):
+            for j in range(-20, 21):
+                m = 2.0 * i - j
+                if abs(m) < 3:
+                    continue
+                rows.append((float(i), float(j), 1 if m > 0 else 0))
+        df = spark.createDataFrame(rows, "x1 double, x2 double, y int")
+        model = train_logistic(
+            df, "y", ["x1", "x2"], iterations=40, learning_rate=1.0
+        )
+        # loss decreases and the decision boundary is learned
+        assert model.losses[-1] < model.losses[0] / 3
+        scored = predict_logistic(df, model)
+        acc = scored.filter(
+            ((F.col("p_quality") >= 0.5) & (F.col("y") == 1))
+            | ((F.col("p_quality") < 0.5) & (F.col("y") == 0))
+        ).count() / df.count()
+        assert acc > 0.97
+
+    def test_constant_feature_and_scaling_robustness(self, spark):
+        from recover_spark.ops.classifier import train_logistic
+
+        rows = [(float(i), 7.0, 1e6 * i, 1 if i > 0 else 0) for i in range(-50, 51)]
+        df = spark.createDataFrame(rows, "x double, c double, big double, y int")
+        # constant column (std 0 -> guarded) + huge-scale column both fine
+        model = train_logistic(df, "y", ["x", "c", "big"], iterations=30)
+        assert model.losses[-1] < 0.2
+
+    def test_raw_space_model_dataframe_scores_identically(self, spark):
+        from recover_spark.ops.classifier import (
+            model_as_dataframe,
+            predict_logistic,
+            train_logistic,
+        )
+
+        rows = [(float(i), float(i % 5), 1 if i % 3 == 0 else 0) for i in range(200)]
+        df = spark.createDataFrame(rows, "a double, b double, y int")
+        model = train_logistic(df, "y", ["a", "b"], iterations=10)
+        coef = {
+            r["feature"]: r["coefficient"]
+            for r in model_as_dataframe(spark.createDataFrame, model).collect()
+        }
+        # raw-space linear form reproduces the standardized margin
+        z_raw = (
+            coef["__bias__"]
+            + coef["a"] * F.col("a")
+            + coef["b"] * F.col("b")
+        )
+        manual = df.withColumn(
+            "p2", F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z_raw)), 6)
+        )
+        auto = predict_logistic(df, model)
+        joined = auto.join(manual.select("a", "b", "p2"), ["a", "b"])
+        assert joined.filter(
+            F.abs(F.col("p_quality") - F.col("p2")) > 1e-4
+        ).count() == 0
