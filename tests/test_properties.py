@@ -77,3 +77,92 @@ def test_relationalize_roundtrip(spark, rows):
         (pk, i, v) for pk, arr in rows for i, v in enumerate(arr)
     )
     assert got == expect
+
+
+# -- round-5 theorem-shaped properties --------------------------------------
+
+WORDS = st.sampled_from(["alpha", "beta", "gamma", "delta", "ep", "ze", "a"])
+TEXTS = st.lists(
+    st.lists(WORDS, min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=TEXTS, num_merges=st.integers(1, 6))
+@_settings
+def test_bpe_training_matches_reference_for_arbitrary_corpora(
+    spark, texts, num_merges
+):
+    """The distributed trainer must equal the sequential reference
+    (same tie rule) for ANY corpus, not just the fixture."""
+    from recover_spark.ops.bpe import train_bpe
+    from tests.test_bpe import _py_train
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        (r["iteration"], r["left"], r["right"], r["merged"], r["weight"])
+        for r in train_bpe(df, num_merges, checkpoint_every=3)
+        .orderBy("iteration")
+        .collect()
+    ]
+    assert got == _py_train(texts, num_merges)[0]
+
+
+@given(
+    keys=st.lists(st.integers(0, 30), min_size=1, max_size=120),
+    capacity=st.integers(2, 8),
+)
+@_settings
+def test_misra_gries_never_misses_a_frequent_key(spark, keys, capacity):
+    """MG theorem under arbitrary data and partitionings: every key
+    with global count > n_partition_sum/(capacity+1) in EVERY partition
+    view... conservatively: any key with global share > 1/(capacity+1)
+    must appear in the reported top set with its EXACT count."""
+    from collections import Counter
+
+    from recover_spark.ops.sampling import heavy_hitters_sketch
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(4)
+    n = len(keys)
+    counts = Counter(keys)
+    guaranteed = {k for k, c in counts.items() if c > n / (capacity + 1)}
+    out = heavy_hitters_sketch(
+        df, ["k"], top_n=len(counts), capacity=capacity
+    )
+    got = {r["k"]: r["n_rows"] for r in out.collect()}
+    for k in guaranteed:
+        assert got.get(k) == counts[k], (k, counts[k], got)
+
+
+@given(
+    values=st.lists(
+        st.one_of(st.integers(-1000, 1000), st.none()),
+        min_size=1,
+        max_size=60,
+    ),
+    lo=st.integers(-500, 500),
+    width=st.integers(0, 400),
+)
+@_settings
+def test_zonemap_pruning_is_lossless_for_any_bounds(spark, values, lo, width):
+    """Superset theorem: pruned scan + reapplied filter == full scan
+    filter, for arbitrary values (incl. nulls) and arbitrary bounds."""
+    from recover_spark.sources.zonemap import build_zonemap, read_pruned
+
+    import tempfile
+
+    path = tempfile.mkdtemp() + "/ds"
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], "i long, v long"
+    )
+    df.repartition(3).write.parquet(path)
+    build_zonemap(spark, path, ["v"])
+    hi = lo + width
+    pruned, _ = read_pruned(spark, path, {"v": (lo, hi)})
+    expect = sorted(
+        (i, v) for i, v in enumerate(values) if v is not None and lo <= v <= hi
+    )
+    assert sorted(map(tuple, pruned.select("i", "v").collect())) == expect
