@@ -758,3 +758,60 @@ def quantized_cosine_topk(
     )
     w = Window.partitionBy(qid).orderBy(F.col("qcosine").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def append_ivf_index(
+    new_vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally maintain a persisted IVF index under corpus growth
+    — the missing half of the index lifecycle (build_ivf_index is the
+    build-once half; without this, every batch of new embeddings forces
+    a full rebuild).
+
+    New vectors are assigned MAP-SIDE to the STORED centroids (read
+    once from ``_centroids``, entering the plan as literals) and
+    appended into their hive list partitions — existing files are never
+    touched, partition pruning keeps working, and queries see old and
+    new vectors uniformly the moment the append commits.  Quantized
+    columns are computed at append time like the build does, so the
+    int8 probe path needs nothing extra.
+
+    Contract: centroids are FROZEN at build time.  Appends that shift
+    the data distribution degrade recall gradually (vectors land in the
+    nearest of the OLD lists); monitor ``ivf_index_stats`` and rebuild
+    when imbalance crosses the documented threshold — the classic
+    IVF maintenance pattern (probe with frozen coarse quantizer,
+    retrain offline).
+    """
+    spark = new_vectors.sparkSession
+    seeds = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in spark.read.parquet(f"{index_path}/_centroids").collect()
+    )
+    assigned = new_vectors.withColumn(
+        "list", _nearest_lists(seeds, F.col(vec_col), 1)[0]
+    ).withColumn("q_embedding", _quantized_vec(F.col(vec_col)))
+    assigned.write.mode("append").partitionBy("list").parquet(index_path)
+
+
+def ivf_index_stats(spark, index_path: str) -> DataFrame:
+    """Index health: per-list vector counts plus the imbalance ratio
+    (max list / mean list) — the rebuild signal for the frozen-centroid
+    append contract.  One partition-column aggregate (reads footer
+    metadata + the list column only, not the vectors)."""
+    per_list = (
+        spark.read.parquet(index_path)
+        .groupBy("list")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    totals = per_list.groupBy().agg(
+        F.max("n_vectors").alias("__max"), F.avg("n_vectors").alias("__mean")
+    )
+    return per_list.crossJoin(F.broadcast(totals)).select(
+        "list",
+        "n_vectors",
+        F.round(F.col("__max") / F.col("__mean"), 4).alias("imbalance_ratio"),
+    )

@@ -909,3 +909,73 @@ class TestLogisticTrainer:
         assert joined.filter(
             F.abs(F.col("p_quality") - F.col("p2")) > 1e-4
         ).count() == 0
+
+
+# -- IVF index incremental append -------------------------------------------
+
+
+class TestIvfIndexAppend:
+    def _vectors(self, spark, start, n, dim=8):
+        return spark.range(start, start + n).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    (F.sin(F.col("id") * (i + 1)) * 2 - 1)
+                    for i in range(dim)
+                ]
+            ).alias("embedding"),
+        )
+
+    def test_append_then_exhaustive_probe_equals_brute_force(
+        self, spark, tmp_path
+    ):
+        """Probing ALL lists after an append is exhaustive search, so
+        results must EXACTLY equal brute-force cosine top-k over the
+        full (old + new) corpus — proves appended vectors are findable
+        and scored identically to built ones."""
+        from recover_spark.ops.similarity import (
+            append_ivf_index,
+            brute_force_topk,
+            build_ivf_index,
+            ivf_topk_indexed,
+        )
+
+        idx = str(tmp_path / "ivf")
+        old = self._vectors(spark, 0, 120)
+        new = self._vectors(spark, 1000, 80)
+        build_ivf_index(old, idx, n_centroids=4)
+        append_ivf_index(new, idx)
+
+        full = old.union(new)
+        queries = self._vectors(spark, 5000, 3)
+        got = ivf_topk_indexed(spark, idx, queries, nprobe=4, k=5).select(
+            "query_vec_id", "rank", "vec_id"
+        )
+        want = brute_force_topk(full, queries, k=5).select(
+            "query_vec_id", "rank", "vec_id"
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_append_preserves_partition_layout_and_stats(self, spark, tmp_path):
+        import os
+
+        from recover_spark.ops.similarity import (
+            append_ivf_index,
+            build_ivf_index,
+            ivf_index_stats,
+        )
+
+        idx = str(tmp_path / "ivf")
+        build_ivf_index(self._vectors(spark, 0, 100), idx, n_centroids=4)
+        lists_before = {
+            d for d in os.listdir(idx) if d.startswith("list=")
+        }
+        append_ivf_index(self._vectors(spark, 1000, 50), idx)
+        lists_after = {d for d in os.listdir(idx) if d.startswith("list=")}
+        assert lists_after <= lists_before | lists_after
+        assert lists_after.issubset(lists_before)  # frozen centroids
+        stats = ivf_index_stats(spark, idx)
+        assert stats.agg(F.sum("n_vectors")).collect()[0][0] == 150
+        assert stats.select("imbalance_ratio").first()[0] >= 1.0
