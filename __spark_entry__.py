@@ -3437,6 +3437,44 @@ def q_scan_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scan_bloommap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sidecar file skipping (sources/bloommap.py): lineitem is
+    laid out range-clustered on l_shipdate — so l_orderkey SCATTERS
+    across files and zone maps on it are useless (every file's
+    [min, max] spans the key domain) — then a per-file Bloom manifest
+    on l_orderkey lets the point lookup schedule only the files that
+    might hold the probed keys.  At 100 TB this is the "find the
+    needle's file" primitive: an equality scan touches ~|keys| files
+    out of 100k, without re-clustering the data.  Superset guarantee:
+    the exact IN filter reapplies on top, so the result is identical
+    to the oracle's full scan."""
+    import hashlib
+    import os
+    import tempfile
+
+    from recover_spark.sources.bloommap import build_bloommap, read_point_pruned
+    from recover_spark.sources.writers import write_range_clustered_parquet
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"recover_bloommap_{tag}")
+    ds = os.path.join(root, "lineitem_by_shipdate")
+    if not os.path.exists(os.path.join(ds, "_bloommap.json")):
+        write_range_clustered_parquet(
+            _load(spark, sf_dir, "lineitem"), ds, ["l_shipdate"], num_files=16
+        )
+        build_bloommap(spark, ds, ["l_orderkey"])
+    keys = [1, 1000, 2000, 3000, 4000, 5000]
+    pruned, _report = read_point_pruned(spark, ds, {"l_orderkey": keys})
+    return (
+        pruned.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("line_cnt"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 retrieval (ops/text_analysis.py:bm25_topk): top-5
     documents for three literal queries via the inverted-index join —
@@ -3557,6 +3595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # them; every entry runs through the same oracle harness
         # regardless of position — tools/check_correctness.py).
         "s2_schema_drift": q_s2_schema_drift,
+        "scan_bloommap": q_scan_bloommap,
         "join_bucketed": q_join_bucketed,
         "scan_zonemap": q_scan_zonemap,
         "text_bm25": q_text_bm25,
@@ -4680,6 +4719,15 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE o.o_orderstatus = 'F'
             GROUP BY o.o_orderpriority
             ORDER BY o.o_orderpriority
+        """,
+        "scan_bloommap": """
+            SELECT l_orderkey,
+                   CAST(count(*) AS BIGINT) AS line_cnt,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM lineitem
+            WHERE l_orderkey IN (1, 1000, 2000, 3000, 4000, 5000)
+            GROUP BY l_orderkey
+            ORDER BY l_orderkey
         """,
         "scan_zonemap": """
             SELECT l_returnflag,

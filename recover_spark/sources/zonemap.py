@@ -169,6 +169,78 @@ def build_zonemap(
     return manifest
 
 
+def refresh_zonemap(
+    spark: SparkSession,
+    path: str,
+    manifest_path: str | None = None,
+) -> dict:
+    """Incrementally reconcile the manifest with the directory.
+
+    ``read_pruned`` already treats the manifest as advisory — appended
+    files (no stats) are always scanned and a deleted file kills the
+    whole manifest — but both reconciliations COST performance on every
+    read until someone rebuilds.  At 100 TB a weekly append of 1% of
+    files should not trigger a full O(files) footer sweep: this refresh
+    computes footer stats for ONLY the files absent from the manifest,
+    drops entries for files that no longer exist, and atomically
+    promotes the merged manifest.  Existing entries are reused verbatim
+    (files are immutable once written — the same contract the zip
+    archive source and the IVF index append rely on).
+
+    Cost: O(new files) footer reads + O(manifest) JSON rewrite.
+    Returns the merged manifest; raises if no manifest exists (use
+    ``build_zonemap`` for the initial build — refresh has no column
+    list of its own, it inherits ``tracked_columns``).
+    """
+    import pandas as pd
+
+    target = manifest_path or os.path.join(path, MANIFEST_NAME)
+    if not os.path.exists(target):
+        raise FileNotFoundError(
+            f"refresh_zonemap: no manifest at {target!r}; run "
+            "build_zonemap first"
+        )
+    with open(target) as fh:
+        manifest = json.load(fh)
+    cols = list(manifest["tracked_columns"])
+    current = {
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith("_")
+    }
+    kept = [e for e in manifest["files"] if e["file"] in current]
+    known = {e["file"] for e in kept}
+    new_files = sorted(current - known)
+    if new_files:
+        files_df = spark.createDataFrame(
+            [(f,) for f in new_files], "file string"
+        )
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for b in batches:
+                stats = _footer_stats(list(b["file"]), cols)
+                yield pd.DataFrame(
+                    {"entry": [json.dumps(e, sort_keys=True) for e in stats]}
+                )
+
+        rows = (
+            files_df.repartition(min(len(new_files), 32) or 1)
+            .mapInPandas(scan, "entry string")
+            .collect()
+        )
+        kept.extend(json.loads(r["entry"]) for r in rows)
+    merged = {
+        "path": manifest["path"],
+        "tracked_columns": cols,
+        "files": sorted(kept, key=lambda e: e["file"]),
+    }
+    tmp = target + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(merged, fh, indent=1, sort_keys=True)
+    os.replace(tmp, target)
+    return merged
+
+
 def _file_may_match(
     entry: dict, bounds: Mapping[str, tuple[object | None, object | None]]
 ) -> bool:

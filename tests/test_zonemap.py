@@ -5,7 +5,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from recover_spark.sources.writers import write_range_clustered_parquet
-from recover_spark.sources.zonemap import build_zonemap, read_pruned
+from recover_spark.sources.zonemap import (
+    build_zonemap,
+    read_pruned,
+    refresh_zonemap,
+)
 
 
 def _clustered(spark, path, n=10_000, files=16):
@@ -121,6 +125,69 @@ def test_rewritten_dataset_falls_back_to_full_scan(spark, tmp_path):
     pruned, report = read_pruned(spark, path, {"v": (0, 1_000_000)})
     assert report.get("stale_manifest") is True
     assert pruned.count() == 1000 - removed
+
+
+def test_refresh_restores_pruning_after_append(spark, tmp_path):
+    """Appended files have no stats (always scanned); refresh computes
+    stats for ONLY them, after which they prune like any other file."""
+    import json
+
+    path = str(tmp_path / "ds")
+    _clustered(spark, path, n=1000, files=4)
+    before = build_zonemap(spark, path, ["v"])
+    late = spark.createDataFrame(
+        [(50_000 + i, 5_000 + i, "9") for i in range(10)],
+        "k long, v long, tag string",
+    )
+    late.coalesce(1).write.mode("append").parquet(path)
+    merged = refresh_zonemap(spark, path)
+    assert len(merged["files"]) == len(before["files"]) + 1
+    # reused entries are byte-identical (files immutable once written)
+    old = {json.dumps(e, sort_keys=True) for e in before["files"]}
+    new = {json.dumps(e, sort_keys=True) for e in merged["files"]}
+    assert old <= new
+    # the appended file's range [5000, 5009] is out of bounds -> pruned
+    pruned, report = read_pruned(spark, path, {"v": (100, 199)})
+    assert report["files_read"] < report["files_total"]
+    assert sorted(r["k"] for r in pruned.collect()) == list(range(100, 200))
+    # and queried IN bounds the new rows appear
+    pruned2, _ = read_pruned(spark, path, {"v": (5_000, 5_004)})
+    assert sorted(r["k"] for r in pruned2.collect()) == [
+        50_000 + i for i in range(5)
+    ]
+
+
+def test_refresh_drops_deleted_files_and_revives_manifest(spark, tmp_path):
+    """A deleted file marks the whole manifest dead (full-scan
+    fallback); refresh drops the dead entry so pruning works again."""
+    import glob
+    import os
+
+    path = str(tmp_path / "ds")
+    _clustered(spark, path, n=1000, files=4)
+    build_zonemap(spark, path, ["v"])
+    victim = sorted(glob.glob(path + "/*.parquet"))[0]
+    removed = spark.read.parquet(victim).count()
+    os.remove(victim)
+    _, report = read_pruned(spark, path, {"v": (900, 999)})
+    assert report.get("stale_manifest") is True
+    merged = refresh_zonemap(spark, path)
+    assert all(os.path.exists(e["file"]) for e in merged["files"])
+    pruned, report = read_pruned(spark, path, {"v": (900, 999)})
+    assert "stale_manifest" not in report
+    assert report["files_read"] < report["files_total"]
+    assert pruned.count() == 100  # top range survives the deleted file
+    full, _ = read_pruned(spark, path, {"v": (0, 1_000_000)})
+    assert full.count() == 1000 - removed
+
+
+def test_refresh_without_manifest_raises(spark, tmp_path):
+    import pytest
+
+    path = str(tmp_path / "ds")
+    _clustered(spark, path, n=100, files=2)
+    with pytest.raises(FileNotFoundError, match="build_zonemap first"):
+        refresh_zonemap(spark, path)
 
 
 def test_hive_partitioned_dataset_rejected_loudly(spark, tmp_path):
