@@ -3475,6 +3475,22 @@ def q_scan_bloommap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT cosine-threshold near-dup pairs via prefix-filtered
+    all-pairs similarity search (ops/apss.py — Bayardo AP-SS family):
+    unlike MinHash-LSH this is provably lossless, yet candidate
+    generation is still an equi-join on prefix terms (rare-terms-first
+    global order pushes hot terms into suffixes), never a cross join.
+    The weighted-postings diamond (3 consumers) is pinned with a lazy
+    localCheckpoint so the corpus tokenizes and shuffles once.  The
+    oracle runs the brute-force postings self-join — equality IS the
+    exactness claim."""
+    from recover_spark.ops.apss import cosine_threshold_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return cosine_threshold_pairs(docs, 0.9).orderBy("doc_a", "doc_b")
+
+
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 retrieval (ops/text_analysis.py:bm25_topk): top-5
     documents for three literal queries via the inverted-index join —
@@ -3596,6 +3612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # regardless of position — tools/check_correctness.py).
         "s2_schema_drift": q_s2_schema_drift,
         "scan_bloommap": q_scan_bloommap,
+        "dedup_cosine_exact": q_dedup_cosine_exact,
         "join_bucketed": q_join_bucketed,
         "scan_zonemap": q_scan_zonemap,
         "text_bm25": q_text_bm25,
@@ -4719,6 +4736,36 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE o.o_orderstatus = 'F'
             GROUP BY o.o_orderpriority
             ORDER BY o.o_orderpriority
+        """,
+        "dedup_cosine_exact": """
+            WITH toks AS (
+                SELECT doc_id, t.term
+                FROM documents,
+                     UNNEST(regexp_split_to_array(lower(text),
+                            '[^a-z0-9'']+')) AS t(term)
+                WHERE t.term <> ''
+            ),
+            tf AS (
+                SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM toks GROUP BY 1, 2
+            ),
+            nrm AS (
+                SELECT doc_id, sqrt(sum(tf*tf)) AS nrm FROM tf GROUP BY 1
+            ),
+            w AS (
+                SELECT tf.doc_id, term, tf/nrm AS w
+                FROM tf JOIN nrm USING (doc_id)
+            ),
+            pairs AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       round(sum(a.w*b.w), 6) AS cosine
+                FROM w a JOIN w b
+                  ON a.term = b.term AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, cosine
+            FROM pairs WHERE cosine >= 0.9
+            ORDER BY doc_a, doc_b
         """,
         "scan_bloommap": """
             SELECT l_orderkey,

@@ -73,6 +73,8 @@ HEADLINE = [
     "text_bpe_train",
     "decontam_fuzzy",
     "text_lm_bigram",
+    "scan_bloommap",
+    "dedup_cosine_exact",
 ]
 
 

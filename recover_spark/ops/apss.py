@@ -56,13 +56,38 @@ from pyspark.sql import functions as F
 from recover_spark.functions.text import tokens
 
 
+def _weighted_postings(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc, term, df, w): tf L2-normalized per doc + term document
+    frequency.  One (doc, term) shuffle for tf; df via groupBy(term) —
+    NEVER a window over term (a Zipfian hot term would make one window
+    partition corpus-sized); per-doc norm on the doc window."""
+    exploded = docs.select(
+        F.col(id_col).alias("__doc"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = exploded.groupBy("__doc", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    w_doc = Window.partitionBy("__doc")
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("w", F.col("tf") / F.sqrt(F.sum(F.col("tf") ** 2).over(w_doc)))
+        .select("__doc", "term", "df", "w")
+    )
+
+
 def cosine_threshold_pairs(
     docs: DataFrame,
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
     round_digits: int = 6,
+    strategy: str = "auto",
     max_prefix_term_df: int | None = 10_000,
+    max_dense_vocab: int = 4096,
+    num_blocks: int = 16,
     materialize_postings: bool = True,
 ) -> DataFrame:
     """All document pairs with tf-weighted cosine >= ``threshold``
@@ -71,44 +96,68 @@ def cosine_threshold_pairs(
     Returns (doc_a, doc_b, cosine) with doc_a < doc_b and cosine
     rounded to ``round_digits``.  The threshold applies to the rounded
     value, making pair membership engine-stable at the boundary.
+
+    ``strategy`` picks the physical plan — BOTH are exact; they differ
+    only in which data shape they stay sub-quadratic on:
+
+    - ``"prefix"`` — the sparse AP-SS index path (module docstring).
+      Sub-quadratic when the vocabulary is open and Zipfian: each
+      document's prefix is its RAREST terms, so the candidate join
+      keys on low-df terms.  This is the 100 TB path for natural text.
+    - ``"dense"`` — all-block-pairs GEMM.  When the vocabulary is
+      SMALL (bounded feature space — templated logs, categorical
+      bags), every term is hot, an inverted index degenerates to
+      all-pairs candidates, and no filter can save it; the right plan
+      is the dense one: docs become V-dim vectors, split into B row
+      blocks, and each of the B(B+1)/2 block PAIRS is one
+      ``applyInPandas`` task computing a numpy GEMM tile.  Nothing is
+      ever collected or broadcast; the shuffle replicates each row B
+      times (B ~ tasks**0.5), and per-task memory is 2n/B vectors —
+      the standard distributed dense self-join.  Guarded by
+      ``max_dense_vocab``.
+    - ``"auto"`` (default) — one vocabulary-count probe picks dense
+      when the vocab fits ``max_dense_vocab``, else prefix.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
+    if strategy not in ("auto", "prefix", "dense"):
+        raise ValueError(f"unknown strategy {strategy!r}")
 
-    exploded = docs.select(
-        F.col(id_col).alias("__doc"), F.explode(tokens(text_col)).alias("term")
-    )
-    tf = exploded.groupBy("__doc", "term").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
-    )
-
-    # L2-normalize within the doc partition; the same exchange serves
-    # the ordered suffix-norm window below.
-    w_doc = Window.partitionBy("__doc")
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    weighted = (
-        tf.join(dfreq, "term")
-        .withColumn("w", F.col("tf") / F.sqrt(F.sum(F.col("tf") ** 2).over(w_doc)))
-        .select("__doc", "term", "df", "w")
-    )
+    weighted = _weighted_postings(docs, id_col, text_col)
     if materialize_postings:
-        # 3-consumer diamond: without the pin the corpus is re-tokenized
-        # and re-shuffled per consumer (no ReusedExchange across pruned
-        # branches — the round-5 Catalyst pathology, see SCALE.md).
+        # multi-consumer diamond: without the pin the corpus is
+        # re-tokenized and re-shuffled per consumer (no ReusedExchange
+        # across pruned branches — the round-5 Catalyst pathology).
         weighted = weighted.localCheckpoint(eager=False)
+
+    if strategy == "auto":
+        vocab_n = weighted.select("term").distinct().count()
+        strategy = "dense" if vocab_n <= max_dense_vocab else "prefix"
+    if strategy == "dense":
+        return _dense_block_pairs(
+            weighted, threshold, round_digits, max_dense_vocab, num_blocks
+        )
 
     w_suffix = (
         Window.partitionBy("__doc")
         .orderBy(F.asc("df"), F.asc("term"))
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    prefix = weighted.withColumn(
-        "__suffix_norm", F.sqrt(F.sum(F.col("w") ** 2).over(w_suffix))
-    ).filter(
+    prefix = (
+        weighted.withColumn(
+            "__sn", F.sqrt(F.sum(F.col("w") ** 2).over(w_suffix))
+        )
         # float guard: the full-vector position computes sum(w^2) ~ 1.0
         # up to rounding; nudge so threshold=1.0 still admits position 0
-        F.col("__suffix_norm") >= F.lit(float(threshold)) - F.lit(1e-9)
-    ).select("__doc", "term")
+        .filter(F.col("__sn") >= F.lit(float(threshold)) - F.lit(1e-9))
+        # suffix norm EXCLUDING the current term, for the positional
+        # bound below
+        .withColumn(
+            "__snn",
+            F.sqrt(F.greatest(F.col("__sn") ** 2 - F.col("w") ** 2, F.lit(0.0))),
+        )
+        .select("__doc", "term", "w", "__snn")
+    )
 
     if max_prefix_term_df is not None:
         hot = (
@@ -124,14 +173,28 @@ def cosine_threshold_pairs(
                 f"{hot[0]['pdf']} document prefixes "
                 f"(> max_prefix_term_df={max_prefix_term_df}); the "
                 "candidate self-join would be quadratic in that count. "
-                "Raise the threshold, pre-clean the corpus, or use the "
-                "MinHash-LSH path (dedup_minhash_lsh) for this data."
+                "Raise the threshold, use strategy='dense' (bounded "
+                "vocab), or the MinHash-LSH path (dedup_minhash_lsh)."
             )
 
     a, b = prefix.alias("a"), prefix.alias("b")
+    # Positional bound (PPJoin-style, adapted to cosine): every true
+    # pair is generated via its FIRST shared term tau*, where all
+    # shared weight is w_a*w_b (the tau* product) plus at most
+    # snn_a*snn_b (Cauchy-Schwarz over the strictly-later suffixes) —
+    # instances failing the bound can be dropped without losing the
+    # tau* instance of any qualifying pair.
     candidates = (
-        a.join(b, (F.col("a.term") == F.col("b.term"))
-               & (F.col("a.__doc") < F.col("b.__doc")))
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.__doc") < F.col("b.__doc"))
+            & (
+                F.col("a.w") * F.col("b.w")
+                + F.col("a.__snn") * F.col("b.__snn")
+                >= F.lit(float(threshold)) - F.lit(1e-9)
+            ),
+        )
         .select(
             F.col("a.__doc").alias("__da"), F.col("b.__doc").alias("__db")
         )
@@ -154,6 +217,116 @@ def cosine_threshold_pairs(
     return cos.select(
         F.col("__da").alias("doc_a"), F.col("__db").alias("doc_b"), "cosine"
     )
+
+
+def _dense_block_pairs(
+    weighted: DataFrame,
+    threshold: float,
+    round_digits: int,
+    max_dense_vocab: int,
+    num_blocks: int,
+) -> DataFrame:
+    """Exact all-pairs cosine via all-block-pairs GEMM tiles.
+
+    Docs are hashed into ``num_blocks`` row blocks; each doc's sparse
+    (term_idx, w) entries are replicated to every block PAIR its block
+    participates in, and one ``applyInPandas`` task per (bi, bj) group
+    assembles the two dense tiles and multiplies them — numpy GEMM
+    rate, fully distributed, nothing collected or broadcast.  Each
+    unordered doc pair lives in exactly one block pair, so pairs are
+    emitted exactly once.  Shuffle volume is num_blocks x postings;
+    per-task memory two n/num_blocks-row tiles.
+    """
+    import numpy as np
+    import pandas as pd
+
+    vocab = weighted.select("term").distinct()
+    if vocab.count() > max_dense_vocab:
+        raise ValueError(
+            "strategy='dense' requires vocabulary <= "
+            f"max_dense_vocab={max_dense_vocab} terms; use "
+            "strategy='prefix' for open-vocabulary corpora"
+        )
+    # vocab-sized table: a single-partition window is bounded by the
+    # guard above, never corpus-sized
+    vidx = vocab.withColumn(
+        "__vi", F.row_number().over(Window.orderBy("term")) - 1
+    )
+
+    entries = (
+        weighted.join(F.broadcast(vidx), "term")
+        .groupBy("__doc")
+        .agg(
+            F.collect_list(F.struct("__vi", "w")).alias("__entries"),
+        )
+        .withColumn(
+            "__block",
+            F.pmod(F.xxhash64(F.col("__doc")), F.lit(num_blocks)).cast("int"),
+        )
+    )
+    # replicate each doc to the block pairs its block participates in:
+    # (min(b,k), max(b,k)) for every k — B copies per doc
+    pairs_of = F.transform(
+        F.sequence(F.lit(0), F.lit(num_blocks - 1)),
+        lambda k: F.struct(
+            F.least(F.col("__block"), k).alias("bi"),
+            F.greatest(F.col("__block"), k).alias("bj"),
+        ),
+    )
+    fanned = entries.select(
+        "__doc", "__block", "__entries",
+        F.explode(F.array_distinct(pairs_of)).alias("__bp"),
+    ).select(
+        "__doc", "__block", "__entries",
+        F.col("__bp.bi").alias("__bi"), F.col("__bp.bj").alias("__bj"),
+    )
+
+    # admit values that ROUND up to the threshold; the final filter on
+    # the rounded column makes membership engine-stable
+    thr = float(threshold) - 10.0 ** (-round_digits) / 2
+
+    def tile_gemm(key, pdf):
+        bi, bj = key
+        dim = int(
+            max(
+                (max(e["__vi"] for e in es) for es in pdf["__entries"]),
+                default=-1,
+            )
+        ) + 1
+        if dim == 0:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []})
+
+        def dense(rows: pd.DataFrame) -> tuple:
+            ids = rows["__doc"].to_numpy()
+            mat = np.zeros((len(rows), dim))
+            for r, es in enumerate(rows["__entries"]):
+                for e in es:
+                    mat[r, e["__vi"]] = e["w"]
+            return ids, mat
+
+        if bi == bj:
+            ids, mat = dense(pdf)
+            sims = mat @ mat.T
+            ii, jj = np.nonzero((sims >= thr) & (ids[:, None] < ids[None, :]))
+            return pd.DataFrame(
+                {"doc_a": ids[ii], "doc_b": ids[jj], "cosine": sims[ii, jj]}
+            )
+        left = pdf[pdf["__block"] == bi]
+        right = pdf[pdf["__block"] == bj]
+        ids_a, ma = dense(left)
+        ids_b, mb = dense(right)
+        sims = ma @ mb.T
+        ii, jj = np.nonzero(sims >= thr)
+        da, db = ids_a[ii], ids_b[jj]
+        lo, hi = np.minimum(da, db), np.maximum(da, db)
+        return pd.DataFrame({"doc_a": lo, "doc_b": hi, "cosine": sims[ii, jj]})
+
+    raw = fanned.groupBy("__bi", "__bj").applyInPandas(
+        tile_gemm, "doc_a long, doc_b long, cosine double"
+    )
+    return raw.select(
+        "doc_a", "doc_b", F.round("cosine", round_digits).alias("cosine")
+    ).filter(F.col("cosine") >= F.lit(float(threshold)))
 
 
 def cosine_threshold_pairs_bruteforce(

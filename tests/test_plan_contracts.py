@@ -310,6 +310,7 @@ def test_no_cartesian_product_across_query_surface(spark):
         # during construction; pinned by tests/test_bpe.py instead)
         "join_bucketed", "scan_zonemap", "text_bm25",
         "sample_importance", "text_lm_bigram", "decontam_fuzzy",
+        "scan_bloommap", "dedup_cosine_exact",
     ]
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"
@@ -476,3 +477,39 @@ def test_skew_hitters_sketch_bounded_candidates(spark):
     assert plan.count("MapInPandas") == 1
     assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("TakeOrderedAndProject") == 1  # top-N, no global sort
+
+
+def test_dedup_cosine_exact_auto_dense_tile_shape(spark):
+    """AP-SS exact threshold join on the tiny-vocab documents table:
+    auto picks the DENSE strategy, whose plan is one
+    FlatMapGroupsInPandas GEMM tile per block pair fed by the
+    checkpointed postings (never a cartesian, never a driver
+    collect/broadcast of the corpus); the vocab index arrives via
+    BroadcastHashJoin (vocab-sized by the guard)."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_dedup_cosine_exact(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1  # the GEMM tiles
+    assert plan.count("BroadcastHashJoin") == 1  # vocab index only
+    # pinned diamond: checkpointed postings, no corpus re-read
+    assert "Scan ExistingRDD" in plan
+    assert plan.count("Scan parquet") == 0
+
+
+def test_apss_prefix_strategy_equi_join_shape(spark):
+    """The prefix (open-vocab) strategy plans equi-joins only: the
+    candidate self-join and both verification joins are hash/merge
+    joins with the positional bound inside the join condition — no
+    cartesian, no Python anywhere (pure Catalyst)."""
+    from recover_spark.ops.apss import cosine_threshold_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} x{i%7} y{i%11}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    df = cosine_threshold_pairs(docs, 0.8, strategy="prefix")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
