@@ -3437,6 +3437,106 @@ def q_scan_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (ops/sampling.py:weighted_sample_k — Efraimidis–Spirakis
+    exponential race on an md5-derived uniform): 5 customers per
+    market segment, selection probability proportional to shifted
+    account balance.  One window exchange on the segment; membership
+    is replay-stable and the DuckDB oracle reproduces the draw
+    bit-for-bit (scores rounded before ranking so libm ulps cannot
+    flip a selection)."""
+    from recover_spark.ops.sampling import weighted_sample_k
+
+    cust = _load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal") + F.lit(1000.0)).alias("wgt"),
+    )
+    return weighted_sample_k(
+        cust, "c_custkey", "wgt", 5, group_col="c_mktsegment"
+    ).orderBy("c_mktsegment", "c_custkey")
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (ops/graph.py:pagerank) over the bidirectional
+    customer<->supplier trade graph (edge weight = lineitem count):
+    the canonical iterative-dataflow algorithm as DataFrame power
+    iteration — each step is one node-keyed equi-join plus one
+    mergeable aggregate, the transition table computed once and
+    pinned, lineage bounded by per-iteration lazy checkpoints.  The
+    bidirectional construction leaves no dangling nodes, so the oracle
+    is the same 6 iterations unrolled as chained CTEs — a per-value
+    hash match on an iterative algorithm."""
+    from recover_spark.ops.graph import pagerank
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    flows = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            "w",
+        )
+    )
+    edges = flows.unionByName(
+        flows.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    return pagerank(edges, weight="w", iterations=6).orderBy("node")
+
+
+def _pagerank_oracle_sql(iterations: int = 6, damping: float = 0.85) -> str:
+    """Unrolled power iteration as chained CTEs (no dangling nodes in
+    the bidirectional graph, so no mass-correction term).  (1-0.85) is
+    written as the subtraction so both engines compute the identical
+    double, matching the Spark side's Python float arithmetic."""
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(
+            f"""r{i} AS (
+                SELECT n.node,
+                       (1 - {damping}) / (SELECT n FROM nn)
+                       + {damping} * coalesce(sum(r.rank * t.p), 0) AS rank
+                FROM nodes n
+                LEFT JOIN trans t ON t.dst = n.node
+                LEFT JOIN {prev} r ON r.node = t.src
+                GROUP BY n.node
+            )"""
+        )
+        prev = f"r{i}"
+    chain = ",\n".join(steps)
+    return f"""
+        WITH flows AS (
+            SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst,
+                   CAST(count(*) AS DOUBLE) AS w
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT src, dst, w FROM flows
+            UNION ALL
+            SELECT dst AS src, src AS dst, w FROM flows
+        ),
+        trans AS (
+            SELECT src, dst, w / sum(w) OVER (PARTITION BY src) AS p
+            FROM edges
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        r0 AS (
+            SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+        ),
+        {chain}
+        SELECT node, round(rank, 7) AS rank FROM {prev} ORDER BY node
+    """
+
+
 def q_scan_bloommap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-sidecar file skipping (sources/bloommap.py): lineitem is
     laid out range-clustered on l_shipdate — so l_orderkey SCATTERS
@@ -3613,6 +3713,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_schema_drift": q_s2_schema_drift,
         "scan_bloommap": q_scan_bloommap,
         "dedup_cosine_exact": q_dedup_cosine_exact,
+        "graph_pagerank": q_graph_pagerank,
+        "sample_weighted": q_sample_weighted,
         "join_bucketed": q_join_bucketed,
         "scan_zonemap": q_scan_zonemap,
         "text_bm25": q_text_bm25,
@@ -4736,6 +4838,30 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE o.o_orderstatus = 'F'
             GROUP BY o.o_orderpriority
             ORDER BY o.o_orderpriority
+        """,
+        "graph_pagerank": _pagerank_oracle_sql(),
+        "sample_weighted": """
+            WITH scored AS (
+                SELECT c_custkey, c_mktsegment,
+                       c_acctbal + 1000.0 AS wgt,
+                       round(
+                           -ln((CAST(concat('0x',
+                                substr(md5(concat('wsample', '|',
+                                    CAST(c_custkey AS VARCHAR))), 1, 8))
+                                AS BIGINT) + 0.5) / 4294967296.0)
+                           / (c_acctbal + 1000.0), 12) AS score
+                FROM customer
+                WHERE c_acctbal + 1000.0 > 0
+            ),
+            ranked AS (
+                SELECT c_custkey, c_mktsegment, wgt,
+                       row_number() OVER (PARTITION BY c_mktsegment
+                                          ORDER BY score, c_custkey) AS rn
+                FROM scored
+            )
+            SELECT c_custkey, c_mktsegment, wgt
+            FROM ranked WHERE rn <= 5
+            ORDER BY c_mktsegment, c_custkey
         """,
         "dedup_cosine_exact": """
             WITH toks AS (

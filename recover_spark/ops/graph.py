@@ -84,3 +84,105 @@ def triangle_enumerate(
         tri.getItem(1).alias("t2"),
         tri.getItem(2).alias("t3"),
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    iterations: int = 10,
+    round_digits: int = 7,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Weighted PageRank by power iteration, each step one join + one
+    aggregate — the canonical iterative-dataflow algorithm expressed as
+    mergeable DataFrame aggregates.
+
+    Per iteration: ranks (node-sized, NOT edge-sized) join the
+    transition table on ``src`` — an equi-join keyed on node id —
+    contributions aggregate per ``dst`` with map-side partials, and the
+    damped update adds the teleport term plus the dangling-node mass.
+    Dangling mass (rank parked on nodes with no out-edges) is a
+    ONE-ROW aggregate whose value enters the next compiled plan as a
+    literal — the same pattern as the logistic-regression trainer
+    (ops/classifier.py): no broadcast variable, no UDF, nothing
+    driver-side beyond two scalars per iteration.  Lineage is bounded
+    with a lazy localCheckpoint per ``checkpoint_every`` iterations, so
+    ten iterations do not compile a ten-deep join tree.
+
+    The transition table (src, dst, p = w / out_w) is computed once and
+    pinned; out-degree normalization uses a groupBy — never a window
+    over ``src`` (a hub node would make one window partition
+    edge-sized).  Node set = union of endpoints; ranks sum to 1 every
+    iteration (teleport + dangling redistribution close the mass
+    balance).
+
+    Returns (node, rank) for every node, rank ROUNDED to
+    ``round_digits`` so results are reproducible across engines
+    regardless of float summation order (the per-iteration cross-engine
+    drift is ~1e-13 relative; the rounding step is orders of magnitude
+    coarser).
+    """
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
+    e = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst"),
+        w_col.alias("__w"),
+    )
+    out_w = e.groupBy("__src").agg(F.sum("__w").alias("__ow"))
+    trans = (
+        e.join(out_w, "__src")
+        .select("__src", "__dst", (F.col("__w") / F.col("__ow")).alias("__p"))
+        .localCheckpoint(eager=False)
+    )
+
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .unionByName(e.select(F.col("__dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()  # one scalar; the node table itself stays distributed
+    teleport = (1.0 - damping) / n
+
+    # nodes that never appear as a source hold dangling mass
+    dangling_nodes = nodes.join(
+        out_w.select(F.col("__src").alias("node")), "node", "left_anti"
+    ).localCheckpoint(eager=False)
+    has_dangling = dangling_nodes.limit(1).count() > 0
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for it in range(iterations):
+        if has_dangling:
+            dm = (
+                dangling_nodes.join(ranks, "node")
+                .agg(F.sum("rank").alias("s"))
+                .collect()[0]["s"]
+                or 0.0
+            )  # one-row aggregate -> plan literal, like the logreg weights
+        else:
+            dm = 0.0  # no dangling nodes: skip the per-iteration job
+        contrib = (
+            ranks.join(trans, ranks["node"] == trans["__src"])
+            .groupBy(F.col("__dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("__p")).alias("__c"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__c"), F.lit(0.0)) + F.lit(dm / n))
+                ).alias("rank"),
+            )
+        )
+        if (it + 1) % checkpoint_every == 0 or it == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=False)
+    return ranks.select("node", F.round("rank", round_digits).alias("rank"))

@@ -22,7 +22,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from recover_spark.functions.hashing import portable_hash64
+from recover_spark.functions.hashing import portable_hash32, portable_hash64
 
 _GRANULARITY = 10_000
 
@@ -159,6 +159,68 @@ def temperature_mix(
             < F.round(F.col("__rate") * F.lit(_GRANULARITY), 0).cast("bigint")
         )
         .drop("__rate")
+    )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+    salt: str = "wsample",
+    round_digits: int = 12,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (exactly k
+    rows, or all rows when fewer) — the Efraimidis–Spirakis exponential
+    race: each row draws an exponential clock ``-ln(u) / w`` and the k
+    earliest clocks win, which selects row i first with probability
+    ``w_i / sum(w)`` and recursively thereafter (the defining property
+    of successive weighted draws without replacement).
+
+    ``u`` derives from the engine-portable md5 hash of the key (NOT an
+    RNG): membership is stable under replay, partitioning, and data
+    order, and an external SQL oracle reproduces the draw bit-for-bit
+    — same contract as ``stable_split``.  Scores are ROUNDED before
+    ranking (ties then break on the key) so cross-engine libm ulp
+    differences in ``ln`` cannot flip the selection.
+
+    With ``group_col`` the draw runs independently per group via ONE
+    window exchange on the group key; without it, the global top-k is
+    a TakeOrdered (no full sort, no single-partition shuffle).
+
+    Rows with non-positive weight can never win a weighted draw and
+    are excluded by construction (documented: the filter is explicit,
+    mirrored by the oracle).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = (
+        (portable_hash32(F.col(key_col), salt=salt) + F.lit(0.5))
+        / F.lit(float(1 << 32))
+    )
+    score = F.round(
+        -F.log(u) / F.col(weight_col).cast("double"), round_digits
+    )
+    scored = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__es_score", score)
+    )
+    if group_col is None:
+        return (
+            scored.orderBy(F.asc("__es_score"), F.asc(key_col))
+            .limit(k)
+            .drop("__es_score")
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.asc("__es_score"), F.asc(key_col)
+    )
+    return (
+        scored.withColumn("__es_rn", F.row_number().over(w))
+        .filter(F.col("__es_rn") <= k)
+        .drop("__es_score", "__es_rn")
     )
 
 
