@@ -2744,6 +2744,47 @@ def q_stream_hll_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_quantile_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained APPROX PERCENTILE: per-event-type KLL
+    quantile sketches folded across a four-file availableNow stream
+    (streaming/matview.py:maintain_quantile_matview).  Quantile
+    partials are not summable — KLL sketches merge associatively
+    (rank error ~1.65% at k=200), completing the sketch-family
+    matviews (HLL distincts, Misra-Gries top-k, KLL quantiles).
+    KLL merge is NOT idempotent, so the batch-id sidecar is
+    load-bearing for exactly-once, pinned by the pytest replay twin.
+    Approximate by contract — rows-only check."""
+    import uuid
+
+    from recover_spark.streaming.matview import (
+        maintain_quantile_matview,
+        read_quantile_matview,
+    )
+
+    run_dir = f"spark-warehouse/matview_kll_q/{uuid.uuid4().hex}"
+    src = f"{run_dir}/src"
+    events = _load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_quantile_matview(
+        stream,
+        f"{run_dir}/state",
+        f"{run_dir}/ckpt",
+        ["event_type"],
+        value_col="value",
+    )
+    q.awaitTermination(300)
+    return read_quantile_matview(spark, f"{run_dir}/state").orderBy(
+        "event_type"
+    )
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-funnel analysis (view -> click -> purchase, in order):
     per-user step timestamps via conditional aggregation — step 1 is a
@@ -3715,6 +3756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cosine_exact": q_dedup_cosine_exact,
         "graph_pagerank": q_graph_pagerank,
         "sample_weighted": q_sample_weighted,
+        "stream_quantile_matview": q_stream_quantile_matview,
         "join_bucketed": q_join_bucketed,
         "scan_zonemap": q_scan_zonemap,
         "text_bm25": q_text_bm25,

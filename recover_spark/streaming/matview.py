@@ -340,3 +340,108 @@ def read_topk_matview(
     keys = [c for c in state.columns if c != "weight"]
     order = [F.col("weight").desc()] + [F.col(k).asc() for k in keys]
     return state.orderBy(*order).limit(top_n)
+
+
+def merge_quantile_sketches(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    k: int = 200,
+    batch_id: int | None = None,
+) -> None:
+    """Merge one batch's per-key KLL quantile sketches into the state
+    table — incremental APPROX PERCENTILE, the third aggregate family
+    plain counters cannot maintain (quantile partials are not
+    summable; KLL sketches merge associatively with a proven rank
+    error ~1.65% at k=200, Karnin-Lang-Liberty FOCS'16).
+
+    State stores the compact binary sketch per key (O(k log n) bytes),
+    so state size is O(keys), independent of value count.  UNLIKE the
+    HLL register merge, a KLL merge is NOT idempotent — replaying an
+    already-applied batch would double-count its values — so the
+    batch-id sidecar is load-bearing for exactly-once here, not just a
+    work-skip; combined with the crash-safe state swap the view
+    converges under at-least-once replay.
+
+    Everything is JVM-side (Spark 4.1 built-in Datasketches KLL
+    aggregates): no Python, no UDF, map-side partial sketches before
+    the key shuffle.
+    """
+    _recover_state(state_path)
+    if batch_id is not None:
+        applied = _applied_batch_id(state_path)
+        if applied is not None and batch_id <= applied:
+            return
+    keys = list(key_cols)
+    partial = batch.groupBy(*keys).agg(
+        F.kll_sketch_agg_double(
+            F.col(value_col).cast("double"), F.lit(int(k))
+        ).alias("sketch"),
+        F.count(value_col).alias("n_rows"),
+    )
+
+    state = Path(state_path)
+    if state.exists():
+        prev = spark.read.parquet(state_path)
+        merged = (
+            prev.unionByName(partial)
+            .groupBy(*keys)
+            .agg(
+                F.kll_merge_agg_double(F.col("sketch"), F.lit(int(k))).alias(
+                    "sketch"
+                ),
+                F.sum("n_rows").alias("n_rows"),
+            )
+        )
+    else:
+        merged = partial
+
+    tmp = str(state) + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
+    _swap_state(tmp, state_path)
+
+
+def maintain_quantile_matview(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    k: int = 200,
+):
+    """availableNow increment of the approx-quantile materialized view."""
+    spark = stream.sparkSession
+    keys = list(key_cols)
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        merge_quantile_sketches(
+            spark, batch, state_path, keys, value_col, k, batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_quantile_matview(
+    spark: SparkSession,
+    state_path: str,
+    ranks: Sequence[float] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Materialize per-key quantile estimates from the sketch state."""
+    _recover_state(state_path)
+    df = spark.read.parquet(state_path)
+    cols = [c for c in df.columns if c != "sketch"]
+    for r in ranks:
+        df = df.withColumn(
+            f"p{str(r).replace('0.', '').ljust(2, '0')}",
+            F.kll_sketch_get_quantile_double("sketch", F.lit(float(r))),
+        )
+    return df.drop("sketch")

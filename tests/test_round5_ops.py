@@ -979,3 +979,82 @@ class TestIvfIndexAppend:
         stats = ivf_index_stats(spark, idx)
         assert stats.agg(F.sum("n_vectors")).collect()[0][0] == 150
         assert stats.select("imbalance_ratio").first()[0] >= 1.0
+
+
+# -- incremental KLL quantile matview ---------------------------------------
+
+
+class TestQuantileMatview:
+    def test_streamed_state_tracks_exact_quantiles(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from recover_spark.streaming.matview import (
+            maintain_quantile_matview,
+            read_quantile_matview,
+        )
+
+        src = str(tmp_path / "src")
+        df = spark.range(0, 20_000).select(
+            (F.col("id") % 4).cast("string").alias("g"),
+            (F.col("id") % 1000).cast("double").alias("v"),
+        )
+        df.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("g string, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = maintain_quantile_matview(
+            stream, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+            ["g"], "v",
+        )
+        q.awaitTermination(120)
+        got = {
+            r.g: r
+            for r in read_quantile_matview(
+                spark, str(tmp_path / "state")
+            ).collect()
+        }
+        exact = {
+            r.g: r
+            for r in df.groupBy("g")
+            .agg(
+                F.percentile("v", F.lit(0.5)).alias("e50"),
+                F.percentile("v", F.lit(0.95)).alias("e95"),
+            )
+            .collect()
+        }
+        assert set(got) == set(exact) and len(got) == 4
+        for g in exact:
+            # KLL rank error at k=200 is ~1.65%; values 0..999 so a
+            # 2% rank error is <= ~25 in value
+            assert abs(got[g].p50 - exact[g].e50) <= 30
+            assert abs(got[g].p95 - exact[g].e95) <= 30
+        assert sum(r.n_rows for r in got.values()) == 20_000
+
+    def test_replay_skipped_by_batch_sidecar_not_idempotence(
+        self, spark, tmp_path
+    ):
+        """KLL merge is NOT idempotent (unlike HLL) — the sidecar is
+        load-bearing: replaying an applied batch must be a no-op, and
+        merging the same batch under a NEW id must double n."""
+        from pyspark.sql import functions as F
+
+        from recover_spark.streaming.matview import (
+            merge_quantile_sketches,
+            read_quantile_matview,
+        )
+
+        batch = spark.range(0, 500).select(
+            F.lit("k").alias("g"), F.col("id").cast("double").alias("v")
+        )
+        state = str(tmp_path / "state")
+        merge_quantile_sketches(spark, batch, state, ["g"], "v", batch_id=0)
+        first = read_quantile_matview(spark, state).first()
+        merge_quantile_sketches(spark, batch, state, ["g"], "v", batch_id=0)
+        again = read_quantile_matview(spark, state).first()
+        assert (first.n_rows, first.p50) == (again.n_rows, again.p50)
+        # a genuinely new batch id merges (and doubles the count)
+        merge_quantile_sketches(spark, batch, state, ["g"], "v", batch_id=1)
+        after = read_quantile_matview(spark, state).first()
+        assert after.n_rows == 2 * first.n_rows
