@@ -963,6 +963,28 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join with tolerance
+    (operators/temporal.py:asof_join direction="nearest"): each event
+    picks whichever same-user marker is closer in time (ties backward,
+    pandas merge_asof semantics), nulled beyond a 2-hour tolerance.
+    Backward and forward carries share ONE key exchange (two window
+    sorts, no second shuffle).  Oracle: two DuckDB ASOF joins (>= and
+    <=) arbitrated by the same closer-wins/tie-backward rule."""
+    from recover_spark.operators import asof_join
+
+    events = _load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    joined = asof_join(
+        events, _markers(spark, sf_dir), on=["user_id"],
+        left_ts="ts", right_ts="ts", right_cols=["marker_value"],
+        direction="nearest", tolerance_seconds=7200,
+    )
+    return joined.select(
+        "event_id", "user_id", _ts(F.col("ts"), "ts"),
+        F.round("marker_value", 6).alias("marker_value"),
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: events to the 30-minute windows opened by
     each marker — bucketed-expansion equi-join, no nested loop
@@ -3757,6 +3779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "sample_weighted": q_sample_weighted,
         "stream_quantile_matview": q_stream_quantile_matview,
+        "join_asof_nearest": q_join_asof_nearest,
         "join_bucketed": q_join_bucketed,
         "scan_zonemap": q_scan_zonemap,
         "text_bm25": q_text_bm25,
@@ -5135,6 +5158,48 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN (SELECT event_type, count(*) AS type_total
                   FROM events GROUP BY event_type) d
               ON e.event_type = d.event_type
+        """,
+        "join_asof_nearest": """
+            WITH m AS (
+                SELECT user_id, ts, max(value) AS marker_value
+                FROM events WHERE event_id % 19 = 0 GROUP BY user_id, ts),
+            b AS (
+                SELECT e.event_id, e.user_id, e.ts,
+                       m.ts AS bts, m.marker_value AS bm
+                FROM events e
+                ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts >= m.ts),
+            f AS (
+                SELECT e.event_id, m.ts AS fts, m.marker_value AS fm
+                FROM events e
+                ASOF LEFT JOIN m ON e.user_id = m.user_id AND e.ts <= m.ts),
+            j AS (
+                SELECT b.event_id, b.user_id, b.ts,
+                       CASE WHEN b.bts IS NOT NULL
+                                 AND epoch_us(b.ts) - epoch_us(b.bts)
+                                     <= CAST(7200 AS BIGINT) * 1000000
+                            THEN b.bm END AS bm,
+                       CASE WHEN b.bts IS NOT NULL
+                                 AND epoch_us(b.ts) - epoch_us(b.bts)
+                                     <= CAST(7200 AS BIGINT) * 1000000
+                            THEN epoch_us(b.ts) - epoch_us(b.bts) END AS bd,
+                       CASE WHEN f.fts IS NOT NULL
+                                 AND epoch_us(f.fts) - epoch_us(b.ts)
+                                     <= CAST(7200 AS BIGINT) * 1000000
+                            THEN f.fm END AS fm,
+                       CASE WHEN f.fts IS NOT NULL
+                                 AND epoch_us(f.fts) - epoch_us(b.ts)
+                                     <= CAST(7200 AS BIGINT) * 1000000
+                            THEN epoch_us(f.fts) - epoch_us(b.ts) END AS fd
+                FROM b JOIN f USING (event_id))
+            SELECT event_id, user_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   round(
+                       CASE WHEN bd IS NOT NULL
+                                 AND (fd IS NULL OR bd <= fd)
+                            THEN bm
+                            WHEN fd IS NOT NULL THEN fm
+                       END, 6) AS marker_value
+            FROM j
         """,
         "join_asof": """
             WITH m AS (

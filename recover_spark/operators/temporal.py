@@ -40,13 +40,20 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: Sequence[str] | None = None,
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward-inclusive as-of join (most recent right row with
-    ``right.ts <= left.ts`` per key), left-outer semantics.
+    """As-of join per key, left-outer semantics, pandas ``merge_asof``
+    direction family:
+
+    - ``"backward"`` (default): most recent right row with
+      ``right.ts <= left.ts``;
+    - ``"forward"``: earliest right row with ``right.ts >= left.ts``;
+    - ``"nearest"``: whichever of the two is closer in time (ties go
+      backward, matching pandas).
 
     ``right_cols`` are the right-side payload columns to carry (default:
     everything except the keys and ``right_ts``).  With
-    ``tolerance_seconds`` set, matches older than the tolerance are
+    ``tolerance_seconds`` set, matches farther than the tolerance are
     nulled out (pandas ``merge_asof(tolerance=...)`` semantics).
 
     Right rows must be unique per (key, right_ts) — ambiguous same-
@@ -54,8 +61,12 @@ def asof_join(
     the right side if needed.
 
     Plan shape: union -> single Exchange on ``on`` -> window sort by
-    (ts, side) -> filter.  No nested-loop, no interval explosion.
+    (ts, side) -> filter.  ``nearest`` adds a second window SORT over
+    the same partitioning (no second exchange).  No nested-loop, no
+    interval explosion.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     on = list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (*on, right_ts)]
@@ -82,40 +93,85 @@ def asof_join(
     unioned = l_tagged.unionByName(r_tagged)
 
     # Right rows sort before left rows at equal __ts -> inclusive match.
-    w = (
+    w_back = (
         Window.partitionBy(*on)
         .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in right_cols
-        ],
-        F.last(
-            F.when(F.col("__is_left") == 0, F.col("__ts")), ignorenulls=True
-        ).over(w).alias("__match_ts"),
+    # Forward pass: same partitioning (no second Exchange), reversed
+    # sort; right rows again first at equal __ts for inclusiveness.
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").desc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
 
+    def _carry(w: Window, tag: str):
+        return [
+            *[
+                F.last(F.col(f"__r_{c}"), ignorenulls=True)
+                .over(w)
+                .alias(f"__{tag}_{c}")
+                for c in right_cols
+            ],
+            F.last(
+                F.when(F.col("__is_left") == 0, F.col("__ts")),
+                ignorenulls=True,
+            ).over(w).alias(f"__{tag}_ts"),
+        ]
+
+    carries = []
+    if direction in ("backward", "nearest"):
+        carries += _carry(w_back, "b")
+    if direction in ("forward", "nearest"):
+        carries += _carry(w_fwd, "f")
+    carried = unioned.select("*", *carries)
+
     out = carried.filter(F.col("__is_left") == 1)
-    stale: Column = F.lit(False)
-    if tolerance_seconds is not None:
-        # Compare at microsecond precision — unix_timestamp truncates to
-        # seconds, which mis-classifies sub-second staleness at the edge.
-        stale = (
-            F.col("__match_ts").isNull()
-            | (
-                F.unix_micros("__ts") - F.unix_micros("__match_ts")
-                > F.lit(int(tolerance_seconds) * 1_000_000)
-            )
-        )
+    tol_us = (
+        int(tolerance_seconds) * 1_000_000
+        if tolerance_seconds is not None
+        else None
+    )
+
+    def _stale(match_ts: Column, delta_us: Column) -> Column:
+        # Compare at microsecond precision — unix_timestamp truncates
+        # to seconds, mis-classifying sub-second staleness at the edge.
+        cond = match_ts.isNull()
+        if tol_us is not None:
+            cond = cond | (delta_us > F.lit(tol_us))
+        return cond
+
+    b_delta = F.unix_micros("__ts") - F.unix_micros(F.col("__b_ts"))
+    f_delta = F.unix_micros(F.col("__f_ts")) - F.unix_micros("__ts")
+    if direction == "backward":
+        pick = [
+            F.when(
+                _stale(F.col("__b_ts"), b_delta), F.lit(None)
+            ).otherwise(F.col(f"__b_{c}")).alias(c)
+            for c in right_cols
+        ]
+    elif direction == "forward":
+        pick = [
+            F.when(
+                _stale(F.col("__f_ts"), f_delta), F.lit(None)
+            ).otherwise(F.col(f"__f_{c}")).alias(c)
+            for c in right_cols
+        ]
+    else:  # nearest: closer side wins, ties backward (pandas semantics)
+        b_ok = ~_stale(F.col("__b_ts"), b_delta)
+        f_ok = ~_stale(F.col("__f_ts"), f_delta)
+        use_b = b_ok & (~f_ok | (b_delta <= f_delta))
+        pick = [
+            F.when(use_b, F.col(f"__b_{c}"))
+            .when(f_ok, F.col(f"__f_{c}"))
+            .otherwise(F.lit(None))
+            .alias(c)
+            for c in right_cols
+        ]
     keep = [*on, F.col("__ts").alias(left_ts)]
     keep += [F.col(c) for c in left.columns if c not in (*on, left_ts)]
-    keep += [
-        F.when(stale, F.lit(None)).otherwise(F.col(f"__c_{c}")).alias(c)
-        for c in right_cols
-    ]
+    keep += pick
     return out.select(*keep)
 
 

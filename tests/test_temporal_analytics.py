@@ -72,6 +72,93 @@ class TestAsofJoin:
         assert set(out.columns) == {"event_id", "user_id", "ts", "value", "marker"}
 
 
+class TestAsofDirections:
+    def test_forward_inclusive_match(self, spark):
+        out = asof_join(
+            _events(spark), _markers(spark), on=["user_id"],
+            right_cols=["marker"], direction="forward",
+        )
+        got = {r["event_id"]: r["marker"] for r in out.collect()}
+        # event 1 ties 10:00 exactly (inclusive); event 2 takes the
+        # NEXT marker... none after 10:05 for u1 -> null; event 4 takes
+        # u2's 12:00 marker.
+        assert got == {1: 100.0, 2: None, 3: None, 4: 300.0}
+
+    def test_nearest_prefers_closer_and_ties_backward(self, spark):
+        out = asof_join(
+            _events(spark), _markers(spark), on=["user_id"],
+            right_cols=["marker"], direction="nearest",
+        )
+        got = {r["event_id"]: r["marker"] for r in out.collect()}
+        # event 2 (10:05): backward 10:04 (60s) vs no forward -> 200;
+        # event 4 (09:00): only forward (12:00) -> 300
+        assert got == {1: 100.0, 2: 200.0, 3: 200.0, 4: 300.0}
+
+    def test_nearest_with_tolerance(self, spark):
+        out = asof_join(
+            _events(spark), _markers(spark), on=["user_id"],
+            right_cols=["marker"], direction="nearest",
+            tolerance_seconds=120,
+        )
+        got = {r["event_id"]: r["marker"] for r in out.collect()}
+        # event 3 (11:30) is 86 min from 10:04 -> stale; event 4 is
+        # 3 h from 12:00 -> stale
+        assert got == {1: 100.0, 2: 200.0, 3: None, 4: None}
+
+    def test_all_directions_match_pandas_merge_asof(self, spark):
+        """Property twin: pandas.merge_asof is the reference
+        implementation for every (direction, tolerance) combination."""
+        import pandas as pd
+
+        rng_l = [(k, i) for k in ("a", "b") for i in range(0, 100, 7)]
+        rng_r = [(k, i) for k in ("a", "b") for i in range(3, 100, 11)]
+        left = pd.DataFrame(
+            {
+                "k": [k for k, _ in rng_l],
+                "ts": [pd.Timestamp(2024, 1, 1) + pd.Timedelta(seconds=i)
+                       for _, i in rng_l],
+                "lv": [float(i) for _, i in rng_l],
+            }
+        ).sort_values("ts").reset_index(drop=True)
+        right = pd.DataFrame(
+            {
+                "k": [k for k, _ in rng_r],
+                "ts": [pd.Timestamp(2024, 1, 1) + pd.Timedelta(seconds=i)
+                       for _, i in rng_r],
+                "m": [float(1000 + i) for _, i in rng_r],
+            }
+        ).sort_values("ts").reset_index(drop=True)
+        sl = spark.createDataFrame(left)
+        sr = spark.createDataFrame(right)
+        for direction in ("backward", "forward", "nearest"):
+            for tol in (None, 8):
+                expect = pd.merge_asof(
+                    left, right, on="ts", by="k", direction=direction,
+                    tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+                )
+                got = asof_join(
+                    sl, sr, on=["k"], right_cols=["m"],
+                    direction=direction, tolerance_seconds=tol,
+                ).toPandas()
+                merged = expect.merge(
+                    got, on=["k", "ts", "lv"], suffixes=("_pd", "_spark")
+                )
+                assert len(merged) == len(expect) == len(got)
+                pd.testing.assert_series_equal(
+                    merged["m_pd"], merged["m_spark"],
+                    check_names=False,
+                ), (direction, tol)
+
+    def test_unknown_direction_rejected(self, spark):
+        import pytest
+
+        with pytest.raises(ValueError, match="direction"):
+            asof_join(
+                _events(spark), _markers(spark), on=["user_id"],
+                direction="sideways",
+            )
+
+
 class TestRangeJoin:
     def test_containment_and_boundaries(self, spark):
         points = _events(spark)
