@@ -513,3 +513,31 @@ def test_apss_prefix_strategy_equi_join_shape(spark):
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_sample_weighted_single_window_exchange(spark):
+    """E-S weighted sampling per group: one hash exchange on the group
+    key, map-side score projection (md5/conv/ln are JVM intrinsics —
+    no Python), no join anywhere."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_sample_weighted(spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Python" not in plan
+
+
+def test_asof_nearest_one_exchange_two_sorts(spark):
+    """Nearest-direction as-of: backward and forward carries share the
+    union's single key exchange — two window SORTS, never a second
+    shuffle, and no join operator at all."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.q_join_asof_nearest(spark, SF_SMOKE))
+    # exactly two exchanges: the marker pre-aggregation (same as
+    # join_asof) and ONE union exchange feeding BOTH window sorts —
+    # the forward pass must not add a third
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert plan.count("Window") == 2
+    assert plan.count("Sort") == 2
