@@ -963,6 +963,31 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-series EWMA smoothing
+    (operators/temporal.py:ewma_smooth): the sequential recurrence
+    s_t = a*y_t + (1-a)*s_{t-1} parallelized as a chunked affine scan
+    — in-chunk closed form on one (key, chunk) window, per-chunk
+    affine summaries composed over a bounded chunk-level frame, no
+    sequential pass anywhere.  The oracle runs the whole-series
+    z-transform closed form, valid at gate scale because series are
+    <100 rows; the Spark side's chunked scheme has no length limit
+    (pinned by the 20k-row pandas test)."""
+    from recover_spark.operators.temporal import ewma_smooth
+
+    events = _load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = ewma_smooth(
+        events, ["user_id"], ["ts", "event_id"], "value", alpha=0.3
+    )
+    return out.select(
+        "user_id", "event_id", _ts(F.col("ts"), "ts"),
+        F.round("value", 6).alias("value"),
+        F.round("ewma", 6).alias("ewma"),
+    )
+
+
 def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST-direction as-of join with tolerance
     (operators/temporal.py:asof_join direction="nearest"): each event
@@ -3780,6 +3805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_weighted": q_sample_weighted,
         "stream_quantile_matview": q_stream_quantile_matview,
         "join_asof_nearest": q_join_asof_nearest,
+        "ts_smooth": q_ts_smooth,
         "join_bucketed": q_join_bucketed,
         "scan_zonemap": q_scan_zonemap,
         "text_bm25": q_text_bm25,
@@ -5158,6 +5184,28 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN (SELECT event_type, count(*) AS type_total
                   FROM events GROUP BY event_type) d
               ON e.event_type = d.event_type
+        """,
+        "ts_smooth": """
+            WITH o AS (
+                SELECT user_id, event_id, ts, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS n
+                FROM events
+            ),
+            z AS (
+                SELECT *,
+                       sum(value * pow(0.7, -n)) OVER (
+                           PARTITION BY user_id ORDER BY n) AS cz,
+                       first_value(value) OVER (
+                           PARTITION BY user_id ORDER BY n) AS y1
+                FROM o
+            )
+            SELECT user_id, event_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   round(value, 6) AS value,
+                   round(pow(0.7, n) * y1
+                         + 0.3 * pow(0.7, n) * cz, 6) AS ewma
+            FROM z
         """,
         "join_asof_nearest": """
             WITH m AS (

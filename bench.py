@@ -75,6 +75,8 @@ HEADLINE = [
     "text_lm_bigram",
     "scan_bloommap",
     "dedup_cosine_exact",
+    "graph_pagerank",
+    "ts_smooth",
 ]
 
 

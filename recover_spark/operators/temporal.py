@@ -26,6 +26,7 @@ pipeline needs, expressed so the physical plan stays shuffle-lean:
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -601,3 +602,124 @@ def interval_overlap_join(
         )
     )
     return joined.drop("__bucket")
+
+
+def ewma_smooth(
+    series: DataFrame,
+    on: Sequence[str],
+    ts_col: str | Sequence[str],
+    value_col: str,
+    alpha: float,
+    out_col: str = "ewma",
+    chunk_rows: int | None = None,
+) -> DataFrame:
+    """Exact per-series exponential smoothing (EWMA), the sequential
+    recurrence ``s_t = alpha*y_t + (1-alpha)*s_{t-1}`` (``s_1 = y_1``;
+    pandas ``ewm(adjust=False)``), parallelized as a chunked affine
+    scan — no sequential pass over the series anywhere.
+
+    The recurrence is affine, so a CHUNK of rows composes to one affine
+    map ``s_out = beta^len * s_in + B`` — the classic parallel-prefix
+    treatment of linear recurrences (Blelloch scan), expressed entirely
+    in Catalyst expressions:
+
+    1. rows are numbered per key and cut into chunks of ``chunk_rows``;
+       within a chunk the closed form ``s_local(p) = alpha * beta^p *
+       cumsum(y_q * beta^-q)`` runs on ONE (key, chunk) window — the
+       exponent never exceeds the chunk length, which is sized so
+       ``beta^-chunk`` cannot overflow;
+    2. per-chunk summaries (B = s_local at chunk end, cumulative row
+       count N) roll up to a chunk-level table ~chunk_rows x smaller
+       than the data;
+    3. each chunk's INCOMING state folds the previous chunks' B over a
+       BOUNDED window frame: contributions older than W chunks are
+       below the smallest subnormal double (beta^(W*chunk) < 1e-323)
+       and are identically zero in ANY double-precision evaluation —
+       including the sequential reference — so the bounded frame loses
+       nothing the sequential loop would keep.  W adapts to alpha:
+       shallow smoothing (small alpha) genuinely remembers ~1/alpha
+       rows and pays a proportionally wider (still bounded) frame.
+
+    Plan shape: one exchange for the (key, chunk) windows, one
+    key-level window over the small chunk table, one equi-join carrying
+    the incoming state back to the rows.  A naive z-transform over the
+    WHOLE series would overflow beyond ~709/ln(1/beta) rows (~1000 rows
+    at alpha=0.5); the chunked scan has no length limit — pinned by a
+    pandas-equality test on series 20x past that bound.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1) exclusive")
+    beta = 1.0 - alpha
+    ln_inv = -math.log(beta)
+    # largest exponent the in-chunk z-transform may produce
+    m = int(chunk_rows) if chunk_rows else max(8, min(128, int(700 / ln_inv)))
+    # chunks whose influence is >= the smallest subnormal (~1e-323)
+    w_chunks = max(1, math.ceil(745.0 / (m * ln_inv)))
+    key_names = list(on)
+    # ts_col may be a list whose tail breaks timestamp ties — the row
+    # order must be total or the recurrence is nondeterministic
+    order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+
+    w_key = Window.partitionBy(*key_names).orderBy(
+        *[F.asc(c) for c in order_cols]
+    )
+    numbered = series.withColumn("__n", F.row_number().over(w_key))
+    numbered = numbered.withColumn(
+        "__chunk", ((F.col("__n") - 1) / m).cast("bigint")
+    ).withColumn("__p", F.col("__n") - F.col("__chunk") * m)
+
+    w_chunk = (
+        Window.partitionBy(*key_names, "__chunk")
+        .orderBy(F.asc("__p"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    y = F.col(value_col).cast("double")
+    local = numbered.withColumn(
+        "__s_local",
+        F.lit(alpha)
+        * F.pow(F.lit(beta), F.col("__p"))
+        * F.sum(y * F.pow(F.lit(beta), -F.col("__p"))).over(w_chunk),
+    )
+
+    summaries = local.groupBy(*key_names, "__chunk").agg(
+        F.max_by("__s_local", "__p").alias("__B"),
+        F.count(F.lit(1)).alias("__len"),
+        F.min_by(y, F.col("__n")).alias("__first"),  # only chunk 0's used
+    )
+    w_chunks_win = Window.partitionBy(*key_names).orderBy(F.asc("__chunk"))
+    frame = (
+        Window.partitionBy(*key_names)
+        .orderBy(F.asc("__chunk"))
+        .rowsBetween(-w_chunks, -1)
+    )
+    chunk_states = (
+        summaries.withColumn(
+            "__N", F.sum("__len").over(
+                w_chunks_win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        )
+        .withColumn("__N_prev", F.col("__N") - F.col("__len"))
+        .withColumn("__y1", F.first("__first").over(w_chunks_win))
+        .withColumn(
+            "__hist", F.collect_list(F.struct("__B", "__N")).over(frame)
+        )
+        .withColumn(
+            "__s_in",
+            F.aggregate(
+                F.col("__hist"),
+                F.lit(0.0),
+                lambda acc, x: acc
+                + x["__B"]
+                * F.pow(F.lit(beta), F.col("__N_prev") - x["__N"]),
+            )
+            + F.pow(F.lit(beta), F.col("__N_prev")) * F.col("__y1"),
+        )
+        .select(*key_names, "__chunk", "__s_in")
+    )
+
+    joined = local.join(chunk_states, [*key_names, "__chunk"])
+    return joined.withColumn(
+        out_col,
+        F.pow(F.lit(beta), F.col("__p")) * F.col("__s_in")
+        + F.col("__s_local"),
+    ).drop("__n", "__chunk", "__p", "__s_local", "__s_in")

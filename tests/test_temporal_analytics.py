@@ -406,3 +406,66 @@ def test_scd2_close_keep_insert_and_null_safety(spark):
         (3, None, "2024-01-01", None),          # null == null: no churn
         (9, "new", "2024-06-01", None),         # brand-new key inserts open
     }
+
+
+class TestEwmaSmooth:
+    def _check(self, spark, n_rows, alpha, keys=("a", "b"), **kw):
+        import pandas as pd
+
+        from recover_spark.operators.temporal import ewma_smooth
+
+        pdf = pd.DataFrame(
+            {
+                "k": [k for k in keys for _ in range(n_rows)],
+                "t": [i for _ in keys for i in range(n_rows)],
+                "v": [
+                    float((i * 37 + j * 11) % 100) - 50.0
+                    for j, _ in enumerate(keys)
+                    for i in range(n_rows)
+                ],
+            }
+        )
+        sdf = spark.createDataFrame(pdf)
+        got = (
+            ewma_smooth(sdf, ["k"], "t", "v", alpha, **kw)
+            .orderBy("k", "t")
+            .toPandas()
+        )
+        expect = (
+            pdf.sort_values(["k", "t"])
+            .groupby("k")["v"]
+            .transform(lambda s: s.ewm(alpha=alpha, adjust=False).mean())
+        )
+        import numpy as np
+
+        assert np.allclose(got["ewma"].to_numpy(), expect.to_numpy(),
+                           rtol=1e-9, atol=1e-12)
+        assert np.isfinite(got["ewma"]).all()
+
+    def test_matches_pandas_short_series(self, spark):
+        self._check(spark, 50, 0.3)
+
+    def test_matches_pandas_past_naive_overflow_bound(self, spark):
+        """alpha=0.5 overflows a whole-series z-transform at ~1022
+        rows; the chunked scan must stay finite and exact at 20x
+        that length."""
+        self._check(spark, 20_000, 0.5, keys=("a",))
+
+    def test_heavy_smoothing_small_alpha_long_memory(self, spark):
+        self._check(spark, 3_000, 0.02, keys=("a",))
+
+    def test_sharp_smoothing_large_alpha(self, spark):
+        self._check(spark, 500, 0.97)
+
+    def test_tiny_chunks_still_exact(self, spark):
+        self._check(spark, 300, 0.4, chunk_rows=7)
+
+    def test_invalid_alpha_rejected(self, spark):
+        import pytest
+
+        from recover_spark.operators.temporal import ewma_smooth
+
+        df = spark.createDataFrame([("a", 1, 1.0)], "k string, t long, v double")
+        for bad in (0.0, 1.0, -0.5, 2.0):
+            with pytest.raises(ValueError, match="alpha"):
+                ewma_smooth(df, ["k"], "t", "v", bad)
