@@ -3786,6 +3786,43 @@ def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline / Pareto frontier
+    (operators/analytics.py:skyline_2d): the parts no other part beats
+    on BOTH price and size.  Local frontiers per hash bucket (one
+    exchange, bucket-sized sorts) then a final pass over the thinned
+    union — never a global sort of the data; frontiers compose because
+    domination is transitive.  Oracle: the NOT EXISTS domination
+    definition itself."""
+    from recover_spark.operators.analytics import skyline_2d
+
+    part = _load(spark, sf_dir, "part")
+    return skyline_2d(part, "p_retailprice", "p_size").orderBy(
+        "p_retailprice"
+    )
+
+
+def q_agg_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level quantile rollup via mergeable KLL sketches
+    (operators/analytics.py:approx_quantile_rollup): daily value
+    sketches merge upward to per-event-type percentiles — the coarse
+    level aggregates |fine groups| sketch binaries, never re-scanning
+    the fact (exact two-level percentiles would cost two full value
+    shuffles; quantile partials are not summable, sketches are).
+    Approximate by contract: rows-only check."""
+    from recover_spark.operators.analytics import approx_quantile_rollup
+
+    events = _load(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    return approx_quantile_rollup(
+        events,
+        group_cols=["event_type"],
+        rollup_col="day",
+        value_col="value",
+    ).orderBy("event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -3806,6 +3843,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_quantile_matview": q_stream_quantile_matview,
         "join_asof_nearest": q_join_asof_nearest,
         "ts_smooth": q_ts_smooth,
+        "agg_quantile_rollup": q_agg_quantile_rollup,
+        "agg_skyline": q_agg_skyline,
         "join_bucketed": q_join_bucketed,
         "scan_zonemap": q_scan_zonemap,
         "text_bm25": q_text_bm25,
@@ -5184,6 +5223,21 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN (SELECT event_type, count(*) AS type_total
                   FROM events GROUP BY event_type) d
               ON e.event_type = d.event_type
+        """,
+        "agg_skyline": """
+            WITH pts AS (
+                SELECT DISTINCT p_retailprice, p_size FROM part
+            )
+            SELECT p_retailprice, p_size
+            FROM pts p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pts q
+                WHERE q.p_retailprice <= p.p_retailprice
+                  AND q.p_size <= p.p_size
+                  AND (q.p_retailprice < p.p_retailprice
+                       OR q.p_size < p.p_size)
+            )
+            ORDER BY p_retailprice
         """,
         "ts_smooth": """
             WITH o AS (

@@ -158,6 +158,102 @@ def approx_distinct_rollup(
     )
 
 
+def approx_quantile_rollup(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    rollup_col: str,
+    value_col: str,
+    ranks: Sequence[float] = (0.5, 0.95, 0.99),
+    k: int = 200,
+) -> DataFrame:
+    """Two-level quantile rollup via MERGEABLE KLL sketches (Apache
+    DataSketches, built into Spark 4.1) — the quantile sibling of
+    ``approx_distinct_rollup``: fine-grained sketches aggregate once,
+    then MERGE upward, so coarse-level percentiles cost
+    |fine groups| sketch merges, never a second scan of the fact.
+
+    Exact percentiles at two granularities would need two full sorts /
+    shuffles of the raw values (quantile partials are not summable);
+    KLL partials are O(k log n) binaries with a proven ~1.65% rank
+    error at k=200.  The same mergeability drives the streaming
+    quantile matview (streaming/matview.py:maintain_quantile_matview).
+
+    Output: one coarse row with the requested quantile estimates —
+    approximate by contract (rows-only driver check).
+    """
+    fine = df.groupBy(*group_cols, rollup_col).agg(
+        F.kll_sketch_agg_double(
+            F.col(value_col).cast("double"), F.lit(int(k))
+        ).alias("__sk"),
+        F.count(value_col).alias("n_rows"),
+    )
+    coarse = fine.groupBy(*group_cols).agg(
+        F.kll_merge_agg_double(F.col("__sk"), F.lit(int(k))).alias("__sk"),
+        F.sum("n_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_fine_groups"),
+    )
+    for r in ranks:
+        coarse = coarse.withColumn(
+            f"p{str(r).replace('0.', '').ljust(2, '0')}",
+            F.kll_sketch_get_quantile_double("__sk", F.lit(float(r))),
+        )
+    return coarse.drop("__sk")
+
+
+def skyline_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    buckets: int = 64,
+) -> DataFrame:
+    """2-D skyline (Pareto frontier) minimizing both columns: the
+    DISTINCT points no other point dominates (<= in both coordinates,
+    < in at least one).
+
+    The classic sort-based rule — order by (x asc, y asc); a point
+    survives iff every strictly-preceding point has larger y — needs a
+    TOTAL order, and a single global sort is the scale-killer.  Skylines
+    compose (the global skyline is a subset of the union of any
+    partition's local skylines, because domination is transitive), so:
+
+    1. local pass: hash-bucket the distinct points, run the sort rule
+       per bucket — one exchange on the bucket key, bucket-sized sorts;
+    2. global pass: the same rule over the surviving candidates — a
+       single-partition window, but over the already-thinned union of
+       local frontiers, which is output-sized (frontier points +
+       bucket-local false positives), not data-sized.
+
+    Worst case (fully anti-correlated data) the frontier IS the data
+    and no algorithm avoids output-sized work; on real distributions
+    the local pass eliminates ~everything.
+    """
+    pts = df.select(
+        F.col(x_col).alias("x"), F.col(y_col).alias("y")
+    ).distinct()
+
+    def frontier(frame: DataFrame, part_cols: list) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols)
+            .orderBy(F.asc("x"), F.asc("y"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            frame.withColumn("__miny", F.min("y").over(w))
+            .filter(F.col("__miny").isNull() | (F.col("__miny") > F.col("y")))
+            .drop("__miny")
+        )
+
+    local = frontier(
+        pts.withColumn(
+            "__b", F.pmod(F.xxhash64("x", "y"), F.lit(buckets))
+        ),
+        ["__b"],
+    ).drop("__b")
+    return frontier(local, []).select(
+        F.col("x").alias(x_col), F.col("y").alias(y_col)
+    )
+
+
 def global_row_numbers(
     df: DataFrame,
     order_cols: Sequence[str],

@@ -1058,3 +1058,86 @@ class TestQuantileMatview:
         merge_quantile_sketches(spark, batch, state, ["g"], "v", batch_id=1)
         after = read_quantile_matview(spark, state).first()
         assert after.n_rows == 2 * first.n_rows
+
+
+# -- KLL quantile rollup + 2-D skyline --------------------------------------
+
+
+class TestQuantileRollup:
+    def test_coarse_estimates_within_kll_tolerance(self, spark):
+        from pyspark.sql import functions as F
+
+        from recover_spark.operators.analytics import approx_quantile_rollup
+
+        df = spark.range(0, 30_000).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") % 10).cast("string").alias("fine"),
+            (F.col("id") % 997).cast("double").alias("v"),
+        )
+        got = {
+            r.g: r
+            for r in approx_quantile_rollup(
+                df, ["g"], "fine", "v"
+            ).collect()
+        }
+        exact = {
+            r.g: r
+            for r in df.groupBy("g")
+            .agg(
+                F.percentile("v", F.lit(0.5)).alias("e50"),
+                F.percentile("v", F.lit(0.95)).alias("e95"),
+            )
+            .collect()
+        }
+        assert set(got) == set(exact)
+        for g in exact:
+            assert abs(got[g].p50 - exact[g].e50) <= 30  # ~2% of range
+            assert abs(got[g].p95 - exact[g].e95) <= 30
+            assert got[g].n_fine_groups == 10
+        assert sum(r.n_rows for r in got.values()) == 30_000
+
+
+class TestSkyline:
+    def _brute(self, pts):
+        out = []
+        for p in pts:
+            if not any(
+                q[0] <= p[0] and q[1] <= p[1] and q != p for q in pts
+            ):
+                out.append(p)
+        return sorted(set(out))
+
+    def test_equals_brute_force_on_random_points(self, spark):
+        from recover_spark.operators.analytics import skyline_2d
+
+        pts = sorted(
+            {((i * 37) % 101, (i * 59) % 103) for i in range(400)}
+        )
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = sorted((r.x, r.y) for r in skyline_2d(df, "x", "y").collect())
+        assert got == self._brute(pts)
+
+    def test_anti_correlated_frontier_is_everything(self, spark):
+        from recover_spark.operators.analytics import skyline_2d
+
+        pts = [(i, 100 - i) for i in range(101)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = sorted((r.x, r.y) for r in skyline_2d(df, "x", "y").collect())
+        assert got == pts  # nothing dominates anything
+
+    def test_duplicates_collapse_single_dominator_wins(self, spark):
+        from recover_spark.operators.analytics import skyline_2d
+
+        pts = [(1, 1), (1, 1), (2, 2), (1, 3), (3, 1), (0, 5), (5, 0)]
+        df = spark.createDataFrame(pts, "x long, y long")
+        got = sorted((r.x, r.y) for r in skyline_2d(df, "x", "y").collect())
+        assert got == [(0, 5), (1, 1), (5, 0)]
+
+    def test_bucketing_invariant(self, spark):
+        from recover_spark.operators.analytics import skyline_2d
+
+        pts = sorted({((i * 7) % 53, (i * 11) % 47) for i in range(200)})
+        df = spark.createDataFrame(pts, "x long, y long")
+        a = sorted(map(tuple, skyline_2d(df, "x", "y", buckets=1).collect()))
+        b = sorted(map(tuple, skyline_2d(df, "x", "y", buckets=97).collect()))
+        assert a == b == self._brute(pts)
