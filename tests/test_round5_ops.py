@@ -1141,3 +1141,68 @@ class TestSkyline:
         a = sorted(map(tuple, skyline_2d(df, "x", "y", buckets=1).collect()))
         b = sorted(map(tuple, skyline_2d(df, "x", "y", buckets=97).collect()))
         assert a == b == self._brute(pts)
+
+
+# -- generation change-data feed --------------------------------------------
+
+
+class TestGenerationChanges:
+    def test_insert_update_delete_detected(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from recover_spark.sources.atomic import (
+            generation_changes,
+            write_dataset_atomic,
+        )
+
+        path = str(tmp_path / "ds")
+        gen1 = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id long, tag string, v double",
+        )
+        write_dataset_atomic(gen1, path, run_id="r1")
+        gen2 = spark.createDataFrame(
+            [(1, "a", 10.0),        # unchanged -> absent from the feed
+             (2, "b", 25.0),        # update
+             (4, "d", 40.0)],       # insert; 3 deleted
+            "id long, tag string, v double",
+        )
+        write_dataset_atomic(gen2, path, run_id="r2")
+        feed = generation_changes(spark, path, ["id"]).orderBy("id")
+        got = [(r.change_type, r.id, r.tag, r.v) for r in feed.collect()]
+        assert got == [
+            ("update", 2, "b", 25.0),
+            ("delete", 3, None, None),
+            ("insert", 4, "d", 40.0),
+        ]
+
+    def test_explicit_generations_and_no_prior_raises(self, spark, tmp_path):
+        import pytest
+
+        from recover_spark.sources.atomic import (
+            generation_changes,
+            list_generations,
+            write_dataset_atomic,
+        )
+
+        path = str(tmp_path / "ds")
+        write_dataset_atomic(
+            spark.createDataFrame([(1, 1.0)], "id long, v double"),
+            path, run_id="r1",
+        )
+        with pytest.raises(ValueError, match="no generation precedes"):
+            generation_changes(spark, path, ["id"])
+        write_dataset_atomic(
+            spark.createDataFrame([(1, 2.0)], "id long, v double"),
+            path, run_id="r2",
+        )
+        g1, g2 = list_generations(path)
+        feed = generation_changes(
+            spark, path, ["id"], from_generation=g1, to_generation=g2
+        )
+        got = [(r.change_type, r.id, r.v) for r in feed.collect()]
+        assert got == [("update", 1, 2.0)]
+        # same generation against itself: empty feed
+        assert generation_changes(
+            spark, path, ["id"], from_generation=g2, to_generation=g2
+        ).count() == 0
