@@ -166,3 +166,127 @@ def test_zonemap_pruning_is_lossless_for_any_bounds(spark, values, lo, width):
         (i, v) for i, v in enumerate(values) if v is not None and lo <= v <= hi
     )
     assert sorted(map(tuple, pruned.select("i", "v").collect())) == expect
+
+
+WORDS = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+)
+DOCS = st.lists(
+    st.lists(WORDS, min_size=0, max_size=8).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=DOCS, threshold=st.floats(0.2, 1.0), dense=st.booleans())
+@_settings
+def test_apss_both_strategies_equal_brute_force(spark, texts, threshold, dense):
+    """EXACTNESS of the cosine-threshold join for arbitrary corpora,
+    thresholds, and BOTH physical strategies — the prefix filter and
+    the block-pair GEMM must each return exactly the brute-force pair
+    set with identical (rounded) cosines."""
+    from recover_spark.ops.apss import (
+        cosine_threshold_pairs,
+        cosine_threshold_pairs_bruteforce,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    fast = sorted(
+        map(
+            tuple,
+            cosine_threshold_pairs(
+                docs,
+                threshold,
+                strategy="dense" if dense else "prefix",
+                num_blocks=3,
+            ).collect(),
+        )
+    )
+    slow = sorted(
+        map(
+            tuple,
+            cosine_threshold_pairs_bruteforce(docs, threshold).collect(),
+        )
+    )
+    assert fast == slow
+
+
+@given(
+    values=st.lists(
+        st.floats(-1e3, 1e3, allow_nan=False), min_size=1, max_size=60
+    ),
+    alpha=st.floats(0.05, 0.95),
+    chunk=st.integers(2, 9),
+)
+@_settings
+def test_ewma_chunked_scan_matches_sequential(spark, values, alpha, chunk):
+    """The chunked affine scan equals the sequential recurrence for
+    arbitrary series, alphas, and chunk sizes — chunking must be
+    invisible."""
+    from recover_spark.operators.temporal import ewma_smooth
+
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(values)],
+        "k string, t long, v double",
+    )
+    got = (
+        ewma_smooth(df, ["k"], "t", "v", alpha, chunk_rows=chunk)
+        .orderBy("t")
+        .collect()
+    )
+    s = values[0]
+    for i, y in enumerate(values):
+        if i:
+            s = alpha * y + (1 - alpha) * s
+        assert abs(got[i]["ewma"] - s) <= 1e-9 * max(1.0, abs(s)), i
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    ),
+    buckets=st.integers(1, 7),
+)
+@_settings
+def test_skyline_equals_domination_definition(spark, pts, buckets):
+    from recover_spark.operators.analytics import skyline_2d
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = sorted(
+        (r.x, r.y) for r in skyline_2d(df, "x", "y", buckets=buckets).collect()
+    )
+    uniq = set(pts)
+    expect = sorted(
+        p
+        for p in uniq
+        if not any(
+            q[0] <= p[0] and q[1] <= p[1] and q != p for q in uniq
+        )
+    )
+    assert got == expect
+
+
+@given(
+    keys=st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=50),
+    probes=st.lists(st.integers(-(2**40), 2**40), min_size=1, max_size=10),
+)
+@_settings
+def test_bloom_sidecar_never_false_negative(spark, tmp_path_factory, keys, probes):
+    """A present key is NEVER pruned away, for arbitrary key sets and
+    probe sets (absent probes may read extra files — false positives
+    cost performance, never rows)."""
+    from pyspark.sql import functions as F
+
+    from recover_spark.sources.bloommap import build_bloommap, read_point_pruned
+
+    path = str(tmp_path_factory.mktemp("bloomfuzz") / "ds")
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    df.repartition(3).write.parquet(path)
+    build_bloommap(spark, path, ["k"], bits=1 << 12)
+    want = sorted(k for k in keys if k in set(probes))
+    got, _ = read_point_pruned(spark, path, {"k": list(set(probes))})
+    assert sorted(r["k"] for r in got.collect()) == want
