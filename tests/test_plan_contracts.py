@@ -311,6 +311,11 @@ def test_no_cartesian_product_across_query_surface(spark):
         "join_bucketed", "scan_zonemap", "text_bm25",
         "sample_importance", "text_lm_bigram", "decontam_fuzzy",
         "scan_bloommap", "dedup_cosine_exact",
+        # round 5 session 2 (graph_pagerank excluded: the iteration
+        # loop runs node-count jobs during construction; pinned by
+        # tests/test_pagerank.py instead)
+        "ts_smooth", "sample_weighted", "join_asof_nearest",
+        "agg_skyline", "agg_quantile_rollup",
     ]
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"
