@@ -3679,6 +3679,39 @@ def q_dedup_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_threshold_pairs(docs, 0.9).orderBy("doc_a", "doc_b")
 
 
+def q_dedup_cosine_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact near-dup: the corpus (doc_id % 5 != 0) is
+    indexed ONCE as bucket-partitioned inverted postings
+    (ops/text_index.py), then the arriving batch (doc_id % 5 == 0)
+    probes it — candidates from the batch's own prefix terms only
+    (one-sided prefix guarantee), postings scanned with
+    PartitionFilters on the term-bucket, cost O(batch) not O(corpus).
+    The weekly-export question the batch AP-SS join re-pays the corpus
+    to answer.  Oracle: brute-force cross cosines."""
+    import hashlib
+    import os
+    import tempfile
+
+    from recover_spark.ops.text_index import build_text_index, probe_text_index
+
+    docs = _load(spark, sf_dir, "documents")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"recover_textidx_{tag}")
+    idx = os.path.join(root, "documents_idx")
+    # require every index component: a cache from an older format
+    # (e.g. pre-`vectors/`) must rebuild, not poison the probe
+    complete = all(
+        os.path.exists(os.path.join(idx, p))
+        for p in ("_text_index.json", "postings", "df", "vectors")
+    )
+    if not complete:
+        build_text_index(
+            docs.filter(F.col("doc_id") % 5 != 0), idx, num_buckets=16
+        )
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return probe_text_index(batch, idx, 0.9).orderBy("new_id", "indexed_id")
+
+
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 retrieval (ops/text_analysis.py:bm25_topk): top-5
     documents for three literal queries via the inverted-index join —
@@ -3838,6 +3871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s2_schema_drift": q_s2_schema_drift,
         "scan_bloommap": q_scan_bloommap,
         "dedup_cosine_exact": q_dedup_cosine_exact,
+        "dedup_cosine_probe": q_dedup_cosine_probe,
         "graph_pagerank": q_graph_pagerank,
         "sample_weighted": q_sample_weighted,
         "stream_quantile_matview": q_stream_quantile_matview,
@@ -4992,6 +5026,36 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT c_custkey, c_mktsegment, wgt
             FROM ranked WHERE rn <= 5
             ORDER BY c_mktsegment, c_custkey
+        """,
+        "dedup_cosine_probe": """
+            WITH toks AS (
+                SELECT doc_id, t.term
+                FROM documents,
+                     UNNEST(regexp_split_to_array(lower(text),
+                            '[^a-z0-9'']+')) AS t(term)
+                WHERE t.term <> ''
+            ),
+            tf AS (
+                SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+                FROM toks GROUP BY 1, 2
+            ),
+            nrm AS (
+                SELECT doc_id, sqrt(sum(tf*tf)) AS nrm FROM tf GROUP BY 1
+            ),
+            w AS (
+                SELECT tf.doc_id, term, tf/nrm AS w
+                FROM tf JOIN nrm USING (doc_id)
+            ),
+            pairs AS (
+                SELECT a.doc_id AS new_id, b.doc_id AS indexed_id,
+                       round(sum(a.w*b.w), 6) AS cosine
+                FROM w a JOIN w b ON a.term = b.term
+                WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+                GROUP BY 1, 2
+            )
+            SELECT new_id, indexed_id, cosine
+            FROM pairs WHERE cosine >= 0.9
+            ORDER BY new_id, indexed_id
         """,
         "dedup_cosine_exact": """
             WITH toks AS (

@@ -77,6 +77,7 @@ HEADLINE = [
     "dedup_cosine_exact",
     "graph_pagerank",
     "ts_smooth",
+    "dedup_cosine_probe",
 ]
 
 

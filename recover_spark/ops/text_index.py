@@ -1,0 +1,408 @@
+"""Persisted inverted text index + exact cosine probe — incremental
+near-duplicate detection against a stored corpus.
+
+The batch AP-SS join (ops/apss.py) answers "which pairs inside THIS
+corpus are near-duplicates".  A training pipeline's recurring question
+is different: a new export lands weekly and must be checked against
+everything already ingested — and re-running the all-pairs join over
+old∪new re-pays the whole corpus every week.  This module is the text
+sibling of the IVF vector index (ops/similarity.py:build_ivf_index):
+pay one indexing pass, then each probe costs O(batch), never
+O(corpus).
+
+Index layout under ``path`` (plain parquet, engine-portable):
+
+- ``postings/``  (term, doc_id, w) — tf-L2-normalized weights, hive-
+  partitioned by ``tb = pmod(xxhash64(term), num_buckets)`` so a probe
+  reads ONLY the buckets its own terms hash into (PartitionFilters,
+  the same pruning contract as the IVF list partitions);
+- ``df/``        (term, df) — document frequencies, used only to ORDER
+  probe prefixes (rare terms first); correctness never depends on it;
+- ``_text_index.json`` — num_buckets + doc count.
+
+Exactness with a ONE-SIDED prefix: for unit vectors, if a new
+document shares no term with its own prefix (the positions where the
+suffix norm is still >= t), every shared term lies in its suffix and
+``dot <= ||suffix|| < t``.  So candidates = (new-doc prefix terms)
+equi-joined against the FULL stored postings — no prefix is needed on
+the indexed side, which is what makes the index append-only: stored
+postings never need re-ordering when df drifts.  (Contrast the
+symmetric two-sided prefix of the batch join, which is why THAT
+operator recomputes df per run.)
+
+Scale shape per probe batch: one (doc, term) shuffle for the batch,
+bucket-pruned scans of the postings, candidate equi-join keyed on
+term, verification as two more equi-joins (candidates x stored
+postings on doc, then on (new_doc, term)), one pair aggregate.  The
+hot-term hazard is the same as the batch join and carries the same
+loud guard.
+
+``append_text_index`` adds a new batch's postings into their bucket
+partitions without touching existing files (immutable-once-written,
+like the IVF append) and re-derives ``df/`` from a bucket-local
+aggregate of the combined postings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from recover_spark.functions.text import tokens
+
+META_NAME = "_text_index.json"
+
+
+def _batch_postings(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(doc, term, w) with tf L2-normalized per doc — no df needed."""
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = exploded.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    w_doc = Window.partitionBy("doc_id")
+    return tf.withColumn(
+        "w", F.col("tf") / F.sqrt(F.sum(F.col("tf") ** 2).over(w_doc))
+    ).select("doc_id", "term", "w")
+
+
+def _bucket(col, num_buckets: int):
+    return F.pmod(F.xxhash64(col), F.lit(num_buckets)).cast("int")
+
+
+def _write_vectors(
+    postings: DataFrame, path: str, num_buckets: int, mode: str
+) -> None:
+    """Per-doc sparse vectors (entries array<struct<term, w>>), hive-
+    partitioned by a doc-id bucket — the dense probe's scan target."""
+    vectors = postings.groupBy("doc_id").agg(
+        F.collect_list(F.struct("term", "w")).alias("entries")
+    ).withColumn("vb", _bucket(F.col("doc_id"), num_buckets))
+    vectors.write.mode(mode).partitionBy("vb").parquet(
+        os.path.join(path, "vectors")
+    )
+
+
+def build_text_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 32,
+) -> dict:
+    """Index a corpus: postings hive-partitioned by term bucket, the
+    df table, and per-doc sparse vectors partitioned by doc bucket
+    (the dense probe's scan target).  One (doc, term) shuffle; the
+    partitioned writes are the only extra cost over computing weights
+    at all."""
+    postings = _batch_postings(docs, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    postings.withColumn("tb", _bucket(F.col("term"), num_buckets)) \
+        .write.mode("overwrite").partitionBy("tb") \
+        .parquet(os.path.join(path, "postings"))
+    _write_vectors(postings, path, num_buckets, "overwrite")
+    spark = docs.sparkSession
+    stored = _read_or_empty(
+        spark, os.path.join(path, "postings"), _POSTINGS_SCHEMA
+    )
+    stored.groupBy("term").agg(F.count(F.lit(1)).alias("df")) \
+        .write.mode("overwrite").parquet(os.path.join(path, "df"))
+    n_docs = stored.select("doc_id").distinct().count()
+    meta = {"num_buckets": num_buckets, "n_docs": n_docs}
+    tmp = os.path.join(path, META_NAME + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    os.replace(tmp, os.path.join(path, META_NAME))
+    return meta
+
+
+def append_text_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Append a batch into the index: new postings and vectors land in
+    their bucket partitions (dynamic partition overwrite is NOT used —
+    plain append leaves existing files untouched), df re-aggregates
+    from the combined postings (vocab-sized job), doc count updates."""
+    spark = docs.sparkSession
+    meta = _read_meta(path)
+    postings = _batch_postings(docs, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    postings.withColumn(
+        "tb", _bucket(F.col("term"), meta["num_buckets"])
+    ).write.mode("append").partitionBy("tb").parquet(
+        os.path.join(path, "postings")
+    )
+    _write_vectors(postings, path, meta["num_buckets"], "append")
+    stored = _read_or_empty(
+        spark, os.path.join(path, "postings"), _POSTINGS_SCHEMA
+    )
+    stored.groupBy("term").agg(F.count(F.lit(1)).alias("df")) \
+        .write.mode("overwrite").parquet(os.path.join(path, "df"))
+    meta["n_docs"] = stored.select("doc_id").distinct().count()
+    tmp = os.path.join(path, META_NAME + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    os.replace(tmp, os.path.join(path, META_NAME))
+    return meta
+
+
+def _read_meta(path: str) -> dict:
+    with open(os.path.join(path, META_NAME)) as fh:
+        return json.load(fh)
+
+
+_POSTINGS_SCHEMA = "doc_id long, term string, w double, tb int"
+_VECTORS_SCHEMA = (
+    "doc_id long, entries array<struct<term: string, w: double>>, vb int"
+)
+_DF_SCHEMA = "term string, df long"
+
+
+def _read_or_empty(spark: SparkSession, p: str, schema: str) -> DataFrame:
+    """Read a parquet dataset that may legitimately hold ZERO files —
+    a corpus whose every document tokenized to nothing writes only
+    `_SUCCESS`, and a plain read then fails schema inference.  An
+    empty index is a valid index (probes simply match nothing)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(p)
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
+
+
+def probe_text_index(
+    new_docs: DataFrame,
+    path: str,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+    strategy: str = "auto",
+    max_prefix_term_df: int | None = 100_000,
+    max_dense_vocab: int = 4096,
+) -> DataFrame:
+    """EXACT cosine matches of ``new_docs`` against the indexed corpus:
+    (new_id, indexed_id, cosine) for every cross pair with rounded
+    cosine >= ``threshold``.
+
+    Two exact physical strategies, the incremental twins of the batch
+    AP-SS pair (ops/apss.py), picked by ``strategy`` ("auto" probes
+    the stored vocabulary size):
+
+    - ``"prefix"`` (open vocabularies): candidates come from the new
+      docs' PREFIX terms only (one-sided prefix guarantee — module
+      docstring); the candidate join and the verification read ONLY
+      the postings buckets the batch's own terms hash into
+      (PartitionFilters on ``tb``, driver-computed from the batch
+      vocabulary — the IVF pruned-probe contract).  Cost O(batch x
+      matched postings).
+    - ``"dense"`` (bounded vocabularies, where every term is hot and
+      candidates degenerate to ~the corpus): the stored VECTORS are
+      scanned once at GEMM rate — the small batch replicates to every
+      doc bucket, each bucket is one ``applyInPandas`` cross-GEMM
+      tile, and the corpus is never shuffled, joined, collected, or
+      broadcast.  Cost one corpus vector scan per probe — on a corpus
+      this dense that IS the candidate set, and the tile runs it at
+      matrix-multiply rate instead of a row-explosion join.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    if strategy not in ("auto", "prefix", "dense"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    spark = new_docs.sparkSession
+    meta = _read_meta(path)
+    nb = meta["num_buckets"]
+
+    batch = _batch_postings(new_docs, id_col, text_col).localCheckpoint(
+        eager=False
+    )
+    if strategy == "auto":
+        vocab_n = _read_or_empty(
+            spark, os.path.join(path, "df"), _DF_SCHEMA
+        ).count()
+        strategy = "dense" if vocab_n <= max_dense_vocab else "prefix"
+    if strategy == "dense":
+        return _probe_dense(
+            spark, batch, path, nb, threshold, round_digits
+        )
+
+    # prefix per new doc, ordered by INDEX df (rare first — order is an
+    # efficiency choice only; the cutoff rule alone carries correctness)
+    dfreq = _read_or_empty(spark, os.path.join(path, "df"), _DF_SCHEMA)
+    ordered = batch.join(dfreq, "term", "left").withColumn(
+        "__df", F.coalesce(F.col("df"), F.lit(0))
+    )
+    w_suffix = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.asc("__df"), F.asc("term"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prefix = (
+        ordered.withColumn(
+            "__sn", F.sqrt(F.sum(F.col("w") ** 2).over(w_suffix))
+        )
+        .filter(F.col("__sn") >= F.lit(float(threshold)) - F.lit(1e-9))
+        .select("doc_id", "term")
+    )
+
+    # bucket pruning: the batch vocabulary is bounded; its bucket list
+    # is a driver-side metadata read (same contract as IVF probes)
+    buckets = [
+        r["tb"]
+        for r in batch.select(
+            _bucket(F.col("term"), nb).alias("tb")
+        ).distinct().collect()
+    ]
+    stored = _read_or_empty(
+        spark, os.path.join(path, "postings"), _POSTINGS_SCHEMA
+    ).filter(
+        F.col("tb").isin(buckets)
+    )
+
+    if max_prefix_term_df is not None:
+        hot = (
+            prefix.join(dfreq, "term")
+            .filter(F.col("df") > max_prefix_term_df)
+            .limit(1)
+            .collect()
+        )
+        if hot:
+            raise ValueError(
+                f"prefix term {hot[0]['term']!r} has stored df "
+                f"{hot[0]['df']} (> max_prefix_term_df="
+                f"{max_prefix_term_df}); the candidate join would "
+                "explode on it. Raise the threshold or pre-clean the "
+                "batch."
+            )
+
+    candidates = (
+        prefix.join(
+            stored.select(F.col("term"), F.col("doc_id").alias("__idx")),
+            "term",
+        )
+        .select(F.col("doc_id").alias("__new"), "__idx")
+        .distinct()
+    )
+
+    verify = (
+        candidates.join(
+            stored.select(
+                F.col("doc_id").alias("__idx"), "term",
+                F.col("w").alias("w_idx"),
+            ),
+            "__idx",
+        )
+        .join(
+            batch.select(
+                F.col("doc_id").alias("__new"), "term",
+                F.col("w").alias("w_new"),
+            ),
+            ["__new", "term"],
+        )
+        .groupBy("__new", "__idx")
+        .agg(
+            F.round(F.sum(F.col("w_new") * F.col("w_idx")), round_digits)
+            .alias("cosine")
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+    return verify.select(
+        F.col("__new").alias("new_id"),
+        F.col("__idx").alias("indexed_id"),
+        "cosine",
+    )
+
+
+def _probe_dense(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    num_buckets: int,
+    threshold: float,
+    round_digits: int,
+) -> DataFrame:
+    """Dense probe: one cross-GEMM tile per stored doc bucket.
+
+    The batch's sparse vectors replicate to every bucket (batch is the
+    small side by contract — the arriving export); stored vectors stay
+    in their own partition.  Each tile builds a local term dictionary
+    from the union of its rows and multiplies batch x stored — numpy
+    rate, no corpus shuffle/collect/broadcast, pairs emitted only at
+    or above the (rounding-slack) threshold.
+    """
+    import numpy as np
+    import pandas as pd
+
+    b_vecs = batch.groupBy("doc_id").agg(
+        F.collect_list(F.struct("term", "w")).alias("entries")
+    )
+    fanned = b_vecs.select(
+        "doc_id", "entries",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(num_buckets - 1))
+        ).alias("vb"),
+        F.lit(1).alias("__is_batch"),
+    )
+    stored = _read_or_empty(
+        spark, os.path.join(path, "vectors"), _VECTORS_SCHEMA
+    ).select(
+        "doc_id", "entries", F.col("vb").cast("int").alias("vb"),
+        F.lit(0).alias("__is_batch"),
+    )
+    unioned = fanned.unionByName(stored)
+
+    thr = float(threshold) - 10.0 ** (-round_digits) / 2
+
+    def tile(key, pdf):
+        b = pdf[pdf["__is_batch"] == 1]
+        s = pdf[pdf["__is_batch"] == 0]
+        if len(b) == 0 or len(s) == 0:
+            return pd.DataFrame(
+                {"new_id": [], "indexed_id": [], "cosine": []}
+            )
+        terms = {}
+        for es in pdf["entries"]:
+            for e in es:
+                t = e["term"]
+                if t not in terms:
+                    terms[t] = len(terms)
+
+        def dense(rows):
+            ids = rows["doc_id"].to_numpy()
+            mat = np.zeros((len(rows), len(terms)))
+            for r, es in enumerate(rows["entries"]):
+                for e in es:
+                    mat[r, terms[e["term"]]] = e["w"]
+            return ids, mat
+
+        ids_b, mb = dense(b)
+        ids_s, ms = dense(s)
+        sims = mb @ ms.T
+        ii, jj = np.nonzero(sims >= thr)
+        return pd.DataFrame(
+            {
+                "new_id": ids_b[ii],
+                "indexed_id": ids_s[jj],
+                "cosine": sims[ii, jj],
+            }
+        )
+
+    raw = unioned.groupBy("vb").applyInPandas(
+        tile, "new_id long, indexed_id long, cosine double"
+    )
+    return raw.select(
+        "new_id", "indexed_id",
+        F.round("cosine", round_digits).alias("cosine"),
+    ).filter(F.col("cosine") >= F.lit(float(threshold)))

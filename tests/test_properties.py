@@ -290,3 +290,53 @@ def test_bloom_sidecar_never_false_negative(spark, tmp_path_factory, keys, probe
     want = sorted(k for k in keys if k in set(probes))
     got, _ = read_point_pruned(spark, path, {"k": list(set(probes))})
     assert sorted(r["k"] for r in got.collect()) == want
+
+
+@given(
+    old=DOCS,
+    new=DOCS,
+    threshold=st.floats(0.3, 1.0),
+    dense=st.booleans(),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_text_index_probe_equals_brute_cross(
+    spark, tmp_path_factory, old, new, threshold, dense
+):
+    """Both probe strategies return exactly the brute-force cross-pair
+    set for arbitrary corpora, batches, and thresholds."""
+    from recover_spark.ops.apss import cosine_threshold_pairs_bruteforce
+    from recover_spark.ops.text_index import build_text_index, probe_text_index
+
+    path = str(tmp_path_factory.mktemp("tidx") / "idx")
+    old_rows = list(enumerate(old))
+    new_rows = [(1000 + i, t) for i, t in enumerate(new)]
+    build_text_index(
+        spark.createDataFrame(old_rows, "doc_id long, text string"),
+        path,
+        num_buckets=4,
+    )
+    got = sorted(
+        map(
+            tuple,
+            probe_text_index(
+                spark.createDataFrame(new_rows, "doc_id long, text string"),
+                path,
+                threshold,
+                strategy="dense" if dense else "prefix",
+            ).collect(),
+        )
+    )
+    union = spark.createDataFrame(
+        old_rows + new_rows, "doc_id long, text string"
+    )
+    expect = set()
+    for r in cosine_threshold_pairs_bruteforce(union, threshold).collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if (a >= 1000) != (b >= 1000):
+            n, o = (a, b) if a >= 1000 else (b, a)
+            expect.add((n, o, r["cosine"]))
+    assert got == sorted(expect)

@@ -1,0 +1,158 @@
+"""Persisted inverted text index + exact cosine probe
+(ops/text_index.py) — the incremental near-dup path: new batches check
+against the stored corpus at O(batch), never O(corpus)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from recover_spark.ops.text_index import (
+    append_text_index,
+    build_text_index,
+    probe_text_index,
+)
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+_OLD = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "pack my box with five dozen liquor jugs"),
+    (3, "sphinx of black quartz judge my vow"),
+    (4, "how vexingly quick daft zebras jump"),
+]
+_NEW = [
+    (101, "the quick brown fox jumped over the lazy dog"),  # ~dup of 1
+    (102, "entirely novel content with fresh unseen vocabulary"),
+    (103, "sphinx of black quartz judge my vow"),  # exact dup of 3
+    (104, "pack my box with five dozen juice jugs please"),  # ~dup of 2
+]
+
+
+def _brute_cross(spark, old, new, threshold):
+    """Reference: brute-force cross cosines via the batch AP-SS
+    brute-force on the union, filtered to cross pairs."""
+    from recover_spark.ops.apss import cosine_threshold_pairs_bruteforce
+
+    union = _corpus(spark, old + new)
+    new_ids = {i for i, _ in new}
+    pairs = cosine_threshold_pairs_bruteforce(union, threshold).collect()
+    out = set()
+    for r in pairs:
+        a, b = r["doc_a"], r["doc_b"]
+        if (a in new_ids) != (b in new_ids):
+            n, o = (a, b) if a in new_ids else (b, a)
+            out.add((n, o, r["cosine"]))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("strategy", ["prefix", "dense"])
+@pytest.mark.parametrize("threshold", [0.4, 0.7, 0.9])
+def test_probe_equals_brute_force_cross_pairs(
+    spark, tmp_path, threshold, strategy
+):
+    path = str(tmp_path / "idx")
+    build_text_index(_corpus(spark, _OLD), path, num_buckets=8)
+    got = sorted(
+        map(
+            tuple,
+            probe_text_index(
+                _corpus(spark, _NEW), path, threshold, strategy=strategy
+            ).collect(),
+        )
+    )
+    assert got == _brute_cross(spark, _OLD, _NEW, threshold)
+    if threshold <= 0.9:
+        assert got, "fixture contains an exact dup; non-empty expected"
+
+
+def test_exact_duplicate_scores_one_and_novel_doc_matches_nothing(
+    spark, tmp_path
+):
+    path = str(tmp_path / "idx")
+    build_text_index(_corpus(spark, _OLD), path, num_buckets=8)
+    got = {
+        (r.new_id, r.indexed_id): r.cosine
+        for r in probe_text_index(
+            _corpus(spark, _NEW), path, 0.95
+        ).collect()
+    }
+    assert got[(103, 3)] == 1.0
+    assert all(n != 102 for n, _ in got)
+
+
+def test_append_extends_the_probed_corpus(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    meta = build_text_index(_corpus(spark, _OLD), path, num_buckets=8)
+    assert meta["n_docs"] == 4
+    second = [(11, "completely separate second wave of documents here")]
+    meta = append_text_index(_corpus(spark, second), path)
+    assert meta["n_docs"] == 5
+    probe = [(201, "completely separate second wave of documents here")]
+    got = probe_text_index(_corpus(spark, probe), path, 0.9).collect()
+    assert {(r.new_id, r.indexed_id, r.cosine) for r in got} == {
+        (201, 11, 1.0)
+    }
+    # combined-corpus probe still equals brute force
+    got_all = sorted(
+        map(
+            tuple,
+            probe_text_index(_corpus(spark, _NEW), path, 0.5).collect(),
+        )
+    )
+    assert got_all == _brute_cross(spark, _OLD + second, _NEW, 0.5)
+
+
+def test_probe_scan_is_partition_pruned(spark, tmp_path):
+    """The postings scan must carry PartitionFilters on the bucket
+    column — the probe reads only the buckets its own terms hash
+    into, the IVF-probe contract."""
+    path = str(tmp_path / "idx")
+    build_text_index(_corpus(spark, _OLD), path, num_buckets=32)
+    probe = _corpus(spark, [(301, "quick fox")])
+    plan = (
+        probe_text_index(probe, path, 0.5, strategy="prefix")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "tb#" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_hot_term_guard_raises(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    old = [(i, "anchor anchor anchor") for i in range(20)]
+    build_text_index(_corpus(spark, old), path, num_buckets=4)
+    with pytest.raises(ValueError, match="max_prefix_term_df"):
+        probe_text_index(
+            _corpus(spark, [(900, "anchor")]), path, 0.5,
+            strategy="prefix", max_prefix_term_df=5,
+        )
+
+
+def test_invalid_threshold_rejected(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    build_text_index(_corpus(spark, _OLD), path, num_buckets=4)
+    with pytest.raises(ValueError, match="threshold"):
+        probe_text_index(_corpus(spark, _NEW), path, 0.0)
+
+
+def test_all_empty_text_corpus_is_a_valid_empty_index(spark, tmp_path):
+    """Fuzz-found edge: a corpus whose every doc tokenizes to nothing
+    writes zero parquet files; the index must stay probeable (matching
+    nothing) rather than failing schema inference."""
+    path = str(tmp_path / "idx")
+    meta = build_text_index(
+        _corpus(spark, [(1, ""), (2, "   ")]), path, num_buckets=4
+    )
+    assert meta["n_docs"] == 0
+    for strategy in ("prefix", "dense"):
+        got = probe_text_index(
+            _corpus(spark, _NEW), path, 0.5, strategy=strategy
+        )
+        assert got.count() == 0
+        assert got.columns == ["new_id", "indexed_id", "cosine"]
