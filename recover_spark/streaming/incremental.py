@@ -333,3 +333,94 @@ def dedup_against_corpus(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def near_dedup_against_corpus(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    output_path: str,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Incremental NEAR-dedup: emit only documents that are not cosine
+    near-duplicates of anything already accepted — across ALL previous
+    runs — and index what was accepted.  The near-dup twin of
+    ``dedup_against_corpus``: exact digests catch byte-identical
+    re-crawls; this catches the reworded ones, at the same
+    O(batch)-per-batch cost, by composing the batch AP-SS join (within
+    the arriving batch) with the persisted text-index probe (against
+    everything accepted before).
+
+    Per micro-batch (``foreachBatch``):
+
+    1. within-batch near-dedup: AP-SS pairs at ``threshold``; of each
+       pair the LOWER id survives (greedy first-occurrence, the usual
+       crawl-dedup rule);
+    2. probe the text index: survivors matching any indexed doc at or
+       above ``threshold`` are dropped;
+    3. append the kept docs to ``output_path`` and into the index
+       (``append_text_index`` — bucket partitions, existing files
+       untouched).
+
+    Replay safety is twofold.  A ``_applied_batch`` sidecar (written
+    LAST) makes a fully-applied batch's replay a strict no-op — the
+    index append is not idempotent, so the marker is load-bearing,
+    like the KLL matview's.  Inside the crash window after the index
+    append but before the marker, the probe itself converges the
+    replay: every already-indexed document matches its own stored copy
+    at cosine 1.0 and is dropped, so the index never receives
+    duplicate postings.
+    """
+    import os
+
+    from recover_spark.ops.apss import cosine_threshold_pairs
+    from recover_spark.ops.text_index import (
+        META_NAME,
+        append_text_index,
+        build_text_index,
+        probe_text_index,
+    )
+
+    marker = os.path.join(index_path, "_applied_batch")
+
+    def _applied() -> int:
+        try:
+            with open(marker) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= _applied():
+            return
+        pairs = cosine_threshold_pairs(
+            batch, threshold, id_col=id_col, text_col=text_col
+        )
+        losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
+        kept = batch.join(losers, id_col, "left_anti")
+        if os.path.exists(os.path.join(index_path, META_NAME)):
+            hits = probe_text_index(
+                kept, index_path, threshold,
+                id_col=id_col, text_col=text_col,
+            ).select(F.col("new_id").alias(id_col)).distinct()
+            kept = kept.join(hits, id_col, "left_anti")
+            kept = kept.localCheckpoint()  # bound lineage across writes
+            kept.write.mode("append").parquet(output_path)
+            append_text_index(kept, index_path, id_col, text_col)
+        else:
+            kept = kept.localCheckpoint()
+            kept.write.mode("append").parquet(output_path)
+            build_text_index(kept, index_path, id_col, text_col)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp, marker)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

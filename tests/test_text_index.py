@@ -156,3 +156,74 @@ def test_all_empty_text_corpus_is_a_valid_empty_index(spark, tmp_path):
         )
         assert got.count() == 0
         assert got.columns == ["new_id", "indexed_id", "cosine"]
+
+
+class TestStreamingNearDedup:
+    def test_cross_batch_near_dups_filtered_and_replay_is_noop(
+        self, spark, tmp_path
+    ):
+        from recover_spark.streaming.incremental import (
+            near_dedup_against_corpus,
+        )
+
+        src = str(tmp_path / "src")
+        import os
+
+        os.makedirs(src)
+        batches = [
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "the quick brown fox jumped over the lazy dog"),  # ~1
+             (3, "pack my box with five dozen liquor jugs")],
+            [(11, "the quick brown fox jumps over a lazy dog"),    # ~1
+             (12, "sphinx of black quartz judge my vow")],
+            [(21, "sphinx of black quartz judge my vow"),          # =12
+             (22, "wholly original third wave content here")],
+        ]
+        # one part-file per logical batch, landed directly in the
+        # watched dir (the file source does not recurse); mtime gaps
+        # keep the pickup order deterministic
+        import glob
+        import shutil
+        import time
+
+        for i, rows in enumerate(batches):
+            staging = str(tmp_path / f"stage{i}")
+            spark.createDataFrame(
+                rows, "doc_id long, text string"
+            ).coalesce(1).write.parquet(staging)
+            part = glob.glob(f"{staging}/part-*.parquet")[0]
+            shutil.move(part, f"{src}/b{i}.parquet")
+            time.sleep(1.1)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = str(tmp_path / "out")
+        idx = str(tmp_path / "idx")
+        q = near_dedup_against_corpus(
+            stream, idx, str(tmp_path / "ckpt"), out, threshold=0.8
+        )
+        q.awaitTermination(300)
+        kept = sorted(
+            r.doc_id for r in spark.read.parquet(out).collect()
+        )
+        # 2 ~dups 1 (within batch), 11 ~dups 1 (cross batch via index),
+        # 21 == 12 (cross batch); everything else survives
+        assert kept == [1, 3, 12, 22]
+
+        # a fresh checkpoint replays every batch id — the marker makes
+        # the whole replay a strict no-op (the index append is not
+        # idempotent, so this is load-bearing)
+        stream2 = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q2 = near_dedup_against_corpus(
+            stream2, idx, str(tmp_path / "ckpt2"), out, threshold=0.8
+        )
+        q2.awaitTermination(300)
+        assert sorted(
+            r.doc_id for r in spark.read.parquet(out).collect()
+        ) == [1, 3, 12, 22]
