@@ -10,15 +10,25 @@ from recover_spark.operators.audit import (
     union_ledgers,
 )
 from recover_spark.operators.merge import merge_upsert, scd2_apply
-from recover_spark.operators.temporal import asof_join, range_join, resample_forward_fill
+from recover_spark.operators.temporal import (
+    asof_join,
+    ewma_smooth,
+    range_join,
+    resample_forward_fill,
+)
 from recover_spark.operators.analytics import (
     distinct_stats,
     moving_stats,
     rollup_aggregate,
     top_k_per_group,
+    approx_quantile_rollup,
+    skyline_2d,
 )
 
 __all__ = [
+    "ewma_smooth",
+    "skyline_2d",
+    "approx_quantile_rollup",
     "asof_join",
     "range_join",
     "resample_forward_fill",

@@ -1,11 +1,31 @@
 from recover_spark.streaming.incremental import (
+    dedup_against_corpus,
     dedup_stream,
     incremental_ingest,
+    near_dedup_against_corpus,
     reconcile_manifests,
+)
+from recover_spark.streaming.matview import (
+    maintain_count_matview,
+    maintain_distinct_matview,
+    maintain_quantile_matview,
+    maintain_topk_matview,
+    read_distinct_matview,
+    read_quantile_matview,
+    read_topk_matview,
 )
 from recover_spark.streaming.joins import enrich_stream, interval_join_stream
 
 __all__ = [
+    "dedup_against_corpus",
+    "near_dedup_against_corpus",
+    "maintain_count_matview",
+    "maintain_distinct_matview",
+    "maintain_quantile_matview",
+    "maintain_topk_matview",
+    "read_distinct_matview",
+    "read_quantile_matview",
+    "read_topk_matview",
     "dedup_stream",
     "enrich_stream",
     "incremental_ingest",
