@@ -3578,6 +3578,53 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, weight="w", iterations=6).orderBy("node")
 
 
+def _psi_oracle_sql(cols: list[str], cut: str, n_bins: int = 10) -> str:
+    """PSI oracle: one UNION ALL block per column, each mirroring the
+    operator exactly — exact linear-interpolation quantile edges from
+    the baseline, bin = count of edges <= value, eps-clamped shares."""
+    fr = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    blocks = []
+    for c in cols:
+        blocks.append(f"""
+            SELECT '{c}' AS "column",
+                   round(sum((pc - pb) * ln(pc / pb)), 6) AS psi,
+                   {n_bins} AS n_bins
+            FROM (
+                WITH base AS (
+                    SELECT CAST({c} AS DOUBLE) AS v FROM lineitem
+                    WHERE l_shipdate < TIMESTAMP '{cut}' AND {c} IS NOT NULL
+                ),
+                cur AS (
+                    SELECT CAST({c} AS DOUBLE) AS v FROM lineitem
+                    WHERE l_shipdate >= TIMESTAMP '{cut}' AND {c} IS NOT NULL
+                ),
+                e AS (SELECT list_transform(quantile_cont(v, [{fr}]),
+                            x -> round(x, 9)) AS edges FROM base),
+                bb AS (SELECT len(list_filter(e.edges, x -> x <= v)) AS bin
+                       FROM base, e),
+                cb AS (SELECT len(list_filter(e.edges, x -> x <= v)) AS bin
+                       FROM cur, e),
+                slots AS (SELECT unnest(range({n_bins})) AS bin),
+                nb AS (SELECT s.bin,
+                              coalesce(x.n, 0) AS n_base
+                       FROM slots s LEFT JOIN
+                            (SELECT bin, count(*) AS n FROM bb GROUP BY 1) x
+                            USING (bin)),
+                nc AS (SELECT s.bin,
+                              coalesce(x.n, 0) AS n_cur
+                       FROM slots s LEFT JOIN
+                            (SELECT bin, count(*) AS n FROM cb GROUP BY 1) x
+                            USING (bin))
+                SELECT greatest(n_base / (SELECT sum(n_base) FROM nb),
+                                0.0001) AS pb,
+                       greatest(n_cur / (SELECT sum(n_cur) FROM nc),
+                                0.0001) AS pc
+                FROM nb JOIN nc USING (bin)
+            )
+        """)
+    return " UNION ALL ".join(blocks) + ' ORDER BY "column"'
+
+
 def _pagerank_oracle_sql(iterations: int = 6, damping: float = 0.85) -> str:
     """Unrolled power iteration as chained CTEs (no dangling nodes in
     the bidirectional graph, so no mass-correction term).  (1-0.85) is
@@ -3819,6 +3866,25 @@ def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_v5_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two export eras
+    (quality/drift.py:psi_drift): shipments before vs after 1998-06-01
+    — the monitor that catches a vendor firmware shift the count/schema
+    audits (A1/A6) cannot see.  One baseline aggregate computes every
+    column's exact quantile edges; both eras bin map-side against the
+    one-row broadcast.  Oracle: the identical exact-percentile binning
+    in SQL."""
+    from recover_spark.quality.drift import psi_drift
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    cut = "1998-06-01"
+    base = lineitem.filter(F.col("l_shipdate") < F.lit(cut))
+    cur = lineitem.filter(F.col("l_shipdate") >= F.lit(cut))
+    return psi_drift(
+        base, cur, ["l_extendedprice", "l_quantity", "l_discount"]
+    ).orderBy("column")
+
+
 def q_agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline / Pareto frontier
     (operators/analytics.py:skyline_2d): the parts no other part beats
@@ -3879,6 +3945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_smooth": q_ts_smooth,
         "agg_quantile_rollup": q_agg_quantile_rollup,
         "agg_skyline": q_agg_skyline,
+        "v5_drift_psi": q_v5_drift_psi,
         "join_bucketed": q_join_bucketed,
         "scan_zonemap": q_scan_zonemap,
         "text_bm25": q_text_bm25,
@@ -5288,6 +5355,9 @@ def _oracle_sql_literal() -> dict[str, str]:
                   FROM events GROUP BY event_type) d
               ON e.event_type = d.event_type
         """,
+        "v5_drift_psi": _psi_oracle_sql(
+            ["l_discount", "l_extendedprice", "l_quantity"], "1998-06-01"
+        ),
         "agg_skyline": """
             WITH pts AS (
                 SELECT DISTINCT p_retailprice, p_size FROM part

@@ -78,6 +78,7 @@ HEADLINE = [
     "graph_pagerank",
     "ts_smooth",
     "dedup_cosine_probe",
+    "v5_drift_psi",
 ]
 
 

@@ -1,3 +1,4 @@
+from recover_spark.quality.drift import psi_drift
 from recover_spark.quality.expectations import (
     Expectation,
     ExpectationResult,
@@ -5,4 +6,4 @@ from recover_spark.quality.expectations import (
     run_suite,
 )
 
-__all__ = ["Expectation", "ExpectationResult", "persist_run", "run_suite"]
+__all__ = ["psi_drift", "Expectation", "ExpectationResult", "persist_run", "run_suite"]

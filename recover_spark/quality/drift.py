@@ -1,0 +1,129 @@
+"""Distribution-drift detection between dataset versions (PSI).
+
+The reference's pipeline re-ingests vendor exports weekly and its
+audits compare COUNTS between runs (A1/A6,
+src/glue/jobs/compare_parquet_datasets.py) — but a wearable vendor's
+firmware update that shifts every heart-rate reading by 5% changes no
+row count and no schema.  The standard production monitor for that
+failure is the Population Stability Index: bucket the BASELINE
+distribution into equal-population quantile bins, measure how the new
+version's mass redistributes across those same bins,
+``PSI = sum((p_new - p_base) * ln(p_new / p_base))`` (the symmetrized
+KL divergence of the binned distributions).  Rules of thumb: < 0.1
+stable, 0.1-0.25 drifting, > 0.25 action.
+
+Engine shape: ONE aggregate over the baseline computes every column's
+quantile boundaries (exact ``percentile`` — a single shuffle of
+per-column partials, not a sort); the boundaries return as a one-row
+frame and enter the bucketing expressions as a broadcast, so binning
+both sides is map-side; per-bin counts are two aggregates.  Nothing
+iterates per column — all columns ride the same jobs.
+
+Cross-engine determinism: bin edges use EXACT linear-interpolation
+percentiles, which both Spark and the SQL oracle compute from the same
+sorted doubles; shares and PSI are rounded before comparison, and
+empty bins are clamped (``max(share, eps)``) so the log stays finite
+— the clamp is part of the published PSI definition, not a fudge.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def psi_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    cols: Sequence[str],
+    n_bins: int = 10,
+    eps: float = 1e-4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-column PSI of ``current`` against ``baseline``.
+
+    Returns one row per column: (column, psi, n_bins) with psi rounded.
+    Bins are the baseline's ``n_bins``-quantile intervals (left edge
+    -inf, right edge +inf), so the baseline's own PSI is ~0 by
+    construction.  NULLs are excluded from both sides (a null-rate
+    check belongs to the expectation suite, V1-V3).
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    fracs = F.array(
+        *[F.lit(i / n_bins) for i in range(1, n_bins)]
+    )
+    # Edges are ROUNDED to 9 digits before bucketing: interpolation at
+    # TIED values is formula-sensitive (lo + f*(up-lo) yields exactly
+    # lo when up == lo; (1-f)*lo + f*up yields lo plus an ulp), and an
+    # ulp-different edge re-bins every value equal to it.  Rounding
+    # collapses both forms to the same cutpoint.
+    edges_row = baseline.agg(
+        *[
+            F.transform(
+                F.percentile(F.col(c).cast("double"), fracs),
+                lambda e: F.round(e, 9),
+            ).alias(f"__e_{c}")
+            for c in cols
+        ]
+    )
+
+    def binned_counts(df: DataFrame, tag: str) -> DataFrame:
+        # one-row broadcast of every column's edges; bucket index =
+        # number of edges <= value (map-side size+filter over the
+        # small edge array)
+        j = df.crossJoin(F.broadcast(edges_row))
+        per_col = []
+        for c in cols:
+            v = F.col(c).cast("double")
+            idx = F.size(
+                F.filter(F.col(f"__e_{c}"), lambda e: e <= v)
+            )
+            per_col.append(
+                F.when(v.isNotNull(), F.struct(F.lit(c).alias("column"), idx.alias("bin")))
+            )
+        exploded = j.select(
+            F.explode(
+                F.filter(F.array(*per_col), lambda s: s.isNotNull())
+            ).alias("cb")
+        ).select("cb.column", "cb.bin")
+        return exploded.groupBy("column", "bin").agg(
+            F.count(F.lit(1)).alias(f"n_{tag}")
+        )
+
+    base_counts = binned_counts(baseline, "base")
+    cur_counts = binned_counts(current, "cur")
+    # all (column, bin) slots so empty bins are present for the clamp
+    slots = (
+        base_counts.sparkSession.createDataFrame(
+            [(c, b) for c in cols for b in range(n_bins)],
+            "column string, bin int",
+        )
+    )
+    joined = (
+        slots.join(base_counts, ["column", "bin"], "left")
+        .join(cur_counts, ["column", "bin"], "left")
+        .fillna(0, subset=["n_base", "n_cur"])
+    )
+    tot = joined.groupBy("column").agg(
+        F.sum("n_base").alias("__tb"), F.sum("n_cur").alias("__tc")
+    )
+    shares = joined.join(tot, "column").select(
+        "column",
+        "bin",
+        F.greatest(F.col("n_base") / F.col("__tb"), F.lit(eps)).alias("pb"),
+        F.greatest(F.col("n_cur") / F.col("__tc"), F.lit(eps)).alias("pc"),
+    )
+    return (
+        shares.groupBy("column")
+        .agg(
+            F.round(
+                F.sum((F.col("pc") - F.col("pb")) * F.log(F.col("pc") / F.col("pb"))),
+                round_digits,
+            ).alias("psi"),
+            F.lit(n_bins).alias("n_bins"),
+        )
+    )

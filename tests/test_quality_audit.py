@@ -153,3 +153,77 @@ def test_persist_run_artifacts(spark, tmp_path):
     # history is append-only: both runs remain addressable
     assert (tmp_path / "ge" / "events_suite" / "run-001.json").exists()
     assert (tmp_path / "ge" / "events_suite" / "run-002.json").exists()
+
+
+# -- PSI drift detection ----------------------------------------------------
+
+
+class TestPsiDrift:
+    def test_identical_distributions_near_zero(self, spark):
+        from pyspark.sql import functions as F
+
+        from recover_spark.quality.drift import psi_drift
+
+        base = spark.range(0, 10_000).select(
+            (F.col("id") % 1000).cast("double").alias("v"),
+            (F.col("id") % 97).cast("double").alias("w"),
+        )
+        out = {r.column: r.psi for r in psi_drift(base, base, ["v", "w"]).collect()}
+        assert out["v"] == 0.0 and out["w"] == 0.0
+
+    def test_shifted_distribution_flagged(self, spark):
+        from pyspark.sql import functions as F
+
+        from recover_spark.quality.drift import psi_drift
+
+        base = spark.range(0, 10_000).select(
+            (F.col("id") % 1000).cast("double").alias("v")
+        )
+        # the firmware-update failure shape: +20% multiplicative shift,
+        # same row count, same schema
+        shifted = base.select((F.col("v") * 1.2).alias("v"))
+        psi = psi_drift(base, shifted, ["v"]).collect()[0].psi
+        assert psi > 0.1, psi
+        # small jitter stays under the action threshold
+        jittered = base.select((F.col("v") + 2.0).alias("v"))
+        psi_j = psi_drift(base, jittered, ["v"]).collect()[0].psi
+        assert psi_j < psi
+
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        from recover_spark.quality.drift import psi_drift
+
+        rng_base = [(i * 37 % 500) / 3.0 for i in range(4000)]
+        rng_cur = [(i * 61 % 650) / 3.0 for i in range(5000)]
+        base = spark.createDataFrame([(v,) for v in rng_base], "v double")
+        cur = spark.createDataFrame([(v,) for v in rng_cur], "v double")
+        got = psi_drift(base, cur, ["v"], n_bins=10).collect()[0].psi
+
+        arr = np.sort(np.array(rng_base))
+        edges = [np.quantile(arr, q / 10, method="linear") for q in range(1, 10)]
+        def shares(vals):
+            bins = np.searchsorted(edges, np.array(vals), side="left")
+            # searchsorted(left): count of edges < v; our rule counts
+            # edges <= v — adjust by using right side
+            bins = np.searchsorted(edges, np.array(vals), side="right")
+            c = np.bincount(bins, minlength=10).astype(float)
+            return np.maximum(c / c.sum(), 1e-4)
+        pb, pc = shares(rng_base), shares(rng_cur)
+        expect = float(np.sum((pc - pb) * np.log(pc / pb)))
+        assert abs(got - expect) < 1e-6, (got, expect)
+
+    def test_nulls_excluded_and_empty_cols_rejected(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from recover_spark.quality.drift import psi_drift
+
+        base = spark.createDataFrame(
+            [(float(i),) for i in range(100)] + [(None,)] * 50, "v double"
+        )
+        out = psi_drift(base, base, ["v"]).collect()[0]
+        assert out.psi == 0.0
+        with pytest.raises(ValueError, match="cols"):
+            psi_drift(base, base, [])
