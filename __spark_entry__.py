@@ -3625,6 +3625,59 @@ def _psi_oracle_sql(cols: list[str], cut: str, n_bins: int = 10) -> str:
     return " UNION ALL ".join(blocks) + ' ORDER BY "column"'
 
 
+def _psi_cat_oracle_sql(cols: list[str], cut: str, top_k: int = 20) -> str:
+    """Categorical-PSI oracle: per column, baseline top-k bins
+    (count desc, category asc), everything else pooled to __other,
+    eps-clamped shares — mirrors psi_drift_categorical exactly."""
+    blocks = []
+    for c in cols:
+        blocks.append(f"""
+            SELECT '{c}' AS "column",
+                   round(sum((pc2 - pb2) * ln(pc2 / pb2)), 6) AS psi,
+                   {top_k} AS top_k
+            FROM (
+                WITH base AS (
+                    SELECT coalesce(CAST({c} AS VARCHAR), '__null') AS cat
+                    FROM lineitem WHERE l_shipdate < TIMESTAMP '{cut}'
+                ),
+                cur AS (
+                    SELECT coalesce(CAST({c} AS VARCHAR), '__null') AS cat
+                    FROM lineitem WHERE l_shipdate >= TIMESTAMP '{cut}'
+                ),
+                bc AS (SELECT cat, count(*) AS n FROM base GROUP BY 1),
+                topk AS (SELECT cat FROM bc
+                         ORDER BY n DESC, cat ASC LIMIT {top_k}),
+                pb AS (
+                    SELECT CASE WHEN cat IN (SELECT cat FROM topk)
+                                THEN cat ELSE '__other' END AS bin,
+                           sum(n) AS n_base
+                    FROM bc GROUP BY 1
+                ),
+                cc AS (SELECT cat, count(*) AS n FROM cur GROUP BY 1),
+                pc AS (
+                    SELECT CASE WHEN cat IN (SELECT cat FROM topk)
+                                THEN cat ELSE '__other' END AS bin,
+                           sum(n) AS n_cur
+                    FROM cc GROUP BY 1
+                ),
+                slots AS (
+                    SELECT cat AS bin FROM topk
+                    UNION SELECT '__other'
+                ),
+                nb AS (SELECT s.bin, coalesce(pb.n_base, 0) AS n_base
+                       FROM slots s LEFT JOIN pb USING (bin)),
+                nc AS (SELECT s.bin, coalesce(pc.n_cur, 0) AS n_cur
+                       FROM slots s LEFT JOIN pc USING (bin))
+                SELECT greatest(n_base / (SELECT sum(n_base) FROM nb),
+                                0.0001) AS pb2,
+                       greatest(n_cur / (SELECT sum(n_cur) FROM nc),
+                                0.0001) AS pc2
+                FROM nb JOIN nc USING (bin)
+            )
+        """)
+    return " UNION ALL ".join(blocks) + ' ORDER BY "column"'
+
+
 def _pagerank_oracle_sql(iterations: int = 6, damping: float = 0.85) -> str:
     """Unrolled power iteration as chained CTEs (no dangling nodes in
     the bidirectional graph, so no mass-correction term).  (1-0.85) is
@@ -3885,6 +3938,24 @@ def q_v5_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column")
 
 
+def q_v6_drift_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-column drift (quality/drift.py:psi_drift_categorical):
+    return-flag and line-status share shifts between the same two export
+    eras — each baseline top-k category is a bin, unseen/renamed
+    categories land in __other instead of disappearing silently.  No
+    quantile interpolation, so no tied-value hazard; the oracle is the
+    identical top-k-and-pool binning in SQL."""
+    from recover_spark.quality.drift import psi_drift_categorical
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    cut = "1998-06-01"
+    base = lineitem.filter(F.col("l_shipdate") < F.lit(cut))
+    cur = lineitem.filter(F.col("l_shipdate") >= F.lit(cut))
+    return psi_drift_categorical(
+        base, cur, ["l_returnflag", "l_linestatus"]
+    ).orderBy("column")
+
+
 def q_agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline / Pareto frontier
     (operators/analytics.py:skyline_2d): the parts no other part beats
@@ -3946,6 +4017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_quantile_rollup": q_agg_quantile_rollup,
         "agg_skyline": q_agg_skyline,
         "v5_drift_psi": q_v5_drift_psi,
+        "v6_drift_categorical": q_v6_drift_categorical,
         "join_bucketed": q_join_bucketed,
         "scan_zonemap": q_scan_zonemap,
         "text_bm25": q_text_bm25,
@@ -5355,6 +5427,9 @@ def _oracle_sql_literal() -> dict[str, str]:
                   FROM events GROUP BY event_type) d
               ON e.event_type = d.event_type
         """,
+        "v6_drift_categorical": _psi_cat_oracle_sql(
+            ["l_linestatus", "l_returnflag"], "1998-06-01"
+        ),
         "v5_drift_psi": _psi_oracle_sql(
             ["l_discount", "l_extendedprice", "l_quantity"], "1998-06-01"
         ),

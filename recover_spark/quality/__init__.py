@@ -1,4 +1,4 @@
-from recover_spark.quality.drift import psi_drift
+from recover_spark.quality.drift import psi_drift, psi_drift_categorical
 from recover_spark.quality.expectations import (
     Expectation,
     ExpectationResult,
@@ -6,4 +6,4 @@ from recover_spark.quality.expectations import (
     run_suite,
 )
 
-__all__ = ["psi_drift", "Expectation", "ExpectationResult", "persist_run", "run_suite"]
+__all__ = ["psi_drift", "psi_drift_categorical", "Expectation", "ExpectationResult", "persist_run", "run_suite"]

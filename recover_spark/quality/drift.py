@@ -127,3 +127,101 @@ def psi_drift(
             F.lit(n_bins).alias("n_bins"),
         )
     )
+
+
+def psi_drift_categorical(
+    baseline: DataFrame,
+    current: DataFrame,
+    cols: Sequence[str],
+    top_k: int = 20,
+    eps: float = 1e-4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """PSI for CATEGORICAL columns: each of the baseline's ``top_k``
+    categories is its own bin (deterministic membership: count desc,
+    value asc), everything else — including categories the baseline
+    never saw — pools into ``__other``.  New-category drift therefore
+    lands in the ``__other`` bin instead of being silently invisible,
+    which is exactly the "vendor renamed an enum value" failure.
+
+    Same clamp/round contract as the numeric ``psi_drift``; no
+    quantile interpolation anywhere, so no tied-value hazard.  Shape:
+    one baseline aggregate for the top-k sets (category tables are
+    vocabulary-sized), two binned-count aggregates, all map-side
+    partials.  NULL is treated as a category of its own (drift in
+    null-rate is drift).
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    spark = baseline.sparkSession
+
+    def cat_col(df: DataFrame, c: str):
+        return F.coalesce(F.col(c).cast("string"), F.lit("__null"))
+
+    def counts(df: DataFrame, tag: str) -> DataFrame:
+        per_col = [
+            F.struct(F.lit(c).alias("column"), cat_col(df, c).alias("cat"))
+            for c in cols
+        ]
+        return (
+            df.select(F.explode(F.array(*per_col)).alias("cc"))
+            .select("cc.column", "cc.cat")
+            .groupBy("column", "cat")
+            .agg(F.count(F.lit(1)).alias(f"n_{tag}"))
+        )
+
+    base_counts = counts(baseline, "base")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("column").orderBy(
+        F.desc("n_base"), F.asc("cat")
+    )
+    top = (
+        base_counts.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= top_k)
+        .select("column", "cat")
+    )
+    cur_counts = counts(current, "cur")
+
+    def pooled(cnts: DataFrame, tag: str) -> DataFrame:
+        j = cnts.join(
+            top.withColumn("__keep", F.lit(True)), ["column", "cat"], "left"
+        )
+        return (
+            j.select(
+                "column",
+                F.when(F.col("__keep"), F.col("cat"))
+                .otherwise(F.lit("__other"))
+                .alias("bin"),
+                F.col(f"n_{tag}"),
+            )
+            .groupBy("column", "bin")
+            .agg(F.sum(f"n_{tag}").alias(f"n_{tag}"))
+        )
+
+    slots = top.select("column", F.col("cat").alias("bin")).unionByName(
+        spark.createDataFrame(
+            [(c, "__other") for c in cols], "column string, bin string"
+        )
+    )
+    joined = (
+        slots.join(pooled(base_counts, "base"), ["column", "bin"], "left")
+        .join(pooled(cur_counts, "cur"), ["column", "bin"], "left")
+        .fillna(0, subset=["n_base", "n_cur"])
+    )
+    tot = joined.groupBy("column").agg(
+        F.sum("n_base").alias("__tb"), F.sum("n_cur").alias("__tc")
+    )
+    shares = joined.join(tot, "column").select(
+        "column",
+        F.greatest(F.col("n_base") / F.col("__tb"), F.lit(eps)).alias("pb"),
+        F.greatest(F.col("n_cur") / F.col("__tc"), F.lit(eps)).alias("pc"),
+    )
+    return shares.groupBy("column").agg(
+        F.round(
+            F.sum((F.col("pc") - F.col("pb")) * F.log(F.col("pc") / F.col("pb"))),
+            round_digits,
+        ).alias("psi"),
+        F.lit(top_k).alias("top_k"),
+    )

@@ -227,3 +227,65 @@ class TestPsiDrift:
         assert out.psi == 0.0
         with pytest.raises(ValueError, match="cols"):
             psi_drift(base, base, [])
+
+
+class TestPsiCategorical:
+    def test_identical_zero_and_shifted_mix_flagged(self, spark):
+        from pyspark.sql import functions as F
+
+        from recover_spark.quality.drift import psi_drift_categorical
+
+        base = spark.range(0, 9_000).select(
+            F.when(F.col("id") % 3 == 0, "a")
+            .when(F.col("id") % 3 == 1, "b")
+            .otherwise("c")
+            .alias("k")
+        )
+        zero = psi_drift_categorical(base, base, ["k"]).collect()[0]
+        assert zero.psi == 0.0
+        skewed = spark.range(0, 9_000).select(
+            F.when(F.col("id") % 9 < 7, "a")  # a jumps 1/3 -> 7/9
+            .when(F.col("id") % 9 == 7, "b")
+            .otherwise("c")
+            .alias("k")
+        )
+        psi = psi_drift_categorical(base, skewed, ["k"]).collect()[0].psi
+        assert psi > 0.25, psi
+
+    def test_new_category_lands_in_other_bin(self, spark):
+        from pyspark.sql import functions as F
+
+        from recover_spark.quality.drift import psi_drift_categorical
+
+        base = spark.range(0, 1_000).select(
+            F.when(F.col("id") % 2 == 0, "x").otherwise("y").alias("k")
+        )
+        renamed = spark.range(0, 1_000).select(
+            F.when(F.col("id") % 2 == 0, "x").otherwise("z").alias("k")
+        )
+        psi = psi_drift_categorical(base, renamed, ["k"]).collect()[0].psi
+        # y vanished AND an unseen z appeared -> large drift, not silence
+        assert psi > 0.25, psi
+
+    def test_null_is_its_own_category(self, spark):
+        from recover_spark.quality.drift import psi_drift_categorical
+
+        base = spark.createDataFrame(
+            [("a",)] * 80 + [(None,)] * 20, "k string"
+        )
+        cur = spark.createDataFrame(
+            [("a",)] * 50 + [(None,)] * 50, "k string"
+        )
+        psi = psi_drift_categorical(base, cur, ["k"]).collect()[0].psi
+        assert psi > 0.1  # null-rate drift is drift
+
+    def test_rare_categories_pool_into_other(self, spark):
+        from pyspark.sql import functions as F
+
+        from recover_spark.quality.drift import psi_drift_categorical
+
+        base = spark.range(0, 1_000).select(
+            F.concat(F.lit("c"), (F.col("id") % 50)).alias("k")
+        )
+        out = psi_drift_categorical(base, base, ["k"], top_k=5).collect()[0]
+        assert out.psi == 0.0 and out.top_k == 5
