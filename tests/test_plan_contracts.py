@@ -315,7 +315,8 @@ def test_no_cartesian_product_across_query_surface(spark):
         # loop runs node-count jobs during construction; pinned by
         # tests/test_pagerank.py instead)
         "ts_smooth", "sample_weighted", "join_asof_nearest",
-        "agg_skyline", "agg_quantile_rollup",
+        "agg_skyline", "agg_quantile_rollup", "v5_drift_psi",
+        "v6_drift_categorical", "dedup_cosine_probe",
     ]
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"

@@ -340,3 +340,88 @@ def test_text_index_probe_equals_brute_cross(
             n, o = (a, b) if a >= 1000 else (b, a)
             expect.add((n, o, r["cosine"]))
     assert got == sorted(expect)
+
+
+@given(
+    l_ts=st.lists(st.integers(0, 200), min_size=1, max_size=25, unique=True),
+    r_ts=st.lists(st.integers(0, 200), min_size=0, max_size=25, unique=True),
+    direction=st.sampled_from(["backward", "forward", "nearest"]),
+    tol=st.one_of(st.none(), st.integers(1, 50)),
+)
+@_settings
+def test_asof_directions_match_pandas(spark, l_ts, r_ts, direction, tol):
+    """Every (direction, tolerance) as-of combination equals pandas
+    merge_asof for arbitrary timestamp sets."""
+    import pandas as pd
+
+    from recover_spark.operators import asof_join
+
+    left = pd.DataFrame(
+        {
+            "k": ["g"] * len(l_ts),
+            "ts": [pd.Timestamp(2024, 1, 1) + pd.Timedelta(seconds=s)
+                   for s in sorted(l_ts)],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": ["g"] * len(r_ts),
+            "ts": [pd.Timestamp(2024, 1, 1) + pd.Timedelta(seconds=s)
+                   for s in sorted(r_ts)],
+            "m": [float(s) for s in sorted(r_ts)],
+        }
+    ).astype({"k": "str", "ts": "datetime64[ns]", "m": "float64"})
+    expect = pd.merge_asof(
+        left, right, on="ts", by="k", direction=direction,
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+    )
+    got = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right)
+        if len(right)
+        else spark.createDataFrame([], "k string, ts timestamp, m double"),
+        on=["k"],
+        right_cols=["m"],
+        direction=direction,
+        tolerance_seconds=tol,
+    ).toPandas()
+    merged = expect.merge(got, on=["k", "ts"], suffixes=("_pd", "_sp"))
+    assert len(merged) == len(expect) == len(got)
+    le = merged["m_pd"].fillna(-1).to_numpy()
+    ri = merged["m_sp"].fillna(-1).to_numpy()
+    assert (le == ri).all(), (direction, tol)
+
+
+@given(
+    base=st.lists(
+        st.floats(-100, 100, allow_nan=False), min_size=20, max_size=200
+    ),
+    cur=st.lists(
+        st.floats(-100, 100, allow_nan=False), min_size=20, max_size=200
+    ),
+    bins=st.integers(2, 12),
+)
+@_settings
+def test_psi_matches_numpy_reference(spark, base, cur, bins):
+    import numpy as np
+
+    from recover_spark.quality.drift import psi_drift
+
+    b = spark.createDataFrame([(v,) for v in base], "v double")
+    c = spark.createDataFrame([(v,) for v in cur], "v double")
+    got = psi_drift(b, c, ["v"], n_bins=bins).collect()[0].psi
+
+    arr = np.sort(np.array(base))
+    edges = np.round(
+        [np.quantile(arr, q / bins, method="linear")
+         for q in range(1, bins)], 9
+    )
+
+    def shares(vals):
+        idx = np.searchsorted(edges, np.array(vals), side="right")
+        cts = np.bincount(idx, minlength=bins).astype(float)
+        return np.maximum(cts / cts.sum(), 1e-4)
+
+    pb, pc = shares(base), shares(cur)
+    expect = round(float(np.sum((pc - pb) * np.log(pc / pb))), 6)
+    assert abs(got - expect) < 2e-6, (got, expect)
