@@ -988,6 +988,101 @@ def q_ts_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing (operators/temporal.py:holt_smooth):
+    the coupled level+trend recurrence parallelized as a 2-D chunked
+    affine scan — matrix powers from the Cayley-Hamilton closed form
+    (a_e*I + b_e*M), no sequential pass, no lookup tables.  The oracle
+    runs the same closed form as whole-series SQL (valid at gate scale:
+    series <100 rows, complex eigenvalue pair so no stiffness), making
+    the two-dimensional recurrence oracle-hash-checked per value."""
+    from recover_spark.operators.temporal import holt_smooth
+
+    events = _load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = holt_smooth(
+        events, ["user_id"], ["ts", "event_id"], "value",
+        alpha=0.3, gamma=0.2,
+    )
+    return out.select(
+        "user_id", "event_id", _ts(F.col("ts"), "ts"),
+        F.round("value", 6).alias("value"),
+        F.round("level", 6).alias("level"),
+        F.round("trend", 6).alias("trend"),
+    )
+
+
+def _holt_oracle_sql(alpha: float, gamma: float) -> str:
+    """Whole-series closed form of the Holt recurrence in SQL, via the
+    same Cayley-Hamilton decomposition the operator compiles: for the
+    complex-eigenvalue regime (the case for these parameters),
+    M^e = a_e I + b_e M with a/b from pow/cos/sin of literal (r,
+    theta).  Valid at gate scale where series are short and the
+    eigenvalue pair has ratio 1 (no stiffness)."""
+    import cmath
+    import math
+
+    import numpy as np
+
+    m = np.array(
+        [[1 - alpha, 1 - alpha], [-gamma * alpha, 1 - gamma * alpha]]
+    )
+    eig = np.linalg.eigvals(m)
+    assert abs(eig[0].imag) > 1e-12, "oracle builder expects complex pair"
+    r = abs(eig[0])
+    th = abs(cmath.phase(eig[0]))
+    sin_th, cos_th = math.sin(th), math.cos(th)
+    u1, u2 = alpha, gamma * alpha
+    m11, m12, m21, m22 = m[0, 0], m[0, 1], m[1, 0], m[1, 1]
+    mu1 = m11 * u1 + m12 * u2
+    mu2 = m21 * u1 + m22 * u2
+
+    def ab(e: str) -> tuple[str, str]:
+        b = (
+            f"(pow({r!r}, ({e}) - 1) * sin(({e}) * {th!r}) / {sin_th!r})"
+        )
+        a = (
+            f"(pow({r!r}, ({e})) * cos(({e}) * {th!r})"
+            f" - {b} * {r * cos_th!r})"
+        )
+        return a, b
+
+    a_nq, b_nq = ab("-n")
+    a_n, b_n = ab("n")
+    return f"""
+        WITH o AS (
+            SELECT user_id, event_id, ts, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS n
+            FROM events
+        ),
+        z AS (
+            SELECT *,
+                   sum(value * ({a_nq} * {u1!r} + {b_nq} * {mu1!r}))
+                       OVER w AS z1,
+                   sum(value * ({a_nq} * {u2!r} + {b_nq} * {mu2!r}))
+                       OVER w AS z2,
+                   first_value(value) OVER w AS y1
+            FROM o
+            WINDOW w AS (PARTITION BY user_id ORDER BY n)
+        ),
+        v AS (
+            SELECT user_id, event_id, ts, value, n,
+                   y1 + z1 AS v1, z2 AS v2
+            FROM z
+        )
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               round(value, 6) AS value,
+               round({a_n} * v1
+                     + {b_n} * ({m11!r} * v1 + {m12!r} * v2), 6) AS level,
+               round({a_n} * v2
+                     + {b_n} * ({m21!r} * v1 + {m22!r} * v2), 6) AS trend
+        FROM v
+    """
+
+
 def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAREST-direction as-of join with tolerance
     (operators/temporal.py:asof_join direction="nearest"): each event
@@ -4014,6 +4109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_quantile_matview": q_stream_quantile_matview,
         "join_asof_nearest": q_join_asof_nearest,
         "ts_smooth": q_ts_smooth,
+        "ts_holt": q_ts_holt,
         "agg_quantile_rollup": q_agg_quantile_rollup,
         "agg_skyline": q_agg_skyline,
         "v5_drift_psi": q_v5_drift_psi,
@@ -5448,6 +5544,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             )
             ORDER BY p_retailprice
         """,
+        "ts_holt": _holt_oracle_sql(0.3, 0.2),
         "ts_smooth": """
             WITH o AS (
                 SELECT user_id, event_id, ts, value,

@@ -77,6 +77,7 @@ HEADLINE = [
     "dedup_cosine_exact",
     "graph_pagerank",
     "ts_smooth",
+    "ts_holt",
     "dedup_cosine_probe",
     "v5_drift_psi",
 ]

@@ -13,6 +13,7 @@ from recover_spark.operators.merge import merge_upsert, scd2_apply
 from recover_spark.operators.temporal import (
     asof_join,
     ewma_smooth,
+    holt_smooth,
     range_join,
     resample_forward_fill,
 )
@@ -27,6 +28,7 @@ from recover_spark.operators.analytics import (
 
 __all__ = [
     "ewma_smooth",
+    "holt_smooth",
     "skyline_2d",
     "approx_quantile_rollup",
     "asof_join",

@@ -723,3 +723,215 @@ def ewma_smooth(
         F.pow(F.lit(beta), F.col("__p")) * F.col("__s_in")
         + F.col("__s_local"),
     ).drop("__n", "__chunk", "__p", "__s_local", "__s_in")
+
+
+def holt_smooth(
+    series: DataFrame,
+    on: Sequence[str],
+    ts_col: str | Sequence[str],
+    value_col: str,
+    alpha: float,
+    gamma: float,
+    level_col: str = "level",
+    trend_col: str = "trend",
+    chunk_rows: int | None = None,
+) -> DataFrame:
+    """Exact per-series Holt linear-trend smoothing (double exponential
+    smoothing) — the 2-D sibling of ``ewma_smooth``, parallelized the
+    same way: the coupled recurrence
+
+        l_t = alpha*y_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = gamma*(l_t - l_{t-1}) + (1-gamma)*b_{t-1}
+
+    (``l_1 = y_1``, ``b_1 = 0``) is a LINEAR recurrence on the state
+    vector ``x = (l, b)``: ``x_t = M x_{t-1} + y_t u`` with constant
+    2x2 ``M`` and ``u = (alpha, gamma*alpha)``, so the chunked affine
+    scan applies verbatim.  The matrix powers the scan needs come from
+    Cayley-Hamilton, not lookup tables: a 2x2 matrix's powers live in
+    ``span{I, M}``, so ``M^e = a_e*I + b_e*M`` with SCALAR
+    coefficients in closed form from the eigenvalues (distinct-real /
+    complex-pair / repeated cases, all pure pow/cos/sin column
+    expressions of the exponent) — any exponent, graceful underflow,
+    nothing precomputed per position.
+
+    Numerics — two driver-computed bounds, both loud in the docible
+    sense rather than silent:
+
+    - chunk length is capped by the eigenvalue SPREAD
+      ``(|lambda_max|/|lambda_min|)^len <~ 1e12``: inside a chunk the
+      z-transform carries both eigencomponents at once, and a wide
+      spread turns the final damping multiply into catastrophic
+      cancellation (the scalar EWMA has one eigenvalue and never hits
+      this) — plus the usual no-overflow cap on ``lambda_min^-len``;
+    - the cross-chunk carry frame is sized by the DECAY
+      ``|lambda_max|``: contributions past it are below the smallest
+      subnormal double in ANY evaluation order, so the bounded frame
+      is exact.  Requires ``|lambda_max| < 1`` (damped smoothing, true
+      for 0 < alpha, gamma < 1; enforced).
+
+    Returns the input plus ``level`` and ``trend``.
+    """
+    import cmath
+
+    import numpy as np
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1) exclusive")
+    if not 0.0 < gamma < 1.0:
+        raise ValueError("gamma must be in (0, 1) exclusive")
+    mat = np.array(
+        [[1 - alpha, 1 - alpha], [-gamma * alpha, 1 - gamma * alpha]]
+    )
+    u1, u2 = alpha, gamma * alpha
+    eig = np.linalg.eigvals(mat)
+    lam_max, lam_min = np.abs(eig).max(), np.abs(eig).min()
+    if lam_max >= 1.0:
+        raise ValueError(
+            f"spectral radius {lam_max:.4f} >= 1: the recurrence does "
+            "not damp and no bounded carry frame exists"
+        )
+    if lam_min <= 0.0:
+        raise ValueError("singular transition matrix")
+    spread = math.log(lam_max / lam_min)
+    grow = -math.log(lam_min)
+    if chunk_rows:
+        mlen = int(chunk_rows)
+    else:
+        # spread^len <= e^20 keeps the in-chunk cancellation error
+        # ~eps * e^20 ~ 1e-7 relative worst-case (stiff eigenvalue
+        # ratios trade shorter chunks / wider carry frames for it)
+        mlen = min(128, int(700 / grow), int(20 / spread) if spread > 1e-9 else 128)
+        mlen = max(2, mlen)
+    decay = -math.log(lam_max)
+    w_chunks = max(1, math.ceil(745.0 / (mlen * decay)))
+
+    # Cayley-Hamilton scalar coefficients: M^e = a(e)*I + b(e)*M.
+    l1, l2 = eig[0], eig[1]
+
+    def _ab(e):
+        """(a_e, b_e) as Column expressions of integer exponent ``e``
+        (a double-valued column; pow with negative base is exact for
+        integral exponents)."""
+        if abs(l1.imag) > 1e-12:  # complex conjugate pair
+            r = abs(l1)
+            th = abs(cmath.phase(l1))
+            sin_th = math.sin(th)
+            b = (
+                F.pow(F.lit(r), e - 1) * F.sin(e * F.lit(th)) / F.lit(sin_th)
+            )
+            a = (
+                F.pow(F.lit(r), e) * F.cos(e * F.lit(th))
+                - b * F.lit(r * math.cos(th))
+            )
+            return a, b
+        r1, r2 = l1.real, l2.real
+        if abs(r1 - r2) > 1e-12 * max(abs(r1), abs(r2)):  # distinct real
+            p1c, p2c = F.pow(F.lit(r1), e), F.pow(F.lit(r2), e)
+            b = (p1c - p2c) / F.lit(r1 - r2)
+            a = p1c - b * F.lit(r1)
+            return a, b
+        lam = r1  # repeated real root
+        b = e * F.pow(F.lit(lam), e - 1)
+        a = F.pow(F.lit(lam), e) * (1 - e)
+        return a, b
+
+    m11c, m12c = float(mat[0, 0]), float(mat[0, 1])
+    m21c, m22c = float(mat[1, 0]), float(mat[1, 1])
+    mu1 = m11c * u1 + m12c * u2  # (M u) components
+    mu2 = m21c * u1 + m22c * u2
+
+    def _apply_pow(e, v1, v2):
+        """M^e @ (v1, v2) via a(e)*(v) + b(e)*(M v)."""
+        a, b = _ab(e)
+        mv1 = F.lit(m11c) * v1 + F.lit(m12c) * v2
+        mv2 = F.lit(m21c) * v1 + F.lit(m22c) * v2
+        return a * v1 + b * mv1, a * v2 + b * mv2
+
+    key_names = list(on)
+    order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+    w_key = Window.partitionBy(*key_names).orderBy(
+        *[F.asc(c) for c in order_cols]
+    )
+    numbered = (
+        series.withColumn("__n", F.row_number().over(w_key))
+        .withColumn("__chunk", ((F.col("__n") - 1) / mlen).cast("bigint"))
+        .withColumn(
+            "__p",
+            (F.col("__n") - F.col("__chunk") * mlen).cast("double"),
+        )
+    )
+    # per-row z contribution: y_q * (M^-q u) = y*(a(-q)u + b(-q)Mu)
+    negq = -F.col("__p")
+    a_nq, b_nq = _ab(negq)
+    y = F.col(value_col).cast("double")
+    w_chunk = (
+        Window.partitionBy(*key_names, "__chunk")
+        .orderBy(F.asc("__p"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = numbered.withColumn(
+        "__z1",
+        F.sum(y * (a_nq * F.lit(u1) + b_nq * F.lit(mu1))).over(w_chunk),
+    ).withColumn(
+        "__z2",
+        F.sum(y * (a_nq * F.lit(u2) + b_nq * F.lit(mu2))).over(w_chunk),
+    )
+
+    end_l, end_b = _apply_pow(F.col("__p"), F.col("__z1"), F.col("__z2"))
+    summaries = (
+        local.withColumn("__bl", end_l)
+        .withColumn("__bb", end_b)
+        .groupBy(*key_names, "__chunk")
+        .agg(
+            F.max_by(F.struct("__bl", "__bb"), "__p").alias("__B"),
+            F.count(F.lit(1)).alias("__len"),
+            F.min_by(y, F.col("__n")).alias("__first"),
+        )
+    )
+    w_cw = Window.partitionBy(*key_names).orderBy(F.asc("__chunk"))
+    frame = w_cw.rowsBetween(-w_chunks, -1)
+    chunk_states = (
+        summaries.withColumn(
+            "__N",
+            F.sum("__len").over(
+                w_cw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("__N_prev", (F.col("__N") - F.col("__len")).cast("double"))
+        .withColumn("__y1", F.first("__first").over(w_cw))
+        .withColumn(
+            "__hist", F.collect_list(F.struct("__B", "__N")).over(frame)
+        )
+    )
+    zero2 = F.struct(F.lit(0.0).alias("l"), F.lit(0.0).alias("b"))
+
+    def fold(acc, x):
+        e = F.col("__N_prev") - x["__N"].cast("double")
+        nl, nb = _apply_pow(e, x["__B"]["__bl"], x["__B"]["__bb"])
+        return F.struct(
+            (acc["l"] + nl).alias("l"), (acc["b"] + nb).alias("b")
+        )
+
+    init_l, init_b = _apply_pow(
+        F.col("__N_prev"), F.col("__y1"), F.lit(0.0)
+    )
+    chunk_states = chunk_states.withColumn(
+        "__acc", F.aggregate(F.col("__hist"), zero2, fold)
+    ).select(
+        *key_names,
+        "__chunk",
+        (F.col("__acc.l") + init_l).alias("__in_l"),
+        (F.col("__acc.b") + init_b).alias("__in_b"),
+    )
+
+    joined = local.join(chunk_states, [*key_names, "__chunk"])
+    lvl, trd = _apply_pow(
+        F.col("__p"),
+        F.col("__in_l") + F.col("__z1"),
+        F.col("__in_b") + F.col("__z2"),
+    )
+    return (
+        joined.withColumn(level_col, lvl)
+        .withColumn(trend_col, trd)
+        .drop("__n", "__chunk", "__p", "__z1", "__z2", "__in_l", "__in_b")
+    )

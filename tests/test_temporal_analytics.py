@@ -469,3 +469,80 @@ class TestEwmaSmooth:
         for bad in (0.0, 1.0, -0.5, 2.0):
             with pytest.raises(ValueError, match="alpha"):
                 ewma_smooth(df, ["k"], "t", "v", bad)
+
+
+class TestHoltSmooth:
+    @staticmethod
+    def _reference(values, alpha, gamma):
+        l, b = values[0], 0.0
+        out = [(l, b)]
+        for y in values[1:]:
+            l_new = alpha * y + (1 - alpha) * (l + b)
+            b = gamma * (l_new - l) + (1 - gamma) * b
+            l = l_new
+            out.append((l, b))
+        return out
+
+    def _check(self, spark, values, alpha, gamma, tol=1e-8, **kw):
+        from recover_spark.operators.temporal import holt_smooth
+
+        df = spark.createDataFrame(
+            [("k", i, float(v)) for i, v in enumerate(values)],
+            "k string, t long, v double",
+        )
+        got = (
+            holt_smooth(df, ["k"], "t", "v", alpha, gamma, **kw)
+            .orderBy("t")
+            .collect()
+        )
+        expect = self._reference([float(v) for v in values], alpha, gamma)
+        for i, (el, eb) in enumerate(expect):
+            scale = max(1.0, abs(el), abs(eb))
+            assert abs(got[i]["level"] - el) <= tol * scale, (i, got[i], el)
+            assert abs(got[i]["trend"] - eb) <= tol * scale, (i, got[i], eb)
+
+    def test_matches_sequential_reference(self, spark):
+        vals = [((i * 37) % 100) - 50 + 0.5 * i for i in range(200)]
+        self._check(spark, vals, 0.3, 0.2)
+
+    def test_long_series_stays_finite_and_exact(self, spark):
+        vals = [((i * 13) % 40) + 0.1 * i for i in range(8000)]
+        self._check(spark, vals, 0.5, 0.3)
+
+    def test_trend_tracks_a_pure_ramp(self, spark):
+        from recover_spark.operators.temporal import holt_smooth
+
+        df = spark.createDataFrame(
+            [("k", i, float(2 * i)) for i in range(300)],
+            "k string, t long, v double",
+        )
+        last = (
+            holt_smooth(df, ["k"], "t", "v", 0.4, 0.3)
+            .orderBy("t")
+            .collect()[-1]
+        )
+        # on a pure slope-2 ramp the trend converges to 2
+        assert abs(last["trend"] - 2.0) < 0.05
+        assert abs(last["level"] - 2.0 * 299) < 1.0
+
+    def test_param_grid_and_tiny_chunks(self, spark):
+        vals = [((i * 29) % 60) - 30 for i in range(150)]
+        self._check(spark, vals, 0.1, 0.9)
+        self._check(spark, vals, 0.7, 0.7)
+        # stiff eigenvalue ratio (lam_max/lam_min ~ 8): in-chunk
+        # cancellation bounds precision at ~eps * e^20 (see operator
+        # docstring) — the documented trade, not a regression
+        self._check(spark, vals, 0.9, 0.1, tol=1e-6)
+        self._check(spark, vals, 0.4, 0.2, chunk_rows=7)
+
+    def test_invalid_params_rejected(self, spark):
+        import pytest
+
+        from recover_spark.operators.temporal import holt_smooth
+
+        df = spark.createDataFrame(
+            [("k", 1, 1.0)], "k string, t long, v double"
+        )
+        for a, g in ((0.0, 0.5), (1.0, 0.5), (0.5, 0.0), (0.5, 1.0)):
+            with pytest.raises(ValueError):
+                holt_smooth(df, ["k"], "t", "v", a, g)
