@@ -425,3 +425,62 @@ def test_psi_matches_numpy_reference(spark, base, cur, bins):
     pb, pc = shares(base), shares(cur)
     expect = round(float(np.sum((pc - pb) * np.log(pc / pb))), 6)
     assert abs(got - expect) < 2e-6, (got, expect)
+
+
+@given(
+    values=st.lists(
+        st.floats(-1e3, 1e3, allow_nan=False), min_size=1, max_size=60
+    ),
+    alpha=st.floats(0.05, 0.95),
+    gamma=st.floats(0.05, 0.95),
+    chunk=st.one_of(st.none(), st.integers(2, 9)),
+)
+@_settings
+def test_holt_chunked_scan_matches_sequential(
+    spark, values, alpha, gamma, chunk
+):
+    """The 2-D affine scan equals the sequential Holt recurrence for
+    arbitrary series, parameters, and chunk sizes.  Tolerance scales
+    with the documented eigenvalue-spread bound (stiff ratios trade
+    precision for chunk length — e^20 worst case)."""
+    import math
+
+    import numpy as np
+
+    from recover_spark.operators.temporal import holt_smooth
+
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(values)],
+        "k string, t long, v double",
+    )
+    got = (
+        holt_smooth(
+            df, ["k"], "t", "v", alpha, gamma,
+            **({"chunk_rows": chunk} if chunk else {}),
+        )
+        .orderBy("t")
+        .collect()
+    )
+    m = np.array(
+        [[1 - alpha, 1 - alpha], [-gamma * alpha, 1 - gamma * alpha]]
+    )
+    eig = np.abs(np.linalg.eigvals(m))
+    mlen = chunk if chunk else min(
+        128,
+        int(700 / -math.log(eig.min())),
+        int(20 / math.log(eig.max() / eig.min()))
+        if eig.max() / eig.min() > 1 + 1e-9
+        else 128,
+    )
+    spread = (eig.max() / eig.min()) ** max(2, mlen)
+    tol = max(1e-9, 50 * 2.3e-16 * spread)
+
+    l, b = values[0], 0.0
+    for i, y in enumerate(values):
+        if i:
+            ln = alpha * y + (1 - alpha) * (l + b)
+            b = gamma * (ln - l) + (1 - gamma) * b
+            l = ln
+        scale = max(1.0, abs(l), abs(b))
+        assert abs(got[i]["level"] - l) <= tol * scale, (i, tol)
+        assert abs(got[i]["trend"] - b) <= tol * scale, (i, tol)
