@@ -54,6 +54,14 @@ PROBES = [
     "mm_phash_dedup",       # phash band equi-join
     "join_interval_overlap",  # bucketed interval-overlap equi-join
     "path_transitions",     # lag window + partial-agg matrix
+    # round-5 session-2 families (dedup_cosine_* excluded: replicated
+    # docs are byte-identical across replicas, so the TRUE pair count
+    # grows quadratically — a data artifact; the sf1 bench measures
+    # them on rotated-text replicas instead)
+    "ts_smooth",            # EWMA chunked affine scan over events
+    "ts_holt",              # Holt 2-D affine scan over events
+    "graph_pagerank",       # 6 power iterations over the trade graph
+    "v5_drift_psi",         # PSI binning, two lineitem-era scans
 ]
 
 
