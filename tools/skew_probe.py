@@ -38,6 +38,11 @@ PROBES = [
     "ts_anomaly",           # trailing-window z-score keyed on user_id
     "ts_anomaly_chunked",   # time-chunked variant: hot key parallelizes
     "ts_interpolate",       # grid + window keyed on user_id
+    # round-5 session 2: the chunked affine scans partition by
+    # (user_id, chunk), so a hot user's timeline is parallel across
+    # chunks by construction — the skew probe verifies that claim
+    "ts_smooth",            # EWMA chunked scan keyed on user_id
+    "ts_holt",              # Holt 2-D chunked scan keyed on user_id
 ]
 
 
