@@ -4019,9 +4019,12 @@ def q_v5_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quality/drift.py:psi_drift): shipments before vs after 1998-06-01
     — the monitor that catches a vendor firmware shift the count/schema
     audits (A1/A6) cannot see.  One baseline aggregate computes every
-    column's exact quantile edges; both eras bin map-side against the
-    one-row broadcast.  Oracle: the identical exact-percentile binning
-    in SQL."""
+    column's quantile edges; both eras bin map-side against the
+    one-row broadcast.  ``edge_accuracy=None`` opts into EXACT
+    interpolated edges so the DuckDB oracle computes identical
+    cutpoints (the production default is the O(accuracy)-buffer
+    approx sketch — quality/drift.py module docstring).  Oracle: the
+    identical exact-percentile binning in SQL."""
     from recover_spark.quality.drift import psi_drift
 
     lineitem = _load(spark, sf_dir, "lineitem")
@@ -4029,7 +4032,10 @@ def q_v5_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = lineitem.filter(F.col("l_shipdate") < F.lit(cut))
     cur = lineitem.filter(F.col("l_shipdate") >= F.lit(cut))
     return psi_drift(
-        base, cur, ["l_extendedprice", "l_quantity", "l_discount"]
+        base,
+        cur,
+        ["l_extendedprice", "l_quantity", "l_discount"],
+        edge_accuracy=None,
     ).orderBy("column")
 
 
@@ -4095,11 +4101,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # Rotation for the driver's 50-entry correctness capture
-        # (rounds 1-4 recorded 86 distinct queries; the 63 never-
-        # captured ones lead this round so the driver record covers
-        # them; every entry runs through the same oracle harness
-        # regardless of position — tools/check_correctness.py).
+        # Round-6 rotation for the driver's 50-entry correctness capture:
+        # the 39 queries never present in any CORRECTNESS_r01-r05 capture
+        # lead, followed by this round's new queries, so the driver record
+        # closes the coverage debt (VERDICT r5 "What's missing" #1). Every
+        # entry runs through the same oracle harness regardless of position
+        # (tools/check_correctness.py re-runs all of them).
+        "stream_hll_matview": q_stream_hll_matview,
+        "merge_upsert": q_merge_upsert,
+        "agg_cube": q_agg_cube,
+        "sql_grouping_sets": q_sql_grouping_sets,
+        "win_lag_lead": q_win_lag_lead,
+        "win_frame_edges": q_win_frame_edges,
+        "win_ntile": q_win_ntile,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
+        "sample_stratified": q_sample_stratified,
+        "pack_sequences": q_pack_sequences,
+        "stream_enrich": q_stream_enrich,
+        "dedup_fingerprint": q_dedup_fingerprint,
+        "agg_having": q_agg_having,
+        "sql_interface": q_sql_interface,
+        "set_intersect": q_set_intersect,
+        "set_except_all": q_set_except_all,
+        "agg_approx_stats": q_agg_approx_stats,
+        "sample_split": q_sample_split,
+        "agg_histogram": q_agg_histogram,
+        "agg_pivot": q_agg_pivot,
+        "transform_unpivot": q_transform_unpivot,
+        "sql_correlated": q_sql_correlated,
+        "agg_revenue_filter": q_agg_revenue_filter,
+        "agg_shipping_volume": q_agg_shipping_volume,
+        "transform_strings": q_transform_strings,
+        "join_argmin": q_join_argmin,
+        "emb_quantize": q_emb_quantize,
+        "ann_quantized": q_ann_quantized,
+        "skew_hitters": q_skew_hitters,
+        "dedup_spans": q_dedup_spans,
+        "agg_stats_moments": q_agg_stats_moments,
+        "agg_median": q_agg_median,
+        "text_levenshtein": q_text_levenshtein,
+        "transform_dates": q_transform_dates,
+        "transform_arrays": q_transform_arrays,
+        "transform_regexp": q_transform_regexp,
+        "agg_string_concat": q_agg_string_concat,
+        "transform_hof": q_transform_hof,
+        "set_union_distinct": q_set_union_distinct,
         "s2_schema_drift": q_s2_schema_drift,
         "scan_bloommap": q_scan_bloommap,
         "dedup_cosine_exact": q_dedup_cosine_exact,
@@ -4150,46 +4196,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "win_streaks": q_win_streaks,
         "agg_mode": q_agg_mode,
         "agg_hll_rollup": q_agg_hll_rollup,
-        "stream_hll_matview": q_stream_hll_matview,
-        "merge_upsert": q_merge_upsert,
-        "agg_cube": q_agg_cube,
-        "sql_grouping_sets": q_sql_grouping_sets,
-        "win_lag_lead": q_win_lag_lead,
-        "win_frame_edges": q_win_frame_edges,
-        "win_ntile": q_win_ntile,
-        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
-        "sample_stratified": q_sample_stratified,
-        "pack_sequences": q_pack_sequences,
-        "stream_enrich": q_stream_enrich,
-        "dedup_fingerprint": q_dedup_fingerprint,
-        "agg_having": q_agg_having,
-        "sql_interface": q_sql_interface,
-        "set_intersect": q_set_intersect,
-        "set_except_all": q_set_except_all,
-        "agg_approx_stats": q_agg_approx_stats,
-        "sample_split": q_sample_split,
-        "agg_histogram": q_agg_histogram,
-        "agg_pivot": q_agg_pivot,
-        "transform_unpivot": q_transform_unpivot,
-        "sql_correlated": q_sql_correlated,
-        "agg_revenue_filter": q_agg_revenue_filter,
-        "agg_shipping_volume": q_agg_shipping_volume,
-        "transform_strings": q_transform_strings,
-        "join_argmin": q_join_argmin,
-        "emb_quantize": q_emb_quantize,
-        "ann_quantized": q_ann_quantized,
-        "skew_hitters": q_skew_hitters,
-        "dedup_spans": q_dedup_spans,
-        "agg_stats_moments": q_agg_stats_moments,
-        "agg_median": q_agg_median,
-        "text_levenshtein": q_text_levenshtein,
-        "transform_dates": q_transform_dates,
-        "transform_arrays": q_transform_arrays,
-        "transform_regexp": q_transform_regexp,
-        "agg_string_concat": q_agg_string_concat,
-        "transform_hof": q_transform_hof,
-        "set_union_distinct": q_set_union_distinct,
-        # -- previously driver-captured (r01-r04), all green --
         "w1_dedup_latest": q_w1_dedup_latest,
         "j1_anti_delete": q_j1_anti_delete,
         "j3_diff": q_j3_diff,

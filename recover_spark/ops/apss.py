@@ -321,8 +321,15 @@ def _dense_block_pairs(
         lo, hi = np.minimum(da, db), np.maximum(da, db)
         return pd.DataFrame({"doc_a": lo, "doc_b": hi, "cosine": sims[ii, jj]})
 
+    # Output id type follows the INPUT id column (ADVICE r5: the two
+    # exact strategies must share one type contract — a hardcoded
+    # `long` here made auto-picked dense fail at Arrow conversion for
+    # string ids while prefix preserved them).  numpy's object-dtype
+    # comparisons/minimum give the same doc_a < doc_b ordering for
+    # strings as for ints.
+    id_type = weighted.schema["__doc"].dataType.simpleString()
     raw = fanned.groupBy("__bi", "__bj").applyInPandas(
-        tile_gemm, "doc_a long, doc_b long, cosine double"
+        tile_gemm, f"doc_a {id_type}, doc_b {id_type}, cosine double"
     )
     return raw.select(
         "doc_a", "doc_b", F.round("cosine", round_digits).alias("cosine")

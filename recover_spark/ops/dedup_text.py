@@ -345,6 +345,84 @@ def duplicate_clusters(
     )
 
 
+def greedy_survivors(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    node_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """The greedy lower-id crawl-dedup rule, computed TRANSITIVELY:
+    process documents in id order, keep a document iff none of its
+    near-duplicate neighbors with a lower id was itself KEPT.  Returns
+    the surviving node ids (one column, ``node_col``).
+
+    This differs from both naive alternatives (ADVICE r5): dropping
+    every ``doc_b`` of every pair over-deletes — in a chain A~B, B~C
+    with A!~C, C's only lower-id neighbor B did NOT survive, so C must
+    be kept (it has no near-duplicate representative otherwise);
+    keep-one-per-connected-component under-keeps the same C.  Greedy
+    MIS by id keeps {A, C}: every dropped doc has a KEPT direct
+    near-duplicate.
+
+    Algorithm: parallel greedy maximal-independent-set with the id as
+    the fixed priority.  Each round, every UNDECIDED node whose id is
+    smaller than all its undecided neighbors' ids becomes KEPT (all
+    its lower-id neighbors are decided, and none was kept — else this
+    node would already be dropped); its neighbors become DROPPED.
+    Rounds = longest id-descending dependency chain (near-dup graphs:
+    a handful).  Each round is one equi-join + one min-aggregate on
+    the PAIR graph (AP-SS output, tiny next to the corpus), lineage
+    truncated per round.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges_bi = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    undecided = nodes.select(F.col(node_col).alias("node"))
+    kept_parts: list[DataFrame] = []
+    for _ in range(max_iterations):
+        if undecided.limit(1).count() == 0:
+            break
+        und_ids = undecided.select(F.col("node").alias("dst"))
+        nbr_min = (
+            edges_bi.join(und_ids, "dst")
+            .groupBy("src")
+            .agg(F.min("dst").alias("__mn"))
+            .withColumnRenamed("src", "node")
+        )
+        kept = (
+            undecided.join(nbr_min, "node", "left")
+            .filter(F.col("__mn").isNull() | (F.col("node") < F.col("__mn")))
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+        dropped = (
+            edges_bi.join(kept.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        kept_parts.append(kept)
+        undecided = (
+            undecided.join(kept, "node", "left_anti")
+            .join(dropped, "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            "greedy_survivors did not converge within "
+            f"{max_iterations} iterations; raise max_iterations "
+            "(dependency chains deeper than this are not near-dup-shaped)"
+        )
+    if not kept_parts:
+        return nodes.select(F.col(node_col)).limit(0)
+    out = kept_parts[0]
+    for p in kept_parts[1:]:
+        out = out.unionAll(p)
+    return out.withColumnRenamed("node", node_col)
+
+
 def remove_repeated_spans(
     df: DataFrame,
     text_col: str = "text",

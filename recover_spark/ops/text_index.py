@@ -56,6 +56,23 @@ from recover_spark.functions.text import tokens
 META_NAME = "_text_index.json"
 
 
+_INTEGRAL_ID_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _require_integral_ids(docs: DataFrame, id_col: str, op: str) -> None:
+    """The persisted index pins ``doc_id long`` (_POSTINGS_SCHEMA /
+    _VECTORS_SCHEMA), so every entry point validates the caller's id
+    column instead of letting a string id silently coerce (or die deep
+    inside an Arrow conversion on the dense path — ADVICE r5)."""
+    dt = docs.schema[id_col].dataType.simpleString()
+    if dt not in _INTEGRAL_ID_TYPES:
+        raise TypeError(
+            f"{op} requires an integral id column (index schema stores "
+            f"doc_id as bigint); got {id_col!r}: {dt}. Map string ids "
+            "to a surrogate bigint (e.g. xxhash64) before indexing."
+        )
+
+
 def _batch_postings(
     docs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -101,6 +118,7 @@ def build_text_index(
     (the dense probe's scan target).  One (doc, term) shuffle; the
     partitioned writes are the only extra cost over computing weights
     at all."""
+    _require_integral_ids(docs, id_col, "build_text_index")
     postings = _batch_postings(docs, id_col, text_col).localCheckpoint(
         eager=False
     )
@@ -133,6 +151,7 @@ def append_text_index(
     their bucket partitions (dynamic partition overwrite is NOT used —
     plain append leaves existing files untouched), df re-aggregates
     from the combined postings (vocab-sized job), doc count updates."""
+    _require_integral_ids(docs, id_col, "append_text_index")
     spark = docs.sparkSession
     meta = _read_meta(path)
     postings = _batch_postings(docs, id_col, text_col).localCheckpoint(
@@ -221,6 +240,7 @@ def probe_text_index(
         raise ValueError("threshold must be in (0, 1]")
     if strategy not in ("auto", "prefix", "dense"):
         raise ValueError(f"unknown strategy {strategy!r}")
+    _require_integral_ids(new_docs, id_col, "probe_text_index")
     spark = new_docs.sparkSession
     meta = _read_meta(path)
     nb = meta["num_buckets"]

@@ -13,17 +13,30 @@ KL divergence of the binned distributions).  Rules of thumb: < 0.1
 stable, 0.1-0.25 drifting, > 0.25 action.
 
 Engine shape: ONE aggregate over the baseline computes every column's
-quantile boundaries (exact ``percentile`` — a single shuffle of
-per-column partials, not a sort); the boundaries return as a one-row
-frame and enter the bucketing expressions as a broadcast, so binning
-both sides is map-side; per-bin counts are two aggregates.  Nothing
-iterates per column — all columns ride the same jobs.
+quantile boundaries; the boundaries return as a one-row frame and
+enter the bucketing expressions as a broadcast, so binning both sides
+is map-side; per-bin counts are two aggregates.  Nothing iterates per
+column — all columns ride the same jobs.
 
-Cross-engine determinism: bin edges use EXACT linear-interpolation
-percentiles, which both Spark and the SQL oracle compute from the same
-sorted doubles; shares and PSI are rounded before comparison, and
-empty bins are clamped (``max(share, eps)``) so the log stays finite
-— the clamp is part of the published PSI definition, not a fudge.
+Edge estimation has two modes (``edge_accuracy``):
+
+* **approx (default)** — ``approx_percentile`` with a configurable
+  accuracy.  The aggregation buffer is O(accuracy) per column
+  regardless of cardinality, so the one-row edge aggregate is safe on
+  an unbounded high-cardinality baseline (the 100 TB shape).  PSI does
+  not need exact quantile edges: any near-equal-population binning
+  yields the same drift signal, and the sketch is deterministic for a
+  fixed input.
+* **exact (``edge_accuracy=None``)** — exact linear-interpolation
+  ``percentile``.  Spark's exact percentile buffers every distinct
+  (value, count) pair in one aggregation buffer, so this mode REQUIRES
+  a bounded baseline (sample or filter first); it exists for
+  cross-engine determinism — both Spark and the DuckDB oracle compute
+  identical interpolated edges from the same sorted doubles.
+
+Shares and PSI are rounded before comparison, and empty bins are
+clamped (``max(share, eps)``) so the log stays finite — the clamp is
+part of the published PSI definition, not a fudge.
 """
 
 from __future__ import annotations
@@ -34,6 +47,64 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def quantile_edge_row(
+    baseline: DataFrame,
+    cols: Sequence[str],
+    n_bins: int,
+    edge_accuracy: int | None = 10_000,
+) -> DataFrame:
+    """One-row frame of every column's interior quantile edges
+    (``__e_<col>``: array of n_bins-1 doubles, rounded to 9 digits).
+
+    ``edge_accuracy=None`` uses exact linear-interpolation percentiles
+    (cross-engine-deterministic; the baseline MUST be bounded — Spark's
+    exact percentile buffers all distinct values in one aggregation
+    buffer).  An int uses ``approx_percentile`` whose buffer is
+    O(accuracy) per column — the unbounded-baseline default.
+
+    Edges are ROUNDED to 9 digits before bucketing: interpolation at
+    TIED values is formula-sensitive (lo + f*(up-lo) yields exactly
+    lo when up == lo; (1-f)*lo + f*up yields lo plus an ulp), and an
+    ulp-different edge re-bins every value equal to it.  Rounding
+    collapses both forms to the same cutpoint.
+    """
+    fracs = F.array(*[F.lit(i / n_bins) for i in range(1, n_bins)])
+
+    def edge_agg(c: str):
+        v = F.col(c).cast("double")
+        if edge_accuracy is None:
+            raw = F.percentile(v, fracs)
+        else:
+            raw = F.approx_percentile(v, fracs, F.lit(int(edge_accuracy)))
+        return F.transform(raw, lambda e: F.round(e, 9)).alias(f"__e_{c}")
+
+    return baseline.agg(*[edge_agg(c) for c in cols])
+
+
+def binned_counts_against_edges(
+    df: DataFrame, edges_row: DataFrame, cols: Sequence[str], tag: str
+) -> DataFrame:
+    """Per-(column, bin) counts of ``df`` against a one-row edge frame.
+
+    Bucket index = number of edges <= value; the edge frame broadcasts
+    so binning is map-side, and all columns ride one aggregate.
+    Reused by the streaming drift monitor, where ``edges_row`` is the
+    frozen baseline metadata and ``df`` is an arriving micro-batch.
+    """
+    j = df.crossJoin(F.broadcast(edges_row))
+    per_col = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        idx = F.size(F.filter(F.col(f"__e_{c}"), lambda e: e <= v))
+        per_col.append(
+            F.when(v.isNotNull(), F.struct(F.lit(c).alias("column"), idx.alias("bin")))
+        )
+    exploded = j.select(
+        F.explode(F.filter(F.array(*per_col), lambda s: s.isNotNull())).alias("cb")
+    ).select("cb.column", "cb.bin")
+    return exploded.groupBy("column", "bin").agg(F.count(F.lit(1)).alias(f"n_{tag}"))
+
+
 def psi_drift(
     baseline: DataFrame,
     current: DataFrame,
@@ -41,6 +112,7 @@ def psi_drift(
     n_bins: int = 10,
     eps: float = 1e-4,
     round_digits: int = 6,
+    edge_accuracy: int | None = 10_000,
 ) -> DataFrame:
     """Per-column PSI of ``current`` against ``baseline``.
 
@@ -49,50 +121,19 @@ def psi_drift(
     -inf, right edge +inf), so the baseline's own PSI is ~0 by
     construction.  NULLs are excluded from both sides (a null-rate
     check belongs to the expectation suite, V1-V3).
+
+    ``edge_accuracy`` picks the edge-estimation mode (see module
+    docstring): the default approx sketch is safe on unbounded
+    baselines; ``None`` gives exact interpolated edges for
+    cross-engine comparison and requires a bounded baseline.
     """
     cols = list(cols)
     if not cols:
         raise ValueError("cols must be non-empty")
-    fracs = F.array(
-        *[F.lit(i / n_bins) for i in range(1, n_bins)]
-    )
-    # Edges are ROUNDED to 9 digits before bucketing: interpolation at
-    # TIED values is formula-sensitive (lo + f*(up-lo) yields exactly
-    # lo when up == lo; (1-f)*lo + f*up yields lo plus an ulp), and an
-    # ulp-different edge re-bins every value equal to it.  Rounding
-    # collapses both forms to the same cutpoint.
-    edges_row = baseline.agg(
-        *[
-            F.transform(
-                F.percentile(F.col(c).cast("double"), fracs),
-                lambda e: F.round(e, 9),
-            ).alias(f"__e_{c}")
-            for c in cols
-        ]
-    )
+    edges_row = quantile_edge_row(baseline, cols, n_bins, edge_accuracy)
 
     def binned_counts(df: DataFrame, tag: str) -> DataFrame:
-        # one-row broadcast of every column's edges; bucket index =
-        # number of edges <= value (map-side size+filter over the
-        # small edge array)
-        j = df.crossJoin(F.broadcast(edges_row))
-        per_col = []
-        for c in cols:
-            v = F.col(c).cast("double")
-            idx = F.size(
-                F.filter(F.col(f"__e_{c}"), lambda e: e <= v)
-            )
-            per_col.append(
-                F.when(v.isNotNull(), F.struct(F.lit(c).alias("column"), idx.alias("bin")))
-            )
-        exploded = j.select(
-            F.explode(
-                F.filter(F.array(*per_col), lambda s: s.isNotNull())
-            ).alias("cb")
-        ).select("cb.column", "cb.bin")
-        return exploded.groupBy("column", "bin").agg(
-            F.count(F.lit(1)).alias(f"n_{tag}")
-        )
+        return binned_counts_against_edges(df, edges_row, cols, tag)
 
     base_counts = binned_counts(baseline, "base")
     cur_counts = binned_counts(current, "cur")

@@ -322,8 +322,21 @@ def dedup_against_corpus(
             fresh = fresh.join(seen, on="__digest", how="left_anti")
         fresh = fresh.persist()
         try:
-            fresh.drop("__digest").write.mode("append").parquet(output_path)
-            fresh.select("__digest").write.mode("append").parquet(state_path)
+            # Both sinks are partitioned by batch id with DYNAMIC
+            # partition overwrite: a replay (crash after either write)
+            # REPLACES its own partition instead of appending a second
+            # copy — per-batch idempotence by construction (ADVICE r5),
+            # with no cross-batch coordination.
+            fresh.drop("__digest").withColumn(
+                "__batch", F.lit(_batch_id)
+            ).write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("__batch").parquet(output_path)
+            fresh.select("__digest").withColumn(
+                "__batch", F.lit(_batch_id)
+            ).write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("__batch").parquet(state_path)
         finally:
             fresh.unpersist()
 
@@ -355,27 +368,39 @@ def near_dedup_against_corpus(
 
     Per micro-batch (``foreachBatch``):
 
-    1. within-batch near-dedup: AP-SS pairs at ``threshold``; of each
-       pair the LOWER id survives (greedy first-occurrence, the usual
-       crawl-dedup rule);
+    1. within-batch near-dedup: AP-SS pairs at ``threshold``, resolved
+       by the greedy lower-id crawl rule computed TRANSITIVELY
+       (``greedy_survivors``): a doc is dropped only if a KEPT
+       lower-id near-duplicate exists — in a chain A~B, B~C with
+       A!~C, the survivors are {A, C}, so every dropped doc has a
+       kept near-duplicate representative (ADVICE r5: the old
+       drop-every-doc_b rule silently over-deleted C);
     2. probe the text index: survivors matching any indexed doc at or
        above ``threshold`` are dropped;
-    3. append the kept docs to ``output_path`` and into the index
+    3. write the kept docs to ``output_path/__batch=<id>`` (dynamic
+       partition OVERWRITE — a replayed batch replaces its own
+       partition instead of appending a second copy, closing the
+       crash window between the output write and the index append:
+       ADVICE r5) and append them into the index
        (``append_text_index`` — bucket partitions, existing files
        untouched).
 
-    Replay safety is twofold.  A ``_applied_batch`` sidecar (written
+    Replay safety is threefold.  A ``_applied_batch`` sidecar (written
     LAST) makes a fully-applied batch's replay a strict no-op — the
     index append is not idempotent, so the marker is load-bearing,
-    like the KLL matview's.  Inside the crash window after the index
-    append but before the marker, the probe itself converges the
-    replay: every already-indexed document matches its own stored copy
-    at cosine 1.0 and is dropped, so the index never receives
-    duplicate postings.
+    like the KLL matview's.  The per-batch output partition makes the
+    output write idempotent on its own, covering a crash BEFORE the
+    index append.  Inside the crash window after the index append but
+    before the marker, the probe itself converges the replay: every
+    already-indexed document matches its own stored copy at cosine 1.0
+    and is dropped, so the index never receives duplicate postings —
+    and the output partition is overwritten with that (identical)
+    kept set.
     """
     import os
 
     from recover_spark.ops.apss import cosine_threshold_pairs
+    from recover_spark.ops.dedup_text import greedy_survivors
     from recover_spark.ops.text_index import (
         META_NAME,
         append_text_index,
@@ -392,14 +417,23 @@ def near_dedup_against_corpus(
         except (FileNotFoundError, ValueError):
             return -1
 
+    def _write_output(kept: DataFrame, batch_id: int) -> None:
+        kept.withColumn("__batch", F.lit(batch_id)).write.mode(
+            "overwrite"
+        ).option("partitionOverwriteMode", "dynamic").partitionBy(
+            "__batch"
+        ).parquet(output_path)
+
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch_id <= _applied():
             return
         pairs = cosine_threshold_pairs(
             batch, threshold, id_col=id_col, text_col=text_col
         )
-        losers = pairs.select(F.col("doc_b").alias(id_col)).distinct()
-        kept = batch.join(losers, id_col, "left_anti")
+        survivors = greedy_survivors(
+            pairs, batch.select(id_col), node_col=id_col
+        )
+        kept = batch.join(survivors, id_col, "left_semi")
         if os.path.exists(os.path.join(index_path, META_NAME)):
             hits = probe_text_index(
                 kept, index_path, threshold,
@@ -407,11 +441,11 @@ def near_dedup_against_corpus(
             ).select(F.col("new_id").alias(id_col)).distinct()
             kept = kept.join(hits, id_col, "left_anti")
             kept = kept.localCheckpoint()  # bound lineage across writes
-            kept.write.mode("append").parquet(output_path)
+            _write_output(kept, batch_id)
             append_text_index(kept, index_path, id_col, text_col)
         else:
             kept = kept.localCheckpoint()
-            kept.write.mode("append").parquet(output_path)
+            _write_output(kept, batch_id)
             build_text_index(kept, index_path, id_col, text_col)
         tmp = marker + ".tmp"
         with open(tmp, "w") as fh:

@@ -64,6 +64,29 @@ def test_auto_picks_dense_on_small_vocab_and_matches(spark):
     assert auto == slow
 
 
+def test_dense_preserves_string_ids(spark):
+    """ADVICE r5: auto-routing a small-vocabulary corpus with STRING
+    ids to the dense path must preserve the id type (the prefix path
+    always did), not fail at Arrow conversion or coerce to long."""
+    rows = [(f"doc-{i:02d}", t) for i, t in enumerate(
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumped over the lazy dog",
+            "a completely different document about spark engines",
+            "the quick brown fox jumps over the lazy dog",
+        ]
+    )]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    for strategy in ("dense", "prefix", "auto"):
+        out = cosine_threshold_pairs(
+            docs, 0.7, strategy=strategy, num_blocks=2
+        )
+        assert out.schema["doc_a"].dataType.simpleString() == "string"
+        got = sorted((r.doc_a, r.doc_b) for r in out.collect())
+        assert ("doc-00", "doc-03") in got, (strategy, got)
+        assert all(a < b for a, b in got)
+
+
 def test_dense_guard_rejects_open_vocab(spark):
     docs = _corpus(spark)
     with pytest.raises(ValueError, match="max_dense_vocab"):

@@ -227,6 +227,46 @@ def test_duplicate_clusters_chain_and_singleton(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
 
 
+def test_greedy_survivors_chain_keeps_alternating(spark):
+    """The transitive greedy lower-id rule (ADVICE r5): in a chain
+    1~2, 2~3 with 1!~3, survivor set is {1, 3} — 3's only lower-id
+    neighbor (2) did not survive, so 3 must be kept.  Every dropped
+    doc ends with a KEPT direct neighbor."""
+    from recover_spark.ops import greedy_survivors
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+    # chain 1-2-3-4-5 (greedy keeps 1,3,5); star center 6 with leaves
+    # 7,8 (keeps 6); pair 9-10 (keeps 9)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7), (6, 8), (9, 10)],
+        "doc_a long, doc_b long",
+    )
+    got = sorted(
+        r["doc_id"] for r in greedy_survivors(pairs, nodes).collect()
+    )
+    assert got == [1, 3, 5, 6, 9]
+    # sequential-reference cross-check: process ids ascending, keep iff
+    # no KEPT lower neighbor
+    adj = {}
+    for a, b in [(1, 2), (2, 3), (3, 4), (4, 5), (6, 7), (6, 8), (9, 10)]:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    kept = set()
+    for n in range(1, 11):
+        if not (adj.get(n, set()) & kept):
+            kept.add(n)
+    assert got == sorted(kept)
+
+
+def test_greedy_survivors_no_pairs_keeps_all(spark):
+    from recover_spark.ops import greedy_survivors
+
+    nodes = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    got = sorted(r["doc_id"] for r in greedy_survivors(pairs, nodes).collect())
+    assert got == [1, 2]
+
+
 def test_duplicate_clusters_no_pairs(spark):
     from recover_spark.ops import duplicate_clusters
 

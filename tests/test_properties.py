@@ -409,7 +409,9 @@ def test_psi_matches_numpy_reference(spark, base, cur, bins):
 
     b = spark.createDataFrame([(v,) for v in base], "v double")
     c = spark.createDataFrame([(v,) for v in cur], "v double")
-    got = psi_drift(b, c, ["v"], n_bins=bins).collect()[0].psi
+    got = psi_drift(
+        b, c, ["v"], n_bins=bins, edge_accuracy=None
+    ).collect()[0].psi
 
     arr = np.sort(np.array(base))
     edges = np.round(

@@ -199,7 +199,9 @@ class TestPsiDrift:
         rng_cur = [(i * 61 % 650) / 3.0 for i in range(5000)]
         base = spark.createDataFrame([(v,) for v in rng_base], "v double")
         cur = spark.createDataFrame([(v,) for v in rng_cur], "v double")
-        got = psi_drift(base, cur, ["v"], n_bins=10).collect()[0].psi
+        got = psi_drift(
+            base, cur, ["v"], n_bins=10, edge_accuracy=None
+        ).collect()[0].psi
 
         arr = np.sort(np.array(rng_base))
         edges = [np.quantile(arr, q / 10, method="linear") for q in range(1, 10)]
@@ -213,6 +215,25 @@ class TestPsiDrift:
         pb, pc = shares(rng_base), shares(rng_cur)
         expect = float(np.sum((pc - pb) * np.log(pc / pb)))
         assert abs(got - expect) < 1e-6, (got, expect)
+
+    def test_approx_edges_default_tracks_exact(self, spark):
+        """The default approx_percentile edge mode (bounded aggregation
+        buffer, the unbounded-baseline path) yields a PSI close to the
+        exact-interpolation mode and exactly zero on self-comparison —
+        the drift signal does not depend on exact quantiles."""
+        from pyspark.sql import functions as F
+
+        from recover_spark.quality.drift import psi_drift
+
+        base = spark.range(0, 20_000).select(
+            ((F.col("id") * 37) % 4999).cast("double").alias("v")
+        )
+        cur = base.select((F.col("v") * 1.15 + 3.0).alias("v"))
+        approx = psi_drift(base, cur, ["v"]).collect()[0].psi
+        exact = psi_drift(base, cur, ["v"], edge_accuracy=None).collect()[0].psi
+        assert abs(approx - exact) < 0.05, (approx, exact)
+        self_psi = psi_drift(base, base, ["v"]).collect()[0].psi
+        assert self_psi == 0.0
 
     def test_nulls_excluded_and_empty_cols_rejected(self, spark):
         import pytest

@@ -141,6 +141,26 @@ def test_invalid_threshold_rejected(spark, tmp_path):
         probe_text_index(_corpus(spark, _NEW), path, 0.0)
 
 
+def test_string_ids_rejected_up_front(spark, tmp_path):
+    """ADVICE r5: the persisted index pins doc_id as bigint, so a
+    string id column must fail loudly at every entry point instead of
+    coercing or dying inside the dense probe's Arrow conversion."""
+    path = str(tmp_path / "idx")
+    sdocs = spark.createDataFrame(
+        [("a", "hello world"), ("b", "hello spark")],
+        "doc_id string, text string",
+    )
+    with pytest.raises(TypeError, match="integral id"):
+        build_text_index(sdocs, path, num_buckets=4)
+    build_text_index(_corpus(spark, _OLD), path, num_buckets=4)
+    with pytest.raises(TypeError, match="integral id"):
+        probe_text_index(sdocs, path, 0.5)
+    from recover_spark.ops.text_index import append_text_index
+
+    with pytest.raises(TypeError, match="integral id"):
+        append_text_index(sdocs, path)
+
+
 def test_all_empty_text_corpus_is_a_valid_empty_index(spark, tmp_path):
     """Fuzz-found edge: a corpus whose every doc tokenizes to nothing
     writes zero parquet files; the index must stay probeable (matching
@@ -159,6 +179,88 @@ def test_all_empty_text_corpus_is_a_valid_empty_index(spark, tmp_path):
 
 
 class TestStreamingNearDedup:
+    def test_output_write_is_idempotent_per_batch(self, spark, tmp_path):
+        """ADVICE r5 crash window: output written, crash BEFORE the
+        index append + marker, batch replays.  The per-batch dynamic
+        partition overwrite must REPLACE the half-applied batch's
+        output partition, not append a second copy.  Simulated by
+        pre-seeding a stale __batch=0 partition (what a crashed first
+        attempt leaves behind) and running the stream fresh."""
+        import os
+
+        from recover_spark.streaming.incremental import (
+            near_dedup_against_corpus,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "the quick brown fox jumped over the lazy dog"),
+             (3, "pack my box with five dozen liquor jugs")],
+            "doc_id long, text string",
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        out = str(tmp_path / "out")
+        # the crashed first attempt's leftover partition — includes a
+        # row the (deterministic) reprocessing will not keep
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "the quick brown fox jumped over the lazy dog")],
+            "doc_id long, text string",
+        ).write.parquet(os.path.join(out, "__batch=0"))
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(src)
+        q = near_dedup_against_corpus(
+            stream, str(tmp_path / "idx"), str(tmp_path / "ckpt"),
+            out, threshold=0.8,
+        )
+        q.awaitTermination(120)
+        got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        assert got == [1, 3], got
+
+    def test_chain_survivors_are_transitive(self, spark, tmp_path):
+        """Within-batch chain A~B, B~C, A!~C: the greedy transitive
+        rule keeps {A, C} (the old drop-every-doc_b rule lost C)."""
+        import os
+
+        from recover_spark.streaming.incremental import (
+            near_dedup_against_corpus,
+        )
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        # B overlaps both A and C heavily; A and C share little
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "gamma delta epsilon zeta eta theta iota kappa"),
+            (3, "epsilon zeta eta theta iota kappa lamda mu"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        from recover_spark.ops.apss import cosine_threshold_pairs
+
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in cosine_threshold_pairs(
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                0.7,
+            ).collect()
+        }
+        assert pairs == {(1, 2), (2, 3)}, pairs  # the chain premise
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(src)
+        out = str(tmp_path / "out")
+        q = near_dedup_against_corpus(
+            stream, str(tmp_path / "idx"), str(tmp_path / "ckpt"),
+            out, threshold=0.7,
+        )
+        q.awaitTermination(120)
+        got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+        assert got == [1, 3], got
+
     def test_cross_batch_near_dups_filtered_and_replay_is_noop(
         self, spark, tmp_path
     ):
