@@ -83,60 +83,190 @@ def word_frequency_table(
     )
 
 
+def _adjacent_pair_counts(current: DataFrame) -> DataFrame:
+    """(l, r, w): weighted adjacent-pair counts over the word table."""
+    return (
+        current.select(
+            "weight",
+            F.expr(
+                # adjacent pairs as a zip of the symbol array
+                # with its own 1-shift — element-wise, unlike
+                # an indexed transform re-entering the outer
+                # array per element (~20x slower interpreted)
+                "zip_with("
+                " slice(symbols, 1, greatest(0, size(symbols) - 1)),"
+                " slice(symbols, 2, greatest(0, size(symbols) - 1)),"
+                " (a, b) -> named_struct('l', a, 'r', b))"
+            ).alias("__pairs"),
+        )
+        .select("weight", F.explode("__pairs").alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("weight").alias("w"))
+    )
+
+
+def _select_exact_batch(
+    top: list,
+    complete: bool,
+    max_left: dict,
+    max_right: dict,
+    budget: int,
+    min_pair_weight: int,
+) -> list:
+    """The longest PREFIX of the sorted candidate list that the
+    sequential trainer provably picks in the same order (driver-side
+    arithmetic over the collected top-M pairs and per-symbol maxima;
+    no corpus access).
+
+    Soundness: applying an accepted merge (l, r) can only change the
+    count of pairs that (a) touch l or r (they lose occurrences —
+    never gain, since later accepted candidates are symbol-disjoint),
+    (b) contain the NEW symbol l+r, or (c) equal an existing pair
+    containing the string l+r as a symbol (the merge can mint extra
+    occurrences of it).  Every pair in (b)/(c) gains at most
+    max_right[l] from the (x, l+r) side (each new occurrence "x·l+r"
+    was an occurrence of (x, l)) plus max_left[r] from the (l+r, y)
+    side, on top of its original count (bounded by the candidate list
+    or its cutoff).  A later candidate c_i is therefore still the
+    sequential argmax at its step if it is symbol-disjoint from every
+    earlier accepted merge AND its weight STRICTLY exceeds every
+    earlier merge's worst-case boosted-pair weight — strictness also
+    settles ties, which the sequential tie rule would otherwise
+    resolve against the in-place candidate order.
+    """
+    batch: list = []
+    blocked: set[str] = set()
+    bound = 0
+    cutoff = 0 if complete else int(top[-1]["w"])
+    for c in top:
+        if len(batch) >= budget or int(c["w"]) < min_pair_weight:
+            break
+        if batch:
+            if {c["l"], c["r"]} & blocked or int(c["w"]) <= bound:
+                break
+        batch.append(c)
+        merged = c["l"] + c["r"]
+        nb = max(max_right.get(c["l"], 0), max_left.get(c["r"], 0))
+        b_existing = max(
+            [
+                int(t["w"])
+                for t in top
+                if t["l"] == merged or t["r"] == merged
+            ]
+            or [cutoff]
+        )
+        if not complete:
+            b_existing = max(b_existing, cutoff)
+        bound = max(bound, nb + b_existing)
+        blocked |= {c["l"], c["r"], merged}
+    return batch
+
+
 def train_bpe(
     docs: DataFrame,
     num_merges: int,
     text_col: str = "text",
     min_pair_weight: int = 2,
     checkpoint_every: int = 8,
+    max_batch_merges: int = 8,
 ) -> DataFrame:
     """Learn ``num_merges`` BPE merges from the corpus.
 
     Returns the merge table (iteration, left, right, merged, weight) in
     learning order — the artifact a tokenizer ships.  Stops early when
     no remaining pair reaches ``min_pair_weight``.
+
+    Each pass over the (vocab-sized) word table learns up to
+    ``max_batch_merges`` merges instead of one: the pass collects the
+    top-M candidate pairs plus per-symbol count maxima, and
+    ``_select_exact_batch`` accepts the longest candidate prefix the
+    sequential trainer provably picks unchanged (symbol-disjointness +
+    a strict weight gap over every earlier merge's worst-case created
+    or boosted pair).  The result is EQUAL to one-merge-at-a-time
+    training — the batch rule is a sound gap condition, not a
+    heuristic — while cutting driver round-trips and corpus-table
+    passes by the realized batch factor.  ``max_batch_merges=1``
+    recovers the classic loop exactly.
     """
+    if max_batch_merges < 1:
+        raise ValueError("max_batch_merges must be >= 1")
     spark = docs.sparkSession
     words = word_frequency_table(docs, text_col).cache()
     words.count()  # materialize before the loop
     merges: list[tuple[int, str, str, str, int]] = []
     current = words
+    since_ckpt = 0
     try:
-        for it in range(num_merges):
-            pairs = (
-                current.select(
-                    "weight",
-                    F.expr(
-                        # adjacent pairs as a zip of the symbol array
-                        # with its own 1-shift — element-wise, unlike
-                        # an indexed transform re-entering the outer
-                        # array per element (~20x slower interpreted)
-                        "zip_with("
-                        " slice(symbols, 1, greatest(0, size(symbols) - 1)),"
-                        " slice(symbols, 2, greatest(0, size(symbols) - 1)),"
-                        " (a, b) -> named_struct('l', a, 'r', b))"
-                    ).alias("__pairs"),
+        while len(merges) < num_merges:
+            pairs = _adjacent_pair_counts(current).cache()
+            try:
+                m_cand = max(32, max_batch_merges * 8)
+                top = (
+                    pairs.orderBy(F.desc("w"), F.asc("l"), F.asc("r"))
+                    .limit(m_cand)
+                    .collect()
                 )
-                .select("weight", F.explode("__pairs").alias("p"))
-                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-                .agg(F.sum("weight").alias("w"))
-            )
-            top = (
-                pairs.orderBy(F.desc("w"), F.asc("l"), F.asc("r"))
-                .limit(1)
-                .collect()
-            )
-            if not top or top[0]["w"] < min_pair_weight:
-                break
-            left, right, weight = top[0]["l"], top[0]["r"], int(top[0]["w"])
-            merges.append((it, left, right, left + right, weight))
-            nxt = current.withColumn(
-                "symbols", _merge_pair_expr(F.col("symbols"), left, right)
-            ).cache()
-            if (it + 1) % checkpoint_every == 0:
-                # truncate lineage: K chained array-fold projections
+                if not top or top[0]["w"] < min_pair_weight:
+                    break
+                budget = min(max_batch_merges, num_merges - len(merges))
+                if budget == 1:
+                    # classic single-merge step: no maxima collect
+                    batch = [top[0]]
+                else:
+                    complete = len(top) < m_cand
+                    cand_syms = list(
+                        {c["l"] for c in top} | {c["r"] for c in top}
+                    )
+                    # per-symbol maxima over the SAME cached pair
+                    # table: max_left[s] = max w of pairs starting
+                    # with s, max_right[s] = max w of pairs ending
+                    # with s
+                    maxima = (
+                        pairs.filter(F.col("l").isin(cand_syms))
+                        .groupBy(F.col("l").alias("s"))
+                        .agg(F.max("w").alias("mw"))
+                        .select("s", "mw", F.lit("L").alias("side"))
+                        .unionAll(
+                            pairs.filter(F.col("r").isin(cand_syms))
+                            .groupBy(F.col("r").alias("s"))
+                            .agg(F.max("w").alias("mw"))
+                            .select("s", "mw", F.lit("R").alias("side"))
+                        )
+                        .collect()
+                    )
+                    max_left = {
+                        m["s"]: int(m["mw"])
+                        for m in maxima
+                        if m["side"] == "L"
+                    }
+                    max_right = {
+                        m["s"]: int(m["mw"])
+                        for m in maxima
+                        if m["side"] == "R"
+                    }
+                    batch = _select_exact_batch(
+                        top,
+                        complete,
+                        max_left,
+                        max_right,
+                        budget,
+                        min_pair_weight,
+                    )
+            finally:
+                pairs.unpersist()
+            col = F.col("symbols")
+            for c in batch:
+                merges.append(
+                    (len(merges), c["l"], c["r"], c["l"] + c["r"], int(c["w"]))
+                )
+                col = _merge_pair_expr(col, c["l"], c["r"])
+            nxt = current.withColumn("symbols", col).cache()
+            since_ckpt += len(batch)
+            if since_ckpt >= checkpoint_every:
+                # truncate lineage: chained array-fold projections
                 # otherwise stack up in every subsequent job
                 nxt = nxt.localCheckpoint(eager=True)
+                since_ckpt = 0
             else:
                 nxt.count()
             current.unpersist()

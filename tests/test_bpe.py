@@ -122,6 +122,77 @@ def test_greedy_overlap_semantics(spark):
     assert enc == ["aa", "aa", EOW] * 3
 
 
+def test_batched_training_respects_created_pair_ordering(spark):
+    """The batching hazard the gap guard exists for: in "abc"xN +
+    "xy"xN, merging (a,b) creates (ab,c) with the SAME weight as
+    (x,y), and the sequential tie rule picks (ab,c) first ("ab" <
+    "x").  A naive symbol-disjoint batch would emit (x,y) second;
+    the sound guard must stop the batch instead."""
+    texts = ["abc xy"] * 7
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    expected, _ = _py_train(texts, 4)
+    got = [
+        (r["iteration"], r["left"], r["right"], r["merged"], r["weight"])
+        for r in train_bpe(df, 4, max_batch_merges=8)
+        .orderBy("iteration")
+        .collect()
+    ]
+    assert got == expected
+    # premise check: the hazard is actually present in this corpus
+    assert (expected[1][1], expected[1][2]) == ("ab", "c")
+
+
+def test_batching_reduces_driver_round_trips(spark, monkeypatch):
+    """Same merge table, fewer collects, on a corpus where batching can
+    legitimately fire: the top pairs are spread over many distinct
+    one-off contexts (every neighbor/created pair is light), so the
+    gap guard admits a multi-merge batch.  Cascade-heavy corpora
+    (where a merge's created pair inherits its full weight, e.g. any
+    word-final bigram) correctly degenerate to batch size 1 — that
+    case is pinned by test_batched_training_respects_created_pair_ordering."""
+    texts = (
+        ["iabj kabl mabn oabp"] * 5     # (a,b)=20, every context pair 5
+        + ["qcdr scdt ucdv"] * 4        # (c,d)=12, context pairs 4
+        + ["wefx yefz 0ef1"] * 3        # (e,f)=9,  context pairs 3
+        + ["2gh3 4gh5 6gh7"] * 2        # (g,h)=6,  context pairs 2
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    expected, _ = _py_train(texts, 4)
+
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    calls = {"n": 0}
+    orig = CDF.collect
+
+    def counting(self, *a, **k):
+        calls["n"] += 1
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(CDF, "collect", counting)
+
+    calls["n"] = 0
+    batched = train_bpe(df, 4, max_batch_merges=8)
+    rows_b = [tuple(r) for r in orig(batched.orderBy("iteration"))]
+    n_batched = calls["n"]
+
+    calls["n"] = 0
+    serial = train_bpe(df, 4, max_batch_merges=1)
+    rows_s = [tuple(r) for r in orig(serial.orderBy("iteration"))]
+    n_serial = calls["n"]
+
+    assert rows_b == rows_s
+    assert [(r[0], r[1], r[2]) for r in rows_b] == [
+        (e[0], e[1], e[2]) for e in expected
+    ]
+    # all four gapped merges land in ONE batched pass (2 collects)
+    # vs four serial passes (4 collects)
+    assert n_batched < n_serial, (n_batched, n_serial)
+
+
 def test_vectorized_encoder_matches_expression_encoder(spark, docs):
     from recover_spark.ops.bpe import apply_bpe_vectorized
 

@@ -72,6 +72,41 @@ def test_cycle_is_uniform(spark):
         assert r["rank"] == pytest.approx(0.25, abs=1e-7)
 
 
+def test_no_per_iteration_driver_action(spark, monkeypatch):
+    """VERDICT r5: the dangling-mass aggregate must ride the
+    iteration's lazy plan (broadcast one-row cross-join), not a
+    per-iteration driver collect.  Pin: constructing the result
+    DataFrame performs exactly the two documented one-time driver
+    actions (node count, dangling probe) and ZERO collects, however
+    many iterations — under the old formulation collect() fired once
+    per iteration.  (Job-count pins don't work here: AQE materializes
+    each checkpoint's shuffle stages as jobs, so raw job counts scale
+    with plan depth even for a fully lazy loop.)"""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    calls = {"collect": 0, "count": 0}
+    orig_collect, orig_count = CDF.collect, CDF.count
+
+    def counting_collect(self, *a, **k):
+        calls["collect"] += 1
+        return orig_collect(self, *a, **k)
+
+    def counting_count(self, *a, **k):
+        calls["count"] += 1
+        return orig_count(self, *a, **k)
+
+    monkeypatch.setattr(CDF, "collect", counting_collect)
+    monkeypatch.setattr(CDF, "count", counting_count)
+
+    edges = [("a", "b"), ("b", "c"), ("a", "c")]  # c dangles
+    df = spark.createDataFrame(edges, "src string, dst string")
+    for iters in (2, 8):
+        calls["collect"] = calls["count"] = 0
+        pagerank(df, iterations=iters)
+        assert calls["collect"] == 0, calls
+        assert calls["count"] == 2, calls
+
+
 def test_invalid_params_rejected(spark):
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
     with pytest.raises(ValueError, match="damping"):
