@@ -1013,6 +1013,104 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive-seasonal smoothing
+    (operators/temporal.py:holt_winters_smooth): the (L+2)-state
+    seasonal recurrence parallelized as a chunked affine scan.  The
+    transition matrix has a STRUCTURAL unit eigenvalue (the
+    level/season gauge mode), so unlike EWMA/Holt no bounded carry
+    frame exists for the raw state — the scan splits the propagator
+    into the unit-mode spectral projector (carried as an exact
+    unbounded running sum) plus the strictly damped remainder (the
+    family's bounded subnormal-floor frame).  In-chunk values come
+    from a kernel convolution with driver-precomputed positive matrix
+    powers — none of the 2-D scan's inversion/cancellation hazards.
+    Oracle: the sequential recurrence itself as a DuckDB recursive CTE
+    carrying the season ring-buffer as a LIST column — a per-value
+    cross-engine match of a 9-dimensional recurrence."""
+    from recover_spark.operators.temporal import holt_winters_smooth
+
+    events = _load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = holt_winters_smooth(
+        events, ["user_id"], ["ts", "event_id"], "value",
+        alpha=0.3, gamma=0.1, delta=0.25, season_length=7,
+    )
+    # tie-nudged rounding: raw cross-engine drift is ~1e-13, but HW on
+    # finite-decimal inputs lands values exactly ON 6-digit half
+    # boundaries, where Spark (BigDecimal HALF_UP on the shortest
+    # decimal) and DuckDB (round of the raw double) legitimately
+    # disagree; a +1e-9 sub-quantum nudge on BOTH engines moves every
+    # such tie strictly off the boundary without affecting any
+    # non-tied value (same pin in the oracle SQL)
+    def _r6(c):
+        return F.round(F.col(c) + F.lit(1e-9), 6)
+
+    return out.select(
+        "user_id", "event_id", _ts(F.col("ts"), "ts"),
+        F.round("value", 6).alias("value"),
+        _r6("level").alias("level"),
+        _r6("trend").alias("trend"),
+        _r6("season").alias("season"),
+    )
+
+
+def _holt_winters_oracle_sql(
+    alpha: float, gamma: float, delta: float, season_length: int
+) -> str:
+    """The sequential Holt-Winters recurrence as a DuckDB recursive
+    CTE: one row per (user, step) advances every series in lockstep,
+    carrying (level, trend) plus the last L seasons as a LIST column
+    ring buffer (oldest first; s_{t-L} = seas[1], update = drop the
+    oldest, append the new).  The anchor encodes the operator's init
+    convention x_0 = (y_1, 0, zero seasons), under which step 1 yields
+    l=y_1, b=0, s=0.  Valid at gate scale (series <100 rows)."""
+    L = int(season_length)
+    zeros = ", ".join(["CAST(0 AS DOUBLE)"] * L)
+    a, g, d = repr(float(alpha)), repr(float(gamma)), repr(float(delta))
+    return f"""
+        WITH RECURSIVE o AS (
+            SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS y,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        hw AS (
+            SELECT user_id, event_id, ts, y, rn,
+                   y AS l, CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS s,
+                   [{zeros}] AS seas
+            FROM o WHERE rn = 1
+            UNION ALL
+            SELECT user_id, event_id, ts, y, rn, l, b, s,
+                   list_append(seas[2:], s) AS seas
+            FROM (
+                SELECT t0.*,
+                       {g} * (t0.l - t0.l_prev)
+                           + (1 - {g}) * t0.b_prev AS b,
+                       {d} * (t0.y - t0.l)
+                           + (1 - {d}) * t0.s_old AS s
+                FROM (
+                    SELECT o.user_id, o.event_id, o.ts, o.y, o.rn,
+                           i.l AS l_prev, i.b AS b_prev,
+                           i.seas AS seas, i.seas[1] AS s_old,
+                           {a} * (o.y - i.seas[1])
+                               + (1 - {a}) * (i.l + i.b) AS l
+                    FROM hw i
+                    JOIN o ON o.user_id = i.user_id AND o.rn = i.rn + 1
+                ) t0
+            ) t
+        )
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               round(y, 6) AS value,
+               round(l + 1e-9, 6) AS level,
+               round(b + 1e-9, 6) AS trend,
+               round(s + 1e-9, 6) AS season
+        FROM hw
+    """
+
+
 def _holt_oracle_sql(alpha: float, gamma: float) -> str:
     """Whole-series closed form of the Holt recurrence in SQL, via the
     same Cayley-Hamilton decomposition the operator compiles: for the
@@ -3907,6 +4005,76 @@ def q_dedup_cosine_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_text_index(batch, idx, 0.9).orderBy("new_id", "indexed_id")
 
 
+def q_dedup_cosine_probe_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full text-index maintenance lifecycle under the correctness
+    gate (ops/text_index.py:compact_text_index): the corpus arrives in
+    TWO waves (build doc_id %5 in 1..3, append %5 == 4 — together the
+    same indexed set as ``dedup_cosine_probe``), the appended small
+    files are folded by compaction (one file per touched bucket,
+    content unchanged), and the probe runs over the COMPACTED index —
+    so the brute-force oracle doubles as the proof that maintenance is
+    invisible to queries.  Fresh directory per invocation: the
+    lifecycle (build->append->compact) is the thing under test, not a
+    cached artifact."""
+    import tempfile
+
+    from recover_spark.ops.text_index import (
+        append_text_index,
+        build_text_index,
+        compact_text_index,
+        probe_text_index,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="recover_textidx_compact_") + "/idx"
+    build_text_index(
+        docs.filter((F.col("doc_id") % 5).isin(1, 2, 3)), idx, num_buckets=16
+    )
+    append_text_index(docs.filter(F.col("doc_id") % 5 == 4), idx)
+    report = compact_text_index(spark, idx)
+    assert report["postings"]["files_after"] <= report["postings"]["files_before"]
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return probe_text_index(batch, idx, 0.9).orderBy("new_id", "indexed_id")
+
+
+def q_ann_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF maintenance lifecycle under the correctness gate
+    (ops/similarity.py:compact_ivf_index / rebuild_ivf_index): build
+    on the first half of the embeddings, append the second half in two
+    waves (frozen centroids, file accretion), COMPACT the accreted
+    lists, then REBUILD — which re-extracts every stored vector and
+    re-runs the deterministic build, so the final index provably
+    equals a fresh build over the whole corpus and the ``ann_ivf``
+    oracle applies verbatim.  Fresh directory per invocation (the
+    lifecycle is the thing under test)."""
+    import tempfile
+
+    from recover_spark.ops.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_topk_indexed,
+        rebuild_ivf_index,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="recover_ivf_maint_") + "/ivf"
+    n = emb.count()
+    half, q3 = n // 2, (3 * n) // 4
+    build_ivf_index(emb.filter(F.col("vec_id") < half), idx, n_centroids=8)
+    append_ivf_index(
+        emb.filter((F.col("vec_id") >= half) & (F.col("vec_id") < q3)), idx
+    )
+    append_ivf_index(emb.filter(F.col("vec_id") >= q3), idx)
+    compact_ivf_index(spark, idx)
+    rebuild_ivf_index(spark, idx)
+    queries = emb.filter(F.col("vec_id") < 3)
+    topk = ivf_topk_indexed(spark, idx, queries, nprobe=2, k=5)
+    return topk.select(
+        "query_vec_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 retrieval (ops/text_analysis.py:bm25_topk): top-5
     documents for three literal queries via the inverted-index join —
@@ -4146,6 +4314,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_string_concat": q_agg_string_concat,
         "transform_hof": q_transform_hof,
         "set_union_distinct": q_set_union_distinct,
+        # -- new in round 6 (never captured by definition) --
+        "ts_holt_winters": q_ts_holt_winters,
+        "dedup_cosine_probe_compacted": q_dedup_cosine_probe_compacted,
+        "ann_ivf_maintained": q_ann_ivf_maintained,
         "s2_schema_drift": q_s2_schema_drift,
         "scan_bloommap": q_scan_bloommap,
         "dedup_cosine_exact": q_dedup_cosine_exact,
@@ -4565,6 +4737,11 @@ def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_literal()
     # the persisted-index path answers the same query as in-memory IVF
     out["ann_ivf_indexed"] = out["ann_ivf"]
+    # maintenance lifecycle: compaction is content-identical and the
+    # rebuild provably equals a fresh build over the whole corpus, so
+    # the fresh-index oracles apply verbatim
+    out["ann_ivf_maintained"] = out["ann_ivf"]
+    out["dedup_cosine_probe_compacted"] = out["dedup_cosine_probe"]
     return out
 
 
@@ -5551,6 +5728,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             ORDER BY p_retailprice
         """,
         "ts_holt": _holt_oracle_sql(0.3, 0.2),
+        "ts_holt_winters": _holt_winters_oracle_sql(0.3, 0.1, 0.25, 7),
         "ts_smooth": """
             WITH o AS (
                 SELECT user_id, event_id, ts, value,

@@ -935,3 +935,350 @@ def holt_smooth(
         .withColumn(trend_col, trd)
         .drop("__n", "__chunk", "__p", "__z1", "__z2", "__in_l", "__in_b")
     )
+
+
+def holt_winters_smooth(
+    series: DataFrame,
+    on: Sequence[str],
+    ts_col: str | Sequence[str],
+    value_col: str,
+    alpha: float,
+    gamma: float,
+    delta: float,
+    season_length: int,
+    level_col: str = "level",
+    trend_col: str = "trend",
+    season_col: str = "season",
+    chunk_rows: int | None = None,
+) -> DataFrame:
+    """Exact per-series Holt-Winters ADDITIVE-seasonal smoothing — the
+    3-state member of the chunked affine-scan family (``ewma_smooth``,
+    ``holt_smooth``), for series with a repeating cycle (circadian
+    wearable rhythms — the reference's Fitbit intraday shape,
+    ``SURVEY.md`` Fitbit sources).  The recurrence (season length L,
+    ``l`` level, ``b`` trend, ``s`` season):
+
+        l_t = alpha*(y_t - s_{t-L}) + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = gamma*(l_t - l_{t-1}) + (1-gamma)*b_{t-1}
+        s_t = delta*(y_t - l_t) + (1-delta)*s_{t-L}
+
+    with ``l_0 = y_1``, ``b_0 = 0``, all seasons 0 (the recurrence runs
+    from the first row; step 1 therefore reproduces Holt's
+    ``l_1 = y_1, b_1 = 0`` start and seasons are learned from the
+    data).  It is linear on the (L+2)-dim state ``x = (l, b, s_t, ...,
+    s_{t-L+1})``: ``x_t = M x_{t-1} + y_t u``, so chunks compose
+    affinely — but unlike EWMA/Holt the transition is NOT strictly
+    damped: ``w = (1, 0, -1, ..., -1)`` satisfies ``M w = w``
+    STRUCTURALLY (the level/season gauge freedom — add c to the level,
+    subtract c from every season, nothing observable changes), so M has
+    an exact unit eigenvalue and no bounded carry frame exists for the
+    raw state.  The scan therefore SPLITS the propagator:
+
+        M^e  =  V1  +  R(e),      V1 = spectral projector onto the
+                                       unit mode,  R(e) -> 0
+
+    - the **unit-mode part** of the incoming state is ``V1 @ (x_0 +
+      sum of ALL previous chunk increments)`` — a plain unbounded
+      per-key cumulative sum (D running sums over the chunk-level
+      table), exact with no decay argument needed;
+    - the **damped remainder** uses the family's bounded frame: R(e)
+      contributions older than W chunks are below the smallest
+      subnormal double (|lambda_2|^(W*m) < 1e-323) and identically
+      zero in any double-precision evaluation — including the
+      sequential reference — so truncation loses nothing.
+
+    Within a chunk the closed form is a direct convolution with
+    driver-precomputed numpy kernel tables (``v_e = M^e u`` as literal
+    arrays, POSITIVE powers only — no matrix inversion, no
+    eigenvalue-spread cancellation, the hazards the 2-D Holt scan had
+    to bound away simply do not arise): each row folds the chunk's
+    preceding (offset, y) pairs against the kernel, O(m) work per row
+    at JVM speed.  Chunk summaries carry the full D-vector increment
+    ``B = sum y_q M^(len-q) u``; cross-chunk exponents are exact
+    multiples of the chunk length (interior chunks are always full),
+    so ``R(k*m)`` comes from a small precomputed table.
+
+    Plan shape: one exchange for the (key, chunk) windows, one
+    key-level window pass over the chunk table (~m x smaller than the
+    data), one equi-join carrying incoming states back to the rows —
+    identical to the other scans, skew-proof the same way (a hot key's
+    timeline parallelizes across its chunks by construction).
+
+    Cost scales as O(D^2) expression terms in the cross-chunk fold and
+    O(m) per row in the conv — sized for daily/weekly cycles (L up to
+    a few dozen); the kernel-table guard raises before building an
+    unreasonable literal table.  Returns the input plus ``level``,
+    ``trend``, ``season``.
+    """
+    import numpy as np
+
+    for name, v in (("alpha", alpha), ("gamma", gamma), ("delta", delta)):
+        if not 0.0 < v < 1.0:
+            raise ValueError(f"{name} must be in (0, 1) exclusive")
+    if season_length < 2:
+        raise ValueError("season_length must be >= 2")
+    L = int(season_length)
+    D = L + 2
+    M = np.zeros((D, D))
+    M[0, 0] = 1 - alpha
+    M[0, 1] = 1 - alpha
+    M[0, D - 1] = -alpha
+    M[1, 0] = -gamma * alpha
+    M[1, 1] = 1 - gamma * alpha
+    M[1, D - 1] = -gamma * alpha
+    M[2, 0] = -delta * (1 - alpha)
+    M[2, 1] = -delta * (1 - alpha)
+    M[2, D - 1] = 1 - delta + delta * alpha
+    for j in range(3, D):
+        M[j, j - 1] = 1.0
+    u = np.zeros(D)
+    u[0], u[1], u[2] = alpha, gamma * alpha, delta * (1 - alpha)
+
+    # spectral split: unit modes (the structural gauge eigenvalue)
+    # vs the strictly damped remainder
+    eigvals, eigvecs = np.linalg.eig(M)
+    unit = np.abs(eigvals - 1.0) < 1e-9
+    damped_mod = np.abs(eigvals[~unit]) if (~unit).any() else np.array([0.0])
+    lam2 = float(damped_mod.max())
+    if np.abs(eigvals[~unit]).max(initial=0.0) >= 1.0 - 1e-9:
+        raise ValueError(
+            "a non-gauge eigenvalue has modulus >= 1 "
+            f"(|lambda_2| = {lam2:.6f}): the remainder does not damp "
+            "and no bounded carry frame exists for these parameters"
+        )
+    # projector onto the unit eigenspace via left/right eigvecs:
+    # V1 = sum_i r_i l_i^T / (l_i^T r_i); verified numerically below
+    left_eigvecs = np.linalg.inv(eigvecs).conj().T
+    V1 = np.zeros((D, D), dtype=complex)
+    for i in np.nonzero(unit)[0]:
+        r, lv = eigvecs[:, i], left_eigvecs[:, i]
+        V1 += np.outer(r, lv.conj()) / (lv.conj() @ r)
+    V1 = np.real_if_close(V1, tol=1e6)
+    if np.iscomplexobj(V1) or not np.allclose(M @ V1, V1, atol=1e-10):
+        raise ValueError(
+            "unit eigenspace is defective for these parameters; the "
+            "spectral split does not apply"
+        )
+    V1 = V1.astype(float)
+
+    decay = -math.log(lam2) if lam2 > 0 else float("inf")
+    if chunk_rows:
+        m = int(chunk_rows)
+    else:
+        # balance O(m) per-row conv work against the carry-frame
+        # width W ~ 745/(m*decay): m = sqrt(memory) equalizes them
+        mem_rows = 745.0 / decay if math.isfinite(decay) else 16.0
+        m = int(max(16, min(128, math.ceil(math.sqrt(mem_rows)))))
+    w_chunks = (
+        max(1, math.ceil(745.0 / (m * decay))) if math.isfinite(decay) else 1
+    )
+    if w_chunks * D * D > 500_000:
+        raise ValueError(
+            f"carry-frame table would hold {w_chunks * D * D} doubles "
+            f"(W={w_chunks} chunks, D={D}); raise chunk_rows or use "
+            "stronger damping (larger delta)"
+        )
+
+    # kernel tables (numpy, driver-side, all positive powers):
+    #   conv kernel   v_e = M^e u              e = 0..m-1   (rows 0..2)
+    #   row powers    M^p rows 0..2            p = 1..m
+    #   summary krnl  v_e full vector          e = 0..m-1
+    #   cross-chunk   R(k*m) = M^(k*m) - V1    k = 0..w_chunks-1
+    pows = [np.eye(D)]
+    for _ in range(m):
+        pows.append(M @ pows[-1])
+    v_tab = np.stack([pows[e] @ u for e in range(m)])        # (m, D)
+    Mm = pows[m]
+    Rk = []
+    acc = np.eye(D)
+    for _ in range(w_chunks):
+        Rk.append(acc - V1)
+        acc = Mm @ acc
+    Rk = np.stack(Rk)                                        # (W, D, D)
+
+    def dlit(arr) -> Column:
+        return F.array(*[F.lit(float(x)) for x in np.asarray(arr).ravel()])
+
+    # flattened literal tables
+    conv_k = [dlit(v_tab[:, j]) for j in range(3)]           # len m each
+    rowpow = [
+        dlit(np.stack([pows[p][j] for p in range(m + 1)]))   # (m+1)*D
+        for j in range(3)
+    ]
+    sum_k = [dlit(v_tab[:, j]) for j in range(D)]            # len m each
+    r_tab = [dlit(Rk[:, j, :]) for j in range(D)]            # W*D each
+    v1_rows = [[float(V1[j, k]) for k in range(D)] for j in range(D)]
+
+    key_names = list(on)
+    order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+    w_key = Window.partitionBy(*key_names).orderBy(
+        *[F.asc(c) for c in order_cols]
+    )
+    numbered = (
+        series.withColumn("__n", F.row_number().over(w_key))
+        .withColumn("__chunk", ((F.col("__n") - 1) / m).cast("bigint"))
+        .withColumn("__p", (F.col("__n") - F.col("__chunk") * m).cast("int"))
+    )
+    y = F.col(value_col).cast("double")
+
+    w_chunk_all = Window.partitionBy(*key_names, "__chunk").orderBy(
+        F.asc("__p")
+    )
+    w_chunk_cum = w_chunk_all.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # per-row in-chunk convolution: fold the preceding (offset, y)
+    # pairs of this chunk against the kernel v_(p-q)
+    local = numbered.withColumn(
+        "__len", F.count(F.lit(1)).over(
+            w_chunk_all.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+    ).withColumn(
+        "__pref", F.collect_list(F.struct(F.col("__p").alias("q"), y.alias("yv"))).over(w_chunk_cum)
+    )
+    zero3 = F.struct(
+        F.lit(0.0).alias("c0"), F.lit(0.0).alias("c1"), F.lit(0.0).alias("c2")
+    )
+
+    def conv_fold(acc, e):
+        idx = F.col("__p") - e["q"] + 1
+        return F.struct(
+            (acc["c0"] + e["yv"] * F.element_at(conv_k[0], idx)).alias("c0"),
+            (acc["c1"] + e["yv"] * F.element_at(conv_k[1], idx)).alias("c1"),
+            (acc["c2"] + e["yv"] * F.element_at(conv_k[2], idx)).alias("c2"),
+        )
+
+    local = local.withColumn(
+        "__conv", F.aggregate(F.col("__pref"), zero3, conv_fold)
+    ).drop("__pref")
+
+    # chunk summaries: full-vector increment B and the first value
+    b_sums = [
+        F.sum(
+            y
+            * F.element_at(
+                sum_k[j],
+                (F.col("__len") - F.col("__p") + 1).cast("int"),
+            )
+        ).alias(f"__b{j}")
+        for j in range(D)
+    ]
+    summaries = (
+        local.groupBy(*key_names, "__chunk")
+        .agg(
+            *b_sums,
+            F.max("__len").alias("__clen"),
+            F.min_by(y, F.col("__n")).alias("__cfirst"),
+        )
+        .withColumn("__Bvec", F.array(*[F.col(f"__b{j}") for j in range(D)]))
+        .drop(*[f"__b{j}" for j in range(D)])
+    )
+    w_cw = Window.partitionBy(*key_names).orderBy(F.asc("__chunk"))
+    prev_all = w_cw.rowsBetween(Window.unboundedPreceding, -1)
+    frame = w_cw.rowsBetween(-w_chunks, -1)
+    chunk_states = (
+        summaries.withColumn("__y1", F.first("__cfirst").over(w_cw))
+        .withColumn(
+            "__runsum",
+            F.array(
+                *[
+                    F.coalesce(
+                        F.sum(F.element_at("__Bvec", j + 1)).over(prev_all),
+                        F.lit(0.0),
+                    )
+                    for j in range(D)
+                ]
+            ),
+        )
+        .withColumn(
+            "__hist",
+            F.collect_list(F.struct("__chunk", "__Bvec")).over(frame),
+        )
+    )
+
+    zero_d = F.array(*[F.lit(0.0)] * D)
+
+    def r_apply(dist, vec):
+        """R(dist*m) @ vec as a D-array column (dist a column)."""
+        base = dist * D
+        return F.array(
+            *[
+                sum(
+                    (
+                        F.element_at(r_tab[j], base + k + 1)
+                        * F.element_at(vec, k + 1)
+                        for k in range(D)
+                    ),
+                    start=F.lit(0.0),
+                )
+                for j in range(D)
+            ]
+        )
+
+    def hist_fold(acc, e):
+        dist = (F.col("__chunk") - e["__chunk"] - 1).cast("int")
+        contrib = r_apply(dist, e["__Bvec"])
+        return F.zip_with(acc, contrib, lambda a, b: a + b)
+
+    # x0 = (y_first, 0, ..., 0): unit part V1[:,0]*y1, damped part
+    # R(c*m)[:,0]*y1 (zero beyond the frame)
+    c_dist = F.col("__chunk").cast("int")
+    x0_damped = F.when(
+        c_dist < w_chunks,
+        F.array(
+            *[
+                F.element_at(r_tab[j], c_dist * D + 1) * F.col("__y1")
+                for j in range(D)
+            ]
+        ),
+    ).otherwise(zero_d)
+    unit_part = F.array(
+        *[
+            sum(
+                (
+                    F.lit(v1_rows[j][k])
+                    * (
+                        F.element_at("__runsum", k + 1)
+                        + (F.col("__y1") if k == 0 else F.lit(0.0))
+                    )
+                    for k in range(D)
+                ),
+                start=F.lit(0.0),
+            )
+            for j in range(D)
+        ]
+    )
+    chunk_states = chunk_states.withColumn(
+        "__damped", F.aggregate(F.col("__hist"), zero_d, hist_fold)
+    ).select(
+        *key_names,
+        "__chunk",
+        F.zip_with(
+            F.zip_with("__damped", x0_damped, lambda a, b: a + b),
+            unit_part,
+            lambda a, b: a + b,
+        ).alias("__xin"),
+    )
+
+    joined = local.join(chunk_states, [*key_names, "__chunk"])
+    p_base = F.col("__p") * D
+
+    def row_out(j):
+        mp_dot = sum(
+            (
+                F.element_at(rowpow[j], p_base + k + 1)
+                * F.element_at("__xin", k + 1)
+                for k in range(D)
+            ),
+            start=F.lit(0.0),
+        )
+        return mp_dot + F.col("__conv")[f"c{j}"]
+
+    return (
+        joined.withColumn(level_col, row_out(0))
+        .withColumn(trend_col, row_out(1))
+        .withColumn(season_col, row_out(2))
+        .drop("__n", "__chunk", "__p", "__len", "__conv", "__xin")
+    )

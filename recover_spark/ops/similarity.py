@@ -815,3 +815,76 @@ def ivf_index_stats(spark, index_path: str) -> DataFrame:
         "n_vectors",
         F.round(F.col("__max") / F.col("__mean"), 4).alias("imbalance_ratio"),
     )
+
+
+def compact_ivf_index(
+    spark,
+    index_path: str,
+    min_files_per_list: int = 2,
+) -> dict:
+    """Maintenance half-step for the frozen-centroid append contract:
+    fold the one-file-per-appended-batch accretion in each ``list=``
+    partition back to one file, content (and therefore every probe
+    result) unchanged — the oracle is probe-equality before/after.
+    Lists under the file threshold are neither read nor written
+    (O(touched lists' bytes), one Spark job); ``_centroids`` is
+    untouched.  See ops/text_index.py:compact_text_index for the
+    text sibling and the week-50 rationale."""
+    from recover_spark.sources.compaction import compact_partitions
+
+    return compact_partitions(
+        spark, index_path, "list", min_files_per_list
+    )
+
+
+def rebuild_ivf_index(
+    spark,
+    index_path: str,
+    n_centroids: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """The other maintenance half-step: RETRAIN the coarse quantizer.
+
+    Appends assign against centroids frozen at build time; when the
+    data distribution drifts, lists skew (``ivf_index_stats``
+    imbalance is the signal — the documented operating rule is to
+    rebuild when ``imbalance_ratio`` exceeds ~2) and the nprobe/K cost
+    model erodes because hot lists hold far more than corpus/K
+    vectors.  Rebuild = extract every stored (id, vector) from the
+    index, re-run the deterministic build (fresh seeds, fresh
+    assignment, fresh quantized columns) into a staging directory, and
+    swap it in — so by construction
+
+        rebuild(index)  ==  build_ivf_index(all vectors ever added)
+
+    which is the test/correctness oracle: a probe over the rebuilt
+    index equals the same probe over a fresh index of the combined
+    corpus.  The swap is two directory renames (old out, staging in);
+    run it as the offline maintenance job it is — the classic IVF
+    pattern (probe with frozen quantizer, retrain out of band).
+    """
+    import os
+    import shutil
+
+    if n_centroids is None:
+        n_centroids = spark.read.parquet(
+            f"{index_path}/_centroids"
+        ).count()
+    corpus = spark.read.parquet(index_path).select(id_col, vec_col)
+    # materialize: the staging build must not lazily re-read the
+    # directory mid-swap
+    corpus = corpus.localCheckpoint(eager=True)
+    staging = index_path.rstrip("/") + ".rebuild"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+    build_ivf_index(
+        corpus, staging, n_centroids=n_centroids,
+        id_col=id_col, vec_col=vec_col,
+    )
+    old = index_path.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(index_path, old)
+    os.rename(staging, index_path)
+    shutil.rmtree(old)

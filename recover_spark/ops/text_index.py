@@ -201,6 +201,40 @@ def _read_or_empty(spark: SparkSession, p: str, schema: str) -> DataFrame:
         return spark.createDataFrame([], schema)
 
 
+def compact_text_index(
+    spark: SparkSession,
+    path: str,
+    min_files_per_bucket: int = 2,
+) -> dict:
+    """Maintenance pass for the append-only index: fold the parquet
+    files each ``append_text_index`` left behind — one per batch per
+    touched bucket — back into one file per bucket partition, for both
+    the postings (``tb=``) and vector (``vb=``) layouts.  Content is
+    unchanged (probe-equality is the oracle); only the file count
+    drops, restoring probe open/footer costs after months of weekly
+    appends (the week-50 failure; the reference's re-crawl pass plays
+    this role, templates/glue-workflow.j2:147-166).  ``df/`` needs no
+    rewrite: appends already re-derive it as a whole-table aggregate.
+
+    Cost: O(touched buckets' bytes), one Spark job per layout; buckets
+    under ``min_files_per_bucket`` files are neither read nor written.
+    Returns {"postings": report, "vectors": report}.
+    """
+    from recover_spark.sources.compaction import compact_partitions
+
+    _read_meta(path)  # validates this is an index
+    return {
+        "postings": compact_partitions(
+            spark, os.path.join(path, "postings"), "tb",
+            min_files_per_bucket,
+        ),
+        "vectors": compact_partitions(
+            spark, os.path.join(path, "vectors"), "vb",
+            min_files_per_bucket,
+        ),
+    }
+
+
 def probe_text_index(
     new_docs: DataFrame,
     path: str,

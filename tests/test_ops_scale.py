@@ -537,3 +537,61 @@ def test_lsh_multiprobe_recall_superset(spark):
     # no duplicate candidates from probing multiple buckets
     got = [(r.query_vec_id, r.vec_id) for r in multi.collect()]
     assert len(got) == len(set(got))
+
+
+def test_ivf_compact_and_rebuild_lifecycle(spark, tmp_path):
+    """build -> appends (file accretion) -> compact (probe-identical,
+    file count drops) -> rebuild (equals a fresh build over the
+    combined corpus) — the index-maintenance endgame (VERDICT r5)."""
+    import glob
+    import os
+
+    from recover_spark.ops.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        ivf_topk_indexed,
+        rebuild_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter("vec_id < 40")
+    waves = [emb.filter(f"vec_id >= {lo} AND vec_id < {lo + 20}")
+             for lo in (40, 60, 80)]
+    queries = emb.filter("vec_id < 3")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(first, idx, n_centroids=8)
+    for w in waves:
+        append_ivf_index(w, idx)
+
+    def probe():
+        return {
+            (r["query_vec_id"], r["vec_id"], r["rank"])
+            for r in ivf_topk_indexed(
+                spark, idx, queries, nprobe=3, k=5
+            ).collect()
+        }
+
+    def n_files():
+        return len(glob.glob(os.path.join(idx, "list=*", "*.parquet")))
+
+    before_pairs, before_files = probe(), n_files()
+    report = compact_ivf_index(spark, idx)
+    assert report["files_after"] < report["files_before"]
+    assert n_files() < before_files
+    assert probe() == before_pairs  # compaction is invisible to probes
+
+    # rebuild == fresh build over everything ever added
+    rebuild_ivf_index(spark, idx)
+    fresh = str(tmp_path / "fresh")
+    build_ivf_index(emb.filter("vec_id < 100"), fresh, n_centroids=8)
+    rebuilt_pairs = probe()
+    fresh_pairs = {
+        (r["query_vec_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk_indexed(
+            spark, fresh, queries, nprobe=3, k=5
+        ).collect()
+    }
+    assert rebuilt_pairs == fresh_pairs
+    assert not os.path.exists(idx + ".rebuild")
+    assert not os.path.exists(idx + ".old")

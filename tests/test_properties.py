@@ -486,3 +486,66 @@ def test_holt_chunked_scan_matches_sequential(
         scale = max(1.0, abs(l), abs(b))
         assert abs(got[i]["level"] - l) <= tol * scale, (i, tol)
         assert abs(got[i]["trend"] - b) <= tol * scale, (i, tol)
+
+
+@given(
+    values=st.lists(
+        st.floats(-1e3, 1e3, allow_nan=False), min_size=1, max_size=40
+    ),
+    alpha=st.floats(0.1, 0.9),
+    gamma=st.floats(0.05, 0.9),
+    delta=st.floats(0.1, 0.9),
+    season=st.integers(2, 6),
+    # chunks below ~8 inflate the carry-frame kernel tables (W ~ 1/m)
+    # into multi-MB literal plans — legal but minutes-per-plan slow;
+    # the dedicated pytest covers chunk_rows=7 once
+    chunk=st.one_of(st.none(), st.integers(8, 24)),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_holt_winters_scan_matches_sequential(
+    spark, values, alpha, gamma, delta, season, chunk
+):
+    """The (L+2)-state seasonal scan — unit-mode running sum plus
+    bounded damped frame plus in-chunk kernel convolution — equals the
+    sequential Holt-Winters recurrence for arbitrary series,
+    parameters, season lengths, and chunk sizes.  The conv path uses
+    only positive bounded matrix powers, so no spread-scaled
+    tolerance is needed (unlike the 2-D Holt scan)."""
+    from hypothesis import assume
+
+    from recover_spark.operators.temporal import holt_winters_smooth
+
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(values)],
+        "k string, t long, v double",
+    )
+    try:
+        plan = holt_winters_smooth(
+            df, ["k"], "t", "v", alpha, gamma, delta, season,
+            **({"chunk_rows": chunk} if chunk else {}),
+        )
+    except ValueError as ex:
+        # additive HW is GENUINELY unstable for aggressive parameter
+        # combinations (all three rates high -> |lambda_2| > 1, the
+        # recurrence diverges); the operator's guard defines its
+        # domain, and out-of-domain draws are discarded, not failures
+        assume("does not damp" not in str(ex))
+        raise
+    got = plan.orderBy("t").collect()
+    l, b = values[0], 0.0
+    seas = [0.0] * season
+    for i, y in enumerate(values):
+        s_old = seas[-1]
+        l_new = alpha * (y - s_old) + (1 - alpha) * (l + b)
+        b = gamma * (l_new - l) + (1 - gamma) * b
+        s_new = delta * (y - l_new) + (1 - delta) * s_old
+        l = l_new
+        seas = [s_new] + seas[:-1]
+        scale = max(1.0, abs(l), abs(b), abs(s_new))
+        assert abs(got[i]["level"] - l) <= 1e-8 * scale, (i, got[i], l)
+        assert abs(got[i]["trend"] - b) <= 1e-8 * scale, (i, got[i], b)
+        assert abs(got[i]["season"] - s_new) <= 1e-8 * scale, (i, got[i], s_new)

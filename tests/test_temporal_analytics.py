@@ -3,6 +3,7 @@ aggregates (rollup, top-k, moving stats, distinct/percentile)."""
 
 from __future__ import annotations
 
+import math
 from datetime import datetime
 
 from pyspark.sql import functions as F
@@ -546,3 +547,121 @@ class TestHoltSmooth:
         for a, g in ((0.0, 0.5), (1.0, 0.5), (0.5, 0.0), (0.5, 1.0)):
             with pytest.raises(ValueError):
                 holt_smooth(df, ["k"], "t", "v", a, g)
+
+
+class TestHoltWintersSmooth:
+    @staticmethod
+    def _reference(values, alpha, gamma, delta, L):
+        l, b = values[0], 0.0
+        seas = [0.0] * L  # seas[-1] = s_{t-L}
+        out = []
+        for y in values:
+            s_old = seas[-1]
+            l_new = alpha * (y - s_old) + (1 - alpha) * (l + b)
+            b = gamma * (l_new - l) + (1 - gamma) * b
+            s_new = delta * (y - l_new) + (1 - delta) * s_old
+            l = l_new
+            seas = [s_new] + seas[:-1]
+            out.append((l, b, s_new))
+        return out
+
+    def _check(self, spark, values, alpha, gamma, delta, L, tol=1e-8, **kw):
+        from recover_spark.operators.temporal import holt_winters_smooth
+
+        df = spark.createDataFrame(
+            [("k", i, float(v)) for i, v in enumerate(values)],
+            "k string, t long, v double",
+        )
+        got = (
+            holt_winters_smooth(
+                df, ["k"], "t", "v", alpha, gamma, delta, L, **kw
+            )
+            .orderBy("t")
+            .collect()
+        )
+        expect = self._reference(
+            [float(v) for v in values], alpha, gamma, delta, L
+        )
+        for i, (el, eb, es) in enumerate(expect):
+            scale = max(1.0, abs(el), abs(eb), abs(es))
+            assert abs(got[i]["level"] - el) <= tol * scale, (i, got[i], el)
+            assert abs(got[i]["trend"] - eb) <= tol * scale, (i, got[i], eb)
+            assert abs(got[i]["season"] - es) <= tol * scale, (i, got[i], es)
+
+    def test_matches_sequential_reference(self, spark):
+        vals = [
+            10 + 3 * math.sin(i * 2 * math.pi / 6) + ((i * 17) % 7) - 3
+            for i in range(200)
+        ]
+        self._check(spark, vals, 0.3, 0.1, 0.25, 6)
+
+    def test_long_series_unit_mode_running_sum_exact(self, spark):
+        """The gauge mode carries an UNBOUNDED running sum: 5000 rows,
+        80+ chunks — far past any bounded frame — must stay exact."""
+        vals = [
+            50 + 10 * math.sin(i * 2 * math.pi / 12) + 0.01 * i
+            for i in range(5000)
+        ]
+        self._check(spark, vals, 0.4, 0.2, 0.3, 12)
+
+    def test_tiny_chunks_and_partial_tail(self, spark):
+        vals = [((i * 29) % 60) - 30 + 5 * (i % 4 == 0) for i in range(101)]
+        self._check(spark, vals, 0.3, 0.1, 0.2, 4, chunk_rows=7)
+
+    def test_seasonal_signal_is_learned(self, spark):
+        """On a pure period-L signal the season component converges to
+        the demeaned cycle (up to the level/season gauge): check the
+        RESIDUAL y - level - season goes to ~0 in the tail, which is
+        gauge-invariant."""
+        from recover_spark.operators.temporal import holt_winters_smooth
+
+        L = 5
+        cycle = [3.0, -1.0, 4.0, -2.0, -4.0]
+        vals = [20.0 + cycle[i % L] for i in range(400)]
+        df = spark.createDataFrame(
+            [("k", i, v) for i, v in enumerate(vals)],
+            "k string, t long, v double",
+        )
+        rows = (
+            holt_winters_smooth(df, ["k"], "t", "v", 0.3, 0.05, 0.4, L)
+            .orderBy("t")
+            .collect()
+        )
+        tail = rows[-L:]
+        for r in tail:
+            # one-step-ahead fit: y_t ~ level_t + (season of the same
+            # phase); at convergence level + season reproduces y
+            assert abs((r["level"] + r["season"]) - vals[r["t"]]) < 0.05
+
+    def test_multi_key_and_order_ties(self, spark):
+        from recover_spark.operators.temporal import holt_winters_smooth
+
+        rows = [
+            ("a", i, 0, float((i * 13) % 9)) for i in range(60)
+        ] + [("b", i, 1, float((i * 7) % 5)) for i in range(23)]
+        df = spark.createDataFrame(rows, "k string, t long, e int, v double")
+        out = holt_winters_smooth(
+            df, ["k"], ["t", "e"], "v", 0.3, 0.1, 0.2, 4
+        ).collect()
+        got_a = sorted(
+            (r.t, r.level) for r in out if r.k == "a"
+        )
+        ref = self._reference(
+            [float((i * 13) % 9) for i in range(60)], 0.3, 0.1, 0.2, 4
+        )
+        for (t, lv), (el, _, _) in zip(got_a, ref):
+            assert abs(lv - el) < 1e-8
+
+    def test_invalid_params_rejected(self, spark):
+        import pytest
+
+        from recover_spark.operators.temporal import holt_winters_smooth
+
+        df = spark.createDataFrame(
+            [("a", 1, 1.0)], "k string, t long, v double"
+        )
+        for bad in (0.0, 1.0, -0.5):
+            with pytest.raises(ValueError, match="alpha"):
+                holt_winters_smooth(df, ["k"], "t", "v", bad, 0.1, 0.1, 4)
+        with pytest.raises(ValueError, match="season_length"):
+            holt_winters_smooth(df, ["k"], "t", "v", 0.3, 0.1, 0.1, 1)
