@@ -3025,6 +3025,49 @@ def q_stream_quantile_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-ON-ARRIVAL (streaming/drift.py): the batch PSI monitor
+    composed into the availableNow matview family.  The pre-cut
+    shipment era freezes once as bin-edge + baseline-count metadata;
+    the post-cut era arrives as a four-file stream whose per-batch
+    binned counts fold into crash-safe sidecar state; the read-side
+    PSI equals the batch ``v5_drift_psi`` on the same split EXACTLY
+    (binned counts are additive), so the identical exact-percentile
+    SQL oracle applies verbatim — a streamed pipeline hash-matched
+    per value against a batch SQL twin."""
+    import uuid
+
+    from recover_spark.streaming.drift import (
+        freeze_drift_baseline,
+        maintain_drift_matview,
+        read_drift_psi,
+    )
+
+    run_dir = f"spark-warehouse/drift_psi/{uuid.uuid4().hex}"
+    lineitem = _load(spark, sf_dir, "lineitem")
+    cut = "1998-06-01"
+    cols = ["l_extendedprice", "l_quantity", "l_discount"]
+    base = lineitem.filter(F.col("l_shipdate") < F.lit(cut)).select(*cols)
+    cur = lineitem.filter(F.col("l_shipdate") >= F.lit(cut)).select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    )
+    freeze_drift_baseline(
+        base, f"{run_dir}/state", cols, n_bins=10, edge_accuracy=None
+    )
+    src = f"{run_dir}/src"
+    cur.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            ", ".join(f"{c} double" for c in cols)
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_drift_matview(stream, f"{run_dir}/state", f"{run_dir}/ckpt")
+    q.awaitTermination(300)
+    return read_drift_psi(spark, f"{run_dir}/state")
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-funnel analysis (view -> click -> purchase, in order):
     per-user step timestamps via conditional aggregation — step 1 is a
@@ -4318,6 +4361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_holt_winters": q_ts_holt_winters,
         "dedup_cosine_probe_compacted": q_dedup_cosine_probe_compacted,
         "ann_ivf_maintained": q_ann_ivf_maintained,
+        "stream_drift_psi": q_stream_drift_psi,
         "s2_schema_drift": q_s2_schema_drift,
         "scan_bloommap": q_scan_bloommap,
         "dedup_cosine_exact": q_dedup_cosine_exact,
@@ -4742,6 +4786,9 @@ def oracle_sql() -> dict[str, str]:
     # the fresh-index oracles apply verbatim
     out["ann_ivf_maintained"] = out["ann_ivf"]
     out["dedup_cosine_probe_compacted"] = out["dedup_cosine_probe"]
+    # binned counts are additive: the streamed monitor equals the
+    # batch PSI on the same era split, same oracle
+    out["stream_drift_psi"] = out["v5_drift_psi"]
     return out
 
 

@@ -80,6 +80,10 @@ HEADLINE = [
     "ts_holt",
     "dedup_cosine_probe",
     "v5_drift_psi",
+    # round 6
+    "ts_holt_winters",
+    "stream_drift_psi",
+    "ann_ivf_maintained",
 ]
 
 

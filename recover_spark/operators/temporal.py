@@ -1064,11 +1064,18 @@ def holt_winters_smooth(
     decay = -math.log(lam2) if lam2 > 0 else float("inf")
     if chunk_rows:
         m = int(chunk_rows)
+    elif math.isfinite(decay):
+        # balance the two data-sized costs: per-row conv is O(m) per
+        # row, the cross-chunk fold is O(W*D^2) per chunk row with
+        # W ~ 745/(m*decay) and n/m chunk rows — equating gives
+        # m ~ (745*D^2/decay)^(1/3); the measured optimum at sf0.1
+        # sits ~2x above the model (fold steps cost more than conv
+        # lookups), hence the factor
+        m = int(
+            max(32, min(320, 2.0 * (745.0 * D * D / decay) ** (1.0 / 3.0)))
+        )
     else:
-        # balance O(m) per-row conv work against the carry-frame
-        # width W ~ 745/(m*decay): m = sqrt(memory) equalizes them
-        mem_rows = 745.0 / decay if math.isfinite(decay) else 16.0
-        m = int(max(16, min(128, math.ceil(math.sqrt(mem_rows)))))
+        m = 32
     w_chunks = (
         max(1, math.ceil(745.0 / (m * decay))) if math.isfinite(decay) else 1
     )

@@ -146,7 +146,11 @@ def _select_exact_batch(
                 break
         batch.append(c)
         merged = c["l"] + c["r"]
-        nb = max(max_right.get(c["l"], 0), max_left.get(c["r"], 0))
+        # absent symbols may still head pairs below the collection
+        # cutoff, so the default is the cutoff, not zero
+        nb = max(
+            max_right.get(c["l"], cutoff), max_left.get(c["r"], cutoff)
+        )
         b_existing = max(
             [
                 int(t["w"])
@@ -177,16 +181,21 @@ def train_bpe(
     no remaining pair reaches ``min_pair_weight``.
 
     Each pass over the (vocab-sized) word table learns up to
-    ``max_batch_merges`` merges instead of one: the pass collects the
-    top-M candidate pairs plus per-symbol count maxima, and
+    ``max_batch_merges`` merges instead of one, at the SAME per-pass
+    cost as the classic loop (exactly one aggregate + one top-M
+    collect — the per-symbol count maxima the gap rule needs are
+    derived from the collected list itself, with the collection
+    cutoff as the sound bound for anything uncollected).
     ``_select_exact_batch`` accepts the longest candidate prefix the
     sequential trainer provably picks unchanged (symbol-disjointness +
     a strict weight gap over every earlier merge's worst-case created
     or boosted pair).  The result is EQUAL to one-merge-at-a-time
     training — the batch rule is a sound gap condition, not a
-    heuristic — while cutting driver round-trips and corpus-table
-    passes by the realized batch factor.  ``max_batch_merges=1``
-    recovers the classic loop exactly.
+    heuristic — while cutting passes by the realized batch factor;
+    cascade-heavy corpora (where a merge's created pair inherits its
+    full count, e.g. any word-final bigram) legitimately realize
+    batch size 1 and pay nothing for the attempt.
+    ``max_batch_merges=1`` recovers the classic loop exactly.
     """
     if max_batch_merges < 1:
         raise ValueError("max_batch_merges must be >= 1")
@@ -198,62 +207,43 @@ def train_bpe(
     since_ckpt = 0
     try:
         while len(merges) < num_merges:
-            pairs = _adjacent_pair_counts(current).cache()
-            try:
-                m_cand = max(32, max_batch_merges * 8)
-                top = (
-                    pairs.orderBy(F.desc("w"), F.asc("l"), F.asc("r"))
-                    .limit(m_cand)
-                    .collect()
+            pairs = _adjacent_pair_counts(current)
+            # One collect per pass, period: the per-symbol maxima the
+            # gap rule needs are derived from the SAME top-M list —
+            # any pair OUTSIDE the list has weight <= the collection
+            # cutoff, so max(collected maxima, cutoff) is a sound
+            # upper bound with no second job.  A larger M buys batch
+            # quality (lower cutoff -> tighter bounds) at the cost of
+            # a slightly bigger TakeOrdered, which is trivial.
+            m_cand = max(256, max_batch_merges * 32)
+            top = (
+                pairs.orderBy(F.desc("w"), F.asc("l"), F.asc("r"))
+                .limit(m_cand)
+                .collect()
+            )
+            if not top or top[0]["w"] < min_pair_weight:
+                break
+            budget = min(max_batch_merges, num_merges - len(merges))
+            if budget == 1:
+                batch = [top[0]]
+            else:
+                complete = len(top) < m_cand
+                max_left: dict = {}
+                max_right: dict = {}
+                for c in top:
+                    w_c = int(c["w"])
+                    if max_left.get(c["l"], 0) < w_c:
+                        max_left[c["l"]] = w_c
+                    if max_right.get(c["r"], 0) < w_c:
+                        max_right[c["r"]] = w_c
+                batch = _select_exact_batch(
+                    top,
+                    complete,
+                    max_left,
+                    max_right,
+                    budget,
+                    min_pair_weight,
                 )
-                if not top or top[0]["w"] < min_pair_weight:
-                    break
-                budget = min(max_batch_merges, num_merges - len(merges))
-                if budget == 1:
-                    # classic single-merge step: no maxima collect
-                    batch = [top[0]]
-                else:
-                    complete = len(top) < m_cand
-                    cand_syms = list(
-                        {c["l"] for c in top} | {c["r"] for c in top}
-                    )
-                    # per-symbol maxima over the SAME cached pair
-                    # table: max_left[s] = max w of pairs starting
-                    # with s, max_right[s] = max w of pairs ending
-                    # with s
-                    maxima = (
-                        pairs.filter(F.col("l").isin(cand_syms))
-                        .groupBy(F.col("l").alias("s"))
-                        .agg(F.max("w").alias("mw"))
-                        .select("s", "mw", F.lit("L").alias("side"))
-                        .unionAll(
-                            pairs.filter(F.col("r").isin(cand_syms))
-                            .groupBy(F.col("r").alias("s"))
-                            .agg(F.max("w").alias("mw"))
-                            .select("s", "mw", F.lit("R").alias("side"))
-                        )
-                        .collect()
-                    )
-                    max_left = {
-                        m["s"]: int(m["mw"])
-                        for m in maxima
-                        if m["side"] == "L"
-                    }
-                    max_right = {
-                        m["s"]: int(m["mw"])
-                        for m in maxima
-                        if m["side"] == "R"
-                    }
-                    batch = _select_exact_batch(
-                        top,
-                        complete,
-                        max_left,
-                        max_right,
-                        budget,
-                        min_pair_weight,
-                    )
-            finally:
-                pairs.unpersist()
             col = F.col("symbols")
             for c in batch:
                 merges.append(

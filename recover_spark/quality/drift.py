@@ -131,12 +131,26 @@ def psi_drift(
     if not cols:
         raise ValueError("cols must be non-empty")
     edges_row = quantile_edge_row(baseline, cols, n_bins, edge_accuracy)
+    base_counts = binned_counts_against_edges(baseline, edges_row, cols, "base")
+    cur_counts = binned_counts_against_edges(current, edges_row, cols, "cur")
+    return psi_from_binned_counts(
+        base_counts, cur_counts, cols, n_bins, eps, round_digits
+    )
 
-    def binned_counts(df: DataFrame, tag: str) -> DataFrame:
-        return binned_counts_against_edges(df, edges_row, cols, tag)
 
-    base_counts = binned_counts(baseline, "base")
-    cur_counts = binned_counts(current, "cur")
+def psi_from_binned_counts(
+    base_counts: DataFrame,
+    cur_counts: DataFrame,
+    cols: Sequence[str],
+    n_bins: int,
+    eps: float = 1e-4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """PSI from already-binned per-(column, bin) count tables —
+    the shared tail of ``psi_drift`` and the streaming drift monitor
+    (whose counts accumulate incrementally but, being additive, equal
+    the batch binning of the union exactly)."""
+    cols = list(cols)
     # all (column, bin) slots so empty bins are present for the clamp
     slots = (
         base_counts.sparkSession.createDataFrame(

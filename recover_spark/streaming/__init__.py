@@ -14,6 +14,11 @@ from recover_spark.streaming.matview import (
     read_quantile_matview,
     read_topk_matview,
 )
+from recover_spark.streaming.drift import (
+    freeze_drift_baseline,
+    maintain_drift_matview,
+    read_drift_psi,
+)
 from recover_spark.streaming.joins import enrich_stream, interval_join_stream
 
 __all__ = [
@@ -26,6 +31,9 @@ __all__ = [
     "read_distinct_matview",
     "read_quantile_matview",
     "read_topk_matview",
+    "freeze_drift_baseline",
+    "maintain_drift_matview",
+    "read_drift_psi",
     "dedup_stream",
     "enrich_stream",
     "incremental_ingest",

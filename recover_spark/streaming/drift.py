@@ -1,0 +1,178 @@
+"""Streaming drift monitor — PSI maintained incrementally as exports
+arrive.
+
+The batch monitor (quality/drift.py:psi_drift) answers "did this
+week's export drift from the baseline era?" by binning both sides in
+one job.  The reference's arrival model is a weekly export drop
+(templates/glue-workflow.j2:66), and the operational form of the
+monitor is drift-ON-ARRIVAL: freeze the baseline once, then fold each
+arriving micro-batch's binned counts into crash-safe state and read
+the current PSI at any time — the matview pattern
+(streaming/matview.py) applied to the drift aggregate.
+
+Exactness: the frozen artifacts are the baseline's bin edges (a
+one-row frame, index-style metadata) and its per-(column, bin)
+counts; per-batch binning is map-side against the broadcast edges,
+and binned counts are ADDITIVE, so after any number of batches
+
+    read_drift_psi(state)  ==  psi_drift(baseline, union of batches)
+
+bit-for-bit (integer counts, same shares, same clamp) — the test
+oracle.  Crash safety is the matview sidecar contract verbatim: the
+``_applied_batch_id`` marker swaps in atomically with the counts it
+describes, so foreachBatch replays are no-ops and a mid-swap crash
+heals on the next run.
+
+Scale shape: per batch, one map-side bin pass + one (column, bin)
+aggregate (bins x columns rows — metadata-sized state), one state
+swap.  The baseline is never re-read after the freeze.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Sequence
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from recover_spark.quality.drift import (
+    binned_counts_against_edges,
+    psi_from_binned_counts,
+    quantile_edge_row,
+)
+from recover_spark.streaming.matview import (
+    _applied_batch_id,
+    _BATCH_MARKER,
+    _recover_state,
+    _swap_state,
+)
+
+_META_NAME = "_drift_meta.json"
+
+
+def freeze_drift_baseline(
+    baseline: DataFrame,
+    state_path: str,
+    cols: Sequence[str],
+    n_bins: int = 10,
+    edge_accuracy: int | None = 10_000,
+) -> dict:
+    """One-time baseline pass: persist the bin edges (one row) and the
+    baseline's binned counts under ``state_path``; both are frozen —
+    the streaming side never touches the baseline again.  See
+    quality/drift.py:quantile_edge_row for the edge_accuracy contract
+    (approx by default; ``None`` = exact, bounded baselines only)."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    os.makedirs(state_path, exist_ok=True)
+    edges_row = quantile_edge_row(baseline, cols, n_bins, edge_accuracy)
+    edges_row.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(state_path, "edges")
+    )
+    spark = baseline.sparkSession
+    frozen_edges = spark.read.parquet(os.path.join(state_path, "edges"))
+    binned_counts_against_edges(
+        baseline, frozen_edges, cols, "base"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(state_path, "baseline_counts")
+    )
+    meta = {"cols": cols, "n_bins": int(n_bins)}
+    tmp = os.path.join(state_path, _META_NAME + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    os.replace(tmp, os.path.join(state_path, _META_NAME))
+    return meta
+
+
+def _read_meta(state_path: str) -> dict:
+    with open(os.path.join(state_path, _META_NAME)) as fh:
+        return json.load(fh)
+
+
+def merge_drift_counts(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    batch_id: int | None = None,
+) -> None:
+    """Fold one batch's binned counts into the accumulating current-era
+    state (``counts/`` under ``state_path``), idempotent per batch id
+    via the matview sidecar."""
+    meta = _read_meta(state_path)
+    cols, n_bins = meta["cols"], meta["n_bins"]
+    counts_path = os.path.join(state_path, "counts")
+    _recover_state(counts_path)
+    if batch_id is not None:
+        applied = _applied_batch_id(counts_path)
+        if applied is not None and batch_id <= applied:
+            return
+    edges_row = spark.read.parquet(os.path.join(state_path, "edges"))
+    partial = binned_counts_against_edges(batch, edges_row, cols, "cur")
+    if Path(counts_path).exists():
+        prev = spark.read.parquet(counts_path)
+        merged = (
+            prev.unionByName(partial)
+            .groupBy("column", "bin")
+            .agg(F.sum("n_cur").alias("n_cur"))
+        )
+    else:
+        merged = partial
+    tmp = counts_path + ".tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
+    _swap_state(tmp, counts_path)
+
+
+def maintain_drift_matview(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+):
+    """One availableNow increment of the drift monitor: every unseen
+    input file is binned against the frozen baseline edges and folded
+    into the count state.  Requires ``freeze_drift_baseline`` to have
+    run.  Returns the StreamingQuery."""
+    spark = stream.sparkSession
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        merge_drift_counts(spark, batch, state_path, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_drift_psi(
+    spark: SparkSession,
+    state_path: str,
+    eps: float = 1e-4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Current PSI per column from the frozen baseline counts and the
+    accumulated current-era counts — equal to the batch
+    ``psi_drift(baseline, union of arrived batches)`` by count
+    additivity.  Before any batch arrives, the current era is empty:
+    every current share clamps to eps and the PSI reflects that
+    degenerate comparison (callers gate on arrival if they need to)."""
+    meta = _read_meta(state_path)
+    cols, n_bins = meta["cols"], meta["n_bins"]
+    base = spark.read.parquet(os.path.join(state_path, "baseline_counts"))
+    counts_path = os.path.join(state_path, "counts")
+    _recover_state(counts_path)
+    if Path(counts_path).exists():
+        cur = spark.read.parquet(counts_path)
+    else:
+        cur = spark.createDataFrame(
+            [], "column string, bin int, n_cur long"
+        )
+    return psi_from_binned_counts(
+        base, cur, cols, n_bins, eps, round_digits
+    ).orderBy("column")

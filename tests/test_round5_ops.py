@@ -450,8 +450,11 @@ class TestMultimodalRealDecode:
 
         df = self._media(spark, b"\x89PNG fake")
         if not mm.pil_available():
-            with pytest.raises(NotImplementedError, match="PIL"):
-                mm.extract_image_features(df, decode_stub=False)
+            # non-PNM blob without PIL: the WORKER kernel raises per
+            # blob (the driver no longer gates — the PNM fallback
+            # means decode_stub=False is always launchable)
+            with pytest.raises(Exception, match="PIL"):
+                mm.extract_image_features(df, decode_stub=False).collect()
         if not mm.ffmpeg_available():
             with pytest.raises(NotImplementedError, match="ffprobe"):
                 mm.sample_video_frames(df, decode_stub=False)
@@ -1206,3 +1209,73 @@ class TestGenerationChanges:
         assert generation_changes(
             spark, path, ["id"], from_generation=g2, to_generation=g2
         ).count() == 0
+
+
+class TestPnmRealDecode:
+    """The dependency-free PNM decoder makes the REAL kernel path
+    (not the stub) runnable in this sandbox un-skipped (VERDICT r5
+    #7): content-derived features from actual pixel data, same output
+    schema as the PIL kernel."""
+
+    @staticmethod
+    def _ppm(w, h, pixel_fn) -> bytes:
+        header = f"P6\n# test comment\n{w} {h}\n255\n".encode()
+        raster = bytearray()
+        for r in range(h):
+            for c in range(w):
+                raster.extend(pixel_fn(r, c))
+        return header + bytes(raster)
+
+    @staticmethod
+    def _pgm(w, h, pixel_fn) -> bytes:
+        header = f"P5\n{w} {h}\n255\n".encode()
+        return header + bytes(pixel_fn(r, c) for r in range(h) for c in range(w))
+
+    def _media(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, b, ("image/x-portable-pixmap", None, None, None))
+             for i, b in rows],
+            "media_id long, content binary, "
+            "meta struct<mime_type:string,width:int,height:int,duration_ms:bigint>",
+        )
+
+    def test_real_decode_runs_unstubbed_and_is_content_derived(self, spark):
+        from recover_spark.ops.multimodal import (
+            IMAGE_FEATURE_SCHEMA,
+            extract_image_features,
+        )
+
+        flat = self._ppm(8, 8, lambda r, c: (200, 200, 200))
+        near = self._ppm(8, 8, lambda r, c: (201, 200, 200))  # 1-bit-ish
+        grad = self._ppm(8, 8, lambda r, c: (r * 30, c * 30, 0))
+        gray = self._pgm(6, 6, lambda r, c: 100)
+        df = self._media(spark, [(1, flat), (2, near), (3, grad), (4, gray)])
+        out = extract_image_features(df, feature_dim=16, decode_stub=False)
+        assert out.schema == IMAGE_FEATURE_SCHEMA
+        feats = {r.media_id: r.feature for r in out.collect()}
+        # uniform 200-gray: every intensity is 200/127.5 - 1
+        assert all(abs(v - (200 / 127.5 - 1.0)) < 0.01 for v in feats[1])
+        # near-identical content -> near-identical features (the stub's
+        # digest features flip completely on one changed bit)
+        d_near = max(abs(a - b) for a, b in zip(feats[1], feats[2]))
+        d_far = max(abs(a - b) for a, b in zip(feats[1], feats[3]))
+        assert d_near < 0.01 < d_far
+        # P5 grayscale path
+        assert all(abs(v - (100 / 127.5 - 1.0)) < 0.01 for v in feats[4])
+
+    def test_pnm_header_edge_cases(self):
+        import pytest as _pytest
+
+        from recover_spark.ops.multimodal import _decode_pnm_gray
+
+        w, h, gray = _decode_pnm_gray(self._ppm(2, 3, lambda r, c: (255, 0, 0)))
+        assert (w, h) == (2, 3) and len(gray) == 6
+        assert all(v == 255 * 299 // 1000 for v in gray)  # 601-2 red weight
+        # maxval rescale
+        blob = b"P5\n2 2\n15\n" + bytes([15, 0, 7, 15])
+        _, _, g = _decode_pnm_gray(blob)
+        assert g == [255, 0, 7 * 255 // 15, 255]
+        with _pytest.raises(ValueError, match="PNM"):
+            _decode_pnm_gray(b"\x89PNG not pnm")
+        with _pytest.raises(ValueError, match="truncated"):
+            _decode_pnm_gray(b"P5\n4 4\n255\n\x00\x01")

@@ -486,3 +486,112 @@ def test_topk_matview_bounded_state_and_hot_keys_exact(spark, tmp_path):
     merge_topk_summary(spark, replay, state, ["k"], capacity=8, batch_id=0)
     after = {r["k"]: r["weight"] for r in spark.read.parquet(state).collect()}
     assert after == before
+
+
+class TestStreamingDrift:
+    def _mk_batches(self, spark, tmp_path):
+        """Baseline era + three arriving batches with a shifted
+        distribution (the vendor-firmware failure shape)."""
+        base = spark.range(0, 6000).selectExpr(
+            "CAST((id * 37) % 997 AS DOUBLE) AS v",
+            "CAST((id * 11) % 53 AS DOUBLE) AS w",
+        )
+        batches = [
+            spark.range(lo, lo + 1500).selectExpr(
+                "CAST(((id * 37) % 997) * 1.2 + 5 AS DOUBLE) AS v",
+                "CAST((id * 11) % 53 AS DOUBLE) AS w",
+            )
+            for lo in (0, 1500, 3000)
+        ]
+        src = tmp_path / "arrivals"
+        src.mkdir()
+        import glob
+        import shutil
+        import time
+
+        for i, b in enumerate(batches):
+            staging = str(tmp_path / f"stage{i}")
+            b.coalesce(1).write.parquet(staging)
+            part = glob.glob(f"{staging}/part-*.parquet")[0]
+            shutil.move(part, str(src / f"b{i}.parquet"))
+            time.sleep(1.05)
+        return base, batches, str(src)
+
+    def test_streamed_psi_equals_batch_and_replay_is_noop(
+        self, spark, tmp_path
+    ):
+        from recover_spark.quality.drift import psi_drift
+        from recover_spark.streaming.drift import (
+            freeze_drift_baseline,
+            maintain_drift_matview,
+            read_drift_psi,
+        )
+
+        base, batches, src = self._mk_batches(spark, tmp_path)
+        state = str(tmp_path / "drift_state")
+        freeze_drift_baseline(base, state, ["v", "w"], n_bins=10)
+
+        stream = spark.readStream.schema("v double, w double").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = maintain_drift_matview(stream, state, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+        streamed = {
+            r.column: r.psi for r in read_drift_psi(spark, state).collect()
+        }
+        union = batches[0].unionByName(batches[1]).unionByName(batches[2])
+        batch_ref = {
+            r.column: r.psi for r in psi_drift(base, union, ["v", "w"]).collect()
+        }
+        assert streamed == batch_ref, (streamed, batch_ref)
+        assert streamed["v"] > 0.1          # the shift registers
+        assert batch_ref["w"] < 0.01        # the stable column does not
+
+        # fresh checkpoint replays every batch id: the sidecar makes
+        # the whole replay a strict no-op
+        stream2 = spark.readStream.schema("v double, w double").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q2 = maintain_drift_matview(stream2, state, str(tmp_path / "ckpt2"))
+        q2.awaitTermination(120)
+        replayed = {
+            r.column: r.psi for r in read_drift_psi(spark, state).collect()
+        }
+        assert replayed == streamed
+
+    def test_mid_swap_crash_heals_and_batch_remerges(self, spark, tmp_path):
+        """Simulate the _swap_state crash window: counts renamed aside,
+        new generation never promoted.  The next read/merge must heal
+        from counts.old instead of starting an empty era."""
+        import os
+
+        from recover_spark.streaming.drift import (
+            freeze_drift_baseline,
+            merge_drift_counts,
+            read_drift_psi,
+        )
+
+        base = spark.range(0, 2000).selectExpr(
+            "CAST((id * 7) % 101 AS DOUBLE) AS v"
+        )
+        state = str(tmp_path / "ds")
+        freeze_drift_baseline(base, state, ["v"], n_bins=8)
+        b1 = spark.range(0, 500).selectExpr(
+            "CAST((id * 7) % 101 + 30 AS DOUBLE) AS v"
+        )
+        merge_drift_counts(spark, b1, state, batch_id=0)
+        healthy = {
+            r.column: r.psi for r in read_drift_psi(spark, state).collect()
+        }
+        counts = os.path.join(state, "counts")
+        os.rename(counts, counts + ".old")  # crash between the renames
+        healed = {
+            r.column: r.psi for r in read_drift_psi(spark, state).collect()
+        }
+        assert healed == healthy
+        # the failed batch's marker never landed -> its replay re-merges
+        merge_drift_counts(spark, b1, state, batch_id=0)
+        assert {
+            r.column: r.psi for r in read_drift_psi(spark, state).collect()
+        } == healthy
