@@ -3068,6 +3068,44 @@ def q_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_drift_psi(spark, f"{run_dir}/state")
 
 
+def q_stream_drift_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift-on-arrival (streaming/drift.py categorical
+    twin): the baseline era's top-k category bins freeze once, the
+    post-cut era arrives as a four-file stream whose pooled category
+    counts fold into crash-safe sidecar state — unseen/renamed
+    categories pool into __other on the streaming path exactly as on
+    the batch one.  Pooled counts are additive, so the read-side PSI
+    equals the batch ``v6_drift_categorical`` exactly and shares its
+    SQL oracle verbatim."""
+    import uuid
+
+    from recover_spark.streaming.drift import (
+        freeze_categorical_baseline,
+        maintain_categorical_drift_matview,
+        read_categorical_drift_psi,
+    )
+
+    run_dir = f"spark-warehouse/drift_cat/{uuid.uuid4().hex}"
+    lineitem = _load(spark, sf_dir, "lineitem")
+    cut = "1998-06-01"
+    cols = ["l_returnflag", "l_linestatus"]
+    base = lineitem.filter(F.col("l_shipdate") < F.lit(cut)).select(*cols)
+    cur = lineitem.filter(F.col("l_shipdate") >= F.lit(cut)).select(*cols)
+    freeze_categorical_baseline(base, f"{run_dir}/state", cols, top_k=20)
+    src = f"{run_dir}/src"
+    cur.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(", ".join(f"{c} string" for c in cols))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_categorical_drift_matview(
+        stream, f"{run_dir}/state", f"{run_dir}/ckpt"
+    )
+    q.awaitTermination(300)
+    return read_categorical_drift_psi(spark, f"{run_dir}/state")
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-funnel analysis (view -> click -> purchase, in order):
     per-user step timestamps via conditional aggregation — step 1 is a
@@ -4362,6 +4400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cosine_probe_compacted": q_dedup_cosine_probe_compacted,
         "ann_ivf_maintained": q_ann_ivf_maintained,
         "stream_drift_psi": q_stream_drift_psi,
+        "stream_drift_categorical": q_stream_drift_categorical,
         "s2_schema_drift": q_s2_schema_drift,
         "scan_bloommap": q_scan_bloommap,
         "dedup_cosine_exact": q_dedup_cosine_exact,
@@ -4789,6 +4828,7 @@ def oracle_sql() -> dict[str, str]:
     # binned counts are additive: the streamed monitor equals the
     # batch PSI on the same era split, same oracle
     out["stream_drift_psi"] = out["v5_drift_psi"]
+    out["stream_drift_categorical"] = out["v6_drift_categorical"]
     return out
 
 

@@ -209,60 +209,93 @@ def psi_drift_categorical(
     cols = list(cols)
     if not cols:
         raise ValueError("cols must be non-empty")
-    spark = baseline.sparkSession
+    base_counts = category_counts(baseline, cols, "base")
+    top = top_category_bins(base_counts, top_k)
+    cur_counts = category_counts(current, cols, "cur")
+    return psi_from_categorical_counts(
+        pooled_category_counts(base_counts, top, "base"),
+        pooled_category_counts(cur_counts, top, "cur"),
+        top,
+        cols,
+        top_k,
+        eps,
+        round_digits,
+    )
 
-    def cat_col(df: DataFrame, c: str):
-        return F.coalesce(F.col(c).cast("string"), F.lit("__null"))
 
-    def counts(df: DataFrame, tag: str) -> DataFrame:
-        per_col = [
-            F.struct(F.lit(c).alias("column"), cat_col(df, c).alias("cat"))
-            for c in cols
-        ]
-        return (
-            df.select(F.explode(F.array(*per_col)).alias("cc"))
-            .select("cc.column", "cc.cat")
-            .groupBy("column", "cat")
-            .agg(F.count(F.lit(1)).alias(f"n_{tag}"))
+def category_counts(df: DataFrame, cols: Sequence[str], tag: str) -> DataFrame:
+    """(column, cat, n_<tag>) with NULL folded into its own category."""
+    per_col = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.coalesce(F.col(c).cast("string"), F.lit("__null")).alias("cat"),
         )
+        for c in cols
+    ]
+    return (
+        df.select(F.explode(F.array(*per_col)).alias("cc"))
+        .select("cc.column", "cc.cat")
+        .groupBy("column", "cat")
+        .agg(F.count(F.lit(1)).alias(f"n_{tag}"))
+    )
 
-    base_counts = counts(baseline, "base")
+
+def top_category_bins(base_counts: DataFrame, top_k: int) -> DataFrame:
+    """The baseline's top-k categories per column (deterministic
+    membership: count desc, value asc) — the frozen bin definition."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("column").orderBy(
-        F.desc("n_base"), F.asc("cat")
-    )
-    top = (
+    w = Window.partitionBy("column").orderBy(F.desc("n_base"), F.asc("cat"))
+    return (
         base_counts.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= top_k)
         .select("column", "cat")
     )
-    cur_counts = counts(current, "cur")
 
-    def pooled(cnts: DataFrame, tag: str) -> DataFrame:
-        j = cnts.join(
-            top.withColumn("__keep", F.lit(True)), ["column", "cat"], "left"
-        )
-        return (
-            j.select(
-                "column",
-                F.when(F.col("__keep"), F.col("cat"))
-                .otherwise(F.lit("__other"))
-                .alias("bin"),
-                F.col(f"n_{tag}"),
-            )
-            .groupBy("column", "bin")
-            .agg(F.sum(f"n_{tag}").alias(f"n_{tag}"))
-        )
 
+def pooled_category_counts(
+    cnts: DataFrame, top: DataFrame, tag: str
+) -> DataFrame:
+    """Pool category counts into the frozen bins: top-k categories keep
+    their own bin, everything else — including categories the baseline
+    never saw — lands in ``__other``."""
+    j = cnts.join(
+        top.withColumn("__keep", F.lit(True)), ["column", "cat"], "left"
+    )
+    return (
+        j.select(
+            "column",
+            F.when(F.col("__keep"), F.col("cat"))
+            .otherwise(F.lit("__other"))
+            .alias("bin"),
+            F.col(f"n_{tag}"),
+        )
+        .groupBy("column", "bin")
+        .agg(F.sum(f"n_{tag}").alias(f"n_{tag}"))
+    )
+
+
+def psi_from_categorical_counts(
+    base_pooled: DataFrame,
+    cur_pooled: DataFrame,
+    top: DataFrame,
+    cols: Sequence[str],
+    top_k: int,
+    eps: float = 1e-4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """PSI from pooled categorical count tables — the shared tail of
+    ``psi_drift_categorical`` and its streaming twin (pooled counts
+    are additive across batches)."""
+    spark = base_pooled.sparkSession
     slots = top.select("column", F.col("cat").alias("bin")).unionByName(
         spark.createDataFrame(
             [(c, "__other") for c in cols], "column string, bin string"
         )
     )
     joined = (
-        slots.join(pooled(base_counts, "base"), ["column", "bin"], "left")
-        .join(pooled(cur_counts, "cur"), ["column", "bin"], "left")
+        slots.join(base_pooled, ["column", "bin"], "left")
+        .join(cur_pooled, ["column", "bin"], "left")
         .fillna(0, subset=["n_base", "n_cur"])
     )
     tot = joined.groupBy("column").agg(

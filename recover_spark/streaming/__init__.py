@@ -15,8 +15,11 @@ from recover_spark.streaming.matview import (
     read_topk_matview,
 )
 from recover_spark.streaming.drift import (
+    freeze_categorical_baseline,
     freeze_drift_baseline,
+    maintain_categorical_drift_matview,
     maintain_drift_matview,
+    read_categorical_drift_psi,
     read_drift_psi,
 )
 from recover_spark.streaming.joins import enrich_stream, interval_join_stream
@@ -31,7 +34,10 @@ __all__ = [
     "read_distinct_matview",
     "read_quantile_matview",
     "read_topk_matview",
+    "freeze_categorical_baseline",
     "freeze_drift_baseline",
+    "maintain_categorical_drift_matview",
+    "read_categorical_drift_psi",
     "maintain_drift_matview",
     "read_drift_psi",
     "dedup_stream",

@@ -40,8 +40,12 @@ from pyspark.sql import functions as F
 
 from recover_spark.quality.drift import (
     binned_counts_against_edges,
+    category_counts,
+    pooled_category_counts,
     psi_from_binned_counts,
+    psi_from_categorical_counts,
     quantile_edge_row,
+    top_category_bins,
 )
 from recover_spark.streaming.matview import (
     _applied_batch_id,
@@ -175,4 +179,130 @@ def read_drift_psi(
         )
     return psi_from_binned_counts(
         base, cur, cols, n_bins, eps, round_digits
+    ).orderBy("column")
+
+
+# -- categorical twin ---------------------------------------------------------
+
+_CAT_META_NAME = "_drift_cat_meta.json"
+
+
+def freeze_categorical_baseline(
+    baseline: DataFrame,
+    state_path: str,
+    cols: Sequence[str],
+    top_k: int = 20,
+) -> dict:
+    """One-time baseline pass for the CATEGORICAL monitor: persist the
+    frozen bin definition (the baseline's top-k categories per column,
+    quality/drift.py:top_category_bins) and the baseline's pooled
+    counts.  Arriving categories the baseline never saw pool into
+    ``__other`` — the enum-rename failure stays visible on the
+    streaming path exactly as on the batch one."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    os.makedirs(state_path, exist_ok=True)
+    base_counts = category_counts(baseline, cols, "base")
+    top = top_category_bins(base_counts, top_k).localCheckpoint(eager=True)
+    top.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(state_path, "cat_bins")
+    )
+    pooled_category_counts(base_counts, top, "base").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_path, "cat_baseline_counts"))
+    meta = {"cols": cols, "top_k": int(top_k)}
+    tmp = os.path.join(state_path, _CAT_META_NAME + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    os.replace(tmp, os.path.join(state_path, _CAT_META_NAME))
+    return meta
+
+
+def _read_cat_meta(state_path: str) -> dict:
+    with open(os.path.join(state_path, _CAT_META_NAME)) as fh:
+        return json.load(fh)
+
+
+def merge_categorical_drift_counts(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    batch_id: int | None = None,
+) -> None:
+    """Fold one batch's pooled category counts into the accumulating
+    state (``cat_counts/``), idempotent per batch id via the matview
+    sidecar.  Pooled counts are additive, so the accumulated table
+    equals the batch pooling of the union exactly."""
+    meta = _read_cat_meta(state_path)
+    cols = meta["cols"]
+    counts_path = os.path.join(state_path, "cat_counts")
+    _recover_state(counts_path)
+    if batch_id is not None:
+        applied = _applied_batch_id(counts_path)
+        if applied is not None and batch_id <= applied:
+            return
+    top = spark.read.parquet(os.path.join(state_path, "cat_bins"))
+    partial = pooled_category_counts(
+        category_counts(batch, cols, "cur"), top, "cur"
+    )
+    if Path(counts_path).exists():
+        prev = spark.read.parquet(counts_path)
+        merged = (
+            prev.unionByName(partial)
+            .groupBy("column", "bin")
+            .agg(F.sum("n_cur").alias("n_cur"))
+        )
+    else:
+        merged = partial
+    tmp = counts_path + ".tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
+    _swap_state(tmp, counts_path)
+
+
+def maintain_categorical_drift_matview(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+):
+    """availableNow increment of the categorical drift monitor.
+    Requires ``freeze_categorical_baseline``."""
+    spark = stream.sparkSession
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        merge_categorical_drift_counts(spark, batch, state_path, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_categorical_drift_psi(
+    spark: SparkSession,
+    state_path: str,
+    eps: float = 1e-4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Current categorical PSI per column — equal to the batch
+    ``psi_drift_categorical(baseline, union of batches)`` by pooled-
+    count additivity."""
+    meta = _read_cat_meta(state_path)
+    cols, top_k = meta["cols"], meta["top_k"]
+    top = spark.read.parquet(os.path.join(state_path, "cat_bins"))
+    base = spark.read.parquet(
+        os.path.join(state_path, "cat_baseline_counts")
+    )
+    counts_path = os.path.join(state_path, "cat_counts")
+    _recover_state(counts_path)
+    if Path(counts_path).exists():
+        cur = spark.read.parquet(counts_path)
+    else:
+        cur = spark.createDataFrame([], "column string, bin string, n_cur long")
+    return psi_from_categorical_counts(
+        base, cur, top, cols, top_k, eps, round_digits
     ).orderBy("column")

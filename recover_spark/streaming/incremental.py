@@ -458,3 +458,45 @@ def near_dedup_against_corpus(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_dedup_state(spark, state_path: str) -> dict:
+    """Maintenance pass for ``dedup_against_corpus``'s digest state:
+    every batch leaves one ``__batch=<id>`` partition (the idempotent
+    per-batch overwrite), so after a year of arrivals the anti-join
+    pays one file-open per historical batch.  Compaction folds the
+    distinct digests into a single ``__batch=-1`` partition via the
+    matview's crash-safe two-rename swap — a reader at any instant
+    sees either the old generation or the new, and the digest SET is
+    identical before and after (dedup semantics are wholly insensitive
+    to which partition a digest lives in).  Returns
+    {"files_before": x, "files_after": y}.
+    """
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as _F
+
+    from recover_spark.streaming.matview import _recover_state, _swap_state
+
+    _recover_state(state_path)
+
+    def n_files() -> int:
+        return len(
+            _glob.glob(_os.path.join(state_path, "**", "*.parquet"),
+                       recursive=True)
+        )
+
+    before = n_files()
+    digests = (
+        spark.read.parquet(state_path)
+        .select("__digest")
+        .distinct()
+        .localCheckpoint(eager=True)  # materialize before the swap
+    )
+    tmp = state_path + ".tmp"
+    digests.withColumn("__batch", _F.lit(-1)).coalesce(1).write.mode(
+        "overwrite"
+    ).partitionBy("__batch").parquet(tmp)
+    _swap_state(tmp, state_path)
+    return {"files_before": before, "files_after": n_files()}

@@ -595,3 +595,126 @@ class TestStreamingDrift:
         assert {
             r.column: r.psi for r in read_drift_psi(spark, state).collect()
         } == healthy
+
+
+class TestStreamingCategoricalDrift:
+    def test_streamed_equals_batch_and_replay_noop(self, spark, tmp_path):
+        from recover_spark.quality.drift import psi_drift_categorical
+        from recover_spark.streaming.drift import (
+            freeze_categorical_baseline,
+            maintain_categorical_drift_matview,
+            read_categorical_drift_psi,
+        )
+
+        base = spark.range(0, 3000).selectExpr(
+            "CASE WHEN id % 10 < 6 THEN 'a' WHEN id % 10 < 9 THEN 'b' "
+            "ELSE 'c' END AS k"
+        )
+        # renamed-enum failure: 'c' becomes 'c_v2' in the new era
+        batches = [
+            spark.range(lo, lo + 800).selectExpr(
+                "CASE WHEN id % 10 < 6 THEN 'a' WHEN id % 10 < 9 THEN 'b' "
+                "ELSE 'c_v2' END AS k"
+            )
+            for lo in (0, 800)
+        ]
+        import glob
+        import shutil
+        import time
+
+        src = tmp_path / "cat_src"
+        src.mkdir()
+        for i, b in enumerate(batches):
+            staging = str(tmp_path / f"cstage{i}")
+            b.coalesce(1).write.parquet(staging)
+            shutil.move(
+                glob.glob(f"{staging}/part-*.parquet")[0],
+                str(src / f"b{i}.parquet"),
+            )
+            time.sleep(1.05)
+        state = str(tmp_path / "cat_state")
+        freeze_categorical_baseline(base, state, ["k"], top_k=5)
+        stream = spark.readStream.schema("k string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(src))
+        q = maintain_categorical_drift_matview(
+            stream, state, str(tmp_path / "cat_ckpt")
+        )
+        q.awaitTermination(120)
+        streamed = {
+            r.column: r.psi
+            for r in read_categorical_drift_psi(spark, state).collect()
+        }
+        ref = {
+            r.column: r.psi
+            for r in psi_drift_categorical(
+                base, batches[0].unionByName(batches[1]), ["k"], top_k=5
+            ).collect()
+        }
+        assert streamed == ref
+        assert streamed["k"] > 0.25  # the renamed enum must register
+
+        stream2 = spark.readStream.schema("k string").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(str(src))
+        q2 = maintain_categorical_drift_matview(
+            stream2, state, str(tmp_path / "cat_ckpt2")
+        )
+        q2.awaitTermination(120)
+        assert {
+            r.column: r.psi
+            for r in read_categorical_drift_psi(spark, state).collect()
+        } == streamed
+
+
+def test_compact_dedup_state_folds_partitions(spark, tmp_path):
+    """Digest-state maintenance: after N batches the state holds N
+    __batch partitions; compaction folds the distinct digests into one
+    partition, the file count drops, and the dedup behavior (replay a
+    known digest -> rejected; novel digest -> accepted) is unchanged."""
+    from recover_spark.streaming.incremental import (
+        compact_dedup_state,
+        dedup_against_corpus,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    schema = "doc_id long, text string"
+
+    def run(tag):
+        # one shared checkpoint: each run picks up only the files that
+        # arrived since the previous run (the weekly-export model), so
+        # every batch leaves its own __batch partition in the state
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = dedup_against_corpus(stream, state, str(tmp_path / "ckpt"), out)
+        q.awaitTermination(120)
+
+    _write_batch(
+        str(src / "b1.json"),
+        [{"doc_id": 1, "text": "alpha"}, {"doc_id": 2, "text": "beta"}],
+        mtime_offset_s=-60,
+    )
+    run("a")
+    _write_batch(
+        str(src / "b2.json"),
+        [{"doc_id": 3, "text": "gamma"}],
+        mtime_offset_s=-30,
+    )
+    run("b")
+    report = compact_dedup_state(spark, state)
+    assert report["files_after"] < report["files_before"]
+    import glob as g
+
+    parts = {p.rsplit("=", 1)[1] for p in g.glob(f"{state}/__batch=*")}
+    assert parts == {"-1"}
+    # post-compaction behavior: known digest rejected, novel accepted
+    _write_batch(
+        str(src / "b3.json"),
+        [{"doc_id": 9, "text": "alpha"}, {"doc_id": 10, "text": "delta"}],
+        mtime_offset_s=0,
+    )
+    run("c")
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3, 10]

@@ -10,6 +10,11 @@ from SCALE.md.
 
 Usage: python tools/bench_sf1.py [round_number]
 (round defaults to 1 + the highest existing artifact's round)
+
+Alternative when the two bench runs were executed separately (e.g. to
+fit an external job scheduler's per-command timeout):
+    python tools/bench_sf1.py --assemble small.json big.json [round]
+where each file holds one bench.py JSON line.
 """
 
 from __future__ import annotations
@@ -36,8 +41,16 @@ def run_bench(sf_dir: str) -> dict:
 
 def main() -> int:
     existing = sorted(glob.glob(os.path.join(REPO, "BENCH_sf1_r*.json")))
-    if len(sys.argv) > 1:
-        rnd = int(sys.argv[1])
+    argv = sys.argv[1:]
+    pre_small = pre_big = None
+    if argv and argv[0] == "--assemble":
+        with open(argv[1]) as fh:
+            pre_small = json.loads(fh.read().strip().splitlines()[-1])
+        with open(argv[2]) as fh:
+            pre_big = json.loads(fh.read().strip().splitlines()[-1])
+        argv = argv[3:]
+    if argv:
+        rnd = int(argv[0])
     else:
         rounds = [
             int(m.group(1))
@@ -45,17 +58,20 @@ def main() -> int:
             if (m := re.search(r"BENCH_sf1_r(\d+)\.json$", f))
         ]
         rnd = (max(rounds) + 1) if rounds else 1
-    if not os.path.isdir(SF1_DIR):
-        print("building sf1 dataset ...", file=sys.stderr)
-        subprocess.run(
-            [sys.executable, os.path.join(REPO, "tools", "make_sf1.py"),
-             SF1_DIR],
-            check=True, cwd=REPO,
-        )
-    print("bench @ sf0.1 ...", file=sys.stderr)
-    small = run_bench("/root/testdata/sf0.1")
-    print("bench @ sf1 ...", file=sys.stderr)
-    big = run_bench(SF1_DIR)
+    if pre_small is not None:
+        small, big = pre_small, pre_big
+    else:
+        if not os.path.isdir(SF1_DIR):
+            print("building sf1 dataset ...", file=sys.stderr)
+            subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools", "make_sf1.py"),
+                 SF1_DIR],
+                check=True, cwd=REPO,
+            )
+        print("bench @ sf0.1 ...", file=sys.stderr)
+        small = run_bench("/root/testdata/sf0.1")
+        print("bench @ sf1 ...", file=sys.stderr)
+        big = run_bench(SF1_DIR)
     ratios = {
         q: round(big["queries"][q] / max(small["queries"][q], 1e-9), 3)
         for q in big["queries"]
