@@ -4118,6 +4118,43 @@ def q_dedup_cosine_probe_compacted(spark: SparkSession, sf_dir: str) -> DataFram
     return probe_text_index(batch, idx, 0.9).orderBy("new_id", "indexed_id")
 
 
+def q_dedup_cosine_probe_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion propagated INTO the index
+    (ops/text_index.py:delete_from_text_index): the corpus
+    (doc_id % 5 != 0) is indexed, then every doc with doc_id % 7 == 3
+    is FORGOTTEN — only the term buckets that actually hold the
+    deleted docs are rewritten (doc-id pushdown finds them; emptied
+    buckets' dirs drop), df re-derives, and the arriving batch
+    (doc_id % 5 == 0) probes the scrubbed index.  The reference
+    applies deletes to curated tables (J1,
+    src/glue/jobs/json_to_parquet.py); a health-data platform must
+    scrub derived surfaces too.  Oracle: brute-force cross cosines
+    against the corpus MINUS the deleted docs — the index must be
+    indistinguishable from one that never held them."""
+    import tempfile
+
+    from recover_spark.ops.text_index import (
+        build_text_index,
+        delete_from_text_index,
+        probe_text_index,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="recover_textidx_del_") + "/idx"
+    build_text_index(
+        docs.filter(F.col("doc_id") % 5 != 0), idx, num_buckets=16
+    )
+    victims = [
+        r["doc_id"]
+        for r in docs.filter(
+            (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 3)
+        ).select("doc_id").collect()
+    ]
+    delete_from_text_index(spark, idx, victims)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    return probe_text_index(batch, idx, 0.9).orderBy("new_id", "indexed_id")
+
+
 def q_ann_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full IVF maintenance lifecycle under the correctness gate
     (ops/similarity.py:compact_ivf_index / rebuild_ivf_index): build
@@ -4401,6 +4438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_maintained": q_ann_ivf_maintained,
         "stream_drift_psi": q_stream_drift_psi,
         "stream_drift_categorical": q_stream_drift_categorical,
+        "dedup_cosine_probe_deleted": q_dedup_cosine_probe_deleted,
         "s2_schema_drift": q_s2_schema_drift,
         "scan_bloommap": q_scan_bloommap,
         "dedup_cosine_exact": q_dedup_cosine_exact,
@@ -4829,6 +4867,15 @@ def oracle_sql() -> dict[str, str]:
     # batch PSI on the same era split, same oracle
     out["stream_drift_psi"] = out["v5_drift_psi"]
     out["stream_drift_categorical"] = out["v6_drift_categorical"]
+    # deletion propagation: the scrubbed index must be
+    # indistinguishable from one that never held the deleted docs —
+    # same brute-force oracle with the deletion predicate on the
+    # indexed side
+    out["dedup_cosine_probe_deleted"] = out["dedup_cosine_probe"].replace(
+        "WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0",
+        "WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0 "
+        "AND b.doc_id % 7 <> 3",
+    )
     return out
 
 

@@ -888,3 +888,57 @@ def rebuild_ivf_index(
     os.rename(index_path, old)
     os.rename(staging, index_path)
     shutil.rmtree(old)
+
+
+def delete_from_ivf_index(
+    spark,
+    index_path: str,
+    vec_ids,
+    id_col: str = "vec_id",
+) -> dict:
+    """Propagate deletions into the persisted IVF index — the vector
+    sibling of ``delete_from_text_index``: after this call the index
+    equals one built (with the SAME centroids) from the corpus minus
+    the deleted ids, so right-to-be-forgotten requests scrub the
+    derived ANN surface, not just the curated tables (the reference's
+    J1 delete semantics extended to the extension surface).
+
+    One filtered scan finds the lists that actually hold the deleted
+    vectors (id predicate pushdown prunes row groups); only those list
+    partitions are rewritten (dynamic partition overwrite), with
+    emptied lists' directories dropped explicitly.  Centroids are
+    untouched — deletion does not move the coarse quantizer (retrain
+    via ``rebuild_ivf_index`` when drift warrants it).  Returns
+    {"touched_lists": [...], "n_deleted": n}.
+    """
+    import os
+    import shutil
+
+    ids = [int(i) for i in vec_ids]
+    if not ids:
+        return {"touched_lists": [], "n_deleted": 0}
+    stored = spark.read.parquet(index_path)
+    touched = sorted(
+        r["list"]
+        for r in stored.filter(F.col(id_col).isin(ids))
+        .select("list").distinct().collect()
+    )
+    if touched:
+        kept = (
+            stored.filter(F.col("list").isin(touched))
+            .filter(~F.col(id_col).isin(ids))
+            .localCheckpoint(eager=True)
+        )
+        (
+            kept.repartition(len(touched), F.col("list"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("list")
+            .parquet(index_path)
+        )
+        survivors = {r["list"] for r in kept.select("list").distinct().collect()}
+        for v in set(touched) - survivors:
+            d = os.path.join(index_path, f"list={v}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+    return {"touched_lists": touched, "n_deleted": len(ids)}

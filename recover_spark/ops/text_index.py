@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -199,6 +200,118 @@ def _read_or_empty(spark: SparkSession, p: str, schema: str) -> DataFrame:
         return spark.read.parquet(p)
     except AnalysisException:
         return spark.createDataFrame([], schema)
+
+
+def _drop_emptied_partitions(base, part_col, touched, survivors) -> None:
+    """Remove hive partition dirs that a deletion emptied entirely
+    (dynamic overwrite cannot replace a partition it writes no rows
+    for)."""
+    import shutil
+
+    for v in set(touched) - set(survivors):
+        d = os.path.join(base, f"{part_col}={v}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+
+def delete_from_text_index(
+    spark: SparkSession,
+    path: str,
+    doc_ids: Sequence[int],
+) -> dict:
+    """Propagate deletions INTO the index — the right-to-be-forgotten
+    half of the lifecycle.  The reference's pipeline applies deletes to
+    the curated tables (J1 left-anti, ``operators/deletes.py``); a
+    health-data platform must also scrub derived surfaces, and an
+    inverted index retains the deleted document's full term
+    multiset.  After this call the index is IDENTICAL to one built
+    from the corpus without those documents (the test oracle):
+
+    - ``postings/``: only the term buckets that actually contain the
+      deleted docs are rewritten (one filtered scan finds the touched
+      ``tb`` values — doc_id predicate pushdown prunes row groups —
+      then a dynamic partition overwrite of those buckets only);
+    - ``vectors/``: the touched ``vb`` values are COMPUTED from the
+      ids (vb = bucket(doc_id)), no discovery scan needed;
+    - ``df/`` re-aggregates from the remaining postings (vocab-sized)
+      and ``n_docs`` updates — both already overwrite-based.
+
+    Cost: O(touched buckets' bytes) + one vocab-sized aggregate.
+    Returns the updated meta dict plus ``n_deleted``.
+    """
+    ids = [int(i) for i in doc_ids]
+    meta = _read_meta(path)
+    if not ids:
+        meta["n_deleted"] = 0
+        return meta
+    nb = meta["num_buckets"]
+    postings_path = os.path.join(path, "postings")
+    stored = _read_or_empty(spark, postings_path, _POSTINGS_SCHEMA)
+    touched_tb = [
+        r["tb"]
+        for r in stored.filter(F.col("doc_id").isin(ids))
+        .select("tb").distinct().collect()
+    ]
+    if touched_tb:
+        kept = (
+            stored.filter(F.col("tb").isin(touched_tb))
+            .filter(~F.col("doc_id").isin(ids))
+            .localCheckpoint(eager=True)  # never read what we replace
+        )
+        (
+            kept.repartition(len(touched_tb), F.col("tb"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("tb")
+            .parquet(postings_path)
+        )
+        # dynamic overwrite only replaces partitions PRESENT in the
+        # output: a bucket whose every posting was deleted writes no
+        # rows and would keep its stale files — drop those dirs
+        _drop_emptied_partitions(
+            postings_path, "tb", touched_tb,
+            {r["tb"] for r in kept.select("tb").distinct().collect()},
+        )
+    vectors_path = os.path.join(path, "vectors")
+    if os.path.isdir(vectors_path):
+        touched_vb = sorted(
+            {
+                r["vb"]
+                for r in spark.createDataFrame(
+                    [(i,) for i in ids], "doc_id long"
+                )
+                .select(_bucket(F.col("doc_id"), nb).alias("vb"))
+                .collect()
+            }
+        )
+        vecs = spark.read.parquet(vectors_path)
+        kept_v = (
+            vecs.filter(F.col("vb").isin([int(v) for v in touched_vb]))
+            .filter(~F.col("doc_id").isin(ids))
+            .localCheckpoint(eager=True)
+        )
+        (
+            kept_v.repartition(max(1, len(touched_vb)), F.col("vb"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("vb")
+            .parquet(vectors_path)
+        )
+        _drop_emptied_partitions(
+            vectors_path, "vb", touched_vb,
+            {r["vb"] for r in kept_v.select("vb").distinct().collect()},
+        )
+    remaining = _read_or_empty(spark, postings_path, _POSTINGS_SCHEMA)
+    remaining.groupBy("term").agg(F.count(F.lit(1)).alias("df")) \
+        .write.mode("overwrite").parquet(os.path.join(path, "df"))
+    meta["n_docs"] = remaining.select("doc_id").distinct().count()
+    meta["n_deleted"] = len(ids)
+    tmp = os.path.join(path, META_NAME + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({k: v for k, v in meta.items() if k != "n_deleted"}, fh,
+                  sort_keys=True)
+    os.replace(tmp, os.path.join(path, META_NAME))
+    return meta
 
 
 def compact_text_index(

@@ -2,6 +2,7 @@ from recover_spark.streaming.incremental import (
     dedup_against_corpus,
     dedup_stream,
     incremental_ingest,
+    ingest_vectors_stream,
     near_dedup_against_corpus,
     reconcile_manifests,
 )
@@ -43,6 +44,7 @@ __all__ = [
     "dedup_stream",
     "enrich_stream",
     "incremental_ingest",
+    "ingest_vectors_stream",
     "interval_join_stream",
     "reconcile_manifests",
 ]

@@ -500,3 +500,64 @@ def compact_dedup_state(spark, state_path: str) -> dict:
     ).partitionBy("__batch").parquet(tmp)
     _swap_state(tmp, state_path)
     return {"files_before": before, "files_after": n_files()}
+
+
+def ingest_vectors_stream(
+    stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming ingest into the persisted IVF index — the vector twin
+    of ``near_dedup_against_corpus``'s index maintenance, completing
+    the ANN lifecycle (build/append/probe/compact/rebuild/delete + now
+    arrival-driven ingest): each availableNow micro-batch of new
+    embeddings assigns map-side against the stored centroids and lands
+    in its hive list partitions.
+
+    The FIRST batch builds the index (freezing the coarse quantizer
+    from that batch's seed rows); every later batch appends against
+    the frozen centroids.  Appends are not idempotent, so an
+    ``_applied_batch`` sidecar (written last, atomic rename) makes a
+    replayed batch a strict no-op — the same marker contract as the
+    KLL matview and the text-index ingest.
+    """
+    import os
+
+    from recover_spark.ops.similarity import (
+        append_ivf_index,
+        build_ivf_index,
+    )
+
+    marker = os.path.join(index_path, "_applied_batch")
+
+    def _applied() -> int:
+        try:
+            with open(marker) as fh:
+                return int(fh.read().strip())
+        except (FileNotFoundError, ValueError):
+            return -1
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch_id <= _applied():
+            return
+        if os.path.isdir(os.path.join(index_path, "_centroids")):
+            append_ivf_index(batch, index_path, id_col, vec_col)
+        else:
+            build_ivf_index(
+                batch, index_path, n_centroids=n_centroids,
+                id_col=id_col, vec_col=vec_col,
+            )
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(batch_id))
+        os.replace(tmp, marker)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -595,3 +595,102 @@ def test_ivf_compact_and_rebuild_lifecycle(spark, tmp_path):
     assert rebuilt_pairs == fresh_pairs
     assert not os.path.exists(idx + ".rebuild")
     assert not os.path.exists(idx + ".old")
+
+
+def test_ivf_delete_equals_index_without_vectors(spark, tmp_path):
+    """Deletion propagation into the ANN surface: after
+    delete_from_ivf_index, probes equal an index built with the SAME
+    centroids from the corpus minus the deleted ids; untouched list
+    partitions keep their files."""
+    import glob
+    import os
+
+    from recover_spark.ops.similarity import (
+        build_ivf_index,
+        delete_from_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sub = emb.filter("vec_id < 60")
+    queries = emb.filter("vec_id < 3")
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(sub, idx, n_centroids=8)
+    victims = [7, 11, 23]
+    rep = delete_from_ivf_index(spark, idx, victims)
+    assert rep["n_deleted"] == 3 and rep["touched_lists"]
+
+    # same centroids (seeds = vec_id < 8 rows, none deleted... 7 IS a
+    # seed — centroids are FROZEN by contract, so build the reference
+    # index from the full sub-corpus and delete, not rebuild)
+    got = {
+        (r["query_vec_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk_indexed(spark, idx, queries, nprobe=8, k=5).collect()
+    }
+    assert not {v for _, v, _ in got} & set(victims)
+    # probing ALL lists makes IVF exact: equals brute force on the
+    # remaining corpus
+    from recover_spark.ops import brute_force_topk
+
+    remaining = sub.filter(~F.col("vec_id").isin(victims))
+    exact = {
+        (r["query_vec_id"], r["vec_id"], r["rank"])
+        for r in brute_force_topk(remaining, queries, k=5).collect()
+    }
+    assert got == exact
+
+
+def test_ingest_vectors_stream_lifecycle_and_replay(spark, tmp_path):
+    """Arrival-driven IVF ingest: first batch builds (frozen
+    centroids), later batches append, a fresh-checkpoint replay is a
+    strict no-op via the batch marker, and the final index answers
+    like a batch build+appends of the same waves."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from recover_spark.ops.similarity import ivf_topk_indexed
+    from recover_spark.streaming.incremental import ingest_vectors_stream
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    src = str(tmp_path / "vsrc")
+    os.makedirs(src)
+    for i, lo in enumerate((0, 40, 70)):
+        staging = str(tmp_path / f"vstage{i}")
+        emb.filter(f"vec_id >= {lo} AND vec_id < {lo + 30 if i else 40}") \
+           .coalesce(1).write.parquet(staging)
+        shutil.move(
+            glob.glob(f"{staging}/part-*.parquet")[0], f"{src}/b{i}.parquet"
+        )
+        time.sleep(1.05)
+    schema = "vec_id long, embedding array<float>"
+    idx = str(tmp_path / "ivf")
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = ingest_vectors_stream(stream, idx, str(tmp_path / "ck"), n_centroids=8)
+    q.awaitTermination(180)
+
+    queries = emb.filter("vec_id < 3")
+    first = {
+        (r["query_vec_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk_indexed(spark, idx, queries, nprobe=3, k=5).collect()
+    }
+    n_files = len(glob.glob(os.path.join(idx, "list=*", "*.parquet")))
+
+    # fresh checkpoint replays every batch id -> marker makes it a no-op
+    stream2 = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q2 = ingest_vectors_stream(stream2, idx, str(tmp_path / "ck2"), n_centroids=8)
+    q2.awaitTermination(180)
+    assert len(glob.glob(os.path.join(idx, "list=*", "*.parquet"))) == n_files
+    again = {
+        (r["query_vec_id"], r["vec_id"], r["rank"])
+        for r in ivf_topk_indexed(spark, idx, queries, nprobe=3, k=5).collect()
+    }
+    assert again == first
+    # all 100 vectors present
+    assert spark.read.parquet(idx).count() == 100

@@ -425,3 +425,79 @@ class TestIndexCompaction:
         assert untouched, "compaction rewrote every bucket"
         for f in untouched:
             assert os.path.getmtime(f) == posting_files[f]
+
+
+class TestIndexDeletion:
+    def test_delete_equals_index_built_without_docs(self, spark, tmp_path):
+        """Right-to-be-forgotten oracle: after delete_from_text_index,
+        every probe result equals a probe against an index built from
+        the corpus WITHOUT the deleted docs — including the doc whose
+        only near-dup was deleted now matching nothing."""
+        from recover_spark.ops.text_index import delete_from_text_index
+
+        path = str(tmp_path / "idx")
+        build_text_index(_corpus(spark, _OLD), path, num_buckets=8)
+        meta = delete_from_text_index(spark, path, [1, 3])
+        assert meta["n_docs"] == 2 and meta["n_deleted"] == 2
+
+        fresh = str(tmp_path / "fresh")
+        build_text_index(
+            _corpus(spark, [r for r in _OLD if r[0] not in (1, 3)]),
+            fresh, num_buckets=8,
+        )
+        for strategy in ("prefix", "dense"):
+            got = sorted(map(tuple, probe_text_index(
+                _corpus(spark, _NEW), path, 0.4, strategy=strategy
+            ).collect()))
+            ref = sorted(map(tuple, probe_text_index(
+                _corpus(spark, _NEW), fresh, 0.4, strategy=strategy
+            ).collect()))
+            assert got == ref, strategy
+        # doc 101's near-dup (1) and 103's exact dup (3) are gone
+        ids_hit = {n for n, _, _ in got}
+        assert 103 not in ids_hit
+
+    def test_delete_touches_only_affected_buckets(self, spark, tmp_path):
+        """Buckets holding no posting of the deleted docs keep their
+        original files (mtime-pinned) — deletion cost is O(touched
+        buckets), the same contract as compaction."""
+        import glob
+        import os
+        import time
+
+        from recover_spark.ops.text_index import delete_from_text_index
+
+        path = str(tmp_path / "idx")
+        # doc 50 has ONE rare term -> exactly one posting bucket
+        corpus = _OLD + [(50, "zyzzyvaxu")]
+        build_text_index(_corpus(spark, corpus), path, num_buckets=16)
+        before = {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(path, "postings", "tb=*", "*.parquet"))
+        }
+        time.sleep(0.05)
+        delete_from_text_index(spark, path, [50])
+        after = glob.glob(os.path.join(path, "postings", "tb=*", "*.parquet"))
+        untouched = [f for f in after if f in before]
+        assert untouched and all(
+            os.path.getmtime(f) == before[f] for f in untouched
+        )
+        # the rare term's bucket was emptied entirely -> dir dropped
+        assert len(after) < len(before) or any(
+            f not in before for f in after
+        )
+        got = probe_text_index(
+            _corpus(spark, [(900, "zyzzyvaxu")]), path, 0.5
+        ).collect()
+        assert got == []
+
+    def test_delete_nothing_is_noop(self, spark, tmp_path):
+        from recover_spark.ops.text_index import delete_from_text_index
+
+        path = str(tmp_path / "idx")
+        build_text_index(_corpus(spark, _OLD), path, num_buckets=4)
+        meta = delete_from_text_index(spark, path, [])
+        assert meta["n_deleted"] == 0 and meta["n_docs"] == 4
+        # deleting an unknown id changes nothing either
+        meta = delete_from_text_index(spark, path, [999])
+        assert meta["n_docs"] == 4
