@@ -908,25 +908,41 @@ def delete_from_ivf_index(
     partitions are rewritten (dynamic partition overwrite), with
     emptied lists' directories dropped explicitly.  Centroids are
     untouched — deletion does not move the coarse quantizer (retrain
-    via ``rebuild_ivf_index`` when drift warrants it).  Returns
-    {"touched_lists": [...], "n_deleted": n}.
+    via ``rebuild_ivf_index`` when drift warrants it).
+
+    ``vec_ids`` may be a Python sequence or a one-column DataFrame
+    (the production deletion-list shape — a literal IN list does not
+    survive a million-row table; the DataFrame form plans as
+    broadcast joins).  Returns {"touched_lists": [...], "n_deleted": n}.
     """
     import os
     import shutil
 
-    ids = [int(i) for i in vec_ids]
-    if not ids:
+    if isinstance(vec_ids, DataFrame):
+        ids_df = vec_ids.select(
+            F.col(vec_ids.columns[0]).cast("long").alias(id_col)
+        ).distinct().localCheckpoint(eager=True)
+        n_ids = ids_df.count()
+    else:
+        ids = [int(i) for i in vec_ids]
+        n_ids = len(ids)
+        ids_df = (
+            spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+            if ids
+            else None
+        )
+    if not n_ids:
         return {"touched_lists": [], "n_deleted": 0}
     stored = spark.read.parquet(index_path)
     touched = sorted(
         r["list"]
-        for r in stored.filter(F.col(id_col).isin(ids))
+        for r in stored.join(F.broadcast(ids_df), id_col, "left_semi")
         .select("list").distinct().collect()
     )
     if touched:
         kept = (
             stored.filter(F.col("list").isin(touched))
-            .filter(~F.col(id_col).isin(ids))
+            .join(F.broadcast(ids_df), id_col, "left_anti")
             .localCheckpoint(eager=True)
         )
         (
@@ -941,4 +957,4 @@ def delete_from_ivf_index(
             d = os.path.join(index_path, f"list={v}")
             if os.path.isdir(d):
                 shutil.rmtree(d)
-    return {"touched_lists": touched, "n_deleted": len(ids)}
+    return {"touched_lists": touched, "n_deleted": n_ids}

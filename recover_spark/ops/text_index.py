@@ -217,7 +217,7 @@ def _drop_emptied_partitions(base, part_col, touched, survivors) -> None:
 def delete_from_text_index(
     spark: SparkSession,
     path: str,
-    doc_ids: Sequence[int],
+    doc_ids: Sequence[int] | DataFrame,
 ) -> dict:
     """Propagate deletions INTO the index — the right-to-be-forgotten
     half of the lifecycle.  The reference's pipeline applies deletes to
@@ -236,12 +236,30 @@ def delete_from_text_index(
     - ``df/`` re-aggregates from the remaining postings (vocab-sized)
       and ``n_docs`` updates — both already overwrite-based.
 
+    ``doc_ids`` may be a Python sequence (ad-hoc scrubs) or a one-
+    column DataFrame (the reference's delete lists are parquet
+    datasets — J1's input shape — and a literal IN list does not
+    survive a million-row deletion table; the DataFrame form plans as
+    broadcast joins instead).
+
     Cost: O(touched buckets' bytes) + one vocab-sized aggregate.
     Returns the updated meta dict plus ``n_deleted``.
     """
-    ids = [int(i) for i in doc_ids]
+    if isinstance(doc_ids, DataFrame):
+        ids_df = doc_ids.select(
+            F.col(doc_ids.columns[0]).cast("long").alias("doc_id")
+        ).distinct().localCheckpoint(eager=True)
+        n_ids = ids_df.count()
+    else:
+        ids = [int(i) for i in doc_ids]
+        n_ids = len(ids)
+        ids_df = (
+            spark.createDataFrame([(i,) for i in ids], "doc_id long")
+            if ids
+            else None
+        )
     meta = _read_meta(path)
-    if not ids:
+    if not n_ids:
         meta["n_deleted"] = 0
         return meta
     nb = meta["num_buckets"]
@@ -249,13 +267,13 @@ def delete_from_text_index(
     stored = _read_or_empty(spark, postings_path, _POSTINGS_SCHEMA)
     touched_tb = [
         r["tb"]
-        for r in stored.filter(F.col("doc_id").isin(ids))
+        for r in stored.join(F.broadcast(ids_df), "doc_id", "left_semi")
         .select("tb").distinct().collect()
     ]
     if touched_tb:
         kept = (
             stored.filter(F.col("tb").isin(touched_tb))
-            .filter(~F.col("doc_id").isin(ids))
+            .join(F.broadcast(ids_df), "doc_id", "left_anti")
             .localCheckpoint(eager=True)  # never read what we replace
         )
         (
@@ -276,18 +294,18 @@ def delete_from_text_index(
     if os.path.isdir(vectors_path):
         touched_vb = sorted(
             {
-                r["vb"]
-                for r in spark.createDataFrame(
-                    [(i,) for i in ids], "doc_id long"
+                int(r["vb"])
+                for r in ids_df.select(
+                    _bucket(F.col("doc_id"), nb).alias("vb")
                 )
-                .select(_bucket(F.col("doc_id"), nb).alias("vb"))
+                .distinct()
                 .collect()
             }
         )
         vecs = spark.read.parquet(vectors_path)
         kept_v = (
-            vecs.filter(F.col("vb").isin([int(v) for v in touched_vb]))
-            .filter(~F.col("doc_id").isin(ids))
+            vecs.filter(F.col("vb").isin(touched_vb))
+            .join(F.broadcast(ids_df), "doc_id", "left_anti")
             .localCheckpoint(eager=True)
         )
         (
@@ -305,7 +323,7 @@ def delete_from_text_index(
     remaining.groupBy("term").agg(F.count(F.lit(1)).alias("df")) \
         .write.mode("overwrite").parquet(os.path.join(path, "df"))
     meta["n_docs"] = remaining.select("doc_id").distinct().count()
-    meta["n_deleted"] = len(ids)
+    meta["n_deleted"] = n_ids
     tmp = os.path.join(path, META_NAME + ".tmp")
     with open(tmp, "w") as fh:
         json.dump({k: v for k, v in meta.items() if k != "n_deleted"}, fh,

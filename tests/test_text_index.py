@@ -501,3 +501,22 @@ class TestIndexDeletion:
         # deleting an unknown id changes nothing either
         meta = delete_from_text_index(spark, path, [999])
         assert meta["n_docs"] == 4
+
+
+def test_delete_accepts_dataframe_id_list(spark, tmp_path):
+    """The production deletion-list shape (J1's input is a parquet
+    dataset, not a literal list): a one-column DataFrame of ids must
+    behave identically to the sequence form."""
+    from recover_spark.ops.text_index import delete_from_text_index
+
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    build_text_index(_corpus(spark, _OLD), p1, num_buckets=8)
+    build_text_index(_corpus(spark, _OLD), p2, num_buckets=8)
+    delete_from_text_index(spark, p1, [1, 3])
+    meta = delete_from_text_index(
+        spark, p2, spark.createDataFrame([(1,), (3,)], "doc_id long")
+    )
+    assert meta["n_docs"] == 2 and meta["n_deleted"] == 2
+    a = sorted(map(tuple, probe_text_index(_corpus(spark, _NEW), p1, 0.4).collect()))
+    b = sorted(map(tuple, probe_text_index(_corpus(spark, _NEW), p2, 0.4).collect()))
+    assert a == b
