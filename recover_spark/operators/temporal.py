@@ -1160,6 +1160,13 @@ def holt_winters_smooth(
     local = local.withColumn(
         "__conv", F.aggregate(F.col("__pref"), zero3, conv_fold)
     ).drop("__pref")
+    # NOTE deliberately NOT pinned: the plan shows the `local` subtree
+    # twice (summaries + row join), but column pruning strips the conv
+    # fold from the summaries branch — the recompute is the cheap
+    # window pass only, and a localCheckpoint pin measured SLOWER
+    # (materialization cost exceeds the pruned recompute; contrast the
+    # round-5 tokenize-once barrier, where the duplicated branch was
+    # NOT prunable)
 
     # chunk summaries: full-vector increment B and the first value
     b_sums = [

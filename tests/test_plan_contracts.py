@@ -317,6 +317,11 @@ def test_no_cartesian_product_across_query_surface(spark):
         "ts_smooth", "sample_weighted", "join_asof_nearest",
         "agg_skyline", "agg_quantile_rollup", "v5_drift_psi",
         "v6_drift_categorical", "dedup_cosine_probe",
+        # round 6 (the lifecycle queries — *_compacted, *_maintained,
+        # *_deleted, stream_drift_* — execute their build/append/
+        # compact/stream work during construction and are pinned by
+        # their own lifecycle tests instead)
+        "ts_holt_winters", "ts_holt",
     ]
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"
@@ -547,3 +552,60 @@ def test_asof_nearest_one_exchange_two_sorts(spark):
     assert "Join" not in plan
     assert plan.count("Window") == 2
     assert plan.count("Sort") == 2
+
+
+def test_holt_winters_two_partitionings_no_cartesian(spark):
+    """The seasonal scan's physical plan: exchanges only on (key) and
+    (key, chunk) — the family's two partitionings — no
+    SinglePartition exchange (the scale-killer a naive global
+    formulation would plan) and no CartesianProduct.  The `local`
+    subtree legitimately appears under both the summaries branch and
+    the row join: column pruning strips the conv fold from the former
+    (pinned as a comment in the operator; a checkpoint measured
+    slower)."""
+    import re
+
+    from recover_spark.operators.temporal import holt_winters_smooth
+
+    df = spark.createDataFrame(
+        [("a", i, float(i % 5)) for i in range(200)],
+        "k string, t int, v double",
+    )
+    plan = (
+        holt_winters_smooth(df, ["k"], "t", "v", 0.3, 0.1, 0.2, 4,
+                            chunk_rows=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    parts = {
+        tuple(sorted(c.strip().split("#")[0] for c in m.split(",")[:-1]))
+        for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    }
+    assert parts == {("k",), ("__chunk", "k")}, parts
+
+
+def test_index_deletion_scan_is_partition_scoped(spark, tmp_path):
+    """delete_from_text_index's rewrite reads ONLY the touched term
+    buckets: the kept-rows scan carries PartitionFilters on tb (the
+    same pruning contract as the probe)."""
+    from recover_spark.ops.text_index import build_text_index
+    from recover_spark.ops.text_index import _read_or_empty, _POSTINGS_SCHEMA
+    import os
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(i, f"shared anchor term plus unique{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    build_text_index(docs, path, num_buckets=16)
+    stored = _read_or_empty(
+        spark, os.path.join(path, "postings"), _POSTINGS_SCHEMA
+    )
+    pruned = stored.filter(F.col("tb").isin([1, 2]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters")[1][:120]
+    assert "tb" in seg
