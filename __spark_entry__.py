@@ -1056,6 +1056,67 @@ def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition
+    (operators/temporal.py:seasonal_decompose): centered length-7
+    moving-average trend (NULL at the partial-window edges, the
+    classical convention), zero-sum phase effects from the detrended
+    means, residual as the remainder — the diagnostic companion to
+    ``ts_holt_winters`` (how big IS the cycle vs the trend vs the
+    noise).  One key-window pass + one (keys x L) phase aggregate.
+    Oracle: the identical windows/aggregation in SQL."""
+    from recover_spark.operators.temporal import seasonal_decompose
+
+    events = _load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = seasonal_decompose(
+        events, ["user_id"], ["ts", "event_id"], "value", season_length=7
+    )
+    return out.select(
+        "user_id", "event_id", _ts(F.col("ts"), "ts"),
+        F.round("value", 6).alias("value"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("resid", 6).alias("resid"),
+    )
+
+
+_TS_DECOMPOSE_ORACLE = """
+    WITH o AS (
+        SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS y,
+               row_number() OVER w AS rn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    t AS (
+        SELECT *,
+               CASE WHEN count(*) OVER f = 7
+                    THEN avg(y) OVER f END AS trend,
+               (rn - 1) % 7 AS phase
+        FROM o
+        WINDOW f AS (PARTITION BY user_id ORDER BY rn
+                     ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    pm AS (
+        SELECT user_id, phase, avg(y - trend) AS pmv
+        FROM t GROUP BY 1, 2
+    ),
+    ctr AS (
+        SELECT user_id, phase,
+               pmv - avg(pmv) OVER (PARTITION BY user_id) AS seasonal
+        FROM pm
+    )
+    SELECT t.user_id, t.event_id,
+           strftime(t.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           round(t.y, 6) AS value,
+           round(t.trend, 6) AS trend,
+           round(ctr.seasonal, 6) AS seasonal,
+           round(t.y - t.trend - ctr.seasonal, 6) AS resid
+    FROM t JOIN ctr ON t.user_id = ctr.user_id AND t.phase = ctr.phase
+"""
+
+
 def _holt_winters_oracle_sql(
     alpha: float, gamma: float, delta: float, season_length: int
 ) -> str:
@@ -4439,6 +4500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_drift_psi": q_stream_drift_psi,
         "stream_drift_categorical": q_stream_drift_categorical,
         "dedup_cosine_probe_deleted": q_dedup_cosine_probe_deleted,
+        "ts_decompose": q_ts_decompose,
         "s2_schema_drift": q_s2_schema_drift,
         "scan_bloommap": q_scan_bloommap,
         "dedup_cosine_exact": q_dedup_cosine_exact,
@@ -5863,6 +5925,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "ts_holt": _holt_oracle_sql(0.3, 0.2),
         "ts_holt_winters": _holt_winters_oracle_sql(0.3, 0.1, 0.25, 7),
+        "ts_decompose": _TS_DECOMPOSE_ORACLE,
         "ts_smooth": """
             WITH o AS (
                 SELECT user_id, event_id, ts, value,

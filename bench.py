@@ -84,6 +84,8 @@ HEADLINE = [
     "ts_holt_winters",
     "stream_drift_psi",
     "ann_ivf_maintained",
+    "ts_decompose",
+    "dedup_cosine_probe_deleted",
 ]
 
 

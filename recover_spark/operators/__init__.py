@@ -14,6 +14,8 @@ from recover_spark.operators.temporal import (
     asof_join,
     ewma_smooth,
     holt_smooth,
+    holt_winters_smooth,
+    seasonal_decompose,
     range_join,
     resample_forward_fill,
 )
@@ -29,6 +31,8 @@ from recover_spark.operators.analytics import (
 __all__ = [
     "ewma_smooth",
     "holt_smooth",
+    "holt_winters_smooth",
+    "seasonal_decompose",
     "skyline_2d",
     "approx_quantile_rollup",
     "asof_join",

@@ -1296,3 +1296,81 @@ def holt_winters_smooth(
         .withColumn(season_col, row_out(2))
         .drop("__n", "__chunk", "__p", "__len", "__conv", "__xin")
     )
+
+
+def seasonal_decompose(
+    series: DataFrame,
+    on: Sequence[str],
+    ts_col: str | Sequence[str],
+    value_col: str,
+    season_length: int,
+    trend_col: str = "trend",
+    seasonal_col: str = "seasonal",
+    resid_col: str = "resid",
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method of statsmodels ``seasonal_decompose``), per key:
+
+        trend_t    = centered moving average of length L
+                     (even L: the standard 2xL MA — endpoints of the
+                     window weighted 1/2 — so the average is centered
+                     on t exactly); NULL where the window is partial
+                     (the first/last floor(L/2) rows — the classical
+                     convention, no edge extrapolation)
+        seasonal_p = mean of (y - trend) at phase p, centered so the
+                     L phase effects sum to zero
+        resid_t    = y_t - trend_t - seasonal_{t mod L}
+
+    The diagnostic companion to ``holt_winters_smooth``: HW answers
+    "smooth and forecast", this answers "how big IS the cycle vs the
+    trend vs the noise" — the first question a wearable-data analyst
+    asks of circadian series.
+
+    Plan shape: the moving average and the phase numbering ride ONE
+    key-partitioned window sort; phase means are a (keys x L)-sized
+    aggregate joined back on (key, phase).  Everything is built-in
+    expressions over two shuffles — no UDF, no driver loop, and every
+    window frame is bounded by L (no per-key unbounded state beyond
+    the tiny phase table).
+    """
+    if season_length < 2:
+        raise ValueError("season_length must be >= 2")
+    L = int(season_length)
+    key_names = list(on)
+    order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+    w_key = Window.partitionBy(*key_names).orderBy(
+        *[F.asc(c) for c in order_cols]
+    )
+    y = F.col(value_col).cast("double")
+    half = L // 2
+    if L % 2 == 1:
+        frame = w_key.rowsBetween(-half, half)
+        trend = F.when(
+            F.count(y).over(frame) == L, F.avg(y).over(frame)
+        )
+    else:
+        # 2xL MA: average of the two length-L windows straddling t
+        f1 = w_key.rowsBetween(-half, half - 1)
+        f2 = w_key.rowsBetween(-half + 1, half)
+        trend = F.when(
+            (F.count(y).over(f1) == L) & (F.count(y).over(f2) == L),
+            (F.avg(y).over(f1) + F.avg(y).over(f2)) / 2.0,
+        )
+    numbered = series.withColumn("__n", F.row_number().over(w_key))
+    with_trend = numbered.withColumn(trend_col, trend).withColumn(
+        "__phase", (F.col("__n") - 1) % L
+    )
+    detr = (y - F.col(trend_col)).alias("__detr")
+    phase_means = (
+        with_trend.select(*key_names, "__phase", detr)
+        .groupBy(*key_names, "__phase")
+        .agg(F.avg("__detr").alias("__pm"))
+    )
+    w_k = Window.partitionBy(*key_names)
+    centered = phase_means.withColumn(
+        seasonal_col, F.col("__pm") - F.avg("__pm").over(w_k)
+    ).select(*key_names, "__phase", seasonal_col)
+    out = with_trend.join(centered, [*key_names, "__phase"], "left")
+    return out.withColumn(
+        resid_col, y - F.col(trend_col) - F.col(seasonal_col)
+    ).drop("__n", "__phase")

@@ -665,3 +665,99 @@ class TestHoltWintersSmooth:
                 holt_winters_smooth(df, ["k"], "t", "v", bad, 0.1, 0.1, 4)
         with pytest.raises(ValueError, match="season_length"):
             holt_winters_smooth(df, ["k"], "t", "v", 0.3, 0.1, 0.1, 1)
+
+
+class TestSeasonalDecompose:
+    @staticmethod
+    def _reference(values, L):
+        """Independent numpy reference: statsmodels-style classical
+        additive decomposition."""
+        import numpy as np
+
+        y = np.asarray(values, dtype=float)
+        n = len(y)
+        trend = np.full(n, np.nan)
+        half = L // 2
+        if L % 2 == 1:
+            for t in range(half, n - half):
+                trend[t] = y[t - half : t + half + 1].mean()
+        else:
+            for t in range(half, n - half):
+                w = np.ones(L + 1)
+                w[0] = w[-1] = 0.5
+                trend[t] = (y[t - half : t + half + 1] * w).sum() / L
+        detr = y - trend
+        pm = np.array([
+            np.nanmean(detr[p::L]) if np.any(~np.isnan(detr[p::L])) else np.nan
+            for p in range(L)
+        ])
+        pm = pm - np.nanmean(pm)
+        seasonal = np.array([pm[t % L] for t in range(n)])
+        resid = y - trend - seasonal
+        return trend, seasonal, resid
+
+    def _check(self, spark, values, L):
+        import math as m
+
+        from recover_spark.operators.temporal import seasonal_decompose
+
+        df = spark.createDataFrame(
+            [("k", i, float(v)) for i, v in enumerate(values)],
+            "k string, t long, v double",
+        )
+        rows = seasonal_decompose(df, ["k"], "t", "v", L).orderBy("t").collect()
+        tr, se, re_ = self._reference(values, L)
+        for i, r in enumerate(rows):
+            if m.isnan(tr[i]):
+                assert r["trend"] is None and r["resid"] is None, (i, r)
+            else:
+                assert abs(r["trend"] - tr[i]) < 1e-9, (i, r["trend"], tr[i])
+                assert abs(r["resid"] - re_[i]) < 1e-9
+            assert abs(r["seasonal"] - se[i]) < 1e-9
+
+    def test_matches_numpy_even_period(self, spark):
+        import math as m
+
+        vals = [
+            20 + 5 * m.sin(i * 2 * m.pi / 12) + 0.05 * i + ((i * 7) % 5) * 0.3
+            for i in range(120)
+        ]
+        self._check(spark, vals, 12)
+
+    def test_matches_numpy_odd_period(self, spark):
+        vals = [((i * 13) % 23) + [3, -1, 4, -2, -4][i % 5] for i in range(75)]
+        self._check(spark, vals, 5)
+
+    def test_pure_cycle_decomposes_cleanly(self, spark):
+        """A noiseless trend+cycle series: residuals ~0 in the interior
+        and the seasonal component recovers the demeaned cycle."""
+        from recover_spark.operators.temporal import seasonal_decompose
+
+        cycle = [6.0, -2.0, 1.0, -5.0]
+        vals = [10 + 0.5 * i + cycle[i % 4] for i in range(80)]
+        df = spark.createDataFrame(
+            [("k", i, v) for i, v in enumerate(vals)],
+            "k string, t long, v double",
+        )
+        rows = seasonal_decompose(df, ["k"], "t", "v", 4).orderBy("t").collect()
+        mean_c = sum(cycle) / 4
+        for r in rows:
+            assert abs(r["seasonal"] - (cycle[r.t % 4] - mean_c)) < 1e-6
+            if r["resid"] is not None:
+                assert abs(r["resid"]) < 1e-6
+        # seasonal effects sum to zero per key
+        assert abs(sum(r["seasonal"] for r in rows[:4])) < 1e-9
+
+    def test_multi_key_and_invalid_period(self, spark):
+        import pytest
+
+        from recover_spark.operators.temporal import seasonal_decompose
+
+        rows = [("a", i, float(i % 3)) for i in range(30)] + [
+            ("b", i, float(i % 7)) for i in range(15)
+        ]
+        df = spark.createDataFrame(rows, "k string, t long, v double")
+        out = seasonal_decompose(df, ["k"], "t", "v", 3).collect()
+        assert len(out) == 45
+        with pytest.raises(ValueError, match="season_length"):
+            seasonal_decompose(df, ["k"], "t", "v", 1)
