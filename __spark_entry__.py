@@ -4205,12 +4205,12 @@ def q_dedup_cosine_probe_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_text_index(
         docs.filter(F.col("doc_id") % 5 != 0), idx, num_buckets=16
     )
-    victims = [
-        r["doc_id"]
-        for r in docs.filter(
-            (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 3)
-        ).select("doc_id").collect()
-    ]
+    victims = docs.filter(
+        (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 3)
+    ).select("doc_id")
+    # DataFrame-form deletion list — the production shape (J1's delete
+    # lists are datasets); plans as broadcast semi/anti joins, no
+    # driver collect of the victim set
     delete_from_text_index(spark, idx, victims)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     return probe_text_index(batch, idx, 0.9).orderBy("new_id", "indexed_id")

@@ -549,3 +549,57 @@ def test_holt_winters_scan_matches_sequential(
         assert abs(got[i]["level"] - l) <= 1e-8 * scale, (i, got[i], l)
         assert abs(got[i]["trend"] - b) <= 1e-8 * scale, (i, got[i], b)
         assert abs(got[i]["season"] - s_new) <= 1e-8 * scale, (i, got[i], s_new)
+
+
+@given(
+    values=st.lists(
+        st.floats(-100, 100, allow_nan=False), min_size=6, max_size=60
+    ),
+    period=st.integers(2, 6),
+)
+@_settings
+def test_seasonal_decompose_matches_numpy(spark, values, period):
+    """Classical decomposition equals the numpy reference for arbitrary
+    series and periods (odd and even MA forms, edge-NULL convention,
+    zero-sum phase centering)."""
+    import math as m
+
+    import numpy as np
+
+    from recover_spark.operators.temporal import seasonal_decompose
+
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(values)],
+        "k string, t long, v double",
+    )
+    rows = (
+        seasonal_decompose(df, ["k"], "t", "v", period).orderBy("t").collect()
+    )
+    y = np.asarray(values)
+    n, L, half = len(y), period, period // 2
+    trend = np.full(n, np.nan)
+    for t in range(half, n - half):
+        if L % 2 == 1:
+            trend[t] = y[t - half : t + half + 1].mean()
+        else:
+            w = np.ones(L + 1)
+            w[0] = w[-1] = 0.5
+            trend[t] = (y[t - half : t + half + 1] * w).sum() / L
+    detr = y - trend
+    pm = np.array(
+        [
+            np.nanmean(detr[p::L]) if np.any(~np.isnan(detr[p::L])) else np.nan
+            for p in range(L)
+        ]
+    )
+    grand = np.nanmean(pm)
+    for i, r in enumerate(rows):
+        if m.isnan(trend[i]):
+            assert r["trend"] is None
+        else:
+            assert abs(r["trend"] - trend[i]) < 1e-8
+        expect_s = pm[i % L] - grand
+        if m.isnan(expect_s):
+            assert r["seasonal"] is None
+        else:
+            assert abs(r["seasonal"] - expect_s) < 1e-8
