@@ -60,6 +60,8 @@ PROBES = [
     # them on rotated-text replicas instead)
     "ts_smooth",            # EWMA chunked affine scan over events
     "ts_holt",              # Holt 2-D affine scan over events
+    "ts_holt_winters",      # 9-D seasonal scan (unit-split)
+    "ts_decompose",         # classical MA decomposition
     "graph_pagerank",       # 6 power iterations over the trade graph
     "v5_drift_psi",         # PSI binning, two lineitem-era scans
 ]

@@ -43,6 +43,10 @@ PROBES = [
     # chunks by construction — the skew probe verifies that claim
     "ts_smooth",            # EWMA chunked scan keyed on user_id
     "ts_holt",              # Holt 2-D chunked scan keyed on user_id
+    # round 6: the seasonal scan shares the (key, chunk) shape; the
+    # decomposition's MA windows are L-bounded frames on the hot key
+    "ts_holt_winters",
+    "ts_decompose",
 ]
 
 
