@@ -6280,15 +6280,15 @@ def _oracle_sql_literal() -> dict[str, str]:
                               % 8 AS shard
                    FROM c),
             p AS (SELECT shard, doc_id, chunk_index, chunk_tokens,
-                         sum(chunk_tokens) OVER (
+                         CAST(sum(chunk_tokens) OVER (
                              PARTITION BY shard
                              ORDER BY doc_id, chunk_index
-                             ROWS UNBOUNDED PRECEDING) AS cum
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
                   FROM sh)
             SELECT shard,
                    CAST(floor((cum - chunk_tokens) / 256) AS BIGINT) AS seq_id,
                    doc_id, chunk_index, chunk_tokens,
-                   cum - chunk_tokens AS stream_offset
+                   CAST(cum - chunk_tokens AS BIGINT) AS stream_offset
             FROM p
         """,
         "merge_scd2": """

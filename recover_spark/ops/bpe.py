@@ -132,7 +132,11 @@ def _select_exact_batch(
     earlier accepted merge AND its weight STRICTLY exceeds every
     earlier merge's worst-case boosted-pair weight — strictness also
     settles ties, which the sequential tie rule would otherwise
-    resolve against the in-place candidate order.
+    resolve against the in-place candidate order.  Candidates whose
+    own merged string was already minted by an earlier accepted merge
+    are rejected too: without that, two symbol-disjoint merges could
+    create the SAME new symbol via different splits and jointly boost
+    a pair beyond any single merge's tracked bound.
     """
     batch: list = []
     blocked: set[str] = set()
@@ -142,7 +146,20 @@ def _select_exact_batch(
         if len(batch) >= budget or int(c["w"]) < min_pair_weight:
             break
         if batch:
-            if {c["l"], c["r"]} & blocked or int(c["w"]) <= bound:
+            # Block on the candidate's MERGED string too: two
+            # symbol-disjoint candidates can mint the SAME new symbol
+            # via different splits ((a, bc) and (ab, c) both create
+            # "abc"), and a pair containing that symbol would then be
+            # boosted by BOTH merges — more than any single earlier
+            # merge's worst-case bound tracks.  Rejecting a candidate
+            # whose own merged string is already blocked keeps every
+            # boosted pair attributable to exactly one accepted merge,
+            # which is what the bound's soundness argument needs.
+            if (
+                {c["l"], c["r"]} & blocked
+                or (c["l"] + c["r"]) in blocked
+                or int(c["w"]) <= bound
+            ):
                 break
         batch.append(c)
         merged = c["l"] + c["r"]

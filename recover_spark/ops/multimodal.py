@@ -100,16 +100,29 @@ def _decode_pnm_gray(blob: bytes) -> tuple[int, int, list[int]]:
         raise ValueError(f"bad PNM header: {w}x{h} maxval={maxval}")
     raster = blob[pos:]
     n = w * h
-    if magic == b"P5":
-        if len(raster) < n:
-            raise ValueError("truncated PGM raster")
-        gray = list(raster[:n])
+    # maxval > 255 means 2-byte BIG-ENDIAN samples per the PNM spec —
+    # reading one byte each would pass the header check and silently
+    # decode garbage, violating the loud-degradation contract.
+    bps = 2 if maxval > 255 else 1
+    spp = 3 if magic == b"P6" else 1
+    need = bps * spp * n
+    if len(raster) < need:
+        raise ValueError(
+            f"truncated {'PPM' if spp == 3 else 'PGM'} raster"
+        )
+    if bps == 1:
+        samples = raster[:need]
     else:
-        if len(raster) < 3 * n:
-            raise ValueError("truncated PPM raster")
+        samples = [
+            (raster[2 * i] << 8) | raster[2 * i + 1]
+            for i in range(spp * n)
+        ]
+    if spp == 1:
+        gray = list(samples)
+    else:
         gray = [
-            (raster[3 * i] * 299 + raster[3 * i + 1] * 587
-             + raster[3 * i + 2] * 114) // 1000
+            (samples[3 * i] * 299 + samples[3 * i + 1] * 587
+             + samples[3 * i + 2] * 114) // 1000
             for i in range(n)
         ]
     if maxval != 255:

@@ -832,9 +832,26 @@ def compact_ivf_index(
     text sibling and the week-50 rationale."""
     from recover_spark.sources.compaction import compact_partitions
 
+    _heal_ivf_swap(index_path)
     return compact_partitions(
         spark, index_path, "list", min_files_per_list
     )
+
+
+def _heal_ivf_swap(index_path: str) -> bool:
+    """Crash healer for the rebuild swap: the two-rename swap (live ->
+    .old, staging -> live) has a window where only ``.old`` exists.  On
+    entry to any maintenance verb, restore the retained copy so the
+    index is never lost to a crash between the renames — the same
+    contract as the streaming matview's ``_recover_state``
+    (streaming/matview.py).  Returns True when a restore happened."""
+    import os
+
+    old = index_path.rstrip("/") + ".old"
+    if not os.path.exists(index_path) and os.path.exists(old):
+        os.rename(old, index_path)
+        return True
+    return False
 
 
 def rebuild_ivf_index(
@@ -867,6 +884,7 @@ def rebuild_ivf_index(
     import os
     import shutil
 
+    _heal_ivf_swap(index_path)
     if n_centroids is None:
         n_centroids = spark.read.parquet(
             f"{index_path}/_centroids"
@@ -918,6 +936,7 @@ def delete_from_ivf_index(
     import os
     import shutil
 
+    _heal_ivf_swap(index_path)
     if isinstance(vec_ids, DataFrame):
         ids_df = vec_ids.select(
             F.col(vec_ids.columns[0]).cast("long").alias(id_col)

@@ -276,6 +276,38 @@ def pipeline_tables_from_state(
     return {name: df}
 
 
+def _migrate_legacy_unpartitioned(path: str) -> int:
+    """One-time layout migration for the r6 switch to ``__batch=<id>``
+    hive partitioning: a state/output directory written by the earlier
+    UNPARTITIONED layout holds root-level parquet files, and mixing
+    those with ``__batch=N`` subdirectories breaks Spark's partition
+    discovery.  Fold any root-level data files into a ``__batch=-1``
+    partition (the same convention ``compact_dedup_state`` uses for
+    compacted state) so old and new layouts compose.  Content is
+    unchanged — dedup semantics never depend on which partition a row
+    lives in.  Returns the number of files moved."""
+    import glob
+    import os
+
+    if not os.path.isdir(path):
+        return 0
+    legacy = [
+        f
+        for f in glob.glob(os.path.join(path, "*.parquet"))
+        if os.path.isfile(f)
+    ]
+    if not legacy:
+        return 0
+    dest = os.path.join(path, "__batch=-1")
+    os.makedirs(dest, exist_ok=True)
+    for f in legacy:
+        os.rename(f, os.path.join(dest, os.path.basename(f)))
+    success = os.path.join(path, "_SUCCESS")
+    if os.path.isfile(success):
+        os.remove(success)
+    return len(legacy)
+
+
 def dedup_against_corpus(
     stream: DataFrame,
     state_path: str,
@@ -309,6 +341,8 @@ def dedup_against_corpus(
     spark = stream.sparkSession
 
     def _apply(batch: DataFrame, _batch_id: int) -> None:
+        _migrate_legacy_unpartitioned(state_path)
+        _migrate_legacy_unpartitioned(output_path)
         digest = F.md5(F.lower(F.trim(F.col(text_col))))
         w = Window.partitionBy("__digest").orderBy(F.col(id_col))
         fresh = (
@@ -427,6 +461,7 @@ def near_dedup_against_corpus(
     def _apply(batch: DataFrame, batch_id: int) -> None:
         if batch_id <= _applied():
             return
+        _migrate_legacy_unpartitioned(output_path)
         pairs = cosine_threshold_pairs(
             batch, threshold, id_col=id_col, text_col=text_col
         )

@@ -122,6 +122,28 @@ def test_greedy_overlap_semantics(spark):
     assert enc == ["aa", "aa", EOW] * 3
 
 
+def test_batch_guard_rejects_candidate_minting_blocked_symbol():
+    """Two symbol-DISJOINT candidates can mint the SAME merged symbol
+    via different splits — (a, bc) and (ab, c) both create "abc" — and
+    a pair containing that symbol would then gain occurrences from
+    BOTH merges, exceeding any single merge's tracked worst-case
+    bound.  The prefix guard must therefore stop at a candidate whose
+    own merged string was already minted, even when its symbols are
+    unblocked and its weight clears the boost bound."""
+    from recover_spark.ops.bpe import _select_exact_batch
+
+    top = [
+        {"l": "a", "r": "bc", "w": 100},
+        {"l": "ab", "r": "c", "w": 90},
+        {"l": "p", "r": "q", "w": 80},
+    ]
+    batch = _select_exact_batch(
+        top, complete=True, max_left={}, max_right={},
+        budget=8, min_pair_weight=1,
+    )
+    assert [(c["l"], c["r"]) for c in batch] == [("a", "bc")]
+
+
 def test_batched_training_respects_created_pair_ordering(spark):
     """The batching hazard the gap guard exists for: in "abc"xN +
     "xy"xN, merging (a,b) creates (ab,c) with the SAME weight as

@@ -1279,3 +1279,27 @@ class TestPnmRealDecode:
             _decode_pnm_gray(b"\x89PNG not pnm")
         with _pytest.raises(ValueError, match="truncated"):
             _decode_pnm_gray(b"P5\n4 4\n255\n\x00\x01")
+
+    def test_pnm_16bit_big_endian_samples(self):
+        """maxval > 255 means 2-byte big-endian samples (PNM spec); a
+        one-byte read would silently decode garbage."""
+        import struct
+
+        import pytest as _pytest
+
+        from recover_spark.ops.multimodal import _decode_pnm_gray
+
+        # P5, maxval 65535: samples 65535, 0, 32768, 65535
+        vals = [65535, 0, 32768, 65535]
+        blob = b"P5\n2 2\n65535\n" + struct.pack(">4H", *vals)
+        _, _, g = _decode_pnm_gray(blob)
+        assert g == [min(255, v * 255 // 65535) for v in vals]
+        assert g == [255, 0, 127, 255]
+        # P6 16-bit: pure red pixels scale through the 601-2 weight
+        px = struct.pack(">3H", 65535, 0, 0) * 4
+        _, _, g6 = _decode_pnm_gray(b"P6\n2 2\n65535\n" + px)
+        assert all(v == (65535 * 299 // 1000) * 255 // 65535 for v in g6)
+        # a 16-bit raster sized for the ONE-byte misread must fail
+        # loudly, not decode
+        with _pytest.raises(ValueError, match="truncated"):
+            _decode_pnm_gray(b"P5\n2 2\n65535\n" + bytes(4))

@@ -441,6 +441,58 @@ def test_dedup_against_corpus_across_runs(spark, tmp_path):
     assert got2 == {1, 3, 10}
 
 
+def test_dedup_against_corpus_migrates_legacy_unpartitioned_state(
+    spark, tmp_path
+):
+    """r6 switched state/output to __batch=<id> hive partitioning; a
+    directory produced by the earlier UNPARTITIONED layout (root-level
+    parquet files) must be folded into a __batch=-1 partition on the
+    next run rather than breaking partition discovery — and its
+    digests must still dedup arrivals."""
+    import os
+
+    from recover_spark.streaming.incremental import dedup_against_corpus
+
+    src = tmp_path / "src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    # fabricate the legacy layouts: root-level parquet, no __batch
+    spark.createDataFrame(
+        [("33cf6123dd5c46d7b6fdc9cd72abbf66",)], "__digest string"
+    ).coalesce(1).write.parquet(state)  # md5 of "alpha beta"
+    spark.createDataFrame(
+        [(1, "alpha beta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(out)
+    assert any(
+        f.endswith(".parquet") for f in os.listdir(state)
+    ), "premise: legacy root-level files"
+
+    _write_batch(
+        str(src / "b1.json"),
+        [
+            {"doc_id": 9, "text": "alpha beta"},     # dup of legacy digest
+            {"doc_id": 10, "text": "epsilon zeta"},  # novel
+        ],
+        mtime_offset_s=0,
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(
+        str(src)
+    )
+    q = dedup_against_corpus(stream, state, ckpt, out)
+    q.awaitTermination(120)
+
+    # legacy files now live under __batch=-1, none left at the root
+    assert not any(
+        f.endswith(".parquet") for f in os.listdir(state)
+    )
+    assert os.path.isdir(os.path.join(state, "__batch=-1"))
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 10}
+
+
 def test_topk_matview_bounded_state_and_hot_keys_exact(spark, tmp_path):
     """Bounded frequent-items view: hot keys keep near-exact weights
     across increments while the state never exceeds the capacity, and
