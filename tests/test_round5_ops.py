@@ -456,10 +456,13 @@ class TestMultimodalRealDecode:
             with pytest.raises(Exception, match="PIL"):
                 mm.extract_image_features(df, decode_stub=False).collect()
         if not mm.ffmpeg_available():
-            with pytest.raises(NotImplementedError, match="ffprobe"):
-                mm.sample_video_frames(df, decode_stub=False)
-            with pytest.raises(NotImplementedError, match="ffprobe"):
-                mm.chunk_audio(df, decode_stub=False)
+            # non-WAV blob without ffprobe: the WORKER kernel raises
+            # per blob (the driver no longer gates — the WAV parser
+            # means decode_stub=False is always launchable)
+            with pytest.raises(Exception, match="ffprobe"):
+                mm.sample_video_frames(df, decode_stub=False).collect()
+            with pytest.raises(Exception, match="ffprobe"):
+                mm.chunk_audio(df, decode_stub=False).collect()
 
     def test_real_frame_sampling_when_ffmpeg_present(self, spark):
         from recover_spark.ops import multimodal as mm
@@ -487,6 +490,71 @@ class TestMultimodalRealDecode:
         got = chunks.orderBy("chunk_idx").collect()
         assert [r.chunk_idx for r in got] == [0, 1]
         assert got[-1].byte_end == len(blob)
+
+    @staticmethod
+    def _wav(seconds: float, rate: int = 8000) -> bytes:
+        """Stdlib-built PCM WAV of a given true duration."""
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"\x00\x00" * int(rate * seconds))
+        return buf.getvalue()
+
+    def test_real_audio_chunking_without_ffmpeg_via_wav_parser(self, spark):
+        """The REAL (content-derived) audio path un-skipped in this
+        sandbox (VERDICT r6 #3): a PCM WAV's duration comes from its
+        own fmt/data chunks, so chunk boundaries must follow the
+        CONTENT even when the declared metadata lies."""
+        from recover_spark.ops import multimodal as mm
+
+        blob = self._wav(2.5)  # true duration 2500 ms
+        # declared metadata claims 99s — the real path must ignore it
+        df = spark.createDataFrame(
+            [(7, blob, ("audio/wav", None, None, 99_000))],
+            "media_id long, content binary, meta struct<"
+            "mime_type:string,width:int,height:int,duration_ms:bigint>",
+        )
+        got = (
+            mm.chunk_audio(df, chunk_ms=1000, decode_stub=False)
+            .orderBy("chunk_idx")
+            .collect()
+        )
+        assert [r.chunk_idx for r in got] == [0, 1, 2]
+        assert [(r.chunk_start_ms, r.chunk_end_ms) for r in got] == [
+            (0, 1000), (1000, 2000), (2000, 2500),
+        ]
+        assert got[0].byte_start == 0
+        assert got[-1].byte_end == len(blob)
+        # same schema as the ffprobe kernel and the stub path
+        stub_cols = mm.chunk_audio(df, chunk_ms=1000).columns
+        real_cols = mm.chunk_audio(df, chunk_ms=1000, decode_stub=False).columns
+        assert real_cols == stub_cols
+
+        frames = mm.sample_video_frames(
+            df, every_ms=1000, decode_stub=False
+        ).collect()
+        assert sorted(r.frame_ts_ms for r in frames) == [0, 1000, 2000]
+
+    def test_wav_parser_edge_cases(self):
+        import pytest as _pytest
+
+        from recover_spark.ops.multimodal import _parse_wav_duration_ms
+
+        assert _parse_wav_duration_ms(self._wav(0.5)) == 500
+        assert _parse_wav_duration_ms(self._wav(1.0, rate=44100)) == 1000
+        with _pytest.raises(ValueError, match="RIFF"):
+            _parse_wav_duration_ms(b"\x89PNG not wav")
+        with _pytest.raises(ValueError, match="fmt /data"):
+            _parse_wav_duration_ms(b"RIFF\x04\x00\x00\x00WAVE")
+        # truncated data chunk: duration reflects the bytes PRESENT
+        whole = self._wav(1.0)
+        cut = whole[: len(whole) - 8000]  # drop half the samples
+        assert abs(_parse_wav_duration_ms(cut) - 500) <= 1
 
     def test_stub_path_unchanged(self, spark):
         from recover_spark.ops.multimodal import (

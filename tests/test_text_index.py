@@ -491,6 +491,131 @@ class TestIndexDeletion:
         ).collect()
         assert got == []
 
+    def test_delete_never_reads_untouched_buckets(self, spark, tmp_path):
+        """The O(touched) IO pin (VERDICT r6 #2): corrupt the DATA
+        pages of every parquet file in buckets the deletion should not
+        touch (footers intact, so metadata/schema reads still work —
+        but ANY row read explodes).  The deletion must succeed, and
+        after restoring the pristine bytes the index must equal a
+        fresh build without the deleted docs, df table included."""
+        import glob
+        import os
+        import shutil
+
+        from recover_spark.ops.text_index import (
+            _bucket,
+            delete_from_text_index,
+        )
+
+        path = str(tmp_path / "idx")
+        build_text_index(_corpus(spark, _OLD), path, num_buckets=8)
+        victim = 1
+        # which buckets WILL be touched: the victim's vb, and the tb
+        # of each of its terms (read from its own vector)
+        vrow = (
+            spark.read.parquet(os.path.join(path, "vectors"))
+            .filter(F.col("doc_id") == victim)
+            .select(
+                "vb",
+                F.transform(
+                    "entries", lambda e: _bucket(e["term"], 8)
+                ).alias("tbs"),
+            )
+            .collect()[0]
+        )
+        touched_tb = set(vrow["tbs"])
+        touched_vb = {vrow["vb"]}
+
+        def corruptable(sub, col, touched):
+            out = []
+            for d in glob.glob(os.path.join(path, sub, f"{col}=*")):
+                if int(d.rsplit("=", 1)[1]) not in touched:
+                    out.extend(glob.glob(os.path.join(d, "*.parquet")))
+            return out
+
+        files = corruptable("postings", "tb", touched_tb) + corruptable(
+            "vectors", "vb", touched_vb
+        )
+        assert files, "premise: some untouched bucket exists"
+        pristine = {}
+        for f in files:
+            with open(f, "rb") as fh:
+                raw = fh.read()
+            pristine[f] = raw
+            if len(raw) < 3000:
+                # small file: clobber everything between the 4-byte
+                # header magic and the last 2KB (footer region)
+                body = bytearray(raw)
+                for i in range(4, max(5, len(raw) - 2048)):
+                    body[i] = 0xAB
+            else:
+                body = bytearray(raw)
+                for i in range(100, len(raw) - 2048):
+                    body[i] = 0xAB
+            with open(f, "wb") as fh:
+                fh.write(bytes(body))
+        # premise: the corruption is real — reading rows from a
+        # corrupted bucket raises
+        with pytest.raises(Exception):
+            spark.read.parquet(os.path.dirname(files[0])).collect()
+
+        meta = delete_from_text_index(spark, path, [victim])
+        assert meta["n_deleted"] == 1
+        assert meta["n_docs"] == len(_OLD) - 1
+
+        for f, raw in pristine.items():
+            with open(f, "wb") as fh:
+                fh.write(raw)
+        fresh = str(tmp_path / "fresh")
+        build_text_index(
+            _corpus(spark, [r for r in _OLD if r[0] != victim]),
+            fresh, num_buckets=8,
+        )
+        got = sorted(map(tuple, probe_text_index(
+            _corpus(spark, _NEW), path, 0.4
+        ).collect()))
+        ref = sorted(map(tuple, probe_text_index(
+            _corpus(spark, _NEW), fresh, 0.4
+        ).collect()))
+        assert got == ref
+        # df table: arithmetic decrement == fresh re-aggregation
+        df_got = sorted(
+            map(tuple, spark.read.parquet(os.path.join(path, "df")).collect())
+        )
+        df_ref = sorted(
+            map(tuple, spark.read.parquet(os.path.join(fresh, "df")).collect())
+        )
+        assert df_got == df_ref
+
+    def test_delete_legacy_index_without_vectors(self, spark, tmp_path):
+        """An index whose vectors/ directory is gone falls back to
+        content-scan discovery and still produces the
+        built-without-docs result."""
+        import os
+        import shutil
+
+        from recover_spark.ops.text_index import delete_from_text_index
+
+        path = str(tmp_path / "idx")
+        build_text_index(_corpus(spark, _OLD), path, num_buckets=8)
+        shutil.rmtree(os.path.join(path, "vectors"))
+        meta = delete_from_text_index(spark, path, [1, 3])
+        assert meta["n_docs"] == 2 and meta["n_deleted"] == 2
+        fresh = str(tmp_path / "fresh")
+        build_text_index(
+            _corpus(spark, [r for r in _OLD if r[0] not in (1, 3)]),
+            fresh, num_buckets=8,
+        )
+        # prefix is the only strategy a vectors-less legacy index can
+        # serve (dense scans vectors/)
+        got = sorted(map(tuple, probe_text_index(
+            _corpus(spark, _NEW), path, 0.4, strategy="prefix"
+        ).collect()))
+        ref = sorted(map(tuple, probe_text_index(
+            _corpus(spark, _NEW), fresh, 0.4, strategy="prefix"
+        ).collect()))
+        assert got == ref
+
     def test_delete_nothing_is_noop(self, spark, tmp_path):
         from recover_spark.ops.text_index import delete_from_text_index
 
