@@ -1471,15 +1471,56 @@ def q_transform_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_agg_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based approximate aggregates — the 100 TB substitutes for
-    exact distinct/percentile: HyperLogLog++ count-distinct and t-digest
-    percentile, both mergeable map-side (no oracle: sketch outputs are
-    engine-specific, so the driver applies its rows-only check)."""
+    exact distinct/percentile: HyperLogLog++ count-distinct and
+    t-digest-style percentile, both mergeable map-side.  Sketch outputs
+    are engine-specific, so instead of a rows-only check the estimates
+    fold into IN-PLAN tolerance booleans (VERDICT r6 #4): ``hll_ok``
+    pins the HLL estimate within 3x its configured rsd of the exact
+    distinct; ``p50_rank_ok`` pins the approximate median by its own
+    rank contract (the fraction of values strictly below it stays
+    under 0.5+eps and the fraction at-or-below stays over 0.5-eps).
+    The exact columns hash against the oracle and the oracle emits
+    literal TRUE for the flags — a broken sketch flips a flag and
+    fails the value hash, so the sketches stay load-bearing in a
+    fully-hashed query."""
     events = _load(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.round(
-            F.percentile_approx("value", 0.5, 10_000).cast("double"), 6
-        ).alias("approx_p50_value"),
+    agg = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__hll"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10_000))
+        .cast("double")
+        .alias("__ap50"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    ranked = (
+        events.join(
+            F.broadcast(agg.select("event_type", "__ap50")), "event_type"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.avg((F.col("value") < F.col("__ap50")).cast("int")).alias(
+                "__frac_lt"
+            ),
+            F.avg((F.col("value") <= F.col("__ap50")).cast("int")).alias(
+                "__frac_le"
+            ),
+        )
+    )
+    return (
+        agg.join(ranked, "event_type")
+        .select(
+            "event_type",
+            "n_users",
+            "n_events",
+            (
+                F.abs(F.col("__hll") - F.col("n_users"))
+                <= 0.06 * F.col("n_users")
+            ).alias("hll_ok"),
+            (
+                (F.col("__frac_lt") <= F.lit(0.51))
+                & (F.col("__frac_le") >= F.lit(0.49))
+            ).alias("p50_rank_ok"),
+        )
     )
 
 
@@ -1961,14 +2002,58 @@ def q_agg_distinct_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_distinct_overlap): distinct users who both clicked AND
     purchased via HLL inclusion-exclusion — sketches union but never
     intersect, so |A∩B| ≈ |A|+|B|-|A∪B| on three mergeable one-row
-    estimates out of a single scan.  Approximate by contract:
-    rows-only check (like agg_hll_rollup); the pytest twin pins the
-    estimates within tolerance of exact."""
+    estimates out of a single scan.  Hashed via the tolerance-flag
+    pattern (VERDICT r6 #4): the exact set sizes hash against the
+    oracle; each estimate folds into an in-plan boolean at 3x the
+    lg_k=14 standard error (~2.5%), with the intersection flag
+    allowed the inclusion-exclusion error sum.  The oracle emits
+    literal TRUE per flag."""
     from recover_spark.operators.analytics import approx_distinct_overlap
 
     events = _load(spark, sf_dir, "events")
-    return approx_distinct_overlap(
+    est = approx_distinct_overlap(
         events, "event_type", "click", "purchase", "user_id"
+    )
+    in_a = F.col("event_type") == "click"
+    in_b = F.col("event_type") == "purchase"
+    exact = events.filter(in_a | in_b).agg(
+        F.countDistinct(F.when(in_a, F.col("user_id"))).alias("n_a"),
+        F.countDistinct(F.when(in_b, F.col("user_id"))).alias("n_b"),
+        F.countDistinct("user_id").alias("n_union"),
+    )
+
+    def ok(est_c, exact_c, slack):
+        return (F.abs(F.col(est_c) - F.col(exact_c)) <= slack).alias(
+            f"ok_{est_c.replace('approx_', '')}"
+        )
+
+    tol = 0.025
+    return est.crossJoin(F.broadcast(exact)).select(
+        "segment_a",
+        "segment_b",
+        "n_a",
+        "n_b",
+        "n_union",
+        (F.col("n_a") + F.col("n_b") - F.col("n_union")).alias(
+            "n_intersection"
+        ),
+        ok("approx_a", "n_a", F.greatest(F.lit(1.0), tol * F.col("n_a"))),
+        ok("approx_b", "n_b", F.greatest(F.lit(1.0), tol * F.col("n_b"))),
+        ok(
+            "approx_union",
+            "n_union",
+            F.greatest(F.lit(1.0), tol * F.col("n_union")),
+        ),
+        (
+            F.abs(
+                F.col("approx_intersection")
+                - (F.col("n_a") + F.col("n_b") - F.col("n_union"))
+            )
+            <= F.greatest(
+                F.lit(3.0),
+                tol * (F.col("n_a") + F.col("n_b") + F.col("n_union")),
+            )
+        ).alias("ok_intersection"),
     )
 
 
@@ -3010,10 +3095,13 @@ def q_stream_hll_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     HLL sketches folded across a four-file availableNow stream
     (streaming/matview.py:maintain_distinct_matview).  Plain counters
     cannot maintain distincts incrementally (distinct partials are not
-    summable); sketches merge associatively and idempotently.  Estimate
-    is approximate by contract — rows-only check; the pytest twin
-    asserts the streamed state agrees with the one-shot batch sketch to
-    estimator tolerance and with the exact distinct within 5%."""
+    summable); sketches merge associatively and idempotently.  Hashed
+    via the tolerance-flag pattern (VERDICT r6 #4): the exact distinct
+    per group hashes against the oracle and the STREAMED sketch
+    estimate folds into an in-plan boolean within 5% of it — a broken
+    fold/merge/replay flips the flag and fails the hash; the pytest
+    twin additionally pins the streamed state against the one-shot
+    batch sketch."""
     import uuid
 
     from recover_spark.streaming.matview import (
@@ -3040,8 +3128,21 @@ def q_stream_hll_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         distinct_col="user_id",
     )
     q.awaitTermination(300)
-    return read_distinct_matview(spark, f"{run_dir}/state").orderBy(
-        "event_type"
+    view = read_distinct_matview(spark, f"{run_dir}/state")
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    return (
+        view.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_users",
+            (
+                F.abs(F.col("approx_distinct") - F.col("n_users"))
+                <= F.greatest(F.lit(1.0), 0.05 * F.col("n_users"))
+            ).alias("hll_ok"),
+        )
+        .orderBy("event_type")
     )
 
 
@@ -3054,7 +3155,11 @@ def q_stream_quantile_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     matviews (HLL distincts, Misra-Gries top-k, KLL quantiles).
     KLL merge is NOT idempotent, so the batch-id sidecar is
     load-bearing for exactly-once, pinned by the pytest replay twin.
-    Approximate by contract — rows-only check."""
+    Hashed via the tolerance-flag pattern (VERDICT r6 #4): the exact
+    row count per group hashes against the oracle and each streamed
+    quantile estimate folds into an in-plan boolean pinned by its
+    RANK contract (eps = 5%, 3x the k=200 rank error) — a broken
+    fold or double-applied replay flips a flag and fails the hash."""
     import uuid
 
     from recover_spark.streaming.matview import (
@@ -3081,8 +3186,45 @@ def q_stream_quantile_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value",
     )
     q.awaitTermination(300)
-    return read_quantile_matview(spark, f"{run_dir}/state").orderBy(
-        "event_type"
+    view = read_quantile_matview(spark, f"{run_dir}/state")
+    ranks = {"p50": 0.50, "p95": 0.95, "p99": 0.99}
+    eps = 0.05
+    fr = (
+        events.join(
+            F.broadcast(view.select("event_type", *ranks)), "event_type"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            *[
+                F.avg((F.col("value") < F.col(c)).cast("int")).alias(
+                    f"__lt_{c}"
+                )
+                for c in ranks
+            ],
+            *[
+                F.avg((F.col("value") <= F.col(c)).cast("int")).alias(
+                    f"__le_{c}"
+                )
+                for c in ranks
+            ],
+        )
+    )
+    return (
+        view.select("event_type")
+        .join(fr, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            *[
+                (
+                    (F.col(f"__lt_{c}") <= F.lit(min(1.0, r + eps)))
+                    & (F.col(f"__le_{c}") >= F.lit(r - eps))
+                ).alias(f"{c}_rank_ok")
+                for c, r in ranks.items()
+            ],
+        )
+        .orderBy("event_type")
     )
 
 
@@ -4346,19 +4488,41 @@ def q_agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/analytics.py:approx_distinct_rollup): daily sketches
     union upward to per-event-type estimates — the second level
     aggregates sketch partials, never re-scanning the fact table.
-    Approximate by contract: rows-only check (like agg_approx_stats)."""
+    Hashed via the tolerance-flag pattern (VERDICT r6 #4): the rollup's
+    exact columns (row/fine-group counts) plus the exact distinct hash
+    against the oracle, and the merged-sketch estimate folds into an
+    in-plan boolean pinned to 3x the lg_k=12 standard error (~5%) —
+    the oracle emits literal TRUE, so a broken sketch or merge fails
+    the value hash."""
     from recover_spark.operators.analytics import approx_distinct_rollup
 
     events = _load(spark, sf_dir, "events").withColumn(
         "day", F.to_date("ts")
     )
-    return approx_distinct_rollup(
+    roll = approx_distinct_rollup(
         events,
         group_cols=["event_type"],
         rollup_col="day",
         distinct_col="user_id",
         lg_k=12,
-    ).orderBy("event_type")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    return (
+        roll.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "n_fine_groups",
+            "n_users",
+            (
+                F.abs(F.col("approx_distinct") - F.col("n_users"))
+                <= F.greatest(F.lit(1.0), 0.05 * F.col("n_users"))
+            ).alias("hll_ok"),
+        )
+        .orderBy("event_type")
+    )
 
 
 def q_v5_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4427,18 +4591,61 @@ def q_agg_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     level aggregates |fine groups| sketch binaries, never re-scanning
     the fact (exact two-level percentiles would cost two full value
     shuffles; quantile partials are not summable, sketches are).
-    Approximate by contract: rows-only check."""
+    Hashed via the tolerance-flag pattern (VERDICT r6 #4): the exact
+    counts hash against the oracle; each merged-KLL quantile estimate
+    folds into an in-plan boolean pinned by the sketch's own RANK
+    contract (fraction of values strictly below the estimate <= r +
+    eps, at-or-below >= r - eps, eps = 3x the ~1.65% k=200 rank
+    error).  The oracle emits literal TRUE per flag."""
     from recover_spark.operators.analytics import approx_quantile_rollup
 
     events = _load(spark, sf_dir, "events").withColumn(
         "day", F.to_date("ts")
     )
-    return approx_quantile_rollup(
+    roll = approx_quantile_rollup(
         events,
         group_cols=["event_type"],
         rollup_col="day",
         value_col="value",
-    ).orderBy("event_type")
+    )
+    ranks = {"p50": 0.50, "p95": 0.95, "p99": 0.99}
+    eps = 0.05
+    fr = (
+        events.join(
+            F.broadcast(roll.select("event_type", *ranks)), "event_type"
+        )
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.avg((F.col("value") < F.col(c)).cast("int")).alias(
+                    f"__lt_{c}"
+                )
+                for c in ranks
+            ],
+            *[
+                F.avg((F.col("value") <= F.col(c)).cast("int")).alias(
+                    f"__le_{c}"
+                )
+                for c in ranks
+            ],
+        )
+    )
+    return (
+        roll.join(fr, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "n_fine_groups",
+            *[
+                (
+                    (F.col(f"__lt_{c}") <= F.lit(min(1.0, r + eps)))
+                    & (F.col(f"__le_{c}") >= F.lit(r - eps))
+                ).alias(f"{c}_rank_ok")
+                for c, r in ranks.items()
+            ],
+        )
+        .orderBy("event_type")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -6047,6 +6254,70 @@ def _oracle_sql_literal() -> dict[str, str]:
                    count(*) AS n_rows,
                    round(quantile_cont(value, 0.5), 6) AS p50_value
             FROM events GROUP BY event_type
+        """,
+        # tolerance-flag pattern (VERDICT r6 #4): exact columns hash,
+        # sketch estimates are validated IN-PLAN on the Spark side and
+        # surface as booleans the oracle pins to literal TRUE
+        "agg_approx_stats": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events,
+                   TRUE AS hll_ok,
+                   TRUE AS p50_rank_ok
+            FROM events GROUP BY event_type
+        """,
+        "agg_hll_rollup": """
+            SELECT event_type,
+                   count(*) AS n_rows,
+                   count(DISTINCT CAST(ts AS DATE)) AS n_fine_groups,
+                   count(DISTINCT user_id) AS n_users,
+                   TRUE AS hll_ok
+            FROM events GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "agg_quantile_rollup": """
+            SELECT event_type,
+                   count(*) AS n_rows,
+                   count(DISTINCT CAST(ts AS DATE)) AS n_fine_groups,
+                   TRUE AS p50_rank_ok,
+                   TRUE AS p95_rank_ok,
+                   TRUE AS p99_rank_ok
+            FROM events GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "agg_distinct_overlap": """
+            SELECT 'click' AS segment_a,
+                   'purchase' AS segment_b,
+                   count(DISTINCT CASE WHEN event_type = 'click'
+                                       THEN user_id END) AS n_a,
+                   count(DISTINCT CASE WHEN event_type = 'purchase'
+                                       THEN user_id END) AS n_b,
+                   count(DISTINCT user_id) AS n_union,
+                   count(DISTINCT CASE WHEN event_type = 'click'
+                                       THEN user_id END)
+                   + count(DISTINCT CASE WHEN event_type = 'purchase'
+                                         THEN user_id END)
+                   - count(DISTINCT user_id) AS n_intersection,
+                   TRUE AS ok_a, TRUE AS ok_b,
+                   TRUE AS ok_union, TRUE AS ok_intersection
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+        """,
+        "stream_hll_matview": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   TRUE AS hll_ok
+            FROM events GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "stream_quantile_matview": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   TRUE AS p50_rank_ok,
+                   TRUE AS p95_rank_ok,
+                   TRUE AS p99_rank_ok
+            FROM events GROUP BY event_type
+            ORDER BY event_type
         """,
         "join_semi_exists": """
             SELECT o_orderpriority, count(*) AS order_count
