@@ -1056,6 +1056,38 @@ def q_ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_holt_winters_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped-trend Holt-Winters (Gardner's phi<1 variant) — the
+    standard forecasting form that shrinks the carried trend each step
+    so linear extrapolation cannot run away.  Damping stays linear on
+    the (L+2)-state: three entries of M pick up a phi factor, the
+    level/season gauge mode is untouched, and the identical chunked
+    affine scan + spectral split serves it
+    (operators/temporal.py:holt_winters_smooth, phi=0.85).  Oracle:
+    the same recursive-CTE sequential recurrence with phi in the
+    level/trend updates."""
+    from recover_spark.operators.temporal import holt_winters_smooth
+
+    events = _load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = holt_winters_smooth(
+        events, ["user_id"], ["ts", "event_id"], "value",
+        alpha=0.3, gamma=0.1, delta=0.25, season_length=7, phi=0.85,
+    )
+
+    def _r6(c):
+        return F.round(F.col(c) + F.lit(1e-9), 6)
+
+    return out.select(
+        "user_id", "event_id", _ts(F.col("ts"), "ts"),
+        F.round("value", 6).alias("value"),
+        _r6("level").alias("level"),
+        _r6("trend").alias("trend"),
+        _r6("season").alias("season"),
+    )
+
+
 def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal decomposition
     (operators/temporal.py:seasonal_decompose): centered length-7
@@ -1118,7 +1150,11 @@ _TS_DECOMPOSE_ORACLE = """
 
 
 def _holt_winters_oracle_sql(
-    alpha: float, gamma: float, delta: float, season_length: int
+    alpha: float,
+    gamma: float,
+    delta: float,
+    season_length: int,
+    phi: float = 1.0,
 ) -> str:
     """The sequential Holt-Winters recurrence as a DuckDB recursive
     CTE: one row per (user, step) advances every series in lockstep,
@@ -1126,10 +1162,13 @@ def _holt_winters_oracle_sql(
     ring buffer (oldest first; s_{t-L} = seas[1], update = drop the
     oldest, append the new).  The anchor encodes the operator's init
     convention x_0 = (y_1, 0, zero seasons), under which step 1 yields
-    l=y_1, b=0, s=0.  Valid at gate scale (series <100 rows)."""
+    l=y_1, b=0, s=0.  ``phi`` is Gardner's damped-trend coefficient
+    (1.0 = classic undamped).  Valid at gate scale (series <100
+    rows)."""
     L = int(season_length)
     zeros = ", ".join(["CAST(0 AS DOUBLE)"] * L)
     a, g, d = repr(float(alpha)), repr(float(gamma)), repr(float(delta))
+    p = repr(float(phi))
     return f"""
         WITH RECURSIVE o AS (
             SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS y,
@@ -1148,7 +1187,7 @@ def _holt_winters_oracle_sql(
             FROM (
                 SELECT t0.*,
                        {g} * (t0.l - t0.l_prev)
-                           + (1 - {g}) * t0.b_prev AS b,
+                           + (1 - {g}) * {p} * t0.b_prev AS b,
                        {d} * (t0.y - t0.l)
                            + (1 - {d}) * t0.s_old AS s
                 FROM (
@@ -1156,7 +1195,7 @@ def _holt_winters_oracle_sql(
                            i.l AS l_prev, i.b AS b_prev,
                            i.seas AS seas, i.seas[1] AS s_old,
                            {a} * (o.y - i.seas[1])
-                               + (1 - {a}) * (i.l + i.b) AS l
+                               + (1 - {a}) * (i.l + {p} * i.b) AS l
                     FROM hw i
                     JOIN o ON o.user_id = i.user_id AND o.rn = i.rn + 1
                 ) t0
@@ -4702,6 +4741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_union_distinct": q_set_union_distinct,
         # -- new in round 6 (never captured by definition) --
         "ts_holt_winters": q_ts_holt_winters,
+        "ts_holt_winters_damped": q_ts_holt_winters_damped,
         "dedup_cosine_probe_compacted": q_dedup_cosine_probe_compacted,
         "ann_ivf_maintained": q_ann_ivf_maintained,
         "stream_drift_psi": q_stream_drift_psi,
@@ -6132,6 +6172,9 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "ts_holt": _holt_oracle_sql(0.3, 0.2),
         "ts_holt_winters": _holt_winters_oracle_sql(0.3, 0.1, 0.25, 7),
+        "ts_holt_winters_damped": _holt_winters_oracle_sql(
+            0.3, 0.1, 0.25, 7, phi=0.85
+        ),
         "ts_decompose": _TS_DECOMPOSE_ORACLE,
         "ts_smooth": """
             WITH o AS (

@@ -86,6 +86,10 @@ HEADLINE = [
     "ann_ivf_maintained",
     "ts_decompose",
     "dedup_cosine_probe_deleted",
+    # round 7: the remaining lifecycle query joins the headline set so
+    # its construct/query phase split is recorded alongside the others
+    "dedup_cosine_probe_compacted",
+    "ts_holt_winters_damped",
 ]
 
 
@@ -123,18 +127,42 @@ def main() -> None:
     # Best-of-3 per query: local wall-clock noise on this box is +/-50%,
     # which would swamp round-over-round regressions; the minimum of
     # three runs is a stable estimator of the plan's true cost.
+    #
+    # Lifecycle queries run their construction work (index build/
+    # append/compact/rebuild, stream feeding) EAGERLY inside the
+    # query function and only then return the probe DataFrame, so the
+    # fn() call vs .count() boundary IS the construct/query phase
+    # boundary — recorded separately for them (VERDICT r6 #5) so a
+    # probe regression cannot hide under lifecycle noise.  The
+    # headline number remains the sum of both phases.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    lifecycle = {
+        "ann_ivf_maintained",
+        "dedup_cosine_probe_deleted",
+        "dedup_cosine_probe_compacted",
+        "stream_drift_psi",
+    }
     timings: dict[str, float] = {}
+    phases: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best, n = None, 0
+        best, best_phases, n = None, None, 0
         for _ in range(reps):
             t0 = time.time()
             df = fn(spark, sf_dir)
+            t1 = time.time()
             n = df.count()
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
+            t2 = time.time()
+            elapsed = t2 - t0
+            if best is None or elapsed < best:
+                best = elapsed
+                best_phases = (t1 - t0, t2 - t1)
         timings[name] = round(best, 3)
+        if name in lifecycle:
+            phases[name] = {
+                "construct": round(best_phases[0], 3),
+                "query": round(best_phases[1], 3),
+            }
         print(f"# {name}: {n} rows in {timings[name]}s (best of {reps})",
               file=sys.stderr)
 
@@ -146,6 +174,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "phases": phases,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

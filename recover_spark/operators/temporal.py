@@ -951,6 +951,7 @@ def holt_winters_smooth(
     season_col: str = "season",
     chunk_rows: int | None = None,
     impl: str = "auto",
+    phi: float = 1.0,
 ) -> DataFrame:
     """Exact per-series Holt-Winters ADDITIVE-seasonal smoothing — the
     3-state member of the chunked affine-scan family (``ewma_smooth``,
@@ -959,9 +960,19 @@ def holt_winters_smooth(
     ``SURVEY.md`` Fitbit sources).  The recurrence (season length L,
     ``l`` level, ``b`` trend, ``s`` season):
 
-        l_t = alpha*(y_t - s_{t-L}) + (1-alpha)*(l_{t-1} + b_{t-1})
-        b_t = gamma*(l_t - l_{t-1}) + (1-gamma)*b_{t-1}
+        l_t = alpha*(y_t - s_{t-L}) + (1-alpha)*(l_{t-1} + phi*b_{t-1})
+        b_t = gamma*(l_t - l_{t-1}) + (1-gamma)*phi*b_{t-1}
         s_t = delta*(y_t - l_t) + (1-delta)*s_{t-L}
+
+    ``phi`` is Gardner's damped-trend coefficient — ``phi = 1`` (the
+    default) is the classic undamped form, ``phi < 1`` shrinks the
+    carried trend each step (the standard forecasting variant that
+    stops linear extrapolation from running away).  Damping stays
+    LINEAR on the state vector: only three entries of M pick up a phi
+    factor (the b-column of each of l/b/s), the level/season gauge
+    mode is untouched (its b-component is zero), and the damped
+    remainder's spectral gap only widens — so the identical scan,
+    split, and kernel-table machinery serves both variants.
 
     with ``l_0 = y_1``, ``b_0 = 0``, all seasons 0 (the recurrence runs
     from the first row; step 1 therefore reproduces Holt's
@@ -1033,19 +1044,21 @@ def holt_winters_smooth(
     for name, v in (("alpha", alpha), ("gamma", gamma), ("delta", delta)):
         if not 0.0 < v < 1.0:
             raise ValueError(f"{name} must be in (0, 1) exclusive")
+    if not 0.0 < phi <= 1.0:
+        raise ValueError("phi must be in (0, 1]")
     if season_length < 2:
         raise ValueError("season_length must be >= 2")
     L = int(season_length)
     D = L + 2
     M = np.zeros((D, D))
     M[0, 0] = 1 - alpha
-    M[0, 1] = 1 - alpha
+    M[0, 1] = (1 - alpha) * phi
     M[0, D - 1] = -alpha
     M[1, 0] = -gamma * alpha
-    M[1, 1] = 1 - gamma * alpha
+    M[1, 1] = (1 - gamma * alpha) * phi
     M[1, D - 1] = -gamma * alpha
     M[2, 0] = -delta * (1 - alpha)
-    M[2, 1] = -delta * (1 - alpha)
+    M[2, 1] = -delta * (1 - alpha) * phi
     M[2, D - 1] = 1 - delta + delta * alpha
     for j in range(3, D):
         M[j, j - 1] = 1.0

@@ -213,6 +213,7 @@ def incremental_dataset_pipeline(
     max_files_per_trigger: int | None = None,
     order_fields: list[str] | None = None,
     tiebreakers: tuple[str, ...] = (),
+    drift_state: str | None = None,
 ):
     """The FULL reference pipeline as one availableNow stream: ingest ->
     W1 dedup -> J1 anti-delete, maintained incrementally over file
@@ -224,6 +225,17 @@ def incremental_dataset_pipeline(
     state equals the one-shot batch pipeline over ALL files to date —
     the equivalence the end-to-end twin test pins, including a
     mid-stream at-least-once replay.
+
+    ``drift_state`` composes drift-ON-ARRIVAL into the same run
+    (VERDICT r6 #7): when set, every micro-batch also folds its binned
+    counts into the streaming PSI state at that path
+    (streaming/drift.py) — the baseline must have been frozen there
+    once via ``freeze_drift_baseline``.  The two folds are
+    independently replay-safe (the state merge is idempotent by
+    construction, the drift merge per batch id via its sidecar), so a
+    crash between them converges on replay; read-side PSI equals the
+    batch monitor over the same arrivals exactly (binned counts are
+    additive).
     """
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -241,6 +253,10 @@ def incremental_dataset_pipeline(
             order_fields=order_fields,
             tiebreakers=tiebreakers,
         )
+        if drift_state is not None:
+            from recover_spark.streaming.drift import merge_drift_counts
+
+            merge_drift_counts(spark, batch, drift_state, _batch_id)
 
     return (
         stream.writeStream.foreachBatch(_apply)

@@ -322,6 +322,8 @@ def test_no_cartesian_product_across_query_surface(spark):
         # compact/stream work during construction and are pinned by
         # their own lifecycle tests instead)
         "ts_holt_winters", "ts_holt",
+        # round 7
+        "ts_holt_winters_damped",
     ]
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"
@@ -571,18 +573,24 @@ def test_holt_winters_two_partitionings_no_cartesian(spark):
         [("a", i, float(i % 5)) for i in range(200)],
         "k string, t int, v double",
     )
-    plan = (
-        holt_winters_smooth(df, ["k"], "t", "v", 0.3, 0.1, 0.2, 4,
-                            chunk_rows=16)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert "CartesianProduct" not in plan
-    assert "Exchange SinglePartition" not in plan
-    parts = {
-        tuple(sorted(c.strip().split("#")[0] for c in m.split(",")[:-1]))
-        for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
-    }
-    assert parts == {("k",), ("__chunk", "k")}, parts
+    for phi in (1.0, 0.85):          # classic and damped-trend
+        for impl in ("hof", "arrow"):
+            plan = (
+                holt_winters_smooth(df, ["k"], "t", "v", 0.3, 0.1, 0.2, 4,
+                                    chunk_rows=16, phi=phi, impl=impl)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+            assert "CartesianProduct" not in plan, (phi, impl)
+            assert "Exchange SinglePartition" not in plan, (phi, impl)
+            parts = {
+                tuple(
+                    sorted(c.strip().split("#")[0] for c in m.split(",")[:-1])
+                )
+                for m in re.findall(
+                    r"Exchange hashpartitioning\(([^)]*)\)", plan
+                )
+            }
+            assert parts == {("k",), ("__chunk", "k")}, (phi, impl, parts)
 
 
 def test_index_deletion_scan_is_partition_scoped(spark, tmp_path):

@@ -500,6 +500,8 @@ def test_holt_chunked_scan_matches_sequential(
     # into multi-MB literal plans — legal but minutes-per-plan slow;
     # the dedicated pytest covers chunk_rows=7 once
     chunk=st.one_of(st.none(), st.integers(8, 24)),
+    phi=st.sampled_from([1.0, 0.95, 0.85, 0.6]),
+    impl=st.sampled_from(["arrow", "hof"]),
 )
 @settings(
     max_examples=6,
@@ -507,14 +509,16 @@ def test_holt_chunked_scan_matches_sequential(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_holt_winters_scan_matches_sequential(
-    spark, values, alpha, gamma, delta, season, chunk
+    spark, values, alpha, gamma, delta, season, chunk, phi, impl
 ):
     """The (L+2)-state seasonal scan — unit-mode running sum plus
     bounded damped frame plus in-chunk kernel convolution — equals the
     sequential Holt-Winters recurrence for arbitrary series,
-    parameters, season lengths, and chunk sizes.  The conv path uses
-    only positive bounded matrix powers, so no spread-scaled
-    tolerance is needed (unlike the 2-D Holt scan)."""
+    parameters, season lengths, chunk sizes, damped-trend phi (1.0 =
+    classic), and BOTH row-evaluation engines (Catalyst HOF fold and
+    the Arrow applyInPandas conv).  The conv path uses only positive
+    bounded matrix powers, so no spread-scaled tolerance is needed
+    (unlike the 2-D Holt scan)."""
     from hypothesis import assume
 
     from recover_spark.operators.temporal import holt_winters_smooth
@@ -526,22 +530,26 @@ def test_holt_winters_scan_matches_sequential(
     try:
         plan = holt_winters_smooth(
             df, ["k"], "t", "v", alpha, gamma, delta, season,
+            phi=phi, impl=impl,
             **({"chunk_rows": chunk} if chunk else {}),
         )
     except ValueError as ex:
         # additive HW is GENUINELY unstable for aggressive parameter
         # combinations (all three rates high -> |lambda_2| > 1, the
-        # recurrence diverges); the operator's guard defines its
-        # domain, and out-of-domain draws are discarded, not failures
+        # recurrence diverges), and weakly-damped combos with a tiny
+        # forced chunk size legitimately trip the carry-frame-table
+        # size guard; both guards define the operator's domain, and
+        # out-of-domain draws are discarded, not failures
         assume("does not damp" not in str(ex))
+        assume("carry-frame table" not in str(ex))
         raise
     got = plan.orderBy("t").collect()
     l, b = values[0], 0.0
     seas = [0.0] * season
     for i, y in enumerate(values):
         s_old = seas[-1]
-        l_new = alpha * (y - s_old) + (1 - alpha) * (l + b)
-        b = gamma * (l_new - l) + (1 - gamma) * b
+        l_new = alpha * (y - s_old) + (1 - alpha) * (l + phi * b)
+        b = gamma * (l_new - l) + (1 - gamma) * phi * b
         s_new = delta * (y - l_new) + (1 - delta) * s_old
         l = l_new
         seas = [s_new] + seas[:-1]
