@@ -1025,22 +1025,24 @@ def holt_winters_smooth(
     ``impl`` picks the ROW-evaluation engine (the chunk-state
     machinery — windows, summaries, spectral split — is identical):
 
-    - ``"arrow"`` (and ``"auto"``, the default): per-(key, chunk)
-      ``applyInPandas`` computes the in-chunk convolution as a numpy
-      ``convolve`` against the same kernel table and the carried-state
-      term as one (m, 3, D) x D contraction — the O(m)-per-row fold
-      runs at C speed instead of interpreted-HOF speed (VERDICT r6
-      #6).  The group key equals the join key, so no extra exchange.
-    - ``"hof"``: the original pure-Catalyst higher-order-function
-      fold — zero Python in the plan, kept as the fallback and the
-      cross-engine witness (both paths evaluate the same closed form
-      against the same driver-built tables).
+    - ``"hof"`` (and ``"auto"``, the default): the pure-Catalyst
+      higher-order-function fold — zero Python in the plan.  With the
+      kernel tables shipped as a broadcast row (below) this measured
+      FASTEST across every probe on local[32]: 2.6 s at 10x data
+      (0.99x scale ratio) and a 1.01x ratio under a 20%-hot-key skew.
+    - ``"arrow"``: per-(key, chunk) ``applyInPandas`` computes the
+      in-chunk convolution as a numpy ``convolve`` against the same
+      kernel table and the carried-state term as one (m, 3, D) x D
+      contraction.  The group key equals the join key, so no extra
+      exchange; kept for deployments where Python workers outnumber
+      the per-executor JVM threads — the fold's arithmetic is the
+      same closed form, byte-compared by the hypothesis fuzz.
     """
     import numpy as np
 
     if impl not in ("auto", "arrow", "hof"):
         raise ValueError(f"unknown impl {impl!r}")
-    use_arrow = impl in ("auto", "arrow")
+    use_arrow = impl == "arrow"
     for name, v in (("alpha", alpha), ("gamma", gamma), ("delta", delta)):
         if not 0.0 < v < 1.0:
             raise ValueError(f"{name} must be in (0, 1) exclusive")

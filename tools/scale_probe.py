@@ -8,7 +8,8 @@ close to the data ratio (or below it, since fixed overhead amortizes)
 is evidence the plan scales linearly; a superlinear ratio flags an
 operator whose cost curve would break at 100 TB.
 
-Usage: python tools/scale_probe.py [replicas]   (default 10)
+Usage: python tools/scale_probe.py [replicas] [probe ...]
+(default 10 replicas, all probes; name probes to run a subset)
 Writes the scaled copy under spark-warehouse/scale_probe_data/ (reused
 if present) and prints one JSON line; SCALE.md documents results.
 """
@@ -106,6 +107,7 @@ def main() -> None:
     from recover_spark.session import get_spark
 
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    probes = sys.argv[2:] or PROBES
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -115,7 +117,7 @@ def main() -> None:
         build_scaled(spark, scaled, replicas)
 
     results = {}
-    for name in PROBES:
+    for name in probes:
         # warm-up then measure at 1x, then at Nx
         time_query(entrymod, spark, name, SF_DIR)
         t1 = time_query(entrymod, spark, name, SF_DIR)

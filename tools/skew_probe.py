@@ -94,6 +94,7 @@ def main() -> None:
     from recover_spark.session import get_spark
 
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    probes = sys.argv[2:] or PROBES
     spark = get_spark("skew_probe")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -110,7 +111,7 @@ def main() -> None:
         build_skewed(spark, scaled, skewed)
 
     results = {}
-    for name in PROBES:
+    for name in probes:
         time_query(entrymod, spark, name, scaled)  # warm-up
         t_uni = time_query(entrymod, spark, name, scaled)
         t_skw = time_query(entrymod, spark, name, skewed)
