@@ -4062,6 +4062,28 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_mktsegment", "c_custkey")
 
 
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointer-doubling connected components
+    (ops/graph.py:connected_components): min-reachable labels over a
+    user-lattice graph (edges user -> user+3 where an event lands on
+    the 11-residue), converging in O(log diameter) rounds — the
+    general-graph sibling of duplicate_clusters' near-clique
+    propagation.  Oracle: the recursive-CTE transitive closure with a
+    min-per-node collapse."""
+    from recover_spark.ops import connected_components
+
+    events = _load(spark, sf_dir, "events")
+    edges = (
+        events.filter(F.col("event_id") % 11 == 0)
+        .select(
+            F.col("user_id").alias("src"),
+            (F.col("user_id") + 3).alias("dst"),
+        )
+        .distinct()
+    )
+    return connected_components(edges).orderBy("node")
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (ops/graph.py:pagerank) over the bidirectional
     customer<->supplier trade graph (edge weight = lineitem count):
@@ -4589,6 +4611,27 @@ def q_v5_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column")
 
 
+def q_v7_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift
+    (quality/drift.py:ks_drift): sup-distance between the two eras'
+    empirical CDFs per column — the binning-free companion to the PSI
+    monitor (a narrow spike a 10-bin PSI averages away moves KS).
+    Global ECDF cumsums decompose into approx-quantile value buckets +
+    per-bucket windows + a broadcast offset frame (the
+    global_row_numbers pattern) — no single-partition window; the
+    statistic stays INTEGER (|cum_a*N_b - cum_b*N_a|) until one final
+    division, so the naive-window oracle matches bit-for-bit."""
+    from recover_spark.quality.drift import ks_drift
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    cut = "1998-06-01"
+    base = lineitem.filter(F.col("l_shipdate") < F.lit(cut))
+    cur = lineitem.filter(F.col("l_shipdate") >= F.lit(cut))
+    return ks_drift(
+        base, cur, ["l_extendedprice", "l_quantity", "l_discount"]
+    ).orderBy("column")
+
+
 def q_v6_drift_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical-column drift (quality/drift.py:psi_drift_categorical):
     return-flag and line-status share shifts between the same two export
@@ -4753,6 +4796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cosine_exact": q_dedup_cosine_exact,
         "dedup_cosine_probe": q_dedup_cosine_probe,
         "graph_pagerank": q_graph_pagerank,
+        "graph_components": q_graph_components,
         "sample_weighted": q_sample_weighted,
         "stream_quantile_matview": q_stream_quantile_matview,
         "join_asof_nearest": q_join_asof_nearest,
@@ -4762,6 +4806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_skyline": q_agg_skyline,
         "v5_drift_psi": q_v5_drift_psi,
         "v6_drift_categorical": q_v6_drift_categorical,
+        "v7_drift_ks": q_v7_drift_ks,
         "join_bucketed": q_join_bucketed,
         "scan_zonemap": q_scan_zonemap,
         "text_bm25": q_text_bm25,
@@ -5186,6 +5231,38 @@ def oracle_sql() -> dict[str, str]:
         "AND b.doc_id % 7 <> 3",
     )
     return out
+
+
+def _ks_oracle_sql(cols: list[str], cut: str) -> str:
+    """Naive single-window two-sample KS per column (the form the
+    bucketed engine decomposition must equal), integer statistic until
+    the final division — see q_v7_drift_ks."""
+    parts = []
+    for c in cols:
+        parts.append(f"""
+            SELECT '{c}' AS "column",
+                   round(max(abs(ca * nb_t - cb * na_t))
+                         / (CAST(na_t AS DOUBLE) * nb_t), 6) AS ks,
+                   na_t AS n_base, nb_t AS n_cur
+            FROM (
+                SELECT CAST(sum(na) OVER (ORDER BY v) AS BIGINT) AS ca,
+                       CAST(sum(nb) OVER (ORDER BY v) AS BIGINT) AS cb,
+                       CAST(sum(na) OVER () AS BIGINT) AS na_t,
+                       CAST(sum(nb) OVER () AS BIGINT) AS nb_t
+                FROM (
+                    SELECT v, sum(a) AS na, sum(b) AS nb
+                    FROM (
+                        SELECT CAST({c} AS DOUBLE) AS v,
+                               CASE WHEN l_shipdate < DATE '{cut}'
+                                    THEN 1 ELSE 0 END AS a,
+                               CASE WHEN l_shipdate >= DATE '{cut}'
+                                    THEN 1 ELSE 0 END AS b
+                        FROM lineitem)
+                    WHERE v IS NOT NULL
+                    GROUP BY v))
+            GROUP BY na_t, nb_t
+        """)
+    return " UNION ALL ".join(parts) + ' ORDER BY "column"'
 
 
 def _oracle_sql_literal() -> dict[str, str]:
@@ -5864,7 +5941,25 @@ def _oracle_sql_literal() -> dict[str, str]:
             GROUP BY o.o_orderpriority
             ORDER BY o.o_orderpriority
         """,
+        "v7_drift_ks": _ks_oracle_sql(
+            ["l_extendedprice", "l_quantity", "l_discount"], "1998-06-01"
+        ),
         "graph_pagerank": _pagerank_oracle_sql(),
+        "graph_components": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT user_id AS s, user_id + 3 AS d
+                FROM events WHERE event_id % 11 = 0),
+            sym AS (SELECT s, d FROM e UNION SELECT d AS s, s AS d FROM e),
+            n AS (SELECT DISTINCT s AS node FROM sym),
+            reach AS (
+                SELECT node, node AS m FROM n
+                UNION
+                SELECT r.node, sym.d AS m
+                FROM reach r JOIN sym ON r.m = sym.s
+            )
+            SELECT node, min(m) AS component
+            FROM reach GROUP BY node ORDER BY node
+        """,
         "sample_weighted": """
             WITH scored AS (
                 SELECT c_custkey, c_mktsegment,

@@ -90,6 +90,8 @@ HEADLINE = [
     # its construct/query phase split is recorded alongside the others
     "dedup_cosine_probe_compacted",
     "ts_holt_winters_damped",
+    "graph_components",
+    "v7_drift_ks",
 ]
 
 

@@ -706,3 +706,78 @@ def test_ingest_vectors_stream_lifecycle_and_replay(spark, tmp_path):
     assert again == first
     # all 100 vectors present
     assert spark.read.parquet(idx).count() == 100
+
+
+class TestConnectedComponents:
+    """Pointer-doubling CC (ops/graph.py:connected_components): exact
+    min-reachable labels in O(log diameter) rounds — the general-graph
+    sibling of duplicate_clusters' near-clique propagation."""
+
+    @staticmethod
+    def _uf_reference(edge_list):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    def test_matches_union_find_on_random_graphs(self, spark):
+        import random
+
+        from recover_spark.ops import connected_components
+
+        rng = random.Random(7)
+        edge_list = [
+            (rng.randrange(60), rng.randrange(60)) for _ in range(45)
+        ]
+        edge_list = [e for e in edge_list if e[0] != e[1]]
+        pairs = spark.createDataFrame(edge_list, "src long, dst long")
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        assert got == self._uf_reference(edge_list)
+
+    def test_deep_chain_converges_in_log_rounds(self, spark):
+        """A 500-deep path needs 500 plain-propagation rounds; the
+        doubling pass must close it within ~log2(500)+slack rounds —
+        max_rounds=12 is an impossible budget for propagation alone."""
+        from recover_spark.ops import connected_components
+
+        chain = [(i, i + 1) for i in range(500)]
+        pairs = spark.createDataFrame(chain, "src long, dst long")
+        got = connected_components(pairs, max_rounds=12)
+        labels = {r["node"] for r in got.filter("component = 0").collect()}
+        assert labels == set(range(501))
+
+    def test_isolated_pairs_and_self_loops(self, spark):
+        from recover_spark.ops import connected_components
+
+        pairs = spark.createDataFrame(
+            [(5, 5), (10, 11), (11, 10), (20, 21)], "src long, dst long"
+        )
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(pairs).collect()
+        }
+        # self-loop-only node 5 is dropped (no real edge); pairs merge
+        assert got == {10: 10, 11: 10, 20: 20, 21: 20}
+
+    def test_round_budget_guard_raises(self, spark):
+        import pytest as _pytest
+
+        from recover_spark.ops import connected_components
+
+        chain = [(i, i + 1) for i in range(40)]
+        pairs = spark.createDataFrame(chain, "src long, dst long")
+        with _pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(pairs, max_rounds=1)

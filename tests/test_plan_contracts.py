@@ -322,8 +322,10 @@ def test_no_cartesian_product_across_query_surface(spark):
         # compact/stream work during construction and are pinned by
         # their own lifecycle tests instead)
         "ts_holt_winters", "ts_holt",
-        # round 7
-        "ts_holt_winters_damped",
+        # round 7 (graph_components excluded: the doubling loop runs
+        # convergence checks during construction; pinned by
+        # tests/test_ops_scale.py::TestConnectedComponents instead)
+        "ts_holt_winters_damped", "v7_drift_ks",
     ]
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"

@@ -310,3 +310,85 @@ class TestPsiCategorical:
         )
         out = psi_drift_categorical(base, base, ["k"], top_k=5).collect()[0]
         assert out.psi == 0.0 and out.top_k == 5
+
+
+class TestKsDrift:
+    """Exact two-sample KS (quality/drift.py:ks_drift) vs a sequential
+    ECDF reference, including tie-heavy data where the at-or-below /
+    strictly-below distinction matters."""
+
+    @staticmethod
+    def _ks_reference(xs, ys):
+        pts = sorted(set(xs) | set(ys))
+        na, nb = len(xs), len(ys)
+        best = 0
+        sx, sy = sorted(xs), sorted(ys)
+        import bisect
+
+        for p in pts:
+            ca = bisect.bisect_right(sx, p)
+            cb = bisect.bisect_right(sy, p)
+            best = max(best, abs(ca * nb - cb * na))
+        return best / (na * nb)
+
+    def test_matches_sequential_reference(self, spark):
+        import random
+
+        from recover_spark.quality.drift import ks_drift
+
+        rng = random.Random(11)
+        xs = [round(rng.gauss(50, 10), 1) for _ in range(300)]
+        ys = [round(rng.gauss(55, 12), 1) for _ in range(250)]  # shifted
+        base = spark.createDataFrame([(v,) for v in xs], "v double")
+        cur = spark.createDataFrame([(v,) for v in ys], "v double")
+        row = ks_drift(base, cur, ["v"]).collect()[0]
+        want = self._ks_reference(xs, ys)
+        assert abs(row["ks"] - want) < 5.1e-7  # ks is rounded to 6 digits
+        assert (row["n_base"], row["n_cur"]) == (300, 250)
+        assert row["ks"] > 0.1  # the shift registers
+
+    def test_ties_and_identity(self, spark):
+        from recover_spark.quality.drift import ks_drift
+
+        xs = [1.0] * 40 + [2.0] * 40 + [3.0] * 20
+        ys = [1.0] * 20 + [2.0] * 60 + [3.0] * 20
+        base = spark.createDataFrame([(v,) for v in xs], "v double")
+        cur = spark.createDataFrame([(v,) for v in ys], "v double")
+        row = ks_drift(base, cur, ["v"]).collect()[0]
+        assert abs(row["ks"] - self._ks_reference(xs, ys)) < 5.1e-7
+        # identical samples: exactly zero
+        same = ks_drift(base, base, ["v"]).collect()[0]
+        assert same["ks"] == 0.0
+
+    def test_multi_column_and_nulls(self, spark):
+        from recover_spark.quality.drift import ks_drift
+
+        base = spark.createDataFrame(
+            [(float(i), float(i % 5)) for i in range(100)]
+            + [(None, None)] * 5,
+            "x double, y double",
+        )
+        cur = spark.createDataFrame(
+            [(float(i) + 30.0, float(i % 5)) for i in range(100)],
+            "x double, y double",
+        )
+        got = {r["column"]: r for r in ks_drift(base, cur, ["x", "y"]).collect()}
+        assert got["x"]["ks"] > 0.25      # shifted column drifts
+        assert got["y"]["ks"] == 0.0      # identical column does not
+        assert got["x"]["n_base"] == 100  # nulls dropped from the count
+
+    def test_no_single_partition_data_window(self, spark):
+        """The ECDF cumsum must ride bucket-keyed windows; the only
+        SinglePartition window allowed is the buckets-row offset side
+        frame (bounded), mirroring global_row_numbers' contract."""
+        from recover_spark.quality.drift import ks_drift
+
+        base = spark.range(0, 5000).selectExpr("CAST(id AS DOUBLE) AS v")
+        cur = spark.range(0, 5000).selectExpr("CAST(id + 9 AS DOUBLE) AS v")
+        plan = (
+            ks_drift(base, cur, ["v"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        # per-value cumsums partition on the bucket column
+        assert "__bucket" in plan
