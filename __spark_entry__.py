@@ -1088,6 +1088,30 @@ def q_ts_holt_winters_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h-step damped Holt-Winters forecasts
+    (operators/temporal.py:holt_winters_forecast): one smoothing pass,
+    then the per-key L-row tail (final level/trend + season ring)
+    joins a horizon-row literal frame; phi power sums are driver
+    literals shared verbatim with the oracle.  Oracle: the shared
+    recursive CTE's final state row + the same forecast arithmetic."""
+    from recover_spark.operators.temporal import holt_winters_forecast
+
+    events = _load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = holt_winters_forecast(
+        events, ["user_id"], ["ts", "event_id"], "value",
+        alpha=0.3, gamma=0.1, delta=0.25, season_length=7,
+        horizon=10, phi=0.9,
+    )
+    return out.select(
+        "user_id",
+        "h",
+        F.round(F.col("forecast") + F.lit(1e-9), 6).alias("forecast"),
+    )
+
+
 def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal decomposition
     (operators/temporal.py:seasonal_decompose): centered length-7
@@ -1165,6 +1189,27 @@ def _holt_winters_oracle_sql(
     l=y_1, b=0, s=0.  ``phi`` is Gardner's damped-trend coefficient
     (1.0 = classic undamped).  Valid at gate scale (series <100
     rows)."""
+    return _hw_recursive_cte(alpha, gamma, delta, season_length, phi) + """
+        SELECT user_id, event_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+               round(y, 6) AS value,
+               round(l + 1e-9, 6) AS level,
+               round(b + 1e-9, 6) AS trend,
+               round(s + 1e-9, 6) AS season
+        FROM hw
+    """
+
+
+def _hw_recursive_cte(
+    alpha: float,
+    gamma: float,
+    delta: float,
+    season_length: int,
+    phi: float = 1.0,
+) -> str:
+    """The shared WITH RECURSIVE prefix (events -> per-row hw states
+    with the season ring) used by the smoothing and forecast
+    oracles."""
     L = int(season_length)
     zeros = ", ".join(["CAST(0 AS DOUBLE)"] * L)
     a, g, d = repr(float(alpha)), repr(float(gamma)), repr(float(delta))
@@ -1201,13 +1246,39 @@ def _holt_winters_oracle_sql(
                 ) t0
             ) t
         )
-        SELECT user_id, event_id,
-               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
-               round(y, 6) AS value,
-               round(l + 1e-9, 6) AS level,
-               round(b + 1e-9, 6) AS trend,
-               round(s + 1e-9, 6) AS season
-        FROM hw
+    """
+
+
+def _holt_winters_forecast_oracle_sql(
+    alpha: float,
+    gamma: float,
+    delta: float,
+    season_length: int,
+    horizon: int,
+    phi: float = 1.0,
+) -> str:
+    """h-step forecasts from the final hw state: the last row per user
+    carries (l, b) and the season ring (oldest first), and the phi
+    power sums are the SAME driver-computed literals the operator
+    embeds — no cross-engine pow."""
+    L = int(season_length)
+    ps, acc, p = [], 0.0, 1.0
+    for _ in range(horizon):
+        p *= phi
+        acc += p
+        ps.append(acc)
+    ps_list = ", ".join(repr(float(x)) for x in ps)
+    return _hw_recursive_cte(alpha, gamma, delta, season_length, phi) + f"""
+        , last AS (
+            SELECT user_id, l, b, seas
+            FROM hw
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                                       ORDER BY rn DESC) = 1
+        )
+        SELECT user_id, h,
+               round(l + [{ps_list}][h] * b
+                     + seas[((h - 1) % {L}) + 1] + 1e-9, 6) AS forecast
+        FROM last, (SELECT unnest(range(1, {horizon} + 1)) AS h)
     """
 
 
@@ -4785,6 +4856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 6 (never captured by definition) --
         "ts_holt_winters": q_ts_holt_winters,
         "ts_holt_winters_damped": q_ts_holt_winters_damped,
+        "ts_forecast": q_ts_forecast,
         "dedup_cosine_probe_compacted": q_dedup_cosine_probe_compacted,
         "ann_ivf_maintained": q_ann_ivf_maintained,
         "stream_drift_psi": q_stream_drift_psi,
@@ -6269,6 +6341,9 @@ def _oracle_sql_literal() -> dict[str, str]:
         "ts_holt_winters": _holt_winters_oracle_sql(0.3, 0.1, 0.25, 7),
         "ts_holt_winters_damped": _holt_winters_oracle_sql(
             0.3, 0.1, 0.25, 7, phi=0.85
+        ),
+        "ts_forecast": _holt_winters_forecast_oracle_sql(
+            0.3, 0.1, 0.25, 7, horizon=10, phi=0.9
         ),
         "ts_decompose": _TS_DECOMPOSE_ORACLE,
         "ts_smooth": """

@@ -92,6 +92,7 @@ HEADLINE = [
     "ts_holt_winters_damped",
     "graph_components",
     "v7_drift_ks",
+    "ts_forecast",
 ]
 
 

@@ -1427,6 +1427,100 @@ def holt_winters_smooth(
     )
 
 
+def holt_winters_forecast(
+    series: DataFrame,
+    on: Sequence[str],
+    ts_col: str | Sequence[str],
+    value_col: str,
+    alpha: float,
+    gamma: float,
+    delta: float,
+    season_length: int,
+    horizon: int,
+    phi: float = 1.0,
+    horizon_col: str = "h",
+    forecast_col: str = "forecast",
+    **smooth_kwargs,
+) -> DataFrame:
+    """h-step-ahead Holt-Winters forecasts per series — the consumer
+    the smoothing states exist for:
+
+        yhat_{T+h} = l_T + (phi + phi^2 + ... + phi^h) * b_T
+                     + s_{T + h - L * ceil(h / L)}
+
+    (the classic additive forecast; phi=1 degenerates the trend sum to
+    ``h * b_T``, phi<1 is Gardner's damped extrapolation that
+    plateaus instead of running away).  One ``holt_winters_smooth``
+    pass produces the states; the per-key tail (the last L rows'
+    seasons plus the final level/trend — bounded by L, never
+    data-sized) joins a ``horizon``-row literal frame.  The phi power
+    sums are DRIVER-computed literals shared verbatim with the SQL
+    oracle, so no cross-engine ``pow`` drift enters the result.
+    Series shorter than L use season 0 for the unobserved phases (the
+    recurrence's init convention).  Output: one row per (key, h) with
+    ``forecast``.
+    """
+    if horizon < 1:
+        raise ValueError("horizon must be >= 1")
+    L = int(season_length)
+    sm = holt_winters_smooth(
+        series, on, ts_col, value_col, alpha, gamma, delta,
+        season_length, phi=phi, **smooth_kwargs,
+    )
+    keys = list(on)
+    order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+    w_desc = Window.partitionBy(*keys).orderBy(
+        *[F.desc(c) for c in order_cols]
+    )
+    tail = sm.withColumn("__rd", F.row_number().over(w_desc)).filter(
+        F.col("__rd") <= L
+    )
+    state = tail.filter(F.col("__rd") == 1).select(
+        *keys, F.col("level").alias("__l"), F.col("trend").alias("__b")
+    )
+    seasons = tail.select(*keys, "__rd", F.col("season").alias("__s"))
+    # phi power sums as driver literals (exact cross-engine sharing)
+    ps, acc, p = [], 0.0, 1.0
+    for _ in range(horizon):
+        p *= phi
+        acc += p
+        ps.append(acc)
+    frame = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(h + 1).alias("h"),
+                    F.lit(float(ps[h])).alias("ps"),
+                )
+                for h in range(horizon)
+            ]
+        )
+    )
+    return (
+        state.select(*keys, "__l", "__b", frame.alias("__hp"))
+        .select(
+            *keys,
+            "__l",
+            "__b",
+            F.col("__hp.h").alias(horizon_col),
+            F.col("__hp.ps").alias("__ps"),
+        )
+        .withColumn(
+            "__rd", F.lit(L) - ((F.col(horizon_col) - 1) % F.lit(L))
+        )
+        .join(seasons, [*keys, "__rd"], "left")
+        .select(
+            *keys,
+            horizon_col,
+            (
+                F.col("__l")
+                + F.col("__ps") * F.col("__b")
+                + F.coalesce(F.col("__s"), F.lit(0.0))
+            ).alias(forecast_col),
+        )
+    )
+
+
 def seasonal_decompose(
     series: DataFrame,
     on: Sequence[str],

@@ -325,7 +325,7 @@ def test_no_cartesian_product_across_query_surface(spark):
         # round 7 (graph_components excluded: the doubling loop runs
         # convergence checks during construction; pinned by
         # tests/test_ops_scale.py::TestConnectedComponents instead)
-        "ts_holt_winters_damped", "v7_drift_ks",
+        "ts_holt_winters_damped", "v7_drift_ks", "ts_forecast",
     ]
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"

@@ -761,3 +761,65 @@ class TestSeasonalDecompose:
         assert len(out) == 45
         with pytest.raises(ValueError, match="season_length"):
             seasonal_decompose(df, ["k"], "t", "v", 1)
+
+
+class TestHoltWintersForecast:
+    @staticmethod
+    def _seq_forecast(values, alpha, gamma, delta, L, horizon, phi):
+        l, b = values[0], 0.0
+        seas = [0.0] * L  # oldest first
+        for y in values:
+            s_old = seas[0]
+            l_new = alpha * (y - s_old) + (1 - alpha) * (l + phi * b)
+            b = gamma * (l_new - l) + (1 - gamma) * phi * b
+            s_new = delta * (y - l_new) + (1 - delta) * s_old
+            seas = seas[1:] + [s_new]
+            l = l_new
+        out = {}
+        ps = 0.0
+        pp = 1.0
+        for h in range(1, horizon + 1):
+            pp *= phi
+            ps += pp
+            out[h] = l + ps * b + seas[(h - 1) % L]
+        return out
+
+    def test_matches_sequential_reference(self, spark):
+        import random
+
+        from recover_spark.operators.temporal import holt_winters_forecast
+
+        rng = random.Random(3)
+        rows = []
+        series = {}
+        for k in ("a", "b"):
+            vals = [rng.uniform(0, 100) for _ in range(23)]
+            series[k] = vals
+            rows += [(k, i, v) for i, v in enumerate(vals)]
+        # short series: fewer rows than the season length
+        series["c"] = [5.0, 7.0, 6.0]
+        rows += [("c", i, v) for i, v in enumerate(series["c"])]
+        df = spark.createDataFrame(rows, "k string, t long, v double")
+        for phi in (1.0, 0.8):
+            got = {
+                (r["k"], r["h"]): r["forecast"]
+                for r in holt_winters_forecast(
+                    df, ["k"], "t", "v", 0.3, 0.1, 0.25, 5,
+                    horizon=12, phi=phi,
+                ).collect()
+            }
+            for k, vals in series.items():
+                want = self._seq_forecast(vals, 0.3, 0.1, 0.25, 5, 12, phi)
+                for h in range(1, 13):
+                    assert abs(got[(k, h)] - want[h]) < 1e-8, (phi, k, h)
+
+    def test_horizon_guard(self, spark):
+        import pytest as _pytest
+
+        from recover_spark.operators.temporal import holt_winters_forecast
+
+        df = spark.createDataFrame([("a", 0, 1.0)], "k string, t long, v double")
+        with _pytest.raises(ValueError, match="horizon"):
+            holt_winters_forecast(
+                df, ["k"], "t", "v", 0.3, 0.1, 0.25, 5, horizon=0
+            )
