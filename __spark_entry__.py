@@ -1112,6 +1112,36 @@ def q_ts_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-aware anomaly scores
+    (operators/temporal.py:holt_winters_anomalies): one-step-ahead
+    Holt-Winters forecast error, z-scored per series — the circadian
+    upgrade of the trailing-window ts_anomaly (a rush-hour peak is not
+    an anomaly when the season term predicts it).  Oracle: the shared
+    recursive CTE plus the identical lag/aggregate-window arithmetic;
+    the boolean flag stays OUT of the gate projection (a z value
+    sitting exactly on the threshold would make the flag an
+    engine-coin-flip; resid/z round with the tie nudge instead)."""
+    from recover_spark.operators.temporal import holt_winters_anomalies
+
+    events = _load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = holt_winters_anomalies(
+        events, ["user_id"], ["ts", "event_id"], "value",
+        alpha=0.3, gamma=0.1, delta=0.25, season_length=7, phi=0.9,
+    )
+
+    def _r6(c):
+        return F.round(F.col(c) + F.lit(1e-9), 6)
+
+    return out.select(
+        "user_id", "event_id",
+        _r6("resid").alias("resid"),
+        _r6("z").alias("z"),
+    )
+
+
 def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal decomposition
     (operators/temporal.py:seasonal_decompose): centered length-7
@@ -4857,6 +4887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_holt_winters": q_ts_holt_winters,
         "ts_holt_winters_damped": q_ts_holt_winters_damped,
         "ts_forecast": q_ts_forecast,
+        "ts_anomaly_seasonal": q_ts_anomaly_seasonal,
         "dedup_cosine_probe_compacted": q_dedup_cosine_probe_compacted,
         "ann_ivf_maintained": q_ann_ivf_maintained,
         "stream_drift_psi": q_stream_drift_psi,
@@ -6345,6 +6376,30 @@ def _oracle_sql_literal() -> dict[str, str]:
         "ts_forecast": _holt_winters_forecast_oracle_sql(
             0.3, 0.1, 0.25, 7, horizon=10, phi=0.9
         ),
+        "ts_anomaly_seasonal": _hw_recursive_cte(
+            0.3, 0.1, 0.25, 7, phi=0.9
+        ) + """
+            , p AS (
+                SELECT user_id, event_id, y,
+                       lag(l) OVER w + 0.9 * lag(b) OVER w
+                       + coalesce(lag(s, 7) OVER w, 0) AS pred
+                FROM hw
+                WINDOW w AS (PARTITION BY user_id ORDER BY rn)
+            ),
+            r AS (SELECT user_id, event_id, y, y - pred AS resid FROM p)
+            SELECT user_id, event_id,
+                   round(resid + 1e-9, 6) AS resid,
+                   round((resid - avg(resid) OVER (PARTITION BY user_id))
+                         / (CASE WHEN stddev_samp(resid)
+                                      OVER (PARTITION BY user_id)
+                                 > 1e-9 * (avg(abs(y))
+                                           OVER (PARTITION BY user_id) + 1)
+                                 THEN stddev_samp(resid)
+                                      OVER (PARTITION BY user_id)
+                                 END)
+                         + 1e-9, 6) AS z
+            FROM r
+        """,
         "ts_decompose": _TS_DECOMPOSE_ORACLE,
         "ts_smooth": """
             WITH o AS (

@@ -93,6 +93,7 @@ HEADLINE = [
     "graph_components",
     "v7_drift_ks",
     "ts_forecast",
+    "ts_anomaly_seasonal",
 ]
 
 

@@ -1521,6 +1521,71 @@ def holt_winters_forecast(
     )
 
 
+def holt_winters_anomalies(
+    series: DataFrame,
+    on: Sequence[str],
+    ts_col: str | Sequence[str],
+    value_col: str,
+    alpha: float,
+    gamma: float,
+    delta: float,
+    season_length: int,
+    phi: float = 1.0,
+    z_threshold: float = 3.0,
+    resid_col: str = "resid",
+    z_col: str = "z",
+    flag_col: str = "is_anomaly",
+    **smooth_kwargs,
+) -> DataFrame:
+    """Seasonal-aware anomaly detection: score each observation by its
+    ONE-STEP-AHEAD Holt-Winters forecast error,
+
+        resid_t = y_t - (l_{t-1} + phi * b_{t-1} + s_{t-L})
+
+    then z-score the residuals per series.  The plain trailing-window
+    z-score (``ts_anomaly``) flags every rush-hour peak of a circadian
+    signal; subtracting the level+trend+season prediction first means
+    only departures from the PATTERN score — the anomaly monitor a
+    wearable pipeline actually wants.  One smoothing pass + one keyed
+    window for the lags + one keyed aggregate window for mean/std; no
+    new exchange beyond the smoothing's own.
+
+    The first row of each series has no prediction (``resid`` NULL,
+    flag NULL); a (near-)constant-residual series has no meaningful
+    variance (``z`` NULL, flag NULL) — degenerate cases surface as
+    NULL, not as arbitrary flags.  "Near" is load-bearing: a perfectly
+    flat series has residuals that are EXACTLY zero under sequential
+    arithmetic but ~1e-15 noise under the scan's closed form, and
+    z-scoring that noise would amplify it to arbitrary flags — so the
+    std is floored at 1e-9 x the series' mean |value| scale, below
+    which ``z`` is NULL in every arithmetic.
+    """
+    L = int(season_length)
+    sm = holt_winters_smooth(
+        series, on, ts_col, value_col, alpha, gamma, delta,
+        season_length, phi=phi, **smooth_kwargs,
+    )
+    keys = list(on)
+    order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+    w = Window.partitionBy(*keys).orderBy(*[F.asc(c) for c in order_cols])
+    pred = (
+        F.lag("level").over(w)
+        + F.lit(float(phi)) * F.lag("trend").over(w)
+        + F.coalesce(F.lag("season", L).over(w), F.lit(0.0))
+    )
+    out = sm.withColumn(
+        resid_col, F.col(value_col).cast("double") - pred
+    )
+    w_all = Window.partitionBy(*keys)
+    scale = F.avg(F.abs(F.col(value_col).cast("double"))).over(w_all)
+    std = F.stddev_samp(resid_col).over(w_all)
+    std_eff = F.when(std > 1e-9 * (scale + F.lit(1.0)), std)
+    z = (F.col(resid_col) - F.avg(resid_col).over(w_all)) / std_eff
+    return out.withColumn(z_col, z).withColumn(
+        flag_col, F.abs(F.col(z_col)) > F.lit(float(z_threshold))
+    )
+
+
 def seasonal_decompose(
     series: DataFrame,
     on: Sequence[str],

@@ -823,3 +823,70 @@ class TestHoltWintersForecast:
             holt_winters_forecast(
                 df, ["k"], "t", "v", 0.3, 0.1, 0.25, 5, horizon=0
             )
+
+
+class TestHoltWintersAnomalies:
+    def test_planted_anomaly_scores_highest_and_matches_reference(self, spark):
+        import math
+        import random
+
+        from recover_spark.operators.temporal import holt_winters_anomalies
+
+        rng = random.Random(9)
+        L = 6
+        # clean seasonal signal + noise, with one planted spike
+        vals = [
+            50 + 20 * math.sin(2 * math.pi * (i % L) / L) + rng.uniform(-1, 1)
+            for i in range(60)
+        ]
+        vals[41] += 80.0  # the anomaly
+        df = spark.createDataFrame(
+            [("k", i, v) for i, v in enumerate(vals)],
+            "k string, t long, v double",
+        )
+        rows = holt_winters_anomalies(
+            df, ["k"], "t", "v", 0.4, 0.1, 0.3, L, z_threshold=3.0
+        ).orderBy("t").collect()
+
+        # sequential reference for the residuals
+        alpha, gamma, delta, phi = 0.4, 0.1, 0.3, 1.0
+        l, b = vals[0], 0.0
+        seas = [0.0] * L
+        resids = [None]
+        states = []
+        for y in vals:
+            s_old = seas[0]
+            l_new = alpha * (y - s_old) + (1 - alpha) * (l + phi * b)
+            b_new = gamma * (l_new - l) + (1 - gamma) * phi * b
+            s_new = delta * (y - l_new) + (1 - delta) * s_old
+            states.append((l, b, s_old))  # pre-update state + s_{t-L}
+            seas = seas[1:] + [s_new]
+            l, b = l_new, b_new
+        for t in range(1, len(vals)):
+            lp, bp, _ = states[t]
+            s_tl = states[t][2]
+            resids.append(vals[t] - (lp + phi * bp + s_tl))
+
+        assert rows[0]["resid"] is None and rows[0]["is_anomaly"] is None
+        for t in range(1, len(vals)):
+            assert abs(rows[t]["resid"] - resids[t]) < 1e-8, t
+        flagged = {r["t"] for r in rows if r["is_anomaly"]}
+        assert 41 in flagged
+        assert len(flagged) <= 3  # the spike, not the whole rush hour
+
+    def test_degenerate_series_yield_null_not_flags(self, spark):
+        from recover_spark.operators.temporal import holt_winters_anomalies
+
+        df = spark.createDataFrame(
+            [("solo", 0, 5.0)] + [("flat", i, 10.0) for i in range(8)],
+            "k string, t long, v double",
+        )
+        rows = holt_winters_anomalies(
+            df, ["k"], "t", "v", 0.3, 0.1, 0.2, 4
+        ).collect()
+        solo = [r for r in rows if r["k"] == "solo"][0]
+        assert solo["resid"] is None and solo["is_anomaly"] is None
+        flat = [r for r in rows if r["k"] == "flat"]
+        # zero-variance residuals: z NULL everywhere, never flagged
+        assert all(r["z"] is None for r in flat)
+        assert not any(r["is_anomaly"] for r in flat)
