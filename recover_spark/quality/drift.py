@@ -330,15 +330,19 @@ def ks_drift(
     defend, which makes it the standard two-sample test when the
     shift is a narrow spike a 10-bin PSI can average away.
 
-    Scale shape: one value-keyed aggregate collapses both sides to
-    per-distinct-value counts; the global cumulative sums the ECDFs
-    need are decomposed exactly like ``global_row_numbers`` —
-    approx-quantile value buckets, per-bucket window cumsums on one
-    bucket-keyed exchange, bucket offsets from a ``buckets``-row side
-    frame broadcast back.  The single-partition ORDER-BY-everything
-    window never happens; the result is identical to it (and the
-    naive form is the test oracle).  Both ECDFs step only at sample
-    points, so the sup over distinct values IS the sup.
+    Scale shape — ONE pass per side regardless of column count: both
+    sides melt to (column, value) rows map-side, one (column, value)
+    aggregate collapses them to per-distinct-value counts, a per-column
+    ``percentile_approx`` over that (already-collapsed) table yields
+    bucket edges as a broadcast row set, and the global cumulative sums
+    the ECDFs need decompose exactly like ``global_row_numbers`` —
+    per-(column, bucket) window cumsums on one exchange, bucket offsets
+    from a (columns x buckets)-row side frame broadcast back.  The
+    single-partition ORDER-BY-everything window never happens; the
+    result is identical to it (and the naive form is the test oracle).
+    Both ECDFs step only at sample points, so the sup over distinct
+    values IS the sup; edge placement affects balance, never the
+    statistic.
 
     Cross-engine determinism: the max runs over the INTEGER quantity
     ``|cum_base * n_cur - cum_cur * n_base|`` (exact in any engine);
@@ -351,86 +355,89 @@ def ks_drift(
     cols = list(cols)
     if not cols:
         raise ValueError("cols must be non-empty")
-    outs = []
-    for c in cols:
-        a = (
-            baseline.select(F.col(c).cast("double").alias("__v"))
-            .filter(F.col("__v").isNotNull())
-            .select("__v", F.lit(1).alias("__a"), F.lit(0).alias("__b"))
+
+    def melt(df: DataFrame, a: int, b: int) -> DataFrame:
+        stacked = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column"),
+                            F.col(c).cast("double").alias("__v"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("__m")
         )
-        b = (
-            current.select(F.col(c).cast("double").alias("__v"))
-            .filter(F.col("__v").isNotNull())
-            .select("__v", F.lit(0).alias("__a"), F.lit(1).alias("__b"))
+        return stacked.select(
+            F.col("__m.column").alias("column"),
+            F.col("__m.__v").alias("__v"),
+            F.lit(a).alias("__a"),
+            F.lit(b).alias("__b"),
+        ).filter(F.col("__v").isNotNull())
+
+    counts = (
+        melt(baseline, 1, 0)
+        .unionByName(melt(current, 0, 1))
+        .groupBy("column", "__v")
+        .agg(F.sum("__a").alias("__na"), F.sum("__b").alias("__nb"))
+    )
+    probs = F.array(*[F.lit(i / buckets) for i in range(1, buckets)])
+    edges = counts.groupBy("column").agg(
+        F.percentile_approx("__v", probs, F.lit(10_000)).alias("__edges")
+    )
+    bucketed = counts.join(F.broadcast(edges), "column").withColumn(
+        "__bucket",
+        F.size(F.filter("__edges", lambda e: e < F.col("__v"))),
+    )
+    w_cum = Window.partitionBy("column", "__bucket").orderBy(
+        "__v"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("column", "__bucket")
+    ranked = (
+        bucketed.withColumn("__ca", F.sum("__na").over(w_cum))
+        .withColumn("__cb", F.sum("__nb").over(w_cum))
+        .withColumn("__ta", F.sum("__na").over(w_all))
+        .withColumn("__tb", F.sum("__nb").over(w_all))
+    )
+    w_off = Window.partitionBy("column").orderBy("__bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        ranked.select("column", "__bucket", "__ta", "__tb")
+        .distinct()
+        .withColumn("__oa", F.coalesce(F.sum("__ta").over(w_off), F.lit(0)))
+        .withColumn("__ob", F.coalesce(F.sum("__tb").over(w_off), F.lit(0)))
+        .select("column", "__bucket", "__oa", "__ob")
+    )
+    totals = counts.groupBy("column").agg(
+        F.sum("__na").alias("__N_a"), F.sum("__nb").alias("__N_b")
+    )
+    scored = (
+        ranked.join(F.broadcast(offsets), ["column", "__bucket"])
+        .join(F.broadcast(totals), "column")
+        .select(
+            "column",
+            F.abs(
+                (F.col("__oa") + F.col("__ca")) * F.col("__N_b")
+                - (F.col("__ob") + F.col("__cb")) * F.col("__N_a")
+            ).alias("__d"),
+            "__N_a",
+            "__N_b",
         )
-        counts = (
-            a.unionByName(b)
-            .groupBy("__v")
-            .agg(
-                F.sum("__a").alias("__na"),
-                F.sum("__b").alias("__nb"),
-            )
+    )
+    return (
+        scored.groupBy("column", "__N_a", "__N_b")
+        .agg(F.max("__d").alias("__dmax"))
+        .select(
+            "column",
+            F.round(
+                F.col("__dmax")
+                / (F.col("__N_a") * F.col("__N_b")).cast("double"),
+                round_digits,
+            ).alias("ks"),
+            F.col("__N_a").alias("n_base"),
+            F.col("__N_b").alias("n_cur"),
         )
-        probs = [i / buckets for i in range(1, buckets)]
-        bounds = sorted(set(counts.stat.approxQuantile("__v", probs, 0.001)))
-        bucket = F.lit(0)
-        for bd in bounds:
-            bucket = bucket + (F.col("__v") > F.lit(bd)).cast("int")
-        bucketed = counts.withColumn("__bucket", bucket)
-        w_cum = Window.partitionBy("__bucket").orderBy("__v").rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        w_all = Window.partitionBy("__bucket")
-        ranked = (
-            bucketed.withColumn("__ca", F.sum("__na").over(w_cum))
-            .withColumn("__cb", F.sum("__nb").over(w_cum))
-            .withColumn("__ta", F.sum("__na").over(w_all))
-            .withColumn("__tb", F.sum("__nb").over(w_all))
-        )
-        w_off = Window.orderBy("__bucket").rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        offsets = (
-            ranked.select("__bucket", "__ta", "__tb")
-            .distinct()
-            .withColumn(
-                "__oa", F.coalesce(F.sum("__ta").over(w_off), F.lit(0))
-            )
-            .withColumn(
-                "__ob", F.coalesce(F.sum("__tb").over(w_off), F.lit(0))
-            )
-            .select("__bucket", "__oa", "__ob")
-        )
-        totals = counts.agg(
-            F.sum("__na").alias("__N_a"), F.sum("__nb").alias("__N_b")
-        )
-        scored = (
-            ranked.join(F.broadcast(offsets), "__bucket")
-            .crossJoin(F.broadcast(totals))
-            .select(
-                F.abs(
-                    (F.col("__oa") + F.col("__ca")) * F.col("__N_b")
-                    - (F.col("__ob") + F.col("__cb")) * F.col("__N_a")
-                ).alias("__d"),
-                "__N_a",
-                "__N_b",
-            )
-        )
-        outs.append(
-            scored.groupBy("__N_a", "__N_b")
-            .agg(F.max("__d").alias("__dmax"))
-            .select(
-                F.lit(c).alias("column"),
-                F.round(
-                    F.col("__dmax")
-                    / (F.col("__N_a") * F.col("__N_b")).cast("double"),
-                    round_digits,
-                ).alias("ks"),
-                F.col("__N_a").alias("n_base"),
-                F.col("__N_b").alias("n_cur"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    )

@@ -52,6 +52,7 @@ from recover_spark.sources.writers import DEFAULT_RECORDS_PER_FILE
 _POINTER = "_CURRENT"
 _GEN_PREFIX = "gen-"
 _STAGING_PREFIX = ".staging-"
+_COMMIT_META = "_commit.json"
 
 
 class CrashInjected(RuntimeError):
@@ -85,15 +86,60 @@ def list_generations(path: str) -> list[str]:
     )
 
 
+def generation_commit_ts(path: str, generation: str) -> float:
+    """Commit timestamp of a generation: the ``_commit.json`` the
+    writer staged with the data (atomic with the generation — it rides
+    the same rename), falling back to the directory mtime for
+    generations written before the metadata existed."""
+    import json as _json
+
+    gen_dir = Path(path) / generation
+    meta = gen_dir / _COMMIT_META
+    try:
+        return float(_json.loads(meta.read_text())["commit_ts"])
+    except (FileNotFoundError, KeyError, ValueError):
+        return gen_dir.stat().st_mtime
+
+
+def generation_asof(path: str, ts: float) -> str:
+    """Resolve the generation that was live AT ``ts`` (unix seconds):
+    the newest generation whose commit timestamp is <= ts — Delta-style
+    timestamp time travel over the generation archive.  Raises if the
+    dataset did not exist yet at ``ts`` or was never written."""
+    candidates = [
+        (generation_commit_ts(path, g), g) for g in list_generations(path)
+    ]
+    eligible = sorted(c for c in candidates if c[0] <= ts)
+    if not eligible:
+        raise FileNotFoundError(
+            f"no generation under {path!r} committed at or before {ts}"
+            + (
+                " (dataset did not exist yet)"
+                if candidates
+                else " (no generations at all)"
+            )
+        )
+    return eligible[-1][1]
+
+
 def read_dataset(
-    spark: SparkSession, path: str, generation: str | None = None
+    spark: SparkSession,
+    path: str,
+    generation: str | None = None,
+    as_of: float | None = None,
 ) -> DataFrame:
-    """Read the live (or a named archived) generation.
+    """Read the live generation, a named archived one, or the one live
+    at a timestamp (``as_of``, unix seconds — Delta-style time
+    travel; the retained generation tail is the queryable history).
 
     Readers resolve the pointer once and then scan an immutable
     directory — a replace running concurrently can at worst make this
     reader one generation stale, never torn.
     """
+    if generation is not None and as_of is not None:
+        raise ValueError("pass generation= or as_of=, not both")
+    if as_of is not None:
+        generation = generation_asof(path, as_of)
     gen = generation or current_generation(path)
     if gen is None:
         raise FileNotFoundError(f"no live generation under {path!r}")
@@ -107,15 +153,21 @@ def write_dataset_atomic(
     records_per_file: int = DEFAULT_RECORDS_PER_FILE,
     run_id: str = "run",
     keep_generations: int = 2,
+    commit_ts: float | None = None,
     _fail_point: str | None = None,
 ) -> str:
     """Replace the dataset with ``df`` atomically; returns the new
     generation name.
 
     ``keep_generations`` previous generations stay on disk as the
-    archive.  ``_fail_point`` is a TEST-ONLY hook naming a protocol
-    step ("after-stage" | "after-rename" | "after-promote") at which a
-    simulated crash is raised; production callers leave it None.
+    archive.  Each generation carries a ``_commit.json`` (written into
+    staging, so it rides the same atomic rename) recording
+    ``commit_ts`` — the timestamp ``read_dataset(as_of=...)`` resolves
+    time travel against; pass an explicit ``commit_ts`` for
+    deterministic tests, default is the wall clock.  ``_fail_point``
+    is a TEST-ONLY hook naming a protocol step ("after-stage" |
+    "after-rename" | "after-promote") at which a simulated crash is
+    raised; production callers leave it None.
 
     Scale shape: the data write itself is the ordinary distributed
     partitioned-parquet write (staging dir is on the same filesystem,
@@ -139,6 +191,20 @@ def write_dataset_atomic(
     if parts:
         writer = writer.partitionBy(*parts)
     writer.parquet(str(staging))
+    import json as _json
+    import time as _time
+
+    (staging / _COMMIT_META).write_text(
+        _json.dumps(
+            {
+                "commit_ts": float(
+                    commit_ts if commit_ts is not None else _time.time()
+                ),
+                "run_id": run_id,
+            },
+            sort_keys=True,
+        )
+    )
     _check_fail(_fail_point, "after-stage")
 
     gens = list_generations(path)

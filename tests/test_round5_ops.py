@@ -1371,3 +1371,91 @@ class TestPnmRealDecode:
         # loudly, not decode
         with _pytest.raises(ValueError, match="truncated"):
             _decode_pnm_gray(b"P5\n2 2\n65535\n" + bytes(4))
+
+
+class TestTimeTravelAsOf:
+    """Timestamp time travel over the generation archive
+    (sources/atomic.py:read_dataset as_of / generation_asof)."""
+
+    def test_asof_resolves_the_generation_live_at_ts(self, spark, tmp_path):
+        from recover_spark.sources.atomic import (
+            generation_asof,
+            read_dataset,
+            write_dataset_atomic,
+        )
+
+        path = str(tmp_path / "ds")
+        for i, ts in enumerate([1000.0, 2000.0, 3000.0], start=1):
+            df = spark.createDataFrame([(i,)], "v int")
+            write_dataset_atomic(
+                df, path, run_id=f"r{i}", commit_ts=ts,
+                keep_generations=5,
+            )
+        # exactly at a commit, between commits, and after the last
+        assert read_dataset(spark, path, as_of=1000.0).first()["v"] == 1
+        assert read_dataset(spark, path, as_of=1999.9).first()["v"] == 1
+        assert read_dataset(spark, path, as_of=2000.0).first()["v"] == 2
+        assert read_dataset(spark, path, as_of=9999.0).first()["v"] == 3
+        # live read unaffected
+        assert read_dataset(spark, path).first()["v"] == 3
+        assert generation_asof(path, 2500.0).endswith("2")
+
+        import pytest as _pytest
+
+        with _pytest.raises(FileNotFoundError, match="at or before"):
+            read_dataset(spark, path, as_of=999.0)
+        with _pytest.raises(ValueError, match="not both"):
+            read_dataset(spark, path, generation="gen-00000001", as_of=1.0)
+
+    def test_commit_meta_rides_the_atomic_rename(self, spark, tmp_path):
+        """A crash before promote leaves an unreferenced generation
+        whose commit meta is already in place — as-of never sees a
+        generation without its timestamp."""
+        import pytest as _pytest
+
+        from recover_spark.sources.atomic import (
+            CrashInjected,
+            generation_commit_ts,
+            list_generations,
+            read_dataset,
+            write_dataset_atomic,
+        )
+
+        path = str(tmp_path / "ds")
+        write_dataset_atomic(
+            spark.createDataFrame([(1,)], "v int"), path,
+            run_id="r1", commit_ts=100.0,
+        )
+        with _pytest.raises(CrashInjected):
+            write_dataset_atomic(
+                spark.createDataFrame([(2,)], "v int"), path,
+                run_id="r2", commit_ts=200.0, _fail_point="after-rename",
+            )
+        # the orphan generation exists with its meta, but the POINTER
+        # still names gen 1 — and as_of resolves over COMPLETE
+        # generations, so ts=200 sees the orphan's data (it is a
+        # complete, readable generation; only liveness is unpromoted)
+        gens = list_generations(path)
+        assert len(gens) == 2
+        assert generation_commit_ts(path, gens[-1]) == 200.0
+        assert read_dataset(spark, path).first()["v"] == 1
+        assert read_dataset(spark, path, as_of=150.0).first()["v"] == 1
+
+    def test_legacy_generation_falls_back_to_mtime(self, spark, tmp_path):
+        import os
+
+        from recover_spark.sources.atomic import (
+            generation_commit_ts,
+            list_generations,
+            write_dataset_atomic,
+        )
+
+        path = str(tmp_path / "ds")
+        write_dataset_atomic(
+            spark.createDataFrame([(1,)], "v int"), path, run_id="r1"
+        )
+        gen = list_generations(path)[0]
+        meta = os.path.join(path, gen, "_commit.json")
+        os.remove(meta)  # pre-metadata layout
+        ts = generation_commit_ts(path, gen)
+        assert ts == os.stat(os.path.join(path, gen)).st_mtime
