@@ -4712,6 +4712,32 @@ def q_v5_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column")
 
 
+def q_v8_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity expectation
+    (quality/expectations.py:referential_integrity): one clean foreign
+    key (lineitem.l_orderkey -> orders, zero orphans by construction)
+    and one deliberately-violated mapping (events.user_id ->
+    customer.c_custkey, where user 0 has no customer) — an orphaned
+    key keeps every per-table COUNT audit green while breaking every
+    downstream join, which is exactly the blind spot this check
+    exists for.  Oracle: the NOT-EXISTS orphan count per check."""
+    from recover_spark.quality.expectations import referential_integrity
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    events = _load(spark, sf_dir, "events")
+    customer = _load(spark, sf_dir, "customer")
+    a = referential_integrity(
+        lineitem, orders, ["l_orderkey"], ["o_orderkey"],
+        check_name="lineitem_orders",
+    )
+    b = referential_integrity(
+        events, customer, ["user_id"], ["c_custkey"],
+        check_name="events_customer",
+    )
+    return a.unionByName(b).orderBy("check")
+
+
 def q_v7_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample Kolmogorov-Smirnov drift
     (quality/drift.py:ks_drift): sup-distance between the two eras'
@@ -4910,6 +4936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v5_drift_psi": q_v5_drift_psi,
         "v6_drift_categorical": q_v6_drift_categorical,
         "v7_drift_ks": q_v7_drift_ks,
+        "v8_ref_integrity": q_v8_ref_integrity,
         "join_bucketed": q_join_bucketed,
         "scan_zonemap": q_scan_zonemap,
         "text_bm25": q_text_bm25,
@@ -6047,6 +6074,38 @@ def _oracle_sql_literal() -> dict[str, str]:
         "v7_drift_ks": _ks_oracle_sql(
             ["l_extendedprice", "l_quantity", "l_discount"], "1998-06-01"
         ),
+        "v8_ref_integrity": """
+            WITH checks AS (
+                SELECT 'lineitem_orders' AS check,
+                       count(*) AS n_child,
+                       CAST(sum(CASE WHEN l_orderkey IS NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_null_keys,
+                       CAST(sum(CASE WHEN l_orderkey IS NOT NULL
+                                      AND NOT EXISTS (
+                                          SELECT 1 FROM orders o
+                                          WHERE o.o_orderkey = l.l_orderkey)
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_orphans
+                FROM lineitem l
+                UNION ALL
+                SELECT 'events_customer',
+                       count(*),
+                       CAST(sum(CASE WHEN user_id IS NULL
+                                     THEN 1 ELSE 0 END) AS BIGINT),
+                       CAST(sum(CASE WHEN user_id IS NOT NULL
+                                      AND NOT EXISTS (
+                                          SELECT 1 FROM customer c
+                                          WHERE c.c_custkey = e.user_id)
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                FROM events e
+            )
+            SELECT "check", n_child, n_null_keys, n_orphans,
+                   round(n_orphans
+                         / greatest(CAST(n_child - n_null_keys AS DOUBLE),
+                                    1.0), 6) AS orphan_share
+            FROM checks ORDER BY "check"
+        """,
         "graph_pagerank": _pagerank_oracle_sql(),
         "graph_components": """
             WITH RECURSIVE e AS (

@@ -94,6 +94,7 @@ HEADLINE = [
     "v7_drift_ks",
     "ts_forecast",
     "ts_anomaly_seasonal",
+    "v8_ref_integrity",
 ]
 
 

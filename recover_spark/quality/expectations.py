@@ -15,6 +15,7 @@ expectation; at 100 TB that is the difference between 1 and 13 scans.
 from __future__ import annotations
 
 import json
+from collections.abc import Sequence
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -249,3 +250,67 @@ def validity_gates(df: DataFrame) -> dict[str, Any]:
         "duplicate_columns": dupes,
         "valid": (not df.isEmpty()) and not dupes,
     }
+
+
+def referential_integrity(
+    child: DataFrame,
+    parent: DataFrame,
+    on: Sequence[str],
+    parent_on: Sequence[str] | None = None,
+    check_name: str | None = None,
+) -> DataFrame:
+    """Cross-table expectation the single-table suite cannot express:
+    every (non-null) child key must exist in the parent — the V-family
+    twin of J1's delete semantics, pointed at validation instead of
+    mutation.  The reference's audits count rows per table
+    (compare_parquet_datasets.py); an orphaned foreign key keeps every
+    count identical while silently breaking downstream joins.
+
+    One left-anti equi-join (Catalyst broadcasts a small parent,
+    shuffles otherwise) plus one aggregate.  Child rows with ANY null
+    key are SKIPPED, not orphaned (the GX "mostly" convention for
+    nulls), and reported separately.  Returns one row:
+    (check, n_child, n_null_keys, n_orphans, orphan_share).
+    """
+    keys = list(on)
+    pkeys = list(parent_on) if parent_on is not None else keys
+    if len(keys) != len(pkeys):
+        raise ValueError("on and parent_on must have the same length")
+    non_null = None
+    for k in keys:
+        c = F.col(k).isNotNull()
+        non_null = c if non_null is None else (non_null & c)
+    keyed = child.select(*keys)
+    p = parent.select(
+        *[F.col(pk).alias(f"__p_{i}") for i, pk in enumerate(pkeys)]
+    ).dropDuplicates()
+    cond = None
+    for i, k in enumerate(keys):
+        c = keyed[k] == p[f"__p_{i}"]
+        cond = c if cond is None else (cond & c)
+    orphans = keyed.filter(non_null).join(p, cond, "left_anti")
+    stats = keyed.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum((~non_null).cast("long")).alias("__nulls"),
+    )
+    orphan_count = orphans.agg(
+        F.count(F.lit(1)).alias("__orphans")
+    )
+    name = check_name or ("fk_" + "_".join(keys))
+    return (
+        stats.crossJoin(F.broadcast(orphan_count))
+        .select(
+            F.lit(name).alias("check"),
+            F.col("__n").alias("n_child"),
+            F.col("__nulls").alias("n_null_keys"),
+            F.col("__orphans").alias("n_orphans"),
+            F.round(
+                F.col("__orphans")
+                / F.greatest(
+                    (F.col("__n") - F.col("__nulls")).cast("double"),
+                    F.lit(1.0),
+                ),
+                6,
+            ).alias("orphan_share"),
+        )
+    )

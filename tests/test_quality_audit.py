@@ -392,3 +392,43 @@ class TestKsDrift:
         assert "CartesianProduct" not in plan
         # per-value cumsums partition on the bucket column
         assert "__bucket" in plan
+
+
+class TestReferentialIntegrity:
+    def test_orphans_nulls_and_clean_fk(self, spark):
+        from recover_spark.quality.expectations import referential_integrity
+
+        parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+        child = spark.createDataFrame(
+            [(1,), (1,), (2,), (9,), (None,)], "fk long"
+        )
+        row = referential_integrity(
+            child, parent, ["fk"], ["pk"], check_name="t"
+        ).collect()[0]
+        assert row["check"] == "t"
+        assert row["n_child"] == 5
+        assert row["n_null_keys"] == 1
+        assert row["n_orphans"] == 1          # the 9; nulls skipped
+        assert abs(row["orphan_share"] - 0.25) < 1e-9
+        # clean key: zero orphans
+        clean = referential_integrity(
+            child.filter("fk IN (1, 2)"), parent, ["fk"], ["pk"]
+        ).collect()[0]
+        assert clean["n_orphans"] == 0 and clean["orphan_share"] == 0.0
+
+    def test_composite_key_and_duplicate_parents(self, spark):
+        from recover_spark.quality.expectations import referential_integrity
+
+        parent = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (2, "b")], "k1 long, k2 string"
+        )  # duplicate parent rows must not multiply matches
+        child = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (1, "b"), (None, "a")],
+            "k1 long, k2 string",
+        )
+        row = referential_integrity(
+            child, parent, ["k1", "k2"]
+        ).collect()[0]
+        assert row["n_child"] == 4
+        assert row["n_null_keys"] == 1   # ANY null key skips the row
+        assert row["n_orphans"] == 1     # (1, "b")
