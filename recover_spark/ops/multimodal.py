@@ -258,18 +258,57 @@ def _parse_wav_duration_ms(blob: bytes) -> int:
     return data_size * 1000 // byte_rate
 
 
+def _parse_avi_duration_ms(blob: bytes) -> int:
+    """Dependency-free RIFF/AVI duration probe — the VIDEO sibling of
+    the WAV parser: the ``avih`` main header carries microseconds per
+    frame and total frame count, so real content-derived durations run
+    without ffmpeg for AVI corpora.  Walks the (possibly nested) RIFF
+    LIST structure; raises ``ValueError`` on anything malformed."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI blob")
+
+    def walk(pos: int, end: int):
+        while pos + 8 <= end:
+            cid = blob[pos : pos + 4]
+            size = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+            body = pos + 8
+            if cid == b"LIST":
+                found = walk(body + 4, min(end, body + size))
+                if found is not None:
+                    return found
+            elif cid == b"avih":
+                if size < 20 or body + 20 > len(blob):
+                    raise ValueError("truncated AVI avih header")
+                uspf = int.from_bytes(blob[body : body + 4], "little")
+                frames = int.from_bytes(
+                    blob[body + 16 : body + 20], "little"
+                )
+                return uspf, frames
+            pos = body + size + (size & 1)  # RIFF word alignment
+        return None
+
+    found = walk(12, len(blob))
+    if found is None:
+        raise ValueError("AVI missing avih header")
+    uspf, frames = found
+    return uspf * frames // 1000
+
+
 def _media_duration_ms(blob: bytes) -> int:
-    """Worker-side duration dispatch: the pure-Python WAV parser for
-    RIFF/WAVE blobs, ffprobe for every other container, a loud
-    NotImplementedError when neither applies — format support is a
-    worker-side fact, mirroring the image kernel's PIL/PNM policy."""
+    """Worker-side duration dispatch: pure-Python parsers for the RIFF
+    containers (WAVE audio, AVI video), ffprobe for every other
+    format, a loud NotImplementedError when neither applies — format
+    support is a worker-side fact, mirroring the image kernel's
+    PIL/PNM policy."""
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         return _parse_wav_duration_ms(blob)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+        return _parse_avi_duration_ms(blob)
     if ffmpeg_available():
         return _probe_duration_ms(blob)
     raise NotImplementedError(
         "real duration probing requires ffprobe (ffmpeg) on PATH for "
-        "non-WAV containers; supply RIFF/WAVE blobs or use "
+        "non-RIFF containers; supply WAV/AVI blobs or use "
         "decode_stub=True"
     )
 

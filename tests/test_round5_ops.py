@@ -540,6 +540,56 @@ class TestMultimodalRealDecode:
         ).collect()
         assert sorted(r.frame_ts_ms for r in frames) == [0, 1000, 2000]
 
+    @staticmethod
+    def _avi(uspf: int, frames: int) -> bytes:
+        """Minimal RIFF/AVI blob with a real avih main header."""
+        import struct
+
+        avih_payload = struct.pack(
+            "<14I", uspf, 0, 0, 0, frames, 0, 1, 0, 320, 240, 0, 0, 0, 0
+        )
+        avih = b"avih" + struct.pack("<I", len(avih_payload)) + avih_payload
+        hdrl = b"LIST" + struct.pack("<I", 4 + len(avih)) + b"hdrl" + avih
+        body = b"AVI " + hdrl
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def test_real_video_frames_without_ffmpeg_via_avi_parser(self, spark):
+        """The VIDEO real path un-skipped: an AVI's duration comes from
+        its own avih header (us-per-frame x frame count); frame
+        sampling must follow the CONTENT even when metadata lies."""
+        from recover_spark.ops import multimodal as mm
+
+        blob = self._avi(40_000, 75)  # 25 fps x 75 frames = 3000 ms
+        df = spark.createDataFrame(
+            [(3, blob, ("video/avi", 320, 240, 77_000))],
+            "media_id long, content binary, meta struct<"
+            "mime_type:string,width:int,height:int,duration_ms:bigint>",
+        )
+        frames = mm.sample_video_frames(
+            df, every_ms=1000, decode_stub=False
+        ).collect()
+        assert sorted(r.frame_ts_ms for r in frames) == [0, 1000, 2000]
+        chunks = mm.chunk_audio(df, chunk_ms=2000, decode_stub=False)
+        got = chunks.orderBy("chunk_idx").collect()
+        assert [(r.chunk_start_ms, r.chunk_end_ms) for r in got] == [
+            (0, 2000), (2000, 3000),
+        ]
+
+    def test_avi_parser_edge_cases(self):
+        import pytest as _pytest
+
+        from recover_spark.ops.multimodal import _parse_avi_duration_ms
+
+        assert _parse_avi_duration_ms(self._avi(33_367, 300)) == 10_010
+        with _pytest.raises(ValueError, match="AVI"):
+            _parse_avi_duration_ms(b"RIFF\x04\x00\x00\x00WAVE")
+        with _pytest.raises(ValueError, match="avih"):
+            _parse_avi_duration_ms(b"RIFF\x04\x00\x00\x00AVI ")
+        # truncated avih must fail loudly
+        broken = self._avi(40_000, 75)[:40]
+        with _pytest.raises(ValueError):
+            _parse_avi_duration_ms(broken)
+
     def test_wav_parser_edge_cases(self):
         import pytest as _pytest
 
