@@ -471,6 +471,38 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup CLUSTERS: the embedding-cosine pair stage
+    (LSH-blocked, same plan as dedup_embedding) composed with
+    pointer-doubling connected components — pairwise near-dup output
+    turned into a keep-one-per-cluster decision over the VECTOR space
+    (the embedding sibling of dedup_clusters' n-gram graph).
+    Singleton vectors cluster to themselves.  Oracle: the identical
+    blocked pair SQL feeding a recursive-closure min-label collapse."""
+    from recover_spark.ops import (
+        connected_components,
+        embedding_near_duplicates,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    pairs = embedding_near_duplicates(
+        emb, threshold=0.45, dim=64, num_planes=2
+    )
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b",
+        node_col="vec_id", component_col="cluster",
+    )
+    return (
+        emb.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster", F.col("vec_id")).alias("cluster"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def q_dedup_embedding_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs embedding near-dup via the opt-in broadcast GEMM
     path (numpy matmul over Arrow batches against a broadcast matrix) —
@@ -5007,6 +5039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_clusters": q_dedup_clusters,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_semantic_clusters": q_dedup_semantic_clusters,
         "dedup_embedding_gemm": q_dedup_embedding_gemm,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
@@ -5847,6 +5880,33 @@ def _oracle_sql_literal() -> dict[str, str]:
                        {_cos('a.embedding', 'b.embedding')} AS c
                 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
             WHERE c >= 0.45
+        """,
+        "dedup_semantic_clusters": f"""
+            WITH RECURSIVE b AS (
+                SELECT vec_id, embedding,
+                       {_lsh_bucket_sql('embedding', num_planes=2)} AS bucket
+                FROM embeddings),
+            p AS (
+                SELECT id_a AS s, id_b AS d FROM (
+                    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                           {_cos('a.embedding', 'b2.embedding')} AS c
+                    FROM b a JOIN b b2
+                      ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+                WHERE c >= 0.45),
+            sym AS (SELECT s, d FROM p UNION SELECT d AS s, s AS d FROM p),
+            reach AS (
+                SELECT DISTINCT s AS node, s AS m FROM sym
+                UNION
+                SELECT r.node, sym.d AS m
+                FROM reach r JOIN sym ON r.m = sym.s
+            )
+            SELECT e.vec_id,
+                   coalesce(mm.comp, e.vec_id) AS cluster
+            FROM embeddings e
+            LEFT JOIN (SELECT node, min(m) AS comp
+                       FROM reach GROUP BY node) mm
+              ON mm.node = e.vec_id
+            ORDER BY e.vec_id
         """,
         "ann_topk": f"""
             SELECT query_vec_id, vec_id, round(c, 6) AS cosine,
