@@ -65,6 +65,15 @@ PROBES = [
     "ts_decompose",         # classical MA decomposition
     "graph_pagerank",       # 6 power iterations over the trade graph
     "v5_drift_psi",         # PSI binning, two lineitem-era scans
+    # round 7
+    "ts_holt_winters_damped",  # damped (L+2)-state scan
+    "ts_forecast",          # smooth + L-row tail x horizon frame
+    "ts_anomaly_seasonal",  # smooth + lag window + keyed z-score
+    "v7_drift_ks",          # bucketed ECDF sup-distance, one pass
+    "v8_ref_integrity",     # two anti-join FK checks
+    "graph_components",     # pointer-doubling CC (same graph at 10x
+                            # multiplicity: distinct() collapses edges,
+                            # measuring the scan+dedup cost growth)
 ]
 
 

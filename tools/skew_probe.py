@@ -47,6 +47,12 @@ PROBES = [
     # decomposition's MA windows are L-bounded frames on the hot key
     "ts_holt_winters",
     "ts_decompose",
+    # round 7: the damped variant and the residual monitor inherit the
+    # (key, chunk) shape; the forecast's tail window is L-bounded per
+    # key, so the hot key costs only its row share
+    "ts_holt_winters_damped",
+    "ts_anomaly_seasonal",
+    "ts_forecast",
 ]
 
 
