@@ -4744,6 +4744,20 @@ def q_v5_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column")
 
 
+def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass pairwise Pearson matrix
+    (operators/analytics.py:correlation_matrix): all pair correlations
+    of four lineitem measures ride a single partial-aggregated pass —
+    the feature-redundancy screen.  Oracle: per-pair corr() in SQL."""
+    from recover_spark.operators.analytics import correlation_matrix
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        lineitem,
+        ["l_discount", "l_extendedprice", "l_quantity", "l_tax"],
+    ).orderBy("col_a", "col_b")
+
+
 def q_v8_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table referential-integrity expectation
     (quality/expectations.py:referential_integrity): one clean foreign
@@ -4969,6 +4983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v6_drift_categorical": q_v6_drift_categorical,
         "v7_drift_ks": q_v7_drift_ks,
         "v8_ref_integrity": q_v8_ref_integrity,
+        "agg_corr_matrix": q_agg_corr_matrix,
         "join_bucketed": q_join_bucketed,
         "scan_zonemap": q_scan_zonemap,
         "text_bm25": q_text_bm25,
@@ -6134,6 +6149,51 @@ def _oracle_sql_literal() -> dict[str, str]:
         "v7_drift_ks": _ks_oracle_sql(
             ["l_extendedprice", "l_quantity", "l_discount"], "1998-06-01"
         ),
+        "agg_corr_matrix": """
+            WITH pairs(col_a, col_b) AS (
+                VALUES ('l_discount', 'l_discount'),
+                       ('l_discount', 'l_extendedprice'),
+                       ('l_discount', 'l_quantity'),
+                       ('l_discount', 'l_tax'),
+                       ('l_extendedprice', 'l_extendedprice'),
+                       ('l_extendedprice', 'l_quantity'),
+                       ('l_extendedprice', 'l_tax'),
+                       ('l_quantity', 'l_quantity'),
+                       ('l_quantity', 'l_tax'),
+                       ('l_tax', 'l_tax')
+            ),
+            m AS (
+                SELECT round(corr(l_quantity, l_quantity), 6) AS c_q_q,
+                       round(corr(l_quantity, l_extendedprice), 6) AS c_q_e,
+                       round(corr(l_quantity, l_discount), 6) AS c_q_d,
+                       round(corr(l_quantity, l_tax), 6) AS c_q_t,
+                       round(corr(l_extendedprice, l_extendedprice), 6)
+                           AS c_e_e,
+                       round(corr(l_extendedprice, l_discount), 6) AS c_e_d,
+                       round(corr(l_extendedprice, l_tax), 6) AS c_e_t,
+                       round(corr(l_discount, l_discount), 6) AS c_d_d,
+                       round(corr(l_discount, l_tax), 6) AS c_d_t,
+                       round(corr(l_tax, l_tax), 6) AS c_t_t,
+                       count(*) AS n
+                FROM lineitem
+            )
+            SELECT p.col_a, p.col_b,
+                   CASE p.col_a || '|' || p.col_b
+                        WHEN 'l_quantity|l_quantity' THEN c_q_q
+                        WHEN 'l_extendedprice|l_quantity' THEN c_q_e
+                        WHEN 'l_discount|l_quantity' THEN c_q_d
+                        WHEN 'l_quantity|l_tax' THEN c_q_t
+                        WHEN 'l_extendedprice|l_extendedprice' THEN c_e_e
+                        WHEN 'l_discount|l_extendedprice' THEN c_e_d
+                        WHEN 'l_extendedprice|l_tax' THEN c_e_t
+                        WHEN 'l_discount|l_discount' THEN c_d_d
+                        WHEN 'l_discount|l_tax' THEN c_d_t
+                        WHEN 'l_tax|l_tax' THEN c_t_t
+                   END AS corr,
+                   m.n
+            FROM pairs p CROSS JOIN m
+            ORDER BY p.col_a, p.col_b
+        """,
         "v8_ref_integrity": """
             WITH checks AS (
                 SELECT 'lineitem_orders' AS check,

@@ -95,6 +95,7 @@ HEADLINE = [
     "ts_forecast",
     "ts_anomaly_seasonal",
     "v8_ref_integrity",
+    "agg_corr_matrix",
 ]
 
 

@@ -397,3 +397,77 @@ def approx_distinct_overlap(
             F.col("approx_a") + F.col("approx_b") - F.col("approx_union"),
         ).alias("approx_intersection"),
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlations over ``cols`` in ONE aggregate
+    pass — the feature-screening matrix (which sensors move together,
+    which engineered features are redundant) computed the way 100 TB
+    allows: every ``corr`` is a JVM built-in with mergeable
+    sum/product partials, all |cols|*(|cols|+1)/2 of them ride the
+    same partial-aggregate shuffle, and the shuffle carries a few
+    doubles per pair regardless of row count.  Nothing iterates per
+    pair; no second scan.
+
+    Output is long-form — one row per unordered pair (col_a <= col_b)
+    with the correlation and the pair's co-non-null row count — the
+    joinable shape downstream pruning ("drop features correlated
+    > 0.95 with a kept one") actually consumes.  NULL correlation
+    means a degenerate pair (zero variance or < 2 co-present rows).
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs >= 2 columns")
+    aggs = []
+    names = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            tag = f"{i}_{cols.index(b)}"
+            ca = F.col(a).cast("double")
+            cb = F.col(b).cast("double")
+            # pairwise-complete masking: every moment runs over the
+            # rows where BOTH columns are present (a stddev over all
+            # of `a` would mix subsets when `b` has nulls)
+            both = ca.isNotNull() & cb.isNotNull()
+            am, bm = F.when(both, ca), F.when(both, cb)
+            # Pearson from the mergeable moments with try_divide:
+            # under ANSI mode (Spark 4 default) F.corr on a
+            # zero-variance column raises DIVIDE_BY_ZERO; the
+            # degenerate-pair contract here is NULL
+            aggs.append(
+                F.try_divide(
+                    F.covar_samp(am, bm),
+                    F.stddev_samp(am) * F.stddev_samp(bm),
+                ).alias(f"__c_{tag}")
+            )
+            aggs.append(
+                F.count(
+                    F.when(
+                        F.col(a).isNotNull() & F.col(b).isNotNull(), 1
+                    )
+                ).alias(f"__n_{tag}")
+            )
+            names.append((a, b, tag))
+    one = df.agg(*aggs)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(F.col(f"__c_{tag}"), round_digits).alias(
+                        "corr"
+                    ),
+                    F.col(f"__n_{tag}").alias("n"),
+                )
+                for a, b, tag in names
+            ]
+        )
+    ).alias("__r")
+    return one.select(rows).select(
+        "__r.col_a", "__r.col_b", "__r.corr", "__r.n"
+    )

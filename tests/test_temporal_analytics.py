@@ -890,3 +890,67 @@ class TestHoltWintersAnomalies:
         # zero-variance residuals: z NULL everywhere, never flagged
         assert all(r["z"] is None for r in flat)
         assert not any(r["is_anomaly"] for r in flat)
+
+
+class TestCorrelationMatrix:
+    def test_matches_numpy_and_handles_nulls(self, spark):
+        import numpy as np
+
+        from recover_spark.operators.analytics import correlation_matrix
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(0, 1, 200)
+        y = 2 * x + rng.normal(0, 0.5, 200)   # strongly correlated
+        z = rng.normal(0, 1, 200)             # independent
+        rows = [
+            (float(x[i]), float(y[i]), float(z[i]) if i % 7 else None)
+            for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "x double, y double, z double")
+        got = {
+            (r["col_a"], r["col_b"]): (r["corr"], r["n"])
+            for r in correlation_matrix(df, ["x", "y", "z"]).collect()
+        }
+        assert len(got) == 6
+        assert got[("x", "x")][0] == 1.0
+        want_xy = float(np.corrcoef(x, y)[0, 1])
+        assert abs(got[("x", "y")][0] - want_xy) < 1e-5
+        assert abs(got[("x", "z")][0]) < 0.3
+        # null rows excluded pairwise, not listwise
+        assert got[("x", "y")][1] == 200
+        assert got[("x", "z")][1] == 200 - len([i for i in range(200) if i % 7 == 0])
+        # numpy reference for the null-filtered pair
+        mask = np.array([i % 7 != 0 for i in range(200)])
+        want_xz = float(np.corrcoef(x[mask], z[mask])[0, 1])
+        assert abs(got[("x", "z")][0] - want_xz) < 1e-5
+
+    def test_degenerate_and_guard(self, spark):
+        import pytest as _pytest
+
+        from recover_spark.operators.analytics import correlation_matrix
+
+        df = spark.createDataFrame(
+            [(1.0, 5.0), (2.0, 5.0)], "a double, b double"
+        )
+        got = {
+            (r["col_a"], r["col_b"]): r["corr"]
+            for r in correlation_matrix(df, ["a", "b"]).collect()
+        }
+        assert got[("a", "b")] is None  # zero-variance b
+        with _pytest.raises(ValueError, match=">= 2"):
+            correlation_matrix(df, ["a"])
+
+    def test_single_aggregate_pass(self, spark):
+        """All pairs must ride ONE aggregate — no per-pair jobs."""
+        from recover_spark.operators.analytics import correlation_matrix
+
+        df = spark.range(100).selectExpr(
+            "CAST(id AS DOUBLE) a", "CAST(id*2 AS DOUBLE) b",
+            "CAST(id%7 AS DOUBLE) c",
+        )
+        plan = (
+            correlation_matrix(df, ["a", "b", "c"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("HashAggregate") <= 4  # partial+final (+AQE)
+        assert "CartesianProduct" not in plan
