@@ -4758,6 +4758,30 @@ def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("col_a", "col_b")
 
 
+def q_v9_drift_ks_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN did it drift (quality/drift.py:ks_drift_by_period): a
+    per-month KS series of the post-cut shipment era against the
+    frozen pre-cut baseline, evaluated on the baseline's quantile grid
+    — both sides bin map-side against the broadcast edges, cumulative
+    sums run over the bounded (periods x columns x grid) frame, and
+    the statistic stays integer until one division.
+    ``edge_accuracy=None`` (exact interpolated edges) is gate plumbing
+    so the DuckDB oracle computes identical cutpoints, same note as
+    v5_drift_psi; production default is the approx sketch."""
+    from recover_spark.quality.drift import ks_drift_by_period
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    cut = "1998-06-01"
+    base = lineitem.filter(F.col("l_shipdate") < F.lit(cut))
+    cur = lineitem.filter(F.col("l_shipdate") >= F.lit(cut)).withColumn(
+        "__month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    return ks_drift_by_period(
+        base, cur, ["l_extendedprice", "l_quantity"], "__month",
+        n_grid=10, edge_accuracy=None,
+    ).orderBy("period", "column")
+
+
 def q_v8_ref_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-table referential-integrity expectation
     (quality/expectations.py:referential_integrity): one clean foreign
@@ -4983,6 +5007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v6_drift_categorical": q_v6_drift_categorical,
         "v7_drift_ks": q_v7_drift_ks,
         "v8_ref_integrity": q_v8_ref_integrity,
+        "v9_drift_ks_series": q_v9_drift_ks_series,
         "agg_corr_matrix": q_agg_corr_matrix,
         "join_bucketed": q_join_bucketed,
         "scan_zonemap": q_scan_zonemap,
@@ -5441,6 +5466,72 @@ def _ks_oracle_sql(cols: list[str], cut: str) -> str:
             GROUP BY na_t, nb_t
         """)
     return " UNION ALL ".join(parts) + ' ORDER BY "column"'
+
+
+def _ks_series_oracle_sql(cols: list[str], cut: str, n_grid: int) -> str:
+    """Per-month grid-KS vs the frozen pre-cut baseline — the SQL twin
+    of ks_drift_by_period with exact interpolated edges (rounded to 9
+    digits, the same tie pin as the PSI oracles)."""
+    fr = ", ".join(repr(i / n_grid) for i in range(1, n_grid))
+    edge_defs = ", ".join(
+        f"list_transform(quantile_cont({c}, [{fr}]), x -> round(x, 9)) "
+        f"AS e_{c}"
+        for c in cols
+    )
+    base_bins = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, len(list_filter(e_{c}, t -> t <= {c})) "
+        f"AS bin FROM lineitem, e WHERE l_shipdate < DATE '{cut}'"
+        for c in cols
+    )
+    cur_bins = " UNION ALL ".join(
+        f"SELECT strftime(l_shipdate, '%Y-%m') AS period, '{c}' AS col, "
+        f"len(list_filter(e_{c}, t -> t <= {c})) AS bin "
+        f"FROM lineitem, e WHERE l_shipdate >= DATE '{cut}'"
+        for c in cols
+    )
+    col_vals = ", ".join(f"('{c}')" for c in cols)
+    return f"""
+        WITH e AS (
+            SELECT {edge_defs} FROM lineitem
+            WHERE l_shipdate < DATE '{cut}'),
+        b AS ({base_bins}),
+        bc AS (SELECT col, bin, count(*) AS nb FROM b GROUP BY col, bin),
+        c AS ({cur_bins}),
+        cc AS (SELECT period, col, bin, count(*) AS np
+               FROM c GROUP BY period, col, bin),
+        frame AS (
+            SELECT p.period, cl.col, g.bin
+            FROM (SELECT DISTINCT period FROM cc) p
+            CROSS JOIN (VALUES {col_vals}) cl(col)
+            CROSS JOIN (SELECT unnest(range(0, {n_grid})) AS bin) g),
+        bd AS (
+            SELECT f.col, f.bin, coalesce(bc.nb, 0) AS nb
+            FROM (SELECT DISTINCT col, bin FROM frame) f
+            LEFT JOIN bc USING (col, bin)),
+        bcum AS (
+            SELECT col, bin,
+                   CAST(sum(nb) OVER (PARTITION BY col ORDER BY bin)
+                        AS BIGINT) AS cb,
+                   CAST(sum(nb) OVER (PARTITION BY col) AS BIGINT) AS tnb
+            FROM bd),
+        cd AS (
+            SELECT f.period, f.col, f.bin, coalesce(cc.np, 0) AS np
+            FROM frame f LEFT JOIN cc USING (period, col, bin)),
+        ccum AS (
+            SELECT period, col, bin,
+                   CAST(sum(np) OVER (PARTITION BY period, col
+                                      ORDER BY bin) AS BIGINT) AS cp,
+                   CAST(sum(np) OVER (PARTITION BY period, col)
+                        AS BIGINT) AS tnp
+            FROM cd)
+        SELECT c2.period, c2.col AS "column",
+               round(max(abs(b2.cb * c2.tnp - c2.cp * b2.tnb))
+                     / (CAST(b2.tnb AS DOUBLE) * c2.tnp), 6) AS ks_grid,
+               b2.tnb AS n_base, c2.tnp AS n_cur
+        FROM ccum c2 JOIN bcum b2 USING (col, bin)
+        GROUP BY c2.period, c2.col, b2.tnb, c2.tnp
+        ORDER BY c2.period, c2.col
+    """
 
 
 def _oracle_sql_literal() -> dict[str, str]:
@@ -6148,6 +6239,9 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "v7_drift_ks": _ks_oracle_sql(
             ["l_extendedprice", "l_quantity", "l_discount"], "1998-06-01"
+        ),
+        "v9_drift_ks_series": _ks_series_oracle_sql(
+            ["l_extendedprice", "l_quantity"], "1998-06-01", 10
         ),
         "agg_corr_matrix": """
             WITH pairs(col_a, col_b) AS (

@@ -96,6 +96,7 @@ HEADLINE = [
     "ts_anomaly_seasonal",
     "v8_ref_integrity",
     "agg_corr_matrix",
+    "v9_drift_ks_series",
 ]
 
 

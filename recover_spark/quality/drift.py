@@ -441,3 +441,144 @@ def ks_drift(
             F.col("__N_b").alias("n_cur"),
         )
     )
+
+
+def ks_drift_by_period(
+    baseline: DataFrame,
+    current: DataFrame,
+    cols: Sequence[str],
+    period_col: str,
+    n_grid: int = 20,
+    edge_accuracy: int | None = 10_000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """WHEN did it drift: a per-period KS series — for every value of
+    ``period_col`` in ``current`` (week, month, export era), the
+    KS-style sup-distance between that period's distribution and the
+    frozen baseline, evaluated on the baseline's ``n_grid``-quantile
+    grid.
+
+    The exact two-sample ``ks_drift`` answers "how far apart are these
+    two samples"; the operational question after an alert is usually
+    "which week moved".  Evaluating every period against the full
+    exact ECDF would replicate the baseline's distinct values per
+    period; instead both sides bin ONCE against the baseline's
+    broadcast quantile edges (the PSI machinery —
+    ``quantile_edge_row`` / map-side bucketing), cumulative sums run
+    over the bounded (periods x columns x grid) frame, and the
+    statistic is the grid-restricted sup
+
+        ks_grid = max_i |F_base(g_i^-) - F_period(g_i^-)|
+
+    which lower-bounds the true KS with resolution error at most the
+    largest single bin's mass (~1/n_grid on the baseline by
+    construction).  Integer arithmetic until one final division, same
+    cross-engine contract as ``ks_drift``.  Empty (period, bin) cells
+    are dense-filled with zeros so cumulative sums stay aligned.
+
+    Returns one row per (period, column): (period, column, ks_grid,
+    n_base, n_cur), NULL-valued rows excluded from both sides.
+    """
+    from pyspark.sql import Window
+
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    edges_row = quantile_edge_row(baseline, cols, n_grid, edge_accuracy)
+
+    def binned(df: DataFrame, with_period: bool) -> DataFrame:
+        j = df.crossJoin(F.broadcast(edges_row))
+        per_col = []
+        for c in cols:
+            v = F.col(c).cast("double")
+            idx = F.size(F.filter(F.col(f"__e_{c}"), lambda e: e <= v))
+            per_col.append(
+                F.when(
+                    v.isNotNull(),
+                    F.struct(F.lit(c).alias("column"), idx.alias("bin")),
+                )
+            )
+        lead = [F.col(period_col).alias("period")] if with_period else []
+        ex = j.select(
+            *lead,
+            F.explode(
+                F.filter(F.array(*per_col), lambda s: s.isNotNull())
+            ).alias("cb"),
+        ).select(*(["period"] if with_period else []), "cb.column", "cb.bin")
+        return ex.groupBy(
+            *(["period"] if with_period else []), "column", "bin"
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    base_counts = binned(baseline, with_period=False)
+    cur_counts = binned(current, with_period=True)
+
+    # dense (period x column x bin) frame so cumsums align over gaps
+    bins = F.explode(
+        F.sequence(F.lit(0), F.lit(int(n_grid) - 1))
+    ).alias("bin")
+    col_lit = F.explode(
+        F.array(*[F.lit(c) for c in cols])
+    ).alias("column")
+    periods = current.select(
+        F.col(period_col).alias("period")
+    ).distinct()
+    frame = periods.select("period", col_lit).select("period", "column", bins)
+
+    w_base = Window.partitionBy("column").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    base_dense = (
+        frame.select("column", "bin")
+        .distinct()
+        .join(base_counts, ["column", "bin"], "left")
+        .withColumn("__nb", F.coalesce("n", F.lit(0)))
+        .withColumn("__cb", F.sum("__nb").over(w_base))
+    )
+    w_cur = Window.partitionBy("period", "column").orderBy(
+        "bin"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cur_dense = (
+        frame.join(cur_counts, ["period", "column", "bin"], "left")
+        .withColumn("__np", F.coalesce("n", F.lit(0)))
+        .withColumn("__cp", F.sum("__np").over(w_cur))
+    )
+    b_tot = base_dense.groupBy("column").agg(
+        F.sum("__nb").alias("__N_b")
+    )
+    p_tot = cur_dense.groupBy("period", "column").agg(
+        F.sum("__np").alias("__N_p")
+    )
+    scored = (
+        cur_dense.join(
+            base_dense.select("column", "bin", "__cb"), ["column", "bin"]
+        )
+        .join(F.broadcast(b_tot), "column")
+        .join(F.broadcast(p_tot), ["period", "column"])
+        .select(
+            "period",
+            "column",
+            F.abs(
+                F.col("__cb") * F.col("__N_p")
+                - F.col("__cp") * F.col("__N_b")
+            ).alias("__d"),
+            "__N_b",
+            "__N_p",
+        )
+    )
+    return (
+        scored.groupBy("period", "column", "__N_b", "__N_p")
+        .agg(F.max("__d").alias("__dmax"))
+        .select(
+            "period",
+            "column",
+            F.round(
+                F.try_divide(
+                    F.col("__dmax"),
+                    (F.col("__N_b") * F.col("__N_p")).cast("double"),
+                ),
+                round_digits,
+            ).alias("ks_grid"),
+            F.col("__N_b").alias("n_base"),
+            F.col("__N_p").alias("n_cur"),
+        )
+    )

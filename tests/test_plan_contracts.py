@@ -327,6 +327,7 @@ def test_no_cartesian_product_across_query_surface(spark):
         # tests/test_ops_scale.py::TestConnectedComponents instead)
         "ts_holt_winters_damped", "v7_drift_ks", "ts_forecast",
         "ts_anomaly_seasonal", "v8_ref_integrity", "agg_corr_matrix",
+        "v9_drift_ks_series",
     ]
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"

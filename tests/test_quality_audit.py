@@ -432,3 +432,100 @@ class TestReferentialIntegrity:
         assert row["n_child"] == 4
         assert row["n_null_keys"] == 1   # ANY null key skips the row
         assert row["n_orphans"] == 1     # (1, "b")
+
+
+class TestKsDriftByPeriod:
+    def test_drifted_period_scores_and_matches_reference(self, spark):
+        import bisect
+        import random
+
+        from recover_spark.quality.drift import ks_drift_by_period
+
+        rng = random.Random(4)
+        base_vals = [round(rng.gauss(50, 10), 2) for _ in range(500)]
+        p_ok = [round(rng.gauss(50, 10), 2) for _ in range(200)]
+        p_bad = [round(rng.gauss(75, 10), 2) for _ in range(200)]
+        base = spark.createDataFrame([(v,) for v in base_vals], "v double")
+        cur = spark.createDataFrame(
+            [("w1", v) for v in p_ok] + [("w2", v) for v in p_bad],
+            "wk string, v double",
+        )
+        n_grid = 10
+        got = {
+            (r["period"], r["column"]): r
+            for r in ks_drift_by_period(
+                base, cur, ["v"], "wk", n_grid=n_grid,
+                edge_accuracy=None,
+            ).collect()
+        }
+        # python reference: exact interpolated edges -> grid KS
+        import numpy as np
+
+        edges = [
+            round(float(np.percentile(base_vals, 100 * i / n_grid,
+                                      method="linear")), 9)
+            for i in range(1, n_grid)
+        ]
+
+        def grid_ks(pvals):
+            nb, np_ = len(base_vals), len(pvals)
+            best = 0
+            for i in range(n_grid):
+                cb = sum(
+                    1 for v in base_vals
+                    if sum(1 for e in edges if e <= v) <= i
+                )
+                cp = sum(
+                    1 for v in pvals
+                    if sum(1 for e in edges if e <= v) <= i
+                )
+                best = max(best, abs(cb * np_ - cp * nb))
+            return best / (nb * np_)
+
+        for wk, pvals in (("w1", p_ok), ("w2", p_bad)):
+            r = got[(wk, "v")]
+            assert abs(r["ks_grid"] - grid_ks(pvals)) < 5.1e-7, wk
+            assert r["n_base"] == 500 and r["n_cur"] == 200
+        assert got[("w2", "v")]["ks_grid"] > 0.5   # the shift screams
+        assert got[("w1", "v")]["ks_grid"] < 0.15  # the stable week not
+
+        # grid statistic lower-bounds the exact two-sample KS
+        sb = sorted(base_vals)
+
+        def exact_ks(pvals):
+            sp = sorted(pvals)
+            pts = sorted(set(sb) | set(sp))
+            nb, np_ = len(sb), len(sp)
+            return max(
+                abs(bisect.bisect_right(sb, p) * np_
+                    - bisect.bisect_right(sp, p) * nb)
+                for p in pts
+            ) / (nb * np_)
+
+        for wk, pvals in (("w1", p_ok), ("w2", p_bad)):
+            assert got[(wk, "v")]["ks_grid"] <= exact_ks(pvals) + 5.1e-7
+
+    def test_empty_bins_and_multi_column(self, spark):
+        from recover_spark.quality.drift import ks_drift_by_period
+
+        base = spark.createDataFrame(
+            [(float(i % 20), float(i)) for i in range(100)],
+            "a double, b double",
+        )
+        # period p2's `a` values all land in ONE bin (gaps everywhere
+        # else): the dense frame must keep cumsums aligned
+        cur = spark.createDataFrame(
+            [("p1", float(i % 20), float(i)) for i in range(50)]
+            + [("p2", 3.0, float(i)) for i in range(50)],
+            "wk string, a double, b double",
+        )
+        got = {
+            (r["period"], r["column"]): r["ks_grid"]
+            for r in ks_drift_by_period(
+                base, cur, ["a", "b"], "wk", n_grid=5,
+                edge_accuracy=None,
+            ).collect()
+        }
+        assert len(got) == 4
+        assert got[("p2", "a")] > got[("p1", "a")]
+        assert got[("p1", "a")] < 0.1
