@@ -4744,6 +4744,57 @@ def q_v5_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column")
 
 
+def q_stream_corr_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained pairwise CORRELATIONS
+    (streaming/matview.py:maintain_corr_matview): per-pair centered
+    moments folded across a four-file availableNow stream via the
+    Chan parallel-merge update (raw sum-of-products partials cancel
+    catastrophically; centered moments merge exactly), state bounded
+    by |cols|^2.  Read-side corr/cov equal the one-shot batch
+    aggregate over the union up to float merge order — the oracle is
+    that batch SQL, rounded with the tie nudge."""
+    import uuid
+
+    from recover_spark.streaming.matview import (
+        maintain_corr_matview,
+        read_corr_matview,
+    )
+
+    run_dir = f"spark-warehouse/matview_corr_q/{uuid.uuid4().hex}"
+    src = f"{run_dir}/src"
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    )
+    li.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "l_quantity double, l_extendedprice double, l_discount double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_corr_matview(
+        stream,
+        f"{run_dir}/state",
+        f"{run_dir}/ckpt",
+        ["l_discount", "l_extendedprice", "l_quantity"],
+    )
+    q.awaitTermination(300)
+
+    def _r6(c):
+        return F.round(F.col(c) + F.lit(1e-9), 6)
+
+    return (
+        read_corr_matview(spark, f"{run_dir}/state")
+        .select(
+            "col_a", "col_b", "n",
+            _r6("corr").alias("corr"),
+            F.round(F.col("cov_samp") + F.lit(1e-9), 4).alias("cov_samp"),
+        )
+        .orderBy("col_a", "col_b")
+    )
+
+
 def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass pairwise Pearson matrix
     (operators/analytics.py:correlation_matrix): all pair correlations
@@ -5009,6 +5060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v8_ref_integrity": q_v8_ref_integrity,
         "v9_drift_ks_series": q_v9_drift_ks_series,
         "agg_corr_matrix": q_agg_corr_matrix,
+        "stream_corr_matview": q_stream_corr_matview,
         "join_bucketed": q_join_bucketed,
         "scan_zonemap": q_scan_zonemap,
         "text_bm25": q_text_bm25,
@@ -6243,6 +6295,51 @@ def _oracle_sql_literal() -> dict[str, str]:
         "v9_drift_ks_series": _ks_series_oracle_sql(
             ["l_extendedprice", "l_quantity"], "1998-06-01", 10
         ),
+        "stream_corr_matview": """
+            WITH pairs(col_a, col_b) AS (
+                VALUES ('l_discount', 'l_discount'),
+                       ('l_discount', 'l_extendedprice'),
+                       ('l_discount', 'l_quantity'),
+                       ('l_extendedprice', 'l_extendedprice'),
+                       ('l_extendedprice', 'l_quantity'),
+                       ('l_quantity', 'l_quantity')
+            ),
+            m AS (
+                SELECT count(*) AS n,
+                       round(corr(l_discount, l_discount) + 1e-9, 6) AS c_dd,
+                       round(corr(l_discount, l_extendedprice) + 1e-9, 6) AS c_de,
+                       round(corr(l_discount, l_quantity) + 1e-9, 6) AS c_dq,
+                       round(corr(l_extendedprice, l_extendedprice) + 1e-9, 6) AS c_ee,
+                       round(corr(l_extendedprice, l_quantity) + 1e-9, 6) AS c_eq,
+                       round(corr(l_quantity, l_quantity) + 1e-9, 6) AS c_qq,
+                       round(covar_samp(l_discount, l_discount) + 1e-9, 4) AS v_dd,
+                       round(covar_samp(l_discount, l_extendedprice) + 1e-9, 4) AS v_de,
+                       round(covar_samp(l_discount, l_quantity) + 1e-9, 4) AS v_dq,
+                       round(covar_samp(l_extendedprice, l_extendedprice) + 1e-9, 4) AS v_ee,
+                       round(covar_samp(l_extendedprice, l_quantity) + 1e-9, 4) AS v_eq,
+                       round(covar_samp(l_quantity, l_quantity) + 1e-9, 4) AS v_qq
+                FROM lineitem
+            )
+            SELECT p.col_a, p.col_b, m.n,
+                   CASE p.col_a || '|' || p.col_b
+                        WHEN 'l_discount|l_discount' THEN c_dd
+                        WHEN 'l_discount|l_extendedprice' THEN c_de
+                        WHEN 'l_discount|l_quantity' THEN c_dq
+                        WHEN 'l_extendedprice|l_extendedprice' THEN c_ee
+                        WHEN 'l_extendedprice|l_quantity' THEN c_eq
+                        WHEN 'l_quantity|l_quantity' THEN c_qq
+                   END AS corr,
+                   CASE p.col_a || '|' || p.col_b
+                        WHEN 'l_discount|l_discount' THEN v_dd
+                        WHEN 'l_discount|l_extendedprice' THEN v_de
+                        WHEN 'l_discount|l_quantity' THEN v_dq
+                        WHEN 'l_extendedprice|l_extendedprice' THEN v_ee
+                        WHEN 'l_extendedprice|l_quantity' THEN v_eq
+                        WHEN 'l_quantity|l_quantity' THEN v_qq
+                   END AS cov_samp
+            FROM pairs p CROSS JOIN m
+            ORDER BY p.col_a, p.col_b
+        """,
         "agg_corr_matrix": """
             WITH pairs(col_a, col_b) AS (
                 VALUES ('l_discount', 'l_discount'),

@@ -97,6 +97,7 @@ HEADLINE = [
     "v8_ref_integrity",
     "agg_corr_matrix",
     "v9_drift_ks_series",
+    "stream_corr_matview",
 ]
 
 

@@ -445,3 +445,176 @@ def read_quantile_matview(
             F.kll_sketch_get_quantile_double("sketch", F.lit(float(r))),
         )
     return df.drop("sketch")
+
+
+def merge_corr_moments(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    cols: Sequence[str],
+    batch_id: int | None = None,
+) -> None:
+    """Fold one batch into a pairwise second-moment state — the
+    correlation/covariance matview increment.
+
+    Correlation partials are not naively summable (raw sum-of-products
+    accumulation cancels catastrophically when means are large), but
+    CENTERED moments merge exactly via the Chan et al. parallel
+    update:
+
+        n   = nA + nB,   d = meanB - meanA
+        mean' = meanA + d * nB / n
+        M2'   = M2A + M2B + d^2      * nA*nB/n
+        Cab'  = CA  + CB + d_a * d_b * nA*nB/n
+
+    Per batch: ONE scan computes every pair's (n, means, M2s, C) with
+    pairwise-complete null masking (the same contract as
+    ``operators/analytics.py:correlation_matrix``); the state holds
+    one row per unordered pair — bounded by |cols|^2, metadata-sized —
+    and the merge is a tiny full-outer join applying the formulas.
+    Crash-safe via the shared sidecar swap; replay of an applied
+    batch id is a no-op.
+    """
+    _recover_state(state_path)
+    if batch_id is not None:
+        applied = _applied_batch_id(state_path)
+        if applied is not None and batch_id <= applied:
+            return
+    cols = list(cols)
+    aggs = []
+    names = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            tag = f"{i}_{cols.index(b)}"
+            ca = F.col(a).cast("double")
+            cb = F.col(b).cast("double")
+            both = ca.isNotNull() & cb.isNotNull()
+            am, bm = F.when(both, ca), F.when(both, cb)
+            aggs += [
+                F.count(am).alias(f"__n_{tag}"),
+                F.avg(am).alias(f"__ma_{tag}"),
+                F.avg(bm).alias(f"__mb_{tag}"),
+                (F.coalesce(F.var_pop(am), F.lit(0.0)) * F.count(am)).alias(
+                    f"__m2a_{tag}"
+                ),
+                (F.coalesce(F.var_pop(bm), F.lit(0.0)) * F.count(am)).alias(
+                    f"__m2b_{tag}"
+                ),
+                (
+                    F.coalesce(F.covar_pop(am, bm), F.lit(0.0))
+                    * F.count(am)
+                ).alias(f"__c_{tag}"),
+            ]
+            names.append((a, b, tag))
+    one = batch.agg(*aggs)
+    partial = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.col(f"__n_{tag}").alias("n"),
+                        F.col(f"__ma_{tag}").alias("mean_a"),
+                        F.col(f"__mb_{tag}").alias("mean_b"),
+                        F.col(f"__m2a_{tag}").alias("m2a"),
+                        F.col(f"__m2b_{tag}").alias("m2b"),
+                        F.col(f"__c_{tag}").alias("cab"),
+                    )
+                    for a, b, tag in names
+                ]
+            )
+        ).alias("__r")
+    ).select("__r.*").filter(F.col("n") > 0)
+
+    state = Path(state_path)
+    if state.exists():
+        prev = spark.read.parquet(state_path).select(
+            "col_a", "col_b",
+            *[F.col(c).alias(f"p_{c}")
+              for c in ("n", "mean_a", "mean_b", "m2a", "m2b", "cab")],
+        )
+        j = prev.join(partial, ["col_a", "col_b"], "full_outer")
+        nA = F.coalesce(F.col("p_n"), F.lit(0)).cast("double")
+        nB = F.coalesce(F.col("n"), F.lit(0)).cast("double")
+        n = nA + nB
+        mA_a = F.coalesce(F.col("p_mean_a"), F.lit(0.0))
+        mB_a = F.coalesce(F.col("mean_a"), F.lit(0.0))
+        mA_b = F.coalesce(F.col("p_mean_b"), F.lit(0.0))
+        mB_b = F.coalesce(F.col("mean_b"), F.lit(0.0))
+        d_a = mB_a - mA_a
+        d_b = mB_b - mA_b
+        w = F.when(n > 0, nA * nB / n).otherwise(F.lit(0.0))
+        merged = j.select(
+            "col_a",
+            "col_b",
+            (nA + nB).cast("long").alias("n"),
+            # when one side is empty its mean coalesces to 0 but its
+            # weight (nA or nB) is 0, so the formulas degrade exactly
+            # to the other side
+            F.when(n > 0, mA_a + d_a * nB / n).alias("mean_a"),
+            F.when(n > 0, mA_b + d_b * nB / n).alias("mean_b"),
+            (
+                F.coalesce(F.col("p_m2a"), F.lit(0.0))
+                + F.coalesce(F.col("m2a"), F.lit(0.0))
+                + d_a * d_a * w
+            ).alias("m2a"),
+            (
+                F.coalesce(F.col("p_m2b"), F.lit(0.0))
+                + F.coalesce(F.col("m2b"), F.lit(0.0))
+                + d_b * d_b * w
+            ).alias("m2b"),
+            (
+                F.coalesce(F.col("p_cab"), F.lit(0.0))
+                + F.coalesce(F.col("cab"), F.lit(0.0))
+                + d_a * d_b * w
+            ).alias("cab"),
+        )
+    else:
+        merged = partial
+
+    tmp = str(state) + ".tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
+    _swap_state(tmp, state_path)
+
+
+def maintain_corr_matview(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    cols: Sequence[str],
+):
+    """availableNow increments of the pairwise-correlation matview."""
+    spark = stream.sparkSession
+    cols = list(cols)
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        merge_corr_moments(spark, batch, state_path, cols, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_corr_matview(spark: SparkSession, state_path: str) -> DataFrame:
+    """Materialize correlations/covariances from the moment state:
+    corr = C / sqrt(M2a * M2b), cov_samp = C / (n - 1); degenerate
+    pairs (zero variance, n < 2) surface as NULL via try_divide."""
+    _recover_state(state_path)
+    st = spark.read.parquet(state_path)
+    return st.select(
+        "col_a",
+        "col_b",
+        "n",
+        F.try_divide(
+            F.col("cab"), F.sqrt(F.col("m2a") * F.col("m2b"))
+        ).alias("corr"),
+        F.try_divide(F.col("cab"), (F.col("n") - 1).cast("double")).alias(
+            "cov_samp"
+        ),
+    )

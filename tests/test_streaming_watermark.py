@@ -770,3 +770,73 @@ def test_compact_dedup_state_folds_partitions(spark, tmp_path):
     run("c")
     got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert got == [1, 2, 3, 10]
+
+
+class TestCorrMatview:
+    """Pairwise-correlation matview: Chan-merged centered moments."""
+
+    def test_increments_equal_batch_and_survive_large_means(self, spark, tmp_path):
+        """The reason the merge is Chan and not sum-of-products: means
+        around 1e9 with unit variance cancel ~16 digits in the naive
+        formula; the centered merge must still match numpy to 1e-6."""
+        import numpy as np
+
+        from recover_spark.streaming.matview import (
+            merge_corr_moments,
+            read_corr_matview,
+        )
+
+        rng = np.random.default_rng(2)
+        x = 1e9 + rng.normal(0, 1.0, 300)
+        y = 0.5 * (x - 1e9) + rng.normal(0, 0.5, 300) + 2e9
+        state = str(tmp_path / "corr_state")
+        for bid in range(3):  # three arrival slices
+            sl = slice(bid * 100, (bid + 1) * 100)
+            batch = spark.createDataFrame(
+                [(float(a), float(b)) for a, b in zip(x[sl], y[sl])],
+                "x double, y double",
+            )
+            merge_corr_moments(spark, batch, state, ["x", "y"], batch_id=bid)
+        got = {
+            (r["col_a"], r["col_b"]): r
+            for r in read_corr_matview(spark, state).collect()
+        }
+        want = float(np.corrcoef(x, y)[0, 1])
+        assert abs(got[("x", "y")]["corr"] - want) < 1e-6
+        assert got[("x", "y")]["n"] == 300
+        want_cov = float(np.cov(x, y, ddof=1)[0, 1])
+        assert abs(got[("x", "y")]["cov_samp"] - want_cov) < 1e-4 * abs(want_cov) + 1e-6
+        # var_pop vs covar_pop accumulate M2 differently; at mean
+        # ~1e9 the self-pair agrees to ~1e-8, not the last ulp
+        assert abs(got[("x", "x")]["corr"] - 1.0) < 1e-6
+
+        # replay of an applied batch id is a strict no-op
+        replay = spark.createDataFrame(
+            [(float(a), float(b)) for a, b in zip(x[:100], y[:100])],
+            "x double, y double",
+        )
+        merge_corr_moments(spark, replay, state, ["x", "y"], batch_id=1)
+        again = {
+            (r["col_a"], r["col_b"]): r["corr"]
+            for r in read_corr_matview(spark, state).collect()
+        }
+        assert again[("x", "y")] == got[("x", "y")]["corr"]
+
+    def test_mid_swap_crash_heals(self, spark, tmp_path):
+        import os
+
+        from recover_spark.streaming.matview import (
+            merge_corr_moments,
+            read_corr_matview,
+        )
+
+        state = str(tmp_path / "cs")
+        b = spark.createDataFrame(
+            [(float(i), float(2 * i)) for i in range(50)],
+            "x double, y double",
+        )
+        merge_corr_moments(spark, b, state, ["x", "y"], batch_id=0)
+        before = read_corr_matview(spark, state).collect()
+        os.rename(state, state + ".old")  # crash between the renames
+        after = read_corr_matview(spark, state).collect()
+        assert sorted(map(tuple, after)) == sorted(map(tuple, before))
