@@ -202,6 +202,56 @@ def _decode_image_batch(
     return pd.DataFrame(out)
 
 
+def image_ahash(
+    df: DataFrame,
+    decode_stub: bool = True,
+    nbits: int = 60,
+) -> DataFrame:
+    """Per-image average hash (aHash): decode -> grayscale thumbnail ->
+    bit i set when pixel_i >= the thumbnail mean — the classic
+    perceptual hash whose Hamming distance tracks visual similarity,
+    the CONTENT-DERIVED input ``phash_near_duplicates`` wants (its
+    banding math is hash-agnostic; the stub pipeline feeds it a digest
+    hash, where one changed byte flips everything).
+
+    ``decode_stub=True`` derives the bits from the content digest
+    (deterministic fake, plumbing-only); ``decode_stub=False`` runs
+    the real kernel — PIL when importable in the worker, the built-in
+    PNM decoder for P5/P6 blobs otherwise — so near-identical images
+    get near-identical hashes.  ``nbits`` defaults to 60 to match
+    ``phash_near_duplicates``' 4x15-bit banding.  Output:
+    (media_id, ahash long).
+    """
+    if not 1 <= nbits <= 62:
+        raise ValueError("nbits must be in [1, 62]")
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("ahash", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids, hashes = [], []
+            for mid, content in zip(batch["media_id"], batch["content"]):
+                blob = bytes(content) if content is not None else b""
+                if decode_stub:
+                    dg = hashlib.sha1(blob).digest()
+                    h = int.from_bytes(dg[:8], "big") >> (64 - nbits)
+                else:
+                    px = _image_feature_real(blob, nbits)
+                    mean = sum(px) / len(px)
+                    h = 0
+                    for v in px:
+                        h = (h << 1) | (1 if v >= mean else 0)
+                ids.append(mid)
+                hashes.append(h)
+            yield pd.DataFrame({"media_id": ids, "ahash": hashes})
+
+    return df.select("media_id", "content").mapInPandas(run, out_schema)
+
+
 def extract_image_features(
     df: DataFrame,
     feature_dim: int = 16,

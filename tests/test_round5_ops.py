@@ -1509,3 +1509,69 @@ class TestTimeTravelAsOf:
         os.remove(meta)  # pre-metadata layout
         ts = generation_commit_ts(path, gen)
         assert ts == os.stat(os.path.join(path, gen)).st_mtime
+
+
+class TestImageAhash:
+    """Real content-derived average hash over the PNM kernel."""
+
+    @staticmethod
+    def _ppm(w, h, px):
+        header = f"P6\n{w} {h}\n255\n".encode()
+        body = bytes(
+            v for r in range(h) for c in range(w) for v in px(r, c)
+        )
+        return header + body
+
+    def test_near_identical_images_hash_close(self, spark):
+        from recover_spark.ops.multimodal import (
+            image_ahash,
+            phash_near_duplicates,
+        )
+
+        def grad(r, c):
+            v = min(255, 16 * c)
+            return (v, v, v)
+
+        def grad_tweaked(r, c):
+            v = min(255, 16 * c + (3 if (r, c) == (7, 7) else 0))
+            return (v, v, v)
+
+        def inverted(r, c):
+            v = 255 - min(255, 16 * c)
+            return (v, v, v)
+
+        blobs = [
+            (1, self._ppm(16, 16, grad)),
+            (2, self._ppm(16, 16, grad_tweaked)),
+            (3, self._ppm(16, 16, inverted)),
+        ]
+        df = spark.createDataFrame(blobs, "media_id long, content binary")
+        hashes = {
+            r["media_id"]: r["ahash"]
+            for r in image_ahash(df, decode_stub=False).collect()
+        }
+
+        def ham(a, b):
+            return bin(a ^ b).count("1")
+
+        assert ham(hashes[1], hashes[2]) <= 3   # one-pixel tweak
+        assert ham(hashes[1], hashes[3]) >= 20  # inversion flips bits
+        # composition: the banding pair join finds the near pair only
+        pairs = phash_near_duplicates(
+            image_ahash(df, decode_stub=False).withColumnRenamed(
+                "ahash", "phash"
+            )
+        )
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (1, 2) in got and (1, 3) not in got
+
+    def test_stub_is_deterministic_and_bounded(self, spark):
+        from recover_spark.ops.multimodal import image_ahash
+
+        df = spark.createDataFrame(
+            [(1, b"abc"), (2, b"abc"), (3, b"abd")],
+            "media_id long, content binary",
+        )
+        h = {r["media_id"]: r["ahash"] for r in image_ahash(df).collect()}
+        assert h[1] == h[2] != h[3]
+        assert all(0 <= v < (1 << 60) for v in h.values())
