@@ -98,6 +98,7 @@ HEADLINE = [
     "agg_corr_matrix",
     "v9_drift_ks_series",
     "stream_corr_matview",
+    "dedup_semantic_clusters",
 ]
 
 

@@ -214,6 +214,7 @@ def incremental_dataset_pipeline(
     order_fields: list[str] | None = None,
     tiebreakers: tuple[str, ...] = (),
     drift_state: str | None = None,
+    categorical_drift_state: str | None = None,
 ):
     """The FULL reference pipeline as one availableNow stream: ingest ->
     W1 dedup -> J1 anti-delete, maintained incrementally over file
@@ -230,12 +231,13 @@ def incremental_dataset_pipeline(
     (VERDICT r6 #7): when set, every micro-batch also folds its binned
     counts into the streaming PSI state at that path
     (streaming/drift.py) — the baseline must have been frozen there
-    once via ``freeze_drift_baseline``.  The two folds are
-    independently replay-safe (the state merge is idempotent by
-    construction, the drift merge per batch id via its sidecar), so a
-    crash between them converges on replay; read-side PSI equals the
-    batch monitor over the same arrivals exactly (binned counts are
-    additive).
+    once via ``freeze_drift_baseline``.  ``categorical_drift_state``
+    is the categorical twin (frozen via
+    ``freeze_categorical_baseline``).  Every fold is independently
+    replay-safe (the state merge is idempotent by construction, the
+    drift merges per batch id via their sidecars), so a crash between
+    them converges on replay; read-side PSI equals the batch monitor
+    over the same arrivals exactly (binned counts are additive).
     """
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -257,6 +259,14 @@ def incremental_dataset_pipeline(
             from recover_spark.streaming.drift import merge_drift_counts
 
             merge_drift_counts(spark, batch, drift_state, _batch_id)
+        if categorical_drift_state is not None:
+            from recover_spark.streaming.drift import (
+                merge_categorical_drift_counts,
+            )
+
+            merge_categorical_drift_counts(
+                spark, batch, categorical_drift_state, _batch_id
+            )
 
     return (
         stream.writeStream.foreachBatch(_apply)

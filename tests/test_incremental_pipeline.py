@@ -188,9 +188,11 @@ def test_pipeline_composes_drift_on_arrival(spark, tmp_path):
     fresh checkpoint is a no-op for both states."""
     import json as _json
 
-    from recover_spark.quality.drift import psi_drift
+    from recover_spark.quality.drift import psi_drift, psi_drift_categorical
     from recover_spark.streaming.drift import (
+        freeze_categorical_baseline,
         freeze_drift_baseline,
+        read_categorical_drift_psi,
         read_drift_psi,
     )
     from recover_spark.streaming.incremental import (
@@ -203,24 +205,29 @@ def test_pipeline_composes_drift_on_arrival(spark, tmp_path):
             T.StructField("RecordID", T.StringType()),
             T.StructField("InsertedDate", T.StringType()),
             T.StructField("value", T.DoubleType()),
+            T.StructField("cohort", T.StringType()),
         ]
     )
     base = spark.range(0, 400).selectExpr(
-        "CAST((id * 7) % 101 AS DOUBLE) AS value"
+        "CAST((id * 7) % 101 AS DOUBLE) AS value",
+        "CASE WHEN id % 3 = 0 THEN 'adults' ELSE 'pediatric' END AS cohort",
     )
     drift_state = str(tmp_path / "drift")
     freeze_drift_baseline(base, drift_state, ["value"], n_bins=10)
+    cat_state = str(tmp_path / "cat_drift")
+    freeze_categorical_baseline(base, cat_state, ["cohort"], top_k=5)
 
     # two arrival files; f2 re-exports r2 with a newer date and shifts
     # the value distribution upward (the thing PSI must register)
     rows1 = [
         {"RecordID": f"r{i}", "InsertedDate": "2024-01-01",
-         "value": float((i * 7) % 101)}
+         "value": float((i * 7) % 101), "cohort": "adults"}
         for i in range(40)
     ]
+    # f2 shifts values AND the cohort mix (all pediatric)
     rows2 = [
         {"RecordID": f"r{i}", "InsertedDate": "2024-01-08",
-         "value": float((i * 7) % 101 + 40)}
+         "value": float((i * 7) % 101 + 40), "cohort": "pediatric"}
         for i in range(20, 60)
     ]
     src = tmp_path / "src"
@@ -244,6 +251,7 @@ def test_pipeline_composes_drift_on_arrival(spark, tmp_path):
             max_files_per_trigger=1,
             order_fields=["InsertedDate"],
             drift_state=drift_state,
+            categorical_drift_state=cat_state,
         )
         q.awaitTermination(120)
 
@@ -270,6 +278,23 @@ def test_pipeline_composes_drift_on_arrival(spark, tmp_path):
     assert streamed == batch_ref, (streamed, batch_ref)
     assert streamed["value"] > 0.05  # the upward shift registers
 
+    # categorical twin: streamed == batch over the same arrivals
+    cat_arrivals = spark.createDataFrame(
+        [(r["cohort"],) for r in rows1 + rows2], "cohort string"
+    )
+    cat_streamed = {
+        r.column: r.psi
+        for r in read_categorical_drift_psi(spark, cat_state).collect()
+    }
+    cat_batch = {
+        r.column: r.psi
+        for r in psi_drift_categorical(
+            base, cat_arrivals, ["cohort"], top_k=5
+        ).collect()
+    }
+    assert cat_streamed == cat_batch, (cat_streamed, cat_batch)
+    assert cat_streamed["cohort"] > 0.05  # the mix shift registers
+
     # full replay from a fresh checkpoint: both states unchanged
     snap = _canon(parent)
     run("ckpt2")
@@ -281,3 +306,8 @@ def test_pipeline_composes_drift_on_arrival(spark, tmp_path):
         r.column: r.psi for r in read_drift_psi(spark, drift_state).collect()
     }
     assert replayed == streamed
+    cat_replayed = {
+        r.column: r.psi
+        for r in read_categorical_drift_psi(spark, cat_state).collect()
+    }
+    assert cat_replayed == cat_streamed
