@@ -485,8 +485,13 @@ def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _load(spark, sf_dir, "embeddings")
+    # 4 planes (16 buckets) rather than dedup_embedding's 2: the
+    # cluster query feeds CC with every within-bucket pair, and
+    # within-bucket pair count grows as (n/buckets)^2 — the sf1 probe
+    # measured the 4-bucket blocking at 8.2x for 10x vectors, the
+    # 16-bucket one stays near-linear
     pairs = embedding_near_duplicates(
-        emb, threshold=0.45, dim=64, num_planes=2
+        emb, threshold=0.45, dim=64, num_planes=4
     )
     comp = connected_components(
         pairs, src="id_a", dst="id_b",
@@ -6042,7 +6047,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "dedup_semantic_clusters": f"""
             WITH RECURSIVE b AS (
                 SELECT vec_id, embedding,
-                       {_lsh_bucket_sql('embedding', num_planes=2)} AS bucket
+                       {_lsh_bucket_sql('embedding', num_planes=4)} AS bucket
                 FROM embeddings),
             p AS (
                 SELECT id_a AS s, id_b AS d FROM (
