@@ -4757,7 +4757,14 @@ def q_stream_corr_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     catastrophically; centered moments merge exactly), state bounded
     by |cols|^2.  Read-side corr/cov equal the one-shot batch
     aggregate over the union up to float merge order — the oracle is
-    that batch SQL, rounded with the tie nudge."""
+    that batch SQL, rounded with the tie nudge.  The covariance is
+    hashed as sign(x)*log10(1+|x|) rounded to 6 digits: cov_samp
+    spans ~1e-3 (discount) to ~1e9 (extendedprice self-variance), so
+    a fixed-decimal round would demand ~5e-14 RELATIVE agreement on
+    the big pairs — beyond what float summation order guarantees
+    between the 4-batch Chan merge and the oracle's single pass; the
+    log transform makes the 1e-6 rounding tolerance relative at every
+    magnitude."""
     import uuid
 
     from recover_spark.streaming.matview import (
@@ -4794,7 +4801,12 @@ def q_stream_corr_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "col_a", "col_b", "n",
             _r6("corr").alias("corr"),
-            F.round(F.col("cov_samp") + F.lit(1e-9), 4).alias("cov_samp"),
+            F.round(
+                F.signum("cov_samp")
+                * F.log10(F.abs(F.col("cov_samp")) + F.lit(1.0))
+                + F.lit(1e-9),
+                6,
+            ).alias("cov_mag"),
         )
         .orderBy("col_a", "col_b")
     )
@@ -4989,13 +5001,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # Round-6 rotation for the driver's 50-entry correctness capture:
-        # the 39 queries never present in any CORRECTNESS_r01-r05 capture
-        # lead, followed by this round's new queries, so the driver record
-        # closes the coverage debt (VERDICT r5 "What's missing" #1). Every
-        # entry runs through the same oracle harness regardless of position
-        # (tools/check_correctness.py re-runs all of them).
+    base = {
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
         "agg_cube": q_agg_cube,
@@ -5189,6 +5195,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_distinct_stats": q_agg_distinct_stats,
         "join_semi_exists": q_join_semi_exists,
         "agg_conditional": q_agg_conditional,
+    }
+    # Rotation order for the driver's 50-entry correctness capture
+    # (round-8 advice: round-7's new queries sat past position 50 and
+    # were never driver-validated).  Lead with: (a) this round's new
+    # queries, (b) the 7 round-7 queries absent from every capture,
+    # (c) the 4 sketch queries whose oracles were added after their
+    # only (no_oracle) capture — so every query reaches a green driver
+    # row.  tools/check_correctness.py re-runs ALL entries regardless.
+    front = [
+        # (b) never captured
+        "graph_components",
+        "v7_drift_ks",
+        "v8_ref_integrity",
+        "v9_drift_ks_series",
+        "agg_corr_matrix",
+        "stream_corr_matview",
+        "dedup_semantic_clusters",
+        # (c) captured only before their oracles existed
+        "stream_quantile_matview",
+        "agg_quantile_rollup",
+        "agg_distinct_overlap",
+        "agg_hll_rollup",
+    ]
+    assert all(k in base for k in front), "rotation names must exist"
+    return {k: base[k] for k in front} | {
+        k: v for k, v in base.items() if k not in front
     }
 
 
@@ -5535,15 +5567,20 @@ def _ks_series_oracle_sql(cols: list[str], cut: str, n_grid: int) -> str:
         f"AS e_{c}"
         for c in cols
     )
+    # {c} IS NOT NULL mirrors the operator's documented NULL
+    # exclusion — DuckDB's list_filter over a NULL value yields bin 0
+    # (counting the row) where ks_drift_by_period drops it
     base_bins = " UNION ALL ".join(
         f"SELECT '{c}' AS col, len(list_filter(e_{c}, t -> t <= {c})) "
-        f"AS bin FROM lineitem, e WHERE l_shipdate < DATE '{cut}'"
+        f"AS bin FROM lineitem, e WHERE l_shipdate < DATE '{cut}' "
+        f"AND {c} IS NOT NULL"
         for c in cols
     )
     cur_bins = " UNION ALL ".join(
         f"SELECT strftime(l_shipdate, '%Y-%m') AS period, '{c}' AS col, "
         f"len(list_filter(e_{c}, t -> t <= {c})) AS bin "
-        f"FROM lineitem, e WHERE l_shipdate >= DATE '{cut}'"
+        f"FROM lineitem, e WHERE l_shipdate >= DATE '{cut}' "
+        f"AND {c} IS NOT NULL"
         for c in cols
     )
     col_vals = ", ".join(f"('{c}')" for c in cols)
@@ -6317,12 +6354,12 @@ def _oracle_sql_literal() -> dict[str, str]:
                        round(corr(l_extendedprice, l_extendedprice) + 1e-9, 6) AS c_ee,
                        round(corr(l_extendedprice, l_quantity) + 1e-9, 6) AS c_eq,
                        round(corr(l_quantity, l_quantity) + 1e-9, 6) AS c_qq,
-                       round(covar_samp(l_discount, l_discount) + 1e-9, 4) AS v_dd,
-                       round(covar_samp(l_discount, l_extendedprice) + 1e-9, 4) AS v_de,
-                       round(covar_samp(l_discount, l_quantity) + 1e-9, 4) AS v_dq,
-                       round(covar_samp(l_extendedprice, l_extendedprice) + 1e-9, 4) AS v_ee,
-                       round(covar_samp(l_extendedprice, l_quantity) + 1e-9, 4) AS v_eq,
-                       round(covar_samp(l_quantity, l_quantity) + 1e-9, 4) AS v_qq
+                       round(sign(covar_samp(l_discount, l_discount)) * log10(1 + abs(covar_samp(l_discount, l_discount))) + 1e-9, 6) AS v_dd,
+                       round(sign(covar_samp(l_discount, l_extendedprice)) * log10(1 + abs(covar_samp(l_discount, l_extendedprice))) + 1e-9, 6) AS v_de,
+                       round(sign(covar_samp(l_discount, l_quantity)) * log10(1 + abs(covar_samp(l_discount, l_quantity))) + 1e-9, 6) AS v_dq,
+                       round(sign(covar_samp(l_extendedprice, l_extendedprice)) * log10(1 + abs(covar_samp(l_extendedprice, l_extendedprice))) + 1e-9, 6) AS v_ee,
+                       round(sign(covar_samp(l_extendedprice, l_quantity)) * log10(1 + abs(covar_samp(l_extendedprice, l_quantity))) + 1e-9, 6) AS v_eq,
+                       round(sign(covar_samp(l_quantity, l_quantity)) * log10(1 + abs(covar_samp(l_quantity, l_quantity))) + 1e-9, 6) AS v_qq
                 FROM lineitem
             )
             SELECT p.col_a, p.col_b, m.n,
@@ -6341,7 +6378,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                         WHEN 'l_extendedprice|l_extendedprice' THEN v_ee
                         WHEN 'l_extendedprice|l_quantity' THEN v_eq
                         WHEN 'l_quantity|l_quantity' THEN v_qq
-                   END AS cov_samp
+                   END AS cov_mag
             FROM pairs p CROSS JOIN m
             ORDER BY p.col_a, p.col_b
         """,

@@ -422,11 +422,13 @@ def correlation_matrix(
     cols = list(cols)
     if len(cols) < 2:
         raise ValueError("correlation_matrix needs >= 2 columns")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"correlation_matrix: duplicate columns in {cols}")
     aggs = []
     names = []
     for i, a in enumerate(cols):
-        for b in cols[i:]:
-            tag = f"{i}_{cols.index(b)}"
+        for j, b in enumerate(cols[i:], start=i):
+            tag = f"{i}_{j}"
             ca = F.col(a).cast("double")
             cb = F.col(b).cast("double")
             # pairwise-complete masking: every moment runs over the

@@ -432,9 +432,15 @@ def ks_drift(
         .agg(F.max("__d").alias("__dmax"))
         .select(
             "column",
+            # try_divide: an empty baseline or current side gives
+            # N_a*N_b == 0 — surface NULL as the degenerate-case
+            # contract (matching ks_drift_by_period) instead of an
+            # ANSI DIVIDE_BY_ZERO
             F.round(
-                F.col("__dmax")
-                / (F.col("__N_a") * F.col("__N_b")).cast("double"),
+                F.try_divide(
+                    F.col("__dmax"),
+                    (F.col("__N_a") * F.col("__N_b")).cast("double"),
+                ),
                 round_digits,
             ).alias("ks"),
             F.col("__N_a").alias("n_base"),

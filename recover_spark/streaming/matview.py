@@ -481,11 +481,13 @@ def merge_corr_moments(
         if applied is not None and batch_id <= applied:
             return
     cols = list(cols)
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"merge_corr_moments: duplicate columns in {cols}")
     aggs = []
     names = []
     for i, a in enumerate(cols):
-        for b in cols[i:]:
-            tag = f"{i}_{cols.index(b)}"
+        for j, b in enumerate(cols[i:], start=i):
+            tag = f"{i}_{j}"
             ca = F.col(a).cast("double")
             cb = F.col(b).cast("double")
             both = ca.isNotNull() & cb.isNotNull()

@@ -360,6 +360,18 @@ class TestKsDrift:
         same = ks_drift(base, base, ["v"]).collect()[0]
         assert same["ks"] == 0.0
 
+    def test_empty_side_yields_null_not_ansi_error(self, spark):
+        """An empty baseline or current side gives N_a*N_b == 0; the
+        degenerate-case contract is NULL (try_divide), matching
+        ks_drift_by_period — not an ANSI DIVIDE_BY_ZERO (round-7
+        advice)."""
+        from recover_spark.quality.drift import ks_drift
+
+        base = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+        empty = spark.createDataFrame([], "v double")
+        rows = ks_drift(base, empty, ["v"]).collect()
+        assert len(rows) == 1 and rows[0]["ks"] is None
+
     def test_multi_column_and_nulls(self, spark):
         from recover_spark.quality.drift import ks_drift
 

@@ -939,6 +939,21 @@ class TestCorrelationMatrix:
         assert got[("a", "b")] is None  # zero-variance b
         with _pytest.raises(ValueError, match=">= 2"):
             correlation_matrix(df, ["a"])
+        # a duplicated name would silently collide the __c_/__n_ pair
+        # tags — the contract is a loud error (round-7 advice)
+        with _pytest.raises(ValueError, match="duplicate"):
+            correlation_matrix(df, ["a", "b", "a"])
+
+    def test_duplicate_columns_raise_in_matview(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from recover_spark.streaming.matview import merge_corr_moments
+
+        df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+        with _pytest.raises(ValueError, match="duplicate"):
+            merge_corr_moments(
+                spark, df, str(tmp_path / "state"), ["x", "y", "x"]
+            )
 
     def test_single_aggregate_pass(self, spark):
         """All pairs must ride ONE aggregate — no per-pair jobs."""
