@@ -4301,6 +4301,121 @@ def _psi_oracle_sql(cols: list[str], cut: str, n_bins: int = 10) -> str:
     return " UNION ALL ".join(blocks) + ' ORDER BY "column"'
 
 
+def _js_oracle_sql(cols: list[str], cut: str, n_bins: int = 10) -> str:
+    """JS-divergence + Hellinger oracle: the _psi_oracle_sql binning
+    with UNCLAMPED shares and the bounded-metric folds (0*log0 terms
+    guarded to 0, mixture positive wherever either side has mass)."""
+    fr = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    blocks = []
+    for c in cols:
+        blocks.append(f"""
+            SELECT '{c}' AS "column",
+                   round(sum((CASE WHEN pb > 0
+                                   THEN pb * log2(pb / ((pb + pc) / 2))
+                                   ELSE 0 END
+                            + CASE WHEN pc > 0
+                                   THEN pc * log2(pc / ((pb + pc) / 2))
+                                   ELSE 0 END) / 2), 6) AS js,
+                   round(sqrt(greatest(0, 1 - sum(sqrt(pb * pc)))), 6)
+                       AS hellinger,
+                   {n_bins} AS n_bins
+            FROM (
+                WITH base AS (
+                    SELECT CAST({c} AS DOUBLE) AS v FROM lineitem
+                    WHERE l_shipdate < TIMESTAMP '{cut}' AND {c} IS NOT NULL
+                ),
+                cur AS (
+                    SELECT CAST({c} AS DOUBLE) AS v FROM lineitem
+                    WHERE l_shipdate >= TIMESTAMP '{cut}' AND {c} IS NOT NULL
+                ),
+                e AS (SELECT list_transform(quantile_cont(v, [{fr}]),
+                            x -> round(x, 9)) AS edges FROM base),
+                bb AS (SELECT len(list_filter(e.edges, x -> x <= v)) AS bin
+                       FROM base, e),
+                cb AS (SELECT len(list_filter(e.edges, x -> x <= v)) AS bin
+                       FROM cur, e),
+                slots AS (SELECT unnest(range({n_bins})) AS bin),
+                nb AS (SELECT s.bin, coalesce(x.n, 0) AS n_base
+                       FROM slots s LEFT JOIN
+                            (SELECT bin, count(*) AS n FROM bb GROUP BY 1) x
+                            USING (bin)),
+                nc AS (SELECT s.bin, coalesce(x.n, 0) AS n_cur
+                       FROM slots s LEFT JOIN
+                            (SELECT bin, count(*) AS n FROM cb GROUP BY 1) x
+                            USING (bin))
+                SELECT CAST(n_base AS DOUBLE)
+                           / (SELECT sum(n_base) FROM nb) AS pb,
+                       CAST(n_cur AS DOUBLE)
+                           / (SELECT sum(n_cur) FROM nc) AS pc
+                FROM nb JOIN nc USING (bin)
+            )
+        """)
+    return " UNION ALL ".join(blocks) + ' ORDER BY "column"'
+
+
+def _grid_drift_oracle_sql(cols: list[str], cut: str, n_bins: int = 10) -> str:
+    """Grid-KS + JS + Hellinger oracle for the streaming KS matview:
+    same binning, cumulative counts CAST to BIGINT (DuckDB window sums
+    are HUGEINT — the pack_sequences type-drift lesson), the KS cross-
+    multiplied form, and the JS/Hellinger folds."""
+    fr = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    blocks = []
+    for c in cols:
+        blocks.append(f"""
+            SELECT '{c}' AS "column",
+                   round(max(abs(cb * tc - cc * tb))
+                         / (CAST(tb AS DOUBLE) * tc), 6) AS ks_grid,
+                   CAST(tb AS BIGINT) AS n_base,
+                   CAST(tc AS BIGINT) AS n_cur,
+                   round(sum((CASE WHEN pb > 0
+                                   THEN pb * log2(pb / ((pb + pc) / 2))
+                                   ELSE 0 END
+                            + CASE WHEN pc > 0
+                                   THEN pc * log2(pc / ((pb + pc) / 2))
+                                   ELSE 0 END) / 2), 6) AS js,
+                   round(sqrt(greatest(0, 1 - sum(sqrt(pb * pc)))), 6)
+                       AS hellinger
+            FROM (
+                WITH base AS (
+                    SELECT CAST({c} AS DOUBLE) AS v FROM lineitem
+                    WHERE l_shipdate < TIMESTAMP '{cut}' AND {c} IS NOT NULL
+                ),
+                cur AS (
+                    SELECT CAST({c} AS DOUBLE) AS v FROM lineitem
+                    WHERE l_shipdate >= TIMESTAMP '{cut}' AND {c} IS NOT NULL
+                ),
+                e AS (SELECT list_transform(quantile_cont(v, [{fr}]),
+                            x -> round(x, 9)) AS edges FROM base),
+                bb AS (SELECT len(list_filter(e.edges, x -> x <= v)) AS bin
+                       FROM base, e),
+                cb2 AS (SELECT len(list_filter(e.edges, x -> x <= v)) AS bin
+                        FROM cur, e),
+                slots AS (SELECT unnest(range({n_bins})) AS bin),
+                nb AS (SELECT s.bin, coalesce(x.n, 0) AS n_base
+                       FROM slots s LEFT JOIN
+                            (SELECT bin, count(*) AS n FROM bb GROUP BY 1) x
+                            USING (bin)),
+                nc AS (SELECT s.bin, coalesce(x.n, 0) AS n_cur
+                       FROM slots s LEFT JOIN
+                            (SELECT bin, count(*) AS n FROM cb2 GROUP BY 1) x
+                            USING (bin)),
+                j AS (SELECT bin, n_base, n_cur
+                      FROM nb JOIN nc USING (bin))
+                SELECT CAST(sum(n_base) OVER (ORDER BY bin) AS BIGINT) AS cb,
+                       CAST(sum(n_cur) OVER (ORDER BY bin) AS BIGINT) AS cc,
+                       CAST(sum(n_base) OVER () AS BIGINT) AS tb,
+                       CAST(sum(n_cur) OVER () AS BIGINT) AS tc,
+                       CAST(n_base AS DOUBLE)
+                           / sum(n_base) OVER () AS pb,
+                       CAST(n_cur AS DOUBLE)
+                           / sum(n_cur) OVER () AS pc
+                FROM j
+            )
+            GROUP BY tb, tc
+        """)
+    return " UNION ALL ".join(blocks) + ' ORDER BY "column"'
+
+
 def _psi_cat_oracle_sql(cols: list[str], cut: str, top_k: int = 20) -> str:
     """Categorical-PSI oracle: per column, baseline top-k bins
     (count desc, category asc), everything else pooled to __other,
@@ -4995,6 +5110,81 @@ def q_agg_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_v10_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded drift metrics (quality/drift.py:js_drift): Jensen-
+    Shannon divergence (log base 2, [0, 1]) + Hellinger distance of
+    the post-cut shipment era against the pre-cut baseline on the
+    baseline's quantile bins — the companions to v5_drift_psi whose
+    thresholds transfer across columns (PSI is unbounded and its eps
+    clamp saturates on empty bins; JS/Hellinger are boundedly
+    sensitive there).  Same one-edge-aggregate + map-side-binning
+    shape as PSI.  ``edge_accuracy=None`` is gate plumbing for the
+    cross-engine oracle, same note as v5_drift_psi.  Oracle: the
+    identical exact-percentile binning with the JS/Hellinger folds."""
+    from recover_spark.quality.drift import js_drift
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    cut = "1998-06-01"
+    base = lineitem.filter(F.col("l_shipdate") < F.lit(cut))
+    cur = lineitem.filter(F.col("l_shipdate") >= F.lit(cut))
+    return js_drift(
+        base,
+        cur,
+        ["l_extendedprice", "l_quantity", "l_discount"],
+        n_bins=10,
+        edge_accuracy=None,
+    ).orderBy("column")
+
+
+def q_stream_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS/JS drift-on-arrival (streaming/drift.py:read_drift_ks,
+    read_drift_js): the SAME frozen-baseline/accumulated-counts state
+    the PSI matview maintains, read through two more lenses — no
+    extra stream, no extra state, which is the point: one arrival
+    pipeline maintains integer binned counts, and every drift
+    statistic is a metadata-sized read-side fold.  Grid-KS stays
+    integer (cross-multiplied cumulative counts) until one division,
+    so the streamed value is bit-identical to batch binning of the
+    union; JS shares divide once at read.  Baseline freeze uses
+    exact edges (gate plumbing, same note as stream_drift_psi).
+    Oracle: batch SQL computing both statistics over the same
+    split."""
+    import uuid
+
+    from recover_spark.streaming.drift import (
+        freeze_drift_baseline,
+        maintain_drift_matview,
+        read_drift_js,
+        read_drift_ks,
+    )
+
+    run_dir = f"spark-warehouse/drift_ks/{uuid.uuid4().hex}"
+    lineitem = _load(spark, sf_dir, "lineitem")
+    cut = "1998-06-01"
+    cols = ["l_extendedprice", "l_quantity"]
+    base = lineitem.filter(F.col("l_shipdate") < F.lit(cut)).select(*cols)
+    cur = lineitem.filter(F.col("l_shipdate") >= F.lit(cut)).select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    )
+    freeze_drift_baseline(
+        base, f"{run_dir}/state", cols, n_bins=10, edge_accuracy=None
+    )
+    src = f"{run_dir}/src"
+    cur.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(", ".join(f"{c} double" for c in cols))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_drift_matview(stream, f"{run_dir}/state", f"{run_dir}/ckpt")
+    q.awaitTermination(300)
+    ks = read_drift_ks(spark, f"{run_dir}/state")
+    js = read_drift_js(spark, f"{run_dir}/state").select(
+        "column", "js", "hellinger"
+    )
+    return ks.join(js, "column").orderBy("column")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -5066,6 +5256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_quantile_rollup": q_agg_quantile_rollup,
         "agg_skyline": q_agg_skyline,
         "v5_drift_psi": q_v5_drift_psi,
+        "v10_drift_js": q_v10_drift_js,
+        "stream_drift_ks": q_stream_drift_ks,
         "v6_drift_categorical": q_v6_drift_categorical,
         "v7_drift_ks": q_v7_drift_ks,
         "v8_ref_integrity": q_v8_ref_integrity,
@@ -5204,6 +5396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # only (no_oracle) capture — so every query reaches a green driver
     # row.  tools/check_correctness.py re-runs ALL entries regardless.
     front = [
+        # (a) new this round
+        "v10_drift_js",
+        "stream_drift_ks",
         # (b) never captured
         "graph_components",
         "v7_drift_ks",
@@ -6761,6 +6956,13 @@ def _oracle_sql_literal() -> dict[str, str]:
         """,
         "v6_drift_categorical": _psi_cat_oracle_sql(
             ["l_linestatus", "l_returnflag"], "1998-06-01"
+        ),
+        "v10_drift_js": _js_oracle_sql(
+            ["l_extendedprice", "l_quantity", "l_discount"],
+            "1998-06-01", 10,
+        ),
+        "stream_drift_ks": _grid_drift_oracle_sql(
+            ["l_extendedprice", "l_quantity"], "1998-06-01", 10,
         ),
         "v5_drift_psi": _psi_oracle_sql(
             ["l_discount", "l_extendedprice", "l_quantity"], "1998-06-01"

@@ -99,6 +99,9 @@ HEADLINE = [
     "v9_drift_ks_series",
     "stream_corr_matview",
     "dedup_semantic_clusters",
+    # round 8
+    "v10_drift_js",
+    "stream_drift_ks",
 ]
 
 
@@ -150,6 +153,7 @@ def main() -> None:
         "dedup_cosine_probe_deleted",
         "dedup_cosine_probe_compacted",
         "stream_drift_psi",
+        "stream_drift_ks",
     }
     timings: dict[str, float] = {}
     phases: dict[str, dict[str, float]] = {}

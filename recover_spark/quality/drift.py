@@ -588,3 +588,161 @@ def ks_drift_by_period(
             F.col("__N_p").alias("n_cur"),
         )
     )
+
+
+def js_from_binned_counts(
+    base_counts: DataFrame,
+    cur_counts: DataFrame,
+    cols: Sequence[str],
+    n_bins: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Jensen-Shannon divergence (log base 2 — bounded [0, 1]) and
+    Hellinger distance from already-binned per-(column, bin) count
+    tables — the shared tail of :func:`js_drift` and the streaming
+    drift monitor's JS read-side.
+
+    Unlike PSI, neither metric needs the eps clamp: the JS mixture
+    ``m = (p+q)/2`` is positive wherever either side has mass, and the
+    ``0 * log 0`` terms are defined 0 (per-side ``WHEN p > 0`` guards);
+    Hellinger is a plain Bhattacharyya fold.  Both are therefore
+    boundedly sensitive to empty bins where PSI's clamp saturates —
+    the reason monitors publish them side by side.  An empty base or
+    current era yields NULL (the family's degenerate-side contract).
+    """
+    cols = list(cols)
+    slots = base_counts.sparkSession.createDataFrame(
+        [(c, b) for c in cols for b in range(n_bins)],
+        "column string, bin int",
+    )
+    joined = (
+        slots.join(base_counts, ["column", "bin"], "left")
+        .join(cur_counts, ["column", "bin"], "left")
+        .fillna(0, subset=["n_base", "n_cur"])
+    )
+    tot = joined.groupBy("column").agg(
+        F.sum("n_base").alias("__tb"), F.sum("n_cur").alias("__tc")
+    )
+    pb = F.try_divide(F.col("n_base").cast("double"), F.col("__tb"))
+    pc = F.try_divide(F.col("n_cur").cast("double"), F.col("__tc"))
+    m = (pb + pc) / 2
+    term_b = F.when(pb > 0, pb * F.log2(pb / m)).otherwise(F.lit(0.0))
+    term_c = F.when(pc > 0, pc * F.log2(pc / m)).otherwise(F.lit(0.0))
+    bc = F.sqrt(F.coalesce(pb, F.lit(0.0)) * F.coalesce(pc, F.lit(0.0)))
+    per_col = (
+        joined.join(F.broadcast(tot), "column")
+        .groupBy("column", "__tb", "__tc")
+        .agg(
+            F.sum((term_b + term_c) / 2).alias("__js"),
+            F.sum(bc).alias("__bc"),
+        )
+    )
+    ok = (F.col("__tb") > 0) & (F.col("__tc") > 0)
+    return per_col.select(
+        "column",
+        F.round(F.when(ok, F.col("__js")), round_digits).alias("js"),
+        F.round(
+            F.when(
+                ok, F.sqrt(F.greatest(F.lit(0.0), 1 - F.col("__bc")))
+            ),
+            round_digits,
+        ).alias("hellinger"),
+        F.lit(n_bins).alias("n_bins"),
+    )
+
+
+def js_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    cols: Sequence[str],
+    n_bins: int = 10,
+    round_digits: int = 6,
+    edge_accuracy: int | None = 10_000,
+) -> DataFrame:
+    """Per-column Jensen-Shannon divergence + Hellinger distance of
+    ``current`` against ``baseline`` on the baseline's quantile bins —
+    the bounded companions to :func:`psi_drift` (PSI is unbounded and
+    clamp-saturated on empty bins; JS is [0, 1] in bits and Hellinger
+    [0, 1], so thresholds transfer across columns and eras).  Same
+    engine shape as PSI: one edge aggregate, map-side binning against
+    the one-row broadcast, per-(column, bin) counts, a bins-sized
+    final fold.  ``edge_accuracy`` follows the module contract
+    (approx sketch default; ``None`` = exact, bounded baselines
+    only)."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    edges_row = quantile_edge_row(baseline, cols, n_bins, edge_accuracy)
+    base_counts = binned_counts_against_edges(baseline, edges_row, cols, "base")
+    cur_counts = binned_counts_against_edges(current, edges_row, cols, "cur")
+    return js_from_binned_counts(
+        base_counts, cur_counts, cols, n_bins, round_digits
+    )
+
+
+def ks_grid_from_binned_counts(
+    base_counts: DataFrame,
+    cur_counts: DataFrame,
+    cols: Sequence[str],
+    n_bins: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Grid-restricted KS sup-distance from per-(column, bin) count
+    tables — the shared tail of the streaming drift monitor's KS
+    read-side (the batch exact-ECDF form lives in :func:`ks_drift`;
+    the per-period grid form in :func:`ks_drift_by_period`).
+
+    Cumulative sums run over the bounded (columns x n_bins) frame and
+    the statistic stays integer (cross-multiplied counts) until one
+    final ``try_divide`` — so counts accumulated additively across
+    stream batches give bit-identical KS to batch binning of the
+    union."""
+    cols = list(cols)
+    slots = base_counts.sparkSession.createDataFrame(
+        [(c, b) for c in cols for b in range(n_bins)],
+        "column string, bin int",
+    )
+    joined = (
+        slots.join(base_counts, ["column", "bin"], "left")
+        .join(cur_counts, ["column", "bin"], "left")
+        .fillna(0, subset=["n_base", "n_cur"])
+    )
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy("column")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = joined.select(
+        "column",
+        F.sum("n_base").over(w_cum).alias("__cb"),
+        F.sum("n_cur").over(w_cum).alias("__cc"),
+    )
+    tot = joined.groupBy("column").agg(
+        F.sum("n_base").alias("__tb"), F.sum("n_cur").alias("__tc")
+    )
+    return (
+        cum.join(F.broadcast(tot), "column")
+        .groupBy("column", "__tb", "__tc")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("__cb") * F.col("__tc")
+                    - F.col("__cc") * F.col("__tb")
+                )
+            ).alias("__dmax")
+        )
+        .select(
+            "column",
+            F.round(
+                F.try_divide(
+                    F.col("__dmax"),
+                    (F.col("__tb") * F.col("__tc")).cast("double"),
+                ),
+                round_digits,
+            ).alias("ks_grid"),
+            F.col("__tb").alias("n_base"),
+            F.col("__tc").alias("n_cur"),
+        )
+    )

@@ -306,3 +306,57 @@ def read_categorical_drift_psi(
     return psi_from_categorical_counts(
         base, cur, top, cols, top_k, eps, round_digits
     ).orderBy("column")
+
+
+def _current_counts(spark: SparkSession, state_path: str) -> DataFrame:
+    """Accumulated current-era binned counts (empty frame before any
+    batch arrives) — shared by every numeric read-side."""
+    counts_path = os.path.join(state_path, "counts")
+    _recover_state(counts_path)
+    if Path(counts_path).exists():
+        return spark.read.parquet(counts_path)
+    return spark.createDataFrame([], "column string, bin int, n_cur long")
+
+
+def read_drift_ks(
+    spark: SparkSession,
+    state_path: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Grid-KS per column from the SAME frozen-baseline/accumulated-
+    counts state :func:`read_drift_psi` reads — no extra stream, no
+    extra state.  The statistic stays integer (cross-multiplied
+    cumulative counts over the bounded bins frame) until one final
+    division, so the streamed value is BIT-IDENTICAL to batch binning
+    of the union — by count additivity plus integer arithmetic —
+    not merely close.  Before any batch arrives the current side is
+    empty and KS is NULL (the family's degenerate-side contract)."""
+    from recover_spark.quality.drift import ks_grid_from_binned_counts
+
+    meta = _read_meta(state_path)
+    cols, n_bins = meta["cols"], meta["n_bins"]
+    base = spark.read.parquet(os.path.join(state_path, "baseline_counts"))
+    return ks_grid_from_binned_counts(
+        base, _current_counts(spark, state_path), cols, n_bins, round_digits
+    ).orderBy("column")
+
+
+def read_drift_js(
+    spark: SparkSession,
+    state_path: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Jensen-Shannon divergence + Hellinger distance per column from
+    the same state as :func:`read_drift_psi` — the bounded [0, 1]
+    companions whose thresholds transfer across columns (PSI's clamp
+    saturates on empty bins).  Shares are computed once at read time
+    from exact integer counts, so the streamed value equals batch
+    binning of the union up to the one shared share-division."""
+    from recover_spark.quality.drift import js_from_binned_counts
+
+    meta = _read_meta(state_path)
+    cols, n_bins = meta["cols"], meta["n_bins"]
+    base = spark.read.parquet(os.path.join(state_path, "baseline_counts"))
+    return js_from_binned_counts(
+        base, _current_counts(spark, state_path), cols, n_bins, round_digits
+    ).orderBy("column")

@@ -328,6 +328,9 @@ def test_no_cartesian_product_across_query_surface(spark):
         "ts_holt_winters_damped", "v7_drift_ks", "ts_forecast",
         "ts_anomaly_seasonal", "v8_ref_integrity", "agg_corr_matrix",
         "v9_drift_ks_series",
+        # round 8 (stream_drift_ks is a lifecycle query — pinned by
+        # TestStreamingDrift::test_streamed_ks_and_js_equal_batch_twins)
+        "v10_drift_js",
     ]
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"

@@ -541,3 +541,78 @@ class TestKsDriftByPeriod:
         assert len(got) == 4
         assert got[("p2", "a")] > got[("p1", "a")]
         assert got[("p1", "a")] < 0.1
+
+
+class TestJsDrift:
+    """js_drift (quality/drift.py): JS divergence in bits + Hellinger
+    on the PSI binning, pinned against a direct numpy reference."""
+
+    @staticmethod
+    def _np_reference(xs, ys, n_bins):
+        import numpy as np
+
+        edges = np.round(
+            np.quantile(
+                np.asarray(xs), [i / n_bins for i in range(1, n_bins)],
+                method="linear",
+            ),
+            9,
+        )
+        # bin = count of edges <= value (ties go right, matching the
+        # operator's `edge <= value` bucketing)
+        bx = np.array([int((edges <= v).sum()) for v in xs])
+        by = np.array([int((edges <= v).sum()) for v in ys])
+        p = np.bincount(bx, minlength=n_bins) / len(xs)
+        q = np.bincount(by, minlength=n_bins) / len(ys)
+        m = (p + q) / 2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tp = np.where(p > 0, p * np.log2(p / m), 0.0)
+            tq = np.where(q > 0, q * np.log2(q / m), 0.0)
+        js = float((tp + tq).sum() / 2)
+        hell = float(np.sqrt(max(0.0, 1 - np.sqrt(p * q).sum())))
+        return js, hell
+
+    def test_matches_numpy_and_bounds(self, spark):
+        import numpy as np
+
+        from recover_spark.quality.drift import js_drift
+
+        rng = np.random.default_rng(11)
+        xs = rng.normal(50, 10, 400).tolist()
+        ys = rng.normal(62, 10, 300).tolist()
+        base = spark.createDataFrame([(v,) for v in xs], "v double")
+        cur = spark.createDataFrame([(v,) for v in ys], "v double")
+        row = js_drift(base, cur, ["v"], n_bins=8, edge_accuracy=None).collect()[0]
+        want_js, want_h = self._np_reference(xs, ys, 8)
+        assert abs(row["js"] - want_js) < 5.1e-7
+        assert abs(row["hellinger"] - want_h) < 5.1e-7
+        assert 0.0 <= row["js"] <= 1.0 and 0.0 <= row["hellinger"] <= 1.0
+
+    def test_identity_zero_and_disjoint_one(self, spark):
+        from recover_spark.quality.drift import js_drift
+
+        xs = [float(i) for i in range(100)]
+        base = spark.createDataFrame([(v,) for v in xs], "v double")
+        same = js_drift(base, base, ["v"], n_bins=10, edge_accuracy=None)
+        r = same.collect()[0]
+        assert r["js"] == 0.0 and r["hellinger"] == 0.0
+        # total shift: every current value lands in the top baseline
+        # bin — JS/Hellinger approach their numpy reference for that
+        # maximal-concentration shape (exactly 1 is unreachable under
+        # baseline-quantile binning: every bin holds baseline mass)
+        cur = spark.createDataFrame([(v + 1e6,) for v in xs], "v double")
+        d = js_drift(base, cur, ["v"], n_bins=10, edge_accuracy=None).collect()[0]
+        want_js, want_h = self._np_reference(xs, [v + 1e6 for v in xs], 10)
+        assert abs(d["js"] - want_js) < 5.1e-7
+        assert abs(d["hellinger"] - want_h) < 5.1e-7
+        assert d["js"] > 0.7 and d["hellinger"] > 0.7
+        assert d["js"] <= 1.0 and d["hellinger"] <= 1.0
+
+    def test_empty_side_yields_null(self, spark):
+        from recover_spark.quality.drift import js_drift
+
+        base = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+        empty = spark.createDataFrame([], "v double")
+        rows = js_drift(base, empty, ["v"], edge_accuracy=None).collect()
+        assert len(rows) == 1
+        assert rows[0]["js"] is None and rows[0]["hellinger"] is None

@@ -612,6 +612,80 @@ class TestStreamingDrift:
         }
         assert replayed == streamed
 
+    def test_streamed_ks_and_js_equal_batch_twins(self, spark, tmp_path):
+        """The KS/JS read-sides consume the SAME state as PSI: grid-KS
+        is bit-identical to batch binning of the union (integer
+        cross-multiplied cumulative counts, one final division); JS
+        equals the batch js_from_binned_counts over the same counts."""
+        from recover_spark.quality.drift import (
+            js_drift,
+            ks_grid_from_binned_counts,
+            binned_counts_against_edges,
+            quantile_edge_row,
+        )
+        from recover_spark.streaming.drift import (
+            freeze_drift_baseline,
+            maintain_drift_matview,
+            read_drift_js,
+            read_drift_ks,
+        )
+
+        base, batches, src = self._mk_batches(spark, tmp_path)
+        state = str(tmp_path / "drift_state")
+        freeze_drift_baseline(base, state, ["v", "w"], n_bins=10)
+        stream = spark.readStream.schema("v double, w double").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = maintain_drift_matview(stream, state, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+
+        union = batches[0].unionByName(batches[1]).unionByName(batches[2])
+        edges = quantile_edge_row(base, ["v", "w"], 10)
+        want_ks = {
+            r.column: (r.ks_grid, r.n_base, r.n_cur)
+            for r in ks_grid_from_binned_counts(
+                binned_counts_against_edges(base, edges, ["v", "w"], "base"),
+                binned_counts_against_edges(union, edges, ["v", "w"], "cur"),
+                ["v", "w"],
+                10,
+            ).collect()
+        }
+        got_ks = {
+            r.column: (r.ks_grid, r.n_base, r.n_cur)
+            for r in read_drift_ks(spark, state).collect()
+        }
+        assert got_ks == want_ks
+        assert got_ks["v"][0] > 0.1      # the shift registers
+        assert got_ks["w"][0] < 0.02     # the stable column does not
+
+        want_js = {
+            r.column: (r.js, r.hellinger)
+            for r in js_drift(base, union, ["v", "w"], n_bins=10).collect()
+        }
+        got_js = {
+            r.column: (r.js, r.hellinger)
+            for r in read_drift_js(spark, state).collect()
+        }
+        assert got_js == want_js
+        assert got_js["v"][0] > 0.02 and got_js["w"][0] < 0.005
+
+    def test_ks_js_read_side_before_any_batch_is_null(self, spark, tmp_path):
+        from recover_spark.streaming.drift import (
+            freeze_drift_baseline,
+            read_drift_js,
+            read_drift_ks,
+        )
+
+        base = spark.range(0, 1000).selectExpr(
+            "CAST(id % 31 AS DOUBLE) AS v"
+        )
+        state = str(tmp_path / "ds0")
+        freeze_drift_baseline(base, state, ["v"], n_bins=5)
+        ks = read_drift_ks(spark, state).collect()
+        js = read_drift_js(spark, state).collect()
+        assert len(ks) == 1 and ks[0]["ks_grid"] is None
+        assert len(js) == 1 and js[0]["js"] is None
+
     def test_mid_swap_crash_heals_and_batch_remerges(self, spark, tmp_path):
         """Simulate the _swap_state crash window: counts renamed aside,
         new generation never promoted.  The next read/merge must heal
