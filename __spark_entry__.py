@@ -5110,6 +5110,56 @@ def q_agg_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series sample ACF (operators/temporal.py:autocorrelation):
+    the hourly event-count series per event_type screened for
+    periodicity at lags 1..12 — the question answered BEFORE anyone
+    picks a Holt-Winters season length.  All lags ride ONE window
+    pass and ONE aggregate via the algebraic expansion of the
+    centered products (sum x_t*x_{t-k} etc. are plain mergeable
+    partials); hourly counts are exact integers, so both engines
+    compute identical moments and the ratio matches bit-for-bit.
+    Oracle: the same lag-window algebra per lag in SQL."""
+    from recover_spark.operators.temporal import autocorrelation
+
+    events = _load(spark, sf_dir, "events")
+    series = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return autocorrelation(
+        series, ["event_type"], ["hour"], "n_events", max_lag=12
+    ).orderBy("event_type", "lag")
+
+
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series CUSUM change localization
+    (operators/temporal.py:cusum_changepoints): WHEN did the hourly
+    event-rate level shift — the drift monitors (v5/v7/v10) say THAT
+    two eras differ; Page's cumulative sum localizes the shift to an
+    hour and catches slow drifts a fixed-window z-score misses.  The
+    max(0, .) recurrence is the running-minimum identity, so the
+    whole scan is one key-partitioned window exchange.  Oracle: the
+    same cumsum/running-min windows in SQL."""
+    from recover_spark.operators.temporal import cusum_changepoints
+
+    events = _load(spark, sf_dir, "events")
+    series = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = cusum_changepoints(
+        series, ["event_type"], ["hour"], "n_events",
+        slack=0.5, threshold=4.0,
+    )
+    return out.select(
+        "event_type",
+        _ts(F.col("hour"), "hour"),
+        "n_events",
+        "cusum_pos",
+        "cusum_neg",
+        "is_change",
+    ).orderBy("event_type", "hour")
+
+
 def q_v10_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded drift metrics (quality/drift.py:js_drift): Jensen-
     Shannon divergence (log base 2, [0, 1]) + Hellinger distance of
@@ -5256,6 +5306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_quantile_rollup": q_agg_quantile_rollup,
         "agg_skyline": q_agg_skyline,
         "v5_drift_psi": q_v5_drift_psi,
+        "ts_autocorr": q_ts_autocorr,
+        "ts_cusum": q_ts_cusum,
         "v10_drift_js": q_v10_drift_js,
         "stream_drift_ks": q_stream_drift_ks,
         "v6_drift_categorical": q_v6_drift_categorical,
@@ -5397,6 +5449,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row.  tools/check_correctness.py re-runs ALL entries regardless.
     front = [
         # (a) new this round
+        "ts_autocorr",
+        "ts_cusum",
         "v10_drift_js",
         "stream_drift_ks",
         # (b) never captured
@@ -6957,6 +7011,291 @@ def _oracle_sql_literal() -> dict[str, str]:
         "v6_drift_categorical": _psi_cat_oracle_sql(
             ["l_linestatus", "l_returnflag"], "1998-06-01"
         ),
+        "ts_autocorr": """
+            WITH series AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       CAST(count(*) AS DOUBLE) AS x
+                FROM events GROUP BY 1, 2)
+            
+            SELECT event_type, 1 AS lag,
+                   CASE WHEN denom = 0 THEN NULL
+                        ELSE round((pxy - m * (pa + pb) + pc * m * m)
+                                   / denom + 1e-9, 6) END AS acf,
+                   n
+            FROM (
+                SELECT event_type, n, s, ss, pxy, pa, pb, pc,
+                       s / n AS m, ss - n * (s / n) * (s / n) AS denom
+                FROM (
+                    SELECT event_type,
+                           count(x) AS n, sum(x) AS s, sum(x * x) AS ss,
+                           sum(x * lk) AS pxy,
+                           sum(CASE WHEN lk IS NOT NULL THEN x END) AS pa,
+                           sum(lk) AS pb, count(lk) AS pc
+                    FROM (
+                        SELECT event_type, x,
+                               lag(x, 1) OVER (PARTITION BY event_type
+                                                 ORDER BY hour) AS lk
+                        FROM series)
+                    GROUP BY event_type)) UNION ALL 
+            SELECT event_type, 2 AS lag,
+                   CASE WHEN denom = 0 THEN NULL
+                        ELSE round((pxy - m * (pa + pb) + pc * m * m)
+                                   / denom + 1e-9, 6) END AS acf,
+                   n
+            FROM (
+                SELECT event_type, n, s, ss, pxy, pa, pb, pc,
+                       s / n AS m, ss - n * (s / n) * (s / n) AS denom
+                FROM (
+                    SELECT event_type,
+                           count(x) AS n, sum(x) AS s, sum(x * x) AS ss,
+                           sum(x * lk) AS pxy,
+                           sum(CASE WHEN lk IS NOT NULL THEN x END) AS pa,
+                           sum(lk) AS pb, count(lk) AS pc
+                    FROM (
+                        SELECT event_type, x,
+                               lag(x, 2) OVER (PARTITION BY event_type
+                                                 ORDER BY hour) AS lk
+                        FROM series)
+                    GROUP BY event_type)) UNION ALL 
+            SELECT event_type, 3 AS lag,
+                   CASE WHEN denom = 0 THEN NULL
+                        ELSE round((pxy - m * (pa + pb) + pc * m * m)
+                                   / denom + 1e-9, 6) END AS acf,
+                   n
+            FROM (
+                SELECT event_type, n, s, ss, pxy, pa, pb, pc,
+                       s / n AS m, ss - n * (s / n) * (s / n) AS denom
+                FROM (
+                    SELECT event_type,
+                           count(x) AS n, sum(x) AS s, sum(x * x) AS ss,
+                           sum(x * lk) AS pxy,
+                           sum(CASE WHEN lk IS NOT NULL THEN x END) AS pa,
+                           sum(lk) AS pb, count(lk) AS pc
+                    FROM (
+                        SELECT event_type, x,
+                               lag(x, 3) OVER (PARTITION BY event_type
+                                                 ORDER BY hour) AS lk
+                        FROM series)
+                    GROUP BY event_type)) UNION ALL 
+            SELECT event_type, 4 AS lag,
+                   CASE WHEN denom = 0 THEN NULL
+                        ELSE round((pxy - m * (pa + pb) + pc * m * m)
+                                   / denom + 1e-9, 6) END AS acf,
+                   n
+            FROM (
+                SELECT event_type, n, s, ss, pxy, pa, pb, pc,
+                       s / n AS m, ss - n * (s / n) * (s / n) AS denom
+                FROM (
+                    SELECT event_type,
+                           count(x) AS n, sum(x) AS s, sum(x * x) AS ss,
+                           sum(x * lk) AS pxy,
+                           sum(CASE WHEN lk IS NOT NULL THEN x END) AS pa,
+                           sum(lk) AS pb, count(lk) AS pc
+                    FROM (
+                        SELECT event_type, x,
+                               lag(x, 4) OVER (PARTITION BY event_type
+                                                 ORDER BY hour) AS lk
+                        FROM series)
+                    GROUP BY event_type)) UNION ALL 
+            SELECT event_type, 5 AS lag,
+                   CASE WHEN denom = 0 THEN NULL
+                        ELSE round((pxy - m * (pa + pb) + pc * m * m)
+                                   / denom + 1e-9, 6) END AS acf,
+                   n
+            FROM (
+                SELECT event_type, n, s, ss, pxy, pa, pb, pc,
+                       s / n AS m, ss - n * (s / n) * (s / n) AS denom
+                FROM (
+                    SELECT event_type,
+                           count(x) AS n, sum(x) AS s, sum(x * x) AS ss,
+                           sum(x * lk) AS pxy,
+                           sum(CASE WHEN lk IS NOT NULL THEN x END) AS pa,
+                           sum(lk) AS pb, count(lk) AS pc
+                    FROM (
+                        SELECT event_type, x,
+                               lag(x, 5) OVER (PARTITION BY event_type
+                                                 ORDER BY hour) AS lk
+                        FROM series)
+                    GROUP BY event_type)) UNION ALL 
+            SELECT event_type, 6 AS lag,
+                   CASE WHEN denom = 0 THEN NULL
+                        ELSE round((pxy - m * (pa + pb) + pc * m * m)
+                                   / denom + 1e-9, 6) END AS acf,
+                   n
+            FROM (
+                SELECT event_type, n, s, ss, pxy, pa, pb, pc,
+                       s / n AS m, ss - n * (s / n) * (s / n) AS denom
+                FROM (
+                    SELECT event_type,
+                           count(x) AS n, sum(x) AS s, sum(x * x) AS ss,
+                           sum(x * lk) AS pxy,
+                           sum(CASE WHEN lk IS NOT NULL THEN x END) AS pa,
+                           sum(lk) AS pb, count(lk) AS pc
+                    FROM (
+                        SELECT event_type, x,
+                               lag(x, 6) OVER (PARTITION BY event_type
+                                                 ORDER BY hour) AS lk
+                        FROM series)
+                    GROUP BY event_type)) UNION ALL 
+            SELECT event_type, 7 AS lag,
+                   CASE WHEN denom = 0 THEN NULL
+                        ELSE round((pxy - m * (pa + pb) + pc * m * m)
+                                   / denom + 1e-9, 6) END AS acf,
+                   n
+            FROM (
+                SELECT event_type, n, s, ss, pxy, pa, pb, pc,
+                       s / n AS m, ss - n * (s / n) * (s / n) AS denom
+                FROM (
+                    SELECT event_type,
+                           count(x) AS n, sum(x) AS s, sum(x * x) AS ss,
+                           sum(x * lk) AS pxy,
+                           sum(CASE WHEN lk IS NOT NULL THEN x END) AS pa,
+                           sum(lk) AS pb, count(lk) AS pc
+                    FROM (
+                        SELECT event_type, x,
+                               lag(x, 7) OVER (PARTITION BY event_type
+                                                 ORDER BY hour) AS lk
+                        FROM series)
+                    GROUP BY event_type)) UNION ALL 
+            SELECT event_type, 8 AS lag,
+                   CASE WHEN denom = 0 THEN NULL
+                        ELSE round((pxy - m * (pa + pb) + pc * m * m)
+                                   / denom + 1e-9, 6) END AS acf,
+                   n
+            FROM (
+                SELECT event_type, n, s, ss, pxy, pa, pb, pc,
+                       s / n AS m, ss - n * (s / n) * (s / n) AS denom
+                FROM (
+                    SELECT event_type,
+                           count(x) AS n, sum(x) AS s, sum(x * x) AS ss,
+                           sum(x * lk) AS pxy,
+                           sum(CASE WHEN lk IS NOT NULL THEN x END) AS pa,
+                           sum(lk) AS pb, count(lk) AS pc
+                    FROM (
+                        SELECT event_type, x,
+                               lag(x, 8) OVER (PARTITION BY event_type
+                                                 ORDER BY hour) AS lk
+                        FROM series)
+                    GROUP BY event_type)) UNION ALL 
+            SELECT event_type, 9 AS lag,
+                   CASE WHEN denom = 0 THEN NULL
+                        ELSE round((pxy - m * (pa + pb) + pc * m * m)
+                                   / denom + 1e-9, 6) END AS acf,
+                   n
+            FROM (
+                SELECT event_type, n, s, ss, pxy, pa, pb, pc,
+                       s / n AS m, ss - n * (s / n) * (s / n) AS denom
+                FROM (
+                    SELECT event_type,
+                           count(x) AS n, sum(x) AS s, sum(x * x) AS ss,
+                           sum(x * lk) AS pxy,
+                           sum(CASE WHEN lk IS NOT NULL THEN x END) AS pa,
+                           sum(lk) AS pb, count(lk) AS pc
+                    FROM (
+                        SELECT event_type, x,
+                               lag(x, 9) OVER (PARTITION BY event_type
+                                                 ORDER BY hour) AS lk
+                        FROM series)
+                    GROUP BY event_type)) UNION ALL 
+            SELECT event_type, 10 AS lag,
+                   CASE WHEN denom = 0 THEN NULL
+                        ELSE round((pxy - m * (pa + pb) + pc * m * m)
+                                   / denom + 1e-9, 6) END AS acf,
+                   n
+            FROM (
+                SELECT event_type, n, s, ss, pxy, pa, pb, pc,
+                       s / n AS m, ss - n * (s / n) * (s / n) AS denom
+                FROM (
+                    SELECT event_type,
+                           count(x) AS n, sum(x) AS s, sum(x * x) AS ss,
+                           sum(x * lk) AS pxy,
+                           sum(CASE WHEN lk IS NOT NULL THEN x END) AS pa,
+                           sum(lk) AS pb, count(lk) AS pc
+                    FROM (
+                        SELECT event_type, x,
+                               lag(x, 10) OVER (PARTITION BY event_type
+                                                 ORDER BY hour) AS lk
+                        FROM series)
+                    GROUP BY event_type)) UNION ALL 
+            SELECT event_type, 11 AS lag,
+                   CASE WHEN denom = 0 THEN NULL
+                        ELSE round((pxy - m * (pa + pb) + pc * m * m)
+                                   / denom + 1e-9, 6) END AS acf,
+                   n
+            FROM (
+                SELECT event_type, n, s, ss, pxy, pa, pb, pc,
+                       s / n AS m, ss - n * (s / n) * (s / n) AS denom
+                FROM (
+                    SELECT event_type,
+                           count(x) AS n, sum(x) AS s, sum(x * x) AS ss,
+                           sum(x * lk) AS pxy,
+                           sum(CASE WHEN lk IS NOT NULL THEN x END) AS pa,
+                           sum(lk) AS pb, count(lk) AS pc
+                    FROM (
+                        SELECT event_type, x,
+                               lag(x, 11) OVER (PARTITION BY event_type
+                                                 ORDER BY hour) AS lk
+                        FROM series)
+                    GROUP BY event_type)) UNION ALL 
+            SELECT event_type, 12 AS lag,
+                   CASE WHEN denom = 0 THEN NULL
+                        ELSE round((pxy - m * (pa + pb) + pc * m * m)
+                                   / denom + 1e-9, 6) END AS acf,
+                   n
+            FROM (
+                SELECT event_type, n, s, ss, pxy, pa, pb, pc,
+                       s / n AS m, ss - n * (s / n) * (s / n) AS denom
+                FROM (
+                    SELECT event_type,
+                           count(x) AS n, sum(x) AS s, sum(x * x) AS ss,
+                           sum(x * lk) AS pxy,
+                           sum(CASE WHEN lk IS NOT NULL THEN x END) AS pa,
+                           sum(lk) AS pb, count(lk) AS pc
+                    FROM (
+                        SELECT event_type, x,
+                               lag(x, 12) OVER (PARTITION BY event_type
+                                                 ORDER BY hour) AS lk
+                        FROM series)
+                    GROUP BY event_type))
+            ORDER BY event_type, lag
+        """,
+        "ts_cusum": """
+            WITH series AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       CAST(count(*) AS DOUBLE) AS x
+                FROM events GROUP BY 1, 2),
+            z AS (
+                SELECT event_type, hour, x,
+                       CASE WHEN stddev_samp(x) OVER w = 0 THEN NULL
+                            ELSE (x - avg(x) OVER w)
+                                 / stddev_samp(x) OVER w END AS zv
+                FROM series
+                WINDOW w AS (PARTITION BY event_type)),
+            s AS (
+                SELECT event_type, hour, x,
+                       sum(zv - 0.5) OVER wo AS s_up,
+                       sum(-zv - 0.5) OVER wo AS s_dn
+                FROM z
+                WINDOW wo AS (PARTITION BY event_type ORDER BY hour
+                              ROWS UNBOUNDED PRECEDING)),
+            c AS (
+                SELECT event_type, hour, x,
+                       round(s_up - least(0, min(s_up) OVER wo) + 1e-9, 6)
+                           AS cusum_pos,
+                       round(s_dn - least(0, min(s_dn) OVER wo) + 1e-9, 6)
+                           AS cusum_neg
+                FROM s
+                WINDOW wo AS (PARTITION BY event_type ORDER BY hour
+                              ROWS UNBOUNDED PRECEDING))
+            SELECT event_type,
+                   strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+                   x AS n_events, cusum_pos, cusum_neg,
+                   CASE WHEN cusum_pos IS NULL THEN NULL
+                        ELSE cusum_pos > 4.0 OR cusum_neg > 4.0 END
+                       AS is_change
+            FROM c
+            ORDER BY event_type, hour
+        """,
         "v10_drift_js": _js_oracle_sql(
             ["l_extendedprice", "l_quantity", "l_discount"],
             "1998-06-01", 10,

@@ -102,6 +102,8 @@ HEADLINE = [
     # round 8
     "v10_drift_js",
     "stream_drift_ks",
+    "ts_autocorr",
+    "ts_cusum",
 ]
 
 

@@ -1662,3 +1662,193 @@ def seasonal_decompose(
     return out.withColumn(
         resid_col, y - F.col(trend_col) - F.col(seasonal_col)
     ).drop("__n", "__phase")
+
+
+def autocorrelation(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    max_lag: int = 12,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key sample autocorrelation function (ACF) at lags
+    ``1..max_lag`` — the periodicity/seasonality screen run before
+    anyone picks a Holt-Winters season length or calls a series
+    "noise": a peak at lag L says the series repeats every L steps.
+
+    Definition (the standard sample ACF): with series mean ``m`` over
+    all n points,
+
+        acf(k) = sum_{t>k} (x_t - m)(x_{t-k} - m)
+                 / sum_t (x_t - m)^2
+
+    Engine shape — ONE window exchange + ONE aggregate, no joins, no
+    per-lag jobs: all ``max_lag`` lagged copies ride the same
+    (key-partitioned, order-sorted) window pass, and the centered
+    products expand algebraically —
+
+        num_k = S_xy(k) - m*(S_a(k) + S_b(k)) + c_k*m^2
+
+    with S_xy(k) = sum x_t*x_{t-k}, S_a/S_b the co-present sums and
+    c_k their count — so every lag's moments are plain SUM/COUNT
+    partials of one groupBy.  The division is the only non-mergeable
+    step.  Skew note: one window sort per key, same cost class as any
+    per-key scan; the aggregate is map-side combinable.
+
+    Output is long-form (key..., lag, acf, n) — acf NULL for a
+    zero-variance or too-short series (``try_divide`` contract).
+    NULL values are excluded up front (a gap re-indexes the series;
+    resample first if gaps must count).
+    """
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    key_cols = list(key_cols)
+    order = [F.col(c) for c in order_cols]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull()).select(
+        *key_cols, *(F.col(c) for c in order_cols), v.alias("__x")
+    )
+    lagged = base.select(
+        *key_cols,
+        "__x",
+        *[
+            F.lag("__x", k).over(w).alias(f"__l{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    aggs = [
+        F.count("__x").alias("__n"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__ss"),
+    ]
+    for k in range(1, max_lag + 1):
+        lk = F.col(f"__l{k}")
+        aggs += [
+            F.sum(F.col("__x") * lk).alias(f"__pxy{k}"),
+            F.sum(F.when(lk.isNotNull(), F.col("__x"))).alias(f"__pa{k}"),
+            F.sum(lk).alias(f"__pb{k}"),
+            F.count(lk).alias(f"__pc{k}"),
+        ]
+    g = lagged.groupBy(*key_cols).agg(*aggs)
+    m = F.col("__s") / F.col("__n")
+    denom = F.col("__ss") - F.col("__n") * m * m
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(k).alias("lag"),
+                    F.round(
+                        F.try_divide(
+                            F.coalesce(F.col(f"__pxy{k}"), F.lit(0.0))
+                            - m
+                            * (
+                                F.coalesce(F.col(f"__pa{k}"), F.lit(0.0))
+                                + F.coalesce(F.col(f"__pb{k}"), F.lit(0.0))
+                            )
+                            + F.col(f"__pc{k}") * m * m,
+                            denom,
+                        )
+                        + F.lit(1e-9),
+                        round_digits,
+                    ).alias("acf"),
+                )
+                for k in range(1, max_lag + 1)
+            ]
+        )
+    ).alias("__r")
+    return g.select(*key_cols, F.col("__n").alias("n"), rows).select(
+        *key_cols, "__r.lag", "__r.acf", "n"
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    slack: float = 0.5,
+    threshold: float = 4.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key two-sided CUSUM change detection — WHEN did the level
+    shift: the classic Page cumulative-sum statistic on the key's
+    z-normalized series,
+
+        s+_t = max(0, s+_{t-1} + z_t - slack)
+        s-_t = max(0, s-_{t-1} - z_t - slack)
+
+    flagged where either side exceeds ``threshold`` (both in sigma
+    units).  The drift monitors (PSI/KS/JS) say THAT two eras differ;
+    CUSUM localizes the shift to an observation index and catches
+    slow drifts a fixed-window z-score misses (small persistent
+    offsets accumulate).
+
+    The max(0, ...) recurrence looks sequential but is exactly a
+    running-minimum identity: with S_t = cumsum(z_t - slack),
+
+        s+_t = S_t - min(0, min_{j<=t} S_j)
+
+    so the whole scan is ONE key-partitioned window exchange: mean and
+    stddev over the unbounded frame z-normalize map-side, two
+    cumulative sums and two running minima ride the same sort.  No
+    iteration, no driver round-trip, no join — the same skew class as
+    any per-key ordered scan.
+
+    Statistics are rounded BEFORE thresholding so the alarm flag is
+    reproducible across engines.  A zero-variance key yields NULL
+    scores and no alarms (``try_divide`` contract).
+    """
+    key_cols = list(key_cols)
+    order = [F.col(c) for c in order_cols]
+    w_all = Window.partitionBy(*key_cols)
+    w_ord = Window.partitionBy(*key_cols).orderBy(*order)
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull())
+    z = F.try_divide(v - F.avg(v).over(w_all), F.stddev_samp(v).over(w_all))
+    scored = base.select(
+        *key_cols,
+        *(F.col(c) for c in order_cols),
+        v.alias(value_col),
+        (z - F.lit(float(slack))).alias("__up"),
+        (-z - F.lit(float(slack))).alias("__dn"),
+    )
+    # two projections because window functions cannot nest in one
+    # expression; both ride the SAME (partitioning, ordering) spec so
+    # the planner keeps a single exchange + sort
+    summed = scored.select(
+        *key_cols,
+        *(F.col(c) for c in order_cols),
+        value_col,
+        F.sum("__up").over(w_run).alias("__S_up"),
+        F.sum("__dn").over(w_run).alias("__S_dn"),
+    )
+    cusum_pos = F.round(
+        F.col("__S_up")
+        - F.least(F.lit(0.0), F.min("__S_up").over(w_run))
+        + F.lit(1e-9),
+        round_digits,
+    )
+    cusum_neg = F.round(
+        F.col("__S_dn")
+        - F.least(F.lit(0.0), F.min("__S_dn").over(w_run))
+        + F.lit(1e-9),
+        round_digits,
+    )
+    out = summed.select(
+        *key_cols,
+        *(F.col(c) for c in order_cols),
+        value_col,
+        cusum_pos.alias("cusum_pos"),
+        cusum_neg.alias("cusum_neg"),
+    )
+    h = F.lit(float(threshold))
+    return out.withColumn(
+        "is_change",
+        F.when(
+            F.col("cusum_pos").isNotNull(),
+            (F.col("cusum_pos") > h) | (F.col("cusum_neg") > h),
+        ),
+    )

@@ -969,3 +969,147 @@ class TestCorrelationMatrix:
         )
         assert plan.count("HashAggregate") <= 4  # partial+final (+AQE)
         assert "CartesianProduct" not in plan
+
+
+class TestAutocorrelation:
+    """autocorrelation (operators/temporal.py): sample ACF pinned
+    against the direct numpy formula."""
+
+    @staticmethod
+    def _np_acf(xs, max_lag):
+        import numpy as np
+
+        x = np.asarray(xs, dtype=float)
+        m = x.mean()
+        denom = ((x - m) ** 2).sum()
+        out = {}
+        for k in range(1, max_lag + 1):
+            if k >= len(x) or denom == 0:
+                out[k] = None
+            else:
+                out[k] = float(((x[k:] - m) * (x[:-k] - m)).sum() / denom)
+        return out
+
+    def test_matches_numpy_on_periodic_series(self, spark):
+        import math
+
+        # period-7 signal + deterministic jitter: acf peaks at lag 7
+        xs = [
+            math.sin(2 * math.pi * i / 7) * 10 + (i * 13 % 5)
+            for i in range(200)
+        ]
+        rows = [("a", i, xs[i]) for i in range(200)]
+        df = spark.createDataFrame(rows, "k string, t int, v double")
+        from recover_spark.operators.temporal import autocorrelation
+
+        got = {
+            r["lag"]: r["acf"]
+            for r in autocorrelation(df, ["k"], ["t"], "v", max_lag=10).collect()
+        }
+        want = self._np_acf(xs, 10)
+        for k in range(1, 11):
+            assert abs(got[k] - want[k]) < 5.1e-6, (k, got[k], want[k])
+        assert got[7] == max(got.values())          # the period shows
+        assert got[7] > 0.8 and got[3] < 0.2
+
+    def test_multi_key_and_degenerate(self, spark):
+        from recover_spark.operators.temporal import autocorrelation
+
+        rows = [("a", i, float(i % 3)) for i in range(30)] + [
+            ("flat", i, 5.0) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "k string, t int, v double")
+        out = autocorrelation(df, ["k"], ["t"], "v", max_lag=3).collect()
+        by = {(r["k"], r["lag"]): r["acf"] for r in out}
+        want = self._np_acf([float(i % 3) for i in range(30)], 3)
+        assert abs(by[("a", 3)] - want[3]) < 5.1e-6
+        # zero-variance series: NULL, not an error
+        assert all(by[("flat", k)] is None for k in (1, 2, 3))
+        n_by_key = {r["k"]: r["n"] for r in out}
+        assert n_by_key == {"a": 30, "flat": 10}
+
+    def test_single_window_single_aggregate_plan(self, spark):
+        """All lags must ride ONE window pass + ONE aggregate — no
+        per-lag jobs, no join, no CartesianProduct."""
+        from recover_spark.operators.temporal import autocorrelation
+
+        df = spark.range(1000).selectExpr(
+            "CAST(id % 7 AS STRING) k", "id t", "CAST(id % 13 AS DOUBLE) v"
+        )
+        plan = (
+            autocorrelation(df, ["k"], ["t"], "v", max_lag=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Window") == 1
+        assert "CartesianProduct" not in plan
+        assert plan.count("Exchange") <= 3  # window + partial/final agg
+
+
+class TestCusumChangepoints:
+    """cusum_changepoints (operators/temporal.py): the running-min
+    identity pinned against the sequential Page recurrence."""
+
+    @staticmethod
+    def _seq_cusum(xs, slack):
+        import statistics
+
+        m = statistics.fmean(xs)
+        sd = statistics.stdev(xs)
+        sp = sn = 0.0
+        out = []
+        for x in xs:
+            z = (x - m) / sd
+            sp = max(0.0, sp + z - slack)
+            sn = max(0.0, sn - z - slack)
+            out.append((sp, sn))
+        return out
+
+    def test_matches_sequential_recurrence(self, spark):
+        xs = [float((i * 17) % 23) for i in range(60)] + [
+            float((i * 17) % 23 + 15) for i in range(60)
+        ]
+        rows = [("a", i, xs[i]) for i in range(len(xs))]
+        df = spark.createDataFrame(rows, "k string, t int, v double")
+        from recover_spark.operators.temporal import cusum_changepoints
+
+        got = {
+            r["t"]: (r["cusum_pos"], r["cusum_neg"], r["is_change"])
+            for r in cusum_changepoints(
+                df, ["k"], ["t"], "v", slack=0.5, threshold=4.0
+            ).collect()
+        }
+        want = self._seq_cusum(xs, 0.5)
+        for t, (sp, sn) in enumerate(want):
+            assert abs(got[t][0] - sp) < 1e-5, (t, got[t][0], sp)
+            assert abs(got[t][1] - sn) < 1e-5
+        # retrospective normalization centers on the GLOBAL mean, so
+        # the below-mean first half accumulates on the negative side
+        # and the upward shift at t=60 on the positive side; the
+        # directional statistics separate the two eras
+        assert all(got[t][0] < 4.0 for t in range(0, 60))   # pos quiet early
+        assert any(got[t][0] > 4.0 for t in range(60, 80))  # shift registers
+        assert any(got[t][2] for t in range(60, 80))
+
+    def test_zero_variance_yields_null_no_alarm(self, spark):
+        from recover_spark.operators.temporal import cusum_changepoints
+
+        df = spark.createDataFrame(
+            [("f", i, 3.0) for i in range(10)], "k string, t int, v double"
+        )
+        rows = cusum_changepoints(df, ["k"], ["t"], "v").collect()
+        assert all(r["cusum_pos"] is None for r in rows)
+        assert all(r["is_change"] is None for r in rows)
+
+    def test_one_exchange_plan(self, spark):
+        from recover_spark.operators.temporal import cusum_changepoints
+
+        df = spark.range(5000).selectExpr(
+            "CAST(id % 11 AS STRING) k", "id t", "CAST(id % 19 AS DOUBLE) v"
+        )
+        plan = (
+            cusum_changepoints(df, ["k"], ["t"], "v")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # one key-partitioned exchange feeds every window spec
+        assert plan.count("Exchange") == 1
+        assert "CartesianProduct" not in plan
