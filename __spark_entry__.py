@@ -5110,6 +5110,43 @@ def q_agg_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_assoc_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Cramér's V over the order/lineitem enum columns
+    (operators/analytics.py:association_matrix) — the categorical
+    companion to agg_corr_matrix: which flags move together (Pearson
+    is meaningless on enums).  All six pairs' contingency cells ride
+    ONE shuffle of the fact (per-row pair-struct explode + one
+    groupBy); margins, dimensions, and the chi-square fold operate on
+    contingency-sized data.  chi2 is hashed as log10(1+chi2) so the
+    rounding tolerance is relative across magnitudes (the cov_mag
+    convention).  Oracle: per-pair crosstab chi-square in SQL with
+    the identical zero-cell closed form."""
+    from recover_spark.operators.analytics import association_matrix
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    fact = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    )
+    out = association_matrix(
+        fact,
+        ["l_returnflag", "l_linestatus", "o_orderstatus", "o_orderpriority"],
+    )
+    return out.select(
+        "col_a",
+        "col_b",
+        "v_cramer",
+        F.round(
+            F.log10(F.greatest(F.col("chi2"), F.lit(0.0)) + F.lit(1.0))
+            + F.lit(1e-9),
+            6,
+        ).alias("chi2_mag"),
+        "n",
+        "r_levels",
+        "c_levels",
+    ).orderBy("col_a", "col_b")
+
+
 def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series sample ACF (operators/temporal.py:autocorrelation):
     the hourly event-count series per event_type screened for
@@ -5306,6 +5343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_quantile_rollup": q_agg_quantile_rollup,
         "agg_skyline": q_agg_skyline,
         "v5_drift_psi": q_v5_drift_psi,
+        "agg_assoc_matrix": q_agg_assoc_matrix,
         "ts_autocorr": q_ts_autocorr,
         "ts_cusum": q_ts_cusum,
         "v10_drift_js": q_v10_drift_js,
@@ -5449,6 +5487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row.  tools/check_correctness.py re-runs ALL entries regardless.
     front = [
         # (a) new this round
+        "agg_assoc_matrix",
         "ts_autocorr",
         "ts_cusum",
         "v10_drift_js",
@@ -7011,6 +7050,201 @@ def _oracle_sql_literal() -> dict[str, str]:
         "v6_drift_categorical": _psi_cat_oracle_sql(
             ["l_linestatus", "l_returnflag"], "1998-06-01"
         ),
+        "agg_assoc_matrix": """
+            SELECT 'l_returnflag' AS col_a, 'l_linestatus' AS col_b,
+                   CASE WHEN least(r, c) <= 1 THEN NULL
+                        ELSE round(sqrt(greatest(chi_obs + n, 0)
+                                        / (n * CAST(least(r, c) - 1
+                                                    AS DOUBLE))) + 1e-9, 6)
+                   END AS v_cramer,
+                   round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6)
+                       AS chi2_mag,
+                   CAST(n AS BIGINT) AS n,
+                   r AS r_levels, c AS c_levels
+            FROM (
+                WITH cells AS (
+                    SELECT coalesce(CAST(l_returnflag AS VARCHAR), '__null') AS va,
+                           coalesce(CAST(l_linestatus AS VARCHAR), '__null') AS vb,
+                           count(*) AS o
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+                m AS (
+                    SELECT o,
+                           sum(o) OVER (PARTITION BY va) AS ra,
+                           sum(o) OVER (PARTITION BY vb) AS cb,
+                           sum(o) OVER () AS n,
+                           va, vb
+                    FROM cells)
+                SELECT max(n) AS n,
+                       sum((o - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           * (o - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           AS chi_obs,
+                       count(DISTINCT va) AS r, count(DISTINCT vb) AS c
+                FROM m) UNION ALL 
+            SELECT 'l_returnflag' AS col_a, 'o_orderstatus' AS col_b,
+                   CASE WHEN least(r, c) <= 1 THEN NULL
+                        ELSE round(sqrt(greatest(chi_obs + n, 0)
+                                        / (n * CAST(least(r, c) - 1
+                                                    AS DOUBLE))) + 1e-9, 6)
+                   END AS v_cramer,
+                   round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6)
+                       AS chi2_mag,
+                   CAST(n AS BIGINT) AS n,
+                   r AS r_levels, c AS c_levels
+            FROM (
+                WITH cells AS (
+                    SELECT coalesce(CAST(l_returnflag AS VARCHAR), '__null') AS va,
+                           coalesce(CAST(o_orderstatus AS VARCHAR), '__null') AS vb,
+                           count(*) AS o
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+                m AS (
+                    SELECT o,
+                           sum(o) OVER (PARTITION BY va) AS ra,
+                           sum(o) OVER (PARTITION BY vb) AS cb,
+                           sum(o) OVER () AS n,
+                           va, vb
+                    FROM cells)
+                SELECT max(n) AS n,
+                       sum((o - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           * (o - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           AS chi_obs,
+                       count(DISTINCT va) AS r, count(DISTINCT vb) AS c
+                FROM m) UNION ALL 
+            SELECT 'l_returnflag' AS col_a, 'o_orderpriority' AS col_b,
+                   CASE WHEN least(r, c) <= 1 THEN NULL
+                        ELSE round(sqrt(greatest(chi_obs + n, 0)
+                                        / (n * CAST(least(r, c) - 1
+                                                    AS DOUBLE))) + 1e-9, 6)
+                   END AS v_cramer,
+                   round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6)
+                       AS chi2_mag,
+                   CAST(n AS BIGINT) AS n,
+                   r AS r_levels, c AS c_levels
+            FROM (
+                WITH cells AS (
+                    SELECT coalesce(CAST(l_returnflag AS VARCHAR), '__null') AS va,
+                           coalesce(CAST(o_orderpriority AS VARCHAR), '__null') AS vb,
+                           count(*) AS o
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+                m AS (
+                    SELECT o,
+                           sum(o) OVER (PARTITION BY va) AS ra,
+                           sum(o) OVER (PARTITION BY vb) AS cb,
+                           sum(o) OVER () AS n,
+                           va, vb
+                    FROM cells)
+                SELECT max(n) AS n,
+                       sum((o - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           * (o - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           AS chi_obs,
+                       count(DISTINCT va) AS r, count(DISTINCT vb) AS c
+                FROM m) UNION ALL 
+            SELECT 'l_linestatus' AS col_a, 'o_orderstatus' AS col_b,
+                   CASE WHEN least(r, c) <= 1 THEN NULL
+                        ELSE round(sqrt(greatest(chi_obs + n, 0)
+                                        / (n * CAST(least(r, c) - 1
+                                                    AS DOUBLE))) + 1e-9, 6)
+                   END AS v_cramer,
+                   round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6)
+                       AS chi2_mag,
+                   CAST(n AS BIGINT) AS n,
+                   r AS r_levels, c AS c_levels
+            FROM (
+                WITH cells AS (
+                    SELECT coalesce(CAST(l_linestatus AS VARCHAR), '__null') AS va,
+                           coalesce(CAST(o_orderstatus AS VARCHAR), '__null') AS vb,
+                           count(*) AS o
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+                m AS (
+                    SELECT o,
+                           sum(o) OVER (PARTITION BY va) AS ra,
+                           sum(o) OVER (PARTITION BY vb) AS cb,
+                           sum(o) OVER () AS n,
+                           va, vb
+                    FROM cells)
+                SELECT max(n) AS n,
+                       sum((o - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           * (o - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           AS chi_obs,
+                       count(DISTINCT va) AS r, count(DISTINCT vb) AS c
+                FROM m) UNION ALL 
+            SELECT 'l_linestatus' AS col_a, 'o_orderpriority' AS col_b,
+                   CASE WHEN least(r, c) <= 1 THEN NULL
+                        ELSE round(sqrt(greatest(chi_obs + n, 0)
+                                        / (n * CAST(least(r, c) - 1
+                                                    AS DOUBLE))) + 1e-9, 6)
+                   END AS v_cramer,
+                   round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6)
+                       AS chi2_mag,
+                   CAST(n AS BIGINT) AS n,
+                   r AS r_levels, c AS c_levels
+            FROM (
+                WITH cells AS (
+                    SELECT coalesce(CAST(l_linestatus AS VARCHAR), '__null') AS va,
+                           coalesce(CAST(o_orderpriority AS VARCHAR), '__null') AS vb,
+                           count(*) AS o
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+                m AS (
+                    SELECT o,
+                           sum(o) OVER (PARTITION BY va) AS ra,
+                           sum(o) OVER (PARTITION BY vb) AS cb,
+                           sum(o) OVER () AS n,
+                           va, vb
+                    FROM cells)
+                SELECT max(n) AS n,
+                       sum((o - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           * (o - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           AS chi_obs,
+                       count(DISTINCT va) AS r, count(DISTINCT vb) AS c
+                FROM m) UNION ALL 
+            SELECT 'o_orderstatus' AS col_a, 'o_orderpriority' AS col_b,
+                   CASE WHEN least(r, c) <= 1 THEN NULL
+                        ELSE round(sqrt(greatest(chi_obs + n, 0)
+                                        / (n * CAST(least(r, c) - 1
+                                                    AS DOUBLE))) + 1e-9, 6)
+                   END AS v_cramer,
+                   round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6)
+                       AS chi2_mag,
+                   CAST(n AS BIGINT) AS n,
+                   r AS r_levels, c AS c_levels
+            FROM (
+                WITH cells AS (
+                    SELECT coalesce(CAST(o_orderstatus AS VARCHAR), '__null') AS va,
+                           coalesce(CAST(o_orderpriority AS VARCHAR), '__null') AS vb,
+                           count(*) AS o
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    GROUP BY 1, 2),
+                m AS (
+                    SELECT o,
+                           sum(o) OVER (PARTITION BY va) AS ra,
+                           sum(o) OVER (PARTITION BY vb) AS cb,
+                           sum(o) OVER () AS n,
+                           va, vb
+                    FROM cells)
+                SELECT max(n) AS n,
+                       sum((o - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           * (o - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
+                           AS chi_obs,
+                       count(DISTINCT va) AS r, count(DISTINCT vb) AS c
+                FROM m)
+            ORDER BY col_a, col_b
+        """,
         "ts_autocorr": """
             WITH series AS (
                 SELECT event_type, date_trunc('hour', ts) AS hour,

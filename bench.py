@@ -104,6 +104,7 @@ HEADLINE = [
     "stream_drift_ks",
     "ts_autocorr",
     "ts_cusum",
+    "agg_assoc_matrix",
 ]
 
 

@@ -473,3 +473,116 @@ def correlation_matrix(
     return one.select(rows).select(
         "__r.col_a", "__r.col_b", "__r.corr", "__r.n"
     )
+
+
+def association_matrix(
+    df: DataFrame,
+    cols: Sequence[str],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise Cramér's V over CATEGORICAL ``cols`` in one fact-table
+    pass — the categorical companion to :func:`correlation_matrix`
+    (Pearson is meaningless on enums; V answers "which flags move
+    together" for feature pruning and leakage screens).
+
+    For each unordered pair (a, b), chi-square independence over the
+    contingency table and ``V = sqrt(chi2 / (N * (min(R, C) - 1)))``,
+    with NULL folded into its own category (drift family convention).
+
+    Engine shape: every pair's cell counts ride ONE shuffle — each row
+    explodes into |pairs| (pair, val_a, val_b) structs and one groupBy
+    counts them all; everything after operates on CONTINGENCY-sized
+    data (margins via bounded windows keyed on the pair, a final
+    per-pair fold).  Zero cells never materialize: over all R*C cells
+    the expected counts sum to N, so
+
+        chi2 = sum_observed((o - e)^2 / e - e) + N
+
+    — the unobserved cells' contribution (each exactly e) folds into
+    the closed form.  A degenerate pair (min(R, C) = 1) yields NULL
+    (``try_divide`` contract).
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("association_matrix needs >= 2 columns")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"association_matrix: duplicate columns in {cols}")
+
+    def cat(c: str):
+        return F.coalesce(F.col(c).cast("string"), F.lit("__null"))
+
+    pair_structs = []
+    names = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            tag = f"{a}|{b}"
+            pair_structs.append(
+                F.struct(
+                    F.lit(tag).alias("pair"),
+                    cat(a).alias("va"),
+                    cat(b).alias("vb"),
+                )
+            )
+            names.append((a, b, tag))
+    cells = (
+        df.select(F.explode(F.array(*pair_structs)).alias("p"))
+        .select("p.*")
+        .groupBy("pair", "va", "vb")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    w_a = Window.partitionBy("pair", "va")
+    w_b = Window.partitionBy("pair", "vb")
+    w_p = Window.partitionBy("pair")
+    # exact R and C per pair via distinct counts on the contingency
+    dims = cells.groupBy("pair").agg(
+        F.countDistinct("va").alias("__R"),
+        F.countDistinct("vb").alias("__C"),
+    )
+    e = (
+        F.col("__ra").cast("double")
+        * F.col("__cb").cast("double")
+        / F.col("__n")
+    )
+    per_pair = (
+        cells.select(
+            "pair",
+            "o",
+            F.sum("o").over(w_a).alias("__ra"),
+            F.sum("o").over(w_b).alias("__cb"),
+            F.sum("o").over(w_p).alias("__n"),
+        )
+        .groupBy("pair", "__n")
+        .agg(
+            F.sum(
+                (F.col("o") - e) * (F.col("o") - e) / e - e
+            ).alias("__chi_obs")
+        )
+        .select(
+            "pair",
+            "__n",
+            (F.col("__chi_obs") + F.col("__n")).alias("__chi2"),
+        )
+    )
+    tags = F.create_map(
+        *[x for a, b, t in names for x in (F.lit(t), F.lit(f"{a}\x1f{b}"))]
+    )
+    out = per_pair.join(F.broadcast(dims), "pair").select(
+        F.split(tags[F.col("pair")], "\x1f")[0].alias("col_a"),
+        F.split(tags[F.col("pair")], "\x1f")[1].alias("col_b"),
+        F.round(
+            F.sqrt(
+                F.try_divide(
+                    F.greatest(F.col("__chi2"), F.lit(0.0)),
+                    F.col("__n")
+                    * (F.least("__R", "__C") - F.lit(1)).cast("double"),
+                )
+            )
+            + F.lit(1e-9),
+            round_digits,
+        ).alias("v_cramer"),
+        F.round(F.col("__chi2") + F.lit(1e-9), round_digits).alias("chi2"),
+        F.col("__n").alias("n"),
+        F.col("__R").alias("r_levels"),
+        F.col("__C").alias("c_levels"),
+    )
+    return out

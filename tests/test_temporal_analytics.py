@@ -1113,3 +1113,87 @@ class TestCusumChangepoints:
         # one key-partitioned exchange feeds every window spec
         assert plan.count("Exchange") == 1
         assert "CartesianProduct" not in plan
+
+
+class TestAssociationMatrix:
+    """association_matrix (operators/analytics.py): Cramér's V pinned
+    against a direct pandas-crosstab chi-square reference."""
+
+    @staticmethod
+    def _ref_v(pairs):
+        import numpy as np
+        import pandas as pd
+
+        a, b = zip(*pairs)
+        ct = pd.crosstab(pd.Series(a), pd.Series(b)).to_numpy()
+        n = ct.sum()
+        e = np.outer(ct.sum(1), ct.sum(0)) / n
+        chi2 = float(((ct - e) ** 2 / e).sum())
+        r, c = ct.shape
+        v = float(np.sqrt(chi2 / (n * (min(r, c) - 1))))
+        return chi2, v, r, c
+
+    def test_matches_reference_and_shapes(self, spark):
+        rows = [
+            (
+                ["x", "y", "z"][i % 3],
+                ["p", "q"][(i % 3) % 2],        # correlated with col a
+                ["m", "n", "o", "r"][i % 4],    # independent of a
+            )
+            for i in range(240)
+        ]
+        df = spark.createDataFrame(rows, "a string, b string, c string")
+        from recover_spark.operators.analytics import association_matrix
+
+        got = {
+            (r["col_a"], r["col_b"]): r
+            for r in association_matrix(df, ["a", "b", "c"]).collect()
+        }
+        assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+        for pa, pb in got:
+            idx = {"a": 0, "b": 1, "c": 2}
+            pairs = [(r[idx[pa]], r[idx[pb]]) for r in rows]
+            chi2, v, R, C = self._ref_v(pairs)
+            row = got[(pa, pb)]
+            assert abs(row["chi2"] - chi2) < 1e-4, (pa, pb, row["chi2"], chi2)
+            assert abs(row["v_cramer"] - v) < 1e-5
+            assert (row["r_levels"], row["c_levels"]) == (R, C)
+            assert row["n"] == 240
+        # a determines b in this construction -> perfect association
+        assert got[("a", "b")]["v_cramer"] > 0.99
+        # c is independent of a -> near zero
+        assert got[("a", "c")]["v_cramer"] < 0.05
+
+    def test_nulls_are_a_category_and_degenerate_null(self, spark):
+        from recover_spark.operators.analytics import association_matrix
+
+        rows = [("x", None), ("x", None), ("y", "q"), ("y", "q")] * 10
+        df = spark.createDataFrame(rows, "a string, b string")
+        row = association_matrix(df, ["a", "b"]).collect()[0]
+        # NULL folds into its own category: a fully determines b
+        assert row["v_cramer"] == 1.0
+        assert row["r_levels"] == 2 and row["c_levels"] == 2
+        # single-level column -> min(R,C)-1 == 0 -> NULL
+        const = spark.createDataFrame(
+            [("k", v) for v in ("p", "q", "p", "r")], "a string, b string"
+        )
+        r2 = association_matrix(const, ["a", "b"]).collect()[0]
+        assert r2["v_cramer"] is None
+
+    def test_single_fact_shuffle_plan(self, spark):
+        """All pairs' cells must ride ONE shuffle of the fact table;
+        margins/dims operate on contingency-sized data only."""
+        from recover_spark.operators.analytics import association_matrix
+
+        df = spark.range(10_000).selectExpr(
+            "CAST(id % 3 AS STRING) a",
+            "CAST(id % 5 AS STRING) b",
+            "CAST(id % 7 AS STRING) c",
+        )
+        plan = (
+            association_matrix(df, ["a", "b", "c"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        # exactly one scan of the fact feeds the explode+count
+        assert plan.count("Scan ") <= 1 or plan.count("Range") == 1
