@@ -5110,6 +5110,75 @@ def q_agg_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval fused by RRF
+    (ops/retrieval.py:rrf_fuse): query-by-example for documents 0-2 —
+    the dense side ranks by embedding cosine (brute_force_topk, the
+    ann_topk contract), the lexical side by Okapi BM25 with the query
+    document's own text (bm25_topk, the text_bm25 contract) — merged
+    with reciprocal-rank fusion, the score-scale-free standard
+    (incomparable BM25/cosine scales never mix; only ranks do).
+    Fusion is candidate-list-sized: one groupBy (query, doc) + one
+    query-keyed window; the corpus-scale work stays in the upstream
+    rankers.  Oracle: both rankers' SQL twins UNION ALLed through the
+    identical RRF fold."""
+    from recover_spark.ops import brute_force_topk
+    from recover_spark.ops.retrieval import rrf_fuse
+    from recover_spark.ops.text_analysis import bm25_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    emb = _load(spark, sf_dir, "embeddings")
+    dense = brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=20).select(
+        F.col("query_vec_id").alias("query_id"),
+        F.col("vec_id").alias("doc_id"),
+        "rank",
+    )
+    lex = bm25_topk(
+        docs,
+        docs.filter(F.col("doc_id") < 3).select(
+            F.col("doc_id").alias("query_id"),
+            F.col("text").alias("query_text"),
+        ),
+        k=20,
+    ).select("query_id", "doc_id", "rank")
+    return rrf_fuse([dense, lex], k0=60, top_k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget mix assembly
+    (ops/sampling.py:token_budget_mix): keep each language's documents
+    in portable-hash order until its token budget fills — the step
+    that turns "4000 en tokens, 1500 each de/fr/es" into a concrete,
+    replay-stable document set.  The exclusive prefix sum decomposes
+    over hash-range buckets (uniform 60-bit hash, fixed-width ranges)
+    so no language ever collapses into one partition; the boundary
+    rule (first crosser kept) and hash order reproduce bit-for-bit in
+    the oracle's single-window form, equal by prefix-sum
+    associativity."""
+    from recover_spark.ops.sampling import token_budget_mix
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9']+"),
+        lambda t: t != "",
+    )
+    with_tokens = docs.select(
+        "doc_id", "lang", F.size(toks).cast("bigint").alias("n_tokens")
+    )
+    out = token_budget_mix(
+        with_tokens,
+        "doc_id",
+        "lang",
+        "n_tokens",
+        {"en": 4000, "de": 1500, "fr": 1500, "es": 1500},
+    )
+    return out.select("doc_id", "lang", "n_tokens", "tokens_before").orderBy(
+        "lang", "doc_id"
+    )
+
+
 def q_agg_assoc_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Cramér's V over the order/lineitem enum columns
     (operators/analytics.py:association_matrix) — the categorical
@@ -5343,6 +5412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_quantile_rollup": q_agg_quantile_rollup,
         "agg_skyline": q_agg_skyline,
         "v5_drift_psi": q_v5_drift_psi,
+        "retrieval_hybrid": q_retrieval_hybrid,
+        "sample_token_budget": q_sample_token_budget,
         "agg_assoc_matrix": q_agg_assoc_matrix,
         "ts_autocorr": q_ts_autocorr,
         "ts_cusum": q_ts_cusum,
@@ -5487,6 +5558,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row.  tools/check_correctness.py re-runs ALL entries regardless.
     front = [
         # (a) new this round
+        "retrieval_hybrid",
+        "sample_token_budget",
         "agg_assoc_matrix",
         "ts_autocorr",
         "ts_cusum",
@@ -6396,6 +6469,80 @@ def _oracle_sql_literal() -> dict[str, str]:
               ON mm.node = e.vec_id
             ORDER BY e.vec_id
         """,
+        "retrieval_hybrid": f"""
+            WITH dense AS (
+                SELECT query_id, doc_id, rank
+                FROM (
+                    SELECT q.vec_id AS query_id, e.vec_id AS doc_id,
+                           row_number() OVER (
+                               PARTITION BY q.vec_id
+                               ORDER BY {_cos('e.embedding', 'q.embedding')}
+                                            DESC,
+                                        e.vec_id ASC) AS rank
+                    FROM embeddings e
+                    JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+                      ON e.vec_id != q.vec_id)
+                WHERE rank <= 20),
+            toks AS (
+                SELECT doc_id, t.term
+                FROM documents,
+                     UNNEST(regexp_split_to_array(lower(text),
+                            '[^a-z0-9'']+')) AS t(term)
+                WHERE t.term <> ''),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM toks GROUP BY doc_id, term),
+            dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+            qterms AS (
+                SELECT DISTINCT d.doc_id AS query_id, t.term
+                FROM documents d,
+                     UNNEST(regexp_split_to_array(lower(d.text),
+                            '[^a-z0-9'']+')) AS t(term)
+                WHERE d.doc_id < 3 AND t.term <> ''),
+            lex AS (
+                SELECT query_id, doc_id, rank
+                FROM (
+                    SELECT query_id, doc_id,
+                           row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY score DESC, doc_id ASC) AS rank
+                    FROM (
+                        SELECT qt.query_id, tf.doc_id,
+                               round(sum(
+                                   ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5))
+                                   * (tf.tf * (1.2 + 1.0))
+                                   / (tf.tf + 1.2 * (1 - 0.75
+                                      + 0.75 * dl.dl / c.avgdl))
+                               ), 6) AS score
+                        FROM tf
+                        JOIN qterms qt USING (term)
+                        JOIN dl USING (doc_id)
+                        JOIN dfreq d USING (term)
+                        CROSS JOIN corpus c
+                        GROUP BY qt.query_id, tf.doc_id))
+                WHERE rank <= 20),
+            u AS (
+                SELECT query_id, doc_id, rank FROM dense
+                UNION ALL
+                SELECT query_id, doc_id, rank FROM lex),
+            fused AS (
+                SELECT query_id, doc_id,
+                       sum(1.0 / (60.0 + rank)) AS s,
+                       count(*) AS n_systems
+                FROM u GROUP BY query_id, doc_id)
+            SELECT query_id, doc_id,
+                   round(s + 1e-9, 6) AS rrf_score, n_systems,
+                   CAST(rank AS INTEGER) AS rank
+            FROM (
+                SELECT query_id, doc_id, s, n_systems,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY s DESC, doc_id ASC) AS rank
+                FROM fused)
+            WHERE rank <= 10
+            ORDER BY query_id, rank
+        """,
         "ann_topk": f"""
             SELECT query_vec_id, vec_id, round(c, 6) AS cosine,
                    CAST(rank AS INTEGER) AS rank
@@ -7050,6 +7197,30 @@ def _oracle_sql_literal() -> dict[str, str]:
         "v6_drift_categorical": _psi_cat_oracle_sql(
             ["l_linestatus", "l_returnflag"], "1998-06-01"
         ),
+        "sample_token_budget": """
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       CAST(len(list_filter(string_split_regex(lower(text),
+                            '[^a-z0-9'']+'), t -> t <> '')) AS BIGINT)
+                           AS n_tokens,
+                       CAST(concat('0x', substr(md5('budget|' || doc_id),
+                            1, 15)) AS BIGINT) AS hv
+                FROM documents
+                WHERE lang IN ('en', 'de', 'fr', 'es')),
+            pre AS (
+                SELECT doc_id, lang, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           PARTITION BY lang ORDER BY hv, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+                           AS tokens_before
+                FROM toks)
+            SELECT doc_id, lang, n_tokens, tokens_before
+            FROM pre
+            WHERE tokens_before < CASE lang WHEN 'en' THEN 4000
+                                            ELSE 1500 END
+            ORDER BY lang, doc_id
+        """,
         "agg_assoc_matrix": """
             SELECT 'l_returnflag' AS col_a, 'l_linestatus' AS col_b,
                    CASE WHEN least(r, c) <= 1 THEN NULL

@@ -105,6 +105,8 @@ HEADLINE = [
     "ts_autocorr",
     "ts_cusum",
     "agg_assoc_matrix",
+    "sample_token_budget",
+    "retrieval_hybrid",
 ]
 
 

@@ -1,0 +1,83 @@
+"""Hybrid retrieval fusion: reciprocal-rank fusion (RRF) of ranked
+candidate lists.
+
+The reference has no retrieval surface at all; a training-data /
+RAG pipeline runs BOTH a lexical ranker (BM25 over an inverted index,
+ops/text_analysis.py:bm25_topk) and a dense ranker (embedding cosine,
+ops/similarity.py:brute_force_topk / IVF probes) and must merge them —
+the standard, score-scale-free merge is RRF (Cormack et al. 2009):
+
+    rrf(q, d) = sum over systems s ranking d for q of 1 / (k0 + rank_s)
+
+Rank-based fusion needs no score normalization (BM25 scores and
+cosines live on incomparable scales), degrades gracefully when a doc
+appears in only one list, and is the default hybrid merge in every
+production search stack.
+
+Scale shape: the inputs are already top-k candidate lists — (query x
+k) rows, never corpus-sized.  Fusion is a unionByName + ONE groupBy
+(query, doc) + one query-keyed window for the final top-k; every
+exchange moves candidate-list-sized data.  The heavy lifting stays in
+the upstream rankers, which keep their own 100 TB contracts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    k0: int = 60,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    top_k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Fuse ranked candidate lists into one RRF-ordered top-k.
+
+    Each input frame must carry (query_col, doc_col, rank_col) with
+    rank 1-based within each query.  Output: one row per kept (query,
+    doc) with ``rrf_score`` (rounded), ``n_systems`` (how many lists
+    carried the doc), and the fused ``rank`` — ties broken by doc id
+    ascending so the cut is reproducible across engines.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k0 <= 0:
+        raise ValueError("k0 must be positive")
+    parts = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            F.col(rank_col).cast("int").alias("rank"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    scored = u.groupBy("query_id", "doc_id").agg(
+        F.sum(1.0 / (F.lit(float(k0)) + F.col("rank"))).alias("__s"),
+        F.count(F.lit(1)).alias("n_systems"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__s").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(top_k))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(F.col("__s") + F.lit(1e-9), round_digits).alias(
+                "rrf_score"
+            ),
+            "n_systems",
+            "rank",
+        )
+    )

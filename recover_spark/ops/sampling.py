@@ -487,3 +487,89 @@ def heavy_hitters_sketch(
         )
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    salt: str = "budget",
+    offset_buckets: int = 256,
+) -> DataFrame:
+    """Fill a per-source TOKEN budget deterministically — the final
+    assembly step of a training mix: given per-domain token budgets
+    (e.g. from a temperature/importance recipe), keep each source's
+    documents in engine-portable hash order until the budget is
+    reached.  Unlike rate-based mixing (:func:`temperature_mix`), the
+    contract here is on the SUM of a weight column, which is what
+    "500B tokens of web, 50B of code" actually specifies.
+
+    Membership rule: a document is kept iff the total tokens of the
+    documents BEFORE it (exclusive prefix sum in (hash, key) order)
+    is still under the source's budget — so the first document
+    crossing the boundary is included and the kept sum is the
+    smallest prefix >= budget (budget 0 keeps nothing).  Sources
+    absent from ``budgets`` are dropped.  The hash order makes the
+    selection reproducible across runs, engines, partitionings, and
+    replays — append new documents and the previously-kept prefix
+    only changes where new hashes interleave, not wholesale.
+
+    Scale shape — the naive form is a window over each source, i.e.
+    ONE partition sorts a whole domain (the canonical 100 TB OOM).
+    Here the exclusive prefix sum decomposes over hash-RANGE buckets
+    (the hash is uniform in [0, 2^60), so fixed-width ranges are
+    balanced without any driver-side quantile probe — cf.
+    global_row_numbers, which needs approxQuantile because its order
+    column is arbitrary): per-(source, bucket) local cumsums ride one
+    window exchange with ``offset_buckets``-way parallelism per
+    source, bucket offsets are a bounded (sources x buckets) side
+    frame, and ``tokens_before = offset + local exclusive cumsum``.
+    The result is identical to the single-window form by prefix-sum
+    associativity.
+    """
+    if offset_buckets < 1 or offset_buckets & (offset_buckets - 1):
+        raise ValueError("offset_buckets must be a power of two")
+    shift = 60 - offset_buckets.bit_length() + 1  # hash is 60-bit
+    from pyspark.sql import Window
+
+    h = portable_hash64(F.col(key_col), salt=salt)
+    tagged = df.filter(
+        F.col(source_col).isin(*budgets.keys())
+    ).select(
+        "*",
+        h.alias("__h"),
+        F.shiftrightunsigned(h, shift).alias("__hb"),
+        F.col(token_col).cast("bigint").alias("__tok"),
+    )
+    w_local = (
+        Window.partitionBy(source_col, "__hb")
+        .orderBy("__h", key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = tagged.withColumn(
+        "__before_local", F.coalesce(F.sum("__tok").over(w_local), F.lit(0))
+    )
+    per_bucket = tagged.groupBy(source_col, "__hb").agg(
+        F.sum("__tok").alias("__bn")
+    )
+    w_off = (
+        Window.partitionBy(source_col)
+        .orderBy("__hb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.withColumn(
+        "__offset", F.coalesce(F.sum("__bn").over(w_off), F.lit(0))
+    ).select(source_col, "__hb", "__offset")
+    budget_expr = F.create_map(
+        *[x for s, b in budgets.items() for x in (F.lit(s), F.lit(int(b)))]
+    )[F.col(source_col)]
+    return (
+        local.join(F.broadcast(offsets), [source_col, "__hb"])
+        .withColumn(
+            "tokens_before", F.col("__offset") + F.col("__before_local")
+        )
+        .filter(F.col("tokens_before") < budget_expr)
+        .drop("__h", "__hb", "__tok", "__before_local", "__offset")
+    )

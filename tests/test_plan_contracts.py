@@ -331,6 +331,7 @@ def test_no_cartesian_product_across_query_surface(spark):
         # round 8 (stream_drift_ks is a lifecycle query — pinned by
         # TestStreamingDrift::test_streamed_ks_and_js_equal_batch_twins)
         "v10_drift_js", "ts_autocorr", "ts_cusum", "agg_assoc_matrix",
+        "sample_token_budget", "retrieval_hybrid",
     ]
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"

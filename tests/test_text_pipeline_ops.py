@@ -145,3 +145,71 @@ def test_kmeans_step_means_and_tie_break(spark):
     assert got[(0, 2)] == pytest.approx((0.0 + 0.1 + 1.0) / 3, abs=1e-6)
     assert got[(1, 1)] == pytest.approx(0.05, abs=1e-6)
     assert got[(1, 2)] == pytest.approx(0.95, abs=1e-6)
+
+
+class TestRrfFuse:
+    """rrf_fuse (ops/retrieval.py): reciprocal-rank fusion of ranked
+    candidate lists."""
+
+    def _lists(self, spark):
+        a = spark.createDataFrame(
+            [(1, "d1", 1), (1, "d2", 2), (1, "d3", 3), (2, "d9", 1)],
+            "query_id int, doc_id string, rank int",
+        )
+        b = spark.createDataFrame(
+            [(1, "d2", 1), (1, "d4", 2), (2, "d9", 2)],
+            "query_id int, doc_id string, rank int",
+        )
+        return a, b
+
+    def test_scores_and_order_match_formula(self, spark):
+        from recover_spark.ops.retrieval import rrf_fuse
+
+        a, b = self._lists(spark)
+        got = {
+            (r["query_id"], r["doc_id"]): r
+            for r in rrf_fuse([a, b], k0=60, top_k=10).collect()
+        }
+        # d2 appears in both lists: 1/62 + 1/61
+        assert abs(got[(1, "d2")]["rrf_score"] - (1 / 62 + 1 / 61)) < 2e-6
+        assert got[(1, "d2")]["n_systems"] == 2
+        assert got[(1, "d2")]["rank"] == 1  # fused winner
+        # single-list docs degrade gracefully
+        assert abs(got[(1, "d1")]["rrf_score"] - 1 / 61) < 2e-6
+        assert got[(1, "d1")]["n_systems"] == 1
+        # d9 for query 2: 1/61 + 1/62, rank 1
+        assert got[(2, "d9")]["rank"] == 1
+        # tie between d1 (rank 1 in a only) and d4... different scores;
+        # check deterministic ordering: d1 (1/61) > d3 (1/63) etc.
+        ranks = {d: got[(1, d)]["rank"] for d in ("d1", "d2", "d3", "d4")}
+        assert ranks["d2"] == 1 and ranks["d1"] == 2
+        assert ranks["d4"] == 3 and ranks["d3"] == 4  # 1/62 beats 1/63
+
+    def test_tie_breaks_on_doc_id_and_topk_cut(self, spark):
+        from recover_spark.ops.retrieval import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, "z", 1), (1, "a", 2)], "query_id int, doc_id string, rank int"
+        )
+        b = spark.createDataFrame(
+            [(1, "a", 1), (1, "z", 2)], "query_id int, doc_id string, rank int"
+        )
+        rows = rrf_fuse([a, b], top_k=1).collect()
+        # both docs score 1/61 + 1/62 — tie -> doc id asc wins the cut
+        assert len(rows) == 1 and rows[0]["doc_id"] == "a"
+
+    def test_guards_and_plan(self, spark):
+        import pytest as _pytest
+
+        from recover_spark.ops.retrieval import rrf_fuse
+
+        a, b = self._lists(spark)
+        with _pytest.raises(ValueError, match="at least one"):
+            rrf_fuse([])
+        with _pytest.raises(ValueError, match="k0"):
+            rrf_fuse([a], k0=0)
+        plan = (
+            rrf_fuse([a, b])._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "Join" not in plan  # union + groupBy + window only
