@@ -5210,6 +5210,7 @@ def q_agg_assoc_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(1e-9),
             6,
         ).alias("chi2_mag"),
+        "mutual_info",
         "n",
         "r_levels",
         "c_levels",
@@ -7230,6 +7231,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                    END AS v_cramer,
                    round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6)
                        AS chi2_mag,
+                   round(mi + 1e-9, 6) AS mutual_info,
                    CAST(n AS BIGINT) AS n,
                    r AS r_levels, c AS c_levels
             FROM (
@@ -7252,6 +7254,10 @@ def _oracle_sql_literal() -> dict[str, str]:
                            / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
                            - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
                            AS chi_obs,
+                       sum(CAST(o AS DOUBLE) / n
+                           * log2(CAST(o AS DOUBLE) * n
+                                  / (CAST(ra AS DOUBLE)
+                                     * CAST(cb AS DOUBLE)))) AS mi,
                        count(DISTINCT va) AS r, count(DISTINCT vb) AS c
                 FROM m) UNION ALL 
             SELECT 'l_returnflag' AS col_a, 'o_orderstatus' AS col_b,
@@ -7262,6 +7268,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                    END AS v_cramer,
                    round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6)
                        AS chi2_mag,
+                   round(mi + 1e-9, 6) AS mutual_info,
                    CAST(n AS BIGINT) AS n,
                    r AS r_levels, c AS c_levels
             FROM (
@@ -7284,6 +7291,10 @@ def _oracle_sql_literal() -> dict[str, str]:
                            / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
                            - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
                            AS chi_obs,
+                       sum(CAST(o AS DOUBLE) / n
+                           * log2(CAST(o AS DOUBLE) * n
+                                  / (CAST(ra AS DOUBLE)
+                                     * CAST(cb AS DOUBLE)))) AS mi,
                        count(DISTINCT va) AS r, count(DISTINCT vb) AS c
                 FROM m) UNION ALL 
             SELECT 'l_returnflag' AS col_a, 'o_orderpriority' AS col_b,
@@ -7294,6 +7305,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                    END AS v_cramer,
                    round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6)
                        AS chi2_mag,
+                   round(mi + 1e-9, 6) AS mutual_info,
                    CAST(n AS BIGINT) AS n,
                    r AS r_levels, c AS c_levels
             FROM (
@@ -7316,6 +7328,10 @@ def _oracle_sql_literal() -> dict[str, str]:
                            / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
                            - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
                            AS chi_obs,
+                       sum(CAST(o AS DOUBLE) / n
+                           * log2(CAST(o AS DOUBLE) * n
+                                  / (CAST(ra AS DOUBLE)
+                                     * CAST(cb AS DOUBLE)))) AS mi,
                        count(DISTINCT va) AS r, count(DISTINCT vb) AS c
                 FROM m) UNION ALL 
             SELECT 'l_linestatus' AS col_a, 'o_orderstatus' AS col_b,
@@ -7326,6 +7342,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                    END AS v_cramer,
                    round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6)
                        AS chi2_mag,
+                   round(mi + 1e-9, 6) AS mutual_info,
                    CAST(n AS BIGINT) AS n,
                    r AS r_levels, c AS c_levels
             FROM (
@@ -7348,6 +7365,10 @@ def _oracle_sql_literal() -> dict[str, str]:
                            / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
                            - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
                            AS chi_obs,
+                       sum(CAST(o AS DOUBLE) / n
+                           * log2(CAST(o AS DOUBLE) * n
+                                  / (CAST(ra AS DOUBLE)
+                                     * CAST(cb AS DOUBLE)))) AS mi,
                        count(DISTINCT va) AS r, count(DISTINCT vb) AS c
                 FROM m) UNION ALL 
             SELECT 'l_linestatus' AS col_a, 'o_orderpriority' AS col_b,
@@ -7358,6 +7379,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                    END AS v_cramer,
                    round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6)
                        AS chi2_mag,
+                   round(mi + 1e-9, 6) AS mutual_info,
                    CAST(n AS BIGINT) AS n,
                    r AS r_levels, c AS c_levels
             FROM (
@@ -7380,6 +7402,10 @@ def _oracle_sql_literal() -> dict[str, str]:
                            / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
                            - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
                            AS chi_obs,
+                       sum(CAST(o AS DOUBLE) / n
+                           * log2(CAST(o AS DOUBLE) * n
+                                  / (CAST(ra AS DOUBLE)
+                                     * CAST(cb AS DOUBLE)))) AS mi,
                        count(DISTINCT va) AS r, count(DISTINCT vb) AS c
                 FROM m) UNION ALL 
             SELECT 'o_orderstatus' AS col_a, 'o_orderpriority' AS col_b,
@@ -7390,6 +7416,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                    END AS v_cramer,
                    round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6)
                        AS chi2_mag,
+                   round(mi + 1e-9, 6) AS mutual_info,
                    CAST(n AS BIGINT) AS n,
                    r AS r_levels, c AS c_levels
             FROM (
@@ -7412,6 +7439,10 @@ def _oracle_sql_literal() -> dict[str, str]:
                            / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
                            - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / n)
                            AS chi_obs,
+                       sum(CAST(o AS DOUBLE) / n
+                           * log2(CAST(o AS DOUBLE) * n
+                                  / (CAST(ra AS DOUBLE)
+                                     * CAST(cb AS DOUBLE)))) AS mi,
                        count(DISTINCT va) AS r, count(DISTINCT vb) AS c
                 FROM m)
             ORDER BY col_a, col_b

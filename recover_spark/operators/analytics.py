@@ -486,8 +486,10 @@ def association_matrix(
     together" for feature pruning and leakage screens).
 
     For each unordered pair (a, b), chi-square independence over the
-    contingency table and ``V = sqrt(chi2 / (N * (min(R, C) - 1)))``,
-    with NULL folded into its own category (drift family convention).
+    contingency table, ``V = sqrt(chi2 / (N * (min(R, C) - 1)))``, and
+    the mutual information in bits (same cells; an unobserved cell
+    contributes exactly 0, so no zero-cell correction applies), with
+    NULL folded into its own category (drift family convention).
 
     Engine shape: every pair's cell counts ride ONE shuffle — each row
     explodes into |pairs| (pair, val_a, val_b) structs and one groupBy
@@ -555,12 +557,28 @@ def association_matrix(
         .agg(
             F.sum(
                 (F.col("o") - e) * (F.col("o") - e) / e - e
-            ).alias("__chi_obs")
+            ).alias("__chi_obs"),
+            # mutual information (bits) from the same cells: unobserved
+            # cells contribute exactly 0 (p_ab = 0), so the observed
+            # sum IS the full MI — no zero-cell closed form needed
+            F.sum(
+                F.col("o").cast("double")
+                / F.col("__n")
+                * F.log2(
+                    F.col("o").cast("double")
+                    * F.col("__n")
+                    / (
+                        F.col("__ra").cast("double")
+                        * F.col("__cb").cast("double")
+                    )
+                )
+            ).alias("__mi")
         )
         .select(
             "pair",
             "__n",
             (F.col("__chi_obs") + F.col("__n")).alias("__chi2"),
+            "__mi",
         )
     )
     tags = F.create_map(
@@ -581,6 +599,9 @@ def association_matrix(
             round_digits,
         ).alias("v_cramer"),
         F.round(F.col("__chi2") + F.lit(1e-9), round_digits).alias("chi2"),
+        F.round(F.col("__mi") + F.lit(1e-9), round_digits).alias(
+            "mutual_info"
+        ),
         F.col("__n").alias("n"),
         F.col("__R").alias("r_levels"),
         F.col("__C").alias("c_levels"),

@@ -166,19 +166,36 @@ def psi_from_binned_counts(
     tot = joined.groupBy("column").agg(
         F.sum("n_base").alias("__tb"), F.sum("n_cur").alias("__tc")
     )
+    # try_divide + the final gate: an empty base or current era yields
+    # NULL psi (the family's degenerate-side contract, same as
+    # ks_drift / js_drift) instead of an ANSI DIVIDE_BY_ZERO.  The
+    # greatest(...) clamp must not see the NULL share directly —
+    # Spark's greatest ignores NULLs, which would silently clamp a
+    # missing side to eps.
     shares = joined.join(tot, "column").select(
         "column",
         "bin",
-        F.greatest(F.col("n_base") / F.col("__tb"), F.lit(eps)).alias("pb"),
-        F.greatest(F.col("n_cur") / F.col("__tc"), F.lit(eps)).alias("pc"),
+        "__tb",
+        "__tc",
+        F.greatest(
+            F.try_divide(F.col("n_base"), F.col("__tb")), F.lit(eps)
+        ).alias("pb"),
+        F.greatest(
+            F.try_divide(F.col("n_cur"), F.col("__tc")), F.lit(eps)
+        ).alias("pc"),
     )
+    ok = (F.col("__tb") > 0) & (F.col("__tc") > 0)
     return (
-        shares.groupBy("column")
+        shares.groupBy("column", "__tb", "__tc")
         .agg(
             F.round(
                 F.sum((F.col("pc") - F.col("pb")) * F.log(F.col("pc") / F.col("pb"))),
                 round_digits,
-            ).alias("psi"),
+            ).alias("__psi"),
+        )
+        .select(
+            "column",
+            F.when(ok, F.col("__psi")).alias("psi"),
             F.lit(n_bins).alias("n_bins"),
         )
     )

@@ -171,6 +171,18 @@ class TestPsiDrift:
         out = {r.column: r.psi for r in psi_drift(base, base, ["v", "w"]).collect()}
         assert out["v"] == 0.0 and out["w"] == 0.0
 
+    def test_empty_side_yields_null_not_ansi_error(self, spark):
+        """Family contract (same as ks_drift/js_drift): an empty era
+        gives NULL psi via try_divide + the totals gate — never an
+        ANSI DIVIDE_BY_ZERO, and never a silent eps clamp (Spark's
+        greatest ignores NULLs, so the gate is load-bearing)."""
+        from recover_spark.quality.drift import psi_drift
+
+        base = spark.createDataFrame([(1.0,), (2.0,)], "v double")
+        empty = spark.createDataFrame([], "v double")
+        rows = psi_drift(base, empty, ["v"]).collect()
+        assert len(rows) == 1 and rows[0]["psi"] is None
+
     def test_shifted_distribution_flagged(self, spark):
         from pyspark.sql import functions as F
 

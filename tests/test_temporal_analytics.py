@@ -1131,7 +1131,11 @@ class TestAssociationMatrix:
         chi2 = float(((ct - e) ** 2 / e).sum())
         r, c = ct.shape
         v = float(np.sqrt(chi2 / (n * (min(r, c) - 1))))
-        return chi2, v, r, c
+        p = ct / n
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mi_terms = np.where(ct > 0, p * np.log2(p / (e / n)), 0.0)
+        mi = float(mi_terms.sum())
+        return chi2, v, r, c, mi
 
     def test_matches_reference_and_shapes(self, spark):
         rows = [
@@ -1153,14 +1157,20 @@ class TestAssociationMatrix:
         for pa, pb in got:
             idx = {"a": 0, "b": 1, "c": 2}
             pairs = [(r[idx[pa]], r[idx[pb]]) for r in rows]
-            chi2, v, R, C = self._ref_v(pairs)
+            chi2, v, R, C, mi = self._ref_v(pairs)
             row = got[(pa, pb)]
             assert abs(row["chi2"] - chi2) < 1e-4, (pa, pb, row["chi2"], chi2)
             assert abs(row["v_cramer"] - v) < 1e-5
+            assert abs(row["mutual_info"] - mi) < 1e-5
             assert (row["r_levels"], row["c_levels"]) == (R, C)
             assert row["n"] == 240
         # a determines b in this construction -> perfect association
         assert got[("a", "b")]["v_cramer"] > 0.99
+        # MI of a determined pair = H(b) = entropy of the 2:1 split
+        import math as _math
+        h_b = -(2 / 3) * _math.log2(2 / 3) - (1 / 3) * _math.log2(1 / 3)
+        assert abs(got[("a", "b")]["mutual_info"] - h_b) < 1e-5
+        assert got[("a", "c")]["mutual_info"] < 0.01
         # c is independent of a -> near zero
         assert got[("a", "c")]["v_cramer"] < 0.05
 

@@ -74,6 +74,13 @@ PROBES = [
     "graph_components",     # pointer-doubling CC (same graph at 10x
                             # multiplicity: distinct() collapses edges,
                             # measuring the scan+dedup cost growth)
+    # round 8
+    "ts_autocorr",          # one-window K-lag ACF over the hourly series
+    "ts_cusum",             # running-min CUSUM, one keyed exchange
+    "v10_drift_js",         # JS/Hellinger on the PSI binning
+    "agg_assoc_matrix",     # Cramér's V, one fact shuffle of pair cells
+    "sample_token_budget",  # hash-range bucketed token prefix sums
+    "retrieval_hybrid",     # BM25 + cosine candidate lists, RRF fold
 ]
 
 
