@@ -36,6 +36,14 @@ def run_bench(sf_dir: str) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, check=True, cwd=REPO,
     )
+    # bench.py compacts its stdout line under the driver's capture
+    # budget (cheapest queries elided) but always writes the full
+    # per-query record to BENCH_full.json — read that so the sf1
+    # ratio table covers EVERY headline query
+    full = os.path.join(REPO, "BENCH_full.json")
+    if os.path.exists(full):
+        with open(full) as fh:
+            return json.load(fh)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
