@@ -5110,6 +5110,58 @@ def q_agg_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier screen
+    (operators/temporal.py:mad_anomalies): the modified z-score
+    0.6745*(x - median)/MAD flagged beyond 3.5 — run FIRST on an
+    untrusted export because mean/stddev break exactly when outliers
+    are present (a spike inflates sigma and masks itself; the median
+    tolerates up to half the data corrupt).  Two grouped exact
+    percentiles + two key joins; medians round to 9 digits (the
+    interpolation tie pin).  Oracle: quantile_cont twice + the same
+    guarded division."""
+    from recover_spark.operators.temporal import mad_anomalies
+
+    events = _load(spark, sf_dir, "events")
+    return mad_anomalies(
+        events.select("event_type", "value"), ["event_type"], "value"
+    ).orderBy("event_type", "value")
+
+
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal concentration screen
+    (operators/analytics.py:distribution_entropy): per event type, the
+    Shannon entropy (bits) of its hour-of-day distribution plus the
+    normalized form in [0,1] — even usage scores near 1, a type that
+    only fires in one hour near 0; the concentration failure the
+    null-rate and distinct-count audits both miss.  One (type, hour)
+    aggregate + a group-sized fold; the category table is
+    vocabulary-sized.  Oracle: the same counts and folds in SQL."""
+    from recover_spark.operators.analytics import distribution_entropy
+
+    events = _load(spark, sf_dir, "events")
+    return distribution_entropy(
+        events, ["event_type"], F.hour(F.col("ts"))
+    ).orderBy("event_type")
+
+
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus n-gram novelty
+    (ops/text_analysis.py:ngram_novelty): per document, the fraction
+    of its distinct 3-gram shingles unique to it and the fraction in
+    >= 5 documents — the corpus-level complement to pair dedup
+    (templated/spun text shares shingles with hundreds of documents
+    while no single pair crosses a dedup threshold).  One distinct
+    shingle pass, one shingle-keyed df aggregate, one 1:1 join back
+    (no stop-shingle quadratic blowup — each (doc, shingle) row meets
+    exactly one df row), one doc fold.  Oracle: the shared
+    toks/grams CTEs with the identical folds."""
+    from recover_spark.ops.text_analysis import ngram_novelty
+
+    docs = _load(spark, sf_dir, "documents")
+    return ngram_novelty(docs, boilerplate_df=5).orderBy("doc_id")
+
+
 def q_retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+dense retrieval fused by RRF
     (ops/retrieval.py:rrf_fuse): query-by-example for documents 0-2 —
@@ -5413,6 +5465,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_quantile_rollup": q_agg_quantile_rollup,
         "agg_skyline": q_agg_skyline,
         "v5_drift_psi": q_v5_drift_psi,
+        "ts_anomaly_mad": q_ts_anomaly_mad,
+        "agg_entropy": q_agg_entropy,
+        "text_novelty": q_text_novelty,
         "retrieval_hybrid": q_retrieval_hybrid,
         "sample_token_budget": q_sample_token_budget,
         "agg_assoc_matrix": q_agg_assoc_matrix,
@@ -5559,6 +5614,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row.  tools/check_correctness.py re-runs ALL entries regardless.
     front = [
         # (a) new this round
+        "ts_anomaly_mad",
+        "agg_entropy",
+        "text_novelty",
         "retrieval_hybrid",
         "sample_token_budget",
         "agg_assoc_matrix",
@@ -6544,6 +6602,25 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE rank <= 10
             ORDER BY query_id, rank
         """,
+        "text_novelty": f"""
+            WITH {_TOKS_CTE}, {_GRAMS3_CTE},
+            dfs AS (SELECT shingle, count(*) AS df
+                    FROM grams GROUP BY shingle),
+            per AS (
+                SELECT g.doc_id, count(*) AS n_shingles,
+                       round(avg(CASE WHEN d.df = 1 THEN 1.0
+                                 ELSE 0.0 END) + 1e-9, 6) AS novelty,
+                       round(avg(CASE WHEN d.df >= 5 THEN 1.0
+                                 ELSE 0.0 END) + 1e-9, 6) AS boilerplate
+                FROM grams g JOIN dfs d USING (shingle)
+                GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   coalesce(p.n_shingles, 0) AS n_shingles,
+                   p.novelty, p.boilerplate
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN per p USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         "ann_topk": f"""
             SELECT query_vec_id, vec_id, round(c, 6) AS cosine,
                    CAST(rank AS INTEGER) AS rank
@@ -7221,6 +7298,63 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE tokens_before < CASE lang WHEN 'en' THEN 4000
                                             ELSE 1500 END
             ORDER BY lang, doc_id
+        """,
+        "ts_anomaly_mad": """
+            WITH base AS (
+                SELECT event_type, CAST(value AS DOUBLE) AS v
+                FROM events WHERE value IS NOT NULL),
+            med AS (
+                SELECT event_type, round(quantile_cont(v, 0.5), 9) AS m
+                FROM base GROUP BY event_type),
+            mad AS (
+                SELECT b.event_type,
+                       round(quantile_cont(abs(b.v - m.m), 0.5), 9) AS d
+                FROM base b JOIN med m USING (event_type)
+                GROUP BY b.event_type),
+            scored AS (
+                SELECT b.event_type, b.v AS value,
+                       m.m AS key_median, d.d AS key_mad,
+                       CASE WHEN d.d IS NOT NULL THEN
+                            round(0.6745 * CASE WHEN d.d = 0 THEN NULL
+                                  ELSE (b.v - m.m) / d.d END + 1e-9, 6)
+                       END AS mad_z
+                FROM base b
+                JOIN med m USING (event_type)
+                JOIN mad d USING (event_type))
+            SELECT event_type, value, key_median, key_mad, mad_z,
+                   CASE WHEN key_mad > 0 THEN abs(mad_z) > 3.5 END
+                       AS is_outlier
+            FROM scored
+            ORDER BY event_type, value
+        """,
+        "agg_entropy": """
+            WITH cells AS (
+                SELECT event_type,
+                       coalesce(CAST(hour(ts) AS VARCHAR), '__null')
+                           AS cat,
+                       count(*) AS o
+                FROM events GROUP BY 1, 2),
+            shares AS (
+                SELECT event_type, o,
+                       sum(o) OVER (PARTITION BY event_type) AS n
+                FROM cells),
+            per AS (
+                SELECT event_type,
+                       round(-sum((CAST(o AS DOUBLE) / n)
+                                  * log2(CAST(o AS DOUBLE) / n))
+                             + 1e-9, 6) AS entropy_bits,
+                       count(*) AS n_levels,
+                       CAST(max(n) AS BIGINT) AS n
+                FROM shares GROUP BY event_type)
+            SELECT event_type,
+                   entropy_bits + 0.0 AS entropy_bits,
+                   CASE WHEN n_levels > 1 THEN
+                        round(entropy_bits
+                              / log2(CAST(n_levels AS DOUBLE)) + 1e-9, 6)
+                   END AS norm_entropy,
+                   n_levels, n
+            FROM per
+            ORDER BY event_type
         """,
         "agg_assoc_matrix": """
             SELECT 'l_returnflag' AS col_a, 'l_linestatus' AS col_b,

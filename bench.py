@@ -107,6 +107,9 @@ HEADLINE = [
     "agg_assoc_matrix",
     "sample_token_budget",
     "retrieval_hybrid",
+    "ts_anomaly_mad",
+    "agg_entropy",
+    "text_novelty",
 ]
 
 

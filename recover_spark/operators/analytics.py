@@ -607,3 +607,69 @@ def association_matrix(
         F.col("__C").alias("c_levels"),
     )
     return out
+
+
+def distribution_entropy(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    category_col,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group Shannon entropy (bits) of a categorical
+    distribution, plus the normalized form H / log2(levels) in [0, 1]
+    — the label-balance / concentration screen a training-data
+    pipeline runs before trusting a "diverse" source: normalized
+    entropy near 1 means the categories are evenly used, near 0 means
+    one value dominates (a constant-but-present column the null-rate
+    and distinct-count audits both miss).
+
+    ``category_col`` may be a column name or an expression (e.g. an
+    hour-of-day derivation).  NULL is a category of its own (the
+    drift-family convention).  Engine shape: one (group, category)
+    count aggregate, then a group-sized fold — the category table is
+    vocabulary-sized, so both shuffles move aggregate rows, never the
+    fact.  A single-level group has H = 0 and NULL normalized entropy
+    (log2(1) = 0; ``try_divide`` contract).
+    """
+    group_cols = list(group_cols)
+    cat = (
+        F.col(category_col) if isinstance(category_col, str) else category_col
+    )
+    cells = (
+        df.select(
+            *group_cols,
+            F.coalesce(cat.cast("string"), F.lit("__null")).alias("__cat"),
+        )
+        .groupBy(*group_cols, "__cat")
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    w_g = Window.partitionBy(*group_cols)
+    shares = cells.select(
+        *group_cols,
+        "__o",
+        F.sum("__o").over(w_g).alias("__n"),
+    )
+    p = F.col("__o").cast("double") / F.col("__n")
+    per_group = shares.groupBy(*group_cols).agg(
+        F.round(-F.sum(p * F.log2(p)) + F.lit(1e-9), round_digits).alias(
+            "entropy_bits"
+        ),
+        F.count(F.lit(1)).alias("n_levels"),
+        F.max("__n").alias("n"),
+    )
+    return per_group.select(
+        *group_cols,
+        # -0.0 from the single-level group's 0*log2(1) fold must hash
+        # like 0.0
+        (F.col("entropy_bits") + F.lit(0.0)).alias("entropy_bits"),
+        F.round(
+            F.try_divide(
+                F.col("entropy_bits"),
+                F.log2(F.col("n_levels").cast("double")),
+            )
+            + F.lit(1e-9),
+            round_digits,
+        ).alias("norm_entropy"),
+        "n_levels",
+        "n",
+    )

@@ -1852,3 +1852,64 @@ def cusum_changepoints(
             (F.col("cusum_pos") > h) | (F.col("cusum_neg") > h),
         ),
     )
+
+
+def mad_anomalies(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    threshold: float = 3.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key ROBUST outlier detection via the median absolute
+    deviation: the modified z-score ``0.6745 * (x - median) / MAD``
+    flagged beyond ``threshold`` (3.5 is the Iglewicz-Hoaglin
+    recommendation).  The companion to the rolling z-score detectors:
+    mean/stddev break down exactly when outliers are present (one
+    spike inflates sigma and masks itself — up to half the data can
+    be corrupt before the median moves), so the robust screen is what
+    runs FIRST on an untrusted export.
+
+    Engine shape: two grouped exact-percentile aggregates (median,
+    then median of |x - median|) joined back by key — Catalyst
+    broadcasts the per-key stat tables when keys are dim-sized, and
+    both joins co-partition on the same key otherwise.  Exact
+    ``percentile`` buffers per-group distincts; for extreme per-key
+    cardinality substitute ``approx_percentile`` upstream (the
+    PSI edge-mode contract).  Medians round to 9 digits before use —
+    the interpolation tie pin shared with quantile_edge_row.
+
+    A zero-MAD key (>= half the values identical) yields NULL scores
+    and no alarms (``try_divide`` contract): the statistic is
+    undefined there, and the right instrument is the categorical
+    drift monitor, not a z-score.
+    """
+    key_cols = list(key_cols)
+    v = F.col(value_col).cast("double")
+    base = df.filter(v.isNotNull())
+    med = base.groupBy(*key_cols).agg(
+        F.round(F.percentile(v, F.lit(0.5)), 9).alias("__med")
+    )
+    with_med = base.join(med, key_cols)
+    mad = with_med.groupBy(*key_cols).agg(
+        F.round(
+            F.percentile(F.abs(v - F.col("__med")), F.lit(0.5)), 9
+        ).alias("__mad")
+    )
+    scored = with_med.join(mad, key_cols)
+    z = F.round(
+        F.lit(0.6745)
+        * F.try_divide(v - F.col("__med"), F.col("__mad"))
+        + F.lit(1e-9),
+        round_digits,
+    )
+    return scored.select(
+        *key_cols,
+        F.col(value_col),
+        F.col("__med").alias("key_median"),
+        F.col("__mad").alias("key_mad"),
+        z.alias("mad_z"),
+        F.when(
+            F.col("__mad") > 0, F.abs(z) > F.lit(float(threshold))
+        ).alias("is_outlier"),
+    )

@@ -16,6 +16,7 @@ from recover_spark.functions.text import (
     quality_features,
     token_count,
     tokens,
+    word_ngrams_of,
 )
 
 # Tiny per-language function-word profiles for the n-gram-free heuristic.
@@ -791,4 +792,74 @@ def bigram_logprob_scores(
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("__lp"), 6).alias("mean_logprob"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    boilerplate_df: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document cross-corpus n-gram novelty: over a document's
+    DISTINCT ``shingle_size``-gram shingles, the fraction appearing in
+    NO other document (``novelty``) and the fraction appearing in at
+    least ``boilerplate_df`` documents (``boilerplate``) — the
+    corpus-level complement to pair dedup: near-dup pairs find copies
+    of whole documents, while a LOW novelty + HIGH boilerplate score
+    flags templated/spun text whose pairwise similarity never crosses
+    a dedup threshold (each page shares its shingles with hundreds of
+    others, no single pair is close).
+
+    Engine shape: one distinct (doc, shingle) pass, one shingle-keyed
+    aggregate for document frequencies, one 1:1 equi-join back (each
+    (doc, shingle) row meets exactly ONE df row — no stop-shingle
+    quadratic blowup, unlike a pair join), one doc-keyed fold.  Docs
+    too short to shingle surface with ``n_shingles = 0`` and NULL
+    scores rather than vanishing.
+    """
+    shingled = (
+        df.select(
+            F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+        )
+        .select(
+            F.col(id_col),
+            F.explode(
+                word_ngrams_of(F.col("__toks"), shingle_size)
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    dfs = shingled.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    per_doc = (
+        shingled.join(dfs, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.avg(F.when(F.col("__df") == 1, 1.0).otherwise(0.0))
+                + F.lit(1e-9),
+                round_digits,
+            ).alias("novelty"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("__df") >= int(boilerplate_df), 1.0
+                    ).otherwise(0.0)
+                )
+                + F.lit(1e-9),
+                round_digits,
+            ).alias("boilerplate"),
+        )
+    )
+    spine = df.select(F.col(id_col)).distinct()
+    return spine.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        "novelty",
+        "boilerplate",
     )

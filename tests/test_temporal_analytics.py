@@ -1207,3 +1207,131 @@ class TestAssociationMatrix:
         assert "CartesianProduct" not in plan
         # exactly one scan of the fact feeds the explode+count
         assert plan.count("Scan ") <= 1 or plan.count("Range") == 1
+
+
+class TestMadAnomalies:
+    """mad_anomalies (operators/temporal.py): modified z-score pinned
+    against the direct numpy formula."""
+
+    def test_matches_numpy_and_robustness(self, spark):
+        import numpy as np
+
+        xs = [float((i * 13) % 40) for i in range(100)] + [500.0, -400.0]
+        df = spark.createDataFrame(
+            [("a", v) for v in xs], "k string, v double"
+        )
+        from recover_spark.operators.temporal import mad_anomalies
+
+        got = {
+            r["v"]: r for r in mad_anomalies(df, ["k"], "v").collect()
+        }
+        med = round(float(np.median(xs)), 9)
+        mad = round(float(np.median(np.abs(np.array(xs) - med))), 9)
+        for v in (0.0, 39.0, 500.0, -400.0):
+            want = 0.6745 * (v - med) / mad
+            assert abs(got[v]["mad_z"] - want) < 5.1e-6, (v, got[v]["mad_z"], want)
+        # the two spikes flag; the bulk does not — and the spikes did
+        # not mask themselves (the classic stddev failure)
+        assert got[500.0]["is_outlier"] and got[-400.0]["is_outlier"]
+        assert not got[0.0]["is_outlier"] and not got[39.0]["is_outlier"]
+
+    def test_zero_mad_yields_null(self, spark):
+        from recover_spark.operators.temporal import mad_anomalies
+
+        df = spark.createDataFrame(
+            [("c", 5.0)] * 8 + [("c", 9.0)], "k string, v double"
+        )
+        rows = mad_anomalies(df, ["k"], "v").collect()
+        # median 5, MAD 0 -> undefined scores, no alarms
+        assert all(r["mad_z"] is None for r in rows)
+        assert all(r["is_outlier"] is None for r in rows)
+
+    def test_no_cartesian_plan(self, spark):
+        from recover_spark.operators.temporal import mad_anomalies
+
+        df = spark.range(2000).selectExpr(
+            "CAST(id % 5 AS STRING) k", "CAST(id % 17 AS DOUBLE) v"
+        )
+        plan = (
+            mad_anomalies(df, ["k"], "v")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+
+
+class TestDistributionEntropy:
+    def test_matches_formula_and_bounds(self, spark):
+        import math
+
+        from recover_spark.operators.analytics import distribution_entropy
+
+        rows = (
+            [("g1", "a")] * 50 + [("g1", "b")] * 25 + [("g1", "c")] * 25
+            + [("g2", "x")] * 99 + [("g2", None)] * 1
+            + [("g3", "only")] * 10
+        )
+        df = spark.createDataFrame(rows, "g string, c string")
+        got = {
+            r["g"]: r
+            for r in distribution_entropy(df, ["g"], "c").collect()
+        }
+        h1 = -(0.5 * math.log2(0.5) + 2 * 0.25 * math.log2(0.25))
+        assert abs(got["g1"]["entropy_bits"] - h1) < 5.1e-6
+        assert abs(got["g1"]["norm_entropy"] - h1 / math.log2(3)) < 5.1e-6
+        # NULL is a category: g2 has 2 levels, heavily skewed
+        assert got["g2"]["n_levels"] == 2
+        h2 = -(0.99 * math.log2(0.99) + 0.01 * math.log2(0.01))
+        assert abs(got["g2"]["entropy_bits"] - h2) < 5.1e-6
+        # single level: H = 0, normalized NULL (log2(1) = 0)
+        assert got["g3"]["entropy_bits"] == 0.0
+        assert got["g3"]["norm_entropy"] is None
+        assert got["g1"]["n"] == 100
+
+    def test_expression_category(self, spark):
+        from pyspark.sql import functions as F
+
+        from recover_spark.operators.analytics import distribution_entropy
+
+        df = spark.range(240).selectExpr("'g' AS g", "id")
+        out = distribution_entropy(
+            df, ["g"], (F.col("id") % 24)
+        ).collect()[0]
+        # uniform over 24 levels -> normalized entropy exactly 1
+        assert out["norm_entropy"] == 1.0 and out["n_levels"] == 24
+
+
+class TestNgramNovelty:
+    def test_unique_shared_and_short_docs(self, spark):
+        from recover_spark.ops.text_analysis import ngram_novelty
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon"),
+                (2, "alpha beta gamma delta epsilon"),      # exact copy
+                (3, "completely different words entirely here"),
+                (4, "too short"),                            # no 3-grams
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in ngram_novelty(docs, boilerplate_df=2).collect()}
+        # docs 1/2 share every shingle -> novelty 0, boilerplate 1
+        assert got[1]["novelty"] == 0.0 and got[1]["boilerplate"] == 1.0
+        assert got[2]["novelty"] == 0.0
+        # doc 3's shingles are unique to it
+        assert got[3]["novelty"] == 1.0 and got[3]["boilerplate"] == 0.0
+        assert got[3]["n_shingles"] == 3
+        # short doc surfaces with 0 shingles and NULL scores
+        assert got[4]["n_shingles"] == 0 and got[4]["novelty"] is None
+
+    def test_one_to_one_join_no_blowup(self, spark):
+        from recover_spark.ops.text_analysis import ngram_novelty
+
+        docs = spark.range(200).selectExpr(
+            "id AS doc_id",
+            "concat('common boiler plate text plus word', CAST(id AS STRING)) AS text",
+        )
+        out = ngram_novelty(docs)
+        rows = out.collect()
+        assert len(rows) == 200
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
