@@ -5110,6 +5110,27 @@ def q_agg_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_v11_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit (Benford) conformance screen
+    (quality/drift.py:benford_screen): the forensic check for
+    measured, scale-spanning quantities — a vendor switching cents
+    for dollars or backfilling a constant shifts the leading-digit
+    histogram long before a range check fires.  l_extendedprice
+    (spans magnitudes) sits near the Benford curve; l_quantity
+    (bounded 1-50) legitimately fails — the screen is a flag for
+    review, not a gate, and the pair demonstrates both readings.
+    First digits extract map-side via floor(v / 10^floor(log10 v)) —
+    exact for positive doubles in both engines (log10 of exact powers
+    of ten is exact) — and all columns ride ONE (column, digit)
+    aggregate.  Oracle: the identical extraction and folds."""
+    from recover_spark.quality.drift import benford_screen
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    return benford_screen(
+        lineitem, ["l_extendedprice", "l_quantity"]
+    ).orderBy("column")
+
+
 def q_ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-type outlier screen
     (operators/temporal.py:mad_anomalies): the modified z-score
@@ -5465,6 +5486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_quantile_rollup": q_agg_quantile_rollup,
         "agg_skyline": q_agg_skyline,
         "v5_drift_psi": q_v5_drift_psi,
+        "v11_benford": q_v11_benford,
         "ts_anomaly_mad": q_ts_anomaly_mad,
         "agg_entropy": q_agg_entropy,
         "text_novelty": q_text_novelty,
@@ -5614,6 +5636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row.  tools/check_correctness.py re-runs ALL entries regardless.
     front = [
         # (a) new this round
+        "v11_benford",
         "ts_anomaly_mad",
         "agg_entropy",
         "text_novelty",
@@ -7298,6 +7321,55 @@ def _oracle_sql_literal() -> dict[str, str]:
             WHERE tokens_before < CASE lang WHEN 'en' THEN 4000
                                             ELSE 1500 END
             ORDER BY lang, doc_id
+        """,
+        "v11_benford": """
+            WITH digits AS (
+                SELECT col, CAST(floor(v / pow(10.0, floor(log10(v))))
+                            AS INT) AS digit
+                FROM (
+                    SELECT 'l_extendedprice' AS col,
+                           abs(CAST(l_extendedprice AS DOUBLE)) AS v
+                    FROM lineitem
+                    UNION ALL
+                    SELECT 'l_quantity' AS col,
+                           abs(CAST(l_quantity AS DOUBLE)) AS v
+                    FROM lineitem)
+                WHERE v IS NOT NULL AND v > 0),
+            cells AS (
+                SELECT col, digit, count(*) AS o
+                FROM digits GROUP BY 1, 2),
+            slots AS (
+                SELECT c.col, d.digit
+                FROM (VALUES ('l_extendedprice'), ('l_quantity')) c(col)
+                CROSS JOIN (SELECT unnest(range(1, 10)) AS digit) d),
+            j AS (
+                SELECT s.col, s.digit, coalesce(c.o, 0) AS o,
+                       sum(coalesce(c.o, 0)) OVER (PARTITION BY s.col)
+                           AS n
+                FROM slots s LEFT JOIN cells c
+                  ON s.col = c.col AND s.digit = c.digit),
+            folded AS (
+                SELECT col,
+                       round(sum((CAST(o AS DOUBLE) / n
+                                  - log10(1 + 1.0 / digit))
+                                 * (CAST(o AS DOUBLE) / n
+                                    - log10(1 + 1.0 / digit))
+                                 / log10(1 + 1.0 / digit) * n)
+                             + 1e-9, 6) AS chi2,
+                       round(avg(abs(CAST(o AS DOUBLE) / n
+                                     - log10(1 + 1.0 / digit)))
+                             + 1e-9, 6) AS digit_mad,
+                       round(sum(CASE WHEN digit = 1
+                                 THEN CAST(o AS DOUBLE) / n
+                                 ELSE 0.0 END) + 1e-9, 6) AS share_d1,
+                       CAST(max(n) AS BIGINT) AS n
+                FROM j GROUP BY col)
+            SELECT col AS "column",
+                   round(log10(greatest(chi2, 0) + 1) + 1e-9, 6)
+                       AS chi2_mag,
+                   digit_mad, share_d1, n
+            FROM folded
+            ORDER BY "column"
         """,
         "ts_anomaly_mad": """
             WITH base AS (

@@ -110,6 +110,7 @@ HEADLINE = [
     "ts_anomaly_mad",
     "agg_entropy",
     "text_novelty",
+    "v11_benford",
 ]
 
 

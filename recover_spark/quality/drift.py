@@ -802,3 +802,114 @@ def ks_grid_from_binned_counts(
             F.col("__mtc").alias("n_cur"),
         )
     )
+
+
+def benford_screen(
+    df: DataFrame,
+    cols: Sequence[str],
+    round_digits: int = 6,
+) -> DataFrame:
+    """First-digit (Benford's law) conformance screen per column —
+    the forensic data-quality check for MEASURED, scale-spanning
+    quantities (amounts, durations, counts): organically generated
+    magnitudes follow P(d) = log10(1 + 1/d), while fabricated,
+    defaulted, or unit-mangled values do not.  A vendor that starts
+    sending cents instead of dollars, or backfilling a constant,
+    shifts the first-digit histogram long before any range check
+    fires.
+
+    Output per column: the chi-square distance to the Benford
+    expectation, the mean absolute deviation of the nine digit shares
+    (the "MAD" conformity statistic auditors threshold at ~0.015),
+    and the observed share of leading 1s.  Zero/NULL values carry no
+    first digit and are excluded (their rates are the expectation
+    suite's job).
+
+    Engine shape: first digits extract map-side (no string round
+    trip: ``floor(v / 10^floor(log10(v)))`` on |v|), all columns ride
+    ONE (column, digit) aggregate, and the fold is 9 rows per column.
+    Caveat in the docstring, enforced nowhere: Benford only applies
+    to quantities spanning >= 2-3 orders of magnitude; a bounded
+    uniform column (quantity 1-50) legitimately fails the screen —
+    the statistic is a FLAG for human review, not a gate.
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    per_col = []
+    for c in cols:
+        v = F.abs(F.col(c).cast("double"))
+        digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v))))
+        per_col.append(
+            F.when(
+                v.isNotNull() & (v > 0),
+                F.struct(
+                    F.lit(c).alias("column"),
+                    digit.cast("int").alias("digit"),
+                ),
+            )
+        )
+    cells = (
+        df.select(
+            F.explode(
+                F.filter(F.array(*per_col), lambda s: s.isNotNull())
+            ).alias("cd")
+        )
+        .select("cd.column", "cd.digit")
+        .groupBy("column", "digit")
+        .agg(F.count(F.lit(1)).alias("__o"))
+    )
+    # all 9 digit slots so missing digits enter the fold as share 0
+    slots = df.sparkSession.createDataFrame(
+        [(c, d) for c in cols for d in range(1, 10)],
+        "column string, digit int",
+    )
+    from pyspark.sql import Window
+
+    w_col = Window.partitionBy("column")
+    joined = (
+        slots.join(cells, ["column", "digit"], "left")
+        .fillna(0, subset=["__o"])
+        .select(
+            "column",
+            "digit",
+            "__o",
+            F.sum("__o").over(w_col).alias("__n"),
+        )
+    )
+    share = F.try_divide(F.col("__o").cast("double"), F.col("__n"))
+    expect = F.log10(1 + 1 / F.col("digit").cast("double"))
+    return (
+        joined.groupBy("column")
+        .agg(
+            F.round(
+                F.sum(
+                    (share - expect) * (share - expect)
+                    / expect
+                    * F.col("__n")
+                )
+                + F.lit(1e-9),
+                round_digits,
+            ).alias("__chi2"),
+            F.round(
+                F.avg(F.abs(share - expect)) + F.lit(1e-9), round_digits
+            ).alias("digit_mad"),
+            F.round(
+                F.sum(F.when(F.col("digit") == 1, share).otherwise(0.0))
+                + F.lit(1e-9),
+                round_digits,
+            ).alias("share_d1"),
+            F.max("__n").alias("n"),
+        )
+        .select(
+            "column",
+            F.round(
+                F.log10(F.greatest(F.col("__chi2"), F.lit(0.0)) + 1)
+                + F.lit(1e-9),
+                round_digits,
+            ).alias("chi2_mag"),
+            "digit_mad",
+            "share_d1",
+            "n",
+        )
+    )

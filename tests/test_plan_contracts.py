@@ -332,7 +332,7 @@ def test_no_cartesian_product_across_query_surface(spark):
         # TestStreamingDrift::test_streamed_ks_and_js_equal_batch_twins)
         "v10_drift_js", "ts_autocorr", "ts_cusum", "agg_assoc_matrix",
         "sample_token_budget", "retrieval_hybrid",
-        "ts_anomaly_mad", "agg_entropy", "text_novelty",
+        "ts_anomaly_mad", "agg_entropy", "text_novelty", "v11_benford",
     ]
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"

@@ -628,3 +628,69 @@ class TestJsDrift:
         rows = js_drift(base, empty, ["v"], edge_accuracy=None).collect()
         assert len(rows) == 1
         assert rows[0]["js"] is None and rows[0]["hellinger"] is None
+
+
+class TestBenfordScreen:
+    """benford_screen (quality/drift.py): first-digit conformance
+    pinned against a direct numpy reference."""
+
+    @staticmethod
+    def _ref(vals):
+        import numpy as np
+
+        v = np.abs(np.asarray(vals, dtype=float))
+        v = v[v > 0]
+        digits = np.floor(v / 10.0 ** np.floor(np.log10(v))).astype(int)
+        o = np.bincount(digits, minlength=10)[1:10]
+        n = o.sum()
+        share = o / n
+        expect = np.log10(1 + 1 / np.arange(1, 10))
+        chi2 = float((((share - expect) ** 2) / expect * n).sum())
+        mad = float(np.abs(share - expect).mean())
+        return chi2, mad, float(share[0]), int(n)
+
+    def test_conforming_vs_bounded_uniform(self, spark):
+        import math
+
+        # log-uniform magnitudes follow Benford closely; bounded
+        # uniform integers (1..50) legitimately fail the screen
+        conforming = [10 ** ((i * 37 % 1000) / 250.0) for i in range(1000)]
+        uniform = [float(i % 50 + 1) for i in range(1000)]
+        rows = [("conf", v) for v in conforming] + [
+            ("unif", v) for v in uniform
+        ]
+        df = spark.createDataFrame(rows, "tag string, v double")
+        from recover_spark.quality.drift import benford_screen
+
+        got = {
+            r["column"]: r
+            for r in benford_screen(
+                df.filter("tag = 'conf'").select("v"), ["v"]
+            ).collect()
+        }
+        chi2, mad, d1, n = self._ref(conforming)
+        assert abs(got["v"]["chi2_mag"] - math.log10(chi2 + 1)) < 5.1e-5
+        assert abs(got["v"]["digit_mad"] - mad) < 5.1e-6
+        assert abs(got["v"]["share_d1"] - d1) < 5.1e-6
+        assert got["v"]["n"] == n
+        assert got["v"]["digit_mad"] < 0.015   # the auditors' bar
+
+        bad = benford_screen(
+            df.filter("tag = 'unif'").select("v"), ["v"]
+        ).collect()[0]
+        assert bad["digit_mad"] > 0.03         # bounded uniform fails
+
+    def test_zero_null_excluded_and_guard(self, spark):
+        import pytest as _pytest
+
+        from recover_spark.quality.drift import benford_screen
+
+        df = spark.createDataFrame(
+            [(0.0,), (None,), (123.0,), (950.0,), (-20.0,)], "v double"
+        )
+        row = benford_screen(df, ["v"]).collect()[0]
+        # 123 -> 1, 950 -> 9, |-20| -> 2; zero and NULL carry no digit
+        assert row["n"] == 3
+        assert abs(row["share_d1"] - 1 / 3) < 5.1e-6
+        with _pytest.raises(ValueError, match="non-empty"):
+            benford_screen(df, [])

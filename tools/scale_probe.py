@@ -81,6 +81,10 @@ PROBES = [
     "agg_assoc_matrix",     # Cramér's V, one fact shuffle of pair cells
     "sample_token_budget",  # hash-range bucketed token prefix sums
     "retrieval_hybrid",     # BM25 + cosine candidate lists, RRF fold
+    "ts_anomaly_mad",       # two grouped percentiles + key joins
+    "agg_entropy",          # (group, category) aggregate + fold
+    "text_novelty",         # distinct shingles + 1:1 df join
+    "v11_benford",          # map-side digit extract, one aggregate
 ]
 
 
