@@ -5415,6 +5415,55 @@ def q_stream_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks.join(js, "column").orderBy("column")
 
 
+def q_retention_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival per signup cohort
+    (operators/analytics.py:survival_curve): subjects are (user,
+    event_type) engagement spells — duration = days between a user's
+    first and last event of that type, the spell "dies" only when its
+    last occurrence predates the dataset horizon by 3+ days, else it
+    is right-censored (still alive at cutoff), which
+    `retention_cohorts` cannot express.  The fact collapses to
+    subject rows (one shuffle), then to (type, duration) counts, so
+    the KM ordered pass runs over the day grid, never over users."""
+    from recover_spark.operators.analytics import survival_curve
+
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    per_subject = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.floor(F.col("sec") / F.lit(86400))).alias("first_day"),
+        F.max(F.floor(F.col("sec") / F.lit(86400))).alias("last_day"),
+        F.max("sec").alias("last_sec"),
+    )
+    horizon = ev.agg(F.max("sec").alias("max_sec"))
+    subjects = per_subject.crossJoin(F.broadcast(horizon)).select(
+        "event_type",
+        (F.col("last_day") - F.col("first_day")).alias("duration"),
+        (F.col("last_sec") <= F.col("max_sec") - F.lit(3 * 86400))
+        .cast("int")
+        .alias("observed"),
+    )
+    return survival_curve(
+        subjects, ["event_type"], "duration", "observed"
+    ).orderBy("event_type", "duration")
+
+
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Gini concentration of order value
+    (operators/analytics.py:gini_by_group): the rank identity
+    computed WITHOUT a per-group ordered window — ranks decompose
+    over value-quantile buckets exactly as in win_global_rownum, so
+    the fact shuffles once on a key strictly finer than the group."""
+    from recover_spark.operators.analytics import gini_by_group
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    return gini_by_group(
+        orders, ["o_orderpriority"], "o_totalprice"
+    ).orderBy("o_orderpriority")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -5486,6 +5535,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_quantile_rollup": q_agg_quantile_rollup,
         "agg_skyline": q_agg_skyline,
         "v5_drift_psi": q_v5_drift_psi,
+        "retention_survival": q_retention_survival,
+        "agg_gini": q_agg_gini,
         "v11_benford": q_v11_benford,
         "ts_anomaly_mad": q_ts_anomaly_mad,
         "agg_entropy": q_agg_entropy,
@@ -5636,6 +5687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # row.  tools/check_correctness.py re-runs ALL entries regardless.
     front = [
         # (a) new this round
+        "retention_survival",
+        "agg_gini",
         "v11_benford",
         "ts_anomaly_mad",
         "agg_entropy",
@@ -6271,6 +6324,56 @@ def _oracle_sql_literal() -> dict[str, str]:
             UNION ALL
             SELECT 'view>click>purchase_24h', CAST(count(*) AS BIGINT)
             FROM s3
+        """,
+        "retention_survival": """
+            WITH ev AS (
+                SELECT user_id, event_type,
+                       CAST(epoch(ts) AS BIGINT) AS sec
+                FROM events),
+            per_subject AS (
+                SELECT user_id, event_type,
+                       CAST(min(floor(sec / 86400)) AS BIGINT) AS first_day,
+                       CAST(max(floor(sec / 86400)) AS BIGINT) AS last_day,
+                       max(sec) AS last_sec
+                FROM ev GROUP BY user_id, event_type),
+            h AS (SELECT max(sec) AS max_sec FROM ev),
+            subjects AS (
+                SELECT event_type,
+                       last_day - first_day AS duration,
+                       CASE WHEN last_sec <= max_sec - 259200
+                            THEN 1 ELSE 0 END AS e
+                FROM per_subject CROSS JOIN h),
+            counts AS (
+                SELECT event_type, duration,
+                       CAST(sum(e) AS BIGINT) AS n_event,
+                       CAST(sum(1 - e) AS BIGINT) AS n_censored
+                FROM subjects GROUP BY event_type, duration),
+            staged AS (
+                SELECT *,
+                       sum(n_event + n_censored)
+                           OVER (PARTITION BY event_type)
+                       - coalesce(sum(n_event + n_censored) OVER (
+                             PARTITION BY event_type ORDER BY duration
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS n_risk
+                FROM counts),
+            f AS (
+                SELECT *,
+                       CASE WHEN n_risk > n_event
+                            THEN ln((n_risk - n_event) * 1.0 / n_risk)
+                            END AS lnf,
+                       CASE WHEN n_risk <= n_event THEN 1 ELSE 0 END
+                           AS dead
+                FROM staged)
+            SELECT event_type, duration,
+                   CAST(n_risk AS BIGINT) AS n_risk, n_event, n_censored,
+                   round(CASE WHEN max(dead) OVER w = 1 THEN 0.0
+                         ELSE exp(coalesce(sum(lnf) OVER w, 0.0))
+                         END + 1e-9, 6) AS survival
+            FROM f
+            WINDOW w AS (PARTITION BY event_type ORDER BY duration
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
         """,
         "retention_cohorts": """
             WITH by_week AS (

@@ -111,6 +111,8 @@ HEADLINE = [
     "agg_entropy",
     "text_novelty",
     "v11_benford",
+    "retention_survival",
+    "agg_gini",
 ]
 
 

@@ -673,3 +673,160 @@ def distribution_entropy(
         "n_levels",
         "n",
     )
+
+
+def survival_curve(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    duration_col: str,
+    event_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival curve per group — the
+    retention question `retention_cohorts` cannot answer once
+    observation windows differ: a user who joined last week and is
+    still active must not count as churned, and the KM estimator is
+    the standard way to use those right-censored subjects correctly
+    (they leave the at-risk set without contributing an event).
+
+    Input: one row per subject with an integer ``duration_col`` (time
+    grid units until event or censoring) and ``event_col`` (1 = the
+    event was observed, 0 = censored).  Output: one row per (group,
+    duration) with the at-risk count, event/censor counts, and
+    S(t) = prod_{t_i <= t} (1 - d_i / n_i).
+
+    Engine shape: the fact collapses FIRST to (group, duration) event
+    and censor counts — one shuffle with map-side combine — so the
+    per-group ordered pass that follows runs over the time grid, not
+    over subjects: its partition size is bounded by distinct
+    durations (weeks, days) no matter how many subjects a cohort has.
+    The cumulative product rides exp(sum(ln ...)) with an explicit
+    zero-factor flag, because Spark's ln(0) is NULL while DuckDB's is
+    -inf — the flag makes S(t) an exact 0.0 in both engines once the
+    at-risk set empties.
+    """
+    group_cols = list(group_cols)
+    counts = (
+        df.select(
+            *group_cols,
+            F.col(duration_col).cast("long").alias("__t"),
+            F.col(event_col).cast("int").alias("__e"),
+        )
+        .groupBy(*group_cols, "__t")
+        .agg(
+            F.sum("__e").cast("long").alias("n_event"),
+            F.sum(1 - F.col("__e")).cast("long").alias("n_censored"),
+        )
+    )
+    w_all = Window.partitionBy(*group_cols)
+    w_prior = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    leaving = F.col("n_event") + F.col("n_censored")
+    at_risk = (
+        F.sum(leaving).over(w_all)
+        - F.coalesce(F.sum(leaving).over(w_prior), F.lit(0))
+    )
+    staged = counts.withColumn("n_risk", at_risk.cast("long"))
+    factor = (
+        (F.col("n_risk") - F.col("n_event")).cast("double")
+        / F.col("n_risk").cast("double")
+    )
+    staged = staged.withColumn(
+        "__lnf", F.when(factor > 0, F.log(factor))
+    ).withColumn("__dead", F.when(factor <= 0, F.lit(1)).otherwise(F.lit(0)))
+    survival = F.when(
+        F.max("__dead").over(w_cum) == 1, F.lit(0.0)
+    ).otherwise(F.exp(F.coalesce(F.sum("__lnf").over(w_cum), F.lit(0.0))))
+    return staged.select(
+        *group_cols,
+        F.col("__t").alias("duration"),
+        "n_risk",
+        "n_event",
+        "n_censored",
+        F.round(survival + F.lit(1e-9), round_digits).alias("survival"),
+    )
+
+
+def gini_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    buckets: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative value column —
+    the inequality/concentration summary that pairs with
+    `distribution_entropy` (categorical concentration) and
+    `agg_pareto` (top-share): G = 0 means spend/volume is spread
+    evenly across members, G -> 1 means a handful dominate.
+
+    Uses the rank identity G = 2*sum(i * x_(i)) / (n * sum(x))
+    - (n + 1)/n, which needs each row's rank WITHIN its group by
+    value.  A per-group ordered window is the canonical hot-key
+    hazard (one reducer per group), so the rank decomposes exactly as
+    in ``global_row_numbers``: rows bucket map-side on approximate
+    value quantiles, ONE (group, bucket) window computes local ranks
+    and per-bucket partial sums sum(local_rank * x) / sum(x) / count,
+    and the bucket offsets fold on the aggregate-sized (group,
+    bucket) frame — the fact is shuffled once, on a key strictly
+    finer than the group.  Bucketing affects balance only, never the
+    result: any boundaries yield the same total order, and equal
+    values contribute identically under any tie order, so
+    ``row_number`` without a tiebreaker is still deterministic in the
+    SUM even though individual ranks are not.
+
+    Degenerate groups (sum(x) == 0) yield NULL via ``try_divide``.
+    Negative values break the identity; callers filter or shift.
+    """
+    group_cols = list(group_cols)
+    probs = [i / buckets for i in range(1, buckets)]
+    bounds = sorted(set(df.stat.approxQuantile(value_col, probs, 0.001)))
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col("__x") > F.lit(b)).cast("int")
+    staged = df.select(
+        *group_cols, F.col(value_col).cast("double").alias("__x")
+    ).withColumn("__bucket", bucket)
+
+    w = Window.partitionBy(*group_cols, "__bucket").orderBy("__x")
+    ranked = staged.withColumn("__r", F.row_number().over(w))
+    per_bucket = ranked.groupBy(*group_cols, "__bucket").agg(
+        F.sum(F.col("__r") * F.col("__x")).alias("__s_local"),
+        F.sum("__x").alias("__sx"),
+        F.count(F.lit(1)).cast("long").alias("__cnt"),
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+    per_group = (
+        per_bucket.withColumn("__off", offset)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(
+                F.col("__s_local") + F.col("__off") * F.col("__sx")
+            ).alias("__s"),
+            F.sum("__sx").alias("total"),
+            F.sum("__cnt").cast("long").alias("n"),
+        )
+    )
+    n = F.col("n").cast("double")
+    gini = F.try_divide(
+        F.lit(2.0) * F.col("__s"), n * F.col("total")
+    ) - F.try_divide(n + 1, n)
+    return per_group.select(
+        *group_cols,
+        "n",
+        F.round(F.col("total") + F.lit(1e-9), round_digits).alias("total"),
+        F.round(gini + F.lit(1e-9), round_digits).alias("gini"),
+    )

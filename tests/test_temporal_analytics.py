@@ -1335,3 +1335,128 @@ class TestNgramNovelty:
         assert len(rows) == 200
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
+
+
+class TestSurvivalCurve:
+    @staticmethod
+    def _km_reference(subjects):
+        """Sequential Kaplan-Meier over (duration, event) pairs."""
+        from collections import Counter
+
+        d = Counter(t for t, e in subjects if e)
+        c = Counter(t for t, e in subjects if not e)
+        n = len(subjects)
+        s, out = 1.0, {}
+        for t in sorted(set(d) | set(c)):
+            out_row = {"n_risk": n, "n_event": d[t], "n_censored": c[t]}
+            s *= (n - d[t]) / n
+            out_row["survival"] = s
+            out[t] = out_row
+            n -= d[t] + c[t]
+        return out
+
+    def test_hand_computed_curve_with_censoring(self, spark):
+        from recover_spark.operators.analytics import survival_curve
+
+        df = spark.createDataFrame(
+            [("g", 1, 1), ("g", 2, 1), ("g", 2, 0), ("g", 3, 1),
+             ("h", 1, 0), ("h", 2, 0)],
+            "g string, duration int, e int",
+        )
+        got = {
+            (r["g"], r["duration"]): r
+            for r in survival_curve(df, ["g"], "duration", "e").collect()
+        }
+        # g: S(1)=3/4, S(2)=3/4*2/3=1/2, S(3)=0 (at-risk set empties)
+        assert got[("g", 1)]["survival"] == 0.75
+        assert got[("g", 1)]["n_risk"] == 4
+        assert got[("g", 2)]["survival"] == 0.5
+        assert got[("g", 2)]["n_censored"] == 1
+        assert got[("g", 3)]["survival"] == 0.0
+        # h: censor-only group stays at S = 1
+        assert got[("h", 1)]["survival"] == 1.0
+        assert got[("h", 2)]["survival"] == 1.0
+        assert got[("h", 2)]["n_risk"] == 1
+
+    def test_matches_sequential_reference_fuzz(self, spark):
+        import random
+
+        from recover_spark.operators.analytics import survival_curve
+
+        rng = random.Random(8)
+        rows = [
+            ("k%d" % (i % 3), rng.randint(0, 12), rng.randint(0, 1))
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "g string, duration int, e int")
+        got = {
+            (r["g"], r["duration"]): r
+            for r in survival_curve(df, ["g"], "duration", "e").collect()
+        }
+        for g in ("k0", "k1", "k2"):
+            ref = self._km_reference(
+                [(t, e) for gg, t, e in rows if gg == g]
+            )
+            for t, want in ref.items():
+                row = got[(g, t)]
+                assert row["n_risk"] == want["n_risk"]
+                assert row["n_event"] == want["n_event"]
+                assert row["n_censored"] == want["n_censored"]
+                assert abs(row["survival"] - want["survival"]) < 5.1e-6
+
+
+class TestGiniByGroup:
+    def test_known_values(self, spark):
+        from recover_spark.operators.analytics import gini_by_group
+
+        df = spark.createDataFrame(
+            [("eq", 5.0)] * 4
+            + [("conc", 0.0)] * 3 + [("conc", 10.0)]
+            + [("zero", 0.0)] * 2,
+            "g string, v double",
+        )
+        got = {r["g"]: r for r in gini_by_group(df, ["g"], "v").collect()}
+        assert got["eq"]["gini"] == 0.0
+        # all mass on one of four members: G = (n-1)/n = 0.75
+        assert got["conc"]["gini"] == 0.75
+        # zero total -> NULL via try_divide
+        assert got["zero"]["gini"] is None
+        assert got["eq"]["n"] == 4 and got["eq"]["total"] == 20.0
+
+    def test_matches_pairwise_reference_across_buckets(self, spark):
+        import random
+
+        from recover_spark.operators.analytics import gini_by_group
+
+        rng = random.Random(81)
+        rows = [
+            ("g%d" % (i % 2), round(rng.expovariate(1 / 50.0), 2))
+            for i in range(500)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        # small buckets so the rank decomposition is exercised hard
+        got = {
+            r["g"]: r["gini"]
+            for r in gini_by_group(df, ["g"], "v", buckets=7).collect()
+        }
+        for g in ("g0", "g1"):
+            xs = [v for gg, v in rows if gg == g]
+            n, mu = len(xs), sum(xs) / len(xs)
+            pair = sum(abs(a - b) for a in xs for b in xs)
+            want = pair / (2 * n * n * mu)
+            assert abs(got[g] - want) < 5.1e-6
+
+    def test_rank_decomposition_plan(self, spark):
+        from recover_spark.operators.analytics import gini_by_group
+
+        df = spark.range(5000).selectExpr(
+            "CAST(id % 3 AS STRING) g", "CAST(id % 97 AS DOUBLE) v"
+        )
+        plan = (
+            gini_by_group(df, ["g"], "v")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        # the fact-sized window must partition on (group, bucket),
+        # never on the group alone
+        assert "__bucket" in plan

@@ -85,6 +85,8 @@ PROBES = [
     "agg_entropy",          # (group, category) aggregate + fold
     "text_novelty",         # distinct shingles + 1:1 df join
     "v11_benford",          # map-side digit extract, one aggregate
+    "retention_survival",   # KM over the (type, day) grid, fact pre-collapsed
+    "agg_gini",             # bucket-decomposed ranks, no per-group window
 ]
 
 
