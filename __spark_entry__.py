@@ -5415,6 +5415,40 @@ def q_stream_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks.join(js, "column").orderBy("column")
 
 
+def q_agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order/brand baskets
+    (operators/analytics.py:basket_lift): which brands travel together
+    more than independence predicts.  Pair generation is a basket-keyed
+    equi-join bounded by max_basket_size; margins broadcast."""
+    from recover_spark.operators.analytics import basket_lift
+
+    li = _load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = _load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = li.join(part, li.l_partkey == part.p_partkey).select(
+        F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item")
+    )
+    return basket_lift(
+        baskets, "basket", "item", min_pair_count=10
+    ).orderBy("item_a", "item_b")
+
+
+def q_ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Theil-Sen robust trend of event value over days
+    (operators/temporal.py:theil_sen_trend): the breakdown-resistant
+    drift line OLS cannot give on corrupt exports.  x is whole seconds
+    over 86400.0 — well-conditioned and identical in both engines."""
+    from recover_spark.operators.temporal import theil_sen_trend
+
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_timestamp("ts") / F.lit(86400.0)).alias("day"),
+        "value",
+    )
+    return theil_sen_trend(ev, ["user_id"], "value", "day").orderBy(
+        "user_id"
+    )
+
+
 def q_retention_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier survival per signup cohort
     (operators/analytics.py:survival_curve): subjects are (user,
@@ -5537,6 +5571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v5_drift_psi": q_v5_drift_psi,
         "retention_survival": q_retention_survival,
         "agg_gini": q_agg_gini,
+        "agg_basket_lift": q_agg_basket_lift,
+        "ts_theil_sen": q_ts_theil_sen,
         "v11_benford": q_v11_benford,
         "ts_anomaly_mad": q_ts_anomaly_mad,
         "agg_entropy": q_agg_entropy,
@@ -5689,6 +5725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) new this round
         "retention_survival",
         "agg_gini",
+        "agg_basket_lift",
+        "ts_theil_sen",
         "v11_benford",
         "ts_anomaly_mad",
         "agg_entropy",
@@ -6325,10 +6363,73 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT 'view>click>purchase_24h', CAST(count(*) AS BIGINT)
             FROM s3
         """,
+        "agg_basket_lift": """
+            WITH bitems AS (
+                SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+            sized AS (
+                SELECT b, i, count(*) OVER (PARTITION BY b) AS bs
+                FROM bitems),
+            kept AS (SELECT b, i FROM sized WHERE bs <= 64),
+            pairs AS (
+                SELECT a.i AS item_a, c.i AS item_b,
+                       CAST(count(*) AS BIGINT) AS n_ab
+                FROM kept a JOIN kept c ON a.b = c.b AND a.i < c.i
+                GROUP BY 1, 2 HAVING count(*) >= 10),
+            marg AS (
+                SELECT i, CAST(count(*) AS BIGINT) AS n
+                FROM kept GROUP BY i),
+            tot AS (
+                SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM kept)
+            SELECT item_a, item_b, ma.n AS n_a, mb.n AS n_b, n_ab,
+                   round(n_ab * 1.0 / nb + 1e-9, 6) AS support,
+                   round(n_ab * 1.0 / ma.n + 1e-9, 6) AS conf_a_b,
+                   round(n_ab * 1.0 / mb.n + 1e-9, 6) AS conf_b_a,
+                   round(n_ab * 1.0 * nb / (ma.n * mb.n) + 1e-9, 6)
+                       AS lift
+            FROM pairs
+            JOIN marg ma ON pairs.item_a = ma.i
+            JOIN marg mb ON pairs.item_b = mb.i
+            CROSS JOIN tot
+        """,
+        "ts_theil_sen": """
+            WITH pts AS (
+                -- floor() mirrors Spark unix_timestamp's truncation
+                SELECT user_id,
+                       CAST(floor(epoch(ts)) AS BIGINT) / 86400.0 AS x,
+                       value AS y
+                FROM events
+                WHERE value IS NOT NULL AND ts IS NOT NULL),
+            slopes AS (
+                SELECT a.user_id, (b.y - a.y) / (b.x - a.x) AS s
+                FROM pts a JOIN pts b
+                ON a.user_id = b.user_id AND a.x < b.x),
+            per_key AS (
+                SELECT user_id,
+                       round(quantile_cont(s, 0.5), 9) AS slope9,
+                       CAST(count(*) AS BIGINT) AS n_pairs
+                FROM slopes GROUP BY user_id),
+            resid AS (
+                SELECT p.user_id,
+                       round(quantile_cont(p.y - k.slope9 * p.x, 0.5), 9)
+                           AS icept,
+                       CAST(count(*) AS BIGINT) AS n_points,
+                       max(k.slope9) AS slope9,
+                       max(k.n_pairs) AS n_pairs
+                FROM pts p JOIN per_key k USING (user_id)
+                GROUP BY p.user_id)
+            SELECT user_id,
+                   round(slope9 + 1e-9, 6) AS slope,
+                   round(icept + 1e-9, 6) AS intercept,
+                   n_points, n_pairs
+            FROM resid
+        """,
         "retention_survival": """
             WITH ev AS (
+                -- floor() mirrors Spark unix_timestamp's truncation
+                -- (bare CAST in DuckDB rounds half-even)
                 SELECT user_id, event_type,
-                       CAST(epoch(ts) AS BIGINT) AS sec
+                       CAST(floor(epoch(ts)) AS BIGINT) AS sec
                 FROM events),
             per_subject AS (
                 SELECT user_id, event_type,

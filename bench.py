@@ -113,6 +113,8 @@ HEADLINE = [
     "v11_benford",
     "retention_survival",
     "agg_gini",
+    "agg_basket_lift",
+    "ts_theil_sen",
 ]
 
 

@@ -830,3 +830,102 @@ def gini_by_group(
         F.round(F.col("total") + F.lit(1e-9), round_digits).alias("total"),
         F.round(gini + F.lit(1e-9), round_digits).alias("gini"),
     )
+
+
+def basket_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 1,
+    max_basket_size: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Market-basket association rules: for every unordered item pair
+    co-occurring in a basket, support, both directed confidences, and
+    lift — the co-purchase/co-occurrence complement to
+    ``association_matrix`` (which asks whether two COLUMNS are
+    associated; this asks which VALUES of one column travel
+    together).  lift > 1 means the pair co-occurs more often than
+    independence predicts.
+
+    Engine shape: the fact collapses to distinct (basket, item) rows,
+    a basket-keyed self-join generates each pair once (``item_a <
+    item_b``) — an equi-join on the basket key, never a cartesian —
+    and pairs collapse immediately to (item_a, item_b) counts with
+    map-side combine.  Item margins are vocabulary-sized and join the
+    pair table as broadcasts; the basket total enters as a one-row
+    broadcast cross-join.  The quadratic term is sum(k_b^2) over
+    basket sizes, bounded by ``max_basket_size``: oversized baskets
+    are EXCLUDED (from pairs AND margins AND the total, keeping the
+    probabilities consistent) — a degenerate mega-basket says nothing
+    about item affinity and would otherwise dominate the join.
+    ``min_pair_count`` prunes the long noise tail map-side.
+    """
+    items = (
+        df.select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        )
+        .filter(F.col("__i").isNotNull())
+        .distinct()
+    )
+    w_b = Window.partitionBy("__b")
+    sized = items.withColumn("__bs", F.count(F.lit(1)).over(w_b)).filter(
+        F.col("__bs") <= max_basket_size
+    )
+    a, b = sized.alias("a"), sized.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__b") == F.col("b.__b"))
+            & (F.col("a.__i") < F.col("b.__i")),
+        )
+        .groupBy(
+            F.col("a.__i").alias("item_a"), F.col("b.__i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair_count)
+    )
+    margins = sized.groupBy(F.col("__i")).agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    total = sized.select("__b").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__nb")
+    )
+    out = (
+        pairs.join(
+            F.broadcast(margins.select(F.col("__i").alias("item_a"),
+                                       F.col("__n").alias("n_a"))),
+            "item_a",
+        )
+        .join(
+            F.broadcast(margins.select(F.col("__i").alias("item_b"),
+                                       F.col("__n").alias("n_b"))),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    nb = F.col("__nb").cast("double")
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        F.round(F.col("n_ab") / nb + F.lit(1e-9), round_digits).alias(
+            "support"
+        ),
+        F.round(
+            F.col("n_ab") / F.col("n_a").cast("double") + F.lit(1e-9),
+            round_digits,
+        ).alias("conf_a_b"),
+        F.round(
+            F.col("n_ab") / F.col("n_b").cast("double") + F.lit(1e-9),
+            round_digits,
+        ).alias("conf_b_a"),
+        F.round(
+            (F.col("n_ab") * nb)
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+            + F.lit(1e-9),
+            round_digits,
+        ).alias("lift"),
+    )

@@ -1913,3 +1913,91 @@ def mad_anomalies(
             F.col("__mad") > 0, F.abs(z) > F.lit(float(threshold))
         ).alias("is_outlier"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    y_col: str,
+    x_col: str,
+    max_points: int = 5000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key Theil-Sen robust trend: slope = median of all pairwise
+    slopes (y_j - y_i)/(x_j - x_i) over x_i < x_j, intercept = median
+    of (y - slope * x) — the robust companion to ``trend_regression``
+    the way ``mad_anomalies`` is to the z-score detectors: OLS has
+    breakdown point 0 (one corrupt export week bends the fitted
+    drift line arbitrarily), Theil-Sen tolerates ~29% corrupt points
+    before the slope moves.  Equal-x pairs are excluded (slope
+    undefined there), the standard estimator convention.
+
+    Engine shape: a key-keyed self-join generates pairs — an
+    equi-join co-partitioned on the key, never a cartesian — and
+    pairs collapse per key through the exact-percentile aggregate.
+    The quadratic term is sum(n_k^2) over key sizes: this is an
+    O(n^2)-pairs-per-key estimator BY DEFINITION, so a loud guard
+    raises when any key exceeds ``max_points`` (the apss contract:
+    refuse to degrade silently; downsample per key upstream, or use
+    ``trend_regression`` at telemetry scale).  Medians round to 9
+    digits before reuse (the interpolation tie pin), and the slope
+    re-enters the residual pass via a key join — never as a group
+    key (the aggregate-derived-key rule).
+    """
+    key_cols = list(key_cols)
+    pts = df.select(
+        *key_cols,
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+
+    biggest = (
+        pts.groupBy(*key_cols)
+        .count()
+        .agg(F.max("count").alias("m"))
+        .collect()[0]["m"]
+    )
+    if biggest is not None and biggest > max_points:
+        raise ValueError(
+            f"theil_sen_trend: a key holds {biggest} points; pairwise "
+            f"slopes are quadratic per key (max_points={max_points}). "
+            "Downsample per key or use trend_regression."
+        )
+
+    a, b = pts.alias("a"), pts.alias("b")
+    cond = F.col("a.__x") < F.col("b.__x")
+    for k in key_cols:
+        cond = (F.col(f"a.{k}") == F.col(f"b.{k}")) & cond
+    slopes = a.join(b, cond).select(
+        *[F.col(f"a.{k}").alias(k) for k in key_cols],
+        (
+            (F.col("b.__y") - F.col("a.__y"))
+            / (F.col("b.__x") - F.col("a.__x"))
+        ).alias("__s"),
+    )
+    per_key = slopes.groupBy(*key_cols).agg(
+        F.round(F.percentile(F.col("__s"), F.lit(0.5)), 9).alias("__slope"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    resid = pts.join(per_key, key_cols).groupBy(*key_cols).agg(
+        F.round(
+            F.percentile(
+                F.col("__y") - F.col("__slope") * F.col("__x"), F.lit(0.5)
+            ),
+            9,
+        ).alias("__icept"),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.max("__slope").alias("__slope_out"),
+        F.max("n_pairs").alias("__pairs_out"),
+    )
+    return resid.select(
+        *key_cols,
+        F.round(F.col("__slope_out") + F.lit(1e-9), round_digits).alias(
+            "slope"
+        ),
+        F.round(F.col("__icept") + F.lit(1e-9), round_digits).alias(
+            "intercept"
+        ),
+        "n_points",
+        F.col("__pairs_out").alias("n_pairs"),
+    )

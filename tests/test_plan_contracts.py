@@ -333,7 +333,7 @@ def test_no_cartesian_product_across_query_surface(spark):
         "v10_drift_js", "ts_autocorr", "ts_cusum", "agg_assoc_matrix",
         "sample_token_budget", "retrieval_hybrid",
         "ts_anomaly_mad", "agg_entropy", "text_novelty", "v11_benford",
-        "retention_survival", "agg_gini",
+        "retention_survival", "agg_gini", "ts_theil_sen",
     ]
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"

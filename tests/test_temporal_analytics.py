@@ -1460,3 +1460,120 @@ class TestGiniByGroup:
         # the fact-sized window must partition on (group, bucket),
         # never on the group alone
         assert "__bucket" in plan
+
+
+class TestBasketLift:
+    def test_known_values_and_exclusions(self, spark):
+        from recover_spark.operators.analytics import basket_lift
+
+        rows = (
+            [("b1", "x"), ("b1", "x"), ("b1", "y"),  # dup item: once
+             ("b2", "x"), ("b2", "y"),
+             ("b3", "x"), ("b3", "z"),
+             ("b4", "y")]
+            # an oversized basket leaves pairs AND margins AND the total
+            + [("huge", "i%03d" % i) for i in range(70)]
+        )
+        df = spark.createDataFrame(rows, "b string, i string")
+        got = {
+            (r["item_a"], r["item_b"]): r
+            for r in basket_lift(df, "b", "i").collect()
+        }
+        assert set(got) == {("x", "y"), ("x", "z")}
+        xy = got[("x", "y")]
+        assert xy["n_ab"] == 2 and xy["n_a"] == 3 and xy["n_b"] == 3
+        assert xy["support"] == 0.5           # 2 of 4 kept baskets
+        assert xy["conf_a_b"] == 0.666667
+        assert abs(xy["lift"] - 8.0 / 9.0) < 5.1e-6
+        xz = got[("x", "z")]
+        assert abs(xz["lift"] - 4.0 / 3.0) < 5.1e-6
+
+    def test_min_pair_count_prunes(self, spark):
+        from recover_spark.operators.analytics import basket_lift
+
+        df = spark.createDataFrame(
+            [("b1", "x"), ("b1", "y"), ("b2", "x"), ("b2", "y"),
+             ("b3", "x"), ("b3", "z")],
+            "b string, i string",
+        )
+        got = basket_lift(df, "b", "i", min_pair_count=2).collect()
+        assert [(r["item_a"], r["item_b"]) for r in got] == [("x", "y")]
+
+    def test_equi_join_plan(self, spark):
+        from recover_spark.operators.analytics import basket_lift
+
+        df = spark.range(3000).selectExpr(
+            "CAST(id % 500 AS STRING) b", "CAST(id % 23 AS STRING) i"
+        )
+        plan = (
+            basket_lift(df, "b", "i")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan.replace(
+            "BroadcastNestedLoopJoin BuildRight, Cross", "", 1
+        )  # the one-row total cross-join is the only nested-loop
+
+
+class TestTheilSen:
+    def test_outlier_resistance_on_exact_line(self, spark):
+        from recover_spark.operators.temporal import theil_sen_trend
+
+        pts = [("k", float(x), 2.0 * x + 1.0) for x in range(20)]
+        pts[7] = ("k", 7.0, 1e6)  # one corrupt point
+        df = spark.createDataFrame(pts, "k string, x double, y double")
+        row = theil_sen_trend(df, ["k"], "y", "x").collect()[0]
+        assert row["slope"] == 2.0
+        assert row["intercept"] == 1.0
+        assert row["n_points"] == 20 and row["n_pairs"] == 190
+
+    def test_matches_sequential_reference(self, spark):
+        import random
+        import statistics
+
+        from recover_spark.operators.temporal import theil_sen_trend
+
+        rng = random.Random(88)
+        rows = []
+        series = {}
+        for g in ("a", "b"):
+            xs = sorted(rng.sample(range(100), 30))
+            ys = [0.5 * x + rng.gauss(0, 3) for x in xs]
+            series[g] = (xs, ys)
+            rows += [(g, float(x), y) for x, y in zip(xs, ys)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        got = {r["g"]: r for r in theil_sen_trend(df, ["g"], "y", "x").collect()}
+        for g, (xs, ys) in series.items():
+            slopes = [
+                (ys[j] - ys[i]) / (xs[j] - xs[i])
+                for i in range(len(xs))
+                for j in range(i + 1, len(xs))
+                if xs[i] != xs[j]
+            ]
+            slope = round(statistics.median(slopes), 9)
+            icept = statistics.median(y - slope * x for x, y in zip(xs, ys))
+            assert abs(got[g]["slope"] - slope) < 5.1e-6
+            assert abs(got[g]["intercept"] - icept) < 5.1e-6
+
+    def test_equal_x_pairs_excluded(self, spark):
+        from recover_spark.operators.temporal import theil_sen_trend
+
+        df = spark.createDataFrame(
+            [("k", 1.0, 1.0), ("k", 1.0, 9.0), ("k", 2.0, 2.0)],
+            "k string, x double, y double",
+        )
+        row = theil_sen_trend(df, ["k"], "y", "x").collect()[0]
+        # only the two x=1 -> x=2 pairs exist; slopes {1, -7}, median -3
+        assert row["n_pairs"] == 2
+        assert row["slope"] == -3.0
+
+    def test_loud_guard_on_oversized_key(self, spark):
+        import pytest as _pytest
+
+        from recover_spark.operators.temporal import theil_sen_trend
+
+        df = spark.range(200).selectExpr(
+            "'k' AS k", "CAST(id AS DOUBLE) x", "CAST(id AS DOUBLE) y"
+        )
+        with _pytest.raises(ValueError, match="quadratic"):
+            theil_sen_trend(df, ["k"], "y", "x", max_points=100)

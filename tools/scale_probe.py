@@ -87,6 +87,8 @@ PROBES = [
     "v11_benford",          # map-side digit extract, one aggregate
     "retention_survival",   # KM over the (type, day) grid, fact pre-collapsed
     "agg_gini",             # bucket-decomposed ranks, no per-group window
+    "agg_basket_lift",      # basket-keyed pair equi-join, broadcast margins
+    "ts_theil_sen",         # key-partitioned pair join + percentile folds
 ]
 
 
