@@ -5415,6 +5415,36 @@ def q_stream_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks.join(js, "column").orderBy("column")
 
 
+def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA's moments pass (ops/pca.py:embedding_covariance):
+    the d x d upper-triangle sample covariance of the embedding column
+    via per-partition numpy GEMM partials — ONE fact scan, the shuffle
+    carries O(partitions * d^2) aggregate rows.  The eigensolve +
+    projection ride pytest (numpy reference); the covariance is the
+    distributed piece and hashes against the SQL oracle."""
+    from recover_spark.ops.pca import embedding_covariance
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return embedding_covariance(emb, "embedding", dim=64).orderBy("i", "j")
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core of the order/part bipartite graph (ops/graph.py:k_core):
+    iterative peeling to the 6-core — at sf0.01 the cascade runs 9
+    rounds deep (removing sparse orders drops part degrees, which
+    removes parts, which...).  Oracle: 14 unrolled peel rounds (extra
+    rounds past the fixpoint are identity, so a fixed-depth oracle
+    equals the engine's converge-then-stop)."""
+    from recover_spark.ops.graph import k_core
+
+    li = _load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    return k_core(edges, k=6).orderBy("node")
+
+
 def q_agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over order/brand baskets
     (operators/analytics.py:basket_lift): which brands travel together
@@ -5573,6 +5603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_gini": q_agg_gini,
         "agg_basket_lift": q_agg_basket_lift,
         "ts_theil_sen": q_ts_theil_sen,
+        "emb_pca": q_emb_pca,
+        "graph_kcore": q_graph_kcore,
         "v11_benford": q_v11_benford,
         "ts_anomaly_mad": q_ts_anomaly_mad,
         "agg_entropy": q_agg_entropy,
@@ -5727,6 +5759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_gini",
         "agg_basket_lift",
         "ts_theil_sen",
+        "emb_pca",
+        "graph_kcore",
         "v11_benford",
         "ts_anomaly_mad",
         "agg_entropy",
@@ -5844,6 +5878,35 @@ def _minhash_sql(num_hashes: int = 4) -> str:
     return (
         f"WITH {_TOKS_CTE}, {_GRAMS3_CTE} "
         f"SELECT doc_id, {mins} FROM grams GROUP BY doc_id"
+    )
+
+
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling: each round recomputes degrees over the
+    surviving edge set and keeps nodes with degree >= k.  Rounds past
+    the fixpoint are identity transforms, so a fixed depth that covers
+    the data's peel depth equals the engine's converge-then-stop."""
+    # each level is referenced three times (degree pass + both join
+    # sides); MATERIALIZED stops DuckDB's default CTE inlining from
+    # re-expanding the chain 3^rounds times
+    parts = [
+        "WITH e AS MATERIALIZED (SELECT DISTINCT 'o' || l_orderkey AS s, "
+        "'p' || l_partkey AS d FROM lineitem), "
+        "e0 AS MATERIALIZED (SELECT s, d FROM e UNION ALL "
+        "SELECT d, s FROM e)"
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"d{r} AS (SELECT s, count(*) AS c FROM e{r} GROUP BY s), "
+            f"n{r} AS MATERIALIZED (SELECT s FROM d{r} WHERE c >= {k}), "
+            f"e{r + 1} AS MATERIALIZED (SELECT e{r}.s, e{r}.d FROM e{r} "
+            f"JOIN n{r} a ON e{r}.s = a.s "
+            f"JOIN n{r} b ON e{r}.d = b.s)"
+        )
+    return (
+        ", ".join(parts)
+        + f" SELECT s AS node, CAST(count(*) AS BIGINT) AS degree "
+        f"FROM e{rounds} GROUP BY s"
     )
 
 
@@ -6363,6 +6426,28 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT 'view>click>purchase_24h', CAST(count(*) AS BIGINT)
             FROM s3
         """,
+        "emb_pca": """
+            WITH u AS (
+                SELECT vec_id, CAST(i AS INT) - 1 AS i,
+                       CAST(embedding[i] AS DOUBLE) AS x
+                FROM embeddings,
+                     UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+            pairs AS (
+                SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxy
+                FROM u a JOIN u b
+                ON a.vec_id = b.vec_id AND a.i <= b.i
+                GROUP BY 1, 2),
+            m AS (SELECT i, sum(x) AS sx FROM u GROUP BY i),
+            t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
+            SELECT p.i, p.j, t.n,
+                   round((p.sxy - ma.sx * mb.sx / t.n) / (t.n - 1)
+                         + 1e-9, 6) AS cov
+            FROM pairs p
+            JOIN m ma ON p.i = ma.i
+            JOIN m mb ON p.j = mb.i
+            CROSS JOIN t
+        """,
+        "graph_kcore": _kcore_oracle_sql(6, 14),
         "agg_basket_lift": """
             WITH bitems AS (
                 SELECT DISTINCT l.l_orderkey AS b, p.p_brand AS i

@@ -115,6 +115,8 @@ HEADLINE = [
     "agg_gini",
     "agg_basket_lift",
     "ts_theil_sen",
+    "emb_pca",
+    "graph_kcore",
 ]
 
 

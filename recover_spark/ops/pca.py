@@ -1,0 +1,223 @@
+"""Distributed PCA over embedding columns.
+
+The dimensionality-reduction step a training-data pipeline runs before
+clustering / visualization / whitening of document embeddings: compute
+the d x d covariance of an ``array<float>`` column DISTRIBUTED, solve
+the tiny eigenproblem on the driver, and project rows back out as a
+JVM-side array fold — no Python in the projection path.
+
+Scale shape (the reason this is not a UDF-per-row job):
+
+- the moments pass reduces N x d rows to ONE d x d matrix.  Each input
+  partition folds its rows into a single d x d partial via one numpy
+  GEMM per Arrow batch (``mapInPandas`` — the similarity-module
+  contract: embeddings math is the justified Pandas-UDF case), and
+  emits the partial as d*(d+1)/2 + d + 1 rows.  The shuffle therefore
+  carries O(partitions * d^2) aggregate rows, never the fact, and fit
+  needs exactly ONE scan of the fact.
+- the eigendecomposition is d x d (64 x 64 here) — driver-bounded by
+  GEOMETRY like the IVF centroid collects, independent of N.
+- the projection ships the component matrix back as a one-row
+  broadcast (arrays, not literal expression nodes — the round-7
+  Holt-Winters lesson) and evaluates ``sum(zip_with(x, w, *))`` per
+  component inside codegen, the centering folded into a precomputed
+  scalar.
+
+Determinism: eigenvectors have a sign gauge; each component is
+flipped so its largest-|loading| coordinate is positive, making the
+projection reproducible across runs and platforms (up to eigenvalue
+ties, which real covariance spectra do not have).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _moment_rows(df: DataFrame, vec_col: str, d: int) -> DataFrame:
+    """One-pass second-moment partials of an array column, as
+    aggregate-sized rows: (i, j >= i) -> sum x_i x_j; (i, -1) ->
+    sum x_i; (-1, -1) -> count.  Inputs cast to float64 BEFORE the
+    GEMM so partial products are exact doubles (float32 products
+    would drift vs any double-side oracle)."""
+    import pandas as pd
+
+    def partials(batches):
+        import numpy as np
+
+        s_xy = np.zeros((d, d), dtype=np.float64)
+        s_x = np.zeros(d, dtype=np.float64)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+            )
+            if x.shape[1] != d:
+                raise ValueError(
+                    f"pca moments: vector of dim {x.shape[1]}, "
+                    f"expected {d}"
+                )
+            s_xy += x.T @ x
+            s_x += x.sum(axis=0)
+            n += x.shape[0]
+        if n == 0:
+            return
+        iu, ju = [], []
+        for i in range(d):
+            for j in range(i, d):
+                iu.append(i)
+                ju.append(j)
+        yield pd.DataFrame(
+            {
+                "i": iu + list(range(d)) + [-1],
+                "j": ju + [-1] * d + [-1],
+                "v": list(s_xy[iu, ju]) + list(s_x) + [float(n)],
+            }
+        )
+
+    parts = df.select(F.col(vec_col).alias("__v")).mapInPandas(
+        partials, "i int, j int, v double"
+    )
+    return parts.groupBy("i", "j").agg(F.sum("v").alias("v"))
+
+
+def _resolve_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    if dim is not None:
+        return int(dim)
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("pca: empty input")
+    return int(first["d"])
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Upper-triangle sample covariance of an array column: one row
+    per (i, j), i <= j, with ``cov = (S_xy - S_x S_y / n) / (n - 1)``.
+
+    One fact scan: per-partition GEMM partials (see ``_moment_rows``),
+    one (i, j) hash aggregate, margins re-entering as dim-sized
+    broadcasts, the count as a one-row broadcast.
+    """
+    d = _resolve_dim(df, vec_col, dim)
+    # the moment aggregate feeds FOUR differently-filtered branches
+    # (pairs, both margins, count) — without a pin Catalyst re-executes
+    # the fact scan + GEMM once per branch (the round-5 aggregate-
+    # diamond lesson); the checkpoint is d^2-row sized
+    agg = _moment_rows(df, vec_col, d).localCheckpoint(eager=False)
+    sums = agg.filter((F.col("i") >= 0) & (F.col("j") >= 0))
+    marg = agg.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("__mi"), F.col("v").alias("__sx")
+    )
+    total = agg.filter(F.col("i") == -1).select(
+        F.col("v").cast("long").alias("__n")
+    )
+    out = (
+        sums.join(F.broadcast(marg), sums.i == marg.__mi)
+        .drop("__mi")
+        .withColumnRenamed("__sx", "__sxi")
+        .join(F.broadcast(marg), sums.j == marg.__mi)
+        .drop("__mi")
+        .withColumnRenamed("__sx", "__sxj")
+        .crossJoin(F.broadcast(total))
+    )
+    nd = F.col("__n").cast("double")
+    cov = (F.col("v") - F.col("__sxi") * F.col("__sxj") / nd) / (
+        nd - F.lit(1.0)
+    )
+    return out.select(
+        "i",
+        "j",
+        F.col("__n").alias("n"),
+        F.round(cov + F.lit(1e-9), round_digits).alias("cov"),
+    )
+
+
+def pca_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    dim: int | None = None,
+):
+    """Fit PCA in ONE scan: returns ``(mean, components,
+    explained_var)`` numpy arrays of shapes (d,), (k, d), (k,).  Only
+    the d*(d+3)/2 + 1 moment rows ever reach the driver — bounded by
+    geometry, independent of N.  Components are sign-fixed
+    (largest-|loading| coordinate positive)."""
+    import numpy as np
+
+    d = _resolve_dim(df, vec_col, dim)
+    rows = _moment_rows(df, vec_col, d).collect()
+    if not rows:
+        raise ValueError("pca_fit: empty input")
+    s_xy = np.zeros((d, d), dtype=np.float64)
+    s_x = np.zeros(d, dtype=np.float64)
+    n = 0.0
+    for r in rows:
+        if r["i"] == -1:
+            n = r["v"]
+        elif r["j"] == -1:
+            s_x[r["i"]] = r["v"]
+        else:
+            s_xy[r["i"], r["j"]] = r["v"]
+            s_xy[r["j"], r["i"]] = r["v"]
+    if n < 2:
+        raise ValueError("pca_fit: needs at least 2 rows")
+    mean = s_x / n
+    cov = (s_xy - np.outer(s_x, s_x) / n) / (n - 1.0)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for c in range(comps.shape[0]):
+        pivot = int(np.argmax(np.abs(comps[c])))
+        if comps[c, pivot] < 0:
+            comps[c] = -comps[c]
+    return mean, comps, vals[order]
+
+
+def pca_project(
+    df: DataFrame,
+    mean,
+    components,
+    vec_col: str = "embedding",
+    out_prefix: str = "pc",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Project rows onto fitted components: adds ``pc0..pc{k-1}``
+    columns.  The (k x d) component matrix travels as ONE broadcast
+    row of array columns — never literal expression nodes — and each
+    score is ``aggregate(zip_with(x, w, *), sum) - <mu, w>``
+    evaluated JVM-side (the centering folds into a precomputed scalar
+    per component, saving the per-row subtraction)."""
+    spark = SparkSession.getActiveSession()
+    k = len(components)
+    mu_dot_w = [
+        float(sum(m * w for m, w in zip(mean, comp))) for comp in components
+    ]
+    wdf = spark.createDataFrame(
+        [tuple([float(x) for x in components[c]] for c in range(k))],
+        ", ".join(f"__w{c} array<double>" for c in range(k)),
+    )
+    out = df.crossJoin(F.broadcast(wdf))
+    for c in range(k):
+        score = F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col(f"__w{c}"),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ) - F.lit(mu_dot_w[c])
+        out = out.withColumn(
+            f"{out_prefix}{c}",
+            F.round(score + F.lit(1e-9), round_digits),
+        )
+    return out.drop(*[f"__w{c}" for c in range(k)])

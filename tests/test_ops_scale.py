@@ -781,3 +781,71 @@ class TestConnectedComponents:
         pairs = spark.createDataFrame(chain, "src long, dst long")
         with _pytest.raises(RuntimeError, match="did not converge"):
             connected_components(pairs, max_rounds=1)
+
+
+class TestKCore:
+    def test_pendant_path_peels_into_triangle(self, spark):
+        from recover_spark.ops.graph import k_core
+
+        # triangle a-b-c with a path c-d-e hanging off: the 2-core is
+        # the triangle, and the path must peel ITERATIVELY (e first,
+        # then d — a one-shot degree filter would leave d behind)
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+            "src string, dst string",
+        )
+        got = {r["node"]: r["degree"] for r in k_core(edges, 2).collect()}
+        assert got == {"a": 2, "b": 2, "c": 2}
+
+    def test_empty_core(self, spark):
+        from recover_spark.ops.graph import k_core
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+        )
+        assert k_core(edges, 3).count() == 0
+
+    def test_matches_sequential_peel(self, spark):
+        import random
+
+        from recover_spark.ops.graph import k_core
+
+        rng = random.Random(83)
+        raw = {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(60), rng.randrange(60)) for _ in range(260)
+            )
+            if a != b
+        }
+        df = spark.createDataFrame(
+            [(f"n{a}", f"n{b}") for a, b in raw], "src string, dst string"
+        )
+        got = {r["node"]: r["degree"] for r in k_core(df, 5).collect()}
+
+        adj = {}
+        for a, b in raw:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            doomed = [n for n, nb in adj.items() if len(nb) < 5]
+            changed = bool(doomed)
+            for n in doomed:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+        want = {f"n{n}": len(nb) for n, nb in adj.items()}
+        assert got == want
+
+    def test_max_rounds_raises_on_deep_peel(self, spark):
+        import pytest as _pytest
+
+        from recover_spark.ops.graph import k_core
+
+        # a 12-node path peels one node per END per round: > 2 rounds
+        edges = spark.createDataFrame(
+            [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(11)],
+            "src string, dst string",
+        )
+        with _pytest.raises(RuntimeError, match="fixpoint"):
+            k_core(edges, 2, max_rounds=2)

@@ -89,6 +89,8 @@ PROBES = [
     "agg_gini",             # bucket-decomposed ranks, no per-group window
     "agg_basket_lift",      # basket-keyed pair equi-join, broadcast margins
     "ts_theil_sen",         # key-partitioned pair join + percentile folds
+    "emb_pca",              # one GEMM pass, d^2-row shuffle, checkpoint-pinned diamond
+    "graph_kcore",          # peel rounds = node-keyed agg + two semi-joins
 ]
 
 
