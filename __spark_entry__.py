@@ -21,6 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 SF_SMOKE = "/root/testdata/sf0.001"
+# the driver compares queries against oracles at sf0.01; oracles that
+# inline data-derived fixture constants (emb_pca_project) build them
+# from this directory
+SF_ORACLE = "/root/testdata/sf0.01"
 
 _TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -1260,9 +1264,9 @@ def _holt_winters_oracle_sql(
         SELECT user_id, event_id,
                strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
                round(y, 6) AS value,
-               round(l + 1e-9, 6) AS level,
-               round(b + 1e-9, 6) AS trend,
-               round(s + 1e-9, 6) AS season
+               round(l + 1e-9, 6) + 0.0 AS level,
+               round(b + 1e-9, 6) + 0.0 AS trend,
+               round(s + 1e-9, 6) + 0.0 AS season
         FROM hw
     """
 
@@ -1344,7 +1348,7 @@ def _holt_winters_forecast_oracle_sql(
         )
         SELECT user_id, h,
                round(l + [{ps_list}][h] * b
-                     + seas[((h - 1) % {L}) + 1] + 1e-9, 6) AS forecast
+                     + seas[((h - 1) % {L}) + 1] + 1e-9, 6) + 0.0 AS forecast
         FROM last, (SELECT unnest(range(1, {horizon} + 1)) AS h)
     """
 
@@ -5428,6 +5432,87 @@ def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(emb, "embedding", dim=64).orderBy("i", "j")
 
 
+_PCA_FIXTURE_CACHE: dict[tuple[str, int], tuple] = {}
+
+
+def _pca_fixture_components(sf_dir: str, k: int = 4):
+    """Deterministic (mean, components, mu_dot_w) model artifact for
+    the projection-parity query: moments accumulated in one numpy pass
+    over the fixture parquet (driver-side and fixture-bounded — the
+    DISTRIBUTED covariance is pinned separately by `emb_pca`, the
+    eigensolve by pytest goldens), then the package's own sign-fixed
+    eigensolve tail (ops/pca.py:components_from_moments), so the
+    constants equal what pca_fit would produce from the same moments.
+    Cached per (sf_dir, k): the Spark query and the SQL oracle read
+    the SAME arrays, making the component matrix a shared constant
+    rather than something each engine re-derives."""
+    key = (sf_dir, k)
+    if key not in _PCA_FIXTURE_CACHE:
+        import duckdb
+        import numpy as np
+
+        from recover_spark.ops.pca import components_from_moments
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT embedding FROM '{sf_dir}/embeddings.parquet'"
+        ).fetchall()
+        con.close()
+        x = np.asarray([r[0] for r in rows], dtype=np.float64)
+        mean, comps, _ = components_from_moments(
+            x.T @ x, x.sum(axis=0), float(len(x)), k
+        )
+        mu_dot_w = [
+            float(sum(m * w for m, w in zip(mean, comp))) for comp in comps
+        ]
+        _PCA_FIXTURE_CACHE[key] = (mean, comps, mu_dot_w)
+    return _PCA_FIXTURE_CACHE[key]
+
+
+def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection (ops/pca.py:pca_project) against a
+    shared component fixture: the (k x d) matrix broadcasts as ONE
+    row of array columns and each score is a JVM-side
+    ``aggregate(zip_with(x, w, *))`` fold — no Python in the per-row
+    path.  The oracle inlines the SAME component constants as explicit
+    term sums, so this query pins the projection operator end-to-end
+    (round-8 verdict task #7; the eigensolve stays pytest-pinned)."""
+    from recover_spark.ops.pca import pca_project
+
+    mean, comps, _ = _pca_fixture_components(sf_dir)
+    emb = _load(spark, sf_dir, "embeddings")
+    k = len(comps)
+    return pca_project(emb, mean, comps, "embedding").select(
+        "vec_id", *[f"pc{c}" for c in range(k)]
+    ).orderBy("vec_id")
+
+
+def _pca_project_oracle_sql(sf_dir: str = SF_ORACLE) -> str | None:
+    """Oracle twin of q_emb_pca_project: each pc column is the
+    explicit left-to-right term sum x_1*w_1 + ... + x_d*w_d minus the
+    precomputed <mu, w> — the SAME add sequence as Spark's zip_with
+    fold, so the doubles are bit-identical before the shared
+    round-and-neutralize tail.  Returns None when the fixture parquet
+    is absent (the key is then omitted -> rows-only check)."""
+    import os
+
+    if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        return None
+    _, comps, mu_dot_w = _pca_fixture_components(sf_dir)
+    cols = []
+    for c, comp in enumerate(comps):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {w!r}"
+            for i, w in enumerate(comp)
+        )
+        cols.append(
+            f"round(({terms}) - {mu_dot_w[c]!r} + 1e-9, 6) + 0.0 AS pc{c}"
+        )
+    return (
+        "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+    )
+
+
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core of the order/part bipartite graph (ops/graph.py:k_core):
     iterative peeling to the 6-core — at sf0.01 the cascade runs 9
@@ -5601,6 +5686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v5_drift_psi": q_v5_drift_psi,
         "retention_survival": q_retention_survival,
         "agg_gini": q_agg_gini,
+        "emb_pca_project": q_emb_pca_project,
         "agg_basket_lift": q_agg_basket_lift,
         "ts_theil_sen": q_ts_theil_sen,
         "emb_pca": q_emb_pca,
@@ -5747,44 +5833,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_conditional": q_agg_conditional,
     }
     # Rotation order for the driver's 50-entry correctness capture
-    # (round-8 advice: round-7's new queries sat past position 50 and
-    # were never driver-validated).  Lead with: (a) this round's new
-    # queries, (b) the 7 round-7 queries absent from every capture,
-    # (c) the 4 sketch queries whose oracles were added after their
-    # only (no_oracle) capture — so every query reaches a green driver
-    # row.  tools/check_correctness.py re-runs ALL entries regardless.
+    # (kept accurate per round — the round-8 verdict's task #8).
+    # Lead with: (a) the two rows repaired this round (agg_gini gained
+    # its oracle; emb_pca's oracle got the -0.0 neutralizer), (b) this
+    # round's new queries, (c) queries whose oracle text changed in
+    # the round-9 negative-zero sweep and whose values can go
+    # negative (covariance/slope/CUSUM/drift deltas) — so the repair
+    # class itself gets driver-verified.  tools/check_correctness.py
+    # re-runs ALL entries regardless.
     front = [
-        # (a) new this round
-        "retention_survival",
+        # (a) repaired rows
         "agg_gini",
-        "agg_basket_lift",
-        "ts_theil_sen",
         "emb_pca",
-        "graph_kcore",
-        "v11_benford",
-        "ts_anomaly_mad",
-        "agg_entropy",
-        "text_novelty",
-        "retrieval_hybrid",
-        "sample_token_budget",
+        # (b) new this round
+        "emb_pca_project",
+        # (c) negative-capable oracles touched by the -0.0 sweep
+        "ts_theil_sen",
+        "ts_cusum",
+        "agg_corr_matrix",
         "agg_assoc_matrix",
         "ts_autocorr",
-        "ts_cusum",
         "v10_drift_js",
         "stream_drift_ks",
-        # (b) never captured
-        "graph_components",
-        "v7_drift_ks",
-        "v8_ref_integrity",
         "v9_drift_ks_series",
-        "agg_corr_matrix",
+        "v5_drift_psi",
+        "stream_drift_psi",
+        "ts_anomaly_mad",
+        "retention_survival",
+        "agg_basket_lift",
+        "graph_kcore",
+        "v11_benford",
+        "agg_entropy",
         "stream_corr_matview",
-        "dedup_semantic_clusters",
-        # (c) captured only before their oracles existed
-        "stream_quantile_matview",
-        "agg_quantile_rollup",
-        "agg_distinct_overlap",
-        "agg_hll_rollup",
     ]
     assert all(k in base for k in front), "rotation names must exist"
     return {k: base[k] for k in front} | {
@@ -6119,6 +6199,11 @@ def oracle_sql() -> dict[str, str]:
         "WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0 "
         "AND b.doc_id % 7 <> 3",
     )
+    # projection parity against the shared component fixture; omitted
+    # (-> rows-only) when the fixture parquet is absent
+    pca_proj = _pca_project_oracle_sql()
+    if pca_proj is not None:
+        out["emb_pca_project"] = pca_proj
     return out
 
 
@@ -6441,7 +6526,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings)
             SELECT p.i, p.j, t.n,
                    round((p.sxy - ma.sx * mb.sx / t.n) / (t.n - 1)
-                         + 1e-9, 6) AS cov
+                         + 1e-9, 6) + 0.0 AS cov
             FROM pairs p
             JOIN m ma ON p.i = ma.i
             JOIN m mb ON p.j = mb.i
@@ -6467,10 +6552,10 @@ def _oracle_sql_literal() -> dict[str, str]:
             tot AS (
                 SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM kept)
             SELECT item_a, item_b, ma.n AS n_a, mb.n AS n_b, n_ab,
-                   round(n_ab * 1.0 / nb + 1e-9, 6) AS support,
-                   round(n_ab * 1.0 / ma.n + 1e-9, 6) AS conf_a_b,
-                   round(n_ab * 1.0 / mb.n + 1e-9, 6) AS conf_b_a,
-                   round(n_ab * 1.0 * nb / (ma.n * mb.n) + 1e-9, 6)
+                   round(n_ab * 1.0 / nb + 1e-9, 6) + 0.0 AS support,
+                   round(n_ab * 1.0 / ma.n + 1e-9, 6) + 0.0 AS conf_a_b,
+                   round(n_ab * 1.0 / mb.n + 1e-9, 6) + 0.0 AS conf_b_a,
+                   round(n_ab * 1.0 * nb / (ma.n * mb.n) + 1e-9, 6) + 0.0
                        AS lift
             FROM pairs
             JOIN marg ma ON pairs.item_a = ma.i
@@ -6504,8 +6589,8 @@ def _oracle_sql_literal() -> dict[str, str]:
                 FROM pts p JOIN per_key k USING (user_id)
                 GROUP BY p.user_id)
             SELECT user_id,
-                   round(slope9 + 1e-9, 6) AS slope,
-                   round(icept + 1e-9, 6) AS intercept,
+                   round(slope9 + 1e-9, 6) + 0.0 AS slope,
+                   round(icept + 1e-9, 6) + 0.0 AS intercept,
                    n_points, n_pairs
             FROM resid
         """,
@@ -6555,11 +6640,38 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(n_risk AS BIGINT) AS n_risk, n_event, n_censored,
                    round(CASE WHEN max(dead) OVER w = 1 THEN 0.0
                          ELSE exp(coalesce(sum(lnf) OVER w, 0.0))
-                         END + 1e-9, 6) AS survival
+                         END + 1e-9, 6) + 0.0 AS survival
             FROM f
             WINDOW w AS (PARTITION BY event_type ORDER BY duration
                          ROWS BETWEEN UNBOUNDED PRECEDING
                          AND CURRENT ROW)
+        """,
+        "agg_gini": """
+            -- rank identity G = 2*sum(rn*x)/(n*sum(x)) - (n+1)/n.
+            -- row_number() without a tiebreaker is fine: equal values
+            -- contribute identically under any tie order, so the SUM
+            -- is deterministic even though individual ranks are not
+            -- (operators/analytics.py:gini_by_group docstring).
+            WITH x AS (
+                SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v
+                FROM orders WHERE o_totalprice IS NOT NULL),
+            r AS (
+                SELECT o_orderpriority, v,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY v) AS rn
+                FROM x),
+            a AS (
+                SELECT o_orderpriority,
+                       CAST(count(*) AS BIGINT) AS n,
+                       sum(v) AS total,
+                       sum(rn * v) AS s
+                FROM r GROUP BY o_orderpriority)
+            SELECT o_orderpriority, n,
+                   round(total + 1e-9, 6) + 0.0 AS total,
+                   round(CASE WHEN total <> 0
+                         THEN 2.0 * s / (n * total) - (n + 1.0) / n
+                         END + 1e-9, 6) + 0.0 AS gini
+            FROM a
         """,
         "retention_cohorts": """
             WITH by_week AS (
@@ -6903,7 +7015,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                        count(*) AS n_systems
                 FROM u GROUP BY query_id, doc_id)
             SELECT query_id, doc_id,
-                   round(s + 1e-9, 6) AS rrf_score, n_systems,
+                   round(s + 1e-9, 6) + 0.0 AS rrf_score, n_systems,
                    CAST(rank AS INTEGER) AS rank
             FROM (
                 SELECT query_id, doc_id, s, n_systems,
@@ -6921,9 +7033,9 @@ def _oracle_sql_literal() -> dict[str, str]:
             per AS (
                 SELECT g.doc_id, count(*) AS n_shingles,
                        round(avg(CASE WHEN d.df = 1 THEN 1.0
-                                 ELSE 0.0 END) + 1e-9, 6) AS novelty,
+                                 ELSE 0.0 END) + 1e-9, 6) + 0.0 AS novelty,
                        round(avg(CASE WHEN d.df >= 5 THEN 1.0
-                                 ELSE 0.0 END) + 1e-9, 6) AS boilerplate
+                                 ELSE 0.0 END) + 1e-9, 6) + 0.0 AS boilerplate
                 FROM grams g JOIN dfs d USING (shingle)
                 GROUP BY g.doc_id)
             SELECT d.doc_id,
@@ -7173,18 +7285,18 @@ def _oracle_sql_literal() -> dict[str, str]:
             ),
             m AS (
                 SELECT count(*) AS n,
-                       round(corr(l_discount, l_discount) + 1e-9, 6) AS c_dd,
-                       round(corr(l_discount, l_extendedprice) + 1e-9, 6) AS c_de,
-                       round(corr(l_discount, l_quantity) + 1e-9, 6) AS c_dq,
-                       round(corr(l_extendedprice, l_extendedprice) + 1e-9, 6) AS c_ee,
-                       round(corr(l_extendedprice, l_quantity) + 1e-9, 6) AS c_eq,
-                       round(corr(l_quantity, l_quantity) + 1e-9, 6) AS c_qq,
-                       round(sign(covar_samp(l_discount, l_discount)) * log10(1 + abs(covar_samp(l_discount, l_discount))) + 1e-9, 6) AS v_dd,
-                       round(sign(covar_samp(l_discount, l_extendedprice)) * log10(1 + abs(covar_samp(l_discount, l_extendedprice))) + 1e-9, 6) AS v_de,
-                       round(sign(covar_samp(l_discount, l_quantity)) * log10(1 + abs(covar_samp(l_discount, l_quantity))) + 1e-9, 6) AS v_dq,
-                       round(sign(covar_samp(l_extendedprice, l_extendedprice)) * log10(1 + abs(covar_samp(l_extendedprice, l_extendedprice))) + 1e-9, 6) AS v_ee,
-                       round(sign(covar_samp(l_extendedprice, l_quantity)) * log10(1 + abs(covar_samp(l_extendedprice, l_quantity))) + 1e-9, 6) AS v_eq,
-                       round(sign(covar_samp(l_quantity, l_quantity)) * log10(1 + abs(covar_samp(l_quantity, l_quantity))) + 1e-9, 6) AS v_qq
+                       round(corr(l_discount, l_discount) + 1e-9, 6) + 0.0 AS c_dd,
+                       round(corr(l_discount, l_extendedprice) + 1e-9, 6) + 0.0 AS c_de,
+                       round(corr(l_discount, l_quantity) + 1e-9, 6) + 0.0 AS c_dq,
+                       round(corr(l_extendedprice, l_extendedprice) + 1e-9, 6) + 0.0 AS c_ee,
+                       round(corr(l_extendedprice, l_quantity) + 1e-9, 6) + 0.0 AS c_eq,
+                       round(corr(l_quantity, l_quantity) + 1e-9, 6) + 0.0 AS c_qq,
+                       round(sign(covar_samp(l_discount, l_discount)) * log10(1 + abs(covar_samp(l_discount, l_discount))) + 1e-9, 6) + 0.0 AS v_dd,
+                       round(sign(covar_samp(l_discount, l_extendedprice)) * log10(1 + abs(covar_samp(l_discount, l_extendedprice))) + 1e-9, 6) + 0.0 AS v_de,
+                       round(sign(covar_samp(l_discount, l_quantity)) * log10(1 + abs(covar_samp(l_discount, l_quantity))) + 1e-9, 6) + 0.0 AS v_dq,
+                       round(sign(covar_samp(l_extendedprice, l_extendedprice)) * log10(1 + abs(covar_samp(l_extendedprice, l_extendedprice))) + 1e-9, 6) + 0.0 AS v_ee,
+                       round(sign(covar_samp(l_extendedprice, l_quantity)) * log10(1 + abs(covar_samp(l_extendedprice, l_quantity))) + 1e-9, 6) + 0.0 AS v_eq,
+                       round(sign(covar_samp(l_quantity, l_quantity)) * log10(1 + abs(covar_samp(l_quantity, l_quantity))) + 1e-9, 6) + 0.0 AS v_qq
                 FROM lineitem
             )
             SELECT p.col_a, p.col_b, m.n,
@@ -7644,17 +7756,17 @@ def _oracle_sql_literal() -> dict[str, str]:
                                  * (CAST(o AS DOUBLE) / n
                                     - log10(1 + 1.0 / digit))
                                  / log10(1 + 1.0 / digit) * n)
-                             + 1e-9, 6) AS chi2,
+                             + 1e-9, 6) + 0.0 AS chi2,
                        round(avg(abs(CAST(o AS DOUBLE) / n
                                      - log10(1 + 1.0 / digit)))
-                             + 1e-9, 6) AS digit_mad,
+                             + 1e-9, 6) + 0.0 AS digit_mad,
                        round(sum(CASE WHEN digit = 1
                                  THEN CAST(o AS DOUBLE) / n
-                                 ELSE 0.0 END) + 1e-9, 6) AS share_d1,
+                                 ELSE 0.0 END) + 1e-9, 6) + 0.0 AS share_d1,
                        CAST(max(n) AS BIGINT) AS n
                 FROM j GROUP BY col)
             SELECT col AS "column",
-                   round(log10(greatest(chi2, 0) + 1) + 1e-9, 6)
+                   round(log10(greatest(chi2, 0) + 1) + 1e-9, 6) + 0.0
                        AS chi2_mag,
                    digit_mad, share_d1, n
             FROM folded
@@ -7677,7 +7789,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                        m.m AS key_median, d.d AS key_mad,
                        CASE WHEN d.d IS NOT NULL THEN
                             round(0.6745 * CASE WHEN d.d = 0 THEN NULL
-                                  ELSE (b.v - m.m) / d.d END + 1e-9, 6)
+                                  ELSE (b.v - m.m) / d.d END + 1e-9, 6) + 0.0
                        END AS mad_z
                 FROM base b
                 JOIN med m USING (event_type)
@@ -7703,7 +7815,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                 SELECT event_type,
                        round(-sum((CAST(o AS DOUBLE) / n)
                                   * log2(CAST(o AS DOUBLE) / n))
-                             + 1e-9, 6) AS entropy_bits,
+                             + 1e-9, 6) + 0.0 AS entropy_bits,
                        count(*) AS n_levels,
                        CAST(max(n) AS BIGINT) AS n
                 FROM shares GROUP BY event_type)
@@ -7711,7 +7823,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                    entropy_bits + 0.0 AS entropy_bits,
                    CASE WHEN n_levels > 1 THEN
                         round(entropy_bits
-                              / log2(CAST(n_levels AS DOUBLE)) + 1e-9, 6)
+                              / log2(CAST(n_levels AS DOUBLE)) + 1e-9, 6) + 0.0
                    END AS norm_entropy,
                    n_levels, n
             FROM per
@@ -7722,11 +7834,11 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CASE WHEN least(r, c) <= 1 THEN NULL
                         ELSE round(sqrt(greatest(chi_obs + n, 0)
                                         / (n * CAST(least(r, c) - 1
-                                                    AS DOUBLE))) + 1e-9, 6)
+                                                    AS DOUBLE))) + 1e-9, 6) + 0.0
                    END AS v_cramer,
-                   round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6)
+                   round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6) + 0.0
                        AS chi2_mag,
-                   round(mi + 1e-9, 6) AS mutual_info,
+                   round(mi + 1e-9, 6) + 0.0 AS mutual_info,
                    CAST(n AS BIGINT) AS n,
                    r AS r_levels, c AS c_levels
             FROM (
@@ -7759,11 +7871,11 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CASE WHEN least(r, c) <= 1 THEN NULL
                         ELSE round(sqrt(greatest(chi_obs + n, 0)
                                         / (n * CAST(least(r, c) - 1
-                                                    AS DOUBLE))) + 1e-9, 6)
+                                                    AS DOUBLE))) + 1e-9, 6) + 0.0
                    END AS v_cramer,
-                   round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6)
+                   round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6) + 0.0
                        AS chi2_mag,
-                   round(mi + 1e-9, 6) AS mutual_info,
+                   round(mi + 1e-9, 6) + 0.0 AS mutual_info,
                    CAST(n AS BIGINT) AS n,
                    r AS r_levels, c AS c_levels
             FROM (
@@ -7796,11 +7908,11 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CASE WHEN least(r, c) <= 1 THEN NULL
                         ELSE round(sqrt(greatest(chi_obs + n, 0)
                                         / (n * CAST(least(r, c) - 1
-                                                    AS DOUBLE))) + 1e-9, 6)
+                                                    AS DOUBLE))) + 1e-9, 6) + 0.0
                    END AS v_cramer,
-                   round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6)
+                   round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6) + 0.0
                        AS chi2_mag,
-                   round(mi + 1e-9, 6) AS mutual_info,
+                   round(mi + 1e-9, 6) + 0.0 AS mutual_info,
                    CAST(n AS BIGINT) AS n,
                    r AS r_levels, c AS c_levels
             FROM (
@@ -7833,11 +7945,11 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CASE WHEN least(r, c) <= 1 THEN NULL
                         ELSE round(sqrt(greatest(chi_obs + n, 0)
                                         / (n * CAST(least(r, c) - 1
-                                                    AS DOUBLE))) + 1e-9, 6)
+                                                    AS DOUBLE))) + 1e-9, 6) + 0.0
                    END AS v_cramer,
-                   round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6)
+                   round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6) + 0.0
                        AS chi2_mag,
-                   round(mi + 1e-9, 6) AS mutual_info,
+                   round(mi + 1e-9, 6) + 0.0 AS mutual_info,
                    CAST(n AS BIGINT) AS n,
                    r AS r_levels, c AS c_levels
             FROM (
@@ -7870,11 +7982,11 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CASE WHEN least(r, c) <= 1 THEN NULL
                         ELSE round(sqrt(greatest(chi_obs + n, 0)
                                         / (n * CAST(least(r, c) - 1
-                                                    AS DOUBLE))) + 1e-9, 6)
+                                                    AS DOUBLE))) + 1e-9, 6) + 0.0
                    END AS v_cramer,
-                   round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6)
+                   round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6) + 0.0
                        AS chi2_mag,
-                   round(mi + 1e-9, 6) AS mutual_info,
+                   round(mi + 1e-9, 6) + 0.0 AS mutual_info,
                    CAST(n AS BIGINT) AS n,
                    r AS r_levels, c AS c_levels
             FROM (
@@ -7907,11 +8019,11 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CASE WHEN least(r, c) <= 1 THEN NULL
                         ELSE round(sqrt(greatest(chi_obs + n, 0)
                                         / (n * CAST(least(r, c) - 1
-                                                    AS DOUBLE))) + 1e-9, 6)
+                                                    AS DOUBLE))) + 1e-9, 6) + 0.0
                    END AS v_cramer,
-                   round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6)
+                   round(log10(greatest(chi_obs + n, 0) + 1.0) + 1e-9, 6) + 0.0
                        AS chi2_mag,
-                   round(mi + 1e-9, 6) AS mutual_info,
+                   round(mi + 1e-9, 6) + 0.0 AS mutual_info,
                    CAST(n AS BIGINT) AS n,
                    r AS r_levels, c AS c_levels
             FROM (
@@ -7951,7 +8063,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT event_type, 1 AS lag,
                    CASE WHEN denom = 0 THEN NULL
                         ELSE round((pxy - m * (pa + pb) + pc * m * m)
-                                   / denom + 1e-9, 6) END AS acf,
+                                   / denom + 1e-9, 6) + 0.0 END AS acf,
                    n
             FROM (
                 SELECT event_type, n, s, ss, pxy, pa, pb, pc,
@@ -7971,7 +8083,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT event_type, 2 AS lag,
                    CASE WHEN denom = 0 THEN NULL
                         ELSE round((pxy - m * (pa + pb) + pc * m * m)
-                                   / denom + 1e-9, 6) END AS acf,
+                                   / denom + 1e-9, 6) + 0.0 END AS acf,
                    n
             FROM (
                 SELECT event_type, n, s, ss, pxy, pa, pb, pc,
@@ -7991,7 +8103,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT event_type, 3 AS lag,
                    CASE WHEN denom = 0 THEN NULL
                         ELSE round((pxy - m * (pa + pb) + pc * m * m)
-                                   / denom + 1e-9, 6) END AS acf,
+                                   / denom + 1e-9, 6) + 0.0 END AS acf,
                    n
             FROM (
                 SELECT event_type, n, s, ss, pxy, pa, pb, pc,
@@ -8011,7 +8123,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT event_type, 4 AS lag,
                    CASE WHEN denom = 0 THEN NULL
                         ELSE round((pxy - m * (pa + pb) + pc * m * m)
-                                   / denom + 1e-9, 6) END AS acf,
+                                   / denom + 1e-9, 6) + 0.0 END AS acf,
                    n
             FROM (
                 SELECT event_type, n, s, ss, pxy, pa, pb, pc,
@@ -8031,7 +8143,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT event_type, 5 AS lag,
                    CASE WHEN denom = 0 THEN NULL
                         ELSE round((pxy - m * (pa + pb) + pc * m * m)
-                                   / denom + 1e-9, 6) END AS acf,
+                                   / denom + 1e-9, 6) + 0.0 END AS acf,
                    n
             FROM (
                 SELECT event_type, n, s, ss, pxy, pa, pb, pc,
@@ -8051,7 +8163,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT event_type, 6 AS lag,
                    CASE WHEN denom = 0 THEN NULL
                         ELSE round((pxy - m * (pa + pb) + pc * m * m)
-                                   / denom + 1e-9, 6) END AS acf,
+                                   / denom + 1e-9, 6) + 0.0 END AS acf,
                    n
             FROM (
                 SELECT event_type, n, s, ss, pxy, pa, pb, pc,
@@ -8071,7 +8183,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT event_type, 7 AS lag,
                    CASE WHEN denom = 0 THEN NULL
                         ELSE round((pxy - m * (pa + pb) + pc * m * m)
-                                   / denom + 1e-9, 6) END AS acf,
+                                   / denom + 1e-9, 6) + 0.0 END AS acf,
                    n
             FROM (
                 SELECT event_type, n, s, ss, pxy, pa, pb, pc,
@@ -8091,7 +8203,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT event_type, 8 AS lag,
                    CASE WHEN denom = 0 THEN NULL
                         ELSE round((pxy - m * (pa + pb) + pc * m * m)
-                                   / denom + 1e-9, 6) END AS acf,
+                                   / denom + 1e-9, 6) + 0.0 END AS acf,
                    n
             FROM (
                 SELECT event_type, n, s, ss, pxy, pa, pb, pc,
@@ -8111,7 +8223,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT event_type, 9 AS lag,
                    CASE WHEN denom = 0 THEN NULL
                         ELSE round((pxy - m * (pa + pb) + pc * m * m)
-                                   / denom + 1e-9, 6) END AS acf,
+                                   / denom + 1e-9, 6) + 0.0 END AS acf,
                    n
             FROM (
                 SELECT event_type, n, s, ss, pxy, pa, pb, pc,
@@ -8131,7 +8243,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT event_type, 10 AS lag,
                    CASE WHEN denom = 0 THEN NULL
                         ELSE round((pxy - m * (pa + pb) + pc * m * m)
-                                   / denom + 1e-9, 6) END AS acf,
+                                   / denom + 1e-9, 6) + 0.0 END AS acf,
                    n
             FROM (
                 SELECT event_type, n, s, ss, pxy, pa, pb, pc,
@@ -8151,7 +8263,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT event_type, 11 AS lag,
                    CASE WHEN denom = 0 THEN NULL
                         ELSE round((pxy - m * (pa + pb) + pc * m * m)
-                                   / denom + 1e-9, 6) END AS acf,
+                                   / denom + 1e-9, 6) + 0.0 END AS acf,
                    n
             FROM (
                 SELECT event_type, n, s, ss, pxy, pa, pb, pc,
@@ -8171,7 +8283,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT event_type, 12 AS lag,
                    CASE WHEN denom = 0 THEN NULL
                         ELSE round((pxy - m * (pa + pb) + pc * m * m)
-                                   / denom + 1e-9, 6) END AS acf,
+                                   / denom + 1e-9, 6) + 0.0 END AS acf,
                    n
             FROM (
                 SELECT event_type, n, s, ss, pxy, pa, pb, pc,
@@ -8211,9 +8323,9 @@ def _oracle_sql_literal() -> dict[str, str]:
                               ROWS UNBOUNDED PRECEDING)),
             c AS (
                 SELECT event_type, hour, x,
-                       round(s_up - least(0, min(s_up) OVER wo) + 1e-9, 6)
+                       round(s_up - least(0, min(s_up) OVER wo) + 1e-9, 6) + 0.0
                            AS cusum_pos,
-                       round(s_dn - least(0, min(s_dn) OVER wo) + 1e-9, 6)
+                       round(s_dn - least(0, min(s_dn) OVER wo) + 1e-9, 6) + 0.0
                            AS cusum_neg
                 FROM s
                 WINDOW wo AS (PARTITION BY event_type ORDER BY hour
@@ -8272,7 +8384,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             ),
             r AS (SELECT user_id, event_id, y, y - pred AS resid FROM p)
             SELECT user_id, event_id,
-                   round(resid + 1e-9, 6) AS resid,
+                   round(resid + 1e-9, 6) + 0.0 AS resid,
                    round((resid - avg(resid) OVER (PARTITION BY user_id))
                          / (CASE WHEN stddev_samp(resid)
                                       OVER (PARTITION BY user_id)
@@ -8281,7 +8393,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                                  THEN stddev_samp(resid)
                                       OVER (PARTITION BY user_id)
                                  END)
-                         + 1e-9, 6) AS z
+                         + 1e-9, 6) + 0.0 AS z
             FROM r
         """,
         "ts_decompose": _TS_DECOMPOSE_ORACLE,
@@ -9208,7 +9320,7 @@ def _oracle_sql_literal() -> dict[str, str]:
                                ELSE prev_v + (next_v - prev_v)
                                     * (bucket_start - prev_b)
                                     / (next_b - prev_b) END) + 1e-9,
-                         6) AS value,
+                         6) + 0.0 AS value,
                    observed IS NULL AS filled
             FROM n
         """,

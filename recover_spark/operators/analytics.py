@@ -515,9 +515,13 @@ def association_matrix(
 
     pair_structs = []
     names = []
+    # index-based tags (same scheme as correlation_matrix): a
+    # name-joined tag like f"{a}|{b}" collides when a column name
+    # itself contains the separator, silently merging two pairs'
+    # contingency cells (round-8 advice)
     for i, a in enumerate(cols):
-        for b in cols[i + 1 :]:
-            tag = f"{a}|{b}"
+        for j, b in enumerate(cols[i + 1 :], start=i + 1):
+            tag = f"{i}_{j}"
             pair_structs.append(
                 F.struct(
                     F.lit(tag).alias("pair"),
@@ -785,14 +789,19 @@ def gini_by_group(
 
     Degenerate groups (sum(x) == 0) yield NULL via ``try_divide``.
     Negative values break the identity; callers filter or shift.
+    NULL values are EXCLUDED up front (the family convention —
+    mad_anomalies / autocorrelation / theil_sen_trend all do the
+    same): a NULL carries no rank, and leaving it in would inflate
+    ``n`` and every real bucket's rank offset (round-8 advice).
     """
     group_cols = list(group_cols)
+    nn = df.filter(F.col(value_col).isNotNull())
     probs = [i / buckets for i in range(1, buckets)]
-    bounds = sorted(set(df.stat.approxQuantile(value_col, probs, 0.001)))
+    bounds = sorted(set(nn.stat.approxQuantile(value_col, probs, 0.001)))
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + (F.col("__x") > F.lit(b)).cast("int")
-    staged = df.select(
+    staged = nn.select(
         *group_cols, F.col(value_col).cast("double").alias("__x")
     ).withColumn("__bucket", bucket)
 
@@ -839,6 +848,7 @@ def basket_lift(
     min_pair_count: int = 1,
     max_basket_size: int = 64,
     round_digits: int = 6,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Market-basket association rules: for every unordered item pair
     co-occurring in a basket, support, both directed confidences, and
@@ -860,6 +870,13 @@ def basket_lift(
     probabilities consistent) — a degenerate mega-basket says nothing
     about item affinity and would otherwise dominate the join.
     ``min_pair_count`` prunes the long noise tail map-side.
+
+    The size cap is NOT silent: pass ``stats_out={}`` and the operator
+    fills ``n_dropped_baskets`` / ``n_baskets_total`` (one extra
+    basket-sized aggregate — opt-in so the hot path stays one job), so
+    a skewed basket distribution where the cap bites is visible to the
+    caller instead of quietly shrinking the rule base (round-8
+    verdict task #6; the repo's no-silent-caps rule).
     """
     items = (
         df.select(
@@ -872,6 +889,20 @@ def basket_lift(
     sized = items.withColumn("__bs", F.count(F.lit(1)).over(w_b)).filter(
         F.col("__bs") <= max_basket_size
     )
+    if stats_out is not None:
+        row = (
+            items.groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("__k"))
+            .agg(
+                F.sum(
+                    (F.col("__k") > max_basket_size).cast("long")
+                ).alias("__dropped"),
+                F.count(F.lit(1)).cast("long").alias("__total"),
+            )
+            .first()
+        )
+        stats_out["n_dropped_baskets"] = int(row["__dropped"] or 0)
+        stats_out["n_baskets_total"] = int(row["__total"] or 0)
     a, b = sized.alias("a"), sized.alias("b")
     pairs = (
         a.join(

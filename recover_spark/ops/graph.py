@@ -314,9 +314,16 @@ def k_core(
     is O(n) rounds (a path peels one node per end per round) —
     ``max_rounds`` raises rather than return a silently-partial core.
     """
+    # canonicalize BEFORE dedup: an undirected edge list that stores
+    # both (a, b) and (b, a) must collapse to one edge, or the
+    # symmetrized union would carry every such edge twice and
+    # double-count its degree (round-8 advice)
     e = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .filter(F.col("s") != F.col("d"))
+        .select(
+            F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d")
+        )
         .distinct()
     )
     alive = (

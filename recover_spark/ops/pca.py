@@ -78,8 +78,13 @@ def _moment_rows(df: DataFrame, vec_col: str, d: int) -> DataFrame:
             }
         )
 
-    parts = df.select(F.col(vec_col).alias("__v")).mapInPandas(
-        partials, "i int, j int, v double"
+    # NULL vectors are excluded JVM-side (the family's NULL-exclusion
+    # convention): they carry no moments, and a None inside the Arrow
+    # batch would only blow up the GEMM with a shape error
+    parts = (
+        df.select(F.col(vec_col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .mapInPandas(partials, "i int, j int, v double")
     )
     return parts.groupBy("i", "j").agg(F.sum("v").alias("v"))
 
@@ -87,10 +92,20 @@ def _moment_rows(df: DataFrame, vec_col: str, d: int) -> DataFrame:
 def _resolve_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
     if dim is not None:
         return int(dim)
-    first = df.select(F.size(vec_col).alias("d")).first()
+    # infer from a NON-NULL vector: F.size on NULL returns -1, which
+    # would silently produce zero-size moment arrays and a confusing
+    # downstream failure (round-8 advice)
+    first = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("d"))
+        .first()
+    )
     if first is None:
-        raise ValueError("pca: empty input")
-    return int(first["d"])
+        raise ValueError("pca: empty input (no non-NULL vectors)")
+    d = int(first["d"])
+    if d <= 0:
+        raise ValueError(f"pca: inferred vector dimension {d} <= 0")
+    return d
 
 
 def embedding_covariance(
@@ -170,6 +185,17 @@ def pca_fit(
             s_xy[r["j"], r["i"]] = r["v"]
     if n < 2:
         raise ValueError("pca_fit: needs at least 2 rows")
+    return components_from_moments(s_xy, s_x, n, k)
+
+
+def components_from_moments(s_xy, s_x, n: float, k: int):
+    """Shared eigensolve tail of :func:`pca_fit`: moments -> (mean,
+    sign-fixed components, explained variance).  Factored out so a
+    caller that accumulates the moments elsewhere (e.g. the oracle
+    fixture in ``__spark_entry__``) produces components bit-identical
+    to the fitted ones."""
+    import numpy as np
+
     mean = s_x / n
     cov = (s_xy - np.outer(s_x, s_x) / n) / (n - 1.0)
     vals, vecs = np.linalg.eigh(cov)

@@ -453,9 +453,13 @@ def ks_drift(
         .join(F.broadcast(totals), "column")
         .select(
             "column",
+            # cross-multiply in double: int64 overflows when both eras
+            # exceed ~3e9 rows (see ks_grid_from_binned_counts)
             F.abs(
-                (F.col("__oa") + F.col("__ca")) * F.col("__N_b")
-                - (F.col("__ob") + F.col("__cb")) * F.col("__N_a")
+                (F.col("__oa") + F.col("__ca")).cast("double")
+                * F.col("__N_b").cast("double")
+                - (F.col("__ob") + F.col("__cb")).cast("double")
+                * F.col("__N_a").cast("double")
             ).alias("__d"),
             "__N_a",
             "__N_b",
@@ -481,7 +485,8 @@ def ks_drift(
             F.round(
                 F.try_divide(
                     F.col("__dmax"),
-                    (F.col("__na") * F.col("__nb")).cast("double"),
+                    F.col("__na").cast("double")
+                    * F.col("__nb").cast("double"),
                 ),
                 round_digits,
             ).alias("ks"),
@@ -605,9 +610,11 @@ def ks_drift_by_period(
         .select(
             "period",
             "column",
+            # double cross-multiply: int64 overflows past ~3e9-row
+            # eras (see ks_grid_from_binned_counts)
             F.abs(
-                F.col("__cb") * F.col("__N_p")
-                - F.col("__cp") * F.col("__N_b")
+                F.col("__cb").cast("double") * F.col("__N_p").cast("double")
+                - F.col("__cp").cast("double") * F.col("__N_b").cast("double")
             ).alias("__d"),
             "__N_b",
             "__N_p",
@@ -627,7 +634,8 @@ def ks_drift_by_period(
             F.round(
                 F.try_divide(
                     F.col("__dmax"),
-                    (F.col("__nb") * F.col("__np")).cast("double"),
+                    F.col("__nb").cast("double")
+                    * F.col("__np").cast("double"),
                 ),
                 round_digits,
             ).alias("ks_grid"),
@@ -775,15 +783,21 @@ def ks_grid_from_binned_counts(
         F.sum("n_cur").over(w_cum).alias("__cc"),
     )
     # totals as max() aggregates, not grouping keys (see
-    # psi_from_binned_counts — a measured 3x plan regression)
+    # psi_from_binned_counts — a measured 3x plan regression).
+    # The cross-multiplication runs in DOUBLE, not long: with both
+    # eras above ~3e9 rows the int64 product overflows (ANSI error
+    # under Spark 4), at odds with the 100TB contract; doubles are
+    # exact up to 2^53 per factor-product and the KS statistic only
+    # needs ~1e-15 relative precision anyway.  The streaming read-side
+    # shares THIS function, so batch/stream stay bit-identical.
     return (
         cum.join(F.broadcast(tot), "column")
         .groupBy("column")
         .agg(
             F.max(
                 F.abs(
-                    F.col("__cb") * F.col("__tc")
-                    - F.col("__cc") * F.col("__tb")
+                    F.col("__cb").cast("double") * F.col("__tc").cast("double")
+                    - F.col("__cc").cast("double") * F.col("__tb").cast("double")
                 )
             ).alias("__dmax"),
             F.max("__tb").alias("__mtb"),
@@ -794,7 +808,8 @@ def ks_grid_from_binned_counts(
             F.round(
                 F.try_divide(
                     F.col("__dmax"),
-                    (F.col("__mtb") * F.col("__mtc")).cast("double"),
+                    F.col("__mtb").cast("double")
+                    * F.col("__mtc").cast("double"),
                 ),
                 round_digits,
             ).alias("ks_grid"),
