@@ -5448,14 +5448,19 @@ def _pca_fixture_components(sf_dir: str, k: int = 4):
     rather than something each engine re-derives."""
     key = (sf_dir, k)
     if key not in _PCA_FIXTURE_CACHE:
+        import os as _os
+
         import duckdb
         import numpy as np
 
         from recover_spark.ops.pca import components_from_moments
 
+        path = f"{sf_dir}/embeddings.parquet"
+        if _os.path.isdir(path):  # Spark-written tables are folders
+            path = f"{path}/*.parquet"
         con = duckdb.connect()
         rows = con.execute(
-            f"SELECT embedding FROM '{sf_dir}/embeddings.parquet'"
+            f"SELECT embedding FROM '{path}'"
         ).fetchall()
         con.close()
         x = np.asarray([r[0] for r in rows], dtype=np.float64)
@@ -5613,6 +5618,116 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+def q_agg_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Welch's t-test between the even/odd user cohorts
+    (operators/analytics.py:welch_ttest): the A/B experiment readout
+    as ONE mergeable aggregate — conditional count/avg/var_samp per
+    variant, fact shuffled once on the group key."""
+    from recover_spark.operators.analytics import welch_ttest
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 2).alias("variant"), "value"
+    )
+    return welch_ttest(
+        ev, ["event_type"], "variant", "value", 0, 1
+    ).orderBy("event_type")
+
+
+def q_agg_trimmed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority trimmed and winsorized means of order value
+    (operators/analytics.py:trimmed_group_stats): exact ranks via the
+    same bucket decomposition as agg_gini — one fact shuffle on
+    (group, bucket), clamps picked up as conditional aggregates in
+    the single final pass (never a second fact scan)."""
+    from recover_spark.operators.analytics import trimmed_group_stats
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    return trimmed_group_stats(
+        orders, ["o_orderpriority"], "o_totalprice", trim=0.1
+    ).orderBy("o_orderpriority")
+
+
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram collocations by PMI
+    (ops/text_analysis.py:collocation_pmi): bigrams zip map-side, ONE
+    fact shuffle counts pairs, margins and the total derive from the
+    checkpoint-pinned count table."""
+    from recover_spark.ops.text_analysis import collocation_pmi
+
+    docs = _load(spark, sf_dir, "documents")
+    return collocation_pmi(docs, "text", min_pair_count=5).orderBy(
+        "w1", "w2"
+    )
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SCD2 dimension history from the event change log
+    (operators/merge.py:scd2_build): each user's event_type
+    transitions as versioned [valid_from, valid_to) rows — one key
+    shuffle, three windows sharing the same exchange+sort."""
+    from recover_spark.operators.merge import scd2_build
+
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("sec"),
+        "event_id",
+    )
+    return scd2_build(
+        ev, ["user_id"], ["event_type"], ["sec", "event_id"], ts_col="sec"
+    ).orderBy("user_id", "version")
+
+
+def q_retrieval_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR evaluation harness (ops/retrieval.py:rank_metrics): score a
+    per-nation supplier ranking (top-10 by account balance) against
+    binary labels (balance > 5000) — nDCG@10, MRR, precision, recall
+    per query, everything candidate-list-sized."""
+    from pyspark.sql import Window
+
+    from recover_spark.ops.retrieval import rank_metrics
+
+    sup = _load(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    runs = (
+        sup.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("s_nationkey").alias("query_id"),
+            F.col("s_suppkey").alias("doc_id"),
+            "rank",
+        )
+    )
+    qrels = sup.filter(F.col("s_acctbal") > 5000).select(
+        F.col("s_nationkey").alias("query_id"),
+        F.col("s_suppkey").alias("doc_id"),
+        F.lit(1).alias("rel"),
+    )
+    return rank_metrics(runs, qrels, k=10).orderBy("query_id")
+
+
+def q_agg_ab_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per event type between the even/odd user
+    cohorts (operators/analytics.py:prop_ztest), success = value > 50
+    — one conditional aggregate, same shape as agg_ab_welch."""
+    from recover_spark.operators.analytics import prop_ztest
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).alias("variant"),
+        F.when(F.col("value").isNotNull(), (F.col("value") > 50)).alias(
+            "success"
+        ),
+    )
+    return prop_ztest(
+        ev, ["event_type"], "variant", "success", 0, 1
+    ).orderBy("event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -5687,6 +5802,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_survival": q_retention_survival,
         "agg_gini": q_agg_gini,
         "emb_pca_project": q_emb_pca_project,
+        "agg_ab_welch": q_agg_ab_welch,
+        "agg_trimmed_stats": q_agg_trimmed_stats,
+        "text_collocations": q_text_collocations,
+        "scd2_history": q_scd2_history,
+        "retrieval_rank_metrics": q_retrieval_rank_metrics,
+        "agg_ab_prop_ztest": q_agg_ab_prop_ztest,
         "agg_basket_lift": q_agg_basket_lift,
         "ts_theil_sen": q_ts_theil_sen,
         "emb_pca": q_emb_pca,
@@ -5847,6 +5968,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca",
         # (b) new this round
         "emb_pca_project",
+        "agg_ab_welch",
+        "agg_trimmed_stats",
+        "text_collocations",
+        "scd2_history",
+        "retrieval_rank_metrics",
+        "agg_ab_prop_ztest",
         # (c) negative-capable oracles touched by the -0.0 sweep
         "ts_theil_sen",
         "ts_cusum",
@@ -6673,6 +6800,168 @@ def _oracle_sql_literal() -> dict[str, str]:
                          END + 1e-9, 6) + 0.0 AS gini
             FROM a
         """,
+        "agg_ab_welch": """
+            WITH s AS (
+                SELECT event_type,
+                       CASE WHEN user_id % 2 = 0 THEN value END AS va,
+                       CASE WHEN user_id % 2 = 1 THEN value END AS vb
+                FROM events),
+            a AS (
+                SELECT event_type,
+                       CAST(count(va) AS BIGINT) AS n_a, avg(va) AS ma,
+                       var_samp(va) AS sa,
+                       CAST(count(vb) AS BIGINT) AS n_b, avg(vb) AS mb,
+                       var_samp(vb) AS sb
+                FROM s GROUP BY event_type)
+            SELECT event_type, n_a, n_b,
+                   round(ma + 1e-9, 6) + 0.0 AS mean_a,
+                   round(mb + 1e-9, 6) + 0.0 AS mean_b,
+                   round(CASE WHEN sa / n_a + sb / n_b > 0
+                         THEN (ma - mb) / sqrt(sa / n_a + sb / n_b)
+                         END + 1e-9, 6) + 0.0 AS t_stat,
+                   round(CASE WHEN (sa / n_a) * (sa / n_a) / (n_a - 1)
+                                 + (sb / n_b) * (sb / n_b) / (n_b - 1) > 0
+                         THEN (sa / n_a + sb / n_b)
+                              * (sa / n_a + sb / n_b)
+                              / ((sa / n_a) * (sa / n_a) / (n_a - 1)
+                                 + (sb / n_b) * (sb / n_b) / (n_b - 1))
+                         END + 1e-9, 6) + 0.0 AS df_welch
+            FROM a
+        """,
+        "agg_trimmed_stats": """
+            WITH x AS (
+                SELECT o_orderpriority AS g,
+                       CAST(o_totalprice AS DOUBLE) AS v
+                FROM orders WHERE o_totalprice IS NOT NULL),
+            r AS (
+                SELECT g, v,
+                       row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+                       count(*) OVER (PARTITION BY g) AS n
+                FROM x),
+            kk AS (
+                SELECT g, v, rn, n,
+                       CAST(floor(0.1 * n) AS BIGINT) AS k
+                FROM r),
+            a AS (
+                SELECT g, CAST(max(n) AS BIGINT) AS n, max(k) AS k_trim,
+                       sum(v) AS s,
+                       sum(CASE WHEN rn > k AND rn <= n - k THEN v END)
+                           AS s_mid,
+                       max(CASE WHEN rn = k + 1 THEN v END) AS lo,
+                       max(CASE WHEN rn = n - k THEN v END) AS hi
+                FROM kk GROUP BY g)
+            SELECT g AS o_orderpriority, n, k_trim,
+                   round(s / n + 1e-9, 6) + 0.0 AS mean,
+                   round(CASE WHEN n - 2 * k_trim > 0
+                         THEN s_mid / (n - 2 * k_trim)
+                         END + 1e-9, 6) + 0.0 AS trimmed_mean,
+                   round((s_mid + k_trim * (lo + hi)) / n + 1e-9, 6)
+                       + 0.0 AS winsorized_mean,
+                   round(lo + 1e-9, 6) + 0.0 AS lo_clamp,
+                   round(hi + 1e-9, 6) + 0.0 AS hi_clamp
+            FROM a
+        """,
+        "scd2_history": """
+            WITH ev AS (
+                -- floor() mirrors Spark unix_timestamp's truncation
+                SELECT user_id, event_type,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+                FROM events),
+            o AS (
+                SELECT user_id, event_type, sec, event_id,
+                       lag(event_type) OVER w AS prev,
+                       (row_number() OVER w = 1) AS first
+                FROM ev
+                WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+            ch AS (
+                SELECT user_id, event_type, sec, event_id
+                FROM o WHERE first OR prev IS DISTINCT FROM event_type)
+            SELECT user_id, event_type,
+                   sec AS valid_from,
+                   lead(sec) OVER w2 AS valid_to,
+                   CAST(row_number() OVER w2 AS INT) AS version,
+                   CASE WHEN lead(sec) OVER w2 IS NULL
+                        THEN 1 ELSE 0 END AS is_current
+            FROM ch
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY sec, event_id)
+        """,
+        "retrieval_rank_metrics": """
+            WITH runs AS (
+                SELECT s_nationkey AS q, s_suppkey AS d,
+                       CAST(row_number() OVER (
+                           PARTITION BY s_nationkey
+                           ORDER BY s_acctbal DESC, s_suppkey) AS INT)
+                           AS rank
+                FROM supplier
+                QUALIFY rank <= 10),
+            pos AS (
+                SELECT s_nationkey AS q, s_suppkey AS d, 1.0 AS rel
+                FROM supplier WHERE s_acctbal > 5000),
+            scored AS (
+                SELECT r.q,
+                       sum(coalesce(p.rel, 0.0)
+                           / log2(r.rank + 1.0)) AS dcg,
+                       CAST(sum(CASE WHEN p.rel > 0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n_hits,
+                       coalesce(max(CASE WHEN p.rel > 0
+                                    THEN 1.0 / r.rank END), 0.0) AS mrr
+                FROM runs r LEFT JOIN pos p USING (q, d)
+                GROUP BY r.q),
+            ideal AS (
+                SELECT q, sum(rel / log2(ir + 1.0)) AS idcg
+                FROM (SELECT q, rel,
+                             row_number() OVER (
+                                 PARTITION BY q ORDER BY rel DESC) AS ir
+                      FROM pos)
+                WHERE ir <= 10 GROUP BY q),
+            nrel AS (
+                SELECT q, CAST(count(*) AS BIGINT) AS n_rel
+                FROM pos GROUP BY q)
+            SELECT s.q AS query_id, s.n_hits,
+                   round(CASE WHEN i.idcg > 0 THEN s.dcg / i.idcg END
+                         + 1e-9, 6) + 0.0 AS ndcg,
+                   round(s.mrr + 1e-9, 6) + 0.0 AS mrr,
+                   round(s.n_hits / 10.0 + 1e-9, 6) + 0.0 AS precision,
+                   round(s.n_hits * 1.0 / n.n_rel + 1e-9, 6) + 0.0
+                       AS recall
+            FROM scored s
+            LEFT JOIN ideal i USING (q) LEFT JOIN nrel n ON s.q = n.q
+        """,
+        "agg_ab_prop_ztest": """
+            WITH s AS (
+                SELECT event_type,
+                       CASE WHEN user_id % 2 = 0 THEN
+                            CASE WHEN value IS NULL THEN NULL
+                                 WHEN value > 50 THEN 1.0 ELSE 0.0 END
+                       END AS sa,
+                       CASE WHEN user_id % 2 = 1 THEN
+                            CASE WHEN value IS NULL THEN NULL
+                                 WHEN value > 50 THEN 1.0 ELSE 0.0 END
+                       END AS sb
+                FROM events),
+            a AS (
+                SELECT event_type,
+                       CAST(count(sa) AS BIGINT) AS n_a,
+                       CAST(sum(sa) AS BIGINT) AS x_a,
+                       CAST(count(sb) AS BIGINT) AS n_b,
+                       CAST(sum(sb) AS BIGINT) AS x_b
+                FROM s GROUP BY event_type)
+            SELECT event_type, n_a, x_a, n_b, x_b,
+                   round(CASE WHEN n_a > 0 THEN x_a * 1.0 / n_a END
+                         + 1e-9, 6) + 0.0 AS rate_a,
+                   round(CASE WHEN n_b > 0 THEN x_b * 1.0 / n_b END
+                         + 1e-9, 6) + 0.0 AS rate_b,
+                   round(CASE WHEN n_a > 0 AND n_b > 0
+                              AND (x_a + x_b) * 1.0 / (n_a + n_b) > 0
+                              AND (x_a + x_b) * 1.0 / (n_a + n_b) < 1
+                         THEN (x_a * 1.0 / n_a - x_b * 1.0 / n_b)
+                              / sqrt((x_a + x_b) * 1.0 / (n_a + n_b)
+                                     * (1 - (x_a + x_b) * 1.0
+                                        / (n_a + n_b))
+                                     * (1.0 / n_a + 1.0 / n_b))
+                         END + 1e-9, 6) + 0.0 AS z_stat
+            FROM a
+        """,
         "retention_cohorts": """
             WITH by_week AS (
                 SELECT user_id,
@@ -6706,6 +6995,25 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(coalesce(g.best * 1.0 / g.total, 0.0), 6)
                        AS top_bigram_frac
             FROM toks k LEFT JOIN gtop g USING (doc_id)
+        """,
+        "text_collocations": f"""
+            WITH {_TOKS_CTE},
+            bg AS (
+                SELECT t[i] AS w1, t[i + 1] AS w2
+                FROM toks,
+                     UNNEST(CASE WHEN len(t) >= 2 THEN range(1, len(t))
+                            ELSE []::BIGINT[] END) AS u(i)),
+            bc AS (
+                SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_ab
+                FROM bg GROUP BY 1, 2),
+            l AS (SELECT w1, sum(n_ab) AS la FROM bc GROUP BY 1),
+            r AS (SELECT w2, sum(n_ab) AS rb FROM bc GROUP BY 1),
+            tt AS (SELECT sum(n_ab) AS t FROM bc)
+            SELECT w1, w2, n_ab,
+                   round(log2(n_ab * 1.0 * t / (la * 1.0 * rb))
+                         + 1e-9, 6) + 0.0 AS pmi
+            FROM bc JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tt
+            WHERE n_ab >= 5
         """,
         "text_tfidf": f"""
             WITH {_TOKS_CTE},

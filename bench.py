@@ -117,6 +117,14 @@ HEADLINE = [
     "ts_theil_sen",
     "emb_pca",
     "graph_kcore",
+    # round 9
+    "emb_pca_project",
+    "agg_ab_welch",
+    "agg_trimmed_stats",
+    "text_collocations",
+    "scd2_history",
+    "retrieval_rank_metrics",
+    "agg_ab_prop_ztest",
 ]
 
 

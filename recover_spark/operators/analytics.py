@@ -841,6 +841,243 @@ def gini_by_group(
     )
 
 
+def welch_ttest(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    variant_col: str,
+    value_col: str,
+    variant_a,
+    variant_b,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group Welch's unequal-variance t-test between two named
+    variants — the A/B experiment readout (and the parametric
+    complement to the drift family: KS/PSI ask "did the distribution
+    move", Welch asks "did the MEAN move, and by how many standard
+    errors").  Returns the t statistic and the Welch–Satterthwaite
+    degrees of freedom; the caller maps (t, df) to a p-value with
+    their preferred tail tables (a t-CDF is not SQL-expressible, and
+    shipping one would hide the approximation).
+
+    Engine shape: ONE mergeable aggregate over the fact — each
+    variant's (n, mean, s^2) rides conditional count/avg/var_samp
+    columns with map-side partials, so the fact shuffles once on the
+    group key and nothing downstream exceeds group cardinality.
+
+    Degenerate contract (all via ``try_divide`` -> NULL): a variant
+    with n < 2 has NULL variance; both variances zero gives NULL t
+    and NULL df (no sampling error to scale by).  NULL values are
+    excluded per the family convention.
+    """
+    group_cols = list(group_cols)
+    va = F.when(
+        F.col(variant_col) == F.lit(variant_a),
+        F.col(value_col).cast("double"),
+    )
+    vb = F.when(
+        F.col(variant_col) == F.lit(variant_b),
+        F.col(value_col).cast("double"),
+    )
+    agg = df.groupBy(*group_cols).agg(
+        F.count(va).alias("n_a"),
+        F.avg(va).alias("__ma"),
+        F.var_samp(va).alias("__sa"),
+        F.count(vb).alias("n_b"),
+        F.avg(vb).alias("__mb"),
+        F.var_samp(vb).alias("__sb"),
+    )
+    sea = F.col("__sa") / F.col("n_a").cast("double")
+    seb = F.col("__sb") / F.col("n_b").cast("double")
+    se2 = sea + seb
+    t = F.try_divide(F.col("__ma") - F.col("__mb"), F.sqrt(se2))
+    dof = F.try_divide(
+        se2 * se2,
+        sea * sea / (F.col("n_a") - F.lit(1)).cast("double")
+        + seb * seb / (F.col("n_b") - F.lit(1)).cast("double"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.round(F.col("__ma") + F.lit(1e-9), round_digits).alias("mean_a"),
+        F.round(F.col("__mb") + F.lit(1e-9), round_digits).alias("mean_b"),
+        F.round(t + F.lit(1e-9), round_digits).alias("t_stat"),
+        F.round(dof + F.lit(1e-9), round_digits).alias("df_welch"),
+    )
+
+
+def prop_ztest(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    variant_col: str,
+    success_col,
+    variant_a,
+    variant_b,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group two-proportion z-test between two named variants —
+    the conversion-rate companion to :func:`welch_ttest` (Welch asks
+    whether a continuous MEAN moved; this asks whether a RATE moved),
+    using the pooled-variance form z = (p_a - p_b) /
+    sqrt(p(1-p)(1/n_a + 1/n_b)).
+
+    ``success_col`` may be a column name or boolean Column; NULL
+    successes are excluded per the family convention.  Degenerate
+    groups — a variant with n = 0, or a pooled rate of exactly 0 or 1
+    (no variance to scale by) — yield NULL z via ``try_divide``.
+
+    Engine shape: ONE mergeable conditional aggregate over the fact,
+    exactly like welch_ttest — the fact shuffles once on the group
+    key and nothing downstream exceeds group cardinality.
+    """
+    group_cols = list(group_cols)
+    succ = (
+        F.col(success_col) if isinstance(success_col, str) else success_col
+    ).cast("double")
+    sa = F.when(F.col(variant_col) == F.lit(variant_a), succ)
+    sb = F.when(F.col(variant_col) == F.lit(variant_b), succ)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(sa).alias("n_a"),
+        F.sum(sa).cast("long").alias("x_a"),
+        F.count(sb).alias("n_b"),
+        F.sum(sb).cast("long").alias("x_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pa = F.try_divide(F.col("x_a").cast("double"), na)
+    pb = F.try_divide(F.col("x_b").cast("double"), nb)
+    pool = F.try_divide(
+        (F.col("x_a") + F.col("x_b")).cast("double"), na + nb
+    )
+    z = F.try_divide(
+        pa - pb,
+        F.sqrt(pool * (F.lit(1.0) - pool) * (1 / na + 1 / nb)),
+    )
+    return agg.select(
+        *group_cols,
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.round(pa + F.lit(1e-9), round_digits).alias("rate_a"),
+        F.round(pb + F.lit(1e-9), round_digits).alias("rate_b"),
+        F.round(z + F.lit(1e-9), round_digits).alias("z_stat"),
+    )
+
+
+def trimmed_group_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    trim: float = 0.1,
+    buckets: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group robust location estimates: the trimmed mean (drop the
+    bottom/top ``trim`` share outright) and the winsorized mean (clamp
+    them to the surviving order statistics) — what a corrupt-export or
+    heavy-tail report should quote instead of the raw mean, alongside
+    the clamp bounds actually used.
+
+    Both need each row's exact rank within its group by value — the
+    canonical hot-key hazard — so ranks decompose over approximate
+    value-quantile buckets exactly as in :func:`gini_by_group` /
+    ``win_global_rownum``: ONE (group, bucket) window for local ranks,
+    bucket offsets folded on the aggregate-sized frame, and a single
+    final aggregate computes every statistic at once.  The winsorized
+    sum never re-reads the fact: with k = floor(trim * n), it is
+    ``sum_mid + k * (lo + hi)`` where lo/hi are the (k+1)-th and
+    (n-k)-th order statistics — picked up as conditional ``max`` in
+    the SAME aggregate (ties make order statistics well-defined under
+    any tie order, so row_number without a tiebreaker is exact here
+    for the same reason as in gini).
+
+    NULLs are excluded (family convention).  Groups where the trim
+    devours everything (n - 2k <= 0 cannot happen for trim < 0.5,
+    but n == 0 groups simply don't appear) follow ``try_divide``.
+    """
+    group_cols = list(group_cols)
+    if not 0.0 <= trim < 0.5:
+        raise ValueError(f"trimmed_group_stats: trim={trim} not in [0, .5)")
+    nn = df.filter(F.col(value_col).isNotNull())
+    probs = [i / buckets for i in range(1, buckets)]
+    bounds = sorted(set(nn.stat.approxQuantile(value_col, probs, 0.001)))
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col("__x") > F.lit(b)).cast("int")
+    staged = nn.select(
+        *group_cols, F.col(value_col).cast("double").alias("__x")
+    ).withColumn("__bucket", bucket)
+
+    w = Window.partitionBy(*group_cols, "__bucket").orderBy("__x")
+    ranked = staged.withColumn("__r", F.row_number().over(w))
+    per_bucket = staged.groupBy(*group_cols, "__bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("__cnt")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+    )
+    totals = per_bucket.groupBy(*group_cols).agg(
+        F.sum("__cnt").cast("long").alias("__n")
+    )
+    rn = F.col("__off") + F.col("__r")
+    k = F.floor(F.lit(float(trim)) * F.col("__n")).cast("long")
+    scored = (
+        ranked.join(
+            F.broadcast(offsets.select(*group_cols, "__bucket", "__off")),
+            [*group_cols, "__bucket"],
+        )
+        .join(F.broadcast(totals), group_cols)
+        .select(
+            *group_cols,
+            "__x",
+            "__n",
+            rn.alias("__rn"),
+            k.alias("__k"),
+        )
+    )
+    mid = (F.col("__rn") > F.col("__k")) & (
+        F.col("__rn") <= F.col("__n") - F.col("__k")
+    )
+    out = scored.groupBy(*group_cols).agg(
+        F.max("__n").alias("n"),
+        F.max("__k").alias("k_trim"),
+        F.sum("__x").alias("__sum"),
+        F.sum(F.when(mid, F.col("__x"))).alias("__sum_mid"),
+        F.max(
+            F.when(F.col("__rn") == F.col("__k") + 1, F.col("__x"))
+        ).alias("__lo"),
+        F.max(
+            F.when(F.col("__rn") == F.col("__n") - F.col("__k"), F.col("__x"))
+        ).alias("__hi"),
+    )
+    nd = F.col("n").cast("double")
+    kd = F.col("k_trim").cast("double")
+    wins = F.try_divide(
+        F.col("__sum_mid") + kd * (F.col("__lo") + F.col("__hi")), nd
+    )
+    return out.select(
+        *group_cols,
+        "n",
+        "k_trim",
+        F.round(
+            F.try_divide(F.col("__sum"), nd) + F.lit(1e-9), round_digits
+        ).alias("mean"),
+        F.round(
+            F.try_divide(F.col("__sum_mid"), nd - 2 * kd) + F.lit(1e-9),
+            round_digits,
+        ).alias("trimmed_mean"),
+        F.round(wins + F.lit(1e-9), round_digits).alias("winsorized_mean"),
+        F.round(F.col("__lo") + F.lit(1e-9), round_digits).alias("lo_clamp"),
+        F.round(F.col("__hi") + F.lit(1e-9), round_digits).alias("hi_clamp"),
+    )
+
+
 def basket_lift(
     df: DataFrame,
     basket_col: str,

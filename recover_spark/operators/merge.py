@@ -161,3 +161,61 @@ def scd2_apply(
     return closed_history.select(*survived.columns).unionByName(
         survived
     ).unionByName(fresh)
+
+
+def scd2_build(
+    log: DataFrame,
+    keys: Sequence[str],
+    attr_cols: Sequence[str],
+    order_cols: Sequence[str],
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Build the FULL type-2 version history from an append-only
+    change log in one pass — the backfill twin of :func:`scd2_apply`
+    (which folds one new snapshot into existing history): consecutive
+    duplicate states per key collapse, and each surviving change opens
+    a version valid [its ``ts_col``, the next change's) with the last
+    version open-ended.  This is how a warehouse dimension is
+    initialized from CDC/event history before per-batch scd2_apply
+    takes over.
+
+    ``order_cols`` must be a deterministic total order per key (add a
+    unique id as tiebreaker); ``ts_col`` (default: the first order
+    column) supplies the validity boundaries.  Change detection is
+    null-safe per attribute.
+
+    Plan shape: ONE shuffle on the key; the lag (change detection),
+    lead (valid_to) and row_number (version) windows all share the
+    (keys x order_cols) partitioning+sort, and the in-between filter
+    preserves it, so Catalyst plans a single Exchange with no re-sort
+    fan-out.  Per-key state is bounded by that key's own history — no
+    global window anywhere.
+    """
+    from pyspark.sql import Window
+
+    keys = list(keys)
+    attr_cols = list(attr_cols)
+    order_cols = list(order_cols)
+    vf = ts_col if ts_col is not None else order_cols[0]
+    base_cols = list(dict.fromkeys([*keys, *attr_cols, *order_cols, vf]))
+
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    changed = F.lit(False)
+    for c in attr_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    first = F.lag(F.lit(1)).over(w).isNull()
+
+    ch = (
+        log.select(*base_cols)
+        .withColumn("__keep", first | changed)
+        .filter(F.col("__keep"))
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order_cols)
+    return ch.select(
+        *keys,
+        *attr_cols,
+        F.col(vf).alias("valid_from"),
+        F.lead(vf).over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.lead(vf).over(w2).isNull().cast("int").alias("is_current"),
+    )

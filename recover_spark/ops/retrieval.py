@@ -81,3 +81,87 @@ def rrf_fuse(
             "rank",
         )
     )
+
+
+def rank_metrics(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-query IR evaluation of a ranked run against relevance
+    labels: nDCG@k, MRR@k, precision@k, recall@k — the measurement
+    half of the retrieval stack (rrf_fuse and the rankers produce
+    runs; this scores them), and what a RAG pipeline runs on every
+    index/chunking change before shipping it.
+
+    Conventions: graded ``rel_col`` feeds DCG (gain = rel /
+    log2(rank + 1), the standard Jarvelin-Kekalainen form); a document
+    counts as a hit when rel > 0; ideal DCG sorts the query's
+    positive labels by grade (ties among equal grades cannot change
+    the sum); MRR is 0 when no relevant document is retrieved;
+    queries with no positive labels yield NULL nDCG/recall
+    (``try_divide`` contract) rather than a fake perfect score.
+
+    Plan shape: runs and qrels join once on (query, doc) — both
+    candidate-list-sized, k rows per query on the run side.  Ideal
+    gains come from ONE per-query window over the positive labels
+    (bounded by that query's label count, never the corpus), and
+    everything downstream is query-grain equi-joins.
+    """
+    runs_k = runs.filter(F.col(rank_col) <= int(k))
+    pos = qrels.filter(F.col(rel_col) > 0).select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.col(rel_col).cast("double").alias("__rel"),
+    )
+    joined = runs_k.select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.col(rank_col).cast("int").alias("__rank"),
+    ).join(pos, ["__q", "__d"], "left")
+    rel = F.coalesce(F.col("__rel"), F.lit(0.0))
+    scored = joined.groupBy("__q").agg(
+        F.sum(rel / F.log2(F.col("__rank") + F.lit(1.0))).alias("__dcg"),
+        F.sum((rel > 0).cast("long")).alias("__hits"),
+        F.coalesce(
+            F.max(F.when(rel > 0, F.lit(1.0) / F.col("__rank"))),
+            F.lit(0.0),
+        ).alias("__mrr"),
+    )
+    iw = Window.partitionBy("__q").orderBy(F.col("__rel").desc())
+    ideal = (
+        pos.withColumn("__ir", F.row_number().over(iw))
+        .filter(F.col("__ir") <= int(k))
+        .groupBy("__q")
+        .agg(
+            F.sum(
+                F.col("__rel") / F.log2(F.col("__ir") + F.lit(1.0))
+            ).alias("__idcg")
+        )
+    )
+    n_rel = pos.groupBy("__q").agg(F.count(F.lit(1)).alias("__nrel"))
+    out = scored.join(ideal, "__q", "left").join(n_rel, "__q", "left")
+    return out.select(
+        F.col("__q").alias(query_col),
+        F.col("__hits").alias("n_hits"),
+        F.round(
+            F.try_divide(F.col("__dcg"), F.col("__idcg")) + F.lit(1e-9),
+            round_digits,
+        ).alias("ndcg"),
+        F.round(F.col("__mrr") + F.lit(1e-9), round_digits).alias("mrr"),
+        F.round(
+            F.col("__hits") / F.lit(float(k)) + F.lit(1e-9), round_digits
+        ).alias("precision"),
+        F.round(
+            F.try_divide(
+                F.col("__hits").cast("double"), F.col("__nrel")
+            )
+            + F.lit(1e-9),
+            round_digits,
+        ).alias("recall"),
+    )

@@ -863,3 +863,76 @@ def ngram_novelty(
         "novelty",
         "boilerplate",
     )
+
+
+def collocation_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    min_pair_count: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Corpus-level collocation extraction: adjacent word pairs scored
+    by pointwise mutual information, PMI = log2(p(a,b) / (p_l(a) *
+    p_r(b))) over the bigram-position model — the standard
+    phrase-candidate miner (Church & Hanks 1990) a pipeline runs
+    before building a phrase vocabulary or a tokenizer merge list,
+    and the corpus-wide complement to ``basket_lift`` (which scores
+    co-occurrence within unordered baskets; this scores ORDERED
+    adjacency in text).
+
+    Margins are bigram-position margins: p_l(a) = (bigrams starting
+    with a) / T and p_r(b) = (bigrams ending with b) / T, so PMI = 0
+    is exact independence under the positional model and the three
+    probability tables share one denominator.
+
+    Plan shape: bigrams build map-side (the token array zipped with
+    its own 1-shift — same kernel as ``bigram_logprob_scores``), ONE
+    fact shuffle counts distinct pairs, and both margins + the total
+    derive FROM that count table (aggregate-sized group-bys of it),
+    never from a second pass over the corpus.  The count table is
+    checkpoint-pinned because four consumers hang off it (the
+    aggregate-diamond lesson).  ``min_pair_count`` prunes the noise
+    tail AFTER margins are taken, so rare pairs don't distort the
+    denominator.  The count products run in double (int64 products
+    of two corpus-scale counts overflow past ~3e9 — the KS lesson).
+    """
+    from recover_spark.functions.transforms import materialize_columns
+
+    toked = materialize_columns(
+        df.select(F.col(text_col)), {"__t": tokens(F.col(text_col))}
+    )
+    bigrams = toked.select(
+        F.explode(
+            F.expr(
+                "zip_with("
+                " slice(__t, 1, greatest(0, size(__t) - 1)),"
+                " slice(__t, 2, greatest(0, size(__t) - 1)),"
+                " (a, b) -> named_struct('w1', a, 'w2', b))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bcounts = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .localCheckpoint(eager=False)
+    )
+    left = bcounts.groupBy("w1").agg(F.sum("n_ab").alias("__la"))
+    right = bcounts.groupBy("w2").agg(F.sum("n_ab").alias("__rb"))
+    total = bcounts.groupBy().agg(F.sum("n_ab").alias("__t"))
+    pmi = F.log2(
+        F.col("n_ab").cast("double")
+        * F.col("__t").cast("double")
+        / (F.col("__la").cast("double") * F.col("__rb").cast("double"))
+    )
+    return (
+        bcounts.filter(F.col("n_ab") >= int(min_pair_count))
+        .join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(pmi + F.lit(1e-9), round_digits).alias("pmi"),
+        )
+    )

@@ -43,17 +43,18 @@ def _nudge_round_sites(src: str):
             j += 1
         body = src[i : j - 1]
         if "1e-9" in body:
-            yield m.start(), body, src[j : j + 6]
+            yield m.start(), body, src[j : j + 40]
 
 
 def test_every_nudge_round_site_neutralizes_negative_zero():
     src = open(ENTRY).read()
     sites = list(_nudge_round_sites(src))
     assert len(sites) >= 70, "sweep sanity: the nudge convention exists"
+    neutralized = re.compile(r"\s*\+\s*0\.0")  # allows a line wrap
     bad = [
         src[: off].count("\n") + 1
         for off, _, suffix in sites
-        if suffix != " + 0.0"
+        if not neutralized.match(suffix)
     ]
     assert not bad, (
         f"__spark_entry__.py lines {bad}: nudge-rounded oracle column "

@@ -334,6 +334,11 @@ def test_no_cartesian_product_across_query_surface(spark):
         "sample_token_budget", "retrieval_hybrid",
         "ts_anomaly_mad", "agg_entropy", "text_novelty", "v11_benford",
         "retention_survival", "agg_gini", "ts_theil_sen",
+        # round 9 (emb_pca_project excluded: the component fixture is
+        # computed during construction; pinned by its own oracle row
+        # and tests/test_pca.py)
+        "agg_ab_welch", "agg_trimmed_stats", "text_collocations",
+        "scd2_history", "retrieval_rank_metrics", "agg_ab_prop_ztest",
     ]
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"

@@ -1,0 +1,403 @@
+"""Round-9 operators: Welch A/B t-test, trimmed/winsorized robust
+stats, and PMI collocations — golden values, degenerate contracts,
+and plan pins."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestWelchTtest:
+    def test_matches_hand_computed_welch(self, spark):
+        from recover_spark.operators.analytics import welch_ttest
+
+        a_vals = [1.0, 2.0, 3.0, 4.0]
+        b_vals = [2.0, 4.0, 6.0]
+        rows = [("g", "A", v) for v in a_vals] + [
+            ("g", "B", v) for v in b_vals
+        ]
+        df = spark.createDataFrame(rows, "g string, var string, v double")
+        row = welch_ttest(df, ["g"], "var", "v", "A", "B").collect()[0]
+
+        na, nb = len(a_vals), len(b_vals)
+        ma = sum(a_vals) / na
+        mb = sum(b_vals) / nb
+        sa = sum((x - ma) ** 2 for x in a_vals) / (na - 1)
+        sb = sum((x - mb) ** 2 for x in b_vals) / (nb - 1)
+        se2 = sa / na + sb / nb
+        t = (ma - mb) / math.sqrt(se2)
+        dof = se2 * se2 / (
+            (sa / na) ** 2 / (na - 1) + (sb / nb) ** 2 / (nb - 1)
+        )
+        assert row["n_a"] == na and row["n_b"] == nb
+        assert row["mean_a"] == pytest.approx(ma, abs=1e-6)
+        assert row["t_stat"] == pytest.approx(t, abs=1e-6)
+        assert row["df_welch"] == pytest.approx(dof, abs=1e-6)
+
+    def test_degenerate_contracts(self, spark):
+        from recover_spark.operators.analytics import welch_ttest
+
+        df = spark.createDataFrame(
+            # 'tiny': variant B has one point -> NULL variance -> NULL t
+            [("tiny", "A", 1.0), ("tiny", "A", 2.0), ("tiny", "B", 5.0)]
+            # 'flat': both variances zero -> NULL t and NULL df
+            + [("flat", "A", 3.0)] * 2
+            + [("flat", "B", 4.0)] * 2
+            # NULL values excluded per the family convention
+            + [("tiny", "A", None)],
+            "g string, var string, v double",
+        )
+        got = {
+            r["g"]: r
+            for r in welch_ttest(df, ["g"], "var", "v", "A", "B").collect()
+        }
+        assert got["tiny"]["t_stat"] is None
+        assert got["tiny"]["df_welch"] is None
+        assert got["tiny"]["n_a"] == 2  # the NULL did not count
+        assert got["flat"]["t_stat"] is None
+        assert got["flat"]["df_welch"] is None
+        assert got["flat"]["mean_a"] == 3.0 and got["flat"]["mean_b"] == 4.0
+
+    def test_single_aggregate_plan(self, spark):
+        from recover_spark.operators.analytics import welch_ttest
+
+        df = spark.range(10000).selectExpr(
+            "CAST(id % 3 AS STRING) g",
+            "CAST(id % 2 AS INT) var",
+            "CAST(id % 97 AS DOUBLE) v",
+        )
+        plan = _plan(welch_ttest(df, ["g"], "var", "v", 0, 1))
+        # one fact shuffle on the group key, nothing else
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "CartesianProduct" not in plan
+
+
+class TestTrimmedGroupStats:
+    def test_golden_with_outlier(self, spark):
+        from recover_spark.operators.analytics import trimmed_group_stats
+
+        vals = [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 100.0]
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "g string, v double"
+        )
+        row = trimmed_group_stats(df, ["g"], "v", trim=0.1).collect()[0]
+        assert row["n"] == 10 and row["k_trim"] == 1
+        assert row["mean"] == pytest.approx(13.6, abs=1e-6)
+        assert row["trimmed_mean"] == pytest.approx(4.5, abs=1e-6)
+        assert row["lo_clamp"] == 1.0 and row["hi_clamp"] == 8.0
+        # winsorized: clamp 0 -> 1 and 100 -> 8
+        assert row["winsorized_mean"] == pytest.approx(4.5, abs=1e-6)
+
+    def test_ties_and_nulls(self, spark):
+        from recover_spark.operators.analytics import trimmed_group_stats
+
+        # ties straddling the cut: excluded vs included copies have
+        # the same value, so any tie order gives the same result
+        df = spark.createDataFrame(
+            [("g", 1.0)] * 5 + [("g", 9.0)] * 5 + [("g", None)] * 3,
+            "g string, v double",
+        )
+        row = trimmed_group_stats(df, ["g"], "v", trim=0.2).collect()[0]
+        assert row["n"] == 10 and row["k_trim"] == 2
+        assert row["trimmed_mean"] == pytest.approx(5.0, abs=1e-6)
+        assert row["winsorized_mean"] == pytest.approx(5.0, abs=1e-6)
+
+    def test_zero_trim_equals_mean(self, spark):
+        from recover_spark.operators.analytics import trimmed_group_stats
+
+        df = spark.createDataFrame(
+            [("g", float(v)) for v in range(7)], "g string, v double"
+        )
+        row = trimmed_group_stats(df, ["g"], "v", trim=0.0).collect()[0]
+        assert row["k_trim"] == 0
+        assert row["trimmed_mean"] == row["mean"] == row["winsorized_mean"]
+        assert row["lo_clamp"] == 0.0 and row["hi_clamp"] == 6.0
+
+    def test_matches_sorted_reference(self, spark):
+        import random
+
+        from recover_spark.operators.analytics import trimmed_group_stats
+
+        rng = random.Random(97)
+        rows = [
+            ("g%d" % (i % 2), round(rng.expovariate(1 / 40.0), 3))
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        got = {
+            r["g"]: r
+            for r in trimmed_group_stats(
+                df, ["g"], "v", trim=0.15, buckets=7
+            ).collect()
+        }
+        for g in ("g0", "g1"):
+            xs = sorted(v for gg, v in rows if gg == g)
+            n = len(xs)
+            k = int(0.15 * n)
+            mid = xs[k : n - k]
+            assert got[g]["trimmed_mean"] == pytest.approx(
+                sum(mid) / len(mid), abs=1e-6
+            )
+            wins = (sum(mid) + k * (xs[k] + xs[n - k - 1])) / n
+            assert got[g]["winsorized_mean"] == pytest.approx(
+                wins, abs=1e-6
+            )
+
+    def test_invalid_trim_raises(self, spark):
+        from recover_spark.operators.analytics import trimmed_group_stats
+
+        df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+        with pytest.raises(ValueError, match="trim"):
+            trimmed_group_stats(df, ["g"], "v", trim=0.5)
+
+    def test_bucket_decomposed_plan(self, spark):
+        from recover_spark.operators.analytics import trimmed_group_stats
+
+        df = spark.range(5000).selectExpr(
+            "CAST(id % 3 AS STRING) g", "CAST(id % 101 AS DOUBLE) v"
+        )
+        plan = _plan(trimmed_group_stats(df, ["g"], "v"))
+        assert "CartesianProduct" not in plan
+        # the fact-sized window partitions on (group, bucket), never
+        # the group alone (same contract as gini_by_group)
+        assert "__bucket" in plan
+
+
+class TestCollocationPmi:
+    def test_golden_pmi(self, spark):
+        from recover_spark.ops.text_analysis import collocation_pmi
+
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c")], "doc_id int, text string"
+        )
+        got = {
+            (r["w1"], r["w2"]): r
+            for r in collocation_pmi(df, "text", min_pair_count=1).collect()
+        }
+        # bigrams: (a,b) x3, (b,a) x1, (b,c) x1 -> T=5
+        # left margins a:3 b:2; right margins b:3 a:1 c:1
+        assert got[("a", "b")]["n_ab"] == 3
+        assert got[("a", "b")]["pmi"] == pytest.approx(
+            math.log2(3 * 5 / (3 * 3)), abs=1e-6
+        )
+        assert got[("b", "a")]["pmi"] == pytest.approx(
+            math.log2(1 * 5 / (2 * 1)), abs=1e-6
+        )
+        assert got[("b", "c")]["pmi"] == pytest.approx(
+            math.log2(1 * 5 / (2 * 1)), abs=1e-6
+        )
+
+    def test_min_count_prunes_after_margins(self, spark):
+        from recover_spark.ops.text_analysis import collocation_pmi
+
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c")], "doc_id int, text string"
+        )
+        got = collocation_pmi(df, "text", min_pair_count=2).collect()
+        # only (a,b) survives, but its PMI still uses the FULL margins
+        assert len(got) == 1
+        assert got[0]["pmi"] == pytest.approx(
+            math.log2(3 * 5 / (3 * 3)), abs=1e-6
+        )
+
+    def test_short_docs_contribute_nothing(self, spark):
+        from recover_spark.ops.text_analysis import collocation_pmi
+
+        df = spark.createDataFrame(
+            [(1, "single"), (2, ""), (3, "x y")],
+            "doc_id int, text string",
+        )
+        got = collocation_pmi(df, "text", min_pair_count=1).collect()
+        assert len(got) == 1
+        assert (got[0]["w1"], got[0]["w2"]) == ("x", "y")
+        # the only bigram: PMI = log2(1 * 1 / (1 * 1)) = 0
+        assert got[0]["pmi"] == 0.0
+
+    def test_no_cartesian_one_fact_shuffle(self, spark):
+        from recover_spark.ops.text_analysis import collocation_pmi
+
+        df = spark.createDataFrame(
+            [(i, "w%d w%d w%d" % (i % 5, i % 7, i % 3)) for i in range(200)],
+            "doc_id int, text string",
+        )
+        plan = _plan(collocation_pmi(df, "text"))
+        assert "CartesianProduct" not in plan
+
+
+class TestScd2Build:
+    def test_history_versions_and_consecutive_dedup(self, spark):
+        from recover_spark.operators.merge import scd2_build
+
+        log = spark.createDataFrame(
+            [
+                ("u1", "a", 10, 1),
+                ("u1", "a", 20, 2),   # consecutive dup -> collapsed
+                ("u1", "b", 30, 3),
+                ("u1", "a", 40, 4),   # back to 'a' -> NEW version
+                ("u2", "x", 5, 5),
+            ],
+            "k string, attr string, sec long, id long",
+        )
+        rows = {
+            (r["k"], r["version"]): r
+            for r in scd2_build(
+                log, ["k"], ["attr"], ["sec", "id"], ts_col="sec"
+            ).collect()
+        }
+        assert len(rows) == 4
+        v1, v2, v3 = rows[("u1", 1)], rows[("u1", 2)], rows[("u1", 3)]
+        assert (v1["attr"], v1["valid_from"], v1["valid_to"]) == ("a", 10, 30)
+        assert (v2["attr"], v2["valid_from"], v2["valid_to"]) == ("b", 30, 40)
+        assert (v3["attr"], v3["valid_from"], v3["valid_to"]) == ("a", 40, None)
+        assert v3["is_current"] == 1 and v1["is_current"] == 0
+        assert rows[("u2", 1)]["is_current"] == 1
+
+    def test_null_safe_change_detection(self, spark):
+        from recover_spark.operators.merge import scd2_build
+
+        log = spark.createDataFrame(
+            [("k", None, 1, 1), ("k", None, 2, 2), ("k", "v", 3, 3)],
+            "k string, attr string, sec long, id long",
+        )
+        out = scd2_build(log, ["k"], ["attr"], ["sec", "id"]).collect()
+        # NULL == NULL consecutively -> one version; NULL -> 'v' -> second
+        assert len(out) == 2
+        assert {r["version"] for r in out} == {1, 2}
+
+    def test_single_exchange_plan(self, spark):
+        from recover_spark.operators.merge import scd2_build
+
+        log = spark.range(10000).selectExpr(
+            "CAST(id % 50 AS STRING) k",
+            "CAST(id % 3 AS STRING) attr",
+            "id sec",
+            "id id2",
+        )
+        plan = (
+            scd2_build(log, ["k"], ["attr"], ["sec", "id2"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # lag + filter + lead/row_number share one key shuffle
+        assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestRankMetrics:
+    def _frames(self, spark):
+        runs = spark.createDataFrame(
+            [("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d3", 3),
+             ("q2", "d9", 1), ("q2", "d8", 2)],
+            "query_id string, doc_id string, rank int",
+        )
+        qrels = spark.createDataFrame(
+            [("q1", "d2", 1), ("q1", "d7", 1),   # d7 never retrieved
+             ("q2", "d5", 1)],                   # nothing retrieved
+            "query_id string, doc_id string, rel int",
+        )
+        return runs, qrels
+
+    def test_hand_computed_metrics(self, spark):
+        import math
+
+        from recover_spark.ops.retrieval import rank_metrics
+
+        runs, qrels = self._frames(spark)
+        got = {
+            r["query_id"]: r
+            for r in rank_metrics(runs, qrels, k=10).collect()
+        }
+        q1 = got["q1"]
+        dcg = 1.0 / math.log2(3)          # hit at rank 2
+        idcg = 1.0 / math.log2(2) + 1.0 / math.log2(3)  # two labels
+        assert q1["n_hits"] == 1
+        assert q1["ndcg"] == pytest.approx(dcg / idcg, abs=1e-6)
+        assert q1["mrr"] == pytest.approx(0.5, abs=1e-6)
+        assert q1["precision"] == pytest.approx(0.1, abs=1e-6)
+        assert q1["recall"] == pytest.approx(0.5, abs=1e-6)
+        q2 = got["q2"]
+        # q2 has a positive label (d5) it never retrieved: idcg > 0
+        # but dcg = 0 -> a true zero score, not a NULL
+        assert q2["n_hits"] == 0 and q2["mrr"] == 0.0
+        assert q2["ndcg"] == 0.0
+        assert q2["recall"] == 0.0
+
+    def test_ndcg_null_only_without_labels(self, spark):
+        from recover_spark.ops.retrieval import rank_metrics
+
+        runs = spark.createDataFrame(
+            [("q3", "d1", 1)], "query_id string, doc_id string, rank int"
+        )
+        qrels = spark.createDataFrame(
+            [], "query_id string, doc_id string, rel int"
+        )
+        row = rank_metrics(runs, qrels, k=5).collect()[0]
+        assert row["ndcg"] is None and row["recall"] is None
+        assert row["mrr"] == 0.0 and row["precision"] == 0.0
+
+    def test_rank_cutoff_applied(self, spark):
+        from recover_spark.ops.retrieval import rank_metrics
+
+        runs = spark.createDataFrame(
+            [("q", "d%d" % i, i) for i in range(1, 21)],
+            "query_id string, doc_id string, rank int",
+        )
+        qrels = spark.createDataFrame(
+            [("q", "d15", 1)], "query_id string, doc_id string, rel int"
+        )
+        row = rank_metrics(runs, qrels, k=10).collect()[0]
+        # the only relevant doc sits past the cutoff
+        assert row["n_hits"] == 0 and row["ndcg"] == 0.0
+
+
+class TestPropZtest:
+    def test_hand_computed_z(self, spark):
+        import math
+
+        from recover_spark.operators.analytics import prop_ztest
+
+        # A: 30/100 converted, B: 20/100
+        rows = (
+            [("g", 0, True)] * 30 + [("g", 0, False)] * 70
+            + [("g", 1, True)] * 20 + [("g", 1, False)] * 80
+        )
+        df = spark.createDataFrame(rows, "g string, var int, s boolean")
+        row = prop_ztest(df, ["g"], "var", "s", 0, 1).collect()[0]
+        pa, pb, pool = 0.3, 0.2, 0.25
+        z = (pa - pb) / math.sqrt(pool * 0.75 * (1 / 100 + 1 / 100))
+        assert (row["n_a"], row["x_a"], row["n_b"], row["x_b"]) == (
+            100, 30, 100, 20,
+        )
+        assert row["rate_a"] == pytest.approx(0.3, abs=1e-6)
+        assert row["z_stat"] == pytest.approx(z, abs=1e-6)
+
+    def test_degenerate_all_or_none(self, spark):
+        from recover_spark.operators.analytics import prop_ztest
+
+        df = spark.createDataFrame(
+            [("g", 0, True)] * 5 + [("g", 1, True)] * 5
+            + [("g", 0, None)],
+            "g string, var int, s boolean",
+        )
+        row = prop_ztest(df, ["g"], "var", "s", 0, 1).collect()[0]
+        # pooled rate 1.0 -> no variance -> NULL z; NULL excluded
+        assert row["z_stat"] is None and row["n_a"] == 5
+
+    def test_single_aggregate_plan(self, spark):
+        from recover_spark.operators.analytics import prop_ztest
+
+        df = spark.range(5000).selectExpr(
+            "CAST(id % 3 AS STRING) g",
+            "CAST(id % 2 AS INT) var",
+            "id % 7 = 0 AS s",
+        )
+        plan = (
+            prop_ztest(df, ["g"], "var", "s", 0, 1)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1

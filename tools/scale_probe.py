@@ -91,6 +91,15 @@ PROBES = [
     "ts_theil_sen",         # key-partitioned pair join + percentile folds
     "emb_pca",              # one GEMM pass, d^2-row shuffle, checkpoint-pinned diamond
     "graph_kcore",          # peel rounds = node-keyed agg + two semi-joins
+    # round 9
+    "emb_pca_project",      # broadcast components, per-row JVM fold
+    "agg_ab_welch",         # one conditional-aggregate fact shuffle
+    "agg_trimmed_stats",    # bucket-decomposed ranks + one final aggregate
+    "text_collocations",    # map-side bigrams, one pair shuffle, derived margins
+    "scd2_history",         # one key shuffle, three windows share the sort
+    # retrieval_rank_metrics probes the supplier DIM (not replicated)
+    # — excluded like link_records; its joins are candidate-list-sized
+    "agg_ab_prop_ztest",    # one conditional-aggregate fact shuffle
 ]
 
 

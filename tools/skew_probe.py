@@ -60,6 +60,12 @@ PROBES = [
     # (quadratic-by-definition estimator) rather than melt a reducer
     "retention_survival",
     "ts_theil_sen",
+    # round 9: scd2 windows per user (the hot user's history lands in
+    # one partition — the honest per-key-sequential cost); the A/B
+    # tests aggregate map-side so the hot key is a partial-agg cell
+    "scd2_history",
+    "agg_ab_welch",
+    "agg_ab_prop_ztest",
 ]
 
 
