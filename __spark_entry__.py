@@ -4371,6 +4371,10 @@ def _grid_drift_oracle_sql(cols: list[str], cut: str, n_bins: int = 10) -> str:
                          / (CAST(tb AS DOUBLE) * tc), 6) AS ks_grid,
                    CAST(tb AS BIGINT) AS n_base,
                    CAST(tc AS BIGINT) AS n_cur,
+                   round(sum(abs(CAST(cb AS DOUBLE) * tc
+                                 - CAST(cc AS DOUBLE) * tb))
+                         / (CAST(tb AS DOUBLE) * tc * {n_bins}), 6)
+                       AS wasserstein,
                    round(sum((CASE WHEN pb > 0
                                    THEN pb * log2(pb / ((pb + pc) / 2))
                                    ELSE 0 END
@@ -4413,6 +4417,61 @@ def _grid_drift_oracle_sql(cols: list[str], cut: str, n_bins: int = 10) -> str:
                            / sum(n_base) OVER () AS pb,
                        CAST(n_cur AS DOUBLE)
                            / sum(n_cur) OVER () AS pc
+                FROM j
+            )
+            GROUP BY tb, tc
+        """)
+    return " UNION ALL ".join(blocks) + ' ORDER BY "column"'
+
+
+def _wasserstein_oracle_sql(
+    cols: list[str], cut: str, n_bins: int = 10
+) -> str:
+    """Grid-Wasserstein oracle: same exact-percentile binning as the
+    grid-KS oracle, the SUM of |cross-multiplied CDF gaps| normalized
+    by tb*tc*n_bins (one division at the end, mirroring
+    wasserstein_grid_from_binned_counts)."""
+    fr = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    blocks = []
+    for c in cols:
+        blocks.append(f"""
+            SELECT '{c}' AS "column",
+                   round(sum(abs(CAST(cb AS DOUBLE) * tc
+                                 - CAST(cc AS DOUBLE) * tb))
+                         / (CAST(tb AS DOUBLE) * tc * {n_bins}), 6)
+                       AS wasserstein,
+                   CAST(tb AS BIGINT) AS n_base,
+                   CAST(tc AS BIGINT) AS n_cur
+            FROM (
+                WITH base AS (
+                    SELECT CAST({c} AS DOUBLE) AS v FROM lineitem
+                    WHERE l_shipdate < TIMESTAMP '{cut}' AND {c} IS NOT NULL
+                ),
+                cur AS (
+                    SELECT CAST({c} AS DOUBLE) AS v FROM lineitem
+                    WHERE l_shipdate >= TIMESTAMP '{cut}' AND {c} IS NOT NULL
+                ),
+                e AS (SELECT list_transform(quantile_cont(v, [{fr}]),
+                            x -> round(x, 9)) AS edges FROM base),
+                bb AS (SELECT len(list_filter(e.edges, x -> x <= v)) AS bin
+                       FROM base, e),
+                cb2 AS (SELECT len(list_filter(e.edges, x -> x <= v)) AS bin
+                        FROM cur, e),
+                slots AS (SELECT unnest(range({n_bins})) AS bin),
+                nb AS (SELECT s.bin, coalesce(x.n, 0) AS n_base
+                       FROM slots s LEFT JOIN
+                            (SELECT bin, count(*) AS n FROM bb GROUP BY 1) x
+                            USING (bin)),
+                nc AS (SELECT s.bin, coalesce(x.n, 0) AS n_cur
+                       FROM slots s LEFT JOIN
+                            (SELECT bin, count(*) AS n FROM cb2 GROUP BY 1) x
+                            USING (bin)),
+                j AS (SELECT bin, n_base, n_cur
+                      FROM nb JOIN nc USING (bin))
+                SELECT CAST(sum(n_base) OVER (ORDER BY bin) AS BIGINT) AS cb,
+                       CAST(sum(n_cur) OVER (ORDER BY bin) AS BIGINT) AS cc,
+                       CAST(sum(n_base) OVER () AS BIGINT) AS tb,
+                       CAST(sum(n_cur) OVER () AS BIGINT) AS tc
                 FROM j
             )
             GROUP BY tb, tc
@@ -5370,9 +5429,34 @@ def q_v10_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column")
 
 
+def q_v12_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-Wasserstein drift (quality/drift.py:wasserstein_drift):
+    the MEAN CDF gap on the baseline's quantile bins, normalized to
+    [0, 1] — the average-shift companion to v7's sup-gap KS (a
+    persistent small shift across many bins integrates here where KS
+    understates it and PSI's clamp saturates).  Same one-edge-
+    aggregate + map-side-binning shape as v5/v10; integer cumulative
+    counts until one division.  ``edge_accuracy=None`` is gate
+    plumbing for the cross-engine oracle (v5's note)."""
+    from recover_spark.quality.drift import wasserstein_drift
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    cut = "1998-06-01"
+    base = lineitem.filter(F.col("l_shipdate") < F.lit(cut))
+    cur = lineitem.filter(F.col("l_shipdate") >= F.lit(cut))
+    return wasserstein_drift(
+        base,
+        cur,
+        ["l_extendedprice", "l_quantity", "l_discount"],
+        n_bins=10,
+        edge_accuracy=None,
+    ).orderBy("column")
+
+
 def q_stream_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KS/JS drift-on-arrival (streaming/drift.py:read_drift_ks,
-    read_drift_js): the SAME frozen-baseline/accumulated-counts state
+    """KS/JS/Wasserstein drift-on-arrival (streaming/drift.py:
+    read_drift_ks, read_drift_js, read_drift_wasserstein): the SAME
+    frozen-baseline/accumulated-counts state
     the PSI matview maintains, read through two more lenses — no
     extra stream, no extra state, which is the point: one arrival
     pipeline maintains integer binned counts, and every drift
@@ -5390,6 +5474,7 @@ def q_stream_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         maintain_drift_matview,
         read_drift_js,
         read_drift_ks,
+        read_drift_wasserstein,
     )
 
     run_dir = f"spark-warehouse/drift_ks/{uuid.uuid4().hex}"
@@ -5416,7 +5501,13 @@ def q_stream_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     js = read_drift_js(spark, f"{run_dir}/state").select(
         "column", "js", "hellinger"
     )
-    return ks.join(js, "column").orderBy("column")
+    # round 9: the Wasserstein read-side rides the SAME state — the
+    # whole point of the one-arrival-pipeline design is that a new
+    # statistic costs one metadata-sized fold, not a new stream
+    wd = read_drift_wasserstein(spark, f"{run_dir}/state").select(
+        "column", "wasserstein"
+    )
+    return ks.join(js, "column").join(wd, "column").orderBy("column")
 
 
 def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5464,13 +5555,28 @@ def _pca_fixture_components(sf_dir: str, k: int = 4):
         ).fetchall()
         con.close()
         x = np.asarray([r[0] for r in rows], dtype=np.float64)
-        mean, comps, _ = components_from_moments(
+        mean, comps, vals = components_from_moments(
             x.T @ x, x.sum(axis=0), float(len(x)), k
         )
-        mu_dot_w = [
-            float(sum(m * w for m, w in zip(mean, comp))) for comp in comps
-        ]
-        _PCA_FIXTURE_CACHE[key] = (mean, comps, mu_dot_w)
+        # whitened components: each axis scaled to unit variance —
+        # same linearity lets the scale fold into the vectors, so the
+        # projection operator is reused unchanged
+        wcomps = np.asarray(
+            [comps[c] / np.sqrt(max(float(vals[c]), 1e-12)) for c in range(k)]
+        )
+
+        def _mu_dots(cs):
+            return [
+                float(sum(m * w for m, w in zip(mean, comp))) for comp in cs
+            ]
+
+        _PCA_FIXTURE_CACHE[key] = {
+            "mean": mean,
+            "comps": comps,
+            "mu_dot_w": _mu_dots(comps),
+            "wcomps": wcomps,
+            "mu_dot_ww": _mu_dots(wcomps),
+        }
     return _PCA_FIXTURE_CACHE[key]
 
 
@@ -5484,26 +5590,48 @@ def q_emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round-8 verdict task #7; the eigensolve stays pytest-pinned)."""
     from recover_spark.ops.pca import pca_project
 
-    mean, comps, _ = _pca_fixture_components(sf_dir)
+    fx = _pca_fixture_components(sf_dir)
     emb = _load(spark, sf_dir, "embeddings")
-    k = len(comps)
-    return pca_project(emb, mean, comps, "embedding").select(
+    k = len(fx["comps"])
+    return pca_project(emb, fx["mean"], fx["comps"], "embedding").select(
         "vec_id", *[f"pc{c}" for c in range(k)]
     ).orderBy("vec_id")
 
 
-def _pca_project_oracle_sql(sf_dir: str = SF_ORACLE) -> str | None:
-    """Oracle twin of q_emb_pca_project: each pc column is the
-    explicit left-to-right term sum x_1*w_1 + ... + x_d*w_d minus the
-    precomputed <mu, w> — the SAME add sequence as Spark's zip_with
-    fold, so the doubles are bit-identical before the shared
-    round-and-neutralize tail.  Returns None when the fixture parquet
-    is absent (the key is then omitted -> rows-only check)."""
+def q_emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-whitening projection: the same JVM-side fold as
+    emb_pca_project with the component vectors pre-scaled to unit
+    variance (1/sqrt(eigenvalue) folds into the broadcast constants —
+    the decorrelate-and-normalize step before cosine kNN or k-means
+    on embeddings).  Oracle inlines the SAME whitened constants."""
+    from recover_spark.ops.pca import pca_project
+
+    fx = _pca_fixture_components(sf_dir)
+    emb = _load(spark, sf_dir, "embeddings")
+    k = len(fx["wcomps"])
+    return pca_project(
+        emb, fx["mean"], fx["wcomps"], "embedding", out_prefix="wpc"
+    ).select("vec_id", *[f"wpc{c}" for c in range(k)]).orderBy("vec_id")
+
+
+def _pca_project_oracle_sql(
+    sf_dir: str = SF_ORACLE, whiten: bool = False
+) -> str | None:
+    """Oracle twin of q_emb_pca_project / q_emb_whiten: each score
+    column is the explicit left-to-right term sum x_1*w_1 + ... +
+    x_d*w_d minus the precomputed <mu, w> — the SAME add sequence as
+    Spark's zip_with fold, so the doubles are bit-identical before
+    the shared round-and-neutralize tail.  Returns None when the
+    fixture parquet is absent (the key is then omitted -> rows-only
+    check)."""
     import os
 
     if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
         return None
-    _, comps, mu_dot_w = _pca_fixture_components(sf_dir)
+    fx = _pca_fixture_components(sf_dir)
+    comps = fx["wcomps"] if whiten else fx["comps"]
+    mu = fx["mu_dot_ww"] if whiten else fx["mu_dot_w"]
+    prefix = "wpc" if whiten else "pc"
     cols = []
     for c, comp in enumerate(comps):
         terms = " + ".join(
@@ -5511,7 +5639,7 @@ def _pca_project_oracle_sql(sf_dir: str = SF_ORACLE) -> str | None:
             for i, w in enumerate(comp)
         )
         cols.append(
-            f"round(({terms}) - {mu_dot_w[c]!r} + 1e-9, 6) + 0.0 AS pc{c}"
+            f"round(({terms}) - {mu[c]!r} + 1e-9, 6) + 0.0 AS {prefix}{c}"
         )
     return (
         "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
@@ -5533,6 +5661,21 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
     ).distinct()
     return k_core(edges, k=6).orderBy("node")
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the order/part graph
+    (ops/graph.py:degree_assortativity): Pearson over symmetrized
+    endpoint degrees — one degree aggregate, two equi-joins, one
+    scalar fold; strongly negative on a bipartite hub structure."""
+    from recover_spark.ops.graph import degree_assortativity
+
+    li = _load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("dst"),
+    ).distinct()
+    return degree_assortativity(edges)
 
 
 def q_agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5808,6 +5951,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "retrieval_rank_metrics": q_retrieval_rank_metrics,
         "agg_ab_prop_ztest": q_agg_ab_prop_ztest,
+        "v12_drift_wasserstein": q_v12_drift_wasserstein,
+        "emb_whiten": q_emb_whiten,
+        "graph_assortativity": q_graph_assortativity,
         "agg_basket_lift": q_agg_basket_lift,
         "ts_theil_sen": q_ts_theil_sen,
         "emb_pca": q_emb_pca,
@@ -5974,6 +6120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history",
         "retrieval_rank_metrics",
         "agg_ab_prop_ztest",
+        "v12_drift_wasserstein",
+        "emb_whiten",
+        "graph_assortativity",
         # (c) negative-capable oracles touched by the -0.0 sweep
         "ts_theil_sen",
         "ts_cusum",
@@ -6331,6 +6480,9 @@ def oracle_sql() -> dict[str, str]:
     pca_proj = _pca_project_oracle_sql()
     if pca_proj is not None:
         out["emb_pca_project"] = pca_proj
+    pca_whiten = _pca_project_oracle_sql(whiten=True)
+    if pca_whiten is not None:
+        out["emb_whiten"] = pca_whiten
     return out
 
 
@@ -8654,6 +8806,43 @@ def _oracle_sql_literal() -> dict[str, str]:
         "stream_drift_ks": _grid_drift_oracle_sql(
             ["l_extendedprice", "l_quantity"], "1998-06-01", 10,
         ),
+        "v12_drift_wasserstein": _wasserstein_oracle_sql(
+            ["l_extendedprice", "l_quantity", "l_discount"],
+            "1998-06-01", 10,
+        ),
+        "graph_assortativity": """
+            WITH raw AS (
+                SELECT DISTINCT concat('o', l_orderkey) AS s,
+                                concat('p', l_partkey) AS d
+                FROM lineitem),
+            und AS (
+                SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d
+                FROM raw WHERE s <> d),
+            sym AS (
+                SELECT s, d FROM und
+                UNION ALL
+                SELECT d AS s, s AS d FROM und),
+            deg AS (
+                SELECT s AS n, CAST(count(*) AS BIGINT) AS deg
+                FROM sym GROUP BY 1),
+            p AS (
+                SELECT CAST(a.deg AS DOUBLE) AS ds,
+                       CAST(b.deg AS DOUBLE) AS dd
+                FROM sym JOIN deg a ON sym.s = a.n
+                         JOIN deg b ON sym.d = b.n),
+            ns AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                       avg(deg) AS ad
+                FROM deg)
+            SELECT round(CASE WHEN stddev_samp(ds) * stddev_samp(dd) > 0
+                         THEN covar_samp(ds, dd)
+                              / (stddev_samp(ds) * stddev_samp(dd))
+                         END + 1e-9, 6) + 0.0 AS assortativity,
+                   CAST(count(*) / 2 AS BIGINT) AS n_edges,
+                   max(ns.n_nodes) AS n_nodes,
+                   round(max(ns.ad) + 1e-9, 6) + 0.0 AS avg_degree
+            FROM p CROSS JOIN ns
+        """,
         "v5_drift_psi": _psi_oracle_sql(
             ["l_discount", "l_extendedprice", "l_quantity"], "1998-06-01"
         ),

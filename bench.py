@@ -125,6 +125,9 @@ HEADLINE = [
     "scd2_history",
     "retrieval_rank_metrics",
     "agg_ab_prop_ztest",
+    "v12_drift_wasserstein",
+    "emb_whiten",
+    "graph_assortativity",
 ]
 
 

@@ -356,3 +356,79 @@ def k_core(
         f"k_core did not reach the fixpoint in {max_rounds} peeling "
         "rounds — a pathological chain graph, or raise max_rounds"
     )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Newman's degree assortativity coefficient: the Pearson
+    correlation of endpoint degrees over the symmetrized edge list —
+    positive when hubs link to hubs (social cores), negative when
+    hubs link to leaves (hub-and-spoke / bipartite-ish structure).
+    The one-number structural screen that pairs with ``k_core``
+    (which EXTRACTS the dense region; this asks whether density
+    attracts density), computed without any iteration.
+
+    Pearson over the directed (both-ways) pair list is exactly
+    Newman's r: sample-vs-population normalizations cancel in a
+    correlation.  The correlation is composed from
+    covar_samp / (stddev * stddev) with ``try_divide`` (the
+    correlation_matrix contract: a degenerate regular graph — zero
+    degree variance — yields NULL, not a division error).
+
+    Engine shape: canonical dedup + symmetrize (the k_core kernel),
+    ONE node-keyed degree aggregate, two equi-joins hanging the
+    degree on each endpoint (node-count-sized build sides), one
+    final scalar aggregate.  No iteration, no cartesian.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .select(
+            F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d")
+        )
+        .distinct()
+    )
+    sym = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    deg = sym.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    paired = (
+        sym.join(deg.select(F.col("s"), F.col("deg").alias("__ds")), "s")
+        .join(
+            deg.select(
+                F.col("s").alias("d"), F.col("deg").alias("__dd")
+            ),
+            "d",
+        )
+        .select(
+            F.col("__ds").cast("double").alias("__ds"),
+            F.col("__dd").cast("double").alias("__dd"),
+        )
+    )
+    node_stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.avg("deg").alias("__avg_deg"),
+    )
+    r = F.try_divide(
+        F.covar_samp("__ds", "__dd"),
+        F.stddev_samp("__ds") * F.stddev_samp("__dd"),
+    )
+    return (
+        paired.agg(
+            F.round(r + F.lit(1e-9), round_digits).alias("assortativity"),
+            (F.count(F.lit(1)) / F.lit(2)).cast("long").alias("n_edges"),
+        )
+        .crossJoin(F.broadcast(node_stats))
+        .select(
+            "assortativity",
+            "n_edges",
+            "n_nodes",
+            F.round(F.col("__avg_deg") + F.lit(1e-9), round_digits).alias(
+                "avg_degree"
+            ),
+        )
+    )

@@ -819,6 +819,116 @@ def ks_grid_from_binned_counts(
     )
 
 
+def wasserstein_grid_from_binned_counts(
+    base_counts: DataFrame,
+    cur_counts: DataFrame,
+    cols: Sequence[str],
+    n_bins: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Wasserstein-1 distance between the two eras on the UNIT-BIN
+    metric (each quantile bin counts as distance 1), from already-
+    binned per-(column, bin) count tables — the average-gap companion
+    to :func:`ks_grid_from_binned_counts` (KS is the SUP of the CDF
+    gap; W1 on the grid is its MEAN), normalized by ``n_bins`` so the
+    value lands in [0, 1] and thresholds transfer across columns.  A
+    persistent small shift across many bins — which KS understates
+    and PSI's clamp can saturate on — integrates here.
+
+    W = sum_b |F_base(b) - F_cur(b)| / n_bins, computed as the
+    cross-multiplied cumulative counts sum(|cb*Nc - cc*Nb|) until the
+    ONE final division by Nb*Nc*n_bins — so the streamed read-side
+    (which shares this function) is bit-identical to batch binning of
+    the union, by count additivity.  The cross-multiplication runs in
+    double (int64 overflows past ~3e9-row eras — the grid-KS
+    contract).  An empty era yields NULL (degenerate-side contract).
+    """
+    from pyspark.sql import Window
+
+    cols = list(cols)
+    slots = base_counts.sparkSession.createDataFrame(
+        [(c, b) for c in cols for b in range(n_bins)],
+        "column string, bin int",
+    )
+    joined = (
+        slots.join(base_counts, ["column", "bin"], "left")
+        .join(cur_counts, ["column", "bin"], "left")
+        .fillna(0, subset=["n_base", "n_cur"])
+    )
+    w_cum = (
+        Window.partitionBy("column")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = joined.groupBy("column").agg(
+        F.sum("n_base").alias("__tb"), F.sum("n_cur").alias("__tc")
+    )
+    cum = joined.select(
+        "column",
+        "bin",
+        F.sum("n_base").over(w_cum).alias("__cb"),
+        F.sum("n_cur").over(w_cum).alias("__cc"),
+    )
+    # totals as max() aggregates, not grouping keys (the measured 3x
+    # plan-regression lesson, see psi_from_binned_counts)
+    return (
+        cum.join(F.broadcast(tot), "column")
+        .groupBy("column")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("__cb").cast("double")
+                    * F.col("__tc").cast("double")
+                    - F.col("__cc").cast("double")
+                    * F.col("__tb").cast("double")
+                )
+            ).alias("__dsum"),
+            F.max("__tb").alias("__mtb"),
+            F.max("__tc").alias("__mtc"),
+        )
+        .select(
+            "column",
+            F.round(
+                F.try_divide(
+                    F.col("__dsum"),
+                    F.col("__mtb").cast("double")
+                    * F.col("__mtc").cast("double")
+                    * F.lit(float(n_bins)),
+                ),
+                round_digits,
+            ).alias("wasserstein"),
+            F.col("__mtb").alias("n_base"),
+            F.col("__mtc").alias("n_cur"),
+        )
+    )
+
+
+def wasserstein_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    cols: Sequence[str],
+    n_bins: int = 10,
+    round_digits: int = 6,
+    edge_accuracy: int | None = 10_000,
+) -> DataFrame:
+    """Per-column grid-Wasserstein drift of ``current`` against
+    ``baseline`` on the baseline's quantile bins — same one-edge-
+    aggregate + map-side-binning shape as :func:`psi_drift` /
+    :func:`js_drift`, with the W1 fold of
+    :func:`wasserstein_grid_from_binned_counts` as the tail."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    edges_row = quantile_edge_row(baseline, cols, n_bins, edge_accuracy)
+    base_counts = binned_counts_against_edges(
+        baseline, edges_row, cols, "base"
+    )
+    cur_counts = binned_counts_against_edges(current, edges_row, cols, "cur")
+    return wasserstein_grid_from_binned_counts(
+        base_counts, cur_counts, cols, n_bins, round_digits
+    )
+
+
 def benford_screen(
     df: DataFrame,
     cols: Sequence[str],

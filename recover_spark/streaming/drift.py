@@ -360,3 +360,29 @@ def read_drift_js(
     return js_from_binned_counts(
         base, _current_counts(spark, state_path), cols, n_bins, round_digits
     ).orderBy("column")
+
+
+def read_drift_wasserstein(
+    spark: SparkSession,
+    state_path: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Grid-Wasserstein per column from the SAME frozen-baseline /
+    accumulated-counts state every numeric read-side shares — no
+    extra stream, no extra state.  KS reads the SUP of the CDF gap,
+    this reads its MEAN (unit-bin metric, normalized to [0, 1]); the
+    statistic stays in cross-multiplied cumulative counts until one
+    final division, so the streamed value is bit-identical to batch
+    binning of the union (count additivity — the grid-KS contract).
+    Before any batch arrives the current side is empty and the value
+    is NULL (degenerate-side contract)."""
+    from recover_spark.quality.drift import (
+        wasserstein_grid_from_binned_counts,
+    )
+
+    meta = _read_meta(state_path)
+    cols, n_bins = meta["cols"], meta["n_bins"]
+    base = spark.read.parquet(os.path.join(state_path, "baseline_counts"))
+    return wasserstein_grid_from_binned_counts(
+        base, _current_counts(spark, state_path), cols, n_bins, round_digits
+    ).orderBy("column")

@@ -401,3 +401,176 @@ class TestPropZtest:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestWassersteinGrid:
+    def test_golden_disjoint_and_identical(self, spark):
+        from recover_spark.quality.drift import (
+            wasserstein_grid_from_binned_counts,
+        )
+
+        base = spark.createDataFrame(
+            [("v", 0, 100), ("v", 1, 0)],
+            "column string, bin int, n_base long",
+        )
+        cur = spark.createDataFrame(
+            [("v", 0, 0), ("v", 1, 100)],
+            "column string, bin int, n_cur long",
+        )
+        row = wasserstein_grid_from_binned_counts(
+            base, cur, ["v"], 2
+        ).collect()[0]
+        # CDF gap 1 at bin 0, 0 at the last bin -> mean gap 0.5
+        assert row["wasserstein"] == pytest.approx(0.5, abs=1e-9)
+        same = wasserstein_grid_from_binned_counts(
+            base,
+            base.withColumnRenamed("n_base", "n_cur"),
+            ["v"],
+            2,
+        ).collect()[0]
+        assert same["wasserstein"] == 0.0
+
+    def test_mean_vs_sup_gap(self, spark):
+        from recover_spark.quality.drift import (
+            ks_grid_from_binned_counts,
+            wasserstein_grid_from_binned_counts,
+        )
+
+        # a persistent small shift: every bin's CDF gap is 0.1
+        base = spark.createDataFrame(
+            [("v", b, 10) for b in range(10)],
+            "column string, bin int, n_base long",
+        )
+        cur = spark.createDataFrame(
+            [("v", 0, 20)] + [("v", b, 10) for b in range(1, 9)]
+            + [("v", 9, 0)],
+            "column string, bin int, n_cur long",
+        )
+        ks = ks_grid_from_binned_counts(base, cur, ["v"], 10).collect()[0]
+        wd = wasserstein_grid_from_binned_counts(
+            base, cur, ["v"], 10
+        ).collect()[0]
+        assert ks["ks_grid"] == pytest.approx(0.1, abs=1e-9)
+        # 9 bins at gap 0.1, the last at 0 -> mean 0.09
+        assert wd["wasserstein"] == pytest.approx(0.09, abs=1e-9)
+
+    def test_billion_row_counts_and_empty_era(self, spark):
+        from recover_spark.quality.drift import (
+            wasserstein_grid_from_binned_counts,
+        )
+
+        big = 2_000_000_000
+        base = spark.createDataFrame(
+            [("v", 0, big), ("v", 1, big)],
+            "column string, bin int, n_base long",
+        )
+        cur = spark.createDataFrame(
+            [("v", 0, 2 * big), ("v", 1, 0)],
+            "column string, bin int, n_cur long",
+        )
+        row = wasserstein_grid_from_binned_counts(
+            base, cur, ["v"], 2
+        ).collect()[0]
+        assert row["wasserstein"] == pytest.approx(0.25, abs=1e-9)
+        empty = spark.createDataFrame(
+            [], "column string, bin int, n_cur long"
+        )
+        deg = wasserstein_grid_from_binned_counts(
+            base, empty, ["v"], 2
+        ).collect()[0]
+        assert deg["wasserstein"] is None
+
+
+class TestEmbWhiten:
+    def test_whitened_scores_unit_variance_uncorrelated(self, spark):
+        import statistics
+
+        import __spark_entry__ as entrymod
+
+        df = entrymod.q_emb_whiten(spark, entrymod.SF_SMOKE)
+        rows = df.collect()
+        cols = [c for c in df.columns if c.startswith("wpc")]
+        series = {c: [r[c] for r in rows] for c in cols}
+        for c in cols:
+            assert statistics.variance(series[c]) == pytest.approx(
+                1.0, abs=1e-3
+            )
+        # distinct principal axes are uncorrelated after whitening
+        c01 = statistics.correlation(series["wpc0"], series["wpc1"])
+        assert abs(c01) < 1e-3
+
+
+class TestDegreeAssortativity:
+    def test_star_is_perfectly_disassortative(self, spark):
+        from recover_spark.ops.graph import degree_assortativity
+
+        edges = spark.createDataFrame(
+            [("hub", "a"), ("hub", "b"), ("hub", "c")],
+            "src string, dst string",
+        )
+        row = degree_assortativity(edges).collect()[0]
+        assert row["assortativity"] == pytest.approx(-1.0, abs=1e-6)
+        assert row["n_edges"] == 3 and row["n_nodes"] == 4
+        assert row["avg_degree"] == pytest.approx(1.5, abs=1e-6)
+
+    def test_regular_graph_null(self, spark):
+        from recover_spark.ops.graph import degree_assortativity
+
+        # 4-cycle: every degree 2 -> zero variance -> NULL contract
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+            "src string, dst string",
+        )
+        row = degree_assortativity(edges).collect()[0]
+        assert row["assortativity"] is None
+        assert row["n_edges"] == 4
+
+    def test_bidirectional_input_invariant(self, spark):
+        from recover_spark.ops.graph import degree_assortativity
+
+        one = [("hub", "a"), ("hub", "b"), ("hub", "c"), ("a", "b")]
+        both = one + [(d, s) for s, d in one]
+        r1 = degree_assortativity(
+            spark.createDataFrame(one, "src string, dst string")
+        ).collect()[0]
+        r2 = degree_assortativity(
+            spark.createDataFrame(both, "src string, dst string")
+        ).collect()[0]
+        assert r1 == r2
+
+    def test_matches_numpy_pearson(self, spark):
+        import random
+
+        from recover_spark.ops.graph import degree_assortativity
+
+        rng = random.Random(7)
+        raw = {
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(30), rng.randrange(30)) for _ in range(120)
+            )
+            if a != b
+        }
+        df = spark.createDataFrame(
+            [(f"n{a}", f"n{b}") for a, b in raw], "src string, dst string"
+        )
+        got = degree_assortativity(df).collect()[0]
+
+        deg: dict = {}
+        for a, b in raw:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        xs, ys = [], []
+        for a, b in raw:
+            xs += [deg[a], deg[b]]
+            ys += [deg[b], deg[a]]
+        n = len(xs)
+        mx = sum(xs) / n
+        my = sum(ys) / n
+        cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / (n - 1)
+        sx = (sum((x - mx) ** 2 for x in xs) / (n - 1)) ** 0.5
+        sy = (sum((y - my) ** 2 for y in ys) / (n - 1)) ** 0.5
+        assert got["assortativity"] == pytest.approx(
+            cov / (sx * sy), abs=1e-6
+        )
+        assert got["n_edges"] == len(raw)

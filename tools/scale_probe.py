@@ -100,6 +100,9 @@ PROBES = [
     # retrieval_rank_metrics probes the supplier DIM (not replicated)
     # — excluded like link_records; its joins are candidate-list-sized
     "agg_ab_prop_ztest",    # one conditional-aggregate fact shuffle
+    "v12_drift_wasserstein",  # same binning as v10; bins-sized fold
+    "emb_whiten",           # broadcast scaled components, JVM fold
+    "graph_assortativity",  # degree agg + two equi-joins + scalar fold
 ]
 
 
