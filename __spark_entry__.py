@@ -5871,6 +5871,85 @@ def q_agg_ab_prop_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_stream_upsert_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert, run FOR REAL
+    (streaming/matview.py:maintain_upsert_matview): the events change
+    log streams through four availableNow micro-batches and folds
+    into a keyed latest-state snapshot (latest-wins on (ts,
+    event_id) per user — the W1 rule applied incrementally, so
+    replays and out-of-order arrivals cannot regress state).  Oracle:
+    the plain batch latest-record query — incremental maintenance
+    must be invisible in the result."""
+    import uuid
+
+    from recover_spark.streaming.matview import (
+        maintain_upsert_matview,
+        read_upsert_matview,
+    )
+
+    run_dir = f"spark-warehouse/matview_upsert_q/{uuid.uuid4().hex}"
+    src = f"{run_dir}/src"
+    events = _load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_timestamp("ts").alias("sec"),
+    )
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, "
+            "value double, sec long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_upsert_matview(
+        stream,
+        f"{run_dir}/state",
+        f"{run_dir}/ckpt",
+        ["user_id"],
+        ["sec", "event_id"],
+    )
+    q.awaitTermination(300)
+    return read_upsert_matview(spark, f"{run_dir}/state").select(
+        "user_id", "event_id", "event_type", "value", "sec"
+    ).orderBy("user_id")
+
+
+def q_agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag weighted quantiles of unit price, weighted by
+    quantity (operators/analytics.py:weighted_quantiles_by_group):
+    cumulative weight decomposes over value-quantile buckets (the
+    gini machinery), every q resolves as a conditional min in ONE
+    final aggregate.  l_quantity is integer-valued, so the crossing
+    comparisons are exact in both engines."""
+    from recover_spark.operators.analytics import weighted_quantiles_by_group
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return weighted_quantiles_by_group(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        "l_quantity",
+        qs=(0.25, 0.5, 0.75, 0.9),
+    ).orderBy("l_returnflag")
+
+
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary
+    (ops/text_analysis.py:zipf_fit): one vocabulary aggregate, a
+    deterministic top-200 by (freq DESC, term ASC), then the existing
+    regr_* regression on the 200-row log-log frame."""
+    from recover_spark.ops.text_analysis import zipf_fit
+
+    docs = _load(spark, sf_dir, "documents")
+    return zipf_fit(docs, "text", top_n=200)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -5954,6 +6033,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v12_drift_wasserstein": q_v12_drift_wasserstein,
         "emb_whiten": q_emb_whiten,
         "graph_assortativity": q_graph_assortativity,
+        "agg_weighted_quantiles": q_agg_weighted_quantiles,
+        "text_zipf": q_text_zipf,
+        "stream_upsert_matview": q_stream_upsert_matview,
         "agg_basket_lift": q_agg_basket_lift,
         "ts_theil_sen": q_ts_theil_sen,
         "emb_pca": q_emb_pca,
@@ -6123,6 +6205,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v12_drift_wasserstein",
         "emb_whiten",
         "graph_assortativity",
+        "agg_weighted_quantiles",
+        "text_zipf",
+        "stream_upsert_matview",
         # (c) negative-capable oracles touched by the -0.0 sweep
         "ts_theil_sen",
         "ts_cusum",
@@ -7114,6 +7199,48 @@ def _oracle_sql_literal() -> dict[str, str]:
                          END + 1e-9, 6) + 0.0 AS z_stat
             FROM a
         """,
+        "stream_upsert_matview": """
+            WITH ev AS (
+                -- floor() mirrors Spark unix_timestamp's truncation
+                SELECT event_id, user_id, event_type, value,
+                       CAST(floor(epoch(ts)) AS BIGINT) AS sec
+                FROM events),
+            r AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY sec DESC, event_id DESC) AS rn
+                FROM ev)
+            SELECT user_id, event_id, event_type, value, sec
+            FROM r WHERE rn = 1
+        """,
+        "agg_weighted_quantiles": """
+            WITH x AS (
+                SELECT l_returnflag AS g,
+                       CAST(l_extendedprice AS DOUBLE) AS v,
+                       CAST(l_quantity AS DOUBLE) AS w
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                      AND l_quantity IS NOT NULL AND l_quantity > 0),
+            c AS (
+                SELECT g, v, w,
+                       sum(w) OVER (PARTITION BY g ORDER BY v
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cw,
+                       sum(w) OVER (PARTITION BY g) AS wt
+                FROM x)
+            SELECT g AS l_returnflag,
+                   round(max(wt) + 1e-9, 6) + 0.0 AS w_total,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(min(CASE WHEN cw >= 0.25 * wt THEN v END)
+                         + 1e-9, 6) + 0.0 AS q25,
+                   round(min(CASE WHEN cw >= 0.5 * wt THEN v END)
+                         + 1e-9, 6) + 0.0 AS q50,
+                   round(min(CASE WHEN cw >= 0.75 * wt THEN v END)
+                         + 1e-9, 6) + 0.0 AS q75,
+                   round(min(CASE WHEN cw >= 0.9 * wt THEN v END)
+                         + 1e-9, 6) + 0.0 AS q90
+            FROM c GROUP BY g
+        """,
         "retention_cohorts": """
             WITH by_week AS (
                 SELECT user_id,
@@ -7147,6 +7274,26 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(coalesce(g.best * 1.0 / g.total, 0.0), 6)
                        AS top_bigram_frac
             FROM toks k LEFT JOIN gtop g USING (doc_id)
+        """,
+        "text_zipf": f"""
+            WITH {_TOKS_CTE},
+            vocab AS (
+                SELECT u.w AS term, CAST(count(*) AS BIGINT) AS freq
+                FROM toks, UNNEST(t) AS u(w) GROUP BY 1),
+            top AS (
+                SELECT term, freq,
+                       row_number() OVER (
+                           ORDER BY freq DESC, term ASC) AS r
+                FROM vocab QUALIFY r <= 200),
+            l AS (
+                SELECT log10(CAST(r AS DOUBLE)) AS x,
+                       log10(CAST(freq AS DOUBLE)) AS y
+                FROM top)
+            SELECT round(regr_slope(y, x), 6) AS slope,
+                   round(regr_intercept(y, x), 6) AS intercept,
+                   round(regr_r2(y, x), 6) AS r2,
+                   regr_count(y, x) AS n_points
+            FROM l
         """,
         "text_collocations": f"""
             WITH {_TOKS_CTE},

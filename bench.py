@@ -128,6 +128,9 @@ HEADLINE = [
     "v12_drift_wasserstein",
     "emb_whiten",
     "graph_assortativity",
+    "agg_weighted_quantiles",
+    "text_zipf",
+    "stream_upsert_matview",
 ]
 
 
@@ -180,6 +183,7 @@ def main() -> None:
         "dedup_cosine_probe_compacted",
         "stream_drift_psi",
         "stream_drift_ks",
+        "stream_upsert_matview",
     }
     timings: dict[str, float] = {}
     phases: dict[str, dict[str, float]] = {}

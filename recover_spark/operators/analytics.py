@@ -999,21 +999,44 @@ def trimmed_group_stats(
     group_cols = list(group_cols)
     if not 0.0 <= trim < 0.5:
         raise ValueError(f"trimmed_group_stats: trim={trim} not in [0, .5)")
+    from recover_spark.functions.transforms import materialize_columns
+
     nn = df.filter(F.col(value_col).isNotNull())
     probs = [i / buckets for i in range(1, buckets)]
     bounds = sorted(set(nn.stat.approxQuantile(value_col, probs, 0.001)))
     bucket = F.lit(0)
     for b in bounds:
         bucket = bucket + (F.col("__x") > F.lit(b)).cast("int")
-    staged = nn.select(
-        *group_cols, F.col(value_col).cast("double").alias("__x")
-    ).withColumn("__bucket", bucket)
+    # the bucket expression is O(buckets) comparisons per row AND a
+    # join key below: behind the Generate barrier it evaluates once
+    # per row as an attribute, and the join's isnotnull cannot push a
+    # copy of the whole expression into one branch's scan — which
+    # would make the branch subtrees non-identical and defeat
+    # ReuseExchange (measured ~4x on this operator)
+    staged = materialize_columns(
+        nn.select(
+            *group_cols, F.col(value_col).cast("double").alias("__x")
+        ),
+        {"__bucket": bucket},
+    )
 
     w = Window.partitionBy(*group_cols, "__bucket").orderBy("__x")
     ranked = staged.withColumn("__r", F.row_number().over(w))
-    per_bucket = staged.groupBy(*group_cols, "__bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("__cnt")
-    )
+    # per_bucket CONSUMES the window column (max local rank == count):
+    # counting with count(1) lets Catalyst eliminate the Window on
+    # this branch, which de-duplicates nothing — the branch re-scans
+    # and re-shuffles the fact; consuming __r keeps both branches'
+    # subtrees identical so ReuseExchange collapses them to ONE scan
+    # + ONE (group, bucket) shuffle (measured ~4x)
+    # (groups x buckets)-sized with TWO consumers (offsets, totals):
+    # pinned so the fact is not re-scanned per consumer — the
+    # aggregate-diamond lesson; the checkpoint is aggregate-sized.
+    # The operator is inherently TWO-pass over the fact (rank
+    # boundaries must exist before rows can be scored against them);
+    # the pin keeps it at exactly two.
+    per_bucket = ranked.groupBy(*group_cols, "__bucket").agg(
+        F.max("__r").cast("long").alias("__cnt")
+    ).localCheckpoint(eager=False)
     w_off = (
         Window.partitionBy(*group_cols)
         .orderBy("__bucket")
@@ -1075,6 +1098,128 @@ def trimmed_group_stats(
         F.round(wins + F.lit(1e-9), round_digits).alias("winsorized_mean"),
         F.round(F.col("__lo") + F.lit(1e-9), round_digits).alias("lo_clamp"),
         F.round(F.col("__hi") + F.lit(1e-9), round_digits).alias("hi_clamp"),
+    )
+
+
+def weighted_quantiles_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+    buckets: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group weighted quantiles: the smallest value whose
+    cumulative weight reaches q * total_weight (the lower/type-1
+    weighted quantile) — "the median order VALUE weighted by units
+    shipped", which the unweighted percentile family cannot answer
+    without exploding rows by weight.
+
+    The cumulative weight needs each row's position within its group
+    by value — the hot-key window hazard again — so it decomposes over
+    approx-quantile value buckets exactly like :func:`gini_by_group`:
+    ONE (group, bucket) window accumulates local weight, bucket weight
+    offsets fold on the aggregate-sized frame, and every requested q
+    resolves as a conditional ``min`` in ONE final aggregate (the
+    crossing set {cumw >= q*W} is upward-closed in value order, so its
+    min value IS the quantile; ties are invariant because the last
+    tied copy always carries the tie block's full cumulative weight).
+
+    Determinism note: the crossing comparison is exact only when
+    weights are exactly representable doubles (integers, halves);
+    irrational-sum weights can flip a row at the boundary by one ulp.
+    NULL values and NULL/non-positive weights are excluded (family
+    convention, documented rather than silently kept).
+    """
+    group_cols = list(group_cols)
+    qs = [float(q) for q in qs]
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"weighted_quantiles_by_group: bad qs {qs}")
+    nn = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+    )
+    from recover_spark.functions.transforms import materialize_columns
+
+    probs = [i / buckets for i in range(1, buckets)]
+    bounds = sorted(set(nn.stat.approxQuantile(value_col, probs, 0.001)))
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col("__x") > F.lit(b)).cast("int")
+    # Generate barrier: the O(buckets) bucket expression must stay an
+    # attribute — as a join key its isnotnull otherwise pushes a full
+    # copy into one branch's scan (see trimmed_group_stats)
+    staged = materialize_columns(
+        nn.select(
+            *group_cols,
+            F.col(value_col).cast("double").alias("__x"),
+            F.col(weight_col).cast("double").alias("__w"),
+        ),
+        {"__bucket": bucket},
+    )
+
+    w = (
+        Window.partitionBy(*group_cols, "__bucket")
+        .orderBy("__x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = staged.withColumn("__cw_local", F.sum("__w").over(w))
+    # derive bucket weights from LOCAL (the windowed subtree): the
+    # bucket's max cumulative weight IS its total.  The frame is
+    # (groups x buckets)-sized with TWO consumers (offsets, totals) —
+    # pinned per the aggregate-diamond lesson, keeping the operator
+    # at its inherent two passes over the fact (boundaries must exist
+    # before rows can be scored against them)
+    per_bucket = local.groupBy(*group_cols, "__bucket").agg(
+        F.max("__cw_local").alias("__bw")
+    ).localCheckpoint(eager=False)
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.withColumn(
+        "__off", F.coalesce(F.sum("__bw").over(w_off), F.lit(0.0))
+    )
+    totals = per_bucket.groupBy(*group_cols).agg(
+        F.sum("__bw").alias("__wt")
+    )
+    scored = (
+        local.join(
+            F.broadcast(offsets.select(*group_cols, "__bucket", "__off")),
+            [*group_cols, "__bucket"],
+        )
+        .join(F.broadcast(totals), group_cols)
+        .select(
+            *group_cols,
+            "__x",
+            "__wt",
+            (F.col("__off") + F.col("__cw_local")).alias("__cw"),
+        )
+    )
+    aggs = [
+        F.max("__wt").alias("w_total"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    ]
+    for q in qs:
+        tag = str(int(round(q * 100)))  # q25, q50, q75, q90
+        aggs.append(
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("__cw") >= F.lit(q) * F.col("__wt"),
+                        F.col("__x"),
+                    )
+                )
+                + F.lit(1e-9),
+                round_digits,
+            ).alias(f"q{tag}")
+        )
+    out = scored.groupBy(*group_cols).agg(*aggs)
+    return out.withColumn(
+        "w_total", F.round(F.col("w_total") + F.lit(1e-9), round_digits)
     )
 
 

@@ -936,3 +936,44 @@ def collocation_pmi(
             F.round(pmi + F.lit(1e-9), round_digits).alias("pmi"),
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 200,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Zipf's-law conformance of the corpus vocabulary: OLS fit of
+    log10(frequency) against log10(rank) over the top-N terms —
+    natural text runs a slope near -1 with high R²; template spam,
+    boilerplate floods, and synthetic/low-entropy corpora bend the
+    line (the corpus-level health diagnostic that pairs with the
+    per-document quality scores).
+
+    Spark-first composition, not a new kernel: ONE vocabulary
+    aggregate (map-side combine), a distributed top-N by (freq DESC,
+    term ASC) — the deterministic tiebreak matters, rank is a fit
+    INPUT — then ranking and the regression run on the N-row frame
+    via the existing :func:`~recover_spark.operators.analytics.
+    trend_regression` (regr_* mergeable built-ins).  Nothing after
+    the vocabulary aggregate exceeds N rows.
+    """
+    from pyspark.sql import Window
+
+    from recover_spark.operators.analytics import trend_regression
+
+    vocab = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    top = vocab.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(
+        int(top_n)
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+    ranked = top.withColumn("rank", F.row_number().over(w)).select(
+        F.log10(F.col("rank").cast("double")).alias("__x"),
+        F.log10(F.col("freq").cast("double")).alias("__y"),
+    )
+    return trend_regression(ranked, [], "__y", "__x")

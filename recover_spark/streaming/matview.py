@@ -620,3 +620,90 @@ def read_corr_matview(spark: SparkSession, state_path: str) -> DataFrame:
             "cov_samp"
         ),
     )
+
+
+def merge_upsert_state(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    batch_id: int | None = None,
+) -> None:
+    """Merge one change batch into a keyed latest-state snapshot —
+    the streaming MERGE INTO: per key, the row with the highest
+    ``order_cols`` across everything ever seen wins (the W1 latest-
+    record rule applied incrementally).
+
+    Latest-wins is commutative and idempotent, so a crash replay that
+    re-merges a batch converges to the same state even WITHOUT the
+    batch marker — the marker still short-circuits the no-op rewrite.
+    State stays O(distinct keys); each merge is one union + one
+    keyed WindowGroupLimit dedup (map-side top-1), swapped in with
+    the crash-safe two-rename generation protocol shared by every
+    matview.  Late or out-of-order changes can never regress state:
+    an older record loses the order comparison against what is
+    already persisted.
+    """
+    from pyspark.sql import Window
+
+    _recover_state(state_path)
+    if batch_id is not None:
+        applied = _applied_batch_id(state_path)
+        if applied is not None and batch_id <= applied:
+            return
+    keys = list(key_cols)
+    order = list(order_cols)
+
+    fresh = batch
+    state = Path(state_path)
+    if state.exists():
+        fresh = spark.read.parquet(state_path).unionByName(batch)
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order]
+    )
+    merged = (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+    tmp = str(state) + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
+    _swap_state(tmp, state_path)
+
+
+def maintain_upsert_matview(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+):
+    """Run one availableNow increment of the keyed latest-state
+    snapshot (the CDC-upsert materialized view).  Returns the
+    StreamingQuery."""
+    spark = stream.sparkSession
+    keys = list(key_cols)
+    order = list(order_cols)
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        merge_upsert_state(spark, batch, state_path, keys, order, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_upsert_matview(spark: SparkSession, state_path: str) -> DataFrame:
+    """Current latest-state snapshot (empty-schema-free: callers know
+    their own schema; before any batch this raises like any missing
+    parquet read — the matview family's read-side contract is that
+    maintain ran at least once)."""
+    _recover_state(state_path)
+    return spark.read.parquet(state_path)

@@ -574,3 +574,170 @@ class TestDegreeAssortativity:
             cov / (sx * sy), abs=1e-6
         )
         assert got["n_edges"] == len(raw)
+
+
+class TestWeightedQuantiles:
+    def test_golden_weighted_median(self, spark):
+        from recover_spark.operators.analytics import (
+            weighted_quantiles_by_group,
+        )
+
+        df = spark.createDataFrame(
+            [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 2.0)],
+            "g string, v double, w double",
+        )
+        row = weighted_quantiles_by_group(
+            df, ["g"], "v", "w", qs=(0.5, 0.75)
+        ).collect()[0]
+        # cum weights 1, 2, 4 of total 4: q50 crosses at v=2, q75 at v=3
+        assert row["w_total"] == 4.0 and row["n"] == 3
+        assert row["q50"] == 2.0
+        assert row["q75"] == 3.0
+
+    def test_unit_weights_match_type1_quantile(self, spark):
+        import random
+
+        from recover_spark.operators.analytics import (
+            weighted_quantiles_by_group,
+        )
+
+        rng = random.Random(31)
+        vals = [round(rng.uniform(0, 100), 2) for _ in range(257)]
+        df = spark.createDataFrame(
+            [("g", v, 1.0) for v in vals], "g string, v double, w double"
+        )
+        row = weighted_quantiles_by_group(
+            df, ["g"], "v", "w", qs=(0.25, 0.5, 0.9), buckets=7
+        ).collect()[0]
+        xs = sorted(vals)
+        n = len(xs)
+        for q, col in ((0.25, "q25"), (0.5, "q50"), (0.9, "q90")):
+            want = xs[math.ceil(q * n) - 1]  # type-1 lower quantile
+            assert row[col] == pytest.approx(want, abs=1e-6)
+
+    def test_exclusions_and_guards(self, spark):
+        from recover_spark.operators.analytics import (
+            weighted_quantiles_by_group,
+        )
+
+        df = spark.createDataFrame(
+            [("g", 1.0, 1.0), ("g", None, 5.0), ("g", 9.0, None),
+             ("g", 9.0, 0.0), ("g", 9.0, -2.0), ("g", 2.0, 1.0)],
+            "g string, v double, w double",
+        )
+        row = weighted_quantiles_by_group(
+            df, ["g"], "v", "w", qs=(1.0,)
+        ).collect()[0]
+        # only the two unit-weight rows survive the exclusions
+        assert row["n"] == 2 and row["w_total"] == 2.0
+        assert row["q100"] == 2.0
+        with pytest.raises(ValueError, match="bad qs"):
+            weighted_quantiles_by_group(df, ["g"], "v", "w", qs=(0.0,))
+
+    def test_tie_with_unequal_weights_invariant(self, spark):
+        from recover_spark.operators.analytics import (
+            weighted_quantiles_by_group,
+        )
+
+        # tied values with different weights: whichever copy the sort
+        # visits first, the tie block's full weight lands before any
+        # larger value — q50 must be 1.0 either way
+        df = spark.createDataFrame(
+            [("g", 1.0, 5.0), ("g", 1.0, 1.0), ("g", 9.0, 4.0)],
+            "g string, v double, w double",
+        )
+        row = weighted_quantiles_by_group(
+            df, ["g"], "v", "w", qs=(0.5,)
+        ).collect()[0]
+        assert row["q50"] == 1.0
+
+    def test_bucket_decomposed_plan(self, spark):
+        from recover_spark.operators.analytics import (
+            weighted_quantiles_by_group,
+        )
+
+        df = spark.range(5000).selectExpr(
+            "CAST(id % 3 AS STRING) g",
+            "CAST(id % 101 AS DOUBLE) v",
+            "CAST(1 + id % 5 AS DOUBLE) w",
+        )
+        plan = _plan(weighted_quantiles_by_group(df, ["g"], "v", "w"))
+        assert "CartesianProduct" not in plan
+        assert "__bucket" in plan
+
+
+class TestZipfFit:
+    def test_matches_numpy_loglog_fit(self, spark):
+        import numpy as np
+
+        from recover_spark.ops.text_analysis import zipf_fit
+
+        # exact power-law-ish counts: term wII appears max(1, 60//i)x
+        freqs = {f"w{i:02d}": max(1, 60 // i) for i in range(1, 31)}
+        words = [t for t, f in freqs.items() for _ in range(f)]
+        # spread over a few docs; counts are corpus-level
+        docs = [
+            (d, " ".join(words[d::5])) for d in range(5)
+        ]
+        df = spark.createDataFrame(docs, "doc_id int, text string")
+        row = zipf_fit(df, "text", top_n=30).collect()[0]
+
+        ordered = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))
+        x = np.log10(np.arange(1, len(ordered) + 1, dtype=float))
+        y = np.log10(np.array([f for _, f in ordered], dtype=float))
+        slope, icept = np.polyfit(x, y, 1)
+        pred = icept + slope * x
+        r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+        assert row["n_points"] == 30
+        assert row["slope"] == pytest.approx(slope, abs=1e-5)
+        assert row["intercept"] == pytest.approx(icept, abs=1e-5)
+        assert row["r2"] == pytest.approx(r2, abs=1e-5)
+
+    def test_rank_tiebreak_deterministic(self, spark):
+        from recover_spark.ops.text_analysis import zipf_fit
+
+        # all terms tied: ranks come from the term-asc tiebreak, so
+        # two runs (and engines) agree on the fit inputs
+        df = spark.createDataFrame(
+            [(1, "b a c"), (2, "c a b")], "doc_id int, text string"
+        )
+        r1 = zipf_fit(df, "text", top_n=3).collect()[0]
+        r2 = zipf_fit(df, "text", top_n=3).collect()[0]
+        assert r1 == r2
+        assert r1["slope"] == 0.0  # flat frequencies -> zero slope
+
+
+class TestUpsertMatview:
+    def test_latest_wins_no_regress_and_replay(self, spark, tmp_path):
+        from recover_spark.streaming.matview import (
+            merge_upsert_state,
+            read_upsert_matview,
+        )
+
+        state = str(tmp_path / "state")
+        b1 = spark.createDataFrame(
+            [("u1", 10, "a"), ("u2", 20, "b")],
+            "k string, sec long, attr string",
+        )
+        b2 = spark.createDataFrame(
+            # u1 newer; u2 LATE (older) — must not regress the state
+            [("u1", 15, "a2"), ("u2", 5, "late")],
+            "k string, sec long, attr string",
+        )
+        merge_upsert_state(spark, b1, state, ["k"], ["sec"], batch_id=0)
+        merge_upsert_state(spark, b2, state, ["k"], ["sec"], batch_id=1)
+        got = {
+            r["k"]: (r["sec"], r["attr"])
+            for r in read_upsert_matview(spark, state).collect()
+        }
+        assert got == {"u1": (15, "a2"), "u2": (20, "b")}
+
+        # crash replay with the same batch id: marker short-circuits
+        merge_upsert_state(spark, b2, state, ["k"], ["sec"], batch_id=1)
+        # and even WITHOUT the marker, latest-wins is idempotent
+        merge_upsert_state(spark, b2, state, ["k"], ["sec"])
+        got2 = {
+            r["k"]: (r["sec"], r["attr"])
+            for r in read_upsert_matview(spark, state).collect()
+        }
+        assert got2 == got

@@ -103,6 +103,9 @@ PROBES = [
     "v12_drift_wasserstein",  # same binning as v10; bins-sized fold
     "emb_whiten",           # broadcast scaled components, JVM fold
     "graph_assortativity",  # degree agg + two equi-joins + scalar fold
+    "agg_weighted_quantiles",  # bucket-decomposed cumulative weights
+    "text_zipf",            # vocab aggregate + top-N + 200-row fit
+    "stream_upsert_matview",  # 4-batch CDC fold into a keyed snapshot
 ]
 
 
