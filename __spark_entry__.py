@@ -5918,6 +5918,59 @@ def q_stream_upsert_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video shot-boundary detection (ops/multimodal.py:scene_cuts):
+    consecutive sampled frames' hash Hamming distance opens a cut past
+    the threshold; one media-keyed window, JVM bit_count(xor).  Frame
+    hashes ride the deterministic digest stub (the mm family's
+    kernel contract), so the oracle reproduces the whole pipeline."""
+    from recover_spark.ops.multimodal import sample_video_frames, scene_cuts
+
+    docs = _load(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.lit("video/mp4").alias("mime_type"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            ((F.col("doc_id") % 7) * 1500 + 500)
+            .cast("long")
+            .alias("duration_ms"),
+        ).alias("meta"),
+    )
+    frames = sample_video_frames(media, every_ms=1000)
+    hashed = frames.join(
+        docs.select(F.col("doc_id").alias("media_id"), "text"), "media_id"
+    ).select(
+        "media_id",
+        "frame_ts_ms",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat(
+                            F.col("text"),
+                            F.lit(":"),
+                            F.col("frame_ts_ms").cast("string"),
+                        ),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("frame_hash"),
+    )
+    return scene_cuts(hashed, max_distance=30).orderBy(
+        "media_id", "frame_ts_ms"
+    )
+
+
 def q_agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag weighted quantiles of unit price, weighted by
     quantity (operators/analytics.py:weighted_quantiles_by_group):
@@ -6036,6 +6089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_weighted_quantiles": q_agg_weighted_quantiles,
         "text_zipf": q_text_zipf,
         "stream_upsert_matview": q_stream_upsert_matview,
+        "mm_scene_cuts": q_mm_scene_cuts,
         "agg_basket_lift": q_agg_basket_lift,
         "ts_theil_sen": q_ts_theil_sen,
         "emb_pca": q_emb_pca,
@@ -6208,6 +6262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_weighted_quantiles",
         "text_zipf",
         "stream_upsert_matview",
+        "mm_scene_cuts",
         # (c) negative-capable oracles touched by the -0.0 sweep
         "ts_theil_sen",
         "ts_cusum",
@@ -8280,6 +8335,35 @@ def _oracle_sql_literal() -> dict[str, str]:
                    unnest(range(0, (doc_id % 7) * 1500 + 500, 1000))
                        AS frame_ts_ms
             FROM documents
+        """,
+        "mm_scene_cuts": """
+            WITH f AS (
+                SELECT doc_id AS media_id, text,
+                       unnest(range(0, (doc_id % 7) * 1500 + 500, 1000))
+                           AS frame_ts_ms
+                FROM documents),
+            h AS (
+                SELECT media_id, frame_ts_ms,
+                       CAST(concat('0x', substr(md5(concat(
+                            text, ':', CAST(frame_ts_ms AS VARCHAR))),
+                            1, 15)) AS BIGINT) AS fh
+                FROM f),
+            d AS (
+                SELECT media_id, frame_ts_ms,
+                       CAST(CASE WHEN lag(fh) OVER w IS NOT NULL
+                            THEN bit_count(xor(fh, lag(fh) OVER w))
+                            END AS INT) AS hash_distance
+                FROM h
+                WINDOW w AS (PARTITION BY media_id ORDER BY frame_ts_ms))
+            SELECT media_id, frame_ts_ms, hash_distance,
+                   CASE WHEN coalesce(hash_distance > 30, false)
+                        THEN 1 ELSE 0 END AS is_cut,
+                   CAST(sum(CASE WHEN coalesce(hash_distance > 30, false)
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY media_id ORDER BY frame_ts_ms
+                              ROWS UNBOUNDED PRECEDING) AS INT)
+                       AS scene_idx
+            FROM d
         """,
         "mm_audio_chunks": """
             WITH m AS (

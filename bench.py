@@ -131,6 +131,7 @@ HEADLINE = [
     "agg_weighted_quantiles",
     "text_zipf",
     "stream_upsert_matview",
+    "mm_scene_cuts",
 ]
 
 

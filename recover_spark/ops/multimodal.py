@@ -586,3 +586,44 @@ def phash_near_duplicates(
         .filter(F.col("distance") <= F.lit(int(max_distance)))
         .select("id_a", "id_b", "distance")
     )
+
+
+def scene_cuts(
+    frames: DataFrame,
+    media_col: str = "media_id",
+    ts_col: str = "frame_ts_ms",
+    hash_col: str = "frame_hash",
+    max_distance: int = 10,
+) -> DataFrame:
+    """Scene-change detection over sampled frame hashes: a cut opens
+    wherever consecutive frames' perceptual-hash Hamming distance
+    exceeds ``max_distance`` — the shot-boundary pass a video training
+    pipeline runs before picking one representative frame per scene
+    (dedup within a video, the temporal twin of phash_near_duplicates
+    across videos).
+
+    Kernel-agnostic plumbing: ``hash_col`` is whatever 64-bit frame
+    hash the image kernel produced (real phash when decoders exist,
+    the deterministic digest stub otherwise) — the operator itself is
+    ONE media-keyed window (per-video frame counts are bounded by
+    duration/every_ms, so no hot-key hazard) with the distance as a
+    JVM ``bit_count(xor)`` and the scene index a running sum of cuts.
+    The first frame of every video is scene 0 with NULL distance.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(media_col).orderBy(ts_col)
+    prev = F.lag(hash_col).over(w)
+    dist = F.when(
+        prev.isNotNull(),
+        F.bit_count(F.col(hash_col).bitwiseXOR(prev)),
+    )
+    is_cut = F.coalesce((dist > int(max_distance)).cast("int"), F.lit(0))
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return frames.select(
+        media_col,
+        ts_col,
+        dist.cast("int").alias("hash_distance"),
+        is_cut.alias("is_cut"),
+        F.sum(is_cut).over(w_cum).cast("int").alias("scene_idx"),
+    )

@@ -741,3 +741,42 @@ class TestUpsertMatview:
             for r in read_upsert_matview(spark, state).collect()
         }
         assert got2 == got
+
+
+class TestSceneCuts:
+    def test_cut_indexing_and_first_frame(self, spark):
+        from recover_spark.ops.multimodal import scene_cuts
+
+        frames = spark.createDataFrame(
+            [
+                ("v1", 0, 0b1111),
+                ("v1", 1000, 0b1110),      # distance 1 -> same scene
+                ("v1", 2000, 0b0000_0001),  # distance 4 -> cut
+                ("v1", 3000, 0b0000_0011),  # distance 1 -> same scene
+                ("v2", 0, 0b1010),          # first frame, scene 0
+            ],
+            "media_id string, frame_ts_ms long, frame_hash long",
+        )
+        got = {
+            (r["media_id"], r["frame_ts_ms"]): r
+            for r in scene_cuts(frames, max_distance=3).collect()
+        }
+        assert got[("v1", 0)]["hash_distance"] is None
+        assert got[("v1", 0)]["scene_idx"] == 0
+        assert got[("v1", 1000)]["is_cut"] == 0
+        assert got[("v1", 2000)]["is_cut"] == 1
+        assert got[("v1", 2000)]["scene_idx"] == 1
+        assert got[("v1", 3000)]["scene_idx"] == 1
+        assert got[("v2", 0)]["scene_idx"] == 0
+
+    def test_single_window_plan(self, spark):
+        from recover_spark.ops.multimodal import scene_cuts
+
+        frames = spark.range(1000).selectExpr(
+            "CAST(id % 20 AS STRING) media_id",
+            "(id / 20) * 1000 AS frame_ts_ms",
+            "hash(id) AS frame_hash",
+        )
+        plan = _plan(scene_cuts(frames))
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "CartesianProduct" not in plan

@@ -106,6 +106,7 @@ PROBES = [
     "agg_weighted_quantiles",  # bucket-decomposed cumulative weights
     "text_zipf",            # vocab aggregate + top-N + 200-row fit
     "stream_upsert_matview",  # 4-batch CDC fold into a keyed snapshot
+    "mm_scene_cuts",        # media-keyed lag window, JVM bit_count(xor)
 ]
 
 
