@@ -3193,6 +3193,17 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_step(emb, n_centroids=8, dim=64)
 
 
+def q_emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster simplified silhouette of the seed k-means
+    partitioning (ops/clustering.py:silhouette_by_cluster): each point
+    scores against the K centroids only — never pairwise — so the
+    quality readout costs one K-bounded window over the fact."""
+    from recover_spark.ops.clustering import silhouette_by_cluster
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return silhouette_by_cluster(emb, n_centroids=8).orderBy("cid")
+
+
 def q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 incremental materialized view, run FOR REAL: the events
     table is split into four files and streamed through an availableNow
@@ -6090,6 +6101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zipf": q_text_zipf,
         "stream_upsert_matview": q_stream_upsert_matview,
         "mm_scene_cuts": q_mm_scene_cuts,
+        "emb_silhouette": q_emb_silhouette,
         "agg_basket_lift": q_agg_basket_lift,
         "ts_theil_sen": q_ts_theil_sen,
         "emb_pca": q_emb_pca,
@@ -6263,6 +6275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_zipf",
         "stream_upsert_matview",
         "mm_scene_cuts",
+        "emb_silhouette",
         # (c) negative-capable oracles touched by the -0.0 sweep
         "ts_theil_sen",
         "ts_cusum",
@@ -7462,6 +7475,34 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY event_type
+        """,
+        "emb_silhouette": f"""
+            WITH cents AS (
+                SELECT vec_id AS cid, embedding AS c
+                FROM embeddings WHERE vec_id < 8),
+            scored AS (
+                SELECT e.vec_id, c.cid,
+                       {_dotsql('e.embedding', 'c.c')}
+                           / (sqrt({_dotsql('e.embedding', 'e.embedding')})
+                              * sqrt({_dotsql('c.c', 'c.c')})) AS sim
+                FROM embeddings e CROSS JOIN cents c),
+            top2 AS (
+                SELECT vec_id, cid, sim,
+                       row_number() OVER (
+                           PARTITION BY vec_id
+                           ORDER BY sim DESC, cid ASC) AS rn
+                FROM scored QUALIFY rn <= 2),
+            pp AS (
+                SELECT vec_id,
+                       max(CASE WHEN rn = 1 THEN cid END) AS cid,
+                       max(CASE WHEN rn = 1 THEN sim END) AS best,
+                       max(CASE WHEN rn = 2 THEN sim END) AS second
+                FROM top2 GROUP BY vec_id)
+            SELECT cid, CAST(count(*) AS BIGINT) AS n,
+                   round(avg(CASE WHEN 1 - second <> 0
+                             THEN (best - second) / (1 - second) END)
+                         + 1e-9, 6) + 0.0 AS mean_silhouette
+            FROM pp GROUP BY cid
         """,
         "dedup_minhash": _minhash_sql(4),
         "dedup_minhash_lsh": _minhash_lsh_sql(16, 4, 0.5),

@@ -132,6 +132,7 @@ HEADLINE = [
     "text_zipf",
     "stream_upsert_matview",
     "mm_scene_cuts",
+    "emb_silhouette",
 ]
 
 

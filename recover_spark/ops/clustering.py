@@ -69,3 +69,84 @@ def kmeans_step(
         F.col("dim").cast("int").alias("dim"),
         F.round("centroid", 6).alias("centroid"),
     )
+
+
+def silhouette_by_cluster(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-cluster simplified silhouette under cosine distance — the
+    clustering-quality readout that tells you whether the k-means /
+    IVF partitioning is real structure or arbitrary cuts, WITHOUT the
+    O(N^2) pairwise silhouette: each point scores against CENTROIDS
+    only (Hruschka et al.'s simplified silhouette), a = distance to
+    its own centroid, b = to the nearest other, s = (b - a) /
+    max(a, b).  With cosine distance 1 - sim and best >= second this
+    collapses to s = (best_sim - second_sim) / (1 - second_sim); a
+    point equidistant to two centroids scores 0, and the degenerate
+    second_sim == 1 yields NULL via ``try_divide`` (excluded from the
+    cluster mean, like both engines' ``avg``).
+
+    Engine shape: the K centroid vectors ride ONE broadcast
+    DataFrame of array columns (never literal expression nodes — the
+    Holt-Winters lesson); similarities are JVM ``zip_with`` folds;
+    the top-2 selection is a window over exactly K rows per point
+    (keyed on the point id — no hot key by construction), and
+    everything after is cluster-cardinality.
+    """
+    from pyspark.sql import Window
+
+    seeds = centroids or _collect_seeds(corpus, n_centroids, id_col, vec_col)
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in seeds],
+        "cid long, __c array<double>",
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    scored = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__e")
+        )
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            id_col,
+            "cid",
+            F.try_divide(
+                _dot(F.col("__e"), F.col("__c")),
+                F.sqrt(_dot(F.col("__e"), F.col("__e")))
+                * F.sqrt(_dot(F.col("__c"), F.col("__c"))),
+            ).alias("__sim"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__sim").desc(), F.col("cid").asc()
+    )
+    top2 = scored.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= 2
+    )
+    per_point = top2.groupBy(id_col).agg(
+        F.max(F.when(F.col("__rn") == 1, F.col("cid"))).alias("cid"),
+        F.max(F.when(F.col("__rn") == 1, F.col("__sim"))).alias("__best"),
+        F.max(F.when(F.col("__rn") == 2, F.col("__sim"))).alias("__second"),
+    )
+    s = F.try_divide(
+        F.col("__best") - F.col("__second"),
+        F.lit(1.0) - F.col("__second"),
+    )
+    return per_point.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg(s) + F.lit(1e-9), round_digits).alias(
+            "mean_silhouette"
+        ),
+    )

@@ -780,3 +780,72 @@ class TestSceneCuts:
         plan = _plan(scene_cuts(frames))
         assert plan.count("Exchange hashpartitioning") == 1
         assert "CartesianProduct" not in plan
+
+
+class TestSilhouette:
+    def test_separated_clusters_score_high(self, spark):
+        from recover_spark.ops.clustering import silhouette_by_cluster
+
+        # two orthogonal bundles; seeds are ids 0 and 1
+        rows = (
+            [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])]
+            + [(i, [1.0, 0.05 * (i % 3), 0.0]) for i in range(2, 12)]
+            + [(i, [0.0, 1.0, 0.05 * (i % 3)]) for i in range(12, 22)]
+        )
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            r["cid"]: r
+            for r in silhouette_by_cluster(df, n_centroids=2).collect()
+        }
+        assert set(got) == {0, 1}
+        assert got[0]["n"] == 11 and got[1]["n"] == 11
+        # orthogonal bundles: own-sim near 1, other-sim near 0 -> s ~ 1
+        assert got[0]["mean_silhouette"] > 0.9
+        assert got[1]["mean_silhouette"] > 0.9
+
+    def test_matches_numpy_reference(self, spark):
+        import random
+
+        import numpy as np
+
+        from recover_spark.ops.clustering import silhouette_by_cluster
+
+        rng = random.Random(11)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            r["cid"]: r["mean_silhouette"]
+            for r in silhouette_by_cluster(df, n_centroids=4).collect()
+        }
+        cents = {i: np.array(v) for i, v in rows[:4]}
+        per_cluster: dict = {}
+        for _, v in rows:
+            x = np.array(v)
+            sims = sorted(
+                (
+                    (float(x @ c) / (np.linalg.norm(x) * np.linalg.norm(c)), cid)
+                    for cid, c in cents.items()
+                ),
+                key=lambda t: (-t[0], t[1]),
+            )
+            (best, cid), (second, _) = sims[0], sims[1]
+            if 1 - second != 0:
+                per_cluster.setdefault(cid, []).append(
+                    (best - second) / (1 - second)
+                )
+        for cid, ss in per_cluster.items():
+            assert got[cid] == pytest.approx(sum(ss) / len(ss), abs=1e-6)
+
+    def test_k_bounded_no_cartesian_product(self, spark):
+        from recover_spark.ops.clustering import silhouette_by_cluster
+
+        df = spark.range(500).selectExpr(
+            "id AS vec_id",
+            "transform(sequence(1, 8), i -> CAST(hash(id, i) % 100 AS DOUBLE)) AS embedding",
+        )
+        plan = _plan(silhouette_by_cluster(df, n_centroids=4))
+        # the centroid side is a K-row BROADCAST — never a shuffled
+        # cartesian
+        assert "CartesianProduct" not in plan

@@ -107,6 +107,7 @@ PROBES = [
     "text_zipf",            # vocab aggregate + top-N + 200-row fit
     "stream_upsert_matview",  # 4-batch CDC fold into a keyed snapshot
     "mm_scene_cuts",        # media-keyed lag window, JVM bit_count(xor)
+    "emb_silhouette",       # K-row broadcast, point-keyed top-2 window
 ]
 
 
