@@ -3193,6 +3193,19 @@ def q_emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_step(emb, n_centroids=8, dim=64)
 
 
+def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Herfindahl concentration of customer market
+    segments (operators/analytics.py:concentration_hhi): the
+    dominated-by-top-few lens beside entropy (spread) and Gini
+    (member inequality) — one (group, category) aggregate + fold."""
+    from recover_spark.operators.analytics import concentration_hhi
+
+    cust = _load(spark, sf_dir, "customer")
+    return concentration_hhi(
+        cust, ["c_nationkey"], "c_mktsegment"
+    ).orderBy("c_nationkey")
+
+
 def q_emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cluster simplified silhouette of the seed k-means
     partitioning (ops/clustering.py:silhouette_by_cluster): each point
@@ -6102,6 +6115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert_matview": q_stream_upsert_matview,
         "mm_scene_cuts": q_mm_scene_cuts,
         "emb_silhouette": q_emb_silhouette,
+        "agg_hhi": q_agg_hhi,
         "agg_basket_lift": q_agg_basket_lift,
         "ts_theil_sen": q_ts_theil_sen,
         "emb_pca": q_emb_pca,
@@ -6276,6 +6290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_upsert_matview",
         "mm_scene_cuts",
         "emb_silhouette",
+        "agg_hhi",
         # (c) negative-capable oracles touched by the -0.0 sweep
         "ts_theil_sen",
         "ts_cusum",
@@ -7280,6 +7295,27 @@ def _oracle_sql_literal() -> dict[str, str]:
                 FROM ev)
             SELECT user_id, event_id, event_type, value, sec
             FROM r WHERE rn = 1
+        """,
+        "agg_hhi": """
+            WITH cells AS (
+                SELECT c_nationkey,
+                       coalesce(CAST(c_mktsegment AS VARCHAR), '__null')
+                           AS cat,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM customer GROUP BY 1, 2),
+            g AS (
+                SELECT c_nationkey,
+                       CAST(sum(c) AS BIGINT) AS n,
+                       CAST(count(*) AS BIGINT) AS k_levels,
+                       sum(c * 1.0 * c) AS ss
+                FROM cells GROUP BY c_nationkey)
+            SELECT c_nationkey, n, k_levels,
+                   round(ss / (n * 1.0 * n) + 1e-9, 6) + 0.0 AS hhi,
+                   round(CASE WHEN k_levels > 1
+                         THEN (ss / (n * 1.0 * n) - 1.0 / k_levels)
+                              / (1.0 - 1.0 / k_levels)
+                         END + 1e-9, 6) + 0.0 AS hhi_normalized
+            FROM g
         """,
         "agg_weighted_quantiles": """
             WITH x AS (

@@ -133,6 +133,7 @@ HEADLINE = [
     "stream_upsert_matview",
     "mm_scene_cuts",
     "emb_silhouette",
+    "agg_hhi",
 ]
 
 

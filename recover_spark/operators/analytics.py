@@ -841,6 +841,62 @@ def gini_by_group(
     )
 
 
+def concentration_hhi(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    category_col,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group Herfindahl–Hirschman concentration of a categorical
+    distribution: HHI = sum of squared category shares — the
+    market-concentration number regulators quote, and the third lens
+    of the concentration family (entropy asks "how spread", Gini asks
+    "how unequal across MEMBERS", HHI asks "how dominated by the top
+    few CATEGORIES"); 1/K for a uniform K-level distribution, 1.0 for
+    a single category.  The normalized form (HHI - 1/K)/(1 - 1/K)
+    rescales to [0, 1]; a single-level group has no spread to
+    normalize against and yields NULL via ``try_divide`` (the
+    distribution_entropy contract).
+
+    Engine shape: one vocabulary-sized (group, category) aggregate
+    with map-side combine, then a group-grain fold — identical
+    dataflow to distribution_entropy; NULL categories fold into their
+    own level (drift-family convention).  Counts square in double
+    (the KS overflow lesson).
+    """
+    group_cols = list(group_cols)
+    cat = F.coalesce(
+        (
+            F.col(category_col)
+            if isinstance(category_col, str)
+            else category_col
+        ).cast("string"),
+        F.lit("__null"),
+    )
+    cells = df.groupBy(*group_cols, cat.alias("__cat")).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    per_group = cells.groupBy(*group_cols).agg(
+        F.sum("__c").alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("k_levels"),
+        F.sum(F.col("__c").cast("double") * F.col("__c").cast("double"))
+        .alias("__ss"),
+    )
+    nd = F.col("__n").cast("double")
+    kd = F.col("k_levels").cast("double")
+    hhi = F.col("__ss") / (nd * nd)
+    hhi_norm = F.try_divide(hhi - 1 / kd, F.lit(1.0) - 1 / kd)
+    return per_group.select(
+        *group_cols,
+        F.col("__n").alias("n"),
+        "k_levels",
+        F.round(hhi + F.lit(1e-9), round_digits).alias("hhi"),
+        F.round(hhi_norm + F.lit(1e-9), round_digits).alias(
+            "hhi_normalized"
+        ),
+    )
+
+
 def welch_ttest(
     df: DataFrame,
     group_cols: Sequence[str],

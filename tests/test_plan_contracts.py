@@ -341,7 +341,7 @@ def test_no_cartesian_product_across_query_surface(spark):
         "scd2_history", "retrieval_rank_metrics", "agg_ab_prop_ztest",
         "v12_drift_wasserstein", "graph_assortativity",
         "agg_weighted_quantiles", "text_zipf", "mm_scene_cuts",
-        "emb_silhouette",
+        "emb_silhouette", "agg_hhi",
         # (emb_whiten / emb_pca_project build the component fixture
         # during construction; stream_drift_* are lifecycle queries)
     ]

@@ -849,3 +849,36 @@ class TestSilhouette:
         # the centroid side is a K-row BROADCAST — never a shuffled
         # cartesian
         assert "CartesianProduct" not in plan
+
+
+class TestConcentrationHhi:
+    def test_uniform_single_and_null_levels(self, spark):
+        from recover_spark.operators.analytics import concentration_hhi
+
+        df = spark.createDataFrame(
+            [("u", "a"), ("u", "b"), ("u", "c"), ("u", "d")]
+            + [("mono", "x")] * 5
+            + [("nulls", None), ("nulls", None), ("nulls", "y")],
+            "g string, cat string",
+        )
+        got = {
+            r["g"]: r for r in concentration_hhi(df, ["g"], "cat").collect()
+        }
+        # uniform over 4 levels: HHI = 1/4, normalized 0
+        assert got["u"]["hhi"] == pytest.approx(0.25, abs=1e-6)
+        assert got["u"]["hhi_normalized"] == pytest.approx(0.0, abs=1e-6)
+        # one level: HHI 1, normalized NULL (nothing to normalize by)
+        assert got["mono"]["hhi"] == 1.0
+        assert got["mono"]["hhi_normalized"] is None
+        # NULL folds into its own level: shares (2/3, 1/3)
+        assert got["nulls"]["k_levels"] == 2
+        assert got["nulls"]["hhi"] == pytest.approx(5 / 9, abs=1e-6)
+
+    def test_single_fact_shuffle_plan(self, spark):
+        from recover_spark.operators.analytics import concentration_hhi
+
+        df = spark.range(5000).selectExpr(
+            "CAST(id % 3 AS STRING) g", "CAST(id % 17 AS STRING) cat"
+        )
+        plan = _plan(concentration_hhi(df, ["g"], "cat"))
+        assert "CartesianProduct" not in plan

@@ -108,6 +108,8 @@ PROBES = [
     "stream_upsert_matview",  # 4-batch CDC fold into a keyed snapshot
     "mm_scene_cuts",        # media-keyed lag window, JVM bit_count(xor)
     "emb_silhouette",       # K-row broadcast, point-keyed top-2 window
+    # agg_hhi probes the customer DIM (not replicated) — excluded like
+    # link_records; it is one vocabulary-sized aggregate + fold
 ]
 
 
