@@ -669,11 +669,32 @@ class TestStreamingDrift:
         assert got_js == want_js
         assert got_js["v"][0] > 0.02 and got_js["w"][0] < 0.005
 
+        # round 9: the Wasserstein read-side shares the same state —
+        # bit-identical to batch binning of the union by the same
+        # count-additivity argument as grid-KS
+        from recover_spark.quality.drift import wasserstein_drift
+        from recover_spark.streaming.drift import read_drift_wasserstein
+
+        want_wd = {
+            r.column: (r.wasserstein, r.n_base, r.n_cur)
+            for r in wasserstein_drift(
+                base, union, ["v", "w"], n_bins=10
+            ).collect()
+        }
+        got_wd = {
+            r.column: (r.wasserstein, r.n_base, r.n_cur)
+            for r in read_drift_wasserstein(spark, state).collect()
+        }
+        assert got_wd == want_wd
+        # the mean gap is below the sup gap by construction
+        assert got_wd["v"][0] <= got_ks["v"][0]
+
     def test_ks_js_read_side_before_any_batch_is_null(self, spark, tmp_path):
         from recover_spark.streaming.drift import (
             freeze_drift_baseline,
             read_drift_js,
             read_drift_ks,
+            read_drift_wasserstein,
         )
 
         base = spark.range(0, 1000).selectExpr(
@@ -683,8 +704,10 @@ class TestStreamingDrift:
         freeze_drift_baseline(base, state, ["v"], n_bins=5)
         ks = read_drift_ks(spark, state).collect()
         js = read_drift_js(spark, state).collect()
+        wd = read_drift_wasserstein(spark, state).collect()
         assert len(ks) == 1 and ks[0]["ks_grid"] is None
         assert len(js) == 1 and js[0]["js"] is None
+        assert len(wd) == 1 and wd[0]["wasserstein"] is None
 
     def test_mid_swap_crash_heals_and_batch_remerges(self, spark, tmp_path):
         """Simulate the _swap_state crash window: counts renamed aside,
