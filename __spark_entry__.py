@@ -3249,10 +3249,14 @@ def q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     state = spark.read.parquet(f"{run_dir}/state")
+    # expose the mean, not the raw running sum: a many-row SUM rounded
+    # at 6 decimals stops being cross-engine stable past ~1e6
+    # magnitude (the agg_gini round-9 lesson, applied by rule); the
+    # state itself keeps the mergeable sum
     return state.select(
         "event_type",
         F.col("n_rows").cast("long").alias("n_rows"),
-        F.round("sum_value", 6).alias("sum_value"),
+        F.round(F.col("sum_value") / F.col("n_rows"), 6).alias("avg_value"),
     )
 
 
@@ -7113,8 +7117,11 @@ def _oracle_sql_literal() -> dict[str, str]:
                        sum(v) AS total,
                        sum(rn * v) AS s
                 FROM r GROUP BY o_orderpriority)
+            -- expose mean, not the raw total: at total's ~7.6e8
+            -- magnitude a 6-decimal round cannot absorb the last-ULP
+            -- cross-engine sum difference (round-9 verdict).
             SELECT o_orderpriority, n,
-                   round(total + 1e-9, 6) + 0.0 AS total,
+                   round(total / n + 1e-9, 6) + 0.0 AS mean,
                    round(CASE WHEN total <> 0
                          THEN 2.0 * s / (n * total) - (n + 1.0) / n
                          END + 1e-9, 6) + 0.0 AS gini
@@ -7332,8 +7339,10 @@ def _oracle_sql_literal() -> dict[str, str]:
                                     AND CURRENT ROW) AS cw,
                        sum(w) OVER (PARTITION BY g) AS wt
                 FROM x)
+            -- w_mean, not the raw weight total: sum-magnitude rule
+            -- (the agg_gini round-9 lesson applied by rule)
             SELECT g AS l_returnflag,
-                   round(max(wt) + 1e-9, 6) + 0.0 AS w_total,
+                   round(max(wt) / count(*) + 1e-9, 6) + 0.0 AS w_mean,
                    CAST(count(*) AS BIGINT) AS n,
                    round(min(CASE WHEN cw >= 0.25 * wt THEN v END)
                          + 1e-9, 6) + 0.0 AS q25,
@@ -7508,8 +7517,9 @@ def _oracle_sql_literal() -> dict[str, str]:
             GROUP BY a.cid, u.i
         """,
         "stream_matview": """
+            -- avg, not the raw sum: sum-magnitude rule (agg_gini r9)
             SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
-                   round(sum(value), 6) AS sum_value
+                   round(sum(value) / count(*), 6) AS avg_value
             FROM events GROUP BY event_type
         """,
         "emb_silhouette": f"""

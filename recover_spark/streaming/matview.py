@@ -635,9 +635,15 @@ def merge_upsert_state(
     ``order_cols`` across everything ever seen wins (the W1 latest-
     record rule applied incrementally).
 
-    Latest-wins is commutative and idempotent, so a crash replay that
-    re-merges a batch converges to the same state even WITHOUT the
-    batch marker — the marker still short-circuits the no-op rewrite.
+    ``order_cols`` MUST form a total order per key (append a unique
+    id — change sequence number, event id — as the final tiebreaker,
+    the same contract :func:`~recover_spark.operators.merge.scd2_build`
+    documents): with ties left in, ``row_number`` picks an arbitrary
+    winner, and ONLY under that uniqueness requirement is latest-wins
+    commutative and idempotent — a crash replay that re-merges a
+    batch then converges to the same state even WITHOUT the batch
+    marker (the marker still short-circuits the no-op rewrite).  With
+    ties, replays can flip the persisted row (round-9 advice).
     State stays O(distinct keys); each merge is one union + one
     keyed WindowGroupLimit dedup (map-side top-1), swapped in with
     the crash-safe two-rename generation protocol shared by every

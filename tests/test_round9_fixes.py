@@ -58,7 +58,7 @@ class TestGiniNullExclusion:
         got = gini_by_group(with_nulls, ["g"], "v").collect()[0]
         assert got["gini"] == want["gini"] == 0.0
         assert got["n"] == want["n"] == 4
-        assert got["total"] == want["total"] == 20.0
+        assert got["mean"] == want["mean"] == 5.0
 
     def test_all_null_group_disappears(self, spark):
         from recover_spark.operators.analytics import gini_by_group

@@ -590,7 +590,8 @@ class TestWeightedQuantiles:
             df, ["g"], "v", "w", qs=(0.5, 0.75)
         ).collect()[0]
         # cum weights 1, 2, 4 of total 4: q50 crosses at v=2, q75 at v=3
-        assert row["w_total"] == 4.0 and row["n"] == 3
+        assert row["w_mean"] == pytest.approx(4.0 / 3, abs=1e-6)
+        assert row["n"] == 3
         assert row["q50"] == 2.0
         assert row["q75"] == 3.0
 
@@ -629,10 +630,15 @@ class TestWeightedQuantiles:
             df, ["g"], "v", "w", qs=(1.0,)
         ).collect()[0]
         # only the two unit-weight rows survive the exclusions
-        assert row["n"] == 2 and row["w_total"] == 2.0
+        assert row["n"] == 2 and row["w_mean"] == 1.0
         assert row["q100"] == 2.0
         with pytest.raises(ValueError, match="bad qs"):
             weighted_quantiles_by_group(df, ["g"], "v", "w", qs=(0.0,))
+        # colliding percent tags must refuse, not emit duplicate cols
+        with pytest.raises(ValueError, match="collide"):
+            weighted_quantiles_by_group(
+                df, ["g"], "v", "w", qs=(0.25, 0.251)
+            )
 
     def test_tie_with_unequal_weights_invariant(self, spark):
         from recover_spark.operators.analytics import (

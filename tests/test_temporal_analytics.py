@@ -1421,7 +1421,7 @@ class TestGiniByGroup:
         assert got["conc"]["gini"] == 0.75
         # zero total -> NULL via try_divide
         assert got["zero"]["gini"] is None
-        assert got["eq"]["n"] == 4 and got["eq"]["total"] == 20.0
+        assert got["eq"]["n"] == 4 and got["eq"]["mean"] == 5.0
 
     def test_matches_pairwise_reference_across_buckets(self, spark):
         import random

@@ -3,7 +3,9 @@
 Runs every __spark_entry__ query on Spark and its oracle on DuckDB at a
 given scale factor, comparing row count, column names, and an
 order-insensitive value hash (rows sorted, columns sorted by name,
-floats rounded to 9 significant-ish decimals before hashing).
+floats at FULL 17-significant-digit precision before hashing — the
+local gate must be at least as strict as the driver's; the round-9
+`%.9g` normalizer passed a row the driver failed).
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
@@ -26,9 +28,11 @@ def normalize(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if v == 0.0:
+            return "0"  # fold -0.0 into +0.0 explicitly
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.9g}"
+        return f"{v:.17g}"
     return str(v)
 
 
