@@ -6031,6 +6031,56 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_fit(docs, "text", top_n=200)
 
 
+def _classifier_eval_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared classifier-eval fixture: a deterministic [0, 1) score
+    (the fractional part of ``value`` — exact and bit-identical across
+    engines) against the even-user cohort label, per event type."""
+    return _load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value") - F.floor(F.col("value"))).alias("score"),
+        (F.col("user_id") % 2 == 0).alias("label"),
+    )
+
+
+def q_agg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ROC-AUC of a score against a binary label
+    (ops/classifier_eval.py:roc_auc_by_group): the Mann-Whitney rank
+    statistic made exact under ties by collapsing to the distinct-score
+    grain first, with the cumulative-negative count decomposed over
+    score-quantile buckets (the gini machinery) — no per-group ordered
+    window ever touches fact-sized data."""
+    from recover_spark.ops.classifier_eval import roc_auc_by_group
+
+    ev = _classifier_eval_fixture(spark, sf_dir)
+    return roc_auc_by_group(ev, ["event_type"], "score", "label").orderBy(
+        "event_type"
+    )
+
+
+def q_agg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type calibration summary — Brier score, expected
+    calibration error over 10 uniform bins, base rate
+    (ops/classifier_eval.py:calibration_summary): ONE mergeable
+    (group, bin) aggregate then a bins-sized fold."""
+    from recover_spark.ops.classifier_eval import calibration_summary
+
+    ev = _classifier_eval_fixture(spark, sf_dir)
+    return calibration_summary(
+        ev, ["event_type"], "score", "label", bins=10
+    ).orderBy("event_type")
+
+
+def q_agg_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type reliability diagram — mean confidence vs observed
+    accuracy in 10 uniform score bins
+    (ops/classifier_eval.py:reliability_bins): the same single
+    (group, bin) aggregate, exposed at bin grain."""
+    from recover_spark.ops.classifier_eval import reliability_bins
+
+    ev = _classifier_eval_fixture(spark, sf_dir)
+    return reliability_bins(ev, ["event_type"], "score", "label", bins=10)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -6264,22 +6314,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_distinct_stats": q_agg_distinct_stats,
         "join_semi_exists": q_join_semi_exists,
         "agg_conditional": q_agg_conditional,
+        "agg_auc": q_agg_auc,
+        "agg_calibration": q_agg_calibration,
+        "agg_reliability_bins": q_agg_reliability_bins,
     }
     # Rotation order for the driver's 50-entry correctness capture
     # (kept accurate per round — the round-8 verdict's task #8).
-    # Lead with: (a) the two rows repaired this round (agg_gini gained
-    # its oracle; emb_pca's oracle got the -0.0 neutralizer), (b) this
-    # round's new queries, (c) queries whose oracle text changed in
-    # the round-9 negative-zero sweep and whose values can go
-    # negative (covariance/slope/CUSUM/drift deltas) — so the repair
-    # class itself gets driver-verified.  tools/check_correctness.py
-    # re-runs ALL entries regardless.
+    # Lead with: (a) the rows whose HASHED SURFACE changed this round
+    # under the sum-magnitude rule — agg_gini (exposes mean, not the
+    # ~7.6e8 raw total that flipped the driver hash two rounds
+    # running), agg_weighted_quantiles (w_mean for w_total) and
+    # stream_matview (avg_value for the raw running sum), the other
+    # two columns the rule sweep touched; (b) this round's new
+    # queries; (c) last round's new operators so they get a second
+    # driver verification.  tools/check_correctness.py re-runs ALL
+    # entries regardless.
     front = [
-        # (a) repaired rows
+        # (a) sum-magnitude-rule repairs
         "agg_gini",
-        "emb_pca",
+        "agg_weighted_quantiles",
+        "stream_matview",
         # (b) new this round
-        "emb_pca_project",
+        "agg_auc",
+        "agg_calibration",
+        "agg_reliability_bins",
+        # (c) round-9 operators, second verification
         "agg_ab_welch",
         "agg_trimmed_stats",
         "text_collocations",
@@ -6289,30 +6348,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v12_drift_wasserstein",
         "emb_whiten",
         "graph_assortativity",
-        "agg_weighted_quantiles",
         "text_zipf",
         "stream_upsert_matview",
         "mm_scene_cuts",
         "emb_silhouette",
         "agg_hhi",
-        # (c) negative-capable oracles touched by the -0.0 sweep
-        "ts_theil_sen",
-        "ts_cusum",
-        "agg_corr_matrix",
-        "agg_assoc_matrix",
-        "ts_autocorr",
-        "v10_drift_js",
-        "stream_drift_ks",
-        "v9_drift_ks_series",
-        "v5_drift_psi",
-        "stream_drift_psi",
-        "ts_anomaly_mad",
-        "retention_survival",
-        "agg_basket_lift",
-        "graph_kcore",
-        "v11_benford",
-        "agg_entropy",
-        "stream_corr_matview",
+        "emb_pca",
+        "emb_pca_project",
     ]
     assert all(k in base for k in front), "rotation names must exist"
     return {k: base[k] for k in front} | {
@@ -7126,6 +7168,73 @@ def _oracle_sql_literal() -> dict[str, str]:
                          THEN 2.0 * s / (n * total) - (n + 1.0) / n
                          END + 1e-9, 6) + 0.0 AS gini
             FROM a
+        """,
+        "agg_auc": """
+            -- Mann-Whitney AUC over the distinct-score grain: each
+            -- positive beats every lower-scored negative, half-beats
+            -- ties (ops/classifier_eval.py:roc_auc_by_group).
+            WITH x AS (
+                SELECT event_type AS g,
+                       value - floor(value) AS s,
+                       CASE WHEN user_id % 2 = 0
+                            THEN 1.0 ELSE 0.0 END AS y
+                FROM events
+                WHERE value IS NOT NULL AND user_id IS NOT NULL),
+            a AS (
+                SELECT g, s, sum(y) AS pos_c, sum(1.0 - y) AS neg_c
+                FROM x GROUP BY g, s),
+            c AS (
+                SELECT g, pos_c, neg_c,
+                       coalesce(sum(neg_c) OVER (
+                           PARTITION BY g ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS cnb
+                FROM a)
+            SELECT g AS event_type,
+                   CAST(sum(pos_c) AS BIGINT) AS n_pos,
+                   CAST(sum(neg_c) AS BIGINT) AS n_neg,
+                   round(CASE WHEN sum(pos_c) > 0 AND sum(neg_c) > 0
+                         THEN sum(pos_c * (cnb + 0.5 * neg_c))
+                              / (sum(pos_c) * sum(neg_c)) END
+                         + 1e-9, 6) + 0.0 AS auc
+            FROM c GROUP BY g
+        """,
+        "agg_calibration": """
+            WITH x AS (
+                SELECT event_type AS g,
+                       value - floor(value) AS s,
+                       CASE WHEN user_id % 2 = 0
+                            THEN 1.0 ELSE 0.0 END AS y
+                FROM events
+                WHERE value IS NOT NULL AND user_id IS NOT NULL),
+            b AS (
+                SELECT g, least(CAST(floor(s * 10) AS INT), 9) AS bin,
+                       count(*) AS n_bin, sum(s) AS ss, sum(y) AS sy,
+                       sum((s - y) * (s - y)) AS sq
+                FROM x GROUP BY g, bin)
+            SELECT g AS event_type,
+                   CAST(sum(n_bin) AS BIGINT) AS n,
+                   round(sum(sq) / sum(n_bin) + 1e-9, 6) + 0.0 AS brier,
+                   round(sum(n_bin * abs(ss / n_bin - sy / n_bin))
+                         / sum(n_bin) + 1e-9, 6) + 0.0 AS ece,
+                   round(sum(sy) / sum(n_bin) + 1e-9, 6) + 0.0
+                       AS base_rate
+            FROM b GROUP BY g
+        """,
+        "agg_reliability_bins": """
+            WITH x AS (
+                SELECT event_type AS g,
+                       value - floor(value) AS s,
+                       CASE WHEN user_id % 2 = 0
+                            THEN 1.0 ELSE 0.0 END AS y
+                FROM events
+                WHERE value IS NOT NULL AND user_id IS NOT NULL)
+            SELECT g AS event_type,
+                   least(CAST(floor(s * 10) AS INT), 9) AS bin,
+                   CAST(count(*) AS BIGINT) AS n_bin,
+                   round(sum(s) / count(*) + 1e-9, 6) + 0.0 AS confidence,
+                   round(sum(y) / count(*) + 1e-9, 6) + 0.0 AS accuracy
+            FROM x GROUP BY g, bin
         """,
         "agg_ab_welch": """
             WITH s AS (

@@ -134,6 +134,10 @@ HEADLINE = [
     "mm_scene_cuts",
     "emb_silhouette",
     "agg_hhi",
+    # round 10
+    "agg_auc",
+    "agg_calibration",
+    "agg_reliability_bins",
 ]
 
 

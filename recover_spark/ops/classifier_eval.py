@@ -1,0 +1,282 @@
+"""Classifier-evaluation metrics: per-group ROC-AUC, reliability
+bins, and calibration summaries (Brier score + expected calibration
+error).
+
+The training-data pipeline trains a quality classifier
+(``ops/classifier.py``) and scores documents with it, but until now
+nothing measured the classifier itself — the evaluation half that
+``ops/retrieval.rank_metrics`` provides for retrieval was missing for
+classification.  These operators close that gap.
+
+Reference parity: the reference repo's pipeline ships validation
+summaries per dataset (run_great_expectations_on_parquet.py drives
+pass/fail checks); classifier evaluation is an extension-surface
+capability in the same measure-the-output spirit, not a port.
+
+Scale shapes (the 100 TB contract):
+
+- ``roc_auc_by_group`` is a rank statistic over scores, i.e. the
+  per-group ordered-window hazard.  It reuses the bucket-decomposed
+  rank machinery from ``gini_by_group`` / ``weighted_quantiles``: the
+  fact first COLLAPSES to the (group, distinct-score) grain (one
+  shuffle with map-side combine, and ties — the midrank headache —
+  disappear into the grain), then cumulative negative counts decompose
+  over approx-quantile score buckets: ONE (group, bucket) window plus
+  aggregate-sized offset folds.  No per-group single-reducer sort ever
+  touches fact-sized data.
+- ``reliability_bins`` / ``calibration_summary`` are ONE conditional
+  mergeable aggregate each (bin = clamped floor(score*B) is a map-side
+  expression), so they are skew-immune by map-side partials.
+
+Everything stays JVM-side — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bernoulli(label_col: Column | str, what: str) -> Column:
+    """0/1-validated double label — non-Bernoulli values raise at
+    execution time rather than silently skewing counts (the
+    prop_ztest guard)."""
+    raw = (
+        F.col(label_col) if isinstance(label_col, str) else label_col
+    ).cast("double")
+    return F.when(raw.isNull() | raw.isin(0.0, 1.0), raw).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{what}: label_col must be boolean/0-1, got "),
+                raw.cast("string"),
+            )
+        )
+    )
+
+
+def roc_auc_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str,
+    label_col: Column | str,
+    buckets: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group ROC-AUC of a score against a binary label, exact
+    including ties (the Mann-Whitney U / midrank convention).
+
+    Identity: over the distinct-score grain with per-score positive
+    and negative counts (pos_c, neg_c) ordered by score ascending,
+
+        AUC = sum( pos_c * (cum_neg_below + 0.5 * neg_c) ) / (P * N)
+
+    — each positive beats every lower-scored negative, half-beats each
+    tied negative.  Collapsing to distinct scores FIRST makes the tie
+    handling exact by construction and shrinks the windowed frame to
+    the score vocabulary.
+
+    Engine shape: one (group, score) aggregate over the fact, then the
+    ``gini_by_group`` bucket decomposition for the cumulative negative
+    count — approx-quantile score buckets, ONE (group, bucket) window,
+    bucket offsets folded on the aggregate-sized frame behind a lazy
+    ``localCheckpoint`` pin (the aggregate-diamond lesson) and joined
+    back as broadcasts.  The bucket column is materialized behind the
+    Generate barrier so its O(buckets) CASE chain never becomes a join
+    key expression (the round-9 weighted-quantiles postmortem).
+
+    NULL scores / labels are excluded (family convention).  Degenerate
+    groups (no positives or no negatives) yield NULL auc via
+    ``try_divide``.  Labels must be boolean/0-1; anything else raises.
+    """
+    group_cols = list(group_cols)
+    lab = _bernoulli(label_col, "roc_auc_by_group")
+    nn = df.filter(
+        F.col(score_col).isNotNull() & lab.isNotNull()
+    ).select(
+        *group_cols,
+        F.col(score_col).cast("double").alias("__s"),
+        lab.alias("__y"),
+    )
+    grain = nn.groupBy(*group_cols, "__s").agg(
+        F.sum("__y").alias("__pos"),
+        F.sum(F.lit(1.0) - F.col("__y")).alias("__neg"),
+    )
+
+    from recover_spark.functions.transforms import materialize_columns
+
+    probs = [i / buckets for i in range(1, buckets)]
+    bounds = sorted(set(grain.stat.approxQuantile("__s", probs, 0.001)))
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col("__s") > F.lit(b)).cast("int")
+    staged = materialize_columns(grain, {"__bucket": bucket})
+
+    w = (
+        Window.partitionBy(*group_cols, "__bucket")
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = staged.withColumn(
+        "__cnb_local", F.coalesce(F.sum("__neg").over(w), F.lit(0.0))
+    )
+    # bucket negative totals derived from the windowed subtree (last
+    # row's inclusive cumulative IS the total), pinned: two consumers
+    per_bucket = (
+        local.groupBy(*group_cols, "__bucket")
+        .agg(F.max(F.col("__cnb_local") + F.col("__neg")).alias("__bn"))
+        .localCheckpoint(eager=False)
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.withColumn(
+        "__off", F.coalesce(F.sum("__bn").over(w_off), F.lit(0.0))
+    )
+    scored = local.join(
+        F.broadcast(offsets.select(*group_cols, "__bucket", "__off")),
+        [*group_cols, "__bucket"],
+    )
+    contrib = F.col("__pos") * (
+        F.col("__off") + F.col("__cnb_local") + F.lit(0.5) * F.col("__neg")
+    )
+    out = scored.groupBy(*group_cols).agg(
+        F.sum("__pos").cast("long").alias("n_pos"),
+        F.sum("__neg").cast("long").alias("n_neg"),
+        F.sum(contrib).alias("__u"),
+    )
+    auc = F.try_divide(
+        F.col("__u"),
+        F.col("n_pos").cast("double") * F.col("n_neg").cast("double"),
+    )
+    return out.select(
+        *group_cols,
+        "n_pos",
+        "n_neg",
+        F.round(auc + F.lit(1e-9), round_digits).alias("auc"),
+    )
+
+
+def _binned(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str,
+    label_col: Column | str,
+    bins: int,
+    what: str,
+) -> DataFrame:
+    """(group, bin)-grain sums shared by the calibration lenses.
+
+    Scores must live in [0, 1] — a calibrated probability; out-of-range
+    scores raise rather than silently folding into the edge bins.
+    """
+    if bins < 1:
+        raise ValueError(f"{what}: bins must be >= 1, got {bins}")
+    group_cols = list(group_cols)
+    lab = _bernoulli(label_col, what)
+    s = F.col(score_col).cast("double")
+    s_ok = F.when((s >= 0.0) & (s <= 1.0), s).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{what}: score must be in [0, 1], got "),
+                s.cast("string"),
+            )
+        )
+    )
+    nn = df.filter(s.isNotNull() & lab.isNotNull()).select(
+        *group_cols, s_ok.alias("__s"), lab.alias("__y")
+    )
+    # clamp score == 1.0 into the top bin
+    bin_c = F.least(
+        F.floor(F.col("__s") * F.lit(float(bins))).cast("int"),
+        F.lit(bins - 1),
+    )
+    return nn.groupBy(*group_cols, bin_c.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bin"),
+        F.sum("__s").alias("__ss"),
+        F.sum("__y").alias("__sy"),
+        F.sum((F.col("__s") - F.col("__y")) ** 2).alias("__sq"),
+    )
+
+
+def reliability_bins(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str,
+    label_col: Column | str,
+    bins: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group reliability diagram: for each of ``bins`` uniform
+    score bins, the mean predicted score (confidence) vs the observed
+    positive rate (accuracy) — a well-calibrated classifier has
+    confidence == accuracy in every bin.
+
+    ONE mergeable (group, bin) aggregate over the fact; empty bins are
+    simply absent (the diagram's convention).  Confidence and accuracy
+    are ratios of a bin's sums, so their magnitudes stay in [0, 1] at
+    any scale (the sum-magnitude hashing rule holds by construction).
+    """
+    b = _binned(df, group_cols, score_col, label_col, bins,
+                "reliability_bins")
+    return b.select(
+        *group_cols,
+        "bin",
+        "n_bin",
+        F.round(
+            F.col("__ss") / F.col("n_bin") + F.lit(1e-9), round_digits
+        ).alias("confidence"),
+        F.round(
+            F.col("__sy") / F.col("n_bin") + F.lit(1e-9), round_digits
+        ).alias("accuracy"),
+    ).orderBy(*group_cols, "bin")
+
+
+def calibration_summary(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str,
+    label_col: Column | str,
+    bins: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group calibration scalars:
+
+    - ``brier``: mean squared error between score and outcome — the
+      proper scoring rule (decomposes into calibration + refinement).
+    - ``ece``: expected calibration error, sum over bins of
+      (n_bin / n) * |confidence - accuracy| — the reliability diagram
+      folded to one number.
+    - ``base_rate``: the positive rate (the trivial-predictor floor).
+
+    Engine shape: the same ONE (group, bin) aggregate as
+    :func:`reliability_bins`, then a bins-sized group fold — nothing
+    downstream of the first aggregate exceeds group x bins rows.
+    """
+    b = _binned(df, group_cols, score_col, label_col, bins,
+                "calibration_summary")
+    gap = F.abs(
+        F.col("__ss") / F.col("n_bin") - F.col("__sy") / F.col("n_bin")
+    )
+    out = b.groupBy(*list(group_cols)).agg(
+        F.sum("n_bin").cast("long").alias("n"),
+        F.sum("__sq").alias("__sqt"),
+        F.sum(F.col("n_bin") * gap).alias("__et"),
+        F.sum("__sy").alias("__syt"),
+    )
+    return out.select(
+        *group_cols,
+        "n",
+        F.round(
+            F.col("__sqt") / F.col("n") + F.lit(1e-9), round_digits
+        ).alias("brier"),
+        F.round(
+            F.col("__et") / F.col("n") + F.lit(1e-9), round_digits
+        ).alias("ece"),
+        F.round(
+            F.col("__syt") / F.col("n") + F.lit(1e-9), round_digits
+        ).alias("base_rate"),
+    )

@@ -344,6 +344,8 @@ def test_no_cartesian_product_across_query_surface(spark):
         "emb_silhouette", "agg_hhi",
         # (emb_whiten / emb_pca_project build the component fixture
         # during construction; stream_drift_* are lifecycle queries)
+        # round 10
+        "agg_auc", "agg_calibration", "agg_reliability_bins",
     ]
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"

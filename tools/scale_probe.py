@@ -110,6 +110,11 @@ PROBES = [
     "emb_silhouette",       # K-row broadcast, point-keyed top-2 window
     # agg_hhi probes the customer DIM (not replicated) — excluded like
     # link_records; it is one vocabulary-sized aggregate + fold
+    # round 10
+    "agg_auc",              # distinct-score collapse + bucket-decomposed ranks
+    "agg_calibration",      # one (group, bin) aggregate + bins-sized fold
+    # agg_reliability_bins is the same single aggregate as
+    # agg_calibration exposed at bin grain — covered by its probe
 ]
 
 
