@@ -6042,6 +6042,25 @@ def _classifier_eval_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split at the SEMANTIC-cluster grain
+    (ops/sampling.py:cluster_split over dedup_semantic_clusters
+    output): embedding near-duplicates can never straddle the split,
+    because the md5 hash threshold keys on the cluster id every member
+    shares — the step between dedup and packing in a real training
+    pipeline.  The assignment is a map-side expression; the corpus
+    never shuffles for it."""
+    from recover_spark.ops import cluster_split
+
+    clustered = q_dedup_semantic_clusters(spark, sf_dir)
+    return cluster_split(
+        clustered,
+        "cluster",
+        {"train": 0.9, "test": 0.1},
+        salt="semsplit",
+    )
+
+
 def q_agg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type ROC-AUC of a score against a binary label
     (ops/classifier_eval.py:roc_auc_by_group): the Mann-Whitney rank
@@ -6317,6 +6336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_auc": q_agg_auc,
         "agg_calibration": q_agg_calibration,
         "agg_reliability_bins": q_agg_reliability_bins,
+        "dedup_cluster_split": q_dedup_cluster_split,
     }
     # Rotation order for the driver's 50-entry correctness capture
     # (kept accurate per round — the round-8 verdict's task #8).
@@ -6338,6 +6358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_auc",
         "agg_calibration",
         "agg_reliability_bins",
+        "dedup_cluster_split",
         # (c) round-9 operators, second verification
         "agg_ab_welch",
         "agg_trimmed_stats",
@@ -7809,6 +7830,42 @@ def _oracle_sql_literal() -> dict[str, str]:
                        FROM reach GROUP BY node) mm
               ON mm.node = e.vec_id
             ORDER BY e.vec_id
+        """,
+        "dedup_cluster_split": f"""
+            -- semantic clusters (identical CTE to
+            -- dedup_semantic_clusters) + md5 hash-threshold split at
+            -- CLUSTER grain (ops/sampling.py:cluster_split)
+            WITH RECURSIVE b AS (
+                SELECT vec_id, embedding,
+                       {_lsh_bucket_sql('embedding', num_planes=4)} AS bucket
+                FROM embeddings),
+            p AS (
+                SELECT id_a AS s, id_b AS d FROM (
+                    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                           {_cos('a.embedding', 'b2.embedding')} AS c
+                    FROM b a JOIN b b2
+                      ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+                WHERE c >= 0.45),
+            sym AS (SELECT s, d FROM p UNION SELECT d AS s, s AS d FROM p),
+            reach AS (
+                SELECT DISTINCT s AS node, s AS m FROM sym
+                UNION
+                SELECT r.node, sym.d AS m
+                FROM reach r JOIN sym ON r.m = sym.s
+            ),
+            cl AS (
+                SELECT e.vec_id,
+                       coalesce(mm.comp, e.vec_id) AS cluster
+                FROM embeddings e
+                LEFT JOIN (SELECT node, min(m) AS comp
+                           FROM reach GROUP BY node) mm
+                  ON mm.node = e.vec_id)
+            SELECT vec_id, cluster,
+                   CASE WHEN {_h64(
+                       "concat('semsplit', '|', CAST(cluster AS VARCHAR))"
+                   )} % 10000 < 9000
+                        THEN 'train' ELSE 'test' END AS split
+            FROM cl
         """,
         "retrieval_hybrid": f"""
             WITH dense AS (

@@ -138,6 +138,7 @@ HEADLINE = [
     "agg_auc",
     "agg_calibration",
     "agg_reliability_bins",
+    "dedup_cluster_split",
 ]
 
 

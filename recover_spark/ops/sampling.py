@@ -72,6 +72,49 @@ def stable_split(
     )
 
 
+def cluster_split(
+    df: DataFrame,
+    cluster_col: str,
+    weights: dict[str, float],
+    split_col: str = "split",
+    salt: str = "cluster_split",
+) -> DataFrame:
+    """Leakage-safe train/eval split: the split key is a DUPLICATE
+    CLUSTER id (from ``duplicate_clusters`` / the semantic
+    embedding-cluster pipeline), not the item — every member of a
+    cluster lands in the SAME split, so near-duplicates can never
+    straddle train and test (the standard contamination hole in naive
+    per-item splits, and the step every training-data pipeline runs
+    between dedup and packing).
+
+    The assignment is :func:`split_assignment` at cluster grain —
+    a deterministic md5 hash threshold, reproducible across runs,
+    engines, and partitionings — compiled to a map-side expression:
+    the corpus never shuffles, and the decision is identical for
+    every row carrying the same cluster id by construction (the
+    no-cluster-spans-splits property is a consequence of determinism,
+    not of any join).
+
+    NULL cluster ids raise at execution time: a NULL would hash to
+    NULL and silently fall into the LAST split, quietly corrupting
+    the one guarantee this operator exists to provide — callers must
+    coalesce singletons to their own item id first (the
+    ``dedup_semantic_clusters`` convention).
+    """
+    c = F.col(cluster_col)
+    checked = F.when(c.isNotNull(), c.cast("string")).otherwise(
+        F.raise_error(
+            F.lit(
+                "cluster_split: NULL cluster id — coalesce singletons "
+                "to their own item id before splitting"
+            )
+        )
+    )
+    return df.withColumn(
+        split_col, split_assignment(checked, weights, salt=salt)
+    )
+
+
 def stable_sample(
     df: DataFrame,
     key_col: str,
