@@ -5481,6 +5481,13 @@ def q_v12_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column")
 
 
+# State paths of the most recent lifecycle-query run, keyed by query
+# name — lets bench.py time each read-side LENS separately (round-9
+# verdict #8: one read-side now serves KS/JS/W1, and a single lens's
+# regression must not hide in the combined fold).
+LAST_STATE_PATHS: dict[str, str] = {}
+
+
 def q_stream_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KS/JS/Wasserstein drift-on-arrival (streaming/drift.py:
     read_drift_ks, read_drift_js, read_drift_wasserstein): the SAME
@@ -5525,6 +5532,7 @@ def q_stream_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = maintain_drift_matview(stream, f"{run_dir}/state", f"{run_dir}/ckpt")
     q.awaitTermination(300)
+    LAST_STATE_PATHS["stream_drift_ks"] = f"{run_dir}/state"
     ks = read_drift_ks(spark, f"{run_dir}/state")
     js = read_drift_js(spark, f"{run_dir}/state").select(
         "column", "js", "hellinger"

@@ -214,6 +214,27 @@ def main() -> None:
                 "construct": round(best_phases[0], 3),
                 "query": round(best_phases[1], 3),
             }
+        if name == "stream_drift_ks":
+            # the combined read is ONE join of three metadata-sized
+            # folds by design; time each lens separately against the
+            # state the last run left behind so a single lens's
+            # regression can't hide in the fold (r9 verdict #8)
+            state = entrymod.LAST_STATE_PATHS.get("stream_drift_ks")
+            if state:
+                from recover_spark.streaming.drift import (
+                    read_drift_js,
+                    read_drift_ks,
+                    read_drift_wasserstein,
+                )
+
+                for lens, rfn in (
+                    ("read_ks", read_drift_ks),
+                    ("read_js", read_drift_js),
+                    ("read_w1", read_drift_wasserstein),
+                ):
+                    t0 = time.time()
+                    rfn(spark, state).count()
+                    phases[name][lens] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s (best of {reps})",
               file=sys.stderr)
 
