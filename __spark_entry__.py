@@ -6050,6 +6050,46 @@ def _classifier_eval_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type mutual information between two derived user
+    categoricals (operators/analytics.py:mutual_info_by_group): one
+    fact shuffle to contingency cells, margins as windows over the
+    vocabulary-sized cell frame, entropies folded in the same final
+    aggregate.  mod-5 is a function of mod-10, so MI = H(mod-5) and
+    nmi < 1 (H differs across the columns)."""
+    from recover_spark.operators.analytics import mutual_info_by_group
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 5).alias("ua"),
+        (F.col("user_id") % 10).alias("ub"),
+    )
+    return mutual_info_by_group(ev, ["event_type"], "ua", "ub").orderBy(
+        "event_type"
+    )
+
+
+def q_agg_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Cohen's kappa between two derived raters
+    (operators/analytics.py:cohens_kappa) — chance-corrected
+    agreement from one contingency aggregate plus vocabulary-sized
+    margin folds.  The second rater shifts by floor(value), so
+    agreement is partial and kappa lands strictly between 0 and 1
+    on none of the groups (noise-dominated fixture)."""
+    from recover_spark.operators.analytics import cohens_kappa
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 3).alias("ra"),
+        (
+            (F.col("user_id") + F.floor(F.col("value")).cast("long")) % 3
+        ).alias("rb"),
+    )
+    return cohens_kappa(ev, ["event_type"], "ra", "rb").orderBy(
+        "event_type"
+    )
+
+
 def q_dedup_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/test split at the SEMANTIC-cluster grain
     (ops/sampling.py:cluster_split over dedup_semantic_clusters
@@ -6345,6 +6385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_calibration": q_agg_calibration,
         "agg_reliability_bins": q_agg_reliability_bins,
         "dedup_cluster_split": q_dedup_cluster_split,
+        "agg_mutual_info": q_agg_mutual_info,
+        "agg_kappa": q_agg_kappa,
     }
     # Rotation order for the driver's 50-entry correctness capture
     # (kept accurate per round — the round-8 verdict's task #8).
@@ -6367,6 +6409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_calibration",
         "agg_reliability_bins",
         "dedup_cluster_split",
+        "agg_mutual_info",
+        "agg_kappa",
         # (c) round-9 operators, second verification
         "agg_ab_welch",
         "agg_trimmed_stats",
@@ -7264,6 +7308,76 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(sum(s) / count(*) + 1e-9, 6) + 0.0 AS confidence,
                    round(sum(y) / count(*) + 1e-9, 6) + 0.0 AS accuracy
             FROM x GROUP BY g, bin
+        """,
+        "agg_mutual_info": """
+            -- MI and both entropies fold from the CELL grain:
+            -- H_a = -sum over cells of (c/n)*log2(ca/n) collapses to
+            -- the margin sum exactly (operators/analytics.py:
+            -- mutual_info_by_group).  NULL is its own level.
+            WITH x AS (
+                SELECT event_type AS g,
+                       coalesce(CAST(user_id % 5 AS VARCHAR), '__null')
+                           AS a,
+                       coalesce(CAST(user_id % 10 AS VARCHAR), '__null')
+                           AS b
+                FROM events),
+            cells AS (
+                SELECT g, a, b, count(*)::DOUBLE AS c
+                FROM x GROUP BY g, a, b),
+            s AS (
+                SELECT g, c,
+                       sum(c) OVER (PARTITION BY g) AS n,
+                       sum(c) OVER (PARTITION BY g, a) AS ca,
+                       sum(c) OVER (PARTITION BY g, b) AS cb
+                FROM cells)
+            SELECT g AS event_type,
+                   CAST(max(n) AS BIGINT) AS n,
+                   round(sum((c / n) * log2(c * n / (ca * cb)))
+                         + 1e-9, 6) + 0.0 AS mi_bits,
+                   round(CASE WHEN sum(-(c / n) * log2(ca / n))
+                                   * sum(-(c / n) * log2(cb / n)) > 0
+                         THEN sum((c / n) * log2(c * n / (ca * cb)))
+                              / sqrt(sum(-(c / n) * log2(ca / n))
+                                     * sum(-(c / n) * log2(cb / n)))
+                         END + 1e-9, 6) + 0.0 AS nmi
+            FROM s GROUP BY g
+        """,
+        "agg_kappa": """
+            -- kappa = (po - pe) / (1 - pe); pe from per-category
+            -- margin products (operators/analytics.py:cohens_kappa)
+            WITH x AS (
+                SELECT event_type AS g,
+                       CAST(user_id % 3 AS VARCHAR) AS a,
+                       CAST((user_id + CAST(floor(value) AS BIGINT)) % 3
+                            AS VARCHAR) AS b
+                FROM events
+                WHERE user_id IS NOT NULL AND value IS NOT NULL),
+            cells AS (
+                SELECT g, a, b, count(*)::DOUBLE AS c
+                FROM x GROUP BY g, a, b),
+            obs AS (
+                SELECT g, CAST(sum(c) AS BIGINT) AS n,
+                       sum(CASE WHEN a = b THEN c ELSE 0 END) AS agree
+                FROM cells GROUP BY g),
+            ma AS (SELECT g, a AS k, sum(c) AS ca FROM cells GROUP BY g, a),
+            mb AS (SELECT g, b AS k, sum(c) AS cb FROM cells GROUP BY g, b),
+            pe AS (
+                SELECT ma.g, sum(ca * cb) AS pe_num
+                FROM ma JOIN mb ON ma.g = mb.g AND ma.k = mb.k
+                GROUP BY ma.g)
+            SELECT obs.g AS event_type, obs.n,
+                   round(agree / obs.n + 1e-9, 6) + 0.0 AS p_observed,
+                   round(coalesce(pe_num, 0) / (obs.n * obs.n::DOUBLE)
+                         + 1e-9, 6) + 0.0 AS p_expected,
+                   round(CASE WHEN coalesce(pe_num, 0)
+                                   / (obs.n * obs.n::DOUBLE) <> 1
+                         THEN (agree / obs.n
+                               - coalesce(pe_num, 0)
+                                 / (obs.n * obs.n::DOUBLE))
+                              / (1 - coalesce(pe_num, 0)
+                                     / (obs.n * obs.n::DOUBLE))
+                         END + 1e-9, 6) + 0.0 AS kappa
+            FROM obs LEFT JOIN pe ON obs.g = pe.g
         """,
         "agg_ab_welch": """
             WITH s AS (

@@ -139,6 +139,8 @@ HEADLINE = [
     "agg_calibration",
     "agg_reliability_bins",
     "dedup_cluster_split",
+    "agg_mutual_info",
+    "agg_kappa",
 ]
 
 

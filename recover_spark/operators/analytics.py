@@ -905,6 +905,151 @@ def concentration_hhi(
     )
 
 
+def mutual_info_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    col_a,
+    col_b,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group mutual information (bits) between two categorical
+    columns, plus the normalized form MI / sqrt(H_a * H_b) in [0, 1] —
+    the dependence lens of the entropy family: ``distribution_entropy``
+    asks "how spread is ONE column", ``association_matrix`` scores
+    many pairs with Cramér's V, this quantifies in information units
+    how much knowing one column says about the other (feature/label
+    leakage screening, redundant-metadata detection).
+
+    NULL is a category of its own (the entropy-family convention).
+    Independent columns give MI = 0; a deterministic mapping gives
+    MI = min(H_a, H_b).  Groups where either column is constant have
+    no dependence to normalize and yield NULL nmi via ``try_divide``.
+
+    Engine shape: ONE fact shuffle to (group, a, b) contingency cells
+    with map-side combine; both margins AND the group total are
+    windows over the vocabulary-sized cell frame (never a second fact
+    pass, never a join back to the fact); the entropies fold in the
+    same final aggregate using H_a = -sum over CELLS of
+    (c/n)·log2(ca/n) — cell-grain sums that collapse to the margin
+    sums exactly.
+    """
+    group_cols = list(group_cols)
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    cells = (
+        df.select(
+            *group_cols,
+            F.coalesce(a.cast("string"), F.lit("__null")).alias("__a"),
+            F.coalesce(b.cast("string"), F.lit("__null")).alias("__b"),
+        )
+        .groupBy(*group_cols, "__a", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w_g = Window.partitionBy(*group_cols)
+    w_a = Window.partitionBy(*group_cols, "__a")
+    w_b = Window.partitionBy(*group_cols, "__b")
+    scored = cells.select(
+        *group_cols,
+        F.col("__c").cast("double").alias("__c"),
+        F.sum("__c").over(w_g).cast("double").alias("__n"),
+        F.sum("__c").over(w_a).cast("double").alias("__ca"),
+        F.sum("__c").over(w_b).cast("double").alias("__cb"),
+    )
+    p = F.col("__c") / F.col("__n")
+    mi_term = p * F.log2(
+        F.col("__c") * F.col("__n") / (F.col("__ca") * F.col("__cb"))
+    )
+    ha_term = -p * F.log2(F.col("__ca") / F.col("__n"))
+    hb_term = -p * F.log2(F.col("__cb") / F.col("__n"))
+    per_group = scored.groupBy(*group_cols).agg(
+        F.max("__n").cast("long").alias("n"),
+        F.sum(mi_term).alias("__mi"),
+        F.sum(ha_term).alias("__ha"),
+        F.sum(hb_term).alias("__hb"),
+    )
+    nmi = F.try_divide(
+        F.col("__mi"), F.sqrt(F.col("__ha") * F.col("__hb"))
+    )
+    return per_group.select(
+        *group_cols,
+        "n",
+        F.round(F.col("__mi") + F.lit(1e-9), round_digits).alias("mi_bits"),
+        F.round(nmi + F.lit(1e-9), round_digits).alias("nmi"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    rater_a,
+    rater_b,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group Cohen's kappa between two categorical label columns —
+    chance-corrected inter-annotator agreement, THE quality number for
+    a labeling pipeline (two models, a model vs a human pass, two
+    annotation vendors): kappa = (p_o - p_e) / (1 - p_e), where p_o is
+    observed agreement and p_e the agreement two independent raters
+    with these margins would reach by luck.  1 = perfect, 0 = chance,
+    negative = systematic disagreement.
+
+    Rows where EITHER rater is NULL are excluded (an unlabeled item
+    carries no agreement evidence — unlike the entropy family, where
+    NULL is a level of one distribution rather than a missing half of
+    a comparison).  Degenerate groups (p_e = 1: both raters constant
+    and equal) yield NULL kappa via ``try_divide``.
+
+    Engine shape: ONE fact shuffle to (group, a, b) contingency cells;
+    p_o folds from the diagonal cells; p_e needs per-CATEGORY margin
+    products, so the two margins (each a tiny aggregate of the cell
+    frame) inner-join on (group, category) — every frame after the
+    first aggregate is vocabulary-sized.  The cell frame has three
+    consumers, so it is pinned (the aggregate-diamond lesson).
+    """
+    group_cols = list(group_cols)
+    a = F.col(rater_a) if isinstance(rater_a, str) else rater_a
+    b = F.col(rater_b) if isinstance(rater_b, str) else rater_b
+    cells = (
+        df.select(
+            *group_cols,
+            a.cast("string").alias("__a"),
+            b.cast("string").alias("__b"),
+        )
+        .filter(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+        .groupBy(*group_cols, "__a", "__b")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    obs = cells.groupBy(*group_cols).agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))
+              .otherwise(F.lit(0))).cast("double").alias("__agree"),
+    )
+    ma = cells.groupBy(*group_cols, F.col("__a").alias("__k")).agg(
+        F.sum("__c").cast("double").alias("__ca")
+    )
+    mb = cells.groupBy(*group_cols, F.col("__b").alias("__k")).agg(
+        F.sum("__c").cast("double").alias("__cb")
+    )
+    pe_tbl = (
+        ma.join(mb, [*group_cols, "__k"])
+        .groupBy(*group_cols)
+        .agg(F.sum(F.col("__ca") * F.col("__cb")).alias("__pe_num"))
+    )
+    out = obs.join(pe_tbl, group_cols, "left")
+    nd = F.col("n").cast("double")
+    po = F.col("__agree") / nd
+    pe = F.coalesce(F.col("__pe_num"), F.lit(0.0)) / (nd * nd)
+    kappa = F.try_divide(po - pe, F.lit(1.0) - pe)
+    return out.select(
+        *group_cols,
+        "n",
+        F.round(po + F.lit(1e-9), round_digits).alias("p_observed"),
+        F.round(pe + F.lit(1e-9), round_digits).alias("p_expected"),
+        F.round(kappa + F.lit(1e-9), round_digits).alias("kappa"),
+    )
+
+
 def welch_ttest(
     df: DataFrame,
     group_cols: Sequence[str],

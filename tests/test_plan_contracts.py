@@ -346,6 +346,7 @@ def test_no_cartesian_product_across_query_surface(spark):
         # during construction; stream_drift_* are lifecycle queries)
         # round 10
         "agg_auc", "agg_calibration", "agg_reliability_bins",
+        "agg_mutual_info", "agg_kappa",
     ]
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"

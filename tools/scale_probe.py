@@ -115,6 +115,8 @@ PROBES = [
     "agg_calibration",      # one (group, bin) aggregate + bins-sized fold
     # agg_reliability_bins is the same single aggregate as
     # agg_calibration exposed at bin grain — covered by its probe
+    "agg_mutual_info",      # cell aggregate + vocab-sized margin windows
+    "agg_kappa",            # cell aggregate + (group, category) margin join
 ]
 
 
