@@ -6124,6 +6124,38 @@ def q_agg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Spearman rank correlation between value and its
+    fractional part (operators/analytics.py:spearman_by_group):
+    midranks at the distinct-value grain via the bucket-decomposed
+    below-counts, fact picks ranks up by (group, value) equi-joins,
+    rho folds from raw sums — rank sums are exact quarter-integers,
+    so the statistic is bit-identical across engines."""
+    from recover_spark.operators.analytics import spearman_by_group
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").alias("xv"),
+        (F.col("value") - F.floor(F.col("value"))).alias("yv"),
+    )
+    return spearman_by_group(ev, ["event_type"], "xv", "yv").orderBy(
+        "event_type"
+    )
+
+
+def q_agg_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type average precision under the tie-block convention
+    (ops/classifier_eval.py:average_precision_by_group): the PR-curve
+    complement to agg_auc — same distinct-score collapse, descending
+    bucket-decomposed cumulative counts, one final fold."""
+    from recover_spark.ops.classifier_eval import average_precision_by_group
+
+    ev = _classifier_eval_fixture(spark, sf_dir)
+    return average_precision_by_group(
+        ev, ["event_type"], "score", "label"
+    ).orderBy("event_type")
+
+
 def q_agg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type calibration summary — Brier score, expected
     calibration error over 10 uniform bins, base rate
@@ -6387,6 +6419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_split": q_dedup_cluster_split,
         "agg_mutual_info": q_agg_mutual_info,
         "agg_kappa": q_agg_kappa,
+        "agg_avg_precision": q_agg_avg_precision,
+        "agg_spearman": q_agg_spearman,
     }
     # Rotation order for the driver's 50-entry correctness capture
     # (kept accurate per round — the round-8 verdict's task #8).
@@ -6411,6 +6445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_split",
         "agg_mutual_info",
         "agg_kappa",
+        "agg_avg_precision",
+        "agg_spearman",
         # (c) round-9 operators, second verification
         "agg_ab_welch",
         "agg_trimmed_stats",
@@ -7272,6 +7308,39 @@ def _oracle_sql_literal() -> dict[str, str]:
                          + 1e-9, 6) + 0.0 AS auc
             FROM c GROUP BY g
         """,
+        "agg_avg_precision": """
+            -- tie-block AP: blocks retrieved together, every positive
+            -- scores the precision at its block's end
+            -- (ops/classifier_eval.py:average_precision_by_group)
+            WITH x AS (
+                SELECT event_type AS g,
+                       value - floor(value) AS s,
+                       CASE WHEN user_id % 2 = 0
+                            THEN 1.0 ELSE 0.0 END AS y
+                FROM events
+                WHERE value IS NOT NULL AND user_id IS NOT NULL),
+            a AS (
+                SELECT g, s, sum(y) AS pos_c,
+                       count(*)::DOUBLE AS cnt
+                FROM x GROUP BY g, s),
+            c AS (
+                SELECT g, pos_c,
+                       sum(pos_c) OVER (PARTITION BY g ORDER BY s DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cp,
+                       sum(cnt) OVER (PARTITION BY g ORDER BY s DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cn,
+                       cnt
+                FROM a)
+            SELECT g AS event_type,
+                   CAST(sum(cnt) AS BIGINT) AS n,
+                   CAST(sum(pos_c) AS BIGINT) AS n_pos,
+                   round(CASE WHEN sum(pos_c) > 0
+                         THEN sum(pos_c * (cp / cn)) / sum(pos_c) END
+                         + 1e-9, 6) + 0.0 AS avg_precision
+            FROM c GROUP BY g
+        """,
         "agg_calibration": """
             WITH x AS (
                 SELECT event_type AS g,
@@ -7308,6 +7377,42 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(sum(s) / count(*) + 1e-9, 6) + 0.0 AS confidence,
                    round(sum(y) / count(*) + 1e-9, 6) + 0.0 AS accuracy
             FROM x GROUP BY g, bin
+        """,
+        "agg_spearman": """
+            -- midranks = avg of row_numbers over the tie block; rho
+            -- from raw sums with the identical formula to Spark
+            -- (operators/analytics.py:spearman_by_group).  Rank sums
+            -- are exact quarter-integers: bit-identical engines.
+            WITH x AS (
+                SELECT event_type AS g, value AS xv,
+                       value - floor(value) AS yv
+                FROM events WHERE value IS NOT NULL),
+            r1 AS (
+                SELECT g, xv, yv,
+                       row_number() OVER (PARTITION BY g ORDER BY xv)
+                           AS rnx,
+                       row_number() OVER (PARTITION BY g ORDER BY yv)
+                           AS rny
+                FROM x),
+            r2 AS (
+                SELECT g,
+                       avg(rnx) OVER (PARTITION BY g, xv) AS rx,
+                       avg(rny) OVER (PARTITION BY g, yv) AS ry
+                FROM r1),
+            a AS (
+                SELECT g, count(*)::DOUBLE AS n,
+                       sum(rx) AS sx, sum(ry) AS sy,
+                       sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+                       sum(rx * ry) AS sxy
+                FROM r2 GROUP BY g)
+            SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+                   round(CASE WHEN (n * sxx - sx * sx)
+                                   * (n * syy - sy * sy) > 0
+                         THEN (n * sxy - sx * sy)
+                              / sqrt((n * sxx - sx * sx)
+                                     * (n * syy - sy * sy)) END
+                         + 1e-9, 6) + 0.0 AS spearman
+            FROM a
         """,
         "agg_mutual_info": """
             -- MI and both entropies fold from the CELL grain:

@@ -141,6 +141,8 @@ HEADLINE = [
     "dedup_cluster_split",
     "agg_mutual_info",
     "agg_kappa",
+    "agg_avg_precision",
+    "agg_spearman",
 ]
 
 

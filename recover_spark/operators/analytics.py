@@ -905,6 +905,139 @@ def concentration_hhi(
     )
 
 
+def _group_midranks(
+    grain: DataFrame,
+    group_cols: Sequence[str],
+    val_col: str,
+    cnt_col: str,
+    rank_name: str,
+    buckets: int,
+) -> DataFrame:
+    """Midranks at the (group, distinct-value) grain, bucket-decomposed.
+
+    midrank(v) = (# rows below v) + (tie_count(v) + 1) / 2 — the
+    average of the row numbers a tie block would receive under any
+    permutation.  The cumulative below-count decomposes over
+    approx-quantile value buckets exactly as in ``gini_by_group``:
+    ONE (group, bucket) window, aggregate-sized offsets behind the
+    checkpoint pin, broadcast join-back.  Input must already be
+    distinct-value grain with a tie count column.
+    """
+    group_cols = list(group_cols)
+    from recover_spark.functions.transforms import materialize_columns
+
+    probs = [i / buckets for i in range(1, buckets)]
+    bounds = sorted(set(grain.stat.approxQuantile(val_col, probs, 0.001)))
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col(val_col) > F.lit(b)).cast("int")
+    staged = materialize_columns(grain, {"__bucket": bucket})
+    w = (
+        Window.partitionBy(*group_cols, "__bucket")
+        .orderBy(val_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = staged.withColumn(
+        "__below_local", F.coalesce(F.sum(cnt_col).over(w), F.lit(0.0))
+    )
+    per_bucket = (
+        local.groupBy(*group_cols, "__bucket")
+        .agg(
+            F.max(F.col("__below_local") + F.col(cnt_col)).alias("__bn")
+        )
+        .localCheckpoint(eager=False)
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        *group_cols,
+        "__bucket",
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0.0)).alias("__off"),
+    )
+    joined = local.join(F.broadcast(offsets), [*group_cols, "__bucket"])
+    midrank = (
+        F.col("__off")
+        + F.col("__below_local")
+        + (F.col(cnt_col) + F.lit(1.0)) / F.lit(2.0)
+    )
+    return joined.select(
+        *group_cols, val_col, midrank.alias(rank_name)
+    )
+
+
+def spearman_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    col_x: str,
+    col_y: str,
+    buckets: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group Spearman rank correlation — Pearson correlation of
+    MIDRANKS, exact under ties — the robust complement to the moment
+    correlation family: ``correlation_matrix`` asks "do the values
+    co-move linearly", Spearman asks "do the RANKS co-move" (monotone
+    association, immune to outliers and monotone transforms).
+
+    Each column's midranks compute at the (group, distinct-value)
+    grain with the bucket-decomposed below-counts (the gini
+    machinery, via :func:`_group_midranks`) — no per-group ordered
+    window over fact-sized data.  The fact then picks its two ranks
+    up by (group, value) equi-joins against the two distinct-grain
+    rank tables (AQE broadcasts them when the vocabularies are
+    small), and rho folds in ONE final aggregate from raw sums —
+    computed explicitly as (n*sxy - sx*sy) / sqrt((n*sxx - sx^2) *
+    (n*syy - sy^2)) so both engines evaluate the identical formula.
+
+    Rows where EITHER column is NULL are excluded (a rank pair needs
+    both halves).  Constant columns have zero rank variance and yield
+    NULL via ``try_divide``.
+    """
+    group_cols = list(group_cols)
+    nn = df.filter(
+        F.col(col_x).isNotNull() & F.col(col_y).isNotNull()
+    ).select(
+        *group_cols,
+        F.col(col_x).cast("double").alias("__xv"),
+        F.col(col_y).cast("double").alias("__yv"),
+    )
+    gx = nn.groupBy(*group_cols, "__xv").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    gy = nn.groupBy(*group_cols, "__yv").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    rx = _group_midranks(gx, group_cols, "__xv", "__c", "__rx", buckets)
+    ry = _group_midranks(gy, group_cols, "__yv", "__c", "__ry", buckets)
+    ranked = nn.join(rx, [*group_cols, "__xv"]).join(
+        ry, [*group_cols, "__yv"]
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__rx").alias("__sx"),
+        F.sum("__ry").alias("__sy"),
+        F.sum(F.col("__rx") * F.col("__rx")).alias("__sxx"),
+        F.sum(F.col("__ry") * F.col("__ry")).alias("__syy"),
+        F.sum(F.col("__rx") * F.col("__ry")).alias("__sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = F.sqrt(
+        (nd * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+        * (nd * F.col("__syy") - F.col("__sy") * F.col("__sy"))
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(F.try_divide(num, den) + F.lit(1e-9), round_digits).alias(
+            "spearman"
+        ),
+    )
+
+
 def mutual_info_by_group(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -160,6 +160,107 @@ def roc_auc_by_group(
     )
 
 
+def average_precision_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str,
+    label_col: Column | str,
+    buckets: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group average precision (area under the precision-recall
+    curve) with the TIE-BLOCK convention: documents sharing a score
+    are retrieved together as one block, and every positive in the
+    block contributes the precision AT THE BLOCK'S END —
+
+        AP = sum over distinct scores s (descending) of
+             pos_c(s) * ( cum_pos_incl(s) / cum_n_incl(s) ) / P.
+
+    This is the deterministic tie handling (no permutation of tied
+    rows can change it), matching how a ranked system actually serves
+    ties; it differs from scikit-learn's step interpolation only
+    WITHIN tie blocks.  AP complements :func:`roc_auc_by_group` where
+    positives are rare — AUC barely moves when the top of the ranking
+    degrades, AP collapses.
+
+    Engine shape: identical to AUC — collapse to the (group,
+    distinct-score) grain, then bucket-decompose the DESCENDING
+    cumulative positive/total counts over approx-quantile score
+    buckets: ONE (group, bucket) window, aggregate-sized offset folds
+    behind the checkpoint pin, broadcast join-back.  NULLs excluded;
+    groups with no positives yield NULL via ``try_divide``; labels
+    must be boolean/0-1.
+    """
+    group_cols = list(group_cols)
+    lab = _bernoulli(label_col, "average_precision_by_group")
+    nn = df.filter(
+        F.col(score_col).isNotNull() & lab.isNotNull()
+    ).select(
+        *group_cols,
+        F.col(score_col).cast("double").alias("__s"),
+        lab.alias("__y"),
+    )
+    grain = nn.groupBy(*group_cols, "__s").agg(
+        F.sum("__y").alias("__pos"),
+        F.count(F.lit(1)).cast("double").alias("__cnt"),
+    )
+
+    from recover_spark.functions.transforms import materialize_columns
+
+    probs = [i / buckets for i in range(1, buckets)]
+    bounds = sorted(set(grain.stat.approxQuantile("__s", probs, 0.001)))
+    # bucket 0 holds the HIGHEST scores so the bucket order follows
+    # the descending retrieval order
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col("__s") <= F.lit(b)).cast("int")
+    staged = materialize_columns(grain, {"__bucket": bucket})
+
+    w = (
+        Window.partitionBy(*group_cols, "__bucket")
+        .orderBy(F.col("__s").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = staged.withColumn(
+        "__cp_local", F.sum("__pos").over(w)
+    ).withColumn("__cn_local", F.sum("__cnt").over(w))
+    per_bucket = (
+        local.groupBy(*group_cols, "__bucket")
+        .agg(
+            F.max("__cp_local").alias("__bp"),
+            F.max("__cn_local").alias("__bn"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        *group_cols,
+        "__bucket",
+        F.coalesce(F.sum("__bp").over(w_off), F.lit(0.0)).alias("__offp"),
+        F.coalesce(F.sum("__bn").over(w_off), F.lit(0.0)).alias("__offn"),
+    )
+    scored = local.join(F.broadcast(offsets), [*group_cols, "__bucket"])
+    prec = (F.col("__offp") + F.col("__cp_local")) / (
+        F.col("__offn") + F.col("__cn_local")
+    )
+    out = scored.groupBy(*group_cols).agg(
+        F.sum("__pos").cast("long").alias("n_pos"),
+        F.sum("__cnt").cast("long").alias("n"),
+        F.sum(F.col("__pos") * prec).alias("__ap_num"),
+    )
+    ap = F.try_divide(F.col("__ap_num"), F.col("n_pos").cast("double"))
+    return out.select(
+        *group_cols,
+        "n",
+        "n_pos",
+        F.round(ap + F.lit(1e-9), round_digits).alias("avg_precision"),
+    )
+
+
 def _binned(
     df: DataFrame,
     group_cols: Sequence[str],

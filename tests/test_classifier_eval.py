@@ -193,3 +193,100 @@ class TestCalibration:
         # one fact shuffle to (group, bin), one bins-sized fold
         assert plan.count("Exchange hashpartitioning") <= 2
         assert "CartesianProduct" not in plan
+
+
+def _tie_block_ap(rows):
+    """Reference AP under the tie-block convention."""
+    from collections import defaultdict
+
+    blocks = defaultdict(lambda: [0, 0])  # score -> [pos, cnt]
+    for s, y in rows:
+        blocks[s][0] += y
+        blocks[s][1] += 1
+    P = sum(p for p, _ in blocks.values())
+    if P == 0:
+        return None
+    cp = cn = 0
+    ap = 0.0
+    for s in sorted(blocks, reverse=True):
+        p, c = blocks[s]
+        cp += p
+        cn += c
+        ap += p * (cp / cn)
+    return ap / P
+
+
+class TestAveragePrecision:
+    def test_hand_cases(self, spark):
+        from recover_spark.ops.classifier_eval import (
+            average_precision_by_group,
+        )
+
+        rows = (
+            [("perfect", 0.9, 1), ("perfect", 0.8, 1), ("perfect", 0.1, 0)]
+            + [("mid", 0.9, 1), ("mid", 0.8, 0), ("mid", 0.7, 1)]
+            + [("tie", 0.5, 1), ("tie", 0.5, 0)]
+            + [("nopos", 0.5, 0)]
+        )
+        df = spark.createDataFrame(rows, "g string, s double, y int")
+        got = {
+            r["g"]: r
+            for r in average_precision_by_group(
+                df, ["g"], "s", "y"
+            ).collect()
+        }
+        assert got["perfect"]["avg_precision"] == 1.0
+        assert got["mid"]["avg_precision"] == pytest.approx(
+            (1.0 + 2 / 3) / 2, abs=5.1e-6
+        )
+        # tie block of 2 with 1 positive: precision at block end = 0.5
+        assert got["tie"]["avg_precision"] == 0.5
+        assert got["nopos"]["avg_precision"] is None
+        assert got["mid"]["n"] == 3 and got["mid"]["n_pos"] == 2
+
+    def test_matches_reference_across_buckets(self, spark):
+        from recover_spark.ops.classifier_eval import (
+            average_precision_by_group,
+        )
+
+        rng = random.Random(211)
+        rows = [
+            (
+                "g%d" % (i % 2),
+                round(rng.random(), 1),  # heavy ties
+                1 if rng.random() < 0.3 else 0,
+            )
+            for i in range(600)
+        ]
+        df = spark.createDataFrame(rows, "g string, s double, y int")
+        for buckets in (3, 64):
+            got = {
+                r["g"]: r["avg_precision"]
+                for r in average_precision_by_group(
+                    df, ["g"], "s", "y", buckets=buckets
+                ).collect()
+            }
+            for g in ("g0", "g1"):
+                want = _tie_block_ap(
+                    [(s, y) for gg, s, y in rows if gg == g]
+                )
+                assert got[g] == pytest.approx(want, abs=5.1e-6)
+
+    def test_plan_no_cartesian(self, spark):
+        from recover_spark.ops.classifier_eval import (
+            average_precision_by_group,
+        )
+
+        df = spark.range(5000).selectExpr(
+            "CAST(id % 3 AS STRING) g",
+            "CAST(id % 97 AS DOUBLE) / 97 s",
+            "CAST(id % 2 AS INT) y",
+        )
+        plan = (
+            average_precision_by_group(df, ["g"], "s", "y")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "__bucket" in plan

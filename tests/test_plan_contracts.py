@@ -346,7 +346,8 @@ def test_no_cartesian_product_across_query_surface(spark):
         # during construction; stream_drift_* are lifecycle queries)
         # round 10
         "agg_auc", "agg_calibration", "agg_reliability_bins",
-        "agg_mutual_info", "agg_kappa",
+        "agg_mutual_info", "agg_kappa", "agg_avg_precision",
+        "agg_spearman",
     ]
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"

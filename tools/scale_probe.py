@@ -117,6 +117,8 @@ PROBES = [
     # agg_calibration exposed at bin grain — covered by its probe
     "agg_mutual_info",      # cell aggregate + vocab-sized margin windows
     "agg_kappa",            # cell aggregate + (group, category) margin join
+    "agg_avg_precision",    # distinct-score collapse, desc bucket cumsums
+    "agg_spearman",         # two midrank tables + fact rank joins + sums fold
 ]
 
 
