@@ -6124,6 +6124,54 @@ def q_agg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 20-document deterministic sample per source
+    (ops/sampling.py:group_topk_sample): lowest 20 salted md5 hashes
+    per group, ties broken by key — the row_number <= k filter
+    compiles to a map-side WindowGroupLimit, so a hot source costs
+    its reducer O(k * partitions), never its row share."""
+    from recover_spark.ops import group_topk_sample
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return group_topk_sample(docs, ["source"], "doc_id", k=20).orderBy(
+        "source", "doc_id"
+    )
+
+
+def q_transform_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type rank/ECDF normalization of value
+    (operators/analytics.py:rank_normalize): Hazen positions
+    (midrank - 0.5)/n from the bucket-decomposed midrank table, the
+    fact picks its position up by one (group, value) equi-join —
+    output stays fact-grain."""
+    from recover_spark.operators.analytics import rank_normalize
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = rank_normalize(ev, ["event_type"], "value")
+    return out.select(
+        "event_id", "event_type", F.round("value", 6).alias("value"), "ecdf"
+    )
+
+
+def q_agg_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Cohen's d / Hedges' g between the even/odd user
+    cohorts (operators/analytics.py:cohens_d): the MAGNITUDE half of
+    the A/B readout, one conditional mergeable aggregate exactly like
+    agg_ab_welch."""
+    from recover_spark.operators.analytics import cohens_d
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 2).alias("variant"), "value"
+    )
+    return cohens_d(ev, ["event_type"], "variant", "value", 0, 1).orderBy(
+        "event_type"
+    )
+
+
 def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type Spearman rank correlation between value and its
     fractional part (operators/analytics.py:spearman_by_group):
@@ -6421,6 +6469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_kappa": q_agg_kappa,
         "agg_avg_precision": q_agg_avg_precision,
         "agg_spearman": q_agg_spearman,
+        "sample_group_topk": q_sample_group_topk,
+        "transform_rank_normalize": q_transform_rank_normalize,
+        "agg_effect_size": q_agg_effect_size,
     }
     # Rotation order for the driver's 50-entry correctness capture
     # (kept accurate per round — the round-8 verdict's task #8).
@@ -6447,6 +6498,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_kappa",
         "agg_avg_precision",
         "agg_spearman",
+        "sample_group_topk",
+        "transform_rank_normalize",
+        "agg_effect_size",
         # (c) round-9 operators, second verification
         "agg_ab_welch",
         "agg_trimmed_stats",
@@ -7377,6 +7431,69 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(sum(s) / count(*) + 1e-9, 6) + 0.0 AS confidence,
                    round(sum(y) / count(*) + 1e-9, 6) + 0.0 AS accuracy
             FROM x GROUP BY g, bin
+        """,
+        "sample_group_topk": f"""
+            WITH h AS (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY {_h64(
+                               "concat('topk_sample', '|', "
+                               "CAST(doc_id AS VARCHAR))"
+                           )} ASC, doc_id ASC) AS rn
+                FROM documents)
+            SELECT doc_id, source, n_chars
+            FROM h WHERE rn <= 20
+        """,
+        "transform_rank_normalize": """
+            -- Hazen position (midrank - 0.5)/n; midrank = avg of
+            -- row_numbers over the tie block
+            -- (operators/analytics.py:rank_normalize)
+            WITH r1 AS (
+                SELECT event_id, event_type, value,
+                       CASE WHEN value IS NOT NULL THEN
+                           row_number() OVER (
+                               PARTITION BY event_type,
+                                            value IS NOT NULL
+                               ORDER BY value) END AS rn,
+                       CASE WHEN value IS NOT NULL THEN
+                           count(value) OVER (PARTITION BY event_type)
+                           END AS n
+                FROM events),
+            r2 AS (
+                SELECT event_id, event_type, value, n,
+                       avg(rn) OVER (PARTITION BY event_type, value)
+                           AS mid
+                FROM r1)
+            SELECT event_id, event_type,
+                   round(value, 6) AS value,
+                   round(CASE WHEN value IS NOT NULL
+                         THEN (mid - 0.5) / n END + 1e-9, 6) + 0.0
+                       AS ecdf
+            FROM r2
+        """,
+        "agg_effect_size": """
+            WITH s AS (
+                SELECT event_type,
+                       CASE WHEN user_id % 2 = 0 THEN value END AS va,
+                       CASE WHEN user_id % 2 = 1 THEN value END AS vb
+                FROM events),
+            a AS (
+                SELECT event_type,
+                       CAST(count(va) AS BIGINT) AS n_a, avg(va) AS ma,
+                       var_samp(va) AS sa,
+                       CAST(count(vb) AS BIGINT) AS n_b, avg(vb) AS mb,
+                       var_samp(vb) AS sb
+                FROM s GROUP BY event_type)
+            SELECT event_type, n_a, n_b,
+                   round((ma - mb) / sqrt(((n_a - 1) * sa
+                              + (n_b - 1) * sb) / (n_a + n_b - 2))
+                         + 1e-9, 6) + 0.0 AS cohen_d,
+                   round((ma - mb) / sqrt(((n_a - 1) * sa
+                              + (n_b - 1) * sb) / (n_a + n_b - 2))
+                         * (1 - 3.0 / (4 * (n_a + n_b) - 9))
+                         + 1e-9, 6) + 0.0 AS hedges_g
+            FROM a
         """,
         "agg_spearman": """
             -- midranks = avg of row_numbers over the tie block; rho

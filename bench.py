@@ -143,6 +143,9 @@ HEADLINE = [
     "agg_kappa",
     "agg_avg_precision",
     "agg_spearman",
+    "sample_group_topk",
+    "transform_rank_normalize",
+    "agg_effect_size",
 ]
 
 

@@ -1038,6 +1038,118 @@ def spearman_by_group(
     )
 
 
+def rank_normalize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "ecdf",
+    buckets: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group rank/ECDF normalization: map each value to its
+    Hazen plotting position (midrank - 0.5) / n in (0, 1) — the
+    outlier-immune feature transform (quantile normalization's first
+    half, and the standard pre-step before inverse-normal scoring).
+    Monotone transforms of the input change NOTHING; tied values get
+    identical positions via midranks.
+
+    Engine shape: the value vocabulary collapses to the (group,
+    distinct-value) grain, midranks compute there with the
+    bucket-decomposed below-counts (:func:`_group_midranks` — never a
+    per-group ordered window over fact rows), the group size rides a
+    vocabulary-frame window, and the FACT picks its position up by one
+    (group, value) equi-join — output stays fact-grain, shuffled once
+    on the join key.
+
+    NULL values pass through with NULL ``out_col`` (a feature
+    transform must not drop rows — the caller decides imputation).
+    """
+    group_cols = list(group_cols)
+    val = F.col(value_col).cast("double")
+    nn = df.filter(val.isNotNull()).select(
+        *group_cols, val.alias("__v")
+    )
+    grain = nn.groupBy(*group_cols, "__v").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    ranks = _group_midranks(
+        grain, group_cols, "__v", "__c", "__mid", buckets
+    )
+    w_g = Window.partitionBy(*group_cols)
+    # group size from the rank table itself: max midrank over the
+    # group is (n + tie/2)... not n — recover n as the sum of tie
+    # counts, carried through the helper via a second join-free pass
+    sized = grain.select(
+        *group_cols, "__v", F.sum("__c").over(w_g).alias("__n")
+    )
+    pos_tbl = ranks.join(sized, [*group_cols, "__v"]).select(
+        *group_cols,
+        "__v",
+        F.round(
+            (F.col("__mid") - F.lit(0.5)) / F.col("__n") + F.lit(1e-9),
+            round_digits,
+        ).alias(out_col),
+    )
+    return (
+        df.withColumn("__v", F.col(value_col).cast("double"))
+        .join(pos_tbl, [*group_cols, "__v"], "left")
+        .drop("__v")
+    )
+
+
+def cohens_d(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    variant_col: str,
+    value_col: str,
+    variant_a,
+    variant_b,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group standardized effect size between two variants:
+    Cohen's d = (mean_a - mean_b) / s_pooled with the
+    pooled-variance denominator, plus Hedges' g (the small-sample
+    bias correction d * (1 - 3 / (4(n_a + n_b) - 9))) — the
+    MAGNITUDE half of the A/B readout: ``welch_ttest`` says whether
+    the means differ beyond noise, d says by how many standard
+    deviations (significance without size is how large experiments
+    ship no-op changes).
+
+    Engine shape: ONE mergeable conditional aggregate over the fact,
+    identical to welch_ttest.  Degenerate groups (either variant has
+    n < 2, or zero pooled variance) yield NULL via ``try_divide``.
+    """
+    group_cols = list(group_cols)
+    v = F.col(value_col).cast("double")
+    va = F.when(F.col(variant_col) == F.lit(variant_a), v)
+    vb = F.when(F.col(variant_col) == F.lit(variant_b), v)
+    agg = df.groupBy(*group_cols).agg(
+        F.count(va).alias("n_a"),
+        F.avg(va).alias("__ma"),
+        F.var_samp(va).alias("__sa"),
+        F.count(vb).alias("n_b"),
+        F.avg(vb).alias("__mb"),
+        F.var_samp(vb).alias("__sb"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    pooled = F.sqrt(
+        F.try_divide(
+            (na - 1) * F.col("__sa") + (nb - 1) * F.col("__sb"),
+            na + nb - 2,
+        )
+    )
+    d = F.try_divide(F.col("__ma") - F.col("__mb"), pooled)
+    g = d * (F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (na + nb) - 9))
+    return agg.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.round(d + F.lit(1e-9), round_digits).alias("cohen_d"),
+        F.round(g + F.lit(1e-9), round_digits).alias("hedges_g"),
+    )
+
+
 def mutual_info_by_group(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -115,6 +115,48 @@ def cluster_split(
     )
 
 
+def group_topk_sample(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    k: int,
+    salt: str = "topk_sample",
+) -> DataFrame:
+    """EXACT-size deterministic per-group sample: the k rows whose
+    salted md5 hash ranks lowest within each group — the
+    fixed-budget complement to ``stratified_sample`` (which keeps a
+    FRACTION per stratum and so drifts with stratum size): "exactly
+    1,000 eval documents per source", reproducible across runs,
+    engines, and partitionings.
+
+    Ties on the hash break by ``key_col`` ascending, so the result is
+    a total function of the data, never of the execution.  Duplicate
+    keys within a group share a hash and are kept or dropped TOGETHER
+    only as far as the k-boundary allows — callers sampling at entity
+    grain should dedup first.
+
+    Engine shape: ONE shuffle on the group key; the ``row_number() <=
+    k`` filter compiles to a map-side WindowGroupLimit (the W1
+    keyed-latest plan), so each map task forwards at most k rows per
+    group and a hot group costs its reducer only O(k * partitions),
+    not its row share.
+    """
+    if k < 1:
+        raise ValueError(f"group_topk_sample: k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    group_cols = list(group_cols)
+    h = portable_hash64(F.col(key_col), salt=salt)
+    w = Window.partitionBy(*group_cols).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def stable_sample(
     df: DataFrame,
     key_col: str,

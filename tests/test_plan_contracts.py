@@ -347,7 +347,8 @@ def test_no_cartesian_product_across_query_surface(spark):
         # round 10
         "agg_auc", "agg_calibration", "agg_reliability_bins",
         "agg_mutual_info", "agg_kappa", "agg_avg_precision",
-        "agg_spearman",
+        "agg_spearman", "sample_group_topk", "transform_rank_normalize",
+        "agg_effect_size",
     ]
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"

@@ -119,6 +119,9 @@ PROBES = [
     "agg_kappa",            # cell aggregate + (group, category) margin join
     "agg_avg_precision",    # distinct-score collapse, desc bucket cumsums
     "agg_spearman",         # two midrank tables + fact rank joins + sums fold
+    "sample_group_topk",    # map-side WindowGroupLimit hash top-k
+    "transform_rank_normalize",  # midrank table + one fact equi-join
+    "agg_effect_size",      # one conditional-aggregate fact shuffle
 ]
 
 
