@@ -6217,6 +6217,44 @@ def q_agg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_stream_calibration_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension — incrementally-maintained classifier
+    calibration (streaming/matview.py:maintain_calibration_matview):
+    the events stream folds (group, bin) score/label sums into
+    persisted state across four genuine micro-batches; the read side
+    serves the brier/ece/base_rate scalars from that state with the
+    IDENTICAL fold the batch operator runs.  The oracle is the plain
+    batch SQL — incremental maintenance must be invisible."""
+    import uuid
+
+    from recover_spark.streaming.matview import (
+        maintain_calibration_matview,
+        read_calibration_matview,
+    )
+
+    run_dir = f"spark-warehouse/calib_mv/{uuid.uuid4().hex}"
+    src = f"{run_dir}/src"
+    ev = _classifier_eval_fixture(spark, sf_dir).select(
+        "event_type", "score", F.col("label").cast("int").alias("label")
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_type string, score double, label int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_calibration_matview(
+        stream, f"{run_dir}/state", f"{run_dir}/ckpt",
+        ["event_type"], "score", "label", bins=10,
+    )
+    q.awaitTermination(300)
+    return read_calibration_matview(
+        spark, f"{run_dir}/state", ["event_type"]
+    ).orderBy("event_type")
+
+
 def q_agg_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type reliability diagram — mean confidence vs observed
     accuracy in 10 uniform score bins
@@ -6472,6 +6510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_group_topk": q_sample_group_topk,
         "transform_rank_normalize": q_transform_rank_normalize,
         "agg_effect_size": q_agg_effect_size,
+        "stream_calibration_matview": q_stream_calibration_matview,
     }
     # Rotation order for the driver's 50-entry correctness capture
     # (kept accurate per round — the round-8 verdict's task #8).
@@ -6501,6 +6540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_group_topk",
         "transform_rank_normalize",
         "agg_effect_size",
+        "stream_calibration_matview",
         # (c) round-9 operators, second verification
         "agg_ab_welch",
         "agg_trimmed_stats",
@@ -7396,6 +7436,30 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM c GROUP BY g
         """,
         "agg_calibration": """
+            WITH x AS (
+                SELECT event_type AS g,
+                       value - floor(value) AS s,
+                       CASE WHEN user_id % 2 = 0
+                            THEN 1.0 ELSE 0.0 END AS y
+                FROM events
+                WHERE value IS NOT NULL AND user_id IS NOT NULL),
+            b AS (
+                SELECT g, least(CAST(floor(s * 10) AS INT), 9) AS bin,
+                       count(*) AS n_bin, sum(s) AS ss, sum(y) AS sy,
+                       sum((s - y) * (s - y)) AS sq
+                FROM x GROUP BY g, bin)
+            SELECT g AS event_type,
+                   CAST(sum(n_bin) AS BIGINT) AS n,
+                   round(sum(sq) / sum(n_bin) + 1e-9, 6) + 0.0 AS brier,
+                   round(sum(n_bin * abs(ss / n_bin - sy / n_bin))
+                         / sum(n_bin) + 1e-9, 6) + 0.0 AS ece,
+                   round(sum(sy) / sum(n_bin) + 1e-9, 6) + 0.0
+                       AS base_rate
+            FROM b GROUP BY g
+        """,
+        "stream_calibration_matview": """
+            -- the batch twin of the incrementally-maintained view:
+            -- maintenance must be invisible in the result
             WITH x AS (
                 SELECT event_type AS g,
                        value - floor(value) AS s,

@@ -146,6 +146,7 @@ HEADLINE = [
     "sample_group_topk",
     "transform_rank_normalize",
     "agg_effect_size",
+    "stream_calibration_matview",
 ]
 
 
@@ -199,6 +200,7 @@ def main() -> None:
         "stream_drift_psi",
         "stream_drift_ks",
         "stream_upsert_matview",
+        "stream_calibration_matview",
     }
     timings: dict[str, float] = {}
     phases: dict[str, dict[str, float]] = {}

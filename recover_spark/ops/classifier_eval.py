@@ -303,6 +303,60 @@ def _binned(
     )
 
 
+def fold_reliability(
+    binned: DataFrame,
+    group_cols: Sequence[str],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reliability diagram from a (group, bin) sums frame — shared by
+    the batch operator and the streaming matview's read side (the
+    bin sums are mergeable, so the same fold serves both)."""
+    group_cols = list(group_cols)
+    return binned.select(
+        *group_cols,
+        "bin",
+        "n_bin",
+        F.round(
+            F.col("__ss") / F.col("n_bin") + F.lit(1e-9), round_digits
+        ).alias("confidence"),
+        F.round(
+            F.col("__sy") / F.col("n_bin") + F.lit(1e-9), round_digits
+        ).alias("accuracy"),
+    ).orderBy(*group_cols, "bin")
+
+
+def fold_calibration_summary(
+    binned: DataFrame,
+    group_cols: Sequence[str],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Calibration scalars (brier/ece/base_rate) from a (group, bin)
+    sums frame — the bins-sized fold shared by batch and stream."""
+    group_cols = list(group_cols)
+    gap = F.abs(
+        F.col("__ss") / F.col("n_bin") - F.col("__sy") / F.col("n_bin")
+    )
+    out = binned.groupBy(*group_cols).agg(
+        F.sum("n_bin").cast("long").alias("n"),
+        F.sum("__sq").alias("__sqt"),
+        F.sum(F.col("n_bin") * gap).alias("__et"),
+        F.sum("__sy").alias("__syt"),
+    )
+    return out.select(
+        *group_cols,
+        "n",
+        F.round(
+            F.col("__sqt") / F.col("n") + F.lit(1e-9), round_digits
+        ).alias("brier"),
+        F.round(
+            F.col("__et") / F.col("n") + F.lit(1e-9), round_digits
+        ).alias("ece"),
+        F.round(
+            F.col("__syt") / F.col("n") + F.lit(1e-9), round_digits
+        ).alias("base_rate"),
+    )
+
+
 def reliability_bins(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -323,17 +377,7 @@ def reliability_bins(
     """
     b = _binned(df, group_cols, score_col, label_col, bins,
                 "reliability_bins")
-    return b.select(
-        *group_cols,
-        "bin",
-        "n_bin",
-        F.round(
-            F.col("__ss") / F.col("n_bin") + F.lit(1e-9), round_digits
-        ).alias("confidence"),
-        F.round(
-            F.col("__sy") / F.col("n_bin") + F.lit(1e-9), round_digits
-        ).alias("accuracy"),
-    ).orderBy(*group_cols, "bin")
+    return fold_reliability(b, group_cols, round_digits)
 
 
 def calibration_summary(
@@ -359,25 +403,4 @@ def calibration_summary(
     """
     b = _binned(df, group_cols, score_col, label_col, bins,
                 "calibration_summary")
-    gap = F.abs(
-        F.col("__ss") / F.col("n_bin") - F.col("__sy") / F.col("n_bin")
-    )
-    out = b.groupBy(*list(group_cols)).agg(
-        F.sum("n_bin").cast("long").alias("n"),
-        F.sum("__sq").alias("__sqt"),
-        F.sum(F.col("n_bin") * gap).alias("__et"),
-        F.sum("__sy").alias("__syt"),
-    )
-    return out.select(
-        *group_cols,
-        "n",
-        F.round(
-            F.col("__sqt") / F.col("n") + F.lit(1e-9), round_digits
-        ).alias("brier"),
-        F.round(
-            F.col("__et") / F.col("n") + F.lit(1e-9), round_digits
-        ).alias("ece"),
-        F.round(
-            F.col("__syt") / F.col("n") + F.lit(1e-9), round_digits
-        ).alias("base_rate"),
-    )
+    return fold_calibration_summary(b, group_cols, round_digits)

@@ -622,6 +622,126 @@ def read_corr_matview(spark: SparkSession, state_path: str) -> DataFrame:
     )
 
 
+def merge_calibration_state(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    group_cols: Sequence[str],
+    score_col: str,
+    label_col: str,
+    bins: int,
+    batch_id: int | None = None,
+) -> None:
+    """Merge one batch's (group, bin) calibration sums into state.
+
+    The bin sums (n, sum score, sum label, sum squared error) are all
+    mergeable, so union + re-aggregate over partials equals the
+    aggregate over everything seen — the same contract as
+    ``merge_counts``, with the same batch-id idempotence sidecar.
+    The binning expression is ``ops/classifier_eval._binned`` itself,
+    so stream and batch can never disagree on bin boundaries.
+    """
+    from recover_spark.ops.classifier_eval import _binned
+
+    _recover_state(state_path)
+    if batch_id is not None:
+        applied = _applied_batch_id(state_path)
+        if applied is not None and batch_id <= applied:
+            return
+    keys = list(group_cols)
+    partial = _binned(
+        batch, keys, score_col, label_col, bins, "calibration_matview"
+    )
+    state = Path(state_path)
+    merged = partial
+    if state.exists():
+        prev = spark.read.parquet(state_path)
+        merged = (
+            prev.unionByName(partial)
+            .groupBy(*keys, "bin")
+            .agg(
+                F.sum("n_bin").cast("long").alias("n_bin"),
+                F.sum("__ss").alias("__ss"),
+                F.sum("__sy").alias("__sy"),
+                F.sum("__sq").alias("__sq"),
+            )
+        )
+    tmp = str(state) + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
+    _swap_state(tmp, state_path)
+
+
+def maintain_calibration_matview(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    group_cols: Sequence[str],
+    score_col: str,
+    label_col: str,
+    bins: int = 10,
+):
+    """Incrementally-maintained classifier-calibration view: each
+    micro-batch folds its (group, bin) score/label sums into persisted
+    state, and the read side serves the reliability diagram AND the
+    calibration scalars (brier/ece/base_rate) from the SAME state —
+    calibration-on-arrival for a scoring pipeline, with no full
+    rescan of history (the drift-matview design applied to the
+    classifier-eval family)."""
+    spark = stream.sparkSession
+    keys = list(group_cols)
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        merge_calibration_state(
+            spark, batch, state_path, keys, score_col, label_col,
+            bins, batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_calibration_matview(
+    spark: SparkSession,
+    state_path: str,
+    group_cols: Sequence[str],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Calibration scalars from the binned state — the identical
+    bins-sized fold the batch operator runs
+    (``ops/classifier_eval.fold_calibration_summary``), so the
+    streamed view equals batch calibration over the union of all
+    batches (counts are integer-additive; the score sums merge
+    commutatively and every exposed statistic is a bin-ratio, magnitude
+    <= 1, where 6-decimal rounding is stable by the sum-magnitude
+    rule)."""
+    from recover_spark.ops.classifier_eval import fold_calibration_summary
+
+    _recover_state(state_path)
+    st = spark.read.parquet(state_path)
+    return fold_calibration_summary(st, list(group_cols), round_digits)
+
+
+def read_reliability_matview(
+    spark: SparkSession,
+    state_path: str,
+    group_cols: Sequence[str],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reliability diagram from the same binned state — second lens,
+    zero extra state (the four-lens drift-matview lesson)."""
+    from recover_spark.ops.classifier_eval import fold_reliability
+
+    _recover_state(state_path)
+    st = spark.read.parquet(state_path)
+    return fold_reliability(st, list(group_cols), round_digits)
+
+
 def merge_upsert_state(
     spark: SparkSession,
     batch: DataFrame,

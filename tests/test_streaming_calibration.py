@@ -1,0 +1,100 @@
+"""Streaming calibration matview (streaming/matview.py): stream ==
+batch over the union of batches, crash-replay idempotence, and the
+two read lenses sharing one state.
+"""
+
+import uuid
+
+from pyspark.sql import functions as F
+
+
+def _fixture(spark, n=400):
+    return spark.range(n).selectExpr(
+        "CAST(id % 3 AS STRING) g",
+        "CAST(id % 97 AS DOUBLE) / 97 AS s",
+        "CAST(id % 2 AS INT) y",
+    )
+
+
+class TestStreamingCalibration:
+    def test_stream_equals_batch(self, spark, tmp_path):
+        from recover_spark.ops.classifier_eval import (
+            calibration_summary,
+            reliability_bins,
+        )
+        from recover_spark.streaming.matview import (
+            maintain_calibration_matview,
+            read_calibration_matview,
+            read_reliability_matview,
+        )
+
+        df = _fixture(spark)
+        src = str(tmp_path / "src")
+        df.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("g string, s double, y int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = str(tmp_path / "state")
+        q = maintain_calibration_matview(
+            stream, state, str(tmp_path / "ckpt"), ["g"], "s", "y"
+        )
+        q.awaitTermination(120)
+
+        got = {
+            r["g"]: r
+            for r in read_calibration_matview(spark, state, ["g"]).collect()
+        }
+        want = {
+            r["g"]: r
+            for r in calibration_summary(df, ["g"], "s", "y").collect()
+        }
+        assert set(got) == set(want)
+        for g in want:
+            assert got[g]["n"] == want[g]["n"]
+            assert got[g]["brier"] == want[g]["brier"]
+            assert got[g]["ece"] == want[g]["ece"]
+            assert got[g]["base_rate"] == want[g]["base_rate"]
+
+        got_b = {
+            (r["g"], r["bin"]): r
+            for r in read_reliability_matview(spark, state, ["g"]).collect()
+        }
+        want_b = {
+            (r["g"], r["bin"]): r
+            for r in reliability_bins(df, ["g"], "s", "y").collect()
+        }
+        assert set(got_b) == set(want_b)
+        for k in want_b:
+            assert got_b[k]["n_bin"] == want_b[k]["n_bin"]
+            assert got_b[k]["confidence"] == want_b[k]["confidence"]
+            assert got_b[k]["accuracy"] == want_b[k]["accuracy"]
+
+    def test_crash_replay_idempotent(self, spark, tmp_path):
+        from recover_spark.streaming.matview import (
+            merge_calibration_state,
+            read_calibration_matview,
+        )
+
+        df = _fixture(spark, n=100)
+        state = str(tmp_path / "state")
+        merge_calibration_state(
+            spark, df, state, ["g"], "s", "y", 10, batch_id=0
+        )
+        before = {
+            r["g"]: r
+            for r in read_calibration_matview(spark, state, ["g"]).collect()
+        }
+        # replay of the same batch id must be a no-op
+        merge_calibration_state(
+            spark, df, state, ["g"], "s", "y", 10, batch_id=0
+        )
+        after = {
+            r["g"]: r
+            for r in read_calibration_matview(spark, state, ["g"]).collect()
+        }
+        assert before.keys() == after.keys()
+        for g in before:
+            assert before[g]["n"] == after[g]["n"]
+            assert before[g]["brier"] == after[g]["brier"]

@@ -122,6 +122,7 @@ PROBES = [
     "sample_group_topk",    # map-side WindowGroupLimit hash top-k
     "transform_rank_normalize",  # midrank table + one fact equi-join
     "agg_effect_size",      # one conditional-aggregate fact shuffle
+    "stream_calibration_matview",  # 4-batch (group, bin) sums fold
 ]
 
 
