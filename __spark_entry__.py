@@ -6028,6 +6028,17 @@ def q_agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity — TTR, Guiraud root-TTR, hapax
+    share (ops/text_analysis.py:lexical_diversity): one (source, term)
+    count aggregate with map-side combine, every statistic folds from
+    the vocabulary-sized frame."""
+    from recover_spark.ops.text_analysis import lexical_diversity
+
+    docs = _load(spark, sf_dir, "documents")
+    return lexical_diversity(docs, ["source"], "text").orderBy("source")
+
+
 def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit over the corpus vocabulary
     (ops/text_analysis.py:zipf_fit): one vocabulary aggregate, a
@@ -6511,6 +6522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_rank_normalize": q_transform_rank_normalize,
         "agg_effect_size": q_agg_effect_size,
         "stream_calibration_matview": q_stream_calibration_matview,
+        "text_lexical_diversity": q_text_lexical_diversity,
     }
     # Rotation order for the driver's 50-entry correctness capture
     # (kept accurate per round — the round-8 verdict's task #8).
@@ -6541,6 +6553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_rank_normalize",
         "agg_effect_size",
         "stream_calibration_matview",
+        "text_lexical_diversity",
         # (c) round-9 operators, second verification
         "agg_ab_welch",
         "agg_trimmed_stats",
@@ -7495,6 +7508,32 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(sum(s) / count(*) + 1e-9, 6) + 0.0 AS confidence,
                    round(sum(y) / count(*) + 1e-9, 6) + 0.0 AS accuracy
             FROM x GROUP BY g, bin
+        """,
+        "text_lexical_diversity": r"""
+            WITH toks AS (
+                SELECT source, t.term
+                FROM documents,
+                     UNNEST(regexp_split_to_array(lower(text),
+                            '[^a-z0-9'']+')) AS t(term)
+                WHERE t.term <> ''),
+            tc AS (
+                SELECT source, term, count(*) AS c
+                FROM toks GROUP BY source, term),
+            a AS (
+                SELECT source,
+                       CAST(sum(c) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS BIGINT) AS n_types,
+                       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                            AS DOUBLE) AS hapax
+                FROM tc GROUP BY source)
+            SELECT source, n_tokens, n_types,
+                   round(n_types / (n_tokens + 0.0) + 1e-9, 6) + 0.0
+                       AS ttr,
+                   round(n_types / sqrt(n_tokens + 0.0) + 1e-9, 6) + 0.0
+                       AS guiraud,
+                   round(hapax / n_types + 1e-9, 6) + 0.0
+                       AS hapax_share
+            FROM a
         """,
         "sample_group_topk": f"""
             WITH h AS (

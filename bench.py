@@ -147,6 +147,7 @@ HEADLINE = [
     "transform_rank_normalize",
     "agg_effect_size",
     "stream_calibration_matview",
+    "text_lexical_diversity",
 ]
 
 

@@ -7,6 +7,8 @@ All pure Catalyst expressions over the ``documents`` table shape
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -935,6 +937,59 @@ def collocation_pmi(
             "n_ab",
             F.round(pmi + F.lit(1e-9), round_digits).alias("pmi"),
         )
+    )
+
+
+def lexical_diversity(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group lexical diversity of the token stream: type count,
+    type-token ratio, Guiraud's root-TTR (types / sqrt(tokens) — the
+    length-robust form, since raw TTR collapses as documents grow),
+    and the hapax share (fraction of TYPES occurring exactly once) —
+    the vocabulary-richness screens that separate natural prose from
+    template spam and looped generation, complementing the
+    per-document repetition gates (``dup_token_fraction``) with a
+    distribution-level view.  Group at ``doc_id`` grain for per-doc
+    scores or at ``source`` grain for corpus-level diversity.
+
+    Engine shape: tokens explode into ONE (group, term) count
+    aggregate with map-side combine (the TF-IDF first stage); every
+    statistic folds from that vocabulary-sized frame in one final
+    aggregate — n_tokens = sum(c), n_types = count(*), hapax =
+    count(c == 1).  Tokenization-bound at 10x like the TF-IDF/Zipf
+    class.  Groups whose text tokenizes to nothing disappear (no
+    tokens, no distribution).
+    """
+    group_cols = list(group_cols)
+    toks = tokens(F.col(text_col))
+    term_counts = (
+        df.select(*group_cols, F.explode(toks).alias("__t"))
+        .groupBy(*group_cols, "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    agg = term_counts.groupBy(*group_cols).agg(
+        F.sum("__c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum((F.col("__c") == 1).cast("long")).alias("__hapax"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    ty = F.col("n_types").cast("double")
+    return agg.select(
+        *group_cols,
+        "n_tokens",
+        "n_types",
+        F.round(ty / nt + F.lit(1e-9), round_digits).alias("ttr"),
+        F.round(ty / F.sqrt(nt) + F.lit(1e-9), round_digits).alias(
+            "guiraud"
+        ),
+        F.round(
+            F.col("__hapax").cast("double") / ty + F.lit(1e-9),
+            round_digits,
+        ).alias("hapax_share"),
     )
 
 

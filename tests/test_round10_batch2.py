@@ -168,3 +168,41 @@ class TestCohensD:
             .toString()
         )
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+class TestLexicalDiversity:
+    def test_hand_counts(self, spark):
+        from recover_spark.ops.text_analysis import lexical_diversity
+
+        # tokens: the cat sat the cat -> n=5, types=3 (the:2 cat:2
+        # sat:1), hapax=1
+        df = spark.createDataFrame(
+            [(1, "The cat sat; the CAT!")], "doc_id long, text string"
+        )
+        row = lexical_diversity(df, ["doc_id"], "text").collect()[0]
+        assert row["n_tokens"] == 5 and row["n_types"] == 3
+        assert row["ttr"] == pytest.approx(3 / 5, abs=5.1e-6)
+        assert row["guiraud"] == pytest.approx(3 / 5 ** 0.5, abs=5.1e-6)
+        assert row["hapax_share"] == pytest.approx(1 / 3, abs=5.1e-6)
+
+    def test_group_grain_folds_across_docs(self, spark):
+        from recover_spark.ops.text_analysis import lexical_diversity
+
+        df = spark.createDataFrame(
+            [("s", "alpha beta"), ("s", "alpha gamma")],
+            "source string, text string",
+        )
+        row = lexical_diversity(df, ["source"], "text").collect()[0]
+        # corpus-level: alpha twice -> 4 tokens, 3 types, 2 hapax
+        assert row["n_tokens"] == 4 and row["n_types"] == 3
+        assert row["hapax_share"] == pytest.approx(2 / 3, abs=5.1e-6)
+
+    def test_empty_text_group_disappears(self, spark):
+        from recover_spark.ops.text_analysis import lexical_diversity
+
+        df = spark.createDataFrame(
+            [(1, "real words"), (2, "!!! ...")], "doc_id long, text string"
+        )
+        got = {r["doc_id"] for r in
+               lexical_diversity(df, ["doc_id"], "text").collect()}
+        assert got == {1}

@@ -123,6 +123,7 @@ PROBES = [
     "transform_rank_normalize",  # midrank table + one fact equi-join
     "agg_effect_size",      # one conditional-aggregate fact shuffle
     "stream_calibration_matview",  # 4-batch (group, bin) sums fold
+    "text_lexical_diversity",  # one (source, term) aggregate + fold
 ]
 
 
