@@ -4385,6 +4385,72 @@ def _js_oracle_sql(cols: list[str], cut: str, n_bins: int = 10) -> str:
     return " UNION ALL ".join(blocks) + ' ORDER BY "column"'
 
 
+def _chi2_oracle_sql(cols: list[str], cut: str, n_bins: int = 10) -> str:
+    """Chi-squared drift oracle: the _js_oracle_sql binning with the
+    cross-multiplied homogeneity fold (quality/drift.py:
+    chi2_from_binned_counts) — effect sizes exposed, raw statistic
+    deliberately not (sum-magnitude rule)."""
+    fr = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    blocks = []
+    for c in cols:
+        blocks.append(f"""
+            SELECT "column",
+                   CAST(k - 1 AS BIGINT) AS dof,
+                   CAST(tb AS BIGINT) AS n_base_total,
+                   CAST(tc AS BIGINT) AS n_cur_total,
+                   round(chi2 / (tb + tc) + 1e-9, 6) + 0.0 AS phi2,
+                   round(sqrt(chi2 / (tb + tc) / (k - 1))
+                         + 1e-9, 6) + 0.0 AS cramers_v
+            FROM (
+                SELECT '{c}' AS "column",
+                       sum(CASE WHEN n_base + n_cur > 0
+                                THEN 1 ELSE 0 END) AS k,
+                       max(tb) AS tb, max(tc) AS tc,
+                       sum(CASE WHEN n_base + n_cur > 0
+                           THEN diff * diff
+                                / (CAST(tb AS DOUBLE) * tc
+                                   * (n_base + n_cur))
+                           ELSE 0 END) AS chi2
+                FROM (
+                    WITH base AS (
+                        SELECT CAST({c} AS DOUBLE) AS v FROM lineitem
+                        WHERE l_shipdate < TIMESTAMP '{cut}'
+                              AND {c} IS NOT NULL
+                    ),
+                    cur AS (
+                        SELECT CAST({c} AS DOUBLE) AS v FROM lineitem
+                        WHERE l_shipdate >= TIMESTAMP '{cut}'
+                              AND {c} IS NOT NULL
+                    ),
+                    e AS (SELECT list_transform(quantile_cont(v, [{fr}]),
+                                x -> round(x, 9)) AS edges FROM base),
+                    bb AS (SELECT len(list_filter(e.edges, x -> x <= v))
+                               AS bin FROM base, e),
+                    cb AS (SELECT len(list_filter(e.edges, x -> x <= v))
+                               AS bin FROM cur, e),
+                    slots AS (SELECT unnest(range({n_bins})) AS bin),
+                    nb AS (SELECT s.bin, coalesce(x.n, 0) AS n_base
+                           FROM slots s LEFT JOIN
+                                (SELECT bin, count(*) AS n FROM bb
+                                 GROUP BY 1) x USING (bin)),
+                    nc AS (SELECT s.bin, coalesce(x.n, 0) AS n_cur
+                           FROM slots s LEFT JOIN
+                                (SELECT bin, count(*) AS n FROM cb
+                                 GROUP BY 1) x USING (bin))
+                    SELECT n_base, n_cur,
+                           (SELECT sum(n_base) FROM nb) AS tb,
+                           (SELECT sum(n_cur) FROM nc) AS tc,
+                           CAST(n_base AS DOUBLE)
+                               * (SELECT sum(n_cur) FROM nc)
+                           - CAST(n_cur AS DOUBLE)
+                               * (SELECT sum(n_base) FROM nb) AS diff
+                    FROM nb JOIN nc USING (bin)
+                )
+            )
+        """)
+    return " UNION ALL ".join(blocks) + ' ORDER BY "column"'
+
+
 def _grid_drift_oracle_sql(cols: list[str], cut: str, n_bins: int = 10) -> str:
     """Grid-KS + JS + Hellinger oracle for the streaming KS matview:
     same binning, cumulative counts CAST to BIGINT (DuckDB window sums
@@ -6028,6 +6094,58 @@ def q_agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority distribution-shape moments of order value
+    (operators/analytics.py:moments_by_group): two-pass centered
+    power sums — group means broadcast back onto the fact, so the
+    skew/kurtosis folds never catastrophically cancel the way
+    raw-power-sum shortcuts do at |mu| >> sigma."""
+    from recover_spark.operators.analytics import moments_by_group
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    return moments_by_group(
+        orders, ["o_orderpriority"], "o_totalprice"
+    ).orderBy("o_orderpriority")
+
+
+def q_text_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard/containment between sources
+    (ops/text_analysis.py:vocabulary_overlap): distinct (source, term)
+    vocabulary, sizes folded from it, intersections from ONE
+    term-keyed self-equi-join — the mirror-corpus screen."""
+    from recover_spark.ops.text_analysis import vocabulary_overlap
+
+    docs = _load(spark, sf_dir, "documents")
+    return vocabulary_overlap(docs, "source", "text").orderBy(
+        "group_a", "group_b"
+    )
+
+
+def q_v13_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample chi-squared drift of the post-cut shipment era
+    against the pre-cut baseline (quality/drift.py:chi2_drift) — the
+    fifth drift lens, exposing EFFECT SIZES (phi2, Cramér's V) plus
+    exact integer era totals rather than the raw N-scaled statistic
+    (the sum-magnitude hashing rule applied at design time).
+    ``edge_accuracy=None`` is gate plumbing, same note as
+    v5_drift_psi."""
+    from recover_spark.quality.drift import chi2_drift
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    cut = "1998-06-01"
+    base = lineitem.filter(F.col("l_shipdate") < F.lit(cut))
+    cur = lineitem.filter(F.col("l_shipdate") >= F.lit(cut))
+    return chi2_drift(
+        base,
+        cur,
+        ["l_extendedprice", "l_quantity", "l_discount"],
+        n_bins=10,
+        edge_accuracy=None,
+    ).orderBy("column")
+
+
 def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source lexical diversity — TTR, Guiraud root-TTR, hapax
     share (ops/text_analysis.py:lexical_diversity): one (source, term)
@@ -6523,6 +6641,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_effect_size": q_agg_effect_size,
         "stream_calibration_matview": q_stream_calibration_matview,
         "text_lexical_diversity": q_text_lexical_diversity,
+        "agg_moments": q_agg_moments,
+        "text_vocab_overlap": q_text_vocab_overlap,
+        "v13_drift_chi2": q_v13_drift_chi2,
     }
     # Rotation order for the driver's 50-entry correctness capture
     # (kept accurate per round — the round-8 verdict's task #8).
@@ -6554,6 +6675,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_effect_size",
         "stream_calibration_matview",
         "text_lexical_diversity",
+        "agg_moments",
+        "text_vocab_overlap",
+        "v13_drift_chi2",
         # (c) round-9 operators, second verification
         "agg_ab_welch",
         "agg_trimmed_stats",
@@ -7508,6 +7632,57 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(sum(s) / count(*) + 1e-9, 6) + 0.0 AS confidence,
                    round(sum(y) / count(*) + 1e-9, 6) + 0.0 AS accuracy
             FROM x GROUP BY g, bin
+        """,
+        "agg_moments": """
+            -- two-pass centered power sums, mirroring the operator's
+            -- cancellation-safe shape (operators/analytics.py:
+            -- moments_by_group)
+            WITH x AS (
+                SELECT o_orderpriority AS g,
+                       CAST(o_totalprice AS DOUBLE) AS v
+                FROM orders WHERE o_totalprice IS NOT NULL),
+            m AS (SELECT g, count(*) AS n, avg(v) AS mu
+                  FROM x GROUP BY g),
+            c AS (SELECT x.g, (v - mu) AS d, n, mu
+                  FROM x JOIN m ON x.g = m.g),
+            a AS (SELECT g, max(n) AS n, max(mu) AS mu,
+                         sum(d * d) AS s2, sum(d * d * d) AS s3,
+                         sum(d * d * d * d) AS s4
+                  FROM c GROUP BY g)
+            SELECT g AS o_orderpriority, CAST(n AS BIGINT) AS n,
+                   round(mu + 1e-9, 6) + 0.0 AS mean,
+                   round(sqrt(s2 / (n - 1)) + 1e-9, 6) + 0.0 AS stddev,
+                   round((s3 / n) / pow(s2 / n, 1.5) + 1e-9, 6) + 0.0
+                       AS skewness,
+                   round((s4 / n) / ((s2 / n) * (s2 / n)) - 3
+                         + 1e-9, 6) + 0.0 AS excess_kurtosis
+            FROM a
+        """,
+        "text_vocab_overlap": r"""
+            WITH v AS (
+                SELECT DISTINCT source AS g, t.term
+                FROM documents,
+                     UNNEST(regexp_split_to_array(lower(text),
+                            '[^a-z0-9'']+')) AS t(term)
+                WHERE t.term <> ''),
+            s AS (SELECT g, count(*) AS sz FROM v GROUP BY g),
+            i AS (SELECT a.g AS group_a, b.g AS group_b,
+                         count(*) AS n_common
+                  FROM v a JOIN v b
+                    ON a.term = b.term AND a.g < b.g
+                  GROUP BY 1, 2)
+            SELECT group_a, group_b,
+                   CAST(sa.sz AS BIGINT) AS n_a,
+                   CAST(sb.sz AS BIGINT) AS n_b,
+                   CAST(n_common AS BIGINT) AS n_common,
+                   round(n_common
+                         / (sa.sz + sb.sz - n_common + 0.0)
+                         + 1e-9, 6) + 0.0 AS jaccard,
+                   round(n_common / (least(sa.sz, sb.sz) + 0.0)
+                         + 1e-9, 6) + 0.0 AS containment
+            FROM i
+            JOIN s sa ON i.group_a = sa.g
+            JOIN s sb ON i.group_b = sb.g
         """,
         "text_lexical_diversity": r"""
             WITH toks AS (
@@ -9731,6 +9906,10 @@ def _oracle_sql_literal() -> dict[str, str]:
             ORDER BY event_type, hour
         """,
         "v10_drift_js": _js_oracle_sql(
+            ["l_extendedprice", "l_quantity", "l_discount"],
+            "1998-06-01", 10,
+        ),
+        "v13_drift_chi2": _chi2_oracle_sql(
             ["l_extendedprice", "l_quantity", "l_discount"],
             "1998-06-01", 10,
         ),

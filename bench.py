@@ -148,6 +148,9 @@ HEADLINE = [
     "agg_effect_size",
     "stream_calibration_matview",
     "text_lexical_diversity",
+    "agg_moments",
+    "text_vocab_overlap",
+    "v13_drift_chi2",
 ]
 
 
@@ -232,6 +235,7 @@ def main() -> None:
             state = entrymod.LAST_STATE_PATHS.get("stream_drift_ks")
             if state:
                 from recover_spark.streaming.drift import (
+                    read_drift_chi2,
                     read_drift_js,
                     read_drift_ks,
                     read_drift_wasserstein,
@@ -241,6 +245,7 @@ def main() -> None:
                     ("read_ks", read_drift_ks),
                     ("read_js", read_drift_js),
                     ("read_w1", read_drift_wasserstein),
+                    ("read_chi2", read_drift_chi2),
                 ):
                     t0 = time.time()
                     rfn(spark, state).count()

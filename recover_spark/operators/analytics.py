@@ -1038,6 +1038,67 @@ def spearman_by_group(
     )
 
 
+def moments_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group distribution-shape moments: mean, sample stddev,
+    skewness (g1 = m3 / m2^1.5) and EXCESS kurtosis (g2 = m4 / m2² - 3)
+    from population central moments — the shape screens the
+    null-rate/min-max profiler can't see (a symmetric-looking column
+    with a heavy tail, a bimodal mixture flattening kurtosis), and the
+    pre-check before any mean/stddev-based anomaly gate.
+
+    Computed TWO-PASS: group means first, then centered power sums —
+    the raw-power-sum shortcut (m3 = s3/n - 3*mu*s2/n + 2*mu^3)
+    catastrophically cancels when |mu| >> sigma, which is exactly the
+    shape real measurement columns have; centered sums keep every term
+    at O(sigma) magnitude, so the fold is numerically stable AND
+    cross-engine reproducible at the 6-decimal contract.
+
+    Engine shape: one (n, mean) aggregate, broadcast back onto the
+    fact (group-cardinality row set), one centered-powers aggregate —
+    two fact passes, both with map-side partials, no windows.  NULLs
+    excluded; groups with n < 2 or zero variance yield NULL
+    skewness/kurtosis via ``try_divide``.
+    """
+    group_cols = list(group_cols)
+    v = F.col(value_col).cast("double")
+    nn = df.filter(v.isNotNull()).select(*group_cols, v.alias("__v"))
+    means = nn.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("__v").alias("__mu"),
+    )
+    centered = nn.join(F.broadcast(means), group_cols)
+    d = F.col("__v") - F.col("__mu")
+    agg = centered.groupBy(*group_cols).agg(
+        F.max("n").alias("n"),
+        F.max("__mu").alias("__mu"),
+        F.sum(d * d).alias("__s2"),
+        F.sum(d * d * d).alias("__s3"),
+        F.sum(d * d * d * d).alias("__s4"),
+    )
+    nd = F.col("n").cast("double")
+    m2 = F.col("__s2") / nd
+    m3 = F.col("__s3") / nd
+    m4 = F.col("__s4") / nd
+    stddev = F.sqrt(F.try_divide(F.col("__s2"), nd - 1))
+    skew = F.try_divide(m3, F.pow(m2, F.lit(1.5)))
+    kurt = F.try_divide(m4, m2 * m2) - F.lit(3.0)
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(F.col("__mu") + F.lit(1e-9), round_digits).alias("mean"),
+        F.round(stddev + F.lit(1e-9), round_digits).alias("stddev"),
+        F.round(skew + F.lit(1e-9), round_digits).alias("skewness"),
+        F.round(kurt + F.lit(1e-9), round_digits).alias(
+            "excess_kurtosis"
+        ),
+    )
+
+
 def rank_normalize(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -993,6 +993,97 @@ def lexical_diversity(
     )
 
 
+def vocabulary_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus groups (sources,
+    domains, snapshots): Jaccard similarity and containment of the
+    DISTINCT-term sets — "are these two crawls the same content
+    under different labels", the corpus-level screen that runs before
+    any pair-of-documents dedup, and the quantitative form of "source
+    X is just a mirror of Y".
+
+    Engine shape: tokens collapse to the distinct (group, term)
+    vocabulary (one aggregate), group sizes fold from it, and the
+    intersection counts come from ONE term-keyed self-equi-join
+    (``group_a < group_b``) — never a cartesian.  A term shared by k
+    groups emits C(k, 2) pairs, so the join output is bounded by
+    |vocabulary| * C(n_groups, 2); this operator is meant for the
+    SOURCE grain (tens to hundreds of groups), not per-document pairs
+    — that job belongs to the MinHash/SimHash family.
+
+    Jaccard = |A ∩ B| / |A ∪ B|; containment = |A ∩ B| / min(|A|,|B|)
+    (catches a small corpus swallowed whole by a large one, which
+    Jaccard dilutes).  Group pairs with NO shared terms are absent
+    from the output (an equi-join cannot see them — absence means
+    jaccard 0).
+    """
+    vocab = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.explode(tokens(F.col(text_col))).alias("__t"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # two consumers: sizes + join
+    )
+    sizes = vocab.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__size")
+    )
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.__t") == F.col("b.__t"))
+            & (F.col("a.__g") < F.col("b.__g")),
+        )
+        .groupBy(
+            F.col("a.__g").alias("group_a"),
+            F.col("b.__g").alias("group_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    out = (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("__g").alias("group_a"),
+                    F.col("__size").alias("n_a"),
+                )
+            ),
+            "group_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("__g").alias("group_b"),
+                    F.col("__size").alias("n_b"),
+                )
+            ),
+            "group_b",
+        )
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
+    contain = F.least("n_a", "n_b")
+    return out.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        F.round(
+            F.col("n_common") / union.cast("double") + F.lit(1e-9),
+            round_digits,
+        ).alias("jaccard"),
+        F.round(
+            F.col("n_common") / contain.cast("double") + F.lit(1e-9),
+            round_digits,
+        ).alias("containment"),
+    )
+
+
 def zipf_fit(
     df: DataFrame,
     text_col: str = "text",

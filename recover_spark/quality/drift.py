@@ -739,6 +739,115 @@ def js_drift(
     )
 
 
+def chi2_from_binned_counts(
+    base_counts: DataFrame,
+    cur_counts: DataFrame,
+    cols: Sequence[str],
+    n_bins: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-sample chi-squared test of homogeneity from per-(column,
+    bin) count tables — the fifth drift lens: PSI weighs log-ratio
+    surprise, KS the worst ECDF gap, JS/Hellinger bounded divergence,
+    W1 how FAR mass moved; chi-squared is the classical
+    significance-ready statistic whose null distribution
+    (chi2 with dof degrees of freedom) lets a monitor alarm at a
+    chosen false-positive rate instead of a folk threshold.
+
+    Uses the cross-multiplied identity per bin
+    ``(n_base*N_cur - n_cur*N_base)^2 / (N_base*N_cur*(n_base+n_cur))``
+    in double (the KS overflow lesson — products reach 1e24 at
+    billion-row eras, past long range).  EXPOSES effect sizes, not the
+    raw statistic: chi2 grows linearly with N (a raw value of ~1e8 at
+    6 decimals breaks the sum-magnitude hashing rule and is useless as
+    a threshold anyway), so the surface is ``phi2 = chi2 / N`` and
+    ``cramers_v = sqrt(phi2 / (k - 1))`` in [0, 1], plus ``dof``
+    (occupied bins - 1) and ``chi2_per_dof`` for the
+    significance-minded.  Bins empty on BOTH sides contribute nothing
+    and don't count toward dof.  An empty era yields NULL (the
+    family's degenerate-side contract).  The exact integer era totals
+    ride along (``n_base_total`` / ``n_cur_total``) so a caller can
+    reconstruct the raw chi2 = phi2 * N for a p-value lookup without
+    the surface ever hashing an unbounded float.
+    """
+    cols = list(cols)
+    slots = base_counts.sparkSession.createDataFrame(
+        [(c, b) for c in cols for b in range(n_bins)],
+        "column string, bin int",
+    )
+    joined = (
+        slots.join(base_counts, ["column", "bin"], "left")
+        .join(cur_counts, ["column", "bin"], "left")
+        .fillna(0, subset=["n_base", "n_cur"])
+    )
+    tot = joined.groupBy("column").agg(
+        F.sum("n_base").alias("__tb"), F.sum("n_cur").alias("__tc")
+    )
+    nb = F.col("n_base").cast("double")
+    nc = F.col("n_cur").cast("double")
+    tb = F.col("__tb").cast("double")
+    tc = F.col("__tc").cast("double")
+    diff = nb * tc - nc * tb
+    # try_divide: an empty era makes the denominator 0 on every bin;
+    # the ok-mask below turns the whole column NULL anyway (ANSI mode
+    # would otherwise raise DIVIDE_BY_ZERO before the mask applies)
+    term = F.when(
+        nb + nc > 0, F.try_divide(diff * diff, tb * tc * (nb + nc))
+    ).otherwise(F.lit(0.0))
+    occupied = (nb + nc > 0).cast("long")
+    per_col = (
+        joined.join(tot, "column")
+        .groupBy("column")
+        .agg(
+            F.sum(term).alias("__chi2"),
+            F.sum(occupied).alias("__k"),
+            F.max("__tb").alias("__tb2"),
+            F.max("__tc").alias("__tc2"),
+        )
+    )
+    ok = (F.col("__tb2") > 0) & (F.col("__tc2") > 0)
+    n_total = (F.col("__tb2") + F.col("__tc2")).cast("double")
+    phi2 = F.try_divide(F.col("__chi2"), n_total)
+    dof = F.greatest(F.col("__k") - 1, F.lit(0)).cast("long")
+    v = F.sqrt(F.try_divide(phi2, dof.cast("double")))
+    return per_col.select(
+        "column",
+        F.when(ok, dof).alias("dof"),
+        F.col("__tb2").cast("long").alias("n_base_total"),
+        F.col("__tc2").cast("long").alias("n_cur_total"),
+        F.round(F.when(ok, phi2) + F.lit(1e-9), round_digits).alias(
+            "phi2"
+        ),
+        F.round(F.when(ok, v) + F.lit(1e-9), round_digits).alias(
+            "cramers_v"
+        ),
+    )
+
+
+def chi2_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    cols: Sequence[str],
+    n_bins: int = 10,
+    round_digits: int = 6,
+    edge_accuracy: int | None = 10_000,
+) -> DataFrame:
+    """Per-column two-sample chi-squared drift of ``current`` against
+    ``baseline`` on the baseline's quantile bins — same one-edge-
+    aggregate + map-side-binning shape as :func:`psi_drift`, with the
+    :func:`chi2_from_binned_counts` fold (effect sizes exposed, raw
+    statistic deliberately not — see the kernel docstring)."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    edges_row = quantile_edge_row(baseline, cols, n_bins, edge_accuracy)
+    base_counts = binned_counts_against_edges(baseline, edges_row, cols, "base")
+    cur_counts = binned_counts_against_edges(current, edges_row, cols, "cur")
+    return chi2_from_binned_counts(
+        base_counts, cur_counts, cols, n_bins, round_digits
+    )
+
+
 def ks_grid_from_binned_counts(
     base_counts: DataFrame,
     cur_counts: DataFrame,

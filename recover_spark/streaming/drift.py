@@ -362,6 +362,28 @@ def read_drift_js(
     ).orderBy("column")
 
 
+def read_drift_chi2(
+    spark: SparkSession,
+    state_path: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-sample chi-squared per column from the SAME frozen-baseline
+    / accumulated-counts state — the FIFTH read-side lens on the one
+    arrival pipeline (PSI, KS, JS/Hellinger, W1, now chi2): a new
+    statistic costs one metadata-sized fold, never a new stream.
+    Counts accumulate additively across batches, so the streamed
+    effect sizes equal batch binning of the union (integer counts in,
+    one shared division out)."""
+    from recover_spark.quality.drift import chi2_from_binned_counts
+
+    meta = _read_meta(state_path)
+    cols, n_bins = meta["cols"], meta["n_bins"]
+    base = spark.read.parquet(os.path.join(state_path, "baseline_counts"))
+    return chi2_from_binned_counts(
+        base, _current_counts(spark, state_path), cols, n_bins, round_digits
+    ).orderBy("column")
+
+
 def read_drift_wasserstein(
     spark: SparkSession,
     state_path: str,

@@ -348,7 +348,8 @@ def test_no_cartesian_product_across_query_surface(spark):
         "agg_auc", "agg_calibration", "agg_reliability_bins",
         "agg_mutual_info", "agg_kappa", "agg_avg_precision",
         "agg_spearman", "sample_group_topk", "transform_rank_normalize",
-        "agg_effect_size", "text_lexical_diversity",
+        "agg_effect_size", "text_lexical_diversity", "agg_moments",
+        "text_vocab_overlap", "v13_drift_chi2",
     ]
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"

@@ -124,6 +124,9 @@ PROBES = [
     "agg_effect_size",      # one conditional-aggregate fact shuffle
     "stream_calibration_matview",  # 4-batch (group, bin) sums fold
     "text_lexical_diversity",  # one (source, term) aggregate + fold
+    "agg_moments",          # two fact passes: means, centered powers
+    "text_vocab_overlap",   # distinct vocab + term-keyed self-join
+    "v13_drift_chi2",       # PSI binning shape, bins-sized chi2 fold
 ]
 
 
