@@ -6094,6 +6094,77 @@ def q_agg_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def q_transform_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score standardization of value
+    (operators/analytics.py:standardize): one (mean, stddev) aggregate
+    broadcast back onto the fact — map-only after the join, fact-grain
+    output."""
+    from recover_spark.operators.analytics import standardize
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = standardize(ev, ["event_type"], "value")
+    return out.select(
+        "event_id", "event_type", F.round("value", 6).alias("value"),
+        "zscore",
+    )
+
+
+def q_transform_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorizing transform at the exact type-1
+    5th/95th percentiles (operators/analytics.py:winsorize): bounds
+    from the bucket-decomposed quantile machinery broadcast back,
+    clamp map-side, rows preserved."""
+    from recover_spark.operators.analytics import winsorize
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = winsorize(ev, ["event_type"], "value")
+    return out.select(
+        "event_id", "event_type", F.round("value", 6).alias("value"),
+        "winsorized",
+    )
+
+
+def q_stream_auc_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned ROC-AUC served from the SAME incrementally-maintained
+    calibration state (streaming/matview.py:read_auc_matview) — the
+    third read lens, zero extra state: each score bin is a tie block,
+    so the Mann-Whitney tie-block identity over the ordered bins is
+    the EXACT AUC of the quantized scores.  Oracle: batch tie-block
+    AUC over the same quantization."""
+    import uuid
+
+    from recover_spark.streaming.matview import (
+        maintain_calibration_matview,
+        read_auc_matview,
+    )
+
+    run_dir = f"spark-warehouse/auc_mv/{uuid.uuid4().hex}"
+    src = f"{run_dir}/src"
+    ev = _classifier_eval_fixture(spark, sf_dir).select(
+        "event_type", "score", F.col("label").cast("int").alias("label")
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_type string, score double, label int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_calibration_matview(
+        stream, f"{run_dir}/state", f"{run_dir}/ckpt",
+        ["event_type"], "score", "label", bins=10,
+    )
+    q.awaitTermination(300)
+    return read_auc_matview(
+        spark, f"{run_dir}/state", ["event_type"]
+    ).orderBy("event_type")
+
+
 def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority distribution-shape moments of order value
     (operators/analytics.py:moments_by_group): two-pass centered
@@ -6644,6 +6715,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_moments": q_agg_moments,
         "text_vocab_overlap": q_text_vocab_overlap,
         "v13_drift_chi2": q_v13_drift_chi2,
+        "transform_standardize": q_transform_standardize,
+        "transform_winsorize": q_transform_winsorize,
+        "stream_auc_matview": q_stream_auc_matview,
     }
     # Rotation order for the driver's 50-entry correctness capture
     # (kept accurate per round — the round-8 verdict's task #8).
@@ -6678,6 +6752,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_moments",
         "text_vocab_overlap",
         "v13_drift_chi2",
+        "transform_standardize",
+        "transform_winsorize",
+        "stream_auc_matview",
         # (c) round-9 operators, second verification
         "agg_ab_welch",
         "agg_trimmed_stats",
@@ -7632,6 +7709,72 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(sum(s) / count(*) + 1e-9, 6) + 0.0 AS confidence,
                    round(sum(y) / count(*) + 1e-9, 6) + 0.0 AS accuracy
             FROM x GROUP BY g, bin
+        """,
+        "transform_standardize": """
+            WITH s AS (
+                SELECT event_type,
+                       avg(value) AS mu, stddev_samp(value) AS sd
+                FROM events GROUP BY event_type)
+            SELECT event_id, e.event_type,
+                   round(value, 6) AS value,
+                   round(CASE WHEN sd > 0
+                         THEN (value - mu) / sd END + 1e-9, 6) + 0.0
+                       AS zscore
+            FROM events e LEFT JOIN s ON e.event_type = s.event_type
+        """,
+        "transform_winsorize": """
+            -- clamp bounds are the operator's own exact type-1
+            -- quantiles, rounded the same way before clamping
+            WITH c AS (
+                SELECT event_id, event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value) AS rn,
+                       count(value) OVER (PARTITION BY event_type)
+                           AS n
+                FROM events WHERE value IS NOT NULL),
+            b AS (
+                SELECT event_type,
+                       round(min(CASE WHEN rn >= 0.05 * n THEN value
+                                 END) + 1e-9, 6) AS lo,
+                       round(min(CASE WHEN rn >= 0.95 * n THEN value
+                                 END) + 1e-9, 6) AS hi
+                FROM c GROUP BY event_type)
+            SELECT event_id, e.event_type,
+                   round(value, 6) AS value,
+                   round(CASE WHEN value IS NOT NULL
+                         THEN greatest(least(value, hi), lo) END
+                         + 1e-9, 6) + 0.0 AS winsorized
+            FROM events e LEFT JOIN b ON e.event_type = b.event_type
+        """,
+        "stream_auc_matview": """
+            -- tie-block AUC of scores QUANTIZED to the view's bins
+            -- (streaming/matview.py:read_auc_matview contract)
+            WITH x AS (
+                SELECT event_type AS g,
+                       least(CAST(floor((value - floor(value)) * 10)
+                                  AS INT), 9) AS s,
+                       CASE WHEN user_id % 2 = 0
+                            THEN 1.0 ELSE 0.0 END AS y
+                FROM events
+                WHERE value IS NOT NULL AND user_id IS NOT NULL),
+            a AS (
+                SELECT g, s, sum(y) AS pos_c, sum(1.0 - y) AS neg_c
+                FROM x GROUP BY g, s),
+            c AS (
+                SELECT g, pos_c, neg_c,
+                       coalesce(sum(neg_c) OVER (
+                           PARTITION BY g ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS cnb
+                FROM a)
+            SELECT g AS event_type,
+                   CAST(sum(pos_c) AS BIGINT) AS n_pos,
+                   CAST(sum(neg_c) AS BIGINT) AS n_neg,
+                   round(CASE WHEN sum(pos_c) > 0 AND sum(neg_c) > 0
+                         THEN sum(pos_c * (cnb + 0.5 * neg_c))
+                              / (sum(pos_c) * sum(neg_c)) END
+                         + 1e-9, 6) + 0.0 AS auc_binned
+            FROM c GROUP BY g
         """,
         "agg_moments": """
             -- two-pass centered power sums, mirroring the operator's

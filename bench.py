@@ -151,6 +151,9 @@ HEADLINE = [
     "agg_moments",
     "text_vocab_overlap",
     "v13_drift_chi2",
+    "transform_standardize",
+    "transform_winsorize",
+    "stream_auc_matview",
 ]
 
 
@@ -205,6 +208,7 @@ def main() -> None:
         "stream_drift_ks",
         "stream_upsert_matview",
         "stream_calibration_matview",
+        "stream_auc_matview",
     }
     timings: dict[str, float] = {}
     phases: dict[str, dict[str, float]] = {}

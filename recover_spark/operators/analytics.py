@@ -1158,6 +1158,100 @@ def rank_normalize(
     )
 
 
+def standardize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str = "zscore",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group z-score standardization: (v - mean) / stddev_samp —
+    the parametric sibling of :func:`rank_normalize` (use THAT when
+    outliers or heavy tails would poison the moments; use this when
+    downstream wants centered, unit-variance features).
+
+    ONE (n, mean, stddev) aggregate broadcast back onto the fact —
+    map-only after the join, output fact-grain, rows preserved.
+    NULL values pass through with NULL ``out_col``; zero-variance or
+    n < 2 groups yield NULL via ``try_divide`` (a constant feature has
+    no z-score, and silently emitting 0 would hide it).
+    """
+    group_cols = list(group_cols)
+    v = F.col(value_col).cast("double")
+    stats = (
+        df.filter(v.isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.avg(v).alias("__mu"),
+            F.stddev_samp(v).alias("__sd"),
+        )
+    )
+    out = df.join(F.broadcast(stats), group_cols, "left")
+    z = F.try_divide(v - F.col("__mu"), F.col("__sd"))
+    return out.withColumn(
+        out_col, F.round(z + F.lit(1e-9), round_digits)
+    ).drop("__mu", "__sd")
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lower_q: float = 0.05,
+    upper_q: float = 0.95,
+    out_col: str = "winsorized",
+    buckets: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group winsorizing TRANSFORM: clamp each value into its
+    group's [lower_q, upper_q] exact type-1 quantile band — the
+    row-level sibling of :func:`trimmed_group_stats` (which folds the
+    clamped values into means; this RETURNS the clamped fact for
+    downstream feature pipelines).
+
+    The clamp bounds are exact lower quantiles from
+    :func:`weighted_quantiles_by_group` with unit weights (the
+    bucket-decomposed rank machinery — no per-group ordered window),
+    broadcast back onto the fact; the clamp itself is a map-side
+    ``greatest/least``.  NULL values pass through unclamped (NULL out),
+    rows preserved.
+    """
+    if not (0.0 < lower_q < upper_q <= 1.0):
+        raise ValueError(
+            f"winsorize: need 0 < lower_q < upper_q <= 1, got "
+            f"({lower_q}, {upper_q})"
+        )
+    group_cols = list(group_cols)
+    bounds = weighted_quantiles_by_group(
+        df.withColumn("__one", F.lit(1.0)),
+        group_cols,
+        value_col,
+        "__one",
+        qs=(lower_q, upper_q),
+        buckets=buckets,
+        round_digits=round_digits,
+    )
+    lo_tag = f"q{int(round(lower_q * 100))}"
+    hi_tag = f"q{int(round(upper_q * 100))}"
+    bnd = bounds.select(
+        *group_cols,
+        F.col(lo_tag).alias("__lo"),
+        F.col(hi_tag).alias("__hi"),
+    )
+    out = df.join(F.broadcast(bnd), group_cols, "left")
+    v = F.col(value_col).cast("double")
+    # least/greatest IGNORE NULLs (they return the extreme of the
+    # non-null operands), so a NULL value would silently clamp to a
+    # bound — guard explicitly to pass NULL through
+    clamped = F.when(
+        v.isNotNull(),
+        F.greatest(F.least(v, F.col("__hi")), F.col("__lo")),
+    )
+    return out.withColumn(
+        out_col, F.round(clamped + F.lit(1e-9), round_digits)
+    ).drop("__lo", "__hi")
+
+
 def cohens_d(
     df: DataFrame,
     group_cols: Sequence[str],

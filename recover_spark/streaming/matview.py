@@ -742,6 +742,65 @@ def read_reliability_matview(
     return fold_reliability(st, list(group_cols), round_digits)
 
 
+def read_auc_matview(
+    spark: SparkSession,
+    state_path: str,
+    group_cols: Sequence[str],
+    round_digits: int = 6,
+) -> DataFrame:
+    """BINNED ROC-AUC from the calibration state — third lens, zero
+    extra state: each score bin is a tie block (every score inside a
+    bin ranks equal), so the tie-block Mann-Whitney identity over the
+    ordered bins gives the EXACT AUC of the quantized scores —
+
+        AUC_binned = sum over bins of pos_b*(cum_neg_below + neg_b/2)
+                     / (P * N)
+
+    — which converges to raw-score AUC as bins grow and is an exact,
+    deterministic statistic of the state either way (documented
+    contract: this is the AUC of scores quantized to the view's bins,
+    not of raw scores — the streaming trade the calibration family
+    already makes).  The fold is a window + aggregate over the
+    bins-sized state frame; degenerate groups yield NULL via
+    ``try_divide``."""
+    from pyspark.sql import Window
+
+    _recover_state(state_path)
+    keys = list(group_cols)
+    st = spark.read.parquet(state_path).select(
+        *keys,
+        "bin",
+        (F.col("__sy")).alias("__pos"),
+        (F.col("n_bin").cast("double") - F.col("__sy")).alias("__neg"),
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = st.withColumn(
+        "__cnb", F.coalesce(F.sum("__neg").over(w), F.lit(0.0))
+    )
+    agg = scored.groupBy(*keys).agg(
+        F.sum("__pos").cast("long").alias("n_pos"),
+        F.sum("__neg").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("__pos")
+            * (F.col("__cnb") + F.lit(0.5) * F.col("__neg"))
+        ).alias("__u"),
+    )
+    auc = F.try_divide(
+        F.col("__u"),
+        F.col("n_pos").cast("double") * F.col("n_neg").cast("double"),
+    )
+    return agg.select(
+        *keys,
+        "n_pos",
+        "n_neg",
+        F.round(auc + F.lit(1e-9), round_digits).alias("auc_binned"),
+    )
+
+
 def merge_upsert_state(
     spark: SparkSession,
     batch: DataFrame,

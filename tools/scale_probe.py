@@ -127,6 +127,9 @@ PROBES = [
     "agg_moments",          # two fact passes: means, centered powers
     "text_vocab_overlap",   # distinct vocab + term-keyed self-join
     "v13_drift_chi2",       # PSI binning shape, bins-sized chi2 fold
+    "transform_standardize",  # one stats aggregate + broadcast clamp
+    "transform_winsorize",  # quantile bounds + map-side clamp
+    "stream_auc_matview",   # 4-batch calibration fold + bins AUC read
 ]
 
 
