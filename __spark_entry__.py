@@ -4044,6 +4044,30 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_enumerate(pairs)
 
 
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the near-dup pair
+    graph (ops/graph.py:clustering_coefficient): degree-oriented
+    wedge triangles exploded to node counts, joined to the degree
+    table — hubs bridging unrelated clusters score ~0, nodes inside
+    dense blobs ~1."""
+    from recover_spark.ops import clustering_coefficient, ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_size=3, min_jaccard=0.2)
+    return clustering_coefficient(pairs).orderBy("node")
+
+
+def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile of the semantic-cluster assignment
+    (ops/dedup_text.py:cluster_size_histogram): per cluster SIZE, how
+    many clusters and rows — the "how duplicated is this corpus"
+    screen and the sizing input for keep-one-per-cluster."""
+    from recover_spark.ops import cluster_size_histogram
+
+    clustered = q_dedup_semantic_clusters(spark, sf_dir)
+    return cluster_size_histogram(clustered, "cluster")
+
+
 def q_sample_split_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/valid/test split: the split key is the
     near-dup CLUSTER, not the document, so near-duplicates can never
@@ -6718,6 +6742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_standardize": q_transform_standardize,
         "transform_winsorize": q_transform_winsorize,
         "stream_auc_matview": q_stream_auc_matview,
+        "graph_clustering_coeff": q_graph_clustering_coeff,
+        "dedup_cluster_histogram": q_dedup_cluster_histogram,
     }
     # Rotation order for the driver's 50-entry correctness capture
     # (kept accurate per round — the round-8 verdict's task #8).
@@ -6755,6 +6781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transform_standardize",
         "transform_winsorize",
         "stream_auc_matview",
+        "graph_clustering_coeff",
+        "dedup_cluster_histogram",
         # (c) round-9 operators, second verification
         "agg_ab_welch",
         "agg_trimmed_stats",
@@ -10899,6 +10927,86 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM pairs e1
             JOIN pairs e2 ON e1.id_b = e2.id_a
             JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+        """,
+        "graph_clustering_coeff": f"""
+            -- naive triangle join (orientation-independent set) +
+            -- per-node fold; degree from the distinct edge set
+            WITH {_TOKS_CTE}, {_GRAMS3_CTE},
+            rare AS (SELECT shingle FROM grams
+                     GROUP BY shingle HAVING count(*) <= 50),
+            g2 AS (SELECT g.doc_id, g.shingle FROM grams g
+                   JOIN rare r ON g.shingle = r.shingle),
+            sizes AS (SELECT doc_id, count(*) AS set_size
+                      FROM g2 GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       count(*) AS n_common
+                FROM g2 a JOIN g2 b ON a.shingle = b.shingle
+                WHERE a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id),
+            pairs AS (
+                SELECT id_a, id_b FROM inter
+                JOIN sizes sa ON inter.id_a = sa.doc_id
+                JOIN sizes sb ON inter.id_b = sb.doc_id
+                WHERE n_common / (sa.set_size + sb.set_size - n_common)
+                      >= 0.2),
+            deg AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS degree
+                FROM (SELECT id_a AS node FROM pairs
+                      UNION ALL SELECT id_b FROM pairs)
+                GROUP BY node),
+            tri AS (
+                SELECT e1.id_a AS t1, e1.id_b AS t2, e2.id_b AS t3
+                FROM pairs e1
+                JOIN pairs e2 ON e1.id_b = e2.id_a
+                JOIN pairs e3 ON e3.id_a = e1.id_a
+                              AND e3.id_b = e2.id_b),
+            tn AS (
+                SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+                FROM (SELECT t1 AS node FROM tri
+                      UNION ALL SELECT t2 FROM tri
+                      UNION ALL SELECT t3 FROM tri)
+                GROUP BY node)
+            SELECT deg.node, degree,
+                   coalesce(n_triangles, 0) AS n_triangles,
+                   round(CASE WHEN degree > 1
+                         THEN 2.0 * coalesce(n_triangles, 0)
+                              / (degree * (degree - 1.0)) END
+                         + 1e-9, 6) + 0.0 AS clustering_coeff
+            FROM deg LEFT JOIN tn ON deg.node = tn.node
+            ORDER BY deg.node
+        """,
+        "dedup_cluster_histogram": f"""
+            WITH RECURSIVE b AS (
+                SELECT vec_id, embedding,
+                       {_lsh_bucket_sql('embedding', num_planes=4)} AS bucket
+                FROM embeddings),
+            p AS (
+                SELECT id_a AS s, id_b AS d FROM (
+                    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+                           {_cos('a.embedding', 'b2.embedding')} AS c
+                    FROM b a JOIN b b2
+                      ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+                WHERE c >= 0.45),
+            sym AS (SELECT s, d FROM p UNION SELECT d AS s, s AS d FROM p),
+            reach AS (
+                SELECT DISTINCT s AS node, s AS m FROM sym
+                UNION
+                SELECT r.node, sym.d AS m
+                FROM reach r JOIN sym ON r.m = sym.s
+            ),
+            cl AS (
+                SELECT e.vec_id,
+                       coalesce(mm.comp, e.vec_id) AS cluster
+                FROM embeddings e
+                LEFT JOIN (SELECT node, min(m) AS comp
+                           FROM reach GROUP BY node) mm
+                  ON mm.node = e.vec_id),
+            sz AS (SELECT cluster, count(*) AS s FROM cl GROUP BY cluster)
+            SELECT CAST(s AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(s * count(*) AS BIGINT) AS n_rows
+            FROM sz GROUP BY s ORDER BY cluster_size
         """,
         "sample_split_grouped": f"""
             WITH RECURSIVE {_TOKS_CTE}, {_GRAMS3_CTE},

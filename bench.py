@@ -154,6 +154,8 @@ HEADLINE = [
     "transform_standardize",
     "transform_winsorize",
     "stream_auc_matview",
+    "graph_clustering_coeff",
+    "dedup_cluster_histogram",
 ]
 
 

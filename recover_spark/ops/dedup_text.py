@@ -517,3 +517,33 @@ def canonical_corpus(
             "cluster_size",
         )
     )
+
+
+def cluster_size_histogram(
+    clustered: DataFrame,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Duplication profile of a clustered corpus: for each cluster
+    SIZE, how many clusters have it and how many rows they hold — the
+    one-screen answer to "how duplicated is this corpus and where
+    does the mass sit" (a heavy tail of size-1 clusters means dedup
+    buys little; a few giant clusters mean template floods), and the
+    sizing input for the keep-one-per-cluster step: rows removed by
+    dedup = sum over sizes of (size - 1) * n_clusters.
+
+    Two aggregates, both with map-side combine: (cluster -> size),
+    then (size -> cluster count) — the second frame is at most
+    sqrt(2N) rows (distinct sizes), so nothing after the first
+    aggregate is ever large.
+    """
+    sizes = clustered.groupBy(cluster_col).agg(
+        F.count(F.lit(1)).alias("__size")
+    )
+    return (
+        sizes.groupBy(F.col("__size").cast("long").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .withColumn(
+            "n_rows", F.col("cluster_size") * F.col("n_clusters")
+        )
+        .orderBy("cluster_size")
+    )

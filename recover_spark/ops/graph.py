@@ -86,6 +86,65 @@ def triangle_enumerate(
     )
 
 
+def clustering_coefficient(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-node local clustering coefficient: 2·T(v) / (d(v)·(d(v)-1))
+    — how close each node's neighborhood is to a clique, the
+    community-tightness screen that separates a hub bridging unrelated
+    duplicate clusters (coefficient ~0) from a node inside one dense
+    near-dup blob (coefficient ~1); pairs with :func:`triangle_enumerate`
+    (which finds the triangles) by answering WHO sits in them.
+
+    Engine shape: the triangles come from the degree-oriented wedge
+    join (the O(|E|^1.5) bound), explode to one row per (triangle,
+    member) — 3x the triangle count — and fold to per-node counts;
+    degrees are the same node aggregate the orientation already
+    computes.  Left join from the DEGREE table, so triangle-free nodes
+    report 0 rather than vanishing; degree-1 nodes have no possible
+    triangle and yield NULL via ``try_divide`` (undefined, not zero).
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    tri = triangle_enumerate(pairs, id_a, id_b)
+    per_node = (
+        tri.select(F.explode(F.array("t1", "t2", "t3")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    out = deg.join(per_node, "node", "left").fillna(
+        0, subset=["n_triangles"]
+    )
+    d = F.col("degree").cast("double")
+    coeff = F.try_divide(
+        F.lit(2.0) * F.col("n_triangles").cast("double"),
+        d * (d - 1),
+    )
+    return out.select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.round(coeff + F.lit(1e-9), round_digits).alias(
+            "clustering_coeff"
+        ),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

@@ -145,3 +145,70 @@ class TestBinnedAucLens:
         b = read_auc_matview(spark, two, ["g"]).collect()[0]
         assert a["auc_binned"] == b["auc_binned"]
         assert a["n_pos"] == b["n_pos"]
+
+
+class TestClusteringCoefficient:
+    def test_known_graph(self, spark):
+        from recover_spark.ops import clustering_coefficient
+
+        # triangle a-b-c plus pendant d off a: deg a=3, b=c=2, d=1
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c"), ("a", "d")],
+            "id_a string, id_b string",
+        )
+        got = {
+            r["node"]: r
+            for r in clustering_coefficient(pairs).collect()
+        }
+        assert got["a"]["n_triangles"] == 1
+        assert got["a"]["clustering_coeff"] == pytest.approx(
+            2 * 1 / (3 * 2), abs=5.1e-6
+        )
+        assert got["b"]["clustering_coeff"] == 1.0
+        assert got["c"]["clustering_coeff"] == 1.0
+        # degree-1: undefined, not zero
+        assert got["d"]["clustering_coeff"] is None
+        assert got["d"]["n_triangles"] == 0
+
+    def test_triangle_free_nodes_report_zero(self, spark):
+        from recover_spark.ops import clustering_coefficient
+
+        path = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "id_a string, id_b string"
+        )
+        got = {
+            r["node"]: r for r in clustering_coefficient(path).collect()
+        }
+        assert got["b"]["n_triangles"] == 0
+        assert got["b"]["clustering_coeff"] == 0.0
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        from recover_spark.ops import clustering_coefficient
+
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("a", "b"), ("b", "c"), ("a", "c")],
+            "id_a string, id_b string",
+        )
+        got = {
+            r["node"]: r
+            for r in clustering_coefficient(pairs).collect()
+        }
+        assert got["a"]["degree"] == 2 and got["a"]["n_triangles"] == 1
+
+
+class TestClusterSizeHistogram:
+    def test_hand_histogram(self, spark):
+        from recover_spark.ops import cluster_size_histogram
+
+        df = spark.createDataFrame(
+            [(1, "c1"), (2, "c1"), (3, "c1"),
+             (4, "c2"), (5, "c2"), (6, "c3"), (7, "c4")],
+            "doc_id long, cluster string",
+        )
+        got = {
+            r["cluster_size"]: (r["n_clusters"], r["n_rows"])
+            for r in cluster_size_histogram(df).collect()
+        }
+        assert got == {1: (2, 2), 2: (1, 2), 3: (1, 3)}
+        # dedup savings = sum (size-1)*n_clusters = 0 + 1 + 2 = 3
+        assert sum((s - 1) * n for s, (n, _) in got.items()) == 3

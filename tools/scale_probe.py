@@ -130,6 +130,10 @@ PROBES = [
     "transform_standardize",  # one stats aggregate + broadcast clamp
     "transform_winsorize",  # quantile bounds + map-side clamp
     "stream_auc_matview",   # 4-batch calibration fold + bins AUC read
+    "graph_clustering_coeff",  # oriented wedges + node folds
+    # dedup_cluster_histogram rides dedup_semantic_clusters (excluded
+    # from this battery: byte-identical replicas grow TRUE pairs
+    # quadratically); its own folds are cluster-table-sized
 ]
 
 
