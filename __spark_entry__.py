@@ -6189,6 +6189,37 @@ def q_stream_auc_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_v14_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery over orders audit columns
+    (quality/expectations.py:functional_dependencies): which a -> b
+    mappings actually hold — o_orderkey (the key) determines
+    everything; nothing determines it back.  k*(k-1) small
+    column-pruned aggregates, unioned."""
+    from recover_spark.quality.expectations import functional_dependencies
+
+    orders = _load(spark, sf_dir, "orders")
+    return functional_dependencies(
+        orders, ["o_orderkey", "o_custkey", "o_orderpriority"]
+    ).orderBy("determinant", "dependent")
+
+
+def q_v15_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR-fence outlier flagging of event values per type
+    (operators/analytics.py:iqr_outliers): exact type-1 quartiles from
+    the bucket-decomposed machinery, fences broadcast back, map-side
+    flag — rows preserved."""
+    from recover_spark.operators.analytics import iqr_outliers
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = iqr_outliers(ev, ["event_type"], "value")
+    return out.select(
+        "event_id", "event_type", F.round("value", 6).alias("value"),
+        "lo_fence", "hi_fence", "is_outlier",
+    )
+
+
 def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority distribution-shape moments of order value
     (operators/analytics.py:moments_by_group): two-pass centered
@@ -6744,6 +6775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_auc_matview": q_stream_auc_matview,
         "graph_clustering_coeff": q_graph_clustering_coeff,
         "dedup_cluster_histogram": q_dedup_cluster_histogram,
+        "v14_functional_deps": q_v14_functional_deps,
+        "v15_iqr_outliers": q_v15_iqr_outliers,
     }
     # Rotation order for the driver's 50-entry correctness capture
     # (kept accurate per round — the round-8 verdict's task #8).
@@ -6783,6 +6816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_auc_matview",
         "graph_clustering_coeff",
         "dedup_cluster_histogram",
+        "v14_functional_deps",
+        "v15_iqr_outliers",
         # (c) round-9 operators, second verification
         "agg_ab_welch",
         "agg_trimmed_stats",
@@ -7737,6 +7772,50 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(sum(s) / count(*) + 1e-9, 6) + 0.0 AS confidence,
                    round(sum(y) / count(*) + 1e-9, 6) + 0.0 AS accuracy
             FROM x GROUP BY g, bin
+        """,
+        "v14_functional_deps": " UNION ALL ".join(
+            f"""
+            SELECT '{a}' AS determinant, '{b}' AS dependent,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(coalesce(sum(CASE WHEN nb > 1 THEN 1 ELSE 0
+                                     END), 0) AS BIGINT) AS n_violating,
+                   coalesce(sum(CASE WHEN nb > 1 THEN 1 ELSE 0
+                                END), 0) = 0 AS holds
+            FROM (
+                SELECT {a} AS k, count(DISTINCT coalesce(
+                           CAST({b} AS VARCHAR), '__null')) AS nb
+                FROM orders WHERE {a} IS NOT NULL GROUP BY {a})
+            """
+            for a in ("o_orderkey", "o_custkey", "o_orderpriority")
+            for b in ("o_orderkey", "o_custkey", "o_orderpriority")
+            if a != b
+        ),
+        "v15_iqr_outliers": """
+            WITH c AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value) AS rn,
+                       count(value) OVER (PARTITION BY event_type)
+                           AS n
+                FROM events WHERE value IS NOT NULL),
+            q AS (
+                SELECT event_type,
+                       min(CASE WHEN rn >= 0.25 * n THEN value END)
+                           AS q25,
+                       min(CASE WHEN rn >= 0.75 * n THEN value END)
+                           AS q75
+                FROM c GROUP BY event_type),
+            b AS (
+                SELECT event_type,
+                       round(q25 - 1.5 * (q75 - q25) + 1e-9, 6) AS lo,
+                       round(q75 + 1.5 * (q75 - q25) + 1e-9, 6) AS hi
+                FROM q)
+            SELECT event_id, e.event_type,
+                   round(value, 6) AS value,
+                   lo + 0.0 AS lo_fence, hi + 0.0 AS hi_fence,
+                   CASE WHEN value IS NOT NULL
+                        THEN value < lo OR value > hi END AS is_outlier
+            FROM events e LEFT JOIN b ON e.event_type = b.event_type
         """,
         "transform_standardize": """
             WITH s AS (

@@ -156,6 +156,8 @@ HEADLINE = [
     "stream_auc_matview",
     "graph_clustering_coeff",
     "dedup_cluster_histogram",
+    "v14_functional_deps",
+    "v15_iqr_outliers",
 ]
 
 

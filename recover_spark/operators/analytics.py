@@ -1252,6 +1252,58 @@ def winsorize(
     ).drop("__lo", "__hi")
 
 
+def iqr_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: float = 1.5,
+    buckets: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group Tukey boxplot-fence outlier flagging: mark each row
+    whose value falls outside [q25 - k·IQR, q75 + k·IQR] — the third
+    member of the outlier family (z-score breaks when outliers inflate
+    the stddev; MAD — ``mad_anomalies`` — is the robust per-key screen;
+    the IQR fence is THE boxplot rule reviewers expect, distribution-
+    free and quartile-anchored).
+
+    Fences come from the exact type-1 quartiles
+    (:func:`weighted_quantiles_by_group`, unit weights — the
+    bucket-decomposed machinery, no per-group ordered window),
+    broadcast back; the flag is a map-side comparison.  Rows
+    preserved; NULL values get NULL flag and fences ride along
+    (``lo_fence`` / ``hi_fence``) so the caller can see how wide the
+    band was.
+    """
+    group_cols = list(group_cols)
+    bounds = weighted_quantiles_by_group(
+        df.withColumn("__one", F.lit(1.0)),
+        group_cols,
+        value_col,
+        "__one",
+        qs=(0.25, 0.75),
+        buckets=buckets,
+        round_digits=round_digits,
+    )
+    iqr = F.col("q75") - F.col("q25")
+    bnd = bounds.select(
+        *group_cols,
+        F.round(
+            F.col("q25") - F.lit(k) * iqr + F.lit(1e-9), round_digits
+        ).alias("lo_fence"),
+        F.round(
+            F.col("q75") + F.lit(k) * iqr + F.lit(1e-9), round_digits
+        ).alias("hi_fence"),
+    )
+    out = df.join(F.broadcast(bnd), group_cols, "left")
+    v = F.col(value_col).cast("double")
+    flag = F.when(
+        v.isNotNull(),
+        (v < F.col("lo_fence")) | (v > F.col("hi_fence")),
+    )
+    return out.withColumn("is_outlier", flag)
+
+
 def cohens_d(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -314,3 +314,65 @@ def referential_integrity(
             ).alias("orphan_share"),
         )
     )
+
+
+def functional_dependencies(
+    df: DataFrame,
+    cols: Sequence[str],
+) -> DataFrame:
+    """Discover which candidate functional dependencies a -> b hold in
+    the data: for every ORDERED pair of the given columns, a -> b
+    holds iff no value of ``a`` maps to two distinct values of ``b`` —
+    the schema-knowledge audit the null-rate/range expectations can't
+    express ("device_id should determine firmware_version"; a
+    violation means a dirty join, a slowly-changing key nobody
+    declared, or an ingest merging two entities).
+
+    Returns one row per ordered pair: ``n_keys`` (distinct a values,
+    NULLs excluded — a NULL key determines nothing), ``n_violating``
+    (a values with >1 distinct b, NULL counted as a value of b since a
+    key mapping to both x and NULL is not a function), ``holds``.
+
+    Engine shape: one (a, b)-distinct aggregate + one a-grain count
+    per pair, unioned — k*(k-1) SMALL aggregates over column-pruned
+    scans, each with map-side combine; nothing fact-sized survives the
+    first aggregate.  Meant for a handful of audit columns, not every
+    pair of a 1,000-column table (k² scans — prune first).
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("functional_dependencies: need >= 2 cols")
+    parts = []
+    for a in cols:
+        for b in cols:
+            if a == b:
+                continue
+            grain = (
+                df.filter(F.col(a).isNotNull())
+                .select(
+                    F.col(a).alias("__a"),
+                    F.coalesce(
+                        F.col(b).cast("string"), F.lit("__null")
+                    ).alias("__b"),
+                )
+                .distinct()
+                .groupBy("__a")
+                .agg(F.count(F.lit(1)).alias("__nb"))
+            )
+            parts.append(
+                grain.agg(
+                    F.lit(a).alias("determinant"),
+                    F.lit(b).alias("dependent"),
+                    F.count(F.lit(1)).cast("long").alias("n_keys"),
+                    F.coalesce(
+                        F.sum((F.col("__nb") > 1).cast("long")),
+                        F.lit(0),
+                    ).alias("n_violating"),
+                ).withColumn(
+                    "holds", F.col("n_violating") == F.lit(0)
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

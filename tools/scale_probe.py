@@ -134,6 +134,8 @@ PROBES = [
     # dedup_cluster_histogram rides dedup_semantic_clusters (excluded
     # from this battery: byte-identical replicas grow TRUE pairs
     # quadratically); its own folds are cluster-table-sized
+    "v14_functional_deps",  # k*(k-1) column-pruned distinct aggregates
+    "v15_iqr_outliers",     # quartile fences broadcast + map-side flag
 ]
 
 
