@@ -7807,8 +7807,10 @@ def _oracle_sql_literal() -> dict[str, str]:
                 FROM c GROUP BY event_type),
             b AS (
                 SELECT event_type,
-                       round(q25 - 1.5 * (q75 - q25) + 1e-9, 6) AS lo,
-                       round(q75 + 1.5 * (q75 - q25) + 1e-9, 6) AS hi
+                       round(q25 - 1.5 * (q75 - q25) + 1e-9, 6)
+                           + 0.0 AS lo,
+                       round(q75 + 1.5 * (q75 - q25) + 1e-9, 6)
+                           + 0.0 AS hi
                 FROM q)
             SELECT event_id, e.event_type,
                    round(value, 6) AS value,
@@ -7842,9 +7844,9 @@ def _oracle_sql_literal() -> dict[str, str]:
             b AS (
                 SELECT event_type,
                        round(min(CASE WHEN rn >= 0.05 * n THEN value
-                                 END) + 1e-9, 6) AS lo,
+                                 END) + 1e-9, 6) + 0.0 AS lo,
                        round(min(CASE WHEN rn >= 0.95 * n THEN value
-                                 END) + 1e-9, 6) AS hi
+                                 END) + 1e-9, 6) + 0.0 AS hi
                 FROM c GROUP BY event_type)
             SELECT event_id, e.event_type,
                    round(value, 6) AS value,
