@@ -6272,6 +6272,28 @@ def q_v13_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column")
 
 
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Flesch reading ease / FK grade
+    (ops/text_analysis.py:readability): regex-counted words,
+    sentence runs, vowel-group syllables — map-only, no shuffle."""
+    from recover_spark.ops.text_analysis import readability
+
+    docs = _load(spark, sf_dir, "documents")
+    return readability(docs, ["doc_id"], "text").orderBy("doc_id")
+
+
+def q_ts_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type coverage gaps on the hourly grid
+    (operators/temporal.py:gap_detect): distinct (key, bucket)
+    collapse, generated sequence grid, left-anti join, gaps-and-islands
+    run-length over the MISSING buckets only — the outage report
+    forward-fill papers over."""
+    from recover_spark.operators.temporal import gap_detect
+
+    ev = _load(spark, sf_dir, "events")
+    return gap_detect(ev, "event_type", "ts", 3600)
+
+
 def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source lexical diversity — TTR, Guiraud root-TTR, hapax
     share (ops/text_analysis.py:lexical_diversity): one (source, term)
@@ -6777,6 +6799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_histogram": q_dedup_cluster_histogram,
         "v14_functional_deps": q_v14_functional_deps,
         "v15_iqr_outliers": q_v15_iqr_outliers,
+        "text_readability": q_text_readability,
+        "ts_gaps": q_ts_gaps,
     }
     # Rotation order for the driver's 50-entry correctness capture
     # (kept accurate per round — the round-8 verdict's task #8).
@@ -6818,6 +6842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_histogram",
         "v14_functional_deps",
         "v15_iqr_outliers",
+        "text_readability",
+        "ts_gaps",
         # (c) round-9 operators, second verification
         "agg_ab_welch",
         "agg_trimmed_stats",
@@ -7772,6 +7798,50 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(sum(s) / count(*) + 1e-9, 6) + 0.0 AS confidence,
                    round(sum(y) / count(*) + 1e-9, 6) + 0.0 AS accuracy
             FROM x GROUP BY g, bin
+        """,
+        "text_readability": r"""
+            WITH b AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text,
+                           '[A-Za-z0-9'']+')) AS BIGINT) AS n_words,
+                       CAST(greatest(len(regexp_extract_all(text,
+                           '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+                       CAST(len(regexp_extract_all(lower(text),
+                           '[aeiouy]+')) AS BIGINT) AS n_syllables
+                FROM documents)
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   round(CASE WHEN n_words > 0 THEN
+                       206.835 - 1.015 * (n_words / (n_sentences + 0.0))
+                       - 84.6 * (n_syllables / (n_words + 0.0)) END
+                       + 1e-9, 6) + 0.0 AS flesch_ease,
+                   round(CASE WHEN n_words > 0 THEN
+                       0.39 * (n_words / (n_sentences + 0.0))
+                       + 11.8 * (n_syllables / (n_words + 0.0))
+                       - 15.59 END + 1e-9, 6) + 0.0 AS fk_grade
+            FROM b ORDER BY doc_id
+        """,
+        "ts_gaps": """
+            WITH o AS (
+                SELECT DISTINCT event_type AS k,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS b
+                FROM events WHERE ts IS NOT NULL),
+            bounds AS (SELECT k, min(b) AS lo, max(b) AS hi
+                       FROM o GROUP BY k),
+            grid AS (SELECT k, unnest(range(lo, hi + 1)) AS b
+                     FROM bounds),
+            miss AS (SELECT g.k, g.b FROM grid g
+                     LEFT JOIN o ON g.k = o.k AND g.b = o.b
+                     WHERE o.b IS NULL),
+            runs AS (SELECT k, b,
+                            b - row_number() OVER (PARTITION BY k
+                                                   ORDER BY b) AS run
+                     FROM miss)
+            SELECT k AS event_type,
+                   CAST(min(b) * 3600 AS BIGINT) AS gap_start,
+                   CAST((max(b) + 1) * 3600 AS BIGINT) AS gap_end,
+                   CAST(count(*) AS BIGINT) AS n_missing
+            FROM runs GROUP BY k, run
+            ORDER BY event_type, gap_start
         """,
         "v14_functional_deps": " UNION ALL ".join(
             f"""

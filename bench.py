@@ -158,6 +158,8 @@ HEADLINE = [
     "dedup_cluster_histogram",
     "v14_functional_deps",
     "v15_iqr_outliers",
+    "text_readability",
+    "ts_gaps",
 ]
 
 

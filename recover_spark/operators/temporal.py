@@ -222,6 +222,63 @@ def range_join(
     return joined.drop("__bucket")
 
 
+def gap_detect(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    interval_s: int = 3600,
+) -> DataFrame:
+    """Per-key coverage-gap report: maximal runs of ``interval_s``
+    buckets between a key's first and last observation that contain NO
+    data — "sensor X went dark for 6 hours on Tuesday", the
+    missing-data complement to ``resample_forward_fill`` (which papers
+    over gaps; this one REPORTS them — a feed can forward-fill its way
+    through an outage the count audits never see).
+
+    Scale shape: observations collapse to distinct (key, bucket) —
+    one shuffle with map-side combine; per-key bounds feed a generated
+    ``sequence`` grid (distributed explode, never the driver); missing
+    buckets come from a left-anti join; consecutive missing buckets
+    run-length compress with the gaps-and-islands trick (bucket index
+    minus row_number is constant per run).  The islands window runs
+    over MISSING buckets only — a key missing everything is bounded by
+    its grid (timespan / interval), independent of observation count.
+
+    Output: (key, gap_start epoch-seconds, gap_end epoch-seconds
+    inclusive-start exclusive-end, n_missing).  Keys with no gaps are
+    absent; NULL timestamps are ignored.
+    """
+    iv = int(interval_s)
+    nn = df.filter(F.col(ts_col).isNotNull()).select(
+        F.col(key_col).alias("__k"),
+        (F.unix_micros(F.col(ts_col)) / F.lit(iv * 1_000_000))
+        .cast("long")
+        .alias("__b"),
+    )
+    observed = nn.distinct()
+    bounds = observed.groupBy("__k").agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    grid = bounds.select(
+        "__k", F.explode(F.sequence("__lo", "__hi")).alias("__b")
+    )
+    missing = grid.join(observed, ["__k", "__b"], "left_anti")
+    w = Window.partitionBy("__k").orderBy("__b")
+    runs = missing.withColumn(
+        "__run", F.col("__b") - F.row_number().over(w)
+    )
+    return (
+        runs.groupBy(F.col("__k").alias(key_col), "__run")
+        .agg(
+            (F.min("__b") * iv).alias("gap_start"),
+            ((F.max("__b") + 1) * iv).alias("gap_end"),
+            F.count(F.lit(1)).cast("long").alias("n_missing"),
+        )
+        .drop("__run")
+        .orderBy(key_col, "gap_start")
+    )
+
+
 def resample_forward_fill(
     df: DataFrame,
     key_col: str,

@@ -993,6 +993,57 @@ def lexical_diversity(
     )
 
 
+def readability(
+    df: DataFrame,
+    id_cols: Sequence[str],
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document Flesch reading ease + Flesch-Kincaid grade from
+    regex-counted words, sentences, and vowel-group syllables — the
+    audience/complexity screen of the quality family (quality_filter
+    asks "is this junk", readability asks "who could read it"; a
+    corpus whose grade collapses is template spam, one whose grade
+    explodes is OCR soup or code).
+
+    Syllables are approximated as vowel groups (``[aeiouy]+`` within
+    word characters) — the standard dependency-free heuristic, biased
+    ~5-10% low on silent-e words; the BIAS IS STABLE so comparisons
+    and drift on the score remain meaningful (documented contract,
+    like the BPE estimate).  Sentences are ``[.!?]+`` runs, floored at
+    1 so fragment docs don't divide by zero.
+
+    Pure per-row JVM regex counting — map-only, no shuffle, output
+    fact-grain.  Empty/whitespace docs (0 words) yield NULL scores
+    via ``try_divide``.
+    """
+    id_cols = list(id_cols)
+    t = F.col(text_col)
+    words = F.regexp_count(t, F.lit(r"[A-Za-z0-9']+")).cast("double")
+    sents = F.greatest(
+        F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("double")
+    sylls = F.regexp_count(
+        F.lower(t), F.lit(r"[aeiouy]+")
+    ).cast("double")
+    wps = F.try_divide(words, sents)
+    spw = F.try_divide(sylls, words)
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fk = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    return df.select(
+        *id_cols,
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        sylls.cast("long").alias("n_syllables"),
+        F.round(
+            F.when(words > 0, flesch) + F.lit(1e-9), round_digits
+        ).alias("flesch_ease"),
+        F.round(
+            F.when(words > 0, fk) + F.lit(1e-9), round_digits
+        ).alias("fk_grade"),
+    )
+
+
 def vocabulary_overlap(
     df: DataFrame,
     group_col: str,

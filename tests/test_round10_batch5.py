@@ -93,3 +93,77 @@ class TestIqrOutliers:
             .collect()[0][0]
             is None
         )
+
+
+class TestReadability:
+    def test_hand_counts(self, spark):
+        from recover_spark.ops.text_analysis import readability
+
+        # "The cat sat. It ran!" -> 5 words, 2 sentences, 5 vowel
+        # groups (e, a, a, i, a)
+        df = spark.createDataFrame(
+            [(1, "The cat sat. It ran!")], "doc_id long, text string"
+        )
+        row = readability(df, ["doc_id"], "text").collect()[0]
+        assert row["n_words"] == 5
+        assert row["n_sentences"] == 2
+        assert row["n_syllables"] == 5
+        flesch = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
+        fk = 0.39 * (5 / 2) + 11.8 * (5 / 5) - 15.59
+        assert row["flesch_ease"] == pytest.approx(flesch, abs=5.1e-6)
+        assert row["fk_grade"] == pytest.approx(fk, abs=5.1e-6)
+
+    def test_empty_doc_null_scores(self, spark):
+        from recover_spark.ops.text_analysis import readability
+
+        df = spark.createDataFrame(
+            [(1, "...")], "doc_id long, text string"
+        )
+        row = readability(df, ["doc_id"], "text").collect()[0]
+        assert row["n_words"] == 0
+        assert row["flesch_ease"] is None and row["fk_grade"] is None
+
+    def test_map_only_plan(self, spark):
+        from recover_spark.ops.text_analysis import readability
+
+        df = spark.createDataFrame(
+            [(1, "words here")], "doc_id long, text string"
+        )
+        plan = (
+            readability(df, ["doc_id"], "text")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+
+class TestGapDetect:
+    def test_known_gaps(self, spark):
+        from recover_spark.operators.temporal import gap_detect
+
+        # key a: hours 0, 1, 4, 5, 9 -> gaps [2,4) and [6,9)
+        rows = [("a", h) for h in (0, 1, 4, 5, 9)] + [("b", 3)]
+        df = spark.createDataFrame(
+            [(k, h * 3600 * 1_000_000) for k, h in rows],
+            "k string, us long",
+        ).selectExpr("k", "timestamp_micros(us) AS ts")
+        got = [
+            (r["k"], r["gap_start"], r["gap_end"], r["n_missing"])
+            for r in gap_detect(df, "k", "ts", 3600).collect()
+        ]
+        assert got == [
+            ("a", 2 * 3600, 4 * 3600, 2),
+            ("a", 6 * 3600, 9 * 3600, 3),
+        ]  # b spans one bucket: no gaps, absent
+
+    def test_duplicate_observations_collapse(self, spark):
+        from recover_spark.operators.temporal import gap_detect
+
+        df = spark.createDataFrame(
+            [("a", 0), ("a", 10), ("a", 2 * 3600 * 1_000_000)],
+            "k string, us long",
+        ).selectExpr("k", "timestamp_micros(us) AS ts")
+        got = gap_detect(df, "k", "ts", 3600).collect()
+        assert len(got) == 1
+        assert got[0]["gap_start"] == 3600 and got[0]["n_missing"] == 1

@@ -136,6 +136,8 @@ PROBES = [
     # quadratically); its own folds are cluster-table-sized
     "v14_functional_deps",  # k*(k-1) column-pruned distinct aggregates
     "v15_iqr_outliers",     # quartile fences broadcast + map-side flag
+    "text_readability",     # per-row regex counts, map-only
+    "ts_gaps",              # distinct-bucket collapse + grid anti-join
 ]
 
 
