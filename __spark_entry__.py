@@ -904,6 +904,75 @@ def q_mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16-bit mono PCM WAV fixture: one blob per doc_id
+    with samples s(i) = ((doc_id*31 + i*7919) % 65536) - 32768, zeroed
+    on every third 400-sample frame (so silence detection demonstrably
+    fires), n = 800 + (doc_id % 5)*400 samples at 8 kHz.  Built in an
+    Arrow-batched kernel; the SAME closed-form generator is
+    re-expressible in SQL, which is what lets a BINARY-decode operator
+    carry a full value-verified DuckDB oracle."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+
+    def build(batches):
+        for batch in batches:
+            ids, blobs = [], []
+            for did in batch["doc_id"]:
+                did = int(did)
+                n = 800 + (did % 5) * 400
+                i = np.arange(n, dtype="int64")
+                vals = (did * 31 + i * 7919) % 65536 - 32768
+                vals[(i // 400) % 3 == 2] = 0
+                data = vals.astype("<i2").tobytes()
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVEfmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                  16000, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                ids.append(did)
+                blobs.append(hdr + data)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    return docs.mapInPandas(build, schema)
+
+
+def q_mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode + feature: per-frame RMS energy and silence
+    flags over synthesized 16-bit PCM WAV blobs
+    (ops/multimodal.py:audio_frame_energy) — the RIFF parse and the
+    vectorized numpy energy pass run on actual bytes; the closed-form
+    sample generator gives DuckDB an arithmetic twin, so the decode
+    kernel itself is value-verified (rare for binary operators).
+    RMS is integer-exact until one division + sqrt."""
+    from recover_spark.ops.multimodal import audio_frame_energy
+
+    media = _synth_wav_media(spark, sf_dir)
+    out = audio_frame_energy(media, frame_ms=50, silence_rms=1000.0)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "n_samples",
+        F.round(F.col("rms") + F.lit(1e-9), 6).alias("rms"),
+        "is_silence",
+    ).orderBy("media_id", "frame_idx")
+
+
 def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted dimension join: row-identical to the plain equi-join,
     but hot keys spread over salt buckets (scale lever beyond AQE)."""
@@ -6801,6 +6870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v15_iqr_outliers": q_v15_iqr_outliers,
         "text_readability": q_text_readability,
         "ts_gaps": q_ts_gaps,
+        "mm_audio_energy": q_mm_audio_energy,
     }
     # Rotation order for the driver's 50-entry correctness capture
     # (kept accurate per round — the round-8 verdict's task #8).
@@ -6844,6 +6914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v15_iqr_outliers",
         "text_readability",
         "ts_gaps",
+        "mm_audio_energy",
         # (c) round-9 operators, second verification
         "agg_ab_welch",
         "agg_trimmed_stats",
@@ -7798,6 +7869,31 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(sum(s) / count(*) + 1e-9, 6) + 0.0 AS confidence,
                    round(sum(y) / count(*) + 1e-9, 6) + 0.0 AS accuracy
             FROM x GROUP BY g, bin
+        """,
+        "mm_audio_energy": """
+            -- arithmetic twin of the WAV decode: the fixture's
+            -- closed-form sample generator re-expressed in SQL; RMS
+            -- over int16 squares is integer-exact until one division
+            -- and sqrt, so the decode kernel hash-verifies
+            WITH d AS (
+                SELECT doc_id, 800 + (doc_id % 5) * 400 AS n
+                FROM documents),
+            s AS (
+                SELECT doc_id, unnest(range(n)) AS i FROM d),
+            v AS (
+                SELECT doc_id, CAST(i // 400 AS INT) AS frame_idx,
+                       CASE WHEN (i // 400) % 3 = 2 THEN 0
+                            ELSE ((doc_id * 31 + i * 7919) % 65536)
+                                 - 32768 END AS sv
+                FROM s)
+            SELECT doc_id AS media_id, frame_idx,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   round(sqrt(sum(sv * sv) / (count(*) + 0.0))
+                         + 1e-9, 6) + 0.0 AS rms,
+                   sqrt(sum(sv * sv) / (count(*) + 0.0)) < 1000.0
+                       AS is_silence
+            FROM v GROUP BY doc_id, frame_idx
+            ORDER BY media_id, frame_idx
         """,
         "text_readability": r"""
             WITH b AS (

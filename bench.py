@@ -160,6 +160,7 @@ HEADLINE = [
     "v15_iqr_outliers",
     "text_readability",
     "ts_gaps",
+    "mm_audio_energy",
 ]
 
 

@@ -524,6 +524,102 @@ def chunk_audio(
     )
 
 
+def _parse_wav_pcm16(blob: bytes):
+    """Dependency-free PCM decode: (sample_rate, int16 samples) from a
+    RIFF/WAVE blob — extends the duration probe to the PAYLOAD.
+    Raises ``ValueError`` on anything that is not 16-bit PCM (degrade
+    loudly, never guess)."""
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = int.from_bytes(blob[pos + 4 : pos + 8], "little")
+        body = pos + 8
+        if cid == b"fmt ":
+            if size < 16 or body + 16 > len(blob):
+                raise ValueError("truncated WAV fmt chunk")
+            fmt = int.from_bytes(blob[body : body + 2], "little")
+            channels = int.from_bytes(blob[body + 2 : body + 4], "little")
+            rate = int.from_bytes(blob[body + 4 : body + 8], "little")
+            bits = int.from_bytes(blob[body + 14 : body + 16], "little")
+            if fmt != 1:
+                raise ValueError(f"WAV fmt {fmt}: only PCM supported")
+        elif cid == b"data":
+            data = blob[body : body + min(size, len(blob) - body)]
+        pos = body + size + (size & 1)
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt /data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError(
+            f"audio kernel supports 16-bit mono PCM, got "
+            f"{bits}-bit x{channels}"
+        )
+    import numpy as np
+
+    return rate, np.frombuffer(
+        data[: len(data) - (len(data) % 2)], dtype="<i2"
+    )
+
+
+def audio_frame_energy(
+    df: DataFrame,
+    frame_ms: int = 50,
+    silence_rms: float = 1000.0,
+) -> DataFrame:
+    """Per-frame audio energy and silence detection over 16-bit mono
+    PCM WAV blobs: frames of ``frame_ms``, RMS amplitude per frame,
+    ``is_silence`` when RMS falls under ``silence_rms`` — the
+    voice-activity screen a speech-training pipeline runs before
+    chunking (silent frames carry no training signal; an
+    all-silent file is a dead sensor), and the REAL content-derived
+    audio feature next to the duration probe.
+
+    Engine shape: Arrow-batched ``mapInPandas`` — the justified Python
+    path for per-blob byte work (kernel = dependency-free RIFF parse
+    + one vectorized numpy pass per blob: square, frame-reshape,
+    mean, sqrt); output is (media_id, frame) grain, distributed with
+    the scan, never collected.  RMS over int16 squares is EXACT
+    integer arithmetic until one division and one sqrt, so the value
+    is engine-reproducible bit-for-bit.  Malformed or non-PCM blobs
+    raise in the worker (the PNM/WAV family policy).
+    """
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("rms", T.DoubleType()),
+            T.StructField("is_silence", T.BooleanType()),
+        ]
+    )
+    thresh = float(silence_rms)
+    fms = int(frame_ms)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("media_id", "frame_idx", "n_samples", "rms", "is_silence")
+        for batch in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for mid, content in zip(batch["media_id"], batch["content"]):
+                blob = bytes(content) if content is not None else b""
+                rate, samples = _parse_wav_pcm16(blob)
+                spf = max(rate * fms // 1000, 1)
+                sq = samples.astype("int64") ** 2
+                for idx in range(0, len(samples), spf):
+                    frame = sq[idx : idx + spf]
+                    rms = float(np.sqrt(frame.sum() / len(frame)))
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(idx // spf)
+                    rows["n_samples"].append(len(frame))
+                    rows["rms"].append(rms)
+                    rows["is_silence"].append(rms < thresh)
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(run, schema)
+
+
 def phash_near_duplicates(
     df: DataFrame,
     id_col: str = "media_id",

@@ -352,7 +352,7 @@ def test_no_cartesian_product_across_query_surface(spark):
         "text_vocab_overlap", "v13_drift_chi2", "transform_standardize",
         "transform_winsorize", "graph_clustering_coeff",
         "v14_functional_deps", "v15_iqr_outliers", "text_readability",
-        "ts_gaps",
+        "ts_gaps", "mm_audio_energy",
         # (stream_auc_matview / stream_calibration_matview are
         # lifecycle queries, pinned by their stream==batch suites)
     ]

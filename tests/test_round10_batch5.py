@@ -167,3 +167,65 @@ class TestGapDetect:
         got = gap_detect(df, "k", "ts", 3600).collect()
         assert len(got) == 1
         assert got[0]["gap_start"] == 3600 and got[0]["n_missing"] == 1
+
+
+class TestAudioFrameEnergy:
+    def _wav(self, samples, rate=8000):
+        import struct
+
+        import numpy as np
+
+        data = np.asarray(samples, dtype="<i2").tobytes()
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    def test_known_rms_and_silence(self, spark):
+        import math
+
+        from recover_spark.ops.multimodal import audio_frame_energy
+
+        # frame 0: constant 400 -> rms 400 (silent at 1000 threshold);
+        # frame 1: constant 20000 -> loud; partial frame 2: one sample
+        samples = [400] * 400 + [20000] * 400 + [20000]
+        df = spark.createDataFrame(
+            [(1, bytearray(self._wav(samples)))],
+            "media_id long, content binary",
+        )
+        rows = {
+            r["frame_idx"]: r
+            for r in audio_frame_energy(df, frame_ms=50).collect()
+        }
+        assert rows[0]["rms"] == 400.0 and rows[0]["is_silence"] is True
+        assert rows[1]["rms"] == 20000.0
+        assert rows[1]["is_silence"] is False
+        assert rows[2]["n_samples"] == 1
+        assert rows[2]["rms"] == 20000.0
+
+    def test_malformed_and_stereo_raise(self, spark):
+        import struct
+
+        import pytest as _pytest
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PythonException
+
+        from recover_spark.ops.multimodal import audio_frame_energy
+
+        bad = spark.createDataFrame(
+            [(1, bytearray(b"not a wav"))],
+            "media_id long, content binary",
+        )
+        with _pytest.raises((PythonException, Py4JJavaError)):
+            audio_frame_energy(bad).collect()
+        stereo_hdr = (
+            b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+            + b"data" + struct.pack("<I", 0)
+        )
+        st = spark.createDataFrame(
+            [(1, bytearray(stereo_hdr))], "media_id long, content binary"
+        )
+        with _pytest.raises((PythonException, Py4JJavaError)):
+            audio_frame_energy(st).collect()

@@ -138,6 +138,7 @@ PROBES = [
     "v15_iqr_outliers",     # quartile fences broadcast + map-side flag
     "text_readability",     # per-row regex counts, map-only
     "ts_gaps",              # distinct-bucket collapse + grid anti-join
+    "mm_audio_energy",      # Arrow-batched WAV decode + numpy energy
 ]
 
 
