@@ -6601,6 +6601,46 @@ def q_stream_calibration_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_stream_heartbeat_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension — per-key heartbeat/staleness monitor
+    (streaming/matview.py:maintain_heartbeat_matview): four genuine
+    micro-batches fold per-key (last_seen, n_rows) into key-sized
+    state; the read flags keys lagging the data's own high-water mark
+    by over a day — "which sensors are dark", live, with no history
+    rescan (the streaming complement of ts_gaps).  Oracle: the plain
+    batch aggregate — maintenance must be invisible."""
+    import uuid
+
+    from recover_spark.streaming.matview import (
+        maintain_heartbeat_matview,
+        read_heartbeat_matview,
+    )
+
+    run_dir = f"spark-warehouse/heartbeat_mv/{uuid.uuid4().hex}"
+    src = f"{run_dir}/src"
+    ev = _load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 200).alias("k"), "ts"
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("k long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_heartbeat_matview(
+        stream, f"{run_dir}/state", f"{run_dir}/ckpt", ["k"], "ts"
+    )
+    q.awaitTermination(300)
+    out = read_heartbeat_matview(spark, f"{run_dir}/state", 86400)
+    return out.select(
+        "k",
+        _ts(F.col("last_seen"), "last_seen"),
+        "n_rows",
+        F.round("lag_seconds", 6).alias("lag_seconds"),
+        "is_stale",
+    ).orderBy("k")
+
+
 def q_agg_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type reliability diagram — mean confidence vs observed
     accuracy in 10 uniform score bins
@@ -6871,6 +6911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": q_text_readability,
         "ts_gaps": q_ts_gaps,
         "mm_audio_energy": q_mm_audio_energy,
+        "stream_heartbeat_matview": q_stream_heartbeat_matview,
     }
     # Rotation order for the driver's 50-entry correctness capture
     # (kept accurate per round — the round-8 verdict's task #8).
@@ -6915,6 +6956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability",
         "ts_gaps",
         "mm_audio_energy",
+        "stream_heartbeat_matview",
         # (c) round-9 operators, second verification
         "agg_ab_welch",
         "agg_trimmed_stats",
@@ -7869,6 +7911,24 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(sum(s) / count(*) + 1e-9, 6) + 0.0 AS confidence,
                    round(sum(y) / count(*) + 1e-9, 6) + 0.0 AS accuracy
             FROM x GROUP BY g, bin
+        """,
+        "stream_heartbeat_matview": """
+            -- batch twin: per-key last_seen vs the data's own
+            -- high-water mark (not the wall clock)
+            WITH s AS (
+                SELECT user_id % 200 AS k, max(ts) AS last_seen,
+                       CAST(count(*) AS BIGINT) AS n_rows
+                FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            f AS (SELECT max(last_seen) AS fr FROM s)
+            SELECT k,
+                   strftime(last_seen, '%Y-%m-%d %H:%M:%S')
+                       AS last_seen,
+                   n_rows,
+                   round((epoch_us(fr) - epoch_us(last_seen))
+                         / 1000000.0, 6) AS lag_seconds,
+                   (epoch_us(fr) - epoch_us(last_seen)) / 1000000.0
+                       > 86400.0 AS is_stale
+            FROM s, f ORDER BY k
         """,
         "mm_audio_energy": """
             -- arithmetic twin of the WAV decode: the fixture's

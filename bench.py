@@ -161,6 +161,7 @@ HEADLINE = [
     "text_readability",
     "ts_gaps",
     "mm_audio_energy",
+    "stream_heartbeat_matview",
 ]
 
 
@@ -216,6 +217,7 @@ def main() -> None:
         "stream_upsert_matview",
         "stream_calibration_matview",
         "stream_auc_matview",
+        "stream_heartbeat_matview",
     }
     timings: dict[str, float] = {}
     phases: dict[str, dict[str, float]] = {}

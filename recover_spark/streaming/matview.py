@@ -801,6 +801,107 @@ def read_auc_matview(
     )
 
 
+def merge_heartbeat_state(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    key_cols: Sequence[str],
+    ts_col: str,
+    batch_id: int | None = None,
+) -> None:
+    """Merge one batch's per-key (last_seen, n_rows) into state — max
+    and count are both mergeable, so the union + re-aggregate over
+    partials equals the aggregate over everything seen (the
+    ``merge_counts`` contract with the same batch-id sidecar)."""
+    _recover_state(state_path)
+    if batch_id is not None:
+        applied = _applied_batch_id(state_path)
+        if applied is not None and batch_id <= applied:
+            return
+    keys = list(key_cols)
+    partial = (
+        batch.filter(F.col(ts_col).isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.max(F.col(ts_col)).alias("last_seen"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+    state = Path(state_path)
+    merged = partial
+    if state.exists():
+        prev = spark.read.parquet(state_path)
+        merged = (
+            prev.unionByName(partial)
+            .groupBy(*keys)
+            .agg(
+                F.max("last_seen").alias("last_seen"),
+                F.sum("n_rows").cast("long").alias("n_rows"),
+            )
+        )
+    tmp = str(state) + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
+    _swap_state(tmp, state_path)
+
+
+def maintain_heartbeat_matview(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+):
+    """Incrementally-maintained per-key HEARTBEAT view: who has been
+    seen, when last, how often — the live complement to
+    ``operators/temporal.gap_detect`` (that one audits history; this
+    one answers "which sensors are dark RIGHT NOW" from key-sized
+    state, no history rescan)."""
+    spark = stream.sparkSession
+    keys = list(key_cols)
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        merge_heartbeat_state(
+            spark, batch, state_path, keys, ts_col, batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_heartbeat_matview(
+    spark: SparkSession,
+    state_path: str,
+    stale_after_s: int,
+) -> DataFrame:
+    """Staleness report from the heartbeat state: a key is STALE when
+    its last_seen lags the newest observation ANYWHERE by more than
+    ``stale_after_s`` — the frontier is the data's own high-water mark
+    (one-row broadcast), not the wall clock, so the report is a
+    deterministic function of the state (replayable, testable, and
+    meaningful on backfills where "now" is wrong by construction)."""
+    _recover_state(state_path)
+    st = spark.read.parquet(state_path)
+    frontier = st.agg(F.max("last_seen").alias("__frontier"))
+    out = st.crossJoin(F.broadcast(frontier))
+    lag_s = (
+        F.unix_micros(F.col("__frontier"))
+        - F.unix_micros(F.col("last_seen"))
+    ) / F.lit(1_000_000.0)
+    return out.select(
+        *[c for c in st.columns if c not in ("last_seen", "n_rows")],
+        F.col("last_seen"),
+        F.col("n_rows"),
+        F.round(lag_s, 6).alias("lag_seconds"),
+        (lag_s > F.lit(float(stale_after_s))).alias("is_stale"),
+    )
+
+
 def merge_upsert_state(
     spark: SparkSession,
     batch: DataFrame,

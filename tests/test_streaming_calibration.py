@@ -98,3 +98,53 @@ class TestStreamingCalibration:
         for g in before:
             assert before[g]["n"] == after[g]["n"]
             assert before[g]["brier"] == after[g]["brier"]
+
+
+class TestHeartbeatMatview:
+    def test_stream_equals_batch_and_staleness(self, spark, tmp_path):
+        from recover_spark.streaming.matview import (
+            maintain_heartbeat_matview,
+            read_heartbeat_matview,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 0), ("a", 7200), ("b", 3600), ("c", 0)],
+            "k string, sec long",
+        ).selectExpr("k", "timestamp_micros(sec * 1000000) AS ts")
+        src = str(tmp_path / "src")
+        df.repartition(2).write.parquet(src)
+        stream = (
+            spark.readStream.schema("k string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = str(tmp_path / "state")
+        q = maintain_heartbeat_matview(
+            stream, state, str(tmp_path / "ckpt"), ["k"], "ts"
+        )
+        q.awaitTermination(120)
+        got = {
+            r["k"]: r
+            for r in read_heartbeat_matview(spark, state, 3600).collect()
+        }
+        # frontier = a's 7200: b lags 3600 (not > threshold), c 7200
+        assert got["a"]["is_stale"] is False
+        assert got["b"]["is_stale"] is False
+        assert got["c"]["is_stale"] is True
+        assert got["c"]["lag_seconds"] == 7200.0
+        assert got["a"]["n_rows"] == 2
+
+    def test_replay_idempotent(self, spark, tmp_path):
+        from recover_spark.streaming.matview import (
+            merge_heartbeat_state,
+            read_heartbeat_matview,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 0)], "k string, sec long"
+        ).selectExpr("k", "timestamp_micros(sec) AS ts")
+        state = str(tmp_path / "state")
+        merge_heartbeat_state(spark, df, state, ["k"], "ts", batch_id=0)
+        merge_heartbeat_state(spark, df, state, ["k"], "ts", batch_id=0)
+        row = read_heartbeat_matview(spark, state, 1).collect()[0]
+        assert row["n_rows"] == 1  # replay skipped, not double-counted

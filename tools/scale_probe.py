@@ -139,6 +139,7 @@ PROBES = [
     "text_readability",     # per-row regex counts, map-only
     "ts_gaps",              # distinct-bucket collapse + grid anti-join
     "mm_audio_energy",      # Arrow-batched WAV decode + numpy energy
+    "stream_heartbeat_matview",  # 4-batch key-sized (max, count) fold
 ]
 
 
