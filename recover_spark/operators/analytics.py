@@ -922,10 +922,18 @@ def _group_midranks(
     ONE (group, bucket) window, aggregate-sized offsets behind the
     checkpoint pin, broadcast join-back.  Input must already be
     distinct-value grain with a tie count column.
+
+    NOTE: this function runs a Spark job at CALL time — the grain is
+    pinned with a lazy ``localCheckpoint`` and ``approxQuantile``
+    (an action) materializes it, so the eager quantile pass and every
+    downstream window/join stage share ONE computation of the grain
+    aggregate instead of recomputing the fact pass (the basket_lift
+    ``stats_out`` convention).
     """
     group_cols = list(group_cols)
     from recover_spark.functions.transforms import materialize_columns
 
+    grain = grain.localCheckpoint(eager=False)
     probs = [i / buckets for i in range(1, buckets)]
     bounds = sorted(set(grain.stat.approxQuantile(val_col, probs, 0.001)))
     bucket = F.lit(0)
@@ -1043,6 +1051,7 @@ def moments_by_group(
     group_cols: Sequence[str],
     value_col: str,
     round_digits: int = 6,
+    broadcast_stats: bool = True,
 ) -> DataFrame:
     """Per-group distribution-shape moments: mean, sample stddev,
     skewness (g1 = m3 / m2^1.5) and EXCESS kurtosis (g2 = m4 / m2² - 3)
@@ -1063,6 +1072,13 @@ def moments_by_group(
     two fact passes, both with map-side partials, no windows.  NULLs
     excluded; groups with n < 2 or zero variance yield NULL
     skewness/kurtosis via ``try_divide``.
+
+    CARDINALITY BOUND: the default explicit broadcast bypasses AQE's
+    size threshold, so it requires the GROUP cardinality (not the
+    fact) to fit an executor — fine for dimension-keyed groupings,
+    wrong for per-user/per-document grains at the 100 TB contract.
+    Pass ``broadcast_stats=False`` for high-cardinality groupings to
+    let AQE pick the join strategy from measured sizes.
     """
     group_cols = list(group_cols)
     v = F.col(value_col).cast("double")
@@ -1071,7 +1087,9 @@ def moments_by_group(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.avg("__v").alias("__mu"),
     )
-    centered = nn.join(F.broadcast(means), group_cols)
+    centered = nn.join(
+        F.broadcast(means) if broadcast_stats else means, group_cols
+    )
     d = F.col("__v") - F.col("__mu")
     agg = centered.groupBy(*group_cols).agg(
         F.max("n").alias("n"),
@@ -1164,6 +1182,7 @@ def standardize(
     value_col: str,
     out_col: str = "zscore",
     round_digits: int = 6,
+    broadcast_stats: bool = True,
 ) -> DataFrame:
     """Per-group z-score standardization: (v - mean) / stddev_samp —
     the parametric sibling of :func:`rank_normalize` (use THAT when
@@ -1175,6 +1194,11 @@ def standardize(
     NULL values pass through with NULL ``out_col``; zero-variance or
     n < 2 groups yield NULL via ``try_divide`` (a constant feature has
     no z-score, and silently emitting 0 would hide it).
+
+    CARDINALITY BOUND: the default explicit broadcast requires the
+    GROUP cardinality to fit an executor (see
+    :func:`moments_by_group`); pass ``broadcast_stats=False`` for
+    per-entity grains to let AQE decide.
     """
     group_cols = list(group_cols)
     v = F.col(value_col).cast("double")
@@ -1186,7 +1210,11 @@ def standardize(
             F.stddev_samp(v).alias("__sd"),
         )
     )
-    out = df.join(F.broadcast(stats), group_cols, "left")
+    out = df.join(
+        F.broadcast(stats) if broadcast_stats else stats,
+        group_cols,
+        "left",
+    )
     z = F.try_divide(v - F.col("__mu"), F.col("__sd"))
     return out.withColumn(
         out_col, F.round(z + F.lit(1e-9), round_digits)
@@ -1372,7 +1400,13 @@ def mutual_info_by_group(
     how much knowing one column says about the other (feature/label
     leakage screening, redundant-metadata detection).
 
-    NULL is a category of its own (the entropy-family convention).
+    NULL is a category of its own (the entropy-family convention),
+    represented by the string sentinel ``"__null"`` — CAVEAT: a column
+    that genuinely CONTAINS the string value ``"__null"`` collides
+    with real NULLs and the two merge into one category, slightly
+    skewing MI/entropy; if that value can occur, pre-map it (a
+    struct/isnull composite key would remove the collision at the
+    cost of the cross-engine string-category oracle contract).
     Independent columns give MI = 0; a deterministic mapping gives
     MI = min(H_a, H_b).  Groups where either column is constant have
     no dependence to normalize and yield NULL nmi via ``try_divide``.

@@ -251,7 +251,7 @@ def gap_detect(
     iv = int(interval_s)
     nn = df.filter(F.col(ts_col).isNotNull()).select(
         F.col(key_col).alias("__k"),
-        (F.unix_micros(F.col(ts_col)) / F.lit(iv * 1_000_000))
+        F.floor(F.unix_micros(F.col(ts_col)) / F.lit(iv * 1_000_000))
         .cast("long")
         .alias("__b"),
     )
@@ -308,7 +308,8 @@ def resample_forward_fill(
     """
     us = F.lit(int(interval_s) * 1_000_000)
     bucket = (
-        (F.unix_micros(F.col(ts_col)) / us).cast("long") * F.lit(int(interval_s))
+        F.floor(F.unix_micros(F.col(ts_col)) / us).cast("long")
+        * F.lit(int(interval_s))
     ).alias("bucket_start")
 
     per_bucket = (
@@ -383,7 +384,8 @@ def resample_interpolate(
     """
     us = F.lit(int(interval_s) * 1_000_000)
     bucket = (
-        (F.unix_micros(F.col(ts_col)) / us).cast("long") * F.lit(int(interval_s))
+        F.floor(F.unix_micros(F.col(ts_col)) / us).cast("long")
+        * F.lit(int(interval_s))
     ).alias("bucket_start")
 
     per_bucket = (

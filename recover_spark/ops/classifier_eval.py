@@ -106,6 +106,10 @@ def roc_auc_by_group(
 
     from recover_spark.functions.transforms import materialize_columns
 
+    # runs a Spark job at CALL time: the grain is pinned lazily and
+    # approxQuantile's action materializes it, so the quantile pass
+    # and the downstream window share one grain aggregation
+    grain = grain.localCheckpoint(eager=False)
     probs = [i / buckets for i in range(1, buckets)]
     bounds = sorted(set(grain.stat.approxQuantile("__s", probs, 0.001)))
     bucket = F.lit(0)
@@ -207,6 +211,9 @@ def average_precision_by_group(
 
     from recover_spark.functions.transforms import materialize_columns
 
+    # call-time Spark job; lazy pin shared with downstream (see
+    # roc_auc_by_group)
+    grain = grain.localCheckpoint(eager=False)
     probs = [i / buckets for i in range(1, buckets)]
     bounds = sorted(set(grain.stat.approxQuantile("__s", probs, 0.001)))
     # bucket 0 holds the HIGHEST scores so the bucket order follows

@@ -129,11 +129,16 @@ def group_topk_sample(
     1,000 eval documents per source", reproducible across runs,
     engines, and partitionings.
 
-    Ties on the hash break by ``key_col`` ascending, so the result is
-    a total function of the data, never of the execution.  Duplicate
-    keys within a group share a hash and are kept or dropped TOGETHER
-    only as far as the k-boundary allows — callers sampling at entity
-    grain should dedup first.
+    Ties on the hash break by ``key_col`` ascending, so the SET of
+    surviving keys is a total function of the data, never of the
+    execution.  Duplicate keys within a group share a hash and are
+    kept or dropped TOGETHER only as far as the k-boundary allows —
+    and when duplicates straddle the boundary, WHICH physical row of a
+    duplicated key survives is not pinned (rows identical on
+    ``key_col`` but differing elsewhere are interchangeable to the
+    rank).  Full row-level determinism therefore requires ``key_col``
+    to be unique within each group — callers sampling at entity grain
+    should dedup first.
 
     Engine shape: ONE shuffle on the group key; the ``row_number() <=
     k`` filter compiles to a map-side WindowGroupLimit (the W1

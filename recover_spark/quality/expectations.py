@@ -333,6 +333,12 @@ def functional_dependencies(
     (a values with >1 distinct b, NULL counted as a value of b since a
     key mapping to both x and NULL is not a function), ``holds``.
 
+    CAVEAT: NULL b-values are folded to the string sentinel
+    ``"__null"`` (the entropy-family convention — see
+    ``mutual_info_by_group``); a dependent column genuinely containing
+    the string ``"__null"`` merges with real NULLs and can mask (never
+    fabricate a reverse of) a violation between those two values.
+
     Engine shape: one (a, b)-distinct aggregate + one a-grain count
     per pair, unioned — k*(k-1) SMALL aggregates over column-pruned
     scans, each with map-side combine; nothing fact-sized survives the
