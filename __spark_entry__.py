@@ -12020,3 +12020,137 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM r WHERE rank <= 10
         """,
     }
+
+
+# ---------------------------------------------------------------------------
+# Python oracles for the two queries whose semantics are iterative and
+# therefore not SQL-expressible (data-dependent argmax / gradient feedback
+# per step).  Each is a fully Spark-independent reimplementation: DuckDB
+# supplies the input rows (and, for quality_train, the SAME feature SQL the
+# hash-verified quality-gate oracles already use), pure Python runs the
+# training loop.  tools/check_correctness.py hash-compares these exactly
+# like SQL oracles, retiring the last two rows-only entries (VERDICT r10
+# task 5).  The round driver itself only consumes oracle_sql(), so its
+# capture remains rows-only for these two by declaration.
+# ---------------------------------------------------------------------------
+
+
+def _py_oracle_bpe_train(con, sf_dir: str):
+    """Independent dict-of-words BPE trainer (the tests/test_bpe.py
+    reference algorithm, fed from DuckDB): 12 merges, min pair weight 2,
+    tie rule weight desc then (left, right) asc — must reproduce
+    ops/bpe.py:train_bpe exactly, including early stop."""
+    import re
+    from collections import Counter
+
+    eow = "</w>"
+    texts = [
+        r[0] for r in con.execute("SELECT text FROM documents").fetchall()
+    ]
+    vocab: Counter = Counter()
+    for t in texts:
+        vocab.update(
+            tok
+            for tok in re.split(r"[^a-z0-9']+", (t or "").lower())
+            if tok
+        )
+    words = {w: tuple(w) + (eow,) for w in vocab}
+    rows = []
+    for it in range(12):
+        pair_w: Counter = Counter()
+        for w, syms in words.items():
+            c = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                pair_w[(a, b)] += c
+        if not pair_w:
+            break
+        (l, r), wgt = min(
+            pair_w.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if wgt < 2:
+            break
+        rows.append((it, l, r, l + r, wgt))
+        merged = l + r
+        for w, syms in words.items():
+            out, i = [], 0
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = tuple(out)
+    return ["iteration", "left", "right", "merged", "weight"], rows
+
+
+def _py_oracle_quality_train(con, sf_dir: str):
+    """Independent full-batch logistic-regression trainer: features and
+    labels come from the SAME DuckDB feature SQL the hash-verified
+    quality-gate oracles use (_QUALITY_VERDICT_CTES), the gradient loop
+    is sequential pure Python replicating ops/classifier.py's update
+    rule (standardize, 15 iterations, lr 0.8, raw-space conversion).
+    Float sums differ from Spark's partition-order combine only in last
+    ulps; the 8-decimal coefficient rounding absorbs that."""
+    import math as _m
+
+    feat_sql = f"""
+        WITH {_QUALITY_VERDICT_CTES}
+        SELECT f.n_tokens::DOUBLE AS n_tokens, f.punct_ratio,
+               f.digit_ratio, f.mean_word_len, f.stopword_ratio,
+               CASE WHEN v.fail_reason IS NULL THEN 1.0 ELSE 0.0 END
+                   AS label
+        FROM feat f JOIN verdict v USING (doc_id)
+    """
+    data = [
+        tuple(float(v) for v in row)
+        for row in con.execute(feat_sql).fetchall()
+    ]
+    cols = ["n_tokens", "punct_ratio", "digit_ratio", "mean_word_len",
+            "stopword_ratio"]
+    k = len(cols)
+    n = len(data)
+    xs = [row[:k] for row in data]
+    ys = [row[k] for row in data]
+    means = [sum(x[i] for x in xs) / n for i in range(k)]
+    stds = []
+    for i in range(k):
+        var = sum((x[i] - means[i]) ** 2 for x in xs) / n
+        sd = _m.sqrt(var)
+        stds.append(sd if sd > 1e-12 else 1.0)
+    w = [0.0] * k
+    b = 0.0
+    lr = 0.8
+    for _ in range(15):
+        g = [0.0] * k
+        gb = 0.0
+        for x, y in zip(xs, ys):
+            z = b + sum(
+                w[i] * ((x[i] - means[i]) / stds[i]) for i in range(k)
+            )
+            p = 1.0 / (1.0 + _m.exp(-z))
+            err = p - y
+            for i in range(k):
+                g[i] += err * ((x[i] - means[i]) / stds[i])
+            gb += err
+        for i in range(k):
+            w[i] -= lr * (g[i] / n)
+        b -= lr * gb / n
+    rows = [
+        (cols[i], round(w[i] / stds[i], 8), round(means[i], 8))
+        for i in range(k)
+    ]
+    raw_bias = b - sum(w[i] * means[i] / stds[i] for i in range(k))
+    rows.append(("__bias__", round(raw_bias, 8), 0.0))
+    return ["feature", "coefficient", "mean"], rows
+
+
+def oracle_py() -> dict:
+    """Python oracles for the non-SQL-expressible queries — same
+    comparison contract as oracle_sql() (row count, column names,
+    order-insensitive value hash), executed by the local battery."""
+    return {
+        "text_bpe_train": _py_oracle_bpe_train,
+        "text_quality_train": _py_oracle_quality_train,
+    }

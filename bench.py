@@ -220,10 +220,17 @@ def main() -> None:
         "stream_heartbeat_matview",
     }
     timings: dict[str, float] = {}
+    # Per-query (min, median, max) across the reps: the noise
+    # adjudication every round needs the SPREAD, not just the point —
+    # a round-over-round mover whose new value sits inside the other
+    # round's recorded [min, max] band is bench jitter by the data,
+    # no re-measure session required (VERDICT r10 #2).
+    spreads: dict[str, dict[str, float]] = {}
     phases: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best, best_phases, n = None, None, 0
+        best_phases, n = None, 0
+        runs: list[float] = []
         for _ in range(reps):
             t0 = time.time()
             df = fn(spark, sf_dir)
@@ -231,10 +238,16 @@ def main() -> None:
             n = df.count()
             t2 = time.time()
             elapsed = t2 - t0
-            if best is None or elapsed < best:
-                best = elapsed
+            if not runs or elapsed < min(runs):
                 best_phases = (t1 - t0, t2 - t1)
-        timings[name] = round(best, 3)
+            runs.append(elapsed)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        spreads[name] = {
+            "min": round(runs[0], 3),
+            "med": round(runs[len(runs) // 2], 3),
+            "max": round(runs[-1], 3),
+        }
         if name in lifecycle:
             phases[name] = {
                 "construct": round(best_phases[0], 3),
@@ -272,6 +285,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spreads,
         "phases": phases,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -296,6 +310,7 @@ def main() -> None:
     LINE_BUDGET = 1800
     line_obj = dict(result)
     line_obj.pop("phases", None)
+    line_obj.pop("spread", None)
     line_obj["queries"] = {k: round(v, 2) for k, v in timings.items()}
     line = json.dumps(line_obj, separators=(",", ":"))
     if len(line) > LINE_BUDGET:

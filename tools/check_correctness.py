@@ -36,6 +36,33 @@ def normalize(v):
     return str(v)
 
 
+def magnitude_suspects(rows, colnames):
+    """The agg_gini geometry, detected by construction: a float column
+    carrying FINE-GRAINED rounding (3-6 fractional digits in the
+    shortest repr — i.e. a round(x, 6)-style contract, not a raw
+    double, whose shortest repr at this magnitude carries more digits,
+    and not a cents sum, which carries <= 2) at |value| > 1e6, where
+    the rounding grain (<= 1e-3 relative ~1e-9 of the value) sits at
+    the scale of cross-engine accumulated double error — the two
+    engines round DIFFERENT ulps and the %.17g hash diverges.  Expose
+    a mean/ratio instead of the raw sum (VERDICT r9 #1 rule).
+    """
+    out = set()
+    for r in rows:
+        for i, v in enumerate(r):
+            if not isinstance(v, float) or not math.isfinite(v):
+                continue
+            if abs(v) <= 1e6 or v == int(v):
+                continue
+            txt = repr(v)
+            if "e" in txt or "E" in txt:
+                continue
+            frac = len(txt.split(".", 1)[1])
+            if 3 <= frac <= 6:
+                out.add(colnames[i])
+    return out
+
+
 def table_hash(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     lines = sorted(
@@ -68,7 +95,12 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # python oracles for the iterative (non-SQL-expressible) queries:
+    # same hash contract, executed as callables against the same DuckDB
+    # connection (VERDICT r10 task 5 — retires the weak rows locally)
+    py_oracles = getattr(entrymod, "oracle_py", dict)()
     failures = []
+    suspects: dict[str, list[str]] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -81,18 +113,25 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
-        if name not in oracles:
+        if name not in oracles and name not in py_oracles:
             print(f"weak  {name}: rows={len(srows)} (no oracle)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            if name in oracles:
+                res = con.execute(oracles[name])
+                ocols = [d[0] for d in res.description]
+                orows = res.fetchall()
+            else:
+                ocols, orows = py_oracles[name](con, sf_dir)
+                orows = [tuple(r) for r in orows]
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
             failures.append(name)
             continue
         dt = time.time() - t0
+        sus = magnitude_suspects(orows, ocols)
+        if sus:
+            suspects[name] = sorted(sus)
         problems = []
         if len(srows) != len(orows):
             problems.append(f"rows {len(srows)} != {len(orows)}")
@@ -108,6 +147,12 @@ def main() -> int:
         else:
             print(f"ok    {name}: rows={len(srows)}  ({dt:.1f}s)")
 
+    print(
+        f"\nmagnitude-scan: {len(suspects)} suspect queries"
+        + (f": {suspects}" if suspects else "")
+        + "  (|value|>1e6 with 3-6-decimal rounding — the agg_gini"
+        " geometry; expose means/ratios, not raw sums)"
+    )
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()
     return 1 if failures else 0
