@@ -679,6 +679,116 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index vs the exact brute-force ranking, at
+    nprobe 1 / 4 / 8(=all lists) — THE number a user tunes nprobe with
+    (VERDICT r10 #4).  One semi-join + ratio over two already-oracled
+    rankers; at nprobe = n_centroids the probe covers every list, so
+    recall must be exactly 1.0 (the pytest exhaustive-probe equality,
+    value-verified in the battery).
+
+    Scale shape: the exact top-k (a k*|queries|-row frame) pins behind
+    a lazy localCheckpoint so the three nprobe arms share it instead of
+    re-running brute force; each arm reads ONLY its probed list
+    partitions from the persisted index (PartitionFilters), and the
+    recall fold is an aggregate over k*|queries| rows per arm.
+    """
+    import os as _os
+    from functools import reduce as _reduce
+
+    from recover_spark.ops.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+    from recover_spark.ops import brute_force_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    sf_tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    idx = _os.path.join("spark-warehouse", f"ivf_index_{sf_tag}")
+    if not _os.path.isdir(_os.path.join(idx, "_centroids")):
+        build_ivf_index(emb, idx, n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = (
+        brute_force_topk(emb, queries, k=5)
+        .select("query_vec_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    arms = []
+    for nprobe in (1, 4, 8):
+        appr = ivf_topk_indexed(spark, idx, queries, nprobe=nprobe, k=5)
+        hits = appr.select("query_vec_id", "vec_id").join(
+            exact, ["query_vec_id", "vec_id"], "left_semi"
+        )
+        arms.append(
+            hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")).select(
+                F.lit(nprobe).cast("int").alias("nprobe"), "n_hits"
+            )
+        )
+    folded = _reduce(lambda a, b: a.unionAll(b), arms)
+    total = exact.agg(F.count(F.lit(1)).cast("long").alias("__n_exact"))
+    return (
+        folded.crossJoin(F.broadcast(total))
+        .select(
+            "nprobe",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.col("__n_exact") + F.lit(1e-9), 6
+            ).alias("recall"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (ops/similarity.py:ivf_pq_topk): 8 subspaces x 16
+    codes trained with one deterministic Lloyd step, candidates scored
+    by ADC table lookups over their code tuples within the 2 probed
+    IVF lists — the corpus side of the candidate join carries only
+    (id, list, 8 codes), never the float vectors (VERDICT r10 #3)."""
+    from recover_spark.ops.similarity import ivf_pq_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    topk = ivf_pq_topk(
+        emb, queries, n_centroids=8, nprobe=2, k=5,
+        m_subspaces=8, n_codes=16, train_iterations=1,
+    )
+    return topk.select(
+        "query_vec_id", "vec_id",
+        F.round("pq_cosine", 6).alias("pq_cosine"), "rank",
+    )
+
+
+def q_ann_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF-PQ (ops/similarity.py:ivf_pq_topk_indexed):
+    codebooks + per-row code tuples built once into a list-partitioned
+    sidecar of the IVF index; a probe is a PartitionFilters-pruned scan
+    of the probed lists' CODE files plus ADC lookups — no float vector
+    is read at query time.  Same train/encode arithmetic as
+    ``ann_ivf_pq``, so the same oracle applies."""
+    import os as _os
+
+    from recover_spark.ops.similarity import (
+        build_ivf_index,
+        build_pq_sidecar,
+        ivf_pq_topk_indexed,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    sf_tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    idx = _os.path.join("spark-warehouse", f"ivf_index_{sf_tag}")
+    if not _os.path.isdir(_os.path.join(idx, "_centroids")):
+        build_ivf_index(emb, idx, n_centroids=8)
+    if not _os.path.isdir(_os.path.join(idx, "_pq", "codebooks")):
+        build_pq_sidecar(spark, idx)
+    queries = emb.filter(F.col("vec_id") < 3)
+    topk = ivf_pq_topk_indexed(spark, idx, queries, nprobe=2, k=5)
+    return topk.select(
+        "query_vec_id", "vec_id",
+        F.round("pq_cosine", 6).alias("pq_cosine"), "rank",
+    )
+
+
 def q_v3_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3 — expectation-suite runner (one aggregate pass), results as a
     DataFrame (run_great_expectations_on_parquet.py:223-277)."""
@@ -6836,6 +6946,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_gemm": q_dedup_embedding_gemm,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
+        "ann_recall": q_ann_recall,
+        "ann_ivf_pq": q_ann_ivf_pq,
+        "ann_ivf_pq_indexed": q_ann_ivf_pq_indexed,
         "ann_ivf_quantized": q_ann_ivf_quantized,
         "ann_lsh": q_ann_lsh,
         "pipe_training_data": q_pipe_training_data,
@@ -7016,6 +7129,155 @@ def _cos(a: str, b: str, dim: int = 64) -> str:
         )
 
     return f"({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})))"
+
+
+def _ann_recall_sql() -> str:
+    """Recall@5 of the IVF ranking vs exact brute force at nprobe
+    1/4/8 — composes the (already hash-verified) ann_ivf and ann_topk
+    oracle shapes, one join + ratio per arm."""
+    arms = []
+    for n in (1, 4, 8):
+        arms.append(f"""
+            SELECT {n} AS np, qid, vid FROM (
+                SELECT p.qid, l.vec_id AS vid,
+                       row_number() OVER (PARTITION BY p.qid
+                           ORDER BY {_cos('l.embedding', 'p.qvec')} DESC,
+                                    l.vec_id ASC) AS rank
+                FROM (SELECT qid, qvec, cid FROM probed WHERE rn <= {n}) p
+                JOIN lists l ON p.cid = l.cid AND l.vec_id != p.qid)
+            WHERE rank <= 5""")
+    arms_sql = " UNION ALL ".join(arms)
+    return f"""
+        WITH cent AS (
+            SELECT vec_id AS cid, embedding AS cvec,
+                   sqrt({_dotsql('embedding', 'embedding')}) AS cnorm
+            FROM embeddings WHERE vec_id < 8),
+        assign AS (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_dotsql('e.embedding', 'c.cvec')} / c.cnorm
+                                DESC, c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c),
+        lists AS (SELECT vec_id, embedding, cid FROM assign WHERE rn = 1),
+        probed AS (
+            SELECT qid, qvec, cid, rn FROM (
+                SELECT q.vec_id AS qid, q.embedding AS qvec, c.cid,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY {_dotsql('q.embedding', 'c.cvec')}
+                                    / c.cnorm DESC, c.cid ASC) AS rn
+                FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 3)),
+        exact AS (
+            SELECT qid, vid FROM (
+                SELECT q.vec_id AS qid, e.vec_id AS vid,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY {_cos('e.embedding', 'q.embedding')}
+                                    DESC, e.vec_id ASC) AS rank
+                FROM embeddings e
+                JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+                  ON e.vec_id != q.vec_id)
+            WHERE rank <= 5),
+        appr AS ({arms_sql}),
+        hits AS (
+            SELECT a.np, count(*) AS n_hits
+            FROM appr a JOIN exact x ON a.qid = x.qid AND a.vid = x.vid
+            GROUP BY a.np)
+        SELECT CAST(n.np AS INTEGER) AS nprobe,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               round(coalesce(h.n_hits, 0)
+                     / (SELECT count(*) FROM exact) + 1e-9, 6) AS recall
+        FROM (SELECT 1 AS np UNION ALL SELECT 4 UNION ALL SELECT 8) n
+        LEFT JOIN hits h ON n.np = h.np
+    """
+
+
+def _ann_ivf_pq_sql(
+    m: int = 8, subdim: int = 8, n_codes: int = 16
+) -> str:
+    """DuckDB mirror of ivf_pq_topk: one deterministic Lloyd step per
+    subspace (seed codes = subvector slices of rows vec_id < n_codes,
+    squared-L2 assignment with lowest-id ties, per-dimension mean
+    re-centering with the keep-previous empty-cell rule), then encode
+    every corpus vector and ADC-score candidates within the 2 probed
+    IVF lists from the reconstruction."""
+    d2 = (
+        "list_sum(list_transform(range(1, {n}), "
+        "i -> (x.xv[i]::DOUBLE - c.cv[i]) * (x.xv[i]::DOUBLE - c.cv[i])))"
+    ).format(n=subdim + 1)
+    return f"""
+        WITH subq AS (
+            SELECT e.vec_id, u.s,
+                   e.embedding[u.s * {subdim} + 1 : u.s * {subdim} + {subdim}]
+                       AS xv
+            FROM embeddings e, UNNEST(range(0, {m})) AS u(s)),
+        cb0 AS (
+            SELECT s, vec_id AS j,
+                   list_transform(xv, x -> x::DOUBLE) AS cv
+            FROM subq WHERE vec_id < {n_codes}),
+        asn0 AS (
+            SELECT x.vec_id, x.s, c.j
+            FROM subq x JOIN cb0 c ON x.s = c.s
+            QUALIFY row_number() OVER (PARTITION BY x.vec_id, x.s
+                ORDER BY {d2} ASC, c.j ASC) = 1),
+        cb1d AS (
+            SELECT n.s, n.j, u.i, avg(x.xv[u.i]::DOUBLE) AS mu
+            FROM asn0 n
+            JOIN subq x ON n.vec_id = x.vec_id AND n.s = x.s,
+                 UNNEST(range(1, {subdim + 1})) AS u(i)
+            GROUP BY n.s, n.j, u.i),
+        cb1 AS (SELECT s, j, list(mu ORDER BY i) AS cv
+                FROM cb1d GROUP BY s, j),
+        cbf AS (
+            SELECT c0.s, c0.j, coalesce(c1.cv, c0.cv) AS cv
+            FROM cb0 c0
+            LEFT JOIN cb1 c1 ON c0.s = c1.s AND c0.j = c1.j),
+        codes AS (
+            SELECT x.vec_id, x.s, c.j, c.cv
+            FROM subq x JOIN cbf c ON x.s = c.s
+            QUALIFY row_number() OVER (PARTITION BY x.vec_id, x.s
+                ORDER BY {d2} ASC, c.j ASC) = 1),
+        cent AS (
+            SELECT vec_id AS cid, embedding AS cvec,
+                   sqrt({_dotsql('embedding', 'embedding')}) AS cnorm
+            FROM embeddings WHERE vec_id < 8),
+        assignl AS (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_dotsql('e.embedding', 'c.cvec')} / c.cnorm
+                                DESC, c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c),
+        lists AS (SELECT vec_id, cid FROM assignl WHERE rn = 1),
+        probed AS (
+            SELECT qid, qvec, qnorm, cid FROM (
+                SELECT q.vec_id AS qid, q.embedding AS qvec,
+                       sqrt({_dotsql('q.embedding', 'q.embedding')})
+                           AS qnorm,
+                       c.cid,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY {_dotsql('q.embedding', 'c.cvec')}
+                                    / c.cnorm DESC, c.cid ASC) AS rn
+                FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 3)
+            WHERE rn <= 2),
+        parts AS (
+            SELECT p.qid AS query_vec_id, l.vec_id,
+                   max(p.qnorm) AS qnorm,
+                   sum(list_sum(list_transform(range(1, {subdim + 1}),
+                       i -> p.qvec[r.s * {subdim} + i]::DOUBLE * r.cv[i])))
+                       AS adc,
+                   sum(list_sum(list_transform(range(1, {subdim + 1}),
+                       i -> r.cv[i] * r.cv[i]))) AS nn
+            FROM probed p
+            JOIN lists l ON p.cid = l.cid AND l.vec_id != p.qid
+            JOIN codes r ON r.vec_id = l.vec_id
+            GROUP BY p.qid, l.vec_id)
+        SELECT query_vec_id, vec_id, round(sc, 6) AS pq_cosine, rank
+        FROM (SELECT query_vec_id, vec_id,
+                     adc / (sqrt(nn) * qnorm) AS sc,
+                     CAST(row_number() OVER (PARTITION BY query_vec_id
+                         ORDER BY adc / (sqrt(nn) * qnorm) DESC,
+                                  vec_id ASC) AS INTEGER) AS rank
+              FROM parts)
+        WHERE rank <= 5
+    """
 
 
 def _lsh_bucket_sql(
@@ -7290,6 +7552,11 @@ def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_literal()
     # the persisted-index path answers the same query as in-memory IVF
     out["ann_ivf_indexed"] = out["ann_ivf"]
+    out["ann_recall"] = _ann_recall_sql()
+    out["ann_ivf_pq"] = _ann_ivf_pq_sql()
+    # the persisted-sidecar path answers the same query as in-memory
+    # IVF-PQ (same deterministic train/encode), so the oracle is shared
+    out["ann_ivf_pq_indexed"] = out["ann_ivf_pq"]
     # maintenance lifecycle: compaction is content-identical and the
     # rebuild provably equals a fresh build over the whole corpus, so
     # the fresh-index oracles apply verbatim

@@ -162,6 +162,10 @@ HEADLINE = [
     "ts_gaps",
     "mm_audio_energy",
     "stream_heartbeat_matview",
+    # round 11
+    "ann_recall",
+    "ann_ivf_pq",
+    "ann_ivf_pq_indexed",
 ]
 
 

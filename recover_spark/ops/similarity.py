@@ -977,3 +977,406 @@ def delete_from_ivf_index(
             if os.path.isdir(d):
                 shutil.rmtree(d)
     return {"touched_lists": touched, "n_deleted": n_ids}
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product quantization composed with IVF list pruning — the
+# standard memory/recall point for billion-vector ANN (Jégou et al. 2011).
+# The corpus candidate a probe touches carries only (id, list, m byte-ish
+# codes): at 100 TB of vectors that is the difference between scanning
+# 4-8 bytes/dim and scanning m bytes/vector.
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace PQ codebooks trained with the existing Lloyd
+    machinery (the ``emb_kmeans`` shape, run per subspace).
+
+    Deterministic by construction, so a SQL oracle can mirror it:
+    initial code j of subspace s is the s-th slice of the corpus row
+    with ``id_col == j`` (j < n_codes — the ``_collect_seeds``
+    convention); each iteration assigns every subvector to its nearest
+    code by squared L2 (ties to the lowest code id) and re-centers
+    codes at the per-dimension mean of their members; a code that wins
+    no members keeps its previous center (the empty-cell rule, applied
+    identically in the oracle).
+
+    Engine shape per iteration: ONE aggregate job — the corpus row
+    explodes map-side into (subspace, nearest-code, subvector) structs
+    against the in-closure codebook matrix (numpy GEMM per Arrow
+    batch), then a (subspace, code)-keyed avg with map-side partials;
+    the shuffled frame is m*n_codes groups, and only that frame is
+    collected (the centroid-broadcast convention — never the corpus).
+
+    Returns ``codebooks[s] = [(code_id, center), ...]`` sorted by
+    code id.
+    """
+    if dim % m_subspaces:
+        raise ValueError(
+            f"train_pq_codebooks: dim={dim} not divisible by "
+            f"m_subspaces={m_subspaces}"
+        )
+    subdim = dim // m_subspaces
+    seeds = _collect_seeds(corpus, n_codes, id_col, vec_col)
+    books = [
+        [(j, v[s * subdim : (s + 1) * subdim]) for j, v in seeds]
+        for s in range(m_subspaces)
+    ]
+    for _ in range(iterations):
+        assigned = _pq_assign_gemm(
+            corpus.select(F.col(vec_col)), books, vec_col, subdim
+        )
+        cells = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.col("__codes")[s].alias("pos"),
+                    F.slice(
+                        F.col(vec_col), s * subdim + 1, subdim
+                    ).alias("xv"),
+                )
+                for s in range(m_subspaces)
+            ]
+        )
+        rows = (
+            assigned.select(F.explode(cells).alias("c"))
+            .select("c.s", "c.pos", "c.xv")
+            .groupBy("s", "pos")
+            .agg(
+                *[
+                    F.avg(F.col("xv")[i].cast("double")).alias(f"m{i}")
+                    for i in range(subdim)
+                ]
+            )
+            .collect()
+        )
+        new_books = [list(b) for b in books]
+        for r in rows:
+            s, pos = int(r["s"]), int(r["pos"])
+            cid = books[s][pos][0]
+            new_books[s][pos] = (
+                cid,
+                [float(r[f"m{i}"]) for i in range(subdim)],
+            )
+        books = new_books
+    return books
+
+
+def _pq_assign_gemm(
+    df: DataFrame, books, vec_col: str, subdim: int
+) -> DataFrame:
+    """Nearest-code POSITION per subspace as one numpy pass per Arrow
+    batch (map-side; the codebook tensor lives in the closure).  Ties
+    go to the lowest position == lowest code id (books are id-sorted
+    and argmin returns the first minimum), matching the SQL mirror's
+    (distance asc, code asc) rank.  Adds ``__codes`` array<int>."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    m = len(books)
+    cmats = [
+        np.stack([np.asarray(c, dtype="float64") for _, c in books[s]])
+        for s in range(m)
+    ]
+    schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("__codes", T.ArrayType(T.IntegerType()))]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            codes = np.empty((len(pdf), m), dtype="int32")
+            for s in range(m):
+                xs = x[:, s * subdim : (s + 1) * subdim]
+                # ||x - c||^2 = |x|^2 - 2 x.c + |c|^2; |x|^2 is
+                # rank-constant per row, so argmin over codes needs
+                # only the last two terms
+                d = (cmats[s] ** 2).sum(axis=1) - 2.0 * (xs @ cmats[s].T)
+                codes[:, s] = np.argmin(d, axis=1)
+            pdf = pdf.copy()
+            pdf["__codes"] = list(codes)
+            yield pdf
+
+    return df.mapInPandas(assign, schema)
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    k: int = 5,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    train_iterations: int = 1,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k: IVF list pruning (the ``ivf_topk``
+    coarse quantizer) composed with product-quantized ADC scoring.
+
+    Asymmetric distance computation: the query stays full-precision;
+    each candidate is scored from its m code POSITIONS alone —
+    per-subspace lookup tables ``lut[s][p] = dot(q_s, C[s][p])`` are
+    computed ONCE per query row (the codebook enters the plan as
+    literals), the reconstruction norm ``|x̂|² = Σ_s |C[s][p_s]|²``
+    comes from a pure-literal table, and a candidate's score is
+
+        pq_cosine = Σ_s lut[s][codes[s]] / (sqrt(Σ_s nlut[s][codes[s]]) · |q|)
+
+    — m array lookups + a fold, never a dim-length dot against the
+    candidate.  The corpus-side join input is (id, list, codes): the
+    float vectors are needed only at ENCODE time, which a persisted
+    index pays once at build (the ``build_ivf_index`` convention).
+
+    Scale shape: codebook training is bounded-size aggregates
+    (``train_pq_codebooks``); corpus assignment+encoding are map-side
+    GEMM passes; queries broadcast; the only shuffle keys on query id
+    over candidate rows of the probed lists.  Deterministic end to end
+    (seeded init, lowest-id ties), so the DuckDB oracle mirrors the
+    train→encode→score arithmetic exactly.
+    """
+    qid = f"query_{id_col}"
+    subdim = dim // m_subspaces
+    books = train_pq_codebooks(
+        corpus,
+        m_subspaces=m_subspaces,
+        n_codes=n_codes,
+        dim=dim,
+        iterations=train_iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    seeds = _collect_seeds(corpus, n_centroids, id_col, vec_col)
+
+    c = _assign_lists_gemm(
+        corpus.select(F.col(id_col), F.col(vec_col)), seeds, id_col, vec_col
+    )
+    c = _pq_assign_gemm(c, books, vec_col, subdim).select(
+        id_col, "__list", "__codes"
+    )
+
+    q = queries.select(
+        F.col(id_col).alias(qid),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    # per-subspace ADC lookup tables, computed on the (small) query side
+    for s in range(m_subspaces):
+        lut = F.array(
+            *[
+                sum(
+                    (
+                        F.col("__qvec")[s * subdim + i].cast("double")
+                        * F.lit(center[i])
+                        for i in range(subdim)
+                    ),
+                    F.lit(0.0),
+                )
+                for _, center in books[s]
+            ]
+        )
+        q = q.withColumn(f"__lut{s}", lut)
+    q = q.select(
+        "*",
+        F.explode(
+            F.array(*_nearest_lists(seeds, F.col("__qvec"), nprobe))
+        ).alias("__list"),
+    )
+
+    cand = c.join(F.broadcast(q), on="__list").filter(
+        F.col(id_col) != F.col(qid)
+    )
+    adc = sum(
+        (
+            F.element_at(F.col(f"__lut{s}"), F.col("__codes")[s] + 1)
+            for s in range(m_subspaces)
+        ),
+        F.lit(0.0),
+    )
+    norm_luts = [
+        [sum(x * x for x in center) for _, center in books[s]]
+        for s in range(m_subspaces)
+    ]
+    recon_norm2 = sum(
+        (
+            F.element_at(
+                F.array(*[F.lit(v) for v in norm_luts[s]]),
+                F.col("__codes")[s] + 1,
+            )
+            for s in range(m_subspaces)
+        ),
+        F.lit(0.0),
+    )
+    scored = cand.select(
+        qid,
+        id_col,
+        (adc / (F.sqrt(recon_norm2) * F.col("__qnorm"))).alias("pq_cosine"),
+    )
+    w = Window.partitionBy(qid).orderBy(
+        F.col("pq_cosine").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def build_pq_sidecar(
+    spark,
+    index_path: str,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    dim: int = 64,
+    train_iterations: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build-once half of persisted IVF-PQ: train the subspace
+    codebooks over the indexed corpus and persist (a) the codebooks
+    (m*n_codes tiny rows) and (b) every row's code tuple, hive-
+    partitioned by inverted list like the parent index — so a probe
+    reads ONLY the probed lists' code files and NEVER a float vector.
+    Per 64-dim float64 vector the probe scans 8 int16-ish codes
+    instead of 512 bytes — the PQ memory point, enforced by storage
+    layout."""
+    corpus = spark.read.parquet(index_path)
+    subdim = dim // m_subspaces
+    books = train_pq_codebooks(
+        corpus,
+        m_subspaces=m_subspaces,
+        n_codes=n_codes,
+        dim=dim,
+        iterations=train_iterations,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    encoded = _pq_assign_gemm(
+        corpus.select(F.col(id_col), F.col("list"), F.col(vec_col)),
+        books,
+        vec_col,
+        subdim,
+    ).select(id_col, "list", F.col("__codes").alias("pq_codes"))
+    encoded.write.mode("overwrite").partitionBy("list").parquet(
+        f"{index_path}/_pq/codes"
+    )
+    cb_rows = [
+        (s, j, center)
+        for s, book in enumerate(books)
+        for j, center in book
+    ]
+    spark.createDataFrame(
+        cb_rows, "s int, j long, center array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{index_path}/_pq/codebooks"
+    )
+
+
+def ivf_pq_topk_indexed(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query persisted IVF-PQ: probed list ids push into the CODE
+    sidecar scan as partition pruning (the plan shows PartitionFilters
+    on ``list``), candidates score by ADC lookups over their stored
+    code tuples — the float corpus is untouched at query time.
+    Output matches ``ivf_pq_topk`` on the same corpus/params."""
+    qid = f"query_{id_col}"
+    seeds = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in spark.read.parquet(f"{index_path}/_centroids").collect()
+    )
+    cb_rows = spark.read.parquet(f"{index_path}/_pq/codebooks").collect()
+    m = 1 + max(int(r["s"]) for r in cb_rows)
+    books = [
+        sorted(
+            (int(r["j"]), [float(x) for x in r["center"]])
+            for r in cb_rows
+            if int(r["s"]) == s
+        )
+        for s in range(m)
+    ]
+    subdim = len(books[0][0][1])
+
+    q = queries.select(
+        F.col(id_col).alias(qid),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    for s in range(m):
+        lut = F.array(
+            *[
+                sum(
+                    (
+                        F.col("__qvec")[s * subdim + i].cast("double")
+                        * F.lit(center[i])
+                        for i in range(subdim)
+                    ),
+                    F.lit(0.0),
+                )
+                for _, center in books[s]
+            ]
+        )
+        q = q.withColumn(f"__lut{s}", lut)
+    q = q.select(
+        "*",
+        F.explode(
+            F.array(*_nearest_lists(seeds, F.col("__qvec"), nprobe))
+        ).alias("list"),
+    )
+    probed = sorted({r["list"] for r in q.select("list").distinct().collect()})
+    codes = spark.read.parquet(f"{index_path}/_pq/codes").filter(
+        F.col("list").isin(probed)
+    )
+    cand = codes.join(F.broadcast(q), on="list").filter(
+        F.col(id_col) != F.col(qid)
+    )
+    adc = sum(
+        (
+            F.element_at(F.col(f"__lut{s}"), F.col("pq_codes")[s] + 1)
+            for s in range(m)
+        ),
+        F.lit(0.0),
+    )
+    norm_luts = [
+        [sum(x * x for x in center) for _, center in books[s]]
+        for s in range(m)
+    ]
+    recon_norm2 = sum(
+        (
+            F.element_at(
+                F.array(*[F.lit(v) for v in norm_luts[s]]),
+                F.col("pq_codes")[s] + 1,
+            )
+            for s in range(m)
+        ),
+        F.lit(0.0),
+    )
+    scored = cand.select(
+        qid,
+        id_col,
+        (adc / (F.sqrt(recon_norm2) * F.col("__qnorm"))).alias("pq_cosine"),
+    )
+    w = Window.partitionBy(qid).orderBy(
+        F.col("pq_cosine").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
