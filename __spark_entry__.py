@@ -2515,6 +2515,18 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_spans(docs, span_words=10, max_docs=1)
 
 
+def q_dedup_cross_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring dedup (ops/dedup_text.py:
+    excise_cross_doc_spans): 8-token windows shared by >=2 distinct
+    documents are redundant everywhere except the lowest-id doc, and
+    redundant windows merge into maximal per-doc excision spans via
+    gaps-and-islands (VERDICT r10 #6)."""
+    from recover_spark.ops.dedup_text import excise_cross_doc_spans
+
+    docs = _load(spark, sf_dir, "documents")
+    return excise_cross_doc_spans(docs, ngram=8, min_docs=2)
+
+
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile decile assignment per event type (rank-class window
     beyond row_number; deterministic via (value, event_id) ordering)."""
@@ -6799,6 +6811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized": q_ann_quantized,
         "skew_hitters": q_skew_hitters,
         "dedup_spans": q_dedup_spans,
+        "dedup_cross_spans": q_dedup_cross_spans,
         "agg_stats_moments": q_agg_stats_moments,
         "agg_median": q_agg_median,
         "text_levenshtein": q_text_levenshtein,
@@ -12178,6 +12191,38 @@ def _oracle_sql_literal() -> dict[str, str]:
             SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text,
                    CAST(count(*) AS BIGINT) AS n_spans_kept
             FROM kept GROUP BY doc_id
+        """,
+        "dedup_cross_spans": f"""
+            WITH {_TOKS_CTE},
+            sh AS (
+                SELECT doc_id, u.p AS pos,
+                       array_to_string(t[u.p + 1 : u.p + 8], ' ') AS sh
+                FROM toks, UNNEST(CASE WHEN len(t) >= 8
+                                  THEN range(0, len(t) - 8 + 1)
+                                  ELSE []::BIGINT[] END) AS u(p)),
+            win AS (SELECT sh, min(doc_id) AS winner,
+                           count(DISTINCT doc_id) AS nd
+                    FROM sh GROUP BY sh),
+            red AS (SELECT s.doc_id, s.pos
+                    FROM sh s JOIN win w ON s.sh = w.sh
+                    WHERE w.nd >= 2 AND s.doc_id <> w.winner),
+            g AS (SELECT doc_id, pos,
+                         CASE WHEN lag(pos) OVER w IS NULL
+                                   OR pos - lag(pos) OVER w > 8
+                              THEN 1 ELSE 0 END AS brk
+                  FROM red
+                  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            isl AS (SELECT doc_id, pos,
+                           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                          ROWS UNBOUNDED PRECEDING)
+                               AS island
+                    FROM g)
+            SELECT doc_id,
+                   CAST(min(pos) AS INT) AS span_start,
+                   CAST(max(pos) + 7 AS INT) AS span_end,
+                   CAST(max(pos) + 7 - min(pos) + 1 AS INT)
+                       AS n_tokens_removed
+            FROM isl GROUP BY doc_id, island
         """,
         "merge_upsert": """
             WITH target AS (

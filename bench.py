@@ -166,6 +166,7 @@ HEADLINE = [
     "ann_recall",
     "ann_ivf_pq",
     "ann_ivf_pq_indexed",
+    "dedup_cross_spans",
 ]
 
 

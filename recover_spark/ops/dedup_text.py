@@ -547,3 +547,136 @@ def cluster_size_histogram(
         )
         .orderBy("cluster_size")
     )
+
+
+def excise_cross_doc_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document exact-substring dedup (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" shape,
+    at word-shingle grain): every ``ngram``-token window whose content
+    appears in >= ``min_docs`` DISTINCT documents is redundant
+    everywhere except the globally first document containing it
+    (lowest id — the deterministic keep-one rule), and redundant
+    windows merge into maximal per-doc token spans to excise.  This is
+    the across-documents complement of ``remove_repeated_spans``
+    (which drops duplicated chunks from EVERY doc) and of the
+    within-doc span machinery: shared boilerplate headers/footers
+    survive in exactly one document.
+
+    Scale shape — sub-quadratic by construction: overlapping shingles
+    explode map-side with their start positions; ONE groupBy on
+    shingle content yields (winner = min doc id, distinct-doc count)
+    with map-side partials; redundancy is an equi-join back on the
+    shingle (the inverted-index join, never doc x doc); maximal spans
+    run-length compress with gaps-and-islands (two window passes KEYED
+    ON THE DOC over redundant positions only — bounded by doc length,
+    and empty for every doc with no shared content).  Span content as
+    the join key is fine at ngram=8; at 100 TB swap in md5(span) to
+    shrink shuffle payloads (identical semantics — the
+    ``remove_repeated_spans`` note).
+
+    Output: one row per excised maximal span — (doc_id, span_start,
+    span_end) inclusive 0-based token indices plus
+    ``n_tokens_removed``.  Docs with nothing to excise are absent;
+    pair with :func:`apply_span_excision` to rewrite the corpus.
+    """
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    starts = F.when(
+        F.size(toks) >= ngram,
+        F.sequence(F.lit(0), F.size(toks) - ngram),
+    ).otherwise(F.array().cast("array<int>"))
+    sh = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.array_join(F.slice(toks, i + 1, ngram), " "),
+            )
+        ).alias("pos", "__sh"),
+    )
+    winners = sh.groupBy("__sh").agg(
+        F.min(id_col).alias("__winner"),
+        F.countDistinct(id_col).alias("__nd"),
+    )
+    red = (
+        sh.join(winners, "__sh")
+        .filter(
+            (F.col("__nd") >= min_docs)
+            & (F.col(id_col) != F.col("__winner"))
+        )
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    brk = (
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > ngram),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+    )
+    isl = red.withColumn(
+        "__island",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        isl.groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(ngram - 1)).alias("span_end"),
+        )
+        .select(
+            id_col,
+            F.col("span_start").cast("int").alias("span_start"),
+            F.col("span_end").cast("int").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("int")
+            .alias("n_tokens_removed"),
+        )
+        .orderBy(id_col, "span_start")
+    )
+
+
+def apply_span_excision(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite the corpus with :func:`excise_cross_doc_spans` output
+    applied: tokens inside any of a doc's excised spans are dropped,
+    survivors rejoin in order.  Docs with no spans pass through with
+    their tokenized text (the tokenize-rejoin round trip is the same
+    normalization every span consumer sees).
+
+    Map-shaped after ONE equi-join of the corpus to its per-doc span
+    list (span lists are tiny — maximal spans, not shingles).  The
+    membership test materializes each doc's removed-position array
+    (bounded by doc length) and filters by index; token count is
+    corpus-linear.
+    """
+    per_doc = spans.groupBy(id_col).agg(
+        F.flatten(
+            F.collect_list(F.sequence("span_start", "span_end"))
+        ).alias("__removed")
+    )
+    joined = docs.join(per_doc, id_col, "left")
+    toks = tokens(F.col(text_col))
+    removed = F.coalesce(F.col("__removed"), F.array().cast("array<int>"))
+    kept = F.filter(
+        toks, lambda t, i: ~F.array_contains(removed, i.cast("int"))
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias(text_col),
+        F.size(removed).alias("n_tokens_removed"),
+    )
