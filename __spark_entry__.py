@@ -7039,67 +7039,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_energy": q_mm_audio_energy,
         "stream_heartbeat_matview": q_stream_heartbeat_matview,
     }
-    # Rotation order for the driver's 50-entry correctness capture
-    # (kept accurate per round — the round-8 verdict's task #8).
-    # Lead with: (a) the rows whose HASHED SURFACE changed this round
-    # under the sum-magnitude rule — agg_gini (exposes mean, not the
-    # ~7.6e8 raw total that flipped the driver hash two rounds
-    # running), agg_weighted_quantiles (w_mean for w_total) and
-    # stream_matview (avg_value for the raw running sum), the other
-    # two columns the rule sweep touched; (b) this round's new
-    # queries; (c) last round's new operators so they get a second
-    # driver verification.  tools/check_correctness.py re-runs ALL
-    # entries regardless.
+    # Rotation order for the driver's 50-entry correctness capture,
+    # STALENESS-WEIGHTED this round (VERDICT r10 #7): lead with (a)
+    # queries new or touched by round-11 work (IVF-PQ family, recall,
+    # cross-doc spans, the advice-fix surfaces — gap/resample floor
+    # bucketing, midrank-family pinning), then (b) the queries whose
+    # most recent driver capture is OLDEST, computed from the
+    # CORRECTNESS_r*.json history: the round-1 captures first (shared
+    # machinery has been edited for ten rounds since), then round-3.
+    # tools/check_correctness.py re-runs ALL entries regardless.
     front = [
-        # (a) sum-magnitude-rule repairs
-        "agg_gini",
-        "agg_weighted_quantiles",
-        "stream_matview",
-        # (b) new this round
-        "agg_auc",
-        "agg_calibration",
-        "agg_reliability_bins",
-        "dedup_cluster_split",
-        "agg_mutual_info",
-        "agg_kappa",
-        "agg_avg_precision",
-        "agg_spearman",
-        "sample_group_topk",
-        "transform_rank_normalize",
-        "agg_effect_size",
-        "stream_calibration_matview",
-        "text_lexical_diversity",
-        "agg_moments",
-        "text_vocab_overlap",
-        "v13_drift_chi2",
-        "transform_standardize",
-        "transform_winsorize",
-        "stream_auc_matview",
-        "graph_clustering_coeff",
-        "dedup_cluster_histogram",
-        "v14_functional_deps",
-        "v15_iqr_outliers",
-        "text_readability",
+        # (a) new / touched this round
+        "ann_ivf_pq",
+        "ann_ivf_pq_indexed",
+        "ann_recall",
+        "dedup_cross_spans",
         "ts_gaps",
-        "mm_audio_energy",
-        "stream_heartbeat_matview",
-        # (c) round-9 operators, second verification
-        "agg_ab_welch",
-        "agg_trimmed_stats",
-        "text_collocations",
-        "scd2_history",
-        "retrieval_rank_metrics",
-        "agg_ab_prop_ztest",
-        "v12_drift_wasserstein",
-        "emb_whiten",
-        "graph_assortativity",
-        "text_zipf",
-        "stream_upsert_matview",
-        "mm_scene_cuts",
-        "emb_silhouette",
-        "agg_hhi",
-        "emb_pca",
-        "emb_pca_project",
+        "ts_resample",
+        "agg_spearman",
+        "agg_auc",
+        "agg_avg_precision",
+        "transform_rank_normalize",
+        "agg_moments",
+        "transform_standardize",
+        "sample_group_topk",
+        # (b) stalest driver captures (round 1, then round 3)
+        "a4_duplicate_keys",
+        "a5_group_collect",
+        "a6_union_ledgers",
+        "agg_conditional",
+        "agg_distinct_stats",
+        "agg_rollup",
+        "ann_topk",
+        "dedup_minhash",
+        "dedup_simhash",
+        "doc_fingerprint",
+        "join_salted_skew",
+        "join_semi_exists",
+        "mm_audio_chunks",
+        "mm_features",
+        "mm_frames",
+        "p10_cohort",
+        "p3_json_struct",
+        "p4_defensive_json",
+        "p5_map_normalize",
+        "p6_filename_meta",
+        "p7_flatten",
+        "s2_resolve_choice",
+        "stream_sessionize",
+        "stream_window_counts",
+        "text_langid",
+        "text_quality_filter",
+        "text_stats",
+        "v1_range_check",
+        "v3_suite",
+        "win_moving_avg",
+        "win_topk_priority",
+        "emb_kmeans",
+        "text_pii_redact",
+        "text_repetition",
+        "text_vocab",
+        # (b cont.) oldest round-4 captures to fill the 50
+        "a1_stage_counts",
+        "agg_custdist",
+        "agg_disjunctive",
+        "agg_important_stock",
     ]
     assert all(k in base for k in front), "rotation names must exist"
     return {k: base[k] for k in front} | {
