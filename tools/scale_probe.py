@@ -140,6 +140,18 @@ PROBES = [
     "ts_gaps",              # distinct-bucket collapse + grid anti-join
     "mm_audio_energy",      # Arrow-batched WAV decode + numpy energy
     "stream_heartbeat_matview",  # 4-batch key-sized (max, count) fold
+    # round 11
+    "ann_ivf_pq",           # PQ codebook Lloyd step + ADC within probed lists
+    "dedup_cross_spans",    # shingle inverted index + per-doc islands;
+                            # NOTE: byte-identical replicas make ~every
+                            # shingle cross-doc duplicated at 10x, so
+                            # redundant-occurrence work grows by
+                            # duplication DENSITY on top of data size —
+                            # expected and linear in occurrences
+    # ann_ivf_pq_indexed / ann_recall answer from the persisted index;
+    # their first call at 10x would time the index+sidecar BUILD, so
+    # they are probed bespoke (build first, then time the probe) with
+    # results in SCALE.md — the maintenance_probe convention
 ]
 
 
