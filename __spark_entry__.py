@@ -12200,7 +12200,8 @@ def _oracle_sql_literal() -> dict[str, str]:
             WITH {_TOKS_CTE},
             sh AS (
                 SELECT doc_id, u.p AS pos,
-                       array_to_string(t[u.p + 1 : u.p + 8], ' ') AS sh
+                       {_h64("array_to_string(t[u.p + 1 : u.p + 8], ' ')")}
+                           AS sh
                 FROM toks, UNNEST(CASE WHEN len(t) >= 8
                                   THEN range(0, len(t) - 8 + 1)
                                   ELSE []::BIGINT[] END) AS u(p)),

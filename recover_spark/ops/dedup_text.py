@@ -555,6 +555,7 @@ def excise_cross_doc_spans(
     id_col: str = "doc_id",
     ngram: int = 8,
     min_docs: int = 2,
+    hash_shingles: bool = True,
 ) -> DataFrame:
     """Cross-document exact-substring dedup (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better" shape,
@@ -575,10 +576,14 @@ def excise_cross_doc_spans(
     shingle (the inverted-index join, never doc x doc); maximal spans
     run-length compress with gaps-and-islands (two window passes KEYED
     ON THE DOC over redundant positions only — bounded by doc length,
-    and empty for every doc with no shared content).  Span content as
-    the join key is fine at ngram=8; at 100 TB swap in md5(span) to
-    shrink shuffle payloads (identical semantics — the
-    ``remove_repeated_spans`` note).
+    and empty for every doc with no shared content).  By default the
+    aggregate/join key is the portable 60-bit md5 hash of the span
+    content (``hash_shingles=True``) — 8 bytes across the shuffle
+    instead of an ~8-word string, the engine-portable form of the
+    ``remove_repeated_spans`` scale note; a 60-bit collision over even
+    10^9 distinct shingles is ~odds 1e-4, and a collision only MERGES
+    two shingles' doc sets (excising at most a spurious window, never
+    corrupting survivors).  Pass ``False`` to key on raw content.
 
     Output: one row per excised maximal span — (doc_id, span_start,
     span_end) inclusive 0-based token indices plus
@@ -587,19 +592,30 @@ def excise_cross_doc_spans(
     """
     from pyspark.sql import Window
 
-    toks = tokens(F.col(text_col))
+    # materialize the token array behind a projection FIRST: higher-
+    # order functions get no common-subexpression elimination, so an
+    # inline tokens() expression referenced inside the per-window
+    # lambda would re-tokenize the whole document once per window —
+    # O(len^2) per doc (the functions/text.py stopword_ratio note)
+    tokd = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
     starts = F.when(
         F.size(toks) >= ngram,
         F.sequence(F.lit(0), F.size(toks) - ngram),
     ).otherwise(F.array().cast("array<int>"))
-    sh = df.select(
+    content = lambda i: F.array_join(  # noqa: E731
+        F.slice(toks, i + 1, ngram), " "
+    )
+    key = (
+        (lambda i: portable_hash64(content(i)))
+        if hash_shingles
+        else content
+    )
+    sh = tokd.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                starts,
-                lambda i: F.array_join(F.slice(toks, i + 1, ngram), " "),
-            )
-        ).alias("pos", "__sh"),
+        F.posexplode(F.transform(starts, key)).alias("pos", "__sh"),
     )
     winners = sh.groupBy("__sh").agg(
         F.min(id_col).alias("__winner"),
@@ -669,11 +685,13 @@ def apply_span_excision(
             F.collect_list(F.sequence("span_start", "span_end"))
         ).alias("__removed")
     )
-    joined = docs.join(per_doc, id_col, "left")
-    toks = tokens(F.col(text_col))
+    joined = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).join(per_doc, id_col, "left")
     removed = F.coalesce(F.col("__removed"), F.array().cast("array<int>"))
     kept = F.filter(
-        toks, lambda t, i: ~F.array_contains(removed, i.cast("int"))
+        F.col("__toks"),
+        lambda t, i: ~F.array_contains(removed, i.cast("int")),
     )
     return joined.select(
         id_col,

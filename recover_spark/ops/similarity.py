@@ -1174,22 +1174,7 @@ def ivf_pq_topk(
         F.col(vec_col).alias("__qvec"),
         l2_norm(F.col(vec_col)).alias("__qnorm"),
     )
-    # per-subspace ADC lookup tables, computed on the (small) query side
-    for s in range(m_subspaces):
-        lut = F.array(
-            *[
-                sum(
-                    (
-                        F.col("__qvec")[s * subdim + i].cast("double")
-                        * F.lit(center[i])
-                        for i in range(subdim)
-                    ),
-                    F.lit(0.0),
-                )
-                for _, center in books[s]
-            ]
-        )
-        q = q.withColumn(f"__lut{s}", lut)
+    q = _with_adc_luts(q, books, subdim)
     q = q.select(
         "*",
         F.explode(
@@ -1200,27 +1185,7 @@ def ivf_pq_topk(
     cand = c.join(F.broadcast(q), on="__list").filter(
         F.col(id_col) != F.col(qid)
     )
-    adc = sum(
-        (
-            F.element_at(F.col(f"__lut{s}"), F.col("__codes")[s] + 1)
-            for s in range(m_subspaces)
-        ),
-        F.lit(0.0),
-    )
-    norm_luts = [
-        [sum(x * x for x in center) for _, center in books[s]]
-        for s in range(m_subspaces)
-    ]
-    recon_norm2 = sum(
-        (
-            F.element_at(
-                F.array(*[F.lit(v) for v in norm_luts[s]]),
-                F.col("__codes")[s] + 1,
-            )
-            for s in range(m_subspaces)
-        ),
-        F.lit(0.0),
-    )
+    adc, recon_norm2 = _adc_expressions(books, "__codes")
     scored = cand.select(
         qid,
         id_col,
@@ -1232,6 +1197,62 @@ def ivf_pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def _with_adc_luts(
+    q: DataFrame, books, subdim: int, qvec: str = "__qvec"
+) -> DataFrame:
+    """Per-subspace ADC lookup tables on the (small) query side:
+    ``__lut{s}[p] = dot(q_s, C[s][p])``.
+
+    Built from ONE nested-array literal + ``transform`` per subspace —
+    NEVER per-entry Column arithmetic: m*n_codes*subdim ``+``/``*``
+    Column ops are each a py4j round trip, which costs ~10 s of DRIVER
+    time per plan at (8, 16, 8) (the literal-table analysis-cost
+    lesson).  Execution cost is unchanged — n_codes*subdim work per
+    QUERY row only.
+    """
+    def dot_with(qsub):
+        # closure factory: a default-arg capture would make pyspark
+        # read the lambda as the 2-arg (value, index) form
+        return lambda c: F.aggregate(
+            F.zip_with(qsub, c, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+
+    for s, book in enumerate(books):
+        centers = F.lit([center for _, center in book])
+        qsub = F.slice(F.col(qvec), s * subdim + 1, subdim)
+        q = q.withColumn(f"__lut{s}", F.transform(centers, dot_with(qsub)))
+    return q
+
+
+def _adc_expressions(books, codes_col: str):
+    """(adc, reconstruction_norm²) for a candidate row carrying its
+    code positions: m array lookups each, the norm table a pure
+    literal (one nested literal per subspace, same analysis-cost rule
+    as the LUTs)."""
+    m = len(books)
+    adc = sum(
+        (
+            F.element_at(F.col(f"__lut{s}"), F.col(codes_col)[s] + 1)
+            for s in range(m)
+        ),
+        F.lit(0.0),
+    )
+    norm_tables = [
+        F.lit([sum(x * x for x in center) for _, center in book])
+        for book in books
+    ]
+    recon_norm2 = sum(
+        (
+            F.element_at(norm_tables[s], F.col(codes_col)[s] + 1)
+            for s in range(m)
+        ),
+        F.lit(0.0),
+    )
+    return adc, recon_norm2
 
 
 def build_pq_sidecar(
@@ -1320,21 +1341,7 @@ def ivf_pq_topk_indexed(
         F.col(vec_col).alias("__qvec"),
         l2_norm(F.col(vec_col)).alias("__qnorm"),
     )
-    for s in range(m):
-        lut = F.array(
-            *[
-                sum(
-                    (
-                        F.col("__qvec")[s * subdim + i].cast("double")
-                        * F.lit(center[i])
-                        for i in range(subdim)
-                    ),
-                    F.lit(0.0),
-                )
-                for _, center in books[s]
-            ]
-        )
-        q = q.withColumn(f"__lut{s}", lut)
+    q = _with_adc_luts(q, books, subdim)
     q = q.select(
         "*",
         F.explode(
@@ -1348,27 +1355,7 @@ def ivf_pq_topk_indexed(
     cand = codes.join(F.broadcast(q), on="list").filter(
         F.col(id_col) != F.col(qid)
     )
-    adc = sum(
-        (
-            F.element_at(F.col(f"__lut{s}"), F.col("pq_codes")[s] + 1)
-            for s in range(m)
-        ),
-        F.lit(0.0),
-    )
-    norm_luts = [
-        [sum(x * x for x in center) for _, center in books[s]]
-        for s in range(m)
-    ]
-    recon_norm2 = sum(
-        (
-            F.element_at(
-                F.array(*[F.lit(v) for v in norm_luts[s]]),
-                F.col("pq_codes")[s] + 1,
-            )
-            for s in range(m)
-        ),
-        F.lit(0.0),
-    )
+    adc, recon_norm2 = _adc_expressions(books, "pq_codes")
     scored = cand.select(
         qid,
         id_col,
