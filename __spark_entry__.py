@@ -2527,6 +2527,103 @@ def q_dedup_cross_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return excise_cross_doc_spans(docs, ngram=8, min_docs=2)
 
 
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of MinHash-LSH candidate generation vs the exact n-gram
+    Jaccard pairs, per Jaccard band — the dedup family's tuning
+    surface (the ann_recall twin): how much of the true near-dup mass
+    does the 16-hash/4-band blocking actually catch, and where on the
+    S-curve does it start missing.  One left join + one aggregate over
+    the (already-oracled) pair sets."""
+    from recover_spark.ops import (
+        minhash_near_duplicates,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, shingle_size=3, min_jaccard=0.2)
+    cand = (
+        minhash_near_duplicates(
+            docs, num_hashes=16, bands=4, shingle_size=3
+        )
+        .select("id_a", "id_b")
+        .withColumn("__hit", F.lit(1))
+    )
+    j_band = F.least(
+        F.floor(F.col("jaccard") * 5).cast("int"), F.lit(4)
+    )
+    marked = exact.select(
+        "id_a", "id_b", j_band.alias("j_band")
+    ).join(cand, ["id_a", "id_b"], "left")
+    return (
+        marked.groupBy("j_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_caught"),
+        )
+        .select(
+            "j_band",
+            "n_pairs",
+            "n_caught",
+            F.round(
+                F.col("n_caught") / F.col("n_pairs") + F.lit(1e-9), 6
+            ).alias("recall"),
+        )
+        .orderBy("j_band")
+    )
+
+
+def q_emb_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift per label between the two vec_id-parity
+    eras (ops/clustering.py:embedding_centroid_drift): centroid cosine
+    + norm ratio — the representation lens of the drift family."""
+    from recover_spark.ops.clustering import embedding_centroid_drift
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return embedding_centroid_drift(
+        emb, "label", F.pmod(F.col("vec_id"), F.lit(2)), dim=64
+    )
+
+
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity contributions of the residue-class partition
+    (node % 4) over the user-lattice graph (ops/graph.py:modularity):
+    per-community internal-edge density vs the degree-preserving null
+    model — the partition-quality readout for any graph clustering."""
+    from recover_spark.ops.graph import modularity
+
+    events = _load(spark, sf_dir, "events")
+    edges = (
+        events.filter(F.col("event_id") % 11 == 0)
+        .select(
+            F.col("user_id").alias("src"),
+            (F.col("user_id") + 3).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    comms = nodes.select(
+        "node", (F.col("node") % 4).alias("community")
+    )
+    return modularity(edges, comms)
+
+
+def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram per source
+    (ops/text_analysis.py:token_length_histogram): the sequence-length
+    profile a packing/chunking planner reads; exact-integer log2 bands
+    (bit length), never a float log."""
+    from recover_spark.ops.text_analysis import token_length_histogram
+
+    docs = _load(spark, sf_dir, "documents")
+    return token_length_histogram(docs, "source")
+
+
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile decile assignment per event type (rank-class window
     beyond row_number; deterministic via (value, event_id) ordering)."""
@@ -6812,6 +6909,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_hitters": q_skew_hitters,
         "dedup_spans": q_dedup_spans,
         "dedup_cross_spans": q_dedup_cross_spans,
+        "dedup_lsh_recall": q_dedup_lsh_recall,
+        "emb_drift": q_emb_drift,
+        "graph_modularity": q_graph_modularity,
+        "text_length_histogram": q_text_length_histogram,
         "agg_stats_moments": q_agg_stats_moments,
         "agg_median": q_agg_median,
         "text_levenshtein": q_text_levenshtein,
@@ -7463,6 +7564,68 @@ def _minhash_lsh_sql(
     )
 
 
+def _lsh_recall_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """Recall of the LSH candidate join vs exact Jaccard pairs per
+    Jaccard band — composes the dedup_jaccard and dedup_minhash_lsh
+    oracle shapes over shared shingle CTEs."""
+    rows = num_hashes // bands
+    mins = ", ".join(
+        "MIN({h}) AS mh_{i}".format(
+            h=_h64("concat('mh{i}', '|', shingle)".format(i=i)), i=i
+        )
+        for i in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws(',', {cols})) AS band_hash "
+        "FROM sigs".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh_{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+        WITH {_TOKS_CTE}, {_GRAMS3_CTE},
+        sigs AS (SELECT doc_id, {mins} FROM grams GROUP BY doc_id),
+        bands AS ({band_selects}),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                 ON a.band = b.band AND a.band_hash = b.band_hash
+                 WHERE a.doc_id < b.doc_id),
+        rare AS (SELECT shingle FROM grams
+                 GROUP BY shingle HAVING count(*) <= 50),
+        g2 AS (SELECT g.doc_id, g.shingle FROM grams g
+               JOIN rare r ON g.shingle = r.shingle),
+        sizes AS (SELECT doc_id, count(*) AS set_size
+                  FROM g2 GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   count(*) AS n_common
+            FROM g2 a JOIN g2 b ON a.shingle = b.shingle
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id),
+        exact AS (
+            SELECT id_a, id_b,
+                   n_common / (sa.set_size + sb.set_size - n_common)
+                       AS jaccard
+            FROM inter
+            JOIN sizes sa ON inter.id_a = sa.doc_id
+            JOIN sizes sb ON inter.id_b = sb.doc_id
+            WHERE n_common / (sa.set_size + sb.set_size - n_common)
+                  >= 0.2),
+        banded AS (
+            SELECT least(CAST(floor(e.jaccard * 5) AS INT), 4) AS j_band,
+                   CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM exact e
+            LEFT JOIN cand c ON e.id_a = c.id_a AND e.id_b = c.id_b)
+        SELECT j_band, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(hit) AS BIGINT) AS n_caught,
+               round(sum(hit) / count(*) + 1e-9, 6) AS recall
+        FROM banded GROUP BY j_band
+    """
+
+
 _QUALITY_VERDICT_CTES = r"""base AS (
                 SELECT doc_id,
                        list_filter(string_split_regex(lower(text),
@@ -7574,6 +7737,82 @@ def oracle_sql() -> dict[str, str]:
     # the persisted-sidecar path answers the same query as in-memory
     # IVF-PQ (same deterministic train/encode), so the oracle is shared
     out["ann_ivf_pq_indexed"] = out["ann_ivf_pq"]
+    out["dedup_lsh_recall"] = _lsh_recall_sql()
+    out["emb_drift"] = f"""
+        WITH c AS (
+            SELECT label, CAST(vec_id % 2 AS INT) AS era, u.i AS dim,
+                   avg(embedding[u.i]::DOUBLE) AS m
+            FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+            GROUP BY label, era, u.i),
+        nn AS (SELECT label, CAST(vec_id % 2 AS INT) AS era,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM embeddings GROUP BY 1, 2),
+        v AS (SELECT label, era, list(m ORDER BY dim) AS cv
+              FROM c GROUP BY label, era),
+        j AS (SELECT a.label, a.cv AS ca, b.cv AS cb,
+                     na.n AS n_base, nb.n AS n_cur
+              FROM v a
+              JOIN v b ON a.label = b.label AND a.era = 0 AND b.era = 1
+              JOIN nn na ON na.label = a.label AND na.era = 0
+              JOIN nn nb ON nb.label = a.label AND nb.era = 1)
+        SELECT label, n_base, n_cur,
+               round({_dotsql('ca', 'cb')}
+                     / (sqrt({_dotsql('ca', 'ca')})
+                        * sqrt({_dotsql('cb', 'cb')})) + 1e-9, 6)
+                   AS centroid_cosine,
+               round(sqrt({_dotsql('cb', 'cb')})
+                     / sqrt({_dotsql('ca', 'ca')}) + 1e-9, 6)
+                   AS norm_ratio
+        FROM j
+    """
+    out["graph_modularity"] = """
+        WITH e AS (
+            SELECT DISTINCT least(user_id, user_id + 3) AS a,
+                   greatest(user_id, user_id + 3) AS b
+            FROM events WHERE event_id % 11 = 0),
+        deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+                GROUP BY n),
+        comm AS (SELECT n, n % 4 AS community FROM (
+                 SELECT a AS n FROM e UNION SELECT b AS n FROM e)),
+        mi AS (SELECT ca.community AS c, CAST(count(*) AS BIGINT) AS m_in
+               FROM e JOIN comm ca ON e.a = ca.n
+                      JOIN comm cb ON e.b = cb.n
+               WHERE ca.community = cb.community GROUP BY 1),
+        dc AS (SELECT c2.community AS c,
+                      CAST(count(*) AS BIGINT) AS n_nodes,
+                      CAST(sum(d) AS BIGINT) AS d_total
+               FROM deg JOIN comm c2 ON deg.n = c2.n GROUP BY 1),
+        m AS (SELECT count(*)::DOUBLE AS mm FROM e)
+        SELECT dc.c AS community, n_nodes,
+               CAST(coalesce(mi.m_in, 0) AS BIGINT) AS m_in, d_total,
+               round(coalesce(mi.m_in, 0) / m.mm
+                     - (d_total / (2 * m.mm)) * (d_total / (2 * m.mm))
+                     + 1e-9, 6) AS q_contribution
+        FROM dc LEFT JOIN mi ON dc.c = mi.c, m
+    """
+    out["text_length_histogram"] = """
+        WITH d AS (
+            SELECT source,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9'']+'))
+                       AS BIGINT) AS n
+            FROM documents),
+        b AS (SELECT source,
+                     CAST(length(bin(greatest(n, 1))) AS INT) AS bucket,
+                     n
+              FROM d),
+        g AS (SELECT source, bucket,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n) AS BIGINT) AS n_tokens
+              FROM b GROUP BY source, bucket)
+        SELECT source, bucket,
+               (CAST(1 AS BIGINT) << (bucket - 1)) AS lo_tokens,
+               ((CAST(1 AS BIGINT) << bucket) - 1) AS hi_tokens,
+               n_docs, n_tokens,
+               round(n_docs / sum(n_docs) OVER (PARTITION BY source)
+                     + 1e-9, 6) AS doc_share
+        FROM g
+    """
     # maintenance lifecycle: compaction is content-identical and the
     # rebuild provably equals a fresh build over the whole corpus, so
     # the fresh-index oracles apply verbatim

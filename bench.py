@@ -167,6 +167,10 @@ HEADLINE = [
     "ann_ivf_pq",
     "ann_ivf_pq_indexed",
     "dedup_cross_spans",
+    "dedup_lsh_recall",
+    "emb_drift",
+    "graph_modularity",
+    "text_length_histogram",
 ]
 
 

@@ -150,3 +150,80 @@ def silhouette_by_cluster(
             "mean_silhouette"
         ),
     )
+
+
+def embedding_centroid_drift(
+    df: DataFrame,
+    group_col: str,
+    era_col,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group embedding-space drift between two eras: the cosine
+    between the eras' mean vectors plus the centroid-norm ratio — the
+    EMBEDDING lens of the drift family (PSI/KS/JS/W1/chi² watch scalar
+    and categorical columns; this watches the representation itself:
+    an encoder version bump, a domain shift, or a pipeline bug moves
+    the centroid long before any single scalar trips).
+
+    ``era_col`` is any binary expression/column (0 = baseline era,
+    1 = current).  Engine shape: ONE fact aggregate to (group, era)
+    centroids — ``dim`` avg columns with map-side partials, the
+    emb_kmeans shape — then a group-keyed self-join of the two
+    era rows (2 x |groups| frame) and scalar folds.  NULL-era rows are
+    excluded.  Groups missing either era are absent (no baseline, no
+    drift statement).  Zero centroids yield NULL cosine via
+    ``try_divide``.
+
+    Output: (group, n_base, n_cur, centroid_cosine, norm_ratio) —
+    cosine 1.0 means direction unchanged; norm_ratio |cur|/|base|
+    catches magnitude collapse (e.g. an un-normalized encoder).
+    """
+    era = F.col(era_col) if isinstance(era_col, str) else era_col
+    v = F.col(vec_col)
+    cent = (
+        df.filter(era.isNotNull())
+        .groupBy(F.col(group_col), era.cast("int").alias("__era"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            *[
+                F.avg(v[i].cast("double")).alias(f"__c{i}")
+                for i in range(dim)
+            ],
+        )
+    )
+    base = cent.filter(F.col("__era") == 0).select(
+        F.col(group_col),
+        F.col("__n").alias("n_base"),
+        *[F.col(f"__c{i}").alias(f"__a{i}") for i in range(dim)],
+    )
+    cur = cent.filter(F.col("__era") == 1).select(
+        F.col(group_col),
+        F.col("__n").alias("n_cur"),
+        *[F.col(f"__c{i}").alias(f"__b{i}") for i in range(dim)],
+    )
+    j = base.join(cur, group_col)
+    dot = sum(
+        (F.col(f"__a{i}") * F.col(f"__b{i}") for i in range(dim)),
+        F.lit(0.0),
+    )
+    na = F.sqrt(
+        sum((F.col(f"__a{i}") * F.col(f"__a{i}") for i in range(dim)),
+            F.lit(0.0))
+    )
+    nb = F.sqrt(
+        sum((F.col(f"__b{i}") * F.col(f"__b{i}") for i in range(dim)),
+            F.lit(0.0))
+    )
+    return j.select(
+        group_col,
+        "n_base",
+        "n_cur",
+        F.round(
+            F.try_divide(dot, na * nb) + F.lit(1e-9), round_digits
+        ).alias("centroid_cosine"),
+        F.round(
+            F.try_divide(nb, na) + F.lit(1e-9), round_digits
+        ).alias("norm_ratio"),
+    ).orderBy(group_col)

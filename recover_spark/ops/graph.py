@@ -491,3 +491,96 @@ def degree_assortativity(
             ),
         )
     )
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    comm_col: str = "community",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Newman modularity contributions per community over an undirected
+    simple graph: q_c = m_c/m - (d_c / 2m)² — how much denser a
+    community is internally than a degree-preserving random rewiring
+    predicts.  Sum of q_c over communities is THE modularity Q of the
+    partition; per-community rows expose WHICH communities carry it
+    (the readout for any clustering of a graph — near-dup components,
+    residue classes, label groups).
+
+    Engine shape: canonical undirected dedup (least/greatest pair
+    distinct, self-loops dropped — the k_core kernel), ONE degree
+    aggregate, two node-keyed equi-joins to label edge endpoints, a
+    community-keyed aggregate, and the graph totals (m, 2m) as a
+    one-row broadcast — nothing beyond edge-linear work, no pair
+    enumeration.  Nodes missing from ``communities`` raise no error
+    but are excluded from every term (their edges drop at the label
+    join); intra-community edge counts use BOTH-endpoint membership.
+
+    Output: (community, n_nodes, m_in, d_total, q_contribution),
+    ordered by community.
+    """
+    a = F.least(F.col(src), F.col(dst)).alias("__a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("__b")
+    e = (
+        edges.select(a, b)
+        .filter(F.col("__a") != F.col("__b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("__a").alias("__n"))
+        .unionAll(e.select(F.col("__b").alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).cast("long").alias("__deg"))
+    )
+    comm = communities.select(
+        F.col(node_col).alias("__n"), F.col(comm_col).alias("__c")
+    )
+    labeled = (
+        e.join(
+            comm.select(
+                F.col("__n").alias("__a"), F.col("__c").alias("__ca")
+            ),
+            "__a",
+        )
+        .join(
+            comm.select(
+                F.col("__n").alias("__b"), F.col("__c").alias("__cb")
+            ),
+            "__b",
+        )
+    )
+    m_in = (
+        labeled.filter(F.col("__ca") == F.col("__cb"))
+        .groupBy(F.col("__ca").alias("__c"))
+        .agg(F.count(F.lit(1)).cast("long").alias("m_in"))
+    )
+    d_c = (
+        deg.join(comm, "__n")
+        .groupBy("__c")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("__deg").cast("long").alias("d_total"),
+        )
+    )
+    total = e.agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    md = F.col("__m").cast("double")
+    q = (
+        F.coalesce(F.col("m_in"), F.lit(0)).cast("double") / md
+        - (F.col("d_total").cast("double") / (2 * md))
+        * (F.col("d_total").cast("double") / (2 * md))
+    )
+    return (
+        d_c.join(m_in, "__c", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("__c").alias(comm_col),
+            "n_nodes",
+            F.coalesce(F.col("m_in"), F.lit(0)).cast("long").alias("m_in"),
+            "d_total",
+            F.round(q + F.lit(1e-9), round_digits).alias("q_contribution"),
+        )
+        .orderBy(comm_col)
+    )

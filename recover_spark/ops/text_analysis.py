@@ -1174,3 +1174,61 @@ def zipf_fit(
         F.log10(F.col("freq").cast("double")).alias("__y"),
     )
     return trend_regression(ranked, [], "__y", "__x")
+
+
+def token_length_histogram(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Power-of-two token-length histogram per group — the
+    sequence-length profile a packing/chunking planner reads before
+    choosing chunk_size and the mix a truncation policy is judged
+    against ("what fraction of source X exceeds the context window").
+
+    Buckets are EXACT-INTEGER log2 bands: bucket = bit length of the
+    token count (length of its binary representation — no float log
+    whose boundary rounding could differ across engines), so bucket b
+    covers [2^(b-1), 2^b - 1]; empty docs land in bucket 1 with count
+    0's band.  Map-only token counting (one regexp per row) + ONE
+    (group, bucket) aggregate with map-side partials; output is
+    bands x groups rows.
+
+    Output: (group, bucket, lo_tokens, hi_tokens, n_docs, n_tokens,
+    doc_share) — doc_share is within the group.
+    """
+    from pyspark.sql import Window
+
+    from recover_spark.functions.text import token_count
+
+    n = token_count(F.col(text_col))
+    bucket = F.length(F.bin(F.greatest(n, F.lit(1)).cast("long")))
+    per = (
+        df.select(
+            F.col(group_col),
+            bucket.cast("int").alias("bucket"),
+            n.alias("__n"),
+        )
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__n").cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy(group_col)
+    return per.select(
+        group_col,
+        "bucket",
+        F.expr("shiftleft(1L, bucket - 1)").cast("long").alias(
+            "lo_tokens"
+        ),
+        (F.expr("shiftleft(1L, bucket)") - 1).cast("long").alias(
+            "hi_tokens"
+        ),
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(w) + F.lit(1e-9), 6
+        ).alias("doc_share"),
+    ).orderBy(group_col, "bucket")

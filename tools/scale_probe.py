@@ -148,6 +148,13 @@ PROBES = [
                             # redundant-occurrence work grows by
                             # duplication DENSITY on top of data size —
                             # expected and linear in occurrences
+    "dedup_lsh_recall",     # exact-jaccard + LSH-candidate pair sets joined;
+                            # byte-identical replicas grow TRUE pair counts
+                            # quadratically (the dedup_cosine_* note) but the
+                            # stop-shingle guard bounds candidate generation
+    "emb_drift",            # one (label, era) centroid aggregate + tiny join
+    "graph_modularity",     # edge-linear: degree agg + label joins + folds
+    "text_length_histogram",  # map-only token counts + (group, bucket) agg
     # ann_ivf_pq_indexed / ann_recall answer from the persisted index;
     # their first call at 10x would time the index+sidecar BUILD, so
     # they are probed bespoke (build first, then time the probe) with
