@@ -2624,6 +2624,46 @@ def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_length_histogram(docs, "source")
 
 
+def q_stream_emb_drift_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension — streaming embedding-drift monitor
+    (streaming/matview.py:maintain_vector_matview): four genuine
+    micro-batches fold per-(label, era) vector SUMS (the mergeable
+    centroid statistic) into keys x dim state; the read computes the
+    per-label centroid cosine + norm ratio between eras — emb_drift,
+    live, with no history rescan.  Oracle: the plain batch emb_drift
+    SQL — maintenance must be invisible."""
+    import uuid
+
+    from recover_spark.streaming.matview import (
+        maintain_vector_matview,
+        read_embedding_drift_matview,
+    )
+
+    run_dir = f"spark-warehouse/emb_drift_mv/{uuid.uuid4().hex}"
+    src = f"{run_dir}/src"
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "label",
+        F.pmod(F.col("vec_id"), F.lit(2)).cast("int").alias("era"),
+        F.col("embedding"),
+    )
+    emb.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "label int, era int, embedding array<float>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_vector_matview(
+        stream, f"{run_dir}/state", f"{run_dir}/ckpt",
+        ["label", "era"], "embedding", 64,
+    )
+    q.awaitTermination(300)
+    return read_embedding_drift_matview(
+        spark, f"{run_dir}/state", "label", "era", 64
+    )
+
+
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile decile assignment per event type (rank-class window
     beyond row_number; deterministic via (value, event_id) ordering)."""
@@ -6913,6 +6953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_drift": q_emb_drift,
         "graph_modularity": q_graph_modularity,
         "text_length_histogram": q_text_length_histogram,
+        "stream_emb_drift_matview": q_stream_emb_drift_matview,
         "agg_stats_moments": q_agg_stats_moments,
         "agg_median": q_agg_median,
         "text_levenshtein": q_text_levenshtein,
@@ -7765,6 +7806,9 @@ def oracle_sql() -> dict[str, str]:
                    AS norm_ratio
         FROM j
     """
+    # mergeable vector sums: the streamed centroid-drift read equals
+    # the batch operator over the union of batches — same oracle
+    out["stream_emb_drift_matview"] = out["emb_drift"]
     out["graph_modularity"] = """
         WITH e AS (
             SELECT DISTINCT least(user_id, user_id + 3) AS a,

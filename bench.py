@@ -171,6 +171,7 @@ HEADLINE = [
     "emb_drift",
     "graph_modularity",
     "text_length_histogram",
+    "stream_emb_drift_matview",
 ]
 
 
@@ -227,6 +228,7 @@ def main() -> None:
         "stream_calibration_matview",
         "stream_auc_matview",
         "stream_heartbeat_matview",
+        "stream_emb_drift_matview",
     }
     timings: dict[str, float] = {}
     # Per-query (min, median, max) across the reps: the noise

@@ -993,3 +993,134 @@ def read_upsert_matview(spark: SparkSession, state_path: str) -> DataFrame:
     maintain ran at least once)."""
     _recover_state(state_path)
     return spark.read.parquet(state_path)
+
+
+def merge_vector_sums(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    key_cols: Sequence[str],
+    vec_col: str,
+    dim: int,
+    batch_id: int | None = None,
+) -> None:
+    """Merge one batch's per-key vector SUMS (+ row count) into state —
+    the mergeable sufficient statistic for any centroid lens: sums add
+    across batches exactly, so the folded state equals one aggregate
+    over all rows seen, and state size stays O(keys x dim) forever.
+    Same crash-replay contract as ``merge_counts`` (batch-id marker
+    travels inside the atomically-swapped state dir)."""
+    _recover_state(state_path)
+    if batch_id is not None:
+        applied = _applied_batch_id(state_path)
+        if applied is not None and batch_id <= applied:
+            return
+    keys = list(key_cols)
+    v = F.col(vec_col)
+    partial = batch.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[F.sum(v[i].cast("double")).alias(f"s{i}") for i in range(dim)],
+    )
+    state = Path(state_path)
+    if state.exists():
+        prev = spark.read.parquet(state_path)
+        merged = (
+            prev.unionByName(partial)
+            .groupBy(*keys)
+            .agg(
+                F.sum("n_rows").cast("long").alias("n_rows"),
+                *[F.sum(f"s{i}").alias(f"s{i}") for i in range(dim)],
+            )
+        )
+    else:
+        merged = partial
+    tmp = str(state) + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
+    _swap_state(tmp, state_path)
+
+
+def maintain_vector_matview(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    key_cols: Sequence[str],
+    vec_col: str,
+    dim: int,
+):
+    """One availableNow increment of the per-key vector-sum view."""
+    spark = stream.sparkSession
+    keys = list(key_cols)
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        merge_vector_sums(
+            spark, batch, state_path, keys, vec_col, dim, batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_embedding_drift_matview(
+    spark: SparkSession,
+    state_path: str,
+    group_col: str,
+    era_col: str,
+    dim: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-drift report from the vector-sum state: per group the
+    cosine between the two eras' centroids (sums/n) plus the norm
+    ratio — the STREAMING twin of
+    ``ops/clustering.embedding_centroid_drift``; because the state
+    carries exact mergeable sums, the read equals the batch operator
+    over the union of all batches (maintenance is invisible, the
+    matview contract)."""
+    _recover_state(state_path)
+    st = spark.read.parquet(state_path)
+    nd = F.col("n_rows").cast("double")
+    cent = st.select(
+        F.col(group_col),
+        F.col(era_col),
+        F.col("n_rows"),
+        *[(F.col(f"s{i}") / nd).alias(f"__c{i}") for i in range(dim)],
+    )
+    base = cent.filter(F.col(era_col) == 0).select(
+        F.col(group_col),
+        F.col("n_rows").alias("n_base"),
+        *[F.col(f"__c{i}").alias(f"__a{i}") for i in range(dim)],
+    )
+    cur = cent.filter(F.col(era_col) == 1).select(
+        F.col(group_col),
+        F.col("n_rows").alias("n_cur"),
+        *[F.col(f"__c{i}").alias(f"__b{i}") for i in range(dim)],
+    )
+    j = base.join(cur, group_col)
+    dot = sum(
+        (F.col(f"__a{i}") * F.col(f"__b{i}") for i in range(dim)),
+        F.lit(0.0),
+    )
+    na = F.sqrt(
+        sum((F.col(f"__a{i}") * F.col(f"__a{i}") for i in range(dim)),
+            F.lit(0.0))
+    )
+    nb = F.sqrt(
+        sum((F.col(f"__b{i}") * F.col(f"__b{i}") for i in range(dim)),
+            F.lit(0.0))
+    )
+    return j.select(
+        group_col,
+        "n_base",
+        "n_cur",
+        F.round(
+            F.try_divide(dot, na * nb) + F.lit(1e-9), round_digits
+        ).alias("centroid_cosine"),
+        F.round(
+            F.try_divide(nb, na) + F.lit(1e-9), round_digits
+        ).alias("norm_ratio"),
+    ).orderBy(group_col)

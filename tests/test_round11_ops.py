@@ -137,3 +137,64 @@ def test_lsh_recall_catches_exact_duplicates(spark, monkeypatch):
     assert r["j_band"] == 4  # jaccard 1.0
     assert r["n_pairs"] == 1 and r["n_caught"] == 1
     assert r["recall"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_vector_matview_equals_batch_and_replays_idempotently(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from recover_spark.ops.clustering import embedding_centroid_drift
+    from recover_spark.streaming.matview import (
+        merge_vector_sums,
+        read_embedding_drift_matview,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        "label",
+        F.pmod(F.col("vec_id"), F.lit(2)).cast("int").alias("era"),
+        "embedding",
+        "vec_id",
+    )
+    state = str(tmp_path / "state")
+    # fold three disjoint batches (by vec_id residue)
+    for bid in range(3):
+        merge_vector_sums(
+            spark,
+            emb.filter(F.col("vec_id") % 3 == bid).drop("vec_id"),
+            state,
+            ["label", "era"],
+            "embedding",
+            64,
+            batch_id=bid,
+        )
+    streamed = read_embedding_drift_matview(
+        spark, state, "label", "era", 64
+    ).collect()
+    batch = embedding_centroid_drift(
+        emb, "label", F.col("era"), dim=64
+    ).collect()
+    skey = {(r["label"]): (r["n_base"], r["n_cur"], r["centroid_cosine"],
+                           r["norm_ratio"]) for r in streamed}
+    bkey = {(r["label"]): (r["n_base"], r["n_cur"], r["centroid_cosine"],
+                           r["norm_ratio"]) for r in batch}
+    assert skey == bkey  # maintenance invisible at the 6-decimal contract
+
+    # crash replay: re-merging an already-applied batch id is a no-op
+    merge_vector_sums(
+        spark,
+        emb.filter(F.col("vec_id") % 3 == 2).drop("vec_id"),
+        state,
+        ["label", "era"],
+        "embedding",
+        64,
+        batch_id=2,
+    )
+    replayed = read_embedding_drift_matview(
+        spark, state, "label", "era", 64
+    ).collect()
+    assert {(r["label"]): (r["n_base"], r["n_cur"]) for r in replayed} == {
+        k: v[:2] for k, v in skey.items()
+    }
