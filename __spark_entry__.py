@@ -2624,6 +2624,93 @@ def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_length_histogram(docs, "source")
 
 
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of persisted IVF-PQ vs the exact brute-force ranking
+    at nprobe 2 and 8(=all lists): the nprobe=8 row isolates PURE
+    quantization loss (the m/n_codes sizing number), the nprobe=2 row
+    the combined pruning+quantization loss.  Same composition shape as
+    ann_recall — pinned exact arm, pruned PQ probes, semi-join +
+    one-row folds."""
+    import os as _os
+    from functools import reduce as _reduce
+
+    from recover_spark.ops import brute_force_topk
+    from recover_spark.ops.similarity import (
+        build_ivf_index,
+        build_pq_sidecar,
+        ivf_pq_topk_indexed,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    sf_tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    idx = _os.path.join("spark-warehouse", f"ivf_index_{sf_tag}")
+    if not _os.path.isdir(_os.path.join(idx, "_centroids")):
+        build_ivf_index(emb, idx, n_centroids=8)
+    if not _os.path.isdir(_os.path.join(idx, "_pq", "codebooks")):
+        build_pq_sidecar(spark, idx)
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = (
+        brute_force_topk(emb, queries, k=5)
+        .select("query_vec_id", "vec_id")
+        .localCheckpoint(eager=False)
+    )
+    arms = []
+    for nprobe in (2, 8):
+        appr = ivf_pq_topk_indexed(spark, idx, queries, nprobe=nprobe, k=5)
+        hits = appr.select("query_vec_id", "vec_id").join(
+            exact, ["query_vec_id", "vec_id"], "left_semi"
+        )
+        arms.append(
+            hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")).select(
+                F.lit(nprobe).cast("int").alias("nprobe"), "n_hits"
+            )
+        )
+    folded = _reduce(lambda a, b: a.unionAll(b), arms)
+    total = exact.agg(F.count(F.lit(1)).cast("long").alias("__n_exact"))
+    return (
+        folded.crossJoin(F.broadcast(total))
+        .select(
+            "nprobe",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / F.col("__n_exact") + F.lit(1e-9), 6
+            ).alias("recall"),
+        )
+        .orderBy("nprobe")
+    )
+
+
+def q_agg_contingency_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(column, bin) adjusted standardized residuals of the era
+    homogeneity table (quality/drift.py:chi2_cell_residuals) — the
+    drill-down after v13_drift_chi2 flags a column: which bins drive
+    the statistic, signed.  Same era split/columns/bins as v13."""
+    from recover_spark.quality.drift import chi2_cell_residuals
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    cut = "1998-06-01"
+    base = lineitem.filter(F.col("l_shipdate") < F.lit(cut))
+    cur = lineitem.filter(F.col("l_shipdate") >= F.lit(cut))
+    return chi2_cell_residuals(
+        base,
+        cur,
+        ["l_extendedprice", "l_quantity", "l_discount"],
+        n_bins=10,
+        edge_accuracy=None,
+    )
+
+
+def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding quality gate (ops/clustering.py:centroid_outliers):
+    per-label centroid cosine for every vector, flagged below 0.2 on
+    the ROUNDED value — mislabel/off-distribution screening, the
+    direction-space sibling of the IQR fence."""
+    from recover_spark.ops.clustering import centroid_outliers
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return centroid_outliers(emb, "label", dim=64, min_cosine=0.2)
+
+
 def q_stream_emb_drift_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 extension — streaming embedding-drift monitor
     (streaming/matview.py:maintain_vector_matview): four genuine
@@ -6954,6 +7041,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_modularity": q_graph_modularity,
         "text_length_histogram": q_text_length_histogram,
         "stream_emb_drift_matview": q_stream_emb_drift_matview,
+        "ann_pq_recall": q_ann_pq_recall,
+        "agg_contingency_residuals": q_agg_contingency_residuals,
+        "emb_outliers": q_emb_outliers,
         "agg_stats_moments": q_agg_stats_moments,
         "agg_median": q_agg_median,
         "text_levenshtein": q_text_levenshtein,
@@ -7439,6 +7529,179 @@ def _ann_ivf_pq_sql(
     """
 
 
+def _ann_pq_recall_sql(
+    m: int = 8, subdim: int = 8, n_codes: int = 16
+) -> str:
+    """Recall@5 of IVF-PQ (ADC over the trained codebooks) vs the
+    exact brute-force ranking at nprobe 2 and 8(=all lists): at
+    nprobe=all the gap is PURE quantization loss — the number a user
+    reads to size m/n_codes; at the production nprobe it is the
+    combined pruning+quantization loss.  Shares the PQ train/encode
+    CTE shapes with _ann_ivf_pq_sql and the recall fold with
+    _ann_recall_sql."""
+    d2 = (
+        "list_sum(list_transform(range(1, {n}), "
+        "i -> (x.xv[i]::DOUBLE - c.cv[i]) * (x.xv[i]::DOUBLE - c.cv[i])))"
+    ).format(n=subdim + 1)
+    arms = []
+    for n in (2, 8):
+        arms.append(f"""
+            SELECT {n} AS np, query_vec_id AS qid, vec_id AS vid FROM (
+                SELECT query_vec_id, vec_id,
+                       row_number() OVER (PARTITION BY query_vec_id
+                           ORDER BY adc / (sqrt(nn) * qnorm) DESC,
+                                    vec_id ASC) AS rank
+                FROM (
+                    SELECT p.qid AS query_vec_id, l.vec_id,
+                           max(p.qnorm) AS qnorm,
+                           sum(list_sum(list_transform(
+                               range(1, {subdim + 1}),
+                               i -> p.qvec[r.s * {subdim} + i]::DOUBLE
+                                    * r.cv[i]))) AS adc,
+                           sum(list_sum(list_transform(
+                               range(1, {subdim + 1}),
+                               i -> r.cv[i] * r.cv[i]))) AS nn
+                    FROM (SELECT qid, qvec, qnorm, cid FROM probed
+                          WHERE rn <= {n}) p
+                    JOIN lists l ON p.cid = l.cid AND l.vec_id != p.qid
+                    JOIN codes r ON r.vec_id = l.vec_id
+                    GROUP BY p.qid, l.vec_id))
+            WHERE rank <= 5""")
+    arms_sql = " UNION ALL ".join(arms)
+    return f"""
+        WITH subq AS (
+            SELECT e.vec_id, u.s,
+                   e.embedding[u.s * {subdim} + 1 : u.s * {subdim} + {subdim}]
+                       AS xv
+            FROM embeddings e, UNNEST(range(0, {m})) AS u(s)),
+        cb0 AS (
+            SELECT s, vec_id AS j,
+                   list_transform(xv, x -> x::DOUBLE) AS cv
+            FROM subq WHERE vec_id < {n_codes}),
+        asn0 AS (
+            SELECT x.vec_id, x.s, c.j
+            FROM subq x JOIN cb0 c ON x.s = c.s
+            QUALIFY row_number() OVER (PARTITION BY x.vec_id, x.s
+                ORDER BY {d2} ASC, c.j ASC) = 1),
+        cb1d AS (
+            SELECT n.s, n.j, u.i, avg(x.xv[u.i]::DOUBLE) AS mu
+            FROM asn0 n
+            JOIN subq x ON n.vec_id = x.vec_id AND n.s = x.s,
+                 UNNEST(range(1, {subdim + 1})) AS u(i)
+            GROUP BY n.s, n.j, u.i),
+        cb1 AS (SELECT s, j, list(mu ORDER BY i) AS cv
+                FROM cb1d GROUP BY s, j),
+        cbf AS (
+            SELECT c0.s, c0.j, coalesce(c1.cv, c0.cv) AS cv
+            FROM cb0 c0
+            LEFT JOIN cb1 c1 ON c0.s = c1.s AND c0.j = c1.j),
+        codes AS (
+            SELECT x.vec_id, x.s, c.j, c.cv
+            FROM subq x JOIN cbf c ON x.s = c.s
+            QUALIFY row_number() OVER (PARTITION BY x.vec_id, x.s
+                ORDER BY {d2} ASC, c.j ASC) = 1),
+        cent AS (
+            SELECT vec_id AS cid, embedding AS cvec,
+                   sqrt({_dotsql('embedding', 'embedding')}) AS cnorm
+            FROM embeddings WHERE vec_id < 8),
+        assignl AS (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_dotsql('e.embedding', 'c.cvec')} / c.cnorm
+                                DESC, c.cid ASC) AS rn
+            FROM embeddings e CROSS JOIN cent c),
+        lists AS (SELECT vec_id, cid FROM assignl WHERE rn = 1),
+        probed AS (
+            SELECT qid, qvec, qnorm, cid, rn FROM (
+                SELECT q.vec_id AS qid, q.embedding AS qvec,
+                       sqrt({_dotsql('q.embedding', 'q.embedding')})
+                           AS qnorm,
+                       c.cid,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY {_dotsql('q.embedding', 'c.cvec')}
+                                    / c.cnorm DESC, c.cid ASC) AS rn
+                FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 3)),
+        exact AS (
+            SELECT qid, vid FROM (
+                SELECT q.vec_id AS qid, e.vec_id AS vid,
+                       row_number() OVER (PARTITION BY q.vec_id
+                           ORDER BY {_cos('e.embedding', 'q.embedding')}
+                                    DESC, e.vec_id ASC) AS rank
+                FROM embeddings e
+                JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+                  ON e.vec_id != q.vec_id)
+            WHERE rank <= 5),
+        appr AS ({arms_sql}),
+        hits AS (
+            SELECT a.np, count(*) AS n_hits
+            FROM appr a JOIN exact x ON a.qid = x.qid AND a.vid = x.vid
+            GROUP BY a.np)
+        SELECT CAST(n.np AS INTEGER) AS nprobe,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               round(coalesce(h.n_hits, 0)
+                     / (SELECT count(*) FROM exact) + 1e-9, 6) AS recall
+        FROM (SELECT 2 AS np UNION ALL SELECT 8) n
+        LEFT JOIN hits h ON n.np = h.np
+    """
+
+
+def _chi2_residuals_oracle_sql(
+    cols: list[str], cut: str, n_bins: int = 10
+) -> str:
+    """Per-(column, bin) adjusted residuals of the era homogeneity
+    table — the _chi2_oracle_sql binning blocks exposed at cell grain
+    with the Agresti adjusted-residual fold."""
+    fr = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    blocks = []
+    for c in cols:
+        e_expr = "(n_base + n_cur)::DOUBLE * tc / (tb + tc)"
+        denom = (
+            f"{e_expr} * (1 - (n_base + n_cur)::DOUBLE / (tb + tc)) "
+            f"* (1 - tc / (tb + tc))"
+        )
+        blocks.append(f"""
+            SELECT '{c}' AS "column", CAST(bin AS INT) AS bin,
+                   CAST(n_base AS BIGINT) AS n_base,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   round({e_expr} + 1e-9, 6) AS expected_cur,
+                   round(CASE WHEN {denom} > 0
+                         THEN (n_cur - {e_expr}) / sqrt({denom})
+                         END + 1e-9, 6) AS adj_residual
+            FROM (
+                WITH base AS (
+                    SELECT CAST({c} AS DOUBLE) AS v FROM lineitem
+                    WHERE l_shipdate < TIMESTAMP '{cut}'
+                          AND {c} IS NOT NULL
+                ),
+                cur AS (
+                    SELECT CAST({c} AS DOUBLE) AS v FROM lineitem
+                    WHERE l_shipdate >= TIMESTAMP '{cut}'
+                          AND {c} IS NOT NULL
+                ),
+                e AS (SELECT list_transform(quantile_cont(v, [{fr}]),
+                            x -> round(x, 9)) AS edges FROM base),
+                bb AS (SELECT len(list_filter(e.edges, x -> x <= v))
+                           AS bin FROM base, e),
+                cb AS (SELECT len(list_filter(e.edges, x -> x <= v))
+                           AS bin FROM cur, e),
+                slots AS (SELECT unnest(range({n_bins})) AS bin),
+                nb AS (SELECT s.bin, coalesce(x.n, 0) AS n_base
+                       FROM slots s LEFT JOIN
+                            (SELECT bin, count(*) AS n FROM bb
+                             GROUP BY 1) x USING (bin)),
+                nc AS (SELECT s.bin, coalesce(x.n, 0) AS n_cur
+                       FROM slots s LEFT JOIN
+                            (SELECT bin, count(*) AS n FROM cb
+                             GROUP BY 1) x USING (bin))
+                SELECT bin, n_base, n_cur,
+                       (SELECT sum(n_base) FROM nb)::DOUBLE AS tb,
+                       (SELECT sum(n_cur) FROM nc)::DOUBLE AS tc
+                FROM nb JOIN nc USING (bin)
+            )
+            WHERE n_base + n_cur > 0""")
+    return " UNION ALL ".join(blocks)
+
+
 def _lsh_bucket_sql(
     col: str, dim: int = 64, num_planes: int = 4, seed: int = 42
 ) -> str:
@@ -7779,6 +8042,7 @@ def oracle_sql() -> dict[str, str]:
     # IVF-PQ (same deterministic train/encode), so the oracle is shared
     out["ann_ivf_pq_indexed"] = out["ann_ivf_pq"]
     out["dedup_lsh_recall"] = _lsh_recall_sql()
+    out["ann_pq_recall"] = _ann_pq_recall_sql()
     out["emb_drift"] = f"""
         WITH c AS (
             SELECT label, CAST(vec_id % 2 AS INT) AS era, u.i AS dim,
@@ -7809,6 +8073,27 @@ def oracle_sql() -> dict[str, str]:
     # mergeable vector sums: the streamed centroid-drift read equals
     # the batch operator over the union of batches — same oracle
     out["stream_emb_drift_matview"] = out["emb_drift"]
+    out["agg_contingency_residuals"] = _chi2_residuals_oracle_sql(
+        ["l_extendedprice", "l_quantity", "l_discount"], "1998-06-01", 10
+    )
+    out["emb_outliers"] = f"""
+        WITH c AS (
+            SELECT label, u.i AS dim, avg(embedding[u.i]::DOUBLE) AS m
+            FROM embeddings, UNNEST(range(1, 65)) AS u(i)
+            GROUP BY label, u.i),
+        v AS (SELECT label, list(m ORDER BY dim) AS cv
+              FROM c GROUP BY label)
+        SELECT e.vec_id, e.label,
+               round({_dotsql('e.embedding', 'v.cv')}
+                     / (sqrt({_dotsql('e.embedding', 'e.embedding')})
+                        * sqrt({_dotsql('v.cv', 'v.cv')})) + 1e-9, 6)
+                   AS centroid_cosine,
+               round({_dotsql('e.embedding', 'v.cv')}
+                     / (sqrt({_dotsql('e.embedding', 'e.embedding')})
+                        * sqrt({_dotsql('v.cv', 'v.cv')})) + 1e-9, 6)
+                   < 0.2 AS is_outlier
+        FROM embeddings e LEFT JOIN v USING (label)
+    """
     out["graph_modularity"] = """
         WITH e AS (
             SELECT DISTINCT least(user_id, user_id + 3) AS a,

@@ -172,6 +172,9 @@ HEADLINE = [
     "graph_modularity",
     "text_length_histogram",
     "stream_emb_drift_matview",
+    "ann_pq_recall",
+    "agg_contingency_residuals",
+    "emb_outliers",
 ]
 
 

@@ -227,3 +227,67 @@ def embedding_centroid_drift(
             F.try_divide(nb, na) + F.lit(1e-9), round_digits
         ).alias("norm_ratio"),
     ).orderBy(group_col)
+
+
+def centroid_outliers(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    min_cosine: float = 0.2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding quality gate: flag vectors whose cosine to their own
+    group's centroid falls below ``min_cosine`` — mislabeled rows,
+    encoder glitches, or genuine off-distribution points (the
+    embedding sibling of the IQR fence: v15 fences scalars, this
+    fences directions).  The flag compares the ROUNDED cosine so the
+    verdict is reproducible across engines at the 6-decimal contract.
+
+    Engine shape: ONE fact aggregate to per-group centroids (dim
+    map-side-partial avgs, the emb_kmeans shape), centroids joined
+    back (AQE broadcasts the group-cardinality frame), per-row cosine
+    as a JVM fold — output fact-grain, rows with a NULL group or a
+    zero vector/centroid get NULL cosine via ``try_divide`` and are
+    NOT flagged (no direction statement to make).
+    """
+    v = F.col(vec_col)
+    cent = (
+        df.filter(F.col(group_col).isNotNull())
+        .groupBy(group_col)
+        .agg(
+            *[
+                F.avg(v[i].cast("double")).alias(f"__c{i}")
+                for i in range(dim)
+            ]
+        )
+    )
+    joined = df.join(cent, group_col, "left")
+    dot = sum(
+        (v[i].cast("double") * F.col(f"__c{i}") for i in range(dim)),
+        F.lit(0.0),
+    )
+    vn = F.sqrt(
+        sum(
+            (v[i].cast("double") * v[i].cast("double") for i in range(dim)),
+            F.lit(0.0),
+        )
+    )
+    cn = F.sqrt(
+        sum(
+            (F.col(f"__c{i}") * F.col(f"__c{i}") for i in range(dim)),
+            F.lit(0.0),
+        )
+    )
+    cos = F.round(
+        F.try_divide(dot, vn * cn) + F.lit(1e-9), round_digits
+    )
+    return joined.select(
+        id_col,
+        group_col,
+        cos.alias("centroid_cosine"),
+        F.when(cos.isNotNull(), cos < F.lit(float(min_cosine))).alias(
+            "is_outlier"
+        ),
+    )

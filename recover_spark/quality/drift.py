@@ -1147,3 +1147,79 @@ def benford_screen(
             "n",
         )
     )
+
+
+def chi2_cell_residuals(
+    baseline: DataFrame,
+    current: DataFrame,
+    cols: Sequence[str],
+    n_bins: int = 10,
+    round_digits: int = 6,
+    edge_accuracy: int | None = 10_000,
+) -> DataFrame:
+    """Per-(column, bin) ADJUSTED standardized residuals of the
+    two-era homogeneity table — the drill-down a user needs AFTER
+    :func:`chi2_drift` flags a column: WHICH bins drive the statistic
+    and in which direction.  For the current era's cell,
+
+        adj = (n_cur - E) / sqrt(E * (1 - R/N) * (1 - T_cur/N)),
+        E   = R * T_cur / N
+
+    with R the bin total, T the era totals, N = T_base + T_cur — the
+    Agresti adjusted residual, asymptotically N(0,1) under
+    homogeneity, so |adj| > ~3 names the driving cells and the sign
+    says over-/under-represented in the CURRENT era (the base-side
+    residual is exactly -adj).
+
+    Same engine shape as every grid lens: one edge aggregate on the
+    baseline, map-side binning of both eras, then ALL arithmetic on
+    the bounded (columns x n_bins) frame — era totals are windows over
+    it, never a second fact pass.  Bins empty on both sides are
+    absent; degenerate geometry (either era empty, a bin holding
+    everything) yields NULL via ``try_divide``.
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    from pyspark.sql import Window
+
+    edges_row = quantile_edge_row(baseline, cols, n_bins, edge_accuracy)
+    base_counts = binned_counts_against_edges(
+        baseline, edges_row, cols, "base"
+    )
+    cur_counts = binned_counts_against_edges(
+        current, edges_row, cols, "cur"
+    )
+    slots = baseline.sparkSession.createDataFrame(
+        [(c, b) for c in cols for b in range(n_bins)],
+        "column string, bin int",
+    )
+    joined = (
+        slots.join(base_counts, ["column", "bin"], "left")
+        .join(cur_counts, ["column", "bin"], "left")
+        .fillna(0, subset=["n_base", "n_cur"])
+    )
+    w = Window.partitionBy("column")
+    tb = F.sum("n_base").over(w).cast("double")
+    tc = F.sum("n_cur").over(w).cast("double")
+    nb = F.col("n_base").cast("double")
+    nc = F.col("n_cur").cast("double")
+    n = tb + tc
+    r = nb + nc
+    e = r * tc / n
+    adj = F.try_divide(
+        nc - e,
+        F.sqrt(e * (F.lit(1.0) - r / n) * (F.lit(1.0) - tc / n)),
+    )
+    return (
+        joined.select(
+            "column",
+            "bin",
+            F.col("n_base").cast("long").alias("n_base"),
+            F.col("n_cur").cast("long").alias("n_cur"),
+            F.round(e + F.lit(1e-9), round_digits).alias("expected_cur"),
+            F.round(adj + F.lit(1e-9), round_digits).alias("adj_residual"),
+        )
+        .filter(F.col("n_base") + F.col("n_cur") > 0)
+        .orderBy("column", "bin")
+    )

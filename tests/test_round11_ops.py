@@ -198,3 +198,59 @@ def test_vector_matview_equals_batch_and_replays_idempotently(
     assert {(r["label"]): (r["n_base"], r["n_cur"]) for r in replayed} == {
         k: v[:2] for k, v in skey.items()
     }
+
+
+def test_chi2_residuals_hand_table(spark):
+    """2-bin table with a known shift: a 50/50 base puts the median
+    edge BETWEEN the two values, the current era over-fills bin 0.
+    N=200, T_cur=100; bin0: R=140, E=70,
+    adj = (90-70)/sqrt(70*(1-0.7)*(1-0.5))."""
+    import math
+
+    from recover_spark.quality.drift import chi2_cell_residuals
+
+    base = spark.createDataFrame(
+        [(float(0),)] * 50 + [(float(10),)] * 50, "x double"
+    )
+    cur = spark.createDataFrame(
+        [(float(0),)] * 90 + [(float(10),)] * 10, "x double"
+    )
+    got = {
+        r["bin"]: r
+        for r in chi2_cell_residuals(
+            base, cur, ["x"], n_bins=2, edge_accuracy=None
+        ).collect()
+    }
+    expect = 20 / math.sqrt(70 * (1 - 140 / 200) * (1 - 100 / 200))
+    assert got[0]["n_base"] == 50 and got[0]["n_cur"] == 90
+    assert got[0]["expected_cur"] == pytest.approx(70.0, abs=1e-6)
+    assert got[0]["adj_residual"] == pytest.approx(expect, abs=1e-5)
+    # the opposite cell of a 2xK table carries the exact opposite sign
+    assert got[1]["adj_residual"] == pytest.approx(-expect, abs=1e-5)
+
+
+def test_centroid_outliers_flags_off_direction_vector(spark):
+    from recover_spark.ops.clustering import centroid_outliers
+
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [1.0, 0.1], 1),
+        (2, [1.0, -0.1], 1),
+        (3, [-1.0, 0.0], 1),   # opposite direction: cosine ~ -1
+        (4, [0.0, 1.0], 2),    # lone member: cosine to itself = 1
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    got = {
+        r["vec_id"]: r
+        for r in centroid_outliers(
+            emb, "label", dim=2, min_cosine=0.2
+        ).collect()
+    }
+    assert not got[0]["is_outlier"]
+    assert not got[1]["is_outlier"]
+    assert got[3]["is_outlier"]
+    assert got[3]["centroid_cosine"] < -0.9
+    assert got[4]["centroid_cosine"] == pytest.approx(1.0, abs=1e-6)
+    assert not got[4]["is_outlier"]
