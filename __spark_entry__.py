@@ -7433,7 +7433,7 @@ def _ann_recall_sql() -> str:
         SELECT CAST(n.np AS INTEGER) AS nprobe,
                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
                round(coalesce(h.n_hits, 0)
-                     / (SELECT count(*) FROM exact) + 1e-9, 6) AS recall
+                     / (SELECT count(*) FROM exact) + 1e-9, 6) + 0.0 AS recall
         FROM (SELECT 1 AS np UNION ALL SELECT 4 UNION ALL SELECT 8) n
         LEFT JOIN hits h ON n.np = h.np
     """
@@ -7639,7 +7639,7 @@ def _ann_pq_recall_sql(
         SELECT CAST(n.np AS INTEGER) AS nprobe,
                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
                round(coalesce(h.n_hits, 0)
-                     / (SELECT count(*) FROM exact) + 1e-9, 6) AS recall
+                     / (SELECT count(*) FROM exact) + 1e-9, 6) + 0.0 AS recall
         FROM (SELECT 2 AS np UNION ALL SELECT 8) n
         LEFT JOIN hits h ON n.np = h.np
     """
@@ -7663,10 +7663,10 @@ def _chi2_residuals_oracle_sql(
             SELECT '{c}' AS "column", CAST(bin AS INT) AS bin,
                    CAST(n_base AS BIGINT) AS n_base,
                    CAST(n_cur AS BIGINT) AS n_cur,
-                   round({e_expr} + 1e-9, 6) AS expected_cur,
+                   round({e_expr} + 1e-9, 6) + 0.0 AS expected_cur,
                    round(CASE WHEN {denom} > 0
                          THEN (n_cur - {e_expr}) / sqrt({denom})
-                         END + 1e-9, 6) AS adj_residual
+                         END + 1e-9, 6) + 0.0 AS adj_residual
             FROM (
                 WITH base AS (
                     SELECT CAST({c} AS DOUBLE) AS v FROM lineitem
@@ -7925,7 +7925,7 @@ def _lsh_recall_sql(num_hashes: int = 16, bands: int = 4) -> str:
             LEFT JOIN cand c ON e.id_a = c.id_a AND e.id_b = c.id_b)
         SELECT j_band, CAST(count(*) AS BIGINT) AS n_pairs,
                CAST(sum(hit) AS BIGINT) AS n_caught,
-               round(sum(hit) / count(*) + 1e-9, 6) AS recall
+               round(sum(hit) / count(*) + 1e-9, 6) + 0.0 AS recall
         FROM banded GROUP BY j_band
     """
 
@@ -8063,10 +8063,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT label, n_base, n_cur,
                round({_dotsql('ca', 'cb')}
                      / (sqrt({_dotsql('ca', 'ca')})
-                        * sqrt({_dotsql('cb', 'cb')})) + 1e-9, 6)
+                        * sqrt({_dotsql('cb', 'cb')})) + 1e-9, 6) + 0.0
                    AS centroid_cosine,
                round(sqrt({_dotsql('cb', 'cb')})
-                     / sqrt({_dotsql('ca', 'ca')}) + 1e-9, 6)
+                     / sqrt({_dotsql('ca', 'ca')}) + 1e-9, 6) + 0.0
                    AS norm_ratio
         FROM j
     """
@@ -8086,11 +8086,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT e.vec_id, e.label,
                round({_dotsql('e.embedding', 'v.cv')}
                      / (sqrt({_dotsql('e.embedding', 'e.embedding')})
-                        * sqrt({_dotsql('v.cv', 'v.cv')})) + 1e-9, 6)
+                        * sqrt({_dotsql('v.cv', 'v.cv')})) + 1e-9, 6) + 0.0
                    AS centroid_cosine,
                round({_dotsql('e.embedding', 'v.cv')}
                      / (sqrt({_dotsql('e.embedding', 'e.embedding')})
-                        * sqrt({_dotsql('v.cv', 'v.cv')})) + 1e-9, 6)
+                        * sqrt({_dotsql('v.cv', 'v.cv')})) + 1e-9, 6) + 0.0
                    < 0.2 AS is_outlier
         FROM embeddings e LEFT JOIN v USING (label)
     """
@@ -8117,7 +8117,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(mi.m_in, 0) AS BIGINT) AS m_in, d_total,
                round(coalesce(mi.m_in, 0) / m.mm
                      - (d_total / (2 * m.mm)) * (d_total / (2 * m.mm))
-                     + 1e-9, 6) AS q_contribution
+                     + 1e-9, 6) + 0.0 AS q_contribution
         FROM dc LEFT JOIN mi ON dc.c = mi.c, m
     """
     out["text_length_histogram"] = """
@@ -8139,7 +8139,7 @@ def oracle_sql() -> dict[str, str]:
                ((CAST(1 AS BIGINT) << bucket) - 1) AS hi_tokens,
                n_docs, n_tokens,
                round(n_docs / sum(n_docs) OVER (PARTITION BY source)
-                     + 1e-9, 6) AS doc_share
+                     + 1e-9, 6) + 0.0 AS doc_share
         FROM g
     """
     # maintenance lifecycle: compaction is content-identical and the
