@@ -3261,13 +3261,16 @@ def q_win_rank_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-moment aggregate battery per return flag: sample
-    stddev/variance, correlation and covariance of price vs quantity —
-    all mergeable map-side partials (count/sum/sum-of-products), the
-    same shape that scales them to 100 TB."""
+    stddevs, correlation and covariance of price vs quantity — all
+    mergeable map-side partials (count/sum/sum-of-products), the same
+    shape that scales them to 100 TB.  Exposes sd_price, NOT the raw
+    variance: var_samp(price) is ~4e8 carrying decimal rounding — the
+    agg_gini sum-magnitude geometry, flagged by the round-11 battery
+    scan and closed by the rule (expose the sqrt-scale statistic)."""
     li = _load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
-        F.round(F.var_samp("l_extendedprice"), 4).alias("var_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("sd_price"),
         F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
         F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias(
             "cov_pq"
@@ -7281,7 +7284,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # machinery has been edited for ten rounds since), then round-3.
     # tools/check_correctness.py re-runs ALL entries regardless.
     front = [
-        # (a) new / touched this round
+        # (a) new / touched this round — agg_stats_moments leads: its
+        # HASHED SURFACE changed (sd_price replaces the ~4e8 var_price
+        # the round-11 magnitude scan flagged — the sum-magnitude rule)
+        "agg_stats_moments",
         "ann_ivf_pq",
         "ann_ivf_pq_indexed",
         "ann_recall",
@@ -12610,7 +12616,7 @@ def _oracle_sql_literal() -> dict[str, str]:
         "agg_stats_moments": """
             SELECT l_returnflag,
                    round(stddev_samp(l_quantity), 6) AS sd_qty,
-                   round(var_samp(l_extendedprice), 4) AS var_price,
+                   round(stddev_samp(l_extendedprice), 6) AS sd_price,
                    round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
                    round(covar_samp(l_extendedprice, l_quantity), 4)
                        AS cov_pq
