@@ -170,8 +170,12 @@ def embedding_centroid_drift(
     ``era_col`` is any binary expression/column (0 = baseline era,
     1 = current).  Engine shape: ONE fact aggregate to (group, era)
     centroids — ``dim`` avg columns with map-side partials, the
-    emb_kmeans shape — then a group-keyed self-join of the two
-    era rows (2 x |groups| frame) and scalar folds.  NULL-era rows are
+    emb_kmeans shape — PINNED behind a lazy ``localCheckpoint``
+    before the era split (two filtered branches of an aggregate are
+    canonically different after pruning, so without the pin Catalyst
+    recomputes the fact aggregate per branch — the aggregate-diamond
+    lesson), then a group-keyed self-join of the two era rows
+    (2 x |groups| frame) and scalar folds.  NULL-era rows are
     excluded.  Groups missing either era are absent (no baseline, no
     drift statement).  Zero centroids yield NULL cosine via
     ``try_divide``.
@@ -192,6 +196,7 @@ def embedding_centroid_drift(
                 for i in range(dim)
             ],
         )
+        .localCheckpoint(eager=False)
     )
     base = cent.filter(F.col("__era") == 0).select(
         F.col(group_col),

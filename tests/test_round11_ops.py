@@ -254,3 +254,59 @@ def test_centroid_outliers_flags_off_direction_vector(spark):
     assert got[3]["centroid_cosine"] < -0.9
     assert got[4]["centroid_cosine"] == pytest.approx(1.0, abs=1e-6)
     assert not got[4]["is_outlier"]
+
+
+def test_round11_plan_pins(spark):
+    """Plan contracts for the round-11 operators: the emb_drift fact
+    aggregate runs ONCE (checkpoint-pinned diamond), centroid_outliers
+    is one aggregate + broadcast join-back, modularity never goes
+    cartesian over edges (the one BroadcastNestedLoopJoin is the
+    one-row totals broadcast)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from recover_spark.ops.clustering import (
+        centroid_outliers,
+        embedding_centroid_drift,
+    )
+    from recover_spark.ops.graph import modularity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d = embedding_centroid_drift(
+        emb, "label", F.pmod(F.col("vec_id"), F.lit(2)), dim=64
+    )
+    p = d._jdf.queryExecution().executedPlan().toString()
+    # the pinned aggregate appears as scan-over-checkpoint branches:
+    # no second fact-sized hashpartitioning exchange
+    assert len(re.findall(r"Exchange hashpartitioning", p)) <= 1, p[:800]
+    assert "CartesianProduct" not in p
+
+    o = centroid_outliers(emb, "label", dim=64)
+    p2 = o._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", p2)) == 1
+    assert "BroadcastHashJoin" in p2 and "CartesianProduct" not in p2
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    edges = (
+        ev.filter(F.col("event_id") % 11 == 0)
+        .select(
+            F.col("user_id").alias("src"),
+            (F.col("user_id") + 3).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    comms = nodes.select("node", (F.col("node") % 4).alias("community"))
+    mp = (
+        modularity(edges, comms)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in mp
+    assert mp.count("BroadcastNestedLoopJoin") == 1  # the 1-row totals
