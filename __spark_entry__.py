@@ -2711,6 +2711,43 @@ def q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_outliers(emb, "label", dim=64, min_cosine=0.2)
 
 
+def q_ann_ivf_pq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ index maintenance lifecycle (ops/similarity.py:
+    append_pq_sidecar): build the IVF index + PQ sidecar on the FIRST
+    HALF of the corpus (codebooks train there and FREEZE), append the
+    second half — new rows are list-assigned against stored centroids
+    and encoded against stored codebooks, O(appended) — then probe.
+    The oracle trains its codebooks on the same first-half slice and
+    encodes everything, mirroring the frozen-quantizer contract
+    exactly.  Fresh directory per invocation (the lifecycle is the
+    thing under test)."""
+    import tempfile
+
+    from recover_spark.ops.similarity import (
+        append_ivf_index,
+        append_pq_sidecar,
+        build_ivf_index,
+        build_pq_sidecar,
+        ivf_pq_topk_indexed,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    idx = tempfile.mkdtemp(prefix="recover_pq_maint_") + "/ivf"
+    half = emb.count() // 2
+    first = emb.filter(F.col("vec_id") < half)
+    rest = emb.filter(F.col("vec_id") >= half)
+    build_ivf_index(first, idx, n_centroids=8)
+    build_pq_sidecar(spark, idx)
+    append_ivf_index(rest, idx)
+    append_pq_sidecar(spark, rest, idx)
+    queries = emb.filter(F.col("vec_id") < 3)
+    topk = ivf_pq_topk_indexed(spark, idx, queries, nprobe=2, k=5)
+    return topk.select(
+        "query_vec_id", "vec_id",
+        F.round("pq_cosine", 6).alias("pq_cosine"), "rank",
+    )
+
+
 def q_stream_emb_drift_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 extension — streaming embedding-drift monitor
     (streaming/matview.py:maintain_vector_matview): four genuine
@@ -7045,6 +7082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_histogram": q_text_length_histogram,
         "stream_emb_drift_matview": q_stream_emb_drift_matview,
         "ann_pq_recall": q_ann_pq_recall,
+        "ann_ivf_pq_maintained": q_ann_ivf_pq_maintained,
         "agg_contingency_residuals": q_agg_contingency_residuals,
         "emb_outliers": q_emb_outliers,
         "agg_stats_moments": q_agg_stats_moments,
@@ -7446,14 +7484,17 @@ def _ann_recall_sql() -> str:
 
 
 def _ann_ivf_pq_sql(
-    m: int = 8, subdim: int = 8, n_codes: int = 16
+    m: int = 8, subdim: int = 8, n_codes: int = 16,
+    train_pred: str = "TRUE",
 ) -> str:
     """DuckDB mirror of ivf_pq_topk: one deterministic Lloyd step per
     subspace (seed codes = subvector slices of rows vec_id < n_codes,
     squared-L2 assignment with lowest-id ties, per-dimension mean
     re-centering with the keep-previous empty-cell rule), then encode
     every corpus vector and ADC-score candidates within the 2 probed
-    IVF lists from the reconstruction."""
+    IVF lists from the reconstruction.  ``train_pred`` restricts the
+    CODEBOOK-TRAINING rows (the frozen-codebook append lifecycle:
+    codebooks from the initial corpus slice, codes for everything)."""
     d2 = (
         "list_sum(list_transform(range(1, {n}), "
         "i -> (x.xv[i]::DOUBLE - c.cv[i]) * (x.xv[i]::DOUBLE - c.cv[i])))"
@@ -7471,6 +7512,7 @@ def _ann_ivf_pq_sql(
         asn0 AS (
             SELECT x.vec_id, x.s, c.j
             FROM subq x JOIN cb0 c ON x.s = c.s
+            WHERE {train_pred}
             QUALIFY row_number() OVER (PARTITION BY x.vec_id, x.s
                 ORDER BY {d2} ASC, c.j ASC) = 1),
         cb1d AS (
@@ -8047,6 +8089,11 @@ def oracle_sql() -> dict[str, str]:
     # the persisted-sidecar path answers the same query as in-memory
     # IVF-PQ (same deterministic train/encode), so the oracle is shared
     out["ann_ivf_pq_indexed"] = out["ann_ivf_pq"]
+    # frozen-codebook append lifecycle: codebooks from the initial
+    # half, codes for everything — the oracle mirrors the freeze
+    out["ann_ivf_pq_maintained"] = _ann_ivf_pq_sql(
+        train_pred="x.vec_id < (SELECT count(*) // 2 FROM embeddings)"
+    )
     out["dedup_lsh_recall"] = _lsh_recall_sql()
     out["ann_pq_recall"] = _ann_pq_recall_sql()
     out["emb_drift"] = f"""

@@ -175,6 +175,7 @@ HEADLINE = [
     "ann_pq_recall",
     "agg_contingency_residuals",
     "emb_outliers",
+    "ann_ivf_pq_maintained",
 ]
 
 
@@ -232,6 +233,7 @@ def main() -> None:
         "stream_auc_matview",
         "stream_heartbeat_matview",
         "stream_emb_drift_matview",
+        "ann_ivf_pq_maintained",
     }
     timings: dict[str, float] = {}
     # Per-query (min, median, max) across the reps: the noise

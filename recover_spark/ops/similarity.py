@@ -1367,3 +1367,55 @@ def ivf_pq_topk_indexed(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def append_pq_sidecar(
+    spark,
+    new_vectors: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally maintain the PQ code sidecar under corpus growth —
+    the append half of the PQ lifecycle (``build_pq_sidecar`` is the
+    build-once half).  New vectors are list-assigned against the STORED
+    centroids and encoded against the STORED codebooks (both read once,
+    entering the plan as closure/literal state — the frozen-coarse-
+    quantizer contract of ``append_ivf_index``, extended to the fine
+    quantizer), then appended into their hive list partitions:
+    O(appended) work, existing code files untouched, probes see old and
+    new codes uniformly.
+
+    Contract: codebooks are FROZEN at build time.  Distribution shift
+    degrades reconstruction (ADC scores drift from true cosines)
+    gradually; monitor ``ann_pq_recall`` on a query sample and rebuild
+    the sidecar when it crosses the documented threshold — the same
+    retrain-offline pattern as the coarse quantizer.
+    """
+    seeds = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in spark.read.parquet(f"{index_path}/_centroids").collect()
+    )
+    cb_rows = spark.read.parquet(f"{index_path}/_pq/codebooks").collect()
+    m = 1 + max(int(r["s"]) for r in cb_rows)
+    books = [
+        sorted(
+            (int(r["j"]), [float(x) for x in r["center"]])
+            for r in cb_rows
+            if int(r["s"]) == s
+        )
+        for s in range(m)
+    ]
+    subdim = len(books[0][0][1])
+    assigned = _assign_lists_gemm(
+        new_vectors.select(F.col(id_col), F.col(vec_col)),
+        seeds,
+        id_col,
+        vec_col,
+    ).withColumnRenamed("__list", "list")
+    encoded = _pq_assign_gemm(assigned, books, vec_col, subdim).select(
+        id_col, "list", F.col("__codes").alias("pq_codes")
+    )
+    encoded.write.mode("append").partitionBy("list").parquet(
+        f"{index_path}/_pq/codes"
+    )

