@@ -8,6 +8,7 @@ import math
 import pytest
 
 from recover_spark.ops.similarity import (
+    brute_force_topk,
     build_ivf_index,
     build_pq_sidecar,
     ivf_pq_topk,
@@ -177,3 +178,48 @@ def test_append_pq_sidecar_freezes_codebooks_and_encodes_only_new(
         for r in ivf_pq_topk_indexed(spark, idx2, q, nprobe=8, k=5).collect()
     }
     assert a == b and len(a) == 10
+
+
+def test_pq_recall_high_on_clustered_vectors(spark):
+    """The sf-table PQ recall (~0.4) reflects UNSTRUCTURED random
+    vectors — PQ's worst case.  On clustered data (its design regime:
+    points = cluster center + small deterministic perturbation) the
+    ADC ranking must recover most of the exact top-k."""
+    import hashlib
+    import math
+
+    def h01(s: str) -> float:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 0xFFFFFFFF
+
+    dim, n_clusters, per = 16, 8, 25
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        center = [h01(f"c{c}d{d}") * 2 - 1 for d in range(dim)]
+        for p in range(per):
+            vec = [
+                center[d] + 0.05 * (h01(f"p{c}.{p}.{d}") * 2 - 1)
+                for d in range(dim)
+            ]
+            rows.append((vid, vec))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter("vec_id < 2")
+    exact = {
+        (r["query_vec_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    appr_rows = ivf_pq_topk(
+        emb, queries,
+        n_centroids=4, nprobe=4,  # all lists: isolate quantization
+        k=10, m_subspaces=4, n_codes=16, dim=dim,
+    ).collect()
+    appr = {(r["query_vec_id"], r["vec_id"]) for r in appr_rows}
+    # exact top-k WITHIN a tight cluster is a near-tie lottery that
+    # reconstruction cannot (and need not) resolve; the PQ contract is
+    # the cluster level: every retrieved neighbor comes from the
+    # query's own cluster, and most of the exact set is still found
+    for r in appr_rows:
+        assert r["vec_id"] // per == r["query_vec_id"] // per, r
+    recall = len(exact & appr) / len(exact)
+    assert recall >= 0.6, recall
