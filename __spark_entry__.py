@@ -2788,6 +2788,22 @@ def q_stream_emb_drift_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cross_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The excision applied end-to-end (ops/dedup_text.py:
+    apply_span_excision): corpus rewritten with every cross-document
+    duplicated span removed from all but its keep-one survivor —
+    doc-grain (doc_id, cleaned text, n_tokens_removed), the artifact a
+    training pipeline actually consumes."""
+    from recover_spark.ops.dedup_text import (
+        apply_span_excision,
+        excise_cross_doc_spans,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    spans = excise_cross_doc_spans(docs, ngram=8, min_docs=2)
+    return apply_span_excision(docs, spans)
+
+
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile decile assignment per event type (rank-class window
     beyond row_number; deterministic via (value, event_id) ordering)."""
@@ -7076,6 +7092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_hitters": q_skew_hitters,
         "dedup_spans": q_dedup_spans,
         "dedup_cross_spans": q_dedup_cross_spans,
+        "dedup_cross_spans_rewrite": q_dedup_cross_spans_rewrite,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "emb_drift": q_emb_drift,
         "graph_modularity": q_graph_modularity,
@@ -12849,6 +12866,54 @@ def _oracle_sql_literal() -> dict[str, str]:
                    CAST(max(pos) + 7 - min(pos) + 1 AS INT)
                        AS n_tokens_removed
             FROM isl GROUP BY doc_id, island
+        """,
+        "dedup_cross_spans_rewrite": f"""
+            WITH {_TOKS_CTE},
+            sh AS (
+                SELECT doc_id, u.p AS pos,
+                       {_h64("array_to_string(t[u.p + 1 : u.p + 8], ' ')")}
+                           AS sh
+                FROM toks, UNNEST(CASE WHEN len(t) >= 8
+                                  THEN range(0, len(t) - 8 + 1)
+                                  ELSE []::BIGINT[] END) AS u(p)),
+            win AS (SELECT sh, min(doc_id) AS winner,
+                           count(DISTINCT doc_id) AS nd
+                    FROM sh GROUP BY sh),
+            red AS (SELECT s.doc_id, s.pos
+                    FROM sh s JOIN win w ON s.sh = w.sh
+                    WHERE w.nd >= 2 AND s.doc_id <> w.winner),
+            g AS (SELECT doc_id, pos,
+                         CASE WHEN lag(pos) OVER w IS NULL
+                                   OR pos - lag(pos) OVER w > 8
+                              THEN 1 ELSE 0 END AS brk
+                  FROM red
+                  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+            isl AS (SELECT doc_id, pos,
+                           sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                          ROWS UNBOUNDED PRECEDING)
+                               AS island
+                    FROM g),
+            spans AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+                      FROM isl GROUP BY doc_id, island),
+            tok AS (SELECT doc_id, u.i - 1 AS pos, t[u.i] AS tk
+                    FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+            kept AS (
+                SELECT k.doc_id,
+                       string_agg(k.tk, ' ' ORDER BY k.pos) AS text
+                FROM tok k
+                WHERE NOT EXISTS (SELECT 1 FROM spans s
+                                  WHERE s.doc_id = k.doc_id
+                                    AND k.pos BETWEEN s.s AND s.e)
+                GROUP BY k.doc_id),
+            removed AS (
+                SELECT doc_id, CAST(sum(e - s + 1) AS INT) AS n
+                FROM spans GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(k.text, '') AS text,
+                   coalesce(r.n, 0) AS n_tokens_removed
+            FROM documents d
+            LEFT JOIN kept k ON d.doc_id = k.doc_id
+            LEFT JOIN removed r ON d.doc_id = r.doc_id
         """,
         "merge_upsert": """
             WITH target AS (

@@ -176,6 +176,7 @@ HEADLINE = [
     "agg_contingency_residuals",
     "emb_outliers",
     "ann_ivf_pq_maintained",
+    "dedup_cross_spans_rewrite",
 ]
 
 

@@ -155,6 +155,7 @@ PROBES = [
     "emb_drift",            # one (label, era) centroid aggregate + tiny join
     "graph_modularity",     # edge-linear: degree agg + label joins + folds
     "text_length_histogram",  # map-only token counts + (group, bucket) agg
+    "dedup_cross_spans_rewrite",  # span CTEs + per-doc indexed filter rejoin
     "agg_contingency_residuals",  # grid-lens binning, cell-grain residual fold
     "emb_outliers",         # centroid aggregate + broadcast join, map fold
     # ann_ivf_pq_indexed / ann_recall answer from the persisted index;
