@@ -2804,6 +2804,18 @@ def q_dedup_cross_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_span_excision(docs, spans)
 
 
+def q_v16_rare_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-tail category audit (quality/expectations.py:
+    rare_categories): document languages/sources at or below a 15%
+    row share — names the underrepresented values the entropy/HHI
+    summaries only hint at (the mix-rebalancing input).  One fact
+    pass for all columns."""
+    from recover_spark.quality.expectations import rare_categories
+
+    docs = _load(spark, sf_dir, "documents")
+    return rare_categories(docs, ["lang", "source"], max_share=0.15)
+
+
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile decile assignment per event type (rank-class window
     beyond row_number; deterministic via (value, event_id) ordering)."""
@@ -7102,6 +7114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq_maintained": q_ann_ivf_pq_maintained,
         "agg_contingency_residuals": q_agg_contingency_residuals,
         "emb_outliers": q_emb_outliers,
+        "v16_rare_categories": q_v16_rare_categories,
         "agg_stats_moments": q_agg_stats_moments,
         "agg_median": q_agg_median,
         "text_levenshtein": q_text_levenshtein,
@@ -8146,6 +8159,24 @@ def oracle_sql() -> dict[str, str]:
     out["agg_contingency_residuals"] = _chi2_residuals_oracle_sql(
         ["l_extendedprice", "l_quantity", "l_discount"], "1998-06-01", 10
     )
+    out["v16_rare_categories"] = """
+        WITH cells AS (
+            SELECT 'lang' AS "column", CAST(lang AS VARCHAR) AS category
+            FROM documents WHERE lang IS NOT NULL
+            UNION ALL
+            SELECT 'source', CAST(source AS VARCHAR)
+            FROM documents WHERE source IS NOT NULL),
+        counts AS (
+            SELECT "column", category,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM cells GROUP BY 1, 2)
+        SELECT "column", category, n_rows,
+               round(n_rows / sum(n_rows) OVER (PARTITION BY "column")
+                     + 1e-9, 6) + 0.0 AS share
+        FROM counts
+        QUALIFY round(n_rows / sum(n_rows) OVER (PARTITION BY "column")
+                      + 1e-9, 6) + 0.0 <= 0.15
+    """
     out["emb_outliers"] = f"""
         WITH c AS (
             SELECT label, u.i AS dim, avg(embedding[u.i]::DOUBLE) AS m

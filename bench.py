@@ -177,6 +177,7 @@ HEADLINE = [
     "emb_outliers",
     "ann_ivf_pq_maintained",
     "dedup_cross_spans_rewrite",
+    "v16_rare_categories",
 ]
 
 

@@ -382,3 +382,61 @@ def functional_dependencies(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def rare_categories(
+    df: DataFrame,
+    cols: Sequence[str],
+    max_share: float = 0.005,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Long-tail category audit: per column, the categories whose row
+    share falls at or below ``max_share`` — typo'd enum values, stale
+    codes, or injection artifacts that the null-rate/range expectations
+    can't see and that entropy/HHI only summarize (this NAMES the
+    suspect values).  NULL is excluded (it is the null-rate check's
+    business, and "rare NULL" is not a category statement).
+
+    Engine shape: all columns ride ONE fact pass — a map-side explode
+    to (column, value) structs feeding a single (column, category)
+    aggregate with map-side combine; per-column totals are a window
+    over the vocabulary-sized cell frame, never a second fact scan.
+
+    Output: (column, category, n_rows, share) for rare categories
+    only, ordered by (column, share, category).
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("rare_categories: cols must be non-empty")
+    if not 0.0 < max_share < 1.0:
+        raise ValueError(f"rare_categories: max_share={max_share}")
+    from pyspark.sql import Window
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(c).cast("string").alias("category"),
+            )
+            for c in cols
+        ]
+    )
+    counts = (
+        df.select(F.explode(cells).alias("c"))
+        .select("c.column", "c.category")
+        .filter(F.col("category").isNotNull())
+        .groupBy("column", "category")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    w = Window.partitionBy("column")
+    share = F.col("n_rows") / F.sum("n_rows").over(w)
+    # the threshold compares the ROUNDED share (windows can't live in
+    # WHERE, and the rounded comparison is engine-stable by
+    # construction — the centroid_outliers convention)
+    return (
+        counts.withColumn(
+            "share", F.round(share + F.lit(1e-9), round_digits)
+        )
+        .filter(F.col("share") <= F.lit(float(max_share)))
+        .orderBy("column", "share", "category")
+    )

@@ -310,3 +310,26 @@ def test_round11_plan_pins(spark):
     )
     assert "CartesianProduct" not in mp
     assert mp.count("BroadcastNestedLoopJoin") == 1  # the 1-row totals
+
+
+def test_rare_categories_names_the_tail(spark):
+    from recover_spark.quality.expectations import rare_categories
+
+    rows = (
+        [(i, "common", "en") for i in range(96)]
+        + [(96, "typo'd", "en"), (97, "common", "xx"),
+           (98, "common", None), (99, None, "en")]
+    )
+    df = spark.createDataFrame(rows, "id long, seg string, lang string")
+    got = {
+        (r["column"], r["category"]): r
+        for r in rare_categories(df, ["seg", "lang"], max_share=0.05)
+        .collect()
+    }
+    # NULLs excluded from both numerator and denominator
+    assert set(got) == {("seg", "typo'd"), ("lang", "xx")}
+    assert got[("seg", "typo'd")]["n_rows"] == 1
+    assert got[("seg", "typo'd")]["share"] == pytest.approx(
+        1 / 99, abs=1e-6
+    )
+    assert got[("lang", "xx")]["share"] == pytest.approx(1 / 99, abs=1e-6)

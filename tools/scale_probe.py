@@ -158,6 +158,7 @@ PROBES = [
     "dedup_cross_spans_rewrite",  # span CTEs + per-doc indexed filter rejoin
     "agg_contingency_residuals",  # grid-lens binning, cell-grain residual fold
     "emb_outliers",         # centroid aggregate + broadcast join, map fold
+    "v16_rare_categories",  # one explode pass + vocab-sized share window
     # ann_ivf_pq_indexed / ann_recall answer from the persisted index;
     # their first call at 10x would time the index+sidecar BUILD, so
     # they are probed bespoke (build first, then time the probe) with
