@@ -2792,8 +2792,9 @@ def q_dedup_cross_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The excision applied end-to-end (ops/dedup_text.py:
     apply_span_excision): corpus rewritten with every cross-document
     duplicated span removed from all but its keep-one survivor —
-    doc-grain (doc_id, cleaned text, n_tokens_removed), the artifact a
-    training pipeline actually consumes."""
+    doc-grain (doc_id, cleaned text, n_tokens_removed) plus every
+    provenance column (lang/source/n_chars) passed through, the
+    artifact a training pipeline actually consumes."""
     from recover_spark.ops.dedup_text import (
         apply_span_excision,
         excise_cross_doc_spans,
@@ -6611,7 +6612,7 @@ def q_transform_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    out = standardize(ev, ["event_type"], "value")
+    out = standardize(ev, ["event_type"], "value", broadcast_stats=True)
     return out.select(
         "event_id", "event_type", F.round("value", 6).alias("value"),
         "zscore",
@@ -6715,7 +6716,7 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", "o_totalprice"
     )
     return moments_by_group(
-        orders, ["o_orderpriority"], "o_totalprice"
+        orders, ["o_orderpriority"], "o_totalprice", broadcast_stats=True
     ).orderBy("o_orderpriority")
 
 
@@ -8228,7 +8229,8 @@ def oracle_sql() -> dict[str, str]:
                        AS BIGINT) AS n
             FROM documents),
         b AS (SELECT source,
-                     CAST(length(bin(greatest(n, 1))) AS INT) AS bucket,
+                     CASE WHEN n = 0 THEN 0
+                          ELSE CAST(length(bin(n)) AS INT) END AS bucket,
                      n
               FROM d),
         g AS (SELECT source, bucket,
@@ -8236,8 +8238,12 @@ def oracle_sql() -> dict[str, str]:
                      CAST(sum(n) AS BIGINT) AS n_tokens
               FROM b GROUP BY source, bucket)
         SELECT source, bucket,
-               (CAST(1 AS BIGINT) << (bucket - 1)) AS lo_tokens,
-               ((CAST(1 AS BIGINT) << bucket) - 1) AS hi_tokens,
+               CASE WHEN bucket = 0 THEN CAST(0 AS BIGINT)
+                    ELSE (CAST(1 AS BIGINT) << (bucket - 1)) END
+                   AS lo_tokens,
+               CASE WHEN bucket = 0 THEN CAST(0 AS BIGINT)
+                    ELSE ((CAST(1 AS BIGINT) << bucket) - 1) END
+                   AS hi_tokens,
                n_docs, n_tokens,
                round(n_docs / sum(n_docs) OVER (PARTITION BY source)
                      + 1e-9, 6) + 0.0 AS doc_share
@@ -12941,7 +12947,8 @@ def _oracle_sql_literal() -> dict[str, str]:
                 FROM spans GROUP BY doc_id)
             SELECT d.doc_id,
                    coalesce(k.text, '') AS text,
-                   coalesce(r.n, 0) AS n_tokens_removed
+                   coalesce(r.n, 0) AS n_tokens_removed,
+                   d.lang, d.source, d.n_chars
             FROM documents d
             LEFT JOIN kept k ON d.doc_id = k.doc_id
             LEFT JOIN removed r ON d.doc_id = r.doc_id

@@ -1051,7 +1051,7 @@ def moments_by_group(
     group_cols: Sequence[str],
     value_col: str,
     round_digits: int = 6,
-    broadcast_stats: bool = True,
+    broadcast_stats: bool = False,
 ) -> DataFrame:
     """Per-group distribution-shape moments: mean, sample stddev,
     skewness (g1 = m3 / m2^1.5) and EXCESS kurtosis (g2 = m4 / m2² - 3)
@@ -1073,12 +1073,15 @@ def moments_by_group(
     excluded; groups with n < 2 or zero variance yield NULL
     skewness/kurtosis via ``try_divide``.
 
-    CARDINALITY BOUND: the default explicit broadcast bypasses AQE's
-    size threshold, so it requires the GROUP cardinality (not the
-    fact) to fit an executor — fine for dimension-keyed groupings,
-    wrong for per-user/per-document grains at the 100 TB contract.
-    Pass ``broadcast_stats=False`` for high-cardinality groupings to
-    let AQE pick the join strategy from measured sizes.
+    CARDINALITY BOUND: the default (``broadcast_stats=False``) lets
+    AQE pick the join strategy from the MEASURED post-shuffle size of
+    the stats frame — safe at any group cardinality, and still a
+    broadcast join in practice for dimension-keyed groupings.  Pass
+    ``broadcast_stats=True`` only when the group cardinality is known
+    bounded (a dimension key, an enum) and you want the broadcast
+    guaranteed regardless of AQE thresholds; the explicit hint
+    bypasses AQE's size check and can OOM an executor on
+    per-user/per-document grains at the 100 TB contract.
     """
     group_cols = list(group_cols)
     v = F.col(value_col).cast("double")
@@ -1182,7 +1185,7 @@ def standardize(
     value_col: str,
     out_col: str = "zscore",
     round_digits: int = 6,
-    broadcast_stats: bool = True,
+    broadcast_stats: bool = False,
 ) -> DataFrame:
     """Per-group z-score standardization: (v - mean) / stddev_samp —
     the parametric sibling of :func:`rank_normalize` (use THAT when
@@ -1195,10 +1198,11 @@ def standardize(
     n < 2 groups yield NULL via ``try_divide`` (a constant feature has
     no z-score, and silently emitting 0 would hide it).
 
-    CARDINALITY BOUND: the default explicit broadcast requires the
-    GROUP cardinality to fit an executor (see
-    :func:`moments_by_group`); pass ``broadcast_stats=False`` for
-    per-entity grains to let AQE decide.
+    CARDINALITY BOUND: the default (``broadcast_stats=False``) lets
+    AQE choose from measured sizes — safe at any group cardinality
+    (see :func:`moments_by_group`); pass ``broadcast_stats=True`` only
+    for known-bounded dimension-keyed groupings where the broadcast
+    must be guaranteed.
     """
     group_cols = list(group_cols)
     v = F.col(value_col).cast("double")

@@ -672,29 +672,54 @@ def apply_span_excision(
     applied: tokens inside any of a doc's excised spans are dropped,
     survivors rejoin in order.  Docs with no spans pass through with
     their tokenized text (the tokenize-rejoin round trip is the same
-    normalization every span consumer sees).
+    normalization every span consumer sees); every non-text column of
+    ``docs`` rides through unchanged, so provenance metadata survives
+    the rewrite.
 
     Map-shaped after ONE equi-join of the corpus to its per-doc span
     list (span lists are tiny — maximal spans, not shingles).  The
-    membership test materializes each doc's removed-position array
-    (bounded by doc length) and filters by index; token count is
-    corpus-linear.
+    membership test is ``F.exists`` over the (start, end) span structs
+    — O(tokens × n_spans) per doc, NOT O(tokens × removed-positions):
+    for boilerplate-heavy docs where most text is excised the spans
+    stay few by construction (maximal, non-overlapping) while a
+    flattened position array would approach doc length and make the
+    filter quadratic.  Token count stays corpus-linear.
     """
     per_doc = spans.groupBy(id_col).agg(
-        F.flatten(
-            F.collect_list(F.sequence("span_start", "span_end"))
-        ).alias("__removed")
+        F.collect_list(
+            F.struct(
+                F.col("span_start").cast("int").alias("s"),
+                F.col("span_end").cast("int").alias("e"),
+            )
+        ).alias("__spans")
     )
-    joined = docs.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
-    ).join(per_doc, id_col, "left")
-    removed = F.coalesce(F.col("__removed"), F.array().cast("array<int>"))
+    extra = [c for c in docs.columns if c not in (id_col, text_col)]
+    joined = (
+        docs.select(
+            F.col(id_col), *extra, tokens(F.col(text_col)).alias("__toks")
+        )
+        .join(per_doc, id_col, "left")
+        .withColumn(
+            "__sp",
+            F.coalesce(
+                F.col("__spans"),
+                F.array().cast("array<struct<s:int,e:int>>"),
+            ),
+        )
+    )
+    sp = F.col("__sp")
     kept = F.filter(
         F.col("__toks"),
-        lambda t, i: ~F.array_contains(removed, i.cast("int")),
+        lambda t, i: ~F.exists(
+            sp, lambda g: (i >= g["s"]) & (i <= g["e"])
+        ),
+    )
+    n_removed = F.aggregate(
+        sp, F.lit(0), lambda acc, g: acc + (g["e"] - g["s"] + F.lit(1))
     )
     return joined.select(
         id_col,
         F.array_join(kept, " ").alias(text_col),
-        F.size(removed).alias("n_tokens_removed"),
+        n_removed.cast("int").alias("n_tokens_removed"),
+        *extra,
     )

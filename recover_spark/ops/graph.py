@@ -511,13 +511,16 @@ def modularity(
     residue classes, label groups).
 
     Engine shape: canonical undirected dedup (least/greatest pair
-    distinct, self-loops dropped — the k_core kernel), ONE degree
-    aggregate, two node-keyed equi-joins to label edge endpoints, a
-    community-keyed aggregate, and the graph totals (m, 2m) as a
-    one-row broadcast — nothing beyond edge-linear work, no pair
-    enumeration.  Nodes missing from ``communities`` raise no error
-    but are excluded from every term (their edges drop at the label
-    join); intra-community edge counts use BOTH-endpoint membership.
+    distinct, self-loops dropped — the k_core kernel), two node-keyed
+    equi-joins to label edge endpoints, ONE degree aggregate over the
+    labeled edges, a community-keyed aggregate, and the graph totals
+    (m, 2m) as a one-row broadcast — nothing beyond edge-linear work,
+    no pair enumeration.  Nodes missing from ``communities`` raise no
+    error: every term (m, degrees, m_in) is computed from the
+    BOTH-endpoints-labeled edge set, so the result is exactly the
+    modularity of the labeled subgraph and per-community
+    q_contribution sums to its Q.  For fully-labeled inputs this is
+    identical to computing over all edges.
 
     Output: (community, n_nodes, m_in, d_total, q_contribution),
     ordered by community.
@@ -528,12 +531,6 @@ def modularity(
         edges.select(a, b)
         .filter(F.col("__a") != F.col("__b"))
         .distinct()
-    )
-    deg = (
-        e.select(F.col("__a").alias("__n"))
-        .unionAll(e.select(F.col("__b").alias("__n")))
-        .groupBy("__n")
-        .agg(F.count(F.lit(1)).cast("long").alias("__deg"))
     )
     comm = communities.select(
         F.col(node_col).alias("__n"), F.col(comm_col).alias("__c")
@@ -557,6 +554,15 @@ def modularity(
         .groupBy(F.col("__ca").alias("__c"))
         .agg(F.count(F.lit(1)).cast("long").alias("m_in"))
     )
+    # Degrees over the labeled subgraph only, so m, d_total, and m_in
+    # share one edge universe and Q stays internally consistent when
+    # some nodes carry no community label.
+    deg = (
+        labeled.select(F.col("__a").alias("__n"))
+        .unionAll(labeled.select(F.col("__b").alias("__n")))
+        .groupBy("__n")
+        .agg(F.count(F.lit(1)).cast("long").alias("__deg"))
+    )
     d_c = (
         deg.join(comm, "__n")
         .groupBy("__c")
@@ -565,7 +571,7 @@ def modularity(
             F.sum("__deg").cast("long").alias("d_total"),
         )
     )
-    total = e.agg(F.count(F.lit(1)).cast("long").alias("__m"))
+    total = labeled.agg(F.count(F.lit(1)).cast("long").alias("__m"))
     md = F.col("__m").cast("double")
     q = (
         F.coalesce(F.col("m_in"), F.lit(0)).cast("double") / md

@@ -1190,8 +1190,10 @@ def token_length_histogram(
     Buckets are EXACT-INTEGER log2 bands: bucket = bit length of the
     token count (length of its binary representation — no float log
     whose boundary rounding could differ across engines), so bucket b
-    covers [2^(b-1), 2^b - 1]; empty docs land in bucket 1 with count
-    0's band.  Map-only token counting (one regexp per row) + ONE
+    covers [2^(b-1), 2^b - 1] for b >= 1; 0-token docs get their own
+    bucket 0 with lo_tokens = hi_tokens = 0, so the [1, 1] band counts
+    only true 1-token docs.  Map-only token counting (one regexp per
+    row) + ONE
     (group, bucket) aggregate with map-side partials; output is
     bands x groups rows.
 
@@ -1203,7 +1205,9 @@ def token_length_histogram(
     from recover_spark.functions.text import token_count
 
     n = token_count(F.col(text_col))
-    bucket = F.length(F.bin(F.greatest(n, F.lit(1)).cast("long")))
+    bucket = F.when(n == 0, F.lit(0)).otherwise(
+        F.length(F.bin(n.cast("long")))
+    )
     per = (
         df.select(
             F.col(group_col),
@@ -1220,12 +1224,14 @@ def token_length_histogram(
     return per.select(
         group_col,
         "bucket",
-        F.expr("shiftleft(1L, bucket - 1)").cast("long").alias(
-            "lo_tokens"
-        ),
-        (F.expr("shiftleft(1L, bucket)") - 1).cast("long").alias(
-            "hi_tokens"
-        ),
+        F.expr(
+            "CASE WHEN bucket = 0 THEN 0L"
+            " ELSE shiftleft(1L, bucket - 1) END"
+        ).cast("long").alias("lo_tokens"),
+        F.expr(
+            "CASE WHEN bucket = 0 THEN 0L"
+            " ELSE shiftleft(1L, bucket) - 1 END"
+        ).cast("long").alias("hi_tokens"),
         "n_docs",
         "n_tokens",
         F.round(

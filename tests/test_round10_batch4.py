@@ -39,7 +39,7 @@ class TestStandardize:
         df = spark.range(1000).selectExpr(
             "CAST(id % 3 AS STRING) g", "CAST(id % 41 AS DOUBLE) v"
         )
-        out = standardize(df, ["g"], "v")
+        out = standardize(df, ["g"], "v", broadcast_stats=True)
         assert out.count() == 1000
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
