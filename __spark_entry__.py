@@ -789,6 +789,39 @@ def q_ann_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortlist-then-refine IVF-PQ (ops/similarity.py:
+    ivf_pq_topk_refined): ADC top-20 shortlist from the probed lists'
+    code sidecar, exact-cosine re-rank of ONLY the shortlist against
+    the list-partitioned float vectors (the refine scan is pruned by
+    the SAME PartitionFilters as the code scan), exact top-5 out —
+    the production composition that recovers quantization loss for a
+    bounded extra read."""
+    import os as _os
+
+    from recover_spark.ops.similarity import (
+        build_ivf_index,
+        build_pq_sidecar,
+        ivf_pq_topk_refined,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    sf_tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    idx = _os.path.join("spark-warehouse", f"ivf_index_{sf_tag}")
+    if not _os.path.isdir(_os.path.join(idx, "_centroids")):
+        build_ivf_index(emb, idx, n_centroids=8)
+    if not _os.path.isdir(_os.path.join(idx, "_pq", "codebooks")):
+        build_pq_sidecar(spark, idx)
+    queries = emb.filter(F.col("vec_id") < 3)
+    topk = ivf_pq_topk_refined(
+        spark, idx, queries, nprobe=2, shortlist_r=20, k=5
+    )
+    return topk.select(
+        "query_vec_id", "vec_id",
+        F.round("cosine", 6).alias("cosine"), "rank",
+    )
+
+
 def q_v3_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3 — expectation-suite runner (one aggregate pass), results as a
     DataFrame (run_great_expectations_on_parquet.py:223-277)."""
@@ -2626,11 +2659,15 @@ def q_text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of persisted IVF-PQ vs the exact brute-force ranking
-    at nprobe 2 and 8(=all lists): the nprobe=8 row isolates PURE
-    quantization loss (the m/n_codes sizing number), the nprobe=2 row
-    the combined pruning+quantization loss.  Same composition shape as
-    ann_recall — pinned exact arm, pruned PQ probes, semi-join +
-    one-row folds."""
+    at nprobe 2 and 8(=all lists), for BOTH the raw ADC ranking and
+    the shortlist-then-refine composition (ivf_pq_topk_refined,
+    shortlist_r=20): the (8, adc) row isolates PURE quantization loss
+    (the m/n_codes sizing number), (2, adc) the combined
+    pruning+quantization loss, and the refined rows show how much of
+    each the exact re-rank recovers — refined recall >= adc recall at
+    the same nprobe, the point of the refine stage.  Same composition
+    shape as ann_recall — pinned exact arm, pruned PQ probes,
+    semi-join + one-row folds."""
     import os as _os
     from functools import reduce as _reduce
 
@@ -2639,6 +2676,7 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_ivf_index,
         build_pq_sidecar,
         ivf_pq_topk_indexed,
+        ivf_pq_topk_refined,
     )
 
     emb = _load(spark, sf_dir, "embeddings")
@@ -2656,27 +2694,46 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     arms = []
     for nprobe in (2, 8):
-        appr = ivf_pq_topk_indexed(spark, idx, queries, nprobe=nprobe, k=5)
-        hits = appr.select("query_vec_id", "vec_id").join(
-            exact, ["query_vec_id", "vec_id"], "left_semi"
-        )
-        arms.append(
-            hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")).select(
-                F.lit(nprobe).cast("int").alias("nprobe"), "n_hits"
+        for variant, appr in (
+            (
+                "adc",
+                ivf_pq_topk_indexed(
+                    spark, idx, queries, nprobe=nprobe, k=5
+                ),
+            ),
+            (
+                "refined",
+                ivf_pq_topk_refined(
+                    spark, idx, queries,
+                    nprobe=nprobe, shortlist_r=20, k=5,
+                ),
+            ),
+        ):
+            hits = appr.select("query_vec_id", "vec_id").join(
+                exact, ["query_vec_id", "vec_id"], "left_semi"
             )
-        )
+            arms.append(
+                hits.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_hits")
+                ).select(
+                    F.lit(nprobe).cast("int").alias("nprobe"),
+                    F.lit(variant).alias("variant"),
+                    "n_hits",
+                )
+            )
     folded = _reduce(lambda a, b: a.unionAll(b), arms)
     total = exact.agg(F.count(F.lit(1)).cast("long").alias("__n_exact"))
     return (
         folded.crossJoin(F.broadcast(total))
         .select(
             "nprobe",
+            "variant",
             "n_hits",
             F.round(
                 F.col("n_hits") / F.col("__n_exact") + F.lit(1e-9), 6
             ).alias("recall"),
         )
-        .orderBy("nprobe")
+        .orderBy("nprobe", "variant")
     )
 
 
@@ -7266,6 +7323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "ann_ivf_pq": q_ann_ivf_pq,
         "ann_ivf_pq_indexed": q_ann_ivf_pq_indexed,
+        "ann_ivf_pq_refined": q_ann_ivf_pq_refined,
         "ann_ivf_quantized": q_ann_ivf_quantized,
         "ann_lsh": q_ann_lsh,
         "pipe_training_data": q_pipe_training_data,
@@ -7514,24 +7572,25 @@ def _ann_recall_sql() -> str:
     """
 
 
-def _ann_ivf_pq_sql(
+def _ivf_pq_parts_ctes(
     m: int = 8, subdim: int = 8, n_codes: int = 16,
     train_pred: str = "TRUE",
 ) -> str:
-    """DuckDB mirror of ivf_pq_topk: one deterministic Lloyd step per
-    subspace (seed codes = subvector slices of rows vec_id < n_codes,
-    squared-L2 assignment with lowest-id ties, per-dimension mean
-    re-centering with the keep-previous empty-cell rule), then encode
-    every corpus vector and ADC-score candidates within the 2 probed
-    IVF lists from the reconstruction.  ``train_pred`` restricts the
-    CODEBOOK-TRAINING rows (the frozen-codebook append lifecycle:
-    codebooks from the initial corpus slice, codes for everything)."""
+    """The CTE chain every IVF-PQ oracle shares: one deterministic
+    Lloyd step per subspace (seed codes = subvector slices of rows
+    vec_id < n_codes, squared-L2 assignment with lowest-id ties,
+    per-dimension mean re-centering with the keep-previous empty-cell
+    rule), corpus encoding, IVF list assignment, query probing, and
+    the per-(query, candidate) ADC numerator/reconstruction-norm fold
+    (``parts``).  ``train_pred`` restricts the CODEBOOK-TRAINING rows
+    (the frozen-codebook append lifecycle: codebooks from the initial
+    corpus slice, codes for everything).  Callers compose their final
+    SELECT (ADC top-k, or shortlist + exact refine) over ``parts``."""
     d2 = (
         "list_sum(list_transform(range(1, {n}), "
         "i -> (x.xv[i]::DOUBLE - c.cv[i]) * (x.xv[i]::DOUBLE - c.cv[i])))"
     ).format(n=subdim + 1)
-    return f"""
-        WITH subq AS (
+    return f"""subq AS (
             SELECT e.vec_id, u.s,
                    e.embedding[u.s * {subdim} + 1 : u.s * {subdim} + {subdim}]
                        AS xv
@@ -7596,7 +7655,17 @@ def _ann_ivf_pq_sql(
             FROM probed p
             JOIN lists l ON p.cid = l.cid AND l.vec_id != p.qid
             JOIN codes r ON r.vec_id = l.vec_id
-            GROUP BY p.qid, l.vec_id)
+            GROUP BY p.qid, l.vec_id)"""
+
+
+def _ann_ivf_pq_sql(
+    m: int = 8, subdim: int = 8, n_codes: int = 16,
+    train_pred: str = "TRUE",
+) -> str:
+    """DuckDB mirror of ivf_pq_topk: the shared PQ CTE chain with the
+    ADC top-k readout."""
+    return f"""
+        WITH {_ivf_pq_parts_ctes(m, subdim, n_codes, train_pred)}
         SELECT query_vec_id, vec_id, round(sc, 6) AS pq_cosine, rank
         FROM (SELECT query_vec_id, vec_id,
                      adc / (sqrt(nn) * qnorm) AS sc,
@@ -7608,29 +7677,55 @@ def _ann_ivf_pq_sql(
     """
 
 
+def _ann_ivf_pq_refined_sql(
+    m: int = 8, subdim: int = 8, n_codes: int = 16,
+    shortlist_r: int = 20, k: int = 5,
+) -> str:
+    """DuckDB mirror of ivf_pq_topk_refined: ADC top-R shortlist from
+    the shared PQ CTE chain, exact-cosine re-rank of the shortlist
+    against the float vectors, top-k readout."""
+    return f"""
+        WITH {_ivf_pq_parts_ctes(m, subdim, n_codes)},
+        shortlist AS (
+            SELECT query_vec_id, vec_id FROM (
+                SELECT query_vec_id, vec_id,
+                       row_number() OVER (PARTITION BY query_vec_id
+                           ORDER BY adc / (sqrt(nn) * qnorm) DESC,
+                                    vec_id ASC) AS r
+                FROM parts)
+            WHERE r <= {shortlist_r})
+        SELECT query_vec_id, vec_id, round(cosv, 6) AS cosine, rank
+        FROM (
+            SELECT s.query_vec_id, s.vec_id,
+                   {_cos('e.embedding', 'q.embedding')} AS cosv,
+                   CAST(row_number() OVER (PARTITION BY s.query_vec_id
+                       ORDER BY {_cos('e.embedding', 'q.embedding')} DESC,
+                                s.vec_id ASC) AS INTEGER) AS rank
+            FROM shortlist s
+            JOIN embeddings e ON e.vec_id = s.vec_id
+            JOIN embeddings q ON q.vec_id = s.query_vec_id)
+        WHERE rank <= {k}
+    """
+
+
 def _ann_pq_recall_sql(
     m: int = 8, subdim: int = 8, n_codes: int = 16
 ) -> str:
-    """Recall@5 of IVF-PQ (ADC over the trained codebooks) vs the
-    exact brute-force ranking at nprobe 2 and 8(=all lists): at
-    nprobe=all the gap is PURE quantization loss — the number a user
-    reads to size m/n_codes; at the production nprobe it is the
-    combined pruning+quantization loss.  Shares the PQ train/encode
-    CTE shapes with _ann_ivf_pq_sql and the recall fold with
-    _ann_recall_sql."""
+    """Recall@5 of IVF-PQ vs the exact brute-force ranking at nprobe
+    2 and 8(=all lists), for both the raw ADC ranking and the
+    shortlist(20)-then-exact-refine composition: at (8, adc) the gap
+    is PURE quantization loss — the number a user reads to size
+    m/n_codes; at the production nprobe it is the combined
+    pruning+quantization loss; the refined rows show what the exact
+    re-rank recovers.  Shares the PQ train/encode CTE shapes with
+    _ann_ivf_pq_sql and the recall fold with _ann_recall_sql."""
     d2 = (
         "list_sum(list_transform(range(1, {n}), "
         "i -> (x.xv[i]::DOUBLE - c.cv[i]) * (x.xv[i]::DOUBLE - c.cv[i])))"
     ).format(n=subdim + 1)
-    arms = []
-    for n in (2, 8):
-        arms.append(f"""
-            SELECT {n} AS np, query_vec_id AS qid, vec_id AS vid FROM (
-                SELECT query_vec_id, vec_id,
-                       row_number() OVER (PARTITION BY query_vec_id
-                           ORDER BY adc / (sqrt(nn) * qnorm) DESC,
-                                    vec_id ASC) AS rank
-                FROM (
+
+    def adc_parts(n):
+        return f"""
                     SELECT p.qid AS query_vec_id, l.vec_id,
                            max(p.qnorm) AS qnorm,
                            sum(list_sum(list_transform(
@@ -7644,7 +7739,37 @@ def _ann_pq_recall_sql(
                           WHERE rn <= {n}) p
                     JOIN lists l ON p.cid = l.cid AND l.vec_id != p.qid
                     JOIN codes r ON r.vec_id = l.vec_id
-                    GROUP BY p.qid, l.vec_id))
+                    GROUP BY p.qid, l.vec_id"""
+
+    arms = []
+    for n in (2, 8):
+        arms.append(f"""
+            SELECT {n} AS np, 'adc' AS variant,
+                   query_vec_id AS qid, vec_id AS vid FROM (
+                SELECT query_vec_id, vec_id,
+                       row_number() OVER (PARTITION BY query_vec_id
+                           ORDER BY adc / (sqrt(nn) * qnorm) DESC,
+                                    vec_id ASC) AS rank
+                FROM ({adc_parts(n)}))
+            WHERE rank <= 5""")
+        arms.append(f"""
+            SELECT {n} AS np, 'refined' AS variant,
+                   query_vec_id AS qid, vec_id AS vid FROM (
+                SELECT s.query_vec_id, s.vec_id,
+                       row_number() OVER (PARTITION BY s.query_vec_id
+                           ORDER BY {_cos('e.embedding', 'q.embedding')}
+                                    DESC, s.vec_id ASC) AS rank
+                FROM (
+                    SELECT query_vec_id, vec_id FROM (
+                        SELECT query_vec_id, vec_id,
+                               row_number() OVER (
+                                   PARTITION BY query_vec_id
+                                   ORDER BY adc / (sqrt(nn) * qnorm)
+                                            DESC, vec_id ASC) AS r
+                        FROM ({adc_parts(n)}))
+                    WHERE r <= 20) s
+                JOIN embeddings e ON e.vec_id = s.vec_id
+                JOIN embeddings q ON q.vec_id = s.query_vec_id)
             WHERE rank <= 5""")
     arms_sql = " UNION ALL ".join(arms)
     return f"""
@@ -7712,15 +7837,19 @@ def _ann_pq_recall_sql(
             WHERE rank <= 5),
         appr AS ({arms_sql}),
         hits AS (
-            SELECT a.np, count(*) AS n_hits
+            SELECT a.np, a.variant, count(*) AS n_hits
             FROM appr a JOIN exact x ON a.qid = x.qid AND a.vid = x.vid
-            GROUP BY a.np)
-        SELECT CAST(n.np AS INTEGER) AS nprobe,
+            GROUP BY a.np, a.variant)
+        SELECT CAST(n.np AS INTEGER) AS nprobe, n.variant,
                CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
                round(coalesce(h.n_hits, 0)
                      / (SELECT count(*) FROM exact) + 1e-9, 6) + 0.0 AS recall
-        FROM (SELECT 2 AS np UNION ALL SELECT 8) n
-        LEFT JOIN hits h ON n.np = h.np
+        FROM (SELECT 2 AS np, 'adc' AS variant
+              UNION ALL SELECT 2, 'refined'
+              UNION ALL SELECT 8, 'adc'
+              UNION ALL SELECT 8, 'refined') n
+        LEFT JOIN hits h ON n.np = h.np AND n.variant = h.variant
+        ORDER BY nprobe, n.variant
     """
 
 
@@ -8120,6 +8249,9 @@ def oracle_sql() -> dict[str, str]:
     # the persisted-sidecar path answers the same query as in-memory
     # IVF-PQ (same deterministic train/encode), so the oracle is shared
     out["ann_ivf_pq_indexed"] = out["ann_ivf_pq"]
+    # shortlist-then-refine: ADC top-20 from the shared PQ CTE chain,
+    # exact-cosine re-rank of the shortlist, top-5 out
+    out["ann_ivf_pq_refined"] = _ann_ivf_pq_refined_sql()
     # frozen-codebook append lifecycle: codebooks from the initial
     # half, codes for everything — the oracle mirrors the freeze
     out["ann_ivf_pq_maintained"] = _ann_ivf_pq_sql(

@@ -178,6 +178,8 @@ HEADLINE = [
     "ann_ivf_pq_maintained",
     "dedup_cross_spans_rewrite",
     "v16_rare_categories",
+    # round 12
+    "ann_ivf_pq_refined",
 ]
 
 
@@ -223,6 +225,17 @@ def main() -> None:
     # boundary — recorded separately for them (VERDICT r6 #5) so a
     # probe regression cannot hide under lifecycle noise.  The
     # headline number remains the sum of both phases.
+    #
+    # Construct runs ONCE per lifecycle query (VERDICT r11 #8): the
+    # built artifact (index, matview state) is reused across the
+    # best-of-N reps, which re-execute only the PROBE plan — the
+    # steady-state cost a deployed index actually has, matching the
+    # maintenance_probe convention of the 10x probes.  The recorded
+    # headline value is construct + best probe (one construct per
+    # lifecycle query in the total, as before — just not re-built and
+    # re-thrown-away N times); the spread entries are construct +
+    # probe_i, so the construct component is a single sample and the
+    # spread reflects probe-side noise.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     lifecycle = {
         "ann_ivf_maintained",
@@ -247,30 +260,41 @@ def main() -> None:
     phases: dict[str, dict[str, float]] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best_phases, n = None, 0
-        runs: list[float] = []
-        for _ in range(reps):
+        if name in lifecycle:
             t0 = time.time()
             df = fn(spark, sf_dir)
-            t1 = time.time()
-            n = df.count()
-            t2 = time.time()
-            elapsed = t2 - t0
-            if not runs or elapsed < min(runs):
-                best_phases = (t1 - t0, t2 - t1)
-            runs.append(elapsed)
-        runs.sort()
+            construct = time.time() - t0
+            probes: list[float] = []
+            for _ in range(reps):
+                p0 = time.time()
+                n = df.count()
+                probes.append(time.time() - p0)
+            probes.sort()
+            runs = [construct + p for p in probes]
+            phases[name] = {
+                "construct": round(construct, 3),
+                "query": round(probes[0], 3),
+            }
+        else:
+            best_phases, n = None, 0
+            runs = []
+            for _ in range(reps):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                t1 = time.time()
+                n = df.count()
+                t2 = time.time()
+                elapsed = t2 - t0
+                if not runs or elapsed < min(runs):
+                    best_phases = (t1 - t0, t2 - t1)
+                runs.append(elapsed)
+            runs.sort()
         timings[name] = round(runs[0], 3)
         spreads[name] = {
             "min": round(runs[0], 3),
             "med": round(runs[len(runs) // 2], 3),
             "max": round(runs[-1], 3),
         }
-        if name in lifecycle:
-            phases[name] = {
-                "construct": round(best_phases[0], 3),
-                "query": round(best_phases[1], 3),
-            }
         if name == "stream_drift_ks":
             # the combined read is ONE join of three metadata-sized
             # folds by design; time each lens separately against the

@@ -1369,6 +1369,120 @@ def ivf_pq_topk_indexed(
     )
 
 
+def ivf_pq_topk_refined(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    shortlist_r: int = 20,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Shortlist-then-refine IVF-PQ retrieval — the production
+    composition that recovers most quantization loss for a bounded
+    extra read: (1) ADC-score the probed lists' CODE sidecar exactly
+    as :func:`ivf_pq_topk_indexed` and keep the top ``shortlist_r``
+    candidates per query, (2) re-score ONLY the shortlist exactly on
+    the float vectors, (3) return the exact-cosine top ``k``.
+
+    The refine read stays pruned: float vectors live list-partitioned
+    in the parent IVF index, so step (2) scans the SAME probed lists
+    the code scan did (PartitionFilters on ``list``) and the
+    broadcast semi-join to the (n_queries x shortlist_r)-row shortlist
+    bounds the exact-kernel work — per query the engine reads floats
+    for at most the probed lists and dots at most shortlist_r of them,
+    never the corpus.  With shortlist_r >= k the refined top-k recall
+    is >= the ADC top-k recall at the same nprobe (exact re-ranking
+    can only fix ADC ordering errors inside the shortlist), which
+    ``ann_pq_recall``'s refined arms measure.
+
+    Output: (query_<id_col>, <id_col>, cosine, rank) — the exact
+    cosine, matching ``ivf_topk_indexed``'s schema.
+    """
+    qid = f"query_{id_col}"
+    seeds = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in spark.read.parquet(f"{index_path}/_centroids").collect()
+    )
+    cb_rows = spark.read.parquet(f"{index_path}/_pq/codebooks").collect()
+    m = 1 + max(int(r["s"]) for r in cb_rows)
+    books = [
+        sorted(
+            (int(r["j"]), [float(x) for x in r["center"]])
+            for r in cb_rows
+            if int(r["s"]) == s
+        )
+        for s in range(m)
+    ]
+    subdim = len(books[0][0][1])
+
+    q = queries.select(
+        F.col(id_col).alias(qid),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    q = _with_adc_luts(q, books, subdim)
+    qx = q.select(
+        "*",
+        F.explode(
+            F.array(*_nearest_lists(seeds, F.col("__qvec"), nprobe))
+        ).alias("list"),
+    )
+    probed = sorted(
+        {r["list"] for r in qx.select("list").distinct().collect()}
+    )
+    codes = spark.read.parquet(f"{index_path}/_pq/codes").filter(
+        F.col("list").isin(probed)
+    )
+    cand = codes.join(F.broadcast(qx), on="list").filter(
+        F.col(id_col) != F.col(qid)
+    )
+    adc, recon_norm2 = _adc_expressions(books, "pq_codes")
+    scored = cand.select(
+        qid,
+        id_col,
+        F.col("__qvec"),
+        F.col("__qnorm"),
+        (adc / (F.sqrt(recon_norm2) * F.col("__qnorm"))).alias(
+            "__pq_cosine"
+        ),
+    )
+    w = Window.partitionBy(qid).orderBy(
+        F.col("__pq_cosine").desc(), F.col(id_col).asc()
+    )
+    shortlist = (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= shortlist_r)
+        .select(qid, id_col, "__qvec", "__qnorm")
+    )
+    floats = (
+        spark.read.parquet(index_path)
+        .filter(F.col("list").isin(probed))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm(F.col(vec_col)).alias("__cnorm"),
+        )
+    )
+    refined = floats.join(F.broadcast(shortlist), on=id_col).select(
+        qid,
+        id_col,
+        cosine_from_norms(
+            F.col(vec_col),
+            F.col("__qvec"),
+            F.col("__cnorm"),
+            F.col("__qnorm"),
+        ).alias("cosine"),
+    )
+    w2 = Window.partitionBy(qid).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return refined.withColumn("rank", F.row_number().over(w2)).filter(
+        F.col("rank") <= k
+    )
+
+
 def append_pq_sidecar(
     spark,
     new_vectors: DataFrame,
