@@ -5487,6 +5487,26 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_bpe(docs, num_merges=12).orderBy("iteration")
 
 
+def q_text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (ops/unigram.py:train_unigram) —
+    the SentencePiece-style complement to BPE (Kudo 2018), Viterbi-EM
+    variant: one corpus pass builds the word-frequency table, the seed
+    vocabulary is one substring aggregate over it, then each EM round
+    is ONE Arrow-batched Viterbi map over the |vocab|-sized word table
+    feeding a piece-keyed mergeable integer sum, with driver state
+    bounded by seed_cap.  Output: the (piece, count, logprob) table a
+    unigram tokenizer ships.  No SQL twin (iterative, data-dependent
+    segmentations per step): rows-only driver check; exact-parity
+    battery hash via the python oracle + tests/test_unigram.py, the
+    text_bpe_train pattern."""
+    from recover_spark.ops.unigram import train_unigram
+
+    docs = _load(spark, sf_dir, "documents")
+    return train_unigram(
+        docs, vocab_size=120, max_piece_len=4, n_iterations=2
+    )
+
+
 def q_decontam_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy decontamination (ops/decontam.py:fuzzy_benchmark_overlap):
     corpus documents that are MinHash near-duplicates of a held-out
@@ -7251,6 +7271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": q_text_bm25,
         "sample_importance": q_sample_importance,
         "text_bpe_train": q_text_bpe_train,
+        "text_unigram_train": q_text_unigram_train,
         "decontam_fuzzy": q_decontam_fuzzy,
         "text_lm_bigram": q_text_lm_bigram,
         "skew_hitters_sketch": q_skew_hitters_sketch,
@@ -13258,6 +13279,109 @@ def _py_oracle_bpe_train(con, sf_dir: str):
     return ["iteration", "left", "right", "merged", "weight"], rows
 
 
+def _py_oracle_unigram_train(con, sf_dir: str):
+    """Independent Viterbi-EM unigram trainer (the tests/test_unigram.py
+    reference algorithm, fed from DuckDB): vocab_size 120, piece length
+    <= 4, 2 EM rounds, min_count 2, seed_cap 8*vocab — must reproduce
+    ops/unigram.py:train_unigram bit-exactly, including the split-point-
+    ascending strict-improvement Viterbi tie rule, the single-char
+    effective-count floor, and the log(eff)-log(total) form."""
+    import math as _m
+    import re
+    from collections import Counter
+
+    vocab_size, max_len, n_iters, min_count = 120, 4, 2, 2
+    seed_cap = 8 * vocab_size
+    texts = [
+        r[0] for r in con.execute("SELECT text FROM documents").fetchall()
+    ]
+    words: Counter = Counter()
+    for t in texts:
+        for w in re.split(r"[^a-z0-9']+", (t or "").lower()):
+            if w:
+                words[w] += 1
+    seed: Counter = Counter()
+    for w, c in words.items():
+        for i in range(len(w)):
+            for ln in range(1, min(max_len, len(w) - i) + 1):
+                seed[w[i : i + ln]] += c
+    chars = {p for p in seed if len(p) == 1}
+    vocab = {p: seed[p] for p in chars}
+    vocab.update(
+        dict(
+            sorted(
+                (
+                    (p, n)
+                    for p, n in seed.items()
+                    if len(p) > 1 and n >= min_count
+                ),
+                key=lambda x: (-x[1], x[0]),
+            )[:seed_cap]
+        )
+    )
+
+    def logprobs(v):
+        eff = {
+            p: (max(c, 1) if len(p) == 1 else c) for p, c in v.items()
+        }
+        lt = _m.log(sum(eff.values()))
+        return {p: _m.log(e) - lt for p, e in eff.items()}
+
+    def viterbi(word, lp):
+        n = len(word)
+        score = {0: 0.0}
+        prev = {}
+        for i in range(1, n + 1):
+            for ln in range(min(max_len, i), 0, -1):
+                j = i - ln
+                if j not in score:
+                    continue
+                p = lp.get(word[j:i])
+                if p is None:
+                    continue
+                s = score[j] + p
+                if i not in score or s > score[i]:
+                    score[i] = s
+                    prev[i] = j
+        if n not in score:
+            return list(word)
+        out = []
+        i = n
+        while i:
+            j = prev[i]
+            out.append(word[j:i])
+            i = j
+        return out[::-1]
+
+    for it in range(n_iters):
+        lp = logprobs(vocab)
+        counts: Counter = Counter()
+        for w, c in words.items():
+            for p in viterbi(w, lp):
+                counts[p] += c
+        target = (
+            vocab_size
+            if it == n_iters - 1
+            else max(vocab_size, int(_m.ceil(len(vocab) * 0.75)))
+        )
+        keep = sorted(
+            (
+                (p, n)
+                for p, n in counts.items()
+                if len(p) > 1 and n > 0
+            ),
+            key=lambda x: (-x[1], x[0]),
+        )[: max(0, target - len(chars))]
+        vocab = {p: counts.get(p, 0) for p in chars}
+        vocab.update(dict(keep))
+    lp = logprobs(vocab)
+    rows = sorted(
+        ((p, c, round(lp[p], 8)) for p, c in vocab.items()),
+        key=lambda x: (-x[1], x[0]),
+    )
+    return ["piece", "count", "logprob"], rows
+
+
 def _py_oracle_quality_train(con, sf_dir: str):
     """Independent full-batch logistic-regression trainer: features and
     labels come from the SAME DuckDB feature SQL the hash-verified
@@ -13325,5 +13449,6 @@ def oracle_py() -> dict:
     order-insensitive value hash), executed by the local battery."""
     return {
         "text_bpe_train": _py_oracle_bpe_train,
+        "text_unigram_train": _py_oracle_unigram_train,
         "text_quality_train": _py_oracle_quality_train,
     }

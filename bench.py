@@ -180,6 +180,7 @@ HEADLINE = [
     "v16_rare_categories",
     # round 12
     "ann_ivf_pq_refined",
+    "text_unigram_train",
 ]
 
 

@@ -426,6 +426,48 @@ class TestDistinctMatview:
             assert abs(got[g].approx_distinct - exact) / exact < 0.05
         assert sum(r.n_rows for r in got.values()) == 20_000
 
+    def test_merge_is_associative_and_order_free(self, spark, tmp_path):
+        # HLL register union is max-per-register: associative AND
+        # commutative, so ANY merge order/grouping of the same batches
+        # must land on the identical state (VERDICT r11 #4).  Exact
+        # equality, not tolerance — order-dependence would be a bug.
+        from recover_spark.streaming.matview import (
+            merge_distinct_sketches,
+            read_distinct_matview,
+        )
+
+        batches = [
+            spark.range(i * 4000, (i + 1) * 4000).select(
+                (F.col("id") % 3).cast("string").alias("g"),
+                (F.col("id") % 2311).alias("u"),
+            )
+            for i in range(3)
+        ]
+
+        def run(name, parts):
+            state = str(tmp_path / name)
+            for j, b in enumerate(parts):
+                merge_distinct_sketches(spark, b, state, ["g"], "u",
+                                        batch_id=j)
+            return tuple(sorted(
+                (r.g, r.approx_distinct, r.n_rows)
+                for r in read_distinct_matview(spark, state).collect()
+            ))
+
+        import itertools
+
+        results = {
+            run(f"perm{''.join(map(str, p))}",
+                [batches[i] for i in p])
+            for p in itertools.permutations(range(3))
+        }
+        # grouping-free too: (b0 u b1) then b2 == b0 then (b1 u b2)
+        results.add(run("grp_left", [batches[0].unionAll(batches[1]),
+                                     batches[2]]))
+        results.add(run("grp_right", [batches[0],
+                                      batches[1].unionAll(batches[2])]))
+        assert len(results) == 1
+
     def test_replay_is_idempotent(self, spark, tmp_path):
         from recover_spark.streaming.matview import (
             merge_distinct_sketches,

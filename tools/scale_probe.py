@@ -163,6 +163,11 @@ PROBES = [
     # their first call at 10x would time the index+sidecar BUILD, so
     # they are probed bespoke (build first, then time the probe) with
     # results in SCALE.md — the maintenance_probe convention
+    # round 12
+    "stream_hll_matview",   # 4-batch per-key HLL register fold + estimate read
+    "text_unigram_train",   # word-table EM: Viterbi map + piece-keyed sums
+    # ann_ivf_pq_refined answers from the persisted index — probed
+    # bespoke like ann_ivf_pq_indexed (SCALE.md)
 ]
 
 
