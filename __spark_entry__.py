@@ -7423,73 +7423,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_heartbeat_matview": q_stream_heartbeat_matview,
     }
     # Rotation order for the driver's 50-entry correctness capture,
-    # STALENESS-WEIGHTED this round (VERDICT r10 #7): lead with (a)
-    # queries new or touched by round-11 work (IVF-PQ family, recall,
-    # cross-doc spans, the advice-fix surfaces — gap/resample floor
-    # bucketing, midrank-family pinning), then (b) the queries whose
-    # most recent driver capture is OLDEST, computed from the
-    # CORRECTNESS_r*.json history: the round-1 captures first (shared
-    # machinery has been edited for ten rounds since), then round-3.
+    # STALENESS-WEIGHTED (standing rule since r11, VERDICT r10 #7):
+    # lead with (a) queries new or touched by round-12 work (refine
+    # stage, recall schema growth, rewrite passthrough, bucket-0
+    # histogram, labeled-subgraph modularity, explicit-broadcast stats,
+    # the distinct-sketch family), then (b) queries NEVER driver-
+    # captured (r11 additions past the 50-cut), then (c) the queries
+    # whose most recent capture is OLDEST, computed from the
+    # CORRECTNESS_r*.json history (round-4 captures lead now that the
+    # round-1/3 backlog cleared in r11).
     # tools/check_correctness.py re-runs ALL entries regardless.
     front = [
-        # (a) new / touched this round — agg_stats_moments leads: its
-        # HASHED SURFACE changed (sd_price replaces the ~4e8 var_price
-        # the round-11 magnitude scan flagged — the sum-magnitude rule)
-        "agg_stats_moments",
+        # (a) new / touched this round (r12): the refine stage, the
+        # recall surface whose SCHEMA grew refined arms, the rewrite
+        # whose schema grew passthrough columns, the bucket-0
+        # histogram, the labeled-subgraph modularity, the two
+        # explicit-broadcast stats queries, and the distinct-sketch
+        # family named by verdict task 4
+        "ann_ivf_pq_refined",
+        "ann_pq_recall",
+        "dedup_cross_spans_rewrite",
+        "text_length_histogram",
+        "graph_modularity",
+        "transform_standardize",
+        "agg_moments",
+        "stream_hll_matview",
+        "agg_hll_rollup",
         "ann_ivf_pq",
         "ann_ivf_pq_indexed",
-        "ann_recall",
-        "dedup_cross_spans",
-        "ts_gaps",
-        "ts_resample",
-        "agg_spearman",
-        "agg_auc",
-        "agg_avg_precision",
-        "transform_rank_normalize",
-        "agg_moments",
-        "transform_standardize",
-        "sample_group_topk",
-        # (b) stalest driver captures (round 1, then round 3)
-        "a4_duplicate_keys",
-        "a5_group_collect",
-        "a6_union_ledgers",
-        "agg_conditional",
-        "agg_distinct_stats",
-        "agg_rollup",
-        "ann_topk",
-        "dedup_minhash",
-        "dedup_simhash",
-        "doc_fingerprint",
-        "join_salted_skew",
-        "join_semi_exists",
-        "mm_audio_chunks",
-        "mm_features",
-        "mm_frames",
-        "p10_cohort",
-        "p3_json_struct",
-        "p4_defensive_json",
-        "p5_map_normalize",
-        "p6_filename_meta",
-        "p7_flatten",
-        "s2_resolve_choice",
-        "stream_sessionize",
-        "stream_window_counts",
-        "text_langid",
-        "text_quality_filter",
-        "text_stats",
-        "v1_range_check",
-        "v3_suite",
-        "win_moving_avg",
-        "win_topk_priority",
-        "emb_kmeans",
-        "text_pii_redact",
-        "text_repetition",
-        "text_vocab",
-        # (b cont.) oldest round-4 captures to fill the 50
-        "a1_stage_counts",
+        "ann_ivf_pq_maintained",
+        # (b) never driver-captured (r11 additions past the 50-cut)
+        "agg_contingency_residuals",
+        "dedup_lsh_recall",
+        "emb_drift",
+        "emb_outliers",
+        "stream_emb_drift_matview",
+        "v16_rare_categories",
+        # (c) stalest captures (round 4), alphabetical, to fill 50 —
+        # computed from the CORRECTNESS_r*.json capture history
         "agg_custdist",
         "agg_disjunctive",
         "agg_important_stock",
+        "agg_pricing_summary",
+        "agg_promo_revenue",
+        "agg_sales_opportunity",
+        "agg_small_qty_revenue",
+        "agg_supplier_variety",
+        "ann_ivf",
+        "ann_ivf_indexed",
+        "ann_ivf_quantized",
+        "ann_lsh",
+        "decontaminate",
+        "dedup_canonical",
+        "dedup_clusters",
+        "dedup_embedding",
+        "dedup_embedding_gemm",
+        "dedup_exact",
+        "dedup_jaccard",
+        "dedup_minhash_lsh",
+        "emb_centroids",
+        "j1_anti_delete",
+        "j2_child_rekey",
+        "j3_diff",
+        "j4_audit_merge",
+        "join_anti_bloom",
+        "join_asof",
+        "join_large_orders",
+        "join_late_shipments",
+        "join_market_share",
+        "join_nation_revenue",
+        "join_part_promotion",
     ]
     assert all(k in base for k in front), "rotation names must exist"
     return {k: base[k] for k in front} | {
