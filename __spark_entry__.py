@@ -6082,6 +6082,35 @@ def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "hour")
 
 
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series best changepoint by exact SSE reduction
+    (operators/temporal.py:changepoint_binary) — the binary-
+    segmentation step: WHERE to cut each event type's hourly-rate
+    series so within-segment variance drops the most, with the gain
+    and the two segment means.  CUSUM (ts_cusum) monitors; this picks
+    the retrospective era cut.  One key-partitioned exchange: prefix
+    sums and per-key totals share the window sort, argmax on the
+    ROUNDED gain (ties -> earliest hour) is a per-key top-1."""
+    from recover_spark.operators.temporal import changepoint_binary
+
+    events = _load(spark, sf_dir, "events")
+    series = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n_events"))
+    out = changepoint_binary(
+        series, ["event_type"], ["hour"], "n_events", min_segment=24
+    )
+    return out.select(
+        "event_type",
+        _ts(F.col("split_hour"), "split_hour"),
+        "gain",
+        "n_left",
+        "n_right",
+        "mean_left",
+        "mean_right",
+    ).orderBy("event_type")
+
+
 def q_v10_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded drift metrics (quality/drift.py:js_drift): Jensen-
     Shannon divergence (log base 2, [0, 1]) + Hellinger distance of
@@ -6866,6 +6895,23 @@ def q_text_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lexical_diversity(docs, ["source"], "text").orderBy("source")
 
 
+def q_text_keywords_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction per source (ops/text_analysis.py:
+    textrank_keywords): PageRank (4 fixed power steps, damping 0.85)
+    over the adjacent-co-occurrence term graph of length>=3 tokens —
+    the unsupervised keyword surface next to TF-IDF.  One corpus pass
+    to the pair aggregate; every iteration is a (source, term)-keyed
+    equi-join + mergeable sum over vocabulary-sized frames; top-5 by
+    ROUNDED score (term-asc ties)."""
+    from recover_spark.ops.text_analysis import textrank_keywords
+
+    docs = _load(spark, sf_dir, "documents")
+    return textrank_keywords(
+        docs, "source", top_k=5, damping=0.85, iterations=4,
+        min_term_len=3,
+    )
+
+
 def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit over the corpus vocabulary
     (ops/text_analysis.py:zipf_fit): one vocabulary aggregate, a
@@ -7258,6 +7304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_assoc_matrix": q_agg_assoc_matrix,
         "ts_autocorr": q_ts_autocorr,
         "ts_cusum": q_ts_cusum,
+        "ts_changepoint": q_ts_changepoint,
+        "text_keywords_textrank": q_text_keywords_textrank,
         "v10_drift_js": q_v10_drift_js,
         "stream_drift_ks": q_stream_drift_ks,
         "v6_drift_categorical": q_v6_drift_categorical,
@@ -7535,6 +7583,81 @@ def _cos(a: str, b: str, dim: int = 64) -> str:
         )
 
     return f"({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})))"
+
+
+def _textrank_oracle_sql(
+    top_k: int = 5, damping: float = 0.85, iterations: int = 4,
+    min_len: int = 3,
+) -> str:
+    """DuckDB mirror of textrank_keywords: same filtered-adjacency
+    graph, the same fixed power steps as chained CTEs, the same
+    rounded-score top-k.  The teleport constant is emitted as the
+    Python double ``1.0 - damping`` (repr), so both engines damp with
+    the bit-identical factor."""
+    d = repr(float(damping))
+    t = repr(1.0 - float(damping))
+    iters = []
+    prev = "r0"
+    for it in range(1, iterations + 1):
+        cur = f"r{it}"
+        iters.append(f"""
+        {cur} AS (
+            SELECT o.source, o.u AS node,
+                   {t} / g.n + {d} * coalesce(c.c, 0) AS r
+            FROM outw o
+            JOIN ng g ON o.source = g.source
+            LEFT JOIN (
+                SELECT tr.source, tr.v AS node, sum(tr.p * pr.r) AS c
+                FROM trans tr
+                JOIN {prev} pr ON tr.source = pr.source
+                              AND tr.u = pr.node
+                GROUP BY tr.source, tr.v) c
+              ON o.source = c.source AND o.u = c.node)""")
+        prev = cur
+    iters_sql = ",".join(iters)
+    return f"""
+        WITH tk AS (
+            SELECT source,
+                   list_filter(
+                       list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9'']+'),
+                           x -> len(x) > 0),
+                       x -> len(x) >= {min_len}) AS t
+            FROM documents),
+        pairs AS (
+            SELECT source, t[u.i] AS u, t[u.i + 1] AS v
+            FROM tk, UNNEST(CASE WHEN len(t) >= 2 THEN range(1, len(t))
+                            ELSE []::BIGINT[] END) AS u(i)
+            WHERE t[u.i] <> t[u.i + 1]),
+        pw AS (SELECT source, u, v, CAST(count(*) AS DOUBLE) AS w
+               FROM pairs GROUP BY source, u, v),
+        und AS (
+            SELECT source, u, v, sum(w) AS w FROM (
+                SELECT source, u, v, w FROM pw
+                UNION ALL
+                SELECT source, v AS u, u AS v, w FROM pw)
+            GROUP BY source, u, v),
+        outw AS (SELECT source, u, sum(w) AS ow
+                 FROM und GROUP BY source, u),
+        trans AS (
+            SELECT n.source, n.u, n.v, n.w / o.ow AS p
+            FROM und n JOIN outw o ON n.source = o.source AND n.u = o.u),
+        ng AS (SELECT source, CAST(count(*) AS DOUBLE) AS n
+               FROM outw GROUP BY source),
+        r0 AS (
+            SELECT o.source, o.u AS node, 1.0 / g.n AS r
+            FROM outw o JOIN ng g ON o.source = g.source),
+        {iters_sql}
+        SELECT source, node AS term, score, rank FROM (
+            SELECT source, node,
+                   round(r + 1e-12, 7) + 0.0 AS score,
+                   CAST(row_number() OVER (PARTITION BY source
+                       ORDER BY round(r + 1e-12, 7) DESC, node ASC)
+                       AS INT) AS rank
+            FROM {prev})
+        WHERE rank <= {top_k}
+        ORDER BY source, rank
+    """
 
 
 def _ann_recall_sql() -> str:
@@ -8282,6 +8405,7 @@ def oracle_sql() -> dict[str, str]:
         train_pred="x.vec_id < (SELECT count(*) // 2 FROM embeddings)"
     )
     out["dedup_lsh_recall"] = _lsh_recall_sql()
+    out["text_keywords_textrank"] = _textrank_oracle_sql()
     out["ann_pq_recall"] = _ann_pq_recall_sql()
     out["emb_drift"] = f"""
         WITH c AS (
@@ -11497,6 +11621,46 @@ def _oracle_sql_literal() -> dict[str, str]:
                        AS is_change
             FROM c
             ORDER BY event_type, hour
+        """,
+        "ts_changepoint": """
+            WITH series AS (
+                SELECT event_type, date_trunc('hour', ts) AS hour,
+                       CAST(count(*) AS DOUBLE) AS x
+                FROM events GROUP BY 1, 2),
+            pre AS (
+                SELECT event_type, hour,
+                       sum(x) OVER wr AS s,
+                       sum(x * x) OVER wr AS s2,
+                       count(*) OVER wr AS i,
+                       sum(x) OVER wa AS st,
+                       sum(x * x) OVER wa AS st2,
+                       count(*) OVER wa AS n
+                FROM series
+                WINDOW wr AS (PARTITION BY event_type ORDER BY hour
+                              ROWS UNBOUNDED PRECEDING),
+                       wa AS (PARTITION BY event_type ORDER BY hour
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)),
+            cand AS (
+                SELECT event_type, hour,
+                       round(st2 - st * st / n
+                             - (s2 - s * s / i)
+                             - ((st2 - s2)
+                                - (st - s) * (st - s) / (n - i))
+                             + 1e-9, 6) + 0.0 AS gain,
+                       CAST(i AS BIGINT) AS n_left,
+                       CAST(n - i AS BIGINT) AS n_right,
+                       round(s / i + 1e-9, 6) + 0.0 AS mean_left,
+                       round((st - s) / (n - i) + 1e-9, 6) + 0.0
+                           AS mean_right
+                FROM pre WHERE i >= 24 AND n - i >= 24)
+            SELECT event_type,
+                   strftime(hour, '%Y-%m-%d %H:%M:%S') AS split_hour,
+                   gain, n_left, n_right, mean_left, mean_right
+            FROM cand
+            QUALIFY row_number() OVER (PARTITION BY event_type
+                ORDER BY gain DESC, hour ASC) = 1
+            ORDER BY event_type
         """,
         "v10_drift_js": _js_oracle_sql(
             ["l_extendedprice", "l_quantity", "l_discount"],

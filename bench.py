@@ -181,6 +181,8 @@ HEADLINE = [
     # round 12
     "ann_ivf_pq_refined",
     "text_unigram_train",
+    "ts_changepoint",
+    "text_keywords_textrank",
 ]
 
 

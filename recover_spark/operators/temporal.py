@@ -1913,6 +1913,111 @@ def cusum_changepoints(
     )
 
 
+def changepoint_binary(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_cols: Sequence[str],
+    value_col: str,
+    min_segment: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key single best changepoint by EXACT SSE reduction — the
+    binary-segmentation step (Scott & Knott; the building block of
+    PELT-family detectors): the split position that most reduces
+    total within-segment squared error,
+
+        gain(k) = SSE(all) - SSE(first k) - SSE(rest),
+        SSE(seg) = sum(v²) - (sum v)² / n,
+
+    maximized over k in [min_segment, n - min_segment].  CUSUM
+    (``cusum_changepoints``) flags THAT and roughly WHERE a level
+    shifted as a sequential monitor; this gives the single best
+    retrospective split with its variance-explained gain — the
+    number an era-cut (train/validation boundary, drift epoch) is
+    chosen by.
+
+    Engine shape: ONE key-partitioned exchange; running prefix sums
+    (sum v, sum v², row index) and the per-key totals ride the same
+    (partition, order) window spec, so the planner keeps a single
+    sort; gain is map-side arithmetic per row and the winner is a
+    per-key top-1 window (WindowGroupLimit, no second shuffle).
+    Determinism: the argmax compares the ROUNDED gain (ties -> the
+    earliest split in ``order_cols``), so the verdict is reproducible
+    across engines — the emb_outliers rounded-comparison contract;
+    prefix sums accumulate left-to-right identically in any
+    windowed-SQL engine.
+
+    Keys with fewer than ``2 * min_segment`` observations emit no row
+    (no valid split).  Output: key_cols + (split_at = order_cols of
+    the LAST left-segment row, n_left, n_right, mean_left, mean_right,
+    gain), one row per key.
+
+    At 100 TB the shuffle is keyed on the series id — the standard
+    per-series window class (ts_cusum, scd2_history); a single series
+    too large for one task should be pre-aggregated to a coarser
+    bucket grain first (the hourly-series pattern the exposed query
+    uses).
+    """
+    keys = list(key_cols)
+    order = list(order_cols)
+    v = F.col(value_col).cast("double")
+    w_run = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    pre = df.select(
+        *keys,
+        *(F.col(c) for c in order),
+        F.sum(v).over(w_run).alias("__ls"),
+        F.sum(v * v).over(w_run).alias("__ls2"),
+        F.count(F.lit(1)).over(w_run).alias("__i"),
+        F.sum(v).over(w_all).alias("__ts"),
+        F.sum(v * v).over(w_all).alias("__ts2"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    )
+    i = F.col("__i").cast("double")
+    n = F.col("__n").cast("double")
+    sse_all = F.col("__ts2") - F.col("__ts") * F.col("__ts") / n
+    sse_l = F.col("__ls2") - F.col("__ls") * F.col("__ls") / i
+    r_s = F.col("__ts") - F.col("__ls")
+    r_s2 = F.col("__ts2") - F.col("__ls2")
+    sse_r = r_s2 - r_s * r_s / (n - i)
+    gain = F.round(sse_all - sse_l - sse_r + F.lit(1e-9), round_digits)
+    m = int(min_segment)
+    cand = pre.filter(
+        (F.col("__i") >= m) & (F.col("__n") - F.col("__i") >= m)
+    ).select(
+        *keys,
+        *(F.col(c) for c in order),
+        gain.alias("gain"),
+        F.col("__i").cast("long").alias("n_left"),
+        (F.col("__n") - F.col("__i")).cast("long").alias("n_right"),
+        F.round(F.col("__ls") / i + F.lit(1e-9), round_digits).alias(
+            "mean_left"
+        ),
+        F.round(r_s / (n - i) + F.lit(1e-9), round_digits).alias(
+            "mean_right"
+        ),
+    )
+    w_pick = Window.partitionBy(*keys).orderBy(
+        F.col("gain").desc(), *[F.col(c).asc() for c in order]
+    )
+    return (
+        cand.withColumn("__rk", F.row_number().over(w_pick))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+        .withColumnsRenamed({c: f"split_{c}" for c in order})
+    )
+
+
 def mad_anomalies(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -1238,3 +1238,131 @@ def token_length_histogram(
             F.col("n_docs") / F.sum("n_docs").over(w) + F.lit(1e-9), 6
         ).alias("doc_share"),
     ).orderBy(group_col, "bucket")
+
+
+def textrank_keywords(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 5,
+    damping: float = 0.85,
+    iterations: int = 4,
+    min_term_len: int = 3,
+    round_digits: int = 7,
+) -> DataFrame:
+    """TextRank keyword extraction per group (Mihalcea & Tarau 2004):
+    PageRank over the term co-occurrence graph — the unsupervised
+    keyword surface a corpus card ships next to TF-IDF (TF-IDF ranks
+    terms a DOC uses unusually often; TextRank ranks terms the
+    group's text keeps using NEXT TO other central terms).
+
+    Graph: terms of length >= ``min_term_len`` (filtered BEFORE
+    pairing, so terms separated only by short/stop tokens become
+    adjacent — the standard TextRank windowing over the filtered
+    sequence), undirected edges weighted by adjacent co-occurrence
+    count, one graph per group.  Terms with no surviving neighbor are
+    not in the graph (a rank needs edges).
+
+    Engine shape: ONE corpus pass to the (group, a, b, w) pair
+    aggregate (the collocations shape, map-side partials); the
+    transition table and per-group node counts are vocabulary-sized;
+    each of the ``iterations`` fixed power steps is one
+    (group, node)-keyed equi-join + one mergeable aggregate — never a
+    window over the edge list, no driver actions inside the loop (the
+    ops/graph.py:pagerank discipline; no dangling-mass term because
+    every graph node has degree >= 1 by construction).  Scores are
+    ROUNDED before the per-group top-k (score DESC, term ASC), the
+    emb_outliers cross-engine comparison contract.
+
+    Output: (group, term, score, rank), rank 1..top_k per group.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    if iterations < 1 or top_k < 1:
+        raise ValueError("iterations and top_k must be >= 1")
+    g = F.col(group_col)
+    filtered = F.filter(
+        tokens(F.col(text_col)), lambda t: F.length(t) >= min_term_len
+    )
+    tokd = df.select(g.alias("__g"), filtered.alias("__t"))
+    pairs = (
+        tokd.select(
+            "__g",
+            F.explode(
+                F.expr(
+                    "zip_with("
+                    " slice(__t, 1, greatest(0, size(__t) - 1)),"
+                    " slice(__t, 2, greatest(0, size(__t) - 1)),"
+                    " (a, b) -> named_struct('u', a, 'v', b))"
+                )
+            ).alias("p"),
+        )
+        .filter(F.col("p.u") != F.col("p.v"))
+        .groupBy("__g", F.col("p.u").alias("__u"), F.col("p.v").alias("__v"))
+        .agg(F.count(F.lit(1)).cast("double").alias("__w"))
+    )
+    und = (
+        pairs.select("__g", "__u", "__v", "__w")
+        .unionAll(
+            pairs.select(
+                "__g", F.col("__v").alias("__u"),
+                F.col("__u").alias("__v"), "__w",
+            )
+        )
+        .groupBy("__g", "__u", "__v")
+        .agg(F.sum("__w").alias("__w"))
+    )
+    outw = und.groupBy("__g", "__u").agg(F.sum("__w").alias("__ow"))
+    trans = (
+        und.join(outw, ["__g", "__u"])
+        .select(
+            "__g", "__u", "__v", (F.col("__w") / F.col("__ow")).alias("__p")
+        )
+        .localCheckpoint(eager=False)
+    )
+    nodes = outw.select("__g", F.col("__u").alias("__node"))
+    n_g = nodes.groupBy("__g").agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    d = float(damping)
+    ranks = nodes.join(n_g, "__g").select(
+        "__g", "__node", (F.lit(1.0) / F.col("__n")).alias("__r")
+    )
+    for _ in range(int(iterations)):
+        contrib = (
+            trans.join(
+                ranks.select(
+                    "__g", F.col("__node").alias("__u"), "__r"
+                ),
+                ["__g", "__u"],
+            )
+            .groupBy("__g", F.col("__v").alias("__node"))
+            .agg(F.sum(F.col("__p") * F.col("__r")).alias("__c"))
+        )
+        ranks = (
+            nodes.join(n_g, "__g")
+            .join(contrib, ["__g", "__node"], "left")
+            .select(
+                "__g",
+                "__node",
+                (
+                    (1.0 - d) / F.col("__n")
+                    + d * F.coalesce(F.col("__c"), F.lit(0.0))
+                ).alias("__r"),
+            )
+        )
+    scored = ranks.select(
+        F.col("__g").alias(group_col),
+        F.col("__node").alias("term"),
+        F.round(F.col("__r") + F.lit(1e-12), round_digits).alias("score"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(top_k))
+        .orderBy(group_col, "rank")
+    )

@@ -166,6 +166,8 @@ PROBES = [
     # round 12
     "stream_hll_matview",   # 4-batch per-key HLL register fold + estimate read
     "text_unigram_train",   # word-table EM: Viterbi map + piece-keyed sums
+    "ts_changepoint",       # one keyed exchange: prefix sums + top-1 window
+    "text_keywords_textrank",  # pair aggregate + 4 vocab-sized power steps
     # ann_ivf_pq_refined answers from the persisted index — probed
     # bespoke like ann_ivf_pq_indexed (SCALE.md)
 ]
