@@ -822,6 +822,106 @@ def q_ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_cm_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point-frequency sketch (ops/cmsketch.py): per-event-
+    type 4x64 cell table from ONE depth-exploded aggregate, point
+    estimates for the user_id < 8 key set as a min-fold over the
+    queried cells.  The md5-derived hash family is engine-portable,
+    so the ORACLE REBUILDS THE WHOLE SKETCH and the estimates hash
+    EXACTLY — no tolerance flag; the exact counts ride along with the
+    never-underestimates guarantee as a pinned-TRUE column."""
+    from recover_spark.ops.cmsketch import cm_build, cm_estimate
+
+    events = _load(spark, sf_dir, "events")
+    state = cm_build(events, ["event_type"], "user_id", depth=4, width=64)
+    queries = (
+        events.filter(F.col("user_id") < 8)
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    est = cm_estimate(state, queries, ["event_type"], "user_id", 4, 64)
+    exact = (
+        events.filter(F.col("user_id") < 8)
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    return (
+        est.join(exact, ["event_type", "user_id"])
+        .select(
+            "event_type",
+            "user_id",
+            "cm_count",
+            "n_exact",
+            (F.col("cm_count") >= F.col("n_exact")).alias(
+                "never_underestimates"
+            ),
+        )
+        .orderBy("event_type", "user_id")
+    )
+
+
+def q_stream_cm_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained count-min sketch: per-event-type cell
+    counters folded across a four-file availableNow stream
+    (streaming/matview.py:maintain_cm_matview) — cells are plain sums,
+    so the stream rides the merge_counts machinery (batch-id replay
+    guard, generation swap) and the streamed state answers point
+    queries IDENTICALLY to a one-shot batch build; the oracle is the
+    batch sketch, maintenance invisible."""
+    import uuid
+
+    from recover_spark.streaming.matview import (
+        maintain_cm_matview,
+        read_cm_matview,
+    )
+
+    run_dir = f"spark-warehouse/matview_cm_q/{uuid.uuid4().hex}"
+    src = f"{run_dir}/src"
+    events = _load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, event_type string, user_id long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_cm_matview(
+        stream, f"{run_dir}/state", f"{run_dir}/ckpt",
+        ["event_type"], "user_id", depth=4, width=64,
+    )
+    q.awaitTermination(300)
+    queries = (
+        events.filter(F.col("user_id") < 8)
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    est = read_cm_matview(
+        spark, f"{run_dir}/state", queries, ["event_type"], "user_id",
+        depth=4, width=64,
+    )
+    exact = (
+        events.filter(F.col("user_id") < 8)
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    )
+    return (
+        est.join(exact, ["event_type", "user_id"])
+        .select(
+            "event_type",
+            "user_id",
+            "cm_count",
+            "n_exact",
+            (F.col("cm_count") >= F.col("n_exact")).alias(
+                "never_underestimates"
+            ),
+        )
+        .orderBy("event_type", "user_id")
+    )
+
+
 def q_v3_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3 — expectation-suite runner (one aggregate pass), results as a
     DataFrame (run_great_expectations_on_parquet.py:223-277)."""
@@ -7306,6 +7406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_cusum": q_ts_cusum,
         "ts_changepoint": q_ts_changepoint,
         "text_keywords_textrank": q_text_keywords_textrank,
+        "agg_cm_frequency": q_agg_cm_frequency,
+        "stream_cm_matview": q_stream_cm_matview,
         "v10_drift_js": q_v10_drift_js,
         "stream_drift_ks": q_stream_drift_ks,
         "v6_drift_categorical": q_v6_drift_categorical,
@@ -7583,6 +7685,56 @@ def _cos(a: str, b: str, dim: int = 64) -> str:
         )
 
     return f"({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})))"
+
+
+def _cm_oracle_sql(depth: int = 4, width: int = 64) -> str:
+    """DuckDB mirror of the count-min sketch: the hash family is the
+    portable md5-derived hash32 (salt 'cm<row>'), so the oracle
+    rebuilds the identical cell table and the estimates hash exactly."""
+
+    def h(i: int) -> str:
+        return (
+            "CAST(concat('0x', substr(md5(concat('cm"
+            + str(i)
+            + "', '|', CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) % "
+            + str(width)
+        )
+
+    cell_src = " UNION ALL ".join(
+        f"SELECT event_type, {i} AS row, {h(i)} AS col "
+        "FROM events WHERE user_id IS NOT NULL"
+        for i in range(depth)
+    )
+    qcell_src = " UNION ALL ".join(
+        f"SELECT event_type, user_id, {i} AS row, {h(i)} AS col FROM q"
+        for i in range(depth)
+    )
+    return f"""
+        WITH cells AS (
+            SELECT event_type, row, col, CAST(count(*) AS BIGINT) AS cnt
+            FROM ({cell_src}) GROUP BY event_type, row, col),
+        q AS (SELECT DISTINCT event_type, user_id FROM events
+              WHERE user_id < 8),
+        qc AS ({qcell_src}),
+        est AS (
+            SELECT qc.event_type, qc.user_id,
+                   min(coalesce(c.cnt, 0)) AS cm_count
+            FROM qc LEFT JOIN cells c
+              ON qc.event_type = c.event_type AND qc.row = c.row
+                 AND qc.col = c.col
+            GROUP BY qc.event_type, qc.user_id),
+        ex AS (
+            SELECT event_type, user_id,
+                   CAST(count(*) AS BIGINT) AS n_exact
+            FROM events WHERE user_id < 8
+            GROUP BY event_type, user_id)
+        SELECT e.event_type, e.user_id,
+               CAST(e.cm_count AS BIGINT) AS cm_count, x.n_exact,
+               e.cm_count >= x.n_exact AS never_underestimates
+        FROM est e JOIN ex x
+          ON e.event_type = x.event_type AND e.user_id = x.user_id
+        ORDER BY e.event_type, e.user_id
+    """
 
 
 def _textrank_oracle_sql(
@@ -8406,6 +8558,10 @@ def oracle_sql() -> dict[str, str]:
     )
     out["dedup_lsh_recall"] = _lsh_recall_sql()
     out["text_keywords_textrank"] = _textrank_oracle_sql()
+    out["agg_cm_frequency"] = _cm_oracle_sql()
+    # cell counters are additive: the streamed sketch equals the batch
+    # sketch on the same rows, same oracle (maintenance invisible)
+    out["stream_cm_matview"] = out["agg_cm_frequency"]
     out["ann_pq_recall"] = _ann_pq_recall_sql()
     out["emb_drift"] = f"""
         WITH c AS (

@@ -183,6 +183,8 @@ HEADLINE = [
     "text_unigram_train",
     "ts_changepoint",
     "text_keywords_textrank",
+    "agg_cm_frequency",
+    "stream_cm_matview",
 ]
 
 
@@ -252,6 +254,7 @@ def main() -> None:
         "stream_heartbeat_matview",
         "stream_emb_drift_matview",
         "ann_ivf_pq_maintained",
+        "stream_cm_matview",
     }
     timings: dict[str, float] = {}
     # Per-query (min, median, max) across the reps: the noise

@@ -156,6 +156,85 @@ def maintain_count_matview(
     )
 
 
+def maintain_cm_matview(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+):
+    """availableNow increment of the count-min matview — incremental
+    point-FREQUENCY estimation (the sketch-family member between the
+    Misra-Gries top-k and the HLL distincts): sketch cells are PLAIN
+    COUNTERS on (key_cols, row, col), so the state rides
+    :func:`merge_counts` unchanged — union + re-aggregate partials,
+    batch-id replay guard, crash-safe generation swap — and merge is
+    exactly associative/commutative by construction.  Cell layout and
+    hashes come from ops/cmsketch.py, so the streamed state answers
+    point queries identically to a one-shot batch build (stream ==
+    batch, pinned in tests)."""
+    from recover_spark.ops.cmsketch import cm_cell
+
+    spark = stream.sparkSession
+    keys = list(key_cols)
+    d, w = int(depth), int(width)
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        v = F.col(value_col)
+        cells = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    cm_cell(v, i, w).alias("col"),
+                )
+                for i in range(d)
+            ]
+        )
+        exploded = (
+            batch.filter(v.isNotNull())
+            .select(*keys, F.explode(cells).alias("c"))
+            .select(
+                *keys,
+                F.col("c.row").alias("row"),
+                F.col("c.col").alias("col"),
+            )
+        )
+        merge_counts(
+            spark, exploded, state_path, [*keys, "row", "col"], None,
+            batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_cm_matview(
+    spark: SparkSession,
+    state_path: str,
+    queries: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates from the persisted sketch state for
+    a batch of query keys (min over the depth rows, absent cells 0)."""
+    from recover_spark.ops.cmsketch import cm_estimate
+
+    _recover_state(state_path)
+    state = spark.read.parquet(state_path)
+    return cm_estimate(
+        state, queries, key_cols, value_col, depth, width,
+        count_col="n_rows",
+    )
+
+
 def merge_distinct_sketches(
     spark: SparkSession,
     batch: DataFrame,

@@ -168,6 +168,8 @@ PROBES = [
     "text_unigram_train",   # word-table EM: Viterbi map + piece-keyed sums
     "ts_changepoint",       # one keyed exchange: prefix sums + top-1 window
     "text_keywords_textrank",  # pair aggregate + 4 vocab-sized power steps
+    "agg_cm_frequency",     # depth-exploded cell aggregate + query min-fold
+    "stream_cm_matview",    # 4-batch cell-counter fold + estimate read
     # ann_ivf_pq_refined answers from the persisted index — probed
     # bespoke like ann_ivf_pq_indexed (SCALE.md)
 ]
