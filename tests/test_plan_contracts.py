@@ -355,6 +355,11 @@ def test_no_cartesian_product_across_query_surface(spark):
         "ts_gaps", "mm_audio_energy",
         # (stream_auc_matview / stream_calibration_matview are
         # lifecycle queries, pinned by their stream==batch suites)
+        # round 12 (text_unigram_train excluded: its result is a
+        # driver-built literal table, the training plans are pinned in
+        # test_unigram.py; stream_cm_matview is a lifecycle query)
+        "ts_changepoint", "text_keywords_textrank", "agg_cm_frequency",
+        "ann_ivf_pq_refined",
     ]
     qs = entry.queries()
     sf = "/root/testdata/sf0.001"
