@@ -92,7 +92,7 @@ def test_token_length_histogram_exact_buckets(spark):
             (0, "s1", "one"),                      # 1 token  -> bucket 1
             (1, "s1", "a b c"),                    # 3 tokens -> bucket 2
             (2, "s1", " ".join(["t"] * 8)),        # 8 tokens -> bucket 4
-            (3, "s1", ""),                         # 0 tokens -> bucket 1
+            (3, "s1", ""),                         # 0 tokens -> bucket 0
             (4, "s2", " ".join(["w"] * 5)),        # 5 tokens -> bucket 3
         ],
         "doc_id long, source string, text string",
@@ -101,13 +101,17 @@ def test_token_length_histogram_exact_buckets(spark):
         (r["source"], r["bucket"]): r
         for r in token_length_histogram(docs, "source").collect()
     }
-    assert got[("s1", 1)]["n_docs"] == 2
-    assert got[("s1", 1)]["n_tokens"] == 1  # the empty doc adds 0
+    # round-12 advice fix: empty docs get their own bucket 0, so the
+    # [1, 1] band counts only true 1-token docs
+    assert got[("s1", 0)]["n_docs"] == 1
+    assert (got[("s1", 0)]["lo_tokens"], got[("s1", 0)]["hi_tokens"]) == (0, 0)
+    assert got[("s1", 1)]["n_docs"] == 1
+    assert got[("s1", 1)]["n_tokens"] == 1
     assert (got[("s1", 1)]["lo_tokens"], got[("s1", 1)]["hi_tokens"]) == (1, 1)
     assert got[("s1", 2)]["n_docs"] == 1
     assert (got[("s1", 2)]["lo_tokens"], got[("s1", 2)]["hi_tokens"]) == (2, 3)
     assert (got[("s1", 4)]["lo_tokens"], got[("s1", 4)]["hi_tokens"]) == (8, 15)
-    assert got[("s1", 1)]["doc_share"] == pytest.approx(0.5, abs=1e-6)
+    assert got[("s1", 1)]["doc_share"] == pytest.approx(0.25, abs=1e-6)
     assert got[("s2", 3)]["doc_share"] == pytest.approx(1.0, abs=1e-6)
 
 
