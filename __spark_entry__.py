@@ -922,6 +922,246 @@ def q_stream_cm_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k) distinct sketch with SET
+    OPERATIONS (ops/kmv.py, Beyer et al. SIGMOD 2007): per-order-status
+    audience sketches (k=256 smallest md5-derived 60-bit hashes of the
+    customer key), then pairwise union / intersection / Jaccard
+    ESTIMATES from the merged sketches — the set-expression ask HLL
+    registers cannot answer directly.  The hash family is fixed and
+    engine-portable, so the ORACLE REBUILDS THE WHOLE SKETCH and every
+    estimate hashes EXACTLY (the cm_build precedent); the exact
+    union/intersection ride along via one hash-keyed equi-join, and
+    the estimate-vs-exact deviation folds into within-tolerance
+    booleans pinned TRUE (4-sigma bands for k=256: rel std err
+    1/sqrt(k-2) ~ 6.3% on cardinalities)."""
+    from recover_spark.functions.hashing import portable_hash64
+    from recover_spark.ops.kmv import kmv_pairwise_overlap, kmv_sketch
+
+    k = 256
+    orders = _load(spark, sf_dir, "orders")
+    sk = kmv_sketch(orders, ["o_orderstatus"], "o_custkey", k=k)
+    est = kmv_pairwise_overlap(sk, "o_orderstatus", k=k)
+
+    hashed = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .select(
+            F.col("o_orderstatus").alias("key"),
+            portable_hash64(F.col("o_custkey"), salt="kmv").alias("h"),
+        )
+        .distinct()
+    )
+    sizes = hashed.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        hashed.alias("a")
+        .join(
+            hashed.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.key") < F.col("b.key")),
+        )
+        .groupBy(
+            F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    out = (
+        est.join(
+            sizes.select(F.col("key").alias("key_a"), F.col("n").alias("n_a")),
+            "key_a",
+        )
+        .join(
+            sizes.select(F.col("key").alias("key_b"), F.col("n").alias("n_b")),
+            "key_b",
+        )
+        .join(inter, ["key_a", "key_b"], "left")
+        .withColumn(
+            "exact_intersect",
+            F.coalesce(F.col("exact_intersect"), F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "exact_union",
+            (F.col("n_a") + F.col("n_b") - F.col("exact_intersect")).cast(
+                "bigint"
+            ),
+        )
+    )
+    return out.select(
+        "key_a",
+        "key_b",
+        "exact_union",
+        "exact_intersect",
+        "est_union",
+        "est_intersect",
+        "jaccard_est",
+        (
+            F.abs(F.col("est_union") - F.col("exact_union"))
+            <= F.greatest(F.lit(2.0), 0.25 * F.col("exact_union"))
+        ).alias("union_ok"),
+        (
+            F.abs(F.col("est_intersect") - F.col("exact_intersect"))
+            <= F.greatest(F.lit(8.0), 0.40 * F.col("exact_intersect"))
+        ).alias("intersect_ok"),
+    ).orderBy("key_a", "key_b")
+
+
+def q_stream_sample_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained BOTTOM-K UNIFORM SAMPLE: per-event-type
+    deterministic 8-member samples folded across a four-file
+    availableNow stream (streaming/matview.py:maintain_sample_matview)
+    — the payload-carrying KMV sketch, i.e. a uniform sample of each
+    key's distinct payloads that classic reservoir sampling cannot
+    merge (RNG state makes reservoir merges order-dependent; min-k on
+    a fixed hash is associative, commutative AND idempotent).
+    Membership is md5-deterministic, so the oracle reproduces the
+    sample BIT-FOR-BIT — an EXACT hash on a streaming sample, stronger
+    than the tolerance-flag sketch pattern."""
+    import uuid
+
+    from recover_spark.streaming.matview import (
+        maintain_sample_matview,
+        read_sample_matview,
+    )
+
+    run_dir = f"spark-warehouse/matview_bks_q/{uuid.uuid4().hex}"
+    src = f"{run_dir}/src"
+    events = _load(spark, sf_dir, "events").select("event_id", "event_type")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_sample_matview(
+        stream,
+        f"{run_dir}/state",
+        f"{run_dir}/ckpt",
+        ["event_type"],
+        payload_col="event_id",
+        k=8,
+    )
+    q.awaitTermination(300)
+    view = read_sample_matview(spark, f"{run_dir}/state")
+    return view.select(
+        "event_type",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("payload").cast("bigint").alias("event_id"),
+    ).orderBy("event_type", "rank")
+
+
+def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (ops/graph.py:shortest_paths):
+    minimum hops from the decile suppliers (s_suppkey % 10 == 0,
+    non-empty at every sf) over the bidirectional
+    customer<->supplier trade graph, capped at 3 — the Pregel
+    frontier traversal as per-level equi-join + anti-join against the
+    settled set, lineage bounded by per-level lazy checkpoints (the
+    pagerank convention).  Oracle: a recursive-CTE walk with a
+    min-per-node collapse (the graph_components precedent), so the
+    iterative frontier algorithm is hash-verified end-to-end."""
+    from recover_spark.ops.graph import shortest_paths
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    supplier = _load(spark, sf_dir, "supplier")
+    flows = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = flows.unionByName(
+        flows.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = supplier.filter(F.col("s_suppkey") % 10 == 0).select(
+        F.concat(F.lit("s"), F.col("s_suppkey")).alias("node")
+    )
+    return (
+        shortest_paths(edges, seeds, max_hops=3)
+        .select("node", F.col("dist").cast("int").alias("dist"))
+        .orderBy("node")
+    )
+
+
+def q_sample_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet mining (anchor, positive, negative)
+    — the embedding-model training-data ask: positives from the
+    n-gram-Jaccard near-dup pair set (ops/dedup_text.py:
+    ngram_jaccard_pairs, the dedup_jaccard machinery; positive = the
+    smallest near-twin id), negatives by a DETERMINISTIC ring shift on
+    the md5-hash rank WITHIN (lang, hash-bucket) — rank r pairs with
+    rank (r + n//2) mod n, so every anchor gets an unbiased same-
+    language pseudo-random negative with no RNG and no cross-partition
+    sort: the rank window runs per (lang, bucket), buckets sized to
+    bound any one group at 100 TB.  Negatives that collide with the
+    anchor, its positive, or ANY near-dup of the anchor (symmetric
+    pair anti-join — an equi-join, never an OR-join) are excluded.
+    Fully deterministic: the oracle reproduces every triplet."""
+    from pyspark.sql import Window
+
+    from recover_spark.functions.hashing import portable_hash64
+    from recover_spark.ops import ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, shingle_size=3, min_jaccard=0.2).select(
+        "id_a", "id_b"
+    )
+    pos = (
+        pairs.groupBy("id_a")
+        .agg(F.min("id_b").alias("positive_id"))
+        .withColumnRenamed("id_a", "anchor_id")
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+
+    ranked = (
+        docs.select("doc_id", "lang")
+        .withColumn("h", portable_hash64(F.col("doc_id"), salt="ctr"))
+        .withColumn("bucket", (F.col("h") % 4).cast("int"))
+    )
+    w = Window.partitionBy("lang", "bucket").orderBy("h")
+    wc = Window.partitionBy("lang", "bucket")
+    ranked = ranked.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(wc)
+    )
+    targets = ranked.withColumn(
+        "target",
+        (
+            (F.col("rn") - 1 + F.floor(F.col("cnt") / 2)) % F.col("cnt") + 1
+        ).cast("int"),
+    )
+    negs = targets.select(
+        F.col("doc_id").alias("anchor_id"), "lang", "bucket", "target"
+    ).join(
+        ranked.select(
+            F.col("doc_id").alias("negative_id"),
+            "lang",
+            "bucket",
+            F.col("rn").alias("target"),
+        ),
+        ["lang", "bucket", "target"],
+    )
+    return (
+        pos.join(negs, "anchor_id")
+        .filter(
+            (F.col("negative_id") != F.col("anchor_id"))
+            & (F.col("negative_id") != F.col("positive_id"))
+        )
+        .join(
+            sym.select(
+                F.col("id_a").alias("anchor_id"),
+                F.col("id_b").alias("negative_id"),
+            ),
+            ["anchor_id", "negative_id"],
+            "left_anti",
+        )
+        .select("anchor_id", "positive_id", "negative_id", "lang")
+        .orderBy("anchor_id")
+    )
+
+
 def q_v3_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3 — expectation-suite runner (one aggregate pass), results as a
     DataFrame (run_great_expectations_on_parquet.py:223-277)."""
@@ -7408,6 +7648,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_keywords_textrank": q_text_keywords_textrank,
         "agg_cm_frequency": q_agg_cm_frequency,
         "stream_cm_matview": q_stream_cm_matview,
+        "agg_kmv_overlap": q_agg_kmv_overlap,
+        "stream_sample_matview": q_stream_sample_matview,
+        "graph_shortest_paths": q_graph_shortest_paths,
+        "sample_contrastive_triplets": q_sample_contrastive_triplets,
         "v10_drift_js": q_v10_drift_js,
         "stream_drift_ks": q_stream_drift_ks,
         "v6_drift_categorical": q_v6_drift_categorical,
@@ -7590,6 +7834,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # histogram, the labeled-subgraph modularity, the two
         # explicit-broadcast stats queries, and the distinct-sketch
         # family named by verdict task 4
+        "agg_kmv_overlap",
+        "stream_sample_matview",
+        "graph_shortest_paths",
+        "sample_contrastive_triplets",
+        "agg_cm_frequency",
+        "stream_cm_matview",
+        "ts_changepoint",
+        "text_keywords_textrank",
+        "text_unigram_train",
         "ann_ivf_pq_refined",
         "ann_pq_recall",
         "dedup_cross_spans_rewrite",
@@ -7685,6 +7938,141 @@ def _cos(a: str, b: str, dim: int = 64) -> str:
         )
 
     return f"({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})))"
+
+
+def _kmv_overlap_sql(k: int = 256) -> str:
+    """KMV overlap oracle: rebuild the bottom-k sketches, the merged
+    union sketches, and the estimators bit-for-bit (ops/kmv.py), plus
+    the exact union/intersection from the hash-domain equi-join and
+    the pinned-TRUE tolerance flags."""
+    h = _h64("concat('kmv|', CAST(o_custkey AS VARCHAR))")
+    return f"""
+        WITH hashes AS (
+            SELECT DISTINCT o_orderstatus AS key, {h} AS h
+            FROM orders WHERE o_custkey IS NOT NULL
+        ),
+        ranked AS (
+            SELECT key, h,
+                   row_number() OVER (PARTITION BY key ORDER BY h) AS rn
+            FROM hashes
+        ),
+        sk AS (
+            SELECT key, list(h ORDER BY h) AS kmv
+            FROM ranked WHERE rn <= {k} GROUP BY key
+        ),
+        sizes AS (SELECT key, count(*) AS n FROM hashes GROUP BY key),
+        inter AS (
+            SELECT a.key AS key_a, b.key AS key_b,
+                   count(*) AS exact_intersect
+            FROM hashes a JOIN hashes b
+              ON a.h = b.h AND a.key < b.key
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.key AS key_a, b.key AS key_b,
+                   a.kmv AS kmv_a, b.kmv AS kmv_b,
+                   list_sort(list_distinct(a.kmv || b.kmv))[1:{k}] AS u
+            FROM sk a JOIN sk b ON a.key < b.key
+        ),
+        est AS (
+            SELECT key_a, key_b,
+                   CASE WHEN len(kmv_a) < {k} THEN len(kmv_a)::DOUBLE
+                        ELSE round({k - 1}.0 * 1152921504606846976.0
+                                   / (kmv_a[{k}]::DOUBLE + 0.5), 6) END
+                       AS est_a,
+                   CASE WHEN len(kmv_b) < {k} THEN len(kmv_b)::DOUBLE
+                        ELSE round({k - 1}.0 * 1152921504606846976.0
+                                   / (kmv_b[{k}]::DOUBLE + 0.5), 6) END
+                       AS est_b,
+                   CASE WHEN len(u) < {k} THEN len(u)::DOUBLE
+                        ELSE round({k - 1}.0 * 1152921504606846976.0
+                                   / (u[{k}]::DOUBLE + 0.5), 6) END
+                       AS est_union,
+                   len(list_filter(u, x -> list_contains(kmv_a, x)
+                                       AND list_contains(kmv_b, x)))
+                       AS n_common,
+                   len(u) AS len_u
+            FROM pairs
+        )
+        SELECT e.key_a, e.key_b,
+               CAST(sa.n + sb.n - coalesce(i.exact_intersect, 0) AS BIGINT)
+                   AS exact_union,
+               CAST(coalesce(i.exact_intersect, 0) AS BIGINT)
+                   AS exact_intersect,
+               e.est_union,
+               round(e.n_common::DOUBLE / e.len_u * e.est_union, 6)
+                   AS est_intersect,
+               round(e.n_common::DOUBLE / e.len_u, 6) AS jaccard_est,
+               abs(e.est_union
+                   - (sa.n + sb.n - coalesce(i.exact_intersect, 0)))
+                   <= greatest(2.0,
+                       0.25 * (sa.n + sb.n - coalesce(i.exact_intersect, 0)))
+                   AS union_ok,
+               abs(round(e.n_common::DOUBLE / e.len_u * e.est_union, 6)
+                   - coalesce(i.exact_intersect, 0))
+                   <= greatest(8.0, 0.40 * coalesce(i.exact_intersect, 0))
+                   AS intersect_ok
+        FROM est e
+        JOIN sizes sa ON e.key_a = sa.key
+        JOIN sizes sb ON e.key_b = sb.key
+        LEFT JOIN inter i ON e.key_a = i.key_a AND e.key_b = i.key_b
+        ORDER BY e.key_a, e.key_b
+    """
+
+
+def _contrastive_triplets_sql() -> str:
+    """Triplet-mining oracle: the dedup_jaccard pair CTE chain for
+    positives, the (lang, bucket) md5-rank ring shift for negatives,
+    the symmetric-pair NOT EXISTS exclusion — every rule mirrored."""
+    h = _h64("concat('ctr|', CAST(doc_id AS VARCHAR))")
+    return f"""
+        WITH {_TOKS_CTE}, {_GRAMS3_CTE},
+        rare AS (SELECT shingle FROM grams
+                 GROUP BY shingle HAVING count(*) <= 50),
+        g2 AS (SELECT g.doc_id, g.shingle FROM grams g
+               JOIN rare r ON g.shingle = r.shingle),
+        sz AS (SELECT doc_id, count(*) AS set_size FROM g2 GROUP BY doc_id),
+        jp AS (
+            SELECT i.id_a, i.id_b
+            FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         count(*) AS n_common
+                  FROM g2 a JOIN g2 b ON a.shingle = b.shingle
+                  WHERE a.doc_id < b.doc_id
+                  GROUP BY 1, 2) i
+            JOIN sz sa ON i.id_a = sa.doc_id
+            JOIN sz sb ON i.id_b = sb.doc_id
+            WHERE i.n_common
+                  / (sa.set_size + sb.set_size - i.n_common) >= 0.2
+        ),
+        pos AS (SELECT id_a AS anchor_id, min(id_b) AS positive_id
+                FROM jp GROUP BY id_a),
+        sym AS (SELECT id_a AS a, id_b AS b FROM jp
+                UNION ALL SELECT id_b AS a, id_a AS b FROM jp),
+        rk AS (SELECT doc_id, lang, h, h % 4 AS bucket
+               FROM (SELECT doc_id, lang, {h} AS h FROM documents)),
+        rr AS (SELECT doc_id, lang, bucket,
+                      row_number() OVER (PARTITION BY lang, bucket
+                                         ORDER BY h) AS rn,
+                      count(*) OVER (PARTITION BY lang, bucket) AS cnt
+               FROM rk),
+        ng AS (
+            SELECT t.doc_id AS anchor_id, r2.doc_id AS negative_id, t.lang
+            FROM (SELECT doc_id, lang, bucket,
+                         CAST(((rn - 1 + cnt // 2) % cnt) + 1 AS INT)
+                             AS target
+                  FROM rr) t
+            JOIN rr r2 ON t.lang = r2.lang AND t.bucket = r2.bucket
+                      AND t.target = r2.rn
+        )
+        SELECT p.anchor_id, p.positive_id, n.negative_id, n.lang
+        FROM pos p JOIN ng n ON p.anchor_id = n.anchor_id
+        WHERE n.negative_id <> p.anchor_id
+          AND n.negative_id <> p.positive_id
+          AND NOT EXISTS (SELECT 1 FROM sym s
+                          WHERE s.a = p.anchor_id
+                            AND s.b = n.negative_id)
+        ORDER BY p.anchor_id
+    """
 
 
 def _cm_oracle_sql(depth: int = 4, width: int = 64) -> str:
@@ -8558,6 +8946,49 @@ def oracle_sql() -> dict[str, str]:
     )
     out["dedup_lsh_recall"] = _lsh_recall_sql()
     out["text_keywords_textrank"] = _textrank_oracle_sql()
+    out["agg_kmv_overlap"] = _kmv_overlap_sql()
+    # min-k sketch membership is deterministic (md5 bottom-k), so the
+    # streamed sample equals the one-shot batch bottom-k: exact oracle
+    out["stream_sample_matview"] = """
+        WITH hashes AS (
+            SELECT DISTINCT event_type, event_id,
+                   CAST(concat('0x', substr(md5(concat('bksample|',
+                        CAST(event_id AS VARCHAR))), 1, 15)) AS BIGINT) AS h
+            FROM events WHERE event_id IS NOT NULL
+        ),
+        ranked AS (
+            SELECT event_type, event_id,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h)
+                       AS rank
+            FROM hashes
+        )
+        SELECT event_type, CAST(rank AS INT) AS rank, event_id
+        FROM ranked WHERE rank <= 8
+        ORDER BY event_type, rank
+    """
+    out["graph_shortest_paths"] = """
+        WITH RECURSIVE
+        flows AS (
+            SELECT DISTINCT concat('c', o_custkey) AS src,
+                            concat('s', l_suppkey) AS dst
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        ),
+        edges AS (
+            SELECT src, dst FROM flows
+            UNION SELECT dst AS src, src AS dst FROM flows
+        ),
+        walk AS (
+            SELECT DISTINCT concat('s', s_suppkey) AS node, 0 AS dist
+            FROM supplier WHERE s_suppkey % 10 = 0
+            UNION
+            SELECT e.dst AS node, w.dist + 1 AS dist
+            FROM walk w JOIN edges e ON w.node = e.src
+            WHERE w.dist < 3
+        )
+        SELECT node, CAST(min(dist) AS INT) AS dist
+        FROM walk GROUP BY node ORDER BY node
+    """
+    out["sample_contrastive_triplets"] = _contrastive_triplets_sql()
     out["agg_cm_frequency"] = _cm_oracle_sql()
     # cell counters are additive: the streamed sketch equals the batch
     # sketch on the same rows, same oracle (maintenance invisible)

@@ -185,6 +185,10 @@ HEADLINE = [
     "text_keywords_textrank",
     "agg_cm_frequency",
     "stream_cm_matview",
+    "agg_kmv_overlap",
+    "stream_sample_matview",
+    "graph_shortest_paths",
+    "sample_contrastive_triplets",
 ]
 
 

@@ -590,3 +590,60 @@ def modularity(
         )
         .orderBy(comm_col)
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS hop distances — "how far is every node from
+    the seed set" (influence radius, crawl frontier depth, blast-radius
+    audits), the canonical Pregel traversal as frontier-at-a-time
+    DataFrame iteration.
+
+    Returns (node, dist) with dist = MINIMUM number of edges from any
+    seed (seeds themselves at 0), capped at ``max_hops``; unreachable
+    nodes are absent.  Edges are directed as given — symmetrize before
+    calling for undirected reach (the ``connected_components``
+    convention).
+
+    Plan shape per level: ONE node-keyed equi-join (frontier x edges)
+    + a distinct + a left-anti against the settled set — all shuffles
+    on node ids, no cartesian anywhere.  BFS settles each node the
+    first level it appears, so the anti-join both deduplicates and
+    guarantees minimality; the frontier SHRINKS once the graph's
+    expansion saturates, and the loop exits early on an empty frontier
+    (a limit-1 count on the already-checkpointed level, the
+    ``connected_components`` convention).  Lineage is bounded by a
+    lazy localCheckpoint per level (the ``pagerank`` convention).
+
+    At 100 TB the settled set stays distributed end-to-end; per-level
+    cost is O(frontier-adjacent edges), the output O(reached nodes).
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    seed_nodes = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = seed_nodes.select("node", F.lit(0).alias("dist"))
+    frontier = seed_nodes
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["__src"])
+            .select(F.col("__dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return dist

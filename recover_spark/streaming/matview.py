@@ -1203,3 +1203,122 @@ def read_embedding_drift_matview(
             F.try_divide(nb, na) + F.lit(1e-9), round_digits
         ).alias("norm_ratio"),
     ).orderBy(group_col)
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k deterministic sample matview (payload-carrying KMV sketch)
+# ---------------------------------------------------------------------------
+
+def merge_sample_state(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    key_cols: Sequence[str],
+    payload_col: str,
+    k: int = 16,
+    salt: str = "bksample",
+    batch_id: int | None = None,
+) -> None:
+    """Fold one batch into a per-key BOTTOM-K uniform sample state —
+    the streaming twin of ``ops/kmv.py``: the sketch members carry
+    their payloads, so the state is simultaneously a KMV distinct
+    sketch AND a uniform random sample of each key's distinct payloads
+    ("show me 8 example events per type, kept current as the stream
+    grows", the reservoir-sample ask with none of reservoir sampling's
+    merge problems).
+
+    Membership = the k smallest 60-bit portable hashes of the payload
+    (``functions/hashing.py:portable_hash64``).  min-k on a fixed hash
+    is associative, commutative AND idempotent, so merge order, batch
+    boundaries, and crash replays cannot change the converged state —
+    unlike classic reservoir sampling, whose RNG state makes merges
+    order-dependent.  Everything is deterministic: an external SQL
+    oracle reproduces sample membership BIT-FOR-BIT (no tolerance
+    flag).
+
+    State is rows (keys..., h, payload), at most k per key — O(keys)
+    total, independent of stream length.  The micro-batch contributes
+    its own bottom-k partial first (a rank-filter over the bounded
+    batch), so the union never exceeds prev-k + batch-k rows per key.
+    """
+    from pyspark.sql import Window
+
+    from recover_spark.functions.hashing import portable_hash64
+
+    _recover_state(state_path)
+    if batch_id is not None:
+        applied = _applied_batch_id(state_path)
+        if applied is not None and batch_id <= applied:
+            return
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy("h")
+    partial = (
+        batch.filter(F.col(payload_col).isNotNull())
+        .select(
+            *keys, F.col(payload_col).cast("string").alias("payload")
+        )
+        .withColumn("h", portable_hash64(F.col("payload"), salt=salt))
+        .dropDuplicates(keys + ["h"])
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+    state = Path(state_path)
+    if state.exists():
+        prev = spark.read.parquet(state_path)
+        merged = (
+            prev.unionByName(partial)
+            .dropDuplicates(keys + ["h"])
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    else:
+        merged = partial
+
+    tmp = str(state) + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
+    _swap_state(tmp, state_path)
+
+
+def maintain_sample_matview(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    key_cols: Sequence[str],
+    payload_col: str,
+    k: int = 16,
+    salt: str = "bksample",
+):
+    """availableNow increment of the bottom-k sample view."""
+    spark = stream.sparkSession
+    keys = list(key_cols)
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        merge_sample_state(
+            spark, batch, state_path, keys, payload_col, k, salt, batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_sample_matview(
+    spark: SparkSession, state_path: str
+) -> DataFrame:
+    """Current per-key sample, ranked by hash order (rank 1 = smallest
+    hash — the member every correct replay agrees on first)."""
+    from pyspark.sql import Window
+
+    _recover_state(state_path)
+    state = spark.read.parquet(state_path)
+    keys = [c for c in state.columns if c not in ("h", "payload")]
+    w = Window.partitionBy(*keys).orderBy("h")
+    return state.withColumn("rank", F.row_number().over(w))

@@ -1,0 +1,273 @@
+"""Round-12 second-batch operators: KMV bottom-k distinct sketch with
+set operations (ops/kmv.py), the bottom-k sample matview
+(streaming/matview.py), multi-source BFS shortest paths
+(ops/graph.py:shortest_paths), and contrastive triplet mining
+invariants."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from recover_spark.functions.hashing import portable_hash64
+from recover_spark.ops.kmv import (
+    kmv_estimate,
+    kmv_pairwise_overlap,
+    kmv_sketch,
+    kmv_union,
+)
+
+
+def _vals(spark, n=4000, groups=3):
+    return spark.range(n).select(
+        (F.col("id") % groups).cast("string").alias("g"),
+        # overlapping value sets: group j holds [j*1000, j*1000+2500)
+        # (v decoupled from the group parity via the integer divide)
+        (
+            (F.col("id") / groups).cast("long") % 2500
+            + (F.col("id") % groups) * 1000
+        ).alias("v"),
+    )
+
+
+class TestKMV:
+    def test_exact_below_k(self, spark):
+        df = _vals(spark, n=600, groups=3)
+        sk = kmv_sketch(df, ["g"], "v", k=4096)
+        est = sk.select("g", kmv_estimate(F.col("kmv"), 4096).alias("e"))
+        exact = {
+            r["g"]: r["n"]
+            for r in df.groupBy("g")
+            .agg(F.countDistinct("v").alias("n"))
+            .collect()
+        }
+        for r in est.collect():
+            assert r["e"] == exact[r["g"]]
+
+    def test_estimator_within_4_sigma(self, spark):
+        k = 256
+        df = _vals(spark, n=40000, groups=2)
+        sk = kmv_sketch(df, ["g"], "v", k=k)
+        est = {
+            r["g"]: r["e"]
+            for r in sk.select(
+                "g", kmv_estimate(F.col("kmv"), k).alias("e")
+            ).collect()
+        }
+        exact = {
+            r["g"]: r["n"]
+            for r in df.groupBy("g")
+            .agg(F.countDistinct("v").alias("n"))
+            .collect()
+        }
+        sigma = 1.0 / (k - 2) ** 0.5
+        for g, n in exact.items():
+            assert abs(est[g] - n) <= 4 * sigma * n
+
+    def test_union_sketch_equals_sketch_of_union(self, spark):
+        # merged bottom-k == bottom-k of the merged set, EXACTLY —
+        # the mergeability property the estimator rests on
+        k = 64
+        df = _vals(spark, n=9000, groups=2)
+        sk = {r["g"]: r["kmv"] for r in kmv_sketch(df, ["g"], "v", k=k).collect()}
+        union_direct = kmv_sketch(
+            df.select(F.lit("u").alias("g"), "v"), ["g"], "v", k=k
+        ).collect()[0]["kmv"]
+        merged = (
+            spark.createDataFrame(
+                [(sk["0"], sk["1"])], "a array<bigint>, b array<bigint>"
+            )
+            .select(kmv_union(F.col("a"), F.col("b"), k).alias("u"))
+            .collect()[0]["u"]
+        )
+        assert merged == union_direct
+
+    def test_two_level_bottom_k_matches_single_window(self, spark):
+        # the fanout pre-filter must not change sketch membership
+        df = _vals(spark, n=12000, groups=3)
+        a = kmv_sketch(df, ["g"], "v", k=128, fanout=64)
+        b = kmv_sketch(df, ["g"], "v", k=128, fanout=1)
+        da = {r["g"]: tuple(r["kmv"]) for r in a.collect()}
+        db = {r["g"]: tuple(r["kmv"]) for r in b.collect()}
+        assert da == db
+
+    def test_pairwise_overlap_guard(self, spark):
+        df = _vals(spark, n=2000, groups=3)
+        sk = kmv_sketch(df, ["g"], "v", k=32)
+        with pytest.raises(ValueError, match="max_groups"):
+            kmv_pairwise_overlap(sk, "g", k=32, max_groups=2)
+
+    def test_pairwise_jaccard_sane(self, spark):
+        k = 256
+        df = _vals(spark, n=30000, groups=2)
+        sk = kmv_sketch(df, ["g"], "v", k=k)
+        (row,) = kmv_pairwise_overlap(sk, "g", k=k).collect()
+        # group 0 holds [0,2500), group 1 holds [1000,3500):
+        # true jaccard = 1500/3500 ~ 0.4286
+        assert abs(row["jaccard_est"] - 1500 / 3500) < 0.15
+        assert row["est_intersect"] <= row["est_union"]
+
+
+class TestSampleMatview:
+    def test_stream_equals_batch_bottom_k(self, spark, tmp_path):
+        from recover_spark.streaming.matview import (
+            maintain_sample_matview,
+            read_sample_matview,
+        )
+
+        df = spark.range(5000).select(
+            (F.col("id") % 4).cast("string").alias("g"),
+            F.col("id").alias("v"),
+        )
+        src = str(tmp_path / "src")
+        df.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("g string, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = str(tmp_path / "state")
+        q = maintain_sample_matview(
+            stream, state, str(tmp_path / "ckpt"), ["g"], "v", k=8
+        )
+        q.awaitTermination(120)
+        streamed = {
+            (r["g"], r["rank"]): r["payload"]
+            for r in read_sample_matview(spark, state).collect()
+        }
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("g").orderBy("h")
+        batch = {
+            (r["g"], r["rank"]): r["payload"]
+            for r in df.select(
+                "g", F.col("v").cast("string").alias("payload")
+            )
+            .withColumn(
+                "h", portable_hash64(F.col("payload"), salt="bksample")
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 8)
+            .collect()
+        }
+        assert streamed == batch
+
+    def test_merge_order_independent_and_idempotent(self, spark, tmp_path):
+        import itertools
+
+        from recover_spark.streaming.matview import merge_sample_state
+
+        df = spark.range(900).select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            F.col("id").alias("v"),
+        )
+        parts = [
+            df.filter(F.col("v") % 3 == i).localCheckpoint() for i in range(3)
+        ]
+        states = []
+        for order in itertools.permutations(range(3)):
+            sp = str(tmp_path / f"st_{''.join(map(str, order))}")
+            for i in order:
+                merge_sample_state(spark, parts[i], sp, ["g"], "v", k=8)
+            states.append(
+                frozenset(
+                    (r["g"], r["h"], r["payload"])
+                    for r in spark.read.parquet(sp).collect()
+                )
+            )
+        assert len(set(states)) == 1
+        # idempotent: re-merging an already-folded part changes nothing
+        sp0 = str(tmp_path / "st_012")
+        merge_sample_state(spark, parts[1], sp0, ["g"], "v", k=8)
+        again = frozenset(
+            (r["g"], r["h"], r["payload"])
+            for r in spark.read.parquet(sp0).collect()
+        )
+        assert again == states[0]
+
+
+class TestShortestPaths:
+    def _edges(self, spark, rows):
+        return spark.createDataFrame(rows, "src string, dst string")
+
+    def test_hand_graph_distances(self, spark):
+        from recover_spark.ops.graph import shortest_paths
+
+        # a -> b -> c -> d, plus shortcut a -> c; e isolated
+        e = self._edges(
+            spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")]
+        )
+        seeds = spark.createDataFrame([("a",)], "node string")
+        got = {
+            r["node"]: r["dist"]
+            for r in shortest_paths(e, seeds, max_hops=5).collect()
+        }
+        assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+
+    def test_max_hops_cap_and_early_exit(self, spark):
+        from recover_spark.ops.graph import shortest_paths
+
+        chain = self._edges(
+            spark, [(f"n{i}", f"n{i+1}") for i in range(6)]
+        )
+        seeds = spark.createDataFrame([("n0",)], "node string")
+        got = shortest_paths(chain, seeds, max_hops=2)
+        assert {r["node"]: r["dist"] for r in got.collect()} == {
+            "n0": 0, "n1": 1, "n2": 2,
+        }
+        # cycle: early exit once every node is settled
+        cyc = self._edges(spark, [("x", "y"), ("y", "x")])
+        got2 = shortest_paths(
+            cyc, spark.createDataFrame([("x",)], "node string"), max_hops=50
+        )
+        assert {r["node"]: r["dist"] for r in got2.collect()} == {
+            "x": 0, "y": 1,
+        }
+
+    def test_multi_source_takes_minimum(self, spark):
+        from recover_spark.ops.graph import shortest_paths
+
+        e = self._edges(
+            spark, [("a", "m"), ("m", "z"), ("b", "z")]
+        )
+        seeds = spark.createDataFrame([("a",), ("b",)], "node string")
+        got = {
+            r["node"]: r["dist"]
+            for r in shortest_paths(e, seeds, max_hops=4).collect()
+        }
+        assert got["z"] == 1  # via b, not the 2-hop path via a
+
+
+class TestContrastiveTriplets:
+    def test_triplet_invariants(self, spark):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "entry_mod", "/root/repo/__spark_entry__.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        sf = "/root/testdata/sf0.001"
+        trips = mod.q_sample_contrastive_triplets(spark, sf).collect()
+        assert len(trips) > 0
+        from recover_spark.ops import ngram_jaccard_pairs
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                docs, shingle_size=3, min_jaccard=0.2
+            ).collect()
+        }
+        sym = pairs | {(b, a) for a, b in pairs}
+        langs = {r["doc_id"]: r["lang"] for r in docs.collect()}
+        for t in trips:
+            # positive IS a near-dup of the anchor
+            assert (t["anchor_id"], t["positive_id"]) in sym
+            # negative is NOT the anchor, its positive, or any near-dup
+            assert t["negative_id"] != t["anchor_id"]
+            assert t["negative_id"] != t["positive_id"]
+            assert (t["anchor_id"], t["negative_id"]) not in sym
+            # negative is same-language (the hard-negative contract)
+            assert langs[t["negative_id"]] == t["lang"]
+            assert langs[t["anchor_id"]] == t["lang"]

@@ -172,6 +172,10 @@ PROBES = [
     "stream_cm_matview",    # 4-batch cell-counter fold + estimate read
     # ann_ivf_pq_refined answers from the persisted index — probed
     # bespoke like ann_ivf_pq_indexed (SCALE.md)
+    "agg_kmv_overlap",      # hash-distinct + two-level bottom-k windows
+    "stream_sample_matview",  # 4-batch per-key bottom-k fold (k-row state)
+    "graph_shortest_paths",  # per-level frontier equi-join + anti-join
+    "sample_contrastive_triplets",  # jaccard pairs + (lang, bucket) ring join
 ]
 
 
