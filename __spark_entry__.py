@@ -1162,6 +1162,53 @@ def q_sample_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED n-gram containment pairs (ops/dedup_text.py:
+    ngram_containment_pairs): C(A -> B) = |A ∩ B| / |A| over the rare-
+    shingle universe — quote/excerpt/superset detection that symmetric
+    Jaccard structurally misses (a short quote inside a long article
+    scores Jaccard ~0, containment ~1).  Same inverted-index +
+    stop-shingle-guard shape as dedup_jaccard; tiny shingle sets are
+    suppressed on the contained side (min_set_size=5) because a
+    one-shingle doc is trivially contained everywhere."""
+    from recover_spark.ops.dedup_text import ngram_containment_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        ngram_containment_pairs(
+            docs, shingle_size=3, min_containment=0.6, min_set_size=5
+        )
+        .select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_retrieval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (ops/text_analysis.py:
+    prf_expand_topk, RM3-style): BM25 pass 1 -> top-3 feedback docs ->
+    top-5 expansion terms by length-normalized term mass -> pass 2
+    with the interpolated query model (alpha=0.6).  The (doc, term)
+    aggregate is built once and pinned for all three consumers; both
+    scoring passes broadcast only the bounded (query, term, weight)
+    set into the postings.  Fully deterministic (rounded-score ranking
+    at every stage), so the two-pass feedback loop is hash-verified
+    end-to-end against a single SQL chain."""
+    from recover_spark.ops.text_analysis import prf_expand_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [
+            ("q_join", "hash join merge"),
+            ("q_scan", "fast table scan"),
+            ("q_stream", "stream batch window"),
+        ],
+        "query_id string, query_text string",
+    )
+    return prf_expand_topk(
+        docs, queries, k=5, fb_docs=3, fb_terms=5, alpha=0.6
+    ).orderBy("query_id", "rank")
+
+
 def q_v3_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """V3 — expectation-suite runner (one aggregate pass), results as a
     DataFrame (run_great_expectations_on_parquet.py:223-277)."""
@@ -7652,6 +7699,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sample_matview": q_stream_sample_matview,
         "graph_shortest_paths": q_graph_shortest_paths,
         "sample_contrastive_triplets": q_sample_contrastive_triplets,
+        "dedup_containment": q_dedup_containment,
+        "retrieval_prf": q_retrieval_prf,
         "v10_drift_js": q_v10_drift_js,
         "stream_drift_ks": q_stream_drift_ks,
         "v6_drift_categorical": q_v6_drift_categorical,
@@ -7838,6 +7887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sample_matview",
         "graph_shortest_paths",
         "sample_contrastive_triplets",
+        "dedup_containment",
+        "retrieval_prf",
         "agg_cm_frequency",
         "stream_cm_matview",
         "ts_changepoint",
@@ -8072,6 +8123,117 @@ def _contrastive_triplets_sql() -> str:
                           WHERE s.a = p.anchor_id
                             AND s.b = n.negative_id)
         ORDER BY p.anchor_id
+    """
+
+
+def _retrieval_prf_sql(
+    k: int = 5, fb_docs: int = 3, fb_terms: int = 5, alpha: float = 0.6
+) -> str:
+    """RM3 oracle: the bm25 CTE chain run twice, with the feedback-doc
+    selection, expansion-term mining (round-9 weights, term-asc ties),
+    and interpolated query model mirrored stage for stage."""
+    contrib = """
+        ln(1 + (c.n - d.df + 0.5) / (d.df + 0.5))
+        * (tf.tf * (1.2 + 1.0))
+        / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / c.avgdl))
+    """
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, t.term
+            FROM documents,
+                 UNNEST(regexp_split_to_array(lower(text),
+                        '[^a-z0-9'']+')) AS t(term)
+            WHERE t.term <> ''
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks GROUP BY doc_id, term),
+        dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+        q(query_id, query_text) AS (VALUES
+            ('q_join', 'hash join merge'),
+            ('q_scan', 'fast table scan'),
+            ('q_stream', 'stream batch window')),
+        qterms AS (
+            SELECT DISTINCT query_id, t.term
+            FROM q,
+                 UNNEST(regexp_split_to_array(lower(query_text),
+                        '[^a-z0-9'']+')) AS t(term)
+            WHERE t.term <> ''
+        ),
+        pass1 AS (
+            SELECT qt.query_id, tf.doc_id,
+                   round(sum(1.0 * ({contrib})), 6) AS score
+            FROM tf
+            JOIN qterms qt USING (term)
+            JOIN dl USING (doc_id)
+            JOIN dfreq d USING (term)
+            CROSS JOIN corpus c
+            GROUP BY qt.query_id, tf.doc_id
+        ),
+        fb AS (
+            SELECT query_id, doc_id FROM (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, doc_id ASC) AS rank
+                FROM pass1)
+            WHERE rank <= {fb_docs}
+        ),
+        fbw AS (
+            SELECT f.query_id, tf.term,
+                   round(sum(tf.tf / dl.dl), 9) AS w_raw
+            FROM fb f
+            JOIN tf ON tf.doc_id = f.doc_id
+            JOIN dl ON dl.doc_id = f.doc_id
+            WHERE NOT EXISTS (SELECT 1 FROM qterms qt
+                              WHERE qt.query_id = f.query_id
+                                AND qt.term = tf.term)
+            GROUP BY f.query_id, tf.term
+        ),
+        expsel AS (
+            SELECT query_id, term, w_raw FROM (
+                SELECT query_id, term, w_raw,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY w_raw DESC, term ASC) AS trank
+                FROM fbw)
+            WHERE trank <= {fb_terms}
+        ),
+        expterms AS (
+            SELECT query_id, term,
+                   (1.0 - {alpha}) * w_raw
+                   / sum(w_raw) OVER (PARTITION BY query_id) AS w
+            FROM expsel
+        ),
+        nq AS (SELECT query_id, count(*) AS nq FROM qterms GROUP BY query_id),
+        model AS (
+            SELECT query_id, term, round(sum(w), 9) AS w
+            FROM (
+                SELECT qt.query_id, qt.term, {alpha} / nq.nq AS w
+                FROM qterms qt JOIN nq USING (query_id)
+                UNION ALL
+                SELECT query_id, term, w FROM expterms
+            ) GROUP BY query_id, term
+        ),
+        pass2 AS (
+            SELECT m.query_id, tf.doc_id,
+                   round(sum(m.w * ({contrib})), 6) AS score
+            FROM tf
+            JOIN model m USING (term)
+            JOIN dl USING (doc_id)
+            JOIN dfreq d USING (term)
+            CROSS JOIN corpus c
+            GROUP BY m.query_id, tf.doc_id
+        )
+        SELECT query_id, rank, doc_id, score
+        FROM (
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+                   doc_id, score
+            FROM pass2
+        )
+        WHERE rank <= {k}
+        ORDER BY query_id, rank
     """
 
 
@@ -8989,6 +9151,27 @@ def oracle_sql() -> dict[str, str]:
         FROM walk GROUP BY node ORDER BY node
     """
     out["sample_contrastive_triplets"] = _contrastive_triplets_sql()
+    out["dedup_containment"] = f"""
+        WITH {_TOKS_CTE}, {_GRAMS3_CTE},
+        rare AS (SELECT shingle FROM grams
+                 GROUP BY shingle HAVING count(*) <= 50),
+        g2 AS (SELECT g.doc_id, g.shingle FROM grams g
+               JOIN rare r ON g.shingle = r.shingle),
+        sz AS (SELECT doc_id, count(*) AS set_size FROM g2 GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+            FROM g2 a JOIN g2 b ON a.shingle = b.shingle
+            WHERE a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               round(n_common / sa.set_size, 6) AS containment
+        FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
+        WHERE sa.set_size >= 5
+          AND n_common / sa.set_size >= 0.6
+        ORDER BY id_a, id_b
+    """
+    out["retrieval_prf"] = _retrieval_prf_sql()
     out["agg_cm_frequency"] = _cm_oracle_sql()
     # cell counters are additive: the streamed sketch equals the batch
     # sketch on the same rows, same oracle (maintenance invisible)

@@ -277,6 +277,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+    min_containment: float = 0.6,
+    max_shingle_freq: int | None = 50,
+    min_set_size: int = 5,
+) -> DataFrame:
+    """DIRECTED n-gram containment pairs: C(A -> B) = |A ∩ B| / |A| —
+    "most of document A's content appears inside document B" — the
+    asymmetric sibling of ``ngram_jaccard_pairs`` for quote/excerpt/
+    superset detection (a 100-word quote inside a 10 000-word article
+    has Jaccard ~0.01 but containment ~1.0, so symmetric dedup never
+    finds it; Broder's resemblance-vs-containment distinction).
+
+    Same inverted-index shape and stop-shingle skew guard as the
+    Jaccard path (one shingle shuffle feeding sizes and both join
+    sides); the ONLY differences are the directed emit (both
+    orientations of each candidate pair, ``id_a != id_b``) and the
+    ``min_set_size`` floor — a doc with one rare shingle is trivially
+    contained everywhere that shingle occurs, so tiny shingle sets are
+    suppressed ON THE CONTAINED SIDE (the container may be any size).
+
+    Returns (id_a, id_b, containment): id_a's rare-shingle set is
+    ``containment``-covered by id_b's, containment >= threshold.
+    """
+    toked = _fan_out(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
+    shingled = toked.select(
+        F.col(id_col),
+        F.explode(word_ngrams_of(F.col("__toks"), shingle_size)).alias("shingle"),
+    )
+    if max_shingle_freq is not None:
+        rare = (
+            shingled.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_freq"))
+            .filter(F.col("df_freq") <= max_shingle_freq)
+            .select("shingle")
+        )
+        shingled = shingled.join(rare, on="shingle")
+
+    shingled = shingled.persist()
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+
+    a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    return (
+        inter.join(sa, "id_a")
+        .filter(F.col("size_a") >= min_set_size)
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_common") / F.col("size_a")).alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )
+
+
 def duplicate_clusters(
     pairs: DataFrame,
     nodes: DataFrame,

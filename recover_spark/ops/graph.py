@@ -625,7 +625,12 @@ def shortest_paths(
     """
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    # every level joins the SAME edge table — pin it once so an
+    # upstream construction (joins/distinct) is not re-executed per
+    # level (the pagerank `trans` convention)
+    e = edges.select(
+        F.col(src).alias("__src"), F.col(dst).alias("__dst")
+    ).localCheckpoint(eager=False)
     seed_nodes = (
         seeds.select(F.col(seeds.columns[0]).alias("node"))
         .distinct()

@@ -683,6 +683,142 @@ def bm25_topk(
     )
 
 
+def prf_expand_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k: int = 5,
+    fb_docs: int = 3,
+    fb_terms: int = 5,
+    alpha: float = 0.6,
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_query_terms: int = 100_000,
+) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (RM3-style two-pass BM25,
+    Lavrenko & Croft's relevance models as deployed in Anserini/Indri):
+    retrieve ``fb_docs`` per query with plain BM25, mine ``fb_terms``
+    expansion terms from those feedback docs (weight = the length-
+    normalized term mass sum tf/dl, the RM1 estimate under uniform
+    feedback-doc priors), then re-score with the interpolated query
+    model alpha * original + (1 - alpha) * normalized expansion.
+
+    Everything deterministic for the cross-engine oracle: feedback
+    membership uses pass-1's rounded-score ranking (doc-id tiebreak),
+    expansion-term ranking rounds the raw weight to 9 (term-asc
+    tiebreak), final scores round to 6 — the bm25_topk conventions.
+
+    Scale shape: the (doc, term) aggregate is built ONCE and pinned
+    (lazy localCheckpoint) — pass 1, term mining, and pass 2 all read
+    it; both scoring passes broadcast only the tiny (query, term[,
+    weight]) set into the postings, so non-query-term postings never
+    leave the map side; feedback-doc term mining is an equi-join of
+    the fb_docs * queries id set against that pinned aggregate.  The
+    query side stays bounded by the same loud ``max_query_terms``
+    contract as bm25_topk.
+    """
+    from pyspark.sql import Window
+
+    qterms = queries.select(
+        F.col(query_id_col),
+        F.explode(tokens(F.col(query_text_col))).alias("term"),
+    ).distinct()
+    n_qterms = qterms.count()
+    if n_qterms > max_query_terms:
+        raise ValueError(
+            f"prf_expand_topk: {n_qterms} distinct (query, term) pairs "
+            f"exceed max_query_terms={max_query_terms}; the query side "
+            "is broadcast by contract — batch the query set instead"
+        )
+    qterms = qterms.localCheckpoint(eager=False)
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
+    doclen = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus = doclen.groupBy().agg(
+        F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl")
+    )
+
+    def _contrib():
+        return (
+            F.log(
+                1.0 + (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+        )
+
+    def _score(weighted_terms: DataFrame, weight_col) -> DataFrame:
+        return (
+            tf.join(F.broadcast(weighted_terms), "term")
+            .join(doclen, id_col)
+            .join(dfreq, "term")
+            .crossJoin(F.broadcast(corpus))
+            .groupBy(query_id_col, id_col)
+            .agg(F.round(F.sum(weight_col * _contrib()), 6).alias("score"))
+        )
+
+    w_rank = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    pass1 = _score(qterms, F.lit(1.0))
+    fb = (
+        pass1.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= fb_docs)
+        .select(query_id_col, id_col)
+    )
+
+    # RM1 term mass over the feedback docs, original terms excluded
+    fb_weights = (
+        fb.join(tf, id_col)
+        .join(doclen, id_col)
+        .join(qterms, [query_id_col, "term"], "left_anti")
+        .groupBy(query_id_col, "term")
+        .agg(F.round(F.sum(F.col("tf") / F.col("dl")), 9).alias("w_raw"))
+    )
+    w_term = Window.partitionBy(query_id_col).orderBy(
+        F.desc("w_raw"), F.asc("term")
+    )
+    expterms = fb_weights.withColumn(
+        "trank", F.row_number().over(w_term)
+    ).filter(F.col("trank") <= fb_terms)
+    w_norm = Window.partitionBy(query_id_col)
+    expterms = expterms.withColumn(
+        "w", (1.0 - alpha) * F.col("w_raw") / F.sum("w_raw").over(w_norm)
+    ).select(query_id_col, "term", "w")
+
+    nq = qterms.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("nq"))
+    orig = qterms.join(nq, query_id_col).select(
+        query_id_col, "term", (F.lit(alpha) / F.col("nq")).alias("w")
+    )
+    # a term in both models accumulates both masses (RM3 interpolation)
+    model = (
+        orig.unionByName(expterms)
+        .groupBy(query_id_col, "term")
+        .agg(F.round(F.sum("w"), 9).alias("w"))
+    )
+
+    pass2 = _score(model, F.col("w"))
+    return (
+        pass2.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            F.col("rank").cast("int").alias("rank"),
+            id_col,
+            "score",
+        )
+    )
+
+
 def bigram_logprob_scores(
     df: DataFrame,
     model_docs: DataFrame | None = None,

@@ -271,3 +271,110 @@ class TestContrastiveTriplets:
             # negative is same-language (the hard-negative contract)
             assert langs[t["negative_id"]] == t["lang"]
             assert langs[t["anchor_id"]] == t["lang"]
+
+
+class TestContainment:
+    def test_quote_detected_jaccard_blind(self, spark):
+        from recover_spark.ops.dedup_text import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        quote = " ".join(f"q{i}" for i in range(10))
+        article = quote + " " + " ".join(f"body{i}" for i in range(200))
+        docs = spark.createDataFrame(
+            [(1, quote), (2, article), (3, "totally different words here")],
+            "doc_id long, text string",
+        )
+        cont = {
+            (r["id_a"], r["id_b"]): r["containment"]
+            for r in ngram_containment_pairs(
+                docs, shingle_size=3, min_containment=0.6
+            ).collect()
+        }
+        # the quote is fully contained in the article...
+        assert cont[(1, 2)] == 1.0
+        # ...but not the reverse (article >> quote)
+        assert (2, 1) not in cont
+        # and symmetric Jaccard misses the pair entirely at any
+        # near-dup threshold
+        jac = ngram_jaccard_pairs(docs, shingle_size=3, min_jaccard=0.2)
+        assert jac.filter("id_a = 1 AND id_b = 2").count() == 0
+
+    def test_min_set_size_suppresses_trivial(self, spark):
+        from recover_spark.ops.dedup_text import ngram_containment_pairs
+
+        tiny = "a b c"  # one 3-shingle: trivially contained
+        host = "a b c " + " ".join(f"w{i}" for i in range(50))
+        docs = spark.createDataFrame(
+            [(1, tiny), (2, host)], "doc_id long, text string"
+        )
+        got = ngram_containment_pairs(
+            docs, shingle_size=3, min_containment=0.6, min_set_size=5
+        )
+        assert got.filter("id_a = 1").count() == 0
+
+
+class TestPRF:
+    def _corpus(self, spark):
+        # 'alpha' docs co-mention 'omega'; the query only says 'alpha'.
+        # PRF should pull omega-only docs into the ranking.
+        rows = [(i, "alpha omega shared topic words") for i in range(4)]
+        rows += [(10 + i, "omega omega deep dive content") for i in range(3)]
+        rows += [(20 + i, "unrelated filler noise text") for i in range(6)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_expansion_recalls_co_occurring_docs(self, spark):
+        from recover_spark.ops.text_analysis import bm25_topk, prf_expand_topk
+
+        docs = self._corpus(spark)
+        q = spark.createDataFrame(
+            [("q1", "alpha")], "query_id string, query_text string"
+        )
+        plain = {
+            r["doc_id"]
+            for r in bm25_topk(docs, q, k=7).collect()
+        }
+        prf = {
+            r["doc_id"]
+            for r in prf_expand_topk(
+                docs, q, k=7, fb_docs=3, fb_terms=3, alpha=0.5
+            ).collect()
+        }
+        omega_only = {10, 11, 12}
+        # plain BM25 cannot rank omega-only docs (no query-term match)
+        assert not (plain & omega_only)
+        # the feedback loop recalls them
+        assert prf & omega_only
+
+    def test_rank_contract_and_determinism(self, spark):
+        from recover_spark.ops.text_analysis import prf_expand_topk
+
+        docs = self._corpus(spark)
+        q = spark.createDataFrame(
+            [("q1", "alpha"), ("q2", "filler noise")],
+            "query_id string, query_text string",
+        )
+        a = prf_expand_topk(docs, q, k=5).collect()
+        b = prf_expand_topk(docs, q, k=5).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        by_q = {}
+        for r in a:
+            by_q.setdefault(r["query_id"], []).append(r)
+        for rows in by_q.values():
+            rows.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+            scores = [r["score"] for r in rows]
+            assert scores == sorted(scores, reverse=True)
+
+    def test_query_term_broadcast_guard(self, spark):
+        import pytest as _pytest
+
+        from recover_spark.ops.text_analysis import prf_expand_topk
+
+        docs = self._corpus(spark)
+        q = spark.createDataFrame(
+            [("q1", "a b c d e f")], "query_id string, query_text string"
+        )
+        with _pytest.raises(ValueError, match="max_query_terms"):
+            prf_expand_topk(docs, q, max_query_terms=3)
