@@ -189,6 +189,8 @@ HEADLINE = [
     "stream_sample_matview",
     "graph_shortest_paths",
     "sample_contrastive_triplets",
+    "dedup_containment",
+    "retrieval_prf",
 ]
 
 

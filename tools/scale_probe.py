@@ -176,6 +176,8 @@ PROBES = [
     "stream_sample_matview",  # 4-batch per-key bottom-k fold (k-row state)
     "graph_shortest_paths",  # per-level frontier equi-join + anti-join
     "sample_contrastive_triplets",  # jaccard pairs + (lang, bucket) ring join
+    "dedup_containment",    # directed inverted-index join, contained-side floor
+    "retrieval_prf",        # two-pass BM25, pinned (doc, term) aggregate
 ]
 
 
