@@ -1162,6 +1162,108 @@ def q_sample_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_stream_kmv_overlap_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations over STREAMED member sets: the bottom-k sample
+    state's per-key hash arrays ARE KMV sketches, so pairwise
+    union/intersection/Jaccard of the event-type audiences read
+    straight from the incrementally-maintained state with no history
+    rescan (streaming/matview.py:read_sample_overlap) — the
+    set-expression lens of the distinct-sketch matview family.  min-k
+    mergeability makes the streamed sketch EQUAL the one-shot batch
+    sketch, so estimates hash exactly; exact counts + 4-sigma flags
+    ride along as in agg_kmv_overlap."""
+    import uuid
+
+    from recover_spark.functions.hashing import portable_hash64
+    from recover_spark.streaming.matview import (
+        maintain_sample_matview,
+        read_sample_overlap,
+    )
+
+    k = 256
+    run_dir = f"spark-warehouse/matview_kmv_q/{uuid.uuid4().hex}"
+    src = f"{run_dir}/src"
+    events = _load(spark, sf_dir, "events").select("event_type", "user_id")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_sample_matview(
+        stream,
+        f"{run_dir}/state",
+        f"{run_dir}/ckpt",
+        ["event_type"],
+        payload_col="user_id",
+        k=k,
+    )
+    q.awaitTermination(300)
+    est = read_sample_overlap(spark, f"{run_dir}/state", "event_type", k=k)
+
+    hashed = (
+        events.filter(F.col("user_id").isNotNull())
+        .select(
+            F.col("event_type").alias("key"),
+            portable_hash64(
+                F.col("user_id").cast("string"), salt="bksample"
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    sizes = hashed.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        hashed.alias("a")
+        .join(
+            hashed.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.key") < F.col("b.key")),
+        )
+        .groupBy(
+            F.col("a.key").alias("key_a"), F.col("b.key").alias("key_b")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    out = (
+        est.join(
+            sizes.select(F.col("key").alias("key_a"), F.col("n").alias("n_a")),
+            "key_a",
+        )
+        .join(
+            sizes.select(F.col("key").alias("key_b"), F.col("n").alias("n_b")),
+            "key_b",
+        )
+        .join(inter, ["key_a", "key_b"], "left")
+        .withColumn(
+            "exact_intersect",
+            F.coalesce(F.col("exact_intersect"), F.lit(0)).cast("bigint"),
+        )
+        .withColumn(
+            "exact_union",
+            (F.col("n_a") + F.col("n_b") - F.col("exact_intersect")).cast(
+                "bigint"
+            ),
+        )
+    )
+    return out.select(
+        "key_a",
+        "key_b",
+        "exact_union",
+        "exact_intersect",
+        "est_union",
+        "est_intersect",
+        "jaccard_est",
+        (
+            F.abs(F.col("est_union") - F.col("exact_union"))
+            <= F.greatest(F.lit(2.0), 0.25 * F.col("exact_union"))
+        ).alias("union_ok"),
+        (
+            F.abs(F.col("est_intersect") - F.col("exact_intersect"))
+            <= F.greatest(F.lit(8.0), 0.40 * F.col("exact_intersect"))
+        ).alias("intersect_ok"),
+    ).orderBy("key_a", "key_b")
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIRECTED n-gram containment pairs (ops/dedup_text.py:
     ngram_containment_pairs): C(A -> B) = |A ∩ B| / |A| over the rare-
@@ -7701,6 +7803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_contrastive_triplets": q_sample_contrastive_triplets,
         "dedup_containment": q_dedup_containment,
         "retrieval_prf": q_retrieval_prf,
+        "stream_kmv_overlap_matview": q_stream_kmv_overlap_matview,
         "v10_drift_js": q_v10_drift_js,
         "stream_drift_ks": q_stream_drift_ks,
         "v6_drift_categorical": q_v6_drift_categorical,
@@ -7889,6 +7992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_contrastive_triplets",
         "dedup_containment",
         "retrieval_prf",
+        "stream_kmv_overlap_matview",
         "agg_cm_frequency",
         "stream_cm_matview",
         "ts_changepoint",
@@ -7991,16 +8095,23 @@ def _cos(a: str, b: str, dim: int = 64) -> str:
     return f"({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})))"
 
 
-def _kmv_overlap_sql(k: int = 256) -> str:
+def _kmv_overlap_sql(
+    k: int = 256,
+    table: str = "orders",
+    key: str = "o_orderstatus",
+    val: str = "o_custkey",
+    salt: str = "kmv",
+) -> str:
     """KMV overlap oracle: rebuild the bottom-k sketches, the merged
     union sketches, and the estimators bit-for-bit (ops/kmv.py), plus
     the exact union/intersection from the hash-domain equi-join and
-    the pinned-TRUE tolerance flags."""
-    h = _h64("concat('kmv|', CAST(o_custkey AS VARCHAR))")
+    the pinned-TRUE tolerance flags.  Parameterized so the streamed
+    sketch (same hashes by min-k mergeability) shares the chain."""
+    h = _h64(f"concat('{salt}|', CAST({val} AS VARCHAR))")
     return f"""
         WITH hashes AS (
-            SELECT DISTINCT o_orderstatus AS key, {h} AS h
-            FROM orders WHERE o_custkey IS NOT NULL
+            SELECT DISTINCT {key} AS key, {h} AS h
+            FROM {table} WHERE {val} IS NOT NULL
         ),
         ranked AS (
             SELECT key, h,
@@ -9109,6 +9220,11 @@ def oracle_sql() -> dict[str, str]:
     out["dedup_lsh_recall"] = _lsh_recall_sql()
     out["text_keywords_textrank"] = _textrank_oracle_sql()
     out["agg_kmv_overlap"] = _kmv_overlap_sql()
+    # streamed sketch == batch sketch by min-k mergeability: the same
+    # oracle chain on the stream's table/key/salt
+    out["stream_kmv_overlap_matview"] = _kmv_overlap_sql(
+        table="events", key="event_type", val="user_id", salt="bksample"
+    )
     # min-k sketch membership is deterministic (md5 bottom-k), so the
     # streamed sample equals the one-shot batch bottom-k: exact oracle
     out["stream_sample_matview"] = """

@@ -191,6 +191,7 @@ HEADLINE = [
     "sample_contrastive_triplets",
     "dedup_containment",
     "retrieval_prf",
+    "stream_kmv_overlap_matview",
 ]
 
 

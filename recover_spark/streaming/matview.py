@@ -1322,3 +1322,32 @@ def read_sample_matview(
     keys = [c for c in state.columns if c not in ("h", "payload")]
     w = Window.partitionBy(*keys).orderBy("h")
     return state.withColumn("rank", F.row_number().over(w))
+
+
+def read_sample_overlap(
+    spark: SparkSession,
+    state_path: str,
+    key_col: str,
+    k: int,
+    max_groups: int = 1024,
+) -> DataFrame:
+    """Pairwise set-operation estimates straight from the streamed
+    bottom-k state: the per-key hash arrays ARE KMV sketches (the
+    payload just rides along), so union / intersection / Jaccard
+    between any two keys' streamed member sets come from the same
+    estimators as the batch operator (ops/kmv.py) with NO rescan of
+    the stream's history — the set-expression read lens of the
+    distinct-sketch family.
+
+    By min-k mergeability the streamed sketch equals the one-shot
+    batch sketch over the same rows, so estimates are deterministic
+    and an external oracle reproduces them exactly.
+    """
+    from recover_spark.ops.kmv import kmv_pairwise_overlap
+
+    _recover_state(state_path)
+    state = spark.read.parquet(state_path)
+    sk = state.groupBy(key_col).agg(
+        F.array_sort(F.collect_list("h")).alias("kmv")
+    )
+    return kmv_pairwise_overlap(sk, key_col, k=k, max_groups=max_groups)

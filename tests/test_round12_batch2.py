@@ -378,3 +378,46 @@ class TestPRF:
         )
         with _pytest.raises(ValueError, match="max_query_terms"):
             prf_expand_topk(docs, q, max_query_terms=3)
+
+
+class TestStreamKMVOverlap:
+    def test_streamed_overlap_equals_batch_sketch(self, spark, tmp_path):
+        from recover_spark.ops.kmv import kmv_pairwise_overlap, kmv_sketch
+        from recover_spark.streaming.matview import (
+            maintain_sample_matview,
+            read_sample_overlap,
+        )
+
+        k = 64
+        df = _vals(spark, n=12000, groups=3).select(
+            "g", F.col("v").cast("string").alias("payload_src")
+        )
+        src = str(tmp_path / "src")
+        df.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("g string, payload_src string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = str(tmp_path / "state")
+        q = maintain_sample_matview(
+            stream, state, str(tmp_path / "ckpt"), ["g"], "payload_src", k=k
+        )
+        q.awaitTermination(120)
+        streamed = {
+            (r["key_a"], r["key_b"]): (
+                r["est_union"], r["est_intersect"], r["jaccard_est"]
+            )
+            for r in read_sample_overlap(spark, state, "g", k=k).collect()
+        }
+        batch = {
+            (r["key_a"], r["key_b"]): (
+                r["est_union"], r["est_intersect"], r["jaccard_est"]
+            )
+            for r in kmv_pairwise_overlap(
+                kmv_sketch(df, ["g"], "payload_src", k=k, salt="bksample"),
+                "g",
+                k=k,
+            ).collect()
+        }
+        assert streamed == batch

@@ -178,6 +178,7 @@ PROBES = [
     "sample_contrastive_triplets",  # jaccard pairs + (lang, bucket) ring join
     "dedup_containment",    # directed inverted-index join, contained-side floor
     "retrieval_prf",        # two-pass BM25, pinned (doc, term) aggregate
+    "stream_kmv_overlap_matview",  # 4-batch bottom-k fold + sketch-table set-ops read
 ]
 
 
