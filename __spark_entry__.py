@@ -1264,6 +1264,76 @@ def q_stream_kmv_overlap_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key_a", "key_b")
 
 
+def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded dynamic-time-warping distance between the event-type
+    daily series (ops/dtw.py) — phase-shift-tolerant series similarity
+    Euclidean comparison is blind to (a metric reacting a day late
+    still reads as similar).  The only fact-sized pass is the
+    (type, day) mean collapse; the Sakoe-Chiba DP (|i-j| <= 16) runs
+    per pair in an Arrow-batched kernel over the O(keys) series table
+    under the loud max_keys pairing guard.  The DP is fixed-order
+    float64, so an INDEPENDENT pure-Python oracle reproduces every
+    distance bit-for-bit (oracle_py, the trainer-hashing pattern)."""
+    from recover_spark.ops.dtw import dtw_pairwise, keyed_series
+
+    ev = _load(spark, sf_dir, "events")
+    pts = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.floor(F.unix_micros(F.col("ts")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    series = keyed_series(pts, "event_type", "day", "v")
+    return dtw_pairwise(series, "event_type", band=16).orderBy(
+        "key_a", "key_b"
+    )
+
+
+def _py_oracle_ts_dtw(con, sf_dir):
+    """Independent banded-DTW oracle: DuckDB builds the same daily
+    series, a from-scratch pure-Python DP (no shared code with
+    ops/dtw.py) computes the distances."""
+    rows = con.execute(
+        """
+        SELECT event_type, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               round(avg(value), 6) AS v
+        FROM events WHERE ts IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    series: dict = {}
+    for k, _d, v in rows:
+        series.setdefault(k, []).append(float(v))
+
+    def _dtw(a, b, band=16):
+        n, m = len(a), len(b)
+        be = max(band, abs(n - m))
+        inf = float("inf")
+        prev = [inf] * (m + 1)
+        prev[0] = 0.0
+        for i in range(1, n + 1):
+            cur = [inf] * (m + 1)
+            for j in range(max(1, i - be), min(m, i + be) + 1):
+                cost = abs(a[i - 1] - b[j - 1])
+                cur[j] = cost + min(prev[j], prev[j - 1], cur[j - 1])
+            prev = cur
+        return prev[m]
+
+    keys = sorted(series)
+    out = []
+    for i, ka in enumerate(keys):
+        for kb in keys[i + 1:]:
+            a, b = series[ka], series[kb]
+            out.append(
+                (ka, kb, len(a), len(b), round(_dtw(a, b), 6))
+            )
+    return ["key_a", "key_b", "n_a", "n_b", "dtw_dist"], out
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DIRECTED n-gram containment pairs (ops/dedup_text.py:
     ngram_containment_pairs): C(A -> B) = |A ∩ B| / |A| over the rare-
@@ -7804,6 +7874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "retrieval_prf": q_retrieval_prf,
         "stream_kmv_overlap_matview": q_stream_kmv_overlap_matview,
+        "ts_dtw": q_ts_dtw,
         "v10_drift_js": q_v10_drift_js,
         "stream_drift_ks": q_stream_drift_ks,
         "v6_drift_categorical": q_v6_drift_categorical,
@@ -7993,6 +8064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment",
         "retrieval_prf",
         "stream_kmv_overlap_matview",
+        "ts_dtw",
         "agg_cm_frequency",
         "stream_cm_matview",
         "ts_changepoint",
@@ -14504,4 +14576,5 @@ def oracle_py() -> dict:
         "text_bpe_train": _py_oracle_bpe_train,
         "text_unigram_train": _py_oracle_unigram_train,
         "text_quality_train": _py_oracle_quality_train,
+        "ts_dtw": _py_oracle_ts_dtw,
     }

@@ -192,6 +192,7 @@ HEADLINE = [
     "dedup_containment",
     "retrieval_prf",
     "stream_kmv_overlap_matview",
+    "ts_dtw",
 ]
 
 

@@ -421,3 +421,65 @@ class TestStreamKMVOverlap:
             ).collect()
         }
         assert streamed == batch
+
+
+class TestDTW:
+    def test_hand_computed_distance(self, spark):
+        from recover_spark.ops.dtw import dtw_distance
+        import numpy as np
+
+        # identical series: 0
+        a = np.array([1.0, 2.0, 3.0])
+        assert dtw_distance(a, a, band=8) == 0.0
+        # classic alignment: [0,0,1] vs [0,1,1] warps to cost 0
+        assert dtw_distance(
+            np.array([0.0, 0.0, 1.0]), np.array([0.0, 1.0, 1.0]), band=8
+        ) == 0.0
+        # hand DP: [0,2] vs [0,0,2] -> 0 (duplicate-alignment free)
+        assert dtw_distance(
+            np.array([0.0, 2.0]), np.array([0.0, 0.0, 2.0]), band=8
+        ) == 0.0
+        # scalar offset accumulates along the diagonal
+        assert dtw_distance(
+            np.array([1.0, 1.0]), np.array([2.0, 2.0]), band=8
+        ) == 2.0
+
+    def test_phase_shift_tolerance(self, spark):
+        from recover_spark.ops.dtw import dtw_distance
+        import numpy as np
+
+        base = np.sin(np.linspace(0, 6.28, 50))
+        shifted = np.roll(base, 3)  # same shape, 3 steps late
+        noise = np.linspace(-1, 1, 50)
+        d_shift = dtw_distance(base, shifted, band=8)
+        d_other = dtw_distance(base, noise, band=8)
+        # euclidean would punish the shift hard; DTW keeps it small
+        assert d_shift < 0.25 * d_other
+
+    def test_pairwise_guard_and_schema(self, spark):
+        from recover_spark.ops.dtw import dtw_pairwise, keyed_series
+
+        pts = spark.createDataFrame(
+            [("a", i, float(i)) for i in range(5)]
+            + [("b", i, float(i + 1)) for i in range(5)]
+            + [("c", i, float(2 * i)) for i in range(5)],
+            "k string, o int, v double",
+        )
+        series = keyed_series(pts, "k", "o", "v")
+        got = dtw_pairwise(series, "k", band=4).collect()
+        assert {(r["key_a"], r["key_b"]) for r in got} == {
+            ("a", "b"), ("a", "c"), ("b", "c")
+        }
+        for r in got:
+            assert r["n_a"] == 5 and r["n_b"] == 5
+            assert r["dtw_dist"] >= 0.0
+        with pytest.raises(ValueError, match="max_keys"):
+            dtw_pairwise(series, "k", max_keys=2)
+
+    def test_band_infeasible_lengths_still_finite(self, spark):
+        from recover_spark.ops.dtw import dtw_distance
+        import numpy as np
+
+        # length gap wider than the band: band_eff widens to |n-m|
+        d = dtw_distance(np.ones(3), np.ones(40), band=2)
+        assert d == 0.0

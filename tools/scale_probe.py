@@ -179,6 +179,7 @@ PROBES = [
     "dedup_containment",    # directed inverted-index join, contained-side floor
     "retrieval_prf",        # two-pass BM25, pinned (doc, term) aggregate
     "stream_kmv_overlap_matview",  # 4-batch bottom-k fold + sketch-table set-ops read
+    "ts_dtw",               # (type, day) collapse + banded DP over O(keys) pairs
 ]
 
 
