@@ -1264,6 +1264,95 @@ def q_stream_kmv_overlap_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("key_a", "key_b")
 
 
+def q_agg_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type isotonic calibration via pool-adjacent-violators
+    (ops/classifier_eval.py:isotonic_calibration_by_group) — the
+    unique non-decreasing step function fitting observed positive
+    rates, completing the calibration family (reliability bins and
+    ECE diagnose; PAV FIXES).  Scores pre-binned to the milli grain
+    so the distinct-score cell frame is bounded; PAV itself uses
+    integer cross-multiplication (exact block boundaries), the only
+    float op the final rate division — hash-verified bit-for-bit by
+    an independent from-scratch PAV oracle (oracle_py)."""
+    from recover_spark.ops.classifier_eval import (
+        isotonic_calibration_by_group,
+    )
+
+    ev = _classifier_eval_fixture(spark, sf_dir).select(
+        "event_type",
+        F.floor(F.col("score") * 1000).cast("int").alias("bucket"),
+        "label",
+    )
+    return isotonic_calibration_by_group(
+        ev, ["event_type"], "bucket", "label"
+    ).orderBy("event_type", "block")
+
+
+def _py_oracle_isotonic(con, sf_dir):
+    """Independent PAV oracle: DuckDB builds the same milli-binned
+    cells; a from-scratch pool-adjacent-violators pass (no shared code
+    with ops/classifier_eval.py) fits the blocks."""
+    cells = con.execute(
+        """
+        SELECT event_type,
+               CAST(floor((value - floor(value)) * 1000) AS INT) AS b,
+               sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS pos,
+               count(*) AS n
+        FROM events
+        WHERE value IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchall()
+    groups: dict = {}
+    for g, b, p, n in cells:
+        groups.setdefault(g, []).append((b, int(p), int(n)))
+    out = []
+    for g in sorted(groups):
+        blocks: list[list] = []
+        for b, p, n in sorted(groups[g]):
+            blocks.append([p, n, b, b])
+            while len(blocks) > 1:
+                pa, na, loa, _ = blocks[-2]
+                pb, nb, _, hib = blocks[-1]
+                if pa * nb >= pb * na:
+                    blocks[-2:] = [[pa + pb, na + nb, loa, hib]]
+                else:
+                    break
+        for i, (p, n, lo, hi) in enumerate(blocks):
+            out.append(
+                (g, i, float(lo), float(hi), n, p, round(p / n, 6))
+            )
+    return [
+        "event_type", "block", "score_lo", "score_hi",
+        "n_rows", "n_pos", "calibrated",
+    ], out
+
+
+def q_transform_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe K-fold target encoding (ops/encoding.py:
+    target_encode_cells, the Micci-Barreca / CatBoost out-of-fold mean
+    encoding): order-priority encoded by the mean total price its
+    OTHER folds observed, m-estimate-smoothed toward the leave-out
+    global mean (the prior must not leak either).  ONE fact pass to
+    the (category, fold) cells; every leave-out statistic is a window
+    over that bounded frame.  Folds ride the portable md5 hash, so
+    the oracle reproduces fold membership and the encoding exactly;
+    rounded to 4 (mean-scale values — the sum-magnitude rule's
+    margin)."""
+    from recover_spark.ops.encoding import target_encode_cells
+
+    orders = _load(spark, sf_dir, "orders")
+    return target_encode_cells(
+        orders,
+        "o_orderpriority",
+        "o_totalprice",
+        "o_orderkey",
+        n_folds=5,
+        smoothing=10.0,
+        round_digits=4,
+    ).orderBy("category", "fold")
+
+
 def q_ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded dynamic-time-warping distance between the event-type
     daily series (ops/dtw.py) — phase-shift-tolerant series similarity
@@ -7875,6 +7964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_prf": q_retrieval_prf,
         "stream_kmv_overlap_matview": q_stream_kmv_overlap_matview,
         "ts_dtw": q_ts_dtw,
+        "transform_target_encode": q_transform_target_encode,
+        "agg_isotonic_calibration": q_agg_isotonic_calibration,
         "v10_drift_js": q_v10_drift_js,
         "stream_drift_ks": q_stream_drift_ks,
         "v6_drift_categorical": q_v6_drift_categorical,
@@ -8065,6 +8156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_prf",
         "stream_kmv_overlap_matview",
         "ts_dtw",
+        "transform_target_encode",
+        "agg_isotonic_calibration",
         "agg_cm_frequency",
         "stream_cm_matview",
         "ts_changepoint",
@@ -9339,6 +9432,27 @@ def oracle_sql() -> dict[str, str]:
         FROM walk GROUP BY node ORDER BY node
     """
     out["sample_contrastive_triplets"] = _contrastive_triplets_sql()
+    out["transform_target_encode"] = """
+        WITH cells AS (
+            SELECT o_orderpriority AS category,
+                   CAST(CAST(concat('0x', substr(md5(concat('tenc|',
+                        CAST(o_orderkey AS VARCHAR))), 1, 8)) AS BIGINT)
+                        % 5 AS INT) AS fold,
+                   sum(CAST(o_totalprice AS DOUBLE)) AS s,
+                   count(*) AS n
+            FROM orders WHERE o_totalprice IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT category, fold, n AS n_rows,
+               round(
+                   (sum(s) OVER (PARTITION BY category) - s
+                    + 10.0 * ((sum(s) OVER () - sum(s) OVER (PARTITION BY fold))
+                              / (sum(n) OVER () - sum(n) OVER (PARTITION BY fold))))
+                   / (sum(n) OVER (PARTITION BY category) - n + 10.0),
+               4) AS encoded
+        FROM cells
+        ORDER BY category, fold
+    """
     out["dedup_containment"] = f"""
         WITH {_TOKS_CTE}, {_GRAMS3_CTE},
         rare AS (SELECT shingle FROM grams
@@ -14577,4 +14691,5 @@ def oracle_py() -> dict:
         "text_unigram_train": _py_oracle_unigram_train,
         "text_quality_train": _py_oracle_quality_train,
         "ts_dtw": _py_oracle_ts_dtw,
+        "agg_isotonic_calibration": _py_oracle_isotonic,
     }

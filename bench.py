@@ -193,6 +193,8 @@ HEADLINE = [
     "retrieval_prf",
     "stream_kmv_overlap_matview",
     "ts_dtw",
+    "transform_target_encode",
+    "agg_isotonic_calibration",
 ]
 
 

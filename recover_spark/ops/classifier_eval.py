@@ -411,3 +411,89 @@ def calibration_summary(
     b = _binned(df, group_cols, score_col, label_col, bins,
                 "calibration_summary")
     return fold_calibration_summary(b, group_cols, round_digits)
+
+
+def isotonic_calibration_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score_col: str,
+    label_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group isotonic regression calibration via pool-adjacent-
+    violators (Ayer et al. 1955; Zadrozny & Elkan KDD-02) — THE
+    non-parametric calibration fitter: the unique non-decreasing step
+    function minimizing squared error of predicted-vs-observed rates,
+    where the reliability/ECE readouts in this module only DIAGNOSE
+    miscalibration.
+
+    Scale shape: one fact pass collapses to the distinct-score grain
+    (map-side combinable (group, score) -> (positives, count) cells —
+    the roc_auc_by_group precedent; pre-bin continuous scores if the
+    distinct-score grain is unbounded), then PAV runs per group over
+    the bounded cell frame in ONE Arrow batch per group
+    (applyInPandas) — the stack algorithm is inherently sequential
+    (SURVEY §2.10 justified-Arrow rule), O(cells) amortized since
+    every merge retires a block.
+
+    Determinism: violator comparisons use integer cross-
+    multiplication (pos_a * n_b >= pos_b * n_a), so block boundaries
+    are exact; the only float op is the final pos/n division, rounded.
+    PAV's fixed-point is unique, so an independent oracle lands on
+    identical blocks.
+
+    Returns one row per fitted block: (groups..., block, score_lo,
+    score_hi, n_rows, n_pos, calibrated) with ``calibrated``
+    non-decreasing in ``block`` within each group.
+    """
+    import pandas as pd
+
+    keys = list(group_cols)
+    cells = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(*keys, F.col(score_col).alias("__score"))
+        .agg(
+            F.sum(F.col(label_col).cast("int")).alias("__pos"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in cells.schema
+        if f.name in keys
+    )
+    out_schema = (
+        f"{key_fields}, block int, score_lo double, score_hi double, "
+        "n_rows bigint, n_pos bigint, calibrated double"
+    )
+
+    def _pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__score")
+        # blocks: [pos, n, lo, hi] — merge while non-increasing
+        blocks: list[list] = []
+        for s, p, n in zip(pdf["__score"], pdf["__pos"], pdf["__n"]):
+            blocks.append([int(p), int(n), float(s), float(s)])
+            while len(blocks) > 1:
+                pa, na, loa, _ = blocks[-2]
+                pb, nb, _, hib = blocks[-1]
+                if pa * nb >= pb * na:  # rate_a >= rate_b: violator
+                    blocks[-2:] = [[pa + pb, na + nb, loa, hib]]
+                else:
+                    break
+        rows = []
+        gvals = {k: pdf[k].iloc[0] for k in keys}
+        for i, (p, n, lo, hi) in enumerate(blocks):
+            rows.append(
+                {
+                    **gvals,
+                    "block": i,
+                    "score_lo": lo,
+                    "score_hi": hi,
+                    "n_rows": n,
+                    "n_pos": p,
+                    "calibrated": round(p / n, round_digits),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return cells.groupBy(*keys).applyInPandas(_pav, out_schema)

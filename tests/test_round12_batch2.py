@@ -483,3 +483,115 @@ class TestDTW:
         # length gap wider than the band: band_eff widens to |n-m|
         d = dtw_distance(np.ones(3), np.ones(40), band=2)
         assert d == 0.0
+
+
+class TestTargetEncode:
+    def _df(self, spark, n=3000):
+        return spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).cast("string").alias("cat"),
+            (F.col("id") % 13).cast("double").alias("y"),
+        )
+
+    def test_leakage_free_by_construction(self, spark):
+        # perturbing the targets INSIDE fold f must not move fold f's
+        # encoding (it is computed from the other folds only)
+        from recover_spark.functions.hashing import portable_hash32
+        from recover_spark.ops.encoding import target_encode_cells
+
+        df = self._df(spark)
+        base = {
+            (r["category"], r["fold"]): r["encoded"]
+            for r in target_encode_cells(df, "cat", "y", "k").collect()
+        }
+        fold_of = (portable_hash32(F.col("k"), salt="tenc") % 5).cast("int")
+        poisoned = df.withColumn(
+            "y",
+            F.when(fold_of == 2, F.col("y") + 1000.0).otherwise(F.col("y")),
+        )
+        pois = {
+            (r["category"], r["fold"]): r["encoded"]
+            for r in target_encode_cells(poisoned, "cat", "y", "k").collect()
+        }
+        for (c, f), v in base.items():
+            if f == 2:
+                assert pois[(c, f)] == v  # own-fold rows can't leak in
+            else:
+                assert pois[(c, f)] != v  # other folds DO see fold 2
+
+    def test_smoothing_pulls_rare_to_prior(self, spark):
+        from recover_spark.ops.encoding import target_encode_cells
+
+        rows = [(i, "common", 10.0) for i in range(500)]
+        rows += [(1000, "rare", 99.0)]
+        df = spark.createDataFrame(rows, "k long, cat string, y double")
+        got = {
+            (r["category"], r["fold"]): r["encoded"]
+            for r in target_encode_cells(
+                df, "cat", "y", "k", smoothing=10.0
+            ).collect()
+        }
+        # the rare category's encoding is prior-dominated (~10), never 99
+        for (c, f), v in got.items():
+            if c == "rare":
+                assert abs(v - 10.0) < 1.0
+
+    def test_fact_grain_join(self, spark):
+        from recover_spark.ops.encoding import target_encode
+
+        df = self._df(spark, n=500)
+        out = target_encode(df, "cat", "y", "k")
+        assert out.count() == 500
+        assert out.filter(F.col("encoded").isNull()).count() == 0
+
+
+class TestIsotonic:
+    def test_pav_known_blocks(self, spark):
+        from recover_spark.ops.classifier_eval import (
+            isotonic_calibration_by_group,
+        )
+
+        # rates by score: 0.8, 0.2, 0.4 -> first two pool to 0.5, then
+        # 0.5 >= 0.4 pools all three to 7/15; a fourth at 0.9 stands
+        rows = []
+        for s, pos, n in [(1, 8, 10), (2, 1, 5), (3, 2, 5), (4, 9, 10)]:
+            rows += [("g", s, True)] * pos + [("g", s, False)] * (n - pos)
+        df = spark.createDataFrame(rows, "g string, s int, label boolean")
+        got = (
+            isotonic_calibration_by_group(df, ["g"], "s", "label")
+            .orderBy("block")
+            .collect()
+        )
+        assert [
+            (r["block"], r["score_lo"], r["score_hi"], r["n_rows"],
+             r["n_pos"], r["calibrated"])
+            for r in got
+        ] == [
+            (0, 1.0, 3.0, 20, 11, 0.55),
+            (1, 4.0, 4.0, 10, 9, 0.9),
+        ]
+
+    def test_monotone_and_mass_preserving(self, spark):
+        from recover_spark.ops.classifier_eval import (
+            isotonic_calibration_by_group,
+        )
+
+        df = spark.range(4000).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            (F.col("id") % 50).alias("s"),
+            ((F.col("id") * 7919) % 11 < 5).alias("label"),
+        )
+        got = isotonic_calibration_by_group(df, ["g"], "s", "label").collect()
+        by_g: dict = {}
+        for r in got:
+            by_g.setdefault(r["g"], []).append(r)
+        tot_rows = sum(r["n_rows"] for r in got)
+        tot_pos = sum(r["n_pos"] for r in got)
+        assert tot_rows == 4000
+        assert tot_pos == df.filter("label").count()
+        for rows in by_g.values():
+            rows.sort(key=lambda r: r["block"])
+            rates = [r["calibrated"] for r in rows]
+            assert rates == sorted(rates)  # isotonic
+            for a, b in zip(rows, rows[1:]):
+                assert a["score_hi"] < b["score_lo"]  # disjoint blocks

@@ -180,6 +180,8 @@ PROBES = [
     "retrieval_prf",        # two-pass BM25, pinned (doc, term) aggregate
     "stream_kmv_overlap_matview",  # 4-batch bottom-k fold + sketch-table set-ops read
     "ts_dtw",               # (type, day) collapse + banded DP over O(keys) pairs
+    "transform_target_encode",  # one (category, fold) cell aggregate + cell windows
+    "agg_isotonic_calibration",  # distinct-score cells + per-group Arrow PAV
 ]
 
 
