@@ -73,8 +73,11 @@ def dtw_pairwise(
     Returns (key_a, key_b, n_a, n_b, dtw_dist) for key_a < key_b.
     The series table is O(keys) rows by contract — ``max_keys`` guards
     the quadratic pairing loudly (bucket keys or pass an explicit pair
-    list above it).
+    list above it).  The series build is pinned before the guard count
+    so the guard and both join sides read one materialization (the
+    kmv_pairwise_overlap convention).
     """
+    series = series.localCheckpoint(eager=False)
     n_keys = series.count()
     if n_keys > max_keys:
         raise ValueError(

@@ -136,7 +136,12 @@ def kmv_pairwise_overlap(
     nested-loop over that BOUNDED table (never the fact), guarded
     loudly by ``max_groups`` — above it the caller should bucket keys
     or join on an explicit pair list instead.
+
+    The sketch build is pinned before the guard count so the guard,
+    the left side, and the broadcast side all read ONE materialization
+    instead of re-executing the distinct+windows three times.
     """
+    sketches = sketches.localCheckpoint(eager=False)
     n_groups = sketches.count()
     if n_groups > max_groups:
         raise ValueError(
