@@ -7787,6 +7787,85 @@ def q_stream_calibration_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_stream_isotonic_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration fitted over the STREAMED calibration
+    state (streaming/matview.py:read_isotonic_matview): the fixer lens
+    on the same (group, bin) sums the reliability/brier/AUC lenses
+    read — zero extra state; the streamed fit equals the batch fit on
+    the same decile binning (bin sums are exactly PAV's cells).
+    Oracle: a from-scratch Python PAV over the batch-computed bins
+    (oracle_py) — maintenance must be invisible."""
+    import uuid
+
+    from recover_spark.streaming.matview import (
+        maintain_calibration_matview,
+        read_isotonic_matview,
+    )
+
+    run_dir = f"spark-warehouse/iso_mv/{uuid.uuid4().hex}"
+    src = f"{run_dir}/src"
+    ev = _classifier_eval_fixture(spark, sf_dir).select(
+        "event_type", "score", F.col("label").cast("int").alias("label")
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_type string, score double, label int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_calibration_matview(
+        stream, f"{run_dir}/state", f"{run_dir}/ckpt",
+        ["event_type"], "score", "label", bins=10,
+    )
+    q.awaitTermination(300)
+    return read_isotonic_matview(
+        spark, f"{run_dir}/state", ["event_type"]
+    ).orderBy("event_type", "block")
+
+
+def _py_oracle_stream_isotonic(con, sf_dir):
+    """From-scratch PAV over the decile-binned cells the calibration
+    state holds (the stream_calibration_matview binning SQL)."""
+    cells = con.execute(
+        """
+        WITH x AS (
+            SELECT event_type AS g,
+                   value - floor(value) AS s,
+                   CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS y
+            FROM events
+            WHERE value IS NOT NULL AND user_id IS NOT NULL)
+        SELECT g, least(CAST(floor(s * 10) AS INT), 9) AS bin,
+               sum(y) AS pos, count(*) AS n
+        FROM x GROUP BY g, bin ORDER BY g, bin
+        """
+    ).fetchall()
+    groups: dict = {}
+    for g, b, p, n in cells:
+        groups.setdefault(g, []).append((b, int(p), int(n)))
+    out = []
+    for g in sorted(groups):
+        blocks: list[list] = []
+        for b, p, n in sorted(groups[g]):
+            blocks.append([p, n, b, b])
+            while len(blocks) > 1:
+                pa, na, loa, _ = blocks[-2]
+                pb, nb, _, hib = blocks[-1]
+                if pa * nb >= pb * na:
+                    blocks[-2:] = [[pa + pb, na + nb, loa, hib]]
+                else:
+                    break
+        for i, (p, n, lo, hi) in enumerate(blocks):
+            out.append(
+                (g, i, float(lo), float(hi), n, p, round(p / n, 6))
+            )
+    return [
+        "event_type", "block", "score_lo", "score_hi",
+        "n_rows", "n_pos", "calibrated",
+    ], out
+
+
 def q_stream_heartbeat_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 extension — per-key heartbeat/staleness monitor
     (streaming/matview.py:maintain_heartbeat_matview): four genuine
@@ -7966,6 +8045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_dtw": q_ts_dtw,
         "transform_target_encode": q_transform_target_encode,
         "agg_isotonic_calibration": q_agg_isotonic_calibration,
+        "stream_isotonic_matview": q_stream_isotonic_matview,
         "v10_drift_js": q_v10_drift_js,
         "stream_drift_ks": q_stream_drift_ks,
         "v6_drift_categorical": q_v6_drift_categorical,
@@ -8158,6 +8238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_dtw",
         "transform_target_encode",
         "agg_isotonic_calibration",
+        "stream_isotonic_matview",
         "agg_cm_frequency",
         "stream_cm_matview",
         "ts_changepoint",
@@ -14692,4 +14773,5 @@ def oracle_py() -> dict:
         "text_quality_train": _py_oracle_quality_train,
         "ts_dtw": _py_oracle_ts_dtw,
         "agg_isotonic_calibration": _py_oracle_isotonic,
+        "stream_isotonic_matview": _py_oracle_stream_isotonic,
     }

@@ -195,6 +195,7 @@ HEADLINE = [
     "ts_dtw",
     "transform_target_encode",
     "agg_isotonic_calibration",
+    "stream_isotonic_matview",
 ]
 
 

@@ -446,8 +446,6 @@ def isotonic_calibration_by_group(
     score_hi, n_rows, n_pos, calibrated) with ``calibrated``
     non-decreasing in ``block`` within each group.
     """
-    import pandas as pd
-
     keys = list(group_cols)
     cells = (
         df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
@@ -457,6 +455,22 @@ def isotonic_calibration_by_group(
             F.count(F.lit(1)).alias("__n"),
         )
     )
+    return isotonic_fit_cells(cells, keys, round_digits)
+
+
+def isotonic_fit_cells(
+    cells: DataFrame,
+    group_cols: Sequence[str],
+    round_digits: int = 6,
+) -> DataFrame:
+    """PAV over an already-aggregated (groups..., __score, __pos, __n)
+    cell frame — the shared kernel behind the batch operator and the
+    streaming calibration-state read lens (bin sums are exactly the
+    cells PAV needs, so the streamed FIT equals the batch fit on the
+    same binning)."""
+    import pandas as pd
+
+    keys = list(group_cols)
     key_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}"
         for f in cells.schema

@@ -1351,3 +1351,28 @@ def read_sample_overlap(
         F.array_sort(F.collect_list("h")).alias("kmv")
     )
     return kmv_pairwise_overlap(sk, key_col, k=k, max_groups=max_groups)
+
+
+def read_isotonic_matview(
+    spark: SparkSession,
+    state_path: str,
+    group_cols: Sequence[str],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Isotonic (PAV) calibration FITTED over the streamed binned
+    state — the calibration family's fixer lens beside the
+    reliability/brier/AUC diagnostics, zero extra state (the four-lens
+    drift-matview lesson): the (group, bin) label sums are exactly the
+    cells PAV consumes, so the streamed fit equals the batch fit on
+    the same binning (ops/classifier_eval.isotonic_fit_cells)."""
+    from recover_spark.ops.classifier_eval import isotonic_fit_cells
+
+    _recover_state(state_path)
+    st = spark.read.parquet(state_path)
+    cells = st.select(
+        *group_cols,
+        F.col("bin").alias("__score"),
+        F.col("__sy").cast("long").alias("__pos"),
+        F.col("n_bin").alias("__n"),
+    )
+    return isotonic_fit_cells(cells, list(group_cols), round_digits)

@@ -595,3 +595,55 @@ class TestIsotonic:
             assert rates == sorted(rates)  # isotonic
             for a, b in zip(rows, rows[1:]):
                 assert a["score_hi"] < b["score_lo"]  # disjoint blocks
+
+
+class TestStreamIsotonic:
+    def test_streamed_fit_equals_batch_fit_on_bins(self, spark, tmp_path):
+        from recover_spark.ops.classifier_eval import (
+            isotonic_calibration_by_group,
+        )
+        from recover_spark.streaming.matview import (
+            maintain_calibration_matview,
+            read_isotonic_matview,
+        )
+
+        df = spark.range(6000).select(
+            (F.col("id") % 2).cast("string").alias("g"),
+            ((F.col("id") * 31) % 100 / 100.0).alias("score"),
+            ((F.col("id") * 7919) % 11 < 5).cast("int").alias("label"),
+        )
+        src = str(tmp_path / "src")
+        df.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("g string, score double, label int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        state = str(tmp_path / "state")
+        q = maintain_calibration_matview(
+            stream, state, str(tmp_path / "ckpt"), ["g"], "score", "label",
+            bins=10,
+        )
+        q.awaitTermination(120)
+        streamed = sorted(
+            map(tuple, read_isotonic_matview(spark, state, ["g"]).collect())
+        )
+        batch = sorted(
+            map(
+                tuple,
+                isotonic_calibration_by_group(
+                    df.select(
+                        "g",
+                        F.least(
+                            F.floor(F.col("score") * 10).cast("int"),
+                            F.lit(9),
+                        ).alias("bin"),
+                        "label",
+                    ),
+                    ["g"],
+                    "bin",
+                    "label",
+                ).collect(),
+            )
+        )
+        assert streamed == batch

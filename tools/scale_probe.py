@@ -182,6 +182,7 @@ PROBES = [
     "ts_dtw",               # (type, day) collapse + banded DP over O(keys) pairs
     "transform_target_encode",  # one (category, fold) cell aggregate + cell windows
     "agg_isotonic_calibration",  # distinct-score cells + per-group Arrow PAV
+    "stream_isotonic_matview",  # 4-batch bin-sums fold + PAV read lens
 ]
 
 
