@@ -393,6 +393,20 @@ def q_join_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Training-data-scale operators (documents / embeddings)
 # ---------------------------------------------------------------------------
 
+def _ivf_ready(idx: str) -> bool:
+    """Persisted-index completeness probe (atomic-build contract —
+    ops/similarity.py:ivf_index_complete)."""
+    from recover_spark.ops.similarity import ivf_index_complete
+
+    return ivf_index_complete(idx)
+
+
+def _pq_ready(idx: str) -> bool:
+    from recover_spark.ops.similarity import pq_sidecar_complete
+
+    return pq_sidecar_complete(idx)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact content dedup over documents."""
     from recover_spark.ops import exact_dedup
@@ -670,7 +684,7 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _os.path.join("spark-warehouse", f"ivf_index_{sf_tag}")
     # build-once-query-many: rebuild only when absent (testdata is
     # immutable per sf_dir; delete the dir to force a rebuild)
-    if not _os.path.isdir(_os.path.join(idx, "_centroids")):
+    if not _ivf_ready(idx):
         build_ivf_index(emb, idx, n_centroids=8)
     queries = emb.filter(F.col("vec_id") < 3)
     topk = ivf_topk_indexed(spark, idx, queries, nprobe=2, k=5)
@@ -705,7 +719,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     sf_tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
     idx = _os.path.join("spark-warehouse", f"ivf_index_{sf_tag}")
-    if not _os.path.isdir(_os.path.join(idx, "_centroids")):
+    if not _ivf_ready(idx):
         build_ivf_index(emb, idx, n_centroids=8)
     queries = emb.filter(F.col("vec_id") < 3)
     exact = (
@@ -777,9 +791,9 @@ def q_ann_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     sf_tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
     idx = _os.path.join("spark-warehouse", f"ivf_index_{sf_tag}")
-    if not _os.path.isdir(_os.path.join(idx, "_centroids")):
+    if not _ivf_ready(idx):
         build_ivf_index(emb, idx, n_centroids=8)
-    if not _os.path.isdir(_os.path.join(idx, "_pq", "codebooks")):
+    if not _pq_ready(idx):
         build_pq_sidecar(spark, idx)
     queries = emb.filter(F.col("vec_id") < 3)
     topk = ivf_pq_topk_indexed(spark, idx, queries, nprobe=2, k=5)
@@ -808,9 +822,9 @@ def q_ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     sf_tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
     idx = _os.path.join("spark-warehouse", f"ivf_index_{sf_tag}")
-    if not _os.path.isdir(_os.path.join(idx, "_centroids")):
+    if not _ivf_ready(idx):
         build_ivf_index(emb, idx, n_centroids=8)
-    if not _os.path.isdir(_os.path.join(idx, "_pq", "codebooks")):
+    if not _pq_ready(idx):
         build_pq_sidecar(spark, idx)
     queries = emb.filter(F.col("vec_id") < 3)
     topk = ivf_pq_topk_refined(
@@ -2983,7 +2997,7 @@ def q_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _os.path.join("spark-warehouse", f"ivf_index_{sf_tag}")
     # build-once-query-many; also rebuild pre-round-2 indexes that
     # predate the quantized column
-    needs_build = not _os.path.isdir(_os.path.join(idx, "_centroids"))
+    needs_build = not _ivf_ready(idx)
     if not needs_build:
         probe_schema = spark.read.parquet(idx).schema.fieldNames()
         needs_build = "q_embedding" not in probe_schema
@@ -3330,9 +3344,9 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load(spark, sf_dir, "embeddings")
     sf_tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
     idx = _os.path.join("spark-warehouse", f"ivf_index_{sf_tag}")
-    if not _os.path.isdir(_os.path.join(idx, "_centroids")):
+    if not _ivf_ready(idx):
         build_ivf_index(emb, idx, n_centroids=8)
-    if not _os.path.isdir(_os.path.join(idx, "_pq", "codebooks")):
+    if not _pq_ready(idx):
         build_pq_sidecar(spark, idx)
     queries = emb.filter(F.col("vec_id") < 3)
     exact = (

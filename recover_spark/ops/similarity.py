@@ -487,20 +487,58 @@ def build_ivf_index(
     bytes, enforced by the storage layout rather than a runtime filter.
     Centroids are stored alongside (``_centroids`` subdir) so queries
     need no access to the original corpus.
+
+    The build is ATOMIC: everything is written under
+    ``<index_path>.build.tmp`` and renamed into place in one
+    filesystem move (the matview ``_swap_state`` convention) — a crash
+    mid-build leaves only a tmp directory, never a half-written index
+    that existence checks would mistake for a complete one.
     """
+    import os as _os
+    import shutil as _shutil
+
     seeds = _collect_seeds(corpus, n_centroids, id_col, vec_col)
+    tmp = index_path.rstrip("/") + ".build.tmp"
+    if _os.path.isdir(tmp):
+        _shutil.rmtree(tmp)
     # Quantized columns are precomputed at BUILD time (the build-once
     # half pays assignment + quantization; probes pay neither), so the
     # quantized query path is a partition-pruned scan + integer dots.
     assigned = corpus.withColumn(
         "list", _nearest_lists(seeds, F.col(vec_col), 1)[0]
     ).withColumn("q_embedding", _quantized_vec(F.col(vec_col)))
-    assigned.write.mode("overwrite").partitionBy("list").parquet(index_path)
+    assigned.write.mode("overwrite").partitionBy("list").parquet(tmp)
     spark = corpus.sparkSession
     cent_rows = [(cid, cvec) for cid, cvec in seeds]
     spark.createDataFrame(
         cent_rows, f"{id_col} long, {vec_col} array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{index_path}/_centroids")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_centroids")
+    if _os.path.isdir(index_path):
+        _shutil.rmtree(index_path)
+    _os.rename(tmp, index_path)
+
+
+def ivf_index_complete(index_path: str) -> bool:
+    """True iff the persisted index finished building: the atomic
+    rename guarantees this for new builds; the ``_SUCCESS`` probe
+    additionally rejects indexes poisoned by pre-atomic crashes (an
+    existing-but-empty ``_centroids`` is how a killed build used to
+    look)."""
+    import os as _os
+
+    return _os.path.isfile(
+        _os.path.join(index_path, "_centroids", "_SUCCESS")
+    )
+
+
+def pq_sidecar_complete(index_path: str) -> bool:
+    """True iff the PQ sidecar finished building (same contract as
+    ``ivf_index_complete`` at the ``_pq`` grain)."""
+    import os as _os
+
+    return _os.path.isfile(
+        _os.path.join(index_path, "_pq", "codebooks", "_SUCCESS")
+    )
 
 
 def ivf_topk_indexed(
@@ -1290,8 +1328,18 @@ def build_pq_sidecar(
         vec_col,
         subdim,
     ).select(id_col, "list", F.col("__codes").alias("pq_codes"))
+    # atomic at the sidecar grain: codes + codebooks land under
+    # _pq.build.tmp and rename into _pq in one move (the
+    # build_ivf_index convention) — a crash cannot leave a sidecar
+    # whose codes exist but codebooks don't
+    import os as _os
+    import shutil as _shutil
+
+    tmp = f"{index_path}/_pq.build.tmp"
+    if _os.path.isdir(tmp):
+        _shutil.rmtree(tmp)
     encoded.write.mode("overwrite").partitionBy("list").parquet(
-        f"{index_path}/_pq/codes"
+        f"{tmp}/codes"
     )
     cb_rows = [
         (s, j, center)
@@ -1301,8 +1349,12 @@ def build_pq_sidecar(
     spark.createDataFrame(
         cb_rows, "s int, j long, center array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(
-        f"{index_path}/_pq/codebooks"
+        f"{tmp}/codebooks"
     )
+    final = f"{index_path}/_pq"
+    if _os.path.isdir(final):
+        _shutil.rmtree(final)
+    _os.rename(tmp, final)
 
 
 def ivf_pq_topk_indexed(

@@ -647,3 +647,60 @@ class TestStreamIsotonic:
             )
         )
         assert streamed == batch
+
+
+class TestIndexBuildAtomicity:
+    def test_poisoned_index_detected_and_rebuilt(self, spark, tmp_path):
+        import os
+
+        from recover_spark.ops.similarity import (
+            build_ivf_index,
+            build_pq_sidecar,
+            ivf_index_complete,
+            ivf_topk_indexed,
+            pq_sidecar_complete,
+        )
+
+        emb = spark.range(64).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: (F.col("id") * i % 17 + 1).cast("double"),
+            ).alias("embedding"),
+        )
+        idx = str(tmp_path / "idx")
+        # the pre-atomic crash shape: dir tree exists, centroids empty
+        os.makedirs(os.path.join(idx, "_centroids"))
+        assert not ivf_index_complete(idx)  # isdir() would have lied
+        build_ivf_index(emb, idx, n_centroids=4)
+        assert ivf_index_complete(idx)
+        assert not os.path.isdir(idx + ".build.tmp")  # tmp swapped away
+        assert not pq_sidecar_complete(idx)
+        build_pq_sidecar(
+            spark, idx, m_subspaces=4, n_codes=4, dim=64
+        )
+        assert pq_sidecar_complete(idx)
+        assert not os.path.isdir(os.path.join(idx, "_pq.build.tmp"))
+        # and the rebuilt index actually answers
+        q = emb.filter(F.col("vec_id") < 2)
+        assert ivf_topk_indexed(spark, idx, q, nprobe=2, k=3).count() > 0
+
+    def test_rebuild_replaces_stale_complete_index(self, spark, tmp_path):
+        from recover_spark.ops.similarity import (
+            build_ivf_index,
+            ivf_index_complete,
+        )
+
+        emb = spark.range(32).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: (F.col("id") + i).cast("double"),
+            ).alias("embedding"),
+        )
+        idx = str(tmp_path / "idx")
+        build_ivf_index(emb, idx, n_centroids=4)
+        rows_before = spark.read.parquet(idx).count()
+        build_ivf_index(emb.filter("vec_id < 16"), idx, n_centroids=4)
+        assert ivf_index_complete(idx)
+        assert spark.read.parquet(idx).count() == 16 != rows_before
