@@ -7931,6 +7931,27 @@ def q_agg_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reliability_bins(ev, ["event_type"], "score", "label", bins=10)
 
 
+def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Poisson-bootstrap CI for mean order value
+    (operators/analytics.py:bootstrap_ci): 40 replicates whose
+    weights are map-side Poisson(1) inverse-CDF draws on the
+    portable md5 uniform — no resampling shuffle exists; the only
+    exchange carries (groups x replicates) partial-agg rows."""
+    from recover_spark.operators.analytics import bootstrap_ci
+
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    return bootstrap_ci(
+        orders,
+        ["o_orderpriority"],
+        "o_totalprice",
+        "o_orderkey",
+        n_replicates=40,
+        alpha=0.05,
+    ).orderBy("o_orderpriority")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -7938,6 +7959,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
+        "agg_bootstrap_ci": q_agg_bootstrap_ci,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
         "agg_cube": q_agg_cube,
@@ -9460,8 +9482,62 @@ def _langid_sql() -> str:
     )
 
 
+def _bootstrap_ci_sql() -> str:
+    """Poisson-bootstrap oracle: the same capped inverse-CDF law on the
+    same md5 uniform, thresholds imported from the one module that
+    defines them (operators/analytics.py:POISSON1_CDF)."""
+    from recover_spark.operators.analytics import POISSON1_CDF
+
+    case = " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(POISSON1_CDF)
+    )
+    cap = len(POISSON1_CDF)
+    return f"""
+        WITH base AS (
+            SELECT o_orderpriority AS g,
+                   CAST(o_totalprice AS DOUBLE) AS x,
+                   CAST(o_orderkey AS VARCHAR) AS k
+            FROM orders WHERE o_totalprice IS NOT NULL),
+        fan AS (
+            SELECT g, x, k, CAST(t.r AS VARCHAR) AS r
+            FROM base, generate_series(0, 39) AS t(r)),
+        uni AS (
+            SELECT g, r, x,
+                   CAST(concat('0x', substr(md5(concat('boot|', k, '#', r)),
+                        1, 8)) AS BIGINT) / 4294967296.0 AS u
+            FROM fan),
+        wtd AS (
+            SELECT g, r, x,
+                   CAST(CASE {case} ELSE {cap} END AS DOUBLE) AS w
+            FROM uni),
+        pr AS (
+            SELECT g, r,
+                   sum(w * x) / nullif(sum(w), 0.0) AS mb,
+                   sum(x) AS s, count(*) AS c
+            FROM wtd GROUP BY g, r),
+        agg AS (
+            SELECT g,
+                   CAST(sum(c) / 40 AS BIGINT) AS n,
+                   sum(s) / 40.0 AS total,
+                   CAST(count(mb) AS BIGINT) AS n_boot,
+                   avg(mb) AS bm,
+                   stddev_samp(mb) AS bs,
+                   list_sort(list(mb) FILTER (WHERE mb IS NOT NULL)) AS ms
+            FROM pr GROUP BY g)
+        SELECT g AS o_orderpriority, n,
+               round(total / n + 1e-9, 6) + 0.0 AS mean,
+               n_boot,
+               round(bm + 1e-9, 6) + 0.0 AS boot_mean,
+               round(bs + 1e-9, 6) + 0.0 AS se_boot,
+               round(ms[least(1, n_boot)] + 1e-9, 6) + 0.0 AS ci_lo,
+               round(ms[least(39, n_boot)] + 1e-9, 6) + 0.0 AS ci_hi
+        FROM agg
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_literal()
+    out["agg_bootstrap_ci"] = _bootstrap_ci_sql()
     # the persisted-index path answers the same query as in-memory IVF
     out["ann_ivf_indexed"] = out["ann_ivf"]
     out["ann_recall"] = _ann_recall_sql()

@@ -2080,3 +2080,153 @@ def basket_lift(
             round_digits,
         ).alias("lift"),
     )
+
+
+# Poisson(1) inverse-CDF thresholds for the deterministic bootstrap
+# weights: c[k] = e^-1 * sum_{i<=k} 1/i!.  Weights are capped at
+# len(c) (u beyond the last threshold), which truncates a 1e-5 tail
+# identically in every engine — the capped distribution IS the
+# defined resampling law, so cross-engine hashes match exactly.
+import math as _math
+
+POISSON1_CDF: tuple[float, ...] = tuple(
+    _math.exp(-1.0) * sum(1.0 / _math.factorial(i) for i in range(k + 1))
+    for k in range(7)
+)
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    key_col: str,
+    n_replicates: int = 40,
+    alpha: float = 0.05,
+    salt: str = "boot",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group bootstrap confidence interval for the mean via the
+    Poisson bootstrap — the resampling scheme that actually works on
+    a cluster.  Classical bootstrap resampling ("draw n rows with
+    replacement, B times") needs global coordination per replicate;
+    the Poisson bootstrap replaces each row's multiplicity in
+    replicate b with an independent Poisson(1) draw, which is exact
+    in the n -> infinity limit and — crucially — a pure MAP-SIDE
+    decision per (row, replicate).  No resampling shuffle exists:
+    the fact is scanned once, each row fans out to ``n_replicates``
+    weighted copies in the projection, and partial aggregation
+    collapses them to (groups x replicates) rows before the only
+    exchange.  The replicate table (B doubles per group) is
+    metadata-sized, so the quantile step is free.
+
+    Determinism / cross-engine contract: the weight for (key, b) is
+    the inverse-CDF of Poisson(1) applied to the engine-portable md5
+    uniform (functions/hashing.py) of ``key#b`` — reproducible
+    bit-for-bit in any engine with md5, like every sampler in
+    ops/sampling.py.  Weights are capped at ``len(POISSON1_CDF)``
+    (truncating a ~1e-5 tail) so the CASE chain is bounded; the
+    capped law is the defined distribution, shared with the oracle.
+
+    The interval is the percentile bootstrap: order statistics
+    ``ceil(q * B)`` (1-indexed, q = alpha/2 and 1 - alpha/2) of the
+    B replicate means.  Replicates whose total weight lands on 0
+    (possible only for tiny groups) drop out of the order statistics
+    via try_divide -> NULL.  Output per group: n (exact), mean
+    (exact), boot_mean, se_boot (stddev of replicate means), ci_lo,
+    ci_hi, n_boot.
+
+    100 TB shape: fact scanned ONCE; map work is B x rows (inherent
+    to bootstrap — B is the knob); shuffle traffic is partial-agg
+    rows at (groups x B) grain; the second aggregate and the
+    collect_list are (groups x B) -> groups, bounded by B per group.
+    """
+    from recover_spark.functions.hashing import portable_hash32
+
+    group_cols = list(group_cols)
+    if n_replicates < 2:
+        raise ValueError("bootstrap_ci: n_replicates must be >= 2")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"bootstrap_ci: alpha={alpha} not in (0, 1)")
+    nn = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        F.col(value_col).cast("double").alias("__x"),
+        F.col(key_col).cast("string").alias("__k"),
+    )
+    fanned = nn.select(
+        *group_cols,
+        "__x",
+        "__k",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_replicates) - 1))
+        ).alias("__rep"),
+    )
+    u = portable_hash32(
+        F.concat(F.col("__k"), F.lit("#"), F.col("__rep").cast("string")),
+        salt=salt,
+    ) / F.lit(4294967296.0)
+    w = F.lit(len(POISSON1_CDF))
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    w = w.cast("double")
+    per_rep = fanned.groupBy(*group_cols, "__rep").agg(
+        F.sum(w * F.col("__x")).alias("__ws"),
+        F.sum(w).alias("__wn"),
+        # each base row appears exactly once per replicate, so the
+        # unweighted sums recover the EXACT group stats as
+        # total / B — no second fact pass
+        F.sum("__x").alias("__s"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    mb = F.try_divide(F.col("__ws"), F.col("__wn"))
+    reps = per_rep.select(
+        *group_cols, mb.alias("__mb"), "__s", "__c"
+    )
+    b = float(n_replicates)
+    lo_ix = max(1, _math.ceil(alpha / 2.0 * n_replicates))
+    hi_ix = min(n_replicates, _math.ceil((1.0 - alpha / 2.0) * n_replicates))
+    out = reps.groupBy(*group_cols).agg(
+        (F.sum("__c") / F.lit(b)).cast("long").alias("n"),
+        (F.sum("__s") / F.lit(b)).alias("__sum"),
+        F.count("__mb").alias("n_boot"),
+        F.avg("__mb").alias("__bm"),
+        F.stddev_samp("__mb").alias("__bs"),
+        F.sort_array(F.collect_list("__mb")).alias("__ms"),
+    )
+    return out.select(
+        *group_cols,
+        "n",
+        F.round(
+            F.try_divide(F.col("__sum"), F.col("n").cast("double"))
+            + F.lit(1e-9),
+            round_digits,
+        ).alias("mean"),
+        F.col("n_boot").cast("long").alias("n_boot"),
+        F.round(F.col("__bm") + F.lit(1e-9), round_digits).alias(
+            "boot_mean"
+        ),
+        F.round(F.col("__bs") + F.lit(1e-9), round_digits).alias(
+            "se_boot"
+        ),
+        F.round(
+            F.when(
+                F.col("n_boot") > 0,
+                F.element_at(
+                    "__ms",
+                    F.least(F.lit(lo_ix), F.col("n_boot").cast("int")),
+                ),
+            )
+            + F.lit(1e-9),
+            round_digits,
+        ).alias("ci_lo"),
+        F.round(
+            F.when(
+                F.col("n_boot") > 0,
+                F.element_at(
+                    "__ms",
+                    F.least(F.lit(hi_ix), F.col("n_boot").cast("int")),
+                ),
+            )
+            + F.lit(1e-9),
+            round_digits,
+        ).alias("ci_hi"),
+    )
