@@ -7952,6 +7952,37 @@ def q_agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+def q_v17_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which per-month drift alarms survive multiple-comparison
+    correction (quality/drift.py:ks_asymptotic_pvalues + fdr_bh): the
+    v9 KS series becomes p-values via the fixed-truncation Kolmogorov
+    tail (closed form, engine-portable), then Benjamini-Hochberg
+    bounds the false-discovery share of the flagged (month, column)
+    cells at q=0.05.  The rank window runs on the TEST frame (months
+    x columns — monitoring metadata, bounded by the suite, never by
+    the data); the heavy lift stays in the upstream binned KS."""
+    from recover_spark.quality.drift import (
+        fdr_bh,
+        ks_asymptotic_pvalues,
+        ks_drift_by_period,
+    )
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    cut = "1998-06-01"
+    base = lineitem.filter(F.col("l_shipdate") < F.lit(cut))
+    cur = lineitem.filter(F.col("l_shipdate") >= F.lit(cut)).withColumn(
+        "__month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    ks = ks_drift_by_period(
+        base, cur, ["l_extendedprice", "l_quantity"], "__month",
+        n_grid=10, edge_accuracy=None,
+    )
+    tests = ks_asymptotic_pvalues(ks)
+    return fdr_bh(tests, "p_value", ["period", "column"], q=0.05).orderBy(
+        "period", "column"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -7960,6 +7991,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "agg_bootstrap_ci": q_agg_bootstrap_ci,
+        "v17_fdr_bh": q_v17_fdr_bh,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
         "agg_cube": q_agg_cube,
@@ -9535,9 +9567,54 @@ def _bootstrap_ci_sql() -> str:
     """
 
 
+def _fdr_bh_oracle_sql() -> str:
+    """BH over the v9 KS series: the v9 oracle chain is the CTE, the
+    Kolmogorov tail is the same fixed 100-term truncation (the
+    truncated-and-clamped value IS the statistic), BH is two windows
+    over the bounded test frame."""
+    ks = _ks_series_oracle_sql(["l_extendedprice", "l_quantity"],
+                               "1998-06-01", 10)
+    return f"""
+        WITH ks AS ({ks}),
+        lamd AS (
+            SELECT period, "column", ks_grid, n_base, n_cur,
+                   (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * ks_grid AS lam
+            FROM (SELECT *, CAST(n_base AS DOUBLE) * n_cur
+                            / (n_base + n_cur) AS ne FROM ks)),
+        pv AS (
+            SELECT period, "column", ks_grid, n_base, n_cur,
+                   round(CASE WHEN ks_grid = 0 THEN 1.0
+                         ELSE least(1.0, greatest(0.0, 2.0 * list_sum(
+                              list_transform(range(1, 101), k ->
+                                  CASE WHEN k % 2 = 1 THEN 1.0
+                                       ELSE -1.0 END
+                                  * exp(-2.0 * k * k * lam * lam)))))
+                         END + 1e-9, 6) + 0.0 AS p_value
+            FROM lamd),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (
+                       ORDER BY p_value, period, "column") AS rank,
+                   count(*) OVER () AS m
+            FROM pv),
+        stepped AS (
+            SELECT *,
+                   least(1.0, min(p_value * m / rank) OVER (
+                       ORDER BY rank DESC ROWS BETWEEN UNBOUNDED
+                       PRECEDING AND CURRENT ROW)) AS p_adj_raw
+            FROM ranked)
+        SELECT period, "column", ks_grid, n_base, n_cur, p_value,
+               CAST(rank AS BIGINT) AS rank,
+               round(p_adj_raw + 1e-9, 6) + 0.0 AS p_adj,
+               p_adj_raw <= 0.05 AS reject
+        FROM stepped
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_literal()
     out["agg_bootstrap_ci"] = _bootstrap_ci_sql()
+    out["v17_fdr_bh"] = _fdr_bh_oracle_sql()
     # the persisted-index path answers the same query as in-memory IVF
     out["ann_ivf_indexed"] = out["ann_ivf"]
     out["ann_recall"] = _ann_recall_sql()

@@ -43,7 +43,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1222,4 +1222,119 @@ def chi2_cell_residuals(
         )
         .filter(F.col("n_base") + F.col("n_cur") > 0)
         .orderBy("column", "bin")
+    )
+
+
+def ks_asymptotic_pvalues(
+    tests: DataFrame,
+    ks_col: str = "ks_grid",
+    n_base_col: str = "n_base",
+    n_cur_col: str = "n_cur",
+    terms: int = 100,
+    p_col: str = "p_value",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Attach the asymptotic two-sample KS p-value to a per-test KS
+    frame (the output shape of :func:`ks_drift` /
+    :func:`ks_drift_by_period`): the Kolmogorov distribution tail
+
+        p = 2 * sum_{k>=1} (-1)^(k-1) exp(-2 k^2 lam^2),
+        lam = (sqrt(n_e) + 0.12 + 0.11 / sqrt(n_e)) * D,
+        n_e = n_base * n_cur / (n_base + n_cur)
+
+    with the small-sample correction of Stephens (1970), truncated at
+    a FIXED ``terms`` so the computation is a closed form any SQL
+    engine reproduces (no convergence loop whose exit point could
+    differ between engines).  The truncated-and-clamped value IS the
+    defined statistic.  For lam where the series has not visibly
+    converged (tiny D on small n), the alternating sum of
+    slowly-decaying terms lands near 0.5 and the doubled value clamps
+    to 1 — the correct reading; D == 0 exactly is special-cased to
+    p = 1 (the raw even-length alternating sum would cancel to 0).
+
+    Scale shape: a pure projection over the (tests)-sized frame — the
+    fixed-length series runs inside whole-stage codegen via
+    ``aggregate(sequence(...))``; no Python, no shuffle.
+    """
+    d = F.col(ks_col).cast("double")
+    na = F.col(n_base_col).cast("double")
+    nb = F.col(n_cur_col).cast("double")
+    ne = F.try_divide(na * nb, na + nb)
+    lam = (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * d
+    k = lambda c: c.cast("double")  # noqa: E731
+    series = F.aggregate(
+        F.sequence(F.lit(1), F.lit(int(terms))),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.when(i % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.exp(F.lit(-2.0) * k(i) * k(i) * lam * lam),
+    )
+    p = F.when(d == F.lit(0.0), F.lit(1.0)).otherwise(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.lit(2.0) * series))
+    )
+    return tests.withColumn(
+        p_col, F.round(p + F.lit(1e-9), round_digits)
+    )
+
+
+def fdr_bh(
+    tests: DataFrame,
+    p_col: str,
+    id_cols: Sequence[str],
+    q: float = 0.05,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Benjamini–Hochberg false-discovery-rate control over a frame of
+    hypothesis tests — the step every many-segment monitoring suite
+    needs between "compute 500 per-segment drift p-values" and "page
+    someone": at q = 0.05, naive per-test thresholds expect 25 false
+    alarms; BH bounds the expected FALSE-DISCOVERY share of what it
+    flags at q.
+
+    Standard step-up procedure on the m tests: rank p ascending
+    (ties broken by ``id_cols`` so the rank is deterministic), and
+
+        p_adj(i) = min(1, min_{j >= i} p_(j) * m / j)
+
+    via a reverse running min; ``reject = p_adj <= q`` recovers the
+    step-up rule exactly.
+
+    Scale contract: the input is a TEST frame (one row per hypothesis
+    — segments x metrics), which is monitoring metadata, orders of
+    magnitude below fact grain; the global rank window runs on those
+    m rows by definition of the procedure (every p competes with
+    every other), so the single-partition sort here is bounded by the
+    suite size, never by the data.  The heavy lift (the p-values) is
+    upstream.
+    """
+    id_cols = list(id_cols)
+    if not 0.0 < q < 1.0:
+        raise ValueError(f"fdr_bh: q={q} not in (0, 1)")
+    total = tests.agg(F.count(F.lit(1)).cast("double").alias("__m"))
+    w_rank = Window.orderBy(F.col(p_col).asc(), *[F.col(c) for c in id_cols])
+    ranked = (
+        tests.crossJoin(F.broadcast(total))
+        .withColumn("__rank", F.row_number().over(w_rank))
+    )
+    w_rev = Window.orderBy(F.col("__rank").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = ranked.withColumn(
+        "__p_adj",
+        F.least(
+            F.lit(1.0),
+            F.min(
+                F.col(p_col) * F.col("__m") / F.col("__rank").cast("double")
+            ).over(w_rev),
+        ),
+    )
+    keep = [c for c in tests.columns if c != p_col]
+    return stepped.select(
+        *keep,
+        F.col(p_col),
+        F.col("__rank").cast("long").alias("rank"),
+        F.round(F.col("__p_adj") + F.lit(1e-9), round_digits).alias(
+            "p_adj"
+        ),
+        (F.col("__p_adj") <= F.lit(float(q))).alias("reject"),
     )

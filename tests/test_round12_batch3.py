@@ -118,3 +118,126 @@ class TestBootstrapCI:
         )
         assert "CartesianProduct" not in plan
         assert plan.count("Exchange hashpartitioning") <= 2
+
+
+class TestFdrBH:
+    def _tests_df(self, spark, ps):
+        rows = [(f"t{i:02d}", float(p)) for i, p in enumerate(ps)]
+        return spark.createDataFrame(rows, "tid string, p double")
+
+    def test_hand_example_step_up(self, spark):
+        """Classic BH worked example: m=5, q=0.05."""
+        from recover_spark.quality.drift import fdr_bh
+
+        ps = [0.01, 0.04, 0.03, 0.005, 0.20]
+        out = {
+            r["tid"]: r
+            for r in fdr_bh(
+                self._tests_df(spark, ps), "p", ["tid"], q=0.05
+            ).collect()
+        }
+        # sorted p: .005(r1) .01(r2) .03(r3) .04(r4) .20(r5)
+        # p*m/r:    .025     .025    .05     .05     .20
+        # reverse running min: .20 .05 .05 .025 .025
+        expect = {
+            "t03": (1, 0.025, True),
+            "t00": (2, 0.025, True),
+            "t02": (3, 0.05, True),
+            "t01": (4, 0.05, True),
+            "t04": (5, 0.20, False),
+        }
+        for tid, (rank, padj, rej) in expect.items():
+            assert out[tid]["rank"] == rank
+            assert out[tid]["p_adj"] == pytest.approx(padj, abs=2e-6)
+            assert out[tid]["reject"] is rej
+
+    def test_step_up_rule_equivalence(self, spark):
+        """reject == the textbook step-up rule on random-ish p's."""
+        from recover_spark.quality.drift import fdr_bh
+
+        ps = [((i * 37) % 100 + 0.5) / 100.0 for i in range(30)]
+        ps[3], ps[11], ps[17] = 0.0005, 0.001, 0.004
+        q = 0.1
+        out = fdr_bh(self._tests_df(spark, ps), "p", ["tid"], q=q).collect()
+        srt = sorted(ps)
+        m = len(ps)
+        kstar = max(
+            (i + 1 for i in range(m) if srt[i] <= (i + 1) / m * q),
+            default=0,
+        )
+        for r in out:
+            assert r["reject"] is (r["rank"] <= kstar)
+
+    def test_p_adj_monotone_in_rank(self, spark):
+        from recover_spark.quality.drift import fdr_bh
+
+        ps = [((i * 61) % 97 + 1) / 100.0 for i in range(25)]
+        out = sorted(
+            fdr_bh(self._tests_df(spark, ps), "p", ["tid"]).collect(),
+            key=lambda r: r["rank"],
+        )
+        adj = [r["p_adj"] for r in out]
+        assert adj == sorted(adj)
+        assert all(0.0 <= a <= 1.0 for a in adj)
+
+
+class TestKsPvalues:
+    def _frame(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "ks_grid double, n_base long, n_cur long"
+        )
+
+    @staticmethod
+    def _py_p(d, na, nb, terms=100):
+        ne = na * nb / (na + nb)
+        lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
+        if d == 0:
+            return 1.0
+        s = sum(
+            (1.0 if k % 2 == 1 else -1.0) * math.exp(-2.0 * k * k * lam * lam)
+            for k in range(1, terms + 1)
+        )
+        return min(1.0, max(0.0, 2.0 * s))
+
+    def test_matches_independent_python(self, spark):
+        from recover_spark.quality.drift import ks_asymptotic_pvalues
+
+        rows = [
+            (0.0, 1000, 1000),
+            (0.005, 50000, 50000),
+            (0.02, 20000, 20000),
+            (0.05, 5000, 5000),
+            (0.10, 2000, 2000),
+            (0.30, 500, 400),
+            (0.80, 100, 100),
+        ]
+        out = ks_asymptotic_pvalues(self._frame(spark, rows)).collect()
+        for r in out:
+            exp = round(
+                self._py_p(r["ks_grid"], r["n_base"], r["n_cur"]) + 1e-9, 6
+            )
+            assert r["p_value"] == pytest.approx(exp, abs=1e-9), r
+
+    def test_known_kolmogorov_point(self, spark):
+        """Q_KS(lambda=1) = 0.26999967...; pick (D, n) so the Stephens
+        factor lands lambda at exactly 1.0."""
+        from recover_spark.quality.drift import ks_asymptotic_pvalues
+
+        na = nb = 20000  # ne = 10000, factor = 100.1211
+        d = 1.0 / (math.sqrt(10000.0) + 0.12 + 0.11 / 100.0)
+        out = ks_asymptotic_pvalues(
+            self._frame(spark, [(d, na, nb)])
+        ).collect()[0]
+        assert out["p_value"] == pytest.approx(0.27, abs=1e-4)
+
+    def test_monotone_decreasing_in_d(self, spark):
+        from recover_spark.quality.drift import ks_asymptotic_pvalues
+
+        rows = [(i / 100.0, 5000, 5000) for i in range(0, 30, 3)]
+        out = sorted(
+            ks_asymptotic_pvalues(self._frame(spark, rows)).collect(),
+            key=lambda r: r["ks_grid"],
+        )
+        ps = [r["p_value"] for r in out]
+        assert ps[0] == 1.0
+        assert all(a >= b for a, b in zip(ps, ps[1:]))
