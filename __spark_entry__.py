@@ -7983,6 +7983,37 @@ def q_v17_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals per return flag
+    (ops/classifier_eval.py:split_conformal): wrap a fixed per-unit
+    price model (yhat = 1200 * quantity — conformal is model-agnostic;
+    only residuals matter) with the distribution-free q_hat from a
+    deterministic md5-parity calibration split, and audit the realized
+    test-split coverage against the 1 - alpha target."""
+    from recover_spark.ops.classifier_eval import split_conformal
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        (F.lit(1200.0) * F.col("l_quantity").cast("double")).alias(
+            "__yhat"
+        ),
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("#"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("__key"),
+    )
+    return split_conformal(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        "__yhat",
+        "__key",
+        alpha=0.1,
+    ).orderBy("l_returnflag")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -7992,6 +8023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "agg_bootstrap_ci": q_agg_bootstrap_ci,
         "v17_fdr_bh": q_v17_fdr_bh,
+        "agg_conformal": q_agg_conformal,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
         "agg_cube": q_agg_cube,
@@ -9615,6 +9647,45 @@ def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_literal()
     out["agg_bootstrap_ci"] = _bootstrap_ci_sql()
     out["v17_fdr_bh"] = _fdr_bh_oracle_sql()
+    # the oracle's per-group window is the naive form of the bucket-
+    # decomposed order statistic (the trimmed_group_stats precedent)
+    out["agg_conformal"] = """
+        WITH base AS (
+            SELECT l_returnflag AS g,
+                   CAST(l_extendedprice AS DOUBLE) AS y,
+                   CAST(1200.0 AS DOUBLE)
+                       * CAST(l_quantity AS DOUBLE) AS yhat,
+                   concat(CAST(l_orderkey AS VARCHAR), '#',
+                          CAST(l_linenumber AS VARCHAR)) AS k
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        s AS (
+            SELECT g, abs(y - yhat) AS r,
+                   CAST(concat('0x', substr(md5(concat('conformal|', k)),
+                        1, 8)) AS BIGINT) % 2 AS split
+            FROM base),
+        cal AS (
+            SELECT g, r,
+                   row_number() OVER (PARTITION BY g ORDER BY r) AS rn,
+                   count(*) OVER (PARTITION BY g) AS n
+            FROM s WHERE split = 0),
+        qs AS (
+            SELECT g, CAST(max(n) AS BIGINT) AS n_cal,
+                   max(CASE WHEN rn = least((9 * (n + 1) + 9) // 10, n)
+                       THEN r END) AS q
+            FROM cal GROUP BY g),
+        cov AS (
+            SELECT s.g, CAST(count(*) AS BIGINT) AS n_test,
+                   avg(CASE WHEN s.r <= q.q THEN 1.0 ELSE 0.0 END) AS c,
+                   max(q.n_cal) AS n_cal, max(q.q) AS qh
+            FROM s JOIN qs q ON s.g = q.g
+            WHERE s.split = 1 GROUP BY s.g)
+        SELECT g AS l_returnflag, n_cal, n_test,
+               round(qh + 1e-9, 6) + 0.0 AS q_hat,
+               round(c + 1e-9, 6) + 0.0 AS coverage,
+               CAST(0.9 AS DOUBLE) AS target
+        FROM cov
+    """
     # the persisted-index path answers the same query as in-memory IVF
     out["ann_ivf_indexed"] = out["ann_ivf"]
     out["ann_recall"] = _ann_recall_sql()

@@ -511,3 +511,140 @@ def isotonic_fit_cells(
         return pd.DataFrame(rows)
 
     return cells.groupBy(*keys).applyInPandas(_pav, out_schema)
+
+
+def split_conformal(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    y_col: str,
+    yhat_col: str,
+    key_col: str,
+    alpha: float = 0.1,
+    salt: str = "conformal",
+    buckets: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Split-conformal prediction intervals per group, with the
+    empirical coverage audit: given ANY point predictor's output
+    ``yhat_col`` (conformal is model-agnostic by construction — the
+    model can be a GBM, an LLM scorer, or a heuristic; only its
+    residuals matter), hold out a deterministic calibration split,
+    take
+
+        q_hat = the k-th smallest |y - yhat| on calibration,
+        k = ceil((1 - alpha) * (n_cal + 1))   (clamped to n_cal)
+
+    and the interval ``yhat +- q_hat`` covers a fresh point with
+    probability >= 1 - alpha (finite-sample, distribution-free).  The
+    operator returns per group: n_cal, n_test, q_hat, the realized
+    coverage on the held-out test split, and the target.
+
+    Determinism / cross-engine: the calibration membership is the
+    portable md5 parity of the key (ops/sampling.py scheme); the rank
+    index k is computed in INTEGER arithmetic from alpha's exact
+    rational form (Fraction.limit_denominator), never from
+    ``ceil(0.9 * x)`` whose binary-decimal mismatch flips the index
+    off-by-one; the order statistic is tie-insensitive (any tie order
+    selects the same value).
+
+    100 TB shape: the exact per-group order statistic decomposes over
+    approx-quantile residual buckets exactly as in
+    ``trimmed_group_stats`` — ONE (group, bucket) window for local
+    ranks, offset folds on the aggregate-sized bucket frame — so no
+    per-group single-reducer sort touches calibration-sized data; the
+    test side is one broadcast join + one mergeable aggregate.
+    """
+    from fractions import Fraction
+
+    from recover_spark.functions.hashing import portable_hash32
+    from recover_spark.functions.transforms import materialize_columns
+
+    group_cols = list(group_cols)
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"split_conformal: alpha={alpha} not in (0, 1)")
+    frac = Fraction(alpha).limit_denominator(1_000_000)
+    qnum = frac.denominator - frac.numerator  # (1 - alpha) numerator
+    qden = frac.denominator
+    nn = df.filter(
+        F.col(y_col).isNotNull() & F.col(yhat_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.abs(
+            F.col(y_col).cast("double") - F.col(yhat_col).cast("double")
+        ).alias("__r"),
+        (portable_hash32(F.col(key_col).cast("string"), salt=salt) % 2).alias(
+            "__split"
+        ),
+    )
+    calib = nn.filter(F.col("__split") == 0).drop("__split")
+    test = nn.filter(F.col("__split") == 1).drop("__split")
+
+    probs = [i / buckets for i in range(1, buckets)]
+    bounds = sorted(set(calib.stat.approxQuantile("__r", probs, 0.001)))
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + (F.col("__r") > F.lit(b)).cast("int")
+    staged = materialize_columns(calib, {"__bucket": bucket})
+    w = Window.partitionBy(*group_cols, "__bucket").orderBy("__r")
+    ranked = staged.withColumn("__lr", F.row_number().over(w))
+    # consuming __lr keeps both consumer subtrees identical so
+    # ReuseExchange collapses them (the trimmed_group_stats lesson);
+    # the pin bounds the frame at (groups x buckets)
+    per_bucket = ranked.groupBy(*group_cols, "__bucket").agg(
+        F.max("__lr").cast("long").alias("__cnt")
+    ).localCheckpoint(eager=False)
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.withColumn(
+        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0))
+    )
+    totals = per_bucket.groupBy(*group_cols).agg(
+        F.sum("__cnt").cast("long").alias("__n")
+    )
+    rn = F.col("__off") + F.col("__lr")
+    # k = ceil(qnum * (n + 1) / qden) in exact integer arithmetic
+    k = F.least(
+        (
+            (F.lit(qnum) * (F.col("__n") + F.lit(1)) + F.lit(qden - 1))
+            .cast("long")
+            / F.lit(qden)
+        ).cast("long"),
+        F.col("__n"),
+    )
+    qs = (
+        ranked.join(
+            F.broadcast(offsets.select(*group_cols, "__bucket", "__off")),
+            [*group_cols, "__bucket"],
+        )
+        .join(F.broadcast(totals), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.max("__n").alias("n_cal"),
+            F.max(F.when(rn == k, F.col("__r"))).alias("__q"),
+        )
+    )
+    cov = (
+        test.join(F.broadcast(qs), group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.avg(
+                (F.col("__r") <= F.col("__q")).cast("double")
+            ).alias("__cov"),
+            F.max("n_cal").alias("n_cal"),
+            F.max("__q").alias("__qh"),
+        )
+    )
+    return cov.select(
+        *group_cols,
+        "n_cal",
+        "n_test",
+        F.round(F.col("__qh") + F.lit(1e-9), round_digits).alias("q_hat"),
+        F.round(F.col("__cov") + F.lit(1e-9), round_digits).alias(
+            "coverage"
+        ),
+        F.lit(1.0 - float(frac)).alias("target"),
+    )

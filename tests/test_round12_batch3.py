@@ -241,3 +241,99 @@ class TestKsPvalues:
         ps = [r["p_value"] for r in out]
         assert ps[0] == 1.0
         assert all(a >= b for a, b in zip(ps, ps[1:]))
+
+
+class TestSplitConformal:
+    def _df(self, spark, n=2000, groups=2):
+        return spark.range(n).select(
+            (F.col("id") % groups).cast("string").alias("g"),
+            (F.col("id") * 17 % 500).cast("double").alias("y"),
+            ((F.col("id") * 17 % 500) + (F.col("id") * 7 % 41) - 20)
+            .cast("double")
+            .alias("yhat"),
+            F.col("id").cast("string").alias("k"),
+        )
+
+    @staticmethod
+    def _py_conformal(rows, alpha=0.1):
+        import hashlib as hl
+
+        by_g: dict[str, dict[str, list]] = {}
+        for g, y, yhat, k in rows:
+            h = int(
+                hl.md5(f"conformal|{k}".encode()).hexdigest()[:8], 16
+            )
+            side = "cal" if h % 2 == 0 else "test"
+            by_g.setdefault(g, {"cal": [], "test": []})[side].append(
+                abs(y - yhat)
+            )
+        out = {}
+        for g, d in by_g.items():
+            cal = sorted(d["cal"])
+            n = len(cal)
+            k_ix = min((9 * (n + 1) + 9) // 10, n)
+            q = cal[k_ix - 1]
+            cov = sum(1.0 for r in d["test"] if r <= q) / len(d["test"])
+            out[g] = (n, len(d["test"]), q, cov)
+        return out
+
+    def test_matches_independent_python(self, spark):
+        from recover_spark.ops.classifier_eval import split_conformal
+
+        df = self._df(spark, n=1500, groups=3)
+        got = {
+            r["g"]: r
+            for r in split_conformal(
+                df, ["g"], "y", "yhat", "k", alpha=0.1
+            ).collect()
+        }
+        exp = self._py_conformal(
+            [(r["g"], r["y"], r["yhat"], r["k"]) for r in df.collect()]
+        )
+        for g, (n_cal, n_test, q, cov) in exp.items():
+            assert got[g]["n_cal"] == n_cal
+            assert got[g]["n_test"] == n_test
+            assert got[g]["q_hat"] == pytest.approx(
+                round(q + 1e-9, 6), abs=1e-9
+            )
+            assert got[g]["coverage"] == pytest.approx(
+                round(cov + 1e-9, 6), abs=1e-9
+            )
+
+    def test_coverage_near_target(self, spark):
+        """On exchangeable residuals the realized coverage sits within
+        a few points of 1 - alpha (finite-sample guarantee is >=)."""
+        from recover_spark.ops.classifier_eval import split_conformal
+
+        df = self._df(spark, n=6000, groups=1)
+        r = split_conformal(df, ["g"], "y", "yhat", "k", alpha=0.1).collect()[
+            0
+        ]
+        assert r["target"] == pytest.approx(0.9)
+        assert 0.85 <= r["coverage"] <= 0.97
+
+    def test_tiny_group_clamps_k(self, spark):
+        from recover_spark.ops.classifier_eval import split_conformal
+
+        df = self._df(spark, n=14, groups=1)
+        out = split_conformal(df, ["g"], "y", "yhat", "k", alpha=0.1)
+        rows = out.collect()
+        assert len(rows) == 1
+        # k = ceil(0.9 * (n_cal + 1)) clamps to n_cal; q_hat is the max
+        # calibration residual
+        exp = self._py_conformal(
+            [(r["g"], r["y"], r["yhat"], r["k"]) for r in df.collect()]
+        )["0"]
+        assert rows[0]["q_hat"] == pytest.approx(
+            round(exp[2] + 1e-9, 6), abs=1e-9
+        )
+
+    def test_partitioning_invariance(self, spark):
+        from recover_spark.ops.classifier_eval import split_conformal
+
+        df = self._df(spark, n=900, groups=2)
+        a = split_conformal(df, ["g"], "y", "yhat", "k").collect()
+        b = split_conformal(
+            df.repartition(13, "y"), ["g"], "y", "yhat", "k"
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
