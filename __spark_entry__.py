@@ -8014,6 +8014,19 @@ def q_agg_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+def q_text_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus self-BLEU-2 diversity audit
+    (ops/text_analysis.py:corpus_self_bleu): each doc scored against
+    the next doc of its (lang, 4096-id block) as reference — clipped
+    n-gram precisions via ONE (pair, n, gram) equi-join, brevity
+    penalty from corpus length totals; high self-BLEU flags a
+    template-heavy corpus before it teaches a model repetition."""
+    from recover_spark.ops.text_analysis import corpus_self_bleu
+
+    docs = _load(spark, sf_dir, "documents")
+    return corpus_self_bleu(docs).orderBy("lang")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -8024,6 +8037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_bootstrap_ci": q_agg_bootstrap_ci,
         "v17_fdr_bh": q_v17_fdr_bh,
         "agg_conformal": q_agg_conformal,
+        "text_self_bleu": q_text_self_bleu,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
         "agg_cube": q_agg_cube,
@@ -9685,6 +9699,72 @@ def oracle_sql() -> dict[str, str]:
                round(c + 1e-9, 6) + 0.0 AS coverage,
                CAST(0.9 AS DOUBLE) AS target
         FROM cov
+    """
+    out["text_self_bleu"] = """
+        WITH toks AS (
+            SELECT lang AS g, doc_id AS id,
+                   list_filter(string_split_regex(lower(text),
+                       '[^a-z0-9'']+'), t -> len(t) > 0) AS t
+            FROM documents),
+        ne AS (SELECT g, id, t, id // 4096 AS blk
+               FROM toks WHERE len(t) > 0),
+        paired AS (
+            SELECT g, id AS pair, t,
+                   lead(t) OVER (PARTITION BY g, blk ORDER BY id) AS rt
+            FROM ne QUALIFY rt IS NOT NULL),
+        cg AS (
+            SELECT g, pair, n, gram, count(*) AS c
+            FROM (
+                SELECT g, pair, 1 AS n, u.x AS gram
+                FROM paired, UNNEST(t) AS u(x)
+                UNION ALL
+                SELECT g, pair, 2 AS n, t[i] || ' ' || t[i+1] AS gram
+                FROM paired, UNNEST(CASE WHEN len(t) >= 2
+                     THEN range(1, len(t)) ELSE []::BIGINT[] END) AS u(i)
+            ) GROUP BY g, pair, n, gram),
+        rg AS (
+            SELECT g, pair, n, gram, count(*) AS r
+            FROM (
+                SELECT g, pair, 1 AS n, u.x AS gram
+                FROM paired, UNNEST(rt) AS u(x)
+                UNION ALL
+                SELECT g, pair, 2 AS n, rt[i] || ' ' || rt[i+1] AS gram
+                FROM paired, UNNEST(CASE WHEN len(rt) >= 2
+                     THEN range(1, len(rt)) ELSE []::BIGINT[] END) AS u(i)
+            ) GROUP BY g, pair, n, gram),
+        clip AS (
+            SELECT cg.g, cg.n, sum(least(cg.c, rg.r)) AS m
+            FROM cg JOIN rg USING (g, pair, n, gram) GROUP BY cg.g, cg.n),
+        clipw AS (
+            SELECT g, sum(CASE WHEN n = 1 THEN m ELSE 0 END) AS m1,
+                   sum(CASE WHEN n = 2 THEN m ELSE 0 END) AS m2
+            FROM clip GROUP BY g),
+        lens AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(len(t)) AS BIGINT) AS cand_tokens,
+                   CAST(sum(len(rt)) AS BIGINT) AS ref_tokens,
+                   CAST(sum(greatest(len(t) - 1, 0)) AS BIGINT) AS tot2
+            FROM paired GROUP BY g),
+        wide AS (
+            SELECT l.g, n_pairs, cand_tokens, ref_tokens, tot2,
+                   coalesce(m1, 0) AS m1, coalesce(m2, 0) AS m2
+            FROM lens l LEFT JOIN clipw USING (g))
+        SELECT g AS lang, n_pairs, cand_tokens, ref_tokens,
+               round(m1 / CAST(cand_tokens AS DOUBLE) + 1e-9, 6) + 0.0
+                   AS p1,
+               round(CASE WHEN tot2 > 0
+                     THEN m2 / CAST(tot2 AS DOUBLE) END + 1e-9, 6) + 0.0
+                   AS p2,
+               round(least(1.0, exp(1.0 - ref_tokens
+                     / CAST(cand_tokens AS DOUBLE))) + 1e-9, 6) + 0.0
+                   AS bp,
+               round(CASE WHEN m1 > 0 AND m2 > 0 AND tot2 > 0
+                     THEN least(1.0, exp(1.0 - ref_tokens
+                          / CAST(cand_tokens AS DOUBLE)))
+                          * sqrt((m1 / CAST(cand_tokens AS DOUBLE))
+                                 * (m2 / CAST(tot2 AS DOUBLE)))
+                     ELSE 0.0 END + 1e-9, 6) + 0.0 AS self_bleu
+        FROM wide
     """
     # the persisted-index path answers the same query as in-memory IVF
     out["ann_ivf_indexed"] = out["ann_ivf"]

@@ -1502,3 +1502,151 @@ def textrank_keywords(
         .filter(F.col("rank") <= int(top_k))
         .orderBy(group_col, "rank")
     )
+
+
+def corpus_self_bleu(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    block: int = 4096,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Corpus-level self-BLEU (BLEU-2) per group — the standard
+    DIVERSITY audit for generated/synthetic corpora (Zhu et al. 2018,
+    "Texygen"): score each document against a neighbor document from
+    the same group as if it were a machine-translation reference; a
+    high self-BLEU means the corpus is template-heavy/homogeneous
+    (and, fed to training, teaches repetition), a low one means
+    diverse.  Complements dedup: near-dup operators find PAIRS to
+    drop, self-BLEU summarizes HOW self-similar the corpus is after
+    them.
+
+    Pairing contract (deterministic, engine-portable): within each
+    (group, floor(id / block)) block, documents order by id and each
+    document's REFERENCE is the next document in the block (the last
+    document of a block is a reference only).  Blocking bounds every
+    ordering window at ``block`` rows, so no per-group fact-sized
+    sort exists at 100 TB; at most one pairless document per block is
+    a boundary artifact, not a bias (ids carry no content order).
+
+    Corpus BLEU-2 per group, empty-token docs dropped first:
+
+        p_n  = sum_pairs sum_g min(cnt_cand(g), cnt_ref(g))
+               / sum_pairs (len_cand - n + 1)+          (n = 1, 2)
+        bp   = min(1, exp(1 - ref_len / cand_len))      (corpus totals)
+        bleu = bp * sqrt(p1 * p2)                       (0 if any p_n = 0)
+
+    Scale shape: tokenization and n-gram expansion are map-side; the
+    clipped-match numerator is ONE (pair, n, gram) equi-join between
+    the two per-pair count frames (never doc-pairs x vocabulary);
+    denominators and BP ride the pair frame as length arithmetic —
+    no second pass over grams.  Everything is Catalyst expressions.
+    """
+    from pyspark.sql import Window
+
+    from recover_spark.functions.text import tokens
+
+    base = (
+        docs.select(
+            F.col(group_col).alias("g"),
+            F.col(id_col).cast("long").alias("__id"),
+            tokens(F.col(text_col)).alias("__t"),
+        )
+        .filter(F.size("__t") > 0)
+        .withColumn("__blk", (F.col("__id") / F.lit(int(block))).cast("long"))
+    )
+    w = Window.partitionBy("g", "__blk").orderBy("__id")
+    paired = (
+        base.withColumn("__rt", F.lead("__t", 1).over(w))
+        .filter(F.col("__rt").isNotNull())
+        .select(
+            "g",
+            F.col("__id").alias("__pair"),
+            "__t",
+            "__rt",
+        )
+    )
+    paired = paired.localCheckpoint(eager=False)
+
+    def gram_counts(tok_col: str, out: str) -> DataFrame:
+        # (pair, n, gram) -> multiplicity, n in {1, 2}, map-side expand
+        uni = F.transform(F.col(tok_col), lambda t: F.struct(
+            F.lit(1).alias("n"), t.alias("gram")
+        ))
+        starts = F.when(
+            F.size(tok_col) >= 2, F.sequence(F.lit(1), F.size(tok_col) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        bi = F.transform(
+            starts,
+            lambda i: F.struct(
+                F.lit(2).alias("n"),
+                F.concat_ws(
+                    " ",
+                    F.element_at(F.col(tok_col), i),
+                    F.element_at(F.col(tok_col), i + 1),
+                ).alias("gram"),
+            ),
+        )
+        return (
+            paired.select(
+                "g", "__pair", F.explode(F.concat(uni, bi)).alias("__e")
+            )
+            .groupBy("g", "__pair", "__e.n", "__e.gram")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+    cand = gram_counts("__t", "__c")
+    ref = gram_counts("__rt", "__r")
+    clipped = (
+        cand.join(ref, ["g", "__pair", "n", "gram"])
+        .groupBy("g", "n")
+        .agg(F.sum(F.least("__c", "__r")).alias("__clip"))
+    )
+    lens = paired.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.size("__t")).cast("long").alias("cand_tokens"),
+        F.sum(F.size("__rt")).cast("long").alias("ref_tokens"),
+        F.sum(F.greatest(F.size("__t") - 1, F.lit(0)))
+        .cast("long")
+        .alias("__tot2"),
+    )
+    wide = lens.join(
+        clipped.groupBy("g").pivot("n", [1, 2]).sum("__clip"), "g", "left"
+    ).select(
+        "g",
+        "n_pairs",
+        "cand_tokens",
+        "ref_tokens",
+        "__tot2",
+        F.coalesce(F.col("1"), F.lit(0)).alias("__m1"),
+        F.coalesce(F.col("2"), F.lit(0)).alias("__m2"),
+    )
+    p1 = F.try_divide(
+        F.col("__m1").cast("double"), F.col("cand_tokens").cast("double")
+    )
+    p2 = F.try_divide(
+        F.col("__m2").cast("double"), F.col("__tot2").cast("double")
+    )
+    bp = F.least(
+        F.lit(1.0),
+        F.exp(
+            F.lit(1.0)
+            - F.try_divide(
+                F.col("ref_tokens").cast("double"),
+                F.col("cand_tokens").cast("double"),
+            )
+        ),
+    )
+    bleu = F.when(
+        (p1 > 0) & (p2 > 0), bp * F.sqrt(p1 * p2)
+    ).otherwise(F.lit(0.0))
+    return wide.select(
+        F.col("g").alias(group_col),
+        "n_pairs",
+        "cand_tokens",
+        "ref_tokens",
+        F.round(p1 + F.lit(1e-9), round_digits).alias("p1"),
+        F.round(p2 + F.lit(1e-9), round_digits).alias("p2"),
+        F.round(bp + F.lit(1e-9), round_digits).alias("bp"),
+        F.round(bleu + F.lit(1e-9), round_digits).alias("self_bleu"),
+    )

@@ -337,3 +337,108 @@ class TestSplitConformal:
             df.repartition(13, "y"), ["g"], "y", "yhat", "k"
         ).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestSelfBleu:
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        )
+
+    def test_identical_docs_bleu_one(self, spark):
+        from recover_spark.ops.text_analysis import corpus_self_bleu
+
+        rows = [(i, "the cat sat on the mat", "en") for i in range(6)]
+        r = corpus_self_bleu(self._docs(spark, rows)).collect()[0]
+        assert r["n_pairs"] == 5
+        assert r["p1"] == 1.0 and r["p2"] == 1.0
+        assert r["bp"] == 1.0 and r["self_bleu"] == 1.0
+
+    def test_disjoint_docs_bleu_zero(self, spark):
+        from recover_spark.ops.text_analysis import corpus_self_bleu
+
+        rows = [
+            (0, "alpha beta gamma", "en"),
+            (1, "delta epsilon zeta", "en"),
+            (2, "eta theta iota", "en"),
+        ]
+        r = corpus_self_bleu(self._docs(spark, rows)).collect()[0]
+        assert r["p1"] == 0.0 and r["self_bleu"] == 0.0
+
+    def test_hand_computed_clipping(self, spark):
+        """cand='a a b', ref='a b b': clipped unigrams min(2,1)+min(1,2)
+        = 2 of 3; bigrams cand {'a a','a b'} vs ref {'a b','b b'} ->
+        1 of 2. bp = 1 (equal lengths)."""
+        from recover_spark.ops.text_analysis import corpus_self_bleu
+
+        rows = [(0, "a a b", "en"), (1, "a b b", "en")]
+        r = corpus_self_bleu(self._docs(spark, rows)).collect()[0]
+        assert r["n_pairs"] == 1
+        assert r["p1"] == pytest.approx(2 / 3, abs=1e-6)
+        assert r["p2"] == pytest.approx(0.5, abs=1e-6)
+        assert r["self_bleu"] == pytest.approx(
+            math.sqrt((2 / 3) * 0.5), abs=1e-6
+        )
+
+    def test_brevity_penalty(self, spark):
+        """cand shorter than ref -> bp = exp(1 - ref/cand) < 1."""
+        from recover_spark.ops.text_analysis import corpus_self_bleu
+
+        rows = [(0, "a b", "en"), (1, "a b c d", "en")]
+        r = corpus_self_bleu(self._docs(spark, rows)).collect()[0]
+        assert r["bp"] == pytest.approx(round(math.exp(1 - 4 / 2) + 1e-9, 6))
+
+    def test_block_boundary_pairless(self, spark):
+        """Docs straddling a block boundary do not pair across it."""
+        from recover_spark.ops.text_analysis import corpus_self_bleu
+
+        rows = [
+            (4094, "x y z", "en"),
+            (4095, "x y z", "en"),
+            (4096, "x y z", "en"),  # new block, alone -> no pair
+        ]
+        r = corpus_self_bleu(self._docs(spark, rows)).collect()[0]
+        assert r["n_pairs"] == 1
+
+    def test_matches_independent_python(self, spark):
+        from recover_spark.ops.text_analysis import corpus_self_bleu
+        import re
+
+        rows = [
+            (0, "the quick brown fox", "en"),
+            (1, "the quick red fox jumps", "en"),
+            (2, "a lazy dog sleeps", "en"),
+            (3, "the lazy dog barks loudly", "en"),
+            (4, "Quick brown foxes!", "en"),
+        ]
+        got = corpus_self_bleu(self._docs(spark, rows)).collect()[0]
+
+        def toks(s):
+            return [t for t in re.split(r"[^a-z0-9']+", s.lower()) if t]
+
+        ts = [toks(t) for _, t, _ in rows]
+        pairs = [(ts[i], ts[i + 1]) for i in range(len(ts) - 1)]
+        from collections import Counter
+
+        def grams(t, n):
+            return Counter(
+                " ".join(t[i : i + n]) for i in range(len(t) - n + 1)
+            )
+
+        m1 = sum(
+            sum((grams(c, 1) & grams(r, 1)).values()) for c, r in pairs
+        )
+        m2 = sum(
+            sum((grams(c, 2) & grams(r, 2)).values()) for c, r in pairs
+        )
+        ct = sum(len(c) for c, _ in pairs)
+        rt = sum(len(r) for _, r in pairs)
+        t2 = sum(max(len(c) - 1, 0) for c, _ in pairs)
+        p1, p2 = m1 / ct, m2 / t2
+        bp = min(1.0, math.exp(1 - rt / ct))
+        assert got["n_pairs"] == len(pairs)
+        assert got["p1"] == pytest.approx(round(p1 + 1e-9, 6), abs=1e-9)
+        assert got["p2"] == pytest.approx(round(p2 + 1e-9, 6), abs=1e-9)
+        assert got["self_bleu"] == pytest.approx(
+            round(bp * math.sqrt(p1 * p2) + 1e-9, 6), abs=1e-9
+        )
