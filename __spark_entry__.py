@@ -8027,6 +8027,21 @@ def q_text_self_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_self_bleu(docs).orderBy("lang")
 
 
+def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection 64 -> 8 dims
+    (ops/pca.py:random_sign_projection): data-INDEPENDENT reduction —
+    no fit pass, no training shuffle; the deterministic Rademacher
+    matrix broadcasts once and each row folds JVM-side, the shape
+    that shrinks 100 TB of embeddings before LSH or index builds."""
+    from recover_spark.ops.pca import random_sign_projection
+
+    emb = _load(spark, sf_dir, "embeddings")
+    k = 8
+    return random_sign_projection(
+        emb, "embedding", in_dim=64, out_dim=k
+    ).select("vec_id", *[f"rp{c}" for c in range(k)]).orderBy("vec_id")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -8038,6 +8053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v17_fdr_bh": q_v17_fdr_bh,
         "agg_conformal": q_agg_conformal,
         "text_self_bleu": q_text_self_bleu,
+        "emb_random_projection": q_emb_random_projection,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
         "agg_cube": q_agg_cube,
@@ -9657,9 +9673,28 @@ def _fdr_bh_oracle_sql() -> str:
     """
 
 
+def _jl_projection_oracle_sql(k: int = 8) -> str:
+    """Oracle twin of q_emb_random_projection: the sign matrix is a
+    pure function of (dims, salt) — jl_sign_matrix regenerates the
+    IDENTICAL constants here, and each score is the explicit
+    left-to-right term sum matching Spark's zip_with fold order."""
+    from recover_spark.ops.pca import jl_sign_matrix
+
+    comps = jl_sign_matrix(64, k)
+    cols = []
+    for c, comp in enumerate(comps):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {w!r}"
+            for i, w in enumerate(comp)
+        )
+        cols.append(f"round(({terms}) + 1e-9, 6) + 0.0 AS rp{c}")
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_literal()
     out["agg_bootstrap_ci"] = _bootstrap_ci_sql()
+    out["emb_random_projection"] = _jl_projection_oracle_sql()
     out["v17_fdr_bh"] = _fdr_bh_oracle_sql()
     # the oracle's per-group window is the naive form of the bucket-
     # decomposed order statistic (the trimmed_group_stats precedent)

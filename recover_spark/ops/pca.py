@@ -247,3 +247,71 @@ def pca_project(
             F.round(score + F.lit(1e-9), round_digits),
         )
     return out.drop(*[f"__w{c}" for c in range(k)])
+
+
+def jl_sign_matrix(
+    in_dim: int, out_dim: int, salt: str = "jl"
+) -> list[list[float]]:
+    """Deterministic Rademacher (+-1/sqrt(k)) projection matrix from
+    md5 parity — the Achlioptas (2003) database-friendly flavor of
+    Johnson-Lindenstrauss: E[<Sx, Sy>] = <x, y> and squared
+    distances concentrate within (1 +- eps) for k = O(log n / eps^2)
+    output dims.  Signs derive from the first hex digit of
+    ``md5(salt|j_i)``, so the matrix is a pure function of
+    (in_dim, out_dim, salt): any engine — and the SQL oracle —
+    regenerates the identical constants, the same shared-constant
+    contract as the PQ ADC literal tables.  Size is (out_dim x
+    in_dim) driver-side floats: bounded model state, not data.
+    """
+    import hashlib
+    import math
+
+    inv = 1.0 / math.sqrt(float(out_dim))
+    return [
+        [
+            (
+                inv
+                if int(
+                    hashlib.md5(f"{salt}|{j}_{i}".encode()).hexdigest()[0],
+                    16,
+                )
+                % 2
+                == 0
+                else -inv
+            )
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_sign_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = 16,
+    salt: str = "jl",
+    out_prefix: str = "rp",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction as a pure map:
+    project each vector onto the deterministic sign matrix
+    (:func:`jl_sign_matrix`).  Where PCA needs a fitted model (two
+    passes: moments, then project), JL needs NO pass over the data at
+    all — the projection is data-independent, which is what makes it
+    the standard pre-step for shrinking 100 TB of embeddings before
+    LSH bucketing or index builds: zero training shuffle, and appends
+    project with the frozen matrix by construction.
+
+    Delegates to :func:`pca_project` with a zero mean — one broadcast
+    row of array columns, per-row JVM ``aggregate(zip_with(...))``
+    folds, no Python in the data path."""
+    comps = jl_sign_matrix(in_dim, out_dim, salt)
+    return pca_project(
+        df,
+        [0.0] * in_dim,
+        comps,
+        vec_col,
+        out_prefix=out_prefix,
+        round_digits=round_digits,
+    )

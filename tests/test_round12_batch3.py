@@ -442,3 +442,59 @@ class TestSelfBleu:
         assert got["self_bleu"] == pytest.approx(
             round(bp * math.sqrt(p1 * p2) + 1e-9, 6), abs=1e-9
         )
+
+
+class TestRandomSignProjection:
+    def test_matrix_deterministic_and_scaled(self):
+        from recover_spark.ops.pca import jl_sign_matrix
+
+        m1 = jl_sign_matrix(32, 8)
+        m2 = jl_sign_matrix(32, 8)
+        assert m1 == m2
+        inv = 1.0 / math.sqrt(8.0)
+        assert all(abs(w) == inv for row in m1 for w in row)
+        # salt changes the matrix
+        assert jl_sign_matrix(32, 8, salt="other") != m1
+
+    def test_projection_matches_numpy(self, spark):
+        import numpy as np
+
+        from recover_spark.ops.pca import jl_sign_matrix, random_sign_projection
+
+        d, k, n = 16, 4, 50
+        rows = [
+            (i, [math.sin(i * 0.7 + j) for j in range(d)]) for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        out = {
+            r["vec_id"]: [r[f"rp{c}"] for c in range(k)]
+            for r in random_sign_projection(
+                df, "embedding", in_dim=d, out_dim=k
+            ).collect()
+        }
+        s = np.asarray(jl_sign_matrix(d, k))
+        for i, v in rows:
+            exp = s @ np.asarray(v)
+            for c in range(k):
+                assert out[i][c] == pytest.approx(exp[c], abs=2e-6)
+
+    def test_jl_distance_preservation(self, spark):
+        """Median squared-distance ratio across pairs near 1 (the JL
+        concentration), k=16 from d=64."""
+        import numpy as np
+
+        from recover_spark.ops.pca import jl_sign_matrix
+
+        rng = np.random.default_rng(7)
+        x = rng.normal(size=(60, 64))
+        s = np.asarray(jl_sign_matrix(64, 16))
+        y = x @ s.T
+        ratios = []
+        for i in range(0, 58, 2):
+            a = float(((x[i] - x[i + 1]) ** 2).sum())
+            b = float(((y[i] - y[i + 1]) ** 2).sum())
+            ratios.append(b / a)
+        med = sorted(ratios)[len(ratios) // 2]
+        assert 0.7 < med < 1.3
+        # unbiasedness: mean ratio even tighter
+        assert 0.8 < sum(ratios) / len(ratios) < 1.2
