@@ -8042,6 +8042,48 @@ def q_emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", *[f"rp{c}" for c in range(k)]).orderBy("vec_id")
 
 
+def q_stream_bootstrap_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained Poisson-bootstrap CIs
+    (streaming/matview.py:maintain_bootstrap_matview): replicate
+    partials are plain sums, so four availableNow increments merge to
+    EXACTLY the one-shot batch state (up to float merge order) with
+    state bounded at groups x replicates — the oracle is the batch
+    agg_bootstrap_ci SQL unchanged."""
+    import uuid
+
+    from recover_spark.streaming.matview import (
+        maintain_bootstrap_matview,
+        read_bootstrap_matview,
+    )
+
+    run_dir = f"spark-warehouse/matview_boot_q/{uuid.uuid4().hex}"
+    src = f"{run_dir}/src"
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderkey"
+    )
+    orders.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "o_orderpriority string, o_totalprice double, o_orderkey long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_bootstrap_matview(
+        stream,
+        f"{run_dir}/state",
+        f"{run_dir}/ckpt",
+        ["o_orderpriority"],
+        "o_totalprice",
+        "o_orderkey",
+        n_replicates=40,
+    )
+    q.awaitTermination(300)
+    return read_bootstrap_matview(
+        spark, f"{run_dir}/state", ["o_orderpriority"], 40, alpha=0.05
+    ).orderBy("o_orderpriority")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -8054,6 +8096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_conformal": q_agg_conformal,
         "text_self_bleu": q_text_self_bleu,
         "emb_random_projection": q_emb_random_projection,
+        "stream_bootstrap_matview": q_stream_bootstrap_matview,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
         "agg_cube": q_agg_cube,
@@ -9694,6 +9737,9 @@ def _jl_projection_oracle_sql(k: int = 8) -> str:
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_literal()
     out["agg_bootstrap_ci"] = _bootstrap_ci_sql()
+    # replicate partials are plain sums: streamed state == batch state,
+    # so the matview shares the one-shot bootstrap oracle
+    out["stream_bootstrap_matview"] = out["agg_bootstrap_ci"]
     out["emb_random_projection"] = _jl_projection_oracle_sql()
     out["v17_fdr_bh"] = _fdr_bh_oracle_sql()
     # the oracle's per-group window is the naive form of the bucket-

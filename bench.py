@@ -199,6 +199,29 @@ HEADLINE = [
 ]
 
 
+def _release_pinned_state(spark) -> None:
+    """Unpersist every pinned RDD/relation between queries.
+
+    Operators pin intermediates (persist(), lazy localCheckpoint) for
+    the duration of THEIR query; nothing is shared across queries, but
+    the pins outlive the query inside this long-lived bench JVM.  As
+    the battery grew, that accumulated storage inflated LATER queries'
+    walls round over round (the recurring "warm-window position"
+    adjudications in SCALE.md: the r12 session-2 run measured the
+    inflation at 1.13x/1.33x/1.39x across run thirds vs the same
+    queries in a shorter run).  Releasing pins between queries makes
+    each number the query's own steady-state cost, independent of
+    battery size and position.
+    """
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rdd in jmap.values():
+            rdd.unpersist(False)
+        spark.catalog.clearCache()
+    except Exception:
+        pass  # diagnostics must never fail the bench
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from recover_spark.session import get_spark
@@ -229,6 +252,7 @@ def main() -> None:
             qs[name](spark, warm_dir).count()
         except Exception:
             pass
+        _release_pinned_state(spark)
 
     # Best-of-3 per query: local wall-clock noise on this box is +/-50%,
     # which would swamp round-over-round regressions; the minimum of
@@ -337,6 +361,7 @@ def main() -> None:
                     phases[name][lens] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s (best of {reps})",
               file=sys.stderr)
+        _release_pinned_state(spark)
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -2140,13 +2140,36 @@ def bootstrap_ci(
     rows at (groups x B) grain; the second aggregate and the
     collect_list are (groups x B) -> groups, bounded by B per group.
     """
-    from recover_spark.functions.hashing import portable_hash32
-
     group_cols = list(group_cols)
     if n_replicates < 2:
         raise ValueError("bootstrap_ci: n_replicates must be >= 2")
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"bootstrap_ci: alpha={alpha} not in (0, 1)")
+    per_rep = bootstrap_replicate_partials(
+        df, group_cols, value_col, key_col, n_replicates, salt
+    )
+    return bootstrap_summarize(
+        per_rep, group_cols, n_replicates, alpha, round_digits
+    )
+
+
+def bootstrap_replicate_partials(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    key_col: str,
+    n_replicates: int,
+    salt: str = "boot",
+) -> DataFrame:
+    """The mergeable half of the Poisson bootstrap: per
+    (group, replicate) partial sums (weighted sum/weight, exact
+    sum/count).  These are PLAIN SUMS, so partials from disjoint row
+    sets merge by addition — the property the streaming matview twin
+    rides (streamed increments == one-shot batch, the same argument
+    as merge_counts)."""
+    from recover_spark.functions.hashing import portable_hash32
+
+    group_cols = list(group_cols)
     nn = df.filter(F.col(value_col).isNotNull()).select(
         *group_cols,
         F.col(value_col).cast("double").alias("__x"),
@@ -2168,7 +2191,7 @@ def bootstrap_ci(
     for k in range(len(POISSON1_CDF) - 1, -1, -1):
         w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
     w = w.cast("double")
-    per_rep = fanned.groupBy(*group_cols, "__rep").agg(
+    return fanned.groupBy(*group_cols, "__rep").agg(
         F.sum(w * F.col("__x")).alias("__ws"),
         F.sum(w).alias("__wn"),
         # each base row appears exactly once per replicate, so the
@@ -2177,6 +2200,18 @@ def bootstrap_ci(
         F.sum("__x").alias("__s"),
         F.count(F.lit(1)).alias("__c"),
     )
+
+
+def bootstrap_summarize(
+    per_rep: DataFrame,
+    group_cols: Sequence[str],
+    n_replicates: int,
+    alpha: float = 0.05,
+    round_digits: int = 6,
+) -> DataFrame:
+    """CI tail over the (groups x replicates) partial frame — shared
+    by the one-shot operator and the matview read lens."""
+    group_cols = list(group_cols)
     mb = F.try_divide(F.col("__ws"), F.col("__wn"))
     reps = per_rep.select(
         *group_cols, mb.alias("__mb"), "__s", "__c"

@@ -1376,3 +1376,111 @@ def read_isotonic_matview(
         F.col("n_bin").alias("__n"),
     )
     return isotonic_fit_cells(cells, list(group_cols), round_digits)
+
+
+def merge_bootstrap_state(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    row_key_col: str,
+    n_replicates: int,
+    salt: str = "boot",
+    batch_id: int | None = None,
+) -> None:
+    """Fold one batch's Poisson-bootstrap replicate partials into the
+    state table.  The state is (keys, replicate) -> (weighted sum,
+    weight, exact sum, count) — PLAIN SUMS (operators/analytics.py:
+    bootstrap_replicate_partials), so union + re-sum over partials
+    equals the one-shot aggregate over all rows seen: the streamed
+    CI equals the batch CI up to float merge order, with state
+    bounded at (distinct keys x n_replicates) regardless of rows.
+    Same effectively-once batch-id sidecar as merge_counts.
+    """
+    from recover_spark.operators.analytics import (
+        bootstrap_replicate_partials,
+    )
+
+    _recover_state(state_path)
+    if batch_id is not None:
+        applied = _applied_batch_id(state_path)
+        if applied is not None and batch_id <= applied:
+            return
+    keys = list(key_cols)
+    partial = bootstrap_replicate_partials(
+        batch, keys, value_col, row_key_col, n_replicates, salt
+    )
+    state = Path(state_path)
+    if state.exists():
+        prev = spark.read.parquet(state_path)
+        partial = (
+            prev.unionByName(partial)
+            .groupBy(*keys, "__rep")
+            .agg(
+                F.sum("__ws").alias("__ws"),
+                F.sum("__wn").alias("__wn"),
+                F.sum("__s").alias("__s"),
+                F.sum("__c").alias("__c"),
+            )
+        )
+    tmp = str(state) + ".tmp"
+    partial.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
+    _swap_state(tmp, state_path)
+
+
+def maintain_bootstrap_matview(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    key_cols: Sequence[str],
+    value_col: str,
+    row_key_col: str,
+    n_replicates: int = 40,
+    salt: str = "boot",
+):
+    """availableNow increment of the bootstrap-CI materialized view."""
+    spark = stream.sparkSession
+    keys = list(key_cols)
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        merge_bootstrap_state(
+            spark,
+            batch,
+            state_path,
+            keys,
+            value_col,
+            row_key_col,
+            n_replicates,
+            salt,
+            batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_bootstrap_matview(
+    spark: SparkSession,
+    state_path: str,
+    key_cols: Sequence[str],
+    n_replicates: int,
+    alpha: float = 0.05,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Read lens: the percentile-bootstrap CI from the merged
+    replicate state (operators/analytics.py:bootstrap_summarize) —
+    a (keys x replicates)-sized computation, independent of how many
+    rows ever streamed."""
+    from recover_spark.operators.analytics import bootstrap_summarize
+
+    state = spark.read.parquet(state_path)
+    return bootstrap_summarize(
+        state, list(key_cols), n_replicates, alpha, round_digits
+    )

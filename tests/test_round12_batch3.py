@@ -498,3 +498,83 @@ class TestRandomSignProjection:
         assert 0.7 < med < 1.3
         # unbiasedness: mean ratio even tighter
         assert 0.8 < sum(ratios) / len(ratios) < 1.2
+
+
+class TestStreamBootstrapMatview:
+    def test_stream_equals_batch(self, spark, tmp_path):
+        from recover_spark.streaming.matview import (
+            maintain_bootstrap_matview,
+            read_bootstrap_matview,
+        )
+
+        df = _orders(spark, n=800, groups=3)
+        src = str(tmp_path / "src")
+        df.repartition(4).write.parquet(src)
+        stream = (
+            spark.readStream.schema("g string, x double, k long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = maintain_bootstrap_matview(
+            stream,
+            str(tmp_path / "state"),
+            str(tmp_path / "ckpt"),
+            ["g"],
+            "x",
+            "k",
+            n_replicates=16,
+        )
+        q.awaitTermination(120)
+        streamed = read_bootstrap_matview(
+            spark, str(tmp_path / "state"), ["g"], 16
+        ).collect()
+        batch = bootstrap_ci(df, ["g"], "x", "k", n_replicates=16).collect()
+        assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+    def test_replayed_batch_id_skipped(self, spark, tmp_path):
+        from recover_spark.streaming.matview import (
+            merge_bootstrap_state,
+            read_bootstrap_matview,
+        )
+
+        df = _orders(spark, n=200, groups=2)
+        state = str(tmp_path / "state")
+        merge_bootstrap_state(
+            spark, df, state, ["g"], "x", "k", 8, batch_id=0
+        )
+        once = read_bootstrap_matview(spark, state, ["g"], 8).collect()
+        # replaying the same batch id must be a no-op
+        merge_bootstrap_state(
+            spark, df, state, ["g"], "x", "k", 8, batch_id=0
+        )
+        twice = read_bootstrap_matview(spark, state, ["g"], 8).collect()
+        assert sorted(map(tuple, once)) == sorted(map(tuple, twice))
+
+    def test_merge_order_independence(self, spark, tmp_path):
+        from recover_spark.streaming.matview import (
+            merge_bootstrap_state,
+            read_bootstrap_matview,
+        )
+
+        df = _orders(spark, n=600, groups=2)
+        a = df.filter(F.col("k") % 3 == 0)
+        b = df.filter(F.col("k") % 3 == 1)
+        c = df.filter(F.col("k") % 3 == 2)
+        outs = []
+        for i, order in enumerate([(a, b, c), (c, a, b)]):
+            state = str(tmp_path / f"state{i}")
+            for j, part in enumerate(order):
+                merge_bootstrap_state(
+                    spark, part, state, ["g"], "x", "k", 8, batch_id=j
+                )
+            outs.append(
+                sorted(
+                    map(
+                        tuple,
+                        read_bootstrap_matview(
+                            spark, state, ["g"], 8
+                        ).collect(),
+                    )
+                )
+            )
+        assert outs[0] == outs[1]
