@@ -8084,6 +8084,28 @@ def q_stream_bootstrap_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+def q_v18_drift_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid Cramér–von Mises drift (quality/drift.py:cvm_drift): the
+    combined-mass-weighted MEAN-SQUARE CDF gap on the baseline's
+    quantile bins — the tail-sensitive member of the KS/W1 family (a
+    big gap on few bins and a moderate gap on many bins both
+    register).  Same one-edge-aggregate + map-side-binning shape as
+    v5/v10/v12; ``edge_accuracy=None`` is gate plumbing (v5's note)."""
+    from recover_spark.quality.drift import cvm_drift
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    cut = "1998-06-01"
+    base = lineitem.filter(F.col("l_shipdate") < F.lit(cut))
+    cur = lineitem.filter(F.col("l_shipdate") >= F.lit(cut))
+    return cvm_drift(
+        base,
+        cur,
+        ["l_extendedprice", "l_quantity", "l_discount"],
+        n_bins=10,
+        edge_accuracy=None,
+    ).orderBy("column")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -8097,6 +8119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_self_bleu": q_text_self_bleu,
         "emb_random_projection": q_emb_random_projection,
         "stream_bootstrap_matview": q_stream_bootstrap_matview,
+        "v18_drift_cvm": q_v18_drift_cvm,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
         "agg_cube": q_agg_cube,
@@ -9734,6 +9757,63 @@ def _jl_projection_oracle_sql(k: int = 8) -> str:
     return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
 
 
+def _cvm_oracle_sql(cols: list[str], cut: str, n_bins: int = 10) -> str:
+    """Grid-CvM oracle: the wasserstein oracle chain with the squared
+    cross-multiplied gap weighted by combined bin mass, one final
+    division by (tb*tc)^2*(tb+tc)."""
+    fr = ", ".join(str(i / n_bins) for i in range(1, n_bins))
+    blocks = []
+    for c in cols:
+        blocks.append(f"""
+            SELECT '{c}' AS "column",
+                   round(sum((CAST(cb AS DOUBLE) * tc
+                              - CAST(cc AS DOUBLE) * tb)
+                             * (CAST(cb AS DOUBLE) * tc
+                                - CAST(cc AS DOUBLE) * tb)
+                             * (nb + nc))
+                         / (CAST(tb AS DOUBLE) * tc
+                            * CAST(tb AS DOUBLE) * tc
+                            * (CAST(tb AS DOUBLE) + tc)), 6) AS cvm,
+                   CAST(tb AS BIGINT) AS n_base,
+                   CAST(tc AS BIGINT) AS n_cur
+            FROM (
+                WITH base AS (
+                    SELECT CAST({c} AS DOUBLE) AS v FROM lineitem
+                    WHERE l_shipdate < TIMESTAMP '{cut}' AND {c} IS NOT NULL
+                ),
+                cur AS (
+                    SELECT CAST({c} AS DOUBLE) AS v FROM lineitem
+                    WHERE l_shipdate >= TIMESTAMP '{cut}' AND {c} IS NOT NULL
+                ),
+                e AS (SELECT list_transform(quantile_cont(v, [{fr}]),
+                            x -> round(x, 9)) AS edges FROM base),
+                bb AS (SELECT len(list_filter(e.edges, x -> x <= v)) AS bin
+                       FROM base, e),
+                cb2 AS (SELECT len(list_filter(e.edges, x -> x <= v)) AS bin
+                        FROM cur, e),
+                slots AS (SELECT unnest(range({n_bins})) AS bin),
+                nbt AS (SELECT s.bin, coalesce(x.n, 0) AS n_base
+                       FROM slots s LEFT JOIN
+                            (SELECT bin, count(*) AS n FROM bb GROUP BY 1) x
+                            USING (bin)),
+                nct AS (SELECT s.bin, coalesce(x.n, 0) AS n_cur
+                       FROM slots s LEFT JOIN
+                            (SELECT bin, count(*) AS n FROM cb2 GROUP BY 1) x
+                            USING (bin)),
+                j AS (SELECT bin, n_base, n_cur
+                      FROM nbt JOIN nct USING (bin))
+                SELECT n_base AS nb, n_cur AS nc,
+                       CAST(sum(n_base) OVER (ORDER BY bin) AS BIGINT) AS cb,
+                       CAST(sum(n_cur) OVER (ORDER BY bin) AS BIGINT) AS cc,
+                       CAST(sum(n_base) OVER () AS BIGINT) AS tb,
+                       CAST(sum(n_cur) OVER () AS BIGINT) AS tc
+                FROM j
+            )
+            GROUP BY tb, tc
+        """)
+    return " UNION ALL ".join(blocks) + ' ORDER BY "column"'
+
+
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_literal()
     out["agg_bootstrap_ci"] = _bootstrap_ci_sql()
@@ -9741,6 +9821,9 @@ def oracle_sql() -> dict[str, str]:
     # so the matview shares the one-shot bootstrap oracle
     out["stream_bootstrap_matview"] = out["agg_bootstrap_ci"]
     out["emb_random_projection"] = _jl_projection_oracle_sql()
+    out["v18_drift_cvm"] = _cvm_oracle_sql(
+        ["l_discount", "l_extendedprice", "l_quantity"], "1998-06-01", 10
+    )
     out["v17_fdr_bh"] = _fdr_bh_oracle_sql()
     # the oracle's per-group window is the naive form of the bucket-
     # decomposed order statistic (the trimmed_group_stats precedent)

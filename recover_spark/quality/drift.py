@@ -1338,3 +1338,116 @@ def fdr_bh(
         ),
         (F.col("__p_adj") <= F.lit(float(q))).alias("reject"),
     )
+
+
+def cvm_grid_from_binned_counts(
+    base_counts: DataFrame,
+    cur_counts: DataFrame,
+    cols: Sequence[str],
+    n_bins: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Cramér–von Mises drift on the grid, from already-binned
+    per-(column, bin) count tables — the MEAN-SQUARE companion to
+    :func:`ks_grid_from_binned_counts` (sup gap) and
+    :func:`wasserstein_grid_from_binned_counts` (mean |gap|):
+
+        cvm = sum_b w_b * (F_base(b) - F_cur(b))^2,
+        w_b = (n_base_b + n_cur_b) / (N_base + N_cur)
+
+    i.e. the omega^2 integrand of the two-sample test with the
+    combined empirical measure as dH — in [0, 1], scale-free across
+    columns.  Squaring makes it the tail-sensitive member of the
+    family: a large gap over few bins (which W1 averages away) and a
+    moderate gap over many bins (which KS understates) both register.
+
+    Computed from cross-multiplied cumulative counts:
+    ``d = cb*Nc - cc*Nb`` is exact in double below ~9e15 (the grid-KS
+    contract); ``d^2 * (nb + nc)`` is then double-rounded but
+    DETERMINISTICALLY so (same IEEE product of the same doubles in
+    any engine), with the one normalizing division
+    ``/(Nb*Nc)^2 / (Nb+Nc)`` at the end.  Empty era -> NULL.
+    """
+    cols = list(cols)
+    slots = base_counts.sparkSession.createDataFrame(
+        [(c, b) for c in cols for b in range(n_bins)],
+        "column string, bin int",
+    )
+    joined = (
+        slots.join(base_counts, ["column", "bin"], "left")
+        .join(cur_counts, ["column", "bin"], "left")
+        .fillna(0, subset=["n_base", "n_cur"])
+    )
+    w_cum = (
+        Window.partitionBy("column")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = joined.groupBy("column").agg(
+        F.sum("n_base").alias("__tb"), F.sum("n_cur").alias("__tc")
+    )
+    cum = joined.select(
+        "column",
+        "bin",
+        F.col("n_base").alias("__nb"),
+        F.col("n_cur").alias("__nc"),
+        F.sum("n_base").over(w_cum).alias("__cb"),
+        F.sum("n_cur").over(w_cum).alias("__cc"),
+    )
+    d = (
+        F.col("__cb").cast("double") * F.col("__tc").cast("double")
+        - F.col("__cc").cast("double") * F.col("__tb").cast("double")
+    )
+    return (
+        cum.join(F.broadcast(tot), "column")
+        .groupBy("column")
+        .agg(
+            F.sum(
+                d * d * (F.col("__nb") + F.col("__nc")).cast("double")
+            ).alias("__ssum"),
+            F.max("__tb").alias("__mtb"),
+            F.max("__tc").alias("__mtc"),
+        )
+        .select(
+            "column",
+            F.round(
+                F.try_divide(
+                    F.col("__ssum"),
+                    F.col("__mtb").cast("double")
+                    * F.col("__mtc").cast("double")
+                    * F.col("__mtb").cast("double")
+                    * F.col("__mtc").cast("double")
+                    * (F.col("__mtb") + F.col("__mtc")).cast("double"),
+                ),
+                round_digits,
+            ).alias("cvm"),
+            F.col("__mtb").alias("n_base"),
+            F.col("__mtc").alias("n_cur"),
+        )
+    )
+
+
+def cvm_drift(
+    baseline: DataFrame,
+    current: DataFrame,
+    cols: Sequence[str],
+    n_bins: int = 10,
+    round_digits: int = 6,
+    edge_accuracy: int | None = 10_000,
+) -> DataFrame:
+    """Per-column grid Cramér–von Mises drift of ``current`` against
+    ``baseline`` on the baseline's quantile bins — same one-edge-
+    aggregate + map-side-binning shape as :func:`psi_drift` /
+    :func:`wasserstein_drift`, with the squared-gap fold of
+    :func:`cvm_grid_from_binned_counts` as the tail."""
+    cols = list(cols)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    edges_row = quantile_edge_row(baseline, cols, n_bins, edge_accuracy)
+    base_counts = binned_counts_against_edges(
+        baseline, edges_row, cols, "base"
+    )
+    cur_counts = binned_counts_against_edges(current, edges_row, cols, "cur")
+    return cvm_grid_from_binned_counts(
+        base_counts, cur_counts, cols, n_bins, round_digits
+    )

@@ -578,3 +578,71 @@ class TestStreamBootstrapMatview:
                 )
             )
         assert outs[0] == outs[1]
+
+
+class TestCvmDrift:
+    def _counts(self, spark, rows, tag):
+        return spark.createDataFrame(
+            rows, f"column string, bin int, n_{tag} long"
+        )
+
+    def test_identical_distributions_zero(self, spark):
+        from recover_spark.quality.drift import cvm_drift
+
+        df = spark.range(4000).select(
+            (F.col("id") % 100).cast("double").alias("v")
+        )
+        r = cvm_drift(df, df, ["v"], n_bins=10).collect()[0]
+        assert r["cvm"] == 0.0
+
+    def test_disjoint_distributions_large(self, spark):
+        from recover_spark.quality.drift import cvm_drift
+
+        a = spark.range(2000).select((F.col("id") % 50).cast("double").alias("v"))
+        b = spark.range(2000).select(
+            (F.col("id") % 50 + 1000).cast("double").alias("v")
+        )
+        r = cvm_drift(a, b, ["v"], n_bins=10).collect()[0]
+        # full separation on baseline-quantile bins: the gap ramps
+        # 0.1..0.9 over the 9 base-mass bins (both ECDFs are 1 at the
+        # last grid point), so cvm = 0.05*sum((0.1j)^2) ~ 0.134
+        assert r["cvm"] > 0.12
+
+    def test_matches_independent_python_on_binned_counts(self, spark):
+        from recover_spark.quality.drift import cvm_grid_from_binned_counts
+
+        nb = [30, 10, 25, 5, 30]
+        nc = [5, 40, 10, 30, 15]
+        base = self._counts(
+            spark, [("x", i, n) for i, n in enumerate(nb)], "base"
+        )
+        cur = self._counts(
+            spark, [("x", i, n) for i, n in enumerate(nc)], "cur"
+        )
+        got = cvm_grid_from_binned_counts(base, cur, ["x"], 5).collect()[0]
+        tb, tc = sum(nb), sum(nc)
+        cb = cc = 0
+        s = 0.0
+        for i in range(5):
+            cb += nb[i]
+            cc += nc[i]
+            d = float(cb * tc - cc * tb)
+            s += d * d * (nb[i] + nc[i])
+        exp = s / (float(tb) * tc * tb * tc * (tb + tc))
+        assert got["cvm"] == pytest.approx(round(exp, 6), abs=1e-9)
+        assert got["n_base"] == tb and got["n_cur"] == tc
+
+    def test_tail_shift_registers(self, spark):
+        """A shift affecting only the top decile moves cvm off zero."""
+        from recover_spark.quality.drift import cvm_drift
+
+        base = spark.range(5000).select(
+            (F.col("id") % 1000).cast("double").alias("v")
+        )
+        cur = spark.range(5000).select(
+            F.when(F.col("id") % 10 == 0, F.lit(5000.0))
+            .otherwise((F.col("id") % 900).cast("double"))
+            .alias("v")
+        )
+        r = cvm_drift(base, cur, ["v"], n_bins=10).collect()[0]
+        assert r["cvm"] > 0.0
