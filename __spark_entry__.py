@@ -8106,6 +8106,44 @@ def q_v18_drift_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("column")
 
 
+def q_stream_drift_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CvM drift-on-arrival (streaming/drift.py:read_drift_cvm): the
+    same frozen-baseline/accumulated-counts state as the PSI/KS
+    matviews, read through the mean-square lens — per-bin and
+    cumulative counts are integer-additive across batches, so the
+    streamed statistic is bit-identical to batch binning of the
+    union; the oracle is the batch CvM SQL over the same split."""
+    import uuid
+
+    from recover_spark.streaming.drift import (
+        freeze_drift_baseline,
+        maintain_drift_matview,
+        read_drift_cvm,
+    )
+
+    run_dir = f"spark-warehouse/drift_cvm/{uuid.uuid4().hex}"
+    lineitem = _load(spark, sf_dir, "lineitem")
+    cut = "1998-06-01"
+    cols = ["l_extendedprice", "l_quantity"]
+    base = lineitem.filter(F.col("l_shipdate") < F.lit(cut)).select(*cols)
+    cur = lineitem.filter(F.col("l_shipdate") >= F.lit(cut)).select(
+        *[F.col(c).cast("double").alias(c) for c in cols]
+    )
+    freeze_drift_baseline(
+        base, f"{run_dir}/state", cols, n_bins=10, edge_accuracy=None
+    )
+    src = f"{run_dir}/src"
+    cur.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(", ".join(f"{c} double" for c in cols))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_drift_matview(stream, f"{run_dir}/state", f"{run_dir}/ckpt")
+    q.awaitTermination(300)
+    return read_drift_cvm(spark, f"{run_dir}/state")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -8120,6 +8158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_random_projection": q_emb_random_projection,
         "stream_bootstrap_matview": q_stream_bootstrap_matview,
         "v18_drift_cvm": q_v18_drift_cvm,
+        "stream_drift_cvm": q_stream_drift_cvm,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
         "agg_cube": q_agg_cube,
@@ -9823,6 +9862,10 @@ def oracle_sql() -> dict[str, str]:
     out["emb_random_projection"] = _jl_projection_oracle_sql()
     out["v18_drift_cvm"] = _cvm_oracle_sql(
         ["l_discount", "l_extendedprice", "l_quantity"], "1998-06-01", 10
+    )
+    # streamed binned counts are integer-additive: stream == batch
+    out["stream_drift_cvm"] = _cvm_oracle_sql(
+        ["l_extendedprice", "l_quantity"], "1998-06-01", 10
     )
     out["v17_fdr_bh"] = _fdr_bh_oracle_sql()
     # the oracle's per-group window is the naive form of the bucket-

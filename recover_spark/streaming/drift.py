@@ -408,3 +408,24 @@ def read_drift_wasserstein(
     return wasserstein_grid_from_binned_counts(
         base, _current_counts(spark, state_path), cols, n_bins, round_digits
     ).orderBy("column")
+
+
+def read_drift_cvm(
+    spark: SparkSession,
+    state_path: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Grid Cramér–von Mises per column from the SAME frozen-baseline
+    / accumulated-counts state every numeric read-side shares — the
+    mean-SQUARE lens next to KS's sup and W1's mean.  Per-bin and
+    cumulative counts are both integer-additive across batches, so
+    the streamed value is bit-identical to batch binning of the
+    union (the grid-KS contract).  Empty current side -> NULL."""
+    from recover_spark.quality.drift import cvm_grid_from_binned_counts
+
+    meta = _read_meta(state_path)
+    cols, n_bins = meta["cols"], meta["n_bins"]
+    base = spark.read.parquet(os.path.join(state_path, "baseline_counts"))
+    return cvm_grid_from_binned_counts(
+        base, _current_counts(spark, state_path), cols, n_bins, round_digits
+    ).orderBy("column")

@@ -646,3 +646,37 @@ class TestCvmDrift:
         )
         r = cvm_drift(base, cur, ["v"], n_bins=10).collect()[0]
         assert r["cvm"] > 0.0
+
+
+class TestStreamDriftCvm:
+    def test_stream_equals_batch(self, spark, tmp_path):
+        from recover_spark.quality.drift import cvm_drift
+        from recover_spark.streaming.drift import (
+            freeze_drift_baseline,
+            maintain_drift_matview,
+            read_drift_cvm,
+        )
+
+        base = spark.range(3000).select(
+            (F.col("id") % 97).cast("double").alias("v")
+        )
+        cur = spark.range(3000).select(
+            ((F.col("id") * 7) % 120).cast("double").alias("v")
+        )
+        state = str(tmp_path / "state")
+        freeze_drift_baseline(base, state, ["v"], n_bins=8,
+                              edge_accuracy=None)
+        src = str(tmp_path / "src")
+        cur.repartition(3).write.parquet(src)
+        stream = (
+            spark.readStream.schema("v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = maintain_drift_matview(stream, state, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+        streamed = read_drift_cvm(spark, state).collect()
+        batch = cvm_drift(
+            base, cur, ["v"], n_bins=8, edge_accuracy=None
+        ).collect()
+        assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
