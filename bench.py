@@ -196,6 +196,15 @@ HEADLINE = [
     "transform_target_encode",
     "agg_isotonic_calibration",
     "stream_isotonic_matview",
+    # round 12, session 3
+    "agg_bootstrap_ci",
+    "v17_fdr_bh",
+    "agg_conformal",
+    "text_self_bleu",
+    "emb_random_projection",
+    "stream_bootstrap_matview",
+    "v18_drift_cvm",
+    "stream_drift_cvm",
 ]
 
 
