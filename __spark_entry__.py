@@ -8144,6 +8144,27 @@ def q_stream_drift_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_drift_cvm(spark, f"{run_dir}/state")
 
 
+def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diverse top-5
+    (ops/retrieval.py:mmr_rerank): exact-cosine top-12 candidates per
+    query re-ranked greedily so each pick maximizes lam*rel -
+    (1-lam)*max-sim-to-selected — the anti-redundancy final stage a
+    RAG stack runs before filling a context window; k-1 bounded
+    candidate-list-sized joins, argmax on the rounded score."""
+    from recover_spark.ops.retrieval import mmr_rerank
+    from recover_spark.ops.similarity import brute_force_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    cands = brute_force_topk(emb, queries, k=12).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    return mmr_rerank(
+        cands, "query_vec_id", "vec_id", "cosine", "embedding",
+        k=5, lam=0.7,
+    ).orderBy("query_vec_id", "rank")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -8159,6 +8180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_bootstrap_matview": q_stream_bootstrap_matview,
         "v18_drift_cvm": q_v18_drift_cvm,
         "stream_drift_cvm": q_stream_drift_cvm,
+        "retrieval_mmr": q_retrieval_mmr,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
         "agg_cube": q_agg_cube,
@@ -9853,6 +9875,73 @@ def _cvm_oracle_sql(cols: list[str], cut: str, n_bins: int = 10) -> str:
     return " UNION ALL ".join(blocks) + ' ORDER BY "column"'
 
 
+def _mmr_oracle_sql(k: int = 5, lam: float = 0.7, r: int = 12) -> str:
+    """MMR oracle: candidate CTE (the ann_topk shape at top-r), then
+    k-1 UNROLLED greedy steps (the k_core fixed-rounds precedent) —
+    each step one join + max-sim fold + QUALIFY argmax on the rounded
+    score; lam and 1-lam embedded as the bit-identical Python
+    doubles."""
+    one_minus = 1.0 - lam
+    parts = [f"""
+        cand AS (
+            SELECT q.vec_id AS qid, e.vec_id AS did,
+                   round({_cos('e.embedding', 'q.embedding')} + 1e-9, 6)
+                       AS rel,
+                   e.embedding AS v
+            FROM embeddings e
+            JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
+              ON e.vec_id != q.vec_id
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY {_cos('e.embedding', 'q.embedding')} DESC,
+                         e.vec_id ASC) <= {r}),
+        sel1 AS (
+            SELECT qid, did, 1 AS rank, rel,
+                   CAST(NULL AS DOUBLE) AS max_sim,
+                   CAST(NULL AS DOUBLE) AS mmr, v
+            FROM cand
+            QUALIFY row_number() OVER (
+                PARTITION BY qid ORDER BY rel DESC, did ASC) = 1),
+        rem1 AS (
+            SELECT c.* FROM cand c
+            WHERE NOT EXISTS (SELECT 1 FROM sel1 s
+                              WHERE s.qid = c.qid AND s.did = c.did))"""]
+    for i in range(2, k + 1):
+        parts.append(f"""
+        sims{i} AS (
+            SELECT r.qid, r.did, max(r.rel) AS rel,
+                   max({_cos('r.v', 's.v')}) AS max_sim
+            FROM rem{i - 1} r JOIN sel{i - 1} s ON r.qid = s.qid
+            GROUP BY r.qid, r.did),
+        pick{i} AS (
+            SELECT qid, did, {i} AS rank, rel, max_sim,
+                   round({lam!r} * rel - {one_minus!r} * max_sim + 1e-9, 6)
+                       AS mmr
+            FROM sims{i}
+            QUALIFY row_number() OVER (
+                PARTITION BY qid ORDER BY
+                round({lam!r} * rel - {one_minus!r} * max_sim + 1e-9, 6)
+                    DESC, did ASC) = 1),
+        sel{i} AS (
+            SELECT * FROM sel{i - 1}
+            UNION ALL
+            SELECT p.qid, p.did, p.rank, p.rel, p.max_sim, p.mmr, c.v
+            FROM pick{i} p JOIN cand c
+              ON p.qid = c.qid AND p.did = c.did),
+        rem{i} AS (
+            SELECT r.* FROM rem{i - 1} r
+            WHERE NOT EXISTS (SELECT 1 FROM pick{i} p
+                              WHERE p.qid = r.qid AND p.did = r.did))""")
+    return (
+        "WITH " + ",".join(parts) + f"""
+        SELECT qid AS query_vec_id, did AS vec_id,
+               CAST(rank AS INTEGER) AS rank, rel + 0.0 AS rel,
+               round(max_sim + 1e-9, 6) + 0.0 AS max_sim, mmr + 0.0 AS mmr
+        FROM sel{k}
+    """
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_literal()
     out["agg_bootstrap_ci"] = _bootstrap_ci_sql()
@@ -9860,6 +9949,7 @@ def oracle_sql() -> dict[str, str]:
     # so the matview shares the one-shot bootstrap oracle
     out["stream_bootstrap_matview"] = out["agg_bootstrap_ci"]
     out["emb_random_projection"] = _jl_projection_oracle_sql()
+    out["retrieval_mmr"] = _mmr_oracle_sql()
     out["v18_drift_cvm"] = _cvm_oracle_sql(
         ["l_discount", "l_extendedprice", "l_quantity"], "1998-06-01", 10
     )

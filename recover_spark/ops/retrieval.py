@@ -165,3 +165,164 @@ def rank_metrics(
             round_digits,
         ).alias("recall"),
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    query_col: str,
+    doc_col: str,
+    rel_col: str,
+    vec_col: str,
+    k: int = 5,
+    lam: float = 0.7,
+    round_digits: int = 6,
+    max_candidates: int | None = 100_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the standard diversity-aware final stage after any
+    retriever: greedily build a k-item result where each pick
+    maximizes
+
+        mmr(d) = lam * rel(d) - (1 - lam) * max_{s in selected} sim(d, s)
+
+    i.e. relevant BUT not redundant with what is already shown — the
+    anti-near-duplicate guard for RAG context windows (feeding an LLM
+    five near-identical passages wastes four slots).
+
+    Inputs are CANDIDATE LISTS — (query x R) rows with relevance and
+    the document vector — never the corpus; the loud ``max_candidates``
+    guard enforces it (the brute_force_topk contract).  The greedy
+    loop is k - 1 BOUNDED iterations: each step joins the remaining
+    candidates to the selected set on the query key (candidate-list-
+    sized equi-join), folds max-similarity per candidate, and takes
+    the per-query argmax on the ROUNDED score with doc-id ties — so
+    the pick sequence is deterministic and engine-reproducible.
+    Frames are lazily checkpointed per step to stop lineage doubling
+    (the shortest_paths convention).
+
+    Determinism contract: relevance is rounded to ``round_digits``
+    up front, the mmr score after the combine; similarity stays
+    unrounded (identical IEEE doubles in any engine by the shared
+    dot-fold order).  Returns (query, doc, rank, rel, max_sim, mmr)
+    — rank 1 is the pure-relevance pick (max_sim/mmr NULL).
+    """
+    from recover_spark.functions.vectors import cosine_from_norms, l2_norm
+
+    if k < 1:
+        raise ValueError("mmr_rerank: k must be >= 1")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"mmr_rerank: lam={lam} not in [0, 1]")
+    if max_candidates is not None:
+        n_c = candidates.count()
+        if n_c > max_candidates:
+            raise ValueError(
+                f"mmr_rerank candidate side has {n_c} rows "
+                f"(max_candidates={max_candidates}); MMR is a re-rank "
+                "stage over top-R candidate lists — run a retriever "
+                "first, or raise the bound explicitly"
+            )
+    one_minus = 1.0 - float(lam)
+    base = candidates.select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.round(F.col(rel_col).cast("double") + F.lit(1e-9), round_digits)
+        .alias("__rel"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__norm", l2_norm(F.col("__v")))
+    base = base.localCheckpoint(eager=False)
+
+    w1 = Window.partitionBy("__q").orderBy(
+        F.col("__rel").desc(), F.col("__d").asc()
+    )
+    sel = (
+        base.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "__q",
+            "__d",
+            F.lit(1).alias("rank"),
+            "__rel",
+            F.lit(None).cast("double").alias("__maxsim"),
+            F.lit(None).cast("double").alias("__mmr"),
+            "__v",
+            "__norm",
+        )
+    ).localCheckpoint(eager=False)
+    remaining = base.join(
+        sel.select("__q", "__d"), ["__q", "__d"], "left_anti"
+    ).localCheckpoint(eager=False)
+
+    for step in range(2, int(k) + 1):
+        sims = (
+            remaining.join(
+                sel.select(
+                    "__q",
+                    F.col("__v").alias("__sv"),
+                    F.col("__norm").alias("__sn"),
+                ),
+                "__q",
+            )
+            .select(
+                "__q",
+                "__d",
+                "__rel",
+                "__v",
+                "__norm",
+                cosine_from_norms(
+                    F.col("__v"),
+                    F.col("__sv"),
+                    F.col("__norm"),
+                    F.col("__sn"),
+                ).alias("__sim"),
+            )
+            .groupBy("__q", "__d")
+            .agg(
+                F.max("__rel").alias("__rel"),
+                F.max("__sim").alias("__maxsim"),
+                # constant per (q, d): carried so no self-referential
+                # join back to base is needed for the next step
+                F.first("__v").alias("__v"),
+                F.first("__norm").alias("__norm"),
+            )
+        )
+        scored = sims.withColumn(
+            "__mmr",
+            F.round(
+                F.lit(float(lam)) * F.col("__rel")
+                - F.lit(one_minus) * F.col("__maxsim")
+                + F.lit(1e-9),
+                round_digits,
+            ),
+        )
+        wp = Window.partitionBy("__q").orderBy(
+            F.col("__mmr").desc(), F.col("__d").asc()
+        )
+        pick = (
+            scored.withColumn("__rn", F.row_number().over(wp))
+            .filter(F.col("__rn") == 1)
+            .select("__q", "__d", F.lit(step).alias("rank"),
+                    "__rel", "__maxsim", "__mmr", "__v", "__norm")
+        ).localCheckpoint(eager=False)
+        sel = sel.select(
+            "__q", "__d", "rank", "__rel", "__maxsim", "__mmr",
+            "__v", "__norm",
+        ).unionByName(
+            pick.select(
+                "__q", "__d", "rank", "__rel", "__maxsim", "__mmr",
+                "__v", "__norm",
+            )
+        ).localCheckpoint(eager=False)
+        remaining = remaining.join(
+            pick.select("__q", "__d"), ["__q", "__d"], "left_anti"
+        ).localCheckpoint(eager=False)
+
+    return sel.select(
+        F.col("__q").alias(query_col),
+        F.col("__d").alias(doc_col),
+        "rank",
+        F.col("__rel").alias("rel"),
+        F.round(F.col("__maxsim") + F.lit(1e-9), round_digits).alias(
+            "max_sim"
+        ),
+        F.col("__mmr").alias("mmr"),
+    )

@@ -680,3 +680,104 @@ class TestStreamDriftCvm:
             base, cur, ["v"], n_bins=8, edge_accuracy=None
         ).collect()
         assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+
+
+class TestMmrRerank:
+    def _cands(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "q long, d long, rel double, v array<double>"
+        )
+
+    @staticmethod
+    def _py_mmr(rows, k, lam):
+        import numpy as np
+
+        def cos(a, b):
+            a, b = np.asarray(a), np.asarray(b)
+            return float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b)))
+
+        by_q = {}
+        for q, d, rel, v in rows:
+            by_q.setdefault(q, []).append((d, round(rel + 1e-9, 6), v))
+        out = []
+        for q, items in by_q.items():
+            sel = [max(items, key=lambda t: (t[1], -t[0]))]
+            out.append((q, sel[0][0], 1))
+            rem = [t for t in items if t[0] != sel[0][0]]
+            for rank in range(2, k + 1):
+                if not rem:
+                    break
+                scored = []
+                for d, rel, v in rem:
+                    ms = max(cos(v, sv) for _, _, sv in sel)
+                    scored.append(
+                        (round(lam * rel - (1 - lam) * ms + 1e-9, 6), -d, d, rel, v)
+                    )
+                best = max(scored)
+                out.append((q, best[2], rank))
+                sel.append((best[2], best[3], best[4]))
+                rem = [t for t in rem if t[0] != best[2]]
+        return sorted(out)
+
+    def test_redundancy_penalized(self, spark):
+        """Two near-identical high-rel docs: MMR picks one, then the
+        diverse lower-rel doc, NOT the twin."""
+        from recover_spark.ops.retrieval import mmr_rerank
+
+        rows = [
+            (0, 1, 0.99, [1.0, 0.0, 0.0]),
+            (0, 2, 0.98, [0.999, 0.01, 0.0]),   # twin of 1
+            (0, 3, 0.50, [0.0, 1.0, 0.0]),      # orthogonal
+        ]
+        out = sorted(
+            (r["rank"], r["d"])
+            for r in mmr_rerank(
+                self._cands(spark, rows), "q", "d", "rel", "v",
+                k=3, lam=0.5,
+            ).collect()
+        )
+        assert out == [(1, 1), (2, 3), (3, 2)]
+
+    def test_lambda_one_is_pure_relevance(self, spark):
+        from recover_spark.ops.retrieval import mmr_rerank
+
+        rows = [
+            (0, d, 1.0 - d * 0.1, [1.0, float(d)]) for d in range(1, 6)
+        ]
+        out = sorted(
+            (r["rank"], r["d"])
+            for r in mmr_rerank(
+                self._cands(spark, rows), "q", "d", "rel", "v",
+                k=5, lam=1.0,
+            ).collect()
+        )
+        assert out == [(r, r) for r in range(1, 6)]
+
+    def test_matches_independent_python(self, spark):
+        from recover_spark.ops.retrieval import mmr_rerank
+
+        rows = []
+        for q in range(2):
+            for d in range(1, 9):
+                v = [
+                    math.sin(q * 3 + d * 0.9 + j) for j in range(6)
+                ]
+                rows.append((q, d, 1.0 / d, v))
+        got = sorted(
+            (r["q"], r["d"], r["rank"])
+            for r in mmr_rerank(
+                self._cands(spark, rows), "q", "d", "rel", "v",
+                k=4, lam=0.7,
+            ).collect()
+        )
+        assert got == self._py_mmr(rows, 4, 0.7)
+
+    def test_candidate_guard(self, spark):
+        from recover_spark.ops.retrieval import mmr_rerank
+
+        rows = [(0, d, 0.5, [1.0, 0.0]) for d in range(30)]
+        with pytest.raises(ValueError, match="max_candidates"):
+            mmr_rerank(
+                self._cands(spark, rows), "q", "d", "rel", "v",
+                k=2, max_candidates=10,
+            )
