@@ -8165,6 +8165,32 @@ def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_vec_id", "rank")
 
 
+def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the two-stride user lattice
+    (ops/graph.py:label_propagation): 4 fixed synchronous rounds with
+    min-label ties — deterministic, RNG-free community detection whose
+    quality readout is the already-shipped graph_modularity; each
+    round one node-keyed equi-join + one (node, label) mergeable count
+    + a per-node argmax, edge-linear."""
+    from recover_spark.ops.graph import label_propagation
+
+    ev = _load(spark, sf_dir, "events").filter(F.col("event_id") % 7 == 0)
+    edges = (
+        ev.select(
+            F.col("user_id").alias("src"),
+            (F.col("user_id") + 3).alias("dst"),
+        )
+        .unionByName(
+            ev.select(
+                F.col("user_id").alias("src"),
+                (F.col("user_id") + 7).alias("dst"),
+            )
+        )
+        .distinct()
+    )
+    return label_propagation(edges, rounds=4).orderBy("node")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -8181,6 +8207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v18_drift_cvm": q_v18_drift_cvm,
         "stream_drift_cvm": q_stream_drift_cvm,
         "retrieval_mmr": q_retrieval_mmr,
+        "graph_lpa": q_graph_lpa,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
         "agg_cube": q_agg_cube,
@@ -9942,6 +9969,37 @@ def _mmr_oracle_sql(k: int = 5, lam: float = 0.7, r: int = 12) -> str:
     )
 
 
+def _lpa_oracle_sql(rounds: int = 4) -> str:
+    """LPA oracle: the symmetrized lattice edge CTE, then `rounds`
+    UNROLLED synchronous updates (count + QUALIFY argmax with the
+    min-label tie) — the k_core fixed-rounds precedent."""
+    parts = ["""
+        raw AS (
+            SELECT DISTINCT user_id AS s, user_id + 3 AS t
+            FROM events WHERE event_id % 7 = 0
+            UNION
+            SELECT DISTINCT user_id AS s, user_id + 7 AS t
+            FROM events WHERE event_id % 7 = 0),
+        und AS (
+            SELECT s AS a, t AS b FROM raw WHERE s != t
+            UNION
+            SELECT t AS a, s AS b FROM raw WHERE s != t),
+        l0 AS (SELECT DISTINCT a AS node, a AS community FROM und)"""]
+    for i in range(1, rounds + 1):
+        parts.append(f"""
+        l{i} AS (
+            SELECT node, community FROM (
+                SELECT u.a AS node, l.community, count(*) AS n
+                FROM und u JOIN l{i - 1} l ON u.b = l.node
+                GROUP BY u.a, l.community)
+            QUALIFY row_number() OVER (
+                PARTITION BY node ORDER BY n DESC, community ASC) = 1)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f" SELECT node, community FROM l{rounds}"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_literal()
     out["agg_bootstrap_ci"] = _bootstrap_ci_sql()
@@ -9950,6 +10008,7 @@ def oracle_sql() -> dict[str, str]:
     out["stream_bootstrap_matview"] = out["agg_bootstrap_ci"]
     out["emb_random_projection"] = _jl_projection_oracle_sql()
     out["retrieval_mmr"] = _mmr_oracle_sql()
+    out["graph_lpa"] = _lpa_oracle_sql()
     out["v18_drift_cvm"] = _cvm_oracle_sql(
         ["l_discount", "l_extendedprice", "l_quantity"], "1998-06-01", 10
     )

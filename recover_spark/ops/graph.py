@@ -652,3 +652,76 @@ def shortest_paths(
         dist = dist.unionByName(nxt).localCheckpoint(eager=False)
         frontier = nxt.select("node")
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007), fixed-round deterministic variant: every node starts
+    as its own label; each round every node adopts the label most
+    frequent among its neighbors, ties broken by the SMALLEST label.
+    The fixed round count plus the min-label tie rule make the output
+    a pure function of the graph — no RNG, no visit order, no
+    oscillation ambiguity — so an external engine reproduces it
+    exactly (the unrolled-rounds oracle pattern of k_core/pagerank).
+    Synchronous LPA can oscillate on bipartite-ish structure rather
+    than converge; the FIXED-round output is the defined result, and
+    callers score it with :func:`modularity` (the natural pairing).
+
+    Scale shape: edges are symmetrized + deduped once and pinned;
+    each round is ONE node-keyed equi-join of the node-sized label
+    frame to the edge table + ONE (node, label) count aggregate with
+    map-side partials + a per-node argmax window over the
+    neighbor-LABEL frame (bounded by each node's distinct neighbor
+    labels, which only shrinks as communities merge) — edge-linear
+    per round, never pair enumeration.  Lineage bounded by lazy
+    checkpoints every ``checkpoint_every`` rounds.
+
+    Returns (node, community).  Isolated nodes (no edges) are absent
+    — LPA is defined on the graph the edges induce.
+    """
+    from pyspark.sql import Window
+
+    if rounds < 1:
+        raise ValueError("label_propagation: rounds must be >= 1")
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("community")
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("node").orderBy(
+        F.col("__n").desc(), F.col("community").asc()
+    )
+    for r in range(1, int(rounds) + 1):
+        neigh = (
+            und.join(
+                labels.select(
+                    F.col("node").alias("b"),
+                    F.col("community"),
+                ),
+                "b",
+            )
+            .groupBy(F.col("a").alias("node"), "community")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        labels = (
+            neigh.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "community")
+        )
+        if r % checkpoint_every == 0 or r == rounds:
+            labels = labels.localCheckpoint(eager=False)
+    return labels

@@ -781,3 +781,100 @@ class TestMmrRerank:
                 self._cands(spark, rows), "q", "d", "rel", "v",
                 k=2, max_candidates=10,
             )
+
+
+class TestLabelPropagation:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "src long, dst long")
+
+    @staticmethod
+    def _py_lpa(pairs, rounds):
+        und = set()
+        for s, t in pairs:
+            if s != t:
+                und.add((s, t))
+                und.add((t, s))
+        nodes = {a for a, _ in und}
+        lab = {n: n for n in nodes}
+        for _ in range(rounds):
+            from collections import Counter
+
+            new = {}
+            for n in nodes:
+                c = Counter(lab[b] for a, b in und if a == n)
+                best = min(
+                    c.items(), key=lambda kv: (-kv[1], kv[0])
+                )[0]
+                new[n] = best
+            lab = new
+        return lab
+
+    def test_two_cliques_with_bridge(self, spark):
+        """Two triangles joined by one bridge edge: LPA settles each
+        triangle on its min node id."""
+        from recover_spark.ops.graph import label_propagation
+
+        pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12),
+                 (3, 10)]
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(
+                self._edges(spark, pairs), rounds=4
+            ).collect()
+        }
+        assert got == self._py_lpa(pairs, 4)
+        # the two triangle cores carry distinct labels
+        assert got[1] == got[2]
+        assert got[11] == got[12]
+        assert got[1] != got[11]
+
+    def test_matches_independent_python_on_lattice(self, spark):
+        from recover_spark.ops.graph import label_propagation
+
+        pairs = [(i, (i * 7 + 3) % 40) for i in range(40)] + [
+            (i, (i + 1) % 40) for i in range(0, 40, 2)
+        ]
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(
+                self._edges(spark, pairs), rounds=3
+            ).collect()
+        }
+        assert got == self._py_lpa(pairs, 3)
+
+    def test_deterministic_under_repartition(self, spark):
+        from recover_spark.ops.graph import label_propagation
+
+        pairs = [(i, (i * 5 + 1) % 30) for i in range(60)]
+        e = self._edges(spark, pairs)
+        a = sorted(map(tuple, label_propagation(e, rounds=2).collect()))
+        b = sorted(
+            map(
+                tuple,
+                label_propagation(e.repartition(7), rounds=2).collect(),
+            )
+        )
+        assert a == b
+
+    def test_self_loops_ignored_and_isolated_absent(self, spark):
+        from recover_spark.ops.graph import label_propagation
+
+        pairs = [(1, 1), (2, 3)]
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(
+                self._edges(spark, pairs), rounds=2
+            ).collect()
+        }
+        assert set(got) == {2, 3}
+        # synchronous LPA on a lone edge OSCILLATES (the documented
+        # fixed-round contract): after an even round count each node
+        # is back to its own label; after an odd count they swap
+        assert got == {2: 2, 3: 3}
+        odd = {
+            r["node"]: r["community"]
+            for r in label_propagation(
+                self._edges(spark, pairs), rounds=1
+            ).collect()
+        }
+        assert odd == {2: 3, 3: 2}
