@@ -205,6 +205,8 @@ HEADLINE = [
     "stream_bootstrap_matview",
     "v18_drift_cvm",
     "stream_drift_cvm",
+    "retrieval_mmr",
+    "graph_lpa",
 ]
 
 
