@@ -8506,6 +8506,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-1/3 backlog cleared in r11).
     # tools/check_correctness.py re-runs ALL entries regardless.
     front = [
+        # (a0) session-3 operators: never captured by any driver run —
+        # maximally stale by definition, so they lead the rotation
+        "agg_bootstrap_ci",
+        "v17_fdr_bh",
+        "agg_conformal",
+        "text_self_bleu",
+        "emb_random_projection",
+        "stream_bootstrap_matview",
+        "v18_drift_cvm",
+        "stream_drift_cvm",
+        "retrieval_mmr",
+        "graph_lpa",
         # (a) new / touched this round (r12): the refine stage, the
         # recall surface whose SCHEMA grew refined arms, the rewrite
         # whose schema grew passthrough columns, the bucket-0
