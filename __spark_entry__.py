@@ -9925,7 +9925,7 @@ def _mmr_oracle_sql(k: int = 5, lam: float = 0.7, r: int = 12) -> str:
         cand AS (
             SELECT q.vec_id AS qid, e.vec_id AS did,
                    round({_cos('e.embedding', 'q.embedding')} + 1e-9, 6)
-                       AS rel,
+                       + 0.0 AS rel,
                    e.embedding AS v
             FROM embeddings e
             JOIN (SELECT * FROM embeddings WHERE vec_id < 3) q
@@ -9955,12 +9955,12 @@ def _mmr_oracle_sql(k: int = 5, lam: float = 0.7, r: int = 12) -> str:
         pick{i} AS (
             SELECT qid, did, {i} AS rank, rel, max_sim,
                    round({lam!r} * rel - {one_minus!r} * max_sim + 1e-9, 6)
-                       AS mmr
+                       + 0.0 AS mmr
             FROM sims{i}
             QUALIFY row_number() OVER (
                 PARTITION BY qid ORDER BY
                 round({lam!r} * rel - {one_minus!r} * max_sim + 1e-9, 6)
-                    DESC, did ASC) = 1),
+                    + 0.0 DESC, did ASC) = 1),
         sel{i} AS (
             SELECT * FROM sel{i - 1}
             UNION ALL
