@@ -8191,6 +8191,42 @@ def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, rounds=4).orderBy("node")
 
 
+def q_agg_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method CI for the per-flag revenue-per-unit RATIO metric
+    (operators/analytics.py:ratio_metric_ci): numerator and
+    denominator are correlated per row, so the naive t-interval is
+    wrong — the delta-method variance is the experimentation-standard
+    fix; ONE mergeable aggregate, arithmetic on the group frame."""
+    from recover_spark.operators.analytics import ratio_metric_ci
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    return ratio_metric_ci(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity"
+    ).orderBy("l_returnflag")
+
+
+def q_agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction per return flag
+    (operators/analytics.py:cuped_adjust): adjust revenue by the
+    quantity covariate with the POOLED theta — the pre-experiment
+    adjustment that reaches significance with 1/(1-rho^2) less
+    traffic; one fact pass to per-variant moment sums, pooled theta
+    from ADDING the variant rows, never a second fact scan."""
+    from recover_spark.operators.analytics import cuped_adjust
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        (F.col("l_orderkey") % 2).alias("variant"),
+        "l_extendedprice",
+        "l_quantity",
+    )
+    return cuped_adjust(
+        li, ["l_returnflag"], "variant", "l_extendedprice", "l_quantity"
+    ).orderBy("l_returnflag", "variant")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -8208,6 +8244,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_drift_cvm": q_stream_drift_cvm,
         "retrieval_mmr": q_retrieval_mmr,
         "graph_lpa": q_graph_lpa,
+        "agg_ratio_ci": q_agg_ratio_ci,
+        "agg_cuped": q_agg_cuped,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
         "agg_cube": q_agg_cube,
@@ -8518,6 +8556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_drift_cvm",
         "retrieval_mmr",
         "graph_lpa",
+        "agg_ratio_ci",
+        "agg_cuped",
         # (a) new / touched this round (r12): the refine stage, the
         # recall surface whose SCHEMA grew refined arms, the rewrite
         # whose schema grew passthrough columns, the bucket-0
@@ -10021,6 +10061,68 @@ def oracle_sql() -> dict[str, str]:
     out["emb_random_projection"] = _jl_projection_oracle_sql()
     out["retrieval_mmr"] = _mmr_oracle_sql()
     out["graph_lpa"] = _lpa_oracle_sql()
+    out["agg_ratio_ci"] = """
+        WITH base AS (
+            SELECT l_returnflag AS g,
+                   CAST(l_extendedprice AS DOUBLE) AS x,
+                   CAST(l_quantity AS DOUBLE) AS y
+            FROM lineitem
+            WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        a AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   var_samp(x) AS vx, var_samp(y) AS vy,
+                   covar_samp(x, y) AS cxy
+            FROM base GROUP BY g),
+        d AS (
+            SELECT g, n, sx / sy AS r,
+                   sqrt(greatest(
+                       (vx - 2.0 * (sx / sy) * cxy
+                        + (sx / sy) * (sx / sy) * vy)
+                       / (n * (sy / n) * (sy / n)), 0.0)) AS se
+            FROM a)
+        SELECT g AS l_returnflag, n,
+               round(r + 1e-9, 6) + 0.0 AS ratio,
+               round(se + 1e-9, 6) + 0.0 AS se,
+               round(r - 1.959963984540054 * se + 1e-9, 6) + 0.0 AS ci_lo,
+               round(r + 1.959963984540054 * se + 1e-9, 6) + 0.0 AS ci_hi
+        FROM d
+    """
+    out["agg_cuped"] = """
+        WITH base AS (
+            SELECT l_returnflag AS g, l_orderkey % 2 AS v,
+                   CAST(l_quantity AS DOUBLE) AS x,
+                   CAST(l_extendedprice AS DOUBLE) AS y
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        pv AS (
+            SELECT g, v, CAST(count(*) AS BIGINT) AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(x * y) AS sxy,
+                   sum(y * y) AS syy
+            FROM base GROUP BY g, v),
+        pool AS (
+            SELECT g, CAST(sum(n) AS DOUBLE) AS pn,
+                   sum(sx) AS psx, sum(sy) AS psy,
+                   sum(sxx) AS psxx, sum(sxy) AS psxy, sum(syy) AS psyy
+            FROM pv GROUP BY g),
+        th AS (
+            SELECT g,
+                   (psxy - psx * psy / pn)
+                       / nullif(psxx - psx * psx / pn, 0.0) AS theta,
+                   psx / pn AS pxbar,
+                   (psxy - psx * psy / pn) * (psxy - psx * psy / pn)
+                       / nullif((psxx - psx * psx / pn)
+                                * (psyy - psy * psy / pn), 0.0) AS rho2
+            FROM pool)
+        SELECT pv.g AS l_returnflag, pv.v AS variant, pv.n,
+               round(pv.sy / pv.n + 1e-9, 6) + 0.0 AS mean_y,
+               round(pv.sy / pv.n - th.theta * (pv.sx / pv.n - th.pxbar)
+                     + 1e-9, 6) + 0.0 AS mean_cuped,
+               round(th.theta + 1e-9, 6) + 0.0 AS theta,
+               round(th.rho2 + 1e-9, 6) + 0.0 AS variance_reduction
+        FROM pv JOIN th ON pv.g = th.g
+    """
     out["v18_drift_cvm"] = _cvm_oracle_sql(
         ["l_discount", "l_extendedprice", "l_quantity"], "1998-06-01", 10
     )

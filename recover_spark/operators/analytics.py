@@ -2265,3 +2265,155 @@ def bootstrap_summarize(
             round_digits,
         ).alias("ci_hi"),
     )
+
+
+# two-sided 95% normal critical value, embedded identically in the SQL
+# oracles (shared-constant contract)
+Z_95 = 1.959963984540054
+
+
+def ratio_metric_ci(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    num_col: str,
+    den_col: str,
+    z: float = Z_95,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Delta-method confidence interval for a per-group RATIO metric
+    r = sum(num) / sum(den) — revenue per session, tokens per
+    document, clicks per impression: the metric shape where the naive
+    per-row t-interval is WRONG because numerator and denominator
+    are correlated and the unit of analysis is the group total, not
+    the row.  The standard fix (Deng et al., KDD 2017/2018 ratio-
+    metric methodology) is the first-order delta method:
+
+        Var(r) ~= (s_n^2 - 2 r s_nd + r^2 s_d^2) / (n * dbar^2)
+
+    with s_* the sample (co)variances of per-row numerator and
+    denominator.  ONE mergeable aggregate per group — n, sums,
+    sums of squares and cross products — so the fact shuffles once
+    on the group key with map-side partials; everything downstream
+    is arithmetic on the group frame.  Rows where either side is
+    NULL are excluded (family convention); n < 2 or a zero
+    denominator mean yields NULL se/CI via try_divide.
+    """
+    group_cols = list(group_cols)
+    x = F.col(num_col).cast("double")
+    y = F.col(den_col).cast("double")
+    nn = df.filter(x.isNotNull() & y.isNotNull()).select(
+        *group_cols, x.alias("__x"), y.alias("__y")
+    )
+    agg = nn.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.var_samp("__x").alias("__vx"),
+        F.var_samp("__y").alias("__vy"),
+        F.covar_samp("__x", "__y").alias("__cxy"),
+    )
+    nd = F.col("n").cast("double")
+    r = F.try_divide(F.col("__sx"), F.col("__sy"))
+    dbar = F.try_divide(F.col("__sy"), nd)
+    var_r = F.try_divide(
+        F.col("__vx") - F.lit(2.0) * r * F.col("__cxy")
+        + r * r * F.col("__vy"),
+        nd * dbar * dbar,
+    )
+    se = F.sqrt(F.greatest(var_r, F.lit(0.0)))
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(r + F.lit(1e-9), round_digits).alias("ratio"),
+        F.round(se + F.lit(1e-9), round_digits).alias("se"),
+        F.round(r - F.lit(float(z)) * se + F.lit(1e-9), round_digits).alias(
+            "ci_lo"
+        ),
+        F.round(r + F.lit(float(z)) * se + F.lit(1e-9), round_digits).alias(
+            "ci_hi"
+        ),
+    )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    variant_col: str,
+    y_col: str,
+    covariate_col: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM
+    2013) — the standard pre-experiment-covariate adjustment every
+    experimentation platform applies before reading an A/B test:
+
+        theta    = cov(x, y) / var(x)        (POOLED across variants)
+        y_cuped  = y - theta * (x - xbar_pooled)
+
+    which keeps every variant's expectation identical (the covariate
+    predates assignment) while shrinking variance by the squared
+    correlation — so the same experiment reaches significance with
+    ~1/(1-rho^2) times less traffic.  Returns per (group, variant):
+    n, mean_y, mean_cuped, and the pooled variance_reduction = rho^2
+    shared by the group.
+
+    Scale shape: ONE fact pass to per-(group, variant) moment sums
+    (n, sum x/y, sum x^2/y^2/xy — all map-side-combinable); pooled
+    theta and xbar derive from ADDING the variant rows in a second
+    aggregate over the variant-sized frame, never a second fact
+    scan.  NULL rows excluded; a zero-variance covariate yields NULL
+    adjustment via try_divide.
+    """
+    group_cols = list(group_cols)
+    x = F.col(covariate_col).cast("double")
+    y = F.col(y_col).cast("double")
+    nn = df.filter(x.isNotNull() & y.isNotNull()).select(
+        *group_cols,
+        F.col(variant_col).alias("__v"),
+        x.alias("__x"),
+        y.alias("__y"),
+    )
+    per_var = nn.groupBy(*group_cols, "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+    )
+    pooled = per_var.groupBy(*group_cols).agg(
+        F.sum("n").cast("double").alias("__pn"),
+        F.sum("__sx").alias("__psx"),
+        F.sum("__sy").alias("__psy"),
+        F.sum("__sxx").alias("__psxx"),
+        F.sum("__sxy").alias("__psxy"),
+        F.sum("__syy").alias("__psyy"),
+    )
+    pn = F.col("__pn")
+    cov_xy = F.col("__psxy") - F.col("__psx") * F.col("__psy") / pn
+    var_x = F.col("__psxx") - F.col("__psx") * F.col("__psx") / pn
+    var_y = F.col("__psyy") - F.col("__psy") * F.col("__psy") / pn
+    pooled = pooled.select(
+        *group_cols,
+        F.try_divide(cov_xy, var_x).alias("__theta"),
+        (F.col("__psx") / pn).alias("__pxbar"),
+        F.try_divide(cov_xy * cov_xy, var_x * var_y).alias("__rho2"),
+    )
+    out = per_var.join(F.broadcast(pooled), group_cols)
+    nd = F.col("n").cast("double")
+    mean_y = F.col("__sy") / nd
+    mean_x = F.col("__sx") / nd
+    adj = mean_y - F.col("__theta") * (mean_x - F.col("__pxbar"))
+    return out.select(
+        *group_cols,
+        F.col("__v").alias(variant_col),
+        "n",
+        F.round(mean_y + F.lit(1e-9), round_digits).alias("mean_y"),
+        F.round(adj + F.lit(1e-9), round_digits).alias("mean_cuped"),
+        F.round(F.col("__theta") + F.lit(1e-9), round_digits).alias(
+            "theta"
+        ),
+        F.round(F.col("__rho2") + F.lit(1e-9), round_digits).alias(
+            "variance_reduction"
+        ),
+    )

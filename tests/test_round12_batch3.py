@@ -878,3 +878,126 @@ class TestLabelPropagation:
             ).collect()
         }
         assert odd == {2: 3, 3: 2}
+
+
+class TestRatioMetricCI:
+    def test_matches_independent_python(self, spark):
+        import numpy as np
+
+        from recover_spark.operators.analytics import Z_95, ratio_metric_ci
+
+        rows = [
+            ("a", float(10 + (i * 7) % 40), float(1 + i % 5))
+            for i in range(400)
+        ] + [("b", float(100 + i % 9), float(2 + i % 3)) for i in range(300)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        got = {
+            r["g"]: r
+            for r in ratio_metric_ci(df, ["g"], "x", "y").collect()
+        }
+        for g in ("a", "b"):
+            xs = np.array([x for gg, x, _ in rows if gg == g])
+            ys = np.array([y for gg, _, y in rows if gg == g])
+            n = len(xs)
+            r = xs.sum() / ys.sum()
+            var_r = (
+                xs.var(ddof=1)
+                - 2 * r * np.cov(xs, ys, ddof=1)[0, 1]
+                + r * r * ys.var(ddof=1)
+            ) / (n * (ys.mean() ** 2))
+            se = math.sqrt(max(var_r, 0.0))
+            assert got[g]["n"] == n
+            assert got[g]["ratio"] == pytest.approx(
+                round(r + 1e-9, 6), abs=1e-8
+            )
+            assert got[g]["se"] == pytest.approx(
+                round(se + 1e-9, 6), abs=1e-6
+            )
+            assert got[g]["ci_lo"] == pytest.approx(
+                round(r - Z_95 * se + 1e-9, 6), abs=1e-5
+            )
+
+    def test_constant_ratio_zero_se(self, spark):
+        """x = 3y exactly -> ratio 3, se 0 (delta variance collapses)."""
+        from recover_spark.operators.analytics import ratio_metric_ci
+
+        rows = [("a", 3.0 * v, float(v)) for v in range(1, 200)]
+        df = spark.createDataFrame(rows, "g string, x double, y double")
+        r = ratio_metric_ci(df, ["g"], "x", "y").collect()[0]
+        assert r["ratio"] == 3.0
+        assert r["se"] == 0.0
+        assert r["ci_lo"] == 3.0 and r["ci_hi"] == 3.0
+
+
+class TestCuped:
+    def test_matches_independent_python(self, spark):
+        import numpy as np
+
+        from recover_spark.operators.analytics import cuped_adjust
+
+        rows = []
+        for i in range(600):
+            x = float(1 + i % 17)
+            noise = float((i * 13) % 7) - 3.0
+            rows.append(("g", i % 2, 5.0 * x + noise, x))
+        df = spark.createDataFrame(
+            rows, "g string, v int, y double, x double"
+        )
+        got = {
+            r["v"]: r
+            for r in cuped_adjust(df, ["g"], "v", "y", "x").collect()
+        }
+        xs = np.array([x for _, _, _, x in rows])
+        ys = np.array([y for _, _, y, _ in rows])
+        theta = (
+            (xs * ys).sum() - xs.sum() * ys.sum() / len(xs)
+        ) / ((xs * xs).sum() - xs.sum() ** 2 / len(xs))
+        rho2 = (
+            ((xs * ys).sum() - xs.sum() * ys.sum() / len(xs)) ** 2
+            / (
+                ((xs * xs).sum() - xs.sum() ** 2 / len(xs))
+                * ((ys * ys).sum() - ys.sum() ** 2 / len(ys))
+            )
+        )
+        for v in (0, 1):
+            sel = [(y, x) for _, vv, y, x in rows if vv == v]
+            my = sum(y for y, _ in sel) / len(sel)
+            mx = sum(x for _, x in sel) / len(sel)
+            adj = my - theta * (mx - xs.mean())
+            assert got[v]["mean_y"] == pytest.approx(
+                round(my + 1e-9, 6), abs=1e-7
+            )
+            assert got[v]["mean_cuped"] == pytest.approx(
+                round(adj + 1e-9, 6), abs=1e-6
+            )
+            assert got[v]["theta"] == pytest.approx(
+                round(theta + 1e-9, 6), abs=1e-6
+            )
+            assert got[v]["variance_reduction"] == pytest.approx(
+                round(rho2 + 1e-9, 6), abs=1e-6
+            )
+        # strongly covariate-driven y: rho^2 near 1
+        assert got[0]["variance_reduction"] > 0.9
+
+    def test_unbiased_when_covariate_balanced(self, spark):
+        """Variant means shift by the SAME theta*(mx - pooled) when the
+        covariate is balanced -> adjusted diff == raw diff."""
+        from recover_spark.operators.analytics import cuped_adjust
+
+        rows = []
+        for i in range(500):
+            # (i // 2) decouples x from the variant parity: both arms
+            # see the identical covariate distribution
+            x = float((i // 2) % 10)
+            lift = 2.0 if i % 2 else 0.0
+            rows.append(("g", i % 2, 3.0 * x + lift, x))
+        df = spark.createDataFrame(
+            rows, "g string, v int, y double, x double"
+        )
+        got = {
+            r["v"]: r
+            for r in cuped_adjust(df, ["g"], "v", "y", "x").collect()
+        }
+        raw_diff = got[1]["mean_y"] - got[0]["mean_y"]
+        adj_diff = got[1]["mean_cuped"] - got[0]["mean_cuped"]
+        assert adj_diff == pytest.approx(raw_diff, abs=1e-6)
