@@ -207,6 +207,8 @@ HEADLINE = [
     "stream_drift_cvm",
     "retrieval_mmr",
     "graph_lpa",
+    "agg_ratio_ci",
+    "agg_cuped",
 ]
 
 
