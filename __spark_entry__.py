@@ -8227,6 +8227,23 @@ def q_agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag", "variant")
 
 
+def q_agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Mann-Whitney U between the even/odd user cohorts
+    (operators/analytics.py:mannwhitney_u): the NONPARAMETRIC A/B
+    readout next to agg_ab_welch — outlier-immune rank test with the
+    common-language effect size U/(n_a*n_b); exact midranks via the
+    spearman bucket decomposition, everything integer-and-half exact
+    until z's one division."""
+    from recover_spark.operators.analytics import mannwhitney_u
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 2).alias("variant"), "value"
+    )
+    return mannwhitney_u(
+        ev, ["event_type"], "variant", "value", 0, 1
+    ).orderBy("event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -8246,6 +8263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lpa": q_graph_lpa,
         "agg_ratio_ci": q_agg_ratio_ci,
         "agg_cuped": q_agg_cuped,
+        "agg_mannwhitney": q_agg_mannwhitney,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
         "agg_cube": q_agg_cube,
@@ -8558,6 +8576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_lpa",
         "agg_ratio_ci",
         "agg_cuped",
+        "agg_mannwhitney",
         # (a) new / touched this round (r12): the refine stage, the
         # recall surface whose SCHEMA grew refined arms, the rewrite
         # whose schema grew passthrough columns, the bucket-0
@@ -10061,6 +10080,49 @@ def oracle_sql() -> dict[str, str]:
     out["emb_random_projection"] = _jl_projection_oracle_sql()
     out["retrieval_mmr"] = _mmr_oracle_sql()
     out["graph_lpa"] = _lpa_oracle_sql()
+    out["agg_mannwhitney"] = """
+        WITH base AS (
+            SELECT event_type AS g, user_id % 2 AS variant,
+                   CAST(value AS DOUBLE) AS v
+            FROM events
+            WHERE value IS NOT NULL AND user_id % 2 IN (0, 1)),
+        grain AS (
+            SELECT g, v,
+                   sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS ca,
+                   sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS cb
+            FROM base GROUP BY g, v),
+        mr AS (
+            SELECT g, v, ca, cb,
+                   coalesce(sum(ca + cb) OVER (
+                       PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0)
+                   + (ca + cb + 1) / 2.0 AS mrank
+            FROM grain),
+        agg AS (
+            SELECT g, CAST(sum(ca) AS BIGINT) AS n_a,
+                   CAST(sum(cb) AS BIGINT) AS n_b,
+                   sum(ca * mrank) AS ra,
+                   sum(CAST(ca + cb AS DOUBLE) * (ca + cb) * (ca + cb)
+                       - (ca + cb)) AS tie3
+            FROM mr GROUP BY g),
+        d AS (
+            SELECT g, n_a, n_b,
+                   ra - n_a * (n_a + 1.0) / 2.0 AS u,
+                   n_a * CAST(n_b AS DOUBLE) / 12.0
+                   * ((n_a + n_b + 1.0)
+                      - tie3 / (CAST(n_a + n_b AS DOUBLE)
+                                * (n_a + n_b - 1.0))) AS var
+            FROM agg)
+        SELECT g AS event_type, n_a, n_b,
+               round(u + 1e-9, 6) + 0.0 AS u_stat,
+               round(u / (n_a * CAST(n_b AS DOUBLE)) + 1e-9, 6) + 0.0
+                   AS cles,
+               round(CASE WHEN var > 0
+                     THEN (u - n_a * CAST(n_b AS DOUBLE) / 2.0)
+                          / sqrt(var) END + 1e-9, 6) + 0.0 AS z_stat
+        FROM d
+    """
     out["agg_ratio_ci"] = """
         WITH base AS (
             SELECT l_returnflag AS g,

@@ -209,6 +209,7 @@ HEADLINE = [
     "graph_lpa",
     "agg_ratio_ci",
     "agg_cuped",
+    "agg_mannwhitney",
 ]
 
 

@@ -2417,3 +2417,88 @@ def cuped_adjust(
             "variance_reduction"
         ),
     )
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    variant_col: str,
+    value_col: str,
+    variant_a,
+    variant_b,
+    buckets: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group Mann–Whitney U (Wilcoxon rank-sum) test between two
+    variants — the NONPARAMETRIC A/B readout: Welch asks "did the
+    mean move" and is wrecked by the heavy tails real revenue/latency
+    metrics carry; U asks "does a random A draw beat a random B draw"
+    (U/(n_a*n_b) IS that probability — the common-language effect
+    size, also returned), which is outlier-immune by construction.
+
+    Exact under ties via midranks on the COMBINED sample, with the
+    standard tie-corrected normal approximation:
+
+        U   = R_a - n_a(n_a+1)/2
+        z   = (U - n_a n_b/2) / sqrt(n_a n_b/12 *
+              ((n+1) - sum(t^3 - t)/(n(n-1))))
+
+    Cross-engine exactness: the fact collapses to the (group,
+    distinct-value) grain with per-variant tie counts, midranks are
+    exact halves, and R_a / the tie term are integer-and-half sums —
+    EXACT in double — so only z's one final division is float.
+
+    Scale shape: ONE fact pass to the grain (map-side combinable),
+    then the bucket-decomposed midrank machinery of
+    ``spearman_by_group`` (no per-group single-reducer sort), one
+    broadcast join-back, one final aggregate.  NULLs and rows of
+    other variants are excluded; a variant with n = 0 or zero
+    rank variance yields NULL z via try_divide.
+    """
+    group_cols = list(group_cols)
+    v = F.col(value_col).cast("double")
+    grain = (
+        df.filter(
+            v.isNotNull()
+            & F.col(variant_col).isin([variant_a, variant_b])
+        )
+        .groupBy(*group_cols, v.alias("__v"))
+        .agg(
+            F.sum(
+                (F.col(variant_col) == F.lit(variant_a)).cast("long")
+            ).alias("__ca"),
+            F.sum(
+                (F.col(variant_col) == F.lit(variant_b)).cast("long")
+            ).alias("__cb"),
+        )
+        .withColumn("__cnt", (F.col("__ca") + F.col("__cb")).cast("double"))
+        .localCheckpoint(eager=False)
+    )
+    mr = _group_midranks(grain, group_cols, "__v", "__cnt", "__mr", buckets)
+    joined = mr.join(grain, [*group_cols, "__v"])
+    t = F.col("__cnt")
+    agg = joined.groupBy(*group_cols).agg(
+        F.sum("__ca").cast("long").alias("n_a"),
+        F.sum("__cb").cast("long").alias("n_b"),
+        F.sum(F.col("__ca").cast("double") * F.col("__mr")).alias("__ra"),
+        F.sum(t * t * t - t).alias("__tie3"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    n = na + nb
+    u = F.col("__ra") - na * (na + F.lit(1.0)) / F.lit(2.0)
+    var = (
+        na * nb / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.try_divide(F.col("__tie3"), n * (n - F.lit(1.0))))
+    )
+    z = F.try_divide(u - na * nb / F.lit(2.0), F.sqrt(var))
+    return agg.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.round(u + F.lit(1e-9), round_digits).alias("u_stat"),
+        F.round(F.try_divide(u, na * nb) + F.lit(1e-9), round_digits).alias(
+            "cles"
+        ),
+        F.round(z + F.lit(1e-9), round_digits).alias("z_stat"),
+    )

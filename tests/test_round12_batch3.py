@@ -1001,3 +1001,86 @@ class TestCuped:
         raw_diff = got[1]["mean_y"] - got[0]["mean_y"]
         adj_diff = got[1]["mean_cuped"] - got[0]["mean_cuped"]
         assert adj_diff == pytest.approx(raw_diff, abs=1e-6)
+
+
+class TestMannWhitney:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "g string, variant int, v double"
+        )
+
+    @staticmethod
+    def _py_mwu(vals_a, vals_b):
+        allv = sorted(vals_a + vals_b)
+        from collections import Counter
+
+        cnt = Counter(allv)
+        mrank, below = {}, 0
+        for v in sorted(cnt):
+            mrank[v] = below + (cnt[v] + 1) / 2.0
+            below += cnt[v]
+        ra = sum(mrank[v] for v in vals_a)
+        na, nb = len(vals_a), len(vals_b)
+        n = na + nb
+        u = ra - na * (na + 1) / 2.0
+        tie3 = sum(t**3 - t for t in cnt.values())
+        var = na * nb / 12.0 * ((n + 1) - tie3 / (n * (n - 1.0)))
+        z = (u - na * nb / 2.0) / math.sqrt(var) if var > 0 else None
+        return u, u / (na * nb), z
+
+    def test_matches_independent_python_with_ties(self, spark):
+        from recover_spark.operators.analytics import mannwhitney_u
+
+        rows = []
+        va, vb = [], []
+        for i in range(400):
+            val = float((i * 7) % 23)  # heavy ties
+            if i % 2 == 0:
+                va.append(val + (1.0 if i % 6 == 0 else 0.0))
+                rows.append(("g", 0, va[-1]))
+            else:
+                vb.append(val)
+                rows.append(("g", 1, vb[-1]))
+        got = mannwhitney_u(
+            self._df(spark, rows), ["g"], "variant", "v", 0, 1
+        ).collect()[0]
+        u, cles, z = self._py_mwu(va, vb)
+        assert got["n_a"] == len(va) and got["n_b"] == len(vb)
+        assert got["u_stat"] == pytest.approx(round(u + 1e-9, 6), abs=1e-9)
+        assert got["cles"] == pytest.approx(round(cles + 1e-9, 6), abs=1e-9)
+        assert got["z_stat"] == pytest.approx(round(z + 1e-9, 6), abs=1e-8)
+
+    def test_hand_example(self, spark):
+        """A = {1,2,3}, B = {4,5}: every B beats every A -> U = 0,
+        cles = 0."""
+        from recover_spark.operators.analytics import mannwhitney_u
+
+        rows = [("g", 0, 1.0), ("g", 0, 2.0), ("g", 0, 3.0),
+                ("g", 1, 4.0), ("g", 1, 5.0)]
+        got = mannwhitney_u(
+            self._df(spark, rows), ["g"], "variant", "v", 0, 1
+        ).collect()[0]
+        assert got["u_stat"] == 0.0
+        assert got["cles"] == 0.0
+        assert got["z_stat"] < 0
+
+    def test_identical_distributions_centered(self, spark):
+        from recover_spark.operators.analytics import mannwhitney_u
+
+        rows = [("g", i % 2, float(i // 2 % 50)) for i in range(2000)]
+        got = mannwhitney_u(
+            self._df(spark, rows), ["g"], "variant", "v", 0, 1
+        ).collect()[0]
+        assert got["cles"] == pytest.approx(0.5, abs=0.01)
+        assert abs(got["z_stat"]) < 1.0
+
+    def test_all_tied_null_z(self, spark):
+        """Every value identical -> zero rank variance -> NULL z."""
+        from recover_spark.operators.analytics import mannwhitney_u
+
+        rows = [("g", i % 2, 7.0) for i in range(50)]
+        got = mannwhitney_u(
+            self._df(spark, rows), ["g"], "variant", "v", 0, 1
+        ).collect()[0]
+        assert got["z_stat"] is None
+        assert got["cles"] == 0.5
