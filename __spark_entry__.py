@@ -8244,6 +8244,22 @@ def q_agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_agg_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type TOST equivalence test between the even/odd user
+    cohorts at margin 5 (operators/analytics.py:tost_equivalence):
+    the "is B no worse than A within the margin" rollout readout —
+    both one-sided Welch t statistics + df from ONE conditional
+    mergeable aggregate, the agg_ab_welch shape."""
+    from recover_spark.operators.analytics import tost_equivalence
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 2).alias("variant"), "value"
+    )
+    return tost_equivalence(
+        ev, ["event_type"], "variant", "value", 0, 1, margin=5.0
+    ).orderBy("event_type")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: W1 keyed-latest dedup over the events stream."""
     return q_w1_dedup_latest(spark, SF_SMOKE)
@@ -8264,6 +8280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_ratio_ci": q_agg_ratio_ci,
         "agg_cuped": q_agg_cuped,
         "agg_mannwhitney": q_agg_mannwhitney,
+        "agg_tost": q_agg_tost,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
         "agg_cube": q_agg_cube,
@@ -8577,6 +8594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_ratio_ci",
         "agg_cuped",
         "agg_mannwhitney",
+        "agg_tost",
         # (a) new / touched this round (r12): the refine stage, the
         # recall surface whose SCHEMA grew refined arms, the rewrite
         # whose schema grew passthrough columns, the bucket-0
@@ -10080,6 +10098,36 @@ def oracle_sql() -> dict[str, str]:
     out["emb_random_projection"] = _jl_projection_oracle_sql()
     out["retrieval_mmr"] = _mmr_oracle_sql()
     out["graph_lpa"] = _lpa_oracle_sql()
+    out["agg_tost"] = """
+        WITH s AS (
+            SELECT event_type,
+                   CASE WHEN user_id % 2 = 0 THEN value END AS va,
+                   CASE WHEN user_id % 2 = 1 THEN value END AS vb
+            FROM events),
+        a AS (
+            SELECT event_type,
+                   CAST(count(va) AS BIGINT) AS n_a, avg(va) AS ma,
+                   var_samp(va) AS sa,
+                   CAST(count(vb) AS BIGINT) AS n_b, avg(vb) AS mb,
+                   var_samp(vb) AS sb
+            FROM s GROUP BY event_type)
+        SELECT event_type, n_a, n_b,
+               round(ma - mb + 1e-9, 6) + 0.0 AS mean_diff,
+               round(CASE WHEN sa / n_a + sb / n_b > 0
+                     THEN (ma - mb + 5.0) / sqrt(sa / n_a + sb / n_b)
+                     END + 1e-9, 6) + 0.0 AS t_lower,
+               round(CASE WHEN sa / n_a + sb / n_b > 0
+                     THEN (5.0 - (ma - mb)) / sqrt(sa / n_a + sb / n_b)
+                     END + 1e-9, 6) + 0.0 AS t_upper,
+               round(CASE WHEN (sa / n_a) * (sa / n_a) / (n_a - 1)
+                             + (sb / n_b) * (sb / n_b) / (n_b - 1) > 0
+                     THEN (sa / n_a + sb / n_b) * (sa / n_a + sb / n_b)
+                          / ((sa / n_a) * (sa / n_a) / (n_a - 1)
+                             + (sb / n_b) * (sb / n_b) / (n_b - 1))
+                     END + 1e-9, 6) + 0.0 AS df_welch,
+               CAST(5.0 AS DOUBLE) AS margin
+        FROM a
+    """
     out["agg_mannwhitney"] = """
         WITH base AS (
             SELECT event_type AS g, user_id % 2 AS variant,

@@ -210,6 +210,7 @@ HEADLINE = [
     "agg_ratio_ci",
     "agg_cuped",
     "agg_mannwhitney",
+    "agg_tost",
 ]
 
 

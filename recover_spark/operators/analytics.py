@@ -2502,3 +2502,76 @@ def mannwhitney_u(
         ),
         F.round(z + F.lit(1e-9), round_digits).alias("z_stat"),
     )
+
+
+def tost_equivalence(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    variant_col: str,
+    value_col: str,
+    variant_a,
+    variant_b,
+    margin: float,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group TOST equivalence test (two one-sided tests,
+    Schuirmann 1987) between two variants: the question a rollout
+    actually asks is not "did the mean move" (Welch) but "is B within
+    +-margin of A" — absence of evidence of a difference is NOT
+    evidence of equivalence, and TOST is the standard fix: declare
+    equivalence only if BOTH one-sided tests reject,
+
+        t_lower = (mean_a - mean_b + margin) / se     (diff > -margin)
+        t_upper = (margin - (mean_a - mean_b)) / se   (diff < +margin)
+
+    with the Welch standard error and Welch-Satterthwaite df.  Both t
+    statistics and the df are returned; the caller maps them to
+    p-values with their t-tables (the welch_ttest contract — a t-CDF
+    is not SQL-expressible).  Large positive t on BOTH sides =>
+    equivalent within the margin.
+
+    Engine shape: identical to :func:`welch_ttest` — ONE mergeable
+    conditional aggregate, fact shuffled once on the group key.
+    Degenerate variants follow try_divide -> NULL.
+    """
+    group_cols = list(group_cols)
+    if margin <= 0:
+        raise ValueError(f"tost_equivalence: margin={margin} must be > 0")
+    va = F.when(
+        F.col(variant_col) == F.lit(variant_a),
+        F.col(value_col).cast("double"),
+    )
+    vb = F.when(
+        F.col(variant_col) == F.lit(variant_b),
+        F.col(value_col).cast("double"),
+    )
+    agg = df.groupBy(*group_cols).agg(
+        F.count(va).alias("n_a"),
+        F.avg(va).alias("__ma"),
+        F.var_samp(va).alias("__sa"),
+        F.count(vb).alias("n_b"),
+        F.avg(vb).alias("__mb"),
+        F.var_samp(vb).alias("__sb"),
+    )
+    sea = F.col("__sa") / F.col("n_a").cast("double")
+    seb = F.col("__sb") / F.col("n_b").cast("double")
+    se = F.sqrt(sea + seb)
+    diff = F.col("__ma") - F.col("__mb")
+    m = F.lit(float(margin))
+    dof = F.try_divide(
+        (sea + seb) * (sea + seb),
+        sea * sea / (F.col("n_a") - F.lit(1)).cast("double")
+        + seb * seb / (F.col("n_b") - F.lit(1)).cast("double"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.round(diff + F.lit(1e-9), round_digits).alias("mean_diff"),
+        F.round(F.try_divide(diff + m, se) + F.lit(1e-9), round_digits)
+        .alias("t_lower"),
+        F.round(F.try_divide(m - diff, se) + F.lit(1e-9), round_digits)
+        .alias("t_upper"),
+        F.round(dof + F.lit(1e-9), round_digits).alias("df_welch"),
+        m.alias("margin"),
+    )

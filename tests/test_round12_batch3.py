@@ -1084,3 +1084,68 @@ class TestMannWhitney:
         ).collect()[0]
         assert got["z_stat"] is None
         assert got["cles"] == 0.5
+
+
+class TestTostEquivalence:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "g string, variant int, v double"
+        )
+
+    def test_matches_independent_python(self, spark):
+        import statistics as st
+
+        from recover_spark.operators.analytics import tost_equivalence
+
+        rows = [("g", i % 2, float((i * 7) % 31) + (0.5 if i % 2 else 0.0))
+                for i in range(400)]
+        got = tost_equivalence(
+            self._df(spark, rows), ["g"], "variant", "v", 0, 1, margin=2.0
+        ).collect()[0]
+        a = [v for _, x, v in rows if x == 0]
+        b = [v for _, x, v in rows if x == 1]
+        sea = st.variance(a) / len(a)
+        seb = st.variance(b) / len(b)
+        se = math.sqrt(sea + seb)
+        diff = st.mean(a) - st.mean(b)
+        assert got["mean_diff"] == pytest.approx(
+            round(diff + 1e-9, 6), abs=1e-8
+        )
+        assert got["t_lower"] == pytest.approx(
+            round((diff + 2.0) / se + 1e-9, 6), abs=1e-6
+        )
+        assert got["t_upper"] == pytest.approx(
+            round((2.0 - diff) / se + 1e-9, 6), abs=1e-6
+        )
+        assert got["margin"] == 2.0
+
+    def test_equivalent_variants_both_t_large(self, spark):
+        """Identical distributions with a wide margin: both one-sided
+        t's are large and positive (equivalence)."""
+        from recover_spark.operators.analytics import tost_equivalence
+
+        rows = [("g", i % 2, float((i // 2) % 20)) for i in range(2000)]
+        got = tost_equivalence(
+            self._df(spark, rows), ["g"], "variant", "v", 0, 1, margin=3.0
+        ).collect()[0]
+        assert got["t_lower"] > 5 and got["t_upper"] > 5
+
+    def test_nonequivalent_one_side_fails(self, spark):
+        """B shifted past the margin: one t is strongly negative."""
+        from recover_spark.operators.analytics import tost_equivalence
+
+        rows = [("g", i % 2, float((i // 2) % 20) + (6.0 if i % 2 else 0.0))
+                for i in range(2000)]
+        got = tost_equivalence(
+            self._df(spark, rows), ["g"], "variant", "v", 0, 1, margin=3.0
+        ).collect()[0]
+        assert min(got["t_lower"], got["t_upper"]) < -5
+
+    def test_margin_guard(self, spark):
+        from recover_spark.operators.analytics import tost_equivalence
+
+        with pytest.raises(ValueError, match="margin"):
+            tost_equivalence(
+                self._df(spark, [("g", 0, 1.0)]),
+                ["g"], "variant", "v", 0, 1, margin=0.0,
+            )
