@@ -9888,7 +9888,7 @@ def _fdr_bh_oracle_sql() -> str:
                             / (n_base + n_cur) AS ne FROM ks)),
         pv AS (
             SELECT period, "column", ks_grid, n_base, n_cur,
-                   round(CASE WHEN ks_grid = 0 THEN 1.0
+                   round(CASE WHEN lam < 0.05 THEN 1.0
                          ELSE least(1.0, greatest(0.0, 2.0 * list_sum(
                               list_transform(range(1, 101), k ->
                                   CASE WHEN k % 2 = 1 THEN 1.0

@@ -489,10 +489,13 @@ def build_ivf_index(
     need no access to the original corpus.
 
     The build is ATOMIC: everything is written under
-    ``<index_path>.build.tmp`` and renamed into place in one
-    filesystem move (the matview ``_swap_state`` convention) — a crash
-    mid-build leaves only a tmp directory, never a half-written index
-    that existence checks would mistake for a complete one.
+    ``<index_path>.build.tmp`` and promoted by the TWO-rename scheme
+    (live -> ``.old``, tmp -> live, delete ``.old`` — the matview
+    ``_swap_state`` convention): a crash mid-build leaves only a tmp
+    directory; a crash mid-promotion leaves either the previous live
+    generation or ``.old`` (healed by ``_heal_ivf_swap``) — at every
+    instant a COMPLETE index generation exists on disk, never a
+    half-written one that existence checks would mistake for whole.
     """
     import os as _os
     import shutil as _shutil
@@ -513,9 +516,18 @@ def build_ivf_index(
     spark.createDataFrame(
         cent_rows, f"{id_col} long, {vec_col} array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_centroids")
+    # Two-rename promotion: never rmtree the live generation before
+    # the new one is in place (a crash between the two would leave NO
+    # index).  Ordering keeps a complete generation live or healable
+    # (.old) at every instant.
+    old = index_path.rstrip("/") + ".old"
     if _os.path.isdir(index_path):
-        _shutil.rmtree(index_path)
+        if _os.path.isdir(old):
+            _shutil.rmtree(old)  # stale; live exists, so inert
+        _os.rename(index_path, old)
     _os.rename(tmp, index_path)
+    if _os.path.isdir(old):
+        _shutil.rmtree(old)
 
 
 def ivf_index_complete(index_path: str) -> bool:
@@ -526,9 +538,25 @@ def ivf_index_complete(index_path: str) -> bool:
     look)."""
     import os as _os
 
+    _heal_ivf_swap(index_path)
     return _os.path.isfile(
         _os.path.join(index_path, "_centroids", "_SUCCESS")
     )
+
+
+def _heal_pq_swap(index_path: str) -> bool:
+    """Sidecar twin of ``_heal_ivf_swap``: a crash between the
+    build_pq_sidecar promotion renames leaves only ``_pq.old``;
+    restore it so the previous complete sidecar generation stays
+    readable.  Returns True when a restore happened."""
+    import os as _os
+
+    live = f"{index_path}/_pq"
+    old = f"{index_path}/_pq.old"
+    if not _os.path.exists(live) and _os.path.exists(old):
+        _os.rename(old, live)
+        return True
+    return False
 
 
 def pq_sidecar_complete(index_path: str) -> bool:
@@ -536,6 +564,7 @@ def pq_sidecar_complete(index_path: str) -> bool:
     ``ivf_index_complete`` at the ``_pq`` grain)."""
     import os as _os
 
+    _heal_pq_swap(index_path)
     return _os.path.isfile(
         _os.path.join(index_path, "_pq", "codebooks", "_SUCCESS")
     )
@@ -1329,9 +1358,11 @@ def build_pq_sidecar(
         subdim,
     ).select(id_col, "list", F.col("__codes").alias("pq_codes"))
     # atomic at the sidecar grain: codes + codebooks land under
-    # _pq.build.tmp and rename into _pq in one move (the
-    # build_ivf_index convention) — a crash cannot leave a sidecar
-    # whose codes exist but codebooks don't
+    # _pq.build.tmp and promote via the two-rename scheme (live _pq
+    # -> _pq.old, tmp -> _pq, delete .old — the build_ivf_index
+    # convention) — a crash can neither leave a sidecar whose codes
+    # exist but codebooks don't, nor a window with NO sidecar after
+    # one previously existed
     import os as _os
     import shutil as _shutil
 
@@ -1352,9 +1383,14 @@ def build_pq_sidecar(
         f"{tmp}/codebooks"
     )
     final = f"{index_path}/_pq"
+    old = f"{index_path}/_pq.old"
     if _os.path.isdir(final):
-        _shutil.rmtree(final)
+        if _os.path.isdir(old):
+            _shutil.rmtree(old)  # stale; live exists, so inert
+        _os.rename(final, old)
     _os.rename(tmp, final)
+    if _os.path.isdir(old):
+        _shutil.rmtree(old)
 
 
 def ivf_pq_topk_indexed(
@@ -1376,6 +1412,7 @@ def ivf_pq_topk_indexed(
         (int(r[0]), [float(x) for x in r[1]])
         for r in spark.read.parquet(f"{index_path}/_centroids").collect()
     )
+    _heal_pq_swap(index_path)
     cb_rows = spark.read.parquet(f"{index_path}/_pq/codebooks").collect()
     m = 1 + max(int(r["s"]) for r in cb_rows)
     books = [
@@ -1457,6 +1494,7 @@ def ivf_pq_topk_refined(
         (int(r[0]), [float(x) for x in r[1]])
         for r in spark.read.parquet(f"{index_path}/_centroids").collect()
     )
+    _heal_pq_swap(index_path)
     cb_rows = spark.read.parquet(f"{index_path}/_pq/codebooks").collect()
     m = 1 + max(int(r["s"]) for r in cb_rows)
     books = [
@@ -1562,6 +1600,7 @@ def append_pq_sidecar(
         (int(r[0]), [float(x) for x in r[1]])
         for r in spark.read.parquet(f"{index_path}/_centroids").collect()
     )
+    _heal_pq_swap(index_path)
     cb_rows = spark.read.parquet(f"{index_path}/_pq/codebooks").collect()
     m = 1 + max(int(r["s"]) for r in cb_rows)
     books = [

@@ -1246,11 +1246,17 @@ def ks_asymptotic_pvalues(
     a FIXED ``terms`` so the computation is a closed form any SQL
     engine reproduces (no convergence loop whose exit point could
     differ between engines).  The truncated-and-clamped value IS the
-    defined statistic.  For lam where the series has not visibly
-    converged (tiny D on small n), the alternating sum of
-    slowly-decaying terms lands near 0.5 and the doubled value clamps
-    to 1 — the correct reading; D == 0 exactly is special-cased to
-    p = 1 (the raw even-length alternating sum would cancel to 0).
+    defined statistic, with one guard: for ``lam < 0.05`` (including
+    D == 0 exactly) the 100-term alternating sum has NOT converged —
+    the slowly-decaying terms pair-cancel toward 0 for even ``terms``,
+    so the raw truncation would report p ~ 0 for two nearly-identical
+    samples, a false drift alarm — and the true tail there is
+    indistinguishable from 1 (the Kolmogorov CDF at lam = 0.05 is
+    < 1e-100), so the statistic is DEFINED as p = 1 on that region.
+    100 terms converge to full double precision for lam >= 0.05
+    (term k decays as exp(-2 k^2 lam^2); at lam = 0.05 the k = 100
+    term is exp(-50) ~ 2e-22), so the clamp boundary is exactly where
+    the truncation becomes trustworthy.
 
     Scale shape: a pure projection over the (tests)-sized frame — the
     fixed-length series runs inside whole-stage codegen via
@@ -1269,7 +1275,7 @@ def ks_asymptotic_pvalues(
         + F.when(i % 2 == 1, F.lit(1.0)).otherwise(F.lit(-1.0))
         * F.exp(F.lit(-2.0) * k(i) * k(i) * lam * lam),
     )
-    p = F.when(d == F.lit(0.0), F.lit(1.0)).otherwise(
+    p = F.when(lam < F.lit(0.05), F.lit(1.0)).otherwise(
         F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.lit(2.0) * series))
     )
     return tests.withColumn(
@@ -1306,10 +1312,19 @@ def fdr_bh(
     every other), so the single-partition sort here is bounded by the
     suite size, never by the data.  The heavy lift (the p-values) is
     upstream.
+
+    NULL p-values (untestable hypotheses — e.g. an empty era upstream)
+    are EXCLUDED before ranking: under Spark's nulls-first ascending
+    sort a NULL row would otherwise take rank 1, shift every real
+    test's rank by one (deflating its p*m/rank denominator), inflate
+    m, and itself inherit a reject decision from the running min of
+    OTHER rows.  They are dropped from the output too — a hypothesis
+    without a p-value has no BH-adjusted decision by definition.
     """
     id_cols = list(id_cols)
     if not 0.0 < q < 1.0:
         raise ValueError(f"fdr_bh: q={q} not in (0, 1)")
+    tests = tests.filter(F.col(p_col).isNotNull())
     total = tests.agg(F.count(F.lit(1)).cast("double").alias("__m"))
     w_rank = Window.orderBy(F.col(p_col).asc(), *[F.col(c) for c in id_cols])
     ranked = (

@@ -1491,6 +1491,7 @@ def read_bootstrap_matview(
     rows ever streamed."""
     from recover_spark.operators.analytics import bootstrap_summarize
 
+    _recover_state(state_path)
     state = spark.read.parquet(state_path)
     return bootstrap_summarize(
         state, list(key_cols), n_replicates, alpha, round_digits

@@ -168,6 +168,24 @@ class TestFdrBH:
         for r in out:
             assert r["reject"] is (r["rank"] <= kstar)
 
+    def test_null_p_rows_excluded(self, spark):
+        """NULL p-values must not take rank 1 under nulls-first sort,
+        shift real ranks, inflate m, or inherit a reject decision —
+        they are excluded from ranking AND from the output."""
+        from recover_spark.quality.drift import fdr_bh
+
+        rows = [("t0", 0.01), ("tn", None), ("t1", 0.04), ("t2", 0.03),
+                ("t3", 0.005), ("t4", 0.20)]
+        df = spark.createDataFrame(rows, "tid string, p double")
+        out = {r["tid"]: r for r in fdr_bh(df, "p", ["tid"], q=0.05).collect()}
+        assert "tn" not in out
+        # Identical to the 5-row hand example: m=5, same ranks/adj.
+        assert out["t3"]["rank"] == 1
+        assert out["t0"]["rank"] == 2
+        assert out["t0"]["p_adj"] == pytest.approx(0.025, abs=2e-6)
+        assert out["t4"]["reject"] is False
+        assert out["t2"]["reject"] is True
+
     def test_p_adj_monotone_in_rank(self, spark):
         from recover_spark.quality.drift import fdr_bh
 
@@ -191,7 +209,9 @@ class TestKsPvalues:
     def _py_p(d, na, nb, terms=100):
         ne = na * nb / (na + nb)
         lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
-        if d == 0:
+        if lam < 0.05:
+            # Defined as 1 below the truncation's convergence point
+            # (true tail there is < 1e-100 away from 1).
             return 1.0
         s = sum(
             (1.0 if k % 2 == 1 else -1.0) * math.exp(-2.0 * k * k * lam * lam)
@@ -210,6 +230,11 @@ class TestKsPvalues:
             (0.10, 2000, 2000),
             (0.30, 500, 400),
             (0.80, 100, 100),
+            # lam < 0.05 region: the raw 100-term truncation
+            # pair-cancels toward 0 here (a false alarm for two
+            # nearly-identical samples); defined p = 1.
+            (0.0001, 50000, 50000),   # lam ~ 0.016
+            (0.00025, 30000, 30000),  # lam ~ 0.031
         ]
         out = ks_asymptotic_pvalues(self._frame(spark, rows)).collect()
         for r in out:
