@@ -505,7 +505,11 @@ def isotonic_fit_cells(
                     "score_hi": hi,
                     "n_rows": n,
                     "n_pos": p,
-                    "calibrated": round(p / n, round_digits),
+                    # +1e-9 tie-break nudge (repo rounding convention):
+                    # p/n with power-of-two n lands EXACTLY on decimal
+                    # half-ties (e.g. 122/256 = 0.4765625) where Python
+                    # banker's rounding and SQL half-away diverge.
+                    "calibrated": round(p / n + 1e-9, round_digits),
                 }
             )
         return pd.DataFrame(rows)
