@@ -5438,6 +5438,24 @@ def q_scan_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_shard_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard export assignment
+    (ops/sampling.py:shard_assignment): a seeded global permutation
+    (portable 60-bit md5 order — reproducible across engines, runs,
+    and replays) cut into fixed 64-row shards with in-shard positions,
+    the layout a training loader consumes.  The global rank rides
+    hash-RANGE buckets (one 256-way window exchange + a bounded offset
+    frame — no global sort; the token_budget_mix decomposition), equal
+    to the oracle's single-window ``row_number() OVER (ORDER BY hash,
+    key)`` by prefix-sum associativity."""
+    from recover_spark.ops.sampling import shard_assignment
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    return shard_assignment(docs, "doc_id", rows_per_shard=64).select(
+        "doc_id", "row_id", "shard", "pos_in_shard"
+    ).orderBy("row_id")
+
+
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (ops/sampling.py:weighted_sample_k — Efraimidis–Spirakis
@@ -8350,6 +8368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_components": q_graph_components,
         "sample_weighted": q_sample_weighted,
+        "sample_shard_export": q_sample_shard_export,
         "stream_quantile_matview": q_stream_quantile_matview,
         "join_asof_nearest": q_join_asof_nearest,
         "ts_smooth": q_ts_smooth,
@@ -8569,77 +8588,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # Rotation order for the driver's 50-entry correctness capture,
     # STALENESS-WEIGHTED (standing rule since r11, VERDICT r10 #7):
-    # lead with (a) queries new or touched by round-12 work (refine
-    # stage, recall schema growth, rewrite passthrough, bucket-0
-    # histogram, labeled-subgraph modularity, explicit-broadcast stats,
-    # the distinct-sketch family), then (b) queries NEVER driver-
-    # captured (r11 additions past the 50-cut), then (c) the queries
-    # whose most recent capture is OLDEST, computed from the
-    # CORRECTNESS_r*.json history (round-4 captures lead now that the
-    # round-1/3 backlog cleared in r11).
+    # lead with (a) queries new or whose VALUES/oracle class changed
+    # this round (r13): the new shard-export operator; the three
+    # queries flipped from py-oracle to DuckDB recursive-CTE oracles
+    # (plus the isotonic pair's +1e-9 rate nudge); v17 whose KS
+    # p-value statistic gained the small-lambda clamp; the bootstrap
+    # matview whose read lens gained crash healing.  Then (b) the
+    # queries whose most recent hash-green capture is OLDEST — the
+    # round-4 block, alphabetical — computed from the
+    # CORRECTNESS_r*.json history.  The three iterative trainers stay
+    # out of the capture window (declared rows-only at the driver).
     # tools/check_correctness.py re-runs ALL entries regardless.
     front = [
-        # (a0) session-3 operators: never captured by any driver run —
-        # maximally stale by definition, so they lead the rotation
-        "agg_bootstrap_ci",
-        "v17_fdr_bh",
-        "agg_conformal",
-        "text_self_bleu",
-        "emb_random_projection",
-        "stream_bootstrap_matview",
-        "v18_drift_cvm",
-        "stream_drift_cvm",
-        "retrieval_mmr",
-        "graph_lpa",
-        "agg_ratio_ci",
-        "agg_cuped",
-        "agg_mannwhitney",
-        "agg_tost",
-        # (a) new / touched this round (r12): the refine stage, the
-        # recall surface whose SCHEMA grew refined arms, the rewrite
-        # whose schema grew passthrough columns, the bucket-0
-        # histogram, the labeled-subgraph modularity, the two
-        # explicit-broadcast stats queries, and the distinct-sketch
-        # family named by verdict task 4
-        "agg_kmv_overlap",
-        "stream_sample_matview",
-        "graph_shortest_paths",
-        "sample_contrastive_triplets",
-        "dedup_containment",
-        "retrieval_prf",
-        "stream_kmv_overlap_matview",
+        # (a) new / value-changed / oracle-class-changed this round
+        "sample_shard_export",
         "ts_dtw",
-        "transform_target_encode",
         "agg_isotonic_calibration",
         "stream_isotonic_matview",
-        "agg_cm_frequency",
-        "stream_cm_matview",
-        "ts_changepoint",
-        "text_keywords_textrank",
-        "text_unigram_train",
-        "ann_ivf_pq_refined",
-        "ann_pq_recall",
-        "dedup_cross_spans_rewrite",
-        "text_length_histogram",
-        "graph_modularity",
-        "transform_standardize",
-        "agg_moments",
-        "stream_hll_matview",
-        "agg_hll_rollup",
-        "ann_ivf_pq",
-        "ann_ivf_pq_indexed",
-        "ann_ivf_pq_maintained",
-        # (b) never driver-captured (r11 additions past the 50-cut)
-        "agg_contingency_residuals",
-        "dedup_lsh_recall",
-        "emb_drift",
-        "emb_outliers",
-        "stream_emb_drift_matview",
-        "v16_rare_categories",
-        # (c) stalest captures (round 4), alphabetical, to fill 50 —
-        # computed from the CORRECTNESS_r*.json capture history
-        "agg_custdist",
-        "agg_disjunctive",
+        "v17_fdr_bh",
+        "stream_bootstrap_matview",
+        # (b) stalest hash-green captures (round 4), alphabetical,
+        # to fill 50
         "agg_important_stock",
         "agg_pricing_summary",
         "agg_promo_revenue",
@@ -8670,6 +8639,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_market_share",
         "join_nation_revenue",
         "join_part_promotion",
+        "join_product_profit",
+        "join_range",
+        "join_returned_items",
+        "join_top_orders",
+        "join_top_supplier",
+        "join_volume_shipping",
+        "join_waiting_suppliers",
+        "merge_scd2",
+        "n2_relationalize",
+        "pipe_training_data",
+        "sample_temperature",
+        "stream_interval_join",
+        "text_chunks",
+        "text_quality_score",
+        "text_tfidf",
     ]
     assert all(k in base for k in front), "rotation names must exist"
     return {k: base[k] for k in front} | {
@@ -10418,6 +10402,23 @@ def oracle_sql() -> dict[str, str]:
     out["agg_isotonic_calibration"] = _pav_oracle_sql(_PAV_CELLS_MILLI)
     out["stream_isotonic_matview"] = _pav_oracle_sql(_PAV_CELLS_DECILE)
     out["ts_dtw"] = _dtw_oracle_sql(band=16)
+    # the naive single-window form of the bucket-decomposed global
+    # rank (the win_global_rownum oracle precedent), over the portable
+    # md5 permutation key
+    out["sample_shard_export"] = f"""
+        WITH h AS (
+            SELECT doc_id,
+                   {_h64("concat('shard|', CAST(doc_id AS VARCHAR))")} AS hh
+            FROM documents),
+        r AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY hh, doc_id) AS row_id
+            FROM h)
+        SELECT doc_id, row_id,
+               CAST((row_id - 1) // 64 AS INT) AS shard,
+               CAST((row_id - 1) % 64 AS INT) AS pos_in_shard
+        FROM r ORDER BY row_id
+    """
     # the oracle's per-group window is the naive form of the bucket-
     # decomposed order statistic (the trimmed_group_stats precedent)
     out["agg_conformal"] = """

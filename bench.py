@@ -211,6 +211,8 @@ HEADLINE = [
     "agg_cuped",
     "agg_mannwhitney",
     "agg_tost",
+    # round 13
+    "sample_shard_export",
 ]
 
 
@@ -305,6 +307,18 @@ def main() -> None:
         "stream_emb_drift_matview",
         "ann_ivf_pq_maintained",
         "stream_cm_matview",
+        # round 13 (VERDICT r12 #6): the remaining matview queries gain
+        # the construct/read split — their fn() runs the 4-batch stream
+        # machinery eagerly and returns the read lens, so the fn()/
+        # count() boundary IS the phase boundary.  stream_window_counts
+        # is NOT here: it is the batch mode of the windowing helper
+        # (no stream construct exists to split).
+        "stream_kmv_overlap_matview",
+        "stream_drift_cvm",
+        "stream_corr_matview",
+        "stream_bootstrap_matview",
+        "stream_sample_matview",
+        "stream_isotonic_matview",
     }
     timings: dict[str, float] = {}
     # Per-query (min, median, max) across the reps: the noise
@@ -345,7 +359,14 @@ def main() -> None:
                     best_phases = (t1 - t0, t2 - t1)
                 runs.append(elapsed)
             runs.sort()
-        timings[name] = round(runs[0], 3)
+        # The recorded per-query value is the MEDIAN of the reps
+        # (VERDICT r12 #5): r12's two closing runs on the SAME fixed
+        # harness landed ~17% apart on sum-of-min — min is an order
+        # statistic of the noise tail, median is robust to it, so
+        # round-over-round totals stop needing a noise adjudication.
+        # For lifecycle queries runs = construct + probe_i, so the
+        # median is construct + median probe.
+        timings[name] = round(runs[len(runs) // 2], 3)
         spreads[name] = {
             "min": round(runs[0], 3),
             "med": round(runs[len(runs) // 2], 3),
@@ -383,6 +404,18 @@ def main() -> None:
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
+        "headline_semantics": (
+            "headline_total = sum of per-query MEDIANS of best-of-N "
+            "reps (VERDICT r12 #5: sum-of-min varied ~17% between two "
+            "same-harness runs; the median is noise-robust). "
+            "total_min/total_max bound this run's per-query spread "
+            "envelope — treat cross-round movement inside that band "
+            "as jitter. Lifecycle values are construct + median probe "
+            "(construct sampled once); the phases dict carries the "
+            "steady-state read cost separately."
+        ),
+        "total_min": round(sum(s["min"] for s in spreads.values()), 3),
+        "total_max": round(sum(s["max"] for s in spreads.values()), 3),
         "queries": timings,
         "spread": spreads,
         "phases": phases,

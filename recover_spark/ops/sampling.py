@@ -663,3 +663,99 @@ def token_budget_mix(
         .filter(F.col("tokens_before") < budget_expr)
         .drop("__h", "__hb", "__tok", "__before_local", "__offset")
     )
+
+
+def shard_assignment(
+    df: DataFrame,
+    key_col: str,
+    rows_per_shard: int,
+    salt: str = "shard",
+    offset_buckets: int = 256,
+) -> DataFrame:
+    """Seeded global permutation + fixed-rows-per-shard assignment —
+    the export step of a training pipeline: a loader wants the corpus
+    in reproducibly SHUFFLED order, cut into equal shards it can map
+    to workers, and the shuffle must be a pure function of (key, salt)
+    so re-exports, replays, and a second engine land every record in
+    the same (shard, position) slot.
+
+    The permutation key is the engine-portable 60-bit md5 hash of the
+    salted key (functions/hashing.py) — uniform by construction, so
+    hash ORDER is a seeded permutation (the Efraimidis-Spirakis
+    argument specialized to k = all).  The global rank over that order
+    is computed WITHOUT a global sort, via fixed-width hash-RANGE
+    buckets (the token_budget_mix decomposition — uniformity makes
+    ranges balanced with no driver-side quantile probe, unlike
+    global_row_numbers whose order column is arbitrary): per-bucket
+    ranks ride one ``offset_buckets``-way window exchange, bucket
+    offsets fold on a bounded side frame, ``row_id = offset + local
+    rank``; then ``shard = (row_id-1) div rows_per_shard`` and
+    ``pos_in_shard = (row_id-1) mod rows_per_shard``.  Every shard
+    except the last holds exactly ``rows_per_shard`` rows.
+
+    The result is identical to ``row_number() OVER (ORDER BY hash,
+    key)`` (the SQL-oracle form) by prefix-sum associativity.
+    """
+    if rows_per_shard < 1:
+        raise ValueError(f"rows_per_shard must be >= 1, got {rows_per_shard}")
+    if offset_buckets < 1 or offset_buckets & (offset_buckets - 1):
+        raise ValueError("offset_buckets must be a power of two")
+    from pyspark.sql import Window
+
+    shift = 60 - offset_buckets.bit_length() + 1  # hash is 60-bit
+    h = portable_hash64(F.col(key_col), salt=salt)
+    tagged = df.select(
+        "*",
+        h.alias("__h"),
+        F.shiftrightunsigned(h, shift).alias("__hb"),
+    )
+    w_local = Window.partitionBy("__hb").orderBy("__h", key_col)
+    local = tagged.withColumn("__rank", F.row_number().over(w_local))
+    per_bucket = tagged.groupBy("__hb").agg(F.count(F.lit(1)).alias("__bn"))
+    w_off = Window.orderBy("__hb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.withColumn(
+        "__offset", F.coalesce(F.sum("__bn").over(w_off), F.lit(0))
+    ).select("__hb", "__offset")
+    n = F.lit(int(rows_per_shard))
+    return (
+        local.join(F.broadcast(offsets), "__hb")
+        .withColumn("row_id", (F.col("__offset") + F.col("__rank")).cast("bigint"))
+        .withColumn("shard", F.floor((F.col("row_id") - F.lit(1)) / n).cast("int"))
+        .withColumn(
+            "pos_in_shard", ((F.col("row_id") - F.lit(1)) % n).cast("int")
+        )
+        .drop("__h", "__hb", "__rank", "__offset")
+    )
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    rows_per_shard: int,
+    salt: str = "shard",
+    offset_buckets: int = 256,
+) -> DataFrame:
+    """Materialize :func:`shard_assignment` as the on-disk layout a
+    training loader consumes: one hive partition ``shard=<k>/`` per
+    shard, rows inside each file in ``pos_in_shard`` order (parquet
+    preserves row order per file, and the shard-keyed repartition puts
+    each shard in exactly one task -> one file), so reading shard
+    files front-to-back replays the seeded permutation exactly.
+
+    Scale shape: ONE exchange keyed on the shard id (shard count grows
+    with data at fixed rows_per_shard, so parallelism scales), sort
+    within partitions only — no global sort.  Returns the assigned
+    DataFrame for chaining/inspection.
+    """
+    assigned = shard_assignment(
+        df, key_col, rows_per_shard, salt=salt, offset_buckets=offset_buckets
+    )
+    (
+        assigned.repartition("shard")
+        .sortWithinPartitions("shard", "pos_in_shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    return assigned

@@ -183,6 +183,8 @@ PROBES = [
     "transform_target_encode",  # one (category, fold) cell aggregate + cell windows
     "agg_isotonic_calibration",  # distinct-score cells + per-group Arrow PAV
     "stream_isotonic_matview",  # 4-batch bin-sums fold + PAV read lens
+    # round 13
+    "sample_shard_export",  # hash-range bucketed global rank + shard div/mod
 ]
 
 
