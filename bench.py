@@ -250,6 +250,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
+    # Optional subset (comma-separated names): targeted re-measures —
+    # e.g. the sf1 flag adjudications — run single queries under the
+    # EXACT headline harness (warm-up, best-of-N, pinned-state release)
+    # instead of a hand-rolled loop whose semantics could drift.
+    headline = HEADLINE
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in qs]
+        if unknown:
+            raise SystemExit(f"unknown bench queries: {unknown}")
+        headline = names
     # Warm-up: touch every input file once so OS cache / JVM are hot.
     for t in entrymod._TABLES:
         try:
@@ -264,7 +276,7 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in HEADLINE:
+    for name in headline:
         try:
             qs[name](spark, warm_dir).count()
         except Exception:
@@ -328,7 +340,7 @@ def main() -> None:
     # no re-measure session required (VERDICT r10 #2).
     spreads: dict[str, dict[str, float]] = {}
     phases: dict[str, dict[str, float]] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = qs[name]
         if name in lifecycle:
             t0 = time.time()
@@ -423,15 +435,18 @@ def main() -> None:
     }
     # Full-fidelity record to a file: the per-query 3-decimal timings
     # and the lifecycle phase splits always land here regardless of
-    # how the stdout line is compacted below.
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_full.json"), "w"
-        ) as f:
-            json.dump(result, f, indent=1)
-    except OSError:
-        pass
+    # how the stdout line is compacted below.  Subset runs
+    # (SPARK_GRAFT_BENCH_ONLY) must NOT clobber the canonical full
+    # record — they are targeted re-measures, not the closing bench.
+    if not only:
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_full.json"), "w"
+            ) as f:
+                json.dump(result, f, indent=1)
+        except OSError:
+            pass
     # The driver captures only the LAST ~2000 characters of output and
     # json-parses the final line — round 7's line grew past that with
     # 73 queries + phase splits and the whole bench record parsed as
@@ -443,6 +458,7 @@ def main() -> None:
     line_obj = dict(result)
     line_obj.pop("phases", None)
     line_obj.pop("spread", None)
+    line_obj.pop("headline_semantics", None)  # lives in BENCH_full.json
     line_obj["queries"] = {k: round(v, 2) for k, v in timings.items()}
     line = json.dumps(line_obj, separators=(",", ":"))
     if len(line) > LINE_BUDGET:
