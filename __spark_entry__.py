@@ -8600,11 +8600,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # out of the capture window (declared rows-only at the driver).
     # tools/check_correctness.py re-runs ALL entries regardless.
     front = [
-        # (a) new / value-changed / oracle-class-changed this round
+        # (a) new / value-changed / oracle-class-changed this round:
+        # the shard-export operator is new; the six others flipped
+        # from py-oracle/rows-only to DuckDB recursive-CTE oracles
+        # (isotonic pair also gained the +1e-9 rate nudge); v17's KS
+        # p-value statistic gained the small-lambda clamp; the
+        # bootstrap matview read lens gained crash healing.  With the
+        # three trainers SQL-oracled, EVERY query in the surface now
+        # hash-verifies at the driver.
         "sample_shard_export",
         "ts_dtw",
         "agg_isotonic_calibration",
         "stream_isotonic_matview",
+        "text_bpe_train",
+        "text_quality_train",
+        "text_unigram_train",
         "v17_fdr_bh",
         "stream_bootstrap_matview",
         # (b) stalest hash-green captures (round 4), alphabetical,
@@ -8638,14 +8648,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_late_shipments",
         "join_market_share",
         "join_nation_revenue",
-        "join_part_promotion",
         "join_product_profit",
         "join_range",
         "join_returned_items",
         "join_top_orders",
         "join_top_supplier",
-        "join_volume_shipping",
-        "join_waiting_suppliers",
         "merge_scd2",
         "n2_relationalize",
         "pipe_training_data",
@@ -9900,6 +9907,320 @@ def _fdr_bh_oracle_sql() -> str:
     """
 
 
+def _unigram_train_oracle_sql() -> str:
+    """Unigram-LM (SentencePiece-style) Viterbi-EM training as ONE
+    DuckDB statement — the fourth member of the recursive-oracle
+    family, retiring the LAST rows-only driver row: seed substring
+    counts, then per EM round (a) logprobs as ln(eff)-ln(total) over
+    exact integer counts, (b) the per-word Viterbi DP as a RECURSIVE
+    position-stepping CTE (one position appended per iteration; the
+    four candidate splits are plain CASE expressions over the carried
+    dp list and a piece->logprob MAP, evaluated in ascending-j order
+    with the strict-improvement first-max tie rule, so ties resolve
+    to the longest final piece exactly like ops/unigram.py:
+    viterbi_segment), (c) the segmentation backtrack as a second
+    recursive walk over the back pointers, (d) prune with the
+    (count DESC, piece ASC) window and the shrink/final targets.
+
+    Engine notes: DuckDB 1.0.0's vectorized evaluation of VARIABLE-
+    length nested list lambdas over multi-row inputs is unreliable
+    (row-misaligned folds were observed building this oracle), so the
+    DP deliberately uses the lambda-free recursive-CTE shape the
+    ts_dtw/ts_holt_winters oracles already proved; all float ops are
+    ln/+ on the same doubles in the same order as the trainer's
+    Python kernels, and every count is BIGINT, so the hash is exact
+    (verified stable across repeated runs at sf0.01 and sf0.001).
+
+    Params mirror q_text_unigram_train: vocab_size=120,
+    max_piece_len=4, n_iterations=2, min_count=2, seed_cap=960,
+    shrink=0.75."""
+    MPL = 4          # max_piece_len
+    VS = 120         # vocab_size
+    SEED_CAP = 8 * VS
+    MIN_COUNT = 2
+    SHRINK = 0.75
+
+
+    def _round_ctes(r, vocab_in):
+        """CTEs for one EM round r reading vocab table `vocab_in`:
+        lp{r}, m{r}, vitw{r} (recursive position-stepping Viterbi),
+        vit{r}, segw{r} (recursive backtrack walk), seg{r}, cnt{r}."""
+        eff = ("CAST(CASE WHEN length(piece) = 1 THEN greatest(count, 1) "
+               "ELSE count END AS DOUBLE)")
+        NEG = "'-infinity'::DOUBLE"
+        # candidate scores for position p = i + 1, piece length o (j = p - o),
+        # evaluated in ASCENDING j order (o = MPL down to 1)
+        cands = []
+        for o in range(MPL, 0, -1):
+            look = f"mm.m[substr(word, i + 1 - {o} + 1, {o})]"
+            cands.append(
+                f"CASE WHEN i + 1 - {o} >= 0 AND dp[i + 1 - {o} + 1].b > {NEG} "
+                f"AND len({look}) > 0 "
+                f"THEN dp[i + 1 - {o} + 1].b + {look}[1] ELSE {NEG} END")
+        s_defs = ", ".join(f"({c}) AS s{idx}" for idx, c in enumerate(cands))
+        mb = "greatest(" + ", ".join(f"s{idx}" for idx in range(MPL)) + ")"
+        wk = "CASE " + " ".join(
+            f"WHEN s{idx} = mb AND mb > {NEG} THEN CAST(i + 1 - {MPL - idx} AS INT)"
+            for idx in range(MPL)) + " ELSE CAST(-1 AS INT) END"
+        return f"""
+            lp{r} AS (
+                SELECT piece,
+                       ln({eff}) - (SELECT ln(sum({eff})) FROM {vocab_in}) AS lp
+                FROM {vocab_in}),
+            m{r} AS (
+                SELECT MAP(list(piece ORDER BY piece),
+                           list(lp ORDER BY piece)) AS m
+                FROM lp{r}),
+            vitw{r} AS (
+                SELECT word, wt, CAST(0 AS BIGINT) AS i,
+                       CAST(length(word) AS BIGINT) AS n,
+                       [{{'b': CAST(0.0 AS DOUBLE), 'k': CAST(0 AS INT)}}] AS dp
+                FROM words
+                UNION ALL
+                SELECT word, wt, i + 1 AS i, n,
+                       list_append(dp, {{'b': mb, 'k': {wk}}}) AS dp
+                FROM (
+                    SELECT word, wt, i, n, dp, {mb} AS mb,
+                           s0, s1, s2, s3
+                    FROM (
+                        SELECT v.word, v.wt, v.i, v.n, v.dp, {s_defs}
+                        FROM vitw{r} v, m{r} mm
+                        WHERE v.i < v.n
+                    ) c
+                ) z),
+            vit{r} AS (SELECT word, wt, dp FROM vitw{r} WHERE i = n),
+            segw{r} AS (
+                SELECT word, wt, dp, CAST(length(word) AS INT) AS i,
+                       []::VARCHAR[] AS ps
+                FROM vit{r}
+                UNION ALL
+                SELECT word, wt, dp, dp[i + 1].k AS i,
+                       list_append(ps, substr(word, dp[i + 1].k + 1,
+                                              i - dp[i + 1].k)) AS ps
+                FROM segw{r} WHERE i > 0),
+            seg{r} AS (
+                SELECT word, wt, ps AS pieces FROM segw{r} WHERE i = 0),
+            cnt{r} AS (
+                SELECT piece, CAST(sum(wt) AS BIGINT) AS count
+                FROM (SELECT wt, unnest(pieces) AS piece FROM seg{r})
+                GROUP BY piece)
+        """
+
+
+    def _prune_cte(out_name, cnt_in, vocab_in, final):
+        tgt = (str(VS) if final else
+               f"greatest({VS}, CAST(ceil((SELECT count(*) FROM {vocab_in})"
+               f" * {SHRINK!r}) AS BIGINT))")
+        return f"""
+            {out_name} AS (
+                SELECT c.piece, coalesce(t.count, 0) AS count
+                FROM chars c LEFT JOIN {cnt_in} t USING (piece)
+                UNION ALL
+                SELECT piece, count FROM (
+                    SELECT t.piece, t.count,
+                           row_number() OVER (ORDER BY t.count DESC,
+                                              t.piece ASC) AS rn
+                    FROM {cnt_in} t
+                    WHERE length(t.piece) > 1 AND t.count > 0)
+                WHERE rn <= ({tgt}) - (SELECT count(*) FROM chars))
+        """
+
+
+    def unigram_sql():
+        eff = ("CAST(CASE WHEN length(piece) = 1 THEN greatest(count, 1) "
+               "ELSE count END AS DOUBLE)")
+        return f"""
+            WITH RECURSIVE toks AS (
+                SELECT list_filter(string_split_regex(lower(text),
+                                                      '[^a-z0-9'']+'),
+                                   t -> len(t) > 0) AS t
+                FROM documents),
+            words AS (
+                SELECT tok AS word, CAST(count(*) AS BIGINT) AS wt
+                FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+            subs AS (
+                SELECT piece, CAST(sum(wt) AS BIGINT) AS count
+                FROM (SELECT wt,
+                             unnest(flatten(list_transform(
+                                 range(1, length(word) + 1),
+                                 i -> list_transform(
+                                     range(1, least({MPL},
+                                           length(word) - i + 1) + 1),
+                                     l -> substr(word, CAST(i AS INT),
+                                                 CAST(l AS INT)))))) AS piece
+                      FROM words)
+                GROUP BY piece),
+            chars AS (SELECT piece, count FROM subs WHERE length(piece) = 1),
+            vocab0 AS (
+                SELECT piece, count FROM chars
+                UNION ALL
+                SELECT piece, count FROM (
+                    SELECT piece, count FROM subs
+                    WHERE length(piece) > 1 AND count >= {MIN_COUNT}
+                    ORDER BY count DESC, piece ASC LIMIT {SEED_CAP})),
+            {_round_ctes(0, 'vocab0')},
+            {_prune_cte('vocab1', 'cnt0', 'vocab0', final=False)},
+            {_round_ctes(1, 'vocab1')},
+            {_prune_cte('vocab2', 'cnt1', 'vocab1', final=True)}
+            SELECT piece, count,
+                   round((ln({eff})
+                          - (SELECT ln(sum({eff})) FROM vocab2)) + 0.0, 8)
+                       + 0.0 AS logprob
+            FROM vocab2
+            ORDER BY count DESC, piece ASC
+        """
+
+
+    return unigram_sql()
+
+
+def _quality_train_oracle_sql(iterations: int = 15, lr: float = 0.8) -> str:
+    """Full-batch logistic-regression training as a DuckDB recursive
+    CTE: the state row carries (w0..w4, b); each iteration joins it
+    against the standardized feature frame (the SAME hash-verified
+    _QUALITY_VERDICT_CTES features) and takes ONE grouped aggregate —
+    aggregation over the recursive reference is legal in DuckDB, and
+    the weights ride the GROUP BY keys.  Cross-engine float sums and
+    libm exp differ in last ulps; the model's 8-decimal coefficient
+    rounding absorbs that (the py-oracle tolerance argument, now
+    holding between THREE engines: Spark == this SQL == pure Python,
+    verified at sf0.01 and sf0.001)."""
+    cols = ["n_tokens", "punct_ratio", "digit_ratio", "mean_word_len",
+            "stopword_ratio"]
+    k = len(cols)
+    m_sel = ", ".join(f"avg({c}) AS m{i}" for i, c in enumerate(cols))
+    s_sel = ", ".join(
+        f"CASE WHEN coalesce(stddev_pop({c}), 0) > 1e-12 "
+        f"THEN stddev_pop({c}) ELSE 1.0 END AS s{i}"
+        for i, c in enumerate(cols))
+    xs_sel = ", ".join(f"(f.{c} - s.m{i}) / s.s{i} AS x{i}"
+                       for i, c in enumerate(cols))
+    w_init = ", ".join(f"CAST(0.0 AS DOUBLE) AS w{i}" for i in range(k))
+    z = " + ".join(f"t.w{i} * f.x{i}" for i in range(k))
+    g_sel = ", ".join(f"sum(err * x{i}) AS g{i}" for i in range(k))
+    w_upd = ", ".join(f"w{i} - {lr!r} * (g{i} / n) AS w{i}"
+                      for i in range(k))
+    w_keys = ", ".join(f"w{i}" for i in range(k))
+    out_rows = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS feature, "
+        f"round(t.w{i} / s.s{i} + 0.0, 8) + 0.0 AS coefficient, "
+        f"round(s.m{i} + 0.0, 8) + 0.0 AS mean FROM final t, stats s"
+        for i, c in enumerate(cols))
+    bias_terms = " + ".join(f"t.w{i} * s.m{i} / s.s{i}" for i in range(k))
+    return f"""
+        WITH RECURSIVE {_QUALITY_VERDICT_CTES},
+        feat2 AS (
+            SELECT f.n_tokens::DOUBLE AS n_tokens, f.punct_ratio,
+                   f.digit_ratio, f.mean_word_len, f.stopword_ratio,
+                   CASE WHEN v.fail_reason IS NULL THEN 1.0
+                        ELSE 0.0 END AS y
+            FROM feat f JOIN verdict v USING (doc_id)),
+        stats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n, {m_sel}, {s_sel}
+            FROM feat2),
+        featstd AS (
+            SELECT {xs_sel}, f.y FROM feat2 f, stats s),
+        it AS (
+            SELECT 0 AS i, {w_init}, CAST(0.0 AS DOUBLE) AS b
+            UNION ALL
+            SELECT i + 1, {w_upd}, b - {lr!r} * (gb / n) AS b
+            FROM (
+                SELECT t.i AS i, {w_keys}, t.b AS b, {g_sel},
+                       sum(err) AS gb
+                FROM (
+                    SELECT t.*, f.*,
+                           (1.0 / (1.0 + exp(-(t.b + {z}))) - f.y)
+                               AS err
+                    FROM it t, featstd f
+                ) t
+                GROUP BY i, {w_keys}, b
+            ) g, stats s
+            WHERE i < {int(iterations)}
+        ),
+        final AS (SELECT * FROM it WHERE i = {int(iterations)})
+        SELECT * FROM (
+            {out_rows}
+            UNION ALL
+            SELECT '__bias__' AS feature,
+                   round(t.b - ({bias_terms}) + 0.0, 8) + 0.0
+                       AS coefficient,
+                   0.0 AS mean
+            FROM final t, stats s
+        ) ORDER BY feature
+    """
+
+
+def _bpe_train_oracle_sql(num_merges: int = 12, min_pair_weight: int = 2) -> str:
+    """Sequential BPE training as ONE DuckDB recursive CTE — the third
+    member of the recursive-oracle family (PAV stack, DTW rows): the
+    working table carries the word-frequency table's symbol arrays;
+    each iteration unnests adjacent pairs, computes weighted pair
+    counts as a window sum, picks the argmax under the (w desc, l asc,
+    r asc) tie rule via first_value over the global order, re-collapses
+    to one row per word (row_number = 1 — no GROUP BY over the
+    recursive reference needed), and applies the greedy left-to-right
+    merge as a list_reduce fold with the same replace-last semantics
+    as ops/bpe.py:_merge_pair_expr.  The operator's exact-batch
+    acceleration is provably equal to this sequential loop (the
+    _select_exact_batch soundness argument), so the hash transfers.
+    All arithmetic is BIGINT — no float anywhere in the trainer."""
+    return f"""
+        WITH RECURSIVE toks AS (
+            SELECT list_filter(string_split_regex(lower(text),
+                                                  '[^a-z0-9'']+'),
+                               t -> len(t) > 0) AS t
+            FROM documents),
+        vocab AS (
+            SELECT tok AS word, CAST(count(*) AS BIGINT) AS wt
+            FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok),
+        bpe AS (
+            SELECT 0 AS it, word, wt,
+                   list_append(list_transform(range(1, length(word) + 1),
+                                              i -> word[i:i]),
+                               '</w>') AS syms,
+                   CAST(NULL AS VARCHAR) AS ml,
+                   CAST(NULL AS VARCHAR) AS mr,
+                   CAST(NULL AS BIGINT) AS mw
+            FROM vocab
+            UNION ALL
+            SELECT it + 1 AS it, word, wt,
+                   list_reduce(list_transform(syms, s -> [s]),
+                       (acc, x) -> CASE
+                           WHEN acc[len(acc)] = wl AND x[1] = wr
+                           THEN list_append(acc[1:len(acc) - 1], wl || wr)
+                           ELSE list_append(acc, x[1]) END) AS syms,
+                   wl AS ml, wr AS mr, ww AS mw
+            FROM (
+                SELECT *,
+                       row_number() OVER (PARTITION BY word
+                                          ORDER BY pl, pr) AS rn,
+                       first_value(pl) OVER (ORDER BY pw DESC, pl, pr)
+                           AS wl,
+                       first_value(pr) OVER (ORDER BY pw DESC, pl, pr)
+                           AS wr,
+                       first_value(pw) OVER (ORDER BY pw DESC, pl, pr)
+                           AS ww
+                FROM (
+                    SELECT it, word, wt, syms,
+                           p.l AS pl, p.r AS pr,
+                           sum(wt) OVER (PARTITION BY p.l, p.r) AS pw
+                    FROM bpe,
+                         UNNEST(list_transform(range(1, len(syms)),
+                                j -> {{'l': syms[j],
+                                       'r': syms[j + 1]}})) AS u(p)
+                ) q
+            ) z
+            WHERE rn = 1 AND it < {int(num_merges)}
+              AND ww >= {int(min_pair_weight)}
+        )
+        SELECT DISTINCT CAST(it - 1 AS INT) AS iteration,
+               ml AS "left", mr AS "right",
+               ml || mr AS merged, mw AS weight
+        FROM bpe WHERE it >= 1
+        ORDER BY iteration
+    """
+
+
 def _dtw_oracle_sql(band: int = 16) -> str:
     """Banded Sakoe-Chiba DTW as a DuckDB recursive CTE (VERDICT r12
     #2): one iteration per DP row i, carrying the previous row as a
@@ -10402,6 +10723,9 @@ def oracle_sql() -> dict[str, str]:
     out["agg_isotonic_calibration"] = _pav_oracle_sql(_PAV_CELLS_MILLI)
     out["stream_isotonic_matview"] = _pav_oracle_sql(_PAV_CELLS_DECILE)
     out["ts_dtw"] = _dtw_oracle_sql(band=16)
+    out["text_bpe_train"] = _bpe_train_oracle_sql(12, 2)
+    out["text_quality_train"] = _quality_train_oracle_sql(15, 0.8)
+    out["text_unigram_train"] = _unigram_train_oracle_sql()
     # the naive single-window form of the bucket-decomposed global
     # rank (the win_global_rownum oracle precedent), over the portable
     # md5 permutation key
