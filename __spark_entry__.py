@@ -1334,7 +1334,7 @@ def _py_oracle_isotonic(con, sf_dir):
                     break
         for i, (p, n, lo, hi) in enumerate(blocks):
             out.append(
-                (g, i, float(lo), float(hi), n, p, round(p / n + 1e-9, 6))
+                (g, i, float(lo), float(hi), n, p, round(p / n + 1e-9, 6) + 0.0)
             )
     return [
         "event_type", "block", "score_lo", "score_hi",
@@ -7890,7 +7890,7 @@ def _py_oracle_stream_isotonic(con, sf_dir):
                     break
         for i, (p, n, lo, hi) in enumerate(blocks):
             out.append(
-                (g, i, float(lo), float(hi), n, p, round(p / n + 1e-9, 6))
+                (g, i, float(lo), float(hi), n, p, round(p / n + 1e-9, 6) + 0.0)
             )
     return [
         "event_type", "block", "score_lo", "score_hi",
@@ -8262,6 +8262,24 @@ def q_agg_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_agg_always_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type ALWAYS-VALID p-value (mixture SPRT; Johari et
+    al. KDD-17) between the even/odd user cohorts at tau2=4
+    (operators/analytics.py:always_valid_pvalue): the any-time
+    experiment readout — valid under continuous peeking, so crossing
+    alpha is a legitimate stop-now decision.  Closed-form martingale
+    arithmetic on the Welch sufficient stats: ONE conditional
+    mergeable aggregate, the agg_ab_welch shape."""
+    from recover_spark.operators.analytics import always_valid_pvalue
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 2).alias("variant"), "value"
+    )
+    return always_valid_pvalue(
+        ev, ["event_type"], "variant", "value", 0, 1, tau2=4.0, alpha=0.05
+    ).orderBy("event_type")
+
+
 def q_agg_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type TOST equivalence test between the even/odd user
     cohorts at margin 5 (operators/analytics.py:tost_equivalence):
@@ -8299,6 +8317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_cuped": q_agg_cuped,
         "agg_mannwhitney": q_agg_mannwhitney,
         "agg_tost": q_agg_tost,
+        "agg_always_valid": q_agg_always_valid,
         "stream_hll_matview": q_stream_hll_matview,
         "merge_upsert": q_merge_upsert,
         "agg_cube": q_agg_cube,
@@ -8609,6 +8628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # three trainers SQL-oracled, EVERY query in the surface now
         # hash-verifies at the driver.
         "sample_shard_export",
+        "agg_always_valid",
         "ts_dtw",
         "agg_isotonic_calibration",
         "stream_isotonic_matview",
@@ -8652,7 +8672,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_range",
         "join_returned_items",
         "join_top_orders",
-        "join_top_supplier",
         "merge_scd2",
         "n2_relationalize",
         "pipe_training_data",
@@ -10726,6 +10745,40 @@ def oracle_sql() -> dict[str, str]:
     out["text_bpe_train"] = _bpe_train_oracle_sql(12, 2)
     out["text_quality_train"] = _quality_train_oracle_sql(15, 0.8)
     out["text_unigram_train"] = _unigram_train_oracle_sql()
+    # mixture-SPRT always-valid p-value: closed-form martingale
+    # arithmetic on the welch sufficient stats, op order mirrored
+    out["agg_always_valid"] = """
+        WITH s AS (
+            SELECT event_type,
+                   CASE WHEN user_id % 2 = 0 THEN value END AS va,
+                   CASE WHEN user_id % 2 = 1 THEN value END AS vb
+            FROM events),
+        a AS (
+            SELECT event_type,
+                   CAST(count(va) AS BIGINT) AS n_a, avg(va) AS ma,
+                   var_samp(va) AS sa,
+                   CAST(count(vb) AS BIGINT) AS n_b, avg(vb) AS mb,
+                   var_samp(vb) AS sb
+            FROM s GROUP BY event_type),
+        b AS (
+            SELECT event_type, n_a, n_b, mb - ma AS d,
+                   sa / n_a + sb / n_b AS s2
+            FROM a),
+        c AS (
+            SELECT event_type, n_a, n_b, d, s2,
+                   0.5 * ln(s2 / (s2 + 4.0))
+                   + d * d * 4.0 / (2.0 * s2 * (s2 + 4.0)) AS ll
+            FROM b)
+        SELECT event_type, n_a, n_b,
+               round(d + 1e-9, 6) + 0.0 AS mean_diff,
+               round(sqrt(s2) + 1e-9, 6) + 0.0 AS se,
+               round(ll + 1e-9, 6) + 0.0 AS log_lambda,
+               round(least(1.0, exp(-ll)) + 1e-9, 6) + 0.0
+                   AS p_always_valid,
+               (round(least(1.0, exp(-ll)) + 1e-9, 6) + 0.0) <= 0.05
+                   AS reject_null
+        FROM c ORDER BY event_type
+    """
     # the naive single-window form of the bucket-decomposed global
     # rank (the win_global_rownum oracle precedent), over the portable
     # md5 permutation key

@@ -213,6 +213,7 @@ HEADLINE = [
     "agg_tost",
     # round 13
     "sample_shard_export",
+    "agg_always_valid",
 ]
 
 

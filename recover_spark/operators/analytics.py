@@ -2504,6 +2504,94 @@ def mannwhitney_u(
     )
 
 
+def always_valid_pvalue(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    variant_col: str,
+    value_col: str,
+    variant_a,
+    variant_b,
+    tau2: float,
+    alpha: float = 0.05,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group ALWAYS-VALID p-value for the two-variant mean
+    difference (mixture sequential probability ratio test; Robbins
+    1970 mixture martingales; Johari, Koomen, Pekelis & Walsh KDD-17
+    "Peeking at A/B tests") — the inference a live experiment
+    dashboard actually needs: the classical Welch p-value is only
+    valid at a FIXED n, and peeking at it repeatedly inflates false
+    positives to certainty; the mixture-SPRT p-value is valid at
+    EVERY sample size simultaneously, so "stop the experiment now" is
+    a legitimate decision whenever it crosses alpha.
+
+    With d = mean_b - mean_a, s2 = var_a/n_a + var_b/n_b (the Welch
+    variance of the difference, the normal-approximation plug-in) and
+    a N(0, tau2) mixture over the alternative's effect size:
+
+        ln L = 0.5 * ln(s2 / (s2 + tau2))
+               + d^2 * tau2 / (2 * s2 * (s2 + tau2))
+        p_av = min(1, exp(-ln L))       (monotone nonincreasing in n)
+
+    ``tau2`` is the caller's prior scale for plausible effects (value
+    units squared); larger tau2 spends power on large effects.  It
+    must be positive — there is no data-independent default.
+
+    Engine shape: the welch_ttest contract exactly — ONE mergeable
+    conditional aggregate (count/avg/var_samp per variant), fact
+    shuffled once on the group key; the martingale arithmetic is a
+    closed-form projection on the group frame.  Degenerate variants
+    (n < 2, zero variance) follow try_divide -> NULL.
+    """
+    group_cols = list(group_cols)
+    if tau2 <= 0:
+        raise ValueError(f"always_valid_pvalue: tau2={tau2} must be > 0")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"always_valid_pvalue: alpha={alpha} not in (0, 1)")
+    va = F.when(
+        F.col(variant_col) == F.lit(variant_a),
+        F.col(value_col).cast("double"),
+    )
+    vb = F.when(
+        F.col(variant_col) == F.lit(variant_b),
+        F.col(value_col).cast("double"),
+    )
+    agg = df.groupBy(*group_cols).agg(
+        F.count(va).alias("n_a"),
+        F.avg(va).alias("__ma"),
+        F.var_samp(va).alias("__sa"),
+        F.count(vb).alias("n_b"),
+        F.avg(vb).alias("__mb"),
+        F.var_samp(vb).alias("__sb"),
+    )
+    s2 = F.try_divide(F.col("__sa"), F.col("n_a").cast("double")) + F.try_divide(
+        F.col("__sb"), F.col("n_b").cast("double")
+    )
+    d = F.col("__mb") - F.col("__ma")
+    t2 = F.lit(float(tau2))
+    log_lam = F.lit(0.5) * F.log(F.try_divide(s2, s2 + t2)) + F.try_divide(
+        d * d * t2, F.lit(2.0) * s2 * (s2 + t2)
+    )
+    # explicit NULL propagation: least() IGNORES nulls in both Spark
+    # and DuckDB, so a degenerate variant (var_samp NULL) would
+    # otherwise silently report p = 1.0 instead of "no test"
+    p_av = F.when(
+        log_lam.isNotNull(), F.least(F.lit(1.0), F.exp(-log_lam))
+    )
+    return agg.select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.round(d + F.lit(1e-9), round_digits).alias("mean_diff"),
+        F.round(F.sqrt(s2) + F.lit(1e-9), round_digits).alias("se"),
+        F.round(log_lam + F.lit(1e-9), round_digits).alias("log_lambda"),
+        F.round(p_av + F.lit(1e-9), round_digits).alias("p_always_valid"),
+        (F.round(p_av + F.lit(1e-9), round_digits) <= F.lit(float(alpha))).alias(
+            "reject_null"
+        ),
+    )
+
+
 def tost_equivalence(
     df: DataFrame,
     group_cols: Sequence[str],

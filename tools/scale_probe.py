@@ -185,6 +185,7 @@ PROBES = [
     "stream_isotonic_matview",  # 4-batch bin-sums fold + PAV read lens
     # round 13
     "sample_shard_export",  # hash-range bucketed global rank + shard div/mod
+    "agg_always_valid",     # one conditional mergeable aggregate (welch shape)
 ]
 
 
