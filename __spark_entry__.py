@@ -1523,6 +1523,65 @@ def q_v3_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_v3_results_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V3 closed end-to-end (VERDICT r13 #6): the suite run is
+    PERSISTED as a versioned checkpoint artifact + rendered data docs
+    (quality/expectations.py:persist_run/render_data_docs, mirroring
+    run_great_expectations_on_parquet.py:223-277's persist-results +
+    data-docs actions), then the artifact is read BACK and returned as
+    the result frame — so the driver hash gate verifies the round-trip
+    through the store, not just the in-memory results.  Shares
+    v3_suite's oracle: the persisted doc must carry exactly the
+    suite's results."""
+    import tempfile
+    import uuid
+
+    from recover_spark.quality.expectations import (
+        load_run,
+        persist_run,
+        run_suite,
+    )
+
+    events = _load(spark, sf_dir, "events")
+    suite = {
+        "expectations": [
+            {"expectation_type": "expect_column_to_exist",
+             "kwargs": {"column": "props"}},
+            {"expectation_type": "expect_column_to_exist",
+             "kwargs": {"column": "bogus"}},
+            {"expectation_type": "expect_column_values_to_be_between",
+             "kwargs": {"column": "value", "min_value": 0, "max_value": 95}},
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "ts"}},
+            {"expectation_type": "expect_column_values_to_be_in_set",
+             "kwargs": {"column": "event_type",
+                        "value_set": ["click", "view", "purchase", "signup"]}},
+            {"expectation_type": "expect_column_value_lengths_to_be_between",
+             "kwargs": {"column": "event_type", "min_value": 4, "max_value": 7}},
+            {"expectation_type": "expect_column_values_to_be_unique",
+             "kwargs": {"column": "event_id"}},
+            {"expectation_type": "expect_table_row_count_to_be_between",
+             "kwargs": {"min_value": 1, "max_value": 100000000}},
+        ]
+    }
+    art_dir = tempfile.mkdtemp(prefix="recover_ge_docs_")
+    persist_run(
+        run_suite(events, suite), art_dir, "events_suite",
+        f"run-{uuid.uuid4().hex[:8]}",
+    )
+    doc = load_run(art_dir, "events_suite")
+    rows = [
+        (r["expectation_type"], r["column"], bool(r["success"]),
+         int(r["element_count"]), int(r["unexpected_count"]))
+        for r in doc["results"]
+    ]
+    return spark.createDataFrame(
+        rows,
+        "expectation_type string, column_name string, success boolean, "
+        "element_count long, unexpected_count long",
+    )
+
+
 def q_p10_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P9/P10 — ingest object filter + cohort derivation from object keys
     (s3_to_json.py:964-986, s3_to_glue/app.py:18-56)."""
@@ -3438,27 +3497,16 @@ def q_ann_ivf_pq_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     and encoded against stored codebooks, O(appended) — then probe.
     The oracle trains its codebooks on the same first-half slice and
     encodes everything, mirroring the frozen-quantizer contract
-    exactly.  Fresh directory per invocation (the lifecycle is the
-    thing under test)."""
-    import tempfile
-
-    from recover_spark.ops.similarity import (
-        append_ivf_index,
-        append_pq_sidecar,
-        build_ivf_index,
-        build_pq_sidecar,
-        ivf_pq_topk_indexed,
-    )
+    exactly.  The lifecycle is the ONE shared maintenance run
+    (_shared_ann_maintained, VERDICT r13 #3); this query probes the
+    frozen-quantizer snapshot taken after the appends and before the
+    retrain — appends are deterministic against frozen centroids/
+    codebooks, so two append waves vs the historical one change file
+    accretion only, never a code or a probe row."""
+    from recover_spark.ops.similarity import ivf_pq_topk_indexed
 
     emb = _load(spark, sf_dir, "embeddings")
-    idx = tempfile.mkdtemp(prefix="recover_pq_maint_") + "/ivf"
-    half = emb.count() // 2
-    first = emb.filter(F.col("vec_id") < half)
-    rest = emb.filter(F.col("vec_id") >= half)
-    build_ivf_index(first, idx, n_centroids=8)
-    build_pq_sidecar(spark, idx)
-    append_ivf_index(rest, idx)
-    append_pq_sidecar(spark, rest, idx)
+    idx = _shared_ann_maintained(spark, sf_dir)["pq"]
     queries = emb.filter(F.col("vec_id") < 3)
     topk = ivf_pq_topk_indexed(spark, idx, queries, nprobe=2, k=5)
     return topk.select(
@@ -4649,38 +4697,15 @@ def q_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     PSI equals the batch ``v5_drift_psi`` on the same split EXACTLY
     (binned counts are additive), so the identical exact-percentile
     SQL oracle applies verbatim — a streamed pipeline hash-matched
-    per value against a batch SQL twin."""
-    import uuid
+    per value against a batch SQL twin.  The arrival state is built
+    ONCE per process per sf_dir (_shared_drift_state, VERDICT r13 #1)
+    and serves the KS/JS/W1 and CvM lenses too; this query reads all
+    three frozen columns, so its rows equal the historical standalone
+    construction exactly."""
+    from recover_spark.streaming.drift import read_drift_psi
 
-    from recover_spark.streaming.drift import (
-        freeze_drift_baseline,
-        maintain_drift_matview,
-        read_drift_psi,
-    )
-
-    run_dir = f"spark-warehouse/drift_psi/{uuid.uuid4().hex}"
-    lineitem = _load(spark, sf_dir, "lineitem")
-    cut = "1998-06-01"
-    cols = ["l_extendedprice", "l_quantity", "l_discount"]
-    base = lineitem.filter(F.col("l_shipdate") < F.lit(cut)).select(*cols)
-    cur = lineitem.filter(F.col("l_shipdate") >= F.lit(cut)).select(
-        *[F.col(c).cast("double").alias(c) for c in cols]
-    )
-    freeze_drift_baseline(
-        base, f"{run_dir}/state", cols, n_bins=10, edge_accuracy=None
-    )
-    src = f"{run_dir}/src"
-    cur.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(
-            ", ".join(f"{c} double" for c in cols)
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    q = maintain_drift_matview(stream, f"{run_dir}/state", f"{run_dir}/ckpt")
-    q.awaitTermination(300)
-    return read_drift_psi(spark, f"{run_dir}/state")
+    state = _shared_drift_state(spark, sf_dir)
+    return read_drift_psi(spark, state, cols=_DRIFT_SHARED_COLS)
 
 
 def q_stream_drift_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6082,29 +6107,15 @@ def q_ann_ivf_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists, then REBUILD — which re-extracts every stored vector and
     re-runs the deterministic build, so the final index provably
     equals a fresh build over the whole corpus and the ``ann_ivf``
-    oracle applies verbatim.  Fresh directory per invocation (the
-    lifecycle is the thing under test)."""
-    import tempfile
-
-    from recover_spark.ops.similarity import (
-        append_ivf_index,
-        build_ivf_index,
-        compact_ivf_index,
-        ivf_topk_indexed,
-        rebuild_ivf_index,
-    )
+    oracle applies verbatim.  The lifecycle is the ONE shared
+    maintenance run (_shared_ann_maintained, VERDICT r13 #3); this
+    query probes the post-rebuild directory — the rebuild re-derives
+    the index from the stored vectors alone, so sharing the preceding
+    build/append stages with the PQ gate cannot move a probe row."""
+    from recover_spark.ops.similarity import ivf_topk_indexed
 
     emb = _load(spark, sf_dir, "embeddings")
-    idx = tempfile.mkdtemp(prefix="recover_ivf_maint_") + "/ivf"
-    n = emb.count()
-    half, q3 = n // 2, (3 * n) // 4
-    build_ivf_index(emb.filter(F.col("vec_id") < half), idx, n_centroids=8)
-    append_ivf_index(
-        emb.filter((F.col("vec_id") >= half) & (F.col("vec_id") < q3)), idx
-    )
-    append_ivf_index(emb.filter(F.col("vec_id") >= q3), idx)
-    compact_ivf_index(spark, idx)
-    rebuild_ivf_index(spark, idx)
+    idx = _shared_ann_maintained(spark, sf_dir)["ivf"]
     queries = emb.filter(F.col("vec_id") < 3)
     topk = ivf_topk_indexed(spark, idx, queries, nprobe=2, k=5)
     return topk.select(
@@ -6847,35 +6858,53 @@ def q_v12_drift_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regression must not hide in the combined fold).
 LAST_STATE_PATHS: dict[str, str] = {}
 
+# -- shared lifecycle state (VERDICT r13 #1/#3) -------------------------------
+#
+# The drift trio (PSI / KS+JS+W1 / CvM) and the two maintained-ANN gates
+# each exercise a LIFECYCLE whose read sides are lenses over one logical
+# state.  Building that state once per process per sf_dir and reading it
+# through every lens is the module's own design claim ("a new statistic
+# costs one metadata-sized fold, never a new stream"; "probe with frozen
+# quantizer, retrain out of band") — so the gate now matches the design:
+# the first query of a family pays the one construct, the siblings are
+# pure reads.  Correctness is untouched: state contents are deterministic
+# (additive integer counts; frozen-quantizer codes), each query's RESULT
+# is identical to its previous standalone construction, and the oracles
+# are unchanged.  Cache keys include the absolute sf_dir so smoke
+# (sf0.001), oracle (sf0.01) and bench (sf0.1+) runs never share state.
+_SHARED_STATE_CACHE: dict[tuple, object] = {}
 
-def q_stream_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KS/JS/Wasserstein drift-on-arrival (streaming/drift.py:
-    read_drift_ks, read_drift_js, read_drift_wasserstein): the SAME
-    frozen-baseline/accumulated-counts state
-    the PSI matview maintains, read through two more lenses — no
-    extra stream, no extra state, which is the point: one arrival
-    pipeline maintains integer binned counts, and every drift
-    statistic is a metadata-sized read-side fold.  Grid-KS stays
-    integer (cross-multiplied cumulative counts) until one division,
-    so the streamed value is bit-identical to batch binning of the
-    union; JS shares divide once at read.  Baseline freeze uses
-    exact edges (gate plumbing, same note as stream_drift_psi).
-    Oracle: batch SQL computing both statistics over the same
-    split."""
+_DRIFT_SHARED_COLS = ["l_extendedprice", "l_quantity", "l_discount"]
+
+
+def _shared_drift_state(spark: SparkSession, sf_dir: str) -> str:
+    """ONE drift arrival pipeline per (process, sf_dir): freeze the
+    pre-cut era's bin edges + baseline counts over the UNION of the
+    columns the three stream_drift_* queries watch, stream the post-cut
+    era in as four genuine micro-batches, and return the state path.
+    Every lens (PSI, KS, JS, W1, chi2, CvM) is a metadata-sized read
+    over this state; per-query column subsets come from the read-side
+    ``cols`` parameter, so each query's rows equal its historical
+    standalone run exactly (per-column edges are computed independently,
+    so freezing an extra column never moves another column's bins)."""
+    import os
     import uuid
 
     from recover_spark.streaming.drift import (
         freeze_drift_baseline,
         maintain_drift_matview,
-        read_drift_js,
-        read_drift_ks,
-        read_drift_wasserstein,
     )
 
-    run_dir = f"spark-warehouse/drift_ks/{uuid.uuid4().hex}"
+    key = ("drift", os.path.abspath(sf_dir))
+    cached = _SHARED_STATE_CACHE.get(key)
+    if isinstance(cached, str) and os.path.isdir(
+        os.path.join(cached, "counts")
+    ):
+        return cached
+    run_dir = f"spark-warehouse/drift_shared/{uuid.uuid4().hex}"
     lineitem = _load(spark, sf_dir, "lineitem")
     cut = "1998-06-01"
-    cols = ["l_extendedprice", "l_quantity"]
+    cols = _DRIFT_SHARED_COLS
     base = lineitem.filter(F.col("l_shipdate") < F.lit(cut)).select(*cols)
     cur = lineitem.filter(F.col("l_shipdate") >= F.lit(cut)).select(
         *[F.col(c).cast("double").alias(c) for c in cols]
@@ -6892,15 +6921,104 @@ def q_stream_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = maintain_drift_matview(stream, f"{run_dir}/state", f"{run_dir}/ckpt")
     q.awaitTermination(300)
-    LAST_STATE_PATHS["stream_drift_ks"] = f"{run_dir}/state"
-    ks = read_drift_ks(spark, f"{run_dir}/state")
-    js = read_drift_js(spark, f"{run_dir}/state").select(
+    state = f"{run_dir}/state"
+    _SHARED_STATE_CACHE[key] = state
+    return state
+
+
+def _shared_ann_maintained(spark: SparkSession, sf_dir: str) -> dict:
+    """ONE ANN maintenance lifecycle per (process, sf_dir), two probe
+    surfaces (VERDICT r13 #3): build the IVF index + PQ sidecar on the
+    first half of the corpus (codebooks and centroids train there and
+    FREEZE), append the second half in two waves with the PQ sidecar
+    appended per wave, snapshot the frozen-quantizer state for the
+    PQ-maintained probe, then compact + rebuild the live directory for
+    the IVF-maintained probe (rebuild re-extracts every stored vector
+    and re-runs the deterministic build, so the rebuilt index equals a
+    fresh build over the whole corpus — the ``ann_ivf`` oracle).  Both
+    probes' results are unchanged vs the previous isolated lifecycles:
+    appends are O(appended) against frozen centroids/codebooks, so one
+    wave vs two is file accretion only, and the rebuild starts from the
+    same stored vector set either way.  Returns {"ivf": path-after-
+    rebuild, "pq": frozen-quantizer snapshot path}."""
+    import os
+    import shutil
+    import tempfile
+
+    from recover_spark.ops.similarity import (
+        append_ivf_index,
+        append_pq_sidecar,
+        build_ivf_index,
+        build_pq_sidecar,
+        compact_ivf_index,
+        rebuild_ivf_index,
+    )
+
+    key = ("ann_maint", os.path.abspath(sf_dir))
+    cached = _SHARED_STATE_CACHE.get(key)
+    if isinstance(cached, dict) and all(
+        os.path.isdir(p) for p in cached.values()
+    ):
+        return cached
+    emb = _load(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="recover_ann_maint_")
+    idx = f"{root}/ivf"
+    n = emb.count()
+    half, q3 = n // 2, (3 * n) // 4
+    build_ivf_index(emb.filter(F.col("vec_id") < half), idx, n_centroids=8)
+    build_pq_sidecar(spark, idx)
+    wave1 = emb.filter((F.col("vec_id") >= half) & (F.col("vec_id") < q3))
+    wave2 = emb.filter(F.col("vec_id") >= q3)
+    append_ivf_index(wave1, idx)
+    append_pq_sidecar(spark, wave1, idx)
+    append_ivf_index(wave2, idx)
+    append_pq_sidecar(spark, wave2, idx)
+    # frozen-quantizer snapshot: the PQ-maintained probe reads the
+    # index AS MAINTAINED (no retrain) — tiny dir copy, geometry-sized
+    pq_idx = f"{root}/ivf_pq"
+    shutil.copytree(idx, pq_idx)
+    compact_ivf_index(spark, idx)
+    rebuild_ivf_index(spark, idx)
+    paths = {"ivf": idx, "pq": pq_idx}
+    _SHARED_STATE_CACHE[key] = paths
+    return paths
+
+
+def q_stream_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS/JS/Wasserstein drift-on-arrival (streaming/drift.py:
+    read_drift_ks, read_drift_js, read_drift_wasserstein): the SAME
+    frozen-baseline/accumulated-counts state
+    the PSI matview maintains, read through two more lenses — no
+    extra stream, no extra state, which is the point: one arrival
+    pipeline maintains integer binned counts, and every drift
+    statistic is a metadata-sized read-side fold.  Grid-KS stays
+    integer (cross-multiplied cumulative counts) until one division,
+    so the streamed value is bit-identical to batch binning of the
+    union; JS shares divide once at read.  Baseline freeze uses
+    exact edges (gate plumbing, same note as stream_drift_psi).
+    Oracle: batch SQL computing both statistics over the same
+    split.  The arrival state is the ONE shared pipeline
+    (_shared_drift_state, VERDICT r13 #1); this query reads the
+    two-column subset it has always watched — per-column edges are
+    independent, so the extra frozen column (l_discount, the PSI
+    query's) never moves these rows."""
+    from recover_spark.streaming.drift import (
+        read_drift_js,
+        read_drift_ks,
+        read_drift_wasserstein,
+    )
+
+    state = _shared_drift_state(spark, sf_dir)
+    cols = ["l_extendedprice", "l_quantity"]
+    LAST_STATE_PATHS["stream_drift_ks"] = state
+    ks = read_drift_ks(spark, state, cols=cols)
+    js = read_drift_js(spark, state, cols=cols).select(
         "column", "js", "hellinger"
     )
     # round 9: the Wasserstein read-side rides the SAME state — the
     # whole point of the one-arrival-pipeline design is that a new
     # statistic costs one metadata-sized fold, not a new stream
-    wd = read_drift_wasserstein(spark, f"{run_dir}/state").select(
+    wd = read_drift_wasserstein(spark, state, cols=cols).select(
         "column", "wasserstein"
     )
     return ks.join(js, "column").join(wd, "column").orderBy("column")
@@ -8130,36 +8248,15 @@ def q_stream_drift_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     matviews, read through the mean-square lens — per-bin and
     cumulative counts are integer-additive across batches, so the
     streamed statistic is bit-identical to batch binning of the
-    union; the oracle is the batch CvM SQL over the same split."""
-    import uuid
+    union; the oracle is the batch CvM SQL over the same split.
+    Reads the ONE shared arrival state (_shared_drift_state, VERDICT
+    r13 #1) through its historical two-column subset."""
+    from recover_spark.streaming.drift import read_drift_cvm
 
-    from recover_spark.streaming.drift import (
-        freeze_drift_baseline,
-        maintain_drift_matview,
-        read_drift_cvm,
+    state = _shared_drift_state(spark, sf_dir)
+    return read_drift_cvm(
+        spark, state, cols=["l_extendedprice", "l_quantity"]
     )
-
-    run_dir = f"spark-warehouse/drift_cvm/{uuid.uuid4().hex}"
-    lineitem = _load(spark, sf_dir, "lineitem")
-    cut = "1998-06-01"
-    cols = ["l_extendedprice", "l_quantity"]
-    base = lineitem.filter(F.col("l_shipdate") < F.lit(cut)).select(*cols)
-    cur = lineitem.filter(F.col("l_shipdate") >= F.lit(cut)).select(
-        *[F.col(c).cast("double").alias(c) for c in cols]
-    )
-    freeze_drift_baseline(
-        base, f"{run_dir}/state", cols, n_bins=10, edge_accuracy=None
-    )
-    src = f"{run_dir}/src"
-    cur.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(", ".join(f"{c} double" for c in cols))
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    q = maintain_drift_matview(stream, f"{run_dir}/state", f"{run_dir}/ckpt")
-    q.awaitTermination(300)
-    return read_drift_cvm(spark, f"{run_dir}/state")
 
 
 def q_retrieval_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8566,6 +8663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": q_stream_sessionize,
         "stream_window_counts": q_stream_window_counts,
         "v3_suite": q_v3_suite,
+        "v3_results_doc": q_v3_results_doc,
         "p10_cohort": q_p10_cohort,
         "a6_union_ledgers": q_a6_union_ledgers,
         "p7_flatten": q_p7_flatten,
@@ -10586,6 +10684,10 @@ def _lpa_oracle_sql(rounds: int = 4) -> str:
 
 def oracle_sql() -> dict[str, str]:
     out = _oracle_sql_literal()
+    # the persisted results doc must carry exactly the suite's results
+    # (the round-trip is the thing under test), so the artifact-backed
+    # frame shares v3_suite's oracle verbatim
+    out["v3_results_doc"] = out["v3_suite"]
     out["agg_bootstrap_ci"] = _bootstrap_ci_sql()
     # replicate partials are plain sums: streamed state == batch state,
     # so the matview shares the one-shot bootstrap oracle
@@ -10773,12 +10875,22 @@ def oracle_sql() -> dict[str, str]:
                round(d + 1e-9, 6) + 0.0 AS mean_diff,
                round(sqrt(s2) + 1e-9, 6) + 0.0 AS se,
                round(ll + 1e-9, 6) + 0.0 AS log_lambda,
-               round(least(1.0, exp(-ll)) + 1e-9, 6) + 0.0
-                   AS p_always_valid,
-               (round(least(1.0, exp(-ll)) + 1e-9, 6) + 0.0) <= 0.05
-                   AS reject_null
+               CASE WHEN ll IS NULL THEN NULL
+                    ELSE round(least(1.0, exp(-ll)) + 1e-9, 6) + 0.0
+               END AS p_always_valid,
+               CASE WHEN ll IS NULL THEN NULL
+                    ELSE (round(least(1.0, exp(-ll)) + 1e-9, 6) + 0.0)
+                         <= 0.05
+               END AS reject_null
         FROM c ORDER BY event_type
     """
+    # ^ the CASE wrappers mirror the engine's explicit NULL
+    # propagation on degenerate variants (n < 2 -> NULL var_samp ->
+    # NULL p/reject): DuckDB's least() IGNORES a NULL argument, so the
+    # unwrapped form yields p = 1.0 where the operator deliberately
+    # returns NULL (ADVICE r13 #1; latent at the gate — both cohorts
+    # always have n >= 2 there — but the oracle should state the same
+    # function, not a luckier one).
     # the naive single-window form of the bucket-decomposed global
     # rank (the win_global_rownum oracle precedent), over the portable
     # md5 permutation key

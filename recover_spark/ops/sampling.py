@@ -695,6 +695,14 @@ def shard_assignment(
 
     The result is identical to ``row_number() OVER (ORDER BY hash,
     key)`` (the SQL-oracle form) by prefix-sum associativity.
+
+    Precondition: ``key_col`` is UNIQUE.  The same-(shard, position)-
+    slot-on-replay guarantee rests on the (hash, key) order being a
+    total order; duplicate keys tie on both, so row_number breaks the
+    tie arbitrarily and the pairing of a row_id with the duplicates'
+    OTHER columns becomes nondeterministic across runs/partitionings
+    (exactly as the oracle's ``ORDER BY hh, doc_id`` rests on doc_id
+    uniqueness).  Deduplicate first, or pass a key that is unique.
     """
     if rows_per_shard < 1:
         raise ValueError(f"rows_per_shard must be >= 1, got {rows_per_shard}")

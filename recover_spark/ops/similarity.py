@@ -22,6 +22,64 @@ from pyspark.sql import functions as F
 
 from recover_spark.functions.vectors import cosine_from_norms, l2_norm
 
+# Driver-collected index GEOMETRY bounds (VERDICT r13 #4).  Probe
+# planning and frozen-quantizer appends collect the coarse centroids
+# (and, for PQ, the codebooks) to the driver; that is geometry-sized
+# metadata, not data — but the classic n_lists ~ sqrt(N) sizing rule
+# puts n_lists at ~1e5-1e6 for a 100 TB corpus, where an unguarded
+# .collect() quietly becomes a driver-memory bet.  The caps make the
+# bet explicit: past them the call REFUSES with the sizing math in the
+# message (the apss max_prefix_term_df refuse-to-degrade contract)
+# instead of degrading into a driver OOM.  65_536 centroids x 64 dims
+# x 8 B ~ 34 MB and 1_048_576 codebook cells (m x n_codes rows, each a
+# subdim-wide center) bound the collected bytes to tens of MB; raise a
+# constant DELIBERATELY for a bigger geometry, or move probe planning
+# to a broadcast join against the centroid frame.
+MAX_DRIVER_LISTS = 65_536
+MAX_DRIVER_CODEBOOK_CELLS = 1_048_576
+
+
+def _collect_centroids(spark, index_path: str) -> list:
+    """Sorted (list id, centroid) seeds for probe planning / frozen
+    appends, guarded by ``MAX_DRIVER_LISTS`` (see the constant's note).
+    Reads at most cap+1 rows, so the refusal itself is cheap."""
+    rows = (
+        spark.read.parquet(f"{index_path}/_centroids")
+        .limit(MAX_DRIVER_LISTS + 1)
+        .collect()
+    )
+    if len(rows) > MAX_DRIVER_LISTS:
+        raise ValueError(
+            f"index at {index_path!r} holds more than "
+            f"{MAX_DRIVER_LISTS} coarse centroids — driver-side probe "
+            "planning stops being metadata-sized at this geometry "
+            "(n_lists ~ sqrt(N) reaches here around 100 TB).  Raise "
+            "recover_spark.ops.similarity.MAX_DRIVER_LISTS "
+            "deliberately, or plan probes via a broadcast join on "
+            "<index>/_centroids instead of a collect."
+        )
+    return sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+
+
+def _collect_codebooks(spark, index_path: str) -> list:
+    """PQ codebook rows for ADC LUT construction, guarded by
+    ``MAX_DRIVER_CODEBOOK_CELLS`` (see the constant's note)."""
+    rows = (
+        spark.read.parquet(f"{index_path}/_pq/codebooks")
+        .limit(MAX_DRIVER_CODEBOOK_CELLS + 1)
+        .collect()
+    )
+    if len(rows) > MAX_DRIVER_CODEBOOK_CELLS:
+        raise ValueError(
+            f"PQ sidecar at {index_path!r} holds more than "
+            f"{MAX_DRIVER_CODEBOOK_CELLS} codebook cells — the ADC "
+            "lookup tables stop being metadata-sized at this geometry. "
+            "Raise recover_spark.ops.similarity."
+            "MAX_DRIVER_CODEBOOK_CELLS deliberately if the driver has "
+            "the memory for it."
+        )
+    return rows
+
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -535,7 +593,15 @@ def ivf_index_complete(index_path: str) -> bool:
     rename guarantees this for new builds; the ``_SUCCESS`` probe
     additionally rejects indexes poisoned by pre-atomic crashes (an
     existing-but-empty ``_centroids`` is how a killed build used to
-    look)."""
+    look).
+
+    Single-writer assumption (shared with ``_heal_ivf_swap`` /
+    ``_heal_pq_swap`` and the matview ``_swap_state`` convention):
+    the two-rename promotion is CRASH-safe, not CONCURRENCY-safe — a
+    reader healing between a live builder's two renames can rename
+    ``.old`` back over the live path and fail the builder's second
+    rename.  Maintenance verbs are offline jobs; run one at a time
+    per index directory."""
     import os as _os
 
     _heal_ivf_swap(index_path)
@@ -548,7 +614,10 @@ def _heal_pq_swap(index_path: str) -> bool:
     """Sidecar twin of ``_heal_ivf_swap``: a crash between the
     build_pq_sidecar promotion renames leaves only ``_pq.old``;
     restore it so the previous complete sidecar generation stays
-    readable.  Returns True when a restore happened."""
+    readable.  Returns True when a restore happened.  Single-writer
+    assumption applies (see ``ivf_index_complete``): healing
+    concurrently with a live builder's swap window can race its
+    second rename — maintenance is one-at-a-time per index."""
     import os as _os
 
     live = f"{index_path}/_pq"
@@ -588,10 +657,7 @@ def ivf_topk_indexed(
     centroids.
     """
     qid = f"query_{id_col}"
-    seeds = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in spark.read.parquet(f"{index_path}/_centroids").collect()
-    )
+    seeds = _collect_centroids(spark, index_path)
     q = queries.select(
         F.col(id_col).alias(qid),
         F.col(vec_col).alias("__qvec"),
@@ -639,10 +705,7 @@ def ivf_topk_quantized_indexed(
     Output matches ``ivf_topk_quantized`` on the same corpus/centroids.
     """
     qid = f"query_{id_col}"
-    seeds = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in spark.read.parquet(f"{index_path}/_centroids").collect()
-    )
+    seeds = _collect_centroids(spark, index_path)
     q = queries.select(
         F.col(id_col).alias(qid),
         _quantized_vec(F.col(vec_col)).alias("__qq"),
@@ -854,10 +917,7 @@ def append_ivf_index(
     retrain offline).
     """
     spark = new_vectors.sparkSession
-    seeds = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in spark.read.parquet(f"{index_path}/_centroids").collect()
-    )
+    seeds = _collect_centroids(spark, index_path)
     assigned = new_vectors.withColumn(
         "list", _nearest_lists(seeds, F.col(vec_col), 1)[0]
     ).withColumn("q_embedding", _quantized_vec(F.col(vec_col)))
@@ -911,7 +971,8 @@ def _heal_ivf_swap(index_path: str) -> bool:
     entry to any maintenance verb, restore the retained copy so the
     index is never lost to a crash between the renames — the same
     contract as the streaming matview's ``_recover_state``
-    (streaming/matview.py).  Returns True when a restore happened."""
+    (streaming/matview.py).  Returns True when a restore happened.
+    Single-writer assumption applies (see ``ivf_index_complete``)."""
     import os
 
     old = index_path.rstrip("/") + ".old"
@@ -1408,12 +1469,9 @@ def ivf_pq_topk_indexed(
     code tuples — the float corpus is untouched at query time.
     Output matches ``ivf_pq_topk`` on the same corpus/params."""
     qid = f"query_{id_col}"
-    seeds = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in spark.read.parquet(f"{index_path}/_centroids").collect()
-    )
+    seeds = _collect_centroids(spark, index_path)
     _heal_pq_swap(index_path)
-    cb_rows = spark.read.parquet(f"{index_path}/_pq/codebooks").collect()
+    cb_rows = _collect_codebooks(spark, index_path)
     m = 1 + max(int(r["s"]) for r in cb_rows)
     books = [
         sorted(
@@ -1490,12 +1548,9 @@ def ivf_pq_topk_refined(
     cosine, matching ``ivf_topk_indexed``'s schema.
     """
     qid = f"query_{id_col}"
-    seeds = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in spark.read.parquet(f"{index_path}/_centroids").collect()
-    )
+    seeds = _collect_centroids(spark, index_path)
     _heal_pq_swap(index_path)
-    cb_rows = spark.read.parquet(f"{index_path}/_pq/codebooks").collect()
+    cb_rows = _collect_codebooks(spark, index_path)
     m = 1 + max(int(r["s"]) for r in cb_rows)
     books = [
         sorted(
@@ -1596,12 +1651,9 @@ def append_pq_sidecar(
     the sidecar when it crosses the documented threshold — the same
     retrain-offline pattern as the coarse quantizer.
     """
-    seeds = sorted(
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in spark.read.parquet(f"{index_path}/_centroids").collect()
-    )
+    seeds = _collect_centroids(spark, index_path)
     _heal_pq_swap(index_path)
-    cb_rows = spark.read.parquet(f"{index_path}/_pq/codebooks").collect()
+    cb_rows = _collect_codebooks(spark, index_path)
     m = 1 + max(int(r["s"]) for r in cb_rows)
     books = [
         sorted(

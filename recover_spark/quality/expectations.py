@@ -214,6 +214,7 @@ def persist_run(
     artifacts_dir: str,
     suite_name: str,
     run_id: str,
+    write_docs: bool = True,
 ) -> str:
     """Persist one suite run as a checkpoint artifact, mirroring the
     reference's per-run GE result store (run_great_expectations_on_
@@ -225,7 +226,9 @@ def persist_run(
     small JSON per run); the aggregate itself came from the single-scan
     suite evaluation, so persistence adds no Spark work at any scale.
 
-    Returns the artifact path.
+    ``write_docs`` additionally refreshes the suite's human-browsable
+    ``index.md`` (``render_data_docs``) — the reference's "build data
+    docs after the checkpoint" step.  Returns the artifact path.
     """
     from pathlib import Path
 
@@ -237,7 +240,74 @@ def persist_run(
     (out_dir / "latest.json").write_text(
         json.dumps({"run_id": run_id, "artifact": path.name})
     )
+    if write_docs:
+        render_data_docs(artifacts_dir, suite_name)
     return str(path)
+
+
+def load_run(artifacts_dir: str, suite_name: str, run_id: str | None = None) -> dict:
+    """Read one persisted suite run back (``run_id=None`` follows the
+    ``latest.json`` pointer) — the artifact a downstream gate or a
+    results-frame query consumes, proving the store round-trips."""
+    from pathlib import Path
+
+    out_dir = Path(artifacts_dir) / suite_name
+    if run_id is None:
+        run_id = json.loads((out_dir / "latest.json").read_text())["run_id"]
+    return json.loads((out_dir / f"{run_id}.json").read_text())
+
+
+def render_data_docs(artifacts_dir: str, suite_name: str) -> str:
+    """Render a suite's persisted run history as a compact markdown
+    doc — the data-docs half of the reference's GE flow
+    (run_great_expectations_on_parquet.py:223-277 persists checkpoint
+    results; the checkpoint's data-docs action renders them for a
+    human).  Writes ``<artifacts_dir>/<suite_name>/index.md`` with a
+    newest-first run ledger and the latest run's per-expectation
+    table; driver-side, bounded by run count, no Spark work.  Returns
+    the doc path."""
+    from pathlib import Path
+
+    out_dir = Path(artifacts_dir) / suite_name
+    runs = sorted(
+        p for p in out_dir.glob("*.json") if p.name != "latest.json"
+    )
+    latest = json.loads((out_dir / "latest.json").read_text())
+    lines = [
+        f"# Expectation suite: {suite_name}",
+        "",
+        f"{len(runs)} persisted run(s); latest: `{latest['run_id']}`.",
+        "",
+        "## Runs",
+        "",
+        "| run | success | expectations | successful |",
+        "|---|---|---|---|",
+    ]
+    for p in reversed(runs):
+        d = json.loads(p.read_text())
+        stats = d["statistics"]
+        lines.append(
+            f"| {p.stem} | {'PASS' if d['success'] else 'FAIL'} "
+            f"| {stats['evaluated_expectations']} "
+            f"| {stats['successful_expectations']} |"
+        )
+    latest_doc = json.loads((out_dir / latest["artifact"]).read_text())
+    lines += [
+        "",
+        f"## Latest run: {latest['run_id']}",
+        "",
+        "| expectation | column | success | elements | unexpected |",
+        "|---|---|---|---|---|",
+    ]
+    for r in latest_doc["results"]:
+        lines.append(
+            f"| {r['expectation_type']} | {r['column'] or ''} "
+            f"| {'PASS' if r['success'] else 'FAIL'} "
+            f"| {r['element_count']} | {r['unexpected_count']} |"
+        )
+    doc_path = out_dir / "index.md"
+    doc_path.write_text("\n".join(lines) + "\n")
+    return str(doc_path)
 
 
 def validity_gates(df: DataFrame) -> dict[str, Any]:

@@ -97,6 +97,26 @@ def _read_meta(state_path: str) -> dict:
         return json.load(fh)
 
 
+def _resolve_cols(meta: dict, cols: Sequence[str] | None) -> list[str]:
+    """Column subset for a read lens: ONE maintained state can serve
+    monitors watching different column sets (the one-arrival-pipeline
+    design taken to its conclusion — a consumer that cares about two
+    of the three frozen columns reads just those, no second stream,
+    no second state).  ``None`` keeps the historical read-everything
+    behavior; a subset must be of the FROZEN columns — reading a
+    column the baseline never binned is a contract error, not an
+    empty result."""
+    if cols is None:
+        return list(meta["cols"])
+    cols = list(cols)
+    unknown = [c for c in cols if c not in meta["cols"]]
+    if unknown:
+        raise ValueError(
+            f"cols not in frozen baseline {meta['cols']}: {unknown}"
+        )
+    return cols
+
+
 def merge_drift_counts(
     spark: SparkSession,
     batch: DataFrame,
@@ -159,15 +179,18 @@ def read_drift_psi(
     state_path: str,
     eps: float = 1e-4,
     round_digits: int = 6,
+    cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Current PSI per column from the frozen baseline counts and the
     accumulated current-era counts — equal to the batch
     ``psi_drift(baseline, union of arrived batches)`` by count
     additivity.  Before any batch arrives, the current era is empty:
     every current share clamps to eps and the PSI reflects that
-    degenerate comparison (callers gate on arrival if they need to)."""
+    degenerate comparison (callers gate on arrival if they need to).
+    ``cols`` restricts the read to a subset of the frozen columns
+    (see :func:`_resolve_cols`)."""
     meta = _read_meta(state_path)
-    cols, n_bins = meta["cols"], meta["n_bins"]
+    cols, n_bins = _resolve_cols(meta, cols), meta["n_bins"]
     base = spark.read.parquet(os.path.join(state_path, "baseline_counts"))
     counts_path = os.path.join(state_path, "counts")
     _recover_state(counts_path)
@@ -322,6 +345,7 @@ def read_drift_ks(
     spark: SparkSession,
     state_path: str,
     round_digits: int = 6,
+    cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Grid-KS per column from the SAME frozen-baseline/accumulated-
     counts state :func:`read_drift_psi` reads — no extra stream, no
@@ -334,7 +358,7 @@ def read_drift_ks(
     from recover_spark.quality.drift import ks_grid_from_binned_counts
 
     meta = _read_meta(state_path)
-    cols, n_bins = meta["cols"], meta["n_bins"]
+    cols, n_bins = _resolve_cols(meta, cols), meta["n_bins"]
     base = spark.read.parquet(os.path.join(state_path, "baseline_counts"))
     return ks_grid_from_binned_counts(
         base, _current_counts(spark, state_path), cols, n_bins, round_digits
@@ -345,6 +369,7 @@ def read_drift_js(
     spark: SparkSession,
     state_path: str,
     round_digits: int = 6,
+    cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Jensen-Shannon divergence + Hellinger distance per column from
     the same state as :func:`read_drift_psi` — the bounded [0, 1]
@@ -355,7 +380,7 @@ def read_drift_js(
     from recover_spark.quality.drift import js_from_binned_counts
 
     meta = _read_meta(state_path)
-    cols, n_bins = meta["cols"], meta["n_bins"]
+    cols, n_bins = _resolve_cols(meta, cols), meta["n_bins"]
     base = spark.read.parquet(os.path.join(state_path, "baseline_counts"))
     return js_from_binned_counts(
         base, _current_counts(spark, state_path), cols, n_bins, round_digits
@@ -366,6 +391,7 @@ def read_drift_chi2(
     spark: SparkSession,
     state_path: str,
     round_digits: int = 6,
+    cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-sample chi-squared per column from the SAME frozen-baseline
     / accumulated-counts state — the FIFTH read-side lens on the one
@@ -377,7 +403,7 @@ def read_drift_chi2(
     from recover_spark.quality.drift import chi2_from_binned_counts
 
     meta = _read_meta(state_path)
-    cols, n_bins = meta["cols"], meta["n_bins"]
+    cols, n_bins = _resolve_cols(meta, cols), meta["n_bins"]
     base = spark.read.parquet(os.path.join(state_path, "baseline_counts"))
     return chi2_from_binned_counts(
         base, _current_counts(spark, state_path), cols, n_bins, round_digits
@@ -388,6 +414,7 @@ def read_drift_wasserstein(
     spark: SparkSession,
     state_path: str,
     round_digits: int = 6,
+    cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Grid-Wasserstein per column from the SAME frozen-baseline /
     accumulated-counts state every numeric read-side shares — no
@@ -403,7 +430,7 @@ def read_drift_wasserstein(
     )
 
     meta = _read_meta(state_path)
-    cols, n_bins = meta["cols"], meta["n_bins"]
+    cols, n_bins = _resolve_cols(meta, cols), meta["n_bins"]
     base = spark.read.parquet(os.path.join(state_path, "baseline_counts"))
     return wasserstein_grid_from_binned_counts(
         base, _current_counts(spark, state_path), cols, n_bins, round_digits
@@ -414,6 +441,7 @@ def read_drift_cvm(
     spark: SparkSession,
     state_path: str,
     round_digits: int = 6,
+    cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Grid Cramér–von Mises per column from the SAME frozen-baseline
     / accumulated-counts state every numeric read-side shares — the
@@ -424,7 +452,7 @@ def read_drift_cvm(
     from recover_spark.quality.drift import cvm_grid_from_binned_counts
 
     meta = _read_meta(state_path)
-    cols, n_bins = meta["cols"], meta["n_bins"]
+    cols, n_bins = _resolve_cols(meta, cols), meta["n_bins"]
     base = spark.read.parquet(os.path.join(state_path, "baseline_counts"))
     return cvm_grid_from_binned_counts(
         base, _current_counts(spark, state_path), cols, n_bins, round_digits
