@@ -8705,79 +8705,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     # Rotation order for the driver's 50-entry correctness capture,
     # STALENESS-WEIGHTED (standing rule since r11, VERDICT r10 #7):
-    # lead with (a) queries new or whose VALUES/oracle class changed
-    # this round (r13): the new shard-export operator; the three
-    # queries flipped from py-oracle to DuckDB recursive-CTE oracles
-    # (plus the isotonic pair's +1e-9 rate nudge); v17 whose KS
-    # p-value statistic gained the small-lambda clamp; the bootstrap
-    # matview whose read lens gained crash healing.  Then (b) the
-    # queries whose most recent hash-green capture is OLDEST — the
-    # round-4 block, alphabetical — computed from the
-    # CORRECTNESS_r*.json history.  The three iterative trainers stay
-    # out of the capture window (declared rows-only at the driver).
+    # lead with (a) queries new or whose construction/oracle changed
+    # this round (r14): v3_results_doc is NEW (persisted-suite
+    # round-trip); the drift trio and the two maintained-ANN gates
+    # moved to the shared-lifecycle construction (values unchanged by
+    # design — the driver hash is the proof); agg_always_valid's
+    # oracle gained the NULL-propagation CASE wrappers (ADVICE r13
+    # #1).  Then (b) the queries whose most recent hash-green capture
+    # is OLDEST, computed from the CORRECTNESS_r01..r13 history:
+    # the r4 block (7, alphabetical), then the r5 block (38) of which
+    # the first 36 alphabetical fit the 50-entry window —
+    # win_session_native and win_streaks lead r15's (b) block.
     # tools/check_correctness.py re-runs ALL entries regardless.
     front = [
-        # (a) new / value-changed / oracle-class-changed this round:
-        # the shard-export operator is new; the six others flipped
-        # from py-oracle/rows-only to DuckDB recursive-CTE oracles
-        # (isotonic pair also gained the +1e-9 rate nudge); v17's KS
-        # p-value statistic gained the small-lambda clamp; the
-        # bootstrap matview read lens gained crash healing.  With the
-        # three trainers SQL-oracled, EVERY query in the surface now
-        # hash-verifies at the driver.
-        "sample_shard_export",
+        # (a) new / construction-changed / oracle-changed this round
+        "v3_results_doc",
+        "stream_drift_psi",
+        "stream_drift_ks",
+        "stream_drift_cvm",
+        "ann_ivf_maintained",
+        "ann_ivf_pq_maintained",
         "agg_always_valid",
-        "ts_dtw",
-        "agg_isotonic_calibration",
-        "stream_isotonic_matview",
-        "text_bpe_train",
-        "text_quality_train",
-        "text_unigram_train",
-        "v17_fdr_bh",
-        "stream_bootstrap_matview",
-        # (b) stalest hash-green captures (round 4), alphabetical,
-        # to fill 50
-        "agg_important_stock",
-        "agg_pricing_summary",
-        "agg_promo_revenue",
-        "agg_sales_opportunity",
-        "agg_small_qty_revenue",
-        "agg_supplier_variety",
-        "ann_ivf",
-        "ann_ivf_indexed",
-        "ann_ivf_quantized",
-        "ann_lsh",
-        "decontaminate",
-        "dedup_canonical",
-        "dedup_clusters",
-        "dedup_embedding",
-        "dedup_embedding_gemm",
-        "dedup_exact",
-        "dedup_jaccard",
-        "dedup_minhash_lsh",
-        "emb_centroids",
-        "j1_anti_delete",
-        "j2_child_rekey",
-        "j3_diff",
-        "j4_audit_merge",
-        "join_anti_bloom",
-        "join_asof",
-        "join_large_orders",
-        "join_late_shipments",
-        "join_market_share",
-        "join_nation_revenue",
-        "join_product_profit",
-        "join_range",
-        "join_returned_items",
-        "join_top_orders",
-        "merge_scd2",
-        "n2_relationalize",
-        "pipe_training_data",
-        "sample_temperature",
-        "stream_interval_join",
-        "text_chunks",
-        "text_quality_score",
+        # (b1) stalest hash-green captures: last captured r4
+        "join_part_promotion",
+        "join_top_supplier",
+        "join_volume_shipping",
+        "join_waiting_suppliers",
         "text_tfidf",
+        "ts_anomaly",
+        "w1_dedup_latest",
+        # (b2) last captured r5, alphabetical, filling to 50
+        "a9_profile",
+        "agg_mode",
+        "agg_pareto",
+        "agg_regression",
+        "agg_skyline",
+        "decontam_fuzzy",
+        "funnel_steps",
+        "funnel_windowed",
+        "graph_pagerank",
+        "graph_triangles",
+        "join_asof_nearest",
+        "join_bucketed",
+        "join_interval_overlap",
+        "layout_zorder",
+        "link_records",
+        "mm_phash_dedup",
+        "path_transitions",
+        "retention_cohorts",
+        "sample_importance",
+        "sample_split_grouped",
+        "sample_weighted",
+        "scan_zonemap",
+        "skew_hitters_sketch",
+        "stream_interval_join_outer",
+        "stream_topk_matview",
+        "text_bm25",
+        "text_lm_bigram",
+        "text_lm_score",
+        "ts_anomaly_chunked",
+        "ts_holt",
+        "ts_interpolate",
+        "ts_smooth",
+        "v6_drift_categorical",
+        "win_global_rownum",
+        "win_range_frame",
+        "win_rank_dist",
     ]
     assert all(k in base for k in front), "rotation names must exist"
     return {k: base[k] for k in front} | {

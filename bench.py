@@ -425,7 +425,15 @@ def main() -> None:
             "envelope — treat cross-round movement inside that band "
             "as jitter. Lifecycle values are construct + median probe "
             "(construct sampled once); the phases dict carries the "
-            "steady-state read cost separately."
+            "steady-state read cost separately. Shared lifecycles "
+            "(VERDICT r13 #1/#3): the drift trio (psi/ks/cvm) reads "
+            "ONE arrival state and the maintained-ANN pair probes ONE "
+            "maintenance run — the family's FIRST headline query "
+            "(stream_drift_psi / ann_ivf_maintained) carries the "
+            "whole construct in its value; the siblings are "
+            "metadata-sized reads, matching the modules' own "
+            "one-pipeline-many-lenses / probe-with-frozen-quantizer "
+            "design claims."
         ),
         "total_min": round(sum(s["min"] for s in spreads.values()), 3),
         "total_max": round(sum(s["max"] for s in spreads.values()), 3),
