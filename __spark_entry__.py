@@ -693,6 +693,30 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF ANN through the COLLECT-FREE probe path
+    (ops/similarity.py:ivf_topk_joined, VERDICT r13 #4's optional
+    half): probe planning is a broadcast join on the centroid frame —
+    the geometry-unbounded route past MAX_DRIVER_LISTS, where the
+    driver never materializes a centroid.  Same index, params and
+    scoring expressions as ``ann_ivf_indexed`` (scores are the
+    identical left-fold, bit-for-bit), so the same oracle applies."""
+    import os as _os
+
+    from recover_spark.ops.similarity import build_ivf_index, ivf_topk_joined
+
+    emb = _load(spark, sf_dir, "embeddings")
+    sf_tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
+    idx = _os.path.join("spark-warehouse", f"ivf_index_{sf_tag}")
+    if not _ivf_ready(idx):
+        build_ivf_index(emb, idx, n_centroids=8)
+    queries = emb.filter(F.col("vec_id") < 3)
+    topk = ivf_topk_joined(spark, idx, queries, nprobe=2, k=5)
+    return topk.select(
+        "query_vec_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF index vs the exact brute-force ranking, at
     nprobe 1 / 4 / 8(=all lists) — THE number a user tunes nprobe with
@@ -1580,6 +1604,65 @@ def q_v3_results_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "expectation_type string, column_name string, success boolean, "
         "element_count long, unexpected_count long",
     )
+
+
+def q_stream_expectations_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 x V3 — expectation suites ON ARRIVAL
+    (streaming/expectations.py): the suite freezes once, four genuine
+    micro-batches fold per-expectation (element_count,
+    unexpected_count) integer counters into crash-safe sidecar state,
+    and the read applies the success rules (mostly ratio, row-count
+    bounds, exists-AND) once over the exact summed counters — equal to
+    the batch run_suite on the union by counter additivity, so the
+    oracle is the batch v3 SQL minus the non-mergeable uniqueness row
+    (freeze REFUSES count-distinct expectations loudly)."""
+    import uuid
+
+    from recover_spark.streaming.expectations import (
+        freeze_expectation_suite,
+        maintain_expectations_matview,
+        read_expectations_matview,
+    )
+
+    run_dir = f"spark-warehouse/exp_mv/{uuid.uuid4().hex}"
+    events = _load(spark, sf_dir, "events").select(
+        "event_type", "ts", "value",
+        F.col("props").cast("string").alias("props"),
+    )
+    suite = {
+        "expectations": [
+            {"expectation_type": "expect_column_to_exist",
+             "kwargs": {"column": "props"}},
+            {"expectation_type": "expect_column_to_exist",
+             "kwargs": {"column": "bogus"}},
+            {"expectation_type": "expect_column_values_to_be_between",
+             "kwargs": {"column": "value", "min_value": 0, "max_value": 95}},
+            {"expectation_type": "expect_column_values_to_not_be_null",
+             "kwargs": {"column": "ts"}},
+            {"expectation_type": "expect_column_values_to_be_in_set",
+             "kwargs": {"column": "event_type",
+                        "value_set": ["click", "view", "purchase", "signup"]}},
+            {"expectation_type": "expect_column_value_lengths_to_be_between",
+             "kwargs": {"column": "event_type", "min_value": 4, "max_value": 7}},
+            {"expectation_type": "expect_table_row_count_to_be_between",
+             "kwargs": {"min_value": 1, "max_value": 100000000}},
+        ]
+    }
+    freeze_expectation_suite(f"{run_dir}/state", suite)
+    src = f"{run_dir}/src"
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_type string, ts timestamp, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_expectations_matview(
+        stream, f"{run_dir}/state", f"{run_dir}/ckpt"
+    )
+    q.awaitTermination(300)
+    return read_expectations_matview(spark, f"{run_dir}/state")
 
 
 def q_p10_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8621,6 +8704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_gemm": q_dedup_embedding_gemm,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_indexed": q_ann_ivf_indexed,
+        "ann_ivf_joined": q_ann_ivf_joined,
         "ann_recall": q_ann_recall,
         "ann_ivf_pq": q_ann_ivf_pq,
         "ann_ivf_pq_indexed": q_ann_ivf_pq_indexed,
@@ -8664,6 +8748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_counts": q_stream_window_counts,
         "v3_suite": q_v3_suite,
         "v3_results_doc": q_v3_results_doc,
+        "stream_expectations_matview": q_stream_expectations_matview,
         "p10_cohort": q_p10_cohort,
         "a6_union_ledgers": q_a6_union_ledgers,
         "p7_flatten": q_p7_flatten,
@@ -8715,11 +8800,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is OLDEST, computed from the CORRECTNESS_r01..r13 history:
     # the r4 block (7, alphabetical), then the r5 block (38) of which
     # the first 36 alphabetical fit the 50-entry window —
-    # win_session_native and win_streaks lead r15's (b) block.
+    # win_range_frame, win_rank_dist, win_session_native and
+    # win_streaks lead r15's (b) block.
     # tools/check_correctness.py re-runs ALL entries regardless.
     front = [
         # (a) new / construction-changed / oracle-changed this round
         "v3_results_doc",
+        "ann_ivf_joined",
+        "stream_expectations_matview",
         "stream_drift_psi",
         "stream_drift_ks",
         "stream_drift_cvm",
@@ -8769,8 +8857,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_smooth",
         "v6_drift_categorical",
         "win_global_rownum",
-        "win_range_frame",
-        "win_rank_dist",
     ]
     assert all(k in base for k in front), "rotation names must exist"
     return {k: base[k] for k in front} | {
@@ -10681,6 +10767,44 @@ def oracle_sql() -> dict[str, str]:
     # (the round-trip is the thing under test), so the artifact-backed
     # frame shares v3_suite's oracle verbatim
     out["v3_results_doc"] = out["v3_suite"]
+    # streamed suite == batch suite by counter additivity; the oracle
+    # is the batch v3 SQL minus the non-mergeable uniqueness row
+    # (freeze refuses count-distinct expectations)
+    out["stream_expectations_matview"] = """
+        WITH agg AS (
+            SELECT count(*) AS n,
+                   CAST(count(*) FILTER (WHERE NOT ((value >= 0 AND value <= 95)
+                       OR value IS NULL)) AS BIGINT) AS bad_value,
+                   CAST(count(*) FILTER (WHERE ts IS NULL) AS BIGINT) AS bad_ts,
+                   CAST(count(*) FILTER (WHERE NOT (
+                       event_type IN ('click','view','purchase','signup')
+                       OR event_type IS NULL)) AS BIGINT) AS bad_set,
+                   CAST(count(*) FILTER (WHERE NOT (
+                       (length(event_type) >= 4 AND length(event_type) <= 7)
+                       OR event_type IS NULL)) AS BIGINT) AS bad_len
+            FROM events)
+        SELECT 'expect_column_to_exist' AS expectation_type,
+               'props' AS column_name, TRUE AS success,
+               CAST(0 AS BIGINT) AS element_count,
+               CAST(0 AS BIGINT) AS unexpected_count
+        UNION ALL
+        SELECT 'expect_column_to_exist', 'bogus', FALSE, 0, 0
+        UNION ALL
+        SELECT 'expect_column_values_to_be_between', 'value',
+               bad_value = 0, n, bad_value FROM agg
+        UNION ALL
+        SELECT 'expect_column_values_to_not_be_null', 'ts',
+               bad_ts = 0, n, bad_ts FROM agg
+        UNION ALL
+        SELECT 'expect_column_values_to_be_in_set', 'event_type',
+               bad_set = 0, n, bad_set FROM agg
+        UNION ALL
+        SELECT 'expect_column_value_lengths_to_be_between', 'event_type',
+               bad_len = 0, n, bad_len FROM agg
+        UNION ALL
+        SELECT 'expect_table_row_count_to_be_between', NULL,
+               n >= 1 AND n <= 100000000, n, 0 FROM agg
+    """
     out["agg_bootstrap_ci"] = _bootstrap_ci_sql()
     # replicate partials are plain sums: streamed state == batch state,
     # so the matview shares the one-shot bootstrap oracle
@@ -11008,6 +11132,9 @@ def oracle_sql() -> dict[str, str]:
     """
     # the persisted-index path answers the same query as in-memory IVF
     out["ann_ivf_indexed"] = out["ann_ivf"]
+    # the joined probe path answers from the same index with the same
+    # scoring expressions — one oracle serves all three probe routes
+    out["ann_ivf_joined"] = out["ann_ivf"]
     out["ann_recall"] = _ann_recall_sql()
     out["ann_ivf_pq"] = _ann_ivf_pq_sql()
     # the persisted-sidecar path answers the same query as in-memory

@@ -214,6 +214,10 @@ HEADLINE = [
     # round 13
     "sample_shard_export",
     "agg_always_valid",
+    # round 14
+    "v3_results_doc",
+    "ann_ivf_joined",
+    "stream_expectations_matview",
 ]
 
 
@@ -332,6 +336,9 @@ def main() -> None:
         "stream_bootstrap_matview",
         "stream_sample_matview",
         "stream_isotonic_matview",
+        # round 14: GE-on-arrival — 4-batch counter fold is the
+        # construct, the suite-verdict fold is the read
+        "stream_expectations_matview",
     }
     timings: dict[str, float] = {}
     # Per-query (min, median, max) across the reps: the noise

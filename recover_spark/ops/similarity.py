@@ -53,10 +53,11 @@ def _collect_centroids(spark, index_path: str) -> list:
             f"index at {index_path!r} holds more than "
             f"{MAX_DRIVER_LISTS} coarse centroids — driver-side probe "
             "planning stops being metadata-sized at this geometry "
-            "(n_lists ~ sqrt(N) reaches here around 100 TB).  Raise "
-            "recover_spark.ops.similarity.MAX_DRIVER_LISTS "
-            "deliberately, or plan probes via a broadcast join on "
-            "<index>/_centroids instead of a collect."
+            "(n_lists ~ sqrt(N) reaches here around 100 TB).  Use "
+            "ivf_topk_joined (probe planning as a broadcast join on "
+            "the centroid frame — no driver collect at any geometry) "
+            "or raise recover_spark.ops.similarity.MAX_DRIVER_LISTS "
+            "deliberately."
         )
     return sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
 
@@ -686,6 +687,90 @@ def ivf_topk_indexed(
     )
     w = Window.partitionBy(qid).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk_joined(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The past-the-guard probe path: NO driver collect anywhere — the
+    100-TB geometry escape hatch ``_collect_centroids``'s refusal
+    points at (VERDICT r13 #4's optional half).
+
+    Probe planning is a broadcast join instead of literal centroids:
+    the (small, bounded) query batch broadcasts into the centroid
+    FRAME, per-(query, centroid) scores stay JVM-side (``F.zip_with``
+    + ``F.aggregate`` dot product), and a per-query window keeps the
+    ``nprobe`` nearest lists.  Candidates come from an equi-join of
+    the hive-partitioned index on ``list`` with the probed set
+    broadcast — at 1e5-1e6 lists the centroid frame is executor-sized
+    metadata the driver never materializes.  The static
+    PartitionFilters pruning of ``ivf_topk_indexed`` becomes Spark's
+    dynamic partition pruning / runtime broadcast filter here; the
+    trade is planning-time pruning for unbounded geometry.
+
+    Output matches ``ivf_topk_indexed`` on the same corpus/centroids
+    exactly (same scores, same (score desc, id asc) tiebreaks).
+    """
+    qid = f"query_{id_col}"
+    cents = spark.read.parquet(f"{index_path}/_centroids").select(
+        F.col(id_col).alias("list"),
+        F.col(vec_col).alias("__cvec"),
+        l2_norm(F.col(vec_col)).alias("__clen"),
+    )
+    q = queries.select(
+        F.col(id_col).alias(qid),
+        F.col(vec_col).alias("__qvec"),
+        l2_norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    # score = dot(q, c)/|c|: argmax == cosine argmax (|q| common factor)
+    # — the _nearest_lists formula, as a join instead of literals
+    pair = cents.crossJoin(F.broadcast(q)).withColumn(
+        "__score",
+        F.aggregate(
+            F.zip_with(
+                F.col("__qvec"),
+                F.col("__cvec"),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        / F.col("__clen"),
+    )
+    wp = Window.partitionBy(qid).orderBy(
+        F.col("__score").desc(), F.col("list").asc()
+    )
+    probes = (
+        pair.withColumn("__pr", F.row_number().over(wp))
+        .filter(F.col("__pr") <= nprobe)
+        .select("list", qid, "__qvec", "__qnorm")
+    )
+    corpus = spark.read.parquet(index_path).withColumn(
+        "__cnorm", l2_norm(F.col(vec_col))
+    )
+    cand = corpus.join(F.broadcast(probes), on="list").filter(
+        F.col(id_col) != F.col(qid)
+    )
+    scored = cand.select(
+        qid,
+        id_col,
+        cosine_from_norms(
+            F.col(vec_col), F.col("__qvec"), F.col("__cnorm"),
+            F.col("__qnorm"),
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy(qid).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
 
 
 def ivf_topk_quantized_indexed(

@@ -381,3 +381,152 @@ def test_consume_logs_cli(spark, tmp_path, capsys):
     import os as _os
     assert not _os.path.exists(f"{out2}/missing_data.csv")
     assert "Did not find any differences" in capsys.readouterr().out
+
+
+def test_ivf_topk_joined_matches_indexed_and_ignores_cap(
+    spark, tmp_path, monkeypatch
+):
+    """The past-the-guard probe path (VERDICT r13 #4, optional half):
+    probe planning as a broadcast join on the centroid frame — same
+    rows as the collect-based path (scores are the identical
+    left-fold expression, so even the tiebreaks agree bit-for-bit),
+    and NO driver-geometry cap applies (no collect anywhere)."""
+    from recover_spark.ops import similarity as sim
+
+    emb, idx = _tiny_index(spark, tmp_path)
+    queries = emb.filter(F.col("vec_id") < 3)
+    want = sorted(
+        map(tuple,
+            sim.ivf_topk_indexed(spark, idx, queries, nprobe=2, k=4)
+            .select("query_vec_id", "vec_id", "rank").collect())
+    )
+    got_df = sim.ivf_topk_joined(spark, idx, queries, nprobe=2, k=4)
+    got = sorted(
+        map(tuple,
+            got_df.select("query_vec_id", "vec_id", "rank").collect())
+    )
+    assert got == want and len(got) == 12
+    # the geometry guard does NOT bind this path
+    monkeypatch.setattr(sim, "MAX_DRIVER_LISTS", 1)
+    again = sorted(
+        map(tuple,
+            sim.ivf_topk_joined(spark, idx, queries, nprobe=2, k=4)
+            .select("query_vec_id", "vec_id", "rank").collect())
+    )
+    assert again == want
+    # plan: both joins broadcast (the probed set and the query batch),
+    # no sort-merge exchange of the corpus side
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+EXP_SUITE = {
+    "expectations": [
+        {"expectation_type": "expect_column_to_exist",
+         "kwargs": {"column": "v"}},
+        {"expectation_type": "expect_column_to_exist",
+         "kwargs": {"column": "bogus"}},
+        {"expectation_type": "expect_column_values_to_be_between",
+         "kwargs": {"column": "v", "min_value": 0, "max_value": 50}},
+        {"expectation_type": "expect_column_values_to_not_be_null",
+         "kwargs": {"column": "s"}},
+        {"expectation_type": "expect_column_values_to_be_in_set",
+         "kwargs": {"column": "s", "value_set": ["a", "b"]}},
+        {"expectation_type": "expect_column_value_lengths_to_be_between",
+         "kwargs": {"column": "s", "min_value": 1, "max_value": 1}},
+        {"expectation_type": "expect_table_row_count_to_be_between",
+         "kwargs": {"min_value": 1, "max_value": 1000}},
+    ]
+}
+
+
+def _exp_df(spark, n=60):
+    return spark.range(n).select(
+        (F.col("id") % 70).cast("long").alias("v"),
+        F.when(F.col("id") % 7 == 0, None)
+        .otherwise(
+            F.when(F.col("id") % 3 == 0, "c").otherwise("a")
+        ).alias("s"),
+    )
+
+
+def test_streamed_expectations_equal_batch_suite(spark, tmp_path):
+    """GE on arrival: counters fold per micro-batch; the read verdict
+    equals run_suite over the union — row for row, including the
+    mostly/row-count rules applied once over exact summed integers."""
+    from recover_spark.quality.expectations import run_suite
+    from recover_spark.streaming.expectations import (
+        freeze_expectation_suite,
+        maintain_expectations_matview,
+        read_expectations_matview,
+    )
+
+    df = _exp_df(spark)
+    state = str(tmp_path / "state")
+    freeze_expectation_suite(state, EXP_SUITE)
+    src = str(tmp_path / "src")
+    df.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema("v long, s string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_expectations_matview(
+        stream, state, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["expectation_type"], r["column_name"], r["success"],
+         r["element_count"], r["unexpected_count"])
+        for r in read_expectations_matview(spark, state).collect()
+    ]
+    want = [
+        (r.expectation_type, r.column,
+         bool(r.success),
+         0 if r.expectation_type == "expect_column_to_exist"
+         else int(r.element_count),
+         0 if r.expectation_type == "expect_column_to_exist"
+         else int(r.unexpected_count))
+        for r in run_suite(df, EXP_SUITE)
+    ]
+    assert got == want
+    # sanity: the suite saw real violations, not a vacuous pass
+    assert got[2][4] > 0  # between: v reaches 69 > 50
+    assert got[3][4] > 0  # not-null violations
+
+
+def test_streamed_expectations_replay_idempotent(spark, tmp_path):
+    from recover_spark.streaming.expectations import (
+        freeze_expectation_suite,
+        merge_expectation_counts,
+        read_expectations_matview,
+    )
+
+    df = _exp_df(spark, 30)
+    state = str(tmp_path / "state")
+    freeze_expectation_suite(state, EXP_SUITE)
+    merge_expectation_counts(spark, df, state, 0)
+    first = [tuple(r) for r in read_expectations_matview(spark, state).collect()]
+    merge_expectation_counts(spark, df, state, 0)  # replay: no-op
+    again = [tuple(r) for r in read_expectations_matview(spark, state).collect()]
+    assert first == again
+    merge_expectation_counts(spark, df, state, 1)  # genuine new batch
+    doubled = {
+        r["expectation_type"]: r["element_count"]
+        for r in read_expectations_matview(spark, state).collect()
+    }
+    assert doubled["expect_table_row_count_to_be_between"] == 60
+
+
+def test_streamed_expectations_refuse_unique(tmp_path):
+    from recover_spark.streaming.expectations import (
+        freeze_expectation_suite,
+    )
+
+    with pytest.raises(ValueError, match="not\\s+counter-mergeable"):
+        freeze_expectation_suite(
+            str(tmp_path / "s"),
+            {"expectations": [
+                {"expectation_type": "expect_column_values_to_be_unique",
+                 "kwargs": {"column": "v"}}]},
+        )
