@@ -415,9 +415,14 @@ def test_ivf_topk_joined_matches_indexed_and_ignores_cap(
     )
     assert again == want
     # plan: both joins broadcast (the probed set and the query batch),
-    # no sort-merge exchange of the corpus side
+    # no sort-merge exchange of the corpus side, and the corpus scan is
+    # RUNTIME partition-pruned from the broadcast probed set (dynamic
+    # partition pruning replaces the collect path's static IN filter —
+    # same bytes read, no driver-side list at any geometry)
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert "dynamicpruning" in plan
 
 
 EXP_SUITE = {
