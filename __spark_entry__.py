@@ -6261,6 +6261,47 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_bpe(docs, num_merges=12).orderBy("iteration")
 
 
+def q_text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit (ops/bpe.py:train_bpe + apply_bpe):
+    BPE tokens emitted per source word, by language — THE number a
+    multilingual pipeline watches when one language's tokenizer tax
+    silently inflates its training cost (fertility ~1 = near-word
+    units; high = the vocabulary underserves that language).  Train
+    12 merges on the corpus, encode map-side (one Catalyst fold per
+    rule — zero extra shuffles beyond the trainer's), aggregate
+    (n_words, n_bpe_tokens) per lang.  Oracle: the same recursive-CTE
+    sequential trainer the hash-verified text_bpe_train uses, read at
+    its FINAL state (the fully-merged symbol arrays ARE the encoding
+    of every training word — encode applies the same rules in the
+    same order), joined back to the per-doc token stream."""
+    from recover_spark.ops.bpe import apply_bpe, train_bpe
+    from recover_spark.functions.text import tokens
+
+    docs = _load(spark, sf_dir, "documents")
+    merges_df = train_bpe(docs, num_merges=12).orderBy("iteration")
+    merges = [(r["left"], r["right"]) for r in merges_df.collect()]
+    enc = apply_bpe(docs, merges)
+    return (
+        enc.select(
+            "lang",
+            F.size(tokens(F.col("text"))).alias("__nw"),
+            F.size(F.col("bpe_tokens")).alias("__nt"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("__nw").cast("long").alias("n_words"),
+            F.sum("__nt").cast("long").alias("n_bpe_tokens"),
+        )
+        .withColumn(
+            "fertility",
+            F.round(
+                F.col("n_bpe_tokens") / F.col("n_words") + F.lit(1e-9), 6
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
 def q_text_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer training (ops/unigram.py:train_unigram) —
     the SentencePiece-style complement to BPE (Kudo 2018), Viterbi-EM
@@ -8634,6 +8675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25": q_text_bm25,
         "sample_importance": q_sample_importance,
         "text_bpe_train": q_text_bpe_train,
+        "text_bpe_fertility": q_text_bpe_fertility,
         "text_unigram_train": q_text_unigram_train,
         "decontam_fuzzy": q_decontam_fuzzy,
         "text_lm_bigram": q_text_lm_bigram,
@@ -8800,14 +8842,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is OLDEST, computed from the CORRECTNESS_r01..r13 history:
     # the r4 block (7, alphabetical), then the r5 block (38) of which
     # the first 36 alphabetical fit the 50-entry window —
-    # win_range_frame, win_rank_dist, win_session_native and
-    # win_streaks lead r15's (b) block.
+    # win_global_rownum, win_range_frame, win_rank_dist,
+    # win_session_native and win_streaks lead r15's (b) block.
     # tools/check_correctness.py re-runs ALL entries regardless.
     front = [
         # (a) new / construction-changed / oracle-changed this round
         "v3_results_doc",
         "ann_ivf_joined",
         "stream_expectations_matview",
+        "text_bpe_fertility",
         "stream_drift_psi",
         "stream_drift_ks",
         "stream_drift_cvm",
@@ -8856,7 +8899,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_interpolate",
         "ts_smooth",
         "v6_drift_categorical",
-        "win_global_rownum",
     ]
     assert all(k in base for k in front), "rotation names must exist"
     return {k: base[k] for k in front} | {
@@ -10417,6 +10459,80 @@ def _bpe_train_oracle_sql(num_merges: int = 12, min_pair_weight: int = 2) -> str
     """
 
 
+def _bpe_fertility_oracle_sql(
+    num_merges: int = 12, min_pair_weight: int = 2
+) -> str:
+    """Fertility from the SAME sequential-BPE recursion as
+    ``_bpe_train_oracle_sql``, read at its FINAL state: after the last
+    accepted merge, each word's ``syms`` array IS its encoding (the
+    trainer composes rule k over the state after rules < k — exactly
+    what encoding a fresh word with the rule list in order computes),
+    so per-lang fertility is one join of the per-doc token stream to
+    ``len(syms)``.  Integer counts throughout; one division at the
+    end, mirrored by the Spark side's sum-then-divide."""
+    return f"""
+        WITH RECURSIVE dtoks AS (
+            SELECT lang, unnest(list_filter(
+                string_split_regex(lower(text), '[^a-z0-9'']+'),
+                t -> len(t) > 0)) AS word
+            FROM documents),
+        vocab AS (
+            SELECT word, CAST(count(*) AS BIGINT) AS wt
+            FROM dtoks GROUP BY word),
+        bpe AS (
+            SELECT 0 AS it, word, wt,
+                   list_append(list_transform(range(1, length(word) + 1),
+                                              i -> word[i:i]),
+                               '</w>') AS syms
+            FROM vocab
+            UNION ALL
+            SELECT it + 1 AS it, word, wt,
+                   list_reduce(list_transform(syms, s -> [s]),
+                       (acc, x) -> CASE
+                           WHEN acc[len(acc)] = wl AND x[1] = wr
+                           THEN list_append(acc[1:len(acc) - 1], wl || wr)
+                           ELSE list_append(acc, x[1]) END) AS syms
+            FROM (
+                SELECT *,
+                       row_number() OVER (PARTITION BY word
+                                          ORDER BY pl, pr) AS rn,
+                       first_value(pl) OVER (ORDER BY pw DESC, pl, pr)
+                           AS wl,
+                       first_value(pr) OVER (ORDER BY pw DESC, pl, pr)
+                           AS wr,
+                       first_value(pw) OVER (ORDER BY pw DESC, pl, pr)
+                           AS ww
+                FROM (
+                    SELECT it, word, wt, syms,
+                           p.l AS pl, p.r AS pr,
+                           sum(wt) OVER (PARTITION BY p.l, p.r) AS pw
+                    FROM bpe,
+                         UNNEST(list_transform(range(1, len(syms)),
+                                j -> {{'l': syms[j],
+                                       'r': syms[j + 1]}})) AS u(p)
+                ) q
+            ) z
+            WHERE rn = 1 AND it < {int(num_merges)}
+              AND ww >= {int(min_pair_weight)}
+        ),
+        final AS (
+            SELECT word, CAST(len(syms) AS BIGINT) AS n_syms
+            FROM (SELECT word, syms,
+                         row_number() OVER (PARTITION BY word
+                                            ORDER BY it DESC) AS rn
+                  FROM bpe)
+            WHERE rn = 1
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+               round(CAST(sum(n_syms) AS DOUBLE) / count(*) + 1e-9, 6)
+                   + 0.0 AS fertility
+        FROM dtoks JOIN final USING (word)
+        GROUP BY lang ORDER BY lang
+    """
+
+
 def _dtw_oracle_sql(band: int = 16) -> str:
     """Banded Sakoe-Chiba DTW as a DuckDB recursive CTE (VERDICT r12
     #2): one iteration per DP row i, carrying the previous row as a
@@ -10962,6 +11078,7 @@ def oracle_sql() -> dict[str, str]:
     out["stream_isotonic_matview"] = _pav_oracle_sql(_PAV_CELLS_DECILE)
     out["ts_dtw"] = _dtw_oracle_sql(band=16)
     out["text_bpe_train"] = _bpe_train_oracle_sql(12, 2)
+    out["text_bpe_fertility"] = _bpe_fertility_oracle_sql(12, 2)
     out["text_quality_train"] = _quality_train_oracle_sql(15, 0.8)
     out["text_unigram_train"] = _unigram_train_oracle_sql()
     # mixture-SPRT always-valid p-value: closed-form martingale

@@ -218,6 +218,7 @@ HEADLINE = [
     "v3_results_doc",
     "ann_ivf_joined",
     "stream_expectations_matview",
+    "text_bpe_fertility",
 ]
 
 
