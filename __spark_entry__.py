@@ -6809,6 +6809,64 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-capped mixture allocation (ops/sampling.py:
+    epoch_capped_mix) — data-constrained scaling semantics: split a
+    12k-token budget across five sources by weight, cap every source
+    at 2 epochs of its available tokens, re-split capped surplus
+    across the uncapped rest until the fixpoint (<= n_sources rounds).
+    All allocation arithmetic is bigint floor division, so the DuckDB
+    recursive-CTE twin reproduces every round bit-for-bit; the
+    per-source token totals are one map-side-combined aggregate whose
+    cardinality is the corpus taxonomy, never rows."""
+    from recover_spark.ops.sampling import epoch_capped_mix
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9']+"),
+        lambda t: t != "",
+    )
+    with_tokens = docs.select(
+        "doc_id", "source", F.size(toks).cast("bigint").alias("n_tokens")
+    )
+    out = epoch_capped_mix(
+        with_tokens,
+        "source",
+        "n_tokens",
+        {"src0": 50, "src1": 20, "src2": 15, "src3": 10, "src4": 5},
+        total_budget=12_000,
+        max_epochs_num=2,
+        max_epochs_den=1,
+    )
+    return out.orderBy("source")
+
+
+def q_sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order (ops/sampling.py:curriculum_order):
+    rank documents easy-to-hard by token count into 4 equal stages
+    (exact ntile formula on the global rank — integer floor, engine
+    agnostic), deterministically hash-shuffled WITHIN each stage.
+    Both global rankings run through global_row_numbers'
+    approx-quantile range decomposition — a total order without a
+    single-partition sort; the second pass orders by a composite
+    stage*2^60+hash bigint so its ranges stay balanced."""
+    from recover_spark.ops.sampling import curriculum_order
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9']+"),
+        lambda t: t != "",
+    )
+    with_tokens = docs.select(
+        "doc_id", F.size(toks).cast("bigint").alias("n_tokens")
+    )
+    out = curriculum_order(
+        with_tokens, key_col="doc_id", difficulty_col="n_tokens",
+        n_stages=4,
+    )
+    return out.orderBy("curriculum_rank")
+
+
 def q_agg_assoc_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Cramér's V over the order/lineitem enum columns
     (operators/analytics.py:association_matrix) — the categorical
@@ -8644,6 +8702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_novelty": q_text_novelty,
         "retrieval_hybrid": q_retrieval_hybrid,
         "sample_token_budget": q_sample_token_budget,
+        "sample_epoch_mix": q_sample_epoch_mix,
+        "sample_curriculum": q_sample_curriculum,
         "agg_assoc_matrix": q_agg_assoc_matrix,
         "ts_autocorr": q_ts_autocorr,
         "ts_cusum": q_ts_cusum,
@@ -13937,6 +13997,95 @@ def _oracle_sql_literal() -> dict[str, str]:
         "v6_drift_categorical": _psi_cat_oracle_sql(
             ["l_linestatus", "l_returnflag"], "1998-06-01"
         ),
+        "sample_epoch_mix": """
+            WITH RECURSIVE toks AS (
+                SELECT source,
+                       CAST(len(list_filter(string_split_regex(lower(text),
+                            '[^a-z0-9'']+'), t -> t <> '')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+                WHERE source IN ('src0','src1','src2','src3','src4')),
+            w(source, weight) AS (
+                VALUES ('src0', 50), ('src1', 20), ('src2', 15),
+                       ('src3', 10), ('src4', 5)),
+            base AS (
+                SELECT t.source, CAST(sum(t.n_tokens) AS BIGINT) AS avail,
+                       w.weight,
+                       CAST((sum(t.n_tokens) * 2) // 1 AS BIGINT) AS cap
+                FROM toks t JOIN w ON t.source = w.source
+                GROUP BY t.source, w.weight),
+            fix AS (
+                -- one generation per fixpoint round: capped sources
+                -- finalize at cap and leave the pool, the remaining
+                -- budget re-splits by weight over the open rest; all
+                -- integer floor division, bit-exact vs the engine
+                SELECT source, avail, weight, cap,
+                       CAST(NULL AS BIGINT) AS alloc,
+                       CAST(12000 AS BIGINT) AS b_rem,
+                       0 AS rnd, 0 AS rnd_final
+                FROM base
+                UNION ALL
+                SELECT source, avail, weight, cap,
+                       CASE WHEN alloc IS NOT NULL THEN alloc
+                            WHEN any_new AND tent >= cap THEN cap
+                            WHEN NOT any_new THEN tent
+                            ELSE NULL END AS alloc,
+                       CAST(b_rem - coalesce(sum(CASE WHEN alloc IS NULL
+                                AND any_new AND tent >= cap THEN cap END)
+                                OVER (), 0) AS BIGINT),
+                       rnd + 1,
+                       CASE WHEN alloc IS NOT NULL THEN rnd_final
+                            WHEN (any_new AND tent >= cap) OR NOT any_new
+                                THEN rnd + 1
+                            ELSE 0 END
+                FROM (
+                    SELECT *,
+                           coalesce(bool_or(alloc IS NULL AND tent >= cap)
+                                    OVER (), FALSE) AS any_new,
+                           count(CASE WHEN alloc IS NULL THEN 1 END)
+                               OVER () AS n_open
+                    FROM (
+                        SELECT *,
+                               CASE WHEN alloc IS NULL
+                                    THEN (b_rem * weight) // w_open
+                               END AS tent
+                        FROM (
+                            SELECT *, sum(CASE WHEN alloc IS NULL
+                                          THEN weight END) OVER () AS w_open
+                            FROM fix) s0) s1) s
+                WHERE n_open > 0)
+            SELECT source, avail AS available_tokens, weight,
+                   cap AS cap_tokens, alloc AS alloc_tokens,
+                   round(alloc / avail + 1e-9, 6) + 0.0 AS epochs,
+                   alloc = cap AS capped, rnd_final AS round_finalized
+            FROM fix
+            QUALIFY rnd = max(rnd) OVER ()
+            ORDER BY source
+        """,
+        "sample_curriculum": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(string_split_regex(lower(text),
+                            '[^a-z0-9'']+'), t -> t <> '')) AS BIGINT)
+                           AS difficulty,
+                       CAST(concat('0x', substr(md5('curriculum|' ||
+                            doc_id), 1, 15)) AS BIGINT) AS hv
+                FROM documents),
+            r1 AS (
+                SELECT *, row_number() OVER (ORDER BY difficulty, doc_id)
+                           AS rn,
+                       count(*) OVER () AS n
+                FROM toks),
+            st AS (
+                SELECT doc_id, difficulty,
+                       CAST(1 + ((rn - 1) * 4) // n AS INT) AS stage, hv
+                FROM r1)
+            SELECT doc_id, difficulty, stage,
+                   CAST(row_number() OVER (ORDER BY stage, hv, doc_id)
+                       AS BIGINT) AS curriculum_rank
+            FROM st
+            ORDER BY curriculum_rank
+        """,
         "sample_token_budget": """
             WITH toks AS (
                 SELECT doc_id, lang,

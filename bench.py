@@ -219,6 +219,8 @@ HEADLINE = [
     "ann_ivf_joined",
     "stream_expectations_matview",
     "text_bpe_fertility",
+    "sample_epoch_mix",
+    "sample_curriculum",
 ]
 
 

@@ -767,3 +767,196 @@ def export_training_shards(
         .parquet(path)
     )
     return assigned
+
+
+def epoch_capped_mix(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    weights: dict[str, int],
+    total_budget: int,
+    max_epochs_num: int = 4,
+    max_epochs_den: int = 1,
+    max_sources: int = 10_000,
+) -> DataFrame:
+    """Repeat-capped mixture allocation — the budgeting step of a
+    data-constrained training mix ("Scaling Data-Constrained Language
+    Models" semantics): split ``total_budget`` tokens across sources
+    proportional to integer ``weights``, but never schedule any source
+    for more than ``max_epochs`` (= num/den) passes over its available
+    tokens; budget a capped source cannot absorb is re-split across
+    the still-uncapped sources by the same weights, iterating until no
+    new source caps (<= n_sources rounds by construction — each round
+    either caps somebody or finalizes everyone).
+
+    All allocation arithmetic is INTEGER (floor division on bigints),
+    so the fixpoint is bit-exact across engines — a DuckDB recursive
+    CTE reproduces every round.  Only the reported ``epochs`` column
+    (alloc/available) is a rounded double.
+
+    Scale shape (100 TB): the per-source token totals are ONE
+    map-side-combined aggregate whose cardinality is the number of
+    corpora, not rows; the fixpoint runs driver-side on that bounded
+    frame (guarded by ``max_sources`` — the same refuse-to-degrade
+    contract as the IVF centroid collects) and the resulting plan is
+    a broadcast-sized dict to feed :func:`token_budget_mix`.  The
+    corpus itself is touched exactly once, map-side.
+
+    Output: one row per weighted source —
+    (source, available_tokens, weight, cap_tokens, alloc_tokens,
+    epochs, capped, round_finalized).
+    """
+    if total_budget < 0:
+        raise ValueError("total_budget must be >= 0")
+    if max_epochs_num < 0 or max_epochs_den <= 0:
+        raise ValueError("max_epochs must be a non-negative rational")
+    if not weights or any(int(w) <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive integers")
+    avail_rows = (
+        df.filter(F.col(source_col).isin(*weights.keys()))
+        .groupBy(source_col)
+        .agg(F.sum(F.col(token_col).cast("bigint")).alias("__avail"))
+        .limit(max_sources + 1)
+        .collect()
+    )
+    if len(avail_rows) > max_sources:
+        raise ValueError(
+            f"epoch_capped_mix: >{max_sources} sources — the fixpoint "
+            "frame is no longer driver-bounded; raise max_sources "
+            "deliberately or pre-aggregate the source taxonomy"
+        )
+    state = {}  # source -> [avail, w, cap, alloc|None, round]
+    for r in avail_rows:
+        avail = int(r["__avail"])
+        state[r[source_col]] = [
+            avail,
+            int(weights[r[source_col]]),
+            (avail * max_epochs_num) // max_epochs_den,
+            None,
+            0,
+        ]
+    b_rem = int(total_budget)
+    rnd = 0
+    while any(v[3] is None for v in state.values()):
+        rnd += 1
+        open_src = [s for s, v in state.items() if v[3] is None]
+        w_sum = sum(state[s][1] for s in open_src)
+        tentative = {s: (b_rem * state[s][1]) // w_sum for s in open_src}
+        newly = [s for s in open_src if tentative[s] >= state[s][2]]
+        if newly:
+            for s in newly:
+                state[s][3] = state[s][2]
+                state[s][4] = rnd
+                b_rem -= state[s][2]
+        else:
+            for s in open_src:
+                state[s][3] = tentative[s]
+                state[s][4] = rnd
+    spark = df.sparkSession
+    # capped <=> alloc == cap: the fixpoint finalizes a source at its
+    # cap iff tentative >= cap, and every uncapped finalization is a
+    # strict tentative < cap, so equality identifies capping exactly.
+    plan = [
+        (s, v[0], v[1], v[2], v[3], v[3] == v[2], v[4])
+        for s, v in sorted(state.items())
+    ]
+    # `epochs` is rounded SPARK-side (not Python round): F.round's
+    # half-up on the +1e-9-nudged quotient is the cross-engine
+    # convention every rounded double on the surface uses.
+    return spark.createDataFrame(
+        plan,
+        schema=(
+            f"{source_col} string, available_tokens bigint, weight int, "
+            "cap_tokens bigint, alloc_tokens bigint, "
+            "capped boolean, round_finalized int"
+        ),
+    ).select(
+        source_col,
+        "available_tokens",
+        "weight",
+        "cap_tokens",
+        "alloc_tokens",
+        (
+            F.round(
+                F.col("alloc_tokens") / F.col("available_tokens")
+                + F.lit(1e-9),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("epochs"),
+        "capped",
+        "round_finalized",
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    key_col: str,
+    difficulty_col: str,
+    n_stages: int = 4,
+    salt: str = "curriculum",
+    buckets: int = 64,
+) -> DataFrame:
+    """Curriculum training order: rank every example easy-to-hard in
+    ``n_stages`` equal stages, deterministically shuffled WITHIN each
+    stage — the standard curriculum/annealing schedule (train on easy
+    examples first, harden over stages, never present a stage in
+    difficulty order).
+
+    Stage assignment is the exact ntile formula on the global
+    difficulty rank (``1 + (rank-1)*k // N`` — integer floor, so both
+    engines agree bit-for-bit); the within-stage shuffle is the
+    engine-portable md5 hash of the key, so the final order is stable
+    across runs, engines, partitionings, and replays.
+
+    Scale shape (100 TB): a global total order is required by the
+    semantics, but NOT a global sort — both rankings run through
+    ``global_row_numbers`` (operators/analytics.py), which decomposes
+    the order into ``buckets`` approx-quantile ranges, ranks inside
+    each range with one window exchange, and adds broadcast bucket
+    offsets.  The second pass orders by a composite
+    ``stage * 2^60 + hash`` bigint so its leading column is
+    near-uniform and the ranges stay balanced.  No stage ever sees
+    more than 1/buckets of the data in one task.
+
+    Output: (key, difficulty, stage, curriculum_rank).
+    """
+    if n_stages < 1:
+        raise ValueError("n_stages must be >= 1")
+    from recover_spark.operators.analytics import global_row_numbers
+
+    base = df.select(
+        F.col(key_col),
+        F.col(difficulty_col).cast("bigint").alias("difficulty"),
+        portable_hash64(F.col(key_col), salt=salt).alias("__hv"),
+    )
+    # Pin the first ranking: the count aggregate, the second pass's
+    # quantile probe, AND the second ranking all read it — without the
+    # pin each re-executes the full first-pass lineage (scan + window
+    # + broadcast).  Released by the caller/bench between queries.
+    ranked = global_row_numbers(
+        base, ["difficulty", key_col], id_col="__rn", buckets=buckets
+    ).persist()
+    n_row = ranked.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    staged = (
+        ranked.crossJoin(F.broadcast(n_row))
+        .withColumn(
+            "stage",
+            (
+                F.lit(1)
+                + F.expr(f"(__rn - 1) * {int(n_stages)} DIV __n")
+            ).cast("int"),
+        )
+        .withColumn(
+            "__ord",
+            F.shiftleft(F.col("stage").cast("bigint"), 60) + F.col("__hv"),
+        )
+        .drop("__rn", "__n")
+    )
+    return (
+        global_row_numbers(
+            staged, ["__ord", key_col], id_col="curriculum_rank",
+            buckets=buckets,
+        )
+        .select(key_col, "difficulty", "stage", "curriculum_rank")
+    )
