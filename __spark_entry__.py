@@ -8898,15 +8898,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # moved to the shared-lifecycle construction (values unchanged by
     # design — the driver hash is the proof); agg_always_valid's
     # oracle gained the NULL-propagation CASE wrappers (ADVICE r13
-    # #1).  Then (b) the queries whose most recent hash-green capture
-    # is OLDEST, computed from the CORRECTNESS_r01..r13 history:
-    # the r4 block (7, alphabetical), then the r5 block (38) of which
-    # the first 36 alphabetical fit the 50-entry window —
+    # #1); sample_epoch_mix and sample_curriculum are NEW post-bench
+    # (never driver-captured) and lead.  Then (b) the queries whose
+    # most recent hash-green capture is OLDEST, computed from the
+    # CORRECTNESS_r01..r13 history: the r4 block (7, alphabetical),
+    # then the r5 block (38) of which the first 34 alphabetical fit
+    # the 50-entry window — ts_smooth, v6_drift_categorical,
     # win_global_rownum, win_range_frame, win_rank_dist,
     # win_session_native and win_streaks lead r15's (b) block.
     # tools/check_correctness.py re-runs ALL entries regardless.
     front = [
         # (a) new / construction-changed / oracle-changed this round
+        "sample_epoch_mix",
+        "sample_curriculum",
         "v3_results_doc",
         "ann_ivf_joined",
         "stream_expectations_matview",
