@@ -6841,6 +6841,37 @@ def q_sample_epoch_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("source")
 
 
+def q_sample_epoch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized epoch plan (ops/sampling.py:apply_epoch_plan): the
+    sample_epoch_mix allocation turned into the concrete training
+    multiset — every doc of a source repeats alloc//available times
+    (complete passes) and the portable-hash token prefix of the
+    remainder alloc%available repeats once more (token_budget_mix
+    boundary rule).  One bounded plan aggregate + one hash-range
+    prefix pass + a broadcast copies map; rows with n_copies=0 drop."""
+    from recover_spark.ops.sampling import apply_epoch_plan
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9']+"),
+        lambda t: t != "",
+    )
+    with_tokens = docs.select(
+        "doc_id", "source", F.size(toks).cast("bigint").alias("n_tokens")
+    )
+    out = apply_epoch_plan(
+        with_tokens,
+        "doc_id",
+        "source",
+        "n_tokens",
+        {"src0": 50, "src1": 20, "src2": 15, "src3": 10, "src4": 5},
+        total_budget=12_000,
+        max_epochs_num=2,
+        max_epochs_den=1,
+    )
+    return out.orderBy("source", "doc_id")
+
+
 def q_sample_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum training order (ops/sampling.py:curriculum_order):
     rank documents easy-to-hard by token count into 4 equal stages
@@ -8703,6 +8734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_hybrid": q_retrieval_hybrid,
         "sample_token_budget": q_sample_token_budget,
         "sample_epoch_mix": q_sample_epoch_mix,
+        "sample_epoch_apply": q_sample_epoch_apply,
         "sample_curriculum": q_sample_curriculum,
         "agg_assoc_matrix": q_agg_assoc_matrix,
         "ts_autocorr": q_ts_autocorr,
@@ -8902,14 +8934,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (never driver-captured) and lead.  Then (b) the queries whose
     # most recent hash-green capture is OLDEST, computed from the
     # CORRECTNESS_r01..r13 history: the r4 block (7, alphabetical),
-    # then the r5 block (38) of which the first 34 alphabetical fit
-    # the 50-entry window — ts_smooth, v6_drift_categorical,
-    # win_global_rownum, win_range_frame, win_rank_dist,
-    # win_session_native and win_streaks lead r15's (b) block.
+    # then the r5 block (38) of which the first 33 alphabetical fit
+    # the 50-entry window — ts_interpolate, ts_smooth,
+    # v6_drift_categorical, win_global_rownum, win_range_frame,
+    # win_rank_dist, win_session_native and win_streaks lead r15's
+    # (b) block.
     # tools/check_correctness.py re-runs ALL entries regardless.
     front = [
         # (a) new / construction-changed / oracle-changed this round
         "sample_epoch_mix",
+        "sample_epoch_apply",
         "sample_curriculum",
         "v3_results_doc",
         "ann_ivf_joined",
@@ -14065,6 +14099,79 @@ def _oracle_sql_literal() -> dict[str, str]:
             FROM fix
             QUALIFY rnd = max(rnd) OVER ()
             ORDER BY source
+        """,
+        "sample_epoch_apply": """
+            WITH RECURSIVE doc AS (
+                SELECT doc_id, source,
+                       CAST(len(list_filter(string_split_regex(lower(text),
+                            '[^a-z0-9'']+'), t -> t <> '')) AS BIGINT)
+                           AS n_tokens,
+                       CAST(concat('0x', substr(md5('budget|' || doc_id),
+                            1, 15)) AS BIGINT) AS hv
+                FROM documents
+                WHERE source IN ('src0','src1','src2','src3','src4')),
+            w(source, weight) AS (
+                VALUES ('src0', 50), ('src1', 20), ('src2', 15),
+                       ('src3', 10), ('src4', 5)),
+            base AS (
+                SELECT d.source, CAST(sum(d.n_tokens) AS BIGINT) AS avail,
+                       w.weight,
+                       CAST((sum(d.n_tokens) * 2) // 1 AS BIGINT) AS cap
+                FROM doc d JOIN w ON d.source = w.source
+                GROUP BY d.source, w.weight),
+            fix AS (
+                SELECT source, avail, weight, cap,
+                       CAST(NULL AS BIGINT) AS alloc,
+                       CAST(12000 AS BIGINT) AS b_rem,
+                       0 AS rnd
+                FROM base
+                UNION ALL
+                SELECT source, avail, weight, cap,
+                       CASE WHEN alloc IS NOT NULL THEN alloc
+                            WHEN any_new AND tent >= cap THEN cap
+                            WHEN NOT any_new THEN tent
+                            ELSE NULL END AS alloc,
+                       CAST(b_rem - coalesce(sum(CASE WHEN alloc IS NULL
+                                AND any_new AND tent >= cap THEN cap END)
+                                OVER (), 0) AS BIGINT),
+                       rnd + 1
+                FROM (
+                    SELECT *,
+                           coalesce(bool_or(alloc IS NULL AND tent >= cap)
+                                    OVER (), FALSE) AS any_new,
+                           count(CASE WHEN alloc IS NULL THEN 1 END)
+                               OVER () AS n_open
+                    FROM (
+                        SELECT *,
+                               CASE WHEN alloc IS NULL
+                                    THEN (b_rem * weight) // w_open
+                               END AS tent
+                        FROM (
+                            SELECT *, sum(CASE WHEN alloc IS NULL
+                                          THEN weight END) OVER () AS w_open
+                            FROM fix) s0) s1) s
+                WHERE n_open > 0),
+            plan AS (
+                SELECT source, alloc // avail AS n_full,
+                       alloc % avail AS rem
+                FROM fix
+                QUALIFY rnd = max(rnd) OVER ()),
+            pre AS (
+                SELECT doc_id, source, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           PARTITION BY source ORDER BY hv, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+                           AS tokens_before
+                FROM doc)
+            SELECT d.doc_id, d.source, d.n_tokens,
+                   CAST(p.n_full + CASE WHEN d.tokens_before < p.rem
+                                        THEN 1 ELSE 0 END AS INT)
+                       AS n_copies
+            FROM pre d JOIN plan p USING (source)
+            WHERE p.n_full + CASE WHEN d.tokens_before < p.rem
+                                  THEN 1 ELSE 0 END > 0
+            ORDER BY d.source, d.doc_id
         """,
         "sample_curriculum": """
             WITH toks AS (

@@ -220,6 +220,7 @@ HEADLINE = [
     "stream_expectations_matview",
     "text_bpe_fertility",
     "sample_epoch_mix",
+    "sample_epoch_apply",
     "sample_curriculum",
 ]
 

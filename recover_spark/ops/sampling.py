@@ -960,3 +960,98 @@ def curriculum_order(
         )
         .select(key_col, "difficulty", "stage", "curriculum_rank")
     )
+
+
+def apply_epoch_plan(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    token_col: str,
+    weights: dict[str, int],
+    total_budget: int,
+    max_epochs_num: int = 4,
+    max_epochs_den: int = 1,
+    salt: str = "budget",
+    offset_buckets: int = 256,
+    max_sources: int = 10_000,
+) -> DataFrame:
+    """Materialize :func:`epoch_capped_mix`'s allocation as the concrete
+    training MULTISET: every document of a source appears
+    ``alloc // available`` times (the complete passes), and the
+    documents in the source's portable-hash-order token prefix of the
+    remainder ``alloc % available`` appear once more (the
+    :func:`token_budget_mix` boundary rule — first crosser included).
+    The kept token mass per source is the plan's allocation to within
+    one boundary document.
+
+    Scale shape: the plan is the bounded per-source aggregate (see
+    epoch_capped_mix); the remainder prefix is ONE token_budget_mix
+    pass (hash-range-decomposed prefix sums, no per-source
+    single-partition window); the full-pass counts ride a broadcast
+    map.  Rows with ``n_copies = 0`` (unweighted sources, zero-pass
+    sources outside the remainder prefix) are dropped.
+
+    Output: (key, source, tokens, n_copies) — a loader repeats each
+    document ``n_copies`` times; deterministic across runs, engines,
+    partitionings, and replays.
+    """
+    # Pin the (key, source, tokens) projection: the plan aggregate, the
+    # remainder-prefix pass (which reads it twice — local cumsums and
+    # bucket offsets), and the final join all consume it; without the
+    # pin each re-executes the upstream lineage (e.g. tokenization).
+    # Released by the caller/bench between queries.
+    df = df.select(key_col, source_col, token_col).persist()
+    plan = epoch_capped_mix(
+        df,
+        source_col,
+        token_col,
+        weights,
+        total_budget,
+        max_epochs_num=max_epochs_num,
+        max_epochs_den=max_epochs_den,
+        max_sources=max_sources,
+    ).select(source_col, "available_tokens", "alloc_tokens").collect()
+    full = {
+        r[source_col]: int(r["alloc_tokens"]) // int(r["available_tokens"])
+        for r in plan
+        if r["available_tokens"]
+    }
+    rem = {
+        r[source_col]: int(r["alloc_tokens"]) % int(r["available_tokens"])
+        for r in plan
+        if r["available_tokens"]
+    }
+    base = df.select(
+        F.col(key_col),
+        F.col(source_col),
+        F.col(token_col).cast("bigint").alias("__tok_apply"),
+    )
+    extra = token_budget_mix(
+        base,
+        key_col,
+        source_col,
+        "__tok_apply",
+        rem,
+        salt=salt,
+        offset_buckets=offset_buckets,
+    ).select(F.col(key_col).alias("__k_extra"), F.lit(1).alias("__plus"))
+    full_expr = F.create_map(
+        *[x for s, n in sorted(full.items()) for x in (F.lit(s), F.lit(n))]
+    )[F.col(source_col)]
+    return (
+        base.filter(F.col(source_col).isin(*full.keys()))
+        .join(
+            F.broadcast(extra),
+            base[key_col] == F.col("__k_extra"),
+            "left",
+        )
+        .select(
+            key_col,
+            source_col,
+            F.col("__tok_apply").alias(token_col),
+            (full_expr + F.coalesce(F.col("__plus"), F.lit(0)))
+            .cast("int")
+            .alias("n_copies"),
+        )
+        .filter(F.col("n_copies") > 0)
+    )

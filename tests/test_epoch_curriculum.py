@@ -172,3 +172,61 @@ class TestCurriculumOrder:
 
         with pytest.raises(ValueError, match="n_stages"):
             curriculum_order(_toks(spark), "doc_id", "n_tokens", n_stages=0)
+
+
+class TestApplyEpochPlan:
+    def test_multiset_matches_plan(self, spark):
+        from recover_spark.ops.sampling import apply_epoch_plan, epoch_capped_mix
+
+        toks = _toks(spark)
+        plan = {
+            r["source"]: r
+            for r in epoch_capped_mix(
+                toks, "source", "n_tokens", WEIGHTS, 12_000, max_epochs_num=2
+            ).collect()
+        }
+        rows = apply_epoch_plan(
+            toks, "doc_id", "source", "n_tokens", WEIGHTS, 12_000,
+            max_epochs_num=2,
+        ).collect()
+        by_src: dict = {}
+        for r in rows:
+            by_src.setdefault(r["source"], []).append(r)
+        for s, rs in by_src.items():
+            full = plan[s]["alloc_tokens"] // plan[s]["available_tokens"]
+            rem = plan[s]["alloc_tokens"] % plan[s]["available_tokens"]
+            # every copy count is full or full+1
+            assert set(r["n_copies"] for r in rs) <= {full, full + 1} - {0}
+            # kept token mass hits the allocation to within one boundary doc
+            kept = sum(r["n_copies"] * r["n_tokens"] for r in rs)
+            max_doc = max(r["n_tokens"] for r in rs)
+            assert plan[s]["alloc_tokens"] - max_doc <= kept
+            assert kept <= plan[s]["alloc_tokens"] + max_doc
+            # remainder prefix kept iff rem > 0
+            n_extra = sum(1 for r in rs if r["n_copies"] == full + 1)
+            assert (n_extra > 0) == (rem > 0)
+
+    def test_deterministic_across_partitionings(self, spark):
+        from recover_spark.ops.sampling import apply_epoch_plan
+
+        toks = _toks(spark)
+        a = apply_epoch_plan(
+            toks, "doc_id", "source", "n_tokens", WEIGHTS, 12_000,
+            max_epochs_num=2,
+        ).collect()
+        b = apply_epoch_plan(
+            toks.repartition(5), "doc_id", "source", "n_tokens", WEIGHTS,
+            12_000, max_epochs_num=2,
+        ).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_zero_pass_source_only_prefix_survives(self, spark):
+        from recover_spark.ops.sampling import apply_epoch_plan
+
+        # tiny budget: no source completes a pass; only remainder
+        # prefixes appear, all with n_copies == 1
+        rows = apply_epoch_plan(
+            _toks(spark), "doc_id", "source", "n_tokens", WEIGHTS, 300,
+            max_epochs_num=2,
+        ).collect()
+        assert rows and all(r["n_copies"] == 1 for r in rows)
