@@ -5237,6 +5237,40 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_path_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style row-pattern query (operators/temporal.py:
+    sequence_pattern_counts): per-user event sequences encoded to a
+    character string over a typed alphabet (one shuffle, sort_array'd
+    per-key structs, loud max_sequence guard) and matched with
+    non-overlapping regexp_count — conversion funnels with repetition
+    (view click* purchase), error-recovery streaks (error+ click),
+    and signup-to-first-purchase shapes, all map-side JVM regex,
+    no UDF."""
+    from recover_spark.operators.temporal import sequence_pattern_counts
+
+    events = _load(spark, sf_dir, "events")
+    out = sequence_pattern_counts(
+        events,
+        key_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        patterns={
+            "conversions": "vc*p",
+            "error_recoveries": "e+c",
+            "signup_conversions": "s[^p]*p",
+        },
+        alphabet={
+            "view": "v",
+            "click": "c",
+            "purchase": "p",
+            "signup": "s",
+            "error": "e",
+        },
+        tiebreakers=["event_id"],
+    )
+    return out.orderBy("user_id")
+
+
 def q_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-path transition matrix: per user, each event pairs with
     its predecessor (one lag over ONE user-keyed window exchange); the
@@ -8793,6 +8827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_regression": q_agg_regression,
         "mm_phash_dedup": q_mm_phash_dedup,
         "path_transitions": q_path_transitions,
+        "path_pattern_match": q_path_pattern_match,
         "funnel_windowed": q_funnel_windowed,
         "stream_interval_join_outer": q_stream_interval_join_outer,
         "text_lm_score": q_text_lm_score,
@@ -8934,8 +8969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (never driver-captured) and lead.  Then (b) the queries whose
     # most recent hash-green capture is OLDEST, computed from the
     # CORRECTNESS_r01..r13 history: the r4 block (7, alphabetical),
-    # then the r5 block (38) of which the first 33 alphabetical fit
-    # the 50-entry window — ts_interpolate, ts_smooth,
+    # then the r5 block (38) of which the first 32 alphabetical fit
+    # the 50-entry window — ts_holt, ts_interpolate, ts_smooth,
     # v6_drift_categorical, win_global_rownum, win_range_frame,
     # win_rank_dist, win_session_native and win_streaks lead r15's
     # (b) block.
@@ -8945,6 +8980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_epoch_mix",
         "sample_epoch_apply",
         "sample_curriculum",
+        "path_pattern_match",
         "v3_results_doc",
         "ann_ivf_joined",
         "stream_expectations_matview",
@@ -15637,6 +15673,27 @@ def _oracle_sql_literal() -> dict[str, str]:
                    row_number() OVER (ORDER BY l_orderkey, l_linenumber)
                        AS row_id
             FROM lineitem
+        """,
+        "path_pattern_match": """
+            WITH seq AS (
+                SELECT user_id, count(*) AS n_events,
+                       string_agg(CASE event_type
+                                  WHEN 'view' THEN 'v'
+                                  WHEN 'click' THEN 'c'
+                                  WHEN 'purchase' THEN 'p'
+                                  WHEN 'signup' THEN 's'
+                                  WHEN 'error' THEN 'e' END, ''
+                                  ORDER BY ts, event_id) AS s
+                FROM events GROUP BY user_id)
+            SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+                   CAST(len(regexp_extract_all(s, 'vc*p')) AS BIGINT)
+                       AS conversions,
+                   CAST(len(regexp_extract_all(s, 'e+c')) AS BIGINT)
+                       AS error_recoveries,
+                   CAST(len(regexp_extract_all(s, 's[^p]*p')) AS BIGINT)
+                       AS signup_conversions
+            FROM seq
+            ORDER BY user_id
         """,
         "path_transitions": """
             WITH steps AS (

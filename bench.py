@@ -222,6 +222,7 @@ HEADLINE = [
     "sample_epoch_mix",
     "sample_epoch_apply",
     "sample_curriculum",
+    "path_pattern_match",
 ]
 
 
