@@ -8263,6 +8263,65 @@ def _py_oracle_stream_isotonic(con, sf_dir):
     ], out
 
 
+def q_stream_pattern_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 extension — incrementally-maintained row-pattern view
+    (streaming/matview.py:maintain_pattern_matview): four genuine
+    micro-batches fold per-user (ts, event_id, char) event multisets
+    into key-sized state (events arrive in ANY order across batches —
+    ordering is imposed once, at read); the read lens sorts each key's
+    multiset, encodes the sequence string, and regexp_counts the same
+    conversion / error-recovery / signup shapes as path_pattern_match.
+    Oracle: the identical batch SQL — maintenance must be invisible."""
+    import uuid
+
+    from recover_spark.streaming.matview import (
+        maintain_pattern_matview,
+        read_pattern_matview,
+    )
+
+    run_dir = f"spark-warehouse/pattern_mv/{uuid.uuid4().hex}"
+    src = f"{run_dir}/src"
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_pattern_matview(
+        stream,
+        f"{run_dir}/state",
+        f"{run_dir}/ckpt",
+        key_col="user_id",
+        ts_col="ts",
+        type_col="event_type",
+        alphabet={
+            "view": "v",
+            "click": "c",
+            "purchase": "p",
+            "signup": "s",
+            "error": "e",
+        },
+        tiebreakers=["event_id"],
+    )
+    q.awaitTermination(300)
+    out = read_pattern_matview(
+        spark,
+        f"{run_dir}/state",
+        "user_id",
+        {
+            "conversions": "vc*p",
+            "error_recoveries": "e+c",
+            "signup_conversions": "s[^p]*p",
+        },
+    )
+    return out.orderBy("user_id")
+
+
 def q_stream_heartbeat_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 extension — per-key heartbeat/staleness monitor
     (streaming/matview.py:maintain_heartbeat_matview): four genuine
@@ -8956,6 +9015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_gaps": q_ts_gaps,
         "mm_audio_energy": q_mm_audio_energy,
         "stream_heartbeat_matview": q_stream_heartbeat_matview,
+        "stream_pattern_matview": q_stream_pattern_matview,
     }
     # Rotation order for the driver's 50-entry correctness capture,
     # STALENESS-WEIGHTED (standing rule since r11, VERDICT r10 #7):
@@ -8969,11 +9029,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (never driver-captured) and lead.  Then (b) the queries whose
     # most recent hash-green capture is OLDEST, computed from the
     # CORRECTNESS_r01..r13 history: the r4 block (7, alphabetical),
-    # then the r5 block (38) of which the first 32 alphabetical fit
-    # the 50-entry window — ts_holt, ts_interpolate, ts_smooth,
-    # v6_drift_categorical, win_global_rownum, win_range_frame,
-    # win_rank_dist, win_session_native and win_streaks lead r15's
-    # (b) block.
+    # then the r5 block (38) of which the first 31 alphabetical fit
+    # the 50-entry window — text_lm_score, ts_holt, ts_interpolate,
+    # ts_smooth, v6_drift_categorical, win_global_rownum,
+    # win_range_frame, win_rank_dist, win_session_native and
+    # win_streaks lead r15's (b) block.
     # tools/check_correctness.py re-runs ALL entries regardless.
     front = [
         # (a) new / construction-changed / oracle-changed this round
@@ -8981,6 +9041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_epoch_apply",
         "sample_curriculum",
         "path_pattern_match",
+        "stream_pattern_matview",
         "v3_results_doc",
         "ann_ivf_joined",
         "stream_expectations_matview",
@@ -12239,6 +12300,27 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(sum(s) / count(*) + 1e-9, 6) + 0.0 AS confidence,
                    round(sum(y) / count(*) + 1e-9, 6) + 0.0 AS accuracy
             FROM x GROUP BY g, bin
+        """,
+        "stream_pattern_matview": """
+            WITH seq AS (
+                SELECT user_id, count(*) AS n_events,
+                       string_agg(CASE event_type
+                                  WHEN 'view' THEN 'v'
+                                  WHEN 'click' THEN 'c'
+                                  WHEN 'purchase' THEN 'p'
+                                  WHEN 'signup' THEN 's'
+                                  WHEN 'error' THEN 'e' END, ''
+                                  ORDER BY ts, event_id) AS s
+                FROM events GROUP BY user_id)
+            SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+                   CAST(len(regexp_extract_all(s, 'vc*p')) AS BIGINT)
+                       AS conversions,
+                   CAST(len(regexp_extract_all(s, 'e+c')) AS BIGINT)
+                       AS error_recoveries,
+                   CAST(len(regexp_extract_all(s, 's[^p]*p')) AS BIGINT)
+                       AS signup_conversions
+            FROM seq
+            ORDER BY user_id
         """,
         "stream_heartbeat_matview": """
             -- batch twin: per-key last_seen vs the data's own

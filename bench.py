@@ -223,6 +223,7 @@ HEADLINE = [
     "sample_epoch_apply",
     "sample_curriculum",
     "path_pattern_match",
+    "stream_pattern_matview",
 ]
 
 
@@ -344,6 +345,9 @@ def main() -> None:
         # round 14: GE-on-arrival — 4-batch counter fold is the
         # construct, the suite-verdict fold is the read
         "stream_expectations_matview",
+        # round 14: row-pattern sequence view — 4-batch multiset fold
+        # is the construct, the sort+regex lens is the read
+        "stream_pattern_matview",
     }
     timings: dict[str, float] = {}
     # Per-query (min, median, max) across the reps: the noise

@@ -1496,3 +1496,178 @@ def read_bootstrap_matview(
     return bootstrap_summarize(
         state, list(key_cols), n_replicates, alpha, round_digits
     )
+
+
+def merge_sequence_state(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_path: str,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    alphabet: dict[str, str],
+    tiebreakers: Sequence[str] = (),
+    batch_id: int | None = None,
+    max_sequence: int = 100_000,
+) -> None:
+    """Merge one batch into per-key EVENT-SEQUENCE state — the
+    incremental substrate for MATCH_RECOGNIZE-style row-pattern
+    queries (operators/temporal.py:sequence_pattern_counts).
+
+    State: one row per key carrying the array of (ts, tiebreakers,
+    encoded char) structs seen so far plus n_events.  Events arrive in
+    ANY order across batches (file splits are arbitrary), so the state
+    stays an unordered mergeable multiset — flatten(collect_list) of
+    array partials — and ordering is imposed once, at READ.  Unmapped
+    event types raise at merge (group-level, the codegen-friendly
+    guard); keys exceeding ``max_sequence`` raise rather than silently
+    growing state (refuse-to-degrade).  Same crash-replay idempotence
+    as every matview here (batch-id sidecar inside the atomic swap).
+    """
+    _recover_state(state_path)
+    if batch_id is not None:
+        applied = _applied_batch_id(state_path)
+        if applied is not None and batch_id <= applied:
+            return
+    enc = F.element_at(
+        F.create_map(
+            *[x for t, ch in sorted(alphabet.items()) for x in (F.lit(t), F.lit(ch))]
+        ),
+        F.col(type_col),
+    )
+    ev = F.struct(
+        F.col(ts_col).alias("__ts"),
+        *[F.col(c).alias(f"__tb{i}") for i, c in enumerate(tiebreakers)],
+        F.col("__ch").alias("__ch"),
+    )
+    # Both guards ride the ONE state-write job at group level (the
+    # sequence_pattern_counts codegen-friendly pattern): a separate
+    # unmapped-probe collect would cost an extra job per micro-batch.
+    partial = (
+        batch.withColumn("__ch", enc)
+        .groupBy(key_col)
+        .agg(
+            F.collect_list(ev).alias("events"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(
+                F.when(F.col("__ch").isNull(), F.col(type_col))
+            ).alias("__unmapped"),
+        )
+        .select(
+            key_col,
+            F.when(
+                F.col("__unmapped").isNotNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "merge_sequence_state: unmapped event type '"
+                        ),
+                        F.col("__unmapped"),
+                        F.lit("' — extend the alphabet"),
+                    )
+                ),
+            )
+            .otherwise(F.col("events"))
+            .alias("events"),
+            "n_events",
+        )
+    )
+
+    state = Path(state_path)
+    if state.exists():
+        prev = spark.read.parquet(state_path)
+        merged = (
+            prev.unionByName(partial)
+            .groupBy(key_col)
+            .agg(
+                F.flatten(F.collect_list("events")).alias("events"),
+                F.sum("n_events").alias("n_events"),
+            )
+        )
+    else:
+        merged = partial
+    merged = merged.withColumn(
+        "events",
+        F.when(F.col("n_events") <= max_sequence, F.col("events")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "merge_sequence_state: key exceeds max_sequence="
+                        f"{max_sequence} events ("
+                    ),
+                    F.col("n_events").cast("string"),
+                    F.lit(") — session-window the stream first"),
+                )
+            )
+        ),
+    )
+    tmp = str(state) + ".tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    if batch_id is not None:
+        (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
+    _swap_state(tmp, state_path)
+
+
+def maintain_pattern_matview(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    alphabet: dict[str, str],
+    tiebreakers: Sequence[str] = (),
+    max_sequence: int = 100_000,
+):
+    """Run one availableNow increment of the row-pattern sequence view."""
+    spark = stream.sparkSession
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        merge_sequence_state(
+            spark,
+            batch,
+            state_path,
+            key_col,
+            ts_col,
+            type_col,
+            alphabet,
+            tiebreakers,
+            batch_id,
+            max_sequence,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_pattern_matview(
+    spark: SparkSession,
+    state_path: str,
+    key_col: str,
+    patterns: dict[str, str],
+) -> DataFrame:
+    """Read lens: order each key's accumulated event multiset ONCE
+    (array_sort over the struct array — (ts, tiebreakers, char) field
+    order gives the same total order as the batch operator), encode to
+    the sequence string, and count every named pattern with
+    non-overlapping regexp_count.  Per-key work is bounded by
+    max_sequence; no history rescan — the state IS the sequences.
+    Output matches operators/temporal.py:sequence_pattern_counts on
+    the full data (maintenance must be invisible)."""
+    if not patterns:
+        raise ValueError("patterns must be non-empty")
+    _recover_state(state_path)
+    state = spark.read.parquet(state_path)
+    seq = F.concat_ws(
+        "", F.transform(F.array_sort(F.col("events")), lambda x: x["__ch"])
+    )
+    out_cols = [F.col(key_col), F.col("n_events")]
+    for name, rx in patterns.items():
+        out_cols.append(
+            F.regexp_count(seq, F.lit(rx)).cast("bigint").alias(name)
+        )
+    return state.select(*out_cols)
