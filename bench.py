@@ -224,6 +224,7 @@ HEADLINE = [
     "sample_curriculum",
     "path_pattern_match",
     "stream_pattern_matview",
+    "text_lm_kneser_ney",
 ]
 
 

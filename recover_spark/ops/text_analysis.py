@@ -1650,3 +1650,94 @@ def corpus_self_bleu(
         F.round(bp + F.lit(1e-9), round_digits).alias("bp"),
         F.round(bleu + F.lit(1e-9), round_digits).alias("self_bleu"),
     )
+
+
+def kneser_ney_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    discount: float = 0.75,
+    min_count: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (Kneser & Ney 1995;
+    Chen & Goodman 1999's benchmark-winning smoothing) — the principled
+    upgrade over :func:`bigram_logprob_scores`' Stupid Backoff:
+    absolute discounting with the mass re-invested through CONTINUATION
+    probability ("how many contexts does w2 complete?"), the fix for
+    high-frequency words that only ever follow one context.
+
+        P_kn(w2|w1) = max(c(w1w2) - d, 0) / c(w1·)
+                      + d·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··)
+
+    with c(w1·) the context total, N1+(w1·) the context's distinct
+    continuations, N1+(·w2) the word's distinct left-contexts, and
+    N1+(··) the distinct-bigram total — all exact counts off ONE
+    bigram table, so the model is fully deterministic and
+    SQL-oracle-able; probabilities per context sum to 1 over the
+    event space by construction (pinned in tests).
+
+    Plan shape: bigrams build map-side (the zip-shift), ONE
+    vocabulary-sized (w1, w2) count shuffle, and every derived table
+    (context totals, fan-outs, continuation counts, the one-row
+    distinct-bigram total) re-aggregates that table at vocab size —
+    the corpus is read once; joins are vocab-sized (Catalyst/AQE
+    broadcasts them while small).  No UDFs.
+
+    Output: (w1, w2, bigram_count, p_kn) for bigrams with count >=
+    ``min_count``.
+    """
+    if not 0.0 < discount < 1.0:
+        raise ValueError("discount must be in (0, 1)")
+    from recover_spark.functions.transforms import materialize_columns
+
+    toked = materialize_columns(
+        df.select(F.col(text_col)), {"__t": tokens(F.col(text_col))}
+    )
+    bigrams = toked.select(
+        F.explode(
+            F.expr(
+                "zip_with("
+                " slice(__t, 1, greatest(0, size(__t) - 1)),"
+                " slice(__t, 2, greatest(0, size(__t) - 1)),"
+                " (a, b) -> named_struct('w1', a, 'w2', b))"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bc = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("bigram_count"))
+        # vocab-sized with FOUR consumers — pinned so the corpus-sized
+        # bigram stream aggregates once
+        .localCheckpoint(eager=False)
+    )
+    ctx = bc.groupBy("w1").agg(
+        F.sum("bigram_count").alias("ctx_total"),
+        F.count(F.lit(1)).alias("fanout"),
+    )
+    cont = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("n_contexts"))
+    total = bc.groupBy().agg(F.count(F.lit(1)).alias("n_distinct_bigrams"))
+    d = float(discount)
+    return (
+        bc.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("bigram_count") >= int(min_count))
+        .select(
+            "w1",
+            "w2",
+            "bigram_count",
+            (
+                F.round(
+                    F.greatest(
+                        F.col("bigram_count") - F.lit(d), F.lit(0.0)
+                    )
+                    / F.col("ctx_total")
+                    + (F.lit(d) * F.col("fanout") / F.col("ctx_total"))
+                    * (F.col("n_contexts") / F.col("n_distinct_bigrams"))
+                    + F.lit(1e-9),
+                    round_digits,
+                )
+                + F.lit(0.0)
+            ).alias("p_kn"),
+        )
+    )
