@@ -6843,6 +6843,27 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE parity (ops/graph.py:hierarchy_paths): root,
+    depth, and materialized root-to-node path for every node of a
+    customer hierarchy (parent = custkey div 7; custkeys under 7 are
+    roots) via POINTER DOUBLING — ancestor hops double per round, so
+    O(log depth) self-joins replace the per-level loop Spark cannot
+    express natively; cyclic input raises instead of spinning.
+    Oracle: the literal recursive CTE."""
+    from recover_spark.ops.graph import hierarchy_paths
+
+    cust = _load(spark, sf_dir, "customer")
+    nodes = cust.select(
+        F.col("c_custkey").alias("node"),
+        F.when(F.col("c_custkey") < 7, F.lit(None).cast("long"))
+        .otherwise(F.expr("c_custkey DIV 7"))
+        .alias("parent"),
+    )
+    out = hierarchy_paths(nodes)
+    return out.orderBy("node")
+
+
 def q_text_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram model (ops/text_analysis.py:
     kneser_ney_bigrams): absolute discounting with the held-out mass
@@ -8835,6 +8856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_theil_sen": q_ts_theil_sen,
         "emb_pca": q_emb_pca,
         "graph_kcore": q_graph_kcore,
+        "graph_hierarchy": q_graph_hierarchy,
         "v11_benford": q_v11_benford,
         "ts_anomaly_mad": q_ts_anomaly_mad,
         "agg_entropy": q_agg_entropy,
@@ -9045,9 +9067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (never driver-captured) and lead.  Then (b) the queries whose
     # most recent hash-green capture is OLDEST, computed from the
     # CORRECTNESS_r01..r13 history: the r4 block (7, alphabetical),
-    # then the r5 block (38) of which the first 30 alphabetical fit
-    # the 50-entry window — text_lm_bigram, text_lm_score, ts_holt,
-    # ts_interpolate, ts_smooth, v6_drift_categorical,
+    # then the r5 block (38) of which the first 29 alphabetical fit
+    # the 50-entry window — text_bm25, text_lm_bigram, text_lm_score,
+    # ts_holt, ts_interpolate, ts_smooth, v6_drift_categorical,
     # win_global_rownum, win_range_frame, win_rank_dist,
     # win_session_native and win_streaks lead r15's (b) block.
     # tools/check_correctness.py re-runs ALL entries regardless.
@@ -9059,6 +9081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_pattern_match",
         "stream_pattern_matview",
         "text_lm_kneser_ney",
+        "graph_hierarchy",
         "v3_results_doc",
         "ann_ivf_joined",
         "stream_expectations_matview",
@@ -14041,6 +14064,29 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(avg(w), 6) AS importance
             FROM exploded JOIN weights USING (feat)
             GROUP BY doc_id
+        """,
+        "graph_hierarchy": """
+            WITH RECURSIVE h AS (
+                SELECT c_custkey AS node,
+                       CASE WHEN c_custkey < 7 THEN NULL
+                            ELSE c_custkey // 7 END AS parent
+                FROM customer),
+            walk AS (
+                SELECT node, node AS cur,
+                       CAST(node AS VARCHAR) AS path, 0 AS depth
+                FROM h
+                UNION ALL
+                SELECT w.node, p.node AS cur,
+                       CAST(p.node AS VARCHAR) || '/' || w.path,
+                       w.depth + 1
+                FROM walk w
+                JOIN h c ON w.cur = c.node
+                JOIN h p ON c.parent = p.node)
+            SELECT w.node, w.cur AS root,
+                   CAST(w.depth AS INT) AS depth, w.path
+            FROM walk w JOIN h ON w.cur = h.node
+            WHERE h.parent IS NULL
+            ORDER BY w.node
         """,
         "text_lm_kneser_ney": """
             WITH toked AS (

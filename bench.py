@@ -225,6 +225,7 @@ HEADLINE = [
     "path_pattern_match",
     "stream_pattern_matview",
     "text_lm_kneser_ney",
+    "graph_hierarchy",
 ]
 
 

@@ -725,3 +725,101 @@ def label_propagation(
         if r % checkpoint_every == 0 or r == rounds:
             labels = labels.localCheckpoint(eager=False)
     return labels
+
+
+def hierarchy_paths(
+    nodes: DataFrame,
+    node_col: str = "node",
+    parent_col: str = "parent",
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Hierarchy traversal — the ``WITH RECURSIVE`` query (org charts,
+    BOM explosions, category trees) Spark has no native operator for:
+    every node gets its ROOT, DEPTH, and materialized root-to-node
+    PATH, in O(log depth) rounds via POINTER DOUBLING.
+
+    ``nodes`` carries one row per node with its parent id (NULL for
+    roots; a parent equal to the node also counts as a root).  Each
+    round joins the state WITH ITSELF on the current ancestor pointer
+    — ancestor hops double per round (1, 2, 4, ...), so 30 rounds
+    cover hierarchies 2^30 deep; the naive per-level loop is O(depth)
+    shuffles and unusable on deep chains.  Path segments concatenate
+    along the same doubling (``seg' = seg_a || seg_b``), so the
+    materialized path costs no extra passes.
+
+    Per round: one state-state equi-join on the ancestor id + an
+    eager localCheckpoint (lineage truncation; the done-check rides
+    it); the early exit costs a limit-1 count.  Raises after
+    ``max_rounds`` instead of returning silently-partial paths — a
+    non-converging input means a cycle (not a tree), and a cyclic
+    "hierarchy" must be an error, not output.
+
+    Output: (node, root, depth, path) — path is the '/'-joined
+    root-to-node id string, depth 0 for roots.
+    """
+    n = nodes.select(
+        F.col(node_col).alias("node"), F.col(parent_col).alias("parent")
+    )
+    is_root = F.col("parent").isNull() | (F.col("parent") == F.col("node"))
+    # A parent id with no node row would silently DROP its whole
+    # subtree at the first doubling join — refuse loudly instead.
+    orphan = (
+        n.filter(~is_root)
+        .select(F.col("parent").alias("__p"))
+        .join(n.select(F.col("node").alias("__p")), "__p", "left_anti")
+        .limit(1)
+        .collect()
+    )
+    if orphan:
+        raise ValueError(
+            f"hierarchy_paths: parent {orphan[0][0]!r} has no node row — "
+            "every non-NULL parent must itself be a node"
+        )
+    state = n.select(
+        "node",
+        F.when(is_root, F.col("node")).otherwise(F.col("parent")).alias("anc"),
+        F.when(is_root, F.array().cast("array<string>")).otherwise(
+            F.array(F.col("node").cast("string"))
+        ).alias("seg"),
+    ).localCheckpoint(eager=True)
+    roots = n.filter(is_root).select(F.col("node").alias("__r"))
+    for _ in range(max_rounds):
+        pending = (
+            state.join(roots, state.anc == F.col("__r"), "left_anti")
+            .limit(1)
+            .count()
+        )
+        if pending == 0:
+            break
+        jumped = (
+            state.alias("a")
+            .join(
+                state.select(
+                    F.col("node").alias("__bn"),
+                    F.col("anc").alias("__banc"),
+                    F.col("seg").alias("__bseg"),
+                ),
+                F.col("a.anc") == F.col("__bn"),
+            )
+            .select(
+                F.col("a.node").alias("node"),
+                F.col("__banc").alias("anc"),
+                F.concat(F.col("a.seg"), F.col("__bseg")).alias("seg"),
+            )
+        )
+        state = jumped.localCheckpoint(eager=True)
+    else:
+        raise RuntimeError(
+            f"hierarchy_paths did not converge in {max_rounds} doubling "
+            f"rounds — a hierarchy deeper than 2^{max_rounds}, or a "
+            "CYCLE in the parent pointers; fix the input"
+        )
+    return state.select(
+        "node",
+        F.col("anc").alias("root"),
+        F.size("seg").alias("depth"),
+        F.array_join(
+            F.concat(F.array(F.col("anc").cast("string")), F.reverse("seg")),
+            "/",
+        ).alias("path"),
+    )
