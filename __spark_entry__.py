@@ -6843,6 +6843,37 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ts_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 1-D Kalman filter, local-level model
+    (operators/temporal.py:kalman_filter): adaptive-gain denoising the
+    fixed-alpha EWMA approximates — P_pred = P+q, K = P_pred/(P_pred+r),
+    x += K(z-x), initialized at the first observation with P = r.  The
+    rational P-update breaks the affine-scan trick, so each series
+    folds through ONE Catalyst aggregate over its sorted value array
+    (JVM-side, no UDF, one key shuffle, loud max_points guard); the
+    oracle replays the identical op order as a lockstep recursive
+    CTE."""
+    from recover_spark.operators.temporal import kalman_filter
+
+    events = _load(spark, sf_dir, "events")
+    out = kalman_filter(
+        events,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        process_var=0.5,
+        obs_var=4.0,
+        tiebreakers=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        _ts(F.col("ts"), "ts"),
+        "event_id",
+        "value",
+        "x_filtered",
+    ).orderBy("user_id", "ts", "event_id")
+
+
 def q_graph_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH RECURSIVE parity (ops/graph.py:hierarchy_paths): root,
     depth, and materialized root-to-node path for every node of a
@@ -8857,6 +8888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca": q_emb_pca,
         "graph_kcore": q_graph_kcore,
         "graph_hierarchy": q_graph_hierarchy,
+        "ts_kalman": q_ts_kalman,
         "v11_benford": q_v11_benford,
         "ts_anomaly_mad": q_ts_anomaly_mad,
         "agg_entropy": q_agg_entropy,
@@ -9067,11 +9099,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (never driver-captured) and lead.  Then (b) the queries whose
     # most recent hash-green capture is OLDEST, computed from the
     # CORRECTNESS_r01..r13 history: the r4 block (7, alphabetical),
-    # then the r5 block (38) of which the first 29 alphabetical fit
-    # the 50-entry window — text_bm25, text_lm_bigram, text_lm_score,
-    # ts_holt, ts_interpolate, ts_smooth, v6_drift_categorical,
-    # win_global_rownum, win_range_frame, win_rank_dist,
-    # win_session_native and win_streaks lead r15's (b) block.
+    # then the r5 block (38) of which the first 28 alphabetical fit
+    # the 50-entry window — stream_topk_matview, text_bm25,
+    # text_lm_bigram, text_lm_score, ts_holt, ts_interpolate,
+    # ts_smooth, v6_drift_categorical, win_global_rownum,
+    # win_range_frame, win_rank_dist, win_session_native and
+    # win_streaks lead r15's (b) block.
     # tools/check_correctness.py re-runs ALL entries regardless.
     front = [
         # (a) new / construction-changed / oracle-changed this round
@@ -9082,6 +9115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_pattern_matview",
         "text_lm_kneser_ney",
         "graph_hierarchy",
+        "ts_kalman",
         "v3_results_doc",
         "ann_ivf_joined",
         "stream_expectations_matview",
@@ -14064,6 +14098,31 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(avg(w), 6) AS importance
             FROM exploded JOIN weights USING (feat)
             GROUP BY doc_id
+        """,
+        "ts_kalman": """
+            WITH RECURSIVE vals AS (
+                SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS z,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS i
+                FROM events),
+            kal AS (
+                SELECT user_id, i, z, z AS x, CAST(4.0 AS DOUBLE) AS P
+                FROM vals WHERE i = 1
+                UNION ALL
+                SELECT v.user_id, v.i, v.z,
+                       k.x + ((k.P + 0.5) / (k.P + 0.5 + 4.0))
+                           * (v.z - k.x) AS x,
+                       (1.0 - (k.P + 0.5) / (k.P + 0.5 + 4.0))
+                           * (k.P + 0.5) AS P
+                FROM kal k
+                JOIN vals v ON v.user_id = k.user_id AND v.i = k.i + 1)
+            SELECT v.user_id,
+                   strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   v.event_id, v.z AS value,
+                   round(k.x + 1e-9, 6) + 0.0 AS x_filtered
+            FROM kal k
+            JOIN vals v ON v.user_id = k.user_id AND v.i = k.i
+            ORDER BY v.user_id, v.ts, v.event_id
         """,
         "graph_hierarchy": """
             WITH RECURSIVE h AS (

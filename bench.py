@@ -226,6 +226,7 @@ HEADLINE = [
     "stream_pattern_matview",
     "text_lm_kneser_ney",
     "graph_hierarchy",
+    "ts_kalman",
 ]
 
 

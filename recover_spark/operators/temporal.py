@@ -2277,3 +2277,114 @@ def sequence_pattern_counts(
             F.regexp_count(F.col("__seq"), F.lit(rx)).cast("bigint").alias(name)
         )
     return guarded.select(*out_cols)
+
+
+def kalman_filter(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    process_var: float,
+    obs_var: float,
+    tiebreakers: Sequence[str] = (),
+    max_points: int = 100_000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key 1-D Kalman filter, local-level (random-walk) model — the
+    optimal linear denoiser the moving-average/EWMA smoothers
+    approximate: per step ``P_pred = P + q``, gain
+    ``K = P_pred/(P_pred + r)``, ``x += K (z - x)``,
+    ``P = (1 - K) P_pred``, initialized at the first observation with
+    ``P = r``.  Unlike a fixed-alpha EWMA the gain ADAPTS: it starts
+    high (trust the data while uncertain) and settles to the
+    steady-state ratio fixed by q/r.
+
+    The recursion is inherently sequential and NOT affine in (x, P)
+    (the P update is rational), so it cannot ride the chunked
+    affine-scan used by exact EWMA; instead each key's series folds
+    through ONE Catalyst ``aggregate`` over its sorted value array —
+    JVM-side, no UDF, one key shuffle, sequence length bounded by the
+    loud ``max_points`` guard (group-level, the codegen-safe
+    convention).  The oracle replays the identical operation order as
+    a lockstep recursive CTE, so filtered values hash bit-for-bit.
+
+    Output: one row per observation — (key, ts, *tiebreakers, value,
+    x_filtered) with ``x_filtered`` rounded to ``round_digits``; the
+    CARRIED state is never rounded.
+    """
+    if process_var < 0 or obs_var <= 0:
+        raise ValueError("need process_var >= 0 and obs_var > 0")
+    q = float(process_var)
+    r = float(obs_var)
+    tb_fields = [F.col(c).alias(f"__tb{i}") for i, c in enumerate(tiebreakers)]
+    ev = F.struct(
+        F.col(ts_col).alias("__ts"),
+        *tb_fields,
+        F.col(value_col).cast("double").alias("__z"),
+    )
+    grouped = (
+        df.groupBy(key_col)
+        .agg(
+            F.array_sort(F.collect_list(ev)).alias("__evs"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .withColumn(
+            "__evs",
+            F.when(F.col("__n") <= max_points, F.col("__evs")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "kalman_filter: key exceeds max_points="
+                            f"{max_points} observations ("
+                        ),
+                        F.col("__n").cast("string"),
+                        F.lit(") — window the series first"),
+                    )
+                )
+            ),
+        )
+    )
+    # Fold: accumulator (x, P, out[]) advances through the sorted
+    # series; out collects each step's filtered x.  Operation order
+    # matches the oracle CTE exactly: K = (P+q)/(P+q+r).
+    fold = (
+        "aggregate(__evs, "
+        " named_struct("
+        "   'x', CAST(NULL AS DOUBLE), 'P', CAST(0.0 AS DOUBLE), "
+        "   'out', CAST(array() AS ARRAY<DOUBLE>)), "
+        " (acc, e) -> CASE WHEN acc.x IS NULL THEN named_struct("
+        "     'x', e.__z, 'P', CAST({r} AS DOUBLE), "
+        "     'out', array_append(acc.out, e.__z)) "
+        "   ELSE named_struct("
+        "     'x', acc.x + ((acc.P + {q}) / (acc.P + {q} + {r})) "
+        "            * (e.__z - acc.x), "
+        "     'P', (1.0 - (acc.P + {q}) / (acc.P + {q} + {r})) "
+        "            * (acc.P + {q}), "
+        "     'out', array_append(acc.out, "
+        "        acc.x + ((acc.P + {q}) / (acc.P + {q} + {r})) "
+        "            * (e.__z - acc.x))) END, "
+        " acc -> acc.out)"
+    ).format(q=repr(q), r=repr(r))
+    out = (
+        grouped.withColumn("__xs", F.expr(fold))
+        .select(
+            key_col,
+            F.posexplode(
+                F.arrays_zip(F.col("__evs"), F.col("__xs"))
+            ).alias("__i", "__pair"),
+        )
+        .select(
+            key_col,
+            F.col("__pair.__evs.__ts").alias(ts_col),
+            *[
+                F.col(f"__pair.__evs.__tb{i}").alias(c)
+                for i, c in enumerate(tiebreakers)
+            ],
+            F.col("__pair.__evs.__z").alias(value_col),
+            (
+                F.round(F.col("__pair.__xs") + F.lit(1e-9), round_digits)
+                + F.lit(0.0)
+            ).alias("x_filtered"),
+        )
+    )
+    return out
