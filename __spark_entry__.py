@@ -6874,6 +6874,37 @@ def q_ts_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "ts", "event_id")
 
 
+def q_ts_kalman_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTS smoother over the local-level Kalman pair
+    (operators/temporal.py:kalman_smoother): the backward pass that
+    conditions every estimate on the WHOLE series — x_s[t] = x_f[t] +
+    C_t (x_s[t+1] - x_f[t]), C_t = P_f[t]/(P_f[t]+q).  Both passes are
+    Catalyst folds over each key's sorted array (forward carries
+    (x, P), backward runs over the reversed pair array); ONE key
+    shuffle, no UDF.  Oracle: forward + anchored-backward lockstep
+    recursive CTEs with identical op order."""
+    from recover_spark.operators.temporal import kalman_smoother
+
+    events = _load(spark, sf_dir, "events")
+    out = kalman_smoother(
+        events,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        process_var=0.5,
+        obs_var=4.0,
+        tiebreakers=["event_id"],
+    )
+    return out.select(
+        "user_id",
+        _ts(F.col("ts"), "ts"),
+        "event_id",
+        "value",
+        "x_filtered",
+        "x_smoothed",
+    ).orderBy("user_id", "ts", "event_id")
+
+
 def q_graph_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH RECURSIVE parity (ops/graph.py:hierarchy_paths): root,
     depth, and materialized root-to-node path for every node of a
@@ -8889,6 +8920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_kcore": q_graph_kcore,
         "graph_hierarchy": q_graph_hierarchy,
         "ts_kalman": q_ts_kalman,
+        "ts_kalman_smooth": q_ts_kalman_smooth,
         "v11_benford": q_v11_benford,
         "ts_anomaly_mad": q_ts_anomaly_mad,
         "agg_entropy": q_agg_entropy,
@@ -9099,12 +9131,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (never driver-captured) and lead.  Then (b) the queries whose
     # most recent hash-green capture is OLDEST, computed from the
     # CORRECTNESS_r01..r13 history: the r4 block (7, alphabetical),
-    # then the r5 block (38) of which the first 28 alphabetical fit
-    # the 50-entry window — stream_topk_matview, text_bm25,
-    # text_lm_bigram, text_lm_score, ts_holt, ts_interpolate,
-    # ts_smooth, v6_drift_categorical, win_global_rownum,
-    # win_range_frame, win_rank_dist, win_session_native and
-    # win_streaks lead r15's (b) block.
+    # then the r5 block (38) of which the first 27 alphabetical fit
+    # the 50-entry window — stream_interval_join_outer,
+    # stream_topk_matview, text_bm25, text_lm_bigram, text_lm_score,
+    # ts_holt, ts_interpolate, ts_smooth, v6_drift_categorical,
+    # win_global_rownum, win_range_frame, win_rank_dist,
+    # win_session_native and win_streaks lead r15's (b) block.
     # tools/check_correctness.py re-runs ALL entries regardless.
     front = [
         # (a) new / construction-changed / oracle-changed this round
@@ -9116,6 +9148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_kneser_ney",
         "graph_hierarchy",
         "ts_kalman",
+        "ts_kalman_smooth",
         "v3_results_doc",
         "ann_ivf_joined",
         "stream_expectations_matview",
@@ -14098,6 +14131,44 @@ def _oracle_sql_literal() -> dict[str, str]:
                    round(avg(w), 6) AS importance
             FROM exploded JOIN weights USING (feat)
             GROUP BY doc_id
+        """,
+        "ts_kalman_smooth": """
+            WITH RECURSIVE vals AS (
+                SELECT user_id, ts, event_id, CAST(value AS DOUBLE) AS z,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS i
+                FROM events),
+            kal AS (
+                SELECT user_id, i, z, z AS x, CAST(4.0 AS DOUBLE) AS P
+                FROM vals WHERE i = 1
+                UNION ALL
+                SELECT v.user_id, v.i, v.z,
+                       k.x + ((k.P + 0.5) / (k.P + 0.5 + 4.0))
+                           * (v.z - k.x) AS x,
+                       (1.0 - (k.P + 0.5) / (k.P + 0.5 + 4.0))
+                           * (k.P + 0.5) AS P
+                FROM kal k
+                JOIN vals v ON v.user_id = k.user_id AND v.i = k.i + 1),
+            nmax AS (
+                SELECT user_id, max(i) AS n FROM vals GROUP BY user_id),
+            smooth AS (
+                SELECT k.user_id, k.i, k.x AS xs
+                FROM kal k JOIN nmax m
+                  ON k.user_id = m.user_id AND k.i = m.n
+                UNION ALL
+                SELECT f.user_id, f.i,
+                       f.x + (f.P / (f.P + 0.5)) * (s.xs - f.x)
+                FROM smooth s
+                JOIN kal f ON f.user_id = s.user_id AND f.i = s.i - 1)
+            SELECT v.user_id,
+                   strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                   v.event_id, v.z AS value,
+                   round(k.x + 1e-9, 6) + 0.0 AS x_filtered,
+                   round(s.xs + 1e-9, 6) + 0.0 AS x_smoothed
+            FROM vals v
+            JOIN kal k ON k.user_id = v.user_id AND k.i = v.i
+            JOIN smooth s ON s.user_id = v.user_id AND s.i = v.i
+            ORDER BY v.user_id, v.ts, v.event_id
         """,
         "ts_kalman": """
             WITH RECURSIVE vals AS (

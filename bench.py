@@ -227,6 +227,7 @@ HEADLINE = [
     "text_lm_kneser_ney",
     "graph_hierarchy",
     "ts_kalman",
+    "ts_kalman_smooth",
 ]
 
 

@@ -2388,3 +2388,126 @@ def kalman_filter(
         )
     )
     return out
+
+
+def kalman_smoother(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    process_var: float,
+    obs_var: float,
+    tiebreakers: Sequence[str] = (),
+    max_points: int = 100_000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Rauch-Tung-Striebel smoother over :func:`kalman_filter`'s
+    local-level model — the OFFLINE companion: where the filter may
+    only look backward (online estimate at time t uses z_1..z_t), the
+    smoother runs a backward pass so every estimate conditions on the
+    WHOLE series, ``x_s[t] = x_f[t] + C_t (x_s[t+1] - x_f[t])`` with
+    smoother gain ``C_t = P_f[t] / (P_f[t] + q)`` (the random-walk
+    prediction makes ``x_pred[t+1] = x_f[t]``).
+
+    Both passes are Catalyst ``aggregate`` folds over each key's
+    sorted array — forward carrying (x, P) and emitting both, backward
+    over the REVERSED pair array carrying the smoothed successor.  One
+    key shuffle total, JVM-side, no UDF, the group-level
+    ``max_points`` guard.  The oracle replays both recursions
+    (forward, then an anchored backward walk) in lockstep CTEs with
+    the identical operation order.
+
+    Output: (key, ts, *tiebreakers, value, x_filtered, x_smoothed).
+    """
+    if process_var < 0 or obs_var <= 0:
+        raise ValueError("need process_var >= 0 and obs_var > 0")
+    q = float(process_var)
+    r = float(obs_var)
+    tb_fields = [F.col(c).alias(f"__tb{i}") for i, c in enumerate(tiebreakers)]
+    ev = F.struct(
+        F.col(ts_col).alias("__ts"),
+        *tb_fields,
+        F.col(value_col).cast("double").alias("__z"),
+    )
+    grouped = (
+        df.groupBy(key_col)
+        .agg(
+            F.array_sort(F.collect_list(ev)).alias("__evs"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .withColumn(
+            "__evs",
+            F.when(F.col("__n") <= max_points, F.col("__evs")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "kalman_smoother: key exceeds max_points="
+                            f"{max_points} observations ("
+                        ),
+                        F.col("__n").cast("string"),
+                        F.lit(") — window the series first"),
+                    )
+                )
+            ),
+        )
+    )
+    fwd = (
+        "aggregate(__evs, "
+        " named_struct("
+        "   'x', CAST(NULL AS DOUBLE), 'P', CAST(0.0 AS DOUBLE), "
+        "   'out', CAST(array() AS ARRAY<STRUCT<x: DOUBLE, P: DOUBLE>>)), "
+        " (acc, e) -> CASE WHEN acc.x IS NULL THEN named_struct("
+        "     'x', e.__z, 'P', CAST({r} AS DOUBLE), "
+        "     'out', array_append(acc.out, "
+        "        named_struct('x', e.__z, 'P', CAST({r} AS DOUBLE)))) "
+        "   ELSE named_struct("
+        "     'x', acc.x + ((acc.P + {q}) / (acc.P + {q} + {r})) "
+        "            * (e.__z - acc.x), "
+        "     'P', (1.0 - (acc.P + {q}) / (acc.P + {q} + {r})) "
+        "            * (acc.P + {q}), "
+        "     'out', array_append(acc.out, named_struct("
+        "        'x', acc.x + ((acc.P + {q}) / (acc.P + {q} + {r})) "
+        "            * (e.__z - acc.x), "
+        "        'P', (1.0 - (acc.P + {q}) / (acc.P + {q} + {r})) "
+        "            * (acc.P + {q})))) END, "
+        " acc -> acc.out)"
+    ).format(q=repr(q), r=repr(r))
+    bwd = (
+        "reverse(aggregate(reverse(__fwd), "
+        " named_struct('xs', CAST(NULL AS DOUBLE), "
+        "   'out', CAST(array() AS ARRAY<DOUBLE>)), "
+        " (acc, f) -> CASE WHEN acc.xs IS NULL THEN named_struct("
+        "     'xs', f.x, 'out', array_append(acc.out, f.x)) "
+        "   ELSE named_struct("
+        "     'xs', f.x + (f.P / (f.P + {q})) * (acc.xs - f.x), "
+        "     'out', array_append(acc.out, "
+        "        f.x + (f.P / (f.P + {q})) * (acc.xs - f.x))) END, "
+        " acc -> acc.out))"
+    ).format(q=repr(q))
+    return (
+        grouped.withColumn("__fwd", F.expr(fwd))
+        .withColumn("__bwd", F.expr(bwd))
+        .select(
+            key_col,
+            F.posexplode(
+                F.arrays_zip(F.col("__evs"), F.col("__fwd"), F.col("__bwd"))
+            ).alias("__i", "__p"),
+        )
+        .select(
+            key_col,
+            F.col("__p.__evs.__ts").alias(ts_col),
+            *[
+                F.col(f"__p.__evs.__tb{i}").alias(c)
+                for i, c in enumerate(tiebreakers)
+            ],
+            F.col("__p.__evs.__z").alias(value_col),
+            (
+                F.round(F.col("__p.__fwd.x") + F.lit(1e-9), round_digits)
+                + F.lit(0.0)
+            ).alias("x_filtered"),
+            (
+                F.round(F.col("__p.__bwd") + F.lit(1e-9), round_digits)
+                + F.lit(0.0)
+            ).alias("x_smoothed"),
+        )
+    )
