@@ -6905,6 +6905,31 @@ def q_ts_kalman_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "ts", "event_id")
 
 
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (ops/graph.py:hits) over the DIRECTED
+    customer->supplier trade graph: hubs = broad high-quality buyers,
+    authorities = the suppliers strong buyers concentrate on — the
+    directed-duality signal PageRank's single stationary mass cannot
+    express.  6 power iterations, each half-step ONE edge-score
+    equi-join + a receiving-endpoint sum (never a window), L2 norms as
+    one-row broadcast aggregates, lazy checkpoints bound lineage.
+    Oracle: the same 6 iterations unrolled as chained CTEs."""
+    from recover_spark.ops.graph import hits
+
+    lineitem = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    edges = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    out = hits(edges, iterations=6)
+    return out.orderBy("node")
+
+
 def q_graph_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH RECURSIVE parity (ops/graph.py:hierarchy_paths): root,
     depth, and materialized root-to-node path for every node of a
@@ -8919,6 +8944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca": q_emb_pca,
         "graph_kcore": q_graph_kcore,
         "graph_hierarchy": q_graph_hierarchy,
+        "graph_hits": q_graph_hits,
         "ts_kalman": q_ts_kalman,
         "ts_kalman_smooth": q_ts_kalman_smooth,
         "v11_benford": q_v11_benford,
@@ -9131,12 +9157,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (never driver-captured) and lead.  Then (b) the queries whose
     # most recent hash-green capture is OLDEST, computed from the
     # CORRECTNESS_r01..r13 history: the r4 block (7, alphabetical),
-    # then the r5 block (38) of which the first 27 alphabetical fit
-    # the 50-entry window — stream_interval_join_outer,
-    # stream_topk_matview, text_bm25, text_lm_bigram, text_lm_score,
-    # ts_holt, ts_interpolate, ts_smooth, v6_drift_categorical,
-    # win_global_rownum, win_range_frame, win_rank_dist,
-    # win_session_native and win_streaks lead r15's (b) block.
+    # then the r5 block (38) of which the first 26 alphabetical fit
+    # the 50-entry window — skew_hitters_sketch,
+    # stream_interval_join_outer, stream_topk_matview, text_bm25,
+    # text_lm_bigram, text_lm_score, ts_holt, ts_interpolate,
+    # ts_smooth, v6_drift_categorical, win_global_rownum,
+    # win_range_frame, win_rank_dist, win_session_native and
+    # win_streaks lead r15's (b) block.
     # tools/check_correctness.py re-runs ALL entries regardless.
     front = [
         # (a) new / construction-changed / oracle-changed this round
@@ -9149,6 +9176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hierarchy",
         "ts_kalman",
         "ts_kalman_smooth",
+        "graph_hits",
         "v3_results_doc",
         "ann_ivf_joined",
         "stream_expectations_matview",
@@ -9206,6 +9234,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: base[k] for k in front} | {
         k: v for k, v in base.items() if k not in front
     }
+
+
+def _hits_oracle_sql(iterations: int = 6) -> str:
+    """Unrolled HITS power iteration (the pagerank-oracle convention):
+    per iteration an authority half-step (in-edge hub sums, L2
+    normalized) then a hub half-step, identical operation order to
+    ops/graph.py:hits."""
+    ctes = [
+        "e AS MATERIALIZED (SELECT DISTINCT 'c' || o.o_custkey AS s, "
+        "'s' || l.l_suppkey AS d "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)",
+        "nodes AS MATERIALIZED "
+        "(SELECT s AS node FROM e UNION SELECT d FROM e)",
+        "h0 AS (SELECT node, 1.0 AS h FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"a{i}_raw AS MATERIALIZED "
+            f"(SELECT n.node, coalesce(t.ar, 0.0) AS ar "
+            f"FROM nodes n LEFT JOIN (SELECT e.d AS node, sum(h.h) AS ar "
+            f"FROM e JOIN h{i - 1} h ON e.s = h.node GROUP BY e.d) t "
+            f"ON n.node = t.node)"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT node, ar / "
+            f"(SELECT sqrt(sum(ar * ar)) FROM a{i}_raw) AS a FROM a{i}_raw)"
+        )
+        ctes.append(
+            f"h{i}_raw AS MATERIALIZED "
+            f"(SELECT n.node, coalesce(t.hr, 0.0) AS hr "
+            f"FROM nodes n LEFT JOIN (SELECT e.s AS node, sum(a.a) AS hr "
+            f"FROM e JOIN a{i} a ON e.d = a.node GROUP BY e.s) t "
+            f"ON n.node = t.node)"
+        )
+        ctes.append(
+            f"h{i} AS MATERIALIZED (SELECT node, hr / "
+            f"(SELECT sqrt(sum(hr * hr)) FROM h{i}_raw) AS h FROM h{i}_raw)"
+        )
+    n = iterations
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+        SELECT h.node, round(h.h + 1e-9, 6) + 0.0 AS hub,
+               round(a.a + 1e-9, 6) + 0.0 AS authority
+        FROM h{n} h JOIN a{n} a ON h.node = a.node
+        ORDER BY h.node
+    """
+    )
 
 
 # -- oracle SQL builders ----------------------------------------------------
@@ -14195,6 +14270,7 @@ def _oracle_sql_literal() -> dict[str, str]:
             JOIN vals v ON v.user_id = k.user_id AND v.i = k.i
             ORDER BY v.user_id, v.ts, v.event_id
         """,
+        "graph_hits": _hits_oracle_sql(6),
         "graph_hierarchy": """
             WITH RECURSIVE h AS (
                 SELECT c_custkey AS node,

@@ -228,6 +228,7 @@ HEADLINE = [
     "graph_hierarchy",
     "ts_kalman",
     "ts_kalman_smooth",
+    "graph_hits",
 ]
 
 

@@ -823,3 +823,100 @@ def hierarchy_paths(
             "/",
         ).alias("path"),
     )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 6,
+    round_digits: int = 6,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) by power iteration —
+    PageRank's directed-duality companion: a node is a good HUB when it
+    points at good authorities, a good AUTHORITY when good hubs point
+    at it (``a = Aᵀh``, ``h = Aa``, L2-normalized each half-step).
+    On a buyer→supplier graph the hub score ranks broad high-quality
+    buyers, the authority score ranks suppliers the strong buyers
+    concentrate on — a different signal from PageRank's single
+    stationary mass.
+
+    Engine shape (the pagerank conventions): each half-step is ONE
+    edge-score equi-join + a mergeable sum aggregate keyed on the
+    receiving endpoint (never a window — a hub node would make one
+    window partition edge-sized); the L2 norm is a one-row aggregate
+    broadcast back; per-iteration lazy checkpoints bound lineage.
+    Scores are rounded once at the end; the oracle unrolls the same
+    iterations as chained CTEs with identical op order.
+
+    Returns (node, hub, authority) for every endpoint.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("__s"), F.col(dst).alias("__d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionAll(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hub = nodes.withColumn("h", F.lit(1.0))
+    for _ in range(iterations):
+        a_raw = (
+            nodes.join(
+                e.join(hub, e.__s == hub.node)
+                .groupBy("__d")
+                .agg(F.sum("h").alias("__ar"))
+                .withColumnRenamed("__d", "node"),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce(F.col("__ar"), F.lit(0.0)).alias("__ar"))
+        )
+        a_norm = a_raw.groupBy().agg(
+            F.sqrt(F.sum(F.col("__ar") * F.col("__ar"))).alias("__an")
+        )
+        # checkpoint per half-step: the L2 norm makes a_raw a
+        # two-consumer plan (the norm aggregate AND the normalized
+        # projection) — un-checkpointed, each consumer re-executes the
+        # whole half-step lineage (measured 12.6 -> 18.5 s without)
+        auth = (
+            a_raw.crossJoin(F.broadcast(a_norm))
+            .select("node", (F.col("__ar") / F.col("__an")).alias("a"))
+            .localCheckpoint(eager=False)
+        )
+        h_raw = (
+            nodes.join(
+                e.join(auth, e.__d == auth.node)
+                .groupBy("__s")
+                .agg(F.sum("a").alias("__hr"))
+                .withColumnRenamed("__s", "node"),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce(F.col("__hr"), F.lit(0.0)).alias("__hr"))
+        )
+        h_norm = h_raw.groupBy().agg(
+            F.sqrt(F.sum(F.col("__hr") * F.col("__hr"))).alias("__hn")
+        )
+        hub = (
+            h_raw.crossJoin(F.broadcast(h_norm))
+            .select("node", (F.col("__hr") / F.col("__hn")).alias("h"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        hub.join(auth, "node")
+        .select(
+            "node",
+            (F.round(F.col("h") + F.lit(1e-9), round_digits) + F.lit(0.0)).alias(
+                "hub"
+            ),
+            (F.round(F.col("a") + F.lit(1e-9), round_digits) + F.lit(0.0)).alias(
+                "authority"
+            ),
+        )
+    )
