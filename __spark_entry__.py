@@ -20,6 +20,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from recover_spark.functions.local import tiny_df as _tiny_df
+
 SF_SMOKE = "/root/testdata/sf0.001"
 # the driver compares queries against oracles at sf0.01; oracles that
 # inline data-derived fixture constants (emb_pca_project) build them
@@ -311,7 +313,8 @@ def q_v1_range_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     ]
     results = run_suite(lineitem, suite)
-    return spark.createDataFrame(
+    return _tiny_df(
+        spark,
         [
             (r.column, r.element_count, r.unexpected_count, r.success)
             for r in results
@@ -496,34 +499,23 @@ def q_dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     turned into a keep-one-per-cluster decision over the VECTOR space
     (the embedding sibling of dedup_clusters' n-gram graph).
     Singleton vectors cluster to themselves.  Oracle: the identical
-    blocked pair SQL feeding a recursive-closure min-label collapse."""
-    from recover_spark.ops import (
-        connected_components,
-        embedding_near_duplicates,
-    )
+    blocked pair SQL feeding a recursive-closure min-label collapse.
 
-    emb = _load(spark, sf_dir, "embeddings")
-    # 4 planes (16 buckets) rather than dedup_embedding's 2: the
-    # cluster query feeds CC with every within-bucket pair, and
-    # within-bucket pair count grows as (n/buckets)^2 — the sf1 probe
-    # measured the 4-bucket blocking at 8.2x for 10x vectors, the
-    # 16-bucket one stays near-linear
-    pairs = embedding_near_duplicates(
-        emb, threshold=0.45, dim=64, num_planes=4
-    )
-    comp = connected_components(
-        pairs, src="id_a", dst="id_b",
-        node_col="vec_id", component_col="cluster",
-    )
-    return (
-        emb.select("vec_id")
-        .join(comp, "vec_id", "left")
-        .select(
-            "vec_id",
-            F.coalesce("cluster", F.col("vec_id")).alias("cluster"),
-        )
-        .orderBy("vec_id")
-    )
+    4 planes (16 buckets) rather than dedup_embedding's 2: the
+    cluster query feeds CC with every within-bucket pair, and
+    within-bucket pair count grows as (n/buckets)^2 — the sf1 probe
+    measured the 4-bucket blocking at 8.2x for 10x vectors, the
+    16-bucket one stays near-linear.
+
+    The clustering is the ONE shared run per (process, sf_dir)
+    (_shared_semantic_clusters): this query carries the construct in
+    the bench (lifecycle split: construct = pairs + CC fixpoint +
+    state write, read = the assignment scan), and the histogram/split
+    siblings aggregate the same state instead of re-running the
+    fixpoint — deterministic assignment, so no row of any of the
+    three moves."""
+    state = _shared_semantic_clusters(spark, sf_dir)
+    return spark.read.parquet(state).orderBy("vec_id")
 
 
 def q_dedup_embedding_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1495,7 +1487,8 @@ def q_retrieval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from recover_spark.ops.text_analysis import prf_expand_topk
 
     docs = _load(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
+    queries = _tiny_df(
+        spark,
         [
             ("q_join", "hash join merge"),
             ("q_scan", "fast table scan"),
@@ -1540,7 +1533,8 @@ def q_v3_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
          int(r.element_count), int(r.unexpected_count))
         for r in run_suite(events, suite)
     ]
-    return spark.createDataFrame(
+    return _tiny_df(
+        spark,
         rows,
         "expectation_type string, column_name string, success boolean, "
         "element_count long, unexpected_count long",
@@ -1599,7 +1593,8 @@ def q_v3_results_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
          int(r["element_count"]), int(r["unexpected_count"]))
         for r in doc["results"]
     ]
-    return spark.createDataFrame(
+    return _tiny_df(
+        spark,
         rows,
         "expectation_type string, column_name string, success boolean, "
         "element_count long, unexpected_count long",
@@ -5406,10 +5401,15 @@ def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplication profile of the semantic-cluster assignment
     (ops/dedup_text.py:cluster_size_histogram): per cluster SIZE, how
     many clusters and rows — the "how duplicated is this corpus"
-    screen and the sizing input for keep-one-per-cluster."""
+    screen and the sizing input for keep-one-per-cluster.  Reads the
+    ONE shared cluster assignment (_shared_semantic_clusters) instead
+    of re-running the LSH + CC fixpoint — identical rows, one fixpoint
+    per bench run instead of three."""
     from recover_spark.ops import cluster_size_histogram
 
-    clustered = q_dedup_semantic_clusters(spark, sf_dir)
+    clustered = spark.read.parquet(
+        _shared_semantic_clusters(spark, sf_dir)
+    )
     return cluster_size_histogram(clustered, "cluster")
 
 
@@ -6122,27 +6122,17 @@ def q_dedup_cosine_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (one-sided prefix guarantee), postings scanned with
     PartitionFilters on the term-bucket, cost O(batch) not O(corpus).
     The weekly-export question the batch AP-SS join re-pays the corpus
-    to answer.  Oracle: brute-force cross cosines."""
-    import hashlib
-    import os
-    import tempfile
+    to answer.  Oracle: brute-force cross cosines.
 
-    from recover_spark.ops.text_index import build_text_index, probe_text_index
+    The base index is the ONE shared build per (process, sf_dir)
+    (_shared_text_base_index — r14 optimization: the deletion gate
+    copies this same deterministic artifact instead of rebuilding it,
+    and the pre-r14 cross-run /tmp cache is gone: every invocation of
+    the engine rebuilds from the parquet inputs)."""
+    from recover_spark.ops.text_index import probe_text_index
 
     docs = _load(spark, sf_dir, "documents")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"recover_textidx_{tag}")
-    idx = os.path.join(root, "documents_idx")
-    # require every index component: a cache from an older format
-    # (e.g. pre-`vectors/`) must rebuild, not poison the probe
-    complete = all(
-        os.path.exists(os.path.join(idx, p))
-        for p in ("_text_index.json", "postings", "df", "vectors")
-    )
-    if not complete:
-        build_text_index(
-            docs.filter(F.col("doc_id") % 5 != 0), idx, num_buckets=16
-        )
+    idx = _shared_text_base_index(spark, sf_dir)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     return probe_text_index(batch, idx, 0.9).orderBy("new_id", "indexed_id")
 
@@ -6191,20 +6181,25 @@ def q_dedup_cosine_probe_deleted(spark: SparkSession, sf_dir: str) -> DataFrame:
     src/glue/jobs/json_to_parquet.py); a health-data platform must
     scrub derived surfaces too.  Oracle: brute-force cross cosines
     against the corpus MINUS the deleted docs — the index must be
-    indistinguishable from one that never held them."""
+    indistinguishable from one that never held them.
+
+    r14 optimization: the pre-deletion index is a COPY of the one
+    shared base build (_shared_text_base_index — same corpus filter,
+    same bucket count, deterministic build, so the copy is
+    byte-identical to building fresh here); the deletion — the thing
+    under test — still runs against this query's own private copy
+    every invocation."""
+    import shutil
     import tempfile
 
     from recover_spark.ops.text_index import (
-        build_text_index,
         delete_from_text_index,
         probe_text_index,
     )
 
     docs = _load(spark, sf_dir, "documents")
     idx = tempfile.mkdtemp(prefix="recover_textidx_del_") + "/idx"
-    build_text_index(
-        docs.filter(F.col("doc_id") % 5 != 0), idx, num_buckets=16
-    )
+    shutil.copytree(_shared_text_base_index(spark, sf_dir), idx)
     victims = docs.filter(
         (F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 == 3)
     ).select("doc_id")
@@ -6251,7 +6246,8 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     from recover_spark.ops.text_analysis import bm25_topk
 
     docs = _load(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(
+    queries = _tiny_df(
+        spark,
         [
             ("q_join", "hash join merge"),
             ("q_scan", "fast table scan"),
@@ -6288,11 +6284,20 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     applying the merge — lineage truncated via localCheckpoint.  No
     SQL twin (iterative, data-dependent argmax per step): rows-only
     driver check; exact-parity pin vs an independent pure-Python
-    trainer lives in tests/test_bpe.py."""
-    from recover_spark.ops.bpe import train_bpe
-
-    docs = _load(spark, sf_dir, "documents")
-    return train_bpe(docs, num_merges=12).orderBy("iteration")
+    trainer lives in tests/test_bpe.py.  The 12-merge training run is
+    the ONE shared trainer per (process, sf_dir)
+    (_shared_bpe_merges, the VERDICT r13 #1/#3 shared-lifecycle
+    convention): this query IS the trainer and carries the whole
+    construct in the bench; the fertility audit re-reads the learned
+    merge table instead of re-training it — training is deterministic,
+    so sharing cannot move a row of either query."""
+    merges = _shared_bpe_merges(spark, sf_dir)
+    return _tiny_df(
+        spark,
+        merges,
+        "iteration int, left string, right string, merged string, "
+        "weight long",
+    ).orderBy("iteration")
 
 
 def q_text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6307,13 +6312,19 @@ def q_text_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential trainer the hash-verified text_bpe_train uses, read at
     its FINAL state (the fully-merged symbol arrays ARE the encoding
     of every training word — encode applies the same rules in the
-    same order), joined back to the per-doc token stream."""
-    from recover_spark.ops.bpe import apply_bpe, train_bpe
+    same order), joined back to the per-doc token stream.  The merge
+    table comes from the ONE shared 12-merge trainer
+    (_shared_bpe_merges — text_bpe_train carries the construct;
+    training is deterministic, so the encoded rows are unchanged vs
+    re-training here)."""
+    from recover_spark.ops.bpe import apply_bpe
     from recover_spark.functions.text import tokens
 
     docs = _load(spark, sf_dir, "documents")
-    merges_df = train_bpe(docs, num_merges=12).orderBy("iteration")
-    merges = [(r["left"], r["right"]) for r in merges_df.collect()]
+    merges = [
+        (left, right)
+        for _, left, right, _, _ in _shared_bpe_merges(spark, sf_dir)
+    ]
     enc = apply_bpe(docs, merges)
     return (
         enc.select(
@@ -7247,6 +7258,118 @@ _SHARED_STATE_CACHE: dict[tuple, object] = {}
 _DRIFT_SHARED_COLS = ["l_extendedprice", "l_quantity", "l_discount"]
 
 
+def _shared_bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    """ONE 12-merge BPE training run per (process, sf_dir) — the
+    r14-optimization extension of the shared-lifecycle convention to
+    the tokenizer family: ``text_bpe_train``'s result IS the merge
+    table, and ``text_bpe_fertility`` re-applies that table to the
+    corpus, so the previous layout trained the identical deterministic
+    merges twice per bench run (~3 s of pure re-derivation at sf0.1).
+    The trainer runs on first demand; the family's first headline
+    query (text_bpe_train) carries the construct.  Returns the merge
+    tuples (iteration, left, right, merged, weight) in learning
+    order."""
+    import os
+
+    from recover_spark.ops.bpe import train_bpe
+
+    key = ("bpe12", os.path.abspath(sf_dir))
+    cached = _SHARED_STATE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    docs = _load(spark, sf_dir, "documents")
+    merges = sorted(
+        (
+            int(r["iteration"]),
+            r["left"],
+            r["right"],
+            r["merged"],
+            int(r["weight"]),
+        )
+        for r in train_bpe(docs, num_merges=12).collect()
+    )
+    _SHARED_STATE_CACHE[key] = merges
+    return merges
+
+
+def _shared_text_base_index(spark: SparkSession, sf_dir: str) -> str:
+    """ONE inverted text index build (corpus = doc_id % 5 != 0, 16
+    term buckets) per (process, sf_dir) — the base artifact both
+    ``dedup_cosine_probe`` (probes it as-is) and
+    ``dedup_cosine_probe_deleted`` (copies it, then scrubs the copy)
+    start from.  The build is deterministic, so a copy of this
+    directory is byte-for-byte the index either query would have
+    built itself.  Replaces the pre-r14 cross-run /tmp cache with
+    per-process state under a uuid dir (each bench/oracle invocation
+    rebuilds from the parquet inputs — nothing persists across
+    runs)."""
+    import os
+    import uuid
+
+    from recover_spark.ops.text_index import build_text_index
+
+    key = ("textidx_base", os.path.abspath(sf_dir))
+    cached = _SHARED_STATE_CACHE.get(key)
+    if isinstance(cached, str) and os.path.isdir(cached):
+        return cached
+    idx = f"spark-warehouse/textidx_shared/{uuid.uuid4().hex}/idx"
+    docs = _load(spark, sf_dir, "documents")
+    build_text_index(
+        docs.filter(F.col("doc_id") % 5 != 0), idx, num_buckets=16
+    )
+    _SHARED_STATE_CACHE[key] = idx
+    return idx
+
+
+def _shared_semantic_clusters(spark: SparkSession, sf_dir: str) -> str:
+    """ONE embedding near-dup clustering run per (process, sf_dir) —
+    the shared-lifecycle convention extended to the semantic-cluster
+    family: ``dedup_semantic_clusters``'s result (vec_id, cluster) is
+    the exact input ``dedup_cluster_histogram`` and
+    ``dedup_cluster_split`` aggregate over, and all three previously
+    re-ran the LSH-pair + pointer-doubling-CC fixpoint independently
+    (~6 s each at sf0.1).  The assignment is deterministic (min-label
+    components over deterministic hyperplane buckets), so sharing
+    cannot move a row of any of the three.  Persisted as parquet under
+    a per-process uuid dir (never reused across runs); the family's
+    first headline query (dedup_semantic_clusters) carries the
+    construct."""
+    import os
+    import uuid
+
+    from recover_spark.ops import (
+        connected_components,
+        embedding_near_duplicates,
+    )
+
+    key = ("semclusters", os.path.abspath(sf_dir))
+    cached = _SHARED_STATE_CACHE.get(key)
+    if isinstance(cached, str) and os.path.isdir(cached):
+        return cached
+    out_dir = f"spark-warehouse/semclusters_shared/{uuid.uuid4().hex}"
+    emb = _load(spark, sf_dir, "embeddings")
+    # 4 planes (16 buckets): see q_dedup_semantic_clusters' sizing note
+    pairs = embedding_near_duplicates(
+        emb, threshold=0.45, dim=64, num_planes=4
+    )
+    comp = connected_components(
+        pairs, src="id_a", dst="id_b",
+        node_col="vec_id", component_col="cluster",
+    )
+    (
+        emb.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster", F.col("vec_id")).alias("cluster"),
+        )
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    _SHARED_STATE_CACHE[key] = out_dir
+    return out_dir
+
+
 def _shared_drift_state(spark: SparkSession, sf_dir: str) -> str:
     """ONE drift arrival pipeline per (process, sf_dir): freeze the
     pre-cut era's bin edges + baseline counts over the UNION of the
@@ -8149,10 +8272,15 @@ def q_dedup_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the md5 hash threshold keys on the cluster id every member
     shares — the step between dedup and packing in a real training
     pipeline.  The assignment is a map-side expression; the corpus
-    never shuffles for it."""
+    never shuffles for it.  Reads the ONE shared cluster assignment
+    (_shared_semantic_clusters) instead of re-running the LSH + CC
+    fixpoint — identical rows, one fixpoint per bench run instead of
+    three."""
     from recover_spark.ops import cluster_split
 
-    clustered = q_dedup_semantic_clusters(spark, sf_dir)
+    clustered = spark.read.parquet(
+        _shared_semantic_clusters(spark, sf_dir)
+    )
     return cluster_split(
         clustered,
         "cluster",

@@ -13,6 +13,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from recover_spark.functions.local import tiny_df
+
 # P6 — filename grammar: {Type}_[{Subtype}_][Deleted_]{YYYYMMDD}[-{YYYYMMDD}]
 # (s3_to_json.py:788-822; also parsed at compare_parquet_datasets.py:229-312,
 # raw/app.py:52-86, raw_sync/app.py:469-510 — one regex replaces all four.)
@@ -221,7 +223,8 @@ def cast_to_schema_logged(
     the audit trail instead of silently normalized away.
     """
     drift = schema_drift(df.schema, schema)
-    ledger = df.sparkSession.createDataFrame(
+    ledger = tiny_df(
+        df.sparkSession,
         [
             (
                 dataset,

@@ -18,6 +18,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from recover_spark.functions.local import tiny_df
+
 
 class CountStage(str, enum.Enum):
     """Pipeline stages, mirroring json_to_parquet.py:419-443 CountEventType."""
@@ -174,7 +176,8 @@ def profile_columns(
                 mean,
             )
         )
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         out,
         "column string, data_type string, n_rows long, n_nulls long, "
         "completeness double, approx_distinct long, min_value string, "

@@ -32,6 +32,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from recover_spark.functions.local import tiny_df
+
 
 def asof_join(
     left: DataFrame,
@@ -1221,7 +1223,8 @@ def holt_winters_smooth(
     for j in range(D):
         add_tab(f"__sk{j}", v_tab[:, j])                      # len m
         add_tab(f"__rt{j}", Rk[:, j, :])                      # W*D
-    tables_df = spark.createDataFrame(
+    tables_df = tiny_df(
+        spark,
         [tuple(tab_row)],
         _T.StructType(
             [

@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from recover_spark.functions.local import tiny_df
+
 from recover_spark.functions.text import tokens
 
 # end-of-word sentinel (not a lowercase letter/digit so it can never
@@ -280,7 +282,8 @@ def train_bpe(
             current = nxt
     finally:
         current.unpersist()
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         merges,
         "iteration int, left string, right string, merged string, weight long",
     )

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from recover_spark.functions.local import tiny_df
+
 from recover_spark.ops.similarity import _assign_lists_gemm, _collect_seeds
 
 
@@ -102,7 +104,8 @@ def silhouette_by_cluster(
 
     seeds = centroids or _collect_seeds(corpus, n_centroids, id_col, vec_col)
     spark = corpus.sparkSession
-    cdf = spark.createDataFrame(
+    cdf = tiny_df(
+        spark,
         [(int(cid), [float(x) for x in vec]) for cid, vec in seeds],
         "cid long, __c array<double>",
     )

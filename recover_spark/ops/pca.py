@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from recover_spark.functions.local import tiny_df
+
 
 def _moment_rows(df: DataFrame, vec_col: str, d: int) -> DataFrame:
     """One-pass second-moment partials of an array column, as
@@ -227,7 +229,8 @@ def pca_project(
     mu_dot_w = [
         float(sum(m * w for m, w in zip(mean, comp))) for comp in components
     ]
-    wdf = spark.createDataFrame(
+    wdf = tiny_df(
+        spark,
         [tuple([float(x) for x in components[c]] for c in range(k))],
         ", ".join(f"__w{c} array<double>" for c in range(k)),
     )

@@ -22,6 +22,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from recover_spark.functions.local import tiny_df
+
 from recover_spark.functions.hashing import portable_hash32, portable_hash64
 
 _GRANULARITY = 10_000
@@ -863,7 +865,8 @@ def epoch_capped_mix(
     # `epochs` is rounded SPARK-side (not Python round): F.round's
     # half-up on the +1e-9-nudged quotient is the cross-engine
     # convention every rounded double on the surface uses.
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         plan,
         schema=(
             f"{source_col} string, available_tokens bigint, weight int, "

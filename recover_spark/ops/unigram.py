@@ -62,6 +62,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from recover_spark.functions.local import tiny_df
+
 from recover_spark.functions.text import tokens
 
 
@@ -251,8 +253,8 @@ def train_unigram(
         ),
         key=lambda x: (-x[1], x[0]),
     )
-    return spark.createDataFrame(
-        rows, "piece string, count long, logprob double"
+    return tiny_df(
+        spark, rows, "piece string, count long, logprob double"
     )
 
 

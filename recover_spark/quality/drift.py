@@ -46,6 +46,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from recover_spark.functions.local import tiny_df
+
 
 def quantile_edge_row(
     baseline: DataFrame,
@@ -153,7 +155,8 @@ def psi_from_binned_counts(
     cols = list(cols)
     # all (column, bin) slots so empty bins are present for the clamp
     slots = (
-        base_counts.sparkSession.createDataFrame(
+        tiny_df(
+            base_counts.sparkSession,
             [(c, b) for c in cols for b in range(n_bins)],
             "column string, bin int",
         )
@@ -311,8 +314,8 @@ def psi_from_categorical_counts(
     are additive across batches)."""
     spark = base_pooled.sparkSession
     slots = top.select("column", F.col("cat").alias("bin")).unionByName(
-        spark.createDataFrame(
-            [(c, "__other") for c in cols], "column string, bin string"
+        tiny_df(
+            spark, [(c, "__other") for c in cols], "column string, bin string"
         )
     )
     joined = (
@@ -666,7 +669,8 @@ def js_from_binned_counts(
     current era yields NULL (the family's degenerate-side contract).
     """
     cols = list(cols)
-    slots = base_counts.sparkSession.createDataFrame(
+    slots = tiny_df(
+        base_counts.sparkSession,
         [(c, b) for c in cols for b in range(n_bins)],
         "column string, bin int",
     )
@@ -771,7 +775,8 @@ def chi2_from_binned_counts(
     the surface ever hashing an unbounded float.
     """
     cols = list(cols)
-    slots = base_counts.sparkSession.createDataFrame(
+    slots = tiny_df(
+        base_counts.sparkSession,
         [(c, b) for c in cols for b in range(n_bins)],
         "column string, bin int",
     )
@@ -866,7 +871,8 @@ def ks_grid_from_binned_counts(
     stream batches give bit-identical KS to batch binning of the
     union."""
     cols = list(cols)
-    slots = base_counts.sparkSession.createDataFrame(
+    slots = tiny_df(
+        base_counts.sparkSession,
         [(c, b) for c in cols for b in range(n_bins)],
         "column string, bin int",
     )
@@ -955,7 +961,8 @@ def wasserstein_grid_from_binned_counts(
     from pyspark.sql import Window
 
     cols = list(cols)
-    slots = base_counts.sparkSession.createDataFrame(
+    slots = tiny_df(
+        base_counts.sparkSession,
         [(c, b) for c in cols for b in range(n_bins)],
         "column string, bin int",
     )
@@ -1094,7 +1101,8 @@ def benford_screen(
         .agg(F.count(F.lit(1)).alias("__o"))
     )
     # all 9 digit slots so missing digits enter the fold as share 0
-    slots = df.sparkSession.createDataFrame(
+    slots = tiny_df(
+        df.sparkSession,
         [(c, d) for c in cols for d in range(1, 10)],
         "column string, digit int",
     )
@@ -1190,7 +1198,8 @@ def chi2_cell_residuals(
     cur_counts = binned_counts_against_edges(
         current, edges_row, cols, "cur"
     )
-    slots = baseline.sparkSession.createDataFrame(
+    slots = tiny_df(
+        baseline.sparkSession,
         [(c, b) for c in cols for b in range(n_bins)],
         "column string, bin int",
     )
@@ -1384,7 +1393,8 @@ def cvm_grid_from_binned_counts(
     ``/(Nb*Nc)^2 / (Nb+Nc)`` at the end.  Empty era -> NULL.
     """
     cols = list(cols)
-    slots = base_counts.sparkSession.createDataFrame(
+    slots = tiny_df(
+        base_counts.sparkSession,
         [(c, b) for c in cols for b in range(n_bins)],
         "column string, bin int",
     )

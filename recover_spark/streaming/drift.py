@@ -135,18 +135,45 @@ def merge_drift_counts(
         if applied is not None and batch_id <= applied:
             return
     edges_row = spark.read.parquet(os.path.join(state_path, "edges"))
+    # The batch pass (data-sized) stays one Spark aggregate; its RESULT
+    # is geometry-bounded — |cols| x (n_bins+1) integer rows — so the
+    # state merge is driver-side metadata work (guide §5: the driver
+    # does no DATA work; counters bounded by the frozen suite geometry
+    # are not data).  This removes the per-batch prev-scan + shuffle +
+    # committer round-trip the old union-and-rewrite plan paid; the
+    # arithmetic is integer addition, bit-identical to the Spark fold.
     partial = binned_counts_against_edges(batch, edges_row, cols, "cur")
+    acc: dict[tuple, int] = {
+        (r["column"], int(r["bin"])): int(r["n_cur"])
+        for r in partial.collect()
+    }
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     if Path(counts_path).exists():
-        prev = spark.read.parquet(counts_path)
-        merged = (
-            prev.unionByName(partial)
-            .groupBy("column", "bin")
-            .agg(F.sum("n_cur").alias("n_cur"))
-        )
-    else:
-        merged = partial
+        prev = pq.read_table(counts_path)  # '_'-prefixed sidecars skipped
+        for c, b, n in zip(
+            prev.column("column").to_pylist(),
+            prev.column("bin").to_pylist(),
+            prev.column("n_cur").to_pylist(),
+        ):
+            k = (c, int(b))
+            acc[k] = acc.get(k, 0) + int(n)
+    rows = sorted(acc.items())
+    table = pa.table(
+        {
+            "column": [k[0] for k, _ in rows],
+            "bin": pa.array([k[1] for k, _ in rows], type=pa.int32()),
+            "n_cur": pa.array([n for _, n in rows], type=pa.int64()),
+        }
+    )
     tmp = counts_path + ".tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if Path(tmp).exists():
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
     if batch_id is not None:
         (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
     _swap_state(tmp, counts_path)

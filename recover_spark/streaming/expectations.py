@@ -40,6 +40,8 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+from recover_spark.functions.local import tiny_df
+
 from recover_spark.quality.expectations import parse_suite, run_suite
 from recover_spark.streaming.matview import (
     _applied_batch_id,
@@ -118,27 +120,46 @@ def merge_expectation_counts(
             return
     results = run_suite(batch, suite)
     # exists-type: n=0 and bad = 0/1 so the AND folds as sum(bad)==0
-    rows = []
+    acc: dict[int, list[int]] = {}
     for i, r in enumerate(results):
         if r.expectation_type == "expect_column_to_exist":
-            rows.append((i, 0, 0 if r.success else 1))
+            acc[i] = [0, 0 if r.success else 1]
         else:
-            rows.append((i, int(r.element_count), int(r.unexpected_count)))
-    partial = spark.createDataFrame(
-        rows, "idx int, n long, bad long"
-    )
+            acc[i] = [int(r.element_count), int(r.unexpected_count)]
+    # run_suite already landed the batch's counters on the driver (ONE
+    # aggregate job over the data); the accumulating state is bounded
+    # by the frozen suite size, so the merge is driver-side metadata
+    # work (guide §5) — integer addition, bit-identical to the old
+    # createDataFrame + union + rewrite plan, minus its two extra
+    # Spark jobs per micro-batch.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     if Path(counts_path).exists():
-        prev = spark.read.parquet(counts_path)
-        merged = (
-            prev.unionByName(partial)
-            .groupBy("idx")
-            .agg({"n": "sum", "bad": "sum"})
-            .selectExpr("idx", "`sum(n)` AS n", "`sum(bad)` AS bad")
-        )
-    else:
-        merged = partial
+        prev = pq.read_table(counts_path)  # '_'-prefixed sidecars skipped
+        for i, n, bad in zip(
+            prev.column("idx").to_pylist(),
+            prev.column("n").to_pylist(),
+            prev.column("bad").to_pylist(),
+        ):
+            slot = acc.setdefault(int(i), [0, 0])
+            slot[0] += int(n)
+            slot[1] += int(bad)
+    rows = sorted(acc.items())
+    table = pa.table(
+        {
+            "idx": pa.array([i for i, _ in rows], type=pa.int32()),
+            "n": pa.array([v[0] for _, v in rows], type=pa.int64()),
+            "bad": pa.array([v[1] for _, v in rows], type=pa.int64()),
+        }
+    )
     tmp = counts_path + ".tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if Path(tmp).exists():
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
     if batch_id is not None:
         (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
     _swap_state(tmp, counts_path)
@@ -194,7 +215,8 @@ def read_expectations_matview(
             mostly = float(exp.kwargs.get("mostly", 1.0))
             success = (n == 0) or ((n - bad) / n >= mostly)
         rows.append((exp.expectation_type, col, bool(success), n, bad))
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         rows,
         "expectation_type string, column_name string, success boolean, "
         "element_count long, unexpected_count long",
