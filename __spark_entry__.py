@@ -396,14 +396,6 @@ def q_join_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Training-data-scale operators (documents / embeddings)
 # ---------------------------------------------------------------------------
 
-def _ivf_ready(idx: str) -> bool:
-    """Persisted-index completeness probe (atomic-build contract —
-    ops/similarity.py:ivf_index_complete)."""
-    from recover_spark.ops.similarity import ivf_index_complete
-
-    return ivf_index_complete(idx)
-
-
 def _pq_ready(idx: str) -> bool:
     from recover_spark.ops.similarity import pq_sidecar_complete
 
@@ -667,17 +659,12 @@ def q_ann_ivf_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, then answer from it with partition-pruned scans (probes never
     read unprobed lists).  Same centroids/probe params as ``ann_ivf``,
     so the same oracle applies."""
-    import os as _os
-
-    from recover_spark.ops.similarity import build_ivf_index, ivf_topk_indexed
+    from recover_spark.ops.similarity import ivf_topk_indexed
 
     emb = _load(spark, sf_dir, "embeddings")
-    sf_tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
-    idx = _os.path.join("spark-warehouse", f"ivf_index_{sf_tag}")
-    # build-once-query-many: rebuild only when absent (testdata is
-    # immutable per sf_dir; delete the dir to force a rebuild)
-    if not _ivf_ready(idx):
-        build_ivf_index(emb, idx, n_centroids=8)
+    # build-once-query-many WITHIN the process: the shared per-process
+    # base index (_shared_ivf_index) — nothing persists across runs
+    idx = _shared_ivf_index(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 3)
     topk = ivf_topk_indexed(spark, idx, queries, nprobe=2, k=5)
     return topk.select(
@@ -693,15 +680,10 @@ def q_ann_ivf_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver never materializes a centroid.  Same index, params and
     scoring expressions as ``ann_ivf_indexed`` (scores are the
     identical left-fold, bit-for-bit), so the same oracle applies."""
-    import os as _os
-
-    from recover_spark.ops.similarity import build_ivf_index, ivf_topk_joined
+    from recover_spark.ops.similarity import ivf_topk_joined
 
     emb = _load(spark, sf_dir, "embeddings")
-    sf_tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
-    idx = _os.path.join("spark-warehouse", f"ivf_index_{sf_tag}")
-    if not _ivf_ready(idx):
-        build_ivf_index(emb, idx, n_centroids=8)
+    idx = _shared_ivf_index(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 3)
     topk = ivf_topk_joined(spark, idx, queries, nprobe=2, k=5)
     return topk.select(
@@ -723,20 +705,13 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions from the persisted index (PartitionFilters), and the
     recall fold is an aggregate over k*|queries| rows per arm.
     """
-    import os as _os
     from functools import reduce as _reduce
 
-    from recover_spark.ops.similarity import (
-        build_ivf_index,
-        ivf_topk_indexed,
-    )
+    from recover_spark.ops.similarity import ivf_topk_indexed
     from recover_spark.ops import brute_force_topk
 
     emb = _load(spark, sf_dir, "embeddings")
-    sf_tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
-    idx = _os.path.join("spark-warehouse", f"ivf_index_{sf_tag}")
-    if not _ivf_ready(idx):
-        build_ivf_index(emb, idx, n_centroids=8)
+    idx = _shared_ivf_index(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 3)
     exact = (
         brute_force_topk(emb, queries, k=5)
@@ -796,21 +771,10 @@ def q_ann_ivf_pq_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the probed lists' CODE files plus ADC lookups — no float vector
     is read at query time.  Same train/encode arithmetic as
     ``ann_ivf_pq``, so the same oracle applies."""
-    import os as _os
-
-    from recover_spark.ops.similarity import (
-        build_ivf_index,
-        build_pq_sidecar,
-        ivf_pq_topk_indexed,
-    )
+    from recover_spark.ops.similarity import ivf_pq_topk_indexed
 
     emb = _load(spark, sf_dir, "embeddings")
-    sf_tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
-    idx = _os.path.join("spark-warehouse", f"ivf_index_{sf_tag}")
-    if not _ivf_ready(idx):
-        build_ivf_index(emb, idx, n_centroids=8)
-    if not _pq_ready(idx):
-        build_pq_sidecar(spark, idx)
+    idx = _shared_ivf_index(spark, sf_dir, pq=True)
     queries = emb.filter(F.col("vec_id") < 3)
     topk = ivf_pq_topk_indexed(spark, idx, queries, nprobe=2, k=5)
     return topk.select(
@@ -827,21 +791,10 @@ def q_ann_ivf_pq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME PartitionFilters as the code scan), exact top-5 out —
     the production composition that recovers quantization loss for a
     bounded extra read."""
-    import os as _os
-
-    from recover_spark.ops.similarity import (
-        build_ivf_index,
-        build_pq_sidecar,
-        ivf_pq_topk_refined,
-    )
+    from recover_spark.ops.similarity import ivf_pq_topk_refined
 
     emb = _load(spark, sf_dir, "embeddings")
-    sf_tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
-    idx = _os.path.join("spark-warehouse", f"ivf_index_{sf_tag}")
-    if not _ivf_ready(idx):
-        build_ivf_index(emb, idx, n_centroids=8)
-    if not _pq_ready(idx):
-        build_pq_sidecar(spark, idx)
+    idx = _shared_ivf_index(spark, sf_dir, pq=True)
     queries = emb.filter(F.col("vec_id") < 3)
     topk = ivf_pq_topk_refined(
         spark, idx, queries, nprobe=2, shortlist_r=20, k=5
@@ -3122,24 +3075,12 @@ def q_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     products on the 4x-smaller int8 column.  Results match the
     in-memory ``ivf_topk_quantized`` (same centroids/params), so the
     same oracle applies."""
-    import os as _os
-
-    from recover_spark.ops.similarity import (
-        build_ivf_index,
-        ivf_topk_quantized_indexed,
-    )
+    from recover_spark.ops.similarity import ivf_topk_quantized_indexed
 
     emb = _load(spark, sf_dir, "embeddings")
-    sf_tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
-    idx = _os.path.join("spark-warehouse", f"ivf_index_{sf_tag}")
-    # build-once-query-many; also rebuild pre-round-2 indexes that
-    # predate the quantized column
-    needs_build = not _ivf_ready(idx)
-    if not needs_build:
-        probe_schema = spark.read.parquet(idx).schema.fieldNames()
-        needs_build = "q_embedding" not in probe_schema
-    if needs_build:
-        build_ivf_index(emb, idx, n_centroids=8)
+    # the shared per-process build always carries the q_embedding
+    # column, so the pre-round-2 schema-compat rebuild check is gone
+    idx = _shared_ivf_index(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 3)
     topk = ivf_topk_quantized_indexed(spark, idx, queries, nprobe=2, k=5)
     return topk.select(
@@ -3467,24 +3408,16 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same nprobe, the point of the refine stage.  Same composition
     shape as ann_recall — pinned exact arm, pruned PQ probes,
     semi-join + one-row folds."""
-    import os as _os
     from functools import reduce as _reduce
 
     from recover_spark.ops import brute_force_topk
     from recover_spark.ops.similarity import (
-        build_ivf_index,
-        build_pq_sidecar,
         ivf_pq_topk_indexed,
         ivf_pq_topk_refined,
     )
 
     emb = _load(spark, sf_dir, "embeddings")
-    sf_tag = _os.path.basename(sf_dir.rstrip("/")) or "sf"
-    idx = _os.path.join("spark-warehouse", f"ivf_index_{sf_tag}")
-    if not _ivf_ready(idx):
-        build_ivf_index(emb, idx, n_centroids=8)
-    if not _pq_ready(idx):
-        build_pq_sidecar(spark, idx)
+    idx = _shared_ivf_index(spark, sf_dir, pq=True)
     queries = emb.filter(F.col("vec_id") < 3)
     exact = (
         brute_force_topk(emb, queries, k=5)
@@ -7318,6 +7251,43 @@ def _shared_text_base_index(spark: SparkSession, sf_dir: str) -> str:
         docs.filter(F.col("doc_id") % 5 != 0), idx, num_buckets=16
     )
     _SHARED_STATE_CACHE[key] = idx
+    return idx
+
+
+def _shared_ivf_index(
+    spark: SparkSession, sf_dir: str, pq: bool = False
+) -> str:
+    """ONE persisted IVF index build (full embeddings corpus,
+    n_centroids=8) per (process, sf_dir), with the PQ sidecar added on
+    first demand — the shared base artifact all eight persisted-index
+    probe queries start from.  The build is deterministic, so sharing
+    cannot move a probe row.
+
+    r14 optimization-round cleanup: this REPLACES the pre-r14
+    ``spark-warehouse/ivf_index_<sf>`` build-once-rebuild-never path,
+    whose artifact survived ACROSS engine invocations (the same
+    cross-run-cache shape whose /tmp text-index instance was removed
+    when ``_shared_text_base_index`` landed).  The index now lives
+    under a per-process uuid dir: every bench/oracle invocation
+    rebuilds it from the parquet inputs exactly once, and the first
+    probe query of the run carries that one honest build."""
+    import os
+    import uuid
+
+    from recover_spark.ops.similarity import (
+        build_ivf_index,
+        build_pq_sidecar,
+    )
+
+    key = ("ivf_base", os.path.abspath(sf_dir))
+    idx = _SHARED_STATE_CACHE.get(key)
+    if not (isinstance(idx, str) and os.path.isdir(idx)):
+        idx = f"spark-warehouse/ivf_shared/{uuid.uuid4().hex}/idx"
+        emb = _load(spark, sf_dir, "embeddings")
+        build_ivf_index(emb, idx, n_centroids=8)
+        _SHARED_STATE_CACHE[key] = idx
+    if pq and not _pq_ready(idx):
+        build_pq_sidecar(spark, idx)
     return idx
 
 
