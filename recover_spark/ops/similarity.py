@@ -55,6 +55,34 @@ _INDEX_META_CACHE: dict[tuple, list] = {}
 _INDEX_META_CACHE_MAX = 64
 
 
+def _doubles_sql(values) -> str:
+    """``array<double>`` literal as SQL text.  ``F.lit(list)`` (and
+    ``F.array(*[F.lit(x) ...])``) recursively build one Column per
+    element — at dim=64 that is ~70 py4j round trips per centroid and
+    ~1 s of pure DRIVER time per probe arm (measured).  A single
+    ``F.expr`` ships the whole array as one SQL string instead;
+    ``CAST('<repr>' AS DOUBLE)`` folds to the bit-identical double
+    (repr round-trips, Double.parseDouble is correctly rounded), so
+    plans and results are unchanged."""
+    return (
+        "array("
+        + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in values)
+        + ")"
+    )
+
+
+def _matrix_sql(rows) -> str:
+    """``array<array<double>>`` literal as SQL text (the nested-table
+    companion of :func:`_doubles_sql` — ADC LUTs are n_codes x
+    subdim)."""
+    return "array(" + ",".join(_doubles_sql(r) for r in rows) + ")"
+
+
+def _lit_doubles(values) -> "F.Column":
+    """``array<double>`` literal built in ONE py4j round trip."""
+    return F.expr(_doubles_sql(values))
+
+
 def _dir_identity(path: str):
     """(inode, mtime_ns, n_entries) of a metadata dir, or None when it
     does not exist (callers then fall through to the uncached read and
@@ -320,7 +348,7 @@ def _nearest_lists(seeds, vec, n: int):
     packed = []
     for cid, cvec in seeds:
         cnorm = math.sqrt(sum(x * x for x in cvec))
-        carr = F.array(*[F.lit(x) for x in cvec])
+        carr = _lit_doubles(cvec)
         score = F.aggregate(
             F.zip_with(vec, carr, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
@@ -1494,20 +1522,21 @@ def _with_adc_luts(
     lesson).  Execution cost is unchanged — n_codes*subdim work per
     QUERY row only.
     """
-    def dot_with(qsub):
-        # closure factory: a default-arg capture would make pyspark
-        # read the lambda as the 2-arg (value, index) form
-        return lambda c: F.aggregate(
-            F.zip_with(qsub, c, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
-
-    for s, book in enumerate(books):
-        centers = F.lit([center for _, center in book])
-        qsub = F.slice(F.col(qvec), s * subdim + 1, subdim)
-        q = q.withColumn(f"__lut{s}", F.transform(centers, dot_with(qsub)))
-    return q
+    # ONE py4j call per subspace: the whole literal table + transform
+    # lambda ships as SQL text (PySpark lambda Columns cost several
+    # round trips each; the SQL form parses to the identical Catalyst
+    # expressions — aggregate/zip_with/slice/CAST — so values and the
+    # executed plan are unchanged)
+    lut_cols = [
+        F.expr(
+            f"transform({_matrix_sql([center for _, center in book])}, "
+            f"c -> aggregate(zip_with(slice({qvec}, {s * subdim + 1}, "
+            f"{subdim}), c, (x, y) -> CAST(x AS DOUBLE) * y), 0.0D, "
+            "(a, v) -> a + v))"
+        ).alias(f"__lut{s}")
+        for s, book in enumerate(books)
+    ]
+    return q.select("*", *lut_cols)
 
 
 def _adc_expressions(books, codes_col: str):
@@ -1524,7 +1553,7 @@ def _adc_expressions(books, codes_col: str):
         F.lit(0.0),
     )
     norm_tables = [
-        F.lit([sum(x * x for x in center) for _, center in book])
+        _lit_doubles([sum(x * x for x in center) for _, center in book])
         for book in books
     ]
     recon_norm2 = sum(
