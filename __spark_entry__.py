@@ -5597,6 +5597,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
             "w",
         )
+        # both union branches read flows; un-pinned, the source join +
+        # aggregate executed twice inside the operator's eager edge
+        # materialization (r14 optimization)
+        .localCheckpoint(eager=False)
     )
     edges = flows.unionByName(
         flows.select(

@@ -193,10 +193,14 @@ def pagerank(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
+    # EAGER checkpoint of the edge projection (r14 optimization): four
+    # consumers read it (out-weights, transition table, node set,
+    # dangling probe) and un-materialized each re-executed the caller's
+    # whole edge lineage — the source pass now runs exactly once.
     e = edges.select(
         F.col(src).alias("__src"), F.col(dst).alias("__dst"),
         w_col.alias("__w"),
-    )
+    ).localCheckpoint(eager=True)
     out_w = e.groupBy("__src").agg(F.sum("__w").alias("__ow"))
     trans = (
         e.join(out_w, "__src")
@@ -219,6 +223,77 @@ def pagerank(
     ).localCheckpoint(eager=False)
     has_dangling = dangling_nodes.limit(1).count() > 0
 
+    if not has_dangling:
+        # Streamlined loop (r14 optimization): with no dangling mass
+        # the update is rank' = teleport + d * contrib, and a node
+        # with NO in-edges pins at rank = teleport from step 1 on —
+        # so the per-iteration nodes-left-join zero-fill is deferred
+        # to the end and the loop iterates only over RECEIVING nodes.
+        # The no-in-edge nodes' outgoing mass still flows: their
+        # transition rows become a constant contribution frame
+        # (p * teleport per edge, the same per-edge terms the old
+        # formulation summed) unioned into each step's aggregate, so
+        # every iteration is ONE equi-join + ONE mergeable aggregate
+        # with a free unionAll — no norm broadcasts, no left joins.
+        # Values land on the identical per-edge sums; the oracle gate
+        # verifies the rounded scores unchanged.
+        recv = trans.select(F.col("__dst").alias("node")).distinct()
+        # one limit-1 probe replaces two per-run checkpoints when the
+        # graph has no pure-source nodes (every symmetric graph): the
+        # semi/anti split of the transition table is then a no-op
+        no_in_exists = (
+            nodes.join(recv, "node", "left_anti").limit(1).count() > 0
+        )
+        if no_in_exists:
+            trans_recv = trans.join(
+                recv, trans["__src"] == recv["node"], "left_semi"
+            ).localCheckpoint(eager=False)
+            const_in = (
+                trans.join(recv, trans["__src"] == recv["node"], "left_anti")
+                .select(
+                    F.col("__dst").alias("node"),
+                    (F.col("__p") * F.lit(teleport)).alias("__t"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        else:
+            trans_recv, const_in = trans, None
+        ranks = None  # None = the uniform 1/n start vector
+        for it in range(iterations):
+            if ranks is None:
+                # every source (receiving or not) holds rank 1/n, so
+                # the first step needs no join at all
+                terms = trans.select(
+                    F.col("__dst").alias("node"),
+                    (F.col("__p") * F.lit(1.0 / n)).alias("__t"),
+                )
+            else:
+                terms = trans_recv.join(
+                    ranks, trans_recv["__src"] == ranks["node"]
+                ).select(
+                    F.col("__dst").alias("node"),
+                    (F.col("__p") * F.col("rank")).alias("__t"),
+                )
+                if const_in is not None:
+                    terms = terms.unionAll(const_in)
+            ranks = terms.groupBy("node").agg(
+                (
+                    F.lit(teleport) + F.lit(damping) * F.sum("__t")
+                ).alias("rank")
+            )
+            if (it + 1) % 3 == 0 and it != iterations - 1:
+                ranks = ranks.localCheckpoint(eager=False)
+        return (
+            nodes.join(ranks, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("rank"), F.lit(teleport)),
+                    round_digits,
+                ).alias("rank"),
+            )
+        )
+
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for it in range(iterations):
         contrib = (
@@ -227,17 +302,14 @@ def pagerank(
             .agg(F.sum(F.col("rank") * F.col("__p")).alias("__c"))
         )
         base = nodes.join(contrib, "node", "left")
-        if has_dangling:
-            # one-row aggregate, broadcast back into the same plan —
-            # no collect, no separate job; the scalar rides the
-            # dataflow the way the contributions do
-            dm_row = dangling_nodes.join(ranks, "node").agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
-            )
-            base = base.crossJoin(F.broadcast(dm_row))
-            dm_term = F.col("__dm") / F.lit(float(n))
-        else:
-            dm_term = F.lit(0.0)  # no dangling nodes: skip the branch
+        # one-row aggregate, broadcast back into the same plan —
+        # no collect, no separate job; the scalar rides the
+        # dataflow the way the contributions do
+        dm_row = dangling_nodes.join(ranks, "node").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+        )
+        base = base.crossJoin(F.broadcast(dm_row))
+        dm_term = F.col("__dm") / F.lit(float(n))
         ranks = base.select(
             "node",
             (
