@@ -434,16 +434,21 @@ def k_core(
     INSIDE the core.  Input edges are undirected (symmetrized and
     deduplicated here; self-loops dropped).
 
-    Engine shape, per round: one node-keyed degree aggregate + two
-    semi-joins pruning edges to survivors — all shuffles on node ids,
-    no cartesian anywhere.  The survivor set only shrinks, so the
+    Engine shape, per round (r14 optimization): one node-keyed degree
+    aggregate + two BROADCAST ANTI-joins pruning edges against the
+    round's DEAD frontier (the nodes that fell below k this round) —
+    the frontier is orders of magnitude smaller than the survivor set,
+    so the prune never shuffles the edge list; and because the edge
+    frame is hash-partitioned on the count key once up front (and
+    localCheckpoint preserves that partitioning), the degree aggregate
+    needs no exchange either.  Convergence is ``dead`` empty — the
+    same fixpoint as "survivor count unchanged" (nodes only leave),
+    detected one round earlier.  The survivor set only shrinks, so the
     fixpoint is exact; each round materializes through an eager
-    localCheckpoint (lineage stays O(1)) and the convergence check is
-    a count on survivors (the connected_components contract: per-round
-    driver actions are what a fixpoint loop costs; rounds = peel
-    DEPTH, typically <= 10 on real degree distributions).  Worst case
-    is O(n) rounds (a path peels one node per end per round) —
-    ``max_rounds`` raises rather than return a silently-partial core.
+    localCheckpoint (lineage stays O(1)).  Rounds = peel DEPTH,
+    typically <= 10 on real degree distributions; worst case is O(n)
+    rounds (a path peels one node per end per round) — ``max_rounds``
+    raises rather than return a silently-partial core.
     """
     # canonicalize BEFORE dedup: an undirected edge list that stores
     # both (a, b) and (b, a) must collapse to one edge, or the
@@ -459,27 +464,26 @@ def k_core(
     )
     alive = (
         e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .repartition("s")
         .localCheckpoint(eager=True)
     )
-    prev_n = None
     for _ in range(max_rounds):
-        deg = alive.groupBy("s").agg(F.count(F.lit(1)).alias("degree"))
-        surv = deg.filter(F.col("degree") >= k).localCheckpoint(eager=True)
-        n = surv.count()
-        if n == prev_n:
-            return surv.select(
+        deg = (
+            alive.groupBy("s").agg(F.count(F.lit(1)).alias("degree"))
+            .localCheckpoint(eager=True)
+        )
+        dead = deg.filter(F.col("degree") < k)
+        if dead.limit(1).count() == 0:
+            return deg.select(
                 F.col("s").alias("node"), F.col("degree").cast("long")
             )
-        if n == 0:
-            return surv.select(
-                F.col("s").alias("node"), F.col("degree").cast("long")
-            )
-        prev_n = n
-        keep = surv.select("s")
+        dead_s = F.broadcast(dead.select("s"))
         alive = (
-            alive.join(keep, "s", "left_semi")
+            alive.join(dead_s, "s", "left_anti")
             .join(
-                keep.select(F.col("s").alias("d")), "d", "left_semi"
+                F.broadcast(dead.select(F.col("s").alias("d"))),
+                "d",
+                "left_anti",
             )
             .localCheckpoint(eager=True)
         )
