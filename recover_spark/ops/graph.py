@@ -963,8 +963,11 @@ def hits(
                 F.sum(F.lit(1.0)).alias("a")
             )
         else:
+            # broadcast the node-sized score frame (r14 optimization):
+            # the edge frame then never shuffles — each half-step is a
+            # broadcast hash join + one partially-aggregated exchange
             a_raw = (
-                e.join(hub, e.__s == hub.node)
+                e.join(F.broadcast(hub), e.__s == hub.node)
                 .groupBy(F.col("__d").alias("node"))
                 .agg(F.sum("h").alias("a"))
             )
@@ -972,7 +975,7 @@ def hits(
         if i % 2 == 1:
             auth = auth.localCheckpoint(eager=False)
         hub = (
-            e.join(auth, e.__d == auth.node)
+            e.join(F.broadcast(auth), e.__d == auth.node)
             .groupBy(F.col("__s").alias("node"))
             .agg(F.sum("a").alias("h"))
         )
