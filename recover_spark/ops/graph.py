@@ -268,8 +268,10 @@ def pagerank(
                     (F.col("__p") * F.lit(1.0 / n)).alias("__t"),
                 )
             else:
+                # broadcast the node-sized rank frame (the HITS
+                # convention): the transition table never shuffles
                 terms = trans_recv.join(
-                    ranks, trans_recv["__src"] == ranks["node"]
+                    F.broadcast(ranks), trans_recv["__src"] == ranks["node"]
                 ).select(
                     F.col("__dst").alias("node"),
                     (F.col("__p") * F.col("rank")).alias("__t"),
@@ -297,7 +299,7 @@ def pagerank(
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for it in range(iterations):
         contrib = (
-            ranks.join(trans, ranks["node"] == trans["__src"])
+            F.broadcast(ranks).join(trans, ranks["node"] == trans["__src"])
             .groupBy(F.col("__dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("__p")).alias("__c"))
         )
