@@ -362,7 +362,12 @@ def connected_components(
         .filter(F.col("s") != F.col("d"))
         .distinct()
     )
-    sym = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    # pin the symmetrized edge list once — every round (and every
+    # changed-check) joins it, and un-pinned the scan+distinct+union
+    # lineage re-executed per round (r14 optimization)
+    sym = e.unionAll(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("s").alias("node"))
         .unionAll(sym.select(F.col("d").alias("node")))
@@ -371,7 +376,9 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_rounds):
-        neigh = sym.join(labels, sym.d == labels.node).select(
+        # broadcast the node-sized label frame (the HITS convention):
+        # the edge list never shuffles in the neighbor pass
+        neigh = sym.join(F.broadcast(labels), sym.d == labels.node).select(
             F.col("s").alias("node"), "label"
         )
         m = (
@@ -399,7 +406,7 @@ def connected_components(
         )
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "node")
+            .join(F.broadcast(labels.alias("o")), "node")
             .filter(F.col("n.label") != F.col("o.label"))
             .limit(1)
             .count()
@@ -718,10 +725,12 @@ def shortest_paths(
     frontier = seed_nodes
     for hop in range(1, max_hops + 1):
         nxt = (
-            frontier.join(e, frontier["node"] == e["__src"])
+            # broadcast the node-sized frontier and settled set (the
+            # HITS convention): the edge table never shuffles per level
+            F.broadcast(frontier).join(e, frontier["node"] == e["__src"])
             .select(F.col("__dst").alias("node"))
             .distinct()
-            .join(dist.select("node"), "node", "left_anti")
+            .join(F.broadcast(dist.select("node")), "node", "left_anti")
             .select("node", F.lit(hop).alias("dist"))
             .localCheckpoint(eager=False)
         )
@@ -785,10 +794,14 @@ def label_propagation(
     )
     for r in range(1, int(rounds) + 1):
         neigh = (
+            # broadcast the node-sized label frame (the HITS
+            # convention): the edge list never shuffles per round
             und.join(
-                labels.select(
-                    F.col("node").alias("b"),
-                    F.col("community"),
+                F.broadcast(
+                    labels.select(
+                        F.col("node").alias("b"),
+                        F.col("community"),
+                    )
                 ),
                 "b",
             )
