@@ -1456,21 +1456,63 @@ def merge_bootstrap_state(
     partial = bootstrap_replicate_partials(
         batch, keys, value_col, row_key_col, n_replicates, salt
     )
+    # The batch pass (data-sized, the replicate fan-out) stays one
+    # Spark aggregate; its RESULT is bounded at (keys x replicates),
+    # so the state merge is driver-side metadata work (guide §5, the
+    # merge_drift_counts pattern): per (keys, rep) the fold adds the
+    # state row to the batch row — ONE two-operand IEEE add per sum,
+    # bit-identical in any engine and in either operand order — which
+    # replaces the per-batch prev-scan + shuffle + committer round.
+    acc: dict[tuple, list] = {
+        tuple(r[c] for c in keys) + (int(r["__rep"]),): [
+            float(r["__ws"]),
+            float(r["__wn"]),
+            float(r["__s"]),
+            int(r["__c"]),
+        ]
+        for r in partial.collect()
+    }
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     state = Path(state_path)
     if state.exists():
-        prev = spark.read.parquet(state_path)
-        partial = (
-            prev.unionByName(partial)
-            .groupBy(*keys, "__rep")
-            .agg(
-                F.sum("__ws").alias("__ws"),
-                F.sum("__wn").alias("__wn"),
-                F.sum("__s").alias("__s"),
-                F.sum("__c").alias("__c"),
-            )
-        )
+        prev = pq.read_table(state_path)  # '_'-prefixed sidecars skipped
+        pc = {c: prev.column(c).to_pylist() for c in prev.column_names}
+        for i in range(prev.num_rows):
+            k = tuple(pc[c][i] for c in keys) + (int(pc["__rep"][i]),)
+            row = acc.get(k)
+            if row is None:
+                acc[k] = [
+                    float(pc["__ws"][i]),
+                    float(pc["__wn"][i]),
+                    float(pc["__s"][i]),
+                    int(pc["__c"][i]),
+                ]
+            else:
+                row[0] += float(pc["__ws"][i])
+                row[1] += float(pc["__wn"][i])
+                row[2] += float(pc["__s"][i])
+                row[3] += int(pc["__c"][i])
+    rows = sorted(acc.items())
+    cols_out: dict = {}
+    for j, c in enumerate(keys):
+        cols_out[c] = [k[j] for k, _ in rows]
+    cols_out["__rep"] = pa.array(
+        [k[len(keys)] for k, _ in rows], type=pa.int32()
+    )
+    cols_out["__ws"] = pa.array([v[0] for _, v in rows], type=pa.float64())
+    cols_out["__wn"] = pa.array([v[1] for _, v in rows], type=pa.float64())
+    cols_out["__s"] = pa.array([v[2] for _, v in rows], type=pa.float64())
+    cols_out["__c"] = pa.array([v[3] for _, v in rows], type=pa.int64())
+    table = pa.table(cols_out)
     tmp = str(state) + ".tmp"
-    partial.write.mode("overwrite").parquet(tmp)
+    if Path(tmp).exists():
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
     if batch_id is not None:
         (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
     _swap_state(tmp, state_path)
