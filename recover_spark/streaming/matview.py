@@ -1137,18 +1137,57 @@ def merge_vector_sums(
         if applied is not None and batch_id <= applied:
             return
     keys = list(key_cols)
-    partial_aggs, merge_aggs = _vector_expr_bundle(vec_col, int(dim))
+    partial_aggs, _ = _vector_expr_bundle(vec_col, int(dim))
     partial = batch.groupBy(*keys).agg(*partial_aggs)
+    # The batch pass (data-sized) stays one Spark aggregate; its
+    # RESULT is O(keys x dim), so the state merge is driver-side
+    # metadata work (guide §5, the merge_drift_counts /
+    # merge_bootstrap_state pattern): per key the fold is one
+    # two-operand IEEE add per component — bit-identical in any
+    # engine and operand order — replacing the per-batch prev-scan +
+    # shuffle + committer round.
+    scols = [f"s{i}" for i in range(int(dim))]
+    acc: dict[tuple, list] = {
+        tuple(r[c] for c in keys): [int(r["n_rows"])]
+        + [float(r[c]) if r[c] is not None else None for c in scols]
+        for r in partial.collect()
+    }
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     state = Path(state_path)
     if state.exists():
-        prev = spark.read.parquet(state_path)
-        merged = (
-            prev.unionByName(partial).groupBy(*keys).agg(*merge_aggs)
+        prev = pq.read_table(state_path)  # '_'-prefixed sidecars skipped
+        pc = {c: prev.column(c).to_pylist() for c in prev.column_names}
+        for i in range(prev.num_rows):
+            k = tuple(pc[c][i] for c in keys)
+            row = acc.get(k)
+            if row is None:
+                acc[k] = [int(pc["n_rows"][i])] + [
+                    pc[c][i] for c in scols
+                ]
+            else:
+                row[0] += int(pc["n_rows"][i])
+                for j, c in enumerate(scols, start=1):
+                    a, b = row[j], pc[c][i]
+                    row[j] = b if a is None else (a if b is None else a + b)
+    rows = sorted(acc.items())
+    cols_out: dict = {}
+    for j, c in enumerate(keys):
+        cols_out[c] = [k[j] for k, _ in rows]
+    cols_out["n_rows"] = pa.array(
+        [v[0] for _, v in rows], type=pa.int64()
+    )
+    for j, c in enumerate(scols, start=1):
+        cols_out[c] = pa.array(
+            [v[j] for _, v in rows], type=pa.float64()
         )
-    else:
-        merged = partial
+    table = pa.table(cols_out)
     tmp = str(state) + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
+    if Path(tmp).exists():
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
     if batch_id is not None:
         (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
     _swap_state(tmp, state_path)
