@@ -87,6 +87,7 @@ def merge_counts(
     key_cols: Sequence[str],
     value_col: str | None = None,
     batch_id: int | None = None,
+    bounded_state: bool = False,
 ) -> None:
     """Merge one batch's partial (count [, sum]) into the state table.
 
@@ -94,6 +95,14 @@ def merge_counts(
     re-aggregates — the union+sum of partials equals the aggregate over
     all rows seen (mergeability), so state size stays O(distinct keys)
     no matter how many batches have run.
+
+    ``bounded_state=True`` (r14 optimization) declares the key space
+    GEOMETRY-bounded (e.g. count-min cells: keys x depth x width) so
+    the state fold may run driver-side via Arrow (the
+    merge_drift_counts pattern) — integer/two-operand-add arithmetic,
+    bit-identical to the Spark fold, without the per-batch prev-scan +
+    shuffle + committer round.  Leave False for key spaces that grow
+    with the data (guide §5: the driver does no DATA work).
 
     When ``batch_id`` is given (foreachBatch), a batch whose id is <=
     the persisted last-applied id is a crash replay and is skipped —
@@ -111,6 +120,11 @@ def merge_counts(
     partial = batch.groupBy(*keys).agg(*aggs)
 
     state = Path(state_path)
+    if bounded_state:
+        _merge_counts_driver(
+            partial, state_path, keys, value_col, batch_id
+        )
+        return
     if state.exists():
         prev = spark.read.parquet(state_path)
         merge_aggs = [F.sum("n_rows").alias("n_rows")]
@@ -127,6 +141,61 @@ def merge_counts(
     if batch_id is not None:
         # Marker travels inside the tmp dir so it swaps in atomically
         # with the state it describes.
+        (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
+    _swap_state(tmp, state_path)
+
+
+def _merge_counts_driver(
+    partial: DataFrame,
+    state_path: str,
+    keys: list,
+    value_col: str | None,
+    batch_id: int | None,
+) -> None:
+    """Driver-side Arrow fold of a GEOMETRY-BOUNDED (count [, sum])
+    state: per key the fold adds the state row to the batch row —
+    integer adds, plus at most one two-operand IEEE add for the sum
+    column, bit-identical in any engine and operand order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sum_col = f"sum_{value_col}" if value_col is not None else None
+    val_cols = ["n_rows"] + ([sum_col] if sum_col else [])
+    acc: dict[tuple, list] = {
+        tuple(r[c] for c in keys): [r[c] for c in val_cols]
+        for r in partial.collect()
+    }
+    state = Path(state_path)
+    if state.exists():
+        prev = pq.read_table(state_path)  # '_'-prefixed sidecars skipped
+        pc = {c: prev.column(c).to_pylist() for c in prev.column_names}
+        for i in range(prev.num_rows):
+            k = tuple(pc[c][i] for c in keys)
+            row = acc.get(k)
+            if row is None:
+                acc[k] = [pc[c][i] for c in val_cols]
+            else:
+                for j, c in enumerate(val_cols):
+                    a, b = row[j], pc[c][i]
+                    row[j] = b if a is None else (a if b is None else a + b)
+    rows = sorted(
+        acc.items(), key=lambda kv: tuple(map(str, kv[0]))
+    )
+    cols_out: dict = {}
+    for j, c in enumerate(keys):
+        cols_out[c] = [k[j] for k, _ in rows]
+    cols_out["n_rows"] = pa.array(
+        [v[0] for _, v in rows], type=pa.int64()
+    )
+    if sum_col:
+        cols_out[sum_col] = [v[1] for _, v in rows]
+    table = pa.table(cols_out)
+    tmp = str(state) + ".tmp"
+    if Path(tmp).exists():
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
+    if batch_id is not None:
         (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
     _swap_state(tmp, state_path)
 
@@ -208,6 +277,8 @@ def maintain_cm_matview(
         merge_counts(
             spark, exploded, state_path, [*keys, "row", "col"], None,
             batch_id,
+            # cm cells are keys x depth x width — geometry-bounded
+            bounded_state=True,
         )
 
     return (
