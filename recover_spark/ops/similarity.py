@@ -360,6 +360,48 @@ def _nearest_lists(seeds, vec, n: int):
     return [(-ordered[i]["nc"]).cast("long") for i in range(n)]
 
 
+def _probed_lists(
+    queries: DataFrame, vec_col, seeds, nprobe: int
+) -> list:
+    """The union of every query's ``nprobe`` nearest list ids, computed
+    DRIVER-side from one collect of the (tiny) query vectors — r14
+    optimization: the previous ``q.select("list").distinct().collect()``
+    ran a Spark job per probe arm, and recall queries probe 3-8 arms
+    against the same query frame.  The vectors are memoized on the
+    frame object so all arms share one collect.
+
+    Arithmetic mirrors :func:`_nearest_lists` op for op — sequential
+    left-fold dot product, ``cnorm`` already computed in Python there,
+    one division, sort by (score desc, cid asc) — so the chosen lists
+    are bit-identical to the in-plan expression's (Python floats ARE
+    IEEE doubles; same ops in the same order)."""
+    import math
+
+    vecs = getattr(queries, "_graft_query_vecs", None)
+    if vecs is None:
+        vecs = [
+            [float(x) for x in r[0]]
+            for r in queries.select(vec_col).collect()
+        ]
+        queries._graft_query_vecs = vecs
+    n = min(int(nprobe), len(seeds))
+    cents = [
+        (cid, cvec, math.sqrt(sum(x * x for x in cvec)))
+        for cid, cvec in seeds
+    ]
+    probed = set()
+    for v in vecs:
+        packed = []
+        for cid, cvec, cnorm in cents:
+            acc = 0.0
+            for x, y in zip(v, cvec):
+                acc += x * y
+            packed.append((acc / cnorm, -cid))
+        packed.sort(reverse=True)  # score desc, -cid desc == cid asc
+        probed.update(-nc for _, nc in packed[:n])
+    return sorted(probed)
+
+
 def _assign_lists_gemm(
     df: DataFrame, seeds, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -766,7 +808,7 @@ def ivf_topk_indexed(
             F.array(*_nearest_lists(seeds, F.col("__qvec"), nprobe))
         ).alias("list"),
     )
-    probed = sorted({r["list"] for r in q.select("list").distinct().collect()})
+    probed = _probed_lists(queries, vec_col, seeds, nprobe)
     corpus = (
         spark.read.parquet(index_path)
         .filter(F.col("list").isin(probed))
@@ -895,7 +937,7 @@ def ivf_topk_quantized_indexed(
             F.array(*_nearest_lists(seeds, F.col(vec_col), nprobe))
         ).alias("list"),
     ).withColumn("__qnorm", _int_norm(F.col("__qq")))
-    probed = sorted({r["list"] for r in q.select("list").distinct().collect()})
+    probed = _probed_lists(queries, vec_col, seeds, nprobe)
     corpus = (
         spark.read.parquet(index_path)
         .select(id_col, "q_embedding", "list")
@@ -1678,7 +1720,7 @@ def ivf_pq_topk_indexed(
             F.array(*_nearest_lists(seeds, F.col("__qvec"), nprobe))
         ).alias("list"),
     )
-    probed = sorted({r["list"] for r in q.select("list").distinct().collect()})
+    probed = _probed_lists(queries, vec_col, seeds, nprobe)
     codes = spark.read.parquet(f"{index_path}/_pq/codes").filter(
         F.col("list").isin(probed)
     )
@@ -1757,9 +1799,7 @@ def ivf_pq_topk_refined(
             F.array(*_nearest_lists(seeds, F.col("__qvec"), nprobe))
         ).alias("list"),
     )
-    probed = sorted(
-        {r["list"] for r in qx.select("list").distinct().collect()}
-    )
+    probed = _probed_lists(queries, vec_col, seeds, nprobe)
     codes = spark.read.parquet(f"{index_path}/_pq/codes").filter(
         F.col("list").isin(probed)
     )
