@@ -38,7 +38,13 @@ def triangle_enumerate(
     Every step is an equi-join or aggregate on ids — shuffle-keyed,
     AQE-friendly, no nested loop anywhere.
     """
-    e = (
+    e = _canonical_pairs(pairs, id_a, id_b)
+    return _triangles_from_edges(e, _endpoint_degrees(e))
+
+
+def _canonical_pairs(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Normalized + deduped undirected edge list (u < v)."""
+    return (
         pairs.select(
             F.least(F.col(id_a), F.col(id_b)).alias("u"),
             F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
@@ -46,12 +52,23 @@ def triangle_enumerate(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    deg = (
+
+
+def _endpoint_degrees(e: DataFrame) -> DataFrame:
+    """(n, d) degree table of the canonical edge list."""
+    return (
         e.select(F.col("u").alias("n"))
         .unionAll(e.select(F.col("v").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+
+
+def _triangles_from_edges(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Triangle enumeration over a prepared canonical edge list and
+    its degree table (shared with :func:`clustering_coefficient`,
+    which pins both so the caller's pair-generation lineage is not
+    re-executed per consumer — r14 optimization)."""
     du = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
     # orient from lower (degree, id) to higher — ties break on id, so
@@ -107,21 +124,17 @@ def clustering_coefficient(
     report 0 rather than vanishing; degree-1 nodes have no possible
     triangle and yield NULL via ``try_divide`` (undefined, not zero).
     """
-    e = (
-        pairs.select(
-            F.least(F.col(id_a), F.col(id_b)).alias("u"),
-            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
-        .distinct()
+    # pin the canonical edge list and its degree table once (r14
+    # optimization): the triangle machinery consumes the edge list in
+    # three joins and the degree table in two, and un-pinned each
+    # consumer re-executed the caller's whole PAIR-GENERATION lineage
+    # (for the near-dup graph, the shingle+jaccard join)
+    e = _canonical_pairs(pairs, id_a, id_b).localCheckpoint(eager=False)
+    deg_nd = _endpoint_degrees(e).localCheckpoint(eager=False)
+    deg = deg_nd.select(
+        F.col("n").alias("node"), F.col("d").cast("long").alias("degree")
     )
-    deg = (
-        e.select(F.col("u").alias("node"))
-        .unionAll(e.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-    )
-    tri = triangle_enumerate(pairs, id_a, id_b)
+    tri = _triangles_from_edges(e, deg_nd)
     per_node = (
         tri.select(F.explode(F.array("t1", "t2", "t3")).alias("node"))
         .groupBy("node")
