@@ -1087,9 +1087,12 @@ def q_sample_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame
     from recover_spark.ops import ngram_jaccard_pairs
 
     docs = _load(spark, sf_dir, "documents")
+    # pin the near-dup pair set: two consumers (positives, the
+    # symmetric exclusion anti-join) re-executed the shingle+jaccard
+    # join un-pinned (r14 optimization)
     pairs = ngram_jaccard_pairs(docs, shingle_size=3, min_jaccard=0.2).select(
         "id_a", "id_b"
-    )
+    ).localCheckpoint(eager=False)
     pos = (
         pairs.groupBy("id_a")
         .agg(F.min("id_b").alias("positive_id"))
@@ -1108,7 +1111,7 @@ def q_sample_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame
     wc = Window.partitionBy("lang", "bucket")
     ranked = ranked.withColumn("rn", F.row_number().over(w)).withColumn(
         "cnt", F.count(F.lit(1)).over(wc)
-    )
+    ).localCheckpoint(eager=False)  # two consumers (targets, negatives)
     targets = ranked.withColumn(
         "target",
         (
