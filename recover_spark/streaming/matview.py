@@ -1408,21 +1408,47 @@ def merge_sample_state(
         .drop("__rn")
     )
 
+    # The batch's own bottom-k partial (data-sized) stays a Spark
+    # pass; the state fold is bounded at k rows per key, so it runs
+    # driver-side via Arrow (guide §5, the merge_drift_counts
+    # pattern): min-k on a fixed hash is pure set logic — no float
+    # arithmetic at all — so the folded state is bit-identical to the
+    # union + rank form it replaces.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    acc: dict[tuple, dict] = {}
+    for r in partial.collect():
+        kk = tuple(r[c] for c in keys)
+        acc.setdefault(kk, {})[int(r["h"])] = r["payload"]
     state = Path(state_path)
     if state.exists():
-        prev = spark.read.parquet(state_path)
-        merged = (
-            prev.unionByName(partial)
-            .dropDuplicates(keys + ["h"])
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= k)
-            .drop("__rn")
-        )
-    else:
-        merged = partial
-
+        prev = pq.read_table(state_path)  # '_'-prefixed sidecars skipped
+        pc = {c: prev.column(c).to_pylist() for c in prev.column_names}
+        for i in range(prev.num_rows):
+            kk = tuple(pc[c][i] for c in keys)
+            # same (keys, h) ⇒ same payload (h is the payload's hash);
+            # keep the stored one, matching dropDuplicates' keep-one
+            acc.setdefault(kk, {}).setdefault(
+                int(pc["h"][i]), pc["payload"][i]
+            )
+    out_rows = []
+    for kk in sorted(acc, key=lambda t: tuple(map(str, t))):
+        members = sorted(acc[kk].items())[: int(k)]
+        out_rows.extend((kk, h, p) for h, p in members)
+    cols_out: dict = {}
+    for j, c in enumerate(keys):
+        cols_out[c] = [kk[j] for kk, _, _ in out_rows]
+    cols_out["payload"] = [p for _, _, p in out_rows]
+    cols_out["h"] = pa.array(
+        [h for _, h, _ in out_rows], type=pa.int64()
+    )
+    table = pa.table(cols_out)
     tmp = str(state) + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
+    if Path(tmp).exists():
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
     if batch_id is not None:
         (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
     _swap_state(tmp, state_path)
