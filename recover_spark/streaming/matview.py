@@ -728,7 +728,7 @@ def merge_corr_moments(
     cols = list(cols)
     if len(set(cols)) != len(cols):
         raise ValueError(f"merge_corr_moments: duplicate columns in {cols}")
-    aggs, explode_col, prev_select, merged_select = _corr_expr_bundle(
+    aggs, explode_col, _prev_select, _merged_select = _corr_expr_bundle(
         tuple(cols)
     )
     partial = (
@@ -737,20 +737,67 @@ def merge_corr_moments(
         .select("__r.*")
         .filter(F.col("n") > 0)
     )
+    # The batch pass (data-sized) stays one Spark aggregate; the state
+    # is bounded at |cols|^2 pair rows, so the Chan merge runs
+    # driver-side (guide §5, the merge_drift_counts pattern).  The
+    # Python formulas below mirror the _corr_expr_bundle merge
+    # expressions OP FOR OP (same IEEE ops, same association), so the
+    # folded state is bit-identical to the full-outer-join form.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
+    vcols = ("n", "mean_a", "mean_b", "m2a", "m2b", "cab")
+    acc: dict[tuple, list] = {
+        (r["col_a"], r["col_b"]): [r[c] for c in vcols]
+        for r in partial.collect()
+    }
     state = Path(state_path)
     if state.exists():
-        prev = spark.read.parquet(state_path).select(
-            "col_a", "col_b", *prev_select
+        prev = pq.read_table(state_path)  # '_'-prefixed sidecars skipped
+        pc = {c: prev.column(c).to_pylist() for c in prev.column_names}
+        for i in range(prev.num_rows):
+            kk = (pc["col_a"][i], pc["col_b"][i])
+            cur = acc.get(kk)
+            if cur is None:
+                acc[kk] = [pc[c][i] for c in vcols]
+                continue
+            nA = float(pc["n"][i] or 0)
+            nB = float(cur[0] or 0)
+            n = nA + nB
+            mA_a = float(pc["mean_a"][i] or 0.0)
+            mB_a = float(cur[1] or 0.0)
+            mA_b = float(pc["mean_b"][i] or 0.0)
+            mB_b = float(cur[2] or 0.0)
+            d_a = mB_a - mA_a
+            d_b = mB_b - mA_b
+            w = nA * nB / n if n > 0 else 0.0
+            acc[kk] = [
+                int(nA + nB),
+                (mA_a + d_a * nB / n) if n > 0 else None,
+                (mA_b + d_b * nB / n) if n > 0 else None,
+                float(pc["m2a"][i] or 0.0) + float(cur[3] or 0.0)
+                + d_a * d_a * w,
+                float(pc["m2b"][i] or 0.0) + float(cur[4] or 0.0)
+                + d_b * d_b * w,
+                float(pc["cab"][i] or 0.0) + float(cur[5] or 0.0)
+                + d_a * d_b * w,
+            ]
+    rows = sorted(acc.items())
+    cols_out: dict = {
+        "col_a": [kk[0] for kk, _ in rows],
+        "col_b": [kk[1] for kk, _ in rows],
+        "n": pa.array([int(v[0]) for _, v in rows], type=pa.int64()),
+    }
+    for j, c in enumerate(vcols[1:], start=1):
+        cols_out[c] = pa.array(
+            [v[j] for _, v in rows], type=pa.float64()
         )
-        merged = prev.join(partial, ["col_a", "col_b"], "full_outer").select(
-            "col_a", "col_b", *merged_select
-        )
-    else:
-        merged = partial
-
+    table = pa.table(cols_out)
     tmp = str(state) + ".tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if Path(tmp).exists():
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
     if batch_id is not None:
         (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
     _swap_state(tmp, state_path)
