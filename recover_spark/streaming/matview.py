@@ -873,22 +873,52 @@ def merge_calibration_state(
     partial = _binned(
         batch, keys, score_col, label_col, bins, "calibration_matview"
     )
+    # The batch binning (data-sized) stays one Spark aggregate; the
+    # state is bounded at groups x bins, so the fold runs driver-side
+    # via Arrow (guide §5, the merge_drift_counts pattern): one long
+    # add + three two-operand IEEE adds per (group, bin) — bit-exact
+    # in any engine and operand order.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vcols = ("n_bin", "__ss", "__sy", "__sq")
+    acc: dict[tuple, list] = {
+        tuple(r[c] for c in keys) + (int(r["bin"]),): [r[c] for c in vcols]
+        for r in partial.collect()
+    }
     state = Path(state_path)
-    merged = partial
     if state.exists():
-        prev = spark.read.parquet(state_path)
-        merged = (
-            prev.unionByName(partial)
-            .groupBy(*keys, "bin")
-            .agg(
-                F.sum("n_bin").cast("long").alias("n_bin"),
-                F.sum("__ss").alias("__ss"),
-                F.sum("__sy").alias("__sy"),
-                F.sum("__sq").alias("__sq"),
-            )
+        prev = pq.read_table(state_path)  # '_'-prefixed sidecars skipped
+        pc = {c: prev.column(c).to_pylist() for c in prev.column_names}
+        for i in range(prev.num_rows):
+            kk = tuple(pc[c][i] for c in keys) + (int(pc["bin"][i]),)
+            row = acc.get(kk)
+            if row is None:
+                acc[kk] = [pc[c][i] for c in vcols]
+            else:
+                for j, c in enumerate(vcols):
+                    a, b = row[j], pc[c][i]
+                    row[j] = b if a is None else (a if b is None else a + b)
+    rows = sorted(acc.items(), key=lambda kv: tuple(map(str, kv[0])))
+    cols_out: dict = {}
+    for j, c in enumerate(keys):
+        cols_out[c] = [kk[j] for kk, _ in rows]
+    cols_out["bin"] = pa.array(
+        [kk[len(keys)] for kk, _ in rows], type=pa.int32()
+    )
+    cols_out["n_bin"] = pa.array(
+        [int(v[0]) for _, v in rows], type=pa.int64()
+    )
+    for j, c in enumerate(vcols[1:], start=1):
+        cols_out[c] = pa.array(
+            [v[j] for _, v in rows], type=pa.float64()
         )
+    table = pa.table(cols_out)
     tmp = str(state) + ".tmp"
-    merged.write.mode("overwrite").parquet(tmp)
+    if Path(tmp).exists():
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
     if batch_id is not None:
         (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
     _swap_state(tmp, state_path)
