@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from recover_spark.functions.local import tiny_df
+from recover_spark.functions.local import tiny_df, write_local_parquet
 from recover_spark.functions.vectors import cosine_from_norms, l2_norm
 
 # Driver-collected index GEOMETRY bounds (VERDICT r13 #4).  Probe
@@ -111,6 +111,24 @@ def _meta_cached(kind: str, meta_dir: str, load):
         _INDEX_META_CACHE.pop(next(iter(_INDEX_META_CACHE)))
     _INDEX_META_CACHE[key] = val
     return val
+
+
+def _prime_meta_cache(kind: str, meta_dir: str, val) -> None:
+    """Seed the metadata cache from the BUILDER's own driver copy (r14
+    optimization): the builder just wrote ``val`` to ``meta_dir``, so
+    the first probe/append's collect job would only re-fetch bytes the
+    driver already holds.  ``val`` must be in the exact format the
+    corresponding ``_collect_*_uncached`` returns.  No-op past the
+    driver-geometry caps — the guarded collect path then applies."""
+    import os as _os
+
+    ident = _dir_identity(meta_dir)
+    if ident is None:
+        return
+    key = (kind, _os.path.abspath(meta_dir), ident)
+    if len(_INDEX_META_CACHE) >= _INDEX_META_CACHE_MAX:
+        _INDEX_META_CACHE.pop(next(iter(_INDEX_META_CACHE)))
+    _INDEX_META_CACHE[key] = val
 
 
 def _collect_centroids(spark, index_path: str) -> list:
@@ -706,14 +724,17 @@ def build_ivf_index(
         "list", _nearest_lists(seeds, F.col(vec_col), 1)[0]
     ).withColumn("q_embedding", _quantized_vec(F.col(vec_col)))
     assigned.write.mode("overwrite").partitionBy("list").parquet(tmp)
-    spark = corpus.sparkSession
     cent_rows = [(cid, cvec) for cid, cvec in seeds]
-    # tiny_df: a defaultParallelism-sliced local frame coalesced to one
-    # file chains ~32 sequential Python round-trips (~4-5 s measured);
-    # one slice writes the same bytes in ~0.3 s (guide §4)
-    tiny_df(
-        spark, cent_rows, f"{id_col} long, {vec_col} array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/_centroids")
+    # Driver-side pyarrow write (write_local_parquet docstring): the
+    # centroid rows already live on the driver — persisting them needs
+    # no Spark job at all, and readers see bit-identical doubles.
+    import pyarrow as _pa
+
+    write_local_parquet(
+        cent_rows,
+        [(id_col, _pa.int64()), (vec_col, _pa.list_(_pa.float64()))],
+        f"{tmp}/_centroids",
+    )
     # Two-rename promotion: never rmtree the live generation before
     # the new one is in place (a crash between the two would leave NO
     # index).  Ordering keeps a complete generation live or healable
@@ -726,6 +747,16 @@ def build_ivf_index(
     _os.rename(tmp, index_path)
     if _os.path.isdir(old):
         _shutil.rmtree(old)
+    # The builder's own seeds ARE what the first probe/append would
+    # collect (sorted (cid, [float]) — _collect_seeds' format), so
+    # seed the metadata cache and skip that job (guarded by the same
+    # geometry cap the collect path enforces).
+    if len(seeds) <= MAX_DRIVER_LISTS:
+        _prime_meta_cache(
+            "centroids",
+            f"{index_path}/_centroids",
+            sorted((int(c), [float(x) for x in v]) for c, v in seeds),
+        )
 
 
 def ivf_index_complete(index_path: str) -> bool:
@@ -1663,10 +1694,18 @@ def build_pq_sidecar(
         for s, book in enumerate(books)
         for j, center in book
     ]
-    tiny_df(
-        spark, cb_rows, "s int, j long, center array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        f"{tmp}/codebooks"
+    # Driver-side pyarrow write (write_local_parquet docstring): the
+    # codebook rows already live on the driver — zero Spark jobs.
+    import pyarrow as _pa
+
+    write_local_parquet(
+        cb_rows,
+        [
+            ("s", _pa.int32()),
+            ("j", _pa.int64()),
+            ("center", _pa.list_(_pa.float64())),
+        ],
+        f"{tmp}/codebooks",
     )
     final = f"{index_path}/_pq"
     old = f"{index_path}/_pq.old"
@@ -1677,6 +1716,20 @@ def build_pq_sidecar(
     _os.rename(tmp, final)
     if _os.path.isdir(old):
         _shutil.rmtree(old)
+    # The builder's cb_rows ARE what the first probe/append would
+    # collect; consumers re-sort by (j, center) per subspace, so Row
+    # objects in write order are equivalent to the collect's rows.
+    if len(cb_rows) <= MAX_DRIVER_CODEBOOK_CELLS:
+        from pyspark.sql import Row as _Row
+
+        _prime_meta_cache(
+            "codebooks",
+            f"{index_path}/_pq/codebooks",
+            [
+                _Row(s=int(s), j=int(j), center=[float(x) for x in c])
+                for s, j, c in cb_rows
+            ],
+        )
 
 
 def ivf_pq_topk_indexed(

@@ -38,6 +38,58 @@ def test_centroid_cache_hits_and_invalidates(spark, tmp_path):
     assert second == first
 
 
+def test_primed_metadata_matches_parquet_roundtrip(spark, tmp_path):
+    """The builder primes the metadata cache with its own driver copy
+    (skipping the first collect job); a cold process would collect the
+    parquet instead.  Both must be EXACTLY equal — this pins the
+    pyarrow-write/Spark-read float64 round trip bit-for-bit."""
+    from recover_spark.ops import similarity as sim
+
+    idx = str(tmp_path / "ivf")
+    emb = _emb(spark)
+    build_ivf_index(emb, idx, n_centroids=4)
+    build_pq_sidecar(spark, idx, m_subspaces=2, n_codes=4, dim=8)
+    primed_cents = _collect_centroids(spark, idx)
+    primed_books = _collect_codebooks(spark, idx)
+    sim._INDEX_META_CACHE.clear()  # simulate a cold process
+    cold_cents = _collect_centroids(spark, idx)
+    cold_books = _collect_codebooks(spark, idx)
+    assert cold_cents == primed_cents
+    assert sorted(
+        (int(r["s"]), int(r["j"]), [float(x) for x in r["center"]])
+        for r in cold_books
+    ) == sorted(
+        (int(r["s"]), int(r["j"]), [float(x) for x in r["center"]])
+        for r in primed_books
+    )
+
+
+def test_write_local_parquet_spark_roundtrip(spark, tmp_path):
+    """Driver-side pyarrow parquet is read by Spark exactly like
+    Spark's own output: same columns, types, and float64 bits."""
+    import pyarrow as pa
+
+    from recover_spark.functions.local import write_local_parquet
+
+    out = str(tmp_path / "meta")
+    rows = [(0, [0.1, -2.5e300]), (1, [float("inf"), 3.0000000000000004])]
+    write_local_parquet(
+        rows,
+        [("vec_id", pa.int64()), ("embedding", pa.list_(pa.float64()))],
+        out,
+    )
+    df = spark.read.parquet(out)
+    assert [f.simpleString() for f in df.schema.fields] == [
+        "vec_id:bigint",
+        "embedding:array<double>",
+    ]
+    got = sorted((r[0], [float(x) for x in r[1]]) for r in df.collect())
+    assert got == rows
+    import os
+
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+
 def test_codebook_cache_tracks_pq_rebuild(spark, tmp_path):
     idx = str(tmp_path / "ivf")
     emb = _emb(spark)
