@@ -127,13 +127,13 @@ def build_text_index(
         .write.mode("overwrite").partitionBy("tb") \
         .parquet(os.path.join(path, "postings"))
     _write_vectors(postings, path, num_buckets, "overwrite")
-    spark = docs.sparkSession
-    stored = _read_or_empty(
-        spark, os.path.join(path, "postings"), _POSTINGS_SCHEMA
-    )
-    stored.groupBy("term").agg(F.count(F.lit(1)).alias("df")) \
+    # df / n_docs from the PINNED postings frame (r14 optimization):
+    # a fresh build's stored postings ARE this frame row for row, so
+    # re-reading the just-written parquet paid two extra full scans
+    # (listing + footer + decode) for identical aggregates.
+    postings.groupBy("term").agg(F.count(F.lit(1)).alias("df")) \
         .write.mode("overwrite").parquet(os.path.join(path, "df"))
-    n_docs = stored.select("doc_id").distinct().count()
+    n_docs = postings.select("doc_id").distinct().count()
     meta = {"num_buckets": num_buckets, "n_docs": n_docs}
     tmp = os.path.join(path, META_NAME + ".tmp")
     with open(tmp, "w") as fh:
@@ -155,6 +155,7 @@ def append_text_index(
     _require_integral_ids(docs, id_col, "append_text_index")
     spark = docs.sparkSession
     meta = _read_meta(path)
+    had_vectors = os.path.isdir(os.path.join(path, "vectors"))
     postings = _batch_postings(docs, id_col, text_col).localCheckpoint(
         eager=False
     )
@@ -164,12 +165,43 @@ def append_text_index(
         os.path.join(path, "postings")
     )
     _write_vectors(postings, path, meta["num_buckets"], "append")
-    stored = _read_or_empty(
-        spark, os.path.join(path, "postings"), _POSTINGS_SCHEMA
+    # df: old table + this batch's counts (r14 optimization).  The
+    # append only ADDS posting rows, and df counts rows per term, so
+    # the sum over the two disjoint row sets IS the re-aggregation of
+    # the combined postings — at O(vocab + batch) instead of a full
+    # O(index) re-scan per append (the delete path's decrement-join
+    # convention, in the other direction).
+    df_path = os.path.join(path, "df")
+    old_df = _read_or_empty(spark, df_path, _DF_SCHEMA)
+    batch_df = postings.groupBy("term").agg(
+        F.count(F.lit(1)).alias("__bdf")
     )
-    stored.groupBy("term").agg(F.count(F.lit(1)).alias("df")) \
-        .write.mode("overwrite").parquet(os.path.join(path, "df"))
-    meta["n_docs"] = stored.select("doc_id").distinct().count()
+    new_df = (
+        old_df.join(batch_df, "term", "full")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("df"), F.lit(0))
+                + F.coalesce(F.col("__bdf"), F.lit(0))
+            ).cast("long").alias("df"),
+        )
+        .localCheckpoint(eager=True)  # df_path is both input and output
+    )
+    new_df.write.mode("overwrite").parquet(df_path)
+    # n_docs: distinct over the doc-grained vectors layout (one row
+    # per doc per batch — the same doc set as the postings, far fewer
+    # rows).  Indexes predating vectors/ keep the full-postings scan:
+    # the vectors dir written THIS call holds only the batch's docs.
+    if had_vectors:
+        meta["n_docs"] = (
+            spark.read.parquet(os.path.join(path, "vectors"))
+            .select("doc_id").distinct().count()
+        )
+    else:
+        stored = _read_or_empty(
+            spark, os.path.join(path, "postings"), _POSTINGS_SCHEMA
+        )
+        meta["n_docs"] = stored.select("doc_id").distinct().count()
     tmp = os.path.join(path, META_NAME + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh, sort_keys=True)
