@@ -7396,6 +7396,53 @@ def _shared_drift_state(spark: SparkSession, sf_dir: str) -> str:
     return state
 
 
+def _shared_calibration_state(spark: SparkSession, sf_dir: str) -> str:
+    """ONE calibration arrival pipeline per (process, sf_dir) — the
+    VERDICT r13 #1 convention, applied to the calibration trio the way
+    ``_shared_drift_state`` applied it to the drift trio: the
+    classifier-eval fixture streams in as four genuine micro-batches
+    folding (group, bin) label/score sums into persisted state, and
+    the brier/ece (``stream_calibration_matview``), isotonic-PAV
+    (``stream_isotonic_matview``) and tie-block-AUC
+    (``stream_auc_matview``) lenses are each a metadata-sized read
+    over this ONE state.  The construct is the identical machinery
+    each query ran standalone (same fixture, same keys/bins, same
+    4-batch schedule), run once — deterministic, so no lens's rows
+    can move."""
+    import os
+    import uuid
+
+    from recover_spark.streaming.matview import (
+        maintain_calibration_matview,
+    )
+
+    key = ("calibration", os.path.abspath(sf_dir))
+    cached = _SHARED_STATE_CACHE.get(key)
+    if isinstance(cached, str) and os.path.isdir(cached):
+        return cached
+    run_dir = f"spark-warehouse/calib_shared/{uuid.uuid4().hex}"
+    src = f"{run_dir}/src"
+    ev = _classifier_eval_fixture(spark, sf_dir).select(
+        "event_type", "score", F.col("label").cast("int").alias("label")
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "event_type string, score double, label int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = maintain_calibration_matview(
+        stream, f"{run_dir}/state", f"{run_dir}/ckpt",
+        ["event_type"], "score", "label", bins=10,
+    )
+    q.awaitTermination(300)
+    state = f"{run_dir}/state"
+    _SHARED_STATE_CACHE[key] = state
+    return state
+
+
 def _shared_ann_maintained(spark: SparkSession, sf_dir: str) -> dict:
     """ONE ANN maintenance lifecycle per (process, sf_dir), two probe
     surfaces (VERDICT r13 #3): build the IVF index + PQ sidecar on the
@@ -8016,34 +8063,14 @@ def q_stream_auc_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     third read lens, zero extra state: each score bin is a tie block,
     so the Mann-Whitney tie-block identity over the ordered bins is
     the EXACT AUC of the quantized scores.  Oracle: batch tie-block
-    AUC over the same quantization."""
-    import uuid
+    AUC over the same quantization.  The arrival state is the ONE
+    shared pipeline (_shared_calibration_state, the VERDICT r13 #1
+    convention): this query reads the tie-block-AUC lens."""
+    from recover_spark.streaming.matview import read_auc_matview
 
-    from recover_spark.streaming.matview import (
-        maintain_calibration_matview,
-        read_auc_matview,
-    )
-
-    run_dir = f"spark-warehouse/auc_mv/{uuid.uuid4().hex}"
-    src = f"{run_dir}/src"
-    ev = _classifier_eval_fixture(spark, sf_dir).select(
-        "event_type", "score", F.col("label").cast("int").alias("label")
-    )
-    ev.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(
-            "event_type string, score double, label int"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    q = maintain_calibration_matview(
-        stream, f"{run_dir}/state", f"{run_dir}/ckpt",
-        ["event_type"], "score", "label", bins=10,
-    )
-    q.awaitTermination(300)
+    state = _shared_calibration_state(spark, sf_dir)
     return read_auc_matview(
-        spark, f"{run_dir}/state", ["event_type"]
+        spark, state, ["event_type"]
     ).orderBy("event_type")
 
 
@@ -8381,34 +8408,16 @@ def q_stream_calibration_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     persisted state across four genuine micro-batches; the read side
     serves the brier/ece/base_rate scalars from that state with the
     IDENTICAL fold the batch operator runs.  The oracle is the plain
-    batch SQL — incremental maintenance must be invisible."""
-    import uuid
+    batch SQL — incremental maintenance must be invisible.  The arrival
+    state is the ONE shared pipeline (_shared_calibration_state, the
+    VERDICT r13 #1 convention — same fixture, keys, bins and 4-batch
+    schedule as the historical standalone construct): this query reads
+    the brier/ece/base_rate lens."""
+    from recover_spark.streaming.matview import read_calibration_matview
 
-    from recover_spark.streaming.matview import (
-        maintain_calibration_matview,
-        read_calibration_matview,
-    )
-
-    run_dir = f"spark-warehouse/calib_mv/{uuid.uuid4().hex}"
-    src = f"{run_dir}/src"
-    ev = _classifier_eval_fixture(spark, sf_dir).select(
-        "event_type", "score", F.col("label").cast("int").alias("label")
-    )
-    ev.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(
-            "event_type string, score double, label int"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    q = maintain_calibration_matview(
-        stream, f"{run_dir}/state", f"{run_dir}/ckpt",
-        ["event_type"], "score", "label", bins=10,
-    )
-    q.awaitTermination(300)
+    state = _shared_calibration_state(spark, sf_dir)
     return read_calibration_matview(
-        spark, f"{run_dir}/state", ["event_type"]
+        spark, state, ["event_type"]
     ).orderBy("event_type")
 
 
@@ -8419,34 +8428,14 @@ def q_stream_isotonic_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     read — zero extra state; the streamed fit equals the batch fit on
     the same decile binning (bin sums are exactly PAV's cells).
     Oracle: a from-scratch Python PAV over the batch-computed bins
-    (oracle_py) — maintenance must be invisible."""
-    import uuid
+    (oracle_py) — maintenance must be invisible.  The arrival state is
+    the ONE shared pipeline (_shared_calibration_state, the VERDICT
+    r13 #1 convention): this query reads the isotonic-fit lens."""
+    from recover_spark.streaming.matview import read_isotonic_matview
 
-    from recover_spark.streaming.matview import (
-        maintain_calibration_matview,
-        read_isotonic_matview,
-    )
-
-    run_dir = f"spark-warehouse/iso_mv/{uuid.uuid4().hex}"
-    src = f"{run_dir}/src"
-    ev = _classifier_eval_fixture(spark, sf_dir).select(
-        "event_type", "score", F.col("label").cast("int").alias("label")
-    )
-    ev.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(
-            "event_type string, score double, label int"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    q = maintain_calibration_matview(
-        stream, f"{run_dir}/state", f"{run_dir}/ckpt",
-        ["event_type"], "score", "label", bins=10,
-    )
-    q.awaitTermination(300)
+    state = _shared_calibration_state(spark, sf_dir)
     return read_isotonic_matview(
-        spark, f"{run_dir}/state", ["event_type"]
+        spark, state, ["event_type"]
     ).orderBy("event_type", "block")
 
 
