@@ -540,6 +540,20 @@ def ks_drift_by_period(
     cols = list(cols)
     if not cols:
         raise ValueError("cols must be non-empty")
+    # NOTE (r14 optimization round, measured and REJECTED — twice):
+    # the plan embeds (and re-executes) the edge aggregate and both
+    # binned fact passes in every consumer branch — 24 parquet scans
+    # and 16 exact-percentile evaluations in one v17_fdr_bh plan.
+    # Both dedup attempts LOST to the redundant one-job plan on
+    # interleaved same-JVM medians: (a) lazy-localCheckpoint pins
+    # (v9_drift_ks_series 1.3 s -> 6.4 s — stat-less LogicalRDD
+    # leaves degrade every join to SortMergeJoin, and each
+    # materialization is its own job); (b) collect + local-relation
+    # materialization of the bounded stages (v17_fdr_bh 5.0 -> 9.0 s
+    # — four SEQUENTIAL driver jobs replace one fully-parallel job,
+    # and per-job fixed cost dominates at these sizes).  The
+    # duplicated subtrees are cheap precisely because they ride one
+    # AQE job at full parallelism.
     edges_row = quantile_edge_row(baseline, cols, n_grid, edge_accuracy)
 
     def binned(df: DataFrame, with_period: bool) -> DataFrame:
@@ -578,15 +592,20 @@ def ks_drift_by_period(
     periods = current.select(
         F.col(period_col).alias("period")
     ).distinct()
-    frame = periods.select("period", col_lit).select("period", "column", bins)
+    frame = periods.select("period", col_lit).select(
+        "period", "column", bins
+    )
 
     w_base = Window.partitionBy("column").orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # Explicit broadcasts: these sides are bounded metadata frames and
+    # must never plan as a shuffle join (at HEAD before this round the
+    # dense joins planned as 8 SortMergeJoins in one v17_fdr_bh plan).
     base_dense = (
         frame.select("column", "bin")
         .distinct()
-        .join(base_counts, ["column", "bin"], "left")
+        .join(F.broadcast(base_counts), ["column", "bin"], "left")
         .withColumn("__nb", F.coalesce("n", F.lit(0)))
         .withColumn("__cb", F.sum("__nb").over(w_base))
     )
@@ -594,7 +613,9 @@ def ks_drift_by_period(
         "bin"
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cur_dense = (
-        frame.join(cur_counts, ["period", "column", "bin"], "left")
+        frame.join(
+            F.broadcast(cur_counts), ["period", "column", "bin"], "left"
+        )
         .withColumn("__np", F.coalesce("n", F.lit(0)))
         .withColumn("__cp", F.sum("__np").over(w_cur))
     )
@@ -606,7 +627,8 @@ def ks_drift_by_period(
     )
     scored = (
         cur_dense.join(
-            base_dense.select("column", "bin", "__cb"), ["column", "bin"]
+            F.broadcast(base_dense.select("column", "bin", "__cb")),
+            ["column", "bin"],
         )
         .join(F.broadcast(b_tot), "column")
         .join(F.broadcast(p_tot), ["period", "column"])
