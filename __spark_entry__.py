@@ -8566,7 +8566,8 @@ def q_stream_heartbeat_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     q = maintain_heartbeat_matview(
-        stream, f"{run_dir}/state", f"{run_dir}/ckpt", ["k"], "ts"
+        stream, f"{run_dir}/state", f"{run_dir}/ckpt", ["k"], "ts",
+        bounded_state=True,  # k = user_id % 200: geometry-bounded keys
     )
     q.awaitTermination(300)
     out = read_heartbeat_matview(spark, f"{run_dir}/state", 86400)

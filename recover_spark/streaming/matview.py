@@ -1059,11 +1059,19 @@ def merge_heartbeat_state(
     key_cols: Sequence[str],
     ts_col: str,
     batch_id: int | None = None,
+    bounded_state: bool = False,
 ) -> None:
     """Merge one batch's per-key (last_seen, n_rows) into state — max
     and count are both mergeable, so the union + re-aggregate over
     partials equals the aggregate over everything seen (the
-    ``merge_counts`` contract with the same batch-id sidecar)."""
+    ``merge_counts`` contract with the same batch-id sidecar).
+
+    ``bounded_state=True`` (r14 optimization) declares the key space
+    GEOMETRY-bounded so the state fold may run driver-side via Arrow
+    (the ``merge_counts`` pattern): the fold is max over epoch-micros
+    integers plus one integer add per key — engine-independent — and
+    the batch aggregate (the data work) stays a Spark pass.  Leave
+    False for key spaces that grow with the data."""
     _recover_state(state_path)
     if batch_id is not None:
         applied = _applied_batch_id(state_path)
@@ -1079,6 +1087,9 @@ def merge_heartbeat_state(
         )
     )
     state = Path(state_path)
+    if bounded_state:
+        _merge_heartbeat_driver(partial, state_path, keys, batch_id)
+        return
     merged = partial
     if state.exists():
         prev = spark.read.parquet(state_path)
@@ -1097,12 +1108,78 @@ def merge_heartbeat_state(
     _swap_state(tmp, state_path)
 
 
+def _merge_heartbeat_driver(
+    partial: DataFrame,
+    state_path: str,
+    keys: list,
+    batch_id: int | None,
+) -> None:
+    """Driver-side Arrow fold of a GEOMETRY-BOUNDED heartbeat state.
+
+    Timestamps fold as epoch MICROS integers (max is order-preserving
+    under the exact ``unix_micros`` conversion, and the state column
+    is written back as ``timestamp[us, UTC]`` so Spark reads the
+    identical TIMESTAMP the distributed fold would have produced —
+    the read lens's ``unix_micros(last_seen)`` sees the same
+    integer)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows_in = partial.select(
+        *keys,
+        F.unix_micros(F.col("last_seen")).alias("__us"),
+        "n_rows",
+    ).collect()
+    acc: dict[tuple, list] = {
+        tuple(r[c] for c in keys): [r["__us"], r["n_rows"]]
+        for r in rows_in
+    }
+    state = Path(state_path)
+    if state.exists():
+        prev = pq.read_table(state_path)  # '_'-prefixed sidecars skipped
+        ts_arr = prev.column("last_seen")
+        t = ts_arr.type
+        ints = ts_arr.cast(pa.int64()).to_pylist()
+        if pa.types.is_timestamp(t) and t.unit == "ns":
+            ints = [None if v is None else v // 1000 for v in ints]
+        pc = {c: prev.column(c).to_pylist() for c in keys + ["n_rows"]}
+        for i in range(prev.num_rows):
+            kk = tuple(pc[c][i] for c in keys)
+            row = acc.get(kk)
+            if row is None:
+                acc[kk] = [ints[i], pc["n_rows"][i]]
+            else:
+                a, b = row[0], ints[i]
+                row[0] = b if a is None else (a if b is None else max(a, b))
+                row[1] = row[1] + pc["n_rows"][i]
+    rows = sorted(acc.items(), key=lambda kv: tuple(map(str, kv[0])))
+    cols_out: dict = {}
+    for j, c in enumerate(keys):
+        cols_out[c] = [kk[j] for kk, _ in rows]
+    cols_out["last_seen"] = pa.array(
+        [v[0] for _, v in rows], type=pa.timestamp("us", tz="UTC")
+    )
+    cols_out["n_rows"] = pa.array(
+        [int(v[1]) for _, v in rows], type=pa.int64()
+    )
+    table = pa.table(cols_out)
+    tmp = str(state) + ".tmp"
+    if Path(tmp).exists():
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    pq.write_table(table, os.path.join(tmp, "part-00000.parquet"))
+    if batch_id is not None:
+        (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
+    _swap_state(tmp, state_path)
+
+
 def maintain_heartbeat_matview(
     stream: DataFrame,
     state_path: str,
     checkpoint_path: str,
     key_cols: Sequence[str],
     ts_col: str = "ts",
+    bounded_state: bool = False,
 ):
     """Incrementally-maintained per-key HEARTBEAT view: who has been
     seen, when last, how often — the live complement to
@@ -1114,7 +1191,8 @@ def maintain_heartbeat_matview(
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         merge_heartbeat_state(
-            spark, batch, state_path, keys, ts_col, batch_id
+            spark, batch, state_path, keys, ts_col, batch_id,
+            bounded_state=bounded_state,
         )
 
     return (

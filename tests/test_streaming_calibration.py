@@ -148,3 +148,45 @@ class TestHeartbeatMatview:
         merge_heartbeat_state(spark, df, state, ["k"], "ts", batch_id=0)
         row = read_heartbeat_matview(spark, state, 1).collect()[0]
         assert row["n_rows"] == 1  # replay skipped, not double-counted
+
+    def test_bounded_fold_equals_distributed(self, spark, tmp_path):
+        """The driver-side Arrow fold (bounded_state=True, r14) must
+        produce a state Spark reads IDENTICALLY to the distributed
+        fold — same schema, same TIMESTAMP values, same counts —
+        across multi-batch merges and a replay."""
+        from recover_spark.streaming.matview import (
+            merge_heartbeat_state,
+            read_heartbeat_matview,
+        )
+
+        batches = [
+            [("a", 1_000_000), ("b", 2_500_000), ("a", 3_000_000)],
+            [("b", 9_000_000), ("c", 4_000_000)],
+            [("a", 2_000_000)],  # older than a's current max
+        ]
+        states = {}
+        for label, bounded in (("dist", False), ("arrow", True)):
+            state = str(tmp_path / label)
+            for i, rows in enumerate(batches):
+                df = spark.createDataFrame(
+                    rows, "k string, us long"
+                ).selectExpr("k", "timestamp_micros(us) AS ts")
+                merge_heartbeat_state(
+                    spark, df, state, ["k"], "ts", batch_id=i,
+                    bounded_state=bounded,
+                )
+            # replay of the last batch must be a no-op in both modes
+            df = spark.createDataFrame(
+                batches[-1], "k string, us long"
+            ).selectExpr("k", "timestamp_micros(us) AS ts")
+            merge_heartbeat_state(
+                spark, df, state, ["k"], "ts", batch_id=len(batches) - 1,
+                bounded_state=bounded,
+            )
+            out = read_heartbeat_matview(spark, state, 3600)
+            states[label] = (
+                [f.simpleString() for f in spark.read.parquet(state).schema],
+                sorted(tuple(r) for r in out.collect()),
+            )
+        assert states["dist"][0] == states["arrow"][0]
+        assert states["dist"][1] == states["arrow"][1]
