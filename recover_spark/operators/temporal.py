@@ -1234,9 +1234,7 @@ def holt_winters_smooth(
         ),
     )
     conv_k = [F.col(f"__ck{j}") for j in range(3)]
-    rowpow = [F.col(f"__rp{j}") for j in range(3)]
     sum_k = [F.col(f"__sk{j}") for j in range(D)]
-    r_tab = [F.col(f"__rt{j}") for j in range(D)]
     v1_rows = [[float(V1[j, k]) for k in range(D)] for j in range(D)]
 
     key_names = list(on)
@@ -1347,57 +1345,65 @@ def holt_winters_smooth(
         )
     )
 
-    zero_d = F.array(*[F.lit(0.0)] * D)
+    # The three D- and D^2-sized expression tables below ship as ONE
+    # F.expr SQL string each (r14 optimization, the ANN _doubles_sql
+    # lesson): built element-wise with Column operators they cost
+    # D^2 * ~8 py4j round trips per call — ~13,400 measured for
+    # holt_winters at D=9, ~2.3 s of pure DRIVER time per build, the
+    # dominant cost of every ts_holt_winters/ts_forecast bench rep.
+    # The SQL text parses to the IDENTICAL Catalyst expressions
+    # (left-associated adds in the same order, CAST('<repr>' AS
+    # DOUBLE) folds to the bit-identical double), so plans and values
+    # are unchanged.
+    def _dsql(x: float) -> str:
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
 
-    def r_apply(dist, vec):
-        """R(dist*m) @ vec as a D-array column (dist a column)."""
-        base = dist * D
-        return F.array(
-            *[
-                sum(
-                    (
-                        F.element_at(r_tab[j], base + k + 1)
-                        * F.element_at(vec, k + 1)
-                        for k in range(D)
-                    ),
-                    start=F.lit(0.0),
-                )
-                for j in range(D)
+    zero_sql = "array(" + ", ".join(["0.0D"] * D) + ")"
+
+    # R(dist*m) @ e.__Bvec, dist = __chunk - e.__chunk - 1, folded
+    # over the carry-frame history (the r_apply/hist_fold pair)
+    contrib_sql = ", ".join(
+        " + ".join(
+            ["0.0D"]
+            + [
+                f"element_at(__rt{j}, CAST(__chunk - e.__chunk - 1 AS INT)"
+                f" * {D} + {k} + 1) * element_at(e.__Bvec, {k + 1})"
+                for k in range(D)
             ]
         )
-
-    def hist_fold(acc, e):
-        dist = (F.col("__chunk") - e["__chunk"] - 1).cast("int")
-        contrib = r_apply(dist, e["__Bvec"])
-        return F.zip_with(acc, contrib, lambda a, b: a + b)
+        for j in range(D)
+    )
+    damped_expr = F.expr(
+        f"aggregate(__hist, {zero_sql}, (acc, e) -> "
+        f"zip_with(acc, array({contrib_sql}), (a, b) -> a + b))"
+    )
 
     # x0 = (y_first, 0, ..., 0): unit part V1[:,0]*y1, damped part
     # R(c*m)[:,0]*y1 (zero beyond the frame)
-    c_dist = F.col("__chunk").cast("int")
-    x0_damped = F.when(
-        c_dist < w_chunks,
-        F.array(
-            *[
-                F.element_at(r_tab[j], c_dist * D + 1) * F.col("__y1")
-                for j in range(D)
-            ]
-        ),
-    ).otherwise(zero_d)
-    unit_part = F.array(
-        *[
-            sum(
-                (
-                    F.lit(v1_rows[j][k])
-                    * (
-                        F.element_at("__runsum", k + 1)
-                        + (F.col("__y1") if k == 0 else F.lit(0.0))
-                    )
+    x0_terms = ", ".join(
+        f"element_at(__rt{j}, CAST(__chunk AS INT) * {D} + 1) * __y1"
+        for j in range(D)
+    )
+    x0_damped = F.expr(
+        f"CASE WHEN CAST(__chunk AS INT) < {w_chunks} "
+        f"THEN array({x0_terms}) ELSE {zero_sql} END"
+    )
+    unit_part = F.expr(
+        "array("
+        + ", ".join(
+            " + ".join(
+                ["0.0D"]
+                + [
+                    f"{_dsql(v1_rows[j][k])} * (element_at(__runsum, "
+                    f"{k + 1}) + "
+                    + ("__y1" if k == 0 else "0.0D")
+                    + ")"
                     for k in range(D)
-                ),
-                start=F.lit(0.0),
+                ]
             )
             for j in range(D)
-        ]
+        )
+        + ")"
     )
     # tables attach AFTER the key-level windows (the chunk table plus
     # a broadcast row — nothing table-sized ever shuffles) and the
@@ -1405,7 +1411,7 @@ def holt_winters_smooth(
     chunk_states = chunk_states.crossJoin(
         F.broadcast(tables_df)
     ).withColumn(
-        "__damped", F.aggregate(F.col("__hist"), zero_d, hist_fold)
+        "__damped", damped_expr
     ).select(
         *key_names,
         "__chunk",
@@ -1465,18 +1471,18 @@ def holt_winters_smooth(
             hw_rows, out_schema
         )
 
-    p_base = F.col("__p") * D
-
     def row_out(j):
-        mp_dot = sum(
-            (
-                F.element_at(rowpow[j], p_base + k + 1)
-                * F.element_at("__xin", k + 1)
+        # one SQL string per output column (the damped_expr/unit_part
+        # convention above): D element_at products, left-assoc adds
+        mp_dot = " + ".join(
+            ["0.0D"]
+            + [
+                f"element_at(__rp{j}, __p * {D} + {k} + 1)"
+                f" * element_at(__xin, {k + 1})"
                 for k in range(D)
-            ),
-            start=F.lit(0.0),
+            ]
         )
-        return mp_dot + F.col("__conv")[f"c{j}"]
+        return F.expr(f"{mp_dot} + __conv.c{j}")
 
     # post-join projection only — the table row rides the broadcast
     # side and is dropped with the helpers
