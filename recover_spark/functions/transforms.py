@@ -315,3 +315,24 @@ def materialize_columns(
     for n in names:
         out = out.withColumn(n, F.col(holder)[n])
     return out.drop(holder)
+
+
+def bucket_chain(col_name: str, bounds, op: str = ">") -> Column:
+    """Ordinal bucket index — the count of ``bounds`` passing
+    ``col <op> bound`` — as ONE ``F.expr`` SQL string (r14
+    optimization).
+
+    Built per-bound with Column operators (``bucket = bucket +
+    (col > lit(b)).cast("int")``) the chain costs ~5 py4j round trips
+    per bound — ~0.5 s of pure driver time at 63 bounds, per plan
+    BUILD, at every bucket-decomposition call site (trimmed stats,
+    gini, weighted quantiles, AUC, rank metrics).  The SQL text
+    parses to the IDENTICAL Catalyst tree: left-associated integer
+    adds in bound order, ``CAST('<repr>' AS DOUBLE)`` folding to the
+    bit-identical double literal ``F.lit(b)`` would have produced.
+    """
+    terms = "".join(
+        f" + CAST((`{col_name}` {op} CAST('{float(b)!r}' AS DOUBLE)) AS INT)"
+        for b in bounds
+    )
+    return F.expr("0" + terms)

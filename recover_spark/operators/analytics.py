@@ -25,6 +25,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from recover_spark.functions.transforms import bucket_chain
+
 
 def rollup_aggregate(
     df: DataFrame,
@@ -288,9 +290,7 @@ def global_row_numbers(
     # bucket = number of boundaries below the value — a FLAT sum of
     # comparisons (codegen-friendly), equivalent to the nested-CASE
     # range lookup because the boundaries are sorted
-    bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + (F.col(lead) > F.lit(b)).cast("int")
+    bucket = bucket_chain(lead, bounds)
     with_bucket = df.withColumn("__bucket", bucket)
 
     w = Window.partitionBy("__bucket").orderBy(*[F.col(c) for c in order_cols])
@@ -798,9 +798,7 @@ def gini_by_group(
     nn = df.filter(F.col(value_col).isNotNull())
     probs = [i / buckets for i in range(1, buckets)]
     bounds = sorted(set(nn.stat.approxQuantile(value_col, probs, 0.001)))
-    bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + (F.col("__x") > F.lit(b)).cast("int")
+    bucket = bucket_chain("__x", bounds)
     staged = nn.select(
         *group_cols, F.col(value_col).cast("double").alias("__x")
     ).withColumn("__bucket", bucket)
@@ -936,9 +934,7 @@ def _group_midranks(
     grain = grain.localCheckpoint(eager=False)
     probs = [i / buckets for i in range(1, buckets)]
     bounds = sorted(set(grain.stat.approxQuantile(val_col, probs, 0.001)))
-    bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + (F.col(val_col) > F.lit(b)).cast("int")
+    bucket = bucket_chain(val_col, bounds)
     staged = materialize_columns(grain, {"__bucket": bucket})
     w = (
         Window.partitionBy(*group_cols, "__bucket")
@@ -1718,9 +1714,7 @@ def trimmed_group_stats(
     nn = df.filter(F.col(value_col).isNotNull())
     probs = [i / buckets for i in range(1, buckets)]
     bounds = sorted(set(nn.stat.approxQuantile(value_col, probs, 0.001)))
-    bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + (F.col("__x") > F.lit(b)).cast("int")
+    bucket = bucket_chain("__x", bounds)
     # the bucket expression is O(buckets) comparisons per row AND a
     # join key below: behind the Generate barrier it evaluates once
     # per row as an attribute, and the join's isnotnull cannot push a
@@ -1859,9 +1853,7 @@ def weighted_quantiles_by_group(
 
     probs = [i / buckets for i in range(1, buckets)]
     bounds = sorted(set(nn.stat.approxQuantile(value_col, probs, 0.001)))
-    bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + (F.col("__x") > F.lit(b)).cast("int")
+    bucket = bucket_chain("__x", bounds)
     # Generate barrier: the O(buckets) bucket expression must stay an
     # attribute — as a join key its isnotnull otherwise pushes a full
     # copy into one branch's scan (see trimmed_group_stats)

@@ -38,6 +38,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from recover_spark.functions.transforms import bucket_chain
+
 
 def _bernoulli(label_col: Column | str, what: str) -> Column:
     """0/1-validated double label — non-Bernoulli values raise at
@@ -112,9 +114,7 @@ def roc_auc_by_group(
     grain = grain.localCheckpoint(eager=False)
     probs = [i / buckets for i in range(1, buckets)]
     bounds = sorted(set(grain.stat.approxQuantile("__s", probs, 0.001)))
-    bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + (F.col("__s") > F.lit(b)).cast("int")
+    bucket = bucket_chain("__s", bounds)
     staged = materialize_columns(grain, {"__bucket": bucket})
 
     w = (
@@ -218,9 +218,7 @@ def average_precision_by_group(
     bounds = sorted(set(grain.stat.approxQuantile("__s", probs, 0.001)))
     # bucket 0 holds the HIGHEST scores so the bucket order follows
     # the descending retrieval order
-    bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + (F.col("__s") <= F.lit(b)).cast("int")
+    bucket = bucket_chain("__s", bounds, op="<=")
     staged = materialize_columns(grain, {"__bucket": bucket})
 
     w = (
@@ -597,9 +595,7 @@ def split_conformal(
     bounds = sorted(
         set(nn.select("__r").stat.approxQuantile("__r", probs, 0.01))
     )
-    bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + (F.col("__r") > F.lit(b)).cast("int")
+    bucket = bucket_chain("__r", bounds)
     staged = materialize_columns(calib, {"__bucket": bucket})
     w = Window.partitionBy(*group_cols, "__bucket").orderBy("__r")
     ranked = staged.withColumn("__lr", F.row_number().over(w))

@@ -102,3 +102,28 @@ def test_codebook_cache_tracks_pq_rebuild(spark, tmp_path):
     second = _collect_codebooks(spark, idx)
     assert second is not first
     assert [tuple(r) for r in second] == [tuple(r) for r in first]
+
+
+def test_bucket_chain_equals_column_chain(spark):
+    """bucket_chain's one-SQL-string form must equal the per-bound
+    Column chain it replaced, bound for bound, for both operators."""
+    from pyspark.sql import functions as F
+
+    from recover_spark.functions.transforms import bucket_chain
+
+    bounds = [0.1, 2.5, 2.5000000000000004, 97.3, -3.0]
+    df = spark.createDataFrame(
+        [(float(x),) for x in (-5.0, 0.1, 2.5, 2.50000000000000044, 100.0)],
+        "__x double",
+    )
+    for op in (">", "<="):
+        legacy = F.lit(0)
+        for b in bounds:
+            cmp_col = (
+                F.col("__x") > F.lit(b) if op == ">" else F.col("__x") <= F.lit(b)
+            )
+            legacy = legacy + cmp_col.cast("int")
+        got = df.select(
+            legacy.alias("a"), bucket_chain("__x", bounds, op=op).alias("b")
+        ).collect()
+        assert all(r["a"] == r["b"] for r in got), (op, got)
