@@ -1791,39 +1791,38 @@ def autocorrelation(
         F.sum("__x").alias("__s"),
         F.sum(F.col("__x") * F.col("__x")).alias("__ss"),
     ]
+    # per-lag aggregates and the acf fold ship as SQL text (the
+    # bucket_chain/affine-scan lesson): ~30 py4j round trips per lag
+    # as Column operators, one per expression as text — identical
+    # Catalyst trees (same coalesce/try_divide/round shapes, the
+    # shared mean subexpression expanded in place exactly as Column
+    # reuse expands it)
     for k in range(1, max_lag + 1):
-        lk = F.col(f"__l{k}")
         aggs += [
-            F.sum(F.col("__x") * lk).alias(f"__pxy{k}"),
-            F.sum(F.when(lk.isNotNull(), F.col("__x"))).alias(f"__pa{k}"),
-            F.sum(lk).alias(f"__pb{k}"),
-            F.count(lk).alias(f"__pc{k}"),
+            F.expr(f"sum(__x * __l{k})").alias(f"__pxy{k}"),
+            F.expr(
+                f"sum(CASE WHEN __l{k} IS NOT NULL THEN __x END)"
+            ).alias(f"__pa{k}"),
+            F.expr(f"sum(__l{k})").alias(f"__pb{k}"),
+            F.expr(f"count(__l{k})").alias(f"__pc{k}"),
         ]
     g = lagged.groupBy(*key_cols).agg(*aggs)
-    m = F.col("__s") / F.col("__n")
-    denom = F.col("__ss") - F.col("__n") * m * m
+    m_sql = "(__s / __n)"
+    denom_sql = f"__ss - __n * {m_sql} * {m_sql}"
+    eps = f"CAST('{1e-9!r}' AS DOUBLE)"
+    zero = "0.0D"
     rows = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(k).alias("lag"),
-                    F.round(
-                        F.try_divide(
-                            F.coalesce(F.col(f"__pxy{k}"), F.lit(0.0))
-                            - m
-                            * (
-                                F.coalesce(F.col(f"__pa{k}"), F.lit(0.0))
-                                + F.coalesce(F.col(f"__pb{k}"), F.lit(0.0))
-                            )
-                            + F.col(f"__pc{k}") * m * m,
-                            denom,
-                        )
-                        + F.lit(1e-9),
-                        round_digits,
-                    ).alias("acf"),
-                )
+        F.expr(
+            "array("
+            + ", ".join(
+                f"struct({k} AS lag, round(try_divide("
+                f"coalesce(__pxy{k}, {zero}) - {m_sql} * "
+                f"(coalesce(__pa{k}, {zero}) + coalesce(__pb{k}, {zero}))"
+                f" + __pc{k} * {m_sql} * {m_sql}, {denom_sql}) + {eps}, "
+                f"{int(round_digits)}) AS acf)"
                 for k in range(1, max_lag + 1)
-            ]
+            )
+            + ")"
         )
     ).alias("__r")
     return g.select(*key_cols, F.col("__n").alias("n"), rows).select(

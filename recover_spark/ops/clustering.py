@@ -57,8 +57,9 @@ def kmeans_step(
     """
     seeds = centroids or _collect_seeds(corpus, n_centroids, id_col, vec_col)
     assigned = kmeans_assign(corpus, seeds, id_col, vec_col)
+    # dim-sized avg list as SQL text (the embedding_centroid_drift note)
     aggs = [
-        F.avg(F.col(vec_col)[i].cast("double")).alias(f"d{i}")
+        F.expr(f"avg(CAST(`{vec_col}`[{i}] AS DOUBLE))").alias(f"d{i}")
         for i in range(dim)
     ]
     wide = assigned.groupBy("cid").agg(*aggs)
@@ -188,42 +189,46 @@ def embedding_centroid_drift(
     catches magnitude collapse (e.g. an un-normalized encoder).
     """
     era = F.col(era_col) if isinstance(era_col, str) else era_col
-    v = F.col(vec_col)
+    # dim-sized expression lists ship as SQL text (one py4j round trip
+    # per expression / per select, r14 optimization — the affine-scan
+    # and bucket_chain lesson): built with Column operators the avg
+    # list + renames + three dot/norm chains cost ~18k round trips per
+    # plan build at dim=64.  The SQL parses to the identical Catalyst
+    # trees (same casts, same left-associated add order).
     cent = (
         df.filter(era.isNotNull())
         .groupBy(F.col(group_col), era.cast("int").alias("__era"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("__n"),
             *[
-                F.avg(v[i].cast("double")).alias(f"__c{i}")
+                F.expr(
+                    f"avg(CAST(`{vec_col}`[{i}] AS DOUBLE))"
+                ).alias(f"__c{i}")
                 for i in range(dim)
             ],
         )
         .localCheckpoint(eager=False)
     )
-    base = cent.filter(F.col("__era") == 0).select(
-        F.col(group_col),
-        F.col("__n").alias("n_base"),
-        *[F.col(f"__c{i}").alias(f"__a{i}") for i in range(dim)],
+    base = cent.filter(F.col("__era") == 0).selectExpr(
+        f"`{group_col}`",
+        "__n AS n_base",
+        *[f"__c{i} AS __a{i}" for i in range(dim)],
     )
-    cur = cent.filter(F.col("__era") == 1).select(
-        F.col(group_col),
-        F.col("__n").alias("n_cur"),
-        *[F.col(f"__c{i}").alias(f"__b{i}") for i in range(dim)],
+    cur = cent.filter(F.col("__era") == 1).selectExpr(
+        f"`{group_col}`",
+        "__n AS n_cur",
+        *[f"__c{i} AS __b{i}" for i in range(dim)],
     )
     j = base.join(cur, group_col)
-    dot = sum(
-        (F.col(f"__a{i}") * F.col(f"__b{i}") for i in range(dim)),
-        F.lit(0.0),
+    dot = F.expr(
+        " + ".join(["0.0D"] + [f"__a{i} * __b{i}" for i in range(dim)])
     )
-    na = F.sqrt(
-        sum((F.col(f"__a{i}") * F.col(f"__a{i}") for i in range(dim)),
-            F.lit(0.0))
-    )
-    nb = F.sqrt(
-        sum((F.col(f"__b{i}") * F.col(f"__b{i}") for i in range(dim)),
-            F.lit(0.0))
-    )
+    na = F.sqrt(F.expr(
+        " + ".join(["0.0D"] + [f"__a{i} * __a{i}" for i in range(dim)])
+    ))
+    nb = F.sqrt(F.expr(
+        " + ".join(["0.0D"] + [f"__b{i} * __b{i}" for i in range(dim)])
+    ))
     return j.select(
         group_col,
         "n_base",
@@ -260,34 +265,36 @@ def centroid_outliers(
     zero vector/centroid get NULL cosine via ``try_divide`` and are
     NOT flagged (no direction statement to make).
     """
-    v = F.col(vec_col)
+    # dim-sized chains as SQL text (the embedding_centroid_drift note)
     cent = (
         df.filter(F.col(group_col).isNotNull())
         .groupBy(group_col)
         .agg(
             *[
-                F.avg(v[i].cast("double")).alias(f"__c{i}")
+                F.expr(
+                    f"avg(CAST(`{vec_col}`[{i}] AS DOUBLE))"
+                ).alias(f"__c{i}")
                 for i in range(dim)
             ]
         )
     )
     joined = df.join(cent, group_col, "left")
-    dot = sum(
-        (v[i].cast("double") * F.col(f"__c{i}") for i in range(dim)),
-        F.lit(0.0),
-    )
-    vn = F.sqrt(
-        sum(
-            (v[i].cast("double") * v[i].cast("double") for i in range(dim)),
-            F.lit(0.0),
+    ve = f"CAST(`{vec_col}`[{{i}}] AS DOUBLE)"
+    dot = F.expr(
+        " + ".join(
+            ["0.0D"]
+            + [f"{ve.format(i=i)} * __c{i}" for i in range(dim)]
         )
     )
-    cn = F.sqrt(
-        sum(
-            (F.col(f"__c{i}") * F.col(f"__c{i}") for i in range(dim)),
-            F.lit(0.0),
+    vn = F.sqrt(F.expr(
+        " + ".join(
+            ["0.0D"]
+            + [f"{ve.format(i=i)} * {ve.format(i=i)}" for i in range(dim)]
         )
-    )
+    ))
+    cn = F.sqrt(F.expr(
+        " + ".join(["0.0D"] + [f"__c{i} * __c{i}" for i in range(dim)])
+    ))
     cos = F.round(
         F.try_divide(dot, vn * cn) + F.lit(1e-9), round_digits
     )

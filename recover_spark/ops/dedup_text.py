@@ -87,13 +87,25 @@ def minhash_signatures(
         F.col(id_col),
         F.explode(word_ngrams_of(F.col("__toks"), shingle_size)).alias("shingle"),
     )
+    # the num_hashes salted-md5 min aggregates ship as SQL text — one
+    # py4j round trip per aggregate instead of ~12 (r14 optimization,
+    # the bucket_chain lesson); the text parses to the identical
+    # portable_hash64 tree (concat-salt, CAST AS STRING, md5,
+    # substring 1..15, conv 16->10, CAST AS BIGINT)
     aggs = [
-        F.min(portable_hash64(F.col("shingle"), salt=f"mh{i}")).alias(f"mh_{i}")
+        F.expr(
+            "min(CAST(conv(substring(md5(CAST(concat("
+            f"'mh{i}', '|', `shingle`) AS STRING)), 1, 15), 16, 10) "
+            "AS BIGINT))"
+        ).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
     sig = shingled.groupBy(id_col).agg(*aggs)
     return sig.select(
-        id_col, F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("minhash")
+        id_col,
+        F.expr(
+            "array(" + ", ".join(f"mh_{i}" for i in range(num_hashes)) + ")"
+        ).alias("minhash"),
     )
 
 
@@ -108,25 +120,22 @@ def band_digests(
     all-pairs comparison.  Map-side only (posexplode of ``bands``
     digests per row)."""
     rows = num_hashes // bands
+    # band-digest array as SQL text (the minhash_signatures note)
+    band_sql = ", ".join(
+        "md5(concat_ws(','"
+        + "".join(
+            f", CAST(minhash[{b * rows + r}] AS STRING)"
+            for r in range(rows)
+        )
+        + "))"
+        for b in range(bands)
+    )
     return sig.select(
         F.col(id_col),
         F.col("minhash"),
-        F.posexplode(
-            F.array(
-                *[
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("minhash")[b * rows + r].cast("string")
-                                for r in range(rows)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+        F.posexplode(F.expr(f"array({band_sql})")).alias(
+            "band", "band_hash"
+        ),
     )
 
 

@@ -268,7 +268,28 @@ def _hyperplane(dim: int, seed: int, plane: int) -> list[float]:
 def lsh_bucket_signature(
     vec_col, dim: int, num_planes: int = 8, seed: int = 42
 ):
-    """Random-hyperplane LSH signature: bit i = sign(v . h_i)."""
+    """Random-hyperplane LSH signature: bit i = sign(v . h_i).
+
+    ``vec_col`` may be a column NAME (preferred — the whole
+    num_planes x dim expression ships as ONE SQL string, r14
+    optimization: the per-element Column form cost ~3k py4j round
+    trips per call site at 8 x 64) or a Column (legacy per-element
+    path, identical Catalyst tree)."""
+    if isinstance(vec_col, str):
+        plane_sqls = []
+        for p in range(num_planes):
+            plane = _hyperplane(dim, seed, p)
+            dot = " + ".join(
+                f"CAST(`{vec_col}`[{j}] AS DOUBLE)"
+                f" * CAST('{float(w)!r}' AS DOUBLE)"
+                for j, w in enumerate(plane)
+            )
+            plane_sqls.append(
+                f"CASE WHEN ({dot}) >= 0 THEN {2 ** p} ELSE 0 END"
+            )
+        return F.expr(
+            "CAST((" + " + ".join(plane_sqls) + ") AS INT)"
+        )
     sig = None
     for p in range(num_planes):
         plane = _hyperplane(dim, seed, p)
@@ -308,13 +329,13 @@ def lsh_bucketed_topk(
         raise ValueError("multi_probe supports 0 (exact bucket) or 1")
     qid = f"query_{id_col}"
     c = corpus.withColumn(
-        "__bucket", lsh_bucket_signature(F.col(vec_col), dim, num_planes)
+        "__bucket", lsh_bucket_signature(vec_col, dim, num_planes)
     ).withColumn("__cnorm", l2_norm(F.col(vec_col)))
     q = queries.select(
         F.col(id_col).alias(qid),
         F.col(vec_col).alias("__qvec"),
         l2_norm(F.col(vec_col)).alias("__qnorm"),
-    ).withColumn("__bucket", lsh_bucket_signature(F.col("__qvec"), dim, num_planes))
+    ).withColumn("__bucket", lsh_bucket_signature("__qvec", dim, num_planes))
     if multi_probe == 1:
         probes = F.array(
             F.col("__bucket"),
@@ -583,7 +604,7 @@ def embedding_near_duplicates(
             dim = first["d"]
         blocked = df.withColumn(
             "__block",
-            lsh_bucket_signature(F.col(vec_col), dim, num_planes, seed),
+            lsh_bucket_signature(vec_col, dim, num_planes, seed),
         )
         return embedding_near_duplicates(
             blocked, threshold, id_col, vec_col, block_col="__block",
