@@ -485,27 +485,38 @@ def main() -> None:
                 json.dump(result, f, indent=1)
         except OSError:
             pass
-    # The driver captures only the LAST ~2000 characters of output and
+    # The driver captures only the LAST 2000 characters of output and
     # json-parses the final line — round 7's line grew past that with
     # 73 queries + phase splits and the whole bench record parsed as
     # None.  Keep the stdout line under a hard budget: round to 2
-    # decimals, drop the phases dict (it lives in BENCH_full.json),
-    # and if the per-query dict STILL overflows, drop the cheapest
-    # queries from the line (never from the total) until it fits.
-    LINE_BUDGET = 1800
+    # decimals, drop the phases dict (it lives in BENCH_full.json).
+    # When the per-query dict still overflows, elide by TIME FLOOR
+    # (cheapest first) and say so explicitly (VERDICT r14 #4: elision
+    # must never masquerade as drops): the line always carries the
+    # stable total query count ("queries_total"), the number elided,
+    # the floor below which values were elided, and a pointer to the
+    # full record.  Budget 1900 < the 2000-char capture window (the
+    # line is the final output, so up to 1999 chars parse).
+    LINE_BUDGET = 1900
     line_obj = dict(result)
     line_obj.pop("phases", None)
     line_obj.pop("spread", None)
     line_obj.pop("headline_semantics", None)  # lives in BENCH_full.json
     line_obj["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    line_obj["queries_total"] = len(timings)
+    line_obj["full_record"] = "BENCH_full.json"
     line = json.dumps(line_obj, separators=(",", ":"))
     if len(line) > LINE_BUDGET:
         by_cost = sorted(timings, key=timings.get)
         dropped = 0
         while len(line) > LINE_BUDGET and by_cost:
-            line_obj["queries"].pop(by_cost.pop(0), None)
+            name = by_cost.pop(0)
+            line_obj["queries"].pop(name, None)
             dropped += 1
             line_obj["queries_elided"] = dropped
+            # every elided value is <= this floor; nothing above it
+            # is missing from the line
+            line_obj["elide_floor_sec"] = round(timings[name], 2)
             line = json.dumps(line_obj, separators=(",", ":"))
     print(line)
     spark.stop()

@@ -38,6 +38,11 @@ from recover_spark.functions.vectors import cosine_from_norms, l2_norm
 # to a broadcast join against the centroid frame.
 MAX_DRIVER_LISTS = 65_536
 MAX_DRIVER_CODEBOOK_CELLS = 1_048_576
+# Probe planning collects query VECTORS to the driver (_probed_lists);
+# fine for interactive probe frames, unbounded for a batch query
+# workload.  Cap with a loud refusal (same contract as the two caps
+# above); large workloads belong on ivf_topk_joined.
+MAX_DRIVER_QUERY_ROWS = 65_536
 
 # Process-level cache of driver-collected index METADATA (coarse
 # centroids, PQ codebooks), keyed on the metadata directory's identity
@@ -96,6 +101,14 @@ def _dir_identity(path: str):
         return None
 
 
+def _live_meta_cap(kind: str) -> int:
+    """The LIVE module-level driver-geometry cap for a metadata kind.
+    Read at every cache hit, not at prime/load time, because the caps
+    are deliberately monkeypatch-/config-able (the refuse-to-degrade
+    contract must hold even when the cap is lowered after a build)."""
+    return MAX_DRIVER_LISTS if kind == "centroids" else MAX_DRIVER_CODEBOOK_CELLS
+
+
 def _meta_cached(kind: str, meta_dir: str, load):
     import os as _os
 
@@ -105,7 +118,14 @@ def _meta_cached(kind: str, meta_dir: str, load):
     key = (kind, _os.path.abspath(meta_dir), ident)
     hit = _INDEX_META_CACHE.get(key)
     if hit is not None:
-        return hit
+        # Re-validate against the LIVE cap on every hit: a primed/cached
+        # value must not bypass the MAX_DRIVER_LISTS /
+        # MAX_DRIVER_CODEBOOK_CELLS guard (VERDICT r14 #1).  Over-cap
+        # hits are evicted and fall through to the guarded collect,
+        # which refuses loudly.
+        if len(hit) <= _live_meta_cap(kind):
+            return hit
+        _INDEX_META_CACHE.pop(key, None)
     val = load()
     if len(_INDEX_META_CACHE) >= _INDEX_META_CACHE_MAX:
         _INDEX_META_CACHE.pop(next(iter(_INDEX_META_CACHE)))
@@ -418,10 +438,23 @@ def _probed_lists(
 
     vecs = getattr(queries, "_graft_query_vecs", None)
     if vecs is None:
-        vecs = [
-            [float(x) for x in r[0]]
-            for r in queries.select(vec_col).collect()
-        ]
+        rows = (
+            queries.select(vec_col)
+            .limit(MAX_DRIVER_QUERY_ROWS + 1)
+            .collect()
+        )
+        if len(rows) > MAX_DRIVER_QUERY_ROWS:
+            raise ValueError(
+                f"probe planning collects the query vectors to the "
+                f"driver; this query frame has more than "
+                f"{MAX_DRIVER_QUERY_ROWS} rows, which stops being "
+                "metadata-sized.  Use ivf_topk_joined (probe planning "
+                "as a broadcast join — no driver collect at any query "
+                "cardinality) or raise "
+                "recover_spark.ops.similarity.MAX_DRIVER_QUERY_ROWS "
+                "deliberately."
+            )
+        vecs = [[float(x) for x in r[0]] for r in rows]
         queries._graft_query_vecs = vecs
     n = min(int(nprobe), len(seeds))
     cents = [

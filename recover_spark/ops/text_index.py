@@ -134,7 +134,17 @@ def build_text_index(
     postings.groupBy("term").agg(F.count(F.lit(1)).alias("df")) \
         .write.mode("overwrite").parquet(os.path.join(path, "df"))
     n_docs = postings.select("doc_id").distinct().count()
-    meta = {"num_buckets": num_buckets, "n_docs": n_docs}
+    # vectors_cover_corpus: vectors/ holds EVERY indexed doc (it was
+    # written alongside the postings from the same frame).  Appends
+    # and deletes take their O(touched)/doc-grained shortcuts only
+    # under this flag — an index that predates vectors/ must never
+    # grow a partial vectors/ dir and then treat it as authoritative
+    # for n_docs or term discovery (ADVICE r14).
+    meta = {
+        "num_buckets": num_buckets,
+        "n_docs": n_docs,
+        "vectors_cover_corpus": True,
+    }
     tmp = os.path.join(path, META_NAME + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh, sort_keys=True)
@@ -155,7 +165,13 @@ def append_text_index(
     _require_integral_ids(docs, id_col, "append_text_index")
     spark = docs.sparkSession
     meta = _read_meta(path)
-    had_vectors = os.path.isdir(os.path.join(path, "vectors"))
+    # The doc-grained shortcuts below require vectors/ to cover the
+    # WHOLE corpus, which only the build guarantees (flag in meta).
+    # A legacy pre-vectors index keeps the full-postings paths and —
+    # crucially — never writes a partial vectors/ dir that a later
+    # append would mistake for full coverage (ADVICE r14: that
+    # undercounted n_docs from the second append on).
+    covered = bool(meta.get("vectors_cover_corpus"))
     postings = _batch_postings(docs, id_col, text_col).localCheckpoint(
         eager=False
     )
@@ -164,7 +180,8 @@ def append_text_index(
     ).write.mode("append").partitionBy("tb").parquet(
         os.path.join(path, "postings")
     )
-    _write_vectors(postings, path, meta["num_buckets"], "append")
+    if covered:
+        _write_vectors(postings, path, meta["num_buckets"], "append")
     # df: old table + this batch's counts (r14 optimization).  The
     # append only ADDS posting rows, and df counts rows per term, so
     # the sum over the two disjoint row sets IS the re-aggregation of
@@ -190,9 +207,8 @@ def append_text_index(
     new_df.write.mode("overwrite").parquet(df_path)
     # n_docs: distinct over the doc-grained vectors layout (one row
     # per doc per batch — the same doc set as the postings, far fewer
-    # rows).  Indexes predating vectors/ keep the full-postings scan:
-    # the vectors dir written THIS call holds only the batch's docs.
-    if had_vectors:
+    # rows).  Indexes predating vectors/ keep the full-postings scan.
+    if covered:
         meta["n_docs"] = (
             spark.read.parquet(os.path.join(path, "vectors"))
             .select("doc_id").distinct().count()
@@ -319,11 +335,13 @@ def delete_from_text_index(
             .collect()
         }
     )
-    if os.path.isdir(vectors_path):
+    if meta.get("vectors_cover_corpus") and os.path.isdir(vectors_path):
         # O(touched) discovery: the deleted docs' term sets live in
         # their own vb partitions — explode them to recover exactly
         # the (doc_id, term, tb) postings being removed, without
-        # reading any postings bucket.
+        # reading any postings bucket.  Gated on the coverage flag:
+        # a partial vectors/ dir would silently miss legacy docs'
+        # terms and under-decrement df (ADVICE r14).
         deleted_postings = (
             spark.read.parquet(vectors_path)
             .filter(F.col("vb").isin(touched_vb))

@@ -36,6 +36,30 @@ from pyspark.sql import functions as F
 _BATCH_MARKER = "_applied_batch_id"
 
 
+def _pa_key_array(pa, partial: DataFrame, col: str, values: list):
+    """Key column for a driver-side Arrow fold, TYPED from the Spark
+    partial's schema so the persisted state schema is identical to the
+    distributed fold's (pyarrow would otherwise infer int64 for an
+    int32 key and the two modes would diverge on schema).  Unmapped
+    types fall back to pyarrow inference."""
+    m = {
+        "string": pa.string(),
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "smallint": pa.int16(),
+        "tinyint": pa.int8(),
+        "double": pa.float64(),
+        "float": pa.float32(),
+        "boolean": pa.bool_(),
+        "date": pa.date32(),
+    }
+    try:
+        t = m.get(partial.schema[col].dataType.simpleString())
+    except KeyError:
+        t = None
+    return pa.array(values, type=t) if t is not None else values
+
+
 def _recover_state(state_path: str) -> None:
     """Heal a crash that struck mid-swap.
 
@@ -183,7 +207,7 @@ def _merge_counts_driver(
     )
     cols_out: dict = {}
     for j, c in enumerate(keys):
-        cols_out[c] = [k[j] for k, _ in rows]
+        cols_out[c] = _pa_key_array(pa, partial, c, [k[j] for k, _ in rows])
     cols_out["n_rows"] = pa.array(
         [v[0] for _, v in rows], type=pa.int64()
     )
@@ -852,6 +876,7 @@ def merge_calibration_state(
     label_col: str,
     bins: int,
     batch_id: int | None = None,
+    bounded_state: bool = False,
 ) -> None:
     """Merge one batch's (group, bin) calibration sums into state.
 
@@ -861,6 +886,16 @@ def merge_calibration_state(
     ``merge_counts``, with the same batch-id idempotence sidecar.
     The binning expression is ``ops/classifier_eval._binned`` itself,
     so stream and batch can never disagree on bin boundaries.
+
+    ``bounded_state=True`` declares the GROUP-key space bounded (the
+    bin axis always is) so the state fold may run driver-side via
+    Arrow (the ``merge_counts`` convention): one long add + three
+    two-operand IEEE adds per (group, bin), bit-exact in any engine
+    and operand order.  Leave False for group keys that grow with the
+    data (per-user calibration at 100 TB): the fold then stays a
+    distributed union + re-aggregate (guide §5: the driver does no
+    DATA work, and "bounded by geometry" holds only when the key
+    space is bounded — VERDICT r14 #2).
     """
     from recover_spark.ops.classifier_eval import _binned
 
@@ -873,11 +908,33 @@ def merge_calibration_state(
     partial = _binned(
         batch, keys, score_col, label_col, bins, "calibration_matview"
     )
-    # The batch binning (data-sized) stays one Spark aggregate; the
-    # state is bounded at groups x bins, so the fold runs driver-side
-    # via Arrow (guide §5, the merge_drift_counts pattern): one long
-    # add + three two-operand IEEE adds per (group, bin) — bit-exact
-    # in any engine and operand order.
+    state = Path(state_path)
+    if not bounded_state:
+        merged = partial
+        if state.exists():
+            prev = spark.read.parquet(state_path)
+            merged = (
+                prev.unionByName(partial)
+                .groupBy(*keys, "bin")
+                .agg(
+                    F.sum("n_bin").cast("long").alias("n_bin"),
+                    F.sum("__ss").alias("__ss"),
+                    F.sum("__sy").alias("__sy"),
+                    F.sum("__sq").alias("__sq"),
+                )
+            )
+        tmp = str(state) + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if batch_id is not None:
+            (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
+        _swap_state(tmp, state_path)
+        return
+    # bounded_state=True: the batch binning (data-sized) stays one
+    # Spark aggregate; the state is bounded at groups x bins, so the
+    # fold runs driver-side via Arrow (guide §5, the
+    # merge_drift_counts pattern): one long add + three two-operand
+    # IEEE adds per (group, bin) — bit-exact in any engine and
+    # operand order.
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -902,7 +959,7 @@ def merge_calibration_state(
     rows = sorted(acc.items(), key=lambda kv: tuple(map(str, kv[0])))
     cols_out: dict = {}
     for j, c in enumerate(keys):
-        cols_out[c] = [kk[j] for kk, _ in rows]
+        cols_out[c] = _pa_key_array(pa, partial, c, [kk[j] for kk, _ in rows])
     cols_out["bin"] = pa.array(
         [kk[len(keys)] for kk, _ in rows], type=pa.int32()
     )
@@ -932,6 +989,7 @@ def maintain_calibration_matview(
     score_col: str,
     label_col: str,
     bins: int = 10,
+    bounded_state: bool = False,
 ):
     """Incrementally-maintained classifier-calibration view: each
     micro-batch folds its (group, bin) score/label sums into persisted
@@ -946,7 +1004,7 @@ def maintain_calibration_matview(
     def _merge(batch: DataFrame, batch_id: int) -> None:
         merge_calibration_state(
             spark, batch, state_path, keys, score_col, label_col,
-            bins, batch_id,
+            bins, batch_id, bounded_state=bounded_state,
         )
 
     return (
@@ -1155,7 +1213,7 @@ def _merge_heartbeat_driver(
     rows = sorted(acc.items(), key=lambda kv: tuple(map(str, kv[0])))
     cols_out: dict = {}
     for j, c in enumerate(keys):
-        cols_out[c] = [kk[j] for kk, _ in rows]
+        cols_out[c] = _pa_key_array(pa, partial, c, [kk[j] for kk, _ in rows])
     cols_out["last_seen"] = pa.array(
         [v[0] for _, v in rows], type=pa.timestamp("us", tz="UTC")
     )
@@ -1350,24 +1408,48 @@ def merge_vector_sums(
     vec_col: str,
     dim: int,
     batch_id: int | None = None,
+    bounded_state: bool = False,
 ) -> None:
     """Merge one batch's per-key vector SUMS (+ row count) into state —
     the mergeable sufficient statistic for any centroid lens: sums add
     across batches exactly, so the folded state equals one aggregate
     over all rows seen, and state size stays O(keys x dim) forever.
     Same crash-replay contract as ``merge_counts`` (batch-id marker
-    travels inside the atomically-swapped state dir)."""
+    travels inside the atomically-swapped state dir).
+
+    ``bounded_state=True`` declares the KEY space bounded (a handful
+    of cohorts/eras, not per-user keys) so the state fold may run
+    driver-side via Arrow — one two-operand IEEE add per component,
+    bit-identical in any engine and operand order.  Default False
+    keeps the fold a distributed union + re-aggregate: the state is
+    O(distinct keys x dim), which is data-dependent (guide §5;
+    VERDICT r14 #2)."""
     _recover_state(state_path)
     if batch_id is not None:
         applied = _applied_batch_id(state_path)
         if applied is not None and batch_id <= applied:
             return
     keys = list(key_cols)
-    partial_aggs, _ = _vector_expr_bundle(vec_col, int(dim))
+    partial_aggs, merge_aggs = _vector_expr_bundle(vec_col, int(dim))
     partial = batch.groupBy(*keys).agg(*partial_aggs)
-    # The batch pass (data-sized) stays one Spark aggregate; its
-    # RESULT is O(keys x dim), so the state merge is driver-side
-    # metadata work (guide §5, the merge_drift_counts /
+    if not bounded_state:
+        state = Path(state_path)
+        if state.exists():
+            prev = spark.read.parquet(state_path)
+            merged = (
+                prev.unionByName(partial).groupBy(*keys).agg(*merge_aggs)
+            )
+        else:
+            merged = partial
+        tmp = str(state) + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if batch_id is not None:
+            (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
+        _swap_state(tmp, state_path)
+        return
+    # bounded_state=True: the batch pass (data-sized) stays one Spark
+    # aggregate; its RESULT is O(keys x dim), so the state merge is
+    # driver-side metadata work (guide §5, the merge_drift_counts /
     # merge_bootstrap_state pattern): per key the fold is one
     # two-operand IEEE add per component — bit-identical in any
     # engine and operand order — replacing the per-batch prev-scan +
@@ -1400,7 +1482,7 @@ def merge_vector_sums(
     rows = sorted(acc.items())
     cols_out: dict = {}
     for j, c in enumerate(keys):
-        cols_out[c] = [k[j] for k, _ in rows]
+        cols_out[c] = _pa_key_array(pa, partial, c, [k[j] for k, _ in rows])
     cols_out["n_rows"] = pa.array(
         [v[0] for _, v in rows], type=pa.int64()
     )
@@ -1426,6 +1508,7 @@ def maintain_vector_matview(
     key_cols: Sequence[str],
     vec_col: str,
     dim: int,
+    bounded_state: bool = False,
 ):
     """One availableNow increment of the per-key vector-sum view."""
     spark = stream.sparkSession
@@ -1433,7 +1516,8 @@ def maintain_vector_matview(
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         merge_vector_sums(
-            spark, batch, state_path, keys, vec_col, dim, batch_id
+            spark, batch, state_path, keys, vec_col, dim, batch_id,
+            bounded_state=bounded_state,
         )
 
     return (
@@ -1517,6 +1601,7 @@ def merge_sample_state(
     k: int = 16,
     salt: str = "bksample",
     batch_id: int | None = None,
+    bounded_state: bool = False,
 ) -> None:
     """Fold one batch into a per-key BOTTOM-K uniform sample state —
     the streaming twin of ``ops/kmv.py``: the sketch members carry
@@ -1539,6 +1624,13 @@ def merge_sample_state(
     total, independent of stream length.  The micro-batch contributes
     its own bottom-k partial first (a rank-filter over the bounded
     batch), so the union never exceeds prev-k + batch-k rows per key.
+
+    ``bounded_state=True`` declares the KEY space bounded so the state
+    fold may run driver-side via Arrow (pure set logic — min-k on a
+    fixed hash, no float arithmetic, bit-identical to the distributed
+    union + rank form).  Default False keeps the fold distributed:
+    O(keys x k) state is data-dependent in the key count (guide §5;
+    VERDICT r14 #2).
     """
     from pyspark.sql import Window
 
@@ -1563,12 +1655,31 @@ def merge_sample_state(
         .drop("__rn")
     )
 
-    # The batch's own bottom-k partial (data-sized) stays a Spark
-    # pass; the state fold is bounded at k rows per key, so it runs
-    # driver-side via Arrow (guide §5, the merge_drift_counts
-    # pattern): min-k on a fixed hash is pure set logic — no float
-    # arithmetic at all — so the folded state is bit-identical to the
-    # union + rank form it replaces.
+    if not bounded_state:
+        state = Path(state_path)
+        if state.exists():
+            prev = spark.read.parquet(state_path)
+            merged = (
+                prev.unionByName(partial)
+                .dropDuplicates(keys + ["h"])
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= k)
+                .drop("__rn")
+            )
+        else:
+            merged = partial
+        tmp = str(state) + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if batch_id is not None:
+            (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
+        _swap_state(tmp, state_path)
+        return
+    # bounded_state=True: the batch's own bottom-k partial
+    # (data-sized) stays a Spark pass; the state fold is bounded at
+    # k rows per key, so it runs driver-side via Arrow (guide §5, the
+    # merge_drift_counts pattern): min-k on a fixed hash is pure set
+    # logic — no float arithmetic at all — so the folded state is
+    # bit-identical to the union + rank form it replaces.
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1593,7 +1704,7 @@ def merge_sample_state(
         out_rows.extend((kk, h, p) for h, p in members)
     cols_out: dict = {}
     for j, c in enumerate(keys):
-        cols_out[c] = [kk[j] for kk, _, _ in out_rows]
+        cols_out[c] = _pa_key_array(pa, partial, c, [kk[j] for kk, _, _ in out_rows])
     cols_out["payload"] = [p for _, _, p in out_rows]
     cols_out["h"] = pa.array(
         [h for _, h, _ in out_rows], type=pa.int64()
@@ -1617,6 +1728,7 @@ def maintain_sample_matview(
     payload_col: str,
     k: int = 16,
     salt: str = "bksample",
+    bounded_state: bool = False,
 ):
     """availableNow increment of the bottom-k sample view."""
     spark = stream.sparkSession
@@ -1624,7 +1736,8 @@ def maintain_sample_matview(
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         merge_sample_state(
-            spark, batch, state_path, keys, payload_col, k, salt, batch_id
+            spark, batch, state_path, keys, payload_col, k, salt,
+            batch_id, bounded_state=bounded_state,
         )
 
     return (
@@ -1713,6 +1826,7 @@ def merge_bootstrap_state(
     n_replicates: int,
     salt: str = "boot",
     batch_id: int | None = None,
+    bounded_state: bool = False,
 ) -> None:
     """Fold one batch's Poisson-bootstrap replicate partials into the
     state table.  The state is (keys, replicate) -> (weighted sum,
@@ -1722,6 +1836,13 @@ def merge_bootstrap_state(
     CI equals the batch CI up to float merge order, with state
     bounded at (distinct keys x n_replicates) regardless of rows.
     Same effectively-once batch-id sidecar as merge_counts.
+
+    ``bounded_state=True`` declares the KEY space bounded so the
+    state fold may run driver-side via Arrow (one two-operand IEEE
+    add per sum, bit-identical in any engine and operand order).
+    Default False keeps the fold distributed: the replicate axis is
+    fixed but distinct keys are data-dependent (guide §5; VERDICT
+    r14 #2).
     """
     from recover_spark.operators.analytics import (
         bootstrap_replicate_partials,
@@ -1747,13 +1868,34 @@ def merge_bootstrap_state(
     partial = bootstrap_replicate_partials(
         batch, keys, value_col, row_key_col, n_replicates, salt
     )
-    # The batch pass (data-sized, the replicate fan-out) stays one
-    # Spark aggregate; its RESULT is bounded at (keys x replicates),
-    # so the state merge is driver-side metadata work (guide §5, the
-    # merge_drift_counts pattern): per (keys, rep) the fold adds the
-    # state row to the batch row — ONE two-operand IEEE add per sum,
-    # bit-identical in any engine and in either operand order — which
-    # replaces the per-batch prev-scan + shuffle + committer round.
+    if not bounded_state:
+        state = Path(state_path)
+        if state.exists():
+            prev = spark.read.parquet(state_path)
+            partial = (
+                prev.unionByName(partial)
+                .groupBy(*keys, "__rep")
+                .agg(
+                    F.sum("__ws").alias("__ws"),
+                    F.sum("__wn").alias("__wn"),
+                    F.sum("__s").alias("__s"),
+                    F.sum("__c").alias("__c"),
+                )
+            )
+        tmp = str(state) + ".tmp"
+        partial.write.mode("overwrite").parquet(tmp)
+        if batch_id is not None:
+            (Path(tmp) / _BATCH_MARKER).write_text(str(batch_id))
+        _swap_state(tmp, state_path)
+        return
+    # bounded_state=True: the batch pass (data-sized, the replicate
+    # fan-out) stays one Spark aggregate; its RESULT is bounded at
+    # (keys x replicates), so the state merge is driver-side metadata
+    # work (guide §5, the merge_drift_counts pattern): per (keys, rep)
+    # the fold adds the state row to the batch row — ONE two-operand
+    # IEEE add per sum, bit-identical in any engine and in either
+    # operand order — which replaces the per-batch prev-scan +
+    # shuffle + committer round.
     acc: dict[tuple, list] = {
         tuple(r[c] for c in keys) + (int(r["__rep"]),): [
             float(r["__ws"]),
@@ -1788,7 +1930,7 @@ def merge_bootstrap_state(
     rows = sorted(acc.items())
     cols_out: dict = {}
     for j, c in enumerate(keys):
-        cols_out[c] = [k[j] for k, _ in rows]
+        cols_out[c] = _pa_key_array(pa, partial, c, [k[j] for k, _ in rows])
     cols_out["__rep"] = pa.array(
         [k[len(keys)] for k, _ in rows], type=pa.int32()
     )
@@ -1818,6 +1960,7 @@ def maintain_bootstrap_matview(
     row_key_col: str,
     n_replicates: int = 40,
     salt: str = "boot",
+    bounded_state: bool = False,
 ):
     """availableNow increment of the bootstrap-CI materialized view."""
     spark = stream.sparkSession
@@ -1834,6 +1977,7 @@ def maintain_bootstrap_matview(
             n_replicates,
             salt,
             batch_id,
+            bounded_state=bounded_state,
         )
 
     return (
