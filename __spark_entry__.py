@@ -864,12 +864,9 @@ def q_stream_cm_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "user_id"
     )
     events.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(
-            "event_id long, event_type string, user_id long"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    stream = _arrival_stream(
+        spark, src,
+        "event_id long, event_type string, user_id long",
     )
     q = maintain_cm_matview(
         stream, f"{run_dir}/state", f"{run_dir}/ckpt",
@@ -1009,10 +1006,9 @@ def q_stream_sample_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{run_dir}/src"
     events = _load(spark, sf_dir, "events").select("event_id", "event_type")
     events.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema("event_id long, event_type string")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    stream = _arrival_stream(
+        spark, src,
+        "event_id long, event_type string",
     )
     q = maintain_sample_matview(
         stream,
@@ -1173,10 +1169,9 @@ def q_stream_kmv_overlap_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{run_dir}/src"
     events = _load(spark, sf_dir, "events").select("event_type", "user_id")
     events.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema("event_type string, user_id long")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    stream = _arrival_stream(
+        spark, src,
+        "event_type string, user_id long",
     )
     q = maintain_sample_matview(
         stream,
@@ -1606,12 +1601,9 @@ def q_stream_expectations_matview(spark: SparkSession, sf_dir: str) -> DataFrame
     freeze_expectation_suite(f"{run_dir}/state", suite)
     src = f"{run_dir}/src"
     events.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(
-            "event_type string, ts timestamp, value double, props string"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    stream = _arrival_stream(
+        spark, src,
+        "event_type string, ts timestamp, value double, props string",
     )
     q = maintain_expectations_matview(
         stream, f"{run_dir}/state", f"{run_dir}/ckpt"
@@ -3556,12 +3548,9 @@ def q_stream_emb_drift_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding"),
     )
     emb.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(
-            "label int, era int, embedding array<float>"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    stream = _arrival_stream(
+        spark, src,
+        "label int, era int, embedding array<float>",
     )
     q = maintain_vector_matview(
         stream, f"{run_dir}/state", f"{run_dir}/ckpt",
@@ -4491,9 +4480,10 @@ def q_emb_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 incremental materialized view, run FOR REAL: the events
     table is split into four files and streamed through an availableNow
-    foreachBatch run (maxFilesPerTrigger=1, so the state is genuinely
-    folded across multiple incremental merges with the idempotent
-    batch-id sidecar); the returned DataFrame reads the persisted state
+    foreachBatch run into persisted state with the idempotent batch-id
+    sidecar (one trigger folds the files — see ``_arrival_stream``;
+    multi-batch folding stays pinned by the merge_counts unit tests);
+    the returned DataFrame reads the persisted state
     table.  The oracle is the plain batch aggregate — incremental
     maintenance must be invisible in the result."""
     import uuid
@@ -4506,10 +4496,9 @@ def q_stream_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "event_type", "value"
     )
     events.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema("event_id long, event_type string, value double")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    stream = _arrival_stream(
+        spark, src,
+        "event_id long, event_type string, value double",
     )
     q = maintain_count_matview(
         stream,
@@ -4754,10 +4743,9 @@ def q_stream_drift_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
     freeze_categorical_baseline(base, f"{run_dir}/state", cols, top_k=20)
     src = f"{run_dir}/src"
     cur.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(", ".join(f"{c} string" for c in cols))
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    stream = _arrival_stream(
+        spark, src,
+        ", ".join(f"{c} string" for c in cols),
     )
     q = maintain_categorical_drift_matview(
         stream, f"{run_dir}/state", f"{run_dir}/ckpt"
@@ -6441,12 +6429,9 @@ def q_stream_corr_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity", "l_extendedprice", "l_discount"
     )
     li.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(
-            "l_quantity double, l_extendedprice double, l_discount double"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    stream = _arrival_stream(
+        spark, src,
+        "l_quantity double, l_extendedprice double, l_discount double",
     )
     q = maintain_corr_matview(
         stream,
@@ -7204,6 +7189,27 @@ _SHARED_STATE_CACHE: dict[tuple, object] = {}
 _DRIFT_SHARED_COLS = ["l_extendedprice", "l_quantity", "l_discount"]
 
 
+def _arrival_stream(spark: SparkSession, src: str, schema: str):
+    """File-arrival stream for the matview constructs.
+
+    r15 (VERDICT r14 #5, generalized): the staged arrival files fold
+    under ONE availableNow trigger instead of ``maxFilesPerTrigger=1``
+    — the 4-trigger schedule paid ~1 s of streaming fixed cost per
+    extra micro-batch at sf0.1, and every converted matview's merge is
+    batch-count-invariant by its own crash-replay contract (additive
+    integer counters, IEEE sum partials the read rounds, bottom-k set
+    logic on a fixed hash, total-order latest-wins), so one batch over
+    the same files produces the same read-lens rows as four (verified:
+    oracle hash at the gate SFs plus spark-vs-spark row equality at
+    sf0.1, OPTIMIZATION_r15.md).  Multi-batch folding, replay
+    idempotence and crash healing stay pinned by the merge_* unit
+    tests, which drive explicit batch schedules.  The Misra-Gries topk
+    and quantile-sketch views deliberately KEEP per-file triggers:
+    their sketch merges are legitimately batching-sensitive.
+    """
+    return spark.readStream.schema(schema).parquet(src)
+
+
 def _shared_bpe_merges(spark: SparkSession, sf_dir: str) -> list:
     """ONE 12-merge BPE training run per (process, sf_dir) — the
     r14-optimization extension of the shared-lifecycle convention to
@@ -7390,10 +7396,10 @@ def _shared_drift_state(spark: SparkSession, sf_dir: str) -> str:
     )
     src = f"{run_dir}/src"
     cur.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(", ".join(f"{c} double" for c in cols))
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    # r15 (VERDICT r14 #5): one availableNow trigger — measured 8.54
+    # -> 5.56 s on this query; rationale in _arrival_stream.
+    stream = _arrival_stream(
+        spark, src, ", ".join(f"{c} double" for c in cols)
     )
     q = maintain_drift_matview(stream, f"{run_dir}/state", f"{run_dir}/ckpt")
     q.awaitTermination(300)
@@ -7432,12 +7438,9 @@ def _shared_calibration_state(spark: SparkSession, sf_dir: str) -> str:
         "event_type", "score", F.col("label").cast("int").alias("label")
     )
     ev.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(
-            "event_type string, score double, label int"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    stream = _arrival_stream(
+        spark, src,
+        "event_type string, score double, label int",
     )
     q = maintain_calibration_matview(
         stream, f"{run_dir}/state", f"{run_dir}/ckpt",
@@ -7936,13 +7939,9 @@ def q_stream_upsert_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").alias("sec"),
     )
     events.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(
-            "event_id long, user_id long, event_type string, "
-            "value double, sec long"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    stream = _arrival_stream(
+        spark, src,
+        "event_id long, user_id long, event_type string, " "value double, sec long",
     )
     q = maintain_upsert_matview(
         stream,
@@ -8510,12 +8509,9 @@ def q_stream_pattern_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "event_type"
     )
     ev.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(
-            "user_id long, ts timestamp, event_id long, event_type string"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    stream = _arrival_stream(
+        spark, src,
+        "user_id long, ts timestamp, event_id long, event_type string",
     )
     q = maintain_pattern_matview(
         stream,
@@ -8568,10 +8564,9 @@ def q_stream_heartbeat_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 200).alias("k"), "ts"
     )
     ev.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema("k long, ts timestamp")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    stream = _arrival_stream(
+        spark, src,
+        "k long, ts timestamp",
     )
     q = maintain_heartbeat_matview(
         stream, f"{run_dir}/state", f"{run_dir}/ckpt", ["k"], "ts",
@@ -8730,12 +8725,9 @@ def q_stream_bootstrap_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", "o_totalprice", "o_orderkey"
     )
     orders.repartition(4).write.mode("overwrite").parquet(src)
-    stream = (
-        spark.readStream.schema(
-            "o_orderpriority string, o_totalprice double, o_orderkey long"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+    stream = _arrival_stream(
+        spark, src,
+        "o_orderpriority string, o_totalprice double, o_orderkey long",
     )
     q = maintain_bootstrap_matview(
         stream,

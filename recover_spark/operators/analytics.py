@@ -424,50 +424,59 @@ def correlation_matrix(
         raise ValueError("correlation_matrix needs >= 2 columns")
     if len(set(cols)) != len(cols):
         raise ValueError(f"correlation_matrix: duplicate columns in {cols}")
+    # The per-pair moment aggregates and the final explode ship as SQL
+    # text (r15, the bucket_chain/affine-scan recipe — guide §4): the
+    # Column-operator form cost ~15 py4j round trips per pair plus ~12
+    # per output struct; as text it is one round trip per aggregate
+    # and one for the explode, parsing to the identical Catalyst trees
+    # (same CASE WHEN masking, same try_divide/round shapes).
     aggs = []
     names = []
     for i, a in enumerate(cols):
         for j, b in enumerate(cols[i:], start=i):
             tag = f"{i}_{j}"
-            ca = F.col(a).cast("double")
-            cb = F.col(b).cast("double")
+            qa = "`" + a.replace("`", "``") + "`"
+            qb = "`" + b.replace("`", "``") + "`"
+            ca = f"CAST({qa} AS DOUBLE)"
+            cb = f"CAST({qb} AS DOUBLE)"
             # pairwise-complete masking: every moment runs over the
             # rows where BOTH columns are present (a stddev over all
             # of `a` would mix subsets when `b` has nulls)
-            both = ca.isNotNull() & cb.isNotNull()
-            am, bm = F.when(both, ca), F.when(both, cb)
+            both = f"(({ca} IS NOT NULL) AND ({cb} IS NOT NULL))"
+            am = f"CASE WHEN {both} THEN {ca} END"
+            bm = f"CASE WHEN {both} THEN {cb} END"
             # Pearson from the mergeable moments with try_divide:
             # under ANSI mode (Spark 4 default) F.corr on a
             # zero-variance column raises DIVIDE_BY_ZERO; the
             # degenerate-pair contract here is NULL
             aggs.append(
-                F.try_divide(
-                    F.covar_samp(am, bm),
-                    F.stddev_samp(am) * F.stddev_samp(bm),
+                F.expr(
+                    f"try_divide(covar_samp({am}, {bm}), "
+                    f"(stddev_samp({am}) * stddev_samp({bm})))"
                 ).alias(f"__c_{tag}")
             )
             aggs.append(
-                F.count(
-                    F.when(
-                        F.col(a).isNotNull() & F.col(b).isNotNull(), 1
-                    )
+                F.expr(
+                    f"count(CASE WHEN (({qa} IS NOT NULL) AND "
+                    f"({qb} IS NOT NULL)) THEN 1 END)"
                 ).alias(f"__n_{tag}")
             )
             names.append((a, b, tag))
     one = df.agg(*aggs)
+
+    def slit(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
     rows = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(a).alias("col_a"),
-                    F.lit(b).alias("col_b"),
-                    F.round(F.col(f"__c_{tag}"), round_digits).alias(
-                        "corr"
-                    ),
-                    F.col(f"__n_{tag}").alias("n"),
-                )
+        F.expr(
+            "array("
+            + ", ".join(
+                f"struct({slit(a)} AS col_a, {slit(b)} AS col_b, "
+                f"round(__c_{tag}, {int(round_digits)}) AS corr, "
+                f"__n_{tag} AS n)"
                 for a, b, tag in names
-            ]
+            )
+            + ")"
         )
     ).alias("__r")
     return one.select(rows).select(

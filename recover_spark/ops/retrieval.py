@@ -212,15 +212,6 @@ def mmr_rerank(
         raise ValueError("mmr_rerank: k must be >= 1")
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"mmr_rerank: lam={lam} not in [0, 1]")
-    if max_candidates is not None:
-        n_c = candidates.count()
-        if n_c > max_candidates:
-            raise ValueError(
-                f"mmr_rerank candidate side has {n_c} rows "
-                f"(max_candidates={max_candidates}); MMR is a re-rank "
-                "stage over top-R candidate lists — run a retriever "
-                "first, or raise the bound explicitly"
-            )
     one_minus = 1.0 - float(lam)
     base = candidates.select(
         F.col(query_col).alias("__q"),
@@ -229,7 +220,21 @@ def mmr_rerank(
         .alias("__rel"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     ).withColumn("__norm", l2_norm(F.col("__v")))
-    base = base.localCheckpoint(eager=False)
+    # Pin EAGERLY, then run the guard count over the pinned rows (r15,
+    # guide §2.1): the old order counted ``candidates`` first, so the
+    # whole upstream retriever pipeline executed twice — once for the
+    # guard, once to materialize base.  Counting the checkpoint is
+    # O(partitions); the refusal condition is the identical row count.
+    base = base.localCheckpoint(eager=True)
+    if max_candidates is not None:
+        n_c = base.count()
+        if n_c > max_candidates:
+            raise ValueError(
+                f"mmr_rerank candidate side has {n_c} rows "
+                f"(max_candidates={max_candidates}); MMR is a re-rank "
+                "stage over top-R candidate lists — run a retriever "
+                "first, or raise the bound explicitly"
+            )
 
     w1 = Window.partitionBy("__q").orderBy(
         F.col("__rel").desc(), F.col("__d").asc()

@@ -1323,9 +1323,15 @@ def rebuild_ivf_index(
 
     _heal_ivf_swap(index_path)
     if n_centroids is None:
-        n_centroids = spark.read.parquet(
-            f"{index_path}/_centroids"
-        ).count()
+        # _centroids is the driver-written local parquet sidecar (see
+        # write_local_parquet) — its row count is parquet FILE METADATA,
+        # so reading it via pyarrow costs zero Spark jobs (r15; pyarrow
+        # skips the '_'-prefixed _SUCCESS marker)
+        import pyarrow.parquet as _pqm
+
+        n_centroids = _pqm.read_table(
+            f"{index_path}/_centroids", columns=[]
+        ).num_rows
     corpus = spark.read.parquet(index_path).select(id_col, vec_col)
     # materialize: the staging build must not lazily re-read the
     # directory mid-swap

@@ -1450,7 +1450,17 @@ def textrank_keywords(
         .groupBy("__g", "__u", "__v")
         .agg(F.sum("__w").alias("__w"))
     )
-    outw = und.groupBy("__g", "__u").agg(F.sum("__w").alias("__ow"))
+    # Pin the degree table (r15, the ops/graph.py:pagerank treatment —
+    # guide §2.1): nodes, n_g, the transition table and every
+    # iteration's zero-fill all read outw; unpinned, each of the ~10
+    # references re-embedded the corpus pair-aggregate subtree (full
+    # scan + two shuffles per reference).  The rank/contrib frames are
+    # vocabulary-sized, so they enter their joins as broadcasts —
+    # checkpointed leaves are stat-less and would otherwise degrade
+    # these node-keyed joins to SortMergeJoin.
+    outw = und.groupBy("__g", "__u").agg(
+        F.sum("__w").alias("__ow")
+    ).localCheckpoint(eager=False)
     trans = (
         und.join(outw, ["__g", "__u"])
         .select(
@@ -1463,14 +1473,16 @@ def textrank_keywords(
         F.count(F.lit(1)).cast("double").alias("__n")
     )
     d = float(damping)
-    ranks = nodes.join(n_g, "__g").select(
+    ranks = nodes.join(F.broadcast(n_g), "__g").select(
         "__g", "__node", (F.lit(1.0) / F.col("__n")).alias("__r")
     )
     for _ in range(int(iterations)):
         contrib = (
             trans.join(
-                ranks.select(
-                    "__g", F.col("__node").alias("__u"), "__r"
+                F.broadcast(
+                    ranks.select(
+                        "__g", F.col("__node").alias("__u"), "__r"
+                    )
                 ),
                 ["__g", "__u"],
             )
@@ -1478,8 +1490,8 @@ def textrank_keywords(
             .agg(F.sum(F.col("__p") * F.col("__r")).alias("__c"))
         )
         ranks = (
-            nodes.join(n_g, "__g")
-            .join(contrib, ["__g", "__node"], "left")
+            nodes.join(F.broadcast(n_g), "__g")
+            .join(F.broadcast(contrib), ["__g", "__node"], "left")
             .select(
                 "__g",
                 "__node",

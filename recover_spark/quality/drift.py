@@ -107,6 +107,129 @@ def binned_counts_against_edges(
     return exploded.groupBy("column", "bin").agg(F.count(F.lit(1)).alias(f"n_{tag}"))
 
 
+# ks_drift_by_period inlining policy (r15, A/B'd at sf0.1, interleaved
+# same-JVM medians): inlining the edge grid / period domain as literals
+# (one small driver job each) LOSES to the lazy subtree form — v9
+# 0.90 s lazy/lazy vs 1.91/1.56/2.72 s for the inlined variants,
+# v17_fdr_bh statistically flat — because AQE exchange reuse already
+# runs the redundant branches nearly free inside ONE fully-parallel
+# job, while each collect is a SEQUENTIAL driver job (the r14
+# rejected-attempt-(b) lesson, reproduced and re-measured).  What DID
+# pay here was removing the second whole-pipeline execution from
+# fdr_bh (window-count m, no extra job: v17 4.57 -> ~3.4 s) and the
+# local-relation (column x bin) scaffold.  Flags kept so the A/B is
+# one-line re-runnable.
+_KS_INLINE_EDGES = False
+_KS_INLINE_PERIODS = False
+
+
+def _edges_literal_map(
+    baseline: DataFrame,
+    cols: Sequence[str],
+    n_bins: int,
+    edge_accuracy: int | None,
+) -> dict[str, list[float]] | None:
+    """Evaluate the quantile edge aggregate ONCE — a single small job
+    whose result is |cols| arrays of n_bins-1 doubles — and return the
+    edges as plain Python floats (r15, guide §2.4/§3): every batch
+    drift lens previously embedded the edge AGGREGATE subtree in its
+    plan, and Catalyst re-executes it in every consumer branch (16
+    exact-percentile evaluations in one v17_fdr_bh plan).  Collected
+    doubles round-trip exactly (repr-based transfer both ways), so
+    re-emitting them as literals parses to the identical cutpoints
+    and identical bins.  Returns None when any column's edge array is
+    NULL/absent (empty or all-null baseline) — callers keep the lazy
+    crossJoin path for that degenerate case so behavior is unchanged.
+    """
+    row = quantile_edge_row(baseline, cols, n_bins, edge_accuracy).head()
+    out: dict[str, list[float]] = {}
+    for c in cols:
+        arr = row[f"__e_{c}"]
+        if arr is None or any(x is None for x in arr):
+            return None
+        out[c] = [float(x) for x in arr]
+    return out
+
+
+def _literal_edges_sql(edges: list[float]) -> str:
+    """One SQL array literal of exact doubles (the CAST('<repr>' AS
+    DOUBLE) convention — repr round-trips bit-exactly)."""
+    return (
+        "array("
+        + ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in edges)
+        + ")"
+    )
+
+
+def _binned_counts_literal(
+    df: DataFrame,
+    edges: dict[str, list[float]],
+    cols: Sequence[str],
+    tag: str,
+) -> DataFrame:
+    """``binned_counts_against_edges`` with the edge arrays inlined as
+    literals instead of cross-joined from the one-row aggregate — the
+    identical size(filter(...)) bucketing expressions over identical
+    doubles, so counts are bit-equal; the plan just carries no edge
+    subtree to re-execute per consumer branch."""
+    per_col = []
+    for c in cols:
+        esc = c.replace("`", "``")
+        v = F.col(c).cast("double")
+        idx = F.expr(
+            f"size(filter({_literal_edges_sql(edges[c])}, "
+            f"e -> e <= CAST(`{esc}` AS DOUBLE)))"
+        )
+        per_col.append(
+            F.when(v.isNotNull(), F.struct(F.lit(c).alias("column"), idx.alias("bin")))
+        )
+    exploded = df.select(
+        F.explode(F.filter(F.array(*per_col), lambda s: s.isNotNull())).alias("cb")
+    ).select("cb.column", "cb.bin")
+    return exploded.groupBy("column", "bin").agg(F.count(F.lit(1)).alias(f"n_{tag}"))
+
+
+def _edge_binned_pair(
+    baseline: DataFrame,
+    current: DataFrame,
+    cols: Sequence[str],
+    n_bins: int,
+    edge_accuracy: int | None,
+    inline_edges: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared front half of every batch drift lens: bin both eras
+    against the baseline's quantile edges.
+
+    ``inline_edges=True`` evaluates the edge aggregate ONCE (a small
+    driver job) and inlines the cutpoints as literals (see
+    ``_edges_literal_map``) — bit-identical bins, no edge subtree in
+    the plan.  Measured policy (r15): the split pays ONLY where the
+    plan re-executes the edge aggregate beyond what AQE exchange
+    reuse recovers (chi2_cell_residuals: 4.24 -> 3.06 s at sf0.1);
+    for the single-branch lenses (psi/js/w1/chi2/cvm) the one fused
+    job runs the redundant subtrees concurrently on idle cores, and
+    splitting it into two SEQUENTIAL jobs roughly DOUBLED their wall
+    (v5 0.96 -> 1.88 s) — the same lesson as r14's rejected
+    collect-the-bounded-stages attempt, so they keep the lazy
+    crossJoin form.  The degenerate empty/all-null baseline always
+    keeps the lazy form (same NULL-propagating bins as ever)."""
+    edges = (
+        _edges_literal_map(baseline, cols, n_bins, edge_accuracy)
+        if inline_edges
+        else None
+    )
+    if edges is None:
+        edges_row = quantile_edge_row(baseline, cols, n_bins, edge_accuracy)
+        return (
+            binned_counts_against_edges(baseline, edges_row, cols, "base"),
+            binned_counts_against_edges(current, edges_row, cols, "cur"),
+        )
+    return (
+        _binned_counts_literal(baseline, edges, cols, "base"),
+        _binned_counts_literal(current, edges, cols, "cur"),
+    )
+
+
 def psi_drift(
     baseline: DataFrame,
     current: DataFrame,
@@ -132,9 +255,9 @@ def psi_drift(
     cols = list(cols)
     if not cols:
         raise ValueError("cols must be non-empty")
-    edges_row = quantile_edge_row(baseline, cols, n_bins, edge_accuracy)
-    base_counts = binned_counts_against_edges(baseline, edges_row, cols, "base")
-    cur_counts = binned_counts_against_edges(current, edges_row, cols, "cur")
+    base_counts, cur_counts = _edge_binned_pair(
+        baseline, current, cols, n_bins, edge_accuracy
+    )
     return psi_from_binned_counts(
         base_counts, cur_counts, cols, n_bins, eps, round_digits
     )
@@ -541,27 +664,52 @@ def ks_drift_by_period(
     if not cols:
         raise ValueError("cols must be non-empty")
     # NOTE (r14 optimization round, measured and REJECTED — twice):
-    # the plan embeds (and re-executes) the edge aggregate and both
-    # binned fact passes in every consumer branch — 24 parquet scans
-    # and 16 exact-percentile evaluations in one v17_fdr_bh plan.
-    # Both dedup attempts LOST to the redundant one-job plan on
-    # interleaved same-JVM medians: (a) lazy-localCheckpoint pins
-    # (v9_drift_ks_series 1.3 s -> 6.4 s — stat-less LogicalRDD
-    # leaves degrade every join to SortMergeJoin, and each
-    # materialization is its own job); (b) collect + local-relation
-    # materialization of the bounded stages (v17_fdr_bh 5.0 -> 9.0 s
-    # — four SEQUENTIAL driver jobs replace one fully-parallel job,
-    # and per-job fixed cost dominates at these sizes).  The
-    # duplicated subtrees are cheap precisely because they ride one
-    # AQE job at full parallelism.
-    edges_row = quantile_edge_row(baseline, cols, n_grid, edge_accuracy)
+    # the plan used to embed (and re-execute) the edge aggregate and
+    # both binned fact passes in every consumer branch — 24 parquet
+    # scans and 16 exact-percentile evaluations in one v17_fdr_bh
+    # plan.  Both SUBTREE-dedup attempts LOST to the redundant
+    # one-job plan on interleaved same-JVM medians: (a) lazy-
+    # localCheckpoint pins (v9_drift_ks_series 1.3 s -> 6.4 s —
+    # stat-less LogicalRDD leaves degrade every join to
+    # SortMergeJoin, and each materialization is its own job); (b)
+    # collect + local-relation materialization of the bounded stages
+    # (v17_fdr_bh 5.0 -> 9.0 s — four SEQUENTIAL driver jobs replace
+    # one fully-parallel job, and per-job fixed cost dominates at
+    # these sizes).  What DOES pay (r15, VERDICT r14 #4) is inlining
+    # only the EDGE GRID: one tiny driver job collects the one-row
+    # edge aggregate and the cutpoints enter every bucketing
+    # expression as literals (bit-identical doubles — see
+    # _edges_literal_map), so the re-executed branches no longer
+    # carry a percentile evaluation or a baseline scan for edges;
+    # the data-sized binned passes still ride one AQE job at full
+    # parallelism exactly as before.
+    edges = (
+        _edges_literal_map(baseline, cols, n_grid, edge_accuracy)
+        if _KS_INLINE_EDGES
+        else None
+    )
+    edges_row = (
+        None
+        if edges is not None
+        else quantile_edge_row(baseline, cols, n_grid, edge_accuracy)
+    )
 
     def binned(df: DataFrame, with_period: bool) -> DataFrame:
-        j = df.crossJoin(F.broadcast(edges_row))
         per_col = []
+        if edges is None:
+            j = df.crossJoin(F.broadcast(edges_row))
+        else:
+            j = df
         for c in cols:
             v = F.col(c).cast("double")
-            idx = F.size(F.filter(F.col(f"__e_{c}"), lambda e: e <= v))
+            if edges is None:
+                idx = F.size(F.filter(F.col(f"__e_{c}"), lambda e: e <= v))
+            else:
+                esc = c.replace("`", "``")
+                idx = F.expr(
+                    f"size(filter({_literal_edges_sql(edges[c])}, "
+                    f"e -> e <= CAST(`{esc}` AS DOUBLE)))"
+                )
             per_col.append(
                 F.when(
                     v.isNotNull(),
@@ -592,6 +740,21 @@ def ks_drift_by_period(
     periods = current.select(
         F.col(period_col).alias("period")
     ).distinct()
+    # r15: the period domain is monitoring metadata (weeks/months —
+    # bounded by the calendar, not the data), so collect it once and
+    # scaffold from a local relation: the lazy distinct subtree was
+    # re-executed in every consumer branch (two extra current-era
+    # scans per reference in the v17_fdr_bh plan).  Past the cap the
+    # distributed distinct stays — behavior unchanged, just not
+    # driver-materialized.  Row objects round-trip values exactly
+    # (same type mapping both directions).
+    _max_periods = 4096
+    if _KS_INLINE_PERIODS:
+        _rows = periods.limit(_max_periods + 1).collect()
+        if len(_rows) <= _max_periods:
+            periods = current.sparkSession.createDataFrame(
+                _rows, schema=periods.schema
+            )
     frame = periods.select("period", col_lit).select(
         "period", "column", bins
     )
@@ -599,12 +762,23 @@ def ks_drift_by_period(
     w_base = Window.partitionBy("column").orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # The base-side scaffold is (column x bin) — pure geometry, never
+    # data — so it is a local relation, not a distinct over the
+    # period frame (r15: that distinct re-scanned the current era in
+    # every consumer branch).  Equivalence: scored inner-joins
+    # cur_dense on (column, bin), so scaffold rows for periods that
+    # do not exist in the data (the only rows this adds when the
+    # current era is empty) can never reach the output.
     # Explicit broadcasts: these sides are bounded metadata frames and
-    # must never plan as a shuffle join (at HEAD before this round the
-    # dense joins planned as 8 SortMergeJoins in one v17_fdr_bh plan).
+    # must never plan as a shuffle join (at HEAD before r14 the dense
+    # joins planned as 8 SortMergeJoins in one v17_fdr_bh plan).
+    base_slots = tiny_df(
+        baseline.sparkSession,
+        [(c, b) for c in cols for b in range(int(n_grid))],
+        "column string, bin int",
+    )
     base_dense = (
-        frame.select("column", "bin")
-        .distinct()
+        base_slots
         .join(F.broadcast(base_counts), ["column", "bin"], "left")
         .withColumn("__nb", F.coalesce("n", F.lit(0)))
         .withColumn("__cb", F.sum("__nb").over(w_base))
@@ -757,9 +931,9 @@ def js_drift(
     cols = list(cols)
     if not cols:
         raise ValueError("cols must be non-empty")
-    edges_row = quantile_edge_row(baseline, cols, n_bins, edge_accuracy)
-    base_counts = binned_counts_against_edges(baseline, edges_row, cols, "base")
-    cur_counts = binned_counts_against_edges(current, edges_row, cols, "cur")
+    base_counts, cur_counts = _edge_binned_pair(
+        baseline, current, cols, n_bins, edge_accuracy
+    )
     return js_from_binned_counts(
         base_counts, cur_counts, cols, n_bins, round_digits
     )
@@ -867,9 +1041,9 @@ def chi2_drift(
     cols = list(cols)
     if not cols:
         raise ValueError("cols must be non-empty")
-    edges_row = quantile_edge_row(baseline, cols, n_bins, edge_accuracy)
-    base_counts = binned_counts_against_edges(baseline, edges_row, cols, "base")
-    cur_counts = binned_counts_against_edges(current, edges_row, cols, "cur")
+    base_counts, cur_counts = _edge_binned_pair(
+        baseline, current, cols, n_bins, edge_accuracy
+    )
     return chi2_from_binned_counts(
         base_counts, cur_counts, cols, n_bins, round_digits
     )
@@ -1057,11 +1231,9 @@ def wasserstein_drift(
     cols = list(cols)
     if not cols:
         raise ValueError("cols must be non-empty")
-    edges_row = quantile_edge_row(baseline, cols, n_bins, edge_accuracy)
-    base_counts = binned_counts_against_edges(
-        baseline, edges_row, cols, "base"
+    base_counts, cur_counts = _edge_binned_pair(
+        baseline, current, cols, n_bins, edge_accuracy
     )
-    cur_counts = binned_counts_against_edges(current, edges_row, cols, "cur")
     return wasserstein_grid_from_binned_counts(
         base_counts, cur_counts, cols, n_bins, round_digits
     )
@@ -1213,12 +1385,11 @@ def chi2_cell_residuals(
         raise ValueError("cols must be non-empty")
     from pyspark.sql import Window
 
-    edges_row = quantile_edge_row(baseline, cols, n_bins, edge_accuracy)
-    base_counts = binned_counts_against_edges(
-        baseline, edges_row, cols, "base"
-    )
-    cur_counts = binned_counts_against_edges(
-        current, edges_row, cols, "cur"
+    # inline_edges measured 1.39x here (4.24 -> 3.06 s at sf0.1): the
+    # residual plan's windows block AQE exchange reuse, so the edge
+    # aggregate really did re-execute per branch
+    base_counts, cur_counts = _edge_binned_pair(
+        baseline, current, cols, n_bins, edge_accuracy, inline_edges=True
     )
     slots = tiny_df(
         baseline.sparkSession,
@@ -1356,10 +1527,19 @@ def fdr_bh(
     if not 0.0 < q < 1.0:
         raise ValueError(f"fdr_bh: q={q} not in (0, 1)")
     tests = tests.filter(F.col(p_col).isNotNull())
-    total = tests.agg(F.count(F.lit(1)).cast("double").alias("__m"))
+    # m rides the SAME single-partition global window the rank already
+    # pays for (r15, guide §2.4): the old ``tests.agg(count)`` +
+    # crossJoin(broadcast) embedded the whole upstream test pipeline a
+    # SECOND time in the plan — for v17_fdr_bh that re-executed every
+    # KS scan and aggregate just to count ~14 rows.  count(*) over the
+    # unbounded frame of one global window is the identical m, no
+    # second subtree, no extra exchange.
     w_rank = Window.orderBy(F.col(p_col).asc(), *[F.col(c) for c in id_cols])
+    w_all = w_rank.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     ranked = (
-        tests.crossJoin(F.broadcast(total))
+        tests.withColumn("__m", F.count(F.lit(1)).over(w_all).cast("double"))
         .withColumn("__rank", F.row_number().over(w_rank))
     )
     w_rev = Window.orderBy(F.col("__rank").desc()).rowsBetween(
@@ -1490,11 +1670,9 @@ def cvm_drift(
     cols = list(cols)
     if not cols:
         raise ValueError("cols must be non-empty")
-    edges_row = quantile_edge_row(baseline, cols, n_bins, edge_accuracy)
-    base_counts = binned_counts_against_edges(
-        baseline, edges_row, cols, "base"
+    base_counts, cur_counts = _edge_binned_pair(
+        baseline, current, cols, n_bins, edge_accuracy
     )
-    cur_counts = binned_counts_against_edges(current, edges_row, cols, "cur")
     return cvm_grid_from_binned_counts(
         base_counts, cur_counts, cols, n_bins, round_digits
     )

@@ -20,7 +20,9 @@ import __spark_entry__ as entrymod  # noqa: E402
 from recover_spark.session import get_spark  # noqa: E402
 
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r15"),
 )
 
 
