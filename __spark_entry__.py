@@ -7491,16 +7491,32 @@ def _shared_ann_maintained(spark: SparkSession, sf_dir: str) -> dict:
     emb = _load(spark, sf_dir, "embeddings")
     root = tempfile.mkdtemp(prefix="recover_ann_maint_")
     idx = f"{root}/ivf"
-    n = emb.count()
+    # wave split point from parquet FOOTER metadata (r15): the exact
+    # row count the old emb.count() job computed, read driver-side in
+    # milliseconds — footers are metadata at any scale
+    import pyarrow.dataset as _pads
+
+    n = _pads.dataset(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).count_rows()
     half, q3 = n // 2, (3 * n) // 4
     build_ivf_index(emb.filter(F.col("vec_id") < half), idx, n_centroids=8)
     build_pq_sidecar(spark, idx)
     wave1 = emb.filter((F.col("vec_id") >= half) & (F.col("vec_id") < q3))
     wave2 = emb.filter(F.col("vec_id") >= q3)
-    append_ivf_index(wave1, idx)
-    append_pq_sidecar(spark, wave1, idx)
-    append_ivf_index(wave2, idx)
-    append_pq_sidecar(spark, wave2, idx)
+    # Per wave, the vector append (index_path/list=) and the code
+    # append (_pq/codes/list=) are independent writes to disjoint
+    # directories from the same frozen quantizers — overlap them
+    # (guide §2.6) so each wave pays one job's wall, not two; wave 2
+    # still strictly follows wave 1 (arrival order is the scenario).
+    from concurrent.futures import ThreadPoolExecutor
+
+    for wave in (wave1, wave2):
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa = pool.submit(append_ivf_index, wave, idx)
+            fb = pool.submit(append_pq_sidecar, spark, wave, idx)
+            fa.result()
+            fb.result()
     # frozen-quantizer snapshot: the PQ-maintained probe reads the
     # index AS MAINTAINED (no retrain) — tiny dir copy, geometry-sized
     pq_idx = f"{root}/ivf_pq"

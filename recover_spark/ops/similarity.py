@@ -1333,9 +1333,12 @@ def rebuild_ivf_index(
             f"{index_path}/_centroids", columns=[]
         ).num_rows
     corpus = spark.read.parquet(index_path).select(id_col, vec_col)
-    # materialize: the staging build must not lazily re-read the
-    # directory mid-swap
-    corpus = corpus.localCheckpoint(eager=True)
+    # No materialization needed (r15): every read of the live
+    # directory — the seeds collect and the staging write inside
+    # build_ivf_index — completes BEFORE the swap renames below run,
+    # so the lazy frame can never observe a mid-swap directory.  The
+    # eager localCheckpoint this replaces was a whole extra
+    # materialization job per rebuild.
     staging = index_path.rstrip("/") + ".rebuild"
     if os.path.exists(staging):
         shutil.rmtree(staging)
