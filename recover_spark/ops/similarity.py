@@ -400,10 +400,34 @@ def _nearest_lists(seeds, vec, n: int):
 
     Per-centroid score = dot(v, c)/|c|: the argmax equals the cosine
     argmax (|v| is a common positive factor), one sqrt cheaper.
+
+    ``vec`` as a column NAME ships the whole K-centroid scorer as ONE
+    SQL string (r15, the entry-21/lsh_bucket_signature recipe —
+    PySpark lambda Columns cost ~190 py4j round trips per centroid;
+    the text parses to the identical aggregate/zip_with left-fold dot,
+    the same CAST('<repr>' AS DOUBLE) norm literal, the same
+    struct/sort_array, so scores and probed lists are bit-unchanged —
+    ``_probed_lists`` keeps mirroring it op for op).  A Column arg
+    keeps the per-element path for expression-valued vectors.
     """
     import math
 
     n = min(n, len(seeds))  # over-probing beyond the list count is a no-op
+    if isinstance(vec, str):
+        esc = vec.replace("`", "``")
+        parts = []
+        for cid, cvec in seeds:
+            cnorm = math.sqrt(sum(x * x for x in cvec))
+            parts.append(
+                f"struct(aggregate(zip_with(`{esc}`, {_doubles_sql(cvec)}, "
+                f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, "
+                f"(acc, v) -> acc + v) / CAST('{cnorm!r}' AS DOUBLE) AS s, "
+                f"{-int(cid)} AS nc)"
+            )
+        ordered = F.expr(
+            "sort_array(array(" + ", ".join(parts) + "), false)"
+        )
+        return [(-ordered[i]["nc"]).cast("long") for i in range(n)]
     packed = []
     for cid, cvec in seeds:
         cnorm = math.sqrt(sum(x * x for x in cvec))
@@ -557,7 +581,7 @@ def ivf_topk(
         )
     else:
         c = corpus.withColumn(
-            "__list", nearest_lists(F.col(vec_col), 1)[0]
+            "__list", nearest_lists(vec_col, 1)[0]
         ).withColumn("__cnorm", l2_norm(F.col(vec_col)))
     q = queries.select(
         F.col(id_col).alias(qid),
@@ -566,7 +590,7 @@ def ivf_topk(
     )
     q = q.select(
         "*",
-        F.explode(F.array(*nearest_lists(F.col("__qvec"), nprobe))).alias("__list"),
+        F.explode(F.array(*nearest_lists("__qvec", nprobe))).alias("__list"),
     )
     cand = c.join(F.broadcast(q), on="__list").filter(F.col(id_col) != F.col(qid))
     scored = cand.select(
@@ -775,7 +799,7 @@ def build_ivf_index(
     # half pays assignment + quantization; probes pay neither), so the
     # quantized query path is a partition-pruned scan + integer dots.
     assigned = corpus.withColumn(
-        "list", _nearest_lists(seeds, F.col(vec_col), 1)[0]
+        "list", _nearest_lists(seeds, vec_col, 1)[0]
     ).withColumn("q_embedding", _quantized_vec(F.col(vec_col)))
     assigned.write.mode("overwrite").partitionBy("list").parquet(tmp)
     cent_rows = [(cid, cvec) for cid, cvec in seeds]
@@ -890,7 +914,7 @@ def ivf_topk_indexed(
     ).select(
         "*",
         F.explode(
-            F.array(*_nearest_lists(seeds, F.col("__qvec"), nprobe))
+            F.array(*_nearest_lists(seeds, "__qvec", nprobe))
         ).alias("list"),
     )
     probed = _probed_lists(queries, vec_col, seeds, nprobe)
@@ -1019,7 +1043,7 @@ def ivf_topk_quantized_indexed(
         F.col(id_col).alias(qid),
         _quantized_vec(F.col(vec_col)).alias("__qq"),
         F.explode(
-            F.array(*_nearest_lists(seeds, F.col(vec_col), nprobe))
+            F.array(*_nearest_lists(seeds, vec_col, nprobe))
         ).alias("list"),
     ).withColumn("__qnorm", _int_norm(F.col("__qq")))
     probed = _probed_lists(queries, vec_col, seeds, nprobe)
@@ -1131,14 +1155,14 @@ def ivf_topk_quantized(
 
     c = corpus.select(
         F.col(id_col),
-        _nearest_lists(seeds, F.col(vec_col), 1)[0].alias("__list"),
+        _nearest_lists(seeds, vec_col, 1)[0].alias("__list"),
         _quantized_vec(F.col(vec_col)).alias("__qv"),
     ).withColumn("__cnorm", _int_norm(F.col("__qv")))
     q = queries.select(
         F.col(id_col).alias(qid),
         _quantized_vec(F.col(vec_col)).alias("__qq"),
         F.explode(
-            F.array(*_nearest_lists(seeds, F.col(vec_col), nprobe))
+            F.array(*_nearest_lists(seeds, vec_col, nprobe))
         ).alias("__list"),
     ).withColumn("__qnorm", _int_norm(F.col("__qq")))
     cand = c.join(F.broadcast(q), on="__list").filter(F.col(id_col) != F.col(qid))
@@ -1228,7 +1252,7 @@ def append_ivf_index(
     spark = new_vectors.sparkSession
     seeds = _collect_centroids(spark, index_path)
     assigned = new_vectors.withColumn(
-        "list", _nearest_lists(seeds, F.col(vec_col), 1)[0]
+        "list", _nearest_lists(seeds, vec_col, 1)[0]
     ).withColumn("q_embedding", _quantized_vec(F.col(vec_col)))
     assigned.write.mode("append").partitionBy("list").parquet(index_path)
 
@@ -1624,7 +1648,7 @@ def ivf_pq_topk(
     q = q.select(
         "*",
         F.explode(
-            F.array(*_nearest_lists(seeds, F.col("__qvec"), nprobe))
+            F.array(*_nearest_lists(seeds, "__qvec", nprobe))
         ).alias("__list"),
     )
 
@@ -1678,26 +1702,30 @@ def _with_adc_luts(
 def _adc_expressions(books, codes_col: str):
     """(adc, reconstruction_norm²) for a candidate row carrying its
     code positions: m array lookups each, the norm table a pure
-    literal (one nested literal per subspace, same analysis-cost rule
-    as the LUTs)."""
+    literal.  Both chains ship as ONE SQL string each (r15, the
+    _nearest_lists recipe — the Column ``sum(...)`` forms cost ~900
+    py4j round trips per probe arm): identical left-folded
+    ``0.0 + element_at(...) + ...`` trees, identical literals, so ADC
+    scores are bit-unchanged."""
     m = len(books)
-    adc = sum(
-        (
-            F.element_at(F.col(f"__lut{s}"), F.col(codes_col)[s] + 1)
+    esc = codes_col.replace("`", "``")
+    adc = F.expr(
+        "0.0D"
+        + "".join(
+            f" + element_at(__lut{s}, (`{esc}`[{s}] + 1))"
             for s in range(m)
-        ),
-        F.lit(0.0),
+        )
     )
-    norm_tables = [
-        _lit_doubles([sum(x * x for x in center) for _, center in book])
-        for book in books
-    ]
-    recon_norm2 = sum(
-        (
-            F.element_at(norm_tables[s], F.col(codes_col)[s] + 1)
+    recon_norm2 = F.expr(
+        "0.0D"
+        + "".join(
+            f" + element_at("
+            + _doubles_sql(
+                [sum(x * x for x in center) for _, center in books[s]]
+            )
+            + f", (`{esc}`[{s}] + 1))"
             for s in range(m)
-        ),
-        F.lit(0.0),
+        )
     )
     return adc, recon_norm2
 
@@ -1833,7 +1861,7 @@ def ivf_pq_topk_indexed(
     q = q.select(
         "*",
         F.explode(
-            F.array(*_nearest_lists(seeds, F.col("__qvec"), nprobe))
+            F.array(*_nearest_lists(seeds, "__qvec", nprobe))
         ).alias("list"),
     )
     probed = _probed_lists(queries, vec_col, seeds, nprobe)
@@ -1912,7 +1940,7 @@ def ivf_pq_topk_refined(
     qx = q.select(
         "*",
         F.explode(
-            F.array(*_nearest_lists(seeds, F.col("__qvec"), nprobe))
+            F.array(*_nearest_lists(seeds, "__qvec", nprobe))
         ).alias("list"),
     )
     probed = _probed_lists(queries, vec_col, seeds, nprobe)
